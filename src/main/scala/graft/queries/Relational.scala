@@ -1,0 +1,318 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Det.{dsum, dsumSql, davg, davgSql}
+
+/** Block A — core relational / ETL operators (SURVEY.md §2.A).
+  *
+  * Declarative DataFrame plans: filters/projections reach the parquet
+  * scan, dim joins are broadcast, aggs keep map-side partials, AQE is on.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- q1_agg: TPC-H Q1-style wide aggregation -------------------------
+  private val q1 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-12-01").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql("l_extendedprice")} AS sum_base_price,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        ${davgSql("l_quantity")} AS avg_qty,
+        ${davgSql("l_extendedprice")} AS avg_price,
+        ${davgSql("l_discount")} AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---- q2_filter_project: pushdown scan (TPC-H Q6 shape) ---------------
+  private val q2 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some(s"""
+      SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= CAST(0.02 AS DOUBLE) AND l_discount <= CAST(0.06 AS DOUBLE)
+        AND l_quantity < CAST(24 AS DOUBLE)"""))
+
+  // ---- q3_join_agg: customer ⋈ orders ⋈ lineitem, top revenue ----------
+  private val q3 = Q(
+    (s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  // ---- q4_broadcast_join: dim-chain broadcast --------------------------
+  private val q4 = Q(
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      cust.join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    },
+    Some(s"""
+      SELECT r_name, n_name, COUNT(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  // ---- q5_window: per-customer top orders + lag ------------------------
+  private val q5 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_orderkey", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"), col("prev_orderkey"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn, prev_orderkey
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_orderkey
+        FROM orders) q
+      WHERE rn <= 2
+      ORDER BY o_custkey, rn"""))
+
+  // ---- q6_topk: global order-by-limit (TakeOrderedAndProject) ----------
+  private val q6 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(25)
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 25"""))
+
+  // ---- q7_distinct_agg -------------------------------------------------
+  private val q7 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"),
+        count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status,
+             COUNT(*) AS n_rows
+      FROM lineitem"""))
+
+  // ---- q8_union_all ----------------------------------------------------
+  private val q8 = Q(
+    (s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        .select(lit("order").as("src"), col("o_orderkey").as("id"))
+      val b = t(s, dir, "lineitem").filter(col("l_quantity") >= 49.0)
+        .select(lit("line").as("src"), col("l_orderkey").as("id"))
+      a.unionAll(b).orderBy("src", "id")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'order' AS src, o_orderkey AS id FROM orders WHERE o_totalprice > CAST(300000 AS DOUBLE)
+        UNION ALL
+        SELECT 'line' AS src, l_orderkey AS id FROM lineitem WHERE l_quantity >= CAST(49 AS DOUBLE)
+      ) u ORDER BY src, id"""))
+
+  // ---- q9_pivot: orders priority × status ------------------------------
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val q9 = Q(
+    (s, dir) => {
+      val p = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .count()
+      val renamed = priorities.zipWithIndex.foldLeft(p) { case (df, (name, i)) =>
+        df.withColumn(s"p${i + 1}", coalesce(col(s"`$name`"), lit(0L))).drop(name)
+      }
+      renamed.orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+             COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+             COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+             COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+             COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+             COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // ---- q10_rollup ------------------------------------------------------
+  private val q10 = Q(
+    (s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy("region_name", "nation_name")
+    },
+    Some(s"""
+      SELECT COALESCE(r_name, 'ALL') AS region_name,
+             COALESCE(n_name, 'ALL') AS nation_name,
+             COUNT(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY region_name, nation_name"""))
+
+  // ---- q11_semi_anti ---------------------------------------------------
+  private val q11 = Q(
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      val semi = cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with"))
+      val anti = cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without"))
+      semi.crossJoin(anti)
+    },
+    Some("""
+      SELECT
+        (SELECT COUNT(*) FROM customer WHERE EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > CAST(150000 AS DOUBLE))) AS n_with,
+        (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > CAST(150000 AS DOUBLE))) AS n_without"""))
+
+  // ---- q12_case_agg: conditional aggregation by year -------------------
+  private val q12 = Q(
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_cnt"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_cnt"))
+        .orderBy("yr")
+    },
+    Some("""
+      SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt
+      FROM orders GROUP BY 1 ORDER BY yr"""))
+
+  // ---- q13_scalar_funcs ------------------------------------------------
+  private val q13 = Q(
+    (s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat(col("p_brand"), lit("|"), col("p_type")).as("brand_type"),
+        round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+        (col("p_size") % 7).as("size_mod"),
+        abs(col("p_size") - 25).as("size_dist"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+             UPPER(p_brand) AS brand_u,
+             CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+             SUBSTRING(p_type, 1, 5) AS type5,
+             p_brand || '|' || p_type AS brand_type,
+             ROUND(SQRT(p_retailprice), 4) AS price_sqrt,
+             p_size % 7 AS size_mod,
+             ABS(p_size - 25) AS size_dist
+      FROM part ORDER BY p_partkey"""))
+
+  // ---- q14_join_skew: fact-fact shuffle join under AQE -----------------
+  private val q14 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n_items, ${dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  val entries: Seq[(String, Q)] = Seq(
+    "q1_agg" -> q1,
+    "q2_filter_project" -> q2,
+    "q3_join_agg" -> q3,
+    "q4_broadcast_join" -> q4,
+    "q5_window" -> q5,
+    "q6_topk" -> q6,
+    "q7_distinct_agg" -> q7,
+    "q8_union_all" -> q8,
+    "q9_pivot" -> q9,
+    "q10_rollup" -> q10,
+    "q11_semi_anti" -> q11,
+    "q12_case_agg" -> q12,
+    "q13_scalar_funcs" -> q13,
+    "q14_join_skew" -> q14)
+}
