@@ -31,5 +31,6 @@ object SparkEntry {
 /** Single assembly point so adding a block is one line. */
 object Blocks {
   def all: Seq[(String, Q)] =
-    graft.queries.Relational.entries
+    graft.queries.Relational.entries ++
+      graft.queries.ReferenceOps.entries
 }

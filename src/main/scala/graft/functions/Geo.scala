@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Point-in-polygon tagging (utils.read_geojson / find_geographic_area,
+  * utils.py:52-76; ObsFile.assign_geo_code, ObsFile.py:540-547).
+  *
+  * The polygon catalog is known at plan time (as with the reference's
+  * geojson file read on startup), so the even-odd ray cast is *unrolled
+  * per edge* into plain comparisons/arithmetic — whole-stage-codegen
+  * friendly, no UDF, and the identical expression tree can be emitted as
+  * SQL for the oracle. At 100 TB this is a map-only operator: zero
+  * shuffle, scales linearly.
+  */
+object Geo {
+
+  final case class NamedPolygon(name: String, vertices: Seq[(Double, Double)])
+
+  /** Even-odd crossing count, unrolled: for each edge (xi,yi)-(xj,yj),
+    * count it when ((yi>y) != (yj>y)) AND x < (xj-xi)·(y-yi)/(yj-yi)+xi.
+    * Interior points only (boundary behavior undefined, as with
+    * shapely's `contains` which the reference uses).
+    */
+  def pointInPolygon(x: Column, y: Column, poly: Seq[(Double, Double)]): Column = {
+    val n = poly.length
+    val crossings = (0 until n).map { i =>
+      val (xi, yi) = poly(i)
+      val (xj, yj) = poly((i + 1) % n)
+      val crosses = (lit(yi) > y) =!= (lit(yj) > y)
+      val xAtY = (lit(xj) - xi) * (y - yi) / (yj - yi) + xi
+      when(crosses && x < xAtY, 1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /** SQL twin of [[pointInPolygon]] — same edge order, same arithmetic
+    * shape, so doubles match bit-for-bit across engines.
+    */
+  def pointInPolygonSql(xExpr: String, yExpr: String, poly: Seq[(Double, Double)]): String = {
+    val n = poly.length
+    val terms = (0 until n).map { i =>
+      val (xi, yi) = poly(i)
+      val (xj, yj) = poly((i + 1) % n)
+      s"(CASE WHEN (($yi > $yExpr) != ($yj > $yExpr)) AND " +
+        s"($xExpr < ($xj - $xi) * ($yExpr - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  /** Geographic-area tag: every containing polygon's name (spaces → '-'),
+    * space-joined with a trailing space; 'None' when nothing contains the
+    * point — exactly find_geographic_area (utils.py:70-76).
+    */
+  def geoArea(x: Column, y: Column, catalog: Seq[NamedPolygon]): Column = {
+    val parts = catalog.map { p =>
+      when(pointInPolygon(x, y, p.vertices), p.name.replace(' ', '-') + " ").otherwise("")
+    }
+    val joined = concat(parts: _*)
+    when(joined === "", "None").otherwise(joined)
+  }
+
+  def geoAreaSql(xExpr: String, yExpr: String, catalog: Seq[NamedPolygon]): String = {
+    val parts = catalog.map { p =>
+      s"(CASE WHEN ${pointInPolygonSql(xExpr, yExpr, p.vertices)} " +
+        s"THEN '${p.name.replace(' ', '-')} ' ELSE '' END)"
+    }
+    val joined = parts.mkString(" || ")
+    s"(CASE WHEN ($joined) = '' THEN 'None' ELSE ($joined) END)"
+  }
+
+  /** Test catalog standing in for the reference's ios_polygons.geojson:
+    * overlapping shapes so multi-containment and the 'None' fallthrough
+    * both occur.
+    */
+  val testCatalog: Seq[NamedPolygon] = Seq(
+    NamedPolygon("north box", Seq((-140.0, 40.0), (-120.0, 40.0), (-120.0, 60.0), (-140.0, 60.0))),
+    NamedPolygon("coastal strip", Seq((-130.0, 30.0), (-110.0, 30.0), (-110.0, 70.0), (-130.0, 70.0))),
+    NamedPolygon("triangle zone", Seq((-60.0, -20.0), (-20.0, -20.0), (-40.0, 20.0))))
+}

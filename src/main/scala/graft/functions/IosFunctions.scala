@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Columnar re-expressions of the reference toolbox's per-record
+  * semantics (cioos_data_transform/ios_data_transform). Everything here
+  * is a `Column -> Column` built from Spark built-ins, so Catalyst sees
+  * through it (codegen, pushdown) — no UDFs.
+  */
+object IosFunctions {
+
+  // --- Time ------------------------------------------------------------
+
+  /** Hours to ADD to a local IOS timestamp to reach UTC, by zone label.
+    * Mirrors ObsFile.get_date (ObsFile.py:160-213): GMT/UTC 0, PST +8,
+    * PDT +7, MST +7, MDT +6, AST +4, ADT +3.
+    */
+  val tzOffsetHours: Seq[(String, Int)] = Seq(
+    "UTC" -> 0, "GMT" -> 0, "PST" -> 8, "PDT" -> 7,
+    "MST" -> 7, "MDT" -> 6, "AST" -> 4, "ADT" -> 3)
+
+  /** Local timestamp + zone label → UTC timestamp. */
+  def iosToUtc(ts: Column, tz: Column): Column = {
+    val offs = tzOffsetHours.tail.foldLeft(
+      when(upper(tz) === tzOffsetHours.head._1, lit(tzOffsetHours.head._2))) {
+      case (acc, (name, h)) => acc.when(upper(tz) === name, lit(h))
+    }.otherwise(lit(null))
+    timestamp_micros(unix_micros(ts) + offs.cast("long") * 3600000000L)
+  }
+
+  /** `start + i*dtSeconds` observation-time expansion
+    * (ObsFile.py:393-396): one output row per i in [0, n). Declarative
+    * sequence+explode — scales with the data, no driver loop.
+    */
+  def expandObsTimes(start: Column, dtSeconds: Column, n: Column): Column =
+    explode(transform(sequence(lit(0), n - 1),
+      i => struct(i.as("i"),
+        // cast handles TIMESTAMP_NTZ parquet columns; session TZ is UTC so
+        // the instant is unchanged.
+        timestamp_micros(unix_micros(start.cast("timestamp")) +
+          i.cast("long") * dtSeconds.cast("long") * 1000000L).as("obs_ts"))))
+
+  // --- Coordinates -----------------------------------------------------
+
+  /** `deg min hemisphere` → signed decimal degrees (ObsFile.get_location,
+    * ObsFile.py:252-276): S and W are negative.
+    */
+  def dmsToDecimal(deg: Column, minutes: Column, hemi: Column): Column = {
+    val v = deg.cast("double") + minutes.cast("double") / 60.0
+    when(upper(hemi).isin("S", "W"), -v).otherwise(v)
+  }
+
+  // --- Null handling ---------------------------------------------------
+
+  /** Pad-value → NULL (OceanNcVar.__set_null_val, OceanNcVar.py:206-211:
+    * `data[data == pad] = nan`).
+    */
+  def padToNull(v: Column, pad: Column): Column =
+    when(v === pad, lit(null)).otherwise(v)
+
+  // --- Channel classification -----------------------------------------
+
+  /** Keyword rules from write_ctd_ncfile.py:95-150: (class, must-contain
+    * keywords, must-NOT-contain keywords), evaluated in order; matching is
+    * case-blind containment (utils.is_in, utils.py:16-19).
+    */
+  val channelRules: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("depth", Seq("depth"), Seq("nominal")),
+    ("pressure", Seq("pressure"), Seq.empty),
+    ("temperature", Seq("temperature"), Seq("flag", "rinko", "bottle")),
+    ("salinity", Seq("salinity"), Seq("flag")),
+    ("oxygen", Seq("oxygen"),
+      Seq("flag", "bottle", "rinko", "temperature", "current", "isotope", "saturation")),
+    ("conductivity", Seq("conductivity"), Seq.empty),
+    ("nutrient", Seq("nitrate_plus_nitrite", "silicate", "phosphate"), Seq("flag")))
+
+  private def containsAny(c: Column, kws: Seq[String]): Column =
+    kws.map(k => upper(c).contains(k.toUpperCase)).reduce(_ || _)
+
+  /** Channel name → standardized variable class; non-matching channels map
+    * to "ignore" (the reference skips them with a log line).
+    */
+  def classifyChannel(name: Column): Column =
+    channelRules.foldRight(lit("ignore")) { case ((cls, inc, exc), rest) =>
+      val cond =
+        if (exc.isEmpty) containsAny(name, inc)
+        else containsAny(name, inc) && !containsAny(name, exc)
+      when(cond, lit(cls)).otherwise(rest)
+    }
+
+  /** The same rule chain as a DuckDB SQL CASE expression over column
+    * `nameExpr` — generated from [[channelRules]] so the oracle can never
+    * drift from the Spark plan.
+    */
+  def classifyChannelSql(nameExpr: String): String = {
+    def anySql(kws: Seq[String]) =
+      kws.map(k => s"instr(upper($nameExpr), '${k.toUpperCase}') > 0").mkString("(", " OR ", ")")
+    val whens = channelRules.map { case (cls, inc, exc) =>
+      val cond =
+        if (exc.isEmpty) anySql(inc)
+        else s"${anySql(inc)} AND NOT ${anySql(exc)}"
+      s"WHEN $cond THEN '$cls'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE 'ignore' END"
+  }
+
+  // --- BODC codes ------------------------------------------------------
+
+  /** Variable class + units → BODC base code and the suffix width used by
+    * the uniquifying iteration (OceanNcVar.__get_bodc_code,
+    * OceanNcVar.py:213-258). Pressure and depth get fixed names
+    * (PRESPR01 / depth) per OceanNcVar.py:86-99.
+    */
+  def bodcBase(cls: Column, units: Column): Column = {
+    val u = upper(units)
+    when(cls === "temperature",
+      when(u.contains("ITS90") || u.contains("ITS-90"), "TEMPS9")
+        .when(u.contains("IPTS-68") || u.contains("IPTS68"), "TEMPS6")
+        .otherwise("TEMPST"))
+      .when(cls === "salinity",
+        when(u.contains("PSS-78"), "PSALST").otherwise("SSALST"))
+      .when(cls === "oxygen",
+        when(u.contains("ML/L"), "DOXYZZ")
+          .when(u.contains("UMOL/KG"), "DOXMZZ")
+          .otherwise("DOXY"))
+      .when(cls === "conductivity",
+        when(u.contains("MS/CM"), "CNDCSTX").otherwise("CNDCST"))
+      .when(cls === "nutrient",
+        when(u.contains("NITRATE"), "NTRZAAZ")
+          .when(u.contains("PHOSPHATE"), "PHOSAAZ")
+          .otherwise("SLCAAAZ"))
+      .otherwise(lit(null))
+  }
+
+  // --- Unit conversions (GSW-adjacent, deterministic scalar math) ------
+
+  /** Dissolved oxygen mL/L → µmol/L (molar volume of O2: 44.661). */
+  def o2MlPerLToUmolPerL(mlPerL: Column): Column = mlPerL * 44.661
+
+  /** Dissolved oxygen mL/L → µmol/kg with the 1.025 kg/L nominal seawater
+    * density used for quick conversions.
+    */
+  def o2MlPerLToUmolPerKg(mlPerL: Column): Column = mlPerL * 44.661 / 1.025
+
+  def fahrenheitToCelsius(f: Column): Column = (f - 32.0) * 5.0 / 9.0
+
+  /** Saunders (1981) pressure→depth at a fixed latitude:
+    * depth = (1 - c1)·p − 2.21e-6·p². c1 pre-folded for lat 49°N so both
+    * engine sides share one literal (no cross-libm sin()).
+    */
+  val saundersC1Lat49: Double = 0.008910329390020172
+  def pressureToDepth(dbar: Column): Column =
+    (lit(1.0) - saundersC1Lat49) * dbar - lit(2.21e-6) * dbar * dbar
+  val pressureToDepthSql: String =
+    s"(1.0 - $saundersC1Lat49) * %s - 2.21e-6 * %s * %s"
+}

@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Det.{dsumSql}
+import graft.functions.{Geo, IosFunctions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Block B — the reference toolbox's record-level semantics, applied as
+  * columnar transforms over the test tables (SURVEY.md §2.B). Inputs are
+  * synthesized deterministically from table columns (both engine sides
+  * construct them identically), then the operator under test runs on top.
+  */
+object ReferenceOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- r1_tz_parse: IOS local-zone timestamp → UTC ---------------------
+  private val tzCase =
+    "CASE user_id % 8 WHEN 0 THEN 'UTC' WHEN 1 THEN 'GMT' WHEN 2 THEN 'PST' WHEN 3 THEN 'PDT' " +
+      "WHEN 4 THEN 'MST' WHEN 5 THEN 'MDT' WHEN 6 THEN 'AST' ELSE 'ADT' END"
+  private val tzOffCase =
+    "CASE user_id % 8 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 8 WHEN 3 THEN 7 " +
+      "WHEN 4 THEN 7 WHEN 5 THEN 6 WHEN 6 THEN 4 ELSE 3 END"
+  private val r1 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val tz = expr(tzCase)
+      e.select(col("event_id"), tz.as("tz"),
+        date_format(F.iosToUtc(col("ts"), tz), "yyyy-MM-dd HH:mm:ss").as("utc_str"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      SELECT event_id, $tzCase AS tz,
+             strftime(ts + INTERVAL (($tzOffCase)) HOUR, '%Y-%m-%d %H:%M:%S') AS utc_str
+      FROM events ORDER BY event_id"""))
+
+  // ---- r2_time_expand: start + i·dt series -----------------------------
+  private val r2 = Q(
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .withColumn("dt_s", (col("o_orderkey") % 3600 + 60).cast("int"))
+      o.select(col("o_orderkey"),
+        F.expandObsTimes(col("o_orderdate"), col("dt_s"), lit(5)).as("obs"))
+        .select(col("o_orderkey"), col("obs.i").as("i"),
+          date_format(col("obs.obs_ts"), "yyyy-MM-dd HH:mm:ss").as("obs_str"))
+        .orderBy("o_orderkey", "i")
+    },
+    Some("""
+      SELECT o_orderkey, i,
+             strftime(o_orderdate + INTERVAL ((i * (o_orderkey % 3600 + 60))) SECOND,
+                      '%Y-%m-%d %H:%M:%S') AS obs_str
+      FROM orders
+      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i) s
+      WHERE o_orderkey % 7 = 0
+      ORDER BY o_orderkey, i"""))
+
+  // ---- r3_dms_coords ---------------------------------------------------
+  private val r3 = Q(
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val latDeg = (col("c_custkey") % 89).cast("double")
+      val latMin = ((col("c_custkey") * 7) % 60).cast("double") + 0.5
+      val latHemi = when(col("c_custkey") % 2 === 0, "N").otherwise("S")
+      val lonDeg = (col("c_custkey") % 179).cast("double")
+      val lonMin = ((col("c_custkey") * 11) % 60).cast("double") + 0.25
+      val lonHemi = when(col("c_custkey") % 3 === 0, "E").otherwise("W")
+      c.select(col("c_custkey"),
+        round(F.dmsToDecimal(latDeg, latMin, latHemi), 6).as("lat"),
+        round(F.dmsToDecimal(lonDeg, lonMin, lonHemi), 6).as("lon"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+        ROUND(CASE WHEN c_custkey % 2 = 0 THEN 1.0 ELSE -1.0 END *
+              (CAST(c_custkey % 89 AS DOUBLE) + (CAST((c_custkey * 7) % 60 AS DOUBLE) + 0.5) / 60.0), 6) AS lat,
+        ROUND(CASE WHEN c_custkey % 3 = 0 THEN 1.0 ELSE -1.0 END *
+              (CAST(c_custkey % 179 AS DOUBLE) + (CAST((c_custkey * 11) % 60 AS DOUBLE) + 0.25) / 60.0), 6) AS lon
+      FROM customer ORDER BY c_custkey"""))
+
+  // ---- r4_pad_null: pad sentinel → NULL + survivor stats --------------
+  private val r4 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("raw", when(col("l_linenumber") === 1, -99.0).otherwise(col("l_quantity")))
+        .withColumn("v", F.padToNull(col("raw"), lit(-99.0)))
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          round(sum(col("v").cast(graft.Det.D)).cast("double") / count(col("v")), 4).as("avg_v"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(v) AS n_null,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(v), 4) AS avg_v
+      FROM (
+        SELECT l_returnflag,
+               CASE WHEN raw = -99.0 THEN NULL ELSE raw END AS v
+        FROM (SELECT l_returnflag,
+                     CASE WHEN l_linenumber = 1 THEN -99.0 ELSE l_quantity END AS raw
+              FROM lineitem) a) b
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---- r5_channel_classify --------------------------------------------
+  private val chanCase =
+    "CASE p_partkey % 10 " +
+      "WHEN 0 THEN 'Temperature:Primary' WHEN 1 THEN 'Temperature:Draw (bottle)' " +
+      "WHEN 2 THEN 'Salinity:T0:C0' WHEN 3 THEN 'Oxygen:Dissolved:SBE' " +
+      "WHEN 4 THEN 'Oxygen:Flag' WHEN 5 THEN 'Pressure' WHEN 6 THEN 'Depth' " +
+      "WHEN 7 THEN 'Depth:Nominal' WHEN 8 THEN 'Conductivity:Primary' " +
+      "ELSE 'Nitrate_plus_Nitrite:ISUS' END"
+  private val r5 = Q(
+    (s, dir) => {
+      val p = t(s, dir, "part").withColumn("channel", expr(chanCase))
+      p.select(col("p_partkey"), col("channel"),
+        F.classifyChannel(col("channel")).as("var_class"))
+        .orderBy("p_partkey")
+    },
+    Some(s"""
+      SELECT p_partkey, channel, ${F.classifyChannelSql("channel")} AS var_class
+      FROM (SELECT p_partkey, $chanCase AS channel FROM part) a
+      ORDER BY p_partkey"""))
+
+  // ---- r6_bodc_code: units→code, windowed suffix dedup ----------------
+  private val unitsCase =
+    "CASE p_partkey % 10 " +
+      "WHEN 0 THEN 'Deg C (ITS90)' WHEN 2 THEN 'PSS-78' WHEN 3 THEN 'mL/L' " +
+      "WHEN 5 THEN 'decibar' WHEN 6 THEN 'metres' WHEN 8 THEN 'mS/cm' " +
+      "WHEN 9 THEN 'umol/L' ELSE 'n/a' END"
+  private val r6 = Q(
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("channel", expr(chanCase))
+        .withColumn("units", expr(unitsCase))
+        .withColumn("var_class", F.classifyChannel(col("channel")))
+        .filter(col("var_class") =!= "ignore")
+      val base = when(col("var_class") === "pressure", "PRESPR01")
+        .when(col("var_class") === "depth", "depth")
+        .otherwise(F.bodcBase(col("var_class"), col("units")))
+      val wBase = Window.partitionBy(col("p_brand"), col("bodc_base")).orderBy(col("p_partkey"))
+      p.withColumn("bodc_base", base)
+        .withColumn("rn", row_number().over(wBase))
+        .withColumn("bodc", when(col("var_class").isin("pressure", "depth"), col("bodc_base"))
+          .when(col("var_class") === "nutrient", concat(col("bodc_base"), col("rn").cast("string")))
+          .otherwise(concat(col("bodc_base"), lpad(col("rn").cast("string"), 2, "0"))))
+        .select(col("p_partkey"), col("p_brand"), col("channel"), col("units"),
+          col("var_class"), col("bodc"))
+        .orderBy("p_partkey")
+    },
+    Some {
+      val clsSql = F.classifyChannelSql("channel")
+      s"""
+      WITH chans AS (
+        SELECT p_partkey, p_brand, channel, units, $clsSql AS var_class
+        FROM (SELECT p_partkey, p_brand, $chanCase AS channel, $unitsCase AS units FROM part) a
+        WHERE $clsSql <> 'ignore'),
+      coded AS (
+        SELECT *,
+          CASE WHEN var_class = 'pressure' THEN 'PRESPR01'
+               WHEN var_class = 'depth' THEN 'depth'
+               WHEN var_class = 'temperature' THEN
+                 CASE WHEN instr(upper(units),'ITS90')>0 OR instr(upper(units),'ITS-90')>0 THEN 'TEMPS9'
+                      WHEN instr(upper(units),'IPTS-68')>0 OR instr(upper(units),'IPTS68')>0 THEN 'TEMPS6'
+                      ELSE 'TEMPST' END
+               WHEN var_class = 'salinity' THEN
+                 CASE WHEN instr(upper(units),'PSS-78')>0 THEN 'PSALST' ELSE 'SSALST' END
+               WHEN var_class = 'oxygen' THEN
+                 CASE WHEN instr(upper(units),'ML/L')>0 THEN 'DOXYZZ'
+                      WHEN instr(upper(units),'UMOL/KG')>0 THEN 'DOXMZZ' ELSE 'DOXY' END
+               WHEN var_class = 'conductivity' THEN
+                 CASE WHEN instr(upper(units),'MS/CM')>0 THEN 'CNDCSTX' ELSE 'CNDCST' END
+               WHEN var_class = 'nutrient' THEN
+                 CASE WHEN instr(upper(units),'NITRATE')>0 THEN 'NTRZAAZ'
+                      WHEN instr(upper(units),'PHOSPHATE')>0 THEN 'PHOSAAZ' ELSE 'SLCAAAZ' END
+          END AS bodc_base
+        FROM chans)
+      SELECT p_partkey, p_brand, channel, units, var_class,
+        CASE WHEN var_class IN ('pressure','depth') THEN bodc_base
+             WHEN var_class = 'nutrient' THEN bodc_base || CAST(rn AS VARCHAR)
+             ELSE bodc_base || lpad(CAST(rn AS VARCHAR), 2, '0') END AS bodc
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand, bodc_base ORDER BY p_partkey) AS rn
+            FROM coded) z
+      ORDER BY p_partkey"""
+    })
+
+  // ---- r7_unit_convert -------------------------------------------------
+  private val r7 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("o2_ml_l", col("l_quantity") / 10.0)
+        .withColumn("temp_f", col("l_extendedprice") % 100.0)
+        .withColumn("p_dbar", col("l_extendedprice") % 1000.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        round(F.o2MlPerLToUmolPerL(col("o2_ml_l")), 4).as("o2_umol_l"),
+        round(F.o2MlPerLToUmolPerKg(col("o2_ml_l")), 4).as("o2_umol_kg"),
+        round(F.fahrenheitToCelsius(col("temp_f")), 4).as("temp_c"),
+        round(F.pressureToDepth(col("p_dbar")), 4).as("depth_m"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(s"""
+      SELECT l_orderkey, l_linenumber,
+        ROUND((l_quantity / 10.0) * 44.661, 4) AS o2_umol_l,
+        ROUND((l_quantity / 10.0) * 44.661 / 1.025, 4) AS o2_umol_kg,
+        ROUND(((l_extendedprice % 100.0) - 32.0) * 5.0 / 9.0, 4) AS temp_c,
+        ROUND((1.0 - ${F.saundersC1Lat49}) * (l_extendedprice % 1000.0)
+              - 2.21e-6 * (l_extendedprice % 1000.0) * (l_extendedprice % 1000.0), 4) AS depth_m
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---- r8_geo_area: point-in-polygon tagging --------------------------
+  private val r8 = Q(
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("lon", (col("c_custkey") % 360).cast("double") - 180.0 + 0.5)
+        .withColumn("lat", ((col("c_custkey") * 3) % 180).cast("double") - 90.0 + 0.5)
+      c.select(col("c_custkey"), col("lon"), col("lat"),
+        Geo.geoArea(col("lon"), col("lat"), Geo.testCatalog).as("geo_code"))
+        .orderBy("c_custkey")
+    },
+    Some {
+      val lon = "(CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.5)"
+      val lat = "(CAST((c_custkey * 3) % 180 AS DOUBLE) - 90.0 + 0.5)"
+      s"""
+      SELECT c_custkey, $lon AS lon, $lat AS lat,
+             ${Geo.geoAreaSql(lon, lat, Geo.testCatalog)} AS geo_code
+      FROM customer ORDER BY c_custkey"""
+    })
+
+  // ---- r9_profile_id: mission/profile id formatting -------------------
+  private val r9 = Q(
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("a", col("o_orderkey") % 9999 + 1)
+        .withColumn("b", col("o_custkey") % 999 + 1)
+        .withColumn("ev", (col("o_orderkey") % 997).cast("string"))
+      o.select(col("o_orderkey"),
+        concat(lpad(col("a").cast("string"), 4, "0"), lit("-"),
+          lpad(col("b").cast("string"), 3, "0")).as("mission_id"),
+        concat(lpad(col("a").cast("string"), 4, "0"), lit("-"),
+          lpad(col("b").cast("string"), 3, "0"), lit("-"),
+          lpad(col("ev"), 4, "0")).as("profile_id"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        lpad(CAST(o_orderkey % 9999 + 1 AS VARCHAR), 4, '0') || '-' ||
+          lpad(CAST(o_custkey % 999 + 1 AS VARCHAR), 3, '0') AS mission_id,
+        lpad(CAST(o_orderkey % 9999 + 1 AS VARCHAR), 4, '0') || '-' ||
+          lpad(CAST(o_custkey % 999 + 1 AS VARCHAR), 3, '0') || '-' ||
+          lpad(CAST(o_orderkey % 997 AS VARCHAR), 4, '0') AS profile_id
+      FROM orders ORDER BY o_orderkey"""))
+
+  // ---- r10_epoch_time: UTC epoch seconds + daily stats ----------------
+  private val r10 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+      e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          min(col("epoch_s")).as("min_epoch"),
+          max(col("epoch_s")).as("max_epoch"))
+        .orderBy("day")
+    },
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+             MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS min_epoch,
+             MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS max_epoch
+      FROM events GROUP BY 1 ORDER BY day"""))
+
+  val entries: Seq[(String, Q)] = Seq(
+    "r1_tz_parse" -> r1,
+    "r2_time_expand" -> r2,
+    "r3_dms_coords" -> r3,
+    "r4_pad_null" -> r4,
+    "r5_channel_classify" -> r5,
+    "r6_bodc_code" -> r6,
+    "r7_unit_convert" -> r7,
+    "r8_geo_area" -> r8,
+    "r9_profile_id" -> r9,
+    "r10_epoch_time" -> r10)
+}

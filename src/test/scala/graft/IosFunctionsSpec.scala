@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{Geo, IosFunctions => F}
+import org.apache.spark.sql.functions._
+
+/** Unit-level behavior checks for the reference-semantics columnar
+  * functions, pinned against hand-computed expectations from the
+  * reference sources (cited per function in Scaladoc).
+  */
+class IosFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("iosToUtc applies the reference's zone offsets") {
+    val df = Seq(
+      ("2017-01-01 12:00:00", "UTC"),
+      ("2017-01-01 12:00:00", "PST"),
+      ("2017-01-01 12:00:00", "PDT"),
+      ("2017-01-01 12:00:00", "ADT")).toDF("ts", "tz")
+    val out = df.select(date_format(
+      F.iosToUtc($"ts".cast("timestamp"), $"tz"), "HH:mm").as("utc")).as[String].collect()
+    assert(out.toSeq == Seq("12:00", "20:00", "19:00", "15:00"))
+  }
+
+  test("dmsToDecimal signs S/W negative like get_location") {
+    val df = Seq((49.0, 30.0, "N"), (49.0, 30.0, "S"), (123.0, 15.0, "W"))
+      .toDF("d", "m", "h")
+    val out = df.select(F.dmsToDecimal($"d", $"m", $"h").as("v")).as[Double].collect()
+    assert(out(0) == 49.5 && out(1) == -49.5 && out(2) == -123.25)
+  }
+
+  test("padToNull nulls exactly the pad value") {
+    val df = Seq(1.0, -99.0, 3.5).toDF("v")
+    val out = df.select(F.padToNull($"v", lit(-99.0)).as("v"))
+      .collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(Some(1.0), None, Some(3.5)))
+  }
+
+  test("classifyChannel honors include+exclude keyword rules") {
+    val cases = Seq(
+      "Depth" -> "depth",
+      "Depth:Nominal" -> "ignore",
+      "Pressure" -> "pressure",
+      "Temperature:Primary" -> "temperature",
+      "Temperature:Draw (bottle)" -> "ignore",
+      "Oxygen:Dissolved:SBE" -> "oxygen",
+      "Oxygen:Saturation" -> "ignore",
+      "Salinity:T0:C0" -> "salinity",
+      "Salinity flag" -> "ignore",
+      "Conductivity" -> "conductivity",
+      "Nitrate_plus_nitrite" -> "nutrient",
+      "Humidity" -> "ignore")
+    val df = cases.map(_._1).toDF("name")
+    val out = df.select(F.classifyChannel($"name").as("c")).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("point-in-polygon: interior, exterior, multi-containment, None") {
+    val df = Seq(
+      (-130.0 + 0.5, 50.5),  // inside north box AND coastal strip
+      (-115.0, 35.5),        // inside coastal strip only
+      (-40.0, 0.5),          // inside triangle zone
+      (100.5, 10.5))         // nowhere
+      .toDF("lon", "lat")
+    val out = df.select(Geo.geoArea($"lon", $"lat", Geo.testCatalog).as("g"))
+      .as[String].collect()
+    assert(out(0) == "north-box coastal-strip ")
+    assert(out(1) == "coastal-strip ")
+    assert(out(2) == "triangle-zone ")
+    assert(out(3) == "None")
+  }
+
+  test("unit conversions match reference constants") {
+    val df = Seq(1.0).toDF("x")
+    val row = df.select(
+      F.o2MlPerLToUmolPerL($"x").as("a"),
+      F.fahrenheitToCelsius(lit(212.0)).as("b"),
+      round(F.pressureToDepth(lit(1000.0)), 2).as("c")).collect()(0)
+    assert(row.getDouble(0) == 44.661)
+    assert(row.getDouble(1) == 100.0)
+    // Saunders at lat 49, p=1000 dbar: ~988.9 m
+    assert(math.abs(row.getDouble(2) - 988.88) < 0.2)
+  }
+}
