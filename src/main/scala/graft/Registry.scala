@@ -24,8 +24,22 @@ object Det {
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
   /** SQL twin of [[dsum]]. */
   def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
-  /** Deterministic mean: exact decimal sum / count, rounded. */
-  def davg(c: Column): Column = round(sum(c.cast(D)).cast("double") / count(lit(1)), 4)
+  /** Engine-stable quantization to `scale` decimals. Spark's `round`
+    * detours through BigDecimal.valueOf(double) — the *decimal string* —
+    * while DuckDB rounds the raw binary, so exact-half shortest
+    * representations (…x5) disagree. floor(x·10^s + 0.5)/10^s is pure
+    * IEEE double arithmetic: identical bits on every engine.
+    */
+  def qz(c: Column, scale: Int = 4): Column = {
+    val m = math.pow(10, scale)
+    floor(c * m + 0.5) / m
+  }
+  def qzSql(e: String, scale: Int = 4): String = {
+    val m = s"1e$scale"
+    s"FLOOR(($e) * $m + 0.5) / $m"
+  }
+  /** Deterministic mean: exact decimal sum / count, quantized. */
+  def davg(c: Column): Column = qz(sum(c.cast(D)).cast("double") / count(lit(1)))
   def davgSql(e: String): String =
-    s"ROUND(CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4)"
+    qzSql(s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")
 }

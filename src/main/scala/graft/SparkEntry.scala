@@ -32,5 +32,6 @@ object SparkEntry {
 object Blocks {
   def all: Seq[(String, Q)] =
     graft.queries.Relational.entries ++
-      graft.queries.ReferenceOps.entries
+      graft.queries.ReferenceOps.entries ++
+      graft.queries.TrainingData.entries
 }

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis building blocks for training-data pipelines
+  * (SURVEY.md §2.C): tokenization, shingling, hashing families for
+  * near-dup detection, language scoring, quality metrics. All are
+  * `Column -> Column` over Spark built-ins / higher-order array
+  * functions — map-only, shuffle-free, no UDFs.
+  */
+object Text {
+
+  /** Whitespace tokenization; the SQL twin is
+    * `regexp_split_to_array(trim(x), '\s+')`.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** "BPE-ish" token pieces: letter runs, digit runs, single symbols. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|\\S"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Distinct k-word shingles. Empty array when the doc is shorter than k
+    * (Spark's `sequence(0, n)` counts *down* for negative n, so the guard
+    * is required, not cosmetic).
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  // --- MinHash ---------------------------------------------------------
+
+  /** Deterministic 31-bit multiply-add parameters from a splitmix-style
+    * mix of the permutation index — reproducible across sessions with no
+    * RNG state.
+    */
+  private def mix(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)) & 0x7fffffffL
+  }
+
+  val minhashPrime = 2147483647L // 2^31 - 1
+
+  /** MinHash signature: array of `k` minima of (a_i·h(s)+b_i) mod p over
+    * the shingle set. One projection, no shuffle — the signature travels
+    * with the row. h(s) = xxhash64 folded to 31 bits.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(minhashPrime)))
+    val sigs = (0 until k).map { i =>
+      val a = mix(2L * i) | 1L // odd multiplier
+      val b = mix(2L * i + 1)
+      array_min(transform(base, h => pmod(h * a + b, lit(minhashPrime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys for a signature: `bands` keys, each hashing `rowsPerBand`
+    * consecutive signature components together with the band index (so
+    * buckets from different bands never collide).
+    */
+  def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))))
+    }: _*)
+
+  // --- SimHash ---------------------------------------------------------
+
+  /** 32-bit SimHash over the token multiset: bit b is set when the sum of
+    * ±1 contributions (per token, sign of bit b of xxhash64(token)) is
+    * positive. Map-only; pairs come from banding on contiguous byte
+    * slices (exact Hamming verify after).
+    */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 32).map { b =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --- Language / quality ---------------------------------------------
+
+  /** Per-language stopword markers for the n-gram heuristic. Word-boundary
+    * regex counts are cheap, codegen'd, and portable to the oracle.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|a)\\b",
+    "es" -> "\\b(el|la|de|los|que)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|des|est|une)\\b",
+    // \x{...} escapes parse identically in Java regex and RE2 (DuckDB);
+    // \uXXXX would not.
+    "zh" -> "[\\x{4e00}-\\x{9fff}]")
+
+  def langScore(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
+  /** argmax over marker scores, ties broken by catalog order. */
+  def langPredict(text: Column): Column = {
+    val scored = langMarkers.map { case (l, p) => (l, langScore(text, p)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((l, s), rest) =>
+      when(s === best && s > 0, lit(l)).otherwise(rest)
+    }
+  }
+
+  val punctPattern = "[.,;:!?'\"()\\-]"
+  val stopwordPattern = "\\b(the|a|of|and|to|in)\\b"
+
+  /** Composite quality score in [0,1]: length saturation, punctuation
+    * sanity, stopword presence — the standard cheap pre-filter shape for
+    * LLM corpus curation.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val toks = size(tokens(text)).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, punctPattern, ""))).cast("double")
+    val stops = size(regexp_extract_all(lower(text), lit(stopwordPattern), lit(0))).cast("double")
+    val lenScore = least(lit(1.0), toks / 100.0)
+    val punctScore = lit(1.0) - least(lit(1.0), punct / greatest(n, lit(1.0)) * 10.0)
+    val stopScore = least(lit(1.0), stops / greatest(toks, lit(1.0)) * 5.0)
+    graft.Det.qz(lenScore * 0.3 + punctScore * 0.4 + stopScore * 0.3)
+  }
+
+  /** Position-weighted rolling fingerprint:
+    * sum over tokens of (pos+1)·(31·len + ascii(first) + ascii(last)),
+    * mod 1e9+7. Pure integer math — exact in any engine.
+    */
+  val fingerprintMod = 1000000007L
+  def fingerprint(toks: Column): Column =
+    pmod(aggregate(
+      transform(toks, (t, i) =>
+        (i + 1).cast("long") *
+          (length(t).cast("long") * 31L + ascii(substring(t, 1, 1)).cast("long") +
+            ascii(substring(t, -1, 1)).cast("long"))),
+      lit(0L), (acc, x) => acc + x), lit(fingerprintMod))
+
+  // --- Vectors ---------------------------------------------------------
+
+  val VecDec = DecimalType(38, 18)
+
+  /** Exact (order-insensitive) dot product: per-element double products —
+    * bit-deterministic — summed in decimal so partitioning can't change
+    * the result.
+    */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(VecDec)),
+      lit(java.math.BigDecimal.ZERO).cast(VecDec), (acc, x) => (acc + x).cast(VecDec))
+
+  def norm2Exact(a: Column): Column =
+    aggregate(transform(a, x => (x.cast("double") * x.cast("double")).cast(VecDec)),
+      lit(java.math.BigDecimal.ZERO).cast(VecDec), (acc, x) => (acc + x).cast(VecDec))
+
+  /** Cosine similarity, quantized — ranking downstream must order by this
+    * quantized value (+ id tiebreak) so every engine agrees.
+    */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    graft.Det.qz(dotExact(a, b).cast("double") /
+      (sqrt(norm2Exact(a).cast("double")) * sqrt(norm2Exact(b).cast("double"))), scale)
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for document corpora (SURVEY.md §2.C).
+  *
+  * Scale design: every variant is either map-only until a keyed shuffle
+  * (exact, minhash, simhash) or blocked so the pair space never goes
+  * quadratic (LSH bands / same-key blocking). Nothing collects to the
+  * driver; candidate verification is a keyed self-join on bounded
+  * buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: group-by content hash, keep the lowest id per group.
+    * One shuffle on a 128-bit hash — uniform keys, no skew at any scale.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard over blocked pairs. `blockCols` bounds the pair
+    * space (e.g. same language); use LSH ([[minhashCandidates]]) when no
+    * natural block exists. Returns (id1, id2, inter_cnt, union_cnt) with
+    * 20·inter ≥ union (Jaccard ≥ 0.05) — integer filter, no float compare.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      explode(Text.shingles(Text.tokens(col(textCol)), k)).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+      col("a.sh") === col("b.sh") && col("a.blk") === col("b.blk") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    pairs
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"), col("inter_cnt"),
+        (col("s1.sz") + col("s2.sz") - col("inter_cnt")).as("union_cnt"))
+      .filter(col("inter_cnt") * 20 >= col("union_cnt"))
+  }
+
+  /** MinHash+LSH near-dup candidates: signature and band keys are computed
+    * row-local (one projection), pairs come from a shuffle keyed on band
+    * buckets — the classic shingle→minhash→band→bucket-join pipeline.
+    * Returns distinct (id1, id2, est_jaccard) where est_jaccard is the
+    * fraction of matching signature components.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8, shingleLen: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sig = docs.select(col(idCol).as("id"),
+      Text.minhashSignature(Text.shingles(Text.tokens(col(textCol)), shingleLen), k).as("sig"))
+      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), _.isNull), true))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(Text.minhashBandKeys(col("sig"), bands, rows)).as("band_key"))
+    banded.as("a").join(banded.as("b"),
+      col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash near-dup candidates: 32-bit simhash, banded on 4 byte-slices
+    * (any pair within Hamming ≤ maxHamming shares at least one exact
+    * byte... guaranteed only for ≤3 with 4 bands), exact Hamming verify
+    * after the bucket join.
+    */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      Text.simhash32(Text.tokens(col(textCol))).as("sim"))
+    val banded = sh.select(col("id"), col("sim"), explode(array(
+      (0 until 4).map(b => concat(lit(s"$b:"),
+        shiftright(col("sim"), b * 8).bitwiseAND(0xffL).cast("string"))): _*)).as("band"))
+    banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        Text.hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

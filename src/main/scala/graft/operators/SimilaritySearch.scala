@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.C).
+  *
+  * Baseline: brute-force cosine — broadcast the (small) query set, score
+  * map-side, keep top-k per query with a bounded per-partition heap
+  * (window over rounded score). Scale path: random-hyperplane LSH
+  * bucketing so each query only scores its bucket — candidate count drops
+  * by ~2^bits while recall stays tunable.
+  */
+object SimilaritySearch {
+
+  /** Brute-force cosine top-k. `queries` must be broadcast-small (it is
+    * sent to every executor); `candidates` streams map-side — no shuffle
+    * until the final per-query top-k, which is keyed on query id.
+    * Ordering is on the *rounded* cosine + candidate id so results are
+    * engine- and partitioning-stable.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val scored = broadcast(q).crossJoin(c)
+      .select(col("qid"), col("cid"), Text.cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane, dim) — same
+    * splitmix-style mix as the MinHash parameters, no RNG state.
+    */
+  private def planeSign(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 1299709L + dim.toLong * 15485863L + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane LSH bucket id: `bits` sign bits of dot(v, plane_j).
+    * Map-only projection; equal buckets ⇒ likely-close vectors.
+    */
+  def lshBucket(vec: org.apache.spark.sql.Column, dims: Int, bits: Int,
+                planeOffset: Int = 0): org.apache.spark.sql.Column =
+    (0 until bits).map { j =>
+      val dot = (0 until dims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeSign(planeOffset + j, d))
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN top-k: queries and candidates are bucketed with the
+    * same planes; scoring joins on bucket equality (keyed shuffle, no
+    * cross join). `tables` is the OR-amplification knob: independent
+    * plane sets, a pair is a candidate if it collides in ANY table —
+    * recall rises as 1-(1-p^bits)^tables while per-bucket cost stays
+    * bounded. Recall < 1 by construction — the spec pins it against
+    * [[bruteForceTopK]].
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, dims: Int, bits: Int, k: Int,
+              tables: Int = 1): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until tables).map(t =>
+          concat_ws(":", lit(t),
+            lshBucket(col(vecCol), dims, bits, planeOffset = t * bits))): _*)).as("bucket"))
+    val q = bucketed(queries, "qid", "qvec")
+    val c = bucketed(candidates, "cid", "cvec")
+    val scored = q.join(c, "bucket")
+      .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
+      .dropDuplicates("qid", "cid")
+      .select(col("qid"), col("cid"), Text.cosine(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

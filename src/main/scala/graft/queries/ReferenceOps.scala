@@ -68,16 +68,16 @@ object ReferenceOps {
       val lonMin = ((col("c_custkey") * 11) % 60).cast("double") + 0.25
       val lonHemi = when(col("c_custkey") % 3 === 0, "E").otherwise("W")
       c.select(col("c_custkey"),
-        round(F.dmsToDecimal(latDeg, latMin, latHemi), 6).as("lat"),
-        round(F.dmsToDecimal(lonDeg, lonMin, lonHemi), 6).as("lon"))
+        graft.Det.qz(F.dmsToDecimal(latDeg, latMin, latHemi), 6).as("lat"),
+        graft.Det.qz(F.dmsToDecimal(lonDeg, lonMin, lonHemi), 6).as("lon"))
         .orderBy("c_custkey")
     },
     Some("""
       SELECT c_custkey,
-        ROUND(CASE WHEN c_custkey % 2 = 0 THEN 1.0 ELSE -1.0 END *
-              (CAST(c_custkey % 89 AS DOUBLE) + (CAST((c_custkey * 7) % 60 AS DOUBLE) + 0.5) / 60.0), 6) AS lat,
-        ROUND(CASE WHEN c_custkey % 3 = 0 THEN 1.0 ELSE -1.0 END *
-              (CAST(c_custkey % 179 AS DOUBLE) + (CAST((c_custkey * 11) % 60 AS DOUBLE) + 0.25) / 60.0), 6) AS lon
+        FLOOR((CASE WHEN c_custkey % 2 = 0 THEN 1.0 ELSE -1.0 END *
+              (CAST(c_custkey % 89 AS DOUBLE) + (CAST((c_custkey * 7) % 60 AS DOUBLE) + 0.5) / 60.0)) * 1e6 + 0.5) / 1e6 AS lat,
+        FLOOR((CASE WHEN c_custkey % 3 = 0 THEN 1.0 ELSE -1.0 END *
+              (CAST(c_custkey % 179 AS DOUBLE) + (CAST((c_custkey * 11) % 60 AS DOUBLE) + 0.25) / 60.0)) * 1e6 + 0.5) / 1e6 AS lon
       FROM customer ORDER BY c_custkey"""))
 
   // ---- r4_pad_null: pad sentinel → NULL + survivor stats --------------
@@ -89,13 +89,13 @@ object ReferenceOps {
       li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col("v"))).as("n_null"),
-          round(sum(col("v").cast(graft.Det.D)).cast("double") / count(col("v")), 4).as("avg_v"))
+          graft.Det.qz(sum(col("v").cast(graft.Det.D)).cast("double") / count(col("v"))).as("avg_v"))
         .orderBy("l_returnflag")
     },
     Some("""
       SELECT l_returnflag, COUNT(*) AS n_rows,
              COUNT(*) - COUNT(v) AS n_null,
-             ROUND(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(v), 4) AS avg_v
+             FLOOR((CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(v)) * 1e4 + 0.5) / 1e4 AS avg_v
       FROM (
         SELECT l_returnflag,
                CASE WHEN raw = -99.0 THEN NULL ELSE raw END AS v
@@ -194,19 +194,19 @@ object ReferenceOps {
         .withColumn("temp_f", col("l_extendedprice") % 100.0)
         .withColumn("p_dbar", col("l_extendedprice") % 1000.0)
       li.select(col("l_orderkey"), col("l_linenumber"),
-        round(F.o2MlPerLToUmolPerL(col("o2_ml_l")), 4).as("o2_umol_l"),
-        round(F.o2MlPerLToUmolPerKg(col("o2_ml_l")), 4).as("o2_umol_kg"),
-        round(F.fahrenheitToCelsius(col("temp_f")), 4).as("temp_c"),
-        round(F.pressureToDepth(col("p_dbar")), 4).as("depth_m"))
+        graft.Det.qz(F.o2MlPerLToUmolPerL(col("o2_ml_l"))).as("o2_umol_l"),
+        graft.Det.qz(F.o2MlPerLToUmolPerKg(col("o2_ml_l"))).as("o2_umol_kg"),
+        graft.Det.qz(F.fahrenheitToCelsius(col("temp_f"))).as("temp_c"),
+        graft.Det.qz(F.pressureToDepth(col("p_dbar"))).as("depth_m"))
         .orderBy("l_orderkey", "l_linenumber")
     },
     Some(s"""
       SELECT l_orderkey, l_linenumber,
-        ROUND((l_quantity / 10.0) * 44.661, 4) AS o2_umol_l,
-        ROUND((l_quantity / 10.0) * 44.661 / 1.025, 4) AS o2_umol_kg,
-        ROUND(((l_extendedprice % 100.0) - 32.0) * 5.0 / 9.0, 4) AS temp_c,
-        ROUND((1.0 - ${F.saundersC1Lat49}) * (l_extendedprice % 1000.0)
-              - 2.21e-6 * (l_extendedprice % 1000.0) * (l_extendedprice % 1000.0), 4) AS depth_m
+        FLOOR(((l_quantity / 10.0) * 44.661) * 1e4 + 0.5) / 1e4 AS o2_umol_l,
+        FLOOR(((l_quantity / 10.0) * 44.661 / 1.025) * 1e4 + 0.5) / 1e4 AS o2_umol_kg,
+        FLOOR((((l_extendedprice % 100.0) - 32.0) * 5.0 / 9.0) * 1e4 + 0.5) / 1e4 AS temp_c,
+        FLOOR(((1.0 - ${F.saundersC1Lat49}) * (l_extendedprice % 1000.0)
+              - 2.21e-6 * (l_extendedprice % 1000.0) * (l_extendedprice % 1000.0)) * 1e4 + 0.5) / 1e4 AS depth_m
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
 
   // ---- r8_geo_area: point-in-polygon tagging --------------------------

@@ -270,7 +270,7 @@ object Relational {
         length(col("p_name")).as("name_len"),
         substring(col("p_type"), 1, 5).as("type5"),
         concat(col("p_brand"), lit("|"), col("p_type")).as("brand_type"),
-        round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+        graft.Det.qz(sqrt(col("p_retailprice"))).as("price_sqrt"),
         (col("p_size") % 7).as("size_mod"),
         abs(col("p_size") - 25).as("size_dist"))
         .orderBy("p_partkey")
@@ -281,7 +281,7 @@ object Relational {
              CAST(LENGTH(p_name) AS INTEGER) AS name_len,
              SUBSTRING(p_type, 1, 5) AS type5,
              p_brand || '|' || p_type AS brand_type,
-             ROUND(SQRT(p_retailprice), 4) AS price_sqrt,
+             FLOOR(SQRT(p_retailprice) * 1e4 + 0.5) / 1e4 AS price_sqrt,
              p_size % 7 AS size_mod,
              ABS(p_size - 25) AS size_dist
       FROM part ORDER BY p_partkey"""))

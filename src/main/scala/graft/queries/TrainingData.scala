@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import graft.operators.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Block C — training-data pipeline operators over `documents` and
+  * `embeddings` (SURVEY.md §2.C).
+  */
+object TrainingData {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- d1_dedup_exact: content-hash group sizes ------------------------
+  private val d1 = Q(
+    (s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"), min(col("keep_id")).as("min_keep"))
+        .orderBy("n_copies")
+    },
+    Some("""
+      SELECT n_copies, COUNT(*) AS n_groups, MIN(keep_id) AS min_keep
+      FROM (SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)) g
+      GROUP BY n_copies ORDER BY n_copies"""))
+
+  // ---- d2_dedup_ngram_jaccard: exact pair Jaccard, same-lang blocking --
+  private val d2 = Q(
+    (s, dir) => {
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 80), "doc_id", "text", "lang")
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 80),
+      sh AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(range(greatest(len(w)-2, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        FROM tok),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_cnt
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, inter_cnt, s1.sz + s2.sz - inter_cnt AS union_cnt
+      FROM pairs
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE inter_cnt * 20 >= s1.sz + s2.sz - inter_cnt
+      ORDER BY id1, id2"""))
+
+  // ---- d3_dedup_minhash: LSH candidate summary (spec-verified) ---------
+  private val d3 = Q(
+    (s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_ge_half"),
+          round(avg(col("est_jaccard")), 4).as("avg_est"))
+    },
+    None)
+
+  // ---- d4_dedup_simhash: hamming-bucket candidate summary --------------
+  private val d4 = Q(
+    (s, dir) => {
+      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(min(col("hamming")), lit(-1L)).as("min_hamming"),
+          round(coalesce(avg(col("hamming")), lit(-1.0)), 4).as("avg_hamming"))
+    },
+    None)
+
+  // ---- t1_token_count --------------------------------------------------
+  private val t1 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        size(Text.tokens(col("text"))).as("ws_tokens"),
+        Text.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '${Text.bpePattern}')) AS INTEGER) AS bpe_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  // ---- t2_lang_id ------------------------------------------------------
+  private val t2 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = Text.langMarkers.foldLeft(d) { case (df, (l, p)) =>
+        df.withColumn(s"s_$l", Text.langScore(col("text"), p))
+      }
+      scored.select(col("doc_id") +: Text.langMarkers.map { case (l, _) => col(s"s_$l") } :+
+        Text.langPredict(col("text")).as("predicted"): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val scores = Text.langMarkers.map { case (l, p) =>
+        s"CAST(len(regexp_extract_all(lower(text), '$p')) AS INTEGER) AS s_$l"
+      }.mkString(", ")
+      val langs = Text.langMarkers.map(_._1)
+      val whens = langs.zipWithIndex.map { case (l, i) =>
+        val laterGe = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+        val earlierGt = langs.take(i).map(o => s"s_$l >= s_$o")
+        val conds = (earlierGt ++ laterGe ++ Seq(s"s_$l > 0")).mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""
+      SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+             CASE $whens ELSE 'und' END AS predicted
+      FROM (SELECT doc_id, $scores FROM documents) a
+      ORDER BY doc_id"""
+    })
+
+  // ---- t3_quality_score ------------------------------------------------
+  private val t3 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), Text.qualityScore(col("text")).as("score"))
+        .withColumn("bucket",
+          when(col("score") >= 0.7, "high").when(col("score") >= 0.4, "mid").otherwise("low"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, score,
+             CASE WHEN score >= 0.7 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END AS bucket
+      FROM (
+        SELECT doc_id,
+          FLOOR((LEAST(1.0, toks / 100.0) * 0.3 +
+                (1.0 - LEAST(1.0, punct / GREATEST(n, 1.0) * 10.0)) * 0.4 +
+                LEAST(1.0, stops / GREATEST(toks, 1.0) * 5.0) * 0.3) * 1e4 + 0.5) / 1e4 AS score
+        FROM (
+          SELECT doc_id,
+            CAST(LENGTH(text) AS DOUBLE) AS n,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+            CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS DOUBLE) AS punct,
+            CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS DOUBLE) AS stops
+          FROM documents) m) z
+      ORDER BY doc_id"""))
+
+  // ---- t4_fingerprint --------------------------------------------------
+  private val t4 = Q(
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(SUM(CAST(i AS BIGINT) *
+                      (CAST(LENGTH(tk) AS BIGINT) * 31 + ascii(substr(tk, 1, 1)) +
+                       ascii(substr(tk, -1, 1)))) % ${Text.fingerprintMod} AS BIGINT) AS fp
+      FROM (SELECT doc_id, unnest(w) AS tk, generate_subscripts(w, 1) AS i
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents) a) b
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---- v1_cosine_topk: brute-force baseline ----------------------------
+  private val v1 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+        .orderBy("qid", "rnk")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      scored AS (
+        SELECT qid, cid,
+          FLOOR((CAST(list_sum(list_transform(range(64), i -> (qv[i+1]::DOUBLE * cv[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+            / (sqrt(CAST(list_sum(list_transform(range(64), i -> (qv[i+1]::DOUBLE * qv[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(range(64), i -> (cv[i+1]::DOUBLE * cv[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS cos
+        FROM q, c)
+      SELECT qid, cid, cos, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+            FROM scored) z
+      WHERE rnk <= 10 ORDER BY qid, rnk"""))
+
+  // ---- v2_ann_lsh: bucketed ANN, recall vs brute force -----------------
+  private val v2 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val cands = emb.filter(col("vec_id") >= 5)
+      val brute = SimilaritySearch.bruteForceTopK(queries, cands, "vec_id", "embedding", 10)
+        .select(col("qid"), col("cid"))
+      val approx = SimilaritySearch.lshTopK(queries, cands, "vec_id", "embedding",
+        dims = 64, bits = 4, k = 10)
+        .select(col("qid").as("aqid"), col("cid").as("acid"))
+      brute.join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_brute"), count(col("acid")).as("n_hit"))
+        .withColumn("recall", round(col("n_hit").cast("double") / col("n_brute"), 4))
+        .orderBy("qid")
+    },
+    None)
+
+  // ---- m1_binary_meta: opaque-binary plumbing over text bytes ----------
+  private val m1 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("bin", encode(col("text"), "UTF-8"))
+      d.select(col("doc_id"),
+        length(col("bin")).as("byte_len"),
+        upper(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+             upper(hex(encode(substr(text, 1, 8)))) AS head_hex
+      FROM documents ORDER BY doc_id"""))
+
+  val entries: Seq[(String, Q)] = Seq(
+    "d1_dedup_exact" -> d1,
+    "d2_dedup_ngram_jaccard" -> d2,
+    "d3_dedup_minhash" -> d3,
+    "d4_dedup_simhash" -> d4,
+    "t1_token_count" -> t1,
+    "t2_lang_id" -> t2,
+    "t3_quality_score" -> t3,
+    "t4_fingerprint" -> t4,
+    "v1_cosine_topk" -> v1,
+    "v2_ann_lsh" -> v2,
+    "m1_binary_meta" -> m1)
+}

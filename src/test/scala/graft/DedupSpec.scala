@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the dedup family / ANN / multimodal plumbing on
+  * planted fixtures (the synthetic `documents` table has no true
+  * near-dups, so candidates are constructed here).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+  private def fixture = Seq(
+    (0L, base),
+    (1L, base),                                     // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),           // near dup of 0
+    (3L, "completely different content about spark shuffles and joins entirely"),
+    (4L, base.replace("quick", "slow").replace("far", "near"))) // near dup
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val g = Dedup.exact(fixture, "doc_id", "text").collect()
+    val dupGroup = g.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("keep_id") == 0L)
+    assert(g.length == 4) // 5 docs, one pair merged
+  }
+
+  test("ngram jaccard finds planted near-dups and skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(
+      fixture.withColumn("lang", lit("en")), "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH candidates cover high-jaccard pairs") {
+    // 16 bands × 2 rows targets J ≳ 0.25 — the planted near-dups sit at
+    // J ≈ 0.6-0.7 after shingle dedup, so they must surface.
+    val cands = Dedup.minhashCandidates(fixture, "doc_id", "text", k = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)), "exact dup must collide in every band")
+    assert(cands.contains((0L, 2L)), "one-word-out near dup should collide")
+    assert(!cands.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val est = Dedup.minhashCandidates(fixture, "doc_id", "text")
+      .filter(col("id1") === 0 && col("id2") === 1)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash candidates find near dups within hamming bound") {
+    val cands = Dedup.simhashCandidates(fixture, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+    assert(!cands.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ANN LSH finds planted near neighbors (top-1 recall)") {
+    // queries are small perturbations of known candidates: cos ≈ 0.999,
+    // so every LSH table keeps them together with high probability.
+    def lcg(seed: Long): Double = {
+      val x = (seed * 6364136223846793005L + 1442695040888963407L) >>> 11
+      (x % 2000003L).toDouble / 1000001.5 - 1.0
+    }
+    val cands = (0 until 40).map { i =>
+      (100L + i, (0 until 16).map(d => lcg(i * 31 + d).toFloat).toArray)
+    }
+    val queries = (0 until 10).map { i =>
+      (i.toLong, cands(i * 3)._2.zipWithIndex.map { case (v, d) =>
+        v + 0.01f * lcg(997 + i * 17 + d).toFloat })
+    }
+    val cDf = cands.toDF("vec_id", "embedding")
+    val qDf = queries.toDF("vec_id", "embedding")
+    val top1 = SimilaritySearch.lshTopK(qDf, cDf, "vec_id", "embedding",
+      dims = 16, bits = 4, k = 1, tables = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = (0 until 10).count(i => top1.get(i.toLong).contains(100L + i * 3))
+    assert(hits >= 8, s"planted-neighbor top-1 recall too low: $hits/10")
+  }
+
+  test("ANN LSH candidates are a subset of brute-force scoring universe") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val approx = SimilaritySearch.lshTopK(q, c, "vec_id", "embedding", 64, 4, 10, tables = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(approx.nonEmpty)
+    assert(approx.forall { case (qid, cid) => qid < 5 && cid >= 5 })
+  }
+
+  test("multimodal decode stub: schema, sniffing, deterministic features") {
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val docs = Seq(
+      (10L, pngMagic ++ Array.fill[Byte](100)(7)),
+      (11L, Array[Byte](0xff.toByte, 0xd8.toByte) ++ Array.fill[Byte](50)(3)),
+      (12L, "plain text bytes".getBytes("UTF-8")))
+      .toDF("media_id", "bin")
+    val out = Multimodal.decodeStub(docs, "media_id", "bin")
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("media_id", "format", "byte_len", "feature"))
+    val rows = out.orderBy("media_id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("png", "jpeg", "unknown"))
+    assert(rows(0).getInt(2) == 104)
+    val feat = rows(0).getSeq[Double](3)
+    assert(feat.length == 8 && math.abs(feat.sum - 1.0) < 1e-9)
+  }
+
+  test("byteSample slices at stride") {
+    val df = Seq((1L, ("ABCDEFGHIJ" * 10).getBytes("UTF-8"))).toDF("id", "bin")
+    val out = df.select(Multimodal.byteSample(col("bin"), stride = 20, n = 3, width = 2).as("s"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(out.map(new String(_)).toSeq == Seq("AB", "AB", "AB"))
+  }
+}
