@@ -33,5 +33,6 @@ object Blocks {
   def all: Seq[(String, Q)] =
     graft.queries.Relational.entries ++
       graft.queries.ReferenceOps.entries ++
-      graft.queries.TrainingData.entries
+      graft.queries.TrainingData.entries ++
+      graft.queries.TimeSeriesQueries.entries
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators (SURVEY.md §2.D): as-of join, sessionization,
+  * resampling. All are single-shuffle designs: one sort/hash exchange
+  * keyed on the series key, then window/agg — the shape that survives a
+  * 100× scale-up (no per-row joins, no quadratic pair spaces).
+  */
+object TimeSeries {
+
+  /** As-of join: for each left row, the most recent right row with
+    * `right.ts <= left.ts` and equal keys.
+    *
+    * Spark-first design: instead of an inequality join (quadratic per
+    * key) this unions both sides, sorts once per key, and carries the
+    * latest right payload forward with `last(_, ignoreNulls)` over an
+    * unbounded-preceding window — one exchange + one sort, O(n log n)
+    * per key, AQE-skew-splittable. Right rows sort before left rows at
+    * equal timestamps so `<=` semantics hold.
+    *
+    * Right payload columns come back as `asof_<name>` (null when no
+    * right row precedes).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val payload = struct(rightPayload.map(col): _*)
+    val l = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(right.select(payload).schema.head.dataType).as("__pay")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        payload.as("__pay")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__carried", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(p => col(s"__carried.$p").as(s"asof_$p")): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the previous event on the same key exceeds `gapSeconds`. Gap math is
+    * integer microseconds — no float compares. Adds `session_idx`
+    * (0-based per key).
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val prev = lag(unix_micros(col(tsCol).cast("timestamp")), 1).over(w)
+    val isNew = when(prev.isNull, 1L)
+      .when(unix_micros(col(tsCol).cast("timestamp")) - prev > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn("__new", isNew)
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__new")
+  }
+
+  /** Fixed-width time bucketing (floor to the bucket start). Integer
+    * `div` on epoch micros — engine-exact, and for widths dividing 24 h
+    * identical to `date_trunc`.
+    */
+  def timeBucket(ts: Column, widthSeconds: Long): Column = {
+    val us = widthSeconds * 1000000L
+    // floor(double) is exact here: epoch micros < 2^53 and the quotient's
+    // distance to an integer is ≥ 1/us, far above one ulp.
+    timestamp_micros(floor(unix_micros(ts.cast("timestamp")) / us).cast("long") * us)
+  }
+}

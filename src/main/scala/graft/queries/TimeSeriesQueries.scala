@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Det.{dsum, dsumSql}
+import graft.operators.TimeSeries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Block D — time-series operators over `events` (SURVEY.md §2.D). */
+object TimeSeriesQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- s1_resample: 1h buckets × event_type ----------------------------
+  private val s1 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy(
+        date_format(TimeSeries.timeBucket(col("ts"), 3600), "yyyy-MM-dd HH:mm").as("bucket"),
+        col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket", "event_type")
+    },
+    Some(s"""
+      SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+                      '%Y-%m-%d %H:%M') AS bucket,
+             event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+
+  // ---- s2_sessionize: 30-min-gap sessions per user ---------------------
+  private val s2 = Q(
+    (s, dir) => {
+      val sess = TimeSeries.sessionize(t(s, dir, "events"), "user_id", "ts", 1800L)
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_events_total"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        FROM g),
+      per AS (
+        SELECT user_id, session_idx, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_idx)
+      SELECT user_id, COUNT(*) AS n_sessions,
+             MAX(n_events) AS max_session_events,
+             CAST(SUM(n_events) AS BIGINT) AS n_events_total
+      FROM per GROUP BY user_id ORDER BY user_id"""))
+
+  // ---- s3_asof_join: latest purchase before each error, per user -------
+  private val s3 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      TimeSeries.asOfJoin(errors, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_id"))
+        .select(col("event_id"), col("user_id"), col("asof_purchase_id"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN event_id END AS pid,
+               CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('error', 'purchase'))
+      SELECT event_id, user_id, last_pid AS asof_purchase_id
+      FROM (
+        SELECT event_id, user_id, event_type,
+               last_value(pid IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, side
+                 ROWS UNBOUNDED PRECEDING) AS last_pid
+        FROM u) z
+      WHERE event_type = 'error'
+      ORDER BY event_id"""))
+
+  // ---- s4_range_join: banded non-equi join against a value scale -------
+  private val bands = Seq(("low", 0.0, 50.0), ("mid", 50.0, 200.0),
+    ("high", 200.0, 1000.0), ("extreme", 1000.0, 1e9))
+  private val s4 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val bandDf = broadcast(s.createDataFrame(bands).toDF("band", "lo", "hi"))
+      e.join(bandDf, col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("band")
+    },
+    Some(s"""
+      SELECT band, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+      FROM events
+      JOIN (VALUES ${bands.map { case (b, lo, hi) => s"('$b', CAST($lo AS DOUBLE), CAST($hi AS DOUBLE))" }.mkString(", ")})
+        v(band, lo, hi)
+        ON value >= lo AND value < hi
+      GROUP BY band ORDER BY band"""))
+
+  val entries: Seq[(String, Q)] = Seq(
+    "s1_resample" -> s1,
+    "s2_sessionize" -> s2,
+    "s3_asof_join" -> s3,
+    "s4_range_join" -> s4)
+}

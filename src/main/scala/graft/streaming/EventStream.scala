@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming variants of the batch time-series operators
+  * (SURVEY.md §2.D): the same columnar logic, driven incrementally with
+  * watermarks and state. Batch/stream parity is pinned by
+  * StreamingSpec — identical results on the same inputs.
+  */
+object EventStream {
+
+  /** Windowed counts/sums per event type: tumbling window + watermark so
+    * state is bounded and late data beyond the watermark is dropped —
+    * the streaming twin of `TimeSeries.timeBucket` + groupBy.
+    */
+  def windowedAgg(events: DataFrame, windowDur: String, watermarkDur: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+
+  case class SessionState(lastTs: Long, sessions: Long, events: Long)
+  case class SessionUpdate(user_id: Long, sessions: Long, events: Long)
+
+  /** Custom keyed state: per-user gap-based session counting with
+    * `mapGroupsWithState` — the streaming twin of `TimeSeries.sessionize`
+    * (same integer-microsecond gap rule). ProcessingTimeTimeout keeps the
+    * example simple; swap to EventTimeTimeout + watermark for true
+    * out-of-order tolerance in production.
+    */
+  def sessionCounts(events: Dataset[(Long, Timestamp)], gapSeconds: Long): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2.getTime * 1000L).toSeq.sorted // micros-ish (ms precision)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { ts =>
+            val newSession = st.lastTs == Long.MinValue || ts - st.lastTs > gapSeconds * 1000000L
+            st = SessionState(ts, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          SessionUpdate(user, st.sessions, st.events)
+      }
+  }
+
+  /** Convenience: wire a streaming DataFrame to an in-memory sink for
+    * tests/demos; production sinks are parquet/kafka via the same plan.
+    */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Batch/stream parity for the streaming twins: the same event set must
+  * produce the same windowed aggregates incrementally (across multiple
+  * added batches) as in one batch pass.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed agg: incremental result equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStream.toMemorySink(
+      EventStream.windowedAgg(events, "10 minutes", "5 minutes"), "win_test")
+    val data = Seq(
+      (ts(0), "click", 1.0), (ts(3), "click", 2.0), (ts(7), "view", 3.0),
+      (ts(12), "click", 4.0), (ts(18), "view", 5.0), (ts(25), "click", 6.0),
+      (ts(33), "view", 7.0), (ts(41), "click", 8.0), (ts(55), "view", 9.0),
+      (ts(70), "click", 10.0), (ts(85), "view", 11.0), (ts(95), "click", 12.0))
+    // feed in three out-of-order-free chunks; advance watermark past all
+    input.addData(data.take(4)); q.processAllAvailable()
+    input.addData(data.slice(4, 9)); q.processAllAvailable()
+    input.addData(data.drop(9)); q.processAllAvailable()
+    // one more far-future row closes every earlier window
+    input.addData(Seq((ts(300), "click", 0.0))); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_test")
+      .select(date_format(col("bucket"), "HH:mm").as("b"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val batch = data.toDF("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(date_format(col("window.start"), "HH:mm").as("b"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(streamed == batch)
+  }
+
+  test("stateful session counts match batch sessionize across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.toMemorySink(
+      EventStream.sessionCounts(input.toDS(), gapSeconds = 1800).toDF(), "sess_test",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    // user 1: events at 0, 10, 80, 95 min → gaps 10, 70, 15 → 2 sessions
+    // user 2: events at 5, 50 min → 2 sessions; user 3: single event
+    val all = Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(5)), (1L, ts(80)),
+      (2L, ts(50)), (1L, ts(95)), (3L, ts(30)))
+    input.addData(all.take(3)); q.processAllAvailable()
+    input.addData(all.drop(3)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_test")
+      .groupBy("user_id").agg(max("sessions").as("sessions"), max("events").as("events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = graft.operators.TimeSeries.sessionize(
+      all.toDF("user_id", "ts"), "user_id", "ts", 1800L)
+      .groupBy("user_id")
+      .agg((max("session_idx") + 1).as("sessions"), count(lit(1)).as("events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+  }
+}

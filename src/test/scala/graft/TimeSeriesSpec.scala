@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Semantics pins for the time-series operators on hand-built fixtures. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks the most recent right row at or before left ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 11:00:00")),
+      (3L, 10L, ts("2024-01-01 09:00:00")),  // before any right row
+      (4L, 20L, ts("2024-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 101L),
+      (10L, ts("2024-01-01 10:00:00"), 102L),  // equal ts → visible (<=)
+      (10L, ts("2024-01-01 10:59:00"), 103L),
+      (20L, ts("2024-01-01 10:30:00"), 201L))
+      .toDF("user_id", "ts", "purchase_id")
+    val out = TimeSeries.asOfJoin(left, right, Seq("user_id"), "ts", "ts", Seq("purchase_id"))
+      .orderBy("event_id")
+      .select("event_id", "asof_purchase_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(out.toSeq == Seq(
+      (1L, Some(102L)), (2L, Some(103L)), (3L, None), (4L, Some(201L))))
+  }
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")),  // gap exactly 1800s → same session
+      (1L, ts("2024-01-01 11:00:01")),  // 1801s → new session
+      (2L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = TimeSeries.sessionize(df, "user_id", "ts", 1800L)
+      .select("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 0L), (1L, 1L), (2L, 0L)))
+  }
+
+  test("timeBucket floors to bucket start") {
+    val df = Seq(ts("2024-01-01 10:31:22")).toDF("ts")
+    val out = df.select(TimeSeries.timeBucket(col("ts"), 3600).as("b"))
+      .as[Timestamp].head()
+    assert(out == ts("2024-01-01 10:00:00"))
+  }
+}
