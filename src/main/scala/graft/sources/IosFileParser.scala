@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.time.{Instant, LocalDateTime}
+import java.time.format.DateTimeFormatter
+
+/** Pure-Scala parser for the IOS sectioned ASCII observation format
+  * (the reference's ObsFile.py re-designed, not translated: one pass,
+  * immutable output, no filesystem access — Spark hands it file
+  * *content*, so the same parser serves executors and unit tests).
+  *
+  * Format knowledge derives from ObsFile.py's reading behavior
+  * (ObsFile.py:88-276) and the public sample files:
+  *  - `*SECTION` headers at column 0; `*END OF HEADER` starts data
+  *  - `KEY : VALUE` lines inside sections
+  *  - `$TABLE: NAME` … `$END` sub-tables whose second comment line is a
+  *    dash mask defining fixed column spans
+  *  - channel-detail widths drive fixed-width data parsing (type D→11,
+  *    DT→17, format HH:MM:SS→9, HH:MM→6, else declared width)
+  *  - LATITUDE/LONGITUDE as `deg min hemisphere`
+  *  - START TIME as `TZ yyyy/mm/dd[ hh:mm:ss[.f]]` with the reference's
+  *    fixed zone offsets; TIME INCREMENT as `D H M S MS` quintuple
+  */
+object IosFileParser {
+
+  final case class Channel(no: Int, name: String, units: String, min: String, max: String)
+  final case class ChannelDetail(pad: String, width: Int, format: String, typ: String)
+  final case class Parsed(
+      filename: String,
+      headerVersion: String,
+      file: Map[String, String],
+      administration: Map[String, String],
+      instrument: Map[String, String],
+      location: Map[String, String],
+      latitude: Double,
+      longitude: Double,
+      startTimeUtc: Option[Instant],
+      timeIncrementSeconds: Option[Double],
+      nRecords: Int,
+      channels: Vector[Channel],
+      details: Vector[ChannelDetail],
+      data: Vector[Vector[String]])
+
+  private val tzOffsetHours = Map(
+    "UTC" -> 0, "GMT" -> 0, "PST" -> 8, "PDT" -> 7,
+    "MST" -> 7, "MDT" -> 6, "AST" -> 4, "ADT" -> 3)
+
+  def parse(filename: String, content: String): Parsed = {
+    val lines = content.split("\n", -1).map(_.stripSuffix("\r")).toVector
+    val headerVersion = lines.find(_.startsWith("*IOS HEADER VERSION"))
+      .map(_.drop(20).take(4).trim).getOrElse("")
+
+    val endIdx = lines.indexWhere(_.startsWith("*END OF HEADER"))
+
+    def sectionLines(name: String): Vector[String] = {
+      val start = lines.indexWhere(l => l.startsWith(s"*$name"))
+      if (start < 0) Vector.empty
+      else lines.drop(start + 1)
+        .takeWhile(l => !(l.startsWith("*")))
+    }
+
+    def kv(sec: Vector[String]): Map[String, String] = {
+      val out = Map.newBuilder[String, String]
+      var i = 0
+      while (i < sec.length) {
+        val l = sec(i)
+        if (l.trim.nonEmpty && !l.startsWith("!")) {
+          if (l.trim.startsWith("$TABLE") || l.trim.startsWith("$REMARKS")) {
+            // skip sub-table body
+            i += 1
+            while (i < sec.length && sec(i).trim != "$END") i += 1
+          } else {
+            val parts = l.split(":", 2)
+            if (parts.length == 2) out += parts(0).trim -> parts(1).split("!")(0).trim
+          }
+        }
+        i += 1
+      }
+      out.result()
+    }
+
+    def table(sec: Vector[String], tableName: String): Vector[Vector[String]] = {
+      val start = sec.indexWhere(_.trim.startsWith(s"$$TABLE: $tableName"))
+      if (start < 0) return Vector.empty
+      val body = sec.drop(start + 1).takeWhile(_.trim != "$END")
+      // positional, like the reference (ObsFile.get_channels): body(0) is
+      // the column-name comment, body(1) the dash mask, rows follow.
+      // Indentation is part of the coordinate system — no trimming.
+      if (body.length < 2) return Vector.empty
+      val mask = body(1)
+      val rows = body.drop(2).filter(l => l.trim.nonEmpty && !l.trim.startsWith("!"))
+      rows.map(applyColMask(_, mask))
+    }
+
+    val fileSec = sectionLines("FILE")
+    val fileKv = kv(fileSec)
+    val adminKv = kv(sectionLines("ADMINISTRATION"))
+    val instKv = kv(sectionLines("INSTRUMENT"))
+    val locSec = sectionLines("LOCATION")
+    val locKv = kv(locSec)
+
+    def dms(v: String, negHemi: String): Double = {
+      val p = v.trim.split("\\s+")
+      if (p.length < 3) Double.NaN
+      else {
+        val d = p(0).toDouble + p(1).toDouble / 60.0
+        if (p(2).equalsIgnoreCase(negHemi)) -d else d
+      }
+    }
+    val lat = locKv.get("LATITUDE").map(dms(_, "S")).getOrElse(Double.NaN)
+    val lon = locKv.get("LONGITUDE").map(dms(_, "W")).getOrElse(Double.NaN)
+
+    val startTime = fileKv.get("START TIME").flatMap(parseIosTime)
+
+    val dt = fileKv.get("TIME INCREMENT").map { v =>
+      val nums = v.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      val mult = Array(86400.0, 3600.0, 60.0, 1.0, 0.001)
+      nums.zip(mult).map { case (a, b) => a * b }.sum
+    }
+
+    val channels = table(fileSec, "CHANNELS").map { c =>
+      Channel(c.headOption.map(_.trim.toInt).getOrElse(0),
+        c.lift(1).getOrElse(""), c.lift(2).getOrElse(""),
+        c.lift(3).getOrElse(""), c.lift(4).getOrElse(""))
+    }
+
+    val details = table(fileSec, "CHANNEL DETAIL").map { c =>
+      ChannelDetail(c.lift(1).getOrElse(""),
+        c.lift(3).flatMap(w => scala.util.Try(w.trim.toInt).toOption).getOrElse(0),
+        c.lift(4).getOrElse(""), c.lift(5).getOrElse(""))
+    }
+
+    val nRecords = fileKv.get("NUMBER OF RECORDS").flatMap(v =>
+      scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
+
+    val dataLines =
+      if (endIdx < 0) Vector.empty
+      else lines.drop(endIdx + 1).filter(_.trim.nonEmpty)
+    val data =
+      if (details.nonEmpty) {
+        val widths = details.map(fieldWidth)
+        dataLines.map(fixedWidthFields(_, widths))
+      } else dataLines.map(_.trim.split("\\s+").toVector)
+
+    Parsed(filename, headerVersion, fileKv, adminKv, instKv, locKv,
+      lat, lon, startTime, dt, nRecords, channels, details, data)
+  }
+
+  /** Reference's width override rules (ObsFile.get_channel_detail). */
+  private def fieldWidth(d: ChannelDetail): Int = d.typ.trim match {
+    case "D" => 11
+    case "DT" => 17
+    case _ => d.format.trim.toUpperCase match {
+      case "HH:MM:SS" => 9
+      case "HH:MM" => 6
+      case _ => d.width
+    }
+  }
+
+  private def fixedWidthFields(line: String, widths: Vector[Int]): Vector[String] = {
+    val total = widths.sum
+    val padded = if (line.length < total) line.padTo(total, ' ') else line
+    val out = Vector.newBuilder[String]
+    var off = 0
+    widths.foreach { w =>
+      out += padded.substring(off, math.min(off + w, padded.length)).trim
+      off += w
+    }
+    out.result()
+  }
+
+  /** Column extraction by dash-mask (reference: ObsFile.apply_col_mask):
+    * mask '-' spans are data columns; anything falling on space gaps
+    * separates fields. Handles quoted multi-word cells because spans, not
+    * whitespace, define boundaries.
+    */
+  private[sources] def applyColMask(row: String, mask: String): Vector[String] = {
+    val padded = row.padTo(mask.length, ' ')
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < mask.length) {
+      if (mask(i) == '-') {
+        val start = i
+        while (i < mask.length && mask(i) == '-') i += 1
+        out += padded.substring(start, math.min(i, padded.length)).trim
+      } else i += 1
+    }
+    out.result().filter(_.nonEmpty) match {
+      case v if v.isEmpty => Vector("")
+      case v => v
+    }
+  }
+
+  private val fmtFull = DateTimeFormatter.ofPattern("yyyy/MM/dd HH:mm:ss[.SSS]")
+  private val fmtDate = DateTimeFormatter.ofPattern("yyyy/MM/dd")
+
+  /** `TZ yyyy/mm/dd hh:mm:ss.fff` → UTC instant with the reference's
+    * fixed offsets (ObsFile.get_date).
+    */
+  def parseIosTime(raw: String): Option[Instant] = {
+    val s = raw.trim
+    val tz = s.take(3).toUpperCase
+    val rest = s.drop(3).trim
+    val offset = tzOffsetHours.get(tz)
+    if (offset.isEmpty) return None
+    val noFrac = DateTimeFormatter.ofPattern("yyyy/MM/dd HH:mm:ss")
+    val local = scala.util.Try(LocalDateTime.parse(rest, fmtFull)).toOption
+      .orElse(scala.util.Try(LocalDateTime.parse(rest.takeWhile(_ != '.'), noFrac)).toOption)
+      .orElse(scala.util.Try(
+        java.time.LocalDate.parse(rest.split("\\s+")(0), fmtDate).atStartOfDay()).toOption)
+    local.map(l => l.plusHours(offset.get.toLong).toInstant(java.time.ZoneOffset.UTC))
+  }
+}

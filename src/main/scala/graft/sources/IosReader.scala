@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** One parsed file, flattened for Spark (profile-level metadata). */
+case class IosProfile(
+    filename: String,
+    header_version: String,
+    mission: Option[String],
+    agency: Option[String],
+    project: Option[String],
+    station: Option[String],
+    event_number: Option[String],
+    latitude: Double,
+    longitude: Double,
+    start_time_utc: Option[Timestamp],
+    dt_seconds: Option[Double],
+    n_records: Int,
+    n_channels: Int,
+    n_data_rows: Int)
+
+/** One observation value in long format — the Spark-native layout for
+  * columnar processing of ragged multi-channel files.
+  */
+case class IosObservation(
+    filename: String,
+    channel_no: Int,
+    channel_name: String,
+    units: String,
+    row_idx: Int,
+    raw: String,
+    value: Option[Double],
+    obs_time_utc: Option[Timestamp])
+
+/** Spark reader for IOS observation files: the driver only *lists* files;
+  * content is read and parsed executor-side (`wholetext` rows →
+  * mapPartitions over [[IosFileParser]]) so ingest parallelism scales
+  * with the file count — the way a million-file archive must be loaded.
+  *
+  * The reference's per-file pipeline (ObsFile.import_data →
+  * write_ctd_ncfile) becomes: `observations()` long rows → columnar
+  * transforms (classification, BODC codes, pad-null — graft.functions) →
+  * partitioned parquet sink.
+  */
+object IosReader {
+
+  private def rawFiles(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.option("wholetext", "true").format("text").load(pathGlob)
+      .select(input_file_name().as("path"), col("value"))
+
+  /** One row per file: header metadata, coordinates, UTC start time. */
+  def profiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    rawFiles(spark, pathGlob).as[(String, String)].mapPartitions { it =>
+      it.map { case (path, content) =>
+        val p = IosFileParser.parse(path.split('/').last, content)
+        IosProfile(p.filename, p.headerVersion,
+          p.administration.get("MISSION").orElse(p.administration.get("CRUISE")),
+          p.administration.get("AGENCY"), p.administration.get("PROJECT"),
+          p.location.get("STATION"), p.location.get("EVENT NUMBER"),
+          p.latitude, p.longitude,
+          p.startTimeUtc.map(Timestamp.from),
+          p.timeIncrementSeconds, p.nRecords, p.channels.length, p.data.length)
+      }
+    }.toDF()
+  }
+
+  /** Long-format observations with pad→null applied and, for time-series
+    * files (TIME INCREMENT present), the reference's `start + i·dt`
+    * observation time.
+    */
+  def observations(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    rawFiles(spark, pathGlob).as[(String, String)].mapPartitions { it =>
+      it.flatMap { case (path, content) =>
+        val p = IosFileParser.parse(path.split('/').last, content)
+        val pads: Int => Option[String] =
+          i => p.details.lift(i).map(_.pad.trim).filter(_.nonEmpty)
+            .orElse(p.file.get("PAD").map(_.trim))
+        p.data.iterator.zipWithIndex.flatMap { case (row, ri) =>
+          p.channels.iterator.zipWithIndex.map { case (ch, ci) =>
+            val rawV = row.lift(ci).getOrElse("")
+            val parsed = scala.util.Try(rawV.toDouble).toOption
+            val v = parsed.filterNot(d => pads(ci).flatMap(pd =>
+              scala.util.Try(pd.toDouble).toOption).contains(d))
+            val obsTime = for {
+              st <- p.startTimeUtc
+              dt <- p.timeIncrementSeconds
+            } yield Timestamp.from(st.plusMillis((dt * 1000.0 * ri).toLong))
+            IosObservation(p.filename, ch.no, ch.name, ch.units, ri, rawV, v, obsTime)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Reference-pipeline sink: long observations enriched with variable
+    * class (keyword rules) written as parquet partitioned by class — the
+    * partition-prunable layout downstream readers want.
+    */
+  def writeStandardized(spark: SparkSession, pathGlob: String, outDir: String): Unit = {
+    val obs = observations(spark, pathGlob)
+      .withColumn("var_class", graft.functions.IosFunctions.classifyChannel(col("channel_name")))
+    obs.write.mode("overwrite").partitionBy("var_class").parquet(outDir)
+  }
+}

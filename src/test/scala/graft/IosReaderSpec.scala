@@ -1,0 +1,88 @@
+package graft
+
+import graft.sources.{IosFileParser, IosReader}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end pins for the IOS source against the reference repo's own
+  * public sample files (read-only): header metadata, coordinate signing,
+  * timezone conversion, record counts, pad-null behavior, parquet sink.
+  */
+class IosReaderSpec extends SparkSpec {
+
+  private val base =
+    "/root/reference/cioos_data_transform/ios_data_transform/ios_data_transform/tests/test_files"
+
+  test("parses a CTD profile header exactly") {
+    val f = s"$base/ctd_profile/2017-020-0474.ctd"
+    val p = IosFileParser.parse("2017-020-0474.ctd",
+      new String(Files.readAllBytes(Paths.get(f)), "ISO-8859-1"))
+    assert(p.headerVersion == "2.0")
+    assert(p.nRecords == 189)
+    assert(p.channels.length == 12)
+    assert(p.channels(2).name == "Temperature:Primary")
+    assert(p.channels(2).units == "'deg C (ITS90)'")
+    assert(math.abs(p.latitude - (71 + 23.31 / 60)) < 1e-9)
+    assert(math.abs(p.longitude - -(116 + 38.19 / 60)) < 1e-9)
+    assert(p.startTimeUtc.map(_.toString).contains("2017-09-10T01:00:42Z"))
+    assert(p.data.length == 189)
+    assert(p.data.head.head == "3.1") // first pressure value
+    assert(p.details.head.pad == "-99")
+  }
+
+  test("PDT start times shift to UTC (+7h) like the reference") {
+    val f = s"$base/bot/1990-033-0002.che"
+    val p = IosFileParser.parse("1990-033-0002.che",
+      new String(Files.readAllBytes(Paths.get(f)), "ISO-8859-1"))
+    // PDT 1990/10/12 16:53:00 → 23:53:00 UTC
+    assert(p.startTimeUtc.map(_.toString).contains("1990-10-12T23:53:00Z"))
+    assert(p.nRecords == p.data.length)
+  }
+
+  test("profiles(): every sample file parses with matching record counts") {
+    val prof = IosReader.profiles(spark, s"$base/ctd_profile/*.ctd")
+    val rows = prof.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => r.getAs[Int]("n_records") == r.getAs[Int]("n_data_rows")))
+    assert(rows.forall(r => !r.getAs[Double]("latitude").isNaN))
+    assert(rows.forall(r => r.getAs[Int]("n_channels") > 0))
+  }
+
+  test("observations(): pad values become null, obs_time expands for moorings") {
+    val obs = IosReader.observations(spark, s"$base/bot/1990-033-0002.che")
+    val counts = obs.agg(
+      count(lit(1)).as("n"),
+      count(col("value")).as("n_nonnull")).collect()(0)
+    // 8 records × 10 channels, with the -99.00 padded channel nulled
+    assert(counts.getLong(0) == 80)
+    assert(counts.getLong(1) < 80 && counts.getLong(1) > 0)
+
+    val mobs = IosReader.observations(spark, s"$base/ctd_mooring/a1_20080429_20080518_0034m.ctd")
+    val times = mobs.filter(col("row_idx") < 2 && col("channel_no") === 1)
+      .orderBy("row_idx").select("obs_time_utc").collect()
+    assert(times.length == 2)
+    // TIME INCREMENT 10 min
+    val d = times(1).getTimestamp(0).getTime - times(0).getTimestamp(0).getTime
+    assert(d == 600000L)
+  }
+
+  test("writeStandardized: partitioned parquet sink round-trips") {
+    val out = "target/tmp/ios_std"
+    IosReader.writeStandardized(spark, s"$base/ctd_profile/*.ctd", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() > 0)
+    val classes = back.select("var_class").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(Set("temperature", "salinity", "pressure", "depth", "oxygen").subsetOf(classes))
+    // partition pruning works: reading one class touches one directory
+    val temps = spark.read.parquet(out).filter(col("var_class") === "temperature")
+    assert(temps.count() > 0)
+  }
+
+  test("current-meter files parse (CUR variant)") {
+    val obs = IosReader.observations(spark,
+      s"$base/current_meter/A1_19921028_19930504_0035m.CUR")
+    assert(obs.count() > 0)
+    assert(obs.filter(col("obs_time_utc").isNotNull).count() > 0)
+  }
+}
