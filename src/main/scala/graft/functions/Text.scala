@@ -47,15 +47,23 @@ object Text {
 
   val minhashPrime = 2147483647L // 2^31 - 1
 
+  /** (a_i, b_i) multiply-add parameters for permutation i (a forced odd). */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (mix(2L * i) | 1L, mix(2L * i + 1)))
+
   /** MinHash signature: array of `k` minima of (a_i·h(s)+b_i) mod p over
-    * the shingle set. One projection, no shuffle — the signature travels
-    * with the row. h(s) = xxhash64 folded to 31 bits.
+    * the shingle set, h(s) = xxhash64 folded to 31 bits.
+    *
+    * NOTE: this row-local form is for small/one-shot use. In an operator
+    * pipeline, downstream references re-inline the whole expression tree
+    * (Catalyst collapses projections), recomputing the signature per
+    * band/pair — use the explode→groupBy(min) form in
+    * `Dedup.minhashCandidates`, where the signature becomes a
+    * materialized attribute after the aggregation.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column = {
     val base = transform(shingleCol, s => pmod(xxhash64(s), lit(minhashPrime)))
-    val sigs = (0 until k).map { i =>
-      val a = mix(2L * i) | 1L // odd multiplier
-      val b = mix(2L * i + 1)
+    val sigs = minhashParams(k).map { case (a, b) =>
       array_min(transform(base, h => pmod(h * a + b, lit(minhashPrime))))
     }
     array(sigs: _*)

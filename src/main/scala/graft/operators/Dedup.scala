@@ -53,9 +53,20 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8, shingleLen: Int = 3): DataFrame = {
     val rows = k / bands
-    val sig = docs.select(col(idCol).as("id"),
-      Text.minhashSignature(Text.shingles(Text.tokens(col(textCol)), shingleLen), k).as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(transform(col("sig"), _.isNull), true))
+    // Explode shingles and take the k permutation-minima as a real
+    // aggregation: map-side partial mins, one keyed shuffle, and — the
+    // point — the signature is a materialized *attribute* afterwards.
+    // A row-local signature expression gets re-inlined by projection
+    // collapse and recomputed per band key and per candidate pair (over
+    // 20× slower end-to-end on the benchmark corpus).
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        explode(Text.shingles(Text.tokens(col(textCol)), shingleLen)).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(Text.minhashPrime)).as("h"))
+    val mins = Text.minhashParams(k).map { case (a, b) =>
+      min(pmod(col("h") * a + b, lit(Text.minhashPrime)))
+    }
+    val sig = hashed.groupBy(col("id")).agg(array(mins: _*).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       explode(Text.minhashBandKeys(col("sig"), bands, rows)).as("band_key"))
     banded.as("a").join(banded.as("b"),
@@ -63,7 +74,7 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
           .cast("double") / k).as("est_jaccard"))
-      .distinct()
+      .dropDuplicates("id1", "id2")
   }
 
   /** SimHash near-dup candidates: 32-bit simhash, banded on 4 byte-slices
@@ -73,8 +84,20 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      Text.simhash32(Text.tokens(col(textCol))).as("sim"))
+    // Same materialization reasoning as minhash: per-bit ±1 sums as a
+    // real aggregation (map-side combinable), simhash assembled from the
+    // aggregated attributes.
+    val tok = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    val agged = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val simBits = (0 until 32).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val sh = agged.select(col("id"), simBits.as("sim"))
     val banded = sh.select(col("id"), col("sim"), explode(array(
       (0 until 4).map(b => concat(lit(s"$b:"),
         shiftright(col("sim"), b * 8).bitwiseAND(0xffL).cast("string"))): _*)).as("band"))
