@@ -36,6 +36,7 @@ object Tables {
   */
 object Sessions {
   def builderDefaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")

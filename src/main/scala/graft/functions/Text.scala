@@ -178,4 +178,19 @@ object Text {
   def cosine(a: Column, b: Column, scale: Int = 6): Column =
     graft.Det.qz(dotExact(a, b).cast("double") /
       (sqrt(norm2Exact(a).cast("double")) * sqrt(norm2Exact(b).cast("double"))), scale)
+
+  /** Double-fold dot product, written in exactly the HOF shape that
+    * `graft.plans.RewriteHofDotProduct` rewrites to the codegen'd native
+    * expression — declarative call sites, native hot loop.
+    */
+  def dotFast(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Fast-path cosine for non-oracle scoring (ANN): bit-equal to a
+    * sequential double fold, ~last-ulp different from [[cosine]]'s
+    * decimal sums.
+    */
+  def cosineFast(a: Column, b: Column, scale: Int = 6): Column =
+    graft.Det.qz(dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b))), scale)
 }

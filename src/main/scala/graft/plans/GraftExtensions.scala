@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: recognize the composable dot-product shape
+  * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, +)` over
+  * float arrays and replace it with the codegen'd [[DotProductF]].
+  *
+  * The rewrite is behavior-preserving by construction: DotProductF
+  * reproduces the fold exactly (same order, same null semantics), so
+  * users keep writing the declarative form and the optimizer supplies
+  * the fast path — the Catalyst way to make a hot kernel disappear from
+  * profiles without changing any call sites.
+  */
+object RewriteHofDotProduct extends Rule[LogicalPlan] {
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private object DoubleOf {
+    def unapply(e: Expression): Option[NamedLambdaVariable] = e match {
+      case Cast(v: NamedLambdaVariable, DoubleType, _, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(a, b,
+          LambdaFunction(Multiply(DoubleOf(x), DoubleOf(y), _), Seq(lx: NamedLambdaVariable, ly: NamedLambdaVariable), _)),
+        Literal(zero, DoubleType),
+        LambdaFunction(Add(accRef: NamedLambdaVariable, elemRef: NamedLambdaVariable, _),
+          Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
+        LambdaFunction(fin: NamedLambdaVariable, Seq(finArg: NamedLambdaVariable), _))
+      if zero == 0.0 && isFloatArray(a) && isFloatArray(b) &&
+        x.exprId == lx.exprId && y.exprId == ly.exprId &&
+        accRef.exprId == acc.exprId && elemRef.exprId == elem.exprId &&
+        fin.exprId == finArg.exprId =>
+      DotProductF(a, b)
+  }
+}
+
+/** Session extensions: the `graft_dot` SQL function plus the HOF→native
+  * rewrite. Activated via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (graft.Sessions sets it for every entry point).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
+}
