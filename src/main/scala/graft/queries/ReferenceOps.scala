@@ -269,6 +269,26 @@ object ReferenceOps {
              MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS max_epoch
       FROM events GROUP BY 1 ORDER BY day"""))
 
+  // ---- r11_salinity: PSS-78 practical salinity (GSW coverage) ---------
+  private val r11 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("cond", lit(30.0) + col("l_quantity") / 2.0)
+        .withColumn("tc", col("l_discount") * 200.0)
+        .withColumn("pdb", col("l_extendedprice") % 1000.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.spFromC(col("cond"), col("tc"), col("pdb"))).as("sp"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val sp = graft.functions.Seawater.spFromCSql(
+        "30.0 + l_quantity / 2.0", "l_discount * 200.0", "l_extendedprice % 1000.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($sp) * 1e4 + 0.5) / 1e4 AS sp
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -279,5 +299,6 @@ object ReferenceOps {
     "r7_unit_convert" -> r7,
     "r8_geo_area" -> r8,
     "r9_profile_id" -> r9,
-    "r10_epoch_time" -> r10)
+    "r10_epoch_time" -> r10,
+    "r11_salinity" -> r11)
 }

@@ -300,6 +300,24 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  // ---- q15_percentiles: exact interpolated percentiles per group -------
+  private val q15 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Det.qz(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+          Det.qz(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+          Det.qz(expr("percentile(l_quantity, 0.25)")).as("q25"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag,
+             ${Det.qzSql("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+             ${Det.qzSql("quantile_cont(l_extendedprice, 0.9)")} AS p90,
+             ${Det.qzSql("quantile_cont(l_quantity, 0.25)")} AS q25
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -314,5 +332,6 @@ object Relational {
     "q11_semi_anti" -> q11,
     "q12_case_agg" -> q12,
     "q13_scalar_funcs" -> q13,
-    "q14_join_skew" -> q14)
+    "q14_join_skew" -> q14,
+    "q15_percentiles" -> q15)
 }

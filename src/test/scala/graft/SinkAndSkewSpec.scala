@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.Seawater
+import graft.operators.{Sink, SkewJoin}
+import org.apache.spark.sql.functions._
+
+/** Sinks (parquet/ORC/bucketed), salted skew join, and seawater formula
+  * check values.
+  */
+class SinkAndSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PSS-78: C(35,15,0) conductivity gives SP = 35") {
+    val sp = Seq((Seawater.c35150, 15.0, 0.0)).toDF("c", "t", "p")
+      .select(Seawater.spFromC(col("c"), col("t"), col("p")).as("sp"))
+      .as[Double].head()
+    // the published constants give rt(15) ≈ 1 - 7.6e-8, so 1e-6 is the
+    // formula's own fidelity, not ours
+    assert(math.abs(sp - 35.0) < 1e-6, s"got $sp")
+  }
+
+  test("PSS-78 is monotone in conductivity at fixed T,P") {
+    val sps = Seq(30.0, 35.0, 40.0, 45.0).map { c =>
+      Seq((c, 10.0, 100.0)).toDF("c", "t", "p")
+        .select(Seawater.spFromC(col("c"), col("t"), col("p")).as("sp"))
+        .as[Double].head()
+    }
+    assert(sps == sps.sorted)
+    assert(sps.head > 20 && sps.last < 45) // plausible ocean range
+  }
+
+  test("salted join equals plain join") {
+    val big = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val small = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_orderstatus")
+    val plain = big.join(small, big("l_orderkey") === small("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = SkewJoin.saltedInnerJoin(
+      big, small.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", 8)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(plain == salted)
+  }
+
+  test("partitioned parquet and ORC sinks round-trip with pruning columns") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    for (fmt <- Seq("parquet", "orc")) {
+      val out = s"target/tmp/sink_$fmt"
+      Sink.writePartitioned(li, out, fmt, Seq("l_returnflag"), Seq("l_shipdate"))
+      val back = spark.read.format(fmt).load(out)
+      assert(back.count() == li.count())
+      assert(back.filter(col("l_returnflag") === "R").count() ==
+        li.filter(col("l_returnflag") === "R").count())
+    }
+  }
+
+  test("bucketed table co-locates the join key") {
+    spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+    // a previously aborted run can leave the managed location behind
+    // without catalog metadata; clear it or CTAS refuses to create
+    val loc = new java.io.File("spark-warehouse/graft_li_bucketed")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    Sink.writeBucketed(
+      Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity"),
+      "graft_li_bucketed", "parquet", "l_orderkey", 4)
+    val t = spark.table("graft_li_bucketed")
+    assert(t.count() > 0)
+    // aggregation on the bucket key must not need a shuffle
+    val plan = t.groupBy("l_orderkey").count().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+  }
+}
