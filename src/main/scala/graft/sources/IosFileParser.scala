@@ -145,6 +145,24 @@ object IosFileParser {
       lat, lon, startTime, dt, nRecords, channels, details, data)
   }
 
+  /** Full header as JSON — the reference stores the complete original
+    * header on every output file (write_ctd_ncfile.py:37 `out.HEADER`);
+    * downstream provenance queries read it with `get_json_object`.
+    */
+  def headerJson(p: Parsed): String = {
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def obj(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"${js(k)}: ${js(v)}" }
+        .mkString("{", ", ", "}")
+    s"""{"FILE": ${obj(p.file)}, "ADMINISTRATION": ${obj(p.administration)}, """ +
+      s""""INSTRUMENT": ${obj(p.instrument)}, "LOCATION": ${obj(p.location)}}"""
+  }
+
   /** Reference's width override rules (ObsFile.get_channel_detail). */
   private def fieldWidth(d: ChannelDetail): Int = d.typ.trim match {
     case "D" => 11

@@ -19,7 +19,8 @@ case class IosProfile(
     dt_seconds: Option[Double],
     n_records: Int,
     n_channels: Int,
-    n_data_rows: Int)
+    n_data_rows: Int,
+    header_json: String)
 
 /** One observation value in long format — the Spark-native layout for
   * columnar processing of ragged multi-channel files.
@@ -62,7 +63,8 @@ object IosReader {
           p.location.get("STATION"), p.location.get("EVENT NUMBER"),
           p.latitude, p.longitude,
           p.startTimeUtc.map(Timestamp.from),
-          p.timeIncrementSeconds, p.nRecords, p.channels.length, p.data.length)
+          p.timeIncrementSeconds, p.nRecords, p.channels.length, p.data.length,
+          IosFileParser.headerJson(p))
       }
     }.toDF()
   }
@@ -94,6 +96,17 @@ object IosReader {
         }
       }
     }.toDF()
+  }
+
+  /** Incremental-ingest file diff (utils.compare_file_list,
+    * utils.py:79-97): which of `all` are not yet in `done`, compared by
+    * basename without extension — the reference's cronjob semantics for
+    * "convert only new files".
+    */
+  def pendingFiles(all: Seq[String], done: Seq[String]): Seq[String] = {
+    def stem(p: String) = p.split('/').last.split('.').head
+    val doneSet = done.map(stem).toSet
+    all.filterNot(f => doneSet.contains(stem(f)))
   }
 
   /** Reference-pipeline sink: long observations enriched with variable

@@ -79,6 +79,22 @@ class IosReaderSpec extends SparkSpec {
     assert(temps.count() > 0)
   }
 
+  test("header_json carries the full original header like out.HEADER") {
+    val prof = IosReader.profiles(spark, s"$base/ctd_profile/2017-020-0474.ctd")
+    val mission = prof
+      .select(get_json_object(col("header_json"), "$.ADMINISTRATION.MISSION").as("m"))
+      .collect()(0).getString(0)
+    assert(mission == "2017-020")
+    val hj = prof.select("header_json").collect()(0).getString(0)
+    assert(hj.contains("\"LATITUDE\""))
+  }
+
+  test("pendingFiles diffs by basename stem like compare_file_list") {
+    val all = Seq("/a/f1.ctd", "/a/f2.ctd", "/b/f3.ctd")
+    val done = Seq("/out/f2.nc")
+    assert(IosReader.pendingFiles(all, done) == Seq("/a/f1.ctd", "/b/f3.ctd"))
+  }
+
   test("current-meter files parse (CUR variant)") {
     val obs = IosReader.observations(spark,
       s"$base/current_meter/A1_19921028_19930504_0035m.CUR")
