@@ -90,7 +90,8 @@ object IosReader {
             val obsTime = for {
               st <- p.startTimeUtc
               dt <- p.timeIncrementSeconds
-            } yield Timestamp.from(st.plusMillis((dt * 1000.0 * ri).toLong))
+              // microsecond precision, same quantization as the v2 source
+            } yield Timestamp.from(st.plusNanos((dt * 1e6 * ri).toLong * 1000L))
             IosObservation(p.filename, ch.no, ch.name, ch.units, ri, rawV, v, obsTime)
           }
         }

@@ -1,0 +1,39 @@
+package graft
+
+import graft.sources.IosReader
+import org.apache.spark.sql.functions._
+
+/** The DSv2 `ios` format must agree with the mapPartitions reader and
+  * prune columns at the source.
+  */
+class IosV2SourceSpec extends SparkSpec {
+
+  private val base =
+    "/root/reference/cioos_data_transform/ios_data_transform/ios_data_transform/tests/test_files"
+
+  test("v2 source rows equal IosReader.observations") {
+    for (glob <- Seq(s"$base/bot/1990-033-0002.che",
+      s"$base/ctd_mooring/a1_20080429_20080518_0034m.ctd")) {
+      val v2 = spark.read.format("graft.sources.v2.IosDataSource").load(glob)
+        .orderBy("filename", "row_idx", "channel_no").collect()
+      val v1 = IosReader.observations(spark, glob)
+        .select(v2.head.schema.fieldNames.map(col): _*)
+        .orderBy("filename", "row_idx", "channel_no").collect()
+      assert(v2.length == v1.length && v2.length > 0)
+      v2.zip(v1).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    }
+  }
+
+  test("source-level column pruning reaches the scan") {
+    val df = spark.read.format("graft.sources.v2.IosDataSource").load(s"$base/ctd_profile/*.ctd")
+      .select("channel_name", "value")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("columns=channel_name,value"), scanDesc)
+    assert(df.distinct().count() > 0)
+  }
+
+  test("glob expands to one partition per file") {
+    val df = spark.read.format("graft.sources.v2.IosDataSource").load(s"$base/ctd_profile/*.ctd")
+    assert(df.rdd.getNumPartitions == 6)
+  }
+}
