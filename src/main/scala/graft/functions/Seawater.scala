@@ -39,6 +39,33 @@ object Seawater {
     poly(A) + ((t - 15.0) / (lit(1.0) + (t - 15.0) * K)) * poly(B)
   }
 
+  // EOS-80 one-atmosphere density constants (UNESCO TP 38 / Millero-Poisson).
+  private val RW = Seq(999.842594, 6.793952e-2, -9.095290e-3, 1.001685e-4, -1.120083e-6, 6.536332e-9)
+  private val RB = Seq(8.24493e-1, -4.0899e-3, 7.6438e-5, -8.2467e-7, 5.3875e-9)
+  private val RC = Seq(-5.72466e-3, 1.0227e-4, -1.6546e-6)
+  private val RD0 = 4.8314e-4
+
+  /** σ-t: density anomaly ρ(S,T,0) − 1000 kg/m³ (EOS-80 one-atmosphere
+    * equation). Check value: ρ(35, 5, 0) = 1027.67547.
+    */
+  def sigmaT(sp: Column, t: Column): Column = {
+    val rhoW = lit(RW(0)) + t * RW(1) + t * t * RW(2) + t * t * t * RW(3) +
+      t * t * t * t * RW(4) + t * t * t * t * t * RW(5)
+    val bPoly = lit(RB(0)) + t * RB(1) + t * t * RB(2) + t * t * t * RB(3) + t * t * t * t * RB(4)
+    val cPoly = lit(RC(0)) + t * RC(1) + t * t * RC(2)
+    rhoW + sp * bPoly + sp * sqrt(sp) * cPoly + sp * sp * RD0 - 1000.0
+  }
+
+  /** SQL twin of [[sigmaT]], same association order. */
+  def sigmaTSql(sp: String, t: String): String = {
+    val rhoW = s"(${RW(0)} + ($t) * ${RW(1)} + ($t) * ($t) * ${RW(2)} + ($t) * ($t) * ($t) * ${RW(3)} + " +
+      s"($t) * ($t) * ($t) * ($t) * ${RW(4)} + ($t) * ($t) * ($t) * ($t) * ($t) * ${RW(5)})"
+    val bPoly = s"(${RB(0)} + ($t) * ${RB(1)} + ($t) * ($t) * ${RB(2)} + " +
+      s"($t) * ($t) * ($t) * ${RB(3)} + ($t) * ($t) * ($t) * ($t) * ${RB(4)})"
+    val cPoly = s"(${RC(0)} + ($t) * ${RC(1)} + ($t) * ($t) * ${RC(2)})"
+    s"($rhoW + ($sp) * $bPoly + ($sp) * SQRT($sp) * $cPoly + ($sp) * ($sp) * $RD0 - 1000.0)"
+  }
+
   /** SQL twin of [[spFromC]] — same constants, same association order, so
     * doubles match bit-for-bit. Operands are SQL expression strings.
     */

@@ -63,10 +63,10 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(Text.shingles(Text.tokens(col(textCol)), shingleLen)).as("sh"))
       .select(col("id"), pmod(xxhash64(col("sh")), lit(Text.minhashPrime)).as("h"))
-    val mins = Text.minhashParams(k).map { case (a, b) =>
-      min(pmod(col("h") * a + b, lit(Text.minhashPrime)))
-    }
-    val sig = hashed.groupBy(col("id")).agg(array(mins: _*).as("sig"))
+    // custom one-pass TypedImperativeAggregate (graft.plans.MinHashSigAgg):
+    // one long[k] buffer per group instead of k separate min() aggregates
+    val sig = hashed.groupBy(col("id"))
+      .agg(expr(s"graft_minhash_sig(h, $k)").as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       explode(Text.minhashBandKeys(col("sig"), bands, rows)).as("band_key"))
     banded.as("a").join(banded.as("b"),

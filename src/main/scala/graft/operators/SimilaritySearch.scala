@@ -63,6 +63,53 @@ object SimilaritySearch {
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF (inverted-file) ANN top-k — the trained-partition scale path the
+    * LSH variant complements: KMeans centroids learned from the candidate
+    * set, candidates inverted into their nearest-centroid list, queries
+    * probing the `nProbe` nearest lists. Scoring joins on the centroid
+    * id (keyed shuffle); centroid assignment for queries is a broadcast
+    * join against the tiny centroid table ranked by the native
+    * dot-product distance — fully declarative, no driver-side math.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    val train = candidates.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("centroid_id", "centroid")
+
+    // squared L2 to centroid via dot products: |v-c|² = v·v − 2 v·c + c·c
+    def dist2(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      Text.dotFast(v, v) - lit(2.0) * Text.dotFast(v, c) + Text.dotFast(c, c)
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .crossJoin(broadcast(centroids))
+        .withColumn("cdist", dist2(col(vec), col("centroid")))
+      val w = Window.partitionBy(id).orderBy(col("cdist"), col("centroid_id"))
+      scored.withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= keep)
+        .drop("centroid", "cdist", "crnk")
+    }
+
+    val cAssigned = assign(candidates, "cid", "cvec", keep = 1)
+    val qAssigned = assign(queries, "qid", "qvec", keep = nProbe)
+    val scored = qAssigned.join(cAssigned, "centroid_id")
+      .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
+      .dropDuplicates("qid", "cid")
+      .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** LSH-bucketed ANN top-k: queries and candidates are bucketed with the
     * same planes; scoring joins on bucket equality (keyed shuffle, no
     * cross join). `tables` is the OR-amplification knob: independent

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
 
 /** Optimizer rule: recognize the composable dot-product shape
   * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, +)` over
@@ -57,6 +57,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigAgg].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig(hash, k): k must be an integer literal, got $other")
+        }
+        MinHashSigAgg(children(0), k)
+      }))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -289,6 +289,24 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r12_density: EOS-80 σ-t density anomaly ------------------------
+  private val r12 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sal", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("tc", col("l_quantity") % 30.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.sigmaT(col("sal"), col("tc"))).as("sigma_t"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val st = graft.functions.Seawater.sigmaTSql("30.0 + l_discount * 100.0", "l_quantity % 30.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($st) * 1e4 + 0.5) / 1e4 AS sigma_t
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -300,5 +318,6 @@ object ReferenceOps {
     "r8_geo_area" -> r8,
     "r9_profile_id" -> r9,
     "r10_epoch_time" -> r10,
-    "r11_salinity" -> r11)
+    "r11_salinity" -> r11,
+    "r12_density" -> r12)
 }

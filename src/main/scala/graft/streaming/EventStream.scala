@@ -48,6 +48,14 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: state-bounded via watermark — duplicates
+    * arriving within the watermark horizon are dropped, state for expired
+    * keys is evicted (the streaming twin of `Dedup.exact`).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermarkDur: String): DataFrame =
+    events.withWatermark("ts", watermarkDur)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Convenience: wire a streaming DataFrame to an in-memory sink for
     * tests/demos; production sinks are parquet/kafka via the same plan.
     */

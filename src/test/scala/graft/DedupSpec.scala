@@ -92,6 +92,27 @@ class DedupSpec extends SparkSpec {
     assert(approx.forall { case (qid, cid) => qid < 5 && cid >= 5 })
   }
 
+  test("IVF ANN finds planted near neighbors (top-1 recall)") {
+    def lcg(seed: Long): Double = {
+      val x = (seed * 6364136223846793005L + 1442695040888963407L) >>> 11
+      (x % 2000003L).toDouble / 1000001.5 - 1.0
+    }
+    val cands = (0 until 40).map { i =>
+      (100L + i, (0 until 16).map(d => lcg(i * 31 + d).toFloat).toArray)
+    }
+    val queries = (0 until 10).map { i =>
+      (i.toLong, cands(i * 3)._2.zipWithIndex.map { case (v, d) =>
+        v + 0.01f * lcg(997 + i * 17 + d).toFloat })
+    }
+    val cDf = cands.toDF("vec_id", "embedding")
+    val qDf = queries.toDF("vec_id", "embedding")
+    val top1 = SimilaritySearch.ivfTopK(qDf, cDf, "vec_id", "embedding",
+      k = 1, nCentroids = 4, nProbe = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = (0 until 10).count(i => top1.get(i.toLong).contains(100L + i * 3))
+    assert(hits >= 8, s"IVF planted-neighbor top-1 recall too low: $hits/10")
+  }
+
   test("multimodal decode stub: schema, sniffing, deterministic features") {
     val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
     val docs = Seq(

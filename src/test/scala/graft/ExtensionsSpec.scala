@@ -37,6 +37,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(local.as[Double].head() == 11.0)
   }
 
+  test("MinHashSigAgg equals the row-local signature expression") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "text")
+    val rowLocal = docs.select(col("id"),
+      Text.minhashSignature(Text.shingles(Text.tokens(col("text")), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hashed = docs
+      .select(col("id"), explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(Text.minhashPrime)).as("h"))
+      .repartition(4) // force partial buffers + merge
+    val agged = hashed.groupBy("id").agg(expr("graft_minhash_sig(h, 16)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(agged == rowLocal)
+  }
+
   test("fast cosine agrees with exact cosine on real embeddings") {
     val emb = Tables.load(spark, sfDir, "embeddings").limit(50)
     val pairs = emb.as("x").crossJoin(emb.as("y"))

@@ -29,6 +29,13 @@ class SinkAndSkewSpec extends SparkSpec {
     assert(sps.head > 20 && sps.last < 45) // plausible ocean range
   }
 
+  test("EOS-80 sigma-t check values") {
+    val rows = Seq((35.0, 5.0), (0.0, 5.0)).toDF("s", "t")
+      .select(Seawater.sigmaT(col("s"), col("t")).as("st")).as[Double].collect()
+    assert(math.abs(rows(0) - 27.67547) < 2e-5, s"got ${rows(0)}")
+    assert(math.abs(rows(1) - -0.03325) < 2e-5, s"got ${rows(1)}")
+  }
+
   test("salted join equals plain join") {
     val big = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val small = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_orderstatus")

@@ -47,6 +47,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops in-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("k", "ts")
+    val q = EventStream.toMemorySink(
+      EventStream.dedupStream(events, Seq("k"), "10 minutes"), "dedup_test")
+    input.addData(Seq((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))); q.processAllAvailable()
+    input.addData(Seq((1L, ts(3)), (3L, ts(4)))); q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_test").select("k").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("stateful session counts match batch sessionize across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
