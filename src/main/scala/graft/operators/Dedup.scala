@@ -77,6 +77,30 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** Incremental-ingest pre-filter: a Bloom filter over the existing
+    * corpus' content hashes splits a new batch cheaply. No false
+    * negatives ⇒ probe-negative rows are *definitely* new and pass with
+    * zero join work; probe-positive rows (true dups + the fpp share of
+    * new docs) are exactly resolved with an anti-join whose probe side
+    * the bloom has already shrunk to ~dup-rate·batch. The filter ships
+    * as a binary literal probed by the built-in `might_contain`
+    * expression — codegen'd, no UDF, no extra shuffle for the fast path.
+    */
+  def newDocuments(existing: DataFrame, incoming: DataFrame,
+                   idCol: String, textCol: String,
+                   expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = existing.stat.bloomFilter(xxhash64(col(textCol)), expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = call_function("graft_might_contain", lit(bos.toByteArray), xxhash64(col(textCol)))
+    val definitelyNew = incoming.filter(!probe)
+    val needsCheck = incoming.filter(probe)
+    val verifiedNew = needsCheck.join(
+      existing.select(md5(col(textCol)).as("__h")).distinct(),
+      md5(needsCheck(textCol)) === col("__h"), "left_anti")
+    definitelyNew.unionByName(verifiedNew)
+  }
+
   /** SimHash near-dup candidates: 32-bit simhash, banded on 4 byte-slices
     * (any pair within Hamming ≤ maxHamming shares at least one exact
     * byte... guaranteed only for ≤3 with 4 bands), exact Hamming verify

@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSigAgg(children(0), k)
       }))
+    // Spark's bloom probe expression exists but is not SQL-registered
+    // (it backs runtime row-level filtering); expose it for the
+    // incremental-dedup pre-filter.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -113,6 +113,28 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 8, s"IVF planted-neighbor top-1 recall too low: $hits/10")
   }
 
+  test("bloom-prefiltered incremental dedup returns exactly the new docs") {
+    val existing = Seq((0L, "doc alpha"), (1L, "doc beta"), (2L, "doc gamma"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, "doc beta"), (11L, "doc delta"), (12L, "doc epsilon"),
+      (13L, "doc alpha")).toDF("doc_id", "text")
+    val out = Dedup.newDocuments(existing, incoming, "doc_id", "text",
+      expectedItems = 100L, fpp = 0.03)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(11L, 12L))
+  }
+
+  test("approx sketches: deterministic under repartitioning, near exact") {
+    val docs = Tables.load(spark, sfDir, "lineitem")
+    def approx(parts: Int): Long = docs.repartition(parts)
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"))
+      .collect()(0).getLong(0)
+    val exact = docs.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val a8 = approx(8); val a3 = approx(3)
+    assert(a8 == a3, "HLL merge must be partitioning-insensitive")
+    assert(math.abs(a8 - exact).toDouble / exact < 0.1)
+  }
+
   test("multimodal decode stub: schema, sniffing, deterministic features") {
     val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
     val docs = Seq(
