@@ -24,12 +24,29 @@ object Dedup {
   /** Exact n-gram Jaccard over blocked pairs. `blockCols` bounds the pair
     * space (e.g. same language); use LSH ([[minhashCandidates]]) when no
     * natural block exists. Returns (id1, id2, inter_cnt, union_cnt) with
-    * 20·inter ≥ union (Jaccard ≥ 0.05) — integer filter, no float compare.
+    * minJaccardInv·inter ≥ union (Jaccard ≥ 1/minJaccardInv) — integer filter, no float compare.
+    *
+    * `maxShingleDf` drops shingles appearing in more than that many docs
+    * of a block before the self-join — the stop-shingle guard that keeps
+    * the pair space from exploding quadratically on boilerplate n-grams
+    * at corpus scale (sizes are computed post-filter so Jaccard stays
+    * internally consistent).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+                        blockCol: String, k: Int = 3,
+                        maxShingleDf: Int = Int.MaxValue,
+                        minJaccardInv: Int = 20): DataFrame = {
+    val raw = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       explode(Text.shingles(Text.tokens(col(textCol)), k)).as("sh"))
+    val sh =
+      if (maxShingleDf == Int.MaxValue) raw
+      else {
+        val df = raw.groupBy(col("blk").as("dblk"), col("sh").as("dsh"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf)
+        raw.join(df, raw("blk") === col("dblk") && raw("sh") === col("dsh"))
+          .select(raw("id"), raw("blk"), raw("sh"))
+      }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
       col("a.sh") === col("b.sh") && col("a.blk") === col("b.blk") &&
@@ -41,7 +58,7 @@ object Dedup {
       .join(sizes.as("s2"), col("id2") === col("s2.id"))
       .select(col("id1"), col("id2"), col("inter_cnt"),
         (col("s1.sz") + col("s2.sz") - col("inter_cnt")).as("union_cnt"))
-      .filter(col("inter_cnt") * 20 >= col("union_cnt"))
+      .filter(col("inter_cnt") * minJaccardInv >= col("union_cnt"))
   }
 
   /** MinHash+LSH near-dup candidates: signature and band keys are computed

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.{Geo, IosFunctions}
+import graft.sources.IosReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference toolbox's end-to-end job, Spark-native: what
+  * `ios_data_transform_script.py` does per file (parse → standardize
+  * channels → assign BODC codes → null pads → geo-tag → write), done
+  * as one declarative plan over the whole archive.
+  *
+  * Scale shape: parsing is per-file parallel (wholetext), channel
+  * standardization is map-only column logic, BODC suffix dedup is a
+  * per-file window (partition key = filename — millions of small
+  * windows, no global sort), geo-tagging is unrolled point-in-polygon
+  * (map-only), and the sink partitions by variable class for prunable
+  * downstream reads.
+  */
+object ReferencePipeline {
+
+  /** Standardized long-format observations: var_class, BODC code,
+    * geo_code and profile metadata attached to every value row.
+    */
+  def standardize(spark: SparkSession, pathGlob: String,
+                  geoCatalog: Seq[Geo.NamedPolygon] = Geo.testCatalog): DataFrame = {
+    val obs = IosReader.observations(spark, pathGlob)
+    val prof = IosReader.profiles(spark, pathGlob)
+      .select(col("filename"), col("mission"), col("station"),
+        col("event_number"), col("latitude"), col("longitude"),
+        col("start_time_utc"),
+        Geo.geoArea(col("longitude"), col("latitude"), geoCatalog).as("geo_code"))
+
+    val classified = obs
+      .withColumn("var_class", IosFunctions.classifyChannel(col("channel_name")))
+      .filter(col("var_class") =!= "ignore")
+
+    // BODC codes are per *channel*, not per value row: rank the distinct
+    // channels within (file × base code) — the window equivalent of
+    // OceanNcVar's "retry until the code is unused" loop — then join the
+    // code back onto the value rows.
+    val chanIdx = classified.select(col("filename").as("f2"), col("channel_no").as("c2"),
+      col("var_class").as("vc2"), col("units").as("u2")).distinct()
+      .withColumn("bodc_base2", when(col("vc2") === "pressure", "PRESPR01")
+        .when(col("vc2") === "depth", "depth")
+        .otherwise(IosFunctions.bodcBase(col("vc2"), col("u2"))))
+      .withColumn("chan_rn", row_number().over(
+        Window.partitionBy(col("f2"), col("bodc_base2")).orderBy(col("c2"))))
+      .withColumn("bodc", when(col("vc2").isin("pressure", "depth"), col("bodc_base2"))
+        .when(col("vc2") === "nutrient", concat(col("bodc_base2"), col("chan_rn").cast("string")))
+        .otherwise(concat(col("bodc_base2"), lpad(col("chan_rn").cast("string"), 2, "0"))))
+      .select(col("f2"), col("c2"), col("bodc"))
+
+    classified
+      .join(chanIdx, classified("filename") === col("f2") &&
+        classified("channel_no") === col("c2"))
+      .drop("f2", "c2")
+      .join(prof, "filename")
+  }
+
+  /** Full conversion: standardized observations → parquet partitioned by
+    * variable class. Returns the per-file summary (the reference prints
+    * one log line per converted file; we return it as data).
+    */
+  def convertArchive(spark: SparkSession, pathGlob: String, outDir: String,
+                     geoCatalog: Seq[Geo.NamedPolygon] = Geo.testCatalog): DataFrame = {
+    val std = standardize(spark, pathGlob, geoCatalog)
+    std.write.mode("overwrite").partitionBy("var_class").parquet(outDir)
+    std.groupBy(col("filename"), col("mission"), col("geo_code"))
+      .agg(countDistinct(col("bodc")).as("n_vars"), count(lit(1)).as("n_values"),
+        count(col("value")).as("n_nonnull"))
+  }
+}

@@ -32,18 +32,25 @@ object TrainingData {
   private val d2 = Q(
     (s, dir) => {
       Dedup.ngramJaccardPairs(
-        t(s, dir, "documents").filter(col("doc_id") < 80), "doc_id", "text", "lang")
+        t(s, dir, "documents").filter(col("doc_id") < 80), "doc_id", "text", "lang",
+        maxShingleDf = 40, minJaccardInv = 100)
         .orderBy("id1", "id2")
     },
     Some("""
       WITH tok AS (
         SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents WHERE doc_id < 80),
-      sh AS (
+      sh0 AS (
         SELECT doc_id, lang,
                unnest(list_distinct(list_transform(range(greatest(len(w)-2, 0)),
                  i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
         FROM tok),
+      dfc AS (
+        SELECT lang AS dblk, sh AS dsh, COUNT(*) AS df
+        FROM sh0 GROUP BY 1, 2 HAVING COUNT(*) <= 40),
+      sh AS (
+        SELECT doc_id, lang, sh FROM sh0
+        JOIN dfc ON sh0.lang = dfc.dblk AND sh0.sh = dfc.dsh),
       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_cnt
@@ -53,7 +60,7 @@ object TrainingData {
       FROM pairs
       JOIN sizes s1 ON id1 = s1.doc_id
       JOIN sizes s2 ON id2 = s2.doc_id
-      WHERE inter_cnt * 20 >= s1.sz + s2.sz - inter_cnt
+      WHERE inter_cnt * 100 >= s1.sz + s2.sz - inter_cnt
       ORDER BY id1, id2"""))
 
   // ---- d3_dedup_minhash: LSH candidate summary (spec-verified) ---------

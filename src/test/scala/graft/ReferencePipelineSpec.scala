@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.ReferencePipeline
+import org.apache.spark.sql.functions._
+
+/** End-to-end conversion of the reference's sample archive through the
+  * full pipeline: parse → classify → BODC → geo → partitioned sink.
+  */
+class ReferencePipelineSpec extends SparkSpec {
+
+  private val base =
+    "/root/reference/cioos_data_transform/ios_data_transform/ios_data_transform/tests/test_files"
+
+  test("standardize assigns reference-style BODC codes per file") {
+    val std = ReferencePipeline.standardize(spark, s"$base/ctd_profile/2017-020-0474.ctd")
+    val codes = std.select("channel_name", "bodc").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // temperature ITS90 → TEMPS9 + 01; salinity PSS-78 → PSALST01;
+    // oxygen mL/L → DOXYZZ01, umol/kg → DOXMZZ01; pressure fixed name
+    assert(codes("Temperature:Primary") == "TEMPS901")
+    assert(codes("Salinity:T0:C0") == "PSALST01")
+    assert(codes("Oxygen:Dissolved:SBE") == "DOXYZZ01")
+    assert(codes("Pressure") == "PRESPR01")
+    assert(codes("Depth") == "depth")
+    // conductivity S/m → CNDCST01
+    assert(codes("Conductivity:Primary") == "CNDCST01")
+    // excluded channels never appear
+    assert(!codes.contains("Transmissivity"))
+  }
+
+  test("duplicate-class channels get distinct suffixes (oxygen ×2)") {
+    val std = ReferencePipeline.standardize(spark, s"$base/ctd_profile/2017-020-0474.ctd")
+    val oxy = std.filter(col("var_class") === "oxygen")
+      .select("bodc").distinct().collect().map(_.getString(0)).sorted
+    // file has Oxygen:Dissolved:SBE in mL/L AND umol/kg → different
+    // bases, each suffixed 01
+    assert(oxy.toSeq == Seq("DOXMZZ01", "DOXYZZ01"))
+  }
+
+  test("convertArchive writes prunable parquet and reports per-file stats") {
+    val out = "target/tmp/ref_pipeline"
+    val summary = ReferencePipeline.convertArchive(spark, s"$base/ctd_profile/*.ctd", out)
+    val rows = summary.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Long]("n_vars") >= 5))
+    assert(rows.forall(r => r.getAs[Long]("n_nonnull") <= r.getAs[Long]("n_values")))
+    val back = spark.read.parquet(out)
+    assert(back.select("var_class").distinct().count() >= 5)
+    assert(back.filter(col("var_class") === "temperature").count() > 0)
+    // profile metadata travels with every value row
+    assert(back.filter(col("geo_code").isNull).count() == 0)
+  }
+}
