@@ -95,6 +95,18 @@ class IosReaderSpec extends SparkSpec {
     assert(IosReader.pendingFiles(all, done) == Seq("/a/f1.ctd", "/b/f3.ctd"))
   }
 
+  test("malformed content degrades gracefully (reference soft-exit semantics)") {
+    val p1 = IosFileParser.parse("junk.ctd", "complete garbage\nno sections at all\n")
+    assert(p1.nRecords == 0 && p1.channels.isEmpty && p1.data.isEmpty)
+    assert(p1.startTimeUtc.isEmpty && p1.latitude.isNaN)
+    val p2 = IosFileParser.parse("empty.ctd", "")
+    assert(p2.data.isEmpty)
+    // header but no data section
+    val p3 = IosFileParser.parse("h.ctd",
+      "*IOS HEADER VERSION 2.0\n*FILE\n    NUMBER OF RECORDS : 5\n")
+    assert(p3.nRecords == 5 && p3.data.isEmpty)
+  }
+
   test("current-meter files parse (CUR variant)") {
     val obs = IosReader.observations(spark,
       s"$base/current_meter/A1_19921028_19930504_0035m.CUR")

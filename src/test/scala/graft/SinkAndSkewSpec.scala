@@ -61,6 +61,34 @@ class SinkAndSkewSpec extends SparkSpec {
     }
   }
 
+  test("z-order interleaves bits correctly and clusters files") {
+    import graft.operators.ZOrder
+    // interleave(x=3 (011), y=5 (101)) with 3 bits:
+    // bit0: x0=1->pos0, y0=1->pos1; bit1: x1=1->pos2, y1=0; bit2: x2=0, y2=1->pos5
+    // = 1 + 2 + 4 + 32 = 39
+    val z = Seq((3, 5)).toDF("x", "y")
+      .select(ZOrder.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .as[Long].head()
+    assert(z == 39L, s"got $z")
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val out = "target/tmp/zorder"
+    ZOrder.writeClustered(li, out, "parquet",
+      Seq("l_partkey", "l_suppkey"), bits = 12, numFiles = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count())
+    // files cover disjoint z ranges: per-file (min,max) of recomputed z
+    val ranges = back
+      .withColumn("f", input_file_name())
+      .withColumn("z", ZOrder.zValue(Seq(col("l_partkey"), col("l_suppkey")), 12))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping z ranges")
+      case _ =>
+    }
+  }
+
   test("bucketed table co-locates the join key") {
     spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
     // a previously aborted run can leave the managed location behind
