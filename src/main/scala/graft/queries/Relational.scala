@@ -318,6 +318,28 @@ object Relational {
              ${Det.qzSql("quantile_cont(l_quantity, 0.25)")} AS q25
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ---- q16_set_ops: INTERSECT / EXCEPT ---------------------------------
+  private val q16 = Q(
+    (s, dir) => {
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val bigBuyers = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("k"))
+      val custs = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val both = custs.intersect(bigBuyers).agg(count(lit(1)).as("n_big_buyers"))
+      val never = custs.except(buyers).agg(count(lit(1)).as("n_never_bought"))
+      both.crossJoin(never)
+    },
+    Some("""
+      SELECT
+        (SELECT COUNT(*) FROM (
+          SELECT c_custkey AS k FROM customer
+          INTERSECT
+          SELECT o_custkey AS k FROM orders WHERE o_totalprice > CAST(200000 AS DOUBLE)) a) AS n_big_buyers,
+        (SELECT COUNT(*) FROM (
+          SELECT c_custkey AS k FROM customer
+          EXCEPT
+          SELECT o_custkey AS k FROM orders) b) AS n_never_bought"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -333,5 +355,6 @@ object Relational {
     "q12_case_agg" -> q12,
     "q13_scalar_funcs" -> q13,
     "q14_join_skew" -> q14,
-    "q15_percentiles" -> q15)
+    "q15_percentiles" -> q15,
+    "q16_set_ops" -> q16)
 }

@@ -170,6 +170,24 @@ object TrainingData {
                   FROM documents) a) b
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---- t5_edit_distance: fuzzy short-string matching -------------------
+  private val t5 = Q(
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_partkey") < 60)
+      p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 12)
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE a.p_partkey < 60 AND b.p_partkey < 60
+        AND levenshtein(a.p_name, b.p_name) <= 12
+      ORDER BY id1, id2"""))
+
   // ---- v1_cosine_topk: brute-force baseline ----------------------------
   private val v1 = Q(
     (s, dir) => {
@@ -238,6 +256,7 @@ object TrainingData {
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
     "t4_fingerprint" -> t4,
+    "t5_edit_distance" -> t5,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "m1_binary_meta" -> m1)

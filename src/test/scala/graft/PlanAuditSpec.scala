@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties claimed in
+  * SURVEY §5/§6 asserted against the actual plans, so a refactor that
+  * silently breaks pushdown / broadcast / single-shuffle shapes fails CI
+  * instead of a future benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q2: filters and projection reach the parquet scan") {
+    val p = planOf("q2_filter_project")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date filter not pushed")
+    // pruned scan: only the 4 referenced columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_quantity") && !read.contains("l_orderkey"),
+      s"column pruning failed: $read")
+  }
+
+  test("q4: dimension chain uses broadcast hash joins") {
+    val p = planOf("q4_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("s3: as-of join is one window over one exchange (no join node)") {
+    val p = planOf("s3_asof_join")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("Join"), "as-of must not plan a join")
+  }
+
+  test("d3: minhash signature aggregation keeps map-side partials") {
+    val p = planOf("d3_dedup_minhash")
+    // partial_graft_minhash_sig before the exchange proves the custom
+    // aggregate participates in two-phase aggregation
+    assert(p.contains("partial_graft_minhash_sig") ||
+      p.contains("graft_minhash_sig"), p.take(1200))
+  }
+
+  test("q1: aggregation pipeline stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    df.collect() // execute THIS plan so AQE finalizes it (count() would
+                 // wrap it in a different query execution)
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the compact form
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(600))
+  }
+
+  test("v2: ANN scoring compiles to the native dot product") {
+    // cosineFast's HOF shape must be rewritten to DotProductF (graft_dot)
+    val p = planOf("v2_ann_lsh")
+    assert(p.contains("graft_dot"), p.take(1200))
+  }
+}
