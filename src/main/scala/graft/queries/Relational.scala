@@ -321,8 +321,9 @@ object Relational {
   // ---- q16_set_ops: INTERSECT / EXCEPT ---------------------------------
   private val q16 = Q(
     (s, dir) => {
-      val buyers = t(s, dir, "orders").select(col("o_custkey").as("k"))
-      val bigBuyers = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      val orders = t(s, dir, "orders")
+      val buyers = orders.select(col("o_custkey").as("k"))
+      val bigBuyers = orders.filter(col("o_totalprice") > 200000.0)
         .select(col("o_custkey").as("k"))
       val custs = t(s, dir, "customer").select(col("c_custkey").as("k"))
       val both = custs.intersect(bigBuyers).agg(count(lit(1)).as("n_big_buyers"))

@@ -110,12 +110,23 @@ object IosFileParser {
     val lon = locKv.get("LONGITUDE").map(dms(_, "W")).getOrElse(Double.NaN)
 
     val startTime = fileKv.get("START TIME").flatMap(parseIosTime)
+    val endTime = fileKv.get("END TIME").flatMap(parseIosTime)
 
+    val nRecordsOpt = fileKv.get("NUMBER OF RECORDS").flatMap(v =>
+      scala.util.Try(v.trim.toInt).toOption)
+
+    // dt from the D H M S MS quintuple; when absent, inferred as
+    // (end - start)/(n - 1) exactly like the reference's mooring reader
+    // (ObsFile.py:476-480).
     val dt = fileKv.get("TIME INCREMENT").map { v =>
       val nums = v.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
       val mult = Array(86400.0, 3600.0, 60.0, 1.0, 0.001)
       nums.zip(mult).map { case (a, b) => a * b }.sum
-    }
+    }.orElse(for {
+      st <- startTime
+      et <- endTime
+      n <- nRecordsOpt if n > 1
+    } yield (et.toEpochMilli - st.toEpochMilli) / 1000.0 / (n - 1))
 
     val channels = table(fileSec, "CHANNELS").map { c =>
       Channel(c.headOption.map(_.trim.toInt).getOrElse(0),
@@ -129,8 +140,7 @@ object IosFileParser {
         c.lift(4).getOrElse(""), c.lift(5).getOrElse(""))
     }
 
-    val nRecords = fileKv.get("NUMBER OF RECORDS").flatMap(v =>
-      scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
+    val nRecords = nRecordsOpt.getOrElse(0)
 
     val dataLines =
       if (endIdx < 0) Vector.empty

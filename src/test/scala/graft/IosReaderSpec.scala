@@ -107,6 +107,17 @@ class IosReaderSpec extends SparkSpec {
     assert(p3.nRecords == 5 && p3.data.isEmpty)
   }
 
+  test("missing TIME INCREMENT infers dt from end-start/(n-1)") {
+    val content =
+      "*IOS HEADER VERSION 2.0\n*FILE\n" +
+      "    START TIME          : UTC 2020/01/01 00:00:00.000\n" +
+      "    END TIME            : UTC 2020/01/01 01:00:00.000\n" +
+      "    NUMBER OF RECORDS   : 7\n"
+    val p = IosFileParser.parse("synth.ctd", content)
+    // 3600s over 6 intervals → 600s
+    assert(p.timeIncrementSeconds.contains(600.0))
+  }
+
   test("current-meter files parse (CUR variant)") {
     val obs = IosReader.observations(spark,
       s"$base/current_meter/A1_19921028_19930504_0035m.CUR")
