@@ -66,6 +66,21 @@ object Seawater {
     s"($rhoW + ($sp) * $bPoly + ($sp) * SQRT($sp) * $cPoly + ($sp) * ($sp) * $RD0 - 1000.0)"
   }
 
+  /** Speed of sound in seawater, Mackenzie (1981) nine-term equation:
+    * T (°C), S (practical salinity), D depth (m). Check value:
+    * c(25, 35, 1000) ≈ 1550.744 m/s.
+    */
+  def soundSpeed(t: Column, s: Column, d: Column): Column =
+    lit(1448.96) + t * 4.591 - t * t * 5.304e-2 + t * t * t * 2.374e-4 +
+      (s - 35.0) * 1.340 + d * 1.630e-2 + d * d * 1.675e-7 -
+      t * (s - 35.0) * 1.025e-2 - t * d * d * d * 7.139e-13
+
+  /** SQL twin of [[soundSpeed]], same association order. */
+  def soundSpeedSql(t: String, s: String, d: String): String =
+    s"(1448.96 + ($t) * 4.591 - ($t) * ($t) * 5.304e-2 + ($t) * ($t) * ($t) * 2.374e-4 + " +
+      s"(($s) - 35.0) * 1.340 + ($d) * 1.630e-2 + ($d) * ($d) * 1.675e-7 - " +
+      s"($t) * (($s) - 35.0) * 1.025e-2 - ($t) * ($d) * ($d) * ($d) * 7.139e-13)"
+
   /** SQL twin of [[spFromC]] — same constants, same association order, so
     * doubles match bit-for-bit. Operands are SQL expression strings.
     */

@@ -307,6 +307,26 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r13_sound_speed: Mackenzie (1981) ------------------------------
+  private val r13 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("tc", col("l_quantity") % 30.0)
+        .withColumn("sal", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("dep", col("l_extendedprice") % 4000.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.soundSpeed(col("tc"), col("sal"), col("dep"))).as("c_ms"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val c = graft.functions.Seawater.soundSpeedSql(
+        "l_quantity % 30.0", "30.0 + l_discount * 100.0", "l_extendedprice % 4000.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($c) * 1e4 + 0.5) / 1e4 AS c_ms
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -319,5 +339,6 @@ object ReferenceOps {
     "r9_profile_id" -> r9,
     "r10_epoch_time" -> r10,
     "r11_salinity" -> r11,
-    "r12_density" -> r12)
+    "r12_density" -> r12,
+    "r13_sound_speed" -> r13)
 }

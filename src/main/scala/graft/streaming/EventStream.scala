@@ -56,6 +56,22 @@ object EventStream {
     events.withWatermark("ts", watermarkDur)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: right rows within [left.ts, left.ts +
+    * `windowSeconds`] per key. Watermarks on BOTH sides bound the join
+    * state; Spark evicts buffered rows once they can no longer match.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String, windowSeconds: Int, watermarkDur: String): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDur)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermarkDur)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r, expr(
+      s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval $windowSeconds seconds"))
+  }
+
   /** Convenience: wire a streaming DataFrame to an in-memory sink for
     * tests/demos; production sinks are parquet/kafka via the same plan.
     */

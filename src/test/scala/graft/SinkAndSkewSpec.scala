@@ -36,6 +36,13 @@ class SinkAndSkewSpec extends SparkSpec {
     assert(math.abs(rows(1) - -0.03325) < 2e-5, s"got ${rows(1)}")
   }
 
+  test("Mackenzie sound speed check value") {
+    val c = Seq((25.0, 35.0, 1000.0)).toDF("t", "s", "d")
+      .select(Seawater.soundSpeed(col("t"), col("s"), col("d")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1550.744) < 0.01, s"got $c")
+  }
+
   test("salted join equals plain join") {
     val big = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val small = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_orderstatus")

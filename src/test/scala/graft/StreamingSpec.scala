@@ -60,6 +60,34 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val inL = MemoryStream[(Long, Timestamp, Long)]
+    val inR = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStream.toMemorySink(
+      EventStream.intervalJoin(df(inL), df(inR), "user_id", 600, "30 minutes"),
+      "ssj_test")
+    val lData = Seq((1L, ts(0), 100L), (1L, ts(20), 101L), (2L, ts(5), 200L))
+    val rData = Seq((1L, ts(5), 900L), (1L, ts(25), 901L), (2L, ts(30), 902L),
+      (1L, ts(40), 903L))
+    inL.addData(lData.take(2)); inR.addData(rData.take(2)); q.processAllAvailable()
+    inL.addData(lData.drop(2)); inR.addData(rData.drop(2)); q.processAllAvailable()
+    // close windows
+    inL.addData(Seq((8L, ts(300), 0L))); inR.addData(Seq((9L, ts(300), 1L)))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ssj_test").select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (lu, lt, li) <- lData
+      (ru, rt, ri) <- rData
+      if lu == ru && rt.getTime >= lt.getTime && rt.getTime <= lt.getTime + 600000L
+    } yield (li, ri)).toSet
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+  }
+
   test("stateful session counts match batch sessionize across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
