@@ -49,7 +49,7 @@ object ReferenceOps {
         .orderBy("o_orderkey", "i")
     },
     Some("""
-      SELECT o_orderkey, i,
+      SELECT o_orderkey, CAST(i AS INTEGER) AS i,
              strftime(o_orderdate + INTERVAL ((i * (o_orderkey % 3600 + 60))) SECOND,
                       '%Y-%m-%d %H:%M:%S') AS obs_str
       FROM orders

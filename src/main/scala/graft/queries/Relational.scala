@@ -127,7 +127,7 @@ object Relational {
         .orderBy("o_custkey", "rn")
     },
     Some("""
-      SELECT o_custkey, o_orderkey, o_totalprice, rn, prev_orderkey
+      SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn, prev_orderkey
       FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,

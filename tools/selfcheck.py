@@ -45,6 +45,15 @@ for name in sorted(oracle):
     if sorted(got.columns) != sorted(want.columns):
         print(f"FAIL {name}: cols got={sorted(got.columns)} want={sorted(want.columns)}")
         fails += 1;  continue
+    # dtype compare (arrow-level): a strict comparator would flag e.g.
+    # int32 vs int64 even when values agree
+    ga = con.execute(f"SELECT * FROM '{pq[0]}' LIMIT 0").arrow()
+    wa = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow()
+    tmis = [(f.name, str(f.type), str(wa.schema.field(f.name).type))
+            for f in ga.schema
+            if str(f.type) != str(wa.schema.field(f.name).type)]
+    if tmis:
+        print(f"WARN {name}: dtype mismatch {tmis}")
     if len(got) != len(want):
         print(f"FAIL {name}: rows got={len(got)} want={len(want)}");  fails += 1;  continue
     cg, cw = canon(got), canon(want)
