@@ -34,12 +34,17 @@ object IosFunctions {
     * sequence+explode — scales with the data, no driver loop.
     */
   def expandObsTimes(start: Column, dtSeconds: Column, n: Column): Column =
-    explode(transform(sequence(lit(0), n - 1),
+    // n<=0 guard: Spark's sequence(0, -1) counts DOWN ([0,-1]) instead of
+    // being empty. dt scales in double before the long cast so fractional
+    // (sub-second) increments survive — the MS term of TIME INCREMENT
+    // exists exactly for those.
+    explode(when(n > 0, transform(sequence(lit(0), n - 1),
       i => struct(i.as("i"),
         // cast handles TIMESTAMP_NTZ parquet columns; session TZ is UTC so
         // the instant is unchanged.
         timestamp_micros(unix_micros(start.cast("timestamp")) +
-          i.cast("long") * dtSeconds.cast("long") * 1000000L).as("obs_ts"))))
+          (i.cast("double") * dtSeconds.cast("double") * 1e6).cast("long")).as("obs_ts"))))
+      .otherwise(array().cast("array<struct<i:int,obs_ts:timestamp>>")))
 
   // --- Coordinates -----------------------------------------------------
 

@@ -69,6 +69,8 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8, shingleLen: Int = 3): DataFrame = {
+    require(k % bands == 0,
+      s"signature size $k must divide evenly into $bands bands or trailing components are dead")
     val rows = k / bands
     // Explode shingles and take the k permutation-minima as a real
     // aggregation: map-side partial mins, one keyed shuffle, and — the
@@ -125,6 +127,8 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-byte banding only guarantees candidate generation for Hamming <= 3")
     // Same materialization reasoning as minhash: per-bit ±1 sums as a
     // real aggregation (map-side combinable), simhash assembled from the
     // aggregated attributes.

@@ -15,13 +15,15 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner-join `big ⋈ small` on `key`, spreading each big-side key over
-    * `salts` shuffle partitions. Row-deterministic salt (hash of the
-    * whole big row) keeps results reproducible run to run.
+    * `salts` shuffle partitions. The salt is a per-row counter (not a
+    * row-content hash: byte-identical duplicate rows of a hot key would
+    * all hash to ONE salt and the straggler would survive salting).
+    * The result SET is identical to the plain join either way.
     */
   def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val smallExploded = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     bigSalted.join(smallExploded,

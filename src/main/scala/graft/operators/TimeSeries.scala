@@ -37,8 +37,12 @@ object TimeSeries {
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
         payload.as("__pay")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // __pay as final sort key: ties on (ts, side) between two right rows
+    // would otherwise carry a partitioning-dependent winner. Struct
+    // ordering is lexicographic by payload field order — put the
+    // tie-breaking column first in `rightPayload`.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__carried", last(col("__pay"), ignoreNulls = true).over(w))
@@ -52,8 +56,12 @@ object TimeSeries {
     * integer microseconds — no float compares. Adds `session_idx`
     * (0-based per key).
     */
-  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+                 tieCol: Option[String] = None): DataFrame = {
+    // optional tiebreak keeps lag()/cumsum deterministic when two events
+    // share (key, ts)
+    val ord = col(tsCol) +: tieCol.map(col).toSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     val prev = lag(unix_micros(col(tsCol).cast("timestamp")), 1).over(w)
     val isNew = when(prev.isNull, 1L)
       .when(unix_micros(col(tsCol).cast("timestamp")) - prev > gapSeconds * 1000000L, 1L)

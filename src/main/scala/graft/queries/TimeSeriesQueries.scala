@@ -32,7 +32,7 @@ object TimeSeriesQueries {
   // ---- s2_sessionize: 30-min-gap sessions per user ---------------------
   private val s2 = Q(
     (s, dir) => {
-      val sess = TimeSeries.sessionize(t(s, dir, "events"), "user_id", "ts", 1800L)
+      val sess = TimeSeries.sessionize(t(s, dir, "events"), "user_id", "ts", 1800L, tieCol = Some("event_id"))
       sess.groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"))
         .groupBy(col("user_id"))
@@ -43,15 +43,15 @@ object TimeSeriesQueries {
     },
     Some("""
       WITH g AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
                     WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
                     ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
         FROM g),
       per AS (
@@ -84,7 +84,7 @@ object TimeSeriesQueries {
       FROM (
         SELECT event_id, user_id, event_type,
                last_value(pid IGNORE NULLS) OVER (
-                 PARTITION BY user_id ORDER BY ts, side
+                 PARTITION BY user_id ORDER BY ts, side, pid
                  ROWS UNBOUNDED PRECEDING) AS last_pid
         FROM u) z
       WHERE event_type = 'error'

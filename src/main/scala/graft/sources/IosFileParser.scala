@@ -212,13 +212,20 @@ object IosFileParser {
         out += padded.substring(start, math.min(i, padded.length)).trim
       } else i += 1
     }
-    out.result().filter(_.nonEmpty) match {
-      case v if v.isEmpty => Vector("")
-      case v => v
-    }
+    // every dash span is a cell, INCLUDING blank ones — dropping them
+    // would shift later positional fields (the reference only removes
+    // zero-width artifacts, which dash spans can never produce)
+    out.result()
   }
 
-  private val fmtFull = DateTimeFormatter.ofPattern("yyyy/MM/dd HH:mm:ss[.SSS]")
+  // 1-9 fraction digits, all optional — the reference's %f accepts any
+  // width; a fixed [.SSS] would silently drop e.g. '.5' fractions
+  private val fmtFull = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy/MM/dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+    .optionalEnd()
+    .toFormatter
   private val fmtDate = DateTimeFormatter.ofPattern("yyyy/MM/dd")
 
   /** `TZ yyyy/mm/dd hh:mm:ss.fff` → UTC instant with the reference's

@@ -25,8 +25,16 @@ class IosDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ios"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = IosTable.fullSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new IosTable(properties.getOrDefault("path", properties.getOrDefault("paths", "")))
+                        properties: util.Map[String, String]): Table = {
+    // multi-path load() arrives as a JSON-encoded array in "paths"
+    val patterns = Option(properties.get("paths")) match {
+      case Some(json) if json.startsWith("[") =>
+        json.stripPrefix("[").stripSuffix("]").split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq.filter(_.nonEmpty)
+      case _ => Seq(properties.getOrDefault("path", ""))
+    }
+    new IosTable(patterns)
+  }
 }
 
 object IosTable {
@@ -48,29 +56,30 @@ object IosTable {
   }
 }
 
-class IosTable(pathPattern: String) extends Table with SupportsRead {
-  override def name(): String = s"ios($pathPattern)"
+class IosTable(pathPatterns: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"ios(${pathPatterns.mkString(",")})"
   override def schema(): StructType = IosTable.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IosScanBuilder(pathPattern)
+    new IosScanBuilder(pathPatterns)
 }
 
-class IosScanBuilder(pathPattern: String)
+class IosScanBuilder(pathPatterns: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = IosTable.fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new IosScan(pathPattern, required)
+  override def build(): Scan = new IosScan(pathPatterns, required)
 }
 
-class IosScan(pathPattern: String, required: StructType) extends Scan with Batch {
+class IosScan(pathPatterns: Seq[String], required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"IosScan(files=$pathPattern, columns=${required.fieldNames.mkString(",")})"
+    s"IosScan(files=${pathPatterns.mkString(",")}, columns=${required.fieldNames.mkString(",")})"
   override def planInputPartitions(): Array[InputPartition] =
-    IosTable.expandGlob(pathPattern).map(f => IosFilePartition(f): InputPartition).toArray
+    pathPatterns.flatMap(IosTable.expandGlob).distinct
+      .map(f => IosFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new IosReaderFactory(required.fieldNames)
 }
@@ -114,7 +123,9 @@ class IosPartitionReader(path: String, columns: Array[String])
         val obsMicros: Option[Long] = for {
           st <- p.startTimeUtc
           dt <- p.timeIncrementSeconds
-        } yield st.toEpochMilli * 1000L + (dt * 1e6 * ri).toLong
+          // epoch micros from second+nano (toEpochMilli would drop sub-ms
+          // start fractions and drift from the mapPartitions reader)
+        } yield st.getEpochSecond * 1000000L + st.getNano / 1000L + (dt * 1e6 * ri).toLong
         val all: Map[String, Any] = Map(
           "filename" -> fname,
           "channel_no" -> ch.no,
