@@ -69,6 +69,61 @@ object Geo {
     s"(CASE WHEN ($joined) = '' THEN 'None' ELSE ($joined) END)"
   }
 
+  /** Catalog-scale variant of [[geoArea]]: vertices travel as array
+    * LITERALS and the ray cast is one `aggregate` lambda, so the
+    * expression tree stays O(1) in catalog size — the unrolled form
+    * blows analyzer recursion beyond a few dozen polygons, this one
+    * handles thousands. Same arithmetic per edge, same output format.
+    */
+  def geoAreaLarge(x: Column, y: Column, catalog: Seq[NamedPolygon]): Column = {
+    import org.apache.spark.sql.functions._
+    val polys = array(catalog.map { p =>
+      struct(
+        lit(p.name.replace(' ', '-')).as("name"),
+        array(p.vertices.map { case (vx, vy) =>
+          struct(lit(vx).as("x"), lit(vy).as("y"))
+        }: _*).as("verts"))
+    }: _*)
+    def inside(verts: Column): Column = {
+      val n = size(verts)
+      val crossings = aggregate(sequence(lit(0), n - 1), lit(0), (acc, i) => {
+        val vi = element_at(verts, i + 1)
+        val vj = element_at(verts, pmod(i + 1, n) + 1)
+        val (xi, yi) = (vi.getField("x"), vi.getField("y"))
+        val (xj, yj) = (vj.getField("x"), vj.getField("y"))
+        val crosses = (yi > y) =!= (yj > y)
+        val xAtY = (xj - xi) * (y - yi) / (yj - yi) + xi
+        acc + when(crosses && x < xAtY, 1).otherwise(0)
+      })
+      crossings % 2 === 1
+    }
+    val joined = aggregate(polys, lit(""), (acc, p) =>
+      concat(acc, when(inside(p.getField("verts")),
+        concat(p.getField("name"), lit(" "))).otherwise("")))
+    when(joined === "", "None").otherwise(joined)
+  }
+
+  /** Load a named-polygon catalog from a GeoJSON FeatureCollection — the
+    * reference's utils.read_geojson (utils.py:52-67), done with Spark's
+    * own JSON reader. The catalog is collected to the driver: it is
+    * plan-time configuration (the reference also loads it once up
+    * front), and [[geoArea]] unrolls it into the plan.
+    */
+  def catalogFromGeoJson(spark: org.apache.spark.sql.SparkSession, path: String): Seq[NamedPolygon] = {
+    import org.apache.spark.sql.functions.{col, explode}
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f"))
+      .filter(col("f.geometry.type") === "Polygon")
+      .select(col("f.properties.name").as("name"),
+        col("f.geometry.coordinates").getItem(0).as("ring"))
+      .collect()
+      .map { r =>
+        val ring = r.getSeq[scala.collection.Seq[Double]](1)
+          .map(p => (p(0), p(1)))
+        NamedPolygon(r.getString(0), ring)
+      }.toSeq
+  }
+
   /** Test catalog standing in for the reference's ios_polygons.geojson:
     * overlapping shapes so multi-containment and the 'None' fallthrough
     * both occur.

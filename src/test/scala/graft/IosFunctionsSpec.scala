@@ -69,6 +69,34 @@ class IosFunctionsSpec extends SparkSpec {
     assert(out(3) == "None")
   }
 
+  test("geoArea over the reference's own polygon catalog tags a real profile") {
+    val gj = "/root/reference/cioos_data_transform/ios_data_transform/" +
+      "ios_data_transform/tests/test_files/ios_polygons.geojson"
+    val catalog = Geo.catalogFromGeoJson(spark, gj)
+    assert(catalog.length == 51)
+    // the 2017-020-0474.ctd profile sits at 71.3885N 116.6365W; the
+    // reference's own ray cast over this catalog assigns it to the
+    // Canadian Arctic Archipelago South polygon (the header's free-text
+    // GEOGRAPHIC AREA says Beaufort Sea, but assign_geo_code uses the
+    // polygons, as we do)
+    val tag = Seq((-116.6365, 71.3885)).toDF("lon", "lat")
+      .select(Geo.geoAreaLarge($"lon", $"lat", catalog).as("g")).as[String].head()
+    assert(tag == "Canadian-Arctic-Archipelago-South ", s"got '$tag'")
+    // open-ocean point far from every IOS polygon
+    val none = Seq((0.0, 0.0)).toDF("lon", "lat")
+      .select(Geo.geoAreaLarge($"lon", $"lat", catalog).as("g")).as[String].head()
+    assert(none == "None")
+  }
+
+  test("geoAreaLarge agrees with the unrolled geoArea on the test catalog") {
+    val pts = Seq((-129.5, 50.5), (-115.0, 35.5), (-40.0, 0.5), (100.5, 10.5))
+      .toDF("lon", "lat")
+    val both = pts.select(
+      Geo.geoArea($"lon", $"lat", Geo.testCatalog).as("a"),
+      Geo.geoAreaLarge($"lon", $"lat", Geo.testCatalog).as("b")).collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("unit conversions match reference constants") {
     val df = Seq(1.0).toDF("x")
     val row = df.select(
