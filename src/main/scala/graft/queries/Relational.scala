@@ -341,6 +341,41 @@ object Relational {
           EXCEPT
           SELECT o_custkey AS k FROM orders) b) AS n_never_bought"""))
 
+  // ---- q17_date_arith --------------------------------------------------
+  private val q17 = Q(
+    (s, dir) => {
+      val o = t(s, dir, "orders").withColumn("d", col("o_orderdate").cast("date"))
+      o.select(col("o_orderkey"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).as("epoch_days"),
+        date_format(date_trunc("month", col("d")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("d")), "yyyy-MM-dd").as("month_end"),
+        dayofweek(col("d")).as("dow"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_days,
+             strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow
+      FROM orders ORDER BY o_orderkey"""))
+
+  // ---- q18_array_agg ---------------------------------------------------
+  private val q18 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("l_linestatus")))).as("statuses"),
+          size(collect_set(col("l_linestatus"))).as("n_statuses"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+             CAST(COUNT(DISTINCT l_linestatus) AS INTEGER) AS n_statuses
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -357,5 +392,7 @@ object Relational {
     "q13_scalar_funcs" -> q13,
     "q14_join_skew" -> q14,
     "q15_percentiles" -> q15,
-    "q16_set_ops" -> q16)
+    "q16_set_ops" -> q16,
+    "q17_date_arith" -> q17,
+    "q18_array_agg" -> q18)
 }
