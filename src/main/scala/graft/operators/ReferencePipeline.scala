@@ -30,7 +30,9 @@ object ReferencePipeline {
       .select(col("filename"), col("mission"), col("station"),
         col("event_number"), col("latitude"), col("longitude"),
         col("start_time_utc"),
-        Geo.geoArea(col("longitude"), col("latitude"), geoCatalog).as("geo_code"))
+        // geoAreaLarge: O(1) expression size, so real catalogs (50+
+        // polygons) don't blow analyzer recursion
+        Geo.geoAreaLarge(col("longitude"), col("latitude"), geoCatalog).as("geo_code"))
 
     val classified = obs
       .withColumn("var_class", IosFunctions.classifyChannel(col("channel_name")))

@@ -39,9 +39,13 @@ class ReferencePipelineSpec extends SparkSpec {
 
   test("convertArchive writes prunable parquet and reports per-file stats") {
     val out = "target/tmp/ref_pipeline"
-    val summary = ReferencePipeline.convertArchive(spark, s"$base/ctd_profile/*.ctd", out)
+    // the reference's own 51-polygon geojson catalog drives geo-tagging
+    val catalog = graft.functions.Geo.catalogFromGeoJson(spark, s"$base/ios_polygons.geojson")
+    val summary = ReferencePipeline.convertArchive(spark, s"$base/ctd_profile/*.ctd", out, catalog)
     val rows = summary.collect()
     assert(rows.length == 6)
+    // the Beaufort-Sea-area profiles resolve to a real polygon name
+    assert(rows.exists(_.getAs[String]("geo_code").contains("Canadian-Arctic")))
     assert(rows.forall(_.getAs[Long]("n_vars") >= 5))
     assert(rows.forall(r => r.getAs[Long]("n_nonnull") <= r.getAs[Long]("n_values")))
     val back = spark.read.parquet(out)
