@@ -95,7 +95,9 @@ object Geo {
         val xAtY = (xj - xi) * (y - yi) / (yj - yi) + xi
         acc + when(crosses && x < xAtY, 1).otherwise(0)
       })
-      crossings % 2 === 1
+      // degenerate (< 3 vertex) rings never contain anything; the guard
+      // also avoids sequence(0,-1) counting down on an empty array
+      when(n >= 3, crossings % 2 === 1).otherwise(lit(false))
     }
     val joined = aggregate(polys, lit(""), (acc, p) =>
       concat(acc, when(inside(p.getField("verts")),

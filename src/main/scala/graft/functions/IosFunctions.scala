@@ -42,8 +42,10 @@ object IosFunctions {
       i => struct(i.as("i"),
         // cast handles TIMESTAMP_NTZ parquet columns; session TZ is UTC so
         // the instant is unchanged.
+        // association (dt*1e6)*i matches both file readers exactly, so a
+        // fractional dt yields the identical truncated micro offset
         timestamp_micros(unix_micros(start.cast("timestamp")) +
-          (i.cast("double") * dtSeconds.cast("double") * 1e6).cast("long")).as("obs_ts"))))
+          (dtSeconds.cast("double") * 1e6 * i.cast("double")).cast("long")).as("obs_ts"))))
       .otherwise(array().cast("array<struct<i:int,obs_ts:timestamp>>")))
 
   // --- Coordinates -----------------------------------------------------

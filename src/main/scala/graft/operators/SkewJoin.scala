@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join handling covers sort-merge joins at runtime; this
   * operator is the explicit fallback for the cases AQE can't see (e.g.
   * a hot key known in advance, or a broadcast-ineligible dimension):
-  * the big side gets a deterministic per-row salt appended to the key,
-  * the small side is replicated across all salts, and the join runs on
-  * the widened key — one hot key becomes `salts` evenly-sized keys.
+  * the big side gets a per-row salt appended to the key, the small side
+  * is replicated across all salts, and the join runs on the widened
+  * key — one hot key becomes `salts` evenly-sized keys. The salt
+  * assignment varies run to run; the result SET never does.
   */
 object SkewJoin {
 

@@ -37,12 +37,13 @@ object TimeSeries {
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
         payload.as("__pay")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    // __pay as final sort key: ties on (ts, side) between two right rows
-    // would otherwise carry a partitioning-dependent winner. Struct
-    // ordering is lexicographic by payload field order — put the
-    // tie-breaking column first in `rightPayload`.
+    // First payload column as final sort key: ties on (ts, side) between
+    // two right rows would otherwise carry a partitioning-dependent
+    // winner. Make `rightPayload.head` an orderable, per-(key,ts)-unique
+    // column (an id) for full determinism; sorting the whole payload
+    // struct would break for unorderable payload types like maps.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__pay"))
+      .orderBy(col("__ts"), col("__side"), col("__pay").getField(rightPayload.head))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__carried", last(col("__pay"), ignoreNulls = true).over(w))

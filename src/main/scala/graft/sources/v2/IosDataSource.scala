@@ -26,11 +26,12 @@ class IosDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = IosTable.fullSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    // multi-path load() arrives as a JSON-encoded array in "paths"
+    // multi-path load() arrives as a JSON-encoded array in "paths" —
+    // parse it properly (paths may contain commas/escapes)
     val patterns = Option(properties.get("paths")) match {
       case Some(json) if json.startsWith("[") =>
-        json.stripPrefix("[").stripSuffix("]").split(",")
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq.filter(_.nonEmpty)
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(json, classOf[Array[String]]).toSeq.filter(_.nonEmpty)
       case _ => Seq(properties.getOrDefault("path", ""))
     }
     new IosTable(patterns)

@@ -38,17 +38,17 @@ for name in sorted(oracle):
     if not pq:
         print(f"FAIL {name}: no spark output");  fails += 1;  continue
     try:
-        want = con.execute(sql).fetchdf()
+        wa = con.execute(sql).arrow()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}");  fails += 1;  continue
-    got = con.execute(f"SELECT * FROM '{pq[0]}'").fetchdf()
+    ga = con.execute(f"SELECT * FROM '{pq[0]}'").arrow()
+    want, got = wa.to_pandas(), ga.to_pandas()
     if sorted(got.columns) != sorted(want.columns):
         print(f"FAIL {name}: cols got={sorted(got.columns)} want={sorted(want.columns)}")
         fails += 1;  continue
-    # dtype compare (arrow-level): a strict comparator would flag e.g.
-    # int32 vs int64 even when values agree
-    ga = con.execute(f"SELECT * FROM '{pq[0]}' LIMIT 0").arrow()
-    wa = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow()
+    # dtype compare (arrow-level, from the same single execution): a
+    # strict comparator would flag e.g. int32 vs int64 even when values
+    # agree
     tmis = [(f.name, str(f.type), str(wa.schema.field(f.name).type))
             for f in ga.schema
             if str(f.type) != str(wa.schema.field(f.name).type)]
