@@ -31,6 +31,23 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, Some(102L)), (2L, Some(103L)), (3L, None), (4L, Some(201L))))
   }
 
+  test("asOfJoin ties at equal right timestamps resolve deterministically") {
+    val left = Seq((1L, 10L, ts("2024-01-01 11:00:00"))).toDF("event_id", "user_id", "ts")
+    // two purchases at the identical timestamp: the carried value must be
+    // the max payload-head (last in the (ts, side, payload-head) order),
+    // independent of input or partition order
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 555L),
+      (10L, ts("2024-01-01 10:00:00"), 111L))
+      .toDF("user_id", "ts", "purchase_id")
+    (1 to 3).foreach { _ =>
+      val out = TimeSeries.asOfJoin(left, right.repartition(4), Seq("user_id"),
+        "ts", "ts", Seq("purchase_id"))
+        .select("asof_purchase_id").collect()(0).getLong(0)
+      assert(out == 555L)
+    }
+  }
+
   test("sessionize splits on gaps strictly greater than the threshold") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00")),
