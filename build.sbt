@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout line-by-line; sbt's default
+// LoggedOutput prefixes forked-run output with "[info] " which breaks
+// that. StdoutOutput inherits the parent stdout: lines land verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,13 +24,21 @@ object Geo {
     */
   def pointInPolygon(x: Column, y: Column, poly: Seq[(Double, Double)]): Column = {
     val n = poly.length
-    val crossings = (0 until n).map { i =>
+    // Horizontal edges (yi == yj) can never cross a horizontal ray: the
+    // term is a constant 0, so it is dropped at plan-build time (also
+    // avoids Spark's "trivially true equals predicate" warning for the
+    // structurally-identical (yi > y) =!= (yj > y) comparison).
+    val terms = (0 until n).flatMap { i =>
       val (xi, yi) = poly(i)
       val (xj, yj) = poly((i + 1) % n)
-      val crosses = (lit(yi) > y) =!= (lit(yj) > y)
-      val xAtY = (lit(xj) - xi) * (y - yi) / (yj - yi) + xi
-      when(crosses && x < xAtY, 1).otherwise(0)
-    }.reduce(_ + _)
+      if (yi == yj) None
+      else {
+        val crosses = (lit(yi) > y) =!= (lit(yj) > y)
+        val xAtY = (lit(xj) - xi) * (y - yi) / (yj - yi) + xi
+        Some(when(crosses && x < xAtY, 1).otherwise(0))
+      }
+    }
+    val crossings = terms.reduceOption(_ + _).getOrElse(lit(0))
     crossings % 2 === 1
   }
 
@@ -39,13 +47,17 @@ object Geo {
     */
   def pointInPolygonSql(xExpr: String, yExpr: String, poly: Seq[(Double, Double)]): String = {
     val n = poly.length
-    val terms = (0 until n).map { i =>
+    // Same horizontal-edge drop as the Column twin: those terms are
+    // constant 0, so the sum (and the oracle comparison) is unchanged.
+    val terms = (0 until n).flatMap { i =>
       val (xi, yi) = poly(i)
       val (xj, yj) = poly((i + 1) % n)
-      s"(CASE WHEN (($yi > $yExpr) != ($yj > $yExpr)) AND " +
-        s"($xExpr < ($xj - $xi) * ($yExpr - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END)"
+      if (yi == yj) None
+      else Some(s"(CASE WHEN (($yi > $yExpr) != ($yj > $yExpr)) AND " +
+        s"($xExpr < ($xj - $xi) * ($yExpr - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END)")
     }
-    s"((${terms.mkString(" + ")}) % 2 = 1)"
+    if (terms.isEmpty) "(1 = 0)"
+    else s"((${terms.mkString(" + ")}) % 2 = 1)"
   }
 
   /** Geographic-area tag: every containing polygon's name (spaces → '-'),
