@@ -81,6 +81,157 @@ object Seawater {
       s"(($s) - 35.0) * 1.340 + ($d) * 1.630e-2 + ($d) * ($d) * 1.675e-7 - " +
       s"($t) * (($s) - 35.0) * 1.025e-2 - ($t) * ($d) * ($d) * ($d) * 7.139e-13)"
 
+  // --- Potential temperature (UNESCO 1983, Fofonoff & Millard) ---------
+  //
+  // Written ONCE over a tiny numeric algebra and instantiated for both
+  // Column and SQL-string forms — the two sides share the exact same
+  // expression structure, so IEEE doubles match bit-for-bit across
+  // engines (the Runge-Kutta chaining makes hand-duplicated twins too
+  // error-prone).
+  private trait Num[T] {
+    def const(v: Double): T
+    def add(a: T, b: T): T
+    def sub(a: T, b: T): T
+    def mul(a: T, b: T): T
+    def div(a: T, b: T): T
+  }
+  private object ColNum extends Num[Column] {
+    def const(v: Double): Column = lit(v)
+    def add(a: Column, b: Column): Column = a + b
+    def sub(a: Column, b: Column): Column = a - b
+    def mul(a: Column, b: Column): Column = a * b
+    def div(a: Column, b: Column): Column = a / b
+  }
+  private object SqlNum extends Num[String] {
+    def const(v: Double): String = {
+      val s = v.toString
+      // negative constants must parenthesize or "a * -b" miparses
+      if (v < 0) s"($s)" else s
+    }
+    def add(a: String, b: String): String = s"($a + $b)"
+    def sub(a: String, b: String): String = s"($a - $b)"
+    def mul(a: String, b: String): String = s"($a * $b)"
+    def div(a: String, b: String): String = s"($a / $b)"
+  }
+
+  /** Adiabatic temperature gradient (°C/dbar), UNESCO 1983 `atg`:
+    * s practical salinity, t °C (IPTS-68), p dbar.
+    */
+  private def atgG[T](s: T, t: T, p: T)(implicit N: Num[T]): T = {
+    import N._
+    val s35 = sub(s, const(35.0))
+    // c0 + x·(c1 + x·(c2 + …)) — one nesting shape shared by both sides
+    def horner(x: T, cs: Double*): T =
+      cs.init.foldRight(const(cs.last))((c, acc) => add(const(c), mul(x, acc)))
+    val term1 = horner(t, 3.5803e-5, 8.5258e-6, -6.836e-8, 6.6228e-10)
+    val term2 = mul(add(const(1.8932e-6), mul(const(-4.2393e-8), t)), s35)
+    val term3 = mul(horner(t, 1.8741e-8, -6.7795e-10, 8.733e-12, -5.4481e-14), p)
+    val term4 = mul(mul(add(const(-1.1351e-10), mul(const(2.7759e-12), t)), s35), p)
+    val term5 = mul(mul(horner(t, -4.6206e-13, 1.8676e-14, -2.1687e-16), p), p)
+    add(add(add(add(term1, term2), term3), term4), term5)
+  }
+
+  /** Adiabatic lapse rate as a Column expression (°C/dbar). */
+  def atg(s: Column, t: Column, p: Column): Column = atgG(s, t, p)(ColNum)
+
+  /** SQL twin of [[atg]] — generated from the same algebra, so doubles
+    * match bit-for-bit.
+    */
+  def atgSql(s: String, t: String, p: String): String =
+    atgG(s"($s)", s"($t)", s"($p)")(SqlNum)
+
+  /** RK4 coefficients for the UNESCO `ptmp` integration, computed once so
+    * the Column and SQL forms embed the identical double constants.
+    */
+  object Rk {
+    val sq2: Double = math.sqrt(2.0)
+    val c2a: Double = 1.0 - 1.0 / sq2
+    val q2a: Double = 2.0 - sq2
+    val q2b: Double = -2.0 + 3.0 / sq2
+    val c3a: Double = 1.0 + 1.0 / sq2
+    val q3a: Double = 2.0 + sq2
+    val q3b: Double = -2.0 - 3.0 / sq2
+  }
+
+  /** Potential temperature θ(s, t, p → pr), UNESCO 1983 `ptmp` (4th-order
+    * Runge-Kutta over the adiabatic gradient). Check value:
+    * θ(40, 40, 10000, 0) = 36.89073 °C.
+    */
+  private def ptmpG[T](s: T, t0: T, p0: T, pr: T)(implicit N: Num[T]): T = {
+    import N._
+    val dP = sub(pr, p0)
+    val dt1 = mul(dP, atgG(s, t0, p0))
+    val th1 = add(t0, mul(const(0.5), dt1))
+    val q1 = dt1
+    val pHalf = add(p0, mul(const(0.5), dP))
+    val dt2 = mul(dP, atgG(s, th1, pHalf))
+    val th2 = add(th1, mul(const(Rk.c2a), sub(dt2, q1)))
+    val q2 = add(mul(const(Rk.q2a), dt2), mul(const(Rk.q2b), q1))
+    val dt3 = mul(dP, atgG(s, th2, pHalf))
+    val th3 = add(th2, mul(const(Rk.c3a), sub(dt3, q2)))
+    val q3 = add(mul(const(Rk.q3a), dt3), mul(const(Rk.q3b), q2))
+    val dt4 = mul(dP, atgG(s, th3, pr))
+    add(th3, div(sub(dt4, mul(const(2.0), q3)), const(6.0)))
+  }
+
+  /** Potential temperature as ONE Column expression. Each RK stage
+    * re-inlines the previous stage's temperature, so the tree grows
+    * ~1800× the size of one [[atg]] — fine for scalar checks, but in a
+    * pipeline use [[withPotentialTemp]], which materializes each stage as
+    * a named column (the optimizer keeps non-cheap multi-referenced
+    * aliases, so the plan stays linear in the number of stages).
+    */
+  def potentialTemp(s: Column, t: Column, p: Column, pRef: Column): Column =
+    ptmpG(s, t, p, pRef)(ColNum)
+
+  /** Step-chained potential temperature over a DataFrame: appends `out`
+    * computing θ(sCol, tCol, pCol → pRef) with each RK4 stage a named
+    * intermediate column. This is the 100 TB form — the physical plan
+    * carries 4 atg evaluations, not an exponentially inlined tree.
+    * [[ptmpStepSqls]] emits the identical stage chain for the oracle.
+    */
+  def withPotentialTemp(df: org.apache.spark.sql.DataFrame,
+                        sCol: Column, tCol: Column, pCol: Column,
+                        pRef: Double, out: String): org.apache.spark.sql.DataFrame = {
+    import Rk._
+    df.withColumn("__s", sCol).withColumn("__t", tCol).withColumn("__p", pCol)
+      .withColumn("__dP", lit(pRef) - col("__p"))
+      .withColumn("__dt1", col("__dP") * atg(col("__s"), col("__t"), col("__p")))
+      .withColumn("__th1", col("__t") + lit(0.5) * col("__dt1"))
+      .withColumn("__pH", col("__p") + lit(0.5) * col("__dP"))
+      .withColumn("__dt2", col("__dP") * atg(col("__s"), col("__th1"), col("__pH")))
+      .withColumn("__th2", col("__th1") + lit(c2a) * (col("__dt2") - col("__dt1")))
+      .withColumn("__q2", lit(q2a) * col("__dt2") + lit(q2b) * col("__dt1"))
+      .withColumn("__dt3", col("__dP") * atg(col("__s"), col("__th2"), col("__pH")))
+      .withColumn("__th3", col("__th2") + lit(c3a) * (col("__dt3") - col("__q2")))
+      .withColumn("__q3", lit(q3a) * col("__dt3") + lit(q3b) * col("__q2"))
+      .withColumn("__dt4", col("__dP") * atg(col("__s"), col("__th3"), lit(pRef)))
+      .withColumn(out, col("__th3") + (col("__dt4") - lit(2.0) * col("__q3")) / lit(6.0))
+      .drop("__s", "__t", "__p", "__dP", "__dt1", "__th1", "__pH", "__dt2",
+        "__th2", "__q2", "__dt3", "__th3", "__q3", "__dt4")
+  }
+
+  /** Nested-subquery SQL mirroring [[withPotentialTemp]]'s stage chain:
+    * wraps `from` (a relation or subquery) in one subquery per stage and
+    * yields θ as column `out`. Same constants, same association order.
+    */
+  def ptmpStepSql(from: String, s: String, t: String, p: String,
+                  pRef: Double, out: String): String = {
+    import Rk._
+    val l0 = s"SELECT *, ($s) AS __s, ($t) AS __t, ($p) AS __p FROM $from"
+    val l1 = s"SELECT *, ($pRef - __p) AS __dP FROM ($l0)"
+    val l2 = s"SELECT *, (__dP * ${atgSql("__s", "__t", "__p")}) AS __dt1 FROM ($l1)"
+    val l3 = s"SELECT *, (__t + (0.5 * __dt1)) AS __th1, (__p + (0.5 * __dP)) AS __pH FROM ($l2)"
+    val l4 = s"SELECT *, (__dP * ${atgSql("__s", "__th1", "__pH")}) AS __dt2 FROM ($l3)"
+    val l5 = s"SELECT *, (__th1 + ($c2a * (__dt2 - __dt1))) AS __th2, " +
+      s"(($q2a * __dt2) + (($q2b) * __dt1)) AS __q2 FROM ($l4)"
+    val l6 = s"SELECT *, (__dP * ${atgSql("__s", "__th2", "__pH")}) AS __dt3 FROM ($l5)"
+    val l7 = s"SELECT *, (__th2 + ($c3a * (__dt3 - __q2))) AS __th3, " +
+      s"(($q3a * __dt3) + (($q3b) * __q2)) AS __q3 FROM ($l6)"
+    val l8 = s"SELECT *, (__dP * ${atgSql("__s", "__th3", s"$pRef")}) AS __dt4 FROM ($l7)"
+    s"SELECT *, (__th3 + ((__dt4 - (2.0 * __q3)) / 6.0)) AS $out FROM ($l8)"
+  }
+
   /** SQL twin of [[spFromC]] — same constants, same association order, so
     * doubles match bit-for-bit. Operands are SQL expression strings.
     */

@@ -120,6 +120,49 @@ object Dedup {
     definitelyNew.unionByName(verifiedNew)
   }
 
+  /** Embedding-cosine near-dup pairs: (id1, id2, cos) with quantized
+    * cosine ≥ `minCosine`, id1 < id2.
+    *
+    * `blockBits = 0` is the exact path: norms are computed per-vector
+    * BELOW the self-join (the join node blocks projection collapse, so
+    * each norm folds once per row, not once per pair), the smaller
+    * left side broadcasts, and the per-pair work is one decimal-exact
+    * dot product — oracle-comparable bit-for-bit. Exact is O(n²) by
+    * definition: use it on bounded blocks.
+    *
+    * `blockBits > 0` is the scale path: random-hyperplane LSH buckets
+    * (OR-amplified over `tables` plane sets) turn the pair space into a
+    * keyed equality join on bucket ids — near-linear at corpus scale,
+    * recall < 1 by construction (spec-pinned against the exact path).
+    */
+  def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double, blockBits: Int = 0,
+                           tables: Int = 2, dims: Int = 64): DataFrame = {
+    import graft.operators.SimilaritySearch.lshBucket
+    if (blockBits == 0) {
+      val side = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(Text.norm2Exact(col(vecCol)).cast("double")).as("nrm"))
+      val a = side.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      val b = side.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      broadcast(a).join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          graft.Det.qz(Text.dotExact(col("v1"), col("v2")).cast("double") /
+            (col("n1") * col("n2")), 6).as("cos"))
+        .filter(col("cos") >= minCosine)
+    } else {
+      val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array((0 until tables).map(t =>
+          concat_ws(":", lit(t),
+            lshBucket(col(vecCol), dims, blockBits, planeOffset = t * blockBits))): _*)).as("bucket"))
+      banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          Text.cosineFast(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= minCosine)
+        .dropDuplicates("id1", "id2")
+    }
+  }
+
   /** SimHash near-dup candidates: 32-bit simhash, banded on 4 byte-slices
     * (any pair within Hamming ≤ maxHamming shares at least one exact
     * byte... guaranteed only for ≤3 with 4 bands), exact Hamming verify

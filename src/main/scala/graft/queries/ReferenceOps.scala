@@ -327,6 +327,32 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r14_potential_temp: UNESCO 1983 θ (GSW coverage) ---------------
+  // Stepped RK4 form on both sides: each stage is a named column /
+  // nested subquery, so the plan carries 4 atg evaluations instead of an
+  // exponentially inlined tree (the one-expression form is ~1 MB of SQL).
+  private val r14 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.functions.Seawater.withPotentialTemp(li,
+        lit(30.0) + col("l_discount") * 100.0,
+        col("l_quantity") % 30.0,
+        col("l_extendedprice") % 5000.0,
+        pRef = 0.0, out = "theta_raw")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.Det.qz(col("theta_raw")).as("theta"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val stepped = graft.functions.Seawater.ptmpStepSql(
+        "lineitem", "30.0 + l_discount * 100.0", "l_quantity % 30.0",
+        "l_extendedprice % 5000.0", pRef = 0.0, out = "theta_raw")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR((theta_raw) * 1e4 + 0.5) / 1e4 AS theta
+      FROM ($stepped) z ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -340,5 +366,6 @@ object ReferenceOps {
     "r10_epoch_time" -> r10,
     "r11_salinity" -> r11,
     "r12_density" -> r12,
-    "r13_sound_speed" -> r13)
+    "r13_sound_speed" -> r13,
+    "r14_potential_temp" -> r14)
 }

@@ -376,6 +376,128 @@ object Relational {
              CAST(COUNT(DISTINCT l_linestatus) AS INTEGER) AS n_statuses
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ---- q19_scalar_subquery: customers above their nation's mean balance --
+  // The comparison is done in exact integer-free decimal form
+  // (bal·n > sum) so both engines agree at the boundary — a double mean
+  // could differ in the last ulp and flip a count.
+  private val q19 = Q(
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val stats = cust.groupBy(col("c_nationkey").as("k"))
+        .agg(sum(col("c_acctbal").cast(Det.D)).as("s"), count(lit(1)).as("n"))
+      cust.join(broadcast(stats), col("c_nationkey") === col("k"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(when(col("c_acctbal").cast(Det.D) * col("n") > col("s"), 1L).otherwise(0L)).as("n_above"),
+          count(lit(1)).as("n_total"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey,
+             CAST(SUM(CASE WHEN CAST(c_acctbal AS DECIMAL(28,6)) * n > s THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             COUNT(*) AS n_total
+      FROM customer
+      JOIN (SELECT c_nationkey AS k, SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS s, COUNT(*) AS n
+            FROM customer GROUP BY 1) g ON c_nationkey = k
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  // ---- q20_explode: lateral word expansion with position ----------------
+  private val q20 = Q(
+    (s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"), min(col("pos")).as("min_pos"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    },
+    Some("""
+      SELECT word, COUNT(*) AS cnt, CAST(MIN(i - 1) AS INTEGER) AS min_pos
+      FROM (SELECT unnest(w) AS word, generate_subscripts(w, 1) AS i
+            FROM (SELECT string_split(p_name, ' ') AS w FROM part) a) b
+      GROUP BY word ORDER BY cnt DESC, word LIMIT 20"""))
+
+  // ---- q21_json_extract: typed field out of a JSON props column ---------
+  private val q21 = Q(
+    (s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             MIN(k) AS min_k, MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k
+      FROM (SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events) e
+      GROUP BY event_type ORDER BY event_type"""))
+
+  // ---- q22_regex_extract: structured fields out of freetext -------------
+  private val q22 = Q(
+    (s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int").as("brand_num"),
+        regexp_extract(col("p_name"), "^(\\S+)", 1).as("first_word"),
+        (length(col("p_name")) -
+          length(regexp_replace(lower(col("p_name")), "[aeiou]", ""))).as("n_vowels"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+             CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
+             regexp_extract(p_name, '^(\S+)', 1) AS first_word,
+             CAST(LENGTH(p_name) - LENGTH(regexp_replace(lower(p_name), '[aeiou]', '', 'g')) AS INTEGER) AS n_vowels
+      FROM part ORDER BY p_partkey"""))
+
+  // ---- q23_cube: full grouping-sets lattice with grouping_id ------------
+  private val q23 = Q(
+    (s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("gid"))
+        .orderBy("gid", "status", "priority")
+    },
+    Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority"""))
+
+  // ---- k1_sketch_distinct: HLL++ approx distinct vs exact ----------------
+  // Sketch outputs are engine-specific, so no SQL oracle; RegistrySpec
+  // pins the relative-error bound against the exact counts.
+  private val k1 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+    },
+    None)
+
+  // ---- k2_sketch_quantile: approx percentile sketch vs exact -------------
+  private val k2 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Det.qz(expr("approx_percentile(l_extendedprice, 0.5, 1000)")).as("ap50"),
+          Det.qz(expr("percentile(l_extendedprice, 0.5)")).as("p50"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
   val entries: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -394,5 +516,12 @@ object Relational {
     "q15_percentiles" -> q15,
     "q16_set_ops" -> q16,
     "q17_date_arith" -> q17,
-    "q18_array_agg" -> q18)
+    "q18_array_agg" -> q18,
+    "q19_scalar_subquery" -> q19,
+    "q20_explode" -> q20,
+    "q21_json_extract" -> q21,
+    "q22_regex_extract" -> q22,
+    "q23_cube" -> q23,
+    "k1_sketch_distinct" -> k1,
+    "k2_sketch_quantile" -> k2)
 }

@@ -83,6 +83,26 @@ object TrainingData {
     },
     None)
 
+  // ---- d5_dedup_embedding: cosine near-dup pairs (exact, oracle-checked) --
+  private val d5 = Q(
+    (s, dir) => {
+      Dedup.embeddingCosinePairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", minCosine = 0.30)
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding AS v,
+               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        FROM embeddings WHERE vec_id < 400)
+      SELECT id1, id2, cos FROM (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+          FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+            / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id) z
+      WHERE cos >= 0.30 ORDER BY id1, id2"""))
+
   // ---- t1_token_count --------------------------------------------------
   private val t1 = Q(
     (s, dir) => {
@@ -252,6 +272,7 @@ object TrainingData {
     "d2_dedup_ngram_jaccard" -> d2,
     "d3_dedup_minhash" -> d3,
     "d4_dedup_simhash" -> d4,
+    "d5_dedup_embedding" -> d5,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

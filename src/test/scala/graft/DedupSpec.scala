@@ -113,6 +113,58 @@ class DedupSpec extends SparkSpec {
     assert(hits >= 8, s"IVF planted-neighbor top-1 recall too low: $hits/10")
   }
 
+  // splitmix-style mix: the single-multiply LCG used for the ANN recall
+  // fixtures leaves nearby seeds correlated enough that unrelated vectors
+  // hit cos > 0.95 — near-dup thresholds need properly decorrelated noise
+  private def smix(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    ((z >>> 12) & 0xfffffL).toDouble / 524287.5 - 1.0
+  }
+  private def cosineFixture = {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, (0 until 16).map(d => smix(i * 131 + d).toFloat).toArray)
+    }
+    // 100 = copy of 0 (cos 1.0), 101 = small perturbation of 1 (cos ≈ .999)
+    val planted = Seq(
+      (100L, vecs(0)._2.clone()),
+      (101L, vecs(1)._2.zipWithIndex.map { case (v, d) => v + 0.01f * smix(500 + d).toFloat }))
+    (vecs ++ planted).toDF("vec_id", "embedding")
+  }
+
+  test("embedding cosine near-dup: exact path finds planted dups only") {
+    val pairs = Dedup.embeddingCosinePairs(cosineFixture, "vec_id", "embedding", minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 100L), (1L, 101L)), s"got $pairs")
+  }
+
+  test("embedding cosine near-dup: LSH-blocked path recovers planted dups") {
+    val emb = cosineFixture
+    val blocked = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+      minCosine = 0.95, blockBits = 4, tables = 4, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-identical vectors collide in every table; unrelated pairs are
+    // filtered by the cosine threshold even when buckets collide
+    assert(blocked == Set((0L, 100L), (1L, 101L)), s"got $blocked")
+    // and the blocked result is a subset of the exact path by construction
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact))
+  }
+
+  test("approx percentile sketch lands within its accuracy bound") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val row = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+      expr("percentile(l_extendedprice, 0.5)").as("ex")).collect()(0)
+    val (ap, ex) = (row.getDouble(0), row.getDouble(1))
+    // accuracy=1000 ⇒ rank error ≤ n/1000; translate to a loose value
+    // tolerance via the observed spread
+    assert(math.abs(ap - ex) / ex < 0.05, s"approx $ap vs exact $ex")
+  }
+
   test("bloom-prefiltered incremental dedup returns exactly the new docs") {
     val existing = Seq((0L, "doc alpha"), (1L, "doc beta"), (2L, "doc gamma"))
       .toDF("doc_id", "text")

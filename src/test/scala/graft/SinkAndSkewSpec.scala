@@ -43,6 +43,37 @@ class SinkAndSkewSpec extends SparkSpec {
     assert(math.abs(c - 1550.744) < 0.01, s"got $c")
   }
 
+  test("UNESCO potential temperature check value and identity") {
+    // Fofonoff & Millard (1983) check value: θ(40, 40, 10000 dbar → 0) =
+    // 36.89073 °C. At p = pr the adiabatic correction vanishes: θ = t.
+    val th = Seq((40.0, 40.0, 10000.0, 0.0)).toDF("s", "t", "p", "pr")
+      .select(Seawater.potentialTemp(col("s"), col("t"), col("p"), col("pr")).as("th"))
+      .as[Double].head()
+    assert(math.abs(th - 36.89073) < 1e-5, s"got $th")
+    val same = Seq((35.0, 10.0, 500.0, 500.0)).toDF("s", "t", "p", "pr")
+      .select(Seawater.potentialTemp(col("s"), col("t"), col("p"), col("pr")).as("th"))
+      .as[Double].head()
+    assert(math.abs(same - 10.0) < 1e-12, s"got $same")
+  }
+
+  test("stepped potential temperature matches the one-expression form") {
+    val df = Seq((34.5, 8.0, 3000.0), (30.0, 25.0, 150.0), (38.0, 2.0, 9000.0))
+      .toDF("s", "t", "p")
+    val oneExpr = df.select(
+      Seawater.potentialTemp(col("s"), col("t"), col("p"), lit(0.0)).as("th"))
+      .as[Double].collect().toSeq
+    val stepped = Seawater.withPotentialTemp(df, col("s"), col("t"), col("p"), 0.0, "th")
+      .select("th").as[Double].collect().toSeq
+    // same stages, different materialization — must agree to the last bit
+    assert(oneExpr == stepped)
+    // and the stepped SQL twin parses and agrees too (small enough now)
+    df.createOrReplaceTempView("ptmp_probe")
+    val sqlSide = spark.sql(
+      "SELECT th FROM (" + Seawater.ptmpStepSql("ptmp_probe", "s", "t", "p", 0.0, "th") + ")")
+      .as[Double].collect().toSeq
+    assert(oneExpr == sqlSide)
+  }
+
   test("salted join equals plain join") {
     val big = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
     val small = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_orderstatus")
