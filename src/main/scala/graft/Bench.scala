@@ -18,7 +18,11 @@ object Bench {
     // One warm-up pass over a tiny query so JVM/codegen startup cost is not
     // billed to the first benchmarked query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args: run only the named queries (dev-loop use).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else args.toSeq.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

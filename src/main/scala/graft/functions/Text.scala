@@ -32,6 +32,22 @@ object Text {
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct k-token shingle HASHES: each token is xxhash64'd once, then
+    * k consecutive token-hashes are combined per window. Equivalent
+    * near-dup semantics to [[shingles]] (a set of shingle identities) at
+    * a fraction of the cost — no per-shingle string concatenation, and
+    * `array_distinct` compares longs, not strings. Use for hash-consuming
+    * pipelines (minhash); keep [[shingles]] where the literal shingle
+    * text matters.
+    */
+  def shingleHashes(toks: Column, k: Int): Column = {
+    val tokHashes = transform(toks, t => xxhash64(t))
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => xxhash64((0 until k).map(j => element_at(tokHashes, i + j + 1)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   // --- MinHash ---------------------------------------------------------
 
   /** Deterministic 31-bit multiply-add parameters from a splitmix-style

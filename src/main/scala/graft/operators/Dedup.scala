@@ -144,11 +144,24 @@ object Dedup {
         sqrt(Text.norm2Exact(col(vecCol)).cast("double")).as("nrm"))
       val a = side.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
       val b = side.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-      broadcast(a).join(b, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          graft.Det.qz(Text.dotExact(col("v1"), col("v2")).cast("double") /
-            (col("n1") * col("n2")), 6).as("cos"))
-        .filter(col("cos") >= minCosine)
+      // Two-phase scoring INSIDE the join condition, cheap→expensive:
+      // And short-circuits left to right, so the codegen'd double-fold
+      // dot (native DotProductF after the HOF rewrite) prefilters every
+      // pair with a margin far wider than double-vs-decimal summation
+      // error (~64·eps relative), and the decimal-exact cosine —
+      // interpreted BigDecimal folds, ~10× costlier — only evaluates for
+      // the survivors. (A post-projection filter instead gets pushed
+      // into the join condition AHEAD of the cheap conjuncts, exact-
+      // scoring all pairs — measured 8.8 s vs 0.5 s on the benchmark.)
+      // Result is bit-identical to exact-scoring all pairs.
+      val exactCos = graft.Det.qz(Text.dotExact(col("v1"), col("v2")).cast("double") /
+        (col("n1") * col("n2")), 6)
+      val streamed = b.repartition(b.sparkSession.sessionState.conf.numShufflePartitions)
+      broadcast(a).join(streamed,
+        col("id1") < col("id2") &&
+          Text.dotFast(col("v1"), col("v2")) / (col("n1") * col("n2")) >= minCosine - 1e-4 &&
+          exactCos >= minCosine)
+        .select(col("id1"), col("id2"), exactCos.as("cos"))
     } else {
       val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         explode(array((0 until tables).map(t =>

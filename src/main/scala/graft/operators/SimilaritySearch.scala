@@ -21,23 +21,48 @@ object SimilaritySearch {
     * until the final per-query top-k, which is keyed on query id.
     * Ordering is on the *rounded* cosine + candidate id so results are
     * engine- and partitioning-stable.
+    *
+    * Two-phase scoring: phase 1 scores every pair with the codegen'd
+    * double-fold dot (native DotProductF after the HOF rewrite) and keeps
+    * only each query's top-k fast band — shuffling (qid, cid, score)
+    * triples, never vectors. Phase 2 joins the ~k survivors back to their
+    * vectors and rescores with the decimal-exact cosine (interpreted
+    * BigDecimal folds, ~10× costlier per pair). The fast band carries a
+    * 2e-6 margin below the k-th fast score — orders of magnitude wider
+    * than the ≤ ~1e-12 double-vs-decimal summation gap — so the band
+    * provably contains the exact top-k and the result is bit-identical
+    * to exact-scoring everything.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    // Norms are per-vector, so compute them BELOW the join: the join node
-    // blocks projection collapse, so each side's norm is evaluated once
-    // per row instead of once per pair (64× fewer decimal folds at k=64
-    // dims × 5 queries). The per-pair work is just the dot product.
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-      sqrt(Text.norm2Exact(col(vecCol)).cast("double")).as("qnorm"))
+      sqrt(Text.dotFast(col(vecCol), col(vecCol))).as("qnf"))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-      sqrt(Text.norm2Exact(col(vecCol)).cast("double")).as("cnorm"))
-    val scored = broadcast(q).crossJoin(c)
+      sqrt(Text.dotFast(col(vecCol), col(vecCol))).as("cnf"))
+    // Phase 1: map-side fast scores (fast norms too — the band margin
+    // covers their ulp-level gap from the exact norms); one keyed
+    // shuffle of scalar triples.
+    val fast = broadcast(q).crossJoin(c)
       .select(col("qid"), col("cid"),
-        graft.Det.qz(Text.dotExact(col("qvec"), col("cvec")).cast("double") /
-          (col("qnorm") * col("cnorm")), 6).as("cos"))
+        (Text.dotFast(col("qvec"), col("cvec")) / (col("qnf") * col("cnf"))).as("fcos"))
+    val wf = Window.partitionBy("qid").orderBy(col("fcos").desc, col("cid"))
+    val wAll = Window.partitionBy("qid")
+    val banded = fast
+      .withColumn("frnk", row_number().over(wf))
+      .withColumn("kth", max(when(col("frnk") === k, col("fcos"))).over(wAll))
+      .filter(col("kth").isNull || col("fcos") >= col("kth") - 2e-6)
+      .select("qid", "cid")
+    // Phase 2: fetch vectors for the ~k survivors; ALL decimal-exact
+    // arithmetic (dot and norms) happens here, on ~k rows per query.
+    val surv = banded
+      .join(broadcast(q), "qid")
+      .join(c, "cid")
+    val rescored = surv.select(col("qid"), col("cid"),
+      graft.Det.qz(Text.dotExact(col("qvec"), col("cvec")).cast("double") /
+        (sqrt(Text.norm2Exact(col("qvec")).cast("double")) *
+          sqrt(Text.norm2Exact(col("cvec")).cast("double"))), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w))
+    rescored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
 

@@ -486,6 +486,24 @@ object Relational {
     },
     None)
 
+  // ---- k3_sketch_union: mergeable HLL sketches (datasketches) ------------
+  // The 100 TB distinct-count path: build one sketch per partition-group
+  // (here: per source), persist/union them, estimate globally — no
+  // re-scan of raw data to combine. RegistrySpec pins the union estimate
+  // against the direct estimate and the exact count.
+  private val k3 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val perSource = d.groupBy(col("source"))
+        .agg(expr("hll_sketch_agg(text)").as("sk"),
+          countDistinct(col("text")).as("exact_distinct"))
+      perSource.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("union_estimate"),
+        sum(col("exact_distinct")).as("sum_exact"),
+        count(lit(1)).as("n_sources"))
+    },
+    None)
+
   // ---- k2_sketch_quantile: approx percentile sketch vs exact -------------
   private val k2 = Q(
     (s, dir) => {
@@ -523,5 +541,6 @@ object Relational {
     "q22_regex_extract" -> q22,
     "q23_cube" -> q23,
     "k1_sketch_distinct" -> k1,
-    "k2_sketch_quantile" -> k2)
+    "k2_sketch_quantile" -> k2,
+    "k3_sketch_union" -> k3)
 }
