@@ -29,6 +29,21 @@ object Tables {
         "user_id", "event_type", "value", "props")
     else df
   }
+
+  /** Guarantee at least the ambient parallelism before heavy per-row work.
+    *
+    * At warehouse scale a scan arrives as thousands of splits and this is
+    * a NO-OP — no shuffle is added, and map-side partial aggregation
+    * downstream keeps shuffle bytes minimal. On small inputs (a
+    * single-row-group file ⇒ a single scan task) it hash-repartitions on
+    * `by` so CPU-heavy projections (shingling, hashing, vector math) use
+    * every core instead of one; keying on the downstream aggregation
+    * column also lets EnsureRequirements elide the next exchange.
+    */
+  def spread(df: DataFrame, by: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(by)
+  }
 }
 
 /** One place for SparkSession construction so Verify / Bench / tests all

@@ -41,11 +41,18 @@ object Text {
     * text matters.
     */
   def shingleHashes(toks: Column, k: Int): Column = {
-    val tokHashes = transform(toks, t => xxhash64(t))
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(0), size(toks) - k),
-        i => xxhash64((0 until k).map(j => element_at(tokHashes, i + j + 1)): _*))))
-      .otherwise(array().cast("array<bigint>"))
+    // The token-hash array is bound as a LAMBDA VARIABLE (a transform over
+    // a single-element array) so it is evaluated once per row. Referencing
+    // the subexpression directly would re-inline it into every element_at
+    // — higher-order functions are interpreted, with no common-
+    // subexpression elimination, so that shape recomputes the entire hash
+    // array per access: O(n²·k) hashes/doc (measured 5× slower end-to-end).
+    val combined = transform(array(transform(toks, t => xxhash64(t))), th =>
+      when(size(th) >= k,
+        array_distinct(transform(sequence(lit(0), size(th) - k),
+          i => xxhash64((0 until k).map(j => element_at(th, i + j + 1)): _*))))
+        .otherwise(array().cast("array<bigint>")))
+    element_at(combined, 1)
   }
 
   // --- MinHash ---------------------------------------------------------

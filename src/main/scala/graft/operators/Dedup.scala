@@ -36,8 +36,9 @@ object Dedup {
                         blockCol: String, k: Int = 3,
                         maxShingleDf: Int = Int.MaxValue,
                         minJaccardInv: Int = 20): DataFrame = {
-    val raw = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      explode(Text.shingles(Text.tokens(col(textCol)), k)).as("sh"))
+    val raw = graft.Tables.spread(docs, col(idCol))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(Text.shingles(Text.tokens(col(textCol)), k)).as("sh"))
     val sh =
       if (maxShingleDf == Int.MaxValue) raw
       else {
@@ -78,10 +79,12 @@ object Dedup {
     // A row-local signature expression gets re-inlined by projection
     // collapse and recomputed per band key and per candidate pair (over
     // 20× slower end-to-end on the benchmark corpus).
-    val hashed = docs
+    // Shingle identity is a combined token-hash long ([[Text.shingleHashes]])
+    // — no per-shingle string build, and array_distinct compares longs.
+    val hashed = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"),
-        explode(Text.shingles(Text.tokens(col(textCol)), shingleLen)).as("sh"))
-      .select(col("id"), pmod(xxhash64(col("sh")), lit(Text.minhashPrime)).as("h"))
+        explode(Text.shingleHashes(Text.tokens(col(textCol)), shingleLen)).as("sh"))
+      .select(col("id"), pmod(col("sh"), lit(Text.minhashPrime)).as("h"))
     // custom one-pass TypedImperativeAggregate (graft.plans.MinHashSigAgg):
     // one long[k] buffer per group instead of k separate min() aggregates
     val sig = hashed.groupBy(col("id"))
@@ -156,7 +159,7 @@ object Dedup {
       // Result is bit-identical to exact-scoring all pairs.
       val exactCos = graft.Det.qz(Text.dotExact(col("v1"), col("v2")).cast("double") /
         (col("n1") * col("n2")), 6)
-      val streamed = b.repartition(b.sparkSession.sessionState.conf.numShufflePartitions)
+      val streamed = graft.Tables.spread(b, col("id2"))
       broadcast(a).join(streamed,
         col("id1") < col("id2") &&
           Text.dotFast(col("v1"), col("v2")) / (col("n1") * col("n2")) >= minCosine - 1e-4 &&
@@ -188,7 +191,7 @@ object Dedup {
     // Same materialization reasoning as minhash: per-bit ±1 sums as a
     // real aggregation (map-side combinable), simhash assembled from the
     // aggregated attributes.
-    val tok = docs
+    val tok = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val bitSums = (0 until 32).map { b =>

@@ -37,8 +37,9 @@ object SimilaritySearch {
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       sqrt(Text.dotFast(col(vecCol), col(vecCol))).as("qnf"))
-    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
-      sqrt(Text.dotFast(col(vecCol), col(vecCol))).as("cnf"))
+    val c = graft.Tables.spread(candidates, col(idCol))
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        sqrt(Text.dotFast(col(vecCol), col(vecCol))).as("cnf"))
     // Phase 1: map-side fast scores (fast norms too — the band margin
     // covers their ulp-level gap from the exact norms); one keyed
     // shuffle of scalar triples.
