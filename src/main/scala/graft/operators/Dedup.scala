@@ -36,29 +36,30 @@ object Dedup {
                         blockCol: String, k: Int = 3,
                         maxShingleDf: Int = Int.MaxValue,
                         minJaccardInv: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val raw = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"), col(blockCol).as("blk"),
         explode(Text.shingles(Text.tokens(col(textCol)), k)).as("sh"))
-    val sh =
+    // Document frequency as a WINDOW over (blk, sh) — one shuffle instead
+    // of the aggregate + join-back shape (same skew profile: a hot shingle
+    // makes a hot join key either way, and the df-cap exists to kill it).
+    val filtered =
       if (maxShingleDf == Int.MaxValue) raw
-      else {
-        val df = raw.groupBy(col("blk").as("dblk"), col("sh").as("dsh"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf)
-        raw.join(df, raw("blk") === col("dblk") && raw("sh") === col("dsh"))
-          .select(raw("id"), raw("blk"), raw("sh"))
-      }
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"),
+      else raw.withColumn("df", count(lit(1)).over(Window.partitionBy("blk", "sh")))
+        .filter(col("df") <= maxShingleDf).drop("df")
+    // Post-filter set size rides along as a second window; the self-join
+    // then carries both sizes inline, so no join-back against a sizes
+    // table afterwards. Self-join sides are identical subplans — the
+    // physical planner reuses one exchange for both.
+    val sh = filtered.withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    sh.as("a").join(sh.as("b"),
       col("a.sh") === col("b.sh") && col("a.blk") === col("b.blk") &&
         col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    pairs
-      .join(sizes.as("s1"), col("id1") === col("s1.id"))
-      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .agg(count(lit(1)).as("inter_cnt"),
+        max(col("a.sz")).as("sz1"), max(col("b.sz")).as("sz2"))
       .select(col("id1"), col("id2"), col("inter_cnt"),
-        (col("s1.sz") + col("s2.sz") - col("inter_cnt")).as("union_cnt"))
+        (col("sz1") + col("sz2") - col("inter_cnt")).as("union_cnt"))
       .filter(col("inter_cnt") * minJaccardInv >= col("union_cnt"))
   }
 
