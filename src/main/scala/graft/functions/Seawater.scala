@@ -94,6 +94,15 @@ object Seawater {
     def sub(a: T, b: T): T
     def mul(a: T, b: T): T
     def div(a: T, b: T): T
+    /** √, ln, eˣ. sqrt is IEEE-exact everywhere; ln/exp are libm calls
+      * that can differ by one ulp between the JVM and other engines —
+      * measured ~3e-4 of inputs for ln — which post-quantization flips a
+      * 1e-4 bucket with probability ~ulp/bucket ≈ 6e-10 per row.
+      * Acceptable for quantized oracle comparisons; do not use un-quantized.
+      */
+    def sqrtN(a: T): T
+    def lnN(a: T): T
+    def expN(a: T): T
   }
   private object ColNum extends Num[Column] {
     def const(v: Double): Column = lit(v)
@@ -101,6 +110,9 @@ object Seawater {
     def sub(a: Column, b: Column): Column = a - b
     def mul(a: Column, b: Column): Column = a * b
     def div(a: Column, b: Column): Column = a / b
+    def sqrtN(a: Column): Column = sqrt(a)
+    def lnN(a: Column): Column = log(a)
+    def expN(a: Column): Column = exp(a)
   }
   private object SqlNum extends Num[String] {
     def const(v: Double): String = {
@@ -112,6 +124,9 @@ object Seawater {
     def sub(a: String, b: String): String = s"($a - $b)"
     def mul(a: String, b: String): String = s"($a * $b)"
     def div(a: String, b: String): String = s"($a / $b)"
+    def sqrtN(a: String): String = s"SQRT($a)"
+    def lnN(a: String): String = s"LN($a)"
+    def expN(a: String): String = s"EXP($a)"
   }
 
   /** Adiabatic temperature gradient (°C/dbar), UNESCO 1983 `atg`:
@@ -248,4 +263,39 @@ object Seawater {
         s"$rt * $rt * ${cs(4)} + $rt * $rt * $srt * ${cs(5)})"
     s"(${poly(A)} + ((($t) - 15.0) / (1.0 + (($t) - 15.0) * $K)) * ${poly(B)})"
   }
+
+  // --- Oxygen solubility & freezing point ------------------------------
+
+  /** Oxygen solubility at 1 atm (µmol/kg), Garcia & Gordon (1992)
+    * combined fit to the Benson & Krause data — the saturation basis for
+    * percent-saturation oxygen handling (the reference bundles GSW's
+    * gsw_O2sol_SP_pt for this; OceanNcVar.py's oxygen branches consume
+    * it). Check value: O2sol(35, 10) ≈ 274.61 µmol/kg.
+    */
+  private def o2solG[T](s: T, t: T)(implicit N: Num[T]): T = {
+    import N._
+    def horner(x: T, cs: Double*): T =
+      cs.init.foldRight(const(cs.last))((c, acc) => add(const(c), mul(x, acc)))
+    val ts = lnN(div(sub(const(298.15), t), add(const(273.15), t)))
+    val a = horner(ts, 5.80871, 3.20291, 4.17887, 5.10006, -9.86643e-2, 3.80369)
+    val b = horner(ts, -7.01577e-3, -7.70028e-3, -1.13864e-2, -9.51519e-3)
+    expN(add(add(a, mul(s, b)), mul(const(-2.75915e-7), mul(s, s))))
+  }
+  def o2Solubility(s: Column, t: Column): Column = o2solG(s, t)(ColNum)
+  def o2SolubilitySql(s: String, t: String): String = o2solG(s"($s)", s"($t)")(SqlNum)
+
+  /** Freezing point of seawater (°C), UNESCO 1983 (Millero & Leung 1976
+    * fit): tf = −0.0575·S + 1.710523e−3·S^1.5 − 2.154996e−4·S² − 7.53e−4·p.
+    * Check value: tf(35, 0) ≈ −1.9223 °C. Pure +,·,√ — bit-identical
+    * across engines, no transcendentals.
+    */
+  private def freezeG[T](s: T, p: T)(implicit N: Num[T]): T = {
+    import N._
+    add(add(add(mul(const(-0.0575), s),
+      mul(const(1.710523e-3), mul(s, sqrtN(s)))),
+      mul(const(-2.154996e-4), mul(s, s))),
+      mul(const(-7.53e-4), p))
+  }
+  def freezingPoint(s: Column, p: Column): Column = freezeG(s, p)(ColNum)
+  def freezingPointSql(s: String, p: String): String = freezeG(s"($s)", s"($p)")(SqlNum)
 }

@@ -179,6 +179,48 @@ object Text {
             ascii(substring(t, -1, 1)).cast("long"))),
       lit(0L), (acc, x) => acc + x), lit(fingerprintMod))
 
+  // --- URL canonicalization --------------------------------------------
+
+  /** Canonical URL form for web-corpus dedup: lowercase scheme and host,
+    * default ports (:80 http / :443 https) stripped, fragment dropped,
+    * trailing path slashes removed, tracking params (utm_*, gclid,
+    * fbclid) dropped and the surviving query params sorted. Pure
+    * regexp/array built-ins — codegen'd, map-only, and the pattern
+    * subset (no backrefs/lookahead) evaluates identically under Java
+    * regex and RE2-based engines.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val hostNoPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host, ":443$", ""))
+      .otherwise(host)
+    val path = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathNorm = regexp_replace(path, "/+$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => !p.rlike("^(utm_[^=]*|gclid|fbclid)="))), "&")
+    concat(scheme, lit("://"), hostNoPort, pathNorm,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** SQL twin of [[canonicalUrl]] over a URL expression string. */
+  def canonicalUrlSql(u: String): String = {
+    val noFrag = s"regexp_replace(($u), '#.*', '')"
+    val scheme = s"lower(regexp_extract($noFrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val host = s"lower(regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    val hostNoPort = s"(CASE WHEN $scheme = 'http' THEN regexp_replace($host, ':80$$', '')" +
+      s" WHEN $scheme = 'https' THEN regexp_replace($host, ':443$$', '') ELSE $host END)"
+    val path = s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    val pathNorm = s"regexp_replace($path, '/+$$', '')"
+    val query = s"regexp_extract($noFrag, '\\?([^#]*)', 1)"
+    val kept = s"array_to_string(list_sort(list_filter(string_split($query, '&')," +
+      s" p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))), '&')"
+    s"concat($scheme, '://', $hostNoPort, $pathNorm," +
+      s" CASE WHEN $kept = '' THEN '' ELSE concat('?', $kept) END)"
+  }
+
   // --- Vectors ---------------------------------------------------------
 
   val VecDec = DecimalType(38, 18)

@@ -353,6 +353,44 @@ object ReferenceOps {
       FROM ($stepped) z ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r15_o2_solubility: Garcia & Gordon (1992) saturation basis ------
+  private val r15 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sal", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("tc", col("l_quantity") % 30.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.o2Solubility(col("sal"), col("tc"))).as("o2sol"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val o2 = graft.functions.Seawater.o2SolubilitySql(
+        "30.0 + l_discount * 100.0", "l_quantity % 30.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($o2) * 1e4 + 0.5) / 1e4 AS o2sol
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
+  // ---- r16_freezing_point: UNESCO 1983 tf(S, p) ------------------------
+  private val r16 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sal", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("pdb", col("l_extendedprice") % 500.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.freezingPoint(col("sal"), col("pdb"))).as("tf"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val tf = graft.functions.Seawater.freezingPointSql(
+        "30.0 + l_discount * 100.0", "l_extendedprice % 500.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($tf) * 1e4 + 0.5) / 1e4 AS tf
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -367,5 +405,7 @@ object ReferenceOps {
     "r11_salinity" -> r11,
     "r12_density" -> r12,
     "r13_sound_speed" -> r13,
-    "r14_potential_temp" -> r14)
+    "r14_potential_temp" -> r14,
+    "r15_o2_solubility" -> r15,
+    "r16_freezing_point" -> r16)
 }

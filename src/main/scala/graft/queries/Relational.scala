@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Det.{dsum, dsumSql, davg, davgSql}
 
@@ -473,6 +474,112 @@ object Relational {
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY gid, status, priority"""))
 
+  // ---- q24_window_range: RANGE-frame trailing window --------------------
+  // Day-granularity integer ordering on both sides: RANGE frame
+  // membership is then set-deterministic, and the decimal frame sum is
+  // order-free, so any partitioning yields identical doubles.
+  private val q24 = Q(
+    (s, dir) => {
+      val epochDay = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(epochDay)
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(Det.D)).over(w).cast("double").as("trailing_30d"),
+          count(lit(1)).over(w).as("n_in_window"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS trailing_30d,
+             COUNT(*) OVER w AS n_in_window
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // ---- q25_dist_window: ntile / percent_rank / cume_dist ----------------
+  // The ORDER BY is made total (price, orderkey, linenumber) — ntile is
+  // not tie-deterministic, and with a total order every distribution
+  // function is exact on both engines.
+  private val q25 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          ntile(4).over(w).as("tile"),
+          Det.qz(percent_rank().over(w), 6).as("pr"),
+          Det.qz(cume_dist().over(w), 6).as("cd"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(ntile(4) OVER w AS INTEGER) AS tile,
+             FLOOR(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,
+             FLOOR(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd
+      FROM lineitem WHERE l_orderkey < 2000
+      WINDOW w AS (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      ORDER BY l_returnflag, l_orderkey, l_linenumber"""))
+
+  // ---- q26_corr_stats: deterministic correlation / covariance -----------
+  // Built from exact decimal component sums (Sx, Sy, Sxy, Sxx, Syy) with
+  // the closing arithmetic in scalar IEEE doubles — the built-in corr()
+  // is a streaming float aggregate whose result depends on partitioning,
+  // so it can never hash-match a second engine.
+  private val q26 = Q(
+    (s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val g = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(Det.D)).cast("double").as("sx"),
+          sum(y.cast(Det.D)).cast("double").as("sy"),
+          sum((x * y).cast(Det.D)).cast("double").as("sxy"),
+          sum((x * x).cast(Det.D)).cast("double").as("sxx"),
+          sum((y * y).cast(Det.D)).cast("double").as("syy"))
+      g.select(col("l_returnflag"), col("n"),
+        Det.qz((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_xy"),
+        Det.qz((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 4).as("covar_pop"),
+        Det.qz(sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))), 6).as("stddev_x"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, n,
+             FLOOR((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6 AS corr_xy,
+             FLOOR((sxy - sx * sy / n) / n * 1e4 + 0.5) / 1e4 AS covar_pop,
+             FLOOR(SQRT(sxx / n - (sx / n) * (sx / n)) * 1e6 + 0.5) / 1e6 AS stddev_x
+      FROM (SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag) g
+      ORDER BY l_returnflag"""))
+
+  // ---- q27_listagg: ordered string aggregation --------------------------
+  // collect_list order is partitioning-dependent; array_sort makes the
+  // aggregation order-free, matching string_agg(... ORDER BY) exactly
+  // (ASCII names, so binary and collation order agree).
+  private val q27 = Q(
+    (s, dir) => {
+      t(s, dir, "customer").filter(col("c_custkey") % 7 === 0)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_name"))), "|").as("names"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n,
+             string_agg(c_name, '|' ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey % 7 = 0
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   // ---- k1_sketch_distinct: HLL++ approx distinct vs exact ----------------
   // Sketch outputs are engine-specific, so no SQL oracle; RegistrySpec
   // pins the relative-error bound against the exact counts.
@@ -540,6 +647,10 @@ object Relational {
     "q21_json_extract" -> q21,
     "q22_regex_extract" -> q22,
     "q23_cube" -> q23,
+    "q24_window_range" -> q24,
+    "q25_dist_window" -> q25,
+    "q26_corr_stats" -> q26,
+    "q27_listagg" -> q27,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3)

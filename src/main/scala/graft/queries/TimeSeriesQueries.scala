@@ -110,9 +110,55 @@ object TimeSeriesQueries {
         ON value >= lo AND value < hi
       GROUP BY band ORDER BY band"""))
 
+  // ---- s5_gap_fill: regular grid + as-of carry-forward ------------------
+  // Per-user 6 h grid between hour-truncated first and last event, filled
+  // with the latest preceding observation — grid generation is
+  // sequence+explode (map-side after one tiny agg), the fill reuses the
+  // join-free as-of operator (union + one keyed sort).
+  private val s5 = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 40)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("INTERVAL 6 HOURS"))).as("gts"))
+      TimeSeries.asOfJoin(grid, ev, Seq("user_id"), "gts", "ts", Seq("event_id", "value"))
+        .select(col("user_id"), col("gts"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy("user_id", "gts")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE user_id < 40),
+      b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+        FROM ev GROUP BY user_id),
+      g AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS gts
+        FROM b),
+      u AS (
+        SELECT user_id, gts AS ts, 1 AS side, gts,
+               NULL::BIGINT AS eid, NULL::DOUBLE AS v
+        FROM g
+        UNION ALL
+        SELECT user_id, ts, 0, NULL, event_id, value FROM ev)
+      SELECT user_id, gts,
+             asof_event_id, asof_value
+      FROM (
+        SELECT user_id, gts, side,
+               last_value(eid IGNORE NULLS) OVER w AS asof_event_id,
+               last_value(v IGNORE NULLS) OVER w AS asof_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, eid
+                     ROWS UNBOUNDED PRECEDING)) z
+      WHERE side = 1
+      ORDER BY user_id, gts"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
     "s3_asof_join" -> s3,
-    "s4_range_join" -> s4)
+    "s4_range_join" -> s4,
+    "s5_gap_fill" -> s5)
 }

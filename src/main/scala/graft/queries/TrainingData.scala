@@ -103,6 +103,40 @@ object TrainingData {
         FROM e a JOIN e b ON a.vec_id < b.vec_id) z
       WHERE cos >= 0.30 ORDER BY id1, id2"""))
 
+  // ---- d6_dedup_url: URL canonicalization dedup ------------------------
+  // URLs are synthesized deterministically from doc_id on BOTH sides
+  // (mixed case, default ports, tracking params, trailing slashes,
+  // fragments), then canonicalized and grouped — modulo collisions give
+  // real duplicate groups.
+  private val d6 = Q(
+    (s, dir) => {
+      val url = concat(
+        lit("HTTP://Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Path/"), (col("doc_id") % 11).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?id="), (col("doc_id") % 13).cast("string"),
+        lit("&utm_source=feed&b=2"),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.canonicalUrl(url).as("canon"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+        .orderBy("canon")
+    },
+    Some {
+      val urlSql = "concat('HTTP://Example', CAST(doc_id % 7 AS VARCHAR), '.COM', " +
+        "CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END, " +
+        "'/Path/', CAST(doc_id % 11 AS VARCHAR), " +
+        "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END, " +
+        "'?id=', CAST(doc_id % 13 AS VARCHAR), '&utm_source=feed&b=2', " +
+        "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+      s"""
+      SELECT canon, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+      FROM (SELECT doc_id, ${Text.canonicalUrlSql(urlSql)} AS canon FROM documents) u
+      GROUP BY canon ORDER BY canon"""
+    })
+
   // ---- t1_token_count --------------------------------------------------
   private val t1 = Q(
     (s, dir) => {
@@ -267,12 +301,55 @@ object TrainingData {
              upper(hex(encode(substr(text, 1, 8)))) AS head_hex
       FROM documents ORDER BY doc_id"""))
 
+  // ---- m2_header_decode: typed metadata out of opaque bytes -------------
+  // The multimodal decode shape with a portable oracle: a deterministic
+  // 16-hex-digit "codec header" derived from the document bytes, parsed
+  // into typed fields (format tag, big-endian u16 width/height, flag
+  // bits) with hex→int conversion — the same plumbing a real image
+  // header sniffer runs over binary columns.
+  private val m2 = Q(
+    (s, dir) => {
+      val h = md5(encode(col("text"), "UTF-8"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), substring(h, 1, 16).as("hdr"))
+        .select(col("doc_id"), col("hdr"),
+          element_at(array(lit("raw"), lit("rgb"), lit("yuv"), lit("gray")),
+            (conv(substring(col("hdr"), 1, 1), 16, 10).cast("int") % 4) + 1).as("format"),
+          conv(substring(col("hdr"), 2, 4), 16, 10).cast("long").as("width"),
+          conv(substring(col("hdr"), 6, 4), 16, 10).cast("long").as("height"),
+          (conv(substring(col("hdr"), 10, 2), 16, 10).cast("int").bitwiseAND(lit(3))).as("flags"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, hdr,
+             ['raw', 'rgb', 'yuv', 'gray'][(CAST(('0x' || substr(hdr, 1, 1)) AS INTEGER) % 4) + 1] AS format,
+             CAST(('0x' || substr(hdr, 2, 4)) AS BIGINT) AS width,
+             CAST(('0x' || substr(hdr, 6, 4)) AS BIGINT) AS height,
+             CAST(('0x' || substr(hdr, 10, 2)) AS INTEGER) & 3 AS flags
+      FROM (SELECT doc_id, substr(md5(text), 1, 16) AS hdr FROM documents) h
+      ORDER BY doc_id"""))
+
+  // ---- v3_ann_ivf: trained-partition ANN (KMeans centroids) -------------
+  // Clustering output is initialization-dependent, so no SQL oracle; the
+  // spec pins recall against the brute-force path.
+  private val v3 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+        .orderBy("qid", "rnk")
+    },
+    None)
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
     "d3_dedup_minhash" -> d3,
     "d4_dedup_simhash" -> d4,
     "d5_dedup_embedding" -> d5,
+    "d6_dedup_url" -> d6,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
@@ -280,5 +357,7 @@ object TrainingData {
     "t5_edit_distance" -> t5,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
-    "m1_binary_meta" -> m1)
+    "v3_ann_ivf" -> v3,
+    "m1_binary_meta" -> m1,
+    "m2_header_decode" -> m2)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.{Seawater, Text}
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+/** Round-2 additions: URL canonicalization, oxygen solubility / freezing
+  * point check values, IVF ANN recall against the brute-force baseline.
+  */
+class Round2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(Text.canonicalUrl(col("u")).as("c"))
+      .collect().head.getString(0)
+
+  test("canonicalUrl lowers scheme+host, strips default port and fragment") {
+    assert(canon("HTTP://Example.COM:80/a#frag") == "http://example.com/a")
+    assert(canon("HTTPS://X.org:443/a") == "https://x.org/a")
+    // non-default ports survive
+    assert(canon("http://x.org:8080/a") == "http://x.org:8080/a")
+    // :443 is NOT default for http
+    assert(canon("http://x.org:443/a") == "http://x.org:443/a")
+  }
+
+  test("canonicalUrl strips tracking params, sorts the rest, trims slashes") {
+    assert(canon("http://x.org/a/?b=2&utm_source=f&a=1") == "http://x.org/a?a=1&b=2")
+    assert(canon("http://x.org/?utm_campaign=c&gclid=g&fbclid=f") == "http://x.org")
+    assert(canon("http://x.org/a///") == "http://x.org/a")
+    assert(canon("http://x.org") == "http://x.org")
+  }
+
+  test("oxygen solubility and freezing point match published check values") {
+    val row = Seq((35.0, 10.0)).toDF("s", "t")
+      .select(Seawater.o2Solubility(col("s"), col("t")).as("o2"),
+        Seawater.freezingPoint(col("s"), lit(0.0)).as("tf"),
+        Seawater.freezingPoint(col("s"), lit(500.0)).as("tfp"))
+      .collect().head
+    assert(math.abs(row.getDouble(0) - 274.61) < 0.05, s"o2sol=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - (-1.9223)) < 0.0005, s"tf=${row.getDouble(1)}")
+    // pressure term: −7.53e−4 °C/dbar
+    assert(math.abs(row.getDouble(2) - row.getDouble(1) + 0.3765) < 1e-9)
+  }
+
+  test("IVF ANN recall vs brute force on the test embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val brute = SimilaritySearch.bruteForceTopK(q, c, "vec_id", "embedding", 10)
+      .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilaritySearch.ivfTopK(q, c, "vec_id", "embedding", 10)
+      .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor (nProbe=2 of 8 lists)")
+  }
+}
