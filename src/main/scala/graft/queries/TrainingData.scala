@@ -337,7 +337,7 @@ object TrainingData {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.ivfTopK(
         emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
-        "vec_id", "embedding", k = 10)
+        "vec_id", "embedding", k = 10, nCentroids = 10, nProbe = 3, iters = 3)
         .select(col("qid"), col("cid"), col("cos"), col("rnk"))
         .orderBy("qid", "rnk")
     },

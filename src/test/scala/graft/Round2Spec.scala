@@ -49,9 +49,10 @@ class Round2Spec extends SparkSpec {
     val c = emb.filter(col("vec_id") >= 5)
     val brute = SimilaritySearch.bruteForceTopK(q, c, "vec_id", "embedding", 10)
       .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SimilaritySearch.ivfTopK(q, c, "vec_id", "embedding", 10)
+    val ivf = SimilaritySearch.ivfTopK(q, c, "vec_id", "embedding", 10,
+      nCentroids = 10, nProbe = 3, iters = 3)
       .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.5, s"IVF recall $recall below floor (nProbe=2 of 8 lists)")
+    assert(recall >= 0.5, s"IVF recall $recall below floor (nProbe=3 of 10 lists)")
   }
 }
