@@ -55,4 +55,33 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("v2_ann_lsh")
     assert(p.contains("graft_dot"), p.take(1200))
   }
+
+  test("s5: gap fill plans no join — grid + carry-forward is window-only") {
+    val p = planOf("s5_gap_fill")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "gap fill must reuse the join-free as-of shape")
+  }
+
+  test("d2: jaccard self-join reuses one exchange for both sides") {
+    val df = SparkEntry.queries("d2_dedup_ngram_jaccard")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
+      p.contains("ReusedQueryStage") || p.contains("ShuffleQueryStage"),
+      p.take(1500))
+  }
+
+  test("q24: RANGE window runs as a single keyed window (no join)") {
+    val p = planOf("q24_window_range")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("Join"), "range frame must not expand to a join")
+  }
+
+  test("d6: URL canonicalization stays map-only below one aggregation") {
+    val p = planOf("d6_dedup_url")
+    // exactly one aggregation exchange (plus the final sort) — no joins
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
 }
