@@ -391,6 +391,42 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r17_mixed_layer: per-profile mixed-layer depth -------------------
+  // The classic profile-derived product: the shallowest level where σ-t
+  // exceeds the surface value by a threshold. Profiles are synthesized
+  // (order = profile, linenumber = level); one window for the surface
+  // value + one conditional min aggregate — a single keyed exchange.
+  private val r17 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sal", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("tc", col("l_quantity") % 30.0)
+        .withColumn("sigma", graft.functions.Seawater.sigmaT(col("sal"), col("tc")))
+      // (orderkey, linenumber) is NOT unique in the test data — sigma as
+      // tiebreak makes the surface pick total-order deterministic (equal
+      // sigma ties are harmless: either row yields the same surf).
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("sigma"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.withColumn("surf", first(col("sigma")).over(w))
+        .groupBy(col("l_orderkey"))
+        .agg(min(when(col("sigma") - col("surf") > 0.1, col("l_linenumber"))).as("mld_level"),
+          count(lit(1)).as("n_levels"))
+        .orderBy("l_orderkey")
+    },
+    Some {
+      val st = graft.functions.Seawater.sigmaTSql("30.0 + l_discount * 100.0", "l_quantity % 30.0")
+      s"""
+      SELECT l_orderkey,
+             MIN(CASE WHEN sigma - surf > 0.1 THEN l_linenumber END) AS mld_level,
+             COUNT(*) AS n_levels
+      FROM (
+        SELECT l_orderkey, l_linenumber, sigma,
+               first_value(sigma) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, sigma
+                                        ROWS UNBOUNDED PRECEDING) AS surf
+        FROM (SELECT l_orderkey, l_linenumber, ($st) AS sigma FROM lineitem) s0) s1
+      GROUP BY l_orderkey ORDER BY l_orderkey"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -407,5 +443,6 @@ object ReferenceOps {
     "r13_sound_speed" -> r13,
     "r14_potential_temp" -> r14,
     "r15_o2_solubility" -> r15,
-    "r16_freezing_point" -> r16)
+    "r16_freezing_point" -> r16,
+    "r17_mixed_layer" -> r17)
 }

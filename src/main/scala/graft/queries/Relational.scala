@@ -580,6 +580,33 @@ object Relational {
       FROM customer WHERE c_custkey % 7 = 0
       GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  // ---- q28_argminmax: min_by / max_by with an exact integer tiebreak ----
+  // acctbal has 2 decimals and |custkey| < 2^20, so
+  // ord = round(bal·100)·2^21 + (2^20 − custkey) is an exact BIGINT that
+  // orders by balance then lower-custkey — arg extremes become
+  // deterministic on both engines (bare min_by/max_by tie order is not).
+  private val q28 = Q(
+    (s, dir) => {
+      val ord = (round(col("c_acctbal") * 100).cast("long") * 2097152L +
+        (lit(1048576L) - col("c_custkey"))).as("ord")
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_name"), ord)
+        .groupBy(col("c_nationkey"))
+        .agg(max_by(col("c_name"), col("ord")).as("richest"),
+          min_by(col("c_name"), col("ord")).as("poorest"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+    Some("""
+      SELECT c_nationkey,
+             arg_max(c_name, ord) AS richest,
+             arg_min(c_name, ord) AS poorest,
+             COUNT(*) AS n
+      FROM (SELECT c_nationkey, c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) * 2097152 + (1048576 - c_custkey) AS ord
+            FROM customer) c
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   // ---- k1_sketch_distinct: HLL++ approx distinct vs exact ----------------
   // Sketch outputs are engine-specific, so no SQL oracle; RegistrySpec
   // pins the relative-error bound against the exact counts.
@@ -651,6 +678,7 @@ object Relational {
     "q25_dist_window" -> q25,
     "q26_corr_stats" -> q26,
     "q27_listagg" -> q27,
+    "q28_argminmax" -> q28,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3)

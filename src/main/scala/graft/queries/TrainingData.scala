@@ -242,6 +242,34 @@ object TrainingData {
         AND levenshtein(a.p_name, b.p_name) <= 12
       ORDER BY id1, id2"""))
 
+  // ---- t6_ngram_freq: top bigrams per language --------------------------
+  // Corpus n-gram statistics: explode bigram shingles (distributed via
+  // spread), one keyed count, one window top-k per language.
+  private val t6 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("lang"),
+          explode(Text.shingles(Text.tokens(lower(col("text"))), 2)).as("bigram"))
+      val counted = sh.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
+      counted.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT lang,
+               unnest(list_distinct(list_transform(range(greatest(len(w)-1, 0)),
+                 i -> array_to_string(w[i+1:i+2], ' ')))) AS bigram
+        FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents) tkn),
+      c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM sh GROUP BY 1, 2)
+      SELECT lang, bigram, cnt, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rnk
+            FROM c) z
+      WHERE rnk <= 5 ORDER BY lang, rnk"""))
+
   // ---- v1_cosine_topk: brute-force baseline ----------------------------
   private val v1 = Q(
     (s, dir) => {
@@ -329,6 +357,36 @@ object TrainingData {
       FROM (SELECT doc_id, substr(md5(text), 1, 16) AS hdr FROM documents) h
       ORDER BY doc_id"""))
 
+  // ---- m3_frame_sample: strided frame sampling over opaque payloads ----
+  // The video-frame-sampling shape: a payload is cut into fixed 16-byte
+  // frames, every 4th frame (stride 64) is sampled and fingerprinted —
+  // one constant-size transform per row, no explode, order preserved in
+  // the output array. Frame extraction is substr arithmetic; the decode
+  // itself stays a stub (no codecs in env) exactly like Multimodal.
+  private val m3 = Q(
+    (s, dir) => {
+      val n = length(col("text"))
+      val nFrames = when(n >= 16, floor((n - 16) / 64).cast("int") + 1).otherwise(0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), nFrames.as("n_frames"),
+          transform(sequence(lit(0), nFrames - 1),
+            i => substring(md5(encode(col("text").substr(i * 64 + 1, lit(16)), "UTF-8")), 1, 8))
+            .as("frame_fps"))
+        .filter(col("n_frames") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, n_frames,
+             list_transform(range(n_frames),
+               i -> substr(md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 16)), 1, 8)) AS frame_fps
+      FROM (SELECT doc_id, text,
+                   CASE WHEN LENGTH(text) >= 16
+                        THEN CAST(FLOOR((LENGTH(text) - 16) / 64) AS INTEGER) + 1
+                        ELSE 0 END AS n_frames
+            FROM documents) f
+      WHERE n_frames > 0
+      ORDER BY doc_id"""))
+
   // ---- v3_ann_ivf: trained-partition ANN (KMeans centroids) -------------
   // Clustering output is initialization-dependent, so no SQL oracle; the
   // spec pins recall against the brute-force path.
@@ -355,9 +413,11 @@ object TrainingData {
     "t3_quality_score" -> t3,
     "t4_fingerprint" -> t4,
     "t5_edit_distance" -> t5,
+    "t6_ngram_freq" -> t6,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
     "m1_binary_meta" -> m1,
-    "m2_header_decode" -> m2)
+    "m2_header_decode" -> m2,
+    "m3_frame_sample" -> m3)
 }
