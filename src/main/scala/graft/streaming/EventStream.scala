@@ -72,6 +72,51 @@ object EventStream {
       s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval $windowSeconds seconds"))
   }
 
+  /** Stream-static enrichment: join the stream against a static dimension
+    * table. The static side plans as a broadcast hash join per
+    * micro-batch — no stream state at all, the streaming twin of the
+    * batch dim-chain joins (and re-read each batch, so slowly-changing
+    * dims pick up updates).
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
+  case class OpenSession(startTs: Long, lastTs: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Completed-session emission with `flatMapGroupsWithState`: a session
+    * CLOSES when a later event on the same key arrives more than
+    * `gapSeconds` after it — the closed record is emitted downstream
+    * (0..n outputs per group per batch — the flatMap, not map, contract)
+    * while the still-open session stays in state.
+    */
+  def completedSessions(events: Dataset[(Long, Timestamp)],
+                        gapSeconds: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[OpenSession]) =>
+          val gapUs = gapSeconds * 1000000L
+          val sorted = rows.map(_._2.getTime * 1000L).toSeq.sorted
+          val closed = Seq.newBuilder[ClosedSession]
+          var open = state.getOption
+          sorted.foreach { t =>
+            open match {
+              case Some(s) if t - s.lastTs <= gapUs =>
+                open = Some(OpenSession(s.startTs, t, s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(user, s.startTs, s.lastTs, s.n)
+                open = Some(OpenSession(t, t, 1L))
+              case None =>
+                open = Some(OpenSession(t, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Convenience: wire a streaming DataFrame to an in-memory sink for
     * tests/demos; production sinks are parquet/kafka via the same plan.
     */

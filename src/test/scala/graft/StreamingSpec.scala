@@ -114,4 +114,42 @@ class StreamingSpec extends SparkSpec {
 
     assert(streamed == batch)
   }
+
+  test("flatMapGroupsWithState emits closed sessions matching batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.toMemorySink(
+      EventStream.completedSessions(input.toDS(), gapSeconds = 1800).toDF(), "closed_test")
+    // user 1: sessions {0,10}, {80,95} — first closes when 80 arrives
+    // user 2: {5}, {50} — first closes when 50 arrives; user 3 stays open
+    val all = Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(5)), (1L, ts(80)),
+      (2L, ts(50)), (1L, ts(95)), (3L, ts(30)))
+    input.addData(all.take(3)); q.processAllAvailable()
+    input.addData(all.drop(3)); q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("closed_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def us(min: Int): Long = ts(min).getTime * 1000L
+    // still-open sessions (1:{80,95}, 2:{50}, 3:{30}) must NOT be emitted
+    assert(closed == Set(
+      (1L, us(0), us(10), 2L),
+      (2L, us(5), us(5), 1L)))
+  }
+
+  test("stream-static dim enrichment matches the batch broadcast join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.toMemorySink(
+      EventStream.enrichWithDim(input.toDF().toDF("user_id", "ts"), dim, "user_id"),
+      "enrich_test")
+    input.addData(Seq((1L, ts(0)), (2L, ts(1)), (9L, ts(2)))); q.processAllAvailable()
+    input.addData(Seq((1L, ts(3)))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_test").select("user_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    // inner join: unknown user 9 dropped; user 1 enriched twice
+    assert(got == Seq((1L, "gold"), (1L, "gold"), (2L, "silver")))
+  }
 }
