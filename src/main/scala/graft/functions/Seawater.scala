@@ -298,4 +298,42 @@ object Seawater {
   }
   def freezingPoint(s: Column, p: Column): Column = freezeG(s, p)(ColNum)
   def freezingPointSql(s: String, p: String): String = freezeG(s"($s)", s"($p)")(SqlNum)
+
+  /** Conservative Temperature from potential temperature, TEOS-10
+    * `gsw_ct_from_pt` (reference bundles it:
+    * GSW-Python/gsw-3.3.1/src/c_gsw/gsw_oceanographic_toolbox.c:1401-1440):
+    * potential enthalpy polynomial in (√(sfac·SA), pt/40) divided by
+    * cp₀ = 3991.86795711963 J/(kg·K). Check value:
+    * CT(34.7118, 28.7856) ≈ 28.80992 °C. Rational polynomial + sqrt only
+    * — bit-identical across engines.
+    */
+  private def ctFromPtG[T](sa: T, pt: T)(implicit N: Num[T]): T = {
+    import N._
+    val x2 = mul(const(0.0248826675584615), sa) // gsw_sfac·SA
+    val x = sqrtN(x2)
+    val y = mul(pt, const(0.025))
+    def tail(a: Double, b: Double): T = mul(add(const(a), mul(const(b), y)), y)
+    val s1 = add(const(61.01362420681071), mul(y, add(const(168776.46138048015),
+      mul(y, add(const(-2735.2785605119625), mul(y, add(const(2574.2164453821433),
+        mul(y, add(const(-1536.6644434977543), mul(y, add(const(545.7340497931629),
+          tail(-50.91091728474331, -18.30489878927802))))))))))))
+    val s2 = add(const(268.5520265845071), mul(y, add(const(-12019.028203559312),
+      mul(y, add(const(3734.858026725145), mul(y, add(const(-2046.7671145057618),
+        mul(y, add(const(465.28655623826234),
+          tail(-0.6370820302376359, -10.650848542359153))))))))))
+    val s3 = add(const(937.2099110620707), mul(y, add(const(588.1802812170108),
+      mul(y, add(const(248.39476522971285),
+        tail(-3.871557904936333, -2.6268019854268356))))))
+    val sx = add(add(const(-1687.914374187449),
+      mul(x, add(const(246.9598888781377),
+        mul(x, add(const(123.59576582457964), mul(const(-48.5891069025409), x)))))),
+      mul(y, add(const(936.3206544460336), mul(y, add(const(-942.7827304544439),
+        mul(y, add(const(369.4389437509002),
+          tail(-33.83664947895248, -9.987880382780322))))))))
+    val pot = add(s1, mul(x2, add(s2, mul(x, add(s3, mul(x, sx))))))
+    div(pot, const(3991.86795711963))
+  }
+  def conservativeTemp(sa: Column, pt: Column): Column = ctFromPtG(sa, pt)(ColNum)
+  def conservativeTempSql(sa: String, pt: String): String =
+    ctFromPtG(s"($sa)", s"($pt)")(SqlNum)
 }

@@ -427,6 +427,25 @@ object ReferenceOps {
       GROUP BY l_orderkey ORDER BY l_orderkey"""
     })
 
+  // ---- r18_conservative_temp: TEOS-10 CT from θ ------------------------
+  private val r18 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sa", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("pt", col("l_quantity") % 30.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.conservativeTemp(col("sa"), col("pt"))).as("ct"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val ct = graft.functions.Seawater.conservativeTempSql(
+        "30.0 + l_discount * 100.0", "l_quantity % 30.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($ct) * 1e4 + 0.5) / 1e4 AS ct
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -444,5 +463,6 @@ object ReferenceOps {
     "r14_potential_temp" -> r14,
     "r15_o2_solubility" -> r15,
     "r16_freezing_point" -> r16,
-    "r17_mixed_layer" -> r17)
+    "r17_mixed_layer" -> r17,
+    "r18_conservative_temp" -> r18)
 }

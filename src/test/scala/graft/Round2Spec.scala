@@ -30,6 +30,16 @@ class Round2Spec extends SparkSpec {
     assert(canon("http://x.org") == "http://x.org")
   }
 
+  test("conservative temperature matches the reference polynomial") {
+    // 28.812329772185855 = the reference's gsw_ct_from_pt(34.7118, 28.7856)
+    // (gsw_oceanographic_toolbox.c:1401-1440) evaluated verbatim — the
+    // GSW check-table value 28.8099 is for in-situ t, not pt.
+    val ct = Seq((34.7118, 28.7856)).toDF("sa", "pt")
+      .select(Seawater.conservativeTemp(col("sa"), col("pt")).as("ct"))
+      .collect().head.getDouble(0)
+    assert(math.abs(ct - 28.812329772185855) < 1e-9, s"ct=$ct")
+  }
+
   test("oxygen solubility and freezing point match published check values") {
     val row = Seq((35.0, 10.0)).toDF("s", "t")
       .select(Seawater.o2Solubility(col("s"), col("t")).as("o2"),
