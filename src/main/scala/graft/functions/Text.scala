@@ -24,13 +24,17 @@ object Text {
 
   /** Distinct k-word shingles. Empty array when the doc is shorter than k
     * (Spark's `sequence(0, n)` counts *down* for negative n, so the guard
-    * is required, not cosmetic).
+    * is required, not cosmetic). The token array is bound as a lambda
+    * variable (same reasoning as [[shingleHashes]]): when `toks` is a
+    * computed expression like split(), a direct reference inside the
+    * slice lambda re-inlines and re-evaluates it once per shingle.
     */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    element_at(transform(array(toks), tk =>
+      when(size(tk) >= k,
+        array_distinct(transform(sequence(lit(0), size(tk) - k),
+          i => concat_ws(" ", slice(tk, i + 1, lit(k))))))
+        .otherwise(array().cast("array<string>"))), 1)
 
   /** Distinct k-token shingle HASHES: each token is xxhash64'd once, then
     * k consecutive token-hashes are combined per window. Equivalent

@@ -607,6 +607,33 @@ object Relational {
             FROM customer) c
       GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  // ---- q29_unpivot: wide → long melt (inverse of q9) --------------------
+  // Spark's unpivot/melt operator; the oracle mirrors with UNPIVOT.
+  // Decimal sums keep the per-measure aggregates engine-exact.
+  private val q29 = Q(
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), dsum(col("val")).as("total"),
+          min(col("val")).as("mn"), max(col("val")).as("mx"))
+        .orderBy("measure")
+    },
+    Some(s"""
+      SELECT measure, COUNT(*) AS n, ${dsumSql("val")} AS total,
+             MIN(val) AS mn, MAX(val) AS mx
+      FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                 FROM lineitem)
+        ON l_quantity, l_discount, l_tax
+        INTO NAME measure VALUE val) u
+      GROUP BY measure ORDER BY measure"""))
+
   // ---- k1_sketch_distinct: HLL++ approx distinct vs exact ----------------
   // Sketch outputs are engine-specific, so no SQL oracle; RegistrySpec
   // pins the relative-error bound against the exact counts.
@@ -679,6 +706,7 @@ object Relational {
     "q26_corr_stats" -> q26,
     "q27_listagg" -> q27,
     "q28_argminmax" -> q28,
+    "q29_unpivot" -> q29,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3)
