@@ -76,5 +76,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
   }
 }

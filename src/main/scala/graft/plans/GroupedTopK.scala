@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Grouped top-k as a first-class plan node (the full custom-operator
+  * tier: LogicalPlan + Strategy + SparkPlan, injected via
+  * [[GraftExtensions]]).
+  *
+  * Spark's native shape for "k best rows per group" is
+  * window(row_number) + filter, which SORTS every partition —
+  * O(n log n) per partition and a full sort buffer even though only
+  * k·groups rows survive. This operator keeps a bounded heap per group:
+  * O(n log k) compares, O(groups·k) memory, same single keyed exchange
+  * (`requiredChildDistribution` = clustered on the group columns, so
+  * EnsureRequirements plans exactly the shuffle the window would need).
+  * At warehouse scale the difference is the sort spill: heaps never
+  * spill because their size is bounded by construction.
+  *
+  * `ordering` must be a TOTAL order (add id tiebreaks) for
+  * deterministic results — same contract as every ranked operator here.
+  */
+case class GroupedTopK(groupCols: Seq[Expression], ordering: Seq[SortOrder],
+                       k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): GroupedTopK =
+    copy(child = c)
+}
+
+/** Planner strategy: 1:1 physical translation. */
+object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopK(g, o, k, child) =>
+      GroupedTopKExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical bounded-heap per-group top-k. Rows stream once; each group
+  * holds at most k+1 buffered rows (a reversed-order binary heap whose
+  * root is the current worst survivor). Output rows are emitted in
+  * `ordering` order within each group.
+  */
+case class GroupedTopKExec(groupCols: Seq[Expression], ordering: Seq[SortOrder],
+                           k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupCols) :: Nil
+  override protected def withNewChildInternal(c: SparkPlan): GroupedTopKExec =
+    copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val groupExprs = groupCols
+    val sortOrder = ordering
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ord = RowOrdering.create(sortOrder, childOutput)
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = -ord.compare(a, b)
+      }
+      val heaps = new java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) { // beats current worst
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.iterator.asScala.flatMap { heap =>
+        val rows = new Array[InternalRow](heap.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // heap pops worst-first
+        rows.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+}

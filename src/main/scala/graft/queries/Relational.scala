@@ -634,6 +634,31 @@ object Relational {
         INTO NAME measure VALUE val) u
       GROUP BY measure ORDER BY measure"""))
 
+  // ---- q30_grouped_topk: custom plan node (bounded heaps, no sort) ------
+  // Runs through graft.plans.GroupedTopK — LogicalPlan + Strategy +
+  // SparkPlan injected via GraftExtensions. Same answer as the window
+  // shape (the oracle), but the physical plan never sorts partitions.
+  private val q30 = Q(
+    (s, dir) => {
+      graft.operators.TopK.perKey(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        keys = Seq("l_returnflag"),
+        order = Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
+        k = 5)
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+      FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem) z
+      WHERE rn <= 5
+      ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber"""))
+
   // ---- k1_sketch_distinct: HLL++ approx distinct vs exact ----------------
   // Sketch outputs are engine-specific, so no SQL oracle; RegistrySpec
   // pins the relative-error bound against the exact counts.
@@ -707,6 +732,7 @@ object Relational {
     "q27_listagg" -> q27,
     "q28_argminmax" -> q28,
     "q29_unpivot" -> q29,
+    "q30_grouped_topk" -> q30,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3)

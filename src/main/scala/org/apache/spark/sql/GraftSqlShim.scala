@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** `private[sql]` access shim: builds a DataFrame from a raw LogicalPlan
+  * so library operators can inject custom logical nodes (the standard
+  * pattern for Spark-native extension libraries; `Dataset.ofRows` is the
+  * only construction path for plans the public DSL cannot express).
+  */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

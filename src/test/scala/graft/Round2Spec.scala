@@ -52,6 +52,28 @@ class Round2Spec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - row.getDouble(1) + 0.3765) < 1e-9)
   }
 
+  test("grouped top-k custom operator matches the window shape exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val custom = graft.operators.TopK.perKey(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 7)
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val windowed = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7).drop("rn")
+      .collect().map(_.toSeq).toSet
+    assert(custom == windowed)
+    // the custom path must NOT sort partitions — that is its point
+    val plan = graft.operators.TopK.perKey(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK"), plan.take(800))
+    assert(!plan.contains("Sort "), s"unexpected sort: ${plan.take(800)}")
+  }
+
   test("IVF ANN recall vs brute force on the test embeddings") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.load(spark, dir, "embeddings")
