@@ -186,8 +186,18 @@ object SimilaritySearch {
 
     val scored = qAssigned.join(cAssigned, "centroid_id")
       .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Per-query top-k + rank: the bulk cut runs through the custom
+    * bounded-heap plan node (no partition sort of the full candidate
+    * set); the rank column is a window over only the k·queries
+    * survivors.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = TopK.perKey(scored, Seq("qid"), Seq(("cos", false), ("cid", true)), k)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    top.withColumn("rnk", row_number().over(w))
   }
 
   /** LSH-bucketed ANN top-k: queries and candidates are bucketed with the
@@ -215,7 +225,6 @@ object SimilaritySearch {
       // injected optimizer rule (non-oracle scoring, so the decimal-exact
       // form isn't required here)
       .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    rankTopK(scored, k)
   }
 }
