@@ -189,6 +189,103 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** Nearest centroid WITHIN a subspace: same constant-size fold as
+    * [[nearestExpr]], but the literal codebook carries a subspace tag and
+    * entries from other subspaces are skipped — one expression serves
+    * every subspace row, so all subspaces train/encode in ONE pipeline
+    * instead of `m` sequential job chains. Returns [best_dist_rel,
+    * best_id] (relative distance: c·c − 2·v·c; add v·v for the true
+    * squared distance).
+    */
+  private def nearestSubExpr(v: org.apache.spark.sql.Column,
+                             sCol: org.apache.spark.sql.Column,
+                             cents: Seq[(Int, Int, Array[Double])]): org.apache.spark.sql.Column = {
+    val centsLit = array(cents.map { case (s, j, c) =>
+      struct(lit(s).as("s"), lit(j).as("j"), lit(c.map(x => x * x).sum).as("cc"),
+        array(c.map(lit(_)): _*).as("v"))
+    }: _*)
+    aggregate(centsLit,
+      array(lit(Double.MaxValue), lit(-1.0)),
+      (acc, ce) => {
+        val dot = aggregate(zip_with(v, ce.getField("v"), (x, y) => x.cast("double") * y),
+          lit(0.0), (a, b) => a + b)
+        val d = ce.getField("cc") - lit(2.0) * dot
+        when(ce.getField("s") === sCol && d < element_at(acc, 1),
+          array(d, ce.getField("j").cast("double"))).otherwise(acc)
+      })
+  }
+
+  /** Product quantization: split `dims` into `subspaces` blocks, train a
+    * `codebookSize`-entry codebook per block (all blocks in one
+    * declarative Lloyd pipeline), and encode every vector as `subspaces`
+    * small code ids — 64-dim float32 (256 B) becomes 8 bytes at the
+    * default settings, the compression that makes billion-vector ANN
+    * storable. Returns (codes array<int>, err: total squared
+    * reconstruction error) per id. Codebooks are index metadata
+    * (subspaces·codebookSize·subDim doubles to the driver — same
+    * footprint class as a broadcast bloom filter).
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
+               subspaces: Int = 8, codebookSize: Int = 16,
+               iters: Int = 2): DataFrame = {
+    require(dims % subspaces == 0, s"$dims dims must split evenly into $subspaces subspaces")
+    val subDim = dims / subspaces
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    // one row per (id, subspace): subvector slices, exploded once
+    val subRows = graft.Tables.spread(vectors, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), posexplode(
+        array((0 until subspaces).map(s =>
+          slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sv")))
+
+    // deterministic seeds: one hash-ordered sample of whole vectors,
+    // sliced per subspace driver-side — a single tiny job
+    val seedVecs = vectors.orderBy(xxhash64(col(idCol)), col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var books: Seq[(Int, Int, Array[Double])] =
+      for (s <- 0 until subspaces; j <- seedVecs.indices)
+        yield (s, j, seedVecs(j).slice(s * subDim, (s + 1) * subDim))
+
+    for (_ <- 0 until iters) {
+      val assigned = subRows
+        .select(col("s"), col("sv"),
+          element_at(nearestSubExpr(col("sv"), col("s"), books), 2).cast("int").as("j"))
+        .repartition(col("s"), col("j")) // materialization barrier (see ivfTopK)
+      val sums = assigned
+        .select(col("s"), col("j"), posexplode(col("sv")).as(Seq("p", "x")))
+        .groupBy(col("s"), col("j"), col("p"))
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.map { case (s, j, old) =>
+        byKey.get((s, j)) match {
+          case Some(rows) =>
+            (s, j, rows.sortBy(_.getInt(2)).map(r => r.getDouble(3) / r.getLong(4)).toArray)
+          case None => (s, j, old)
+        }
+      }
+    }
+
+    // encode: per (id, s) best code + its true squared distance, then one
+    // keyed regroup into the code array (s is unique per id ⇒ sort_array
+    // over (s, code) structs is total ⇒ deterministic)
+    val scored = subRows.select(col("id"), col("s"),
+      nearestSubExpr(col("sv"), col("s"), books).as("best"),
+      Text.dotFast(col("sv"), col("sv")).as("vv"))
+    scored
+      .select(col("id"), col("s"),
+        element_at(col("best"), 2).cast("int").as("code"),
+        (col("vv") + element_at(col("best"), 1)).as("derr"))
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          x => x.getField("code")).as("codes"),
+        sum(col("derr").cast(graft.Det.D)).cast("double").as("err"))
+  }
+
   /** Per-query top-k + rank: the bulk cut runs through the custom
     * bounded-heap plan node (no partition sort of the full candidate
     * set); the rank column is a window over only the k·queries

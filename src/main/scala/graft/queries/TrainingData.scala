@@ -401,6 +401,22 @@ object TrainingData {
     },
     None)
 
+  // ---- v4_pq_codes: product-quantization compression --------------------
+  // Training is iterative (not SQL-expressible) → rows-only; Round2Spec
+  // pins reconstruction error below signal energy and the code shape.
+  private val v4 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val enc = SimilaritySearch.pqEncode(emb, "vec_id", "embedding", dims = 64)
+      enc.join(emb.select(col("vec_id").as("id"), col("label")), "id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          graft.Det.davg(col("err")).as("avg_sq_err"),
+          countDistinct(col("codes")).as("n_distinct_codes"))
+        .orderBy("label")
+    },
+    None)
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
@@ -417,6 +433,7 @@ object TrainingData {
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
+    "v4_pq_codes" -> v4,
     "m1_binary_meta" -> m1,
     "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3)

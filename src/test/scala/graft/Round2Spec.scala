@@ -74,6 +74,21 @@ class Round2Spec extends SparkSpec {
     assert(!plan.contains("Sort "), s"unexpected sort: ${plan.take(800)}")
   }
 
+  test("PQ codes compress with reconstruction error below signal energy") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val enc = SimilaritySearch.pqEncode(emb, "vec_id", "embedding", 64)
+    val avgErr = enc.agg(avg(col("err"))).collect().head.getDouble(0)
+    val avgVv = emb.select(avg(
+      graft.functions.Text.dotFast(col("embedding"), col("embedding"))))
+      .collect().head.getDouble(0)
+    // 16-entry codebooks per 8-dim subspace must beat the zero-code
+    // reconstruction (err == ||v||²) by a clear margin
+    assert(avgErr < avgVv * 0.8, s"avgErr=$avgErr vs energy=$avgVv")
+    val shapes = enc.select(size(col("codes"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(shapes == Seq(8), s"code shapes: $shapes")
+  }
+
   test("IVF ANN recall vs brute force on the test embeddings") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.load(spark, dir, "embeddings")
