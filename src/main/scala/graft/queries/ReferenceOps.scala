@@ -446,6 +446,29 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r19_percent_sat: dissolved-oxygen percent saturation -------------
+  // The reference's oxygen channels carry percent-saturation variants
+  // (OceanNcVar.py oxygen branches); saturation = measured / solubility.
+  private val r19 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sal", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("tc", col("l_quantity") % 30.0)
+        .withColumn("o2_meas", lit(150.0) + col("l_quantity") * 5.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(col("o2_meas") /
+          graft.functions.Seawater.o2Solubility(col("sal"), col("tc")) * 100.0).as("pct_sat"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val o2 = graft.functions.Seawater.o2SolubilitySql(
+        "30.0 + l_discount * 100.0", "l_quantity % 30.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(((150.0 + l_quantity * 5.0) / ($o2) * 100.0) * 1e4 + 0.5) / 1e4 AS pct_sat
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -464,5 +487,6 @@ object ReferenceOps {
     "r15_o2_solubility" -> r15,
     "r16_freezing_point" -> r16,
     "r17_mixed_layer" -> r17,
-    "r18_conservative_temp" -> r18)
+    "r18_conservative_temp" -> r18,
+    "r19_percent_sat" -> r19)
 }

@@ -137,6 +137,35 @@ object TrainingData {
       GROUP BY canon ORDER BY canon"""
     })
 
+  // ---- d7_dedup_normalized: casefold/whitespace-normalized exact dedup --
+  // The standard preprocessing tier above exact dedup: normalize case and
+  // whitespace BEFORE hashing, so trivially-reformatted copies collapse.
+  // Compared against raw-exact groups in one pass.
+  private val d7 = Q(
+    (s, dir) => {
+      val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val raw = md5(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), norm.as("nh"), raw.as("rh"))
+        .groupBy(col("nh"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rh")).as("n_raw_variants"),
+          min(col("doc_id")).as("keep_id"))
+        .groupBy(col("n_docs"), col("n_raw_variants"))
+        .agg(count(lit(1)).as("n_groups"), min(col("keep_id")).as("min_keep"))
+        .orderBy("n_docs", "n_raw_variants")
+    },
+    Some("""
+      SELECT n_docs, n_raw_variants, COUNT(*) AS n_groups, MIN(keep_id) AS min_keep
+      FROM (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nh,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_raw_variants,
+               MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1) g
+      GROUP BY n_docs, n_raw_variants
+      ORDER BY n_docs, n_raw_variants"""))
+
   // ---- t1_token_count --------------------------------------------------
   private val t1 = Q(
     (s, dir) => {
@@ -424,6 +453,7 @@ object TrainingData {
     "d4_dedup_simhash" -> d4,
     "d5_dedup_embedding" -> d5,
     "d6_dedup_url" -> d6,
+    "d7_dedup_normalized" -> d7,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
