@@ -225,20 +225,26 @@ object SimilaritySearch {
     * (subspaces·codebookSize·subDim doubles to the driver — same
     * footprint class as a broadcast bloom filter).
     */
-  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
-               subspaces: Int = 8, codebookSize: Int = 16,
-               iters: Int = 2): DataFrame = {
-    require(dims % subspaces == 0, s"$dims dims must split evenly into $subspaces subspaces")
-    val subDim = dims / subspaces
-    val spark = vectors.sparkSession
-    import spark.implicits._
-
-    // one row per (id, subspace): subvector slices, exploded once
-    val subRows = graft.Tables.spread(vectors, col(idCol))
+  /** (id, subspace, subvector) rows — the shared shape for PQ training
+    * and encoding.
+    */
+  private def pqSubRows(vectors: DataFrame, idCol: String, vecCol: String,
+                        subspaces: Int, subDim: Int): DataFrame =
+    graft.Tables.spread(vectors, col(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), posexplode(
         array((0 until subspaces).map(s =>
           slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sv")))
+
+  /** Train per-subspace PQ codebooks — all subspaces in ONE Lloyd
+    * pipeline. Returns (subspace, code, centroid) triples.
+    */
+  def pqTrain(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
+              subspaces: Int = 8, codebookSize: Int = 16,
+              iters: Int = 2): Seq[(Int, Int, Array[Double])] = {
+    require(dims % subspaces == 0, s"$dims dims must split evenly into $subspaces subspaces")
+    val subDim = dims / subspaces
+    val subRows = pqSubRows(vectors, idCol, vecCol, subspaces, subDim)
 
     // deterministic seeds: one hash-ordered sample of whole vectors,
     // sliced per subspace driver-side — a single tiny job
@@ -268,14 +274,22 @@ object SimilaritySearch {
         }
       }
     }
+    books
+  }
 
-    // encode: per (id, s) best code + its true squared distance, then one
-    // keyed regroup into the code array (s is unique per id ⇒ sort_array
-    // over (s, code) structs is total ⇒ deterministic)
-    val scored = subRows.select(col("id"), col("s"),
+  /** Encode vectors against trained codebooks: per (id, s) best code +
+    * its true squared distance, then one keyed regroup into the code
+    * array (s is unique per id ⇒ sort_array over (s, code) structs is
+    * total ⇒ deterministic). Returns (id, codes array<int>, err).
+    */
+  def pqEncodeWith(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
+                   books: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val subspaces = books.map(_._1).max + 1
+    val subDim = dims / subspaces
+    val subRows = pqSubRows(vectors, idCol, vecCol, subspaces, subDim)
+    subRows.select(col("id"), col("s"),
       nearestSubExpr(col("sv"), col("s"), books).as("best"),
       Text.dotFast(col("sv"), col("sv")).as("vv"))
-    scored
       .select(col("id"), col("s"),
         element_at(col("best"), 2).cast("int").as("code"),
         (col("vv") + element_at(col("best"), 1)).as("derr"))
@@ -284,6 +298,80 @@ object SimilaritySearch {
         transform(array_sort(collect_list(struct(col("s"), col("code")))),
           x => x.getField("code")).as("codes"),
         sum(col("derr").cast(graft.Det.D)).cast("double").as("err"))
+  }
+
+  /** Train + encode in one call. */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
+               subspaces: Int = 8, codebookSize: Int = 16,
+               iters: Int = 2): DataFrame =
+    pqEncodeWith(vectors, idCol, vecCol, dims,
+      pqTrain(vectors, idCol, vecCol, dims, subspaces, codebookSize, iters))
+
+  /** PQ ADC (asymmetric distance) top-k: candidates are searched in CODE
+    * space — the query computes one small lookup table per subspace
+    * (||q_s − centroid||², driver-side against the trained books, the
+    * same metadata footprint as the books themselves) and each
+    * candidate's distance is `m` table lookups over its byte codes
+    * instead of a `dims`-wide float scan. This is how billion-vector
+    * corpora are searched: the vectors themselves never leave storage.
+    * Approximate by construction (quantization error) — spec-pinned
+    * recall vs the exact path.
+    */
+  def pqAdcTopK(queries: DataFrame, candidates: DataFrame,
+                idCol: String, vecCol: String, dims: Int, k: Int,
+                subspaces: Int = 8, codebookSize: Int = 16,
+                iters: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val books = pqTrain(candidates, idCol, vecCol, dims, subspaces, codebookSize, iters)
+    val coded = pqEncodeWith(candidates, idCol, vecCol, dims, books)
+      .select(col("id").as("cid"), col("codes"))
+    val subDim = dims / subspaces
+    val byS = books.groupBy(_._1)
+    // per-query LUT: lut(s)(j) = ||q_s − c_sj||², shipped as a column of
+    // the broadcast query table — no per-query literals, one plan
+    val qluts = queries.select(col(idCol).as("qid"), col(vecCol).as("qv")).collect()
+      .map { r =>
+        val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+        val lut = (0 until subspaces).map { s =>
+          val qs = qv.slice(s * subDim, (s + 1) * subDim)
+          byS(s).sortBy(_._2).map { case (_, _, c) =>
+            qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.toSeq
+        }
+        (r.getLong(0), lut)
+      }.toSeq
+    val qdf = broadcast(qluts.toDF("qid", "lut"))
+    val scored = coded.crossJoin(qdf)
+      .select(col("qid"), col("cid"),
+        aggregate(
+          transform(sequence(lit(0), lit(subspaces - 1)),
+            s => element_at(element_at(col("lut"), s + 1),
+              element_at(col("codes"), s + 1) + 1)),
+          lit(0.0), (a, b) => a + b).as("adc_dist"))
+    val top = TopK.perKey(scored, Seq("qid"), Seq(("adc_dist", true), ("cid", true)), k)
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("cid"))
+    top.withColumn("rnk", row_number().over(w))
+  }
+
+  /** ADC + exact re-rank — the production PQ search shape: the cheap
+    * code-space scan cuts to a `shortlist` per query, and only those
+    * rows join back to their full vectors for exact scoring. Recall
+    * approaches exact as shortlist/k grows while the full-vector scan
+    * cost stays `shortlist·queries`, not `corpus·queries`.
+    */
+  def pqAdcRerankTopK(queries: DataFrame, candidates: DataFrame,
+                      idCol: String, vecCol: String, dims: Int, k: Int,
+                      shortlist: Int = 50, subspaces: Int = 8,
+                      codebookSize: Int = 16, iters: Int = 2): DataFrame = {
+    val cand = pqAdcTopK(queries, candidates, idCol, vecCol, dims, shortlist,
+      subspaces, codebookSize, iters)
+      .select(col("qid"), col("cid"))
+    val cv = candidates.select(col(idCol).as("cid2"), col(vecCol).as("cvec"))
+    val qv = broadcast(queries.select(col(idCol).as("qid2"), col(vecCol).as("qvec")))
+    val rescored = cand.join(cv, col("cid") === col("cid2")).join(qv, col("qid") === col("qid2"))
+      .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
+    rankTopK(rescored, k)
   }
 
   /** Per-query top-k + rank: the bulk cut runs through the custom

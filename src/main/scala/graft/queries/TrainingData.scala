@@ -446,6 +446,18 @@ object TrainingData {
     },
     None)
 
+  // ---- v5_pq_adc: asymmetric-distance search over PQ codes --------------
+  private val v5 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.pqAdcTopK(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", dims = 64, k = 10)
+        .select(col("qid"), col("cid"), col("adc_dist"), col("rnk"))
+        .orderBy("qid", "rnk")
+    },
+    None)
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
@@ -464,6 +476,7 @@ object TrainingData {
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
     "v4_pq_codes" -> v4,
+    "v5_pq_adc" -> v5,
     "m1_binary_meta" -> m1,
     "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3)

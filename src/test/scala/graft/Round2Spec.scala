@@ -89,6 +89,27 @@ class Round2Spec extends SparkSpec {
     assert(shapes == Seq(8), s"code shapes: $shapes")
   }
 
+  test("PQ ADC search recalls the exact top-k from code space") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val c = emb.filter(col("vec_id") >= 5)
+    val brute = SimilaritySearch.bruteForceTopK(q, c, "vec_id", "embedding", 10)
+      .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = SimilaritySearch.pqAdcTopK(q, c, "vec_id", "embedding", 64, 10)
+      .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(adc).size.toDouble / brute.size
+    // pure code-space scan is coarse by design (8×16 books) — the floor
+    // only guards against total degradation
+    assert(recall >= 0.2, s"pure ADC recall $recall below floor")
+    // ADC shortlist + exact re-rank is the production shape: recall jumps
+    val reranked = SimilaritySearch.pqAdcRerankTopK(q, c, "vec_id", "embedding", 64, 10)
+      .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrRecall = brute.intersect(reranked).size.toDouble / brute.size
+    assert(rrRecall >= 0.6, s"reranked recall $rrRecall below floor")
+    assert(rrRecall >= recall, "re-rank must not lose recall")
+  }
+
   test("IVF ANN recall vs brute force on the test embeddings") {
     val dir = "/root/testdata/sf0.001"
     val emb = Tables.load(spark, dir, "embeddings")
