@@ -27,6 +27,9 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 case class GroupedTopK(groupCols: Seq[Expression], ordering: Seq[SortOrder],
                        k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
+  require(groupCols.nonEmpty,
+    "grouped top-k needs group columns; use orderBy().limit() (TakeOrderedAndProject) for the global case")
+  require(ordering.nonEmpty, "grouped top-k needs an ordering")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): GroupedTopK =
     copy(child = c)
@@ -45,6 +48,11 @@ object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy 
   * holds at most k+1 buffered rows (a reversed-order binary heap whose
   * root is the current worst survivor). Output rows are emitted in
   * `ordering` order within each group.
+  *
+  * Memory: O(distinct groups in partition × k) — the same residency
+  * class as a hash aggregate over the group keys, minus sort buffers.
+  * (HashAggregate can spill its map; this node does not — for extreme
+  * group cardinality × k budgets, fall back to the window shape.)
   */
 case class GroupedTopKExec(groupCols: Seq[Expression], ordering: Seq[SortOrder],
                            k: Int, child: SparkPlan) extends UnaryExecNode {
