@@ -180,6 +180,44 @@ object Dedup {
     }
   }
 
+  /** Connected components over a near-dup pair list → cluster labels
+    * (cluster id = minimum member id), the step that turns pairwise
+    * candidates (jaccard/minhash/simhash/cosine) into keep-one-per-
+    * cluster decisions.
+    *
+    * Min-label propagation: each round every node takes the minimum of
+    * its own and its neighbors' labels — one keyed join + one
+    * aggregation per round, converging in O(component diameter) rounds
+    * (near-dup clusters are shallow). `localCheckpoint` truncates the
+    * growing lineage each round — without it the plan doubles per
+    * iteration. The convergence check is a counted action per round;
+    * `maxIter` bounds adversarial chains.
+    */
+  def connectedComponents(pairs: DataFrame, id1: String, id2: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .unionByName(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), labels("lbl").as("old_lbl"),
+          least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") =!= col("old_lbl")).count()
+      labels = next.select(col("id"), col("lbl"))
+      iter += 1
+    }
+    labels.withColumnRenamed("lbl", "cluster")
+  }
+
   /** SimHash near-dup candidates: 32-bit simhash, banded on 4 byte-slices
     * (any pair within Hamming ≤ maxHamming shares at least one exact
     * byte... guaranteed only for ≤3 with 4 bands), exact Hamming verify

@@ -166,6 +166,58 @@ object TrainingData {
       GROUP BY n_docs, n_raw_variants
       ORDER BY n_docs, n_raw_variants"""))
 
+  // ---- d8_dedup_clusters: pairs → connected components ------------------
+  // The clustering step over the d2 pair list: min-label propagation on
+  // the Spark side, a recursive CTE on the oracle side — independent
+  // algorithms, identical fixpoint.
+  private val d8 = Q(
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 80), "doc_id", "text", "lang",
+        maxShingleDf = 40, minJaccardInv = 100)
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sort_array(collect_list(col("id"))).as("members"))
+        .orderBy("cluster")
+    },
+    Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 80),
+      sh0 AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(range(greatest(len(w)-2, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        FROM tok),
+      dfc AS (
+        SELECT lang AS dblk, sh AS dsh, COUNT(*) AS df
+        FROM sh0 GROUP BY 1, 2 HAVING COUNT(*) <= 40),
+      sh AS (
+        SELECT doc_id, lang, sh FROM sh0
+        JOIN dfc ON sh0.lang = dfc.dblk AND sh0.sh = dfc.dsh),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      cand AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_cnt
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2 FROM cand
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE inter_cnt * 100 >= s1.sz + s2.sz - inter_cnt),
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      walk(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+      cc AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id)
+      SELECT cluster, COUNT(*) AS n_members, list_sort(list(id)) AS members
+      FROM cc GROUP BY cluster ORDER BY cluster"""))
+
   // ---- t1_token_count --------------------------------------------------
   private val t1 = Q(
     (s, dir) => {
@@ -466,6 +518,7 @@ object TrainingData {
     "d5_dedup_embedding" -> d5,
     "d6_dedup_url" -> d6,
     "d7_dedup_normalized" -> d7,
+    "d8_dedup_clusters" -> d8,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

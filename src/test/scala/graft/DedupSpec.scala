@@ -35,6 +35,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("connected components label near-dup clusters by min member id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 3L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // {1,2,3,10} chained through 2-3 and 10-3; {7,8} separate
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("minhash LSH candidates cover high-jaccard pairs") {
     // 16 bands × 2 rows targets J ≳ 0.25 — the planted near-dups sit at
     // J ≈ 0.6-0.7 after shingle dedup, so they must surface.
