@@ -21,7 +21,11 @@ object Bench {
     // Optional args: run only the named queries (dev-loop use).
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
-      else args.toSeq.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      else args.toSeq.map { n =>
+        // A typo'd name must fail loudly, not benchmark zero queries.
+        n -> SparkEntry.queries.getOrElse(n, sys.error(
+          s"unknown query '$n'; registered: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

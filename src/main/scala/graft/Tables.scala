@@ -42,7 +42,11 @@ object Tables {
     */
   def spread(df: DataFrame, by: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(by)
+    // queryExecution.toRdd reuses the Dataset's cached QueryExecution;
+    // df.rdd would build and plan a SECOND QueryExecution (analysis +
+    // optimization + file listing) per call site just to read a count.
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(by)
   }
 }
 

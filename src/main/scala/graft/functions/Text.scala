@@ -205,8 +205,12 @@ object Text {
     val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
     val kept = array_join(array_sort(filter(split(query, "&"),
       p => !p.rlike("^(utm_[^=]*|gclid|fbclid)="))), "&")
-    concat(scheme, lit("://"), hostNoPort, pathNorm,
-      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+    // Unparseable input (no scheme://) passes through UNCHANGED: every
+    // extract would return '' and all such URLs would collapse to one
+    // canonical '://' group — false duplicate merges on dirty corpora.
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), hostNoPort, pathNorm,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 
   /** SQL twin of [[canonicalUrl]] over a URL expression string. */
@@ -221,8 +225,9 @@ object Text {
     val query = s"regexp_extract($noFrag, '\\?([^#]*)', 1)"
     val kept = s"array_to_string(list_sort(list_filter(string_split($query, '&')," +
       s" p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))), '&')"
-    s"concat($scheme, '://', $hostNoPort, $pathNorm," +
-      s" CASE WHEN $kept = '' THEN '' ELSE concat('?', $kept) END)"
+    s"(CASE WHEN $scheme = '' THEN ($u) ELSE " +
+      s"concat($scheme, '://', $hostNoPort, $pathNorm," +
+      s" CASE WHEN $kept = '' THEN '' ELSE concat('?', $kept) END) END)"
   }
 
   // --- Vectors ---------------------------------------------------------

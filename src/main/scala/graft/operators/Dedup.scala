@@ -215,6 +215,12 @@ object Dedup {
       labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
+    // Loud failure beats silently-wrong labels: min-label moves one hop
+    // per round, so a component whose diameter from its min node exceeds
+    // maxIter would exit here un-converged with stale clusters.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still moving) — raise maxIter (components deeper than it exist)")
     labels.withColumnRenamed("lbl", "cluster")
   }
 

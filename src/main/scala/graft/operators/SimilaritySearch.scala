@@ -330,7 +330,11 @@ object SimilaritySearch {
     val byS = books.groupBy(_._1)
     // per-query LUT: lut(s)(j) = ||q_s − c_sj||², shipped as a column of
     // the broadcast query table — no per-query literals, one plan
-    val qluts = queries.select(col(idCol).as("qid"), col(vecCol).as("qv")).collect()
+    // id is cast to long in-plan so the collect below is type-stable for
+    // any integral id column (int ids would otherwise ClassCastException
+    // at r.getLong).
+    val qluts = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qv")).collect()
       .map { r =>
         val qv = r.getSeq[Float](1).map(_.toDouble).toArray
         val lut = (0 until subspaces).map { s =>

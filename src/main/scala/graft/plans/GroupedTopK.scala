@@ -68,8 +68,14 @@ case class GroupedTopKExec(groupCols: Seq[Expression], ordering: Seq[SortOrder],
     val groupExprs = groupCols
     val sortOrder = ordering
     val childOutput = child.output
+    // Group keys compare as raw UnsafeRow bytes, so -0.0 vs 0.0 (and NaN
+    // bit patterns) must be normalized exactly as the built-in Aggregate
+    // path does — NormalizeFloatingNumbers runs only for built-in nodes,
+    // not custom plans.
+    val normalizedKeys = groupExprs.map(
+      org.apache.spark.sql.GraftSqlShim.normalizeFloats)
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val keyProj = UnsafeProjection.create(normalizedKeys, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
       val worstFirst = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = -ord.compare(a, b)

@@ -103,6 +103,13 @@ object EventStream {
           var open = state.getOption
           sorted.foreach { t =>
             open match {
+              // Cross-batch late data (t < lastTs) is DROPPED, not merged:
+              // a negative delta passes `<= gap` and would move lastTs
+              // BACKWARD, corrupting state into end < start sessions.
+              // (Within a batch `sorted` already orders events; only
+              // cross-batch stragglers hit this. True out-of-order
+              // tolerance needs EventTimeTimeout + a watermark.)
+              case Some(s) if t < s.lastTs => ()
               case Some(s) if t - s.lastTs <= gapUs =>
                 open = Some(OpenSession(s.startTs, t, s.n + 1))
               case Some(s) =>

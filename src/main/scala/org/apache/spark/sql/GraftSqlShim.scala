@@ -10,4 +10,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** -0.0/NaN canonicalization for grouping keys in custom physical plans
+    * — the optimizer applies [[catalyst.optimizer.NormalizeFloatingNumbers]]
+    * only to built-in Aggregate/Window/Join nodes.
+    */
+  def normalizeFloats(e: catalyst.expressions.Expression): catalyst.expressions.Expression =
+    catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

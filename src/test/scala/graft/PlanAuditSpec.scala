@@ -67,9 +67,16 @@ class PlanAuditSpec extends SparkSpec {
     val df = SparkEntry.queries("d2_dedup_ngram_jaccard")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
-      p.contains("ReusedQueryStage") || p.contains("ShuffleQueryStage"),
-      p.take(1500))
+    // Reuse must actually show: either an explicit Reused* node, or the
+    // same AQE stage id referenced from both join sides. A bare
+    // ShuffleQueryStage match would pass even when the sides plan two
+    // independent exchanges.
+    val stageIds = "(?:Shuffle|TableCache)QueryStage (\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val hasDuplicateStage = stageIds.distinct.size < stageIds.size
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      hasDuplicateStage,
+      s"no exchange reuse between self-join sides; stages=$stageIds\n" + p.take(1500))
   }
 
   test("q24: RANGE window runs as a single keyed window (no join)") {
