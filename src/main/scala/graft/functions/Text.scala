@@ -183,6 +183,33 @@ object Text {
             ascii(substring(t, -1, 1)).cast("long"))),
       lit(0L), (acc, x) => acc + x), lit(fingerprintMod))
 
+  // --- PII redaction ----------------------------------------------------
+
+  /** PII patterns shared verbatim with the SQL oracle — every construct
+    * used (classes, \d, \b, {m,n}) parses and matches identically in Java
+    * regex (Spark) and RE2 (DuckDB).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, then phone numbers, then IPv4 addresses (the order is
+    * part of the contract: counts are taken on the ORIGINAL text, the
+    * replacements run sequentially). Map-only, codegen'd — the shape that
+    * sweeps a 100 TB corpus in one scan.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        phonePattern, "[PHONE]"),
+      ipv4Pattern, "[IP]")
+
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(emailPattern), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(phonePattern), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))))
+
   // --- URL canonicalization --------------------------------------------
 
   /** Canonical URL form for web-corpus dedup: lowercase scheme and host,

@@ -195,29 +195,51 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
                           maxIter: Int = 20): DataFrame = {
+    val p = pairs.sparkSession.sparkContext.defaultParallelism
+    // Edges are the BIG side at scale: hash-partition them on dst ONCE
+    // and pin that layout through localCheckpoint (LogicalRDD preserves
+    // outputPartitioning), so every round's dst==id join co-locates
+    // against it without re-shuffling the edge set. Labels likewise stay
+    // hash(id, p) round to round (the left join preserves the streamed
+    // side's partitioning into the next checkpoint) — per-round shuffle
+    // volume is the aggregated label frontier, not the graph.
     val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"))
       .unionByName(pairs.select(col(id2).as("src"), col(id1).as("dst")))
       .distinct()
+      .repartition(p, col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+      .repartition(p, col("id"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val hop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), labels("lbl").as("old_lbl"),
           least(labels("lbl"), coalesce(col("nlbl"), labels("lbl"))).as("lbl"))
+      // Pointer jump: also take my (new) label's OWN label. One-hop
+      // min-label needs O(depth-from-min) rounds; the jump makes label
+      // distances halve each round ⇒ O(log depth) rounds. Each round
+      // scans all edges for nbrMin, so at scale fewer rounds = fewer
+      // full-graph passes. Invariant holds: labels only ever decrease
+      // toward real member ids, so the fixpoint (stable under
+      // neighbor-min) is still the per-component minimum.
+      val next = hop.as("x").join(
+        hop.select(col("id").as("jid"), col("lbl").as("jlbl")).as("y"),
+        col("x.lbl") === col("y.jid"), "left")
+        .select(col("x.id").as("id"), col("x.old_lbl").as("old_lbl"),
+          least(col("x.lbl"), coalesce(col("y.jlbl"), col("x.lbl"))).as("lbl"))
         .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("old_lbl")).count()
       labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
-    // Loud failure beats silently-wrong labels: min-label moves one hop
-    // per round, so a component whose diameter from its min node exceeds
-    // maxIter would exit here un-converged with stale clusters.
+    // Loud failure beats silently-wrong labels: with pointer jumping the
+    // label distance to the component min halves per round, so maxIter=20
+    // covers ~2^20-deep components; anything un-converged is a bug.
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still moving) — raise maxIter (components deeper than it exist)")

@@ -52,6 +52,61 @@ object TimeSeries {
         rightPayload.map(p => col(s"__carried.$p").as(s"asof_$p")): _*)
   }
 
+  /** Linear-interpolation resample: for each grid row, the value
+    * interpolated between the nearest observation at-or-before and
+    * at-or-after the grid instant, per key (null outside the observed
+    * range; the observation itself when a grid point lands exactly on
+    * one).
+    *
+    * Same single-exchange shape as [[asOfJoin]]: union both sides, one
+    * keyed exchange, then two in-partition window sorts (forward +
+    * backward carry) — no join, no quadratic per-key work, and the
+    * interpolation arithmetic is pure IEEE double (engine-exact), only
+    * quantized at the end.
+    *
+    * `idCol` must be a per-(key,ts)-unique observation id: it totalizes
+    * the window order so duplicate-timestamp observations carry a
+    * deterministic winner (same role as in [[asOfJoin]]).
+    */
+  def interpolate(grid: DataFrame, obs: DataFrame, keys: Seq[String],
+                  gridTs: String, obsTs: String, valCol: String,
+                  idCol: String, scale: Int = 6): DataFrame = {
+    val gridCols = grid.columns
+    val g = grid.select(
+      keys.map(col) ++ Seq(col(gridTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast("long").as("__eid"), lit(null).cast("double").as("__v")) ++
+        gridCols.filterNot(keys.contains).map(col): _*)
+    val o = obs.select(
+      keys.map(col) ++ Seq(col(obsTs).as("__ts"), lit(0).as("__side"),
+        col(idCol).cast("long").as("__eid"), col(valCol).cast("double").as("__v")) ++
+        gridCols.filterNot(keys.contains).map(c => lit(null).cast(grid.schema(c).dataType).as(c)): _*)
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Backward pass: descending ts; side stays ascending so an
+    // observation at the grid instant sorts before the grid row in BOTH
+    // passes (then pt = nt and the exact value is returned).
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side"), col("__eid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obsT = when(col("__side") === 0, unix_micros(col("__ts").cast("timestamp")))
+    val obsV = when(col("__side") === 0, col("__v"))
+    val gt = unix_micros(col("__ts").cast("timestamp"))
+    val interp = when(col("__pt").isNull || col("__nt").isNull, lit(null).cast("double"))
+      .when(col("__nt") === col("__pt"), col("__pv"))
+      .otherwise(graft.Det.qz(
+        col("__pv") + (col("__nv") - col("__pv")) *
+          ((gt - col("__pt")).cast("double") / (col("__nt") - col("__pt")).cast("double")),
+        scale))
+    g.unionByName(o)
+      .withColumn("__pt", last(obsT, ignoreNulls = true).over(wf))
+      .withColumn("__pv", last(obsV, ignoreNulls = true).over(wf))
+      .withColumn("__nt", last(obsT, ignoreNulls = true).over(wb))
+      .withColumn("__nv", last(obsV, ignoreNulls = true).over(wb))
+      .filter(col("__side") === 1)
+      .select(gridCols.map(col) :+ interp.as("interp_value"): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event on the same key exceeds `gapSeconds`. Gap math is
     * integer microseconds — no float compares. Adds `session_idx`

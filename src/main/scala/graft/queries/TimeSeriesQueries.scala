@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.Det
 import graft.Det.{dsum, dsumSql}
 import graft.operators.TimeSeries
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -155,10 +156,61 @@ object TimeSeriesQueries {
       WHERE side = 1
       ORDER BY user_id, gts"""))
 
+  // ---- s6_interp_resample: linear interpolation onto a regular grid -----
+  // The s5 grid, but each grid instant gets the value LINEARLY
+  // interpolated between its nearest observations on both sides (the
+  // standard profile/series regridding step). Join-free: one keyed
+  // exchange, forward + backward carry windows.
+  private val s6 = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 40)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("INTERVAL 6 HOURS"))).as("gts"))
+      TimeSeries.interpolate(grid, ev, Seq("user_id"), "gts", "ts", "value", "event_id")
+        .orderBy("user_id", "gts")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id AS eid, value FROM events WHERE user_id < 40),
+      b AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+        FROM ev GROUP BY user_id),
+      g AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS gts
+        FROM b),
+      u AS (
+        SELECT user_id, gts AS ts, 1 AS side, gts,
+               NULL::BIGINT AS eid, NULL::DOUBLE AS v
+        FROM g
+        UNION ALL
+        SELECT user_id, ts, 0, NULL, eid, value FROM ev),
+      c AS (
+        SELECT user_id, gts, side,
+               last_value(CASE WHEN side = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER wf AS pt,
+               last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS) OVER wf AS pv,
+               last_value(CASE WHEN side = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER wb AS nt,
+               last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS) OVER wb AS nv
+        FROM u
+        WINDOW wf AS (PARTITION BY user_id ORDER BY ts, side, eid
+                      ROWS UNBOUNDED PRECEDING),
+               wb AS (PARTITION BY user_id ORDER BY ts DESC, side, eid DESC
+                      ROWS UNBOUNDED PRECEDING))
+      SELECT user_id, gts,
+             CASE WHEN pt IS NULL OR nt IS NULL THEN NULL
+                  WHEN nt = pt THEN pv
+                  ELSE ${Det.qzSql("pv + (nv - pv) * (CAST(epoch_us(gts) - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))", 6)}
+             END AS interp_value
+      FROM c WHERE side = 1
+      ORDER BY user_id, gts"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
     "s3_asof_join" -> s3,
     "s4_range_join" -> s4,
-    "s5_gap_fill" -> s5)
+    "s5_gap_fill" -> s5,
+    "s6_interp_resample" -> s6)
 }

@@ -351,6 +351,105 @@ object TrainingData {
             FROM c) z
       WHERE rnk <= 5 ORDER BY lang, rnk"""))
 
+  // ---- t7_pii_redact: regex PII scrubbing ------------------------------
+  // The synthetic corpus has no PII, so a deterministic contact block is
+  // appended from doc_id FIRST (same expression on both engines) — the
+  // redaction+count then runs against real matches, not vacuous zeros.
+  private val t7 = Q(
+    (s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"), lit("@example.com or 416-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")).as("text"))
+      val counted = Text.piiCounts(col("text")).foldLeft(withPii) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      counted.select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        Text.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 416-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${Text.emailPattern}')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(text, '${Text.phonePattern}')) AS INTEGER) AS n_phones,
+             CAST(len(regexp_extract_all(text, '${Text.ipv4Pattern}')) AS INTEGER) AS n_ips,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '${Text.emailPattern}', '[EMAIL]', 'g'),
+                 '${Text.phonePattern}', '[PHONE]', 'g'),
+               '${Text.ipv4Pattern}', '[IP]', 'g') AS redacted
+      FROM p ORDER BY doc_id"""))
+
+  // ---- t8_repetition: token-repetition quality filter --------------------
+  // Gopher-style repetition stats: duplicate-token fraction and
+  // top-token mass per document; the keep flag compares QUANTIZED
+  // fractions so the cut line is engine-exact.
+  private val t8 = Q(
+    (s, dir) => {
+      val tok = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tk"))
+      val perTok = tok.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("cnt"))
+      val perDoc = perTok.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      val dupFrac = graft.Det.qz(
+        lit(1.0) - col("n_distinct").cast("double") / col("n_toks").cast("double"), 6)
+      val topFrac = graft.Det.qz(
+        col("top_cnt").cast("double") / col("n_toks").cast("double"), 6)
+      perDoc.select(col("doc_id"), col("n_toks"), col("n_distinct"), col("top_cnt"),
+        dupFrac.as("dup_frac"), topFrac.as("top_frac"))
+        .withColumn("keep", col("dup_frac") <= 0.8 && col("top_frac") <= 0.2)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+        FROM documents),
+      c AS (SELECT doc_id, tk, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      a AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+               COUNT(*) AS n_distinct, MAX(cnt) AS top_cnt
+        FROM c GROUP BY doc_id),
+      f AS (
+        SELECT doc_id, n_toks, n_distinct, top_cnt,
+               ${Det.qzSql("1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE)", 6)} AS dup_frac,
+               ${Det.qzSql("CAST(top_cnt AS DOUBLE) / CAST(n_toks AS DOUBLE)", 6)} AS top_frac
+        FROM a)
+      SELECT doc_id, n_toks, n_distinct, top_cnt, dup_frac, top_frac,
+             (dup_frac <= 0.8 AND top_frac <= 0.2) AS keep
+      FROM f ORDER BY doc_id"""))
+
+  // ---- t9_sample_mixture: deterministic stratified sampling --------------
+  private val t9rates = Map("en" -> 0.2, "zh" -> 1.0)
+  private val t9 = Q(
+    (s, dir) => {
+      val sampled = graft.operators.Sampling.stratifiedHashSample(
+        t(s, dir, "documents"), "doc_id", "lang", t9rates, defaultRate = 0.5)
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    },
+    Some {
+      import graft.operators.Sampling.hexThreshold
+      val whens = t9rates.toSeq.sorted
+        .map { case (k, r) => s"WHEN '$k' THEN '${hexThreshold(r)}'" }.mkString(" ")
+      s"""
+      SELECT lang, COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                                (CASE lang $whens ELSE '${hexThreshold(0.5)}' END)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      FROM documents GROUP BY lang ORDER BY lang"""
+    })
+
   // ---- v1_cosine_topk: brute-force baseline ----------------------------
   private val v1 = Q(
     (s, dir) => {
