@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import graft.functions.Text
 import graft.operators.{Dedup, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -624,6 +624,9 @@ object TrainingData {
     "t4_fingerprint" -> t4,
     "t5_edit_distance" -> t5,
     "t6_ngram_freq" -> t6,
+    "t7_pii_redact" -> t7,
+    "t8_repetition" -> t8,
+    "t9_sample_mixture" -> t9,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
