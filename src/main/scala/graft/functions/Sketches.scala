@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Estimators over the KMV/theta sketch representation produced by
+  * [[graft.plans.ThetaSketchAgg]] (`graft_theta_sketch(hash, k)`): a
+  * sorted ascending array of the k smallest distinct 63-bit hashes.
+  *
+  * Everything here is a plain column function over that array — sketch
+  * set algebra (union / intersection / jaccard) runs inside codegen on
+  * rows that each hold two tiny arrays, never touching raw data again.
+  * That split (heavy one-pass agg builds the sketch; cheap expressions
+  * combine them) is the scale contract: sketches for 100 TB of docs per
+  * source/day land in a few KB per group and answer overlap questions
+  * later, in any engine that can sort a long array.
+  */
+object Sketches {
+
+  /** 2^63 as a double — hashes are uniform in [0, 2^63). */
+  private val HashSpace = 9.223372036854775808e18
+
+  /** The canonical input hash: uniform non-negative 63-bit. */
+  def hash63(c: Column): Column = shiftrightunsigned(xxhash64(c), 1)
+
+  /** The sketch aggregate (requires graft extensions to be installed). */
+  def thetaSketch(hashed: Column, k: Int): Column =
+    call_function("graft_theta_sketch", hashed, lit(k))
+
+  /** Theta in raw hash scale: the kth smallest retained hash, or 2^63
+    * when the sketch is still exact (fewer than k distinct values seen).
+    */
+  def thetaOf(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(HashSpace))
+      .otherwise(element_at(sk, k).cast("double"))
+
+  /** Distinct-count estimate: exact below k, else (k-1)/θ_norm. */
+  def distinctEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * HashSpace / element_at(sk, k).cast("double"))
+
+  /** Union of two sketches is itself a valid sketch: k smallest of the
+    * deduped union — same merge the aggregate performs.
+    */
+  def unionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  def unionEstimate(a: Column, b: Column, k: Int): Column =
+    distinctEstimate(unionSketch(a, b, k), k)
+
+  /** Intersection estimate: both retained sets filtered below the joint
+    * theta; |survivors| / θ_norm. Exactly |A∩B| while both sides are
+    * exact (θ = 2^63).
+    */
+  def intersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val thetaC = least(thetaOf(a, k), thetaOf(b, k))
+    val survivors = size(filter(array_intersect(a, b), x => x.cast("double") < thetaC))
+    survivors.cast("double") * HashSpace / thetaC
+  }
+
+  /** Jaccard similarity estimate |A∩B| / |A∪B| (0 when the union
+    * estimate is 0 — two empty sketches).
+    */
+  def jaccardEstimate(a: Column, b: Column, k: Int): Column = {
+    val u = unionEstimate(a, b, k)
+    when(u === 0.0, lit(0.0)).otherwise(intersectEstimate(a, b, k) / u)
+  }
+}

@@ -129,15 +129,15 @@ object SimilaritySearch {
     * nearest list map-side with zero joins; queries probe the `nProbe`
     * nearest lists; scoring joins on the centroid id (keyed shuffle).
     */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 8, nProbe: Int = 2,
-              iters: Int = 3): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
+  /** Declarative Lloyd's coarse-quantizer training (shared by [[ivfTopK]]
+    * and [[ivfPqTopK]]): deterministic hash-sampled seeds, `iters` rounds
+    * of codegen'd argmin assignment + per-dimension mean aggregation.
+    * Only nCentroids×dims partial sums reach the driver per round.
+    */
+  def trainCoarseCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+                           nCentroids: Int, iters: Int): Array[Array[Double]] = {
     val c0 = graft.Tables.spread(candidates, col(idCol))
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-
     var cents: Array[Array[Double]] = c0
       .orderBy(xxhash64(col("cid"))).limit(nCentroids)
       .select(col("cvec")).collect()
@@ -167,6 +167,18 @@ object SimilaritySearch {
         }
       }
     }
+    cents
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 8, nProbe: Int = 2,
+              iters: Int = 3): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val c0 = graft.Tables.spread(candidates, col(idCol))
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val cents = trainCoarseCentroids(candidates, idCol, vecCol, nCentroids, iters)
 
     val centroids = cents.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("centroid_id", "centroid")
@@ -374,6 +386,74 @@ object SimilaritySearch {
     val cv = candidates.select(col(idCol).as("cid2"), col(vecCol).as("cvec"))
     val qv = broadcast(queries.select(col(idCol).as("qid2"), col(vecCol).as("qvec")))
     val rescored = cand.join(cv, col("cid") === col("cid2")).join(qv, col("qid") === col("qid2"))
+      .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
+    rankTopK(rescored, k)
+  }
+
+  /** IVF + PQ ADC + exact re-rank — the production billion-vector layout
+    * (FAISS IVFPQ-style) composed from the coarse quantizer and the PQ
+    * codebooks: candidates live in inverted lists as 8-byte codes, a
+    * query broadcasts its per-subspace distance LUT and its `nProbe`
+    * list ids, ADC scores ONLY the probed lists' codes (m table lookups
+    * per candidate, no float math), the shortlist re-ranks against full
+    * vectors. At scale nothing about the candidate side ever shuffles:
+    * list assignment and encoding are map-side at index-build time, the
+    * probe join is a broadcast of (qid, lut, probes), and the shortlist
+    * cut runs through the bounded-heap GroupedTopK node. Queries are
+    * collected to build LUTs — the small side by contract (a query
+    * BATCH, not a corpus).
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+                idCol: String, vecCol: String, dims: Int, k: Int,
+                nCentroids: Int = 8, nProbe: Int = 2, ivfIters: Int = 2,
+                subspaces: Int = 8, codebookSize: Int = 16, pqIters: Int = 2,
+                shortlist: Int = 50): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cents = trainCoarseCentroids(candidates, idCol, vecCol, nCentroids, ivfIters)
+    val books = pqTrain(candidates, idCol, vecCol, dims, subspaces, codebookSize, pqIters)
+    val subDim = dims / subspaces
+
+    // index build: codes + inverted-list id per candidate (one keyed join
+    // at build time; both inputs derive map-side from the same scan)
+    val coded = pqEncodeWith(candidates, idCol, vecCol, dims, books)
+      .select(col("id").as("cid"), col("codes"))
+    val assigned = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .select(col("cid"), nearestExpr(col("cv"), cents).as("centroid_id"))
+    val index = coded.join(assigned, "cid")
+
+    // query prep (driver-side, tiny): ADC LUT + nProbe nearest lists
+    val byS = books.groupBy(_._1)
+    val qrows = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .collect().map { r =>
+        val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+        val lut = (0 until subspaces).map { s =>
+          val qs = qv.slice(s * subDim, (s + 1) * subDim)
+          byS(s).sortBy(_._2).map { case (_, _, c) =>
+            qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.toSeq
+        }
+        val probes = cents.zipWithIndex.map { case (c, i) =>
+          (c.map(x => x * x).sum - 2.0 * qv.zip(c).map { case (a, b) => a * b }.sum, i)
+        }.sortBy(identity).take(nProbe).map(_._2).toSeq
+        (r.getLong(0), lut, probes)
+      }.toSeq
+    val qdf = broadcast(qrows.toDF("qid", "lut", "probes"))
+
+    val scored = index.join(qdf, array_contains(col("probes"), col("centroid_id")))
+      .select(col("qid"), col("cid"),
+        aggregate(
+          transform(sequence(lit(0), lit(subspaces - 1)),
+            s => element_at(element_at(col("lut"), s + 1),
+              element_at(col("codes"), s + 1) + 1)),
+          lit(0.0), (a, b) => a + b).as("adc_dist"))
+    val short = TopK.perKey(scored, Seq("qid"),
+      Seq(("adc_dist", true), ("cid", true)), shortlist)
+
+    val cv = candidates.select(col(idCol).as("cid2"), col(vecCol).as("cvec"))
+    val qvec = broadcast(queries.select(col(idCol).cast("long").as("qid2"), col(vecCol).as("qvec")))
+    val rescored = short.join(cv, col("cid") === col("cid2"))
+      .join(qvec, col("qid") === col("qid2"))
       .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
     rankTopK(rescored, k)
   }

@@ -68,6 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSigAgg(children(0), k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_sketch"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_sketch"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_theta_sketch(hash, k): k must be an integer literal, got $other")
+        }
+        ThetaSketchAgg(children(0), k)
+      }))
     // Spark's bloom probe expression exists but is not SQL-registered
     // (it backs runtime row-level filtering); expose it for the
     // incremental-dedup pre-filter.

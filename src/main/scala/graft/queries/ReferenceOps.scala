@@ -427,6 +427,45 @@ object ReferenceOps {
       GROUP BY l_orderkey ORDER BY l_orderkey"""
     })
 
+  // ---- r20_buoyancy: Brunt-Väisälä N² between adjacent profile levels ---
+  // The stratification product downstream of σ-t: N² ≈ (g/ρ0)·Δσ/Δz on
+  // consecutive levels of each profile (positive = stable). Same
+  // synthesized profiles and total-ordering trick as r17; one keyed
+  // exchange, the lag runs inside the per-profile sort. Zero-Δz pairs
+  // (duplicate level numbers) yield NULL, as does the first level.
+  private val r20 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sal", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("tc", col("l_quantity") % 30.0)
+        .withColumn("sigma", graft.functions.Seawater.sigmaT(col("sal"), col("tc")))
+        .withColumn("depth", col("l_linenumber").cast("double") * 10.0)
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("sigma"))
+      val dz = col("depth") - lag(col("depth"), 1).over(w)
+      val dsig = col("sigma") - lag(col("sigma"), 1).over(w)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          when(dz > 0.0, graft.Det.qz(lit(9.80665 / 1025.0) * dsig / dz, 8))
+            .as("n2"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("n2"))
+    },
+    Some {
+      val st = graft.functions.Seawater.sigmaTSql("30.0 + l_discount * 100.0", "l_quantity % 30.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN dz > 0.0
+                  THEN ${graft.Det.qzSql("(9.80665 / 1025.0) * dsig / dz", 8)}
+             END AS n2
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+               depth - lag(depth, 1) OVER w AS dz,
+               sigma - lag(sigma, 1) OVER w AS dsig
+        FROM (SELECT l_orderkey, l_linenumber, ($st) AS sigma,
+                     CAST(l_linenumber AS DOUBLE) * 10.0 AS depth
+              FROM lineitem) s0
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, sigma)) s1
+      ORDER BY l_orderkey, l_linenumber, n2"""
+    })
+
   // ---- r18_conservative_temp: TEOS-10 CT from θ ------------------------
   private val r18 = Q(
     (s, dir) => {
@@ -487,6 +526,7 @@ object ReferenceOps {
     "r15_o2_solubility" -> r15,
     "r16_freezing_point" -> r16,
     "r17_mixed_layer" -> r17,
+    "r20_buoyancy" -> r20,
     "r18_conservative_temp" -> r18,
     "r19_percent_sat" -> r19)
 }

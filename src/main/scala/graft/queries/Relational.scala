@@ -702,6 +702,34 @@ object Relational {
     },
     None)
 
+  // ---- k4_theta_setops: KMV/theta sketch set algebra ---------------------
+  // Per-event-type KMV sketches of the user set, then PAIRWISE overlap
+  // estimates (union / intersection / jaccard) computed purely from the
+  // sketches — the shape that answers "how much does corpus A overlap
+  // corpus B" over 100 TB without ever joining raw data. Exact
+  // per-type distinct ships alongside; RegistrySpec pins the estimator
+  // error bounds (KMV k=256 ⇒ ~6% RSE) and the exact-below-k fast path.
+  private val k4 = Q(
+    (s, dir) => {
+      import graft.functions.Sketches._
+      val K = 256
+      val sk = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(thetaSketch(hash63(col("user_id")), K).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"),
+        col("exact_users").as("exact_a"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"),
+        col("exact_users").as("exact_b"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+          Det.qz(distinctEstimate(col("ska"), K)).as("est_a"),
+          Det.qz(unionEstimate(col("ska"), col("skb"), K)).as("est_union"),
+          Det.qz(intersectEstimate(col("ska"), col("skb"), K)).as("est_intersect"),
+          Det.qz(jaccardEstimate(col("ska"), col("skb"), K), 6).as("est_jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+    None)
+
   val entries: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -735,5 +763,6 @@ object Relational {
     "q30_grouped_topk" -> q30,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
-    "k3_sketch_union" -> k3)
+    "k3_sketch_union" -> k3,
+    "k4_theta_setops" -> k4)
 }

@@ -4,6 +4,7 @@ import graft.{Det, Q, Tables}
 import graft.functions.Text
 import graft.operators.{Dedup, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Block C — training-data pipeline operators over `documents` and
@@ -351,6 +352,85 @@ object TrainingData {
             FROM c) z
       WHERE rnk <= 5 ORDER BY lang, rnk"""))
 
+  // ---- d9_dedup_paragraph: cross-doc duplicate token-block removal ------
+  // C4-style "remove repeated spans corpus-wide", adapted to the
+  // punctuation-free corpus: non-overlapping 20-token blocks, md5 per
+  // block, duplicate = same block in >1 document; the lowest doc_id
+  // keeps its copy. Two keyed exchanges (block-hash window + per-doc
+  // agg) regardless of corpus size; block hashing is map-only.
+  private val d9blk = 20
+  private val d9 = Q(
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val chunkHashes = transform(
+        filter(
+          transform(sequence(lit(0), (size(toks) / d9blk).cast("int")),
+            j => slice(toks, j * d9blk + 1, lit(d9blk))),
+          a => size(a) === d9blk),
+        a => md5(array_join(a, " ")))
+      val chunks = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), explode(chunkHashes).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("h"))
+      chunks
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .withColumn("owner", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("owner") =!= col("doc_id"), 1L).otherwise(0L)).as("n_removed"))
+        .withColumn("dup_frac",
+          graft.Det.qz(col("n_removed").cast("double") / col("n_blocks").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      chunks AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[j*$d9blk+1 : j*$d9blk+$d9blk], ' ')) AS h
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, CAST(len(toks)/$d9blk AS INTEGER) + 1)) AS j
+              FROM raw) r
+        WHERE len(toks[j*$d9blk+1 : j*$d9blk+$d9blk]) = $d9blk),
+      flagged AS (
+        SELECT doc_id,
+               COUNT(*) OVER (PARTITION BY h) AS n_docs,
+               MIN(doc_id) OVER (PARTITION BY h) AS owner
+        FROM chunks)
+      SELECT doc_id, COUNT(*) AS n_blocks,
+             CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST(SUM(CASE WHEN owner <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             ${Det.qzSql("CAST(SUM(CASE WHEN owner <> doc_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS dup_frac
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---- t10_domain_stats: per-source corpus dashboard --------------------
+  // The "which sources are worth keeping" rollup a corpus pipeline runs
+  // before mixture design: volume, language spread, duplication rate and
+  // mean length per source, in ONE keyed exchange with map-side partials.
+  private val t10 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          countDistinct(col("lang")).as("n_langs"),
+          graft.Det.davg(col("n_chars").cast("double")).as("avg_chars"),
+          sum(size(Text.tokens(col("text"))).cast("long")).as("total_toks"))
+        .withColumn("dup_rate", graft.Det.qz(
+          lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs").cast("double"), 6))
+        .orderBy("source")
+    },
+    Some(s"""
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+             COUNT(DISTINCT lang) AS n_langs,
+             ${Det.davgSql("CAST(n_chars AS DOUBLE)")} AS avg_chars,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_toks,
+             ${Det.qzSql("1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS dup_rate
+      FROM documents GROUP BY source ORDER BY source"""))
+
   // ---- t7_pii_redact: regex PII scrubbing ------------------------------
   // The synthetic corpus has no PII, so a deterministic contact block is
   // appended from doc_id FIRST (same expression on both engines) — the
@@ -581,6 +661,23 @@ object TrainingData {
     },
     None)
 
+  // ---- v6_ivf_pq: IVF + PQ ADC + exact re-rank (the full ANN stack) -----
+  // Coarse quantizer restricts the scan to nProbe inverted lists; ADC
+  // scores only those lists' 8-byte codes; the shortlist re-ranks on
+  // full vectors. Training is iterative → rows-only; Round3Spec pins
+  // recall against the brute-force baseline.
+  private val v6 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfPqTopK(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", dims = 64, k = 10,
+        nCentroids = 10, nProbe = 4, ivfIters = 3, shortlist = 50)
+        .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+        .orderBy("qid", "rnk")
+    },
+    None)
+
   // ---- v4_pq_codes: product-quantization compression --------------------
   // Training is iterative (not SQL-expressible) → rows-only; Round2Spec
   // pins reconstruction error below signal energy and the code shape.
@@ -618,6 +715,7 @@ object TrainingData {
     "d6_dedup_url" -> d6,
     "d7_dedup_normalized" -> d7,
     "d8_dedup_clusters" -> d8,
+    "d9_dedup_paragraph" -> d9,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
@@ -627,11 +725,13 @@ object TrainingData {
     "t7_pii_redact" -> t7,
     "t8_repetition" -> t8,
     "t9_sample_mixture" -> t9,
+    "t10_domain_stats" -> t10,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
     "v4_pq_codes" -> v4,
     "v5_pq_adc" -> v5,
+    "v6_ivf_pq" -> v6,
     "m1_binary_meta" -> m1,
     "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3)
