@@ -702,6 +702,52 @@ object Relational {
     },
     None)
 
+  // ---- q31_funnel: ordered-sequence (funnel) detection -------------------
+  // view → click → purchase per user, each step's timestamp strictly
+  // after the previous step's FIRST occurrence — the sequence-matching
+  // analytic (MATCH_RECOGNIZE-lite) done with chained conditional-min
+  // windows over ONE partitioning: three window functions, one keyed
+  // exchange, no self-joins. The final rollup counts users per reached
+  // depth.
+  private val q31 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      // high-value events only — thins the stream so the funnel actually
+      // discriminates (every user trivially converts on the full stream)
+      val ev = t(s, dir, "events").filter(col("value") > 100.0)
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+      ev.select(col("user_id"), col("t1"), col("t2"), col("t3")).distinct()
+        .select(
+          (when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0)).as("depth"))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+        .orderBy("depth")
+    },
+    Some("""
+      WITH ev AS (SELECT * FROM events WHERE value > 100.0),
+      s1 AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t1
+        FROM ev),
+      s2 AS (
+        SELECT user_id, event_type, ts, t1,
+               MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                 OVER (PARTITION BY user_id) AS t2
+        FROM s1),
+      s3 AS (
+        SELECT user_id, t1, t2,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                 OVER (PARTITION BY user_id) AS t3
+        FROM s2),
+      f AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+      SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+             COUNT(*) AS n_users
+      FROM f GROUP BY 1 ORDER BY depth"""))
+
   // ---- k4_theta_setops: KMV/theta sketch set algebra ---------------------
   // Per-event-type KMV sketches of the user set, then PAIRWISE overlap
   // estimates (union / intersection / jaccard) computed purely from the
@@ -761,6 +807,7 @@ object Relational {
     "q28_argminmax" -> q28,
     "q29_unpivot" -> q29,
     "q30_grouped_topk" -> q30,
+    "q31_funnel" -> q31,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,

@@ -530,6 +530,50 @@ object TrainingData {
       FROM documents GROUP BY lang ORDER BY lang"""
     })
 
+  // ---- t11_contamination: eval-set n-gram overlap check ------------------
+  // The benchmark-contamination operator: which corpus docs contain a
+  // 13-token shingle that also appears in the held-out set (here: the
+  // deterministic doc_id % 50 == 0 slice). The held-out side is tiny by
+  // construction → its distinct shingle hashes BROADCAST; the corpus
+  // side is one map-side scan + one keyed agg. No shuffle grows with
+  // corpus size except the final per-doc rollup.
+  private val t11s = 13
+  private val t11 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bsh = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(Text.shingles(Text.tokens(col("text")), t11s)).as("sh"))
+        .select(md5(col("sh")).as("bh")).distinct()
+      val csh = graft.Tables.spread(docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"))
+        .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), t11s)).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("h"))
+      csh.join(broadcast(bsh), col("h") === col("bh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+        .withColumn("contam_frac", graft.Det.qz(
+          col("n_matched").cast("double") / col("n_shingles").cast("double"), 6))
+        .withColumn("contaminated", col("n_matched") > 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(greatest(len(w) - ${t11s - 1}, 0)),
+                 i -> md5(array_to_string(w[i+1 : i+$t11s], ' '))))) AS h
+        FROM w),
+      bench AS (SELECT DISTINCT h AS bh FROM sh WHERE doc_id % 50 = 0)
+      SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             ${Det.qzSql("CAST(SUM(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS contam_frac,
+             (SUM(CASE WHEN bh IS NOT NULL THEN 1 ELSE 0 END) > 0) AS contaminated
+      FROM (SELECT s.doc_id, s.h, b.bh FROM sh s LEFT JOIN bench b ON s.h = b.bh
+            WHERE s.doc_id % 50 <> 0) z
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---- v1_cosine_topk: brute-force baseline ----------------------------
   private val v1 = Q(
     (s, dir) => {
@@ -726,6 +770,7 @@ object TrainingData {
     "t8_repetition" -> t8,
     "t9_sample_mixture" -> t9,
     "t10_domain_stats" -> t10,
+    "t11_contamination" -> t11,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

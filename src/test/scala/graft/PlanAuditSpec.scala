@@ -85,6 +85,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "range frame must not expand to a join")
   }
 
+  test("k4: theta sketches aggregate with map-side partials") {
+    val p = planOf("k4_theta_setops")
+    // ObjectHashAggregate in partial mode before the exchange: sketches
+    // combine map-side; only k-entry buffers cross the shuffle
+    assert(p.contains("ObjectHashAggregate"), p.take(600))
+    assert(p.contains("graft_theta_sketch"), "sketch agg missing from plan")
+  }
+
+  test("t11: contamination check broadcasts the held-out shingle set") {
+    val p = planOf("t11_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side must not shuffle for the bench join")
+  }
+
+  test("q31: funnel is windows over ONE exchange, no self-joins") {
+    val p = planOf("q31_funnel")
+    assert(!p.contains("Join"), "funnel must not self-join")
+    // tree section: 1 keyed exchange feeds all three windows AND the
+    // per-user distinct; the other two are the tiny depth rollup and the
+    // final sort
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 3, s"funnel grew extra shuffles: $exchanges\n${p.take(900)}")
+  }
+
   test("d6: URL canonicalization stays map-only below one aggregation") {
     val p = planOf("d6_dedup_url")
     // exactly one aggregation exchange (plus the final sort) — no joins

@@ -152,4 +152,40 @@ class StreamingSpec extends SparkSpec {
     // inner join: unknown user 9 dropped; user 1 enriched twice
     assert(got == Seq((1L, "gold"), (1L, "gold"), (2L, "silver")))
   }
+
+  test("map-only corpus ops (PII redact, hash sample) run unchanged on streams") {
+    // redactPii and stratifiedHashSample are pure projections — the SAME
+    // column expressions must produce the SAME values on a stream with
+    // no state, no watermark, and batch/stream parity by construction.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Text
+    import graft.operators.Sampling
+    val rows = Seq(
+      (1L, "en", "mail me at a.b@x.io or 555-123-4567"),
+      (2L, "fr", "server 10.0.0.1 responded"),
+      (3L, "en", "no pii here"))
+    val input = MemoryStream[(Long, String, String)]
+    val streamed = Sampling.stratifiedHashSample(
+      input.toDF().toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", Map("en" -> 0.5), defaultRate = 1.0)
+      .withColumn("redacted", Text.redactPii(col("text")))
+    val q = EventStream.toMemorySink(streamed, "redact_test")
+    input.addData(rows.take(2)); q.processAllAvailable()
+    input.addData(rows.drop(2)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("redact_test")
+      .select("doc_id", "sampled", "redacted")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val batch = Sampling.stratifiedHashSample(
+      rows.toDF("doc_id", "lang", "text"), "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 1.0)
+      .withColumn("redacted", Text.redactPii(col("text")))
+      .select("doc_id", "sampled", "redacted")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got == batch)
+    assert(got.find(_._1 == 1L).get._3 == "mail me at [EMAIL] or [PHONE]")
+    assert(got.find(_._1 == 2L).get._3 == "server [IP] responded")
+  }
 }
