@@ -88,5 +88,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
+    ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
   }
 }

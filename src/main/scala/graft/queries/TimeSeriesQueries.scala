@@ -206,11 +206,44 @@ object TimeSeriesQueries {
       FROM c WHERE side = 1
       ORDER BY user_id, gts"""))
 
+  // ---- s7_interval_join: custom sweep-join plan node ---------------------
+  // Clicks joined to same-user error-burst windows (per-day min..max
+  // error ts) through graft.plans.IntervalJoin: one keyed exchange per
+  // side, then an output-sensitive per-key sweep — NOT the per-key cross
+  // product Spark plans for equi-key + BETWEEN. Oracle is the plain
+  // declarative join; Round3Spec additionally pins plan shape and parity.
+  private val s7 = Q(
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val bursts = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("uid"), date_trunc("day", col("ts")).as("day"))
+        .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        .drop("day")
+      graft.operators.RangeJoin.pointInInterval(
+        clicks, bursts, Seq(("user_id", "uid")), "ts", "lo", "hi")
+        .select(col("user_id"), col("event_id"), col("lo"), col("hi"))
+        .orderBy("user_id", "event_id", "lo")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      bursts AS (
+        SELECT user_id AS uid, MIN(ts) AS lo, MAX(ts) AS hi
+        FROM events WHERE event_type = 'error'
+        GROUP BY user_id, date_trunc('day', ts))
+      SELECT user_id, event_id, lo, hi
+      FROM clicks JOIN bursts
+        ON user_id = uid AND ts >= lo AND ts <= hi
+      ORDER BY user_id, event_id, lo"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
     "s3_asof_join" -> s3,
     "s4_range_join" -> s4,
     "s5_gap_fill" -> s5,
-    "s6_interp_resample" -> s6)
+    "s6_interp_resample" -> s6,
+    "s7_interval_join" -> s7)
 }

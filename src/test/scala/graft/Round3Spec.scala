@@ -73,6 +73,53 @@ class Round3Spec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-PQ recall $recall below floor")
   }
 
+  test("IntervalJoin matches the declarative join on overlapping intervals and nulls") {
+    import graft.operators.RangeJoin
+    // overlapping + nested + duplicate intervals, null point/lo/hi rows
+    val points = Seq((1L, 5L, 100L), (1L, 10L, 101L), (1L, 25L, 102L),
+      (2L, 5L, 200L), (3L, 1L, 300L), (2L, -1L, 201L))
+      .toDF("k", "p", "pid")
+      .unionByName(Seq((1L, Option.empty[Long], 199L)).toDF("k", "p", "pid"))
+    val intervals = Seq((1L, 0L, 7L, 10L), (1L, 3L, 12L, 11L), (1L, 3L, 12L, 12L),
+      (1L, 8L, 30L, 13L), (2L, 6L, 9L, 20L), (9L, 0L, 99L, 90L))
+      .toDF("ik", "lo", "hi", "iid")
+      .unionByName(Seq((2L, Option.empty[Long], Option(9L), 21L),
+        (2L, Option(0L), Option.empty[Long], 22L)).toDF("ik", "lo", "hi", "iid"))
+    val custom = RangeJoin.pointInInterval(points, intervals,
+      Seq(("k", "ik")), "p", "lo", "hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declarative = points.join(intervals,
+      col("k") === col("ik") && col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(custom == declarative, s"custom $custom vs declarative $declarative")
+    assert(custom.contains((100L, 10L)) && custom.contains((101L, 13L)))
+  }
+
+  test("IntervalJoin plans a sweep (no SMJ/BNLJ) behind two keyed exchanges") {
+    val p = SparkEntry.queries("s7_interval_join")(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("IntervalJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct"), "fell back to a generic join")
+  }
+
+  test("s7_interval_join result matches the declarative plan on real data") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val custom = SparkEntry.queries("s7_interval_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val bursts = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("uid"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val decl = clicks.join(bursts,
+      col("user_id") === col("uid") && col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(custom == decl)
+    assert(custom.nonEmpty, "join produced no rows — data assumption broken")
+  }
+
   test("k4_theta_setops runs and estimates match exact pairwise overlap") {
     val out = SparkEntry.queries("k4_theta_setops")(spark, sfDir).collect()
     assert(out.nonEmpty)
