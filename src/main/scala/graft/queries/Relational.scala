@@ -748,6 +748,78 @@ object Relational {
              COUNT(*) AS n_users
       FROM f GROUP BY 1 ORDER BY depth"""))
 
+  // ---- q32_scd2: slowly-changing-dimension (type 2) build ----------------
+  // Rebuilds a versioned dimension from an event history: per customer,
+  // consecutive orders sharing o_orderpriority collapse into one validity
+  // interval [valid_from, valid_to) with is_current on the open tail —
+  // the standard SCD2 shape every warehouse ETL needs. One keyed
+  // exchange on o_custkey: the change-detection lag, the running segment
+  // sum, the (custkey, seg) aggregation (hash(custkey) already clusters
+  // it), and the valid_to lead all reuse the same partitioning.
+  private val q32 = Q(
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val seg = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("chg", when(lag(col("o_orderpriority"), 1).over(wOrd).isNull ||
+          lag(col("o_orderpriority"), 1).over(wOrd) =!= col("o_orderpriority"), 1).otherwise(0))
+        .withColumn("seg", sum(col("chg")).over(wOrd))
+      val wSeg = Window.partitionBy(col("o_custkey")).orderBy(col("seg"))
+      seg.groupBy(col("o_custkey"), col("seg"), col("o_orderpriority").as("priority"))
+        .agg(min(col("o_orderdate")).as("valid_from"), count(lit(1)).as("n_orders"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeg))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("o_custkey", "priority", "valid_from", "valid_to", "is_current", "n_orders")
+        .orderBy("o_custkey", "valid_from")
+    },
+    Some("""
+      WITH seg AS (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS seg
+        FROM (SELECT *, LAG(o_orderpriority) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+              FROM orders)),
+      dim AS (
+        SELECT o_custkey, seg, o_orderpriority AS priority,
+               MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+        FROM seg GROUP BY o_custkey, seg, o_orderpriority)
+      SELECT o_custkey, priority, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY seg) AS valid_to,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY seg) IS NULL AS is_current,
+             n_orders
+      FROM dim
+      ORDER BY o_custkey, valid_from"""))
+
+  // ---- q33_cdc_merge: changelog compaction (upsert/delete apply) ---------
+  // Applies a CDC changelog to derive final keyed state: per user, the
+  // LATEST event wins (ts, event_id as the monotone sequence tiebreak);
+  // 'purchase' acts as a delete marker, everything else upserts the
+  // value. This is log compaction — the MERGE INTO shape — done with one
+  // keyed exchange (row_number) and a map-side filter, no join against a
+  // base table.
+  private val q33 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("last_op"),
+          col("ts").as("last_ts"), col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_type AS last_op, ts AS last_ts, value AS last_value
+      FROM (SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type IN ('view', 'click', 'purchase'))
+      WHERE rn = 1 AND event_type <> 'purchase'
+      ORDER BY user_id"""))
+
   // ---- k4_theta_setops: KMV/theta sketch set algebra ---------------------
   // Per-event-type KMV sketches of the user set, then PAIRWISE overlap
   // estimates (union / intersection / jaccard) computed purely from the
@@ -808,6 +880,8 @@ object Relational {
     "q29_unpivot" -> q29,
     "q30_grouped_topk" -> q30,
     "q31_funnel" -> q31,
+    "q32_scd2" -> q32,
+    "q33_cdc_merge" -> q33,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,

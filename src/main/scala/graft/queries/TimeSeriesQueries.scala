@@ -238,6 +238,51 @@ object TimeSeriesQueries {
         ON user_id = uid AND ts >= lo AND ts <= hi
       ORDER BY user_id, event_id, lo"""))
 
+  // ---- s8_outliers: per-series z-score anomaly flagging ------------------
+  // Statistical outlier detection per sensor (user_id): mean/variance
+  // from exact decimal component sums over ONE keyed window (order-free,
+  // so bit-identical across engines and partitionings), then |z| > 2.5
+  // flags. The two-pass-looking math is a single exchange: count, Σx and
+  // Σx² all ride the same whole-partition window frame. sqrt and divide
+  // are IEEE-correctly-rounded, so z is reproducible bit-for-bit.
+  private val s8 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val withStats = t(s, dir, "events")
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("value").cast(Det.D)).over(w).cast("double"))
+        .withColumn("s2", sum((col("value") * col("value")).cast(Det.D)).over(w).cast("double"))
+        .filter(col("n") >= 10)
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("variance",
+          greatest((col("s2") - col("n") * col("mean") * col("mean")) / (col("n") - 1), lit(0.0)))
+        // variance == 0 would make z NaN/Inf, whose comparison semantics
+        // differ across engines — excluded on both sides
+        .filter(col("variance") > 0.0)
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      withStats.filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("user_id"), col("value"),
+          Det.qz(col("z")).as("z_score"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT event_id, user_id, value,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER (PARTITION BY user_id) AS DOUBLE) AS s2
+        FROM events),
+      v AS (
+        SELECT *, GREATEST((s2 - n * (s1/n) * (s1/n)) / (n - 1), 0.0) AS vr
+        FROM st WHERE n >= 10),
+      z AS (
+        SELECT event_id, user_id, value, (value - s1 / n) / SQRT(vr) AS z
+        FROM v WHERE vr > 0.0)
+      SELECT event_id, user_id, value, ${Det.qzSql("z")} AS z_score
+      FROM z WHERE ABS(z) > 2.5
+      ORDER BY user_id, event_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
@@ -245,5 +290,6 @@ object TimeSeriesQueries {
     "s4_range_join" -> s4,
     "s5_gap_fill" -> s5,
     "s6_interp_resample" -> s6,
-    "s7_interval_join" -> s7)
+    "s7_interval_join" -> s7,
+    "s8_outliers" -> s8)
 }

@@ -750,6 +750,117 @@ object TrainingData {
     },
     None)
 
+  // ---- t12_histogram: corpus length distribution per language ------------
+  // Fixed-width histogram (500-char buckets) of document length by lang —
+  // the profiling shape behind "what does this corpus look like" at
+  // 100 TB: map-side bucket assignment, one keyed agg exchange, bounded
+  // output (buckets × langs).
+  private val t12 = Q(
+    (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), (floor(col("n_chars") / 500) * 500).as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"), Det.davg(col("n_chars")).as("avg_chars"))
+        .orderBy("lang", "bucket_lo")
+    },
+    Some(s"""
+      SELECT lang, FLOOR(n_chars / 500) * 500 AS bucket_lo,
+             COUNT(*) AS n_docs, ${Det.davgSql("n_chars")} AS avg_chars
+      FROM documents
+      GROUP BY 1, 2 ORDER BY lang, bucket_lo"""))
+
+  // ---- t13_profile: one-pass column profiling ----------------------------
+  // Data-profiling dashboard over `documents`: per column, null count,
+  // exact distinct, lexicographic min/max (truncated for display) — all
+  // from ONE scan and one agg, unpivoted with stack(). The 100 TB path
+  // swaps countDistinct for the mergeable HLL sketch (k1/k3) — shape is
+  // identical.
+  private val t13 = Q(
+    (s, dir) => {
+      def p(c: String, asStr: org.apache.spark.sql.Column) = Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        substring(min(asStr), 1, 24).as(s"${c}_min"),
+        substring(max(asStr), 1, 24).as(s"${c}_max"))
+      val cols = Seq("text" -> col("text"), "lang" -> col("lang"),
+        "source" -> col("source"), "n_chars" -> col("n_chars").cast("string"))
+      val aggs = cols.flatMap { case (n, c) => p(n, c) }
+      t(s, dir, "documents").agg(aggs.head, aggs.tail: _*)
+        .selectExpr("stack(4, " + cols.map(_._1).map(n =>
+          s"'$n', ${n}_nulls, ${n}_distinct, ${n}_min, ${n}_max").mkString(", ") +
+          ") AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+        .orderBy("col_name")
+    },
+    Some("""
+      WITH a AS (
+        SELECT
+          SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls,
+          COUNT(DISTINCT text) AS text_distinct,
+          SUBSTR(MIN(text), 1, 24) AS text_min, SUBSTR(MAX(text), 1, 24) AS text_max,
+          SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+          COUNT(DISTINCT lang) AS lang_distinct,
+          SUBSTR(MIN(lang), 1, 24) AS lang_min, SUBSTR(MAX(lang), 1, 24) AS lang_max,
+          SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+          COUNT(DISTINCT source) AS source_distinct,
+          SUBSTR(MIN(source), 1, 24) AS source_min, SUBSTR(MAX(source), 1, 24) AS source_max,
+          SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars_nulls,
+          COUNT(DISTINCT n_chars) AS n_chars_distinct,
+          SUBSTR(CAST(MIN(n_chars) AS VARCHAR), 1, 24) AS n_chars_min,
+          SUBSTR(CAST(MAX(n_chars) AS VARCHAR), 1, 24) AS n_chars_max
+        FROM documents)
+      SELECT 'text' AS col_name, text_nulls AS n_nulls, text_distinct AS n_distinct,
+             text_min AS min_val, text_max AS max_val FROM a
+      UNION ALL SELECT 'lang', lang_nulls, lang_distinct, lang_min, lang_max FROM a
+      UNION ALL SELECT 'source', source_nulls, source_distinct, source_min, source_max FROM a
+      UNION ALL SELECT 'n_chars', n_chars_nulls, n_chars_distinct, n_chars_min, n_chars_max FROM a
+      ORDER BY col_name"""))
+
+  // ---- t14_tfidf: top TF-IDF terms per document --------------------------
+  // Keyword extraction: term frequency (one keyed agg), document
+  // frequency (second keyed agg over the already-distinct doc-term
+  // pairs), rational idf surrogate (N+1)/(df+1) — transcendental-free so
+  // both engines agree bit-for-bit — and a per-doc top-3 via row_number.
+  // At 100 TB the tf→df join stays keyed (term-partitioned); nothing
+  // here collects to the driver.
+  private val t14 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs
+        .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfc, "term").crossJoin(n)
+        .withColumn("score", Det.qz(col("tf") *
+          ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some(s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        WHERE term <> '' GROUP BY doc_id, term),
+      dfc AS (SELECT term AS dterm, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term, tf, df,
+               ${Det.qzSql("tf * ((n_docs + 1.0) / (df + 1.0))", 6)} AS score
+        FROM tf JOIN dfc ON term = dterm CROSS JOIN n),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, rnk, term, tf, df, score
+      FROM ranked WHERE rnk <= 3
+      ORDER BY doc_id, rnk"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
@@ -771,6 +882,9 @@ object TrainingData {
     "t9_sample_mixture" -> t9,
     "t10_domain_stats" -> t10,
     "t11_contamination" -> t11,
+    "t12_histogram" -> t12,
+    "t13_profile" -> t13,
+    "t14_tfidf" -> t14,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
