@@ -179,7 +179,8 @@ object TrainingData {
       Dedup.connectedComponents(pairs, "id1", "id2")
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"),
-          sort_array(collect_list(col("id"))).as("members"))
+          array_join(transform(sort_array(collect_list(col("id"))),
+            _.cast("string")), ",").as("members"))
         .orderBy("cluster")
     },
     Some("""
@@ -216,7 +217,8 @@ object TrainingData {
         UNION
         SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
       cc AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id)
-      SELECT cluster, COUNT(*) AS n_members, list_sort(list(id)) AS members
+      SELECT cluster, COUNT(*) AS n_members,
+             array_to_string(list_sort(list(id)), ',') AS members
       FROM cc GROUP BY cluster ORDER BY cluster"""))
 
   // ---- t1_token_count --------------------------------------------------
@@ -673,16 +675,16 @@ object TrainingData {
       val nFrames = when(n >= 16, floor((n - 16) / 64).cast("int") + 1).otherwise(0)
       t(s, dir, "documents")
         .select(col("doc_id"), nFrames.as("n_frames"),
-          transform(sequence(lit(0), nFrames - 1),
-            i => substring(md5(encode(col("text").substr(i * 64 + 1, lit(16)), "UTF-8")), 1, 8))
+          array_join(transform(sequence(lit(0), nFrames - 1),
+            i => substring(md5(encode(col("text").substr(i * 64 + 1, lit(16)), "UTF-8")), 1, 8)), ",")
             .as("frame_fps"))
         .filter(col("n_frames") > 0)
         .orderBy("doc_id")
     },
     Some("""
       SELECT doc_id, n_frames,
-             list_transform(range(n_frames),
-               i -> substr(md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 16)), 1, 8)) AS frame_fps
+             array_to_string(list_transform(range(n_frames),
+               i -> substr(md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 16)), 1, 8)), ',') AS frame_fps
       FROM (SELECT doc_id, text,
                    CASE WHEN LENGTH(text) >= 16
                         THEN CAST(FLOOR((LENGTH(text) - 16) / 64) AS INTEGER) + 1
@@ -763,7 +765,7 @@ object TrainingData {
         .orderBy("lang", "bucket_lo")
     },
     Some(s"""
-      SELECT lang, FLOOR(n_chars / 500) * 500 AS bucket_lo,
+      SELECT lang, CAST(FLOOR(n_chars / 500) * 500 AS BIGINT) AS bucket_lo,
              COUNT(*) AS n_docs, ${Det.davgSql("n_chars")} AS avg_chars
       FROM documents
       GROUP BY 1, 2 ORDER BY lang, bucket_lo"""))
@@ -804,8 +806,8 @@ object TrainingData {
           SUBSTR(MIN(source), 1, 24) AS source_min, SUBSTR(MAX(source), 1, 24) AS source_max,
           SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars_nulls,
           COUNT(DISTINCT n_chars) AS n_chars_distinct,
-          SUBSTR(CAST(MIN(n_chars) AS VARCHAR), 1, 24) AS n_chars_min,
-          SUBSTR(CAST(MAX(n_chars) AS VARCHAR), 1, 24) AS n_chars_max
+          SUBSTR(MIN(CAST(n_chars AS VARCHAR)), 1, 24) AS n_chars_min,
+          SUBSTR(MAX(CAST(n_chars AS VARCHAR)), 1, 24) AS n_chars_max
         FROM documents)
       SELECT 'text' AS col_name, text_nulls AS n_nulls, text_distinct AS n_distinct,
              text_min AS min_val, text_max AS max_val FROM a
