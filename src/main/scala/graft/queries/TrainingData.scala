@@ -795,16 +795,16 @@ object TrainingData {
     Some("""
       WITH a AS (
         SELECT
-          SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls,
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
           COUNT(DISTINCT text) AS text_distinct,
           SUBSTR(MIN(text), 1, 24) AS text_min, SUBSTR(MAX(text), 1, 24) AS text_max,
-          SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+          CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
           COUNT(DISTINCT lang) AS lang_distinct,
           SUBSTR(MIN(lang), 1, 24) AS lang_min, SUBSTR(MAX(lang), 1, 24) AS lang_max,
-          SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+          CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
           COUNT(DISTINCT source) AS source_distinct,
           SUBSTR(MIN(source), 1, 24) AS source_min, SUBSTR(MAX(source), 1, 24) AS source_max,
-          SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars_nulls,
+          CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
           COUNT(DISTINCT n_chars) AS n_chars_distinct,
           SUBSTR(MIN(CAST(n_chars AS VARCHAR)), 1, 24) AS n_chars_min,
           SUBSTR(MAX(CAST(n_chars AS VARCHAR)), 1, 24) AS n_chars_max
