@@ -820,6 +820,53 @@ object Relational {
       WHERE rn = 1 AND event_type <> 'purchase'
       ORDER BY user_id"""))
 
+  // ---- q34_retention: weekly cohort retention matrix ---------------------
+  // The product-analytics cohort table: users grouped by first-active
+  // week, activity counted per whole-week offset, rate = cohort share
+  // still active. Shuffle plan: ONE keyed exchange on user_id (the
+  // first-ts window), one (cohort, offset) aggregation with map-side
+  // distinct partials, and a window over the tiny cohort matrix for the
+  // offset-0 denominator — no self-joins, nothing driver-side, so the
+  // shape is identical at 100 TB where `events` is the big table.
+  private val q34 = Q(
+    (s, dir) => {
+      val wUser = Window.partitionBy(col("user_id"))
+      val ev = t(s, dir, "events")
+        .withColumn("first_ts", min(col("ts")).over(wUser))
+      val matrix = ev.select(
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"),
+        floor(datediff(to_date(col("ts")), to_date(col("first_ts"))) / 7)
+          .cast("int").as("week_offset"),
+        col("user_id"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val wCohort = Window.partitionBy(col("cohort_week"))
+      matrix
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0, col("n_users"))).over(wCohort))
+        .withColumn("retention", Det.qz(
+          col("n_users").cast("double") / col("cohort_size").cast("double"), 6))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT user_id, ts,
+               MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events),
+      m AS (
+        SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+               CAST(FLOOR(date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE)) / 7.0) AS INTEGER) AS week_offset,
+               user_id
+        FROM f),
+      g AS (
+        SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+        FROM m GROUP BY 1, 2)
+      SELECT cohort_week, week_offset, n_users,
+             MAX(CASE WHEN week_offset = 0 THEN n_users END)
+               OVER (PARTITION BY cohort_week) AS cohort_size,
+             ${Det.qzSql("CAST(n_users AS DOUBLE) / CAST(MAX(CASE WHEN week_offset = 0 THEN n_users END) OVER (PARTITION BY cohort_week) AS DOUBLE)", 6)} AS retention
+      FROM g ORDER BY cohort_week, week_offset"""))
+
   // ---- k4_theta_setops: KMV/theta sketch set algebra ---------------------
   // Per-event-type KMV sketches of the user set, then PAIRWISE overlap
   // estimates (union / intersection / jaccard) computed purely from the
@@ -882,6 +929,7 @@ object Relational {
     "q31_funnel" -> q31,
     "q32_scd2" -> q32,
     "q33_cdc_merge" -> q33,
+    "q34_retention" -> q34,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,
