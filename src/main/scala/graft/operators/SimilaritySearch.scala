@@ -119,55 +119,69 @@ object SimilaritySearch {
       }), 2).cast("int")
   }
 
-  /** IVF (inverted-file) ANN top-k — the trained-partition scale path the
-    * LSH variant complements. The coarse quantizer is trained with a
-    * declarative Lloyd's loop: deterministic hash-sampled seeds, then
-    * `iters` rounds of codegen'd argmin assignment + per-dimension mean
-    * aggregation; only k×dims partial sums ever reach the driver (index
-    * metadata, the same footprint as a broadcast bloom filter — the
-    * vectors themselves stay distributed). Candidates invert into their
-    * nearest list map-side with zero joins; queries probe the `nProbe`
-    * nearest lists; scoring joins on the centroid id (keyed shuffle).
+  /** Deterministic hash-ordered training sample: one distributed
+    * TakeOrdered pass (O(corpus) scan, O(sample) result) whose size is
+    * CONSTANT in the corpus — the FAISS convention: quantizers train on
+    * a bounded sample, never the full corpus. At 100 TB this is the only
+    * index-build step that touches the driver, and it moves
+    * `max × dims` floats (≈2 MB at the defaults) — the same footprint
+    * class as a broadcast bloom filter.
     */
-  /** Declarative Lloyd's coarse-quantizer training (shared by [[ivfTopK]]
-    * and [[ivfPqTopK]]): deterministic hash-sampled seeds, `iters` rounds
-    * of codegen'd argmin assignment + per-dimension mean aggregation.
-    * Only nCentroids×dims partial sums reach the driver per round.
-    */
-  def trainCoarseCentroids(candidates: DataFrame, idCol: String, vecCol: String,
-                           nCentroids: Int, iters: Int): Array[Array[Double]] = {
-    val c0 = graft.Tables.spread(candidates, col(idCol))
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    var cents: Array[Array[Double]] = c0
-      .orderBy(xxhash64(col("cid"))).limit(nCentroids)
-      .select(col("cvec")).collect()
+  private def trainingSample(vectors: DataFrame, idCol: String, vecCol: String,
+                             max: Int): Array[Array[Double]] =
+    vectors.orderBy(xxhash64(col(idCol)), col(idCol)).limit(max)
+      .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    for (it <- 0 until iters) {
-      val t0 = System.nanoTime()
-      val cid = nearestExpr(col("cvec"), cents)
-      // The repartition between assignment and explode is a MATERIALIZATION
-      // BARRIER, not a data-movement choice: without it the optimizer
-      // collapses `ci` into the post-explode projection and re-evaluates
-      // the argmin fold once per exploded element — dims× the work
-      // (measured 7 s/round vs 0.3 s on the bench corpus). Keying it on
-      // `ci` also pre-clusters for the (ci, p) aggregation, so the shuffle
-      // replaces — not adds to — the aggregation exchange.
-      val sums = c0.select(cid.as("ci"), col("cvec"))
-        .repartition(col("ci"))
-        .select(col("ci"), posexplode(col("cvec")).as(Seq("p", "x")))
-        .groupBy(col("ci"), col("p"))
-        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
-        .collect()
-      if (sys.env.contains("SPARK_GRAFT_DEV")) println(f"IVF iter $it ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      val byC = sums.groupBy(_.getInt(0))
-      cents = cents.zipWithIndex.map { case (old, i) =>
-        byC.get(i) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
-          case None => old // empty list: keep the seed
+
+  /** In-memory Lloyd's rounds over the training sample. Same semantics
+    * as the distributed assignment expression ([[nearestExpr]]): argmin
+    * of c·c − 2·v·c with strict `<` (earlier id wins ties), empty
+    * clusters keep their previous centroid.
+    */
+  private def lloyd(sample: Array[Array[Double]], seeds: Array[Array[Double]],
+                    iters: Int): Array[Array[Double]] = {
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val dims = cents.head.length
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val ns = new Array[Long](cents.length)
+      val cc = cents.map(c => c.map(x => x * x).sum)
+      sample.foreach { v =>
+        var best = -1
+        var bd = Double.MaxValue
+        var i = 0
+        while (i < cents.length) {
+          var dot = 0.0
+          var d = 0
+          val c = cents(i)
+          while (d < dims) { dot += v(d) * c(d); d += 1 }
+          val dist = cc(i) - 2.0 * dot
+          if (dist < bd) { bd = dist; best = i }
+          i += 1
         }
+        ns(best) += 1
+        var d = 0
+        while (d < dims) { sums(best)(d) += v(d); d += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (ns(i) == 0) old else sums(i).map(_ / ns(i))
       }
     }
     cents
+  }
+
+  /** Coarse-quantizer training (shared by [[ivfTopK]] and [[ivfPqTopK]]):
+    * deterministic hash-ordered sample (bounded at `trainSample`), then
+    * `iters` in-memory Lloyd's rounds on the driver. Training cost is
+    * constant in the corpus size; the corpus itself is touched exactly
+    * once (the sampling TakeOrdered). Assignment/inversion of the full
+    * corpus stays distributed and map-side ([[nearestExpr]]).
+    */
+  def trainCoarseCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+                           nCentroids: Int, iters: Int,
+                           trainSample: Int = 4096): Array[Array[Double]] = {
+    val sample = trainingSample(candidates, idCol, vecCol, trainSample)
+    lloyd(sample, sample.take(nCentroids), iters)
   }
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
@@ -201,19 +215,15 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
-  /** Nearest centroid WITHIN a subspace: same constant-size fold as
-    * [[nearestExpr]], but the literal codebook carries a subspace tag and
-    * entries from other subspaces are skipped — one expression serves
-    * every subspace row, so all subspaces train/encode in ONE pipeline
-    * instead of `m` sequential job chains. Returns [best_dist_rel,
-    * best_id] (relative distance: c·c − 2·v·c; add v·v for the true
-    * squared distance).
+  /** Nearest entry of ONE subspace codebook: the same constant-size fold
+    * as [[nearestExpr]] over a (code, c·c, centroid) literal array.
+    * Returns [best_dist_rel, best_code] (relative distance:
+    * c·c − 2·v·c; add v·v for the true squared distance).
     */
-  private def nearestSubExpr(v: org.apache.spark.sql.Column,
-                             sCol: org.apache.spark.sql.Column,
-                             cents: Seq[(Int, Int, Array[Double])]): org.apache.spark.sql.Column = {
-    val centsLit = array(cents.map { case (s, j, c) =>
-      struct(lit(s).as("s"), lit(j).as("j"), lit(c.map(x => x * x).sum).as("cc"),
+  private def nearestOfBook(v: org.apache.spark.sql.Column,
+                            book: Seq[(Int, Array[Double])]): org.apache.spark.sql.Column = {
+    val centsLit = array(book.map { case (j, c) =>
+      struct(lit(j).as("j"), lit(c.map(x => x * x).sum).as("cc"),
         array(c.map(lit(_)): _*).as("v"))
     }: _*)
     aggregate(centsLit,
@@ -222,9 +232,26 @@ object SimilaritySearch {
         val dot = aggregate(zip_with(v, ce.getField("v"), (x, y) => x.cast("double") * y),
           lit(0.0), (a, b) => a + b)
         val d = ce.getField("cc") - lit(2.0) * dot
-        when(ce.getField("s") === sCol && d < element_at(acc, 1),
+        when(d < element_at(acc, 1),
           array(d, ce.getField("j").cast("double"))).otherwise(acc)
       })
+  }
+
+  /** Per-subspace (code, derr) structs for one vector column — the
+    * map-only encode kernel shared by [[pqEncodeWith]] and
+    * [[ivfPqTopK]]'s index build: `subspaces` bounded folds, each over
+    * its own 16-entry codebook literal, no explode, no shuffle.
+    */
+  private def pqBestCols(v: org.apache.spark.sql.Column,
+                         books: Seq[(Int, Int, Array[Double])],
+                         subDim: Int): Seq[org.apache.spark.sql.Column] = {
+    val byS = books.groupBy(_._1)
+    (0 to books.map(_._1).max).map { s =>
+      val sv = slice(v, s * subDim + 1, subDim)
+      val best = nearestOfBook(sv, byS(s).sortBy(_._2).map { case (_, j, c) => (j, c) })
+      struct(element_at(best, 2).cast("int").as("code"),
+        (Text.dotFast(sv, sv) + element_at(best, 1)).as("derr"))
+    }
   }
 
   /** Product quantization: split `dims` into `subspaces` blocks, train a
@@ -237,79 +264,43 @@ object SimilaritySearch {
     * (subspaces·codebookSize·subDim doubles to the driver — same
     * footprint class as a broadcast bloom filter).
     */
-  /** (id, subspace, subvector) rows — the shared shape for PQ training
-    * and encoding.
-    */
-  private def pqSubRows(vectors: DataFrame, idCol: String, vecCol: String,
-                        subspaces: Int, subDim: Int): DataFrame =
-    graft.Tables.spread(vectors, col(idCol))
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), posexplode(
-        array((0 until subspaces).map(s =>
-          slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sv")))
-
-  /** Train per-subspace PQ codebooks — all subspaces in ONE Lloyd
-    * pipeline. Returns (subspace, code, centroid) triples.
+  /** Train per-subspace PQ codebooks: one hash-ordered training sample
+    * (bounded, see [[trainingSample]]), then independent in-memory
+    * Lloyd's per subspace over the sample's slices. Seeds are the first
+    * `codebookSize` sample vectors sliced per subspace — deterministic.
+    * Returns (subspace, code, centroid) triples.
     */
   def pqTrain(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
               subspaces: Int = 8, codebookSize: Int = 16,
-              iters: Int = 2): Seq[(Int, Int, Array[Double])] = {
+              iters: Int = 2, trainSample: Int = 4096): Seq[(Int, Int, Array[Double])] = {
     require(dims % subspaces == 0, s"$dims dims must split evenly into $subspaces subspaces")
     val subDim = dims / subspaces
-    val subRows = pqSubRows(vectors, idCol, vecCol, subspaces, subDim)
-
-    // deterministic seeds: one hash-ordered sample of whole vectors,
-    // sliced per subspace driver-side — a single tiny job
-    val seedVecs = vectors.orderBy(xxhash64(col(idCol)), col(idCol)).limit(codebookSize)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var books: Seq[(Int, Int, Array[Double])] =
-      for (s <- 0 until subspaces; j <- seedVecs.indices)
-        yield (s, j, seedVecs(j).slice(s * subDim, (s + 1) * subDim))
-
-    for (_ <- 0 until iters) {
-      val assigned = subRows
-        .select(col("s"), col("sv"),
-          element_at(nearestSubExpr(col("sv"), col("s"), books), 2).cast("int").as("j"))
-        .repartition(col("s"), col("j")) // materialization barrier (see ivfTopK)
-      val sums = assigned
-        .select(col("s"), col("j"), posexplode(col("sv")).as(Seq("p", "x")))
-        .groupBy(col("s"), col("j"), col("p"))
-        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
-        .collect()
-      val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
-      books = books.map { case (s, j, old) =>
-        byKey.get((s, j)) match {
-          case Some(rows) =>
-            (s, j, rows.sortBy(_.getInt(2)).map(r => r.getDouble(3) / r.getLong(4)).toArray)
-          case None => (s, j, old)
-        }
-      }
+    val sample = trainingSample(vectors, idCol, vecCol, trainSample)
+    (0 until subspaces).flatMap { s =>
+      val sub = sample.map(_.slice(s * subDim, (s + 1) * subDim))
+      lloyd(sub, sub.take(codebookSize), iters).zipWithIndex
+        .map { case (c, j) => (s, j, c) }
     }
-    books
   }
 
-  /** Encode vectors against trained codebooks: per (id, s) best code +
-    * its true squared distance, then one keyed regroup into the code
-    * array (s is unique per id ⇒ sort_array over (s, code) structs is
-    * total ⇒ deterministic). Returns (id, codes array<int>, err).
+  /** Encode vectors against trained codebooks — MAP-ONLY: each subspace
+    * code is a bounded argmin fold over its codebook literal, the code
+    * array and the reconstruction error assemble in the same projection.
+    * No explode, no regroup, no shuffle — at 100 TB encoding is a pure
+    * scan, which is what makes PQ index builds embarrassingly parallel.
+    * Returns (id, codes array<int>, err).
     */
   def pqEncodeWith(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
                    books: Seq[(Int, Int, Array[Double])]): DataFrame = {
     val subspaces = books.map(_._1).max + 1
     val subDim = dims / subspaces
-    val subRows = pqSubRows(vectors, idCol, vecCol, subspaces, subDim)
-    subRows.select(col("id"), col("s"),
-      nearestSubExpr(col("sv"), col("s"), books).as("best"),
-      Text.dotFast(col("sv"), col("sv")).as("vv"))
-      .select(col("id"), col("s"),
-        element_at(col("best"), 2).cast("int").as("code"),
-        (col("vv") + element_at(col("best"), 1)).as("derr"))
-      .groupBy(col("id"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("s"), col("code")))),
-          x => x.getField("code")).as("codes"),
-        sum(col("derr").cast(graft.Det.D)).cast("double").as("err"))
+    graft.Tables.spread(vectors, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), array(pqBestCols(col("v"), books, subDim): _*).as("b"))
+      .select(col("id"),
+        transform(col("b"), x => x.getField("code")).as("codes"),
+        aggregate(transform(col("b"), x => x.getField("derr")),
+          lit(0.0), (a, b) => a + b).as("err"))
   }
 
   /** Train + encode in one call. */
@@ -414,13 +405,16 @@ object SimilaritySearch {
     val books = pqTrain(candidates, idCol, vecCol, dims, subspaces, codebookSize, pqIters)
     val subDim = dims / subspaces
 
-    // index build: codes + inverted-list id per candidate (one keyed join
-    // at build time; both inputs derive map-side from the same scan)
-    val coded = pqEncodeWith(candidates, idCol, vecCol, dims, books)
-      .select(col("id").as("cid"), col("codes"))
-    val assigned = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .select(col("cid"), nearestExpr(col("cv"), cents).as("centroid_id"))
-    val index = coded.join(assigned, "cid")
+    // index build: codes + inverted-list id per candidate in ONE
+    // projection over one scan — both the PQ encode and the coarse
+    // assignment are bounded map-side folds, so building the index
+    // never shuffles the corpus.
+    val index = graft.Tables.spread(candidates, col(idCol))
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .select(col("cid"),
+        transform(array(pqBestCols(col("cv"), books, subDim): _*),
+          x => x.getField("code")).as("codes"),
+        nearestExpr(col("cv"), cents).as("centroid_id"))
 
     // query prep (driver-side, tiny): ADC LUT + nProbe nearest lists
     val byS = books.groupBy(_._1)

@@ -35,11 +35,18 @@ case class GroupedTopK(groupCols: Seq[Expression], ordering: Seq[SortOrder],
     copy(child = c)
 }
 
-/** Planner strategy: 1:1 physical translation. */
+/** Planner strategy: partial (map-side) pass + final pass behind the
+  * keyed exchange — the two-phase shape hash aggregation uses, valid
+  * here because top-k is distributive (the global k best of a group are
+  * contained in the union of each partition's k best). The partial pass
+  * cuts what the exchange carries from n rows to
+  * partitions × groups-per-partition × k.
+  */
 object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopK(g, o, k, child) =>
-      GroupedTopKExec(g, o, k, planLater(child)) :: Nil
+      GroupedTopKExec(g, o, k,
+        GroupedTopKExec(g, o, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -55,11 +62,16 @@ object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy 
   * group cardinality × k budgets, fall back to the window shape.)
   */
 case class GroupedTopKExec(groupCols: Seq[Expression], ordering: Seq[SortOrder],
-                           k: Int, child: SparkPlan) extends UnaryExecNode {
+                           k: Int, child: SparkPlan,
+                           partial: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  // The partial pass runs on whatever partitioning the child has (pure
+  // map-side pre-cut); only the final pass demands co-located groups,
+  // so EnsureRequirements plans exactly one exchange between the two.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupCols) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(groupCols)) :: Nil
   override protected def withNewChildInternal(c: SparkPlan): GroupedTopKExec =
     copy(child = c)
 

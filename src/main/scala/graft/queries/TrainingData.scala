@@ -336,9 +336,13 @@ object TrainingData {
         .select(col("lang"),
           explode(Text.shingles(Text.tokens(lower(col("text"))), 2)).as("bigram"))
       val counted = sh.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      // bounded-heap cut (partial pass map-side, so the lang exchange
+      // carries ~partitions·langs·5 rows, not every distinct bigram);
+      // rank is a window over only the ≤5·langs survivors
+      val top = graft.operators.TopK.perKey(counted,
+        Seq("lang"), Seq(("cnt", false), ("bigram", true)), 5)
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
-      counted.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      top.withColumn("rnk", row_number().over(w))
         .orderBy("lang", "rnk")
     },
     Some("""
@@ -832,13 +836,16 @@ object TrainingData {
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term"))
-      tf.join(dfc, "term").crossJoin(n)
+      val scored = tf.join(dfc, "term").crossJoin(n)
         .withColumn("score", Det.qz(col("tf") *
           ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      // bounded-heap top-3 per doc (no sort of the full doc-term table);
+      // rank is a window over only the 3·docs survivors
+      val top = graft.operators.TopK.perKey(scored,
+        Seq("doc_id"), Seq(("score", false), ("term", true)), 3)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      top.withColumn("rnk", row_number().over(w))
         .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
         .orderBy("doc_id", "rnk")
     },
