@@ -192,10 +192,57 @@ object Dedup {
     * growing lineage each round — without it the plan doubles per
     * iteration. The convergence check is a counted action per round;
     * `maxIter` bounds adversarial chains.
+    *
+    * Small-graph fast path: the pair list is the output of a near-dup
+    * FILTER, typically orders of magnitude smaller than the corpus —
+    * one bounded collect (`driverEdgeLimit`+1 rows max, ≈64 MB at the
+    * default) either fits, in which case a driver-side min-root
+    * union-find replaces the whole loop with a single job, or
+    * overflows, in which case the distributed loop runs (billions of
+    * near-dup edges at 100 TB). Ids must be integral for the fast path.
     */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
-                          maxIter: Int = 20): DataFrame = {
-    val p = pairs.sparkSession.sparkContext.defaultParallelism
+                          maxIter: Int = 20,
+                          driverEdgeLimit: Int = 4 << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val integralIds = pairs.schema(id1).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val bounded: Array[(Long, Long)] = if (!integralIds) null else {
+      import spark.implicits._
+      pairs.select(col(id1).cast("long"), col(id2).cast("long"))
+        .limit(driverEdgeLimit + 1).as[(Long, Long)].collect()
+    }
+    if (bounded != null && bounded.length <= driverEdgeLimit) {
+      import spark.implicits._
+      val edges = bounded
+      // min-root union-find with path compression: always attach the
+      // LARGER root under the smaller, so every root is its component's
+      // minimum — the same fixpoint as the propagation loop.
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new Array[(Long, Long)](parent.size())
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+      val idType = pairs.schema(id1).dataType
+      return out.toSeq.toDF("id", "cluster")
+        .select(col("id").cast(idType).as("id"), col("cluster").cast(idType).as("cluster"))
+    }
+    val p = spark.sparkContext.defaultParallelism
     // Edges are the BIG side at scale: hash-partition them on dst ONCE
     // and pin that layout through localCheckpoint (LogicalRDD preserves
     // outputPartitioning), so every round's dst==id join co-locates
