@@ -867,6 +867,51 @@ object Relational {
              ${Det.qzSql("CAST(n_users AS DOUBLE) / CAST(MAX(CASE WHEN week_offset = 0 THEN n_users END) OVER (PARTITION BY cohort_week) AS DOUBLE)", 6)} AS retention
       FROM g ORDER BY cohort_week, week_offset"""))
 
+  // ---- q35_gaps_islands: consecutive same-type runs per user -------------
+  // The gaps-and-islands pattern: a run ("island") is a maximal streak of
+  // consecutive events with the same type under the (ts, event_id) total
+  // order. lag + running-sum window, both over ONE keyed exchange on
+  // user_id; run stats are a keyed agg on the same key, so the whole
+  // query is a single shuffle of the fact table. top_run_type uses the
+  // lpad-encoded (run_len, event_type) max — the q28 trick — so the
+  // tiebreak is engine-independent.
+  private val q35 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lagType = lag(col("event_type"), 1).over(w)
+      val runs = t(s, dir, "events")
+        .withColumn("new_run",
+          when(lagType.isNull || col("event_type") =!= lagType, 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("new_run"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run_id"), col("event_type"))
+        .agg(count(lit(1)).as("run_len"))
+      runs.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_runs"),
+          max(col("run_len")).as("max_run_len"),
+          max(concat(lpad(col("run_len").cast("string"), 6, "0"),
+            lit(":"), col("event_type"))).substr(lit(8), lit(64)).as("top_run_type"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS new_run
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      r AS (
+        SELECT user_id, event_type,
+               SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM g),
+      runs AS (
+        SELECT user_id, run_id, event_type, COUNT(*) AS run_len
+        FROM r GROUP BY 1, 2, 3)
+      SELECT user_id, COUNT(*) AS n_runs, MAX(run_len) AS max_run_len,
+             substr(MAX(concat(lpad(CAST(run_len AS VARCHAR), 6, '0'), ':', event_type)), 8) AS top_run_type
+      FROM runs GROUP BY user_id ORDER BY user_id"""))
+
   // ---- k4_theta_setops: KMV/theta sketch set algebra ---------------------
   // Per-event-type KMV sketches of the user set, then PAIRWISE overlap
   // estimates (union / intersection / jaccard) computed purely from the
@@ -930,6 +975,7 @@ object Relational {
     "q32_scd2" -> q32,
     "q33_cdc_merge" -> q33,
     "q34_retention" -> q34,
+    "q35_gaps_islands" -> q35,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,

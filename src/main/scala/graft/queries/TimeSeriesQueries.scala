@@ -283,6 +283,43 @@ object TimeSeriesQueries {
       FROM z WHERE ABS(z) > 2.5
       ORDER BY user_id, event_id"""))
 
+  // ---- s9_ohlc: per-bucket open/high/low/close downsampling -------------
+  // The financial-downsample shape (also how you thin a 100 TB sensor
+  // stream for dashboards): hourly buckets per event_type, first/last
+  // value under the (ts, event_id) total order via min_by/max_by over an
+  // lpad-encoded key (engine-independent tiebreak), extremes and exact
+  // decimal volume in the SAME single keyed aggregation — one exchange,
+  // map-side combinable, no window, no sort.
+  private val s9 = Q(
+    (s, dir) => {
+      val ordKey = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 10, "0"))
+      t(s, dir, "events")
+        .groupBy(
+          date_format(TimeSeries.timeBucket(col("ts"), 3600), "yyyy-MM-dd HH:mm").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), ordKey).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), ordKey).as("close"),
+          dsum(col("value")).as("volume"))
+        .orderBy("bucket", "event_type")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+                        '%Y-%m-%d %H:%M') AS bucket,
+               event_type, value,
+               concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                      lpad(CAST(event_id AS VARCHAR), 10, '0')) AS k
+        FROM events)
+      SELECT bucket, event_type, COUNT(*) AS n,
+             arg_min(value, k) AS open, MAX(value) AS high, MIN(value) AS low,
+             arg_max(value, k) AS close, ${dsumSql("value")} AS volume
+      FROM e GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
@@ -291,5 +328,6 @@ object TimeSeriesQueries {
     "s5_gap_fill" -> s5,
     "s6_interp_resample" -> s6,
     "s7_interval_join" -> s7,
-    "s8_outliers" -> s8)
+    "s8_outliers" -> s8,
+    "s9_ohlc" -> s9)
 }

@@ -176,6 +176,11 @@ object TrainingData {
       val pairs = Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 80), "doc_id", "text", "lang",
         maxShingleDf = 40, minJaccardInv = 100)
+      // `members` format contract: ascending member ids, base-10,
+      // comma-joined with no spaces ("3,17,42"). A string rather than
+      // array<long> because the comparison harness hashes scalar cells;
+      // consumers needing the array should split(',') and cast — or use
+      // Dedup.connectedComponents directly, which returns typed rows.
       Dedup.connectedComponents(pairs, "id1", "id2")
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"),
@@ -677,6 +682,11 @@ object TrainingData {
     (s, dir) => {
       val n = length(col("text"))
       val nFrames = when(n >= 16, floor((n - 16) / 64).cast("int") + 1).otherwise(0)
+      // `frame_fps` format contract: one 8-hex-char fingerprint per
+      // sampled frame, in frame order, comma-joined with no spaces
+      // ("a1b2c3d4,..."). String rather than array<string> because the
+      // comparison harness hashes scalar cells; split(',') recovers the
+      // array (fingerprints never contain commas).
       t(s, dir, "documents")
         .select(col("doc_id"), nFrames.as("n_frames"),
           array_join(transform(sequence(lit(0), nFrames - 1),
@@ -870,6 +880,51 @@ object TrainingData {
       FROM ranked WHERE rnk <= 3
       ORDER BY doc_id, rnk"""))
 
+  // ---- t15_char_entropy: letter-distribution entropy quality gate --------
+  // Shannon entropy over the a–z letter distribution — the classic
+  // gibberish/keyboard-mash detector (low entropy = repeated chars, high
+  // ≈ log2(26) = uniform noise). Letter counts come from 26
+  // length-after-replace expressions — MAP-ONLY, no explode of the text
+  // into characters, so the operator is a pure scan at any corpus size.
+  // Both engines evaluate the same left-associated a→z sum chain and the
+  // same -(c/n)·log2(c/n) terms in doubles, so bits match; the final
+  // quantization absorbs libm log2 ulp skew.
+  private val t15 = Q(
+    (s, dir) => {
+      val lt = lower(col("text"))
+      def cnt(ch: Char) = length(lt) - length(replace(lt, lit(ch.toString), lit("")))
+      val letters = ('a' to 'z').map(cnt)
+      val nL = letters.reduce(_ + _).cast("long")
+      val nl = col("n_letters").cast("double")
+      val ent = ('a' to 'z').map { ch =>
+        val c = cnt(ch).cast("double")
+        when(c > 0, -(c / nl) * log2(c / nl)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), nL.as("n_letters"))
+        .filter(col("n_letters") > 0)
+        .withColumn("entropy", Det.qz(ent))
+        .withColumn("keep", (col("entropy") >= 2.0) && (col("entropy") <= 4.5))
+        .select("doc_id", "n_letters", "entropy", "keep")
+        .orderBy("doc_id")
+    },
+    Some {
+      def cntSql(ch: Char) = s"(length(lt) - length(replace(lt, '$ch', '')))"
+      val nSql = ('a' to 'z').map(cntSql).mkString(" + ")
+      val entSql = ('a' to 'z').map { ch =>
+        val c = s"CAST(${cntSql(ch)} AS DOUBLE)"
+        s"CASE WHEN ${cntSql(ch)} > 0 THEN -($c / nl) * log2($c / nl) ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""
+      WITH c AS (SELECT doc_id, lower(text) AS lt FROM documents),
+      n AS (SELECT doc_id, lt, CAST($nSql AS BIGINT) AS n_letters FROM c),
+      f AS (SELECT doc_id, lt, n_letters, CAST(n_letters AS DOUBLE) AS nl
+            FROM n WHERE n_letters > 0)
+      SELECT doc_id, n_letters, ${Det.qzSql(entSql)} AS entropy,
+             (${Det.qzSql(entSql)} >= 2.0 AND ${Det.qzSql(entSql)} <= 4.5) AS keep
+      FROM f ORDER BY doc_id"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
@@ -894,6 +949,7 @@ object TrainingData {
     "t12_histogram" -> t12,
     "t13_profile" -> t13,
     "t14_tfidf" -> t14,
+    "t15_char_entropy" -> t15,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
