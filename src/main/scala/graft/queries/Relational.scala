@@ -940,6 +940,77 @@ object Relational {
     },
     None)
 
+  // ---- q36_fill_down: last-non-null carry-forward ------------------------
+  // The "fill down" shape (LAST_VALUE ... IGNORE NULLS): values are
+  // deterministically nulled (view events report no value), then each
+  // row carries the latest preceding non-null per user under the total
+  // order (ts, event_id). One keyed exchange; the window sort is
+  // per-partition. At 100 TB this is the standard sensor/telemetry
+  // forward-fill — same plan as s5's join-free as-of carry.
+  private val q36 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("v", when(col("event_type") =!= "view", col("value")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'view' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS filled
+      FROM events ORDER BY event_id"""))
+
+  // ---- q37_mode_bits: deterministic mode + bitwise aggregates ------------
+  // Mode with an exact tiebreak (smallest user_id among the most
+  // frequent) — NOT the built-in `mode`, whose tie choice is
+  // engine-dependent — plus the bitwise aggregate family (BIT_AND /
+  // BIT_OR / BIT_XOR) over the per-type user sets. Counting is one keyed
+  // exchange with map-side partials; the mode cut is a broadcast-sized
+  // per-type max join back onto the counts.
+  private val q37 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val cnt = e.groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt"))
+      val top = cnt.groupBy(col("event_type").as("et")).agg(max(col("cnt")).as("top_cnt"))
+      val mode = cnt.join(broadcast(top),
+          col("event_type") === col("et") && col("cnt") === col("top_cnt"))
+        .groupBy(col("event_type"))
+        .agg(min(col("user_id")).as("mode_user"), max(col("cnt")).as("mode_cnt"))
+      val bits = e.groupBy(col("event_type"))
+        .agg(bit_and(col("user_id")).as("users_bit_and"),
+          bit_or(col("user_id")).as("users_bit_or"),
+          bit_xor(col("user_id")).as("users_bit_xor"),
+          count(lit(1)).as("n_events"))
+      bits.join(mode, "event_type")
+        .select(col("event_type"), col("n_events"), col("mode_user"), col("mode_cnt"),
+          col("users_bit_and"), col("users_bit_or"), col("users_bit_xor"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT event_type, user_id, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      top AS (SELECT event_type, MAX(cnt) AS top_cnt FROM cnt GROUP BY 1),
+      mode AS (
+        SELECT c.event_type, MIN(c.user_id) AS mode_user, MAX(c.cnt) AS mode_cnt
+        FROM cnt c JOIN top t ON c.event_type = t.event_type AND c.cnt = t.top_cnt
+        GROUP BY c.event_type),
+      bits AS (
+        SELECT event_type,
+               BIT_AND(user_id) AS users_bit_and,
+               BIT_OR(user_id) AS users_bit_or,
+               BIT_XOR(user_id) AS users_bit_xor,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1)
+      SELECT b.event_type, n_events, mode_user, mode_cnt,
+             users_bit_and, users_bit_or, users_bit_xor
+      FROM bits b JOIN mode m ON b.event_type = m.event_type
+      ORDER BY b.event_type"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -976,6 +1047,8 @@ object Relational {
     "q33_cdc_merge" -> q33,
     "q34_retention" -> q34,
     "q35_gaps_islands" -> q35,
+    "q36_fill_down" -> q36,
+    "q37_mode_bits" -> q37,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,

@@ -320,6 +320,36 @@ object TimeSeriesQueries {
              arg_max(value, k) AS close, ${dsumSql("value")} AS volume
       FROM e GROUP BY 1, 2 ORDER BY bucket, event_type"""))
 
+  // ---- s10_seasonal: hour-of-day seasonality profile ---------------------
+  // The load-shape profile behind capacity planning and anomaly
+  // baselines: per (event_type, hour-of-day) volume and exact-decimal
+  // mean value, plus each hour's share of its type's total. ONE keyed
+  // aggregation exchange (24×types output rows); the share join is
+  // broadcast-sized. Bucketing is map-side date arithmetic, so the
+  // operator is scan-bound at any scale.
+  private val s10 = Q(
+    (s, dir) => {
+      val byHour = t(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"), Det.davg(col("value")).as("avg_value"))
+      val totals = byHour.groupBy(col("event_type").as("et"))
+        .agg(sum(col("n")).as("total"))
+      byHour.join(broadcast(totals), col("event_type") === col("et"))
+        .select(col("event_type"), col("hod"), col("n"), col("avg_value"),
+          Det.qz(col("n").cast("double") / col("total").cast("double"), 6).as("share"))
+        .orderBy("event_type", "hod")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod, COUNT(*) AS n,
+               ${Det.davgSql("value")} AS avg_value
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, SUM(n) AS total FROM h GROUP BY 1)
+      SELECT h.event_type, hod, n, avg_value,
+             ${Det.qzSql("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS share
+      FROM h JOIN t ON h.event_type = t.event_type
+      ORDER BY h.event_type, hod"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
@@ -329,5 +359,6 @@ object TimeSeriesQueries {
     "s6_interp_resample" -> s6,
     "s7_interval_join" -> s7,
     "s8_outliers" -> s8,
-    "s9_ohlc" -> s9)
+    "s9_ohlc" -> s9,
+    "s10_seasonal" -> s10)
 }

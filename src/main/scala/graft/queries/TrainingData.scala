@@ -925,6 +925,137 @@ object TrainingData {
       FROM f ORDER BY doc_id"""
     })
 
+  // ---- t16_gopher_rules: word-level quality gate ------------------------
+  // The Gopher/C4-style rule battery over word statistics: document word
+  // count bounds, mean word length band, minimum stopword incidence, and
+  // a short-word-fraction cap, composed into one keep flag. Every rule
+  // input is quantized (Det.qz) BEFORE the cut line so the boolean is
+  // engine-exact. Map-only: one projection over the scan, no explode —
+  // word stats come from split + HOF folds, so the operator is a pure
+  // scan at any corpus size.
+  private val t16 = Q(
+    (s, dir) => {
+      val w = split(trim(lower(col("text"))), "\\s+")
+      val nWords = size(w)
+      val totLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+      val nShort = size(filter(w, x => length(x) <= 2))
+      val nStop = size(filter(w, x => x.isin("the", "a", "of", "and", "to", "in")))
+      val meanLen = Det.qz(totLen.cast("double") / nWords.cast("double"))
+      val shortFrac = Det.qz(nShort.cast("double") / nWords.cast("double"))
+      val stopFrac = Det.qz(nStop.cast("double") / nWords.cast("double"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+          shortFrac.as("short_frac"), stopFrac.as("stop_frac"))
+        .withColumn("keep",
+          col("n_words") >= 20 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+            col("stop_frac") >= 0.02 && col("short_frac") <= 0.3)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(w) AS INTEGER) AS n_words,
+               ${Det.qzSql("CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE)")} AS mean_word_len,
+               ${Det.qzSql("CAST(len(list_filter(w, x -> length(x) <= 2)) AS DOUBLE) / CAST(len(w) AS DOUBLE)")} AS short_frac,
+               ${Det.qzSql("CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) / CAST(len(w) AS DOUBLE)")} AS stop_frac
+        FROM w)
+      SELECT doc_id, n_words, mean_word_len, short_frac, stop_frac,
+             (n_words >= 20 AND n_words <= 100000 AND
+              mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+              stop_frac >= 0.02 AND short_frac <= 0.3) AS keep
+      FROM m ORDER BY doc_id"""))
+
+  // ---- t17_domain_tld: URL structure analytics ---------------------------
+  // The crawl-corpus provenance rollup: parse URLs (synthesized
+  // deterministically from doc_id on BOTH engines, like d6) into host /
+  // registered domain / TLD / path depth with one regexp_extract pass
+  // (map-only), then aggregate per TLD. The parse is the same shape
+  // `parse_url` covers, expressed as portable regex so the oracle
+  // replays it.
+  private val t17 = Q(
+    (s, dir) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net"), lit("io"), lit("ca")),
+        (col("doc_id") % 5).cast("int") + 1)
+      val url = concat(lit("https://sub"), (col("doc_id") % 3).cast("string"),
+        lit(".example"), (col("doc_id") % 7).cast("string"), lit("."), tld,
+        lit("/p"), (col("doc_id") % 4).cast("string"), lit("/item"),
+        (col("doc_id") % 11).cast("string"))
+      val host = regexp_extract(col("url"), "^https?://([^/]+)", 1)
+      val path = regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"), col("n_chars"))
+        .select(col("doc_id"), col("n_chars"), host.as("host"),
+          regexp_extract(col("url"), "([^./]+\\.[^./]+)$", 1).as("domain"),
+          regexp_extract(col("url"), "\\.([^./]+)$", 1).as("tld"),
+          (length(path) - length(replace(path, lit("/"), lit("")))).as("path_depth"))
+        .groupBy(col("tld"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("domain")).as("n_domains"),
+          Det.davg(col("path_depth").cast("double")).as("avg_depth"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("tld")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT doc_id, n_chars,
+               'https://sub' || CAST(doc_id % 3 AS VARCHAR) ||
+               '.example' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+               ['com','org','net','io','ca'][CAST(doc_id % 5 AS INTEGER) + 1] ||
+               '/p' || CAST(doc_id % 4 AS VARCHAR) || '/item' || CAST(doc_id % 11 AS VARCHAR) AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id, n_chars,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               regexp_extract(url, '([^./]+\\.[^./]+)$$', 1) AS domain,
+               regexp_extract(url, '\\.([^./]+)$$', 1) AS tld,
+               length(regexp_extract(url, '^https?://[^/]+(/.*)$$', 1)) -
+                 length(replace(regexp_extract(url, '^https?://[^/]+(/.*)$$', 1), '/', '')) AS path_depth
+        FROM u)
+      SELECT tld, COUNT(*) AS n_docs,
+             COUNT(DISTINCT host) AS n_hosts,
+             COUNT(DISTINCT domain) AS n_domains,
+             ${Det.davgSql("CAST(path_depth AS DOUBLE)")} AS avg_depth,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM p GROUP BY tld ORDER BY tld"""))
+
+  // ---- d10_dedup_fuzzy: blocked edit-distance near-dup pairs -------------
+  // Fuzzy dedup the way production pipelines block it: candidate pairs
+  // form ONLY inside (lang, length-bucket) blocks — never an O(n²) corpus
+  // cross join — and the expensive levenshtein runs on a bounded prefix
+  // of each side. At 100 TB the block join is one keyed exchange on the
+  // block id; skewed blocks fall to AQE.
+  private val d10 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 50).as("lenb"),
+          substring(col("text"), 1, 60).as("pfx"))
+      d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang") && col("a.lenb") === col("b.lenb") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.lang").as("lang"),
+          levenshtein(col("a.pfx"), col("b.pfx")).as("dist"))
+        .filter(col("dist") <= 20)
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS lenb,
+               substr(text, 1, 60) AS pfx
+        FROM documents WHERE doc_id < 150)
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang AS lang,
+             CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= 20
+      ORDER BY id1, id2"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
@@ -935,6 +1066,7 @@ object TrainingData {
     "d7_dedup_normalized" -> d7,
     "d8_dedup_clusters" -> d8,
     "d9_dedup_paragraph" -> d9,
+    "d10_dedup_fuzzy" -> d10,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
@@ -950,6 +1082,8 @@ object TrainingData {
     "t13_profile" -> t13,
     "t14_tfidf" -> t14,
     "t15_char_entropy" -> t15,
+    "t16_gopher_rules" -> t16,
+    "t17_domain_tld" -> t17,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
