@@ -65,4 +65,36 @@ object Sketches {
     val u = unionEstimate(a, b, k)
     when(u === 0.0, lit(0.0)).otherwise(intersectEstimate(a, b, k) / u)
   }
+
+  // ---- Count-Min Sketch (graft_cms) -------------------------------------
+
+  /** The CMS aggregate (requires graft extensions): row-major
+    * depth×width counter matrix as array<long>.
+    */
+  def cms(hashed: Column, depth: Int, width: Int): Column =
+    call_function("graft_cms", hashed, lit(depth), lit(width))
+
+  /** Point-query frequency estimate: min over the `depth` addressed
+    * cells. `hashed` must be the same 63-bit hash fed to the aggregate.
+    * Pure codegen'd long arithmetic — the same affine row hashes the
+    * aggregate used ([[graft.plans.CountMinSketchAgg.rowIndex]]).
+    */
+  def cmsEstimate(sk: Column, hashed: Column, depth: Int, width: Int): Column = {
+    import graft.plans.CountMinSketchAgg.{A, B, P}
+    val hp = pmod(hashed, lit(P))
+    val cells = (0 until depth).map { i =>
+      val idx = pmod(pmod(hp * lit(A(i)) + lit(B(i)), lit(P)), lit(width.toLong))
+      element_at(sk, (lit(i.toLong * width) + idx + 1L).cast("int"))
+    }
+    least(cells: _*)
+  }
+
+  /** CMS union — the sketch is linear, so merging is elementwise add. */
+  def cmsUnion(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  /** Total updates N recorded in the sketch (any row sums to N): the
+    * scale term of the ε·N error bound.
+    */
+  def cmsTotal(sk: Column, width: Int): Column =
+    aggregate(slice(sk, 1, width), lit(0L), (acc, x) => acc + x)
 }

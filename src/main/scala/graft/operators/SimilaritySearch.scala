@@ -463,6 +463,104 @@ object SimilaritySearch {
     top.withColumn("rnk", row_number().over(w))
   }
 
+  /** Per-dimension scalar-quantization parameters (min, delta) trained
+    * on the bounded hash-ordered sample — the FAISS SQ8 convention:
+    * ranges come from a sample, codes clamp to [0, 255], so training
+    * cost is constant in the corpus size. Zero-range dims get delta=1
+    * (every code 0, reconstructs to the constant).
+    */
+  def sqTrain(candidates: DataFrame, idCol: String, vecCol: String, dims: Int,
+              trainSample: Int = 4096): (Array[Double], Array[Double]) = {
+    val sample = trainingSample(candidates, idCol, vecCol, trainSample)
+    val mins = Array.fill(dims)(Double.MaxValue)
+    val maxs = Array.fill(dims)(Double.MinValue)
+    sample.foreach { v =>
+      var d = 0
+      while (d < dims) {
+        if (v(d) < mins(d)) mins(d) = v(d)
+        if (v(d) > maxs(d)) maxs(d) = v(d)
+        d += 1
+      }
+    }
+    val deltas = Array.tabulate(dims) { d =>
+      val r = (maxs(d) - mins(d)) / 255.0
+      if (r > 0.0) r else 1.0
+    }
+    (mins, deltas)
+  }
+
+  /** Encode vectors to int8-range codes — MAP-ONLY, like [[pqEncodeWith]]:
+    * one bounded HOF over (vector, literal min/delta arrays) per row, no
+    * shuffle. Returns (id, codes array<int>, rnorm: ‖reconstruction‖) —
+    * 4× compression on the stored column (int8-range values; a packed
+    * binary writer takes it to exactly 1 byte/dim) with the
+    * reconstruction norm precomputed so cosine search never revisits the
+    * float vector.
+    */
+  def sqEncodeWith(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
+                   mins: Array[Double], deltas: Array[Double]): DataFrame = {
+    val minLit = array(mins.map(lit(_)): _*)
+    val deltaLit = array(deltas.map(lit(_)): _*)
+    val codes = transform(sequence(lit(0), lit(dims - 1)), j =>
+      greatest(lit(0L), least(lit(255L),
+        floor((element_at(col("v"), j + 1).cast("double") - element_at(minLit, j + 1)) /
+          element_at(deltaLit, j + 1) + 0.5d).cast("long"))).cast("int"))
+    val rsq = aggregate(
+      transform(sequence(lit(0), lit(dims - 1)), j => {
+        val r = element_at(minLit, j + 1) +
+          element_at(col("codes"), j + 1).cast("double") * element_at(deltaLit, j + 1)
+        r * r
+      }),
+      lit(0.0), (a, b) => a + b)
+    graft.Tables.spread(vectors, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), codes.as("codes"))
+      .select(col("id"), col("codes"), sqrt(rsq).as("rnorm"))
+  }
+
+  /** SQ8 ADC search + exact re-rank: candidates are scanned as int codes
+    * (asymmetric — the query stays float), scoring
+    * cos ≈ q·x̂ / (‖q‖·‖x̂‖) where x̂_j = min_j + code_j·δ_j unrolls to
+    * `offset_q + Σ_j (q_j·δ_j)·code_j` — per-query offset and weights are
+    * driver-computed metadata broadcast with the query row, so the
+    * candidate-side scan is `dims` long-multiply-adds per pair over the
+    * compressed codes. Shortlist cut via the bounded-heap GroupedTopK,
+    * exact cosine re-rank on the shortlist only — the same
+    * compressed-scan / exact-tail split as [[pqAdcRerankTopK]], at 4×
+    * (vs PQ's 32×) compression but far lower quantization error.
+    */
+  def sqTopK(queries: DataFrame, candidates: DataFrame,
+             idCol: String, vecCol: String, dims: Int, k: Int,
+             shortlist: Int = 50): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val (mins, deltas) = sqTrain(candidates, idCol, vecCol, dims)
+    val coded = sqEncodeWith(candidates, idCol, vecCol, dims, mins, deltas)
+      .select(col("id").as("cid"), col("codes"), col("rnorm"))
+    // per-query ADC metadata: offset = Σ q_j·min_j, weights w_j = q_j·δ_j
+    val qrows = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .collect().map { r =>
+        val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+        val qn = math.sqrt(qv.map(x => x * x).sum)
+        val off = qv.zip(mins).map { case (q, m) => q * m }.sum
+        val w = qv.zip(deltas).map { case (q, d) => q * d }.toSeq
+        (r.getLong(0), off, qn, w)
+      }.toSeq
+    val qdf = broadcast(qrows.toDF("qid", "off", "qnorm", "w"))
+    val scored = coded.crossJoin(qdf)
+      .select(col("qid"), col("cid"),
+        ((col("off") + aggregate(
+          zip_with(col("w"), col("codes"), (wj, cj) => wj * cj.cast("double")),
+          lit(0.0), (a, b) => a + b)) / (col("qnorm") * col("rnorm"))).as("sq_cos"))
+    val short = TopK.perKey(scored, Seq("qid"), Seq(("sq_cos", false), ("cid", true)), shortlist)
+    val cv = candidates.select(col(idCol).as("cid2"), col(vecCol).as("cvec"))
+    val qvec = broadcast(queries.select(col(idCol).cast("long").as("qid2"), col(vecCol).as("qvec")))
+    val rescored = short.join(cv, col("cid") === col("cid2"))
+      .join(qvec, col("qid") === col("qid2"))
+      .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
+    rankTopK(rescored, k)
+  }
+
   /** LSH-bucketed ANN top-k: queries and candidates are bucketed with the
     * same planes; scoring joins on bucket equality (keyed shuffle, no
     * cross join). `tables` is the OR-amplification knob: independent

@@ -79,6 +79,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ThetaSketchAgg(children(0), k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        val args = children.drop(1).map {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_cms(hash, depth, width): depth/width must be integer literals, got $other")
+        }
+        CountMinSketchAgg(children.head, args(0), args(1))
+      }))
     // Spark's bloom probe expression exists but is not SQL-registered
     // (it backs runtime row-level filtering); expose it for the
     // incremental-dedup pre-filter.

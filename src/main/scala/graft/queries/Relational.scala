@@ -940,6 +940,41 @@ object Relational {
     },
     None)
 
+  // ---- k5_cms_freq: Count-Min Sketch token frequencies -------------------
+  // The heavy-hitter frequency path at 100 TB: per-language CMS sketches
+  // of the token stream built in ONE keyed aggregation (linear sketch ⇒
+  // map-side partials merge by elementwise add), then point-queried for
+  // probe tokens purely from the sketch arrays — alongside the exact
+  // counts so the output exhibits the CMS guarantee (est ≥ exact;
+  // Round5Spec pins the εN upper bound too). Raw tokens are never
+  // shuffled twice and the sketch per group is depth·width·8 bytes
+  // regardless of corpus size.
+  private val k5d = 4
+  private val k5w = 512
+  private val k5probes = Seq("table", "query", "spark", "data", "the")
+  private val k5 = Q(
+    (s, dir) => {
+      import graft.functions.Sketches._
+      val tok = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("tk"))
+        .filter(col("tk") =!= "")
+      val sk = tok.groupBy(col("lang"))
+        .agg(cms(hash63(col("tk")), k5d, k5w).as("sk"), count(lit(1)).as("n_tokens"))
+      val exact = tok.filter(col("tk").isin(k5probes: _*))
+        .groupBy(col("lang").as("elang"), col("tk").as("etk"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      val probes = explode(array(k5probes.map(lit(_)): _*)).as("token")
+      sk.select(col("lang"), col("n_tokens"), col("sk"), probes)
+        .join(exact, col("lang") === col("elang") && col("token") === col("etk"), "left")
+        .select(col("lang"), col("token"), col("n_tokens"),
+          coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+          cmsEstimate(col("sk"), hash63(col("token")), k5d, k5w).as("est_cnt"))
+        .withColumn("no_undercount",
+          col("est_cnt") >= col("exact_cnt"))
+        .orderBy("lang", "token")
+    },
+    None)
+
   // ---- q36_fill_down: last-non-null carry-forward ------------------------
   // The "fill down" shape (LAST_VALUE ... IGNORE NULLS): values are
   // deterministically nulled (view events report no value), then each
@@ -1052,5 +1087,6 @@ object Relational {
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,
-    "k4_theta_setops" -> k4)
+    "k4_theta_setops" -> k4,
+    "k5_cms_freq" -> k5)
 }

@@ -766,6 +766,22 @@ object TrainingData {
     },
     None)
 
+  // ---- v7_sq_int8: scalar-quantized ADC search + exact re-rank -----------
+  // The SQ8 tier of the ANN stack: candidates scanned as int8-range
+  // codes (4× compression), per-query affine ADC scoring, bounded-heap
+  // shortlist, exact re-rank. Training (per-dim ranges) is
+  // sample-bounded → rows-only; Round5Spec pins recall vs brute force.
+  private val v7 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.sqTopK(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", dims = 64, k = 10, shortlist = 50)
+        .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+        .orderBy("qid", "rnk")
+    },
+    None)
+
   // ---- t12_histogram: corpus length distribution per language ------------
   // Fixed-width histogram (500-char buckets) of document length by lang —
   // the profiling shape behind "what does this corpus look like" at
@@ -1090,6 +1106,7 @@ object TrainingData {
     "v4_pq_codes" -> v4,
     "v5_pq_adc" -> v5,
     "v6_ivf_pq" -> v6,
+    "v7_sq_int8" -> v7,
     "m1_binary_meta" -> m1,
     "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3)
