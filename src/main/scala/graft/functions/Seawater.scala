@@ -56,6 +56,19 @@ object Seawater {
     rhoW + sp * bPoly + sp * sqrt(sp) * cPoly + sp * sp * RD0 - 1000.0
   }
 
+  /** Scalar [[sigmaT]] for driver-side reference constants (e.g. the
+    * ρ(35, 0) denominator of specific volume anomaly) — same
+    * association order as the column form, so the constant matches what
+    * either engine would compute.
+    */
+  def sigmaTConst(sp: Double, t: Double): Double = {
+    val rhoW = RW(0) + t * RW(1) + t * t * RW(2) + t * t * t * RW(3) +
+      t * t * t * t * RW(4) + t * t * t * t * t * RW(5)
+    val bPoly = RB(0) + t * RB(1) + t * t * RB(2) + t * t * t * RB(3) + t * t * t * t * RB(4)
+    val cPoly = RC(0) + t * RC(1) + t * t * RC(2)
+    rhoW + sp * bPoly + sp * math.sqrt(sp) * cPoly + sp * sp * RD0 - 1000.0
+  }
+
   /** SQL twin of [[sigmaT]], same association order. */
   def sigmaTSql(sp: String, t: String): String = {
     val rhoW = s"(${RW(0)} + ($t) * ${RW(1)} + ($t) * ($t) * ${RW(2)} + ($t) * ($t) * ($t) * ${RW(3)} + " +

@@ -466,6 +466,41 @@ object ReferenceOps {
       ORDER BY l_orderkey, l_linenumber, n2"""
     })
 
+  // ---- r21_dynamic_height: cumulative specific-volume-anomaly integral --
+  // The geostrophic product built on the σ-t stack: dynamic height
+  // anomaly ≈ Σ (1/ρ(S,T) − 1/ρ(35,0))·Δp accumulated down each profile
+  // (scaled ×1e6 so the exact decimal running sum keeps its precision).
+  // The running sum is a window cumsum under the same (level, σ) total
+  // order as r17/r20 — tied rows carry identical terms, so the output
+  // multiset is permutation-invariant. ONE keyed exchange; the
+  // per-profile sort is partition-local.
+  private val r21 = Q(
+    (s, dir) => {
+      val rho0 = 1000.0 + graft.functions.Seawater.sigmaTConst(35.0, 0.0)
+      val li = t(s, dir, "lineitem")
+        .withColumn("sal", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("tc", col("l_quantity") % 30.0)
+        .withColumn("sigma", graft.functions.Seawater.sigmaT(col("sal"), col("tc")))
+        .withColumn("term",
+          (lit(1.0) / (lit(1000.0) + col("sigma")) - lit(1.0 / rho0)) * 10.0 * 1e6)
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("sigma"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          graft.Det.qz(sum(col("term").cast(graft.Det.D)).over(w).cast("double")).as("dyn_height"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("dyn_height"))
+    },
+    Some {
+      val st = graft.functions.Seawater.sigmaTSql("30.0 + l_discount * 100.0", "l_quantity % 30.0")
+      val rho0 = 1000.0 + graft.functions.Seawater.sigmaTConst(35.0, 0.0)
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             ${graft.Det.qzSql("CAST(SUM(CAST(term AS DECIMAL(28,6))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, sigma ROWS UNBOUNDED PRECEDING) AS DOUBLE)")} AS dyn_height
+      FROM (SELECT l_orderkey, l_linenumber, ($st) AS sigma,
+                   (1.0 / (1000.0 + ($st)) - ${1.0 / rho0}) * 10.0 * 1e6 AS term
+            FROM lineitem) s0
+      ORDER BY l_orderkey, l_linenumber, dyn_height"""
+    })
+
   // ---- r18_conservative_temp: TEOS-10 CT from θ ------------------------
   private val r18 = Q(
     (s, dir) => {
@@ -528,5 +563,6 @@ object ReferenceOps {
     "r17_mixed_layer" -> r17,
     "r20_buoyancy" -> r20,
     "r18_conservative_temp" -> r18,
-    "r19_percent_sat" -> r19)
+    "r19_percent_sat" -> r19,
+    "r21_dynamic_height" -> r21)
 }

@@ -350,6 +350,33 @@ object TimeSeriesQueries {
       FROM h JOIN t ON h.event_type = t.event_type
       ORDER BY h.event_type, hod"""))
 
+  // ---- s11_moving_avg: centered moving average ---------------------------
+  // The symmetric smoother (ROWS 3 PRECEDING..3 FOLLOWING) the trailing
+  // q24 frame doesn't cover: per-user centered mean and frame row count
+  // under the (ts, event_id) total order. Sum runs in exact decimal so
+  // frame contents — not float order — determine the bits. One keyed
+  // exchange, partition-local sort.
+  private val s11 = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 3)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          count(lit(1)).over(w).as("frame_n"),
+          Det.qz(sum(col("value").cast(Det.D)).over(w).cast("double") /
+            count(lit(1)).over(w)).as("smoothed"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER w AS frame_n,
+             ${Det.qzSql("CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) / (COUNT(*) OVER w)")} AS smoothed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      ORDER BY event_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
@@ -360,5 +387,6 @@ object TimeSeriesQueries {
     "s7_interval_join" -> s7,
     "s8_outliers" -> s8,
     "s9_ohlc" -> s9,
-    "s10_seasonal" -> s10)
+    "s10_seasonal" -> s10,
+    "s11_moving_avg" -> s11)
 }

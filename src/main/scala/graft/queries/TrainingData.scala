@@ -707,6 +707,40 @@ object TrainingData {
       WHERE n_frames > 0
       ORDER BY doc_id"""))
 
+  // ---- m4_channel_stats: interleaved-channel de-interleave --------------
+  // The audio shape over opaque payloads: bytes are read as interleaved
+  // 2-channel samples (odd positions = left, even = right), each channel
+  // folded to count/mean/peak in ONE bounded HOF projection per row —
+  // no explode, map-only, the same plumbing a PCM stats pass runs over
+  // real audio blobs (decode itself stays a stub; no codecs in env).
+  private val m4 = Q(
+    (s, dir) => {
+      val n = length(col("text"))
+      def chanSum(startIdx: Int) = aggregate(
+        transform(sequence(lit(startIdx), n, lit(2)),
+          i => ascii(col("text").substr(i, lit(1))).cast("long")),
+        lit(0L), (a, b) => a + b)
+      def chanCnt(startIdx: Int) = size(sequence(lit(startIdx), n, lit(2)))
+      val peak = aggregate(
+        transform(sequence(lit(1), n),
+          i => ascii(col("text").substr(i, lit(1))).cast("long")),
+        lit(0L), (a, b) => greatest(a, b))
+      t(s, dir, "documents")
+        .filter(col("n_chars") >= 2)
+        .select(col("doc_id"), n.as("n_samples"),
+          Det.qz(chanSum(1).cast("double") / chanCnt(1).cast("double")).as("left_mean"),
+          Det.qz(chanSum(2).cast("double") / chanCnt(2).cast("double")).as("right_mean"),
+          peak.as("peak"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS n_samples,
+             ${Det.qzSql("CAST(list_sum(list_transform(range(1, LENGTH(text)+1, 2), i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS DOUBLE) / CAST(len(range(1, LENGTH(text)+1, 2)) AS DOUBLE)")} AS left_mean,
+             ${Det.qzSql("CAST(list_sum(list_transform(range(2, LENGTH(text)+1, 2), i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS DOUBLE) / CAST(len(range(2, LENGTH(text)+1, 2)) AS DOUBLE)")} AS right_mean,
+             CAST(list_max(list_transform(range(1, LENGTH(text)+1), i -> ascii(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS peak
+      FROM documents WHERE n_chars >= 2
+      ORDER BY doc_id"""))
+
   // ---- v3_ann_ivf: trained-partition ANN (KMeans centroids) -------------
   // Clustering output is initialization-dependent, so no SQL oracle; the
   // spec pins recall against the brute-force path.
@@ -1109,5 +1143,6 @@ object TrainingData {
     "v7_sq_int8" -> v7,
     "m1_binary_meta" -> m1,
     "m2_header_decode" -> m2,
-    "m3_frame_sample" -> m3)
+    "m3_frame_sample" -> m3,
+    "m4_channel_stats" -> m4)
 }

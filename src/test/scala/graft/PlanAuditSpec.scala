@@ -116,4 +116,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800))
     assert(p.contains("HashAggregate"), p.take(800))
   }
+
+  test("t16: quality rules are map-only (no exchange except the sort)") {
+    val p = planOf("t16_gopher_rules")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "word-rule battery must not shuffle or aggregate\n" + p.take(800))
+  }
+
+  test("k5: CMS sketches aggregate with map-side partials") {
+    val p = planOf("k5_cms_freq")
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("graft_cms"), "cms agg missing from plan")
+  }
+
+  test("m4: channel de-interleave is map-only (no explode, no shuffle)") {
+    val p = planOf("m4_channel_stats")
+    assert(!p.contains("Generate") && !p.contains("Join") &&
+      !p.contains("HashAggregate"),
+      "channel stats must fold in-row, not explode\n" + p.take(800))
+  }
+
+  test("q36/s11: window shapes plan exactly one keyed exchange") {
+    for (name <- Seq("q36_fill_down", "s11_moving_avg")) {
+      val p = planOf(name)
+      assert(!p.contains("Join"), s"$name must not join")
+      // formatted mode lists partitioning under "Arguments:"; exactly one
+      // hash exchange (the user_id shuffle) — the other is the final sort's
+      // range partitioning
+      val keyed = "hashpartitioning".r.findAllIn(p).size
+      assert(keyed == 1, s"$name keyed exchanges: $keyed\n${p.take(800)}")
+    }
+  }
 }
