@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import graft.Det.{dsumSql}
 import graft.functions.{Geo, IosFunctions => F}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -501,6 +501,36 @@ object ReferenceOps {
       ORDER BY l_orderkey, l_linenumber, dyn_height"""
     })
 
+  // ---- r22_current_uv: current-meter vector decomposition ----------------
+  // The .CUR current-meter transform (reference handles current-meter
+  // records alongside CTD; see ios_data_transform/ObsFile.py CUR
+  // handling): speed + compass direction → east/north components
+  // u = s·sin(θ), v = s·cos(θ), plus the per-station mean current from
+  // exact decimal component sums (vector averaging — NOT the scalar
+  // speed mean). Map-only decomposition; one keyed exchange for the
+  // station rollup.
+  private val r22 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("spd", col("value"))
+        .withColumn("dir_deg", (col("event_id") % 360).cast("double"))
+      val u = col("spd") * sin(radians(col("dir_deg")))
+      val v = col("spd") * cos(radians(col("dir_deg")))
+      e.withColumn("u", u).withColumn("v", v)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_obs"),
+          Det.qz(Det.dsum(col("u")) / count(lit(1))).as("mean_u"),
+          Det.qz(Det.dsum(col("v")) / count(lit(1))).as("mean_v"),
+          Det.qz(max(col("spd"))).as("peak_spd"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      SELECT user_id, COUNT(*) AS n_obs,
+             ${Det.qzSql(s"${Det.dsumSql("value * sin(radians(CAST(event_id % 360 AS DOUBLE)))")} / COUNT(*)")} AS mean_u,
+             ${Det.qzSql(s"${Det.dsumSql("value * cos(radians(CAST(event_id % 360 AS DOUBLE)))")} / COUNT(*)")} AS mean_v,
+             ${Det.qzSql("MAX(value)")} AS peak_spd
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   // ---- r18_conservative_temp: TEOS-10 CT from θ ------------------------
   private val r18 = Q(
     (s, dir) => {
@@ -564,5 +594,6 @@ object ReferenceOps {
     "r20_buoyancy" -> r20,
     "r18_conservative_temp" -> r18,
     "r19_percent_sat" -> r19,
-    "r21_dynamic_height" -> r21)
+    "r21_dynamic_height" -> r21,
+    "r22_current_uv" -> r22)
 }

@@ -377,6 +377,49 @@ object TimeSeriesQueries {
                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
       ORDER BY event_id"""))
 
+  // ---- s12_cusum: changepoint detection via closed-form CUSUM ------------
+  // The upward-shift detector S_i = max(0, S_{i-1} + x_i − k) looks like
+  // an unexpressible recurrence, but it has the prefix closed form
+  // S_i = P_i − min(0, min_{j≤i} P_j) with P the running sum of (x − k) —
+  // two window passes over ONE keyed exchange. All prefix arithmetic
+  // stays in exact decimal (sum, running min, subtraction), so the alarm
+  // line is engine-exact without any float-order caveat.
+  private val s12k = 8.0
+  private val s12h = 40.0
+  private val s12 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("p", sum((col("value") - s12k).cast(Det.D)).over(w))
+        .withColumn("runmin", min(col("p")).over(w))
+        .withColumn("cusum",
+          (col("p") - least(lit(0).cast(Det.D), col("runmin"))).cast("double"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          Det.qz(col("cusum")).as("cusum"),
+          (Det.qz(col("cusum")) > s12h).as("alarm"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT event_id, ts, user_id, value,
+               SUM(CAST(value - $s12k AS DECIMAL(28,6))) OVER w AS p
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)),
+      c AS (
+        SELECT event_id, user_id, value,
+               CAST(p - LEAST(CAST(0 AS DECIMAL(28,6)),
+                 MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)) AS DOUBLE) AS cusum
+        FROM p)
+      SELECT event_id, user_id, value,
+             ${Det.qzSql("cusum")} AS cusum,
+             (${Det.qzSql("cusum")} > $s12h) AS alarm
+      FROM c ORDER BY event_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
@@ -388,5 +431,6 @@ object TimeSeriesQueries {
     "s8_outliers" -> s8,
     "s9_ohlc" -> s9,
     "s10_seasonal" -> s10,
-    "s11_moving_avg" -> s11)
+    "s11_moving_avg" -> s11,
+    "s12_cusum" -> s12)
 }

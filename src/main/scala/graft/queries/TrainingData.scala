@@ -1106,6 +1106,93 @@ object TrainingData {
       WHERE levenshtein(a.pfx, b.pfx) <= 20
       ORDER BY id1, id2"""))
 
+  // ---- t18_unigram_ll: unigram LM quality score --------------------------
+  // The KenLM-filter shape with the LM trained in-stream: per-language
+  // unigram probabilities from corpus counts (one keyed agg), each
+  // document scored by its tokens' mean negative log-likelihood with
+  // add-one smoothing (token→prob join is keyed on the token; nothing
+  // collects). ln() is libm on both engines — Det.qz absorbs the ulp
+  // skew exactly as t15 does for log2. Low score = in-distribution text;
+  // the cut line compares quantized values so keep is engine-exact.
+  private val t18 = Q(
+    (s, dir) => {
+      val tok = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tk"))
+        .filter(col("tk") =!= "")
+      val vocab = tok.groupBy(col("lang").as("vlang"), col("tk").as("vtk"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = vocab.groupBy(col("vlang"))
+        .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_vocab"))
+      val probs = vocab.join(broadcast(totals), "vlang")
+        .select(col("vlang"), col("vtk"),
+          ((col("cnt") + 1.0) / (col("n_tok") + col("n_vocab"))).as("p"))
+      tok.join(probs, col("lang") === col("vlang") && col("tk") === col("vtk"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          Det.qz(Det.dsum(-log(col("p"))) / count(lit(1))).as("avg_nll"))
+        .withColumn("keep", col("avg_nll") <= 6.0)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tk
+        FROM documents),
+      tok2 AS (SELECT * FROM tok WHERE tk <> ''),
+      vocab AS (
+        SELECT lang, tk, COUNT(*) AS cnt FROM tok2 GROUP BY 1, 2),
+      totals AS (
+        SELECT lang, SUM(cnt) AS n_tok, COUNT(*) AS n_vocab FROM vocab GROUP BY 1),
+      probs AS (
+        SELECT v.lang, v.tk, (cnt + 1.0) / (n_tok + n_vocab) AS p
+        FROM vocab v JOIN totals t ON v.lang = t.lang),
+      scored AS (
+        SELECT doc_id, COUNT(*) AS n_toks,
+               ${Det.qzSql(s"${Det.dsumSql("-ln(p)")} / COUNT(*)")} AS avg_nll
+        FROM tok2 k JOIN probs p ON k.lang = p.lang AND k.tk = p.tk
+        GROUP BY doc_id)
+      SELECT doc_id, n_toks, avg_nll, (avg_nll <= 6.0) AS keep
+      FROM scored ORDER BY doc_id"""))
+
+  // ---- d11_snapshot_diff: corpus version delta ---------------------------
+  // The incremental-ingest bookkeeping op: diff two corpus snapshots
+  // (synthesized deterministically: v2 drops doc_id % 17 == 0, rewrites
+  // text for doc_id % 13 == 0, keeps the rest) into added / removed /
+  // changed / unchanged via ONE full outer join on doc_id comparing
+  // content hashes. At 100 TB both sides shuffle once on the id — or
+  // zero times if both snapshots are bucketed by id ([[Sink]]).
+  private val d11 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.select(col("doc_id").as("id1"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id").as("id2"),
+          md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h2"))
+      v1.join(v2, col("id1") === col("id2"), "full_outer")
+        .select(
+          when(col("id1").isNull, "added")
+            .when(col("id2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH v1 AS (SELECT doc_id AS id1, md5(text) AS h1 FROM documents),
+      v2 AS (
+        SELECT doc_id AS id2,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h2
+        FROM documents WHERE doc_id % 17 <> 0)
+      SELECT CASE WHEN id1 IS NULL THEN 'added'
+                  WHEN id2 IS NULL THEN 'removed'
+                  WHEN h1 <> h2 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COUNT(*) AS n_docs
+      FROM v1 FULL OUTER JOIN v2 ON id1 = id2
+      GROUP BY 1 ORDER BY status"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
@@ -1117,6 +1204,7 @@ object TrainingData {
     "d8_dedup_clusters" -> d8,
     "d9_dedup_paragraph" -> d9,
     "d10_dedup_fuzzy" -> d10,
+    "d11_snapshot_diff" -> d11,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
@@ -1134,6 +1222,7 @@ object TrainingData {
     "t15_char_entropy" -> t15,
     "t16_gopher_rules" -> t16,
     "t17_domain_tld" -> t17,
+    "t18_unigram_ll" -> t18,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
