@@ -188,4 +188,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.find(_._1 == 1L).get._3 == "mail me at [EMAIL] or [PHONE]")
     assert(got.find(_._1 == 2L).get._3 == "server [IP] responded")
   }
+
+  test("sketch aggregates run incrementally on streams and match batch") {
+    // The 100 TB continuous-stats shape: theta (distinct) and CMS
+    // (frequency) sketches maintained by a streaming aggregation in
+    // update mode. Both are TypedImperativeAggregates with mergeable
+    // buffers, so incremental batches must converge to the batch sketch
+    // over the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketches
+    val rows = (1L to 400L).map(i => (if (i % 2 == 0) "a" else "b", i % 97))
+    val input = MemoryStream[(String, Long)]
+    val streamed = input.toDF().toDF("grp", "v")
+      .groupBy(col("grp"))
+      .agg(Sketches.thetaSketch(Sketches.hash63(col("v")), 64).as("theta"),
+        Sketches.cms(Sketches.hash63(col("v")), 4, 128).as("cms"))
+    // complete mode: the memory sink holds exactly the final state
+    val q = streamed.writeStream.format("memory")
+      .queryName("sketch_test").outputMode("complete").start()
+    input.addData(rows.take(150)); q.processAllAvailable()
+    input.addData(rows.drop(150)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sketch_test")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    val batch = rows.toDF("grp", "v")
+      .groupBy(col("grp"))
+      .agg(Sketches.thetaSketch(Sketches.hash63(col("v")), 64).as("theta"),
+        Sketches.cms(Sketches.hash63(col("v")), 4, 128).as("cms"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    assert(got.length == 2 && got.sameElements(batch),
+      "streamed sketches must equal batch sketches over the same rows")
+  }
 }
