@@ -31,10 +31,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def jline(rs: Seq[(String, Double)], extra: String = ""): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full per-query line first (humans reading the raw log), then a
+    // compact line with only the slowest 40 — the driver's log capture
+    // keeps the LAST ~2000 chars of output, so the line it parses must
+    // fit entirely inside that window; the full line (~2.6 KB at 110+
+    // queries) does not.
+    println(jline(results))
+    println(jline(results.sortBy(-_._2).take(40),
+      extra = s""","n_queries":${results.size}"""))
     spark.stop()
   }
 }
