@@ -97,4 +97,12 @@ object Sketches {
     */
   def cmsTotal(sk: Column, width: Int): Column =
     aggregate(slice(sk, 1, width), lit(0L), (acc, x) => acc + x)
+
+  /** Misra-Gries heavy-hitters aggregate (requires graft extensions):
+    * array<struct<item,cnt>> sorted by (-cnt, item). Every item with
+    * frequency > N/(k+1) is guaranteed present; counters undercount by
+    * at most N/(k+1).
+    */
+  def heavyHitters(item: Column, k: Int): Column =
+    call_function("graft_heavy_hitters", item, lit(k))
 }

@@ -90,6 +90,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         CountMinSketchAgg(children.head, args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters(item, k): k must be an integer literal, got $other")
+        }
+        MisraGriesAgg(children(0), k)
+      }))
     // Spark's bloom probe expression exists but is not SQL-registered
     // (it backs runtime row-level filtering); expose it for the
     // incremental-dedup pre-filter.

@@ -975,6 +975,29 @@ object Relational {
     },
     None)
 
+  // ---- k6_heavy_hitters: Misra-Gries dominant tokens per source ----------
+  // "Which items dominate each group" without pre-declared candidates:
+  // per-source Misra-Gries sketches of the token stream (ONE keyed
+  // exchange, k-entry buffers merge map-side), top-5 exploded with the
+  // sketch's lower/upper count bounds. Round5Spec pins the coverage and
+  // undercount guarantees; deterministic output (sorted by -cnt, item).
+  private val k6 = Q(
+    (s, dir) => {
+      import graft.functions.Sketches._
+      val tok = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("tk"))
+        .filter(col("tk") =!= "")
+      tok.groupBy(col("source"))
+        .agg(heavyHitters(col("tk"), 32).as("hh"), count(lit(1)).as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          posexplode(slice(col("hh"), 1, 5)))
+        .select(col("source"), col("n_tokens"), (col("pos") + 1).as("rank"),
+          col("col.item").as("token"), col("col.cnt").as("cnt_lower"),
+          (col("col.cnt") + floor(col("n_tokens") / 33).cast("long")).as("cnt_upper"))
+        .orderBy("source", "rank")
+    },
+    None)
+
   // ---- q36_fill_down: last-non-null carry-forward ------------------------
   // The "fill down" shape (LAST_VALUE ... IGNORE NULLS): values are
   // deterministically nulled (view events report no value), then each
@@ -1088,5 +1111,6 @@ object Relational {
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,
     "k4_theta_setops" -> k4,
-    "k5_cms_freq" -> k5)
+    "k5_cms_freq" -> k5,
+    "k6_heavy_hitters" -> k6)
 }

@@ -1193,6 +1193,50 @@ object TrainingData {
       FROM v1 FULL OUTER JOIN v2 ON id1 = id2
       GROUP BY 1 ORDER BY status"""))
 
+  // ---- t19_context_pack: sequence packing into context windows -----------
+  // The GPT-pretraining packing shape: per language, documents are
+  // concatenated in a deterministic order (doc_id) and chunked into
+  // fixed token-budget context windows — chunk id is just
+  // floor(preceding_tokens / budget) over a running sum, so packing is
+  // ONE keyed exchange (the per-lang window) plus the per-chunk rollup.
+  // Output: per-chunk document count, token fill, and fill fraction
+  // (the packing-efficiency metric batch builders watch).
+  private val t19budget = 2048L
+  private val t19 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), toks.as("n_toks"))
+        .withColumn("before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .withColumn("chunk_id", floor(col("before") / t19budget))
+        .groupBy(col("lang"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("chunk_toks"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .withColumn("fill_frac",
+          Det.qz(col("chunk_toks").cast("double") / lit(t19budget.toDouble), 6))
+        .orderBy("lang", "chunk_id")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT lang, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+      p AS (
+        SELECT lang, doc_id, n_toks,
+               COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM d)
+      SELECT lang, CAST(FLOOR(before / $t19budget) AS BIGINT) AS chunk_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS chunk_toks,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+             ${Det.qzSql(s"CAST(SUM(n_toks) AS DOUBLE) / $t19budget.0", 6)} AS fill_frac
+      FROM p GROUP BY 1, 2 ORDER BY lang, chunk_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
@@ -1223,6 +1267,7 @@ object TrainingData {
     "t16_gopher_rules" -> t16,
     "t17_domain_tld" -> t17,
     "t18_unigram_ll" -> t18,
+    "t19_context_pack" -> t19,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

@@ -72,6 +72,51 @@ class Round5Spec extends SparkSpec {
     assert(recall >= 0.9, s"sq recall $recall below floor")
   }
 
+  test("misra-gries covers all true heavy hitters with bounded undercount") {
+    // item i appears (4000 / i) times for i in [1, 100]: N ≈ 20778.
+    // With k=32 every item with freq > N/33 (≈630) MUST appear → items
+    // 1..6 guaranteed; counters undercount by ≤ N/33.
+    val rows = (1 to 100).flatMap(i => Seq.fill(4000 / i)(f"item$i%03d"))
+    val n = rows.size.toLong
+    val hh = rows.toDF("item").repartition(11)
+      .agg(Sketches.heavyHitters(col("item"), 32).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n / 33
+    for (i <- 1 to 100) {
+      val item = f"item$i%03d"
+      val exact = 4000L / i
+      if (exact > bound)
+        assert(hh.contains(item), s"guaranteed heavy hitter $item (freq $exact) missing")
+      hh.get(item).foreach { c =>
+        assert(c <= exact, s"$item overcounted: $c > $exact")
+        assert(c >= exact - bound, s"$item undercounted past N/(k+1): $c < $exact - $bound")
+      }
+    }
+  }
+
+  test("misra-gries merge is order-insensitive across partition layouts") {
+    val rows = (1 to 60).flatMap(i => Seq.fill(i * 3)(s"w$i"))
+    def run(parts: Int) = rows.toDF("item").repartition(parts)
+      .agg(Sketches.heavyHitters(col("item"), 16).as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e.item"), col("e.cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exact equality across layouts is NOT an MG guarantee (merge order
+    // shifts counters), but the top item survives any layout and every
+    // run respects the undercount bound
+    for (p <- Seq(1, 7, 23)) {
+      val got = run(p)
+      assert(got.nonEmpty && got.map(_._1).contains("w60"),
+        s"dominant item missing at $p partitions: $got")
+      val n = rows.size.toLong
+      got.foreach { case (item, c) =>
+        val exact = item.drop(1).toLong * 3
+        assert(c <= exact && c >= exact - n / 17, s"bound violated for $item at $p parts")
+      }
+    }
+  }
+
   test("sq codes stay in [0,255] and reconstruction error is small") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val (mins, deltas) = SimilaritySearch.sqTrain(emb, "vec_id", "embedding", 64)
