@@ -420,6 +420,44 @@ object TimeSeriesQueries {
              (${Det.qzSql("cusum")} > $s12h) AS alarm
       FROM c ORDER BY event_id"""))
 
+  // ---- s13_attribution: first-touch conversion attribution ---------------
+  // The marketing-attribution shape: each purchase attributes to the
+  // user's most recent preceding view within a 7-day lookback. The
+  // "most recent preceding view" is a running max of view timestamps
+  // under the (ts, event_id) total order — ONE keyed exchange, no
+  // self-join, the same single-pass trick as the funnel.
+  private val s13 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val us = unix_micros(col("ts"))
+      val lookbackUs = 7L * 86400L * 1000000L
+      t(s, dir, "events")
+        .withColumn("last_view_us", max(when(col("event_type") === "view", us)).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("last_view_us").isNotNull &&
+            us - col("last_view_us") <= lookbackUs).as("attributed"),
+          when(col("last_view_us").isNotNull &&
+            us - col("last_view_us") <= lookbackUs,
+            ((us - col("last_view_us")) / 1000000L).cast("long")).as("latency_s"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT event_id, user_id, value, event_type, epoch_us(ts) AS us,
+               MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS last_view_us
+        FROM events)
+      SELECT event_id, user_id, value,
+             (last_view_us IS NOT NULL AND us - last_view_us <= 604800000000) AS attributed,
+             CASE WHEN last_view_us IS NOT NULL AND us - last_view_us <= 604800000000
+                  THEN (us - last_view_us) // 1000000 END AS latency_s
+      FROM v WHERE event_type = 'purchase'
+      ORDER BY event_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
@@ -432,5 +470,6 @@ object TimeSeriesQueries {
     "s9_ohlc" -> s9,
     "s10_seasonal" -> s10,
     "s11_moving_avg" -> s11,
-    "s12_cusum" -> s12)
+    "s12_cusum" -> s12,
+    "s13_attribution" -> s13)
 }
