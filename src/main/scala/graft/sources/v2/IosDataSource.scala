@@ -66,37 +66,113 @@ class IosTable(pathPatterns: Seq[String]) extends Table with SupportsRead {
     new IosScanBuilder(pathPatterns)
 }
 
+/** Filter pushdown tiers (SupportsPushDownFilters):
+  *   - `filename` predicates prune WHOLE FILES at planning time — on a
+  *     million-file archive a mission/date filter skips the files
+  *     without ever opening them (the V2 equivalent of partition
+  *     pruning).
+  *   - `channel_name` / `channel_no` predicates drop channels inside the
+  *     reader BEFORE observation rows materialize — a 16-channel file
+  *     read for one channel emits 1/16th of the rows.
+  * Every filter is also returned as residual (Spark re-applies it), so
+  * pruning can never change semantics — only skip work.
+  */
 class IosScanBuilder(pathPatterns: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = IosTable.fullSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = { required = requiredSchema }
-  override def build(): Scan = new IosScan(pathPatterns, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(IosFilters.prunable)
+    filters // all residual: pruning is an optimization, never a contract
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new IosScan(pathPatterns, required, pushed)
 }
 
-class IosScan(pathPatterns: Seq[String], required: StructType) extends Scan with Batch {
+/** Conservative predicate evaluation for pruning: `true` = might match
+  * (keep), `false` = provably excluded (skip). Unknown filter shapes are
+  * never prunable.
+  */
+object IosFilters {
+  import org.apache.spark.sql.sources._
+
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => cols(a)
+    case In(a, _) => cols(a)
+    case StringStartsWith(a, _) => cols(a)
+    case StringEndsWith(a, _) => cols(a)
+    case StringContains(a, _) => cols(a)
+    case GreaterThan(a, _) => a == "channel_no"
+    case GreaterThanOrEqual(a, _) => a == "channel_no"
+    case LessThan(a, _) => a == "channel_no"
+    case LessThanOrEqual(a, _) => a == "channel_no"
+    case And(l, r) => prunable(l) && prunable(r)
+    case _ => false
+  }
+  private def cols(a: String): Boolean =
+    a == "filename" || a == "channel_name" || a == "channel_no"
+
+  /** Evaluate one filter against a candidate (attr → value) row slice;
+    * attributes absent from the slice are unconstrained (might match).
+    */
+  def mightMatch(f: Filter, attrs: Map[String, Any]): Boolean = f match {
+    case EqualTo(a, v) => attrs.get(a).forall(_ == v)
+    case In(a, vs) => attrs.get(a).forall(x => vs.contains(x))
+    case StringStartsWith(a, p) =>
+      attrs.get(a).forall(x => x.toString.startsWith(p))
+    case StringEndsWith(a, p) =>
+      attrs.get(a).forall(x => x.toString.endsWith(p))
+    case StringContains(a, p) =>
+      attrs.get(a).forall(x => x.toString.contains(p))
+    case GreaterThan(a, v: Number) =>
+      attrs.get(a).forall(x => x.asInstanceOf[Number].longValue > v.longValue)
+    case GreaterThanOrEqual(a, v: Number) =>
+      attrs.get(a).forall(x => x.asInstanceOf[Number].longValue >= v.longValue)
+    case LessThan(a, v: Number) =>
+      attrs.get(a).forall(x => x.asInstanceOf[Number].longValue < v.longValue)
+    case LessThanOrEqual(a, v: Number) =>
+      attrs.get(a).forall(x => x.asInstanceOf[Number].longValue <= v.longValue)
+    case And(l, r) => mightMatch(l, attrs) && mightMatch(r, attrs)
+    case _ => true
+  }
+}
+
+class IosScan(pathPatterns: Seq[String], required: StructType,
+              filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"IosScan(files=${pathPatterns.mkString(",")}, columns=${required.fieldNames.mkString(",")})"
+    s"IosScan(files=${pathPatterns.mkString(",")}, " +
+      s"columns=${required.fieldNames.mkString(",")}, " +
+      s"pushed=[${filters.mkString(",")}])"
   override def planInputPartitions(): Array[InputPartition] =
     pathPatterns.flatMap(IosTable.expandGlob).distinct
+      .filter { f =>
+        val attrs = Map[String, Any]("filename" -> f.split('/').last)
+        filters.forall(IosFilters.mightMatch(_, attrs))
+      }
       .map(f => IosFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new IosReaderFactory(required.fieldNames)
+    new IosReaderFactory(required.fieldNames, filters)
 }
 
 case class IosFilePartition(path: String) extends InputPartition
 
-class IosReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+class IosReaderFactory(columns: Array[String],
+                       filters: Array[org.apache.spark.sql.sources.Filter])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new IosPartitionReader(partition.asInstanceOf[IosFilePartition].path, columns)
+    new IosPartitionReader(partition.asInstanceOf[IosFilePartition].path, columns, filters)
 }
 
 /** Parses one file and streams observation rows, emitting only the
   * pruned columns (projection applied at the source, like a columnar
   * format would).
   */
-class IosPartitionReader(path: String, columns: Array[String])
+class IosPartitionReader(path: String, columns: Array[String],
+                         filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
@@ -116,8 +192,15 @@ class IosPartitionReader(path: String, columns: Array[String])
       p.details.lift(i).map(_.pad.trim).filter(_.nonEmpty)
         .orElse(p.file.get("PAD").map(_.trim))
         .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    // channel-level pushdown: drop excluded channels ONCE, before the
+    // data rows expand (row count scales with surviving channels)
+    val keptChannels = p.channels.zipWithIndex.filter { case (ch, _) =>
+      val attrs = Map[String, Any]("filename" -> p.filename,
+        "channel_name" -> ch.name, "channel_no" -> ch.no)
+      filters.forall(IosFilters.mightMatch(_, attrs))
+    }
     p.data.iterator.zipWithIndex.flatMap { case (row, ri) =>
-      p.channels.iterator.zipWithIndex.map { case (ch, ci) =>
+      keptChannels.iterator.map { case (ch, ci) =>
         val rawV = row.lift(ci).getOrElse("")
         val v = scala.util.Try(rawV.toDouble).toOption
           .filterNot(d => pads(ci).contains(d))

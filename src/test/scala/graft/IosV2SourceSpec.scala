@@ -36,4 +36,28 @@ class IosV2SourceSpec extends SparkSpec {
     val df = spark.read.format("graft.sources.v2.IosDataSource").load(s"$base/ctd_profile/*.ctd")
     assert(df.rdd.getNumPartitions == 6)
   }
+
+  test("filename filter prunes whole files at planning time") {
+    val all = spark.read.format("graft.sources.v2.IosDataSource")
+      .load(s"$base/ctd_profile/*.ctd")
+    val one = all.filter(col("filename") === "2017-020-0474.ctd")
+    // partition count == surviving file count: the excluded files are
+    // never opened, the V2 equivalent of partition pruning
+    assert(one.rdd.getNumPartitions == 1,
+      s"expected 1 partition, got ${one.rdd.getNumPartitions}")
+    // and the filter stays a residual: results equal the unpruned path
+    val expect = all.collect().filter(_.getAs[String]("filename") == "2017-020-0474.ctd")
+    assert(one.count() == expect.length && expect.nonEmpty)
+  }
+
+  test("channel filter drops channels before rows materialize") {
+    val glob = s"$base/ctd_profile/2017-020-0474.ctd"
+    val all = spark.read.format("graft.sources.v2.IosDataSource").load(glob)
+    val depthOnly = all.filter(col("channel_name") === "Depth")
+    val expect = all.collect().filter(_.getAs[String]("channel_name") == "Depth")
+    assert(depthOnly.count() == expect.length && expect.nonEmpty)
+    // pushed filter is visible in the scan description
+    val desc = depthOnly.queryExecution.executedPlan.toString
+    assert(desc.contains("pushed=[") && desc.contains("channel_name"), desc.take(800))
+  }
 }
