@@ -531,6 +531,64 @@ object ReferenceOps {
              ${Det.qzSql("MAX(value)")} AS peak_spd
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // ---- r23_track_distance: haversine ship-track length -------------------
+  // The cruise-track product over positioned stations: great-circle
+  // distance between consecutive fixes per vessel (user_id), summed to
+  // track length. Positions synthesize deterministically from events;
+  // consecutive pairing is one lag window under the (ts, event_id)
+  // total order — ONE keyed exchange for both the window and the
+  // rollup. Haversine is sin/cos/asin on both engines; per-leg qz
+  // before the exact-decimal sum keeps the totals engine-stable.
+  private val r23 = Q(
+    (s, dir) => {
+      val lat = lit(48.0) + (col("user_id") % 100).cast("double") / 50.0 +
+        (col("event_id") % 17).cast("double") / 1000.0
+      val lon = lit(-129.0) + (col("user_id") % 37).cast("double") / 25.0 +
+        (col("event_id") % 23).cast("double") / 1000.0
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("lat", lat).withColumn("lon", lon)
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+      val dphi = radians(col("lat") - col("plat"))
+      val dlam = radians(col("lon") - col("plon"))
+      val a = sin(dphi / 2) * sin(dphi / 2) +
+        cos(radians(col("plat"))) * cos(radians(col("lat"))) *
+          sin(dlam / 2) * sin(dlam / 2)
+      val legKm = Det.qz(lit(2.0 * 6371.0088) * asin(sqrt(a)), 6)
+      e.withColumn("leg_km", when(col("plat").isNotNull, legKm))
+        .groupBy(col("user_id"))
+        .agg(count(col("leg_km")).as("n_legs"),
+          Det.qz(Det.dsum(coalesce(col("leg_km"), lit(0.0))), 4).as("track_km"),
+          Det.qz(max(col("leg_km")), 6).as("max_leg_km"))
+        .orderBy("user_id")
+    },
+    Some {
+      val lat = "48.0 + CAST(user_id % 100 AS DOUBLE) / 50.0 + CAST(event_id % 17 AS DOUBLE) / 1000.0"
+      val lon = "-129.0 + CAST(user_id % 37 AS DOUBLE) / 25.0 + CAST(event_id % 23 AS DOUBLE) / 1000.0"
+      s"""
+      WITH pos AS (
+        SELECT user_id, ts, event_id, ($lat) AS lat, ($lon) AS lon
+        FROM events),
+      legs AS (
+        SELECT user_id, lat, lon,
+               lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+        FROM pos
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      d AS (
+        SELECT user_id,
+               CASE WHEN plat IS NOT NULL THEN ${Det.qzSql(
+        "2.0 * 6371.0088 * asin(sqrt(" +
+          "sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2) + " +
+          "cos(radians(plat)) * cos(radians(lat)) * " +
+          "sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)))", 6)} END AS leg_km
+        FROM legs)
+      SELECT user_id, COUNT(leg_km) AS n_legs,
+             ${Det.qzSql(Det.dsumSql("COALESCE(leg_km, 0.0)"), 4)} AS track_km,
+             ${Det.qzSql("MAX(leg_km)", 6)} AS max_leg_km
+      FROM d GROUP BY user_id ORDER BY user_id"""
+    })
+
   // ---- r18_conservative_temp: TEOS-10 CT from θ ------------------------
   private val r18 = Q(
     (s, dir) => {
@@ -595,5 +653,6 @@ object ReferenceOps {
     "r18_conservative_temp" -> r18,
     "r19_percent_sat" -> r19,
     "r21_dynamic_height" -> r21,
-    "r22_current_uv" -> r22)
+    "r22_current_uv" -> r22,
+    "r23_track_distance" -> r23)
 }

@@ -242,6 +242,27 @@ object TrainingData {
       FROM documents ORDER BY doc_id"""))
 
   // ---- t2_lang_id ------------------------------------------------------
+
+  /** SQL for the per-language marker scores (aliases `s_<lang>`). */
+  private def langScoresSql: String = Text.langMarkers.map { case (l, p) =>
+    s"CAST(len(regexp_extract_all(lower(text), '$p')) AS INTEGER) AS s_$l"
+  }.mkString(", ")
+
+  /** SQL CASE over the `s_<lang>` aliases replaying Text.langPredict's
+    * deterministic argmax (earliest marker wins ties). Shared by the t2
+    * oracle and the p1 pipeline oracle so the twins cannot drift.
+    */
+  private def langPredictSql: String = {
+    val langs = Text.langMarkers.map(_._1)
+    val whens = langs.zipWithIndex.map { case (l, i) =>
+      val laterGe = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
+      val earlierGt = langs.take(i).map(o => s"s_$l >= s_$o")
+      val conds = (earlierGt ++ laterGe ++ Seq(s"s_$l > 0")).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
   private val t2 = Q(
     (s, dir) => {
       val d = t(s, dir, "documents")
@@ -253,36 +274,21 @@ object TrainingData {
         .orderBy("doc_id")
     },
     Some {
-      val scores = Text.langMarkers.map { case (l, p) =>
-        s"CAST(len(regexp_extract_all(lower(text), '$p')) AS INTEGER) AS s_$l"
-      }.mkString(", ")
       val langs = Text.langMarkers.map(_._1)
-      val whens = langs.zipWithIndex.map { case (l, i) =>
-        val laterGe = langs.drop(i + 1).map(o => s"s_$l >= s_$o")
-        val earlierGt = langs.take(i).map(o => s"s_$l >= s_$o")
-        val conds = (earlierGt ++ laterGe ++ Seq(s"s_$l > 0")).mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString(" ")
       s"""
       SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
-             CASE $whens ELSE 'und' END AS predicted
-      FROM (SELECT doc_id, $scores FROM documents) a
+             $langPredictSql AS predicted
+      FROM (SELECT doc_id, $langScoresSql FROM documents) a
       ORDER BY doc_id"""
     })
 
   // ---- t3_quality_score ------------------------------------------------
-  private val t3 = Q(
-    (s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"), Text.qualityScore(col("text")).as("score"))
-        .withColumn("bucket",
-          when(col("score") >= 0.7, "high").when(col("score") >= 0.4, "mid").otherwise("low"))
-        .orderBy("doc_id")
-    },
-    Some("""
-      SELECT doc_id, score,
-             CASE WHEN score >= 0.7 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END AS bucket
-      FROM (
+
+  /** SQL replay of Text.qualityScore over a `documents`-shaped relation:
+    * a subquery producing (doc_id, score). Shared by the t3 oracle and
+    * the p1 pipeline oracle.
+    */
+  private def qualityScoreSql: String = """
         SELECT doc_id,
           FLOOR((LEAST(1.0, toks / 100.0) * 0.3 +
                 (1.0 - LEAST(1.0, punct / GREATEST(n, 1.0) * 10.0)) * 0.4 +
@@ -293,7 +299,20 @@ object TrainingData {
             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
             CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS DOUBLE) AS punct,
             CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b')) AS DOUBLE) AS stops
-          FROM documents) m) z
+          FROM documents) m"""
+
+  private val t3 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), Text.qualityScore(col("text")).as("score"))
+        .withColumn("bucket",
+          when(col("score") >= 0.7, "high").when(col("score") >= 0.4, "mid").otherwise("low"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, score,
+             CASE WHEN score >= 0.7 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END AS bucket
+      FROM ($qualityScoreSql) z
       ORDER BY doc_id"""))
 
   // ---- t4_fingerprint --------------------------------------------------
@@ -1237,7 +1256,75 @@ object TrainingData {
              ${Det.qzSql(s"CAST(SUM(n_toks) AS DOUBLE) / $t19budget.0", 6)} AS fill_frac
       FROM p GROUP BY 1, 2 ORDER BY lang, chunk_id"""))
 
+  // ---- p1_corpus_pipeline: the end-to-end cleaning funnel ----------------
+  // The headline composite: language-ID gate → quality-score gate →
+  // repetition gate → exact-dedup keep, chained CUMULATIVELY the way a
+  // production corpus build applies them, reported as a per-source
+  // survival funnel with kept-token volume. Everything up to the dedup
+  // window is MAP-ONLY (langid/quality/repetition are projections; the
+  // repetition ratio uses array_distinct in-row, no token shuffle);
+  // the dedup owner is one window over the content hash; the funnel
+  // rollup is one keyed agg. Three exchanges total at any corpus size.
+  private val p1 = Q(
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val dupFrac = Det.qz(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+      val hw = Window.partitionBy(col("h"))
+      val staged = t(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("predicted", Text.langPredict(col("text")))
+        .withColumn("score", Text.qualityScore(col("text")))
+        .withColumn("dup_frac", dupFrac)
+        .withColumn("n_toks", size(toks).cast("long"))
+        .withColumn("owner", min(col("doc_id")).over(hw))
+        .withColumn("g_lang", col("predicted") =!= "und")
+        .withColumn("g_quality", col("g_lang") && col("score") >= 0.4)
+        .withColumn("g_rep", col("g_quality") && col("dup_frac") <= 0.6)
+        .withColumn("g_kept", col("g_rep") && col("doc_id") === col("owner"))
+      staged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("g_lang"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("g_quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("g_rep"), 1L).otherwise(0L)).as("n_rep"),
+          sum(when(col("g_kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("g_kept"), col("n_toks")).otherwise(0L)).as("kept_toks"))
+        .withColumn("yield_frac",
+          Det.qz(col("n_kept").cast("double") / col("n_total").cast("double"), 6))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH lang AS (
+        SELECT doc_id, $langPredictSql AS predicted
+        FROM (SELECT doc_id, $langScoresSql FROM documents) a),
+      qual AS ($qualityScoreSql),
+      staged AS (
+        SELECT d.doc_id, d.source,
+               l.predicted <> 'und' AS g_lang,
+               (l.predicted <> 'und' AND q.score >= 0.4) AS g_quality,
+               (l.predicted <> 'und' AND q.score >= 0.4 AND
+                FLOOR((1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(d.text), '\\s+'))) AS DOUBLE)
+                       / CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS DOUBLE)) * 1e6 + 0.5) / 1e6 <= 0.6) AS g_rep,
+               CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_toks,
+               MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS owner
+        FROM documents d
+        JOIN lang l ON d.doc_id = l.doc_id
+        JOIN qual q ON d.doc_id = q.doc_id),
+      flags AS (
+        SELECT source, n_toks, g_lang, g_quality, g_rep,
+               (g_rep AND doc_id = owner) AS g_kept
+        FROM staged)
+      SELECT source, COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN g_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+             CAST(SUM(CASE WHEN g_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(SUM(CASE WHEN g_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+             CAST(SUM(CASE WHEN g_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN g_kept THEN n_toks ELSE 0 END) AS BIGINT) AS kept_toks,
+             ${Det.qzSql("CAST(SUM(CASE WHEN g_kept THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS yield_frac
+      FROM flags GROUP BY source ORDER BY source"""))
+
   val entries: Seq[(String, Q)] = Seq(
+    "p1_corpus_pipeline" -> p1,
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
     "d3_dedup_minhash" -> d3,
