@@ -136,6 +136,14 @@ class PlanAuditSpec extends SparkSpec {
       "channel stats must fold in-row, not explode\n" + p.take(800))
   }
 
+  test("p1: pipeline is gate projections + dedup window + one rollup (no joins)") {
+    val p = planOf("p1_corpus_pipeline")
+    assert(!p.contains("Join"), "pipeline gates must not join\n" + p.take(800))
+    // two keyed exchanges: the content-hash window and the source rollup
+    val keyed = "hashpartitioning".r.findAllIn(p).size
+    assert(keyed <= 2, s"pipeline grew extra shuffles: $keyed\n${p.take(900)}")
+  }
+
   test("q36/s11: window shapes plan exactly one keyed exchange") {
     for (name <- Seq("q36_fill_down", "s11_moving_avg")) {
       val p = planOf(name)
