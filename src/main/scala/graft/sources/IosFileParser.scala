@@ -129,7 +129,8 @@ object IosFileParser {
     } yield (et.toEpochMilli - st.toEpochMilli) / 1000.0 / (n - 1))
 
     val channels = table(fileSec, "CHANNELS").map { c =>
-      Channel(c.headOption.map(_.trim.toInt).getOrElse(0),
+      // a garbage channel-number cell must not kill the whole file parse
+      Channel(c.headOption.flatMap(w => scala.util.Try(w.trim.toInt).toOption).getOrElse(0),
         c.lift(1).getOrElse(""), c.lift(2).getOrElse(""),
         c.lift(3).getOrElse(""), c.lift(4).getOrElse(""))
     }

@@ -105,6 +105,21 @@ class IosReaderSpec extends SparkSpec {
     val p3 = IosFileParser.parse("h.ctd",
       "*IOS HEADER VERSION 2.0\n*FILE\n    NUMBER OF RECORDS : 5\n")
     assert(p3.nRecords == 5 && p3.data.isEmpty)
+    // garbage channel-number cell must not kill the file parse
+    val p4 = IosFileParser.parse("badch.ctd",
+      """*IOS HEADER VERSION 2.0
+        |*FILE
+        |    $TABLE: CHANNELS
+        |    ! No Name  Units  Minimum  Maximum
+        |    !--- ----- ------ -------- --------
+        |       X Depth metres 0        10
+        |       2 Temp  deg_C  0        10
+        |    $END
+        |*END OF HEADER
+        | 1.0 2.0
+        |""".stripMargin)
+    assert(p4.channels.length == 2 && p4.channels.head.no == 0 &&
+      p4.channels(1).no == 2 && p4.data.length == 1)
   }
 
   test("missing TIME INCREMENT infers dt from end-start/(n-1)") {
