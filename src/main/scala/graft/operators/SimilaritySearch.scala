@@ -181,8 +181,12 @@ object SimilaritySearch {
                            nCentroids: Int, iters: Int,
                            trainSample: Int = 4096): Array[Array[Double]] = {
     val sample = trainingSample(candidates, idCol, vecCol, trainSample)
-    lloyd(sample, sample.take(nCentroids), iters)
+    coarseFromSample(sample, nCentroids, iters)
   }
+
+  private def coarseFromSample(sample: Array[Array[Double]], nCentroids: Int,
+                               iters: Int): Array[Array[Double]] =
+    lloyd(sample, sample.take(nCentroids), iters)
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int,
@@ -272,10 +276,15 @@ object SimilaritySearch {
     */
   def pqTrain(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
               subspaces: Int = 8, codebookSize: Int = 16,
-              iters: Int = 2, trainSample: Int = 4096): Seq[(Int, Int, Array[Double])] = {
+              iters: Int = 2, trainSample: Int = 4096): Seq[(Int, Int, Array[Double])] =
+    pqTrainFromSample(trainingSample(vectors, idCol, vecCol, trainSample),
+      dims, subspaces, codebookSize, iters)
+
+  private def pqTrainFromSample(sample: Array[Array[Double]], dims: Int,
+                                subspaces: Int, codebookSize: Int,
+                                iters: Int): Seq[(Int, Int, Array[Double])] = {
     require(dims % subspaces == 0, s"$dims dims must split evenly into $subspaces subspaces")
     val subDim = dims / subspaces
-    val sample = trainingSample(vectors, idCol, vecCol, trainSample)
     (0 until subspaces).flatMap { s =>
       val sub = sample.map(_.slice(s * subDim, (s + 1) * subDim))
       lloyd(sub, sub.take(codebookSize), iters).zipWithIndex
@@ -401,8 +410,12 @@ object SimilaritySearch {
                 shortlist: Int = 50): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val cents = trainCoarseCentroids(candidates, idCol, vecCol, nCentroids, ivfIters)
-    val books = pqTrain(candidates, idCol, vecCol, dims, subspaces, codebookSize, pqIters)
+    // ONE sampling pass feeds both quantizers — the coarse centroids and
+    // the PQ codebooks train on the same bounded sample, so the corpus
+    // is touched once for all index-build metadata.
+    val sample = trainingSample(candidates, idCol, vecCol, 4096)
+    val cents = coarseFromSample(sample, nCentroids, ivfIters)
+    val books = pqTrainFromSample(sample, dims, subspaces, codebookSize, pqIters)
     val subDim = dims / subspaces
 
     // index build: codes + inverted-list id per candidate in ONE
