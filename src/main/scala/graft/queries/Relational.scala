@@ -998,6 +998,38 @@ object Relational {
     },
     None)
 
+  // ---- q38_running_distinct: COUNT(DISTINCT) over a running window -------
+  // Spark (correctly) refuses DISTINCT aggregates over windows; the
+  // scalable form marks each key's FIRST occurrence with one window and
+  // running-sums the flags with another — both windows share ONE keyed
+  // exchange on user_id because the first-occurrence rank partitions by
+  // (user_id, event_type), a superset key. The oracle replays the same
+  // two-window form.
+  private val q38 = Q(
+    (s, dir) => {
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          sum(col("first_seen")).over(wRun).as("distinct_types_so_far"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+      FROM (
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events) f
+      ORDER BY event_id"""))
+
   // ---- q36_fill_down: last-non-null carry-forward ------------------------
   // The "fill down" shape (LAST_VALUE ... IGNORE NULLS): values are
   // deterministically nulled (view events report no value), then each
@@ -1107,6 +1139,7 @@ object Relational {
     "q35_gaps_islands" -> q35,
     "q36_fill_down" -> q36,
     "q37_mode_bits" -> q37,
+    "q38_running_distinct" -> q38,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,

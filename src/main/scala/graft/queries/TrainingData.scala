@@ -226,6 +226,55 @@ object TrainingData {
              array_to_string(list_sort(list(id)), ',') AS members
       FROM cc GROUP BY cluster ORDER BY cluster"""))
 
+  // ---- d12_embedding_clusters: semantic near-dup clusters ----------------
+  // The embedding-space analogue of d8: exact cosine pairs (d5's
+  // two-phase scorer) fed into connected components, summarized per
+  // cluster. The composition that turns "these pairs look alike" into
+  // "keep one per semantic group" — pair generation is the d5 plan,
+  // clustering adds its bounded label-propagation rounds (or the
+  // driver union-find fast path for filter-sized pair lists).
+  private val d12 = Q(
+    (s, dir) => {
+      val pairs = Dedup.embeddingCosinePairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", minCosine = 0.30)
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+        .groupBy(col("n_members"))
+        .agg(count(lit(1)).as("n_clusters"),
+          min(col("cluster")).as("min_cluster"),
+          max(col("max_member")).as("max_member"))
+        .orderBy("n_members")
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT vec_id, embedding AS v,
+               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        FROM embeddings WHERE vec_id < 400),
+      pairs AS (
+        SELECT id1, id2 FROM (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+            FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+              / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id) z
+        WHERE cos >= 0.30),
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      walk(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e2.dst, w.lbl FROM walk w JOIN edges e2 ON e2.src = w.id),
+      cc AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id),
+      per AS (
+        SELECT cluster, COUNT(*) AS n_members, MAX(id) AS max_member
+        FROM cc GROUP BY cluster)
+      SELECT n_members, COUNT(*) AS n_clusters,
+             MIN(cluster) AS min_cluster, MAX(max_member) AS max_member
+      FROM per GROUP BY n_members ORDER BY n_members"""))
+
   // ---- t1_token_count --------------------------------------------------
   private val t1 = Q(
     (s, dir) => {
@@ -1336,6 +1385,7 @@ object TrainingData {
     "d9_dedup_paragraph" -> d9,
     "d10_dedup_fuzzy" -> d10,
     "d11_snapshot_diff" -> d11,
+    "d12_embedding_clusters" -> d12,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
