@@ -1030,6 +1030,32 @@ object Relational {
         FROM events) f
       ORDER BY event_id"""))
 
+  // ---- q39_bag_setops: INTERSECT ALL / EXCEPT ALL ------------------------
+  // The multiset complements of q16's distinct set ops: bag semantics
+  // keep duplicate cardinality (a key appearing 3× on one side and 2×
+  // on the other intersects 2×, excepts 1×). Spark's
+  // intersectAll/exceptAll plan as aggregated joins on count; the
+  // summary keeps the output bounded.
+  private val q39 = Q(
+    (s, dir) => {
+      val a = t(s, dir, "lineitem").select((col("l_orderkey") % 1000).as("k"))
+      val b = t(s, dir, "orders").select((col("o_orderkey") % 1000).as("k"))
+      val inter = a.intersectAll(b).groupBy().agg(
+        count(lit(1)).as("inter_all_rows"), countDistinct(col("k")).as("inter_all_keys"))
+      val except = a.exceptAll(b).groupBy().agg(
+        count(lit(1)).as("except_all_rows"), countDistinct(col("k")).as("except_all_keys"))
+      inter.crossJoin(except)
+    },
+    Some("""
+      WITH a AS (SELECT l_orderkey % 1000 AS k FROM lineitem),
+      b AS (SELECT o_orderkey % 1000 AS k FROM orders),
+      i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+      x AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+      si AS (SELECT COUNT(*) AS inter_all_rows, COUNT(DISTINCT k) AS inter_all_keys FROM i),
+      sx AS (SELECT COUNT(*) AS except_all_rows, COUNT(DISTINCT k) AS except_all_keys FROM x)
+      SELECT inter_all_rows, inter_all_keys, except_all_rows, except_all_keys
+      FROM si CROSS JOIN sx"""))
+
   // ---- q36_fill_down: last-non-null carry-forward ------------------------
   // The "fill down" shape (LAST_VALUE ... IGNORE NULLS): values are
   // deterministically nulled (view events report no value), then each
@@ -1140,6 +1166,7 @@ object Relational {
     "q36_fill_down" -> q36,
     "q37_mode_bits" -> q37,
     "q38_running_distinct" -> q38,
+    "q39_bag_setops" -> q39,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,

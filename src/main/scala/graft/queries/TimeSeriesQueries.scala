@@ -458,6 +458,38 @@ object TimeSeriesQueries {
       FROM v WHERE event_type = 'purchase'
       ORDER BY event_id"""))
 
+  // ---- s14_throttle: rate limiting / event coalescing --------------------
+  // The keep-first-per-key-per-window shape (alert throttling, webhook
+  // coalescing): at most one event per (user, type, minute), the
+  // earliest winning under the (ts, event_id) total order, with drop
+  // accounting per type. One keyed exchange; the rank partitions on a
+  // superset of the rollup key.
+  private val s14 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val minute = (unix_micros(col("ts")) / 60000000L).cast("long")
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("minute"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("minute", minute)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_throttled"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type, epoch_us(ts) // 60000000
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
@@ -471,5 +503,6 @@ object TimeSeriesQueries {
     "s10_seasonal" -> s10,
     "s11_moving_avg" -> s11,
     "s12_cusum" -> s12,
-    "s13_attribution" -> s13)
+    "s13_attribution" -> s13,
+    "s14_throttle" -> s14)
 }
