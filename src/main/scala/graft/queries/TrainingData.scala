@@ -994,7 +994,7 @@ object TrainingData {
         SELECT *, ROW_NUMBER() OVER
           (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
         FROM scored)
-      SELECT doc_id, rnk, term, tf, df, score
+      SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, score
       FROM ranked WHERE rnk <= 3
       ORDER BY doc_id, rnk"""))
 
