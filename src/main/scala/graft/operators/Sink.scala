@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Output layer (SURVEY.md §1.6: the reference's NetCDF writer becomes
   * columnar, partition-prunable files).
@@ -31,4 +31,56 @@ object Sink {
     df.write.mode("overwrite").format(format)
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Small-file compaction — the operational tax of incremental 100 TB
+    * ingest: every micro-batch/task leaves files far below the ideal
+    * scan unit, and a table of a million 100 KB files throttles every
+    * downstream scan on open/seek overhead and starves min-max pruning.
+    *
+    * Rewrites `path` (same format, same optional sort) into
+    * ceil(bytes / targetFileBytes) files, sized from the CURRENT
+    * on-disk footprint so the result lands near the target regardless
+    * of input fragmentation. The rewrite is one
+    * scan → repartition → write (staged to `path + ".compact.tmp"`,
+    * then atomically swapped) and preserves row content exactly; with
+    * `sortCols` the rewritten files regain min-max prunability that
+    * fragmented writes lost.
+    */
+  def compact(spark: SparkSession, path: String, format: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              sortCols: Seq[String] = Nil): CompactionStats = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles(hp)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+
+    val df = spark.read.format(format).load(path)
+    val repart = df.repartition(nOut)
+    val sorted =
+      if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(df(_)): _*) else repart
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    sorted.write.mode("overwrite").format(format).save(tmp.toString)
+    // swap: the window without `path` is the two renames — callers that
+    // need stronger atomicity layer a table format on top; the
+    // compaction kernel (size-targeted rewrite) is the same either way
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(hp, old)
+    fs.rename(tmp, hp)
+    fs.delete(old, true)
+    CompactionStats(before.size, dataFiles(hp).size, totalBytes)
+  }
+
+  final case class CompactionStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 }

@@ -99,6 +99,24 @@ class SinkAndSkewSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites fragmented output into size-targeted files") {
+    val out = "target/tmp/compact_test"
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // fragment: 64 tiny files
+    li.repartition(64).write.mode("overwrite").parquet(out)
+    // multiset compare: the table has no unique key, so row ORDER after
+    // any rewrite is arbitrary — content equality is the contract
+    val before = li.collect().map(_.toString).sorted
+    val stats = Sink.compact(spark, out, "parquet",
+      targetFileBytes = 256L * 1024, sortCols = Seq("l_shipdate"))
+    assert(stats.filesBefore == 64, s"expected 64 fragments, saw ${stats.filesBefore}")
+    assert(stats.filesAfter < stats.filesBefore,
+      s"compaction must reduce file count: ${stats.filesAfter}")
+    val after = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(after.length == before.length)
+    assert(after.sameElements(before), "compaction changed row content")
+  }
+
   test("z-order interleaves bits correctly and clusters files") {
     import graft.operators.ZOrder
     // interleave(x=3 (011), y=5 (101)) with 3 bits:
