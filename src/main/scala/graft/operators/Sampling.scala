@@ -42,4 +42,35 @@ object Sampling {
     }
     df.withColumn("sampled", hashGate(col(idCol), threshold))
   }
+
+  /** Efraimidis-Spirakis weighted sampling key: rank rows by
+    * u^(1/w) descending — equivalently ln(u)/w descending — where u is
+    * a DETERMINISTIC uniform in (0,1] derived from the id hash. The
+    * top-k under this key is a weighted random sample without
+    * replacement, reproducible on any cluster layout because u comes
+    * from content, not an RNG. Rows with non-positive weight get -∞
+    * (never selected).
+    */
+  def esKey(idCol: Column, weightCol: Column): Column = {
+    // hash63 ∈ [0, 2^63); (h+1)/2^63 ∈ (0, 1]
+    val u = (shiftrightunsigned(xxhash64(idCol.cast("string")), 1) + 1L) /
+      lit(9.223372036854775808e18)
+    when(weightCol > 0.0, log(u) / weightCol.cast("double"))
+      .otherwise(lit(Double.NegativeInfinity))
+  }
+
+  /** Weighted sample WITHOUT replacement of k rows per stratum: the
+    * per-group top-k under the ES key runs through the bounded-heap
+    * GroupedTopK node — one keyed exchange carrying
+    * partitions×strata×k rows, never a full sort, at any corpus size.
+    * Appends the `es_key` column (ties broken by id for a total order).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     strataCol: String, k: Int): DataFrame = {
+    // non-positive weights are excluded outright — they must not occupy
+    // heap slots when a stratum has fewer than k positive-weight rows
+    val keyed = df.filter(col(weightCol) > 0.0)
+      .withColumn("es_key", esKey(col(idCol), col(weightCol)))
+    TopK.perKey(keyed, Seq(strataCol), Seq(("es_key", false), (idCol, true)), k)
+  }
 }

@@ -275,6 +275,25 @@ object TrainingData {
              MIN(cluster) AS min_cluster, MAX(max_member) AS max_member
       FROM per GROUP BY n_members ORDER BY n_members"""))
 
+  // ---- t20_weighted_sample: Efraimidis-Spirakis weighted selection -------
+  // Length-weighted sampling without replacement per language (the
+  // "sample proportional to token count" mixture step): deterministic
+  // ES keys (u from the id hash, no RNG) cut to top-20 per lang through
+  // the bounded-heap node. Training is hash-deterministic but the key
+  // involves ln() ranking → rows-only; Round5Spec pins layout
+  // invariance and the weight-bias property.
+  private val t20 = Q(
+    (s, dir) => {
+      val sampled = graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id", "n_chars", "lang", 20)
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          Det.davg(col("n_chars").cast("double")).as("avg_sampled_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+    },
+    None)
+
   // ---- t1_token_count --------------------------------------------------
   private val t1 = Q(
     (s, dir) => {
@@ -1405,6 +1424,7 @@ object TrainingData {
     "t17_domain_tld" -> t17,
     "t18_unigram_ll" -> t18,
     "t19_context_pack" -> t19,
+    "t20_weighted_sample" -> t20,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

@@ -117,6 +117,30 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("weighted sampling is layout-invariant and weight-biased") {
+    import graft.operators.Sampling
+    // 400 items, weight = item id → heavier items must dominate the sample
+    val df = (1L to 400L).map(i => (i, i.toDouble, "g")).toDF("id", "w", "grp")
+    def ids(parts: Int) = Sampling.weightedSample(
+        df.repartition(parts), "id", "w", "grp", 50)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val a = ids(1)
+    assert(a.length == 50 && a == ids(13),
+      "ES sample must not depend on partition layout")
+    // E[mean id of a weight∝id sample] ≈ 267 vs uniform 200; the
+    // deterministic hash realization lands near it
+    val meanSel = a.sum.toDouble / a.length
+    assert(meanSel > 220.0, s"weighted sample not biased toward heavy items: $meanSel")
+
+    // zero/negative weights are never selected
+    val z = (1L to 100L).map(i => (i, if (i <= 90) 0.0 else 1.0, "g"))
+      .toDF("id", "w", "grp")
+    val zi = Sampling.weightedSample(z, "id", "w", "grp", 20)
+      .select("id").collect().map(_.getLong(0))
+    assert(zi.forall(_ > 90) && zi.length == 10,
+      s"zero-weight rows leaked into the sample: ${zi.toSeq}")
+  }
+
   test("sq codes stay in [0,255] and reconstruction error is small") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val (mins, deltas) = SimilaritySearch.sqTrain(emb, "vec_id", "embedding", 64)
