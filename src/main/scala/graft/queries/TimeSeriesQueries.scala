@@ -490,6 +490,72 @@ object TimeSeriesQueries {
              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled
       FROM r GROUP BY event_type ORDER BY event_type"""))
 
+  // ---- s15_lttb_downsample: visually-representative downsampling ---------
+  // Largest-Triangle-Three-Buckets with fixed anchors (neighbor-bucket
+  // centroids instead of the sequentially-chosen point), which makes
+  // the selection embarrassingly parallel: per (type, hour-bucket) the
+  // kept point maximizes the triangle area spanned with the previous
+  // and next buckets' centroids. Centroids are one keyed agg; the
+  // bucket table is bounded (hours×types) so the row join broadcasts;
+  // the per-bucket argmax runs through the bounded-heap GroupedTopK.
+  // Area is quantized before the argmax so the winner is engine-exact.
+  private val s15 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bucket = (unix_micros(col("ts")) / 3600000000L).cast("long")
+      // the time axis stays in INTEGER microseconds end-to-end: long
+      // sums are exact on both engines, whereas fractional-second
+      // doubles cast to decimal can round ties differently per engine
+      val base = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          bucket.as("b"), unix_micros(col("ts")).as("x"))
+      val cents = base.groupBy(col("event_type").as("ct"), col("b").as("cb"))
+        .agg((sum(col("x")) / count(lit(1))).as("cx"),
+          (Det.dsum(col("value")) / count(lit(1))).as("cy"))
+      val wb = Window.partitionBy(col("ct")).orderBy(col("cb"))
+      val anchors = cents
+        .withColumn("px", lag(col("cx"), 1).over(wb))
+        .withColumn("py", lag(col("cy"), 1).over(wb))
+        .withColumn("nx", lead(col("cx"), 1).over(wb))
+        .withColumn("ny", lead(col("cy"), 1).over(wb))
+        .filter(col("px").isNotNull && col("nx").isNotNull)
+      val joined = base.join(broadcast(anchors),
+        col("event_type") === col("ct") && col("b") === col("cb"))
+      val area = abs((col("px") - col("nx")) * (col("value") - col("py")) -
+        (col("px") - col("x")) * (col("ny") - col("py")))
+      val scored = joined.select(col("event_type"), col("b"), col("event_id"),
+        col("value"), Det.qz(area / 1e6, 2).as("area"))
+      graft.operators.TopK.perKey(scored,
+          Seq("event_type", "b"), Seq(("area", false), ("event_id", true)), 1)
+        .orderBy("event_type", "b")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT event_type, event_id, value,
+               epoch_us(ts) // 3600000000 AS b,
+               epoch_us(ts) AS x
+        FROM events),
+      cents AS (
+        SELECT event_type AS ct, b AS cb,
+               CAST(SUM(x) AS BIGINT) / COUNT(*) AS cx,
+               ${Det.dsumSql("value")} / COUNT(*) AS cy
+        FROM base GROUP BY 1, 2),
+      anchors AS (
+        SELECT *, lag(cx) OVER w AS px, lag(cy) OVER w AS py,
+               lead(cx) OVER w AS nx, lead(cy) OVER w AS ny
+        FROM cents WINDOW w AS (PARTITION BY ct ORDER BY cb)),
+      scored AS (
+        SELECT event_type, b, event_id, value,
+               ${Det.qzSql("abs((px - nx) * (value - py) - (px - x) * (ny - py)) / 1e6", 2)} AS area
+        FROM base JOIN anchors ON event_type = ct AND b = cb
+        WHERE px IS NOT NULL AND nx IS NOT NULL)
+      SELECT event_type, b, event_id, value, area
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, b
+                                         ORDER BY area DESC, event_id) AS rn
+            FROM scored) z
+      WHERE rn = 1
+      ORDER BY event_type, b"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
@@ -504,5 +570,6 @@ object TimeSeriesQueries {
     "s11_moving_avg" -> s11,
     "s12_cusum" -> s12,
     "s13_attribution" -> s13,
-    "s14_throttle" -> s14)
+    "s14_throttle" -> s14,
+    "s15_lttb_downsample" -> s15)
 }
