@@ -1056,6 +1056,34 @@ object Relational {
       SELECT inter_all_rows, inter_all_keys, except_all_rows, except_all_keys
       FROM si CROSS JOIN sx"""))
 
+  // ---- q40_money_exact: exact decimal money arithmetic -------------------
+  // The accounting contract floats cannot give: prices fixed to
+  // DECIMAL(18,2) at ingest, summed exactly (order-free, no
+  // accumulation drift), net-of-discount in decimal multiply, emitted
+  // as STRINGS so the gate compares exact digits — alongside the
+  // drifting double sum quantized for reference. One keyed exchange
+  // with map-side decimal partials.
+  private val q40 = Q(
+    (s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val net = (price * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,4)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(price).cast("decimal(38,2)").cast("string").as("gross_exact"),
+          sum(net).cast("decimal(38,4)").cast("string").as("net_exact"),
+          Det.qz(sum(price).cast("double") / count(lit(1)), 2).as("avg_price"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS gross_exact,
+             CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS VARCHAR) AS net_exact,
+             ${Det.qzSql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 2)} AS avg_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ---- q36_fill_down: last-non-null carry-forward ------------------------
   // The "fill down" shape (LAST_VALUE ... IGNORE NULLS): values are
   // deterministically nulled (view events report no value), then each
@@ -1167,6 +1195,7 @@ object Relational {
     "q37_mode_bits" -> q37,
     "q38_running_distinct" -> q38,
     "q39_bag_setops" -> q39,
+    "q40_money_exact" -> q40,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,
