@@ -139,19 +139,36 @@ object IosFilters {
   }
 }
 
+/** In addition to the static pushdown, the scan accepts RUNTIME filters
+  * (SupportsRuntimeFiltering) on `filename` — the DSv2 analogue of
+  * dynamic partition pruning: when the source joins a dimension on
+  * filename (e.g. a mission manifest), Spark delivers the build side's
+  * key set as an In filter AFTER planning and the probe side drops the
+  * excluded files before opening any of them.
+  */
 class IosScan(pathPatterns: Seq[String], required: StructType,
-              filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+              filters: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  @volatile private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"IosScan(files=${pathPatterns.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")}, " +
       s"pushed=[${filters.mkString(",")}])"
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("filename"))
+  override def filter(newFilters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    runtimeFilters = newFilters.filter(IosFilters.prunable)
+  }
   override def planInputPartitions(): Array[InputPartition] =
     pathPatterns.flatMap(IosTable.expandGlob).distinct
       .filter { f =>
         val attrs = Map[String, Any]("filename" -> f.split('/').last)
-        filters.forall(IosFilters.mightMatch(_, attrs))
+        (filters ++ runtimeFilters).forall(IosFilters.mightMatch(_, attrs))
       }
       .map(f => IosFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =

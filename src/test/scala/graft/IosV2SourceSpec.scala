@@ -50,6 +50,20 @@ class IosV2SourceSpec extends SparkSpec {
     assert(one.count() == expect.length && expect.nonEmpty)
   }
 
+  test("runtime In filter on filename prunes partitions after planning") {
+    import graft.sources.v2.{IosScan, IosTable}
+    import org.apache.spark.sql.sources.In
+    val scan = new IosScan(Seq(s"$base/ctd_profile/*.ctd"),
+      IosTable.fullSchema, Array.empty)
+    assert(scan.planInputPartitions().length == 6)
+    assert(scan.filterAttributes().map(_.describe()).sameElements(Array("filename")))
+    // Spark delivers the join build side's keys like this at runtime
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("filename",
+      Array("2017-020-0474.ctd", "2017-23-0042.ctd"))))
+    assert(scan.planInputPartitions().length == 2,
+      "runtime key set must prune the file list before any open")
+  }
+
   test("channel filter drops channels before rows materialize") {
     val glob = s"$base/ctd_profile/2017-020-0474.ctd"
     val all = spark.read.format("graft.sources.v2.IosDataSource").load(glob)
