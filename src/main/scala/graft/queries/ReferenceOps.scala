@@ -589,6 +589,60 @@ object ReferenceOps {
       FROM d GROUP BY user_id ORDER BY user_id"""
     })
 
+  // ---- p2_ocean_products: per-profile derived-products pass --------------
+  // Block B's headline composite — the reference's whole derive step for
+  // one cast, batched: σ-t per level, mixed-layer depth (r17's surface
+  // window + conditional min), peak stratification N² (r20's lag pairs),
+  // and the full-depth dynamic-height integral (r21's term, summed
+  // order-free) — ALL from one synthesized profile scan, one keyed
+  // window pass, and one rollup: a single exchange per 100 TB of casts.
+  private val p2 = Q(
+    (s, dir) => {
+      val rho0 = 1000.0 + graft.functions.Seawater.sigmaTConst(35.0, 0.0)
+      val li = t(s, dir, "lineitem")
+        .withColumn("sal", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("tc", col("l_quantity") % 30.0)
+        .withColumn("sigma", graft.functions.Seawater.sigmaT(col("sal"), col("tc")))
+        .withColumn("depth", col("l_linenumber").cast("double") * 10.0)
+        .withColumn("term",
+          (lit(1.0) / (lit(1000.0) + col("sigma")) - lit(1.0 / rho0)) * 10.0 * 1e6)
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("sigma"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dz = col("depth") - lag(col("depth"), 1).over(w)
+      val dsig = col("sigma") - lag(col("sigma"), 1).over(w)
+      li.withColumn("surf", first(col("sigma")).over(wRun))
+        .withColumn("n2", when(dz > 0.0, lit(9.80665 / 1025.0) * dsig / dz))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_levels"),
+          min(when(col("sigma") - col("surf") > 0.1, col("l_linenumber"))).as("mld_level"),
+          Det.qz(max(col("n2")), 8).as("max_n2"),
+          Det.qz(Det.dsum(col("term"))).as("total_dyn_height"))
+        .orderBy("l_orderkey")
+    },
+    Some {
+      val st = graft.functions.Seawater.sigmaTSql("30.0 + l_discount * 100.0", "l_quantity % 30.0")
+      val rho0 = 1000.0 + graft.functions.Seawater.sigmaTConst(35.0, 0.0)
+      s"""
+      WITH p AS (
+        SELECT l_orderkey, l_linenumber, ($st) AS sigma,
+               CAST(l_linenumber AS DOUBLE) * 10.0 AS depth,
+               (1.0 / (1000.0 + ($st)) - ${1.0 / rho0}) * 10.0 * 1e6 AS term
+        FROM lineitem),
+      d AS (
+        SELECT l_orderkey, l_linenumber, sigma, term,
+               first_value(sigma) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, sigma
+                                        ROWS UNBOUNDED PRECEDING) AS surf,
+               depth - lag(depth, 1) OVER w AS dz,
+               sigma - lag(sigma, 1) OVER w AS dsig
+        FROM p
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, sigma))
+      SELECT l_orderkey, COUNT(*) AS n_levels,
+             MIN(CASE WHEN sigma - surf > 0.1 THEN l_linenumber END) AS mld_level,
+             ${Det.qzSql("MAX(CASE WHEN dz > 0.0 THEN (9.80665 / 1025.0) * dsig / dz END)", 8)} AS max_n2,
+             ${Det.qzSql(Det.dsumSql("term"))} AS total_dyn_height
+      FROM d GROUP BY l_orderkey ORDER BY l_orderkey"""
+    })
+
   // ---- r18_conservative_temp: TEOS-10 CT from θ ------------------------
   private val r18 = Q(
     (s, dir) => {
@@ -654,5 +708,6 @@ object ReferenceOps {
     "r19_percent_sat" -> r19,
     "r21_dynamic_height" -> r21,
     "r22_current_uv" -> r22,
-    "r23_track_distance" -> r23)
+    "r23_track_distance" -> r23,
+    "p2_ocean_products" -> p2)
 }
