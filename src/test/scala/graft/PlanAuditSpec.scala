@@ -144,6 +144,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyed <= 2, s"pipeline grew extra shuffles: $keyed\n${p.take(900)}")
   }
 
+  test("p2: profile products reuse ONE keyed exchange for window and rollup") {
+    val p = planOf("p2_ocean_products")
+    assert(!p.contains("Join"), p.take(600))
+    // the window partitions and the rollup group on the same key, so
+    // EnsureRequirements must not insert a second hash exchange
+    val keyed = "hashpartitioning".r.findAllIn(p).size
+    assert(keyed == 1, s"profile pass grew extra shuffles: $keyed\n${p.take(900)}")
+  }
+
   test("q36/s11: window shapes plan exactly one keyed exchange") {
     for (name <- Seq("q36_fill_down", "s11_moving_avg")) {
       val p = planOf(name)
