@@ -1084,6 +1084,34 @@ object Relational {
              ${Det.qzSql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)", 2)} AS avg_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ---- q41_grouping_sets: explicit (non-lattice) grouping sets -----------
+  // The shapes rollup/cube can't express: a hand-picked set list —
+  // (status, priority), (status), (priority), () — where the lattice
+  // operators would force the full hierarchy or power set. One Expand +
+  // one keyed aggregation; grouping_id disambiguates which set each
+  // output row came from (NULL group values vs real NULLs).
+  private val q41 = Q(
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id().as("gid"),
+          Det.qz(sum(col("o_totalprice").cast(Det.D)).cast("double"), 2).as("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+             ${Det.qzSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)", 2)} AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
   // ---- q36_fill_down: last-non-null carry-forward ------------------------
   // The "fill down" shape (LAST_VALUE ... IGNORE NULLS): values are
   // deterministically nulled (view events report no value), then each
@@ -1196,6 +1224,7 @@ object Relational {
     "q38_running_distinct" -> q38,
     "q39_bag_setops" -> q39,
     "q40_money_exact" -> q40,
+    "q41_grouping_sets" -> q41,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,
