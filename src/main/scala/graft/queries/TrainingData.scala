@@ -828,6 +828,57 @@ object TrainingData {
       FROM documents WHERE n_chars >= 2
       ORDER BY doc_id"""))
 
+  // ---- m5_cdc_chunks: content-defined chunking over opaque payloads ------
+  // The storage-dedup shape (rsync/LBFS-style): chunk boundaries fall
+  // where a rolling 4-byte hash hits a modulus target, so identical
+  // content produces identical chunks regardless of offset shifts —
+  // unlike fixed-width framing (m3). Boundary detection is one bounded
+  // HOF filter over positions (map-only, no explode); the per-doc chunk
+  // stats derive from the boundary-position array in the same
+  // projection. Integer arithmetic end to end — engine-exact.
+  private val m5 = Q(
+    (s, dir) => {
+      val n = length(col("text"))
+      def a(i: org.apache.spark.sql.Column) = ascii(col("text").substr(i, lit(1))).cast("long")
+      val h = (i: org.apache.spark.sql.Column) =>
+        a(i - 3) * (31L * 31L * 31L) + a(i - 2) * (31L * 31L) + a(i - 1) * 31L + a(i)
+      val bounds = filter(sequence(lit(4), n), i => pmod(h(i), lit(64L)) === 0L)
+      // chunk ends = boundaries + final position; lengths via zip with
+      // the shifted array (start offset 0)
+      val ends = concat(bounds, array(n))
+      val starts = concat(array(lit(0)), bounds)
+      val lens = zip_with(ends, starts, (e, st) => e - st)
+      val realLens = filter(lens, l => l > 0)
+      t(s, dir, "documents")
+        .filter(col("n_chars") >= 4)
+        .select(col("doc_id"), n.as("n_bytes"),
+          size(realLens).as("n_chunks"),
+          element_at(array_sort(realLens), -1).cast("long").as("max_chunk"),
+          Det.qz(n.cast("double") / size(realLens).cast("double")).as("avg_chunk"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id, LENGTH(text) AS n,
+               list_filter(range(4, LENGTH(text) + 1), i ->
+                 (ascii(substr(text, CAST(i AS INTEGER) - 3, 1)) * 29791 +
+                  ascii(substr(text, CAST(i AS INTEGER) - 2, 1)) * 961 +
+                  ascii(substr(text, CAST(i AS INTEGER) - 1, 1)) * 31 +
+                  ascii(substr(text, CAST(i AS INTEGER), 1))) % 64 = 0) AS bounds
+        FROM documents WHERE n_chars >= 4),
+      c AS (
+        SELECT doc_id, n,
+               list_filter(
+                 list_transform(range(len(bounds) + 1), j ->
+                   COALESCE(bounds[j + 1], n) - COALESCE(bounds[j], 0)),
+                 l -> l > 0) AS lens
+        FROM b)
+      SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+             CAST(len(lens) AS INTEGER) AS n_chunks,
+             CAST(list_max(lens) AS BIGINT) AS max_chunk,
+             ${Det.qzSql("CAST(n AS DOUBLE) / CAST(len(lens) AS DOUBLE)")} AS avg_chunk
+      FROM c ORDER BY doc_id"""))
+
   // ---- v3_ann_ivf: trained-partition ANN (KMeans centroids) -------------
   // Clustering output is initialization-dependent, so no SQL oracle; the
   // spec pins recall against the brute-force path.
@@ -1435,5 +1486,6 @@ object TrainingData {
     "m1_binary_meta" -> m1,
     "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3,
-    "m4_channel_stats" -> m4)
+    "m4_channel_stats" -> m4,
+    "m5_cdc_chunks" -> m5)
 }
