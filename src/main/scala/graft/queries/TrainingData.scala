@@ -1442,6 +1442,37 @@ object TrainingData {
              ${Det.qzSql("CAST(SUM(CASE WHEN g_kept THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS yield_frac
       FROM flags GROUP BY source ORDER BY source"""))
 
+  // ---- t21_length_gate: percentile winsorization filter ------------------
+  // The outlier-length gate corpus builds run before training: per-lang
+  // exact interpolated p5/p95 of document length, then each doc keeps
+  // iff its length falls inside the (quantized) band. Percentiles are
+  // one keyed agg over a bounded group count → broadcast back; the gate
+  // itself is map-side. The cut line compares QUANTIZED bounds so the
+  // keep decision is engine-exact.
+  private val t21 = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val pcts = d.groupBy(col("lang").as("plang"))
+        .agg(Det.qz(expr("percentile(n_chars, 0.05)")).as("p5"),
+          Det.qz(expr("percentile(n_chars, 0.95)")).as("p95"))
+      d.join(broadcast(pcts), col("lang") === col("plang"))
+        .withColumn("keep", col("n_chars") >= col("p5") && col("n_chars") <= col("p95"))
+        .groupBy(col("lang"), col("p5"), col("p95"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT lang AS plang,
+               ${Det.qzSql("quantile_cont(n_chars, 0.05)")} AS p5,
+               ${Det.qzSql("quantile_cont(n_chars, 0.95)")} AS p95
+        FROM documents GROUP BY lang)
+      SELECT lang, p5, p95, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN n_chars >= p5 AND n_chars <= p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents JOIN p ON lang = plang
+      GROUP BY lang, p5, p95 ORDER BY lang"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "d1_dedup_exact" -> d1,
@@ -1476,6 +1507,7 @@ object TrainingData {
     "t18_unigram_ll" -> t18,
     "t19_context_pack" -> t19,
     "t20_weighted_sample" -> t20,
+    "t21_length_gate" -> t21,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
