@@ -556,6 +556,45 @@ object TimeSeriesQueries {
       WHERE rn = 1
       ORDER BY event_type, b"""))
 
+  // ---- s16_mad_outliers: robust (median/MAD) anomaly detection -----------
+  // The robust complement to s8's z-score: median and median-absolute-
+  // deviation are insensitive to the very outliers being hunted, so the
+  // 3σ-equivalent cut (3·1.4826·MAD) stays put under contamination.
+  // Two exact-percentile aggregations per type (bounded group count →
+  // broadcast joins back); the flag itself compares quantized
+  // deviations, keeping the cut engine-exact.
+  private val s16 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val med = e.groupBy(col("event_type").as("mt"))
+        .agg(Det.qz(expr("percentile(value, 0.5)")).as("med"))
+      val withDev = e.join(broadcast(med), col("event_type") === col("mt"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = withDev.groupBy(col("event_type").as("at"))
+        .agg(Det.qz(expr("percentile(dev, 0.5)")).as("mad"))
+      withDev.join(broadcast(mad), col("event_type") === col("at"))
+        .withColumn("flag", Det.qz(col("dev")) > Det.qz(lit(3.0 * 1.4826) * col("mad")))
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH med AS (
+        SELECT event_type AS mt, ${Det.qzSql("quantile_cont(value, 0.5)")} AS med
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT event_type, value, med, abs(value - med) AS dev
+        FROM events JOIN med ON event_type = mt),
+      mad AS (
+        SELECT event_type AS at, ${Det.qzSql("quantile_cont(dev, 0.5)")} AS mad
+        FROM dev GROUP BY 1)
+      SELECT event_type, med, mad, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN ${Det.qzSql("dev")} > ${Det.qzSql("3.0 * 1.4826 * mad")}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad ON event_type = at
+      GROUP BY event_type, med, mad ORDER BY event_type"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s2_sessionize" -> s2,
@@ -571,5 +610,6 @@ object TimeSeriesQueries {
     "s12_cusum" -> s12,
     "s13_attribution" -> s13,
     "s14_throttle" -> s14,
-    "s15_lttb_downsample" -> s15)
+    "s15_lttb_downsample" -> s15,
+    "s16_mad_outliers" -> s16)
 }

@@ -294,6 +294,28 @@ object TrainingData {
     },
     None)
 
+  // ---- d13_minhash_dedup: the full MinHash pipeline as a keep decision ---
+  // End-to-end what d3 (candidates) and d8 (clustering) exercise in
+  // parts: signatures → banded LSH candidates → estimated-Jaccard
+  // filter → connected components → per-cluster keeper (minimum id) →
+  // corpus-level removal accounting. Training-free and deterministic,
+  // but estimates depend on the signature permutations → rows-only;
+  // DedupSpec pins the planted-duplicate recall of the same pipeline.
+  private val d13 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      val removed = cc.filter(col("id") =!= col("cluster"))
+      docs.select(count(lit(1)).as("n_docs"))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed"),
+          countDistinct(col("cluster")).as("n_groups_with_dups")))
+        .withColumn("kept_frac", Det.qz(
+          (col("n_docs") - col("n_removed")).cast("double") / col("n_docs").cast("double"), 6))
+    },
+    None)
+
   // ---- t1_token_count --------------------------------------------------
   private val t1 = Q(
     (s, dir) => {
@@ -1487,6 +1509,7 @@ object TrainingData {
     "d10_dedup_fuzzy" -> d10,
     "d11_snapshot_diff" -> d11,
     "d12_embedding_clusters" -> d12,
+    "d13_minhash_dedup" -> d13,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
