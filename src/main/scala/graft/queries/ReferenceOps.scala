@@ -643,6 +643,85 @@ object ReferenceOps {
       FROM d GROUP BY l_orderkey ORDER BY l_orderkey"""
     })
 
+  // ---- r25_bottle_matchup: bottle↔CTD nearest-depth pairing --------------
+  // The calibration workflow spanning the reference's two file families
+  // (bottle .che and CTD casts): each bottle sample pairs with the
+  // nearest CTD level of the SAME profile within a depth tolerance.
+  // Join-free: union both streams, one per-profile depth-ordered window
+  // carries the previous CTD level forward and the next CTD level
+  // backward, and each bottle picks the closer of the two — the s3/s6
+  // as-of machinery transplanted from the time axis to the depth axis.
+  // One keyed exchange at any archive size.
+  private val r25 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("depth", col("l_linenumber").cast("double") * 10.0 +
+          (col("l_partkey") % 7).cast("double"))
+        .withColumn("temp", col("l_quantity") % 30.0)
+        .withColumn("is_bottle", col("l_partkey") % 5 === 0)
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("depth"), col("is_bottle"), col("l_partkey"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+      val ctdDepth = when(!col("is_bottle"), col("depth"))
+      val ctdTemp = when(!col("is_bottle"), col("temp"))
+      val matched = li
+        .withColumn("pd", last(ctdDepth, ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(ctdTemp, ignoreNulls = true).over(wPrev))
+        .withColumn("nd", first(ctdDepth, ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(ctdTemp, ignoreNulls = true).over(wNext))
+        .filter(col("is_bottle"))
+        .withColumn("use_prev",
+          col("nd").isNull ||
+            (col("pd").isNotNull && (col("depth") - col("pd") <= col("nd") - col("depth"))))
+        .withColumn("match_depth", when(col("use_prev"), col("pd")).otherwise(col("nd")))
+        .withColumn("match_temp", when(col("use_prev"), col("pt")).otherwise(col("nt")))
+        .filter(col("match_depth").isNotNull &&
+          abs(col("depth") - col("match_depth")) <= 5.0)
+      matched.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_matched"),
+          Det.qz(Det.dsum(abs(col("depth") - col("match_depth"))) / count(lit(1))).as("avg_gap_m"),
+          Det.qz(Det.dsum(abs(col("temp") - col("match_temp"))) / count(lit(1)), 4).as("avg_temp_diff"))
+        .orderBy("l_orderkey")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT l_orderkey, l_partkey,
+               CAST(l_linenumber AS DOUBLE) * 10.0 + CAST(l_partkey % 7 AS DOUBLE) AS depth,
+               l_quantity % 30.0 AS temp,
+               (l_partkey % 5 = 0) AS is_bottle
+        FROM lineitem),
+      m AS (
+        SELECT *,
+          LAST_VALUE(CASE WHEN NOT is_bottle THEN depth END IGNORE NULLS)
+            OVER (PARTITION BY l_orderkey ORDER BY depth, is_bottle, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+          LAST_VALUE(CASE WHEN NOT is_bottle THEN temp END IGNORE NULLS)
+            OVER (PARTITION BY l_orderkey ORDER BY depth, is_bottle, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+          FIRST_VALUE(CASE WHEN NOT is_bottle THEN depth END IGNORE NULLS)
+            OVER (PARTITION BY l_orderkey ORDER BY depth, is_bottle, l_partkey
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd,
+          FIRST_VALUE(CASE WHEN NOT is_bottle THEN temp END IGNORE NULLS)
+            OVER (PARTITION BY l_orderkey ORDER BY depth, is_bottle, l_partkey
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        FROM base),
+      b AS (
+        SELECT *,
+               (nd IS NULL OR (pd IS NOT NULL AND depth - pd <= nd - depth)) AS use_prev
+        FROM m WHERE is_bottle),
+      sel AS (
+        SELECT l_orderkey, depth, temp,
+               CASE WHEN use_prev THEN pd ELSE nd END AS match_depth,
+               CASE WHEN use_prev THEN pt ELSE nt END AS match_temp
+        FROM b)
+      SELECT l_orderkey, COUNT(*) AS n_matched,
+             ${Det.qzSql(s"${Det.dsumSql("abs(depth - match_depth)")} / COUNT(*)")} AS avg_gap_m,
+             ${Det.qzSql(s"${Det.dsumSql("abs(temp - match_temp)")} / COUNT(*)", 4)} AS avg_temp_diff
+      FROM sel
+      WHERE match_depth IS NOT NULL AND abs(depth - match_depth) <= 5.0
+      GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
   // ---- r18_conservative_temp: TEOS-10 CT from θ ------------------------
   private val r18 = Q(
     (s, dir) => {
@@ -709,5 +788,6 @@ object ReferenceOps {
     "r21_dynamic_height" -> r21,
     "r22_current_uv" -> r22,
     "r23_track_distance" -> r23,
-    "p2_ocean_products" -> p2)
+    "p2_ocean_products" -> p2,
+    "r25_bottle_matchup" -> r25)
 }

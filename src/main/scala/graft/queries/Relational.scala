@@ -1112,6 +1112,42 @@ object Relational {
                               (o_orderstatus), (o_orderpriority), ())
       ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
 
+  // ---- q42_null_semantics: the NULL-comparison catalog -------------------
+  // Where engines classically diverge: null-safe equality (<=> / IS NOT
+  // DISTINCT FROM), IS DISTINCT FROM, NULLIF collapse, and COALESCE
+  // fallback — exercised over two deterministically-nulled variants of
+  // the value column and aggregated per type, so any three-valued-logic
+  // drift shows up as a count mismatch.
+  private val q42 = Q(
+    (s, dir) => {
+      val x = when(col("event_type") =!= "view", col("value"))
+      val y = when(col("event_id") % 3 =!= 0, col("value"))
+      t(s, dir, "events")
+        .select(col("event_type"), x.as("x"), y.as("y"), col("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x").isNull && col("y").isNull, 1L).otherwise(0L)).as("n_both_null"),
+          sum(when(col("x") <=> col("y"), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+          sum(when(!(col("x") <=> col("y")), 1L).otherwise(0L)).as("n_distinct_from"),
+          sum(when(coalesce(col("x"), col("y"), lit(-1.0)) === -1.0, 1L).otherwise(0L))
+            .as("n_total_fallback"),
+          sum(when(nullif(col("x"), col("y")).isNull, 1L).otherwise(0L)).as("n_nullif_null"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH v AS (
+        SELECT event_type,
+               CASE WHEN event_type <> 'view' THEN value END AS x,
+               CASE WHEN event_id % 3 <> 0 THEN value END AS y
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN x IS NULL AND y IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both_null,
+             CAST(SUM(CASE WHEN x IS NOT DISTINCT FROM y THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+             CAST(SUM(CASE WHEN x IS DISTINCT FROM y THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_from,
+             CAST(SUM(CASE WHEN COALESCE(x, y, -1.0) = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_total_fallback,
+             CAST(SUM(CASE WHEN NULLIF(x, y) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullif_null
+      FROM v GROUP BY event_type ORDER BY event_type"""))
+
   // ---- q36_fill_down: last-non-null carry-forward ------------------------
   // The "fill down" shape (LAST_VALUE ... IGNORE NULLS): values are
   // deterministically nulled (view events report no value), then each
@@ -1225,6 +1261,7 @@ object Relational {
     "q39_bag_setops" -> q39,
     "q40_money_exact" -> q40,
     "q41_grouping_sets" -> q41,
+    "q42_null_semantics" -> q42,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,
