@@ -76,9 +76,21 @@ object Sink {
     // compaction kernel (size-targeted rewrite) is the same either way
     val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(hp, old)
-    fs.rename(tmp, hp)
-    fs.delete(old, true)
+    // Hadoop FileSystem.rename signals most failures by returning false,
+    // not throwing — every step must be checked or a false return after
+    // the original was moved aside would let the unconditional cleanup
+    // delete the only copy of the data.
+    if (!fs.rename(hp, old))
+      throw new java.io.IOException(
+        s"compact: could not move $hp aside to $old; original left in place, rewrite at $tmp")
+    if (!fs.rename(tmp, hp)) {
+      val restored = fs.rename(old, hp)
+      throw new java.io.IOException(
+        s"compact: could not promote $tmp to $hp; " +
+          (if (restored) "original restored" else s"original stranded at $old"))
+    }
+    // drop the backup only once the promoted copy is verifiably in place
+    if (fs.exists(hp)) fs.delete(old, true)
     CompactionStats(before.size, dataFiles(hp).size, totalBytes)
   }
 

@@ -83,6 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),
       (children: Seq[Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"graft_cms(hash, depth, width) takes 3 arguments, got ${children.length}")
         val args = children.drop(1).map {
           case Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(
@@ -94,6 +96,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
       (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_heavy_hitters(item, k) takes 2 arguments, got ${children.length}")
         val k = children(1) match {
           case Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(

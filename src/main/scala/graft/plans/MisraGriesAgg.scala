@@ -95,7 +95,12 @@ case class MisraGriesAgg(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (item, c) => out.writeUTF(item); out.writeLong(c) }
+    // int-length-prefixed bytes, not writeUTF: writeUTF caps the encoded
+    // item at 64 KiB, which a sketch over whole documents would exceed
+    buf.foreach { case (item, c) =>
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -105,7 +110,11 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

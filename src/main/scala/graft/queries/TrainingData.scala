@@ -1199,9 +1199,13 @@ object TrainingData {
       t(s, dir, "documents")
         .select(col("doc_id"), url.as("url"), col("n_chars"))
         .select(col("doc_id"), col("n_chars"), host.as("host"),
-          regexp_extract(col("url"), "([^./]+\\.[^./]+)$", 1).as("domain"),
-          regexp_extract(col("url"), "\\.([^./]+)$", 1).as("tld"),
           (length(path) - length(replace(path, lit("/"), lit("")))).as("path_depth"))
+        // registered domain / TLD come off the parsed host, not the full
+        // URL (whose trailing path segment would defeat a $-anchored match)
+        .select(col("doc_id"), col("n_chars"), col("host"),
+          regexp_extract(col("host"), "([^./]+\\.[^./]+)$", 1).as("domain"),
+          regexp_extract(col("host"), "\\.([^./]+)$", 1).as("tld"),
+          col("path_depth"))
         .groupBy(col("tld"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("host")).as("n_hosts"),
@@ -1221,8 +1225,8 @@ object TrainingData {
       p AS (
         SELECT doc_id, n_chars,
                regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-               regexp_extract(url, '([^./]+\\.[^./]+)$$', 1) AS domain,
-               regexp_extract(url, '\\.([^./]+)$$', 1) AS tld,
+               regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1), '([^./]+\\.[^./]+)$$', 1) AS domain,
+               regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1), '\\.([^./]+)$$', 1) AS tld,
                length(regexp_extract(url, '^https?://[^/]+(/.*)$$', 1)) -
                  length(replace(regexp_extract(url, '^https?://[^/]+(/.*)$$', 1), '/', '')) AS path_depth
         FROM u)
