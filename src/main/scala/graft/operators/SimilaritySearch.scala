@@ -319,9 +319,57 @@ object SimilaritySearch {
     pqEncodeWith(vectors, idCol, vecCol, dims,
       pqTrain(vectors, idCol, vecCol, dims, subspaces, codebookSize, iters))
 
+  /** Per-query ADC lookup table as ONE constant-size in-plan expression:
+    * the trained codebooks ride along as a nested literal
+    * (subspace → code → centroid vector) and lut(s)(j) = ||q_s − c_sj||²
+    * is a bounded `transform`/`aggregate` fold over it — the same
+    * compile-once shape as [[nearestExpr]]. Because the LUT is a column,
+    * the query side stays a DataFrame in the plan (broadcast, never
+    * collected): query batches of any size spill to executors, not the
+    * driver.
+    */
+  private def adcLut(qv: org.apache.spark.sql.Column,
+                     books: Seq[(Int, Int, Array[Double])],
+                     subspaces: Int, subDim: Int): org.apache.spark.sql.Column = {
+    val byS = books.groupBy(_._1)
+    val booksLit = array((0 until subspaces).map { s =>
+      array(byS(s).sortBy(_._2).map { case (_, _, c) =>
+        array(c.map(lit(_)): _*)
+      }: _*)
+    }: _*)
+    transform(sequence(lit(0), lit(subspaces - 1)), s => {
+      val qs = slice(qv, s * lit(subDim) + lit(1), lit(subDim))
+      transform(element_at(booksLit, s + 1), cv =>
+        aggregate(zip_with(qs, cv,
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (x, y) => x + y))
+    })
+  }
+
+  /** `nProbe` nearest inverted-list ids as an in-plan column: distances
+    * to the centroid literal, `array_sort` on (dist, id) structs (struct
+    * ordering is field-by-field, so ties break on the earlier id —
+    * identical to the driver-side sortBy), then a bounded slice.
+    */
+  private def probeList(qv: org.apache.spark.sql.Column,
+                        cents: Array[Array[Double]],
+                        nProbe: Int): org.apache.spark.sql.Column = {
+    val centsLit = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.map(x => x * x).sum).as("cc"), lit(i).as("i"),
+        array(c.map(lit(_)): _*).as("v"))
+    }: _*)
+    transform(
+      slice(array_sort(transform(centsLit, ce =>
+        struct((ce.getField("cc") - lit(2.0) * aggregate(
+            zip_with(qv, ce.getField("v"), (x, y) => x.cast("double") * y),
+            lit(0.0), (a, b) => a + b)).as("d"),
+          ce.getField("i").as("i")))), 1, nProbe),
+      x => x.getField("i"))
+  }
+
   /** PQ ADC (asymmetric distance) top-k: candidates are searched in CODE
     * space — the query computes one small lookup table per subspace
-    * (||q_s − centroid||², driver-side against the trained books, the
+    * (||q_s − centroid||², in-plan against the trained-book literal, the
     * same metadata footprint as the books themselves) and each
     * candidate's distance is `m` table lookups over its byte codes
     * instead of a `dims`-wide float scan. This is how billion-vector
@@ -333,31 +381,19 @@ object SimilaritySearch {
                 idCol: String, vecCol: String, dims: Int, k: Int,
                 subspaces: Int = 8, codebookSize: Int = 16,
                 iters: Int = 2): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
     val books = pqTrain(candidates, idCol, vecCol, dims, subspaces, codebookSize, iters)
     val coded = pqEncodeWith(candidates, idCol, vecCol, dims, books)
       .select(col("id").as("cid"), col("codes"))
     val subDim = dims / subspaces
-    val byS = books.groupBy(_._1)
-    // per-query LUT: lut(s)(j) = ||q_s − c_sj||², shipped as a column of
-    // the broadcast query table — no per-query literals, one plan
-    // id is cast to long in-plan so the collect below is type-stable for
-    // any integral id column (int ids would otherwise ClassCastException
-    // at r.getLong).
-    val qluts = queries.select(col(idCol).cast("long").as("qid"),
-      col(vecCol).as("qv")).collect()
-      .map { r =>
-        val qv = r.getSeq[Float](1).map(_.toDouble).toArray
-        val lut = (0 until subspaces).map { s =>
-          val qs = qv.slice(s * subDim, (s + 1) * subDim)
-          byS(s).sortBy(_._2).map { case (_, _, c) =>
-            qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-          }.toSeq
-        }
-        (r.getLong(0), lut)
-      }.toSeq
-    val qdf = broadcast(qluts.toDF("qid", "lut"))
+    // per-query LUT: lut(s)(j) = ||q_s − c_sj||², computed IN-PLAN as a
+    // bounded HOF over the codebook literal on the (broadcast) query
+    // side — the queries DataFrame flows into the plan, nothing is
+    // collected to the driver, so a large query batch degrades to a
+    // bigger broadcast instead of a driver OOM. The lambda cast also
+    // accepts float OR double vector columns.
+    val qdf = broadcast(queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), adcLut(col("qv"), books, subspaces, subDim).as("lut")))
     val scored = coded.crossJoin(qdf)
       .select(col("qid"), col("cid"),
         aggregate(
@@ -398,18 +434,15 @@ object SimilaritySearch {
     * per candidate, no float math), the shortlist re-ranks against full
     * vectors. At scale nothing about the candidate side ever shuffles:
     * list assignment and encoding are map-side at index-build time, the
-    * probe join is a broadcast of (qid, lut, probes), and the shortlist
-    * cut runs through the bounded-heap GroupedTopK node. Queries are
-    * collected to build LUTs — the small side by contract (a query
-    * BATCH, not a corpus).
+    * probe join is a broadcast of (qid, lut, probes) computed in-plan
+    * ([[adcLut]]/[[probeList]] — queries are never collected), and the
+    * shortlist cut runs through the bounded-heap GroupedTopK node.
     */
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
                 idCol: String, vecCol: String, dims: Int, k: Int,
                 nCentroids: Int = 8, nProbe: Int = 2, ivfIters: Int = 2,
                 subspaces: Int = 8, codebookSize: Int = 16, pqIters: Int = 2,
                 shortlist: Int = 50): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
     // ONE sampling pass feeds both quantizers — the coarse centroids and
     // the PQ codebooks train on the same bounded sample, so the corpus
     // is touched once for all index-build metadata.
@@ -429,23 +462,14 @@ object SimilaritySearch {
           x => x.getField("code")).as("codes"),
         nearestExpr(col("cv"), cents).as("centroid_id"))
 
-    // query prep (driver-side, tiny): ADC LUT + nProbe nearest lists
-    val byS = books.groupBy(_._1)
-    val qrows = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
-      .collect().map { r =>
-        val qv = r.getSeq[Float](1).map(_.toDouble).toArray
-        val lut = (0 until subspaces).map { s =>
-          val qs = qv.slice(s * subDim, (s + 1) * subDim)
-          byS(s).sortBy(_._2).map { case (_, _, c) =>
-            qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-          }.toSeq
-        }
-        val probes = cents.zipWithIndex.map { case (c, i) =>
-          (c.map(x => x * x).sum - 2.0 * qv.zip(c).map { case (a, b) => a * b }.sum, i)
-        }.sortBy(identity).take(nProbe).map(_._2).toSeq
-        (r.getLong(0), lut, probes)
-      }.toSeq
-    val qdf = broadcast(qrows.toDF("qid", "lut", "probes"))
+    // query prep IN-PLAN on the broadcast side: the ADC LUT is a bounded
+    // HOF over the codebook literal ([[adcLut]]) and the probe list an
+    // array_sort over the centroid literal ([[probeList]]) — the queries
+    // DataFrame flows into the plan, nothing collects to the driver.
+    val qdf = broadcast(queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), adcLut(col("qv"), books, subspaces, subDim).as("lut"),
+        probeList(col("qv"), cents, nProbe).as("probes")))
 
     val scored = index.join(qdf, array_contains(col("probes"), col("centroid_id")))
       .select(col("qid"), col("cid"),
@@ -535,7 +559,7 @@ object SimilaritySearch {
     * (asymmetric — the query stays float), scoring
     * cos ≈ q·x̂ / (‖q‖·‖x̂‖) where x̂_j = min_j + code_j·δ_j unrolls to
     * `offset_q + Σ_j (q_j·δ_j)·code_j` — per-query offset and weights are
-    * driver-computed metadata broadcast with the query row, so the
+    * in-plan columns broadcast with the query row, so the
     * candidate-side scan is `dims` long-multiply-adds per pair over the
     * compressed codes. Shortlist cut via the bounded-heap GroupedTopK,
     * exact cosine re-rank on the shortlist only — the same
@@ -545,21 +569,23 @@ object SimilaritySearch {
   def sqTopK(queries: DataFrame, candidates: DataFrame,
              idCol: String, vecCol: String, dims: Int, k: Int,
              shortlist: Int = 50): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
     val (mins, deltas) = sqTrain(candidates, idCol, vecCol, dims)
     val coded = sqEncodeWith(candidates, idCol, vecCol, dims, mins, deltas)
       .select(col("id").as("cid"), col("codes"), col("rnorm"))
-    // per-query ADC metadata: offset = Σ q_j·min_j, weights w_j = q_j·δ_j
-    val qrows = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
-      .collect().map { r =>
-        val qv = r.getSeq[Float](1).map(_.toDouble).toArray
-        val qn = math.sqrt(qv.map(x => x * x).sum)
-        val off = qv.zip(mins).map { case (q, m) => q * m }.sum
-        val w = qv.zip(deltas).map { case (q, d) => q * d }.toSeq
-        (r.getLong(0), off, qn, w)
-      }.toSeq
-    val qdf = broadcast(qrows.toDF("qid", "off", "qnorm", "w"))
+    // per-query ADC metadata IN-PLAN on the broadcast query side:
+    // offset = Σ q_j·min_j, weights w_j = q_j·δ_j, qnorm = ‖q‖ — bounded
+    // HOFs over literal min/delta arrays. The lambda casts accept float
+    // OR double vector columns, and queries never collect to the driver.
+    val minLit = array(mins.map(lit(_)): _*)
+    val deltaLit = array(deltas.map(lit(_)): _*)
+    val qdf = broadcast(queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"),
+        aggregate(zip_with(col("qv"), minLit, (q, m) => q.cast("double") * m),
+          lit(0.0), (a, b) => a + b).as("off"),
+        sqrt(aggregate(transform(col("qv"), q => q.cast("double") * q.cast("double")),
+          lit(0.0), (a, b) => a + b)).as("qnorm"),
+        zip_with(col("qv"), deltaLit, (q, d) => q.cast("double") * d).as("w")))
     val scored = coded.crossJoin(qdf)
       .select(col("qid"), col("cid"),
         ((col("off") + aggregate(

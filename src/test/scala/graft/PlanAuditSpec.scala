@@ -153,6 +153,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyed == 1, s"profile pass grew extra shuffles: $keyed\n${p.take(900)}")
   }
 
+  test("v5/v6/v7: ANN query side flows in-plan, never collected to the driver") {
+    for (name <- Seq("v5_pq_adc", "v6_ivf_pq", "v7_sq_int8")) {
+      val p = planOf(name)
+      // a driver-built LUT table would surface as a LocalTableScan; the
+      // in-plan form keeps the query side a (broadcast) parquet scan
+      assert(!p.contains("LocalTableScan"),
+        s"$name: query metadata was materialized on the driver\n" + p.take(1200))
+      val scans = p.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans >= 2, s"$name: expected query AND candidate parquet scans, got $scans\n" +
+        p.take(1200))
+    }
+  }
+
   test("q36/s11: window shapes plan exactly one keyed exchange") {
     for (name <- Seq("q36_fill_down", "s11_moving_avg")) {
       val p = planOf(name)
