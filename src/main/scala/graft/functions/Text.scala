@@ -59,6 +59,20 @@ object Text {
     element_at(combined, 1)
   }
 
+  /** Portable 60-bit integer hash: the first 15 hex chars of md5, read
+    * base-16. Bit-identical across engines — DuckDB replays it as
+    * `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)` — so oracle-facing
+    * pipelines re-key on it and the correctness gate can hash-compare
+    * minhash/simhash results. xxhash64 stays the library fast path (no
+    * hex-string round trip, full 64 bits).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Long]]. */
+  def md5LongSql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
   // --- MinHash ---------------------------------------------------------
 
   /** Deterministic 31-bit multiply-add parameters from a splitmix-style

@@ -70,7 +70,8 @@ object Dedup {
     * fraction of matching signature components.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32, bands: Int = 8, shingleLen: Int = 3): DataFrame = {
+                        k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+                        portableHash: Boolean = false): DataFrame = {
     require(k % bands == 0,
       s"signature size $k must divide evenly into $bands bands or trailing components are dead")
     val rows = k / bands
@@ -82,10 +83,18 @@ object Dedup {
     // 20× slower end-to-end on the benchmark corpus).
     // Shingle identity is a combined token-hash long ([[Text.shingleHashes]])
     // — no per-shingle string build, and array_distinct compares longs.
+    // `portableHash` re-keys shingle identity on the md5-derived
+    // [[Text.md5Long]] over the literal shingle string so a SQL oracle
+    // can replay the signature bit-for-bit; same pipeline otherwise.
     val hashed = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"),
-        explode(Text.shingleHashes(Text.tokens(col(textCol)), shingleLen)).as("sh"))
-      .select(col("id"), pmod(col("sh"), lit(Text.minhashPrime)).as("h"))
+        if (portableHash)
+          explode(Text.shingles(Text.tokens(col(textCol)), shingleLen)).as("sh")
+        else
+          explode(Text.shingleHashes(Text.tokens(col(textCol)), shingleLen)).as("sh"))
+      .select(col("id"), pmod(
+        if (portableHash) Text.md5Long(col("sh")) else col("sh"),
+        lit(Text.minhashPrime)).as("h"))
     // custom one-pass TypedImperativeAggregate (graft.plans.MinHashSigAgg):
     // one long[k] buffer per group instead of k separate min() aggregates
     val sig = hashed.groupBy(col("id"))
@@ -299,15 +308,17 @@ object Dedup {
     * after the bucket join.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
       "4-byte banding only guarantees candidate generation for Hamming <= 3")
     // Same materialization reasoning as minhash: per-bit ±1 sums as a
     // real aggregation (map-side combinable), simhash assembled from the
-    // aggregated attributes.
+    // aggregated attributes. `portableHash` swaps the token hash for the
+    // oracle-replayable [[Text.md5Long]].
     val tok = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"),
+        (if (portableHash) Text.md5Long(col("t")) else xxhash64(col("t"))).as("h"))
     val bitSums = (0 until 32).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$b")
     }

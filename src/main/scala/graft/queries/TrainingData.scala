@@ -15,6 +15,14 @@ object TrainingData {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** The 32 minhash multiply-add parameters as a SQL VALUES list, so the
+    * DuckDB oracle replays the exact signature permutations.
+    */
+  private def minhashParamsSql: String =
+    Text.minhashParams(32).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+
   // ---- d1_dedup_exact: content-hash group sizes ------------------------
   private val d1 = Q(
     (s, dir) => {
@@ -64,25 +72,94 @@ object TrainingData {
       WHERE inter_cnt * 100 >= s1.sz + s2.sz - inter_cnt
       ORDER BY id1, id2"""))
 
-  // ---- d3_dedup_minhash: LSH candidate summary (spec-verified) ---------
+  // ---- d3_dedup_minhash: LSH candidate summary (oracle-replayed) -------
+  // The signature pipeline is deterministic given the shingle hash; with
+  // the portable md5-derived re-key ([[Text.md5Long]]) DuckDB replays the
+  // ENTIRE minhash stack — shingles → 32 permutation minima → banded LSH
+  // candidates → estimated Jaccard — bit-for-bit, so the summary is
+  // hash-compared, not just spec-pinned. DedupSpec still pins recall on
+  // the xxhash64 fast path.
   private val d3 = Q(
     (s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          portableHash = true)
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_ge_half"),
-          round(avg(col("est_jaccard")), 4).as("avg_est"))
+          Det.qz(avg(col("est_jaccard"))).as("avg_est"))
     },
-    None)
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(w)-2, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' '))) AS s
+        FROM tok),
+      sh AS (
+        SELECT DISTINCT doc_id, ${Text.md5LongSql("s")} % 2147483647 AS h
+        FROM sh0),
+      params(i, a, b) AS (VALUES $minhashParamsSql),
+      sig AS (
+        SELECT doc_id, i, MIN((h * a + b) % 2147483647) AS v
+        FROM sh CROSS JOIN params GROUP BY 1, 2),
+      sigl AS (
+        SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, bb, sig[bb*4+1 : bb*4+4] AS key
+        FROM sigl, (SELECT unnest(range(8)) AS bb)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM band a JOIN band b
+          ON a.bb = b.bb AND a.key = b.key AND a.doc_id < b.doc_id),
+      est AS (
+        SELECT id1, id2,
+               len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0 AS ej
+        FROM cand JOIN sigl x ON id1 = x.doc_id JOIN sigl y ON id2 = y.doc_id)
+      SELECT COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_half,
+             ${Det.qzSql("AVG(ej)")} AS avg_est
+      FROM est"""))
 
-  // ---- d4_dedup_simhash: hamming-bucket candidate summary --------------
+  // ---- d4_dedup_simhash: hamming-bucket candidate summary (oracled) ----
+  // Same portable re-key as d3: bit-b of the md5-derived token hash
+  // drives the ±1 sums, so DuckDB rebuilds the 32-bit simhash, the
+  // 4-byte banding, and the Hamming verify exactly.
   private val d4 = Q(
     (s, dir) => {
-      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          portableHash = true)
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(min(col("hamming")), lit(-1L)).as("min_hamming"),
-          round(coalesce(avg(col("hamming")), lit(-1.0)), 4).as("avg_hamming"))
+          Det.qz(coalesce(avg(col("hamming")), lit(-1.0))).as("avg_hamming"))
     },
-    None)
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tkn
+        FROM documents),
+      hx AS (
+        SELECT doc_id, ${Text.md5LongSql("tkn")} AS h FROM tok),
+      bits AS (
+        SELECT doc_id, bb,
+               SUM(CASE WHEN (h >> CAST(bb AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM hx, (SELECT unnest(range(32)) AS bb) GROUP BY 1, 2),
+      sim AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << CAST(bb AS INTEGER)) ELSE 0 END) AS BIGINT) AS sim
+        FROM bits GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, sim, bb, (sim >> CAST(bb*8 AS INTEGER)) & 255 AS key
+        FROM sim, (SELECT unnest(range(4)) AS bb)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+               bit_count(xor(a.sim, b.sim)) AS hamming
+        FROM band a JOIN band b
+          ON a.bb = b.bb AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+      SELECT COUNT(*) AS n_pairs,
+             CAST(COALESCE(MIN(hamming), -1) AS BIGINT) AS min_hamming,
+             ${Det.qzSql("COALESCE(AVG(hamming), -1.0)")} AS avg_hamming
+      FROM cand"""))
 
   // ---- d5_dedup_embedding: cosine near-dup pairs (exact, oracle-checked) --
   private val d5 = Q(
@@ -298,13 +375,17 @@ object TrainingData {
   // End-to-end what d3 (candidates) and d8 (clustering) exercise in
   // parts: signatures → banded LSH candidates → estimated-Jaccard
   // filter → connected components → per-cluster keeper (minimum id) →
-  // corpus-level removal accounting. Training-free and deterministic,
-  // but estimates depend on the signature permutations → rows-only;
-  // DedupSpec pins the planted-duplicate recall of the same pipeline.
+  // corpus-level removal accounting. With the portable re-key the whole
+  // decision is oracle-replayed: DuckDB rebuilds the candidates like d3
+  // and resolves clusters with a recursive transitive closure whose
+  // per-node minimum reachable id IS the min-label fixpoint the
+  // distributed loop converges to. DedupSpec still pins recall on the
+  // xxhash64 fast path.
   private val d13 = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          portableHash = true)
         .filter(col("est_jaccard") >= 0.5)
       val cc = Dedup.connectedComponents(pairs, "id1", "id2")
       val removed = cc.filter(col("id") =!= col("cluster"))
@@ -314,7 +395,52 @@ object TrainingData {
         .withColumn("kept_frac", Det.qz(
           (col("n_docs") - col("n_removed")).cast("double") / col("n_docs").cast("double"), 6))
     },
-    None)
+    Some(s"""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(w)-2, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' '))) AS s
+        FROM tok),
+      sh AS (
+        SELECT DISTINCT doc_id, ${Text.md5LongSql("s")} % 2147483647 AS h
+        FROM sh0),
+      params(i, a, b) AS (VALUES $minhashParamsSql),
+      sig AS (
+        SELECT doc_id, i, MIN((h * a + b) % 2147483647) AS v
+        FROM sh CROSS JOIN params GROUP BY 1, 2),
+      sigl AS (
+        SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, bb, sig[bb*4+1 : bb*4+4] AS key
+        FROM sigl, (SELECT unnest(range(8)) AS bb)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM band a JOIN band b
+          ON a.bb = b.bb AND a.key = b.key AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT id1, id2 FROM cand
+        JOIN sigl x ON id1 = x.doc_id JOIN sigl y ON id2 = y.doc_id
+        WHERE len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0 >= 0.5),
+      edges AS (
+        SELECT id1 AS ea, id2 AS eb FROM pairs
+        UNION SELECT id2, id1 FROM pairs),
+      reach(x, y) AS (
+        SELECT ea, ea FROM edges
+        UNION
+        SELECT r.x, e.eb FROM reach r JOIN edges e ON r.y = e.ea),
+      clus AS (
+        SELECT x AS id, MIN(y) AS cluster FROM reach GROUP BY x),
+      removed AS (
+        SELECT id, cluster FROM clus WHERE id != cluster)
+      SELECT n_docs, n_removed, n_groups_with_dups,
+             ${Det.qzSql(
+               "CAST(n_docs - n_removed AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS kept_frac
+      FROM (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   (SELECT COUNT(*) FROM removed) AS n_removed,
+                   (SELECT COUNT(DISTINCT cluster) FROM removed) AS n_groups_with_dups)"""))
 
   // ---- t1_token_count --------------------------------------------------
   private val t1 = Q(
