@@ -146,11 +146,28 @@ object IosFileParser {
     val dataLines =
       if (endIdx < 0) Vector.empty
       else lines.drop(endIdx + 1).filter(_.trim.nonEmpty)
-    val data =
-      if (details.nonEmpty) {
-        val widths = details.map(fieldWidth)
-        dataLines.map(fixedWidthFields(_, widths))
-      } else dataLines.map(_.trim.split("\\s+").toVector)
+    // PRIMARY data read is the header's own FORMAT line — every reference
+    // subclass tries get_data(formatline=self.file['FORMAT']) first and
+    // only falls back to channel-detail widths when that raises
+    // (ObsFile.py:215-252 reader, ObsFile.py:410-438 try/except order).
+    // Archives contain files whose FORMAT disagrees with the declared
+    // widths, and FORMAT wins there. Failure modes that trigger the
+    // fallback, mirroring the reference's: no FORMAT key, an unsupported
+    // descriptor, a field count that can't cover the channels, or a
+    // non-numeric value under a numeric descriptor (the reference
+    // float()s every FORMAT-read field).
+    val fmtSegs = fileKv.get("FORMAT")
+      .flatMap(f => scala.util.Try(parseFortranFormat(f)).toOption)
+      .filter(segs => segs.exists(_.isField) &&
+        (channels.isEmpty || segs.count(_.isField) == channels.length))
+    val data = fmtSegs
+      .flatMap(segs => scala.util.Try(dataLines.map(formatFields(_, segs))).toOption)
+      .getOrElse {
+        if (details.nonEmpty) {
+          val widths = details.map(fieldWidth)
+          dataLines.map(fixedWidthFields(_, widths))
+        } else dataLines.map(_.trim.split("\\s+").toVector)
+      }
 
     Parsed(filename, headerVersion, fileKv, adminKv, instKv, locKv,
       lat, lon, startTime, dt, nRecords, channels, details, data)
@@ -172,6 +189,103 @@ object IosFileParser {
         .mkString("{", ", ", "}")
     s"""{"FILE": ${obj(p.file)}, "ADMINISTRATION": ${obj(p.administration)}, """ +
       s""""INSTRUMENT": ${obj(p.instrument)}, "LOCATION": ${obj(p.location)}}"""
+  }
+
+  /** One segment of a parsed Fortran FORMAT: `width` characters that are
+    * either skipped (`nX`) or extracted as a field; numeric descriptors
+    * (F/E/D/G/I) additionally validate as numbers like the reference's
+    * float() coercion.
+    */
+  private[graft] final case class FmtSeg(width: Int, isField: Boolean, numeric: Boolean)
+
+  /** Fortran FORMAT edit-descriptor parser for the subset IOS headers use
+    * (reference: ObsFile.get_data's FortranRecordReader path,
+    * ObsFile.py:240-246): repeat counts, F/E/D/G w.d, I w[.m], A w, nX
+    * skips, and nested repeat groups like `2(F6.1,1X)`. Anything else
+    * throws, which sends the caller to the width-based fallback — the
+    * same failure routing as the reference's try/except.
+    */
+  private[graft] def parseFortranFormat(fmt: String): Vector[FmtSeg] = {
+    val s = fmt.trim
+    if (!(s.startsWith("(") && s.endsWith(")")))
+      throw new IllegalArgumentException(s"not a parenthesized FORMAT: $fmt")
+    var i = 0
+    def readInt(): Int = {
+      val st = i
+      while (i < s.length && s(i).isDigit) i += 1
+      if (i == st) throw new IllegalArgumentException(s"expected digits at $st in $fmt")
+      s.substring(st, i).toInt
+    }
+    def parseGroup(): Vector[FmtSeg] = {
+      i += 1 // consume '('
+      val out = Vector.newBuilder[FmtSeg]
+      while (i < s.length && s(i) != ')') {
+        val c = s(i)
+        if (c == ',' || c == ' ') i += 1
+        else {
+          val rep = if (s(i).isDigit) readInt() else 1
+          if (i >= s.length) throw new IllegalArgumentException(s"truncated FORMAT: $fmt")
+          s(i) match {
+            case '(' =>
+              val inner = parseGroup()
+              (0 until rep).foreach(_ => out ++= inner)
+            case 'X' | 'x' =>
+              i += 1
+              out += FmtSeg(rep, isField = false, numeric = false)
+            case d if "FfEeDdGg".indexOf(d) >= 0 =>
+              i += 1
+              val w = readInt()
+              if (i < s.length && s(i) == '.') { i += 1; readInt() }
+              // E15.7E3-style exponent-width suffix
+              if (i < s.length && (s(i) == 'E' || s(i) == 'e')) { i += 1; readInt() }
+              (0 until rep).foreach(_ => out += FmtSeg(w, isField = true, numeric = true))
+            case d if d == 'I' || d == 'i' =>
+              i += 1
+              val w = readInt()
+              if (i < s.length && s(i) == '.') { i += 1; readInt() }
+              (0 until rep).foreach(_ => out += FmtSeg(w, isField = true, numeric = true))
+            case d if d == 'A' || d == 'a' =>
+              i += 1
+              val w = readInt()
+              (0 until rep).foreach(_ => out += FmtSeg(w, isField = true, numeric = false))
+            case other =>
+              throw new IllegalArgumentException(s"unsupported descriptor '$other' in $fmt")
+          }
+        }
+      }
+      if (i >= s.length) throw new IllegalArgumentException(s"unbalanced parens in $fmt")
+      i += 1 // consume ')'
+      out.result()
+    }
+    val segs = parseGroup()
+    // trailing junk after the closing paren is a malformed line
+    if (i < s.length && s.substring(i).trim.nonEmpty)
+      throw new IllegalArgumentException(s"trailing content in $fmt")
+    segs
+  }
+
+  /** Extract one data line by FORMAT segments. A non-numeric value under
+    * a numeric descriptor throws — the caller treats that as "FORMAT does
+    * not work" and falls back, like the reference's float() loop.
+    */
+  private def formatFields(line: String, segs: Vector[FmtSeg]): Vector[String] = {
+    val total = segs.map(_.width).sum
+    val padded = if (line.length < total) line.padTo(total, ' ') else line
+    val out = Vector.newBuilder[String]
+    var off = 0
+    segs.foreach { sg =>
+      if (sg.isField) {
+        val f = padded.substring(off, math.min(off + sg.width, padded.length)).trim
+        // Fortran blank numeric fields read as zero — empty is fine; D
+        // exponents (0.1D+01) normalize to E for the check
+        if (sg.numeric && f.nonEmpty &&
+            scala.util.Try(f.replace('D', 'E').replace('d', 'e').toDouble).isFailure)
+          throw new NumberFormatException(s"non-numeric '$f' under numeric descriptor")
+        out += f
+      }
+      off += sg.width
+    }
+    out.result()
   }
 
   /** Reference's width override rules (ObsFile.get_channel_detail). */

@@ -133,6 +133,78 @@ class IosReaderSpec extends SparkSpec {
     assert(p.timeIncrementSeconds.contains(600.0))
   }
 
+  private def fmtFixture(formatLine: String, dataRow: String): String =
+    s"""*IOS HEADER VERSION 2.0
+       |*FILE
+       |    NUMBER OF RECORDS   : 1
+       |    FORMAT              : $formatLine
+       |    $$TABLE: CHANNELS
+       |    ! No Name  Units  Minimum  Maximum
+       |    !--- ----- ------ -------- --------
+       |       1 Depth metres 0        10
+       |       2 Temp  deg_C  0        10
+       |    $$END
+       |    $$TABLE: CHANNEL DETAIL
+       |    ! No  Pad   Start  Width  Format  Type  Decimal_Places
+       |    !---  ----  -----  -----  ------  ----  --------------
+       |       1  -99   ' '        6  F       ' '     1
+       |       2  -99   ' '        6  F       ' '     2
+       |    $$END
+       |*END OF HEADER
+       |$dataRow
+       |""".stripMargin
+
+  test("FORMAT line is the primary data split and wins over declared widths") {
+    // declared widths say 6|6 but FORMAT says 5|7, and the row straddles
+    // the 6-char boundary — the reference tries FORMAT first
+    // (CtdFile.import_data try/except, ObsFile.py:410-438), so the split
+    // must follow FORMAT: "1.5" / "4321.98", not the width split
+    // "1.54" / "321.98"
+    val row = "  1.54321.98"
+    val p = IosFileParser.parse("fmt.ctd", fmtFixture("(F5.1,F7.2)", row))
+    assert(p.data == Vector(Vector("1.5", "4321.98")))
+    // prove the disagreement is real: the width split differs
+    assert(row.substring(0, 6).trim == "1.54" && row.substring(6, 12).trim == "321.98",
+      "fixture no longer disagrees")
+  }
+
+  test("FORMAT repeat groups, X skips, and exponent descriptors parse") {
+    val segs = IosFileParser.parseFortranFormat("(2(F6.1,1X),I4,1X,A8,E15.7)")
+    assert(segs.count(_.isField) == 5)
+    assert(segs.map(_.width).sum == 6 + 1 + 6 + 1 + 4 + 1 + 8 + 15)
+    val p = IosFileParser.parse("fmtx.ctd",
+      fmtFixture("(1X,F5.1,1X,F5.2)", "  12.3  6.78"))
+    assert(p.data == Vector(Vector("12.3", "6.78")))
+  }
+
+  test("unusable FORMAT falls back to channel-detail widths") {
+    // Q is not a descriptor → parser throws → width path (6|6)
+    val p1 = IosFileParser.parse("bad.ctd",
+      fmtFixture("(Q4.1,F8.2)", "  12.3  6.78"))
+    assert(p1.data == Vector(Vector("12.3", "6.78")))
+    // non-numeric text under a numeric descriptor → float() failure in
+    // the reference → same width fallback here
+    val p2 = IosFileParser.parse("nonnum.ctd",
+      fmtFixture("(F4.1,F8.2)", "abcd  6.78  "))
+    assert(p2.data == Vector(Vector("abcd", "6.78")))
+    // field-count mismatch vs channels (3 fields, 2 channels) → fallback
+    val p3 = IosFileParser.parse("count.ctd",
+      fmtFixture("(F4.1,F4.1,F4.1)", "  12.3  6.78"))
+    assert(p3.data == Vector(Vector("12.3", "6.78")))
+  }
+
+  test("current-meter FORMAT line drives its data read") {
+    val f = s"$base/current_meter/A1_19921028_19930504_0035m.CUR"
+    val p = IosFileParser.parse("A1.CUR",
+      new String(Files.readAllBytes(Paths.get(f)), "ISO-8859-1"))
+    assert(p.file.get("FORMAT").exists(_.contains("E15.7")))
+    // 5 channels, FORMAT (5×E15.7) — every row must split to 5 fields
+    // with the scientific-notation strings intact
+    assert(p.data.nonEmpty && p.data.forall(_.length == 5))
+    assert(p.data.head == Vector("0.3336200E+02", "-0.9999900E+05",
+      "0.1970100E+02", "0.3299620E+03", "0.2660000E+00"))
+  }
+
   test("current-meter files parse (CUR variant)") {
     val obs = IosReader.observations(spark,
       s"$base/current_meter/A1_19921028_19930504_0035m.CUR")
