@@ -116,6 +116,12 @@ object Seawater {
     def sqrtN(a: T): T
     def lnN(a: T): T
     def expN(a: T): T
+    /** if (a < b) x else y — comparison branches are exact (no float
+      * rounding), so the two engines always take the same arm.
+      */
+    def ifLt(a: T, b: T, x: T, y: T): T
+    /** if (a <= b) x else y. */
+    def ifLe(a: T, b: T, x: T, y: T): T
   }
   private object ColNum extends Num[Column] {
     def const(v: Double): Column = lit(v)
@@ -126,6 +132,10 @@ object Seawater {
     def sqrtN(a: Column): Column = sqrt(a)
     def lnN(a: Column): Column = log(a)
     def expN(a: Column): Column = exp(a)
+    def ifLt(a: Column, b: Column, x: Column, y: Column): Column =
+      when(a < b, x).otherwise(y)
+    def ifLe(a: Column, b: Column, x: Column, y: Column): Column =
+      when(a <= b, x).otherwise(y)
   }
   private object SqlNum extends Num[String] {
     def const(v: Double): String = {
@@ -140,6 +150,10 @@ object Seawater {
     def sqrtN(a: String): String = s"SQRT($a)"
     def lnN(a: String): String = s"LN($a)"
     def expN(a: String): String = s"EXP($a)"
+    def ifLt(a: String, b: String, x: String, y: String): String =
+      s"(CASE WHEN $a < $b THEN $x ELSE $y END)"
+    def ifLe(a: String, b: String, x: String, y: String): String =
+      s"(CASE WHEN $a <= $b THEN $x ELSE $y END)"
   }
 
   /** Adiabatic temperature gradient (°C/dbar), UNESCO 1983 `atg`:
@@ -349,4 +363,127 @@ object Seawater {
   def conservativeTemp(sa: Column, pt: Column): Column = ctFromPtG(sa, pt)(ColNum)
   def conservativeTempSql(sa: String, pt: String): String =
     ctFromPtG(s"($sa)", s"($pt)")(SqlNum)
+
+  // --- TEOS-10 Absolute Salinity & in-situ density ----------------------
+
+  /** Standard-ocean reference salinity SSO and the SP→SA scaling
+    * u_PS = SSO/35 (gsw_internal_const.h GSW_TEOS10_CONSTANTS).
+    */
+  val gswSso = 35.16504
+  val gswUps: Double = gswSso / 35.0
+
+  /** Absolute Salinity from Practical Salinity, TEOS-10 `gsw_sa_from_sp`
+    * (reference bundle: gsw_oceanographic_toolbox.c:8961-8994) with one
+    * DOCUMENTED DEVIATION: the open-ocean Absolute Salinity Anomaly
+    * Ratio (SAAR — a 0.25°-gridded lookup table the reference ships as
+    * binary data) is taken as 0, so open-ocean SA = u_PS·SP, the
+    * reference-composition scaling gsw itself returns where the anomaly
+    * is undefined. Inside the Baltic the published analytic form applies
+    * — SA = (SSO−0.087)/35·SP + 0.087 — gated by the same
+    * piecewise-linear longitude bounds as the C (GSW_BALTIC_DATA
+    * polygon: xb_left {12.6,7,26} over yb_left {50,59,69}, xb_right
+    * {45,26} over yb_right {50,69}).
+    */
+  private def saFromSpG[T](sp: T, lon: T, lat: T)(implicit N: Num[T]): T = {
+    import N._
+    // piecewise-linear Baltic bounds in latitude (slopes precomputed as
+    // doubles so both engines embed identical constants)
+    val leftLo = add(const(12.6), mul(sub(lat, const(50.0)), const((7.0 - 12.6) / (59.0 - 50.0))))
+    val leftHi = add(const(7.0), mul(sub(lat, const(59.0)), const((26.0 - 7.0) / (69.0 - 59.0))))
+    val xxLeft = ifLt(lat, const(59.0), leftLo, leftHi)
+    val xxRight = add(const(45.0), mul(sub(lat, const(50.0)), const((26.0 - 45.0) / (69.0 - 50.0))))
+    val saBaltic = add(mul(const((gswSso - 0.087) / 35.0), sp), const(0.087))
+    val saOpen = mul(const(gswUps), sp)
+    // the conjunction of bounds as a chain of exact comparison branches
+    // (every non-Baltic arm falls through to the open-ocean scaling)
+    ifLt(const(7.0), lon,
+      ifLt(lon, const(45.0),
+        ifLt(const(50.0), lat,
+          ifLt(lat, const(69.0),
+            ifLe(xxLeft, lon,
+              ifLe(lon, xxRight, saBaltic, saOpen),
+              saOpen),
+            saOpen),
+          saOpen),
+        saOpen),
+      saOpen)
+  }
+  def saFromSp(sp: Column, lon: Column, lat: Column): Column =
+    saFromSpG(sp, lon, lat)(ColNum)
+  def saFromSpSql(sp: String, lon: String, lat: String): String =
+    saFromSpG(s"($sp)", s"($lon)", s"($lat)")(SqlNum)
+
+  /** TEOS-10 75-term specific volume v(SA, CT, p) m³/kg (Roquet et al.
+    * 2015 polynomial), transcribed from the reference's bundled C —
+    * gsw_oceanographic_toolbox.c `gsw_specvol` with the
+    * GSW_SPECVOL_COEFFICIENTS table (gsw_internal_const.h) — with the
+    * C's exact Horner nesting, so doubles match the reference
+    * bit-for-bit. Inputs: Absolute Salinity g/kg, Conservative
+    * Temperature °C, sea pressure dbar.
+    */
+  private def specvolG[T](sa: T, ct: T, p: T)(implicit N: Num[T]): T = {
+    final class W(val t: T) {
+      def +(o: W): W = new W(N.add(t, o.t))
+      def *(o: W): W = new W(N.mul(t, o.t))
+    }
+    def c(v: Double): W = new W(N.const(v))
+    val xs = new W(N.sqrtN(N.add(N.mul(N.const(0.0248826675584615), sa),
+      N.const(5.971840214030754e-1))))
+    val ys = new W(N.mul(ct, N.const(0.025)))
+    val z = new W(N.mul(p, N.const(1e-4)))
+    val v000 = c(1.0769995862e-3); val v001 = c(-6.0799143809e-5); val v002 = c(9.9856169219e-6)
+    val v003 = c(-1.1309361437e-6); val v004 = c(1.0531153080e-7); val v005 = c(-1.2647261286e-8)
+    val v006 = c(1.9613503930e-9); val v010 = c(-3.1038981976e-4); val v011 = c(2.4262468747e-5)
+    val v012 = c(-5.8484432984e-7); val v013 = c(3.6310188515e-7); val v014 = c(-1.1147125423e-7)
+    val v020 = c(6.6928067038e-4); val v021 = c(-3.4792460974e-5); val v022 = c(-4.8122251597e-6)
+    val v023 = c(1.6746303780e-8); val v030 = c(-8.5047933937e-4); val v031 = c(3.7470777305e-5)
+    val v032 = c(4.9263106998e-6); val v040 = c(5.8086069943e-4); val v041 = c(-1.7322218612e-5)
+    val v042 = c(-1.7811974727e-6); val v050 = c(-2.1092370507e-4); val v051 = c(3.0927427253e-6)
+    val v060 = c(3.1932457305e-5); val v100 = c(-1.5649734675e-5); val v101 = c(1.8505765429e-5)
+    val v102 = c(-1.1736386731e-6); val v103 = c(-3.6527006553e-7); val v104 = c(3.1454099902e-7)
+    val v110 = c(3.5009599764e-5); val v111 = c(-9.5677088156e-6); val v112 = c(-5.5699154557e-6)
+    val v113 = c(-2.7295696237e-7); val v120 = c(-4.3592678561e-5); val v121 = c(1.1100834765e-5)
+    val v122 = c(5.4620748834e-6); val v130 = c(3.4532461828e-5); val v131 = c(-9.8447117844e-6)
+    val v132 = c(-1.3544185627e-6); val v140 = c(-1.1959409788e-5); val v141 = c(2.5909225260e-6)
+    val v150 = c(1.3864594581e-6); val v200 = c(2.7762106484e-5); val v201 = c(-1.1716606853e-5)
+    val v202 = c(2.1305028740e-6); val v203 = c(2.8695905159e-7); val v210 = c(-3.7435842344e-5)
+    val v211 = c(-2.3678308361e-7); val v212 = c(3.9137387080e-7); val v220 = c(3.5907822760e-5)
+    val v221 = c(2.9283346295e-6); val v222 = c(-6.5731104067e-7); val v230 = c(-1.8698584187e-5)
+    val v231 = c(-4.8826139200e-7); val v240 = c(3.8595339244e-6); val v300 = c(-1.6521159259e-5)
+    val v301 = c(7.9279656173e-6); val v302 = c(-4.6132540037e-7); val v310 = c(2.4141479483e-5)
+    val v311 = c(-3.4558773655e-6); val v312 = c(7.7618888092e-9); val v320 = c(-1.4353633048e-5)
+    val v321 = c(3.1655306078e-7); val v330 = c(2.2863324556e-6); val v400 = c(6.9111322702e-6)
+    val v401 = c(-3.4102187482e-6); val v402 = c(-6.3352916514e-8); val v410 = c(-8.7595873154e-6)
+    val v411 = c(1.2956717783e-6); val v420 = c(4.3703680598e-6); val v500 = c(-8.0539615540e-7)
+    val v501 = c(5.0736766814e-7); val v510 = c(-3.3052758900e-7); val v600 = c(2.0543094268e-7)
+    // verbatim Horner structure from gsw_specvol (one flat expression;
+    // outer parens keep Scala from treating leading "+" lines as new
+    // statements)
+    val value = (v000
+      + xs*(v010 + xs*(v020 + xs*(v030 + xs*(v040 + xs*(v050
+      + v060*xs))))) + ys*(v100 + xs*(v110 + xs*(v120 + xs*(v130 + xs*(v140
+      + v150*xs)))) + ys*(v200 + xs*(v210 + xs*(v220 + xs*(v230 + v240*xs)))
+      + ys*(v300 + xs*(v310 + xs*(v320 + v330*xs)) + ys*(v400 + xs*(v410
+      + v420*xs) + ys*(v500 + v510*xs + v600*ys))))) + z*(v001 + xs*(v011
+      + xs*(v021 + xs*(v031 + xs*(v041 + v051*xs)))) + ys*(v101 + xs*(v111
+      + xs*(v121 + xs*(v131 + v141*xs))) + ys*(v201 + xs*(v211 + xs*(v221
+      + v231*xs)) + ys*(v301 + xs*(v311 + v321*xs) + ys*(v401 + v411*xs
+      + v501*ys)))) + z*(v002 + xs*(v012 + xs*(v022 + xs*(v032 + v042*xs)))
+      + ys*(v102 + xs*(v112 + xs*(v122 + v132*xs)) + ys*(v202 + xs*(v212
+      + v222*xs) + ys*(v302 + v312*xs + v402*ys))) + z*(v003 + xs*(v013
+      + v023*xs) + ys*(v103 + v113*xs + v203*ys) + z*(v004 + v014*xs + v104*ys
+      + z*(v005 + v006*z))))))
+    value.t
+  }
+
+  /** In-situ density ρ(SA, CT, p) = 1/v — TEOS-10 `gsw_rho`, the full
+    * pressure-dependent equation of state. Check values (evaluated
+    * through the reference's own C polynomial): ρ(35.16504, 0, 0) =
+    * 1028.107021542752 (standard ocean), ρ(34.7118, 28.7856, 10) =
+    * 1021.847994616171, ρ(34.7118, 28.7856, 1000) = 1025.963954409665.
+    */
+  def rhoTeos10(sa: Column, ct: Column, p: Column): Column =
+    lit(1.0) / specvolG(sa, ct, p)(ColNum)
+  def rhoTeos10Sql(sa: String, ct: String, p: String): String =
+    s"(1.0 / ${specvolG(s"($sa)", s"($ct)", s"($p)")(SqlNum)})"
 }

@@ -764,6 +764,55 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r26_abs_salinity: TEOS-10 SA from SP with Baltic branch ---------
+  // gsw_sa_from_sp re-expressed (Seawater.saFromSp; SAAR→0 deviation
+  // documented there). Synthesized coordinates sweep both sides of the
+  // Baltic polygon — supplier rows land in the Baltic box for some ids —
+  // so BOTH branches are oracle-exercised.
+  private val r26 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sp", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("lon", (col("l_orderkey") % 60).cast("double") - lit(10.0))
+        .withColumn("lat", lit(45.0) + (col("l_linenumber") % 7).cast("double") * 4.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.saFromSp(col("sp"), col("lon"), col("lat")), 6).as("sa"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val sa = graft.functions.Seawater.saFromSpSql(
+        "30.0 + l_discount * 100.0",
+        "CAST(l_orderkey % 60 AS DOUBLE) - 10.0",
+        "45.0 + CAST(l_linenumber % 7 AS DOUBLE) * 4.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($sa) * 1e6 + 0.5) / 1e6 AS sa
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
+  // ---- r27_insitu_density: TEOS-10 rho(SA, CT, p) ----------------------
+  // The full pressure-dependent equation of state (75-term specvol,
+  // Seawater.rhoTeos10) — what r12's surface-only sigma-t could not
+  // answer: density at depth.
+  private val r27 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sa", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("ct", col("l_quantity") % 30.0)
+        .withColumn("pres", col("l_extendedprice") % 4000.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.rhoTeos10(col("sa"), col("ct"), col("pres"))).as("rho"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val rho = graft.functions.Seawater.rhoTeos10Sql(
+        "30.0 + l_discount * 100.0", "l_quantity % 30.0", "l_extendedprice % 4000.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($rho) * 1e4 + 0.5) / 1e4 AS rho
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -789,5 +838,7 @@ object ReferenceOps {
     "r22_current_uv" -> r22,
     "r23_track_distance" -> r23,
     "p2_ocean_products" -> p2,
-    "r25_bottle_matchup" -> r25)
+    "r25_bottle_matchup" -> r25,
+    "r26_abs_salinity" -> r26,
+    "r27_insitu_density" -> r27)
 }

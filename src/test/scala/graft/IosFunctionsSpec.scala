@@ -108,4 +108,33 @@ class IosFunctionsSpec extends SparkSpec {
     // Saunders at lat 49, p=1000 dbar: ~988.9 m
     assert(math.abs(row.getDouble(2) - 988.88) < 0.2)
   }
+
+  test("TEOS-10 rho matches the reference C polynomial check values") {
+    import graft.functions.Seawater
+    val df = Seq(1.0).toDF("x")
+    val row = df.select(
+      Seawater.rhoTeos10(lit(35.16504), lit(0.0), lit(0.0)).as("a"),
+      Seawater.rhoTeos10(lit(34.7118), lit(28.7856), lit(10.0)).as("b"),
+      Seawater.rhoTeos10(lit(34.7118), lit(28.7856), lit(1000.0)).as("c")).collect()(0)
+    // evaluated through the reference's own gsw_specvol Horner chain
+    assert(math.abs(row.getDouble(0) - 1028.107021542752) < 1e-9)
+    assert(math.abs(row.getDouble(1) - 1021.847994616171) < 1e-9)
+    assert(math.abs(row.getDouble(2) - 1025.963954409665) < 1e-9)
+  }
+
+  test("SA from SP: open-ocean scaling and the Baltic analytic branch") {
+    import graft.functions.Seawater
+    val df = Seq(1.0).toDF("x")
+    val row = df.select(
+      // open ocean (mid-Pacific): SA = ups·SP
+      Seawater.saFromSp(lit(35.0), lit(-150.0), lit(0.0)).as("open"),
+      // Baltic proper (20E, 58N is inside the GSW polygon)
+      Seawater.saFromSp(lit(7.0), lit(20.0), lit(58.0)).as("baltic"),
+      // inside the lat band but west of the piecewise-linear left bound
+      // (8E, 56N) → open-ocean branch
+      Seawater.saFromSp(lit(7.0), lit(8.0), lit(56.0)).as("west")).collect()(0)
+    assert(row.getDouble(0) == 35.16504 / 35.0 * 35.0)
+    assert(math.abs(row.getDouble(1) - ((35.16504 - 0.087) / 35.0 * 7.0 + 0.087)) < 1e-12)
+    assert(row.getDouble(2) == 35.16504 / 35.0 * 7.0)
+  }
 }
