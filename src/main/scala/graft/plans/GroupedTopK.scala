@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, UnaryExecNode}
 
 /** Grouped top-k as a first-class plan node (the full custom-operator
   * tier: LogicalPlan + Strategy + SparkPlan, injected via
@@ -63,7 +64,8 @@ object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy 
   */
 case class GroupedTopKExec(groupCols: Seq[Expression], ordering: Seq[SortOrder],
                            k: Int, child: SparkPlan,
-                           partial: Boolean = false) extends UnaryExecNode {
+                           partial: Boolean = false)
+    extends UnaryExecNode with BlockingOperatorWithCodegen {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   // The partial pass runs on whatever partitioning the child has (pure
@@ -75,44 +77,120 @@ case class GroupedTopKExec(groupCols: Seq[Expression], ordering: Seq[SortOrder],
   override protected def withNewChildInternal(c: SparkPlan): GroupedTopKExec =
     copy(child = c)
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val kLocal = k
-    val groupExprs = groupCols
-    val sortOrder = ordering
-    val childOutput = child.output
-    // Group keys compare as raw UnsafeRow bytes, so -0.0 vs 0.0 (and NaN
-    // bit patterns) must be normalized exactly as the built-in Aggregate
-    // path does — NormalizeFloatingNumbers runs only for built-in nodes,
-    // not custom plans.
-    val normalizedKeys = groupExprs.map(
-      org.apache.spark.sql.GraftSqlShim.normalizeFloats)
+  // Group keys compare as raw UnsafeRow bytes, so -0.0 vs 0.0 (and NaN
+  // bit patterns) must be normalized exactly as the built-in Aggregate
+  // path does — NormalizeFloatingNumbers runs only for built-in nodes,
+  // not custom plans.
+  private def normalizedKeys = groupCols.map(
+    org.apache.spark.sql.GraftSqlShim.normalizeFloats)
+
+  /** Per-partition heap state, created from generated code and from
+    * [[doExecute]] — one instance per partition, so the non-thread-safe
+    * projection/ordering instances are never shared.
+    */
+  def createBuffer(): GroupedTopKBuffer =
+    new GroupedTopKBuffer(
+      UnsafeProjection.create(normalizedKeys, child.output),
+      RowOrdering.create(ordering, child.output), k)
+
+  override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(normalizedKeys, childOutput)
-      val ord = RowOrdering.create(sortOrder, childOutput)
-      val worstFirst = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = -ord.compare(a, b)
-      }
-      val heaps = new java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) { // beats current worst
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
+      val buf = createBuffer()
+      iter.foreach(buf.insert)
       import scala.jdk.CollectionConverters._
-      heaps.values.iterator.asScala.flatMap { heap =>
-        val rows = new Array[InternalRow](heap.size)
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // heap pops worst-first
-        rows.iterator
-      }
+      buf.drain().asScala
     }, preservesPartitioning = true)
+
+  // --- whole-stage codegen (SortExec's blocking-operator shape) ---------
+  //
+  // The scan→filter→project pipeline below this node fuses INTO it:
+  // doConsume appends each produced row to the bounded heaps, and
+  // doProduce — after the child loop is exhausted — streams the
+  // survivors to the parent. Two wins over the interpreted path: the
+  // child pipeline keeps its fused single-pass shape (no iterator
+  // boundary at this node's input), and per-row virtual calls collapse
+  // to one insert() on a final class.
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  private var bufferTerm: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needBuild = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "topkNeedBuild",
+      v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    bufferTerm = ctx.addMutableState(classOf[GroupedTopKBuffer].getName, "topkBuffer",
+      v => s"$v = $thisPlan.createBuffer();", forceInline = true)
+    val iterTerm = ctx.addMutableState("java.util.Iterator<org.apache.spark.sql.catalyst.InternalRow>",
+      "topkOutput", forceInline = true)
+    val addToBuffer = ctx.freshName("addToTopK")
+    val addToBufferFunc = ctx.addNewFunction(addToBuffer,
+      s"""
+         |private void $addToBuffer() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topkRow")
+    s"""
+       |if ($needBuild) {
+       |  $addToBufferFunc();
+       |  $iterTerm = $bufferTerm.drain();
+       |  $needBuild = false;
+       |}
+       |while ($limitNotReachedCond $iterTerm.hasNext()) {
+       |  UnsafeRow $outputRow = (UnsafeRow) $iterTerm.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$bufferTerm.insert((InternalRow) ${row.value});
+     """.stripMargin
+}
+
+/** Bounded per-group heaps shared by the interpreted and generated paths.
+  * Each group holds at most k+1 buffered rows (a reversed-order binary
+  * heap whose root is the current worst survivor); [[drain]] emits each
+  * group's rows in `ordering` order. Memory is O(groups × k) by
+  * construction — never spills, never sorts the full input.
+  */
+final class GroupedTopKBuffer(keyProj: UnsafeProjection,
+                              ord: Ordering[InternalRow], k: Int) {
+  private val worstFirst = new java.util.Comparator[InternalRow] {
+    override def compare(a: InternalRow, b: InternalRow): Int = -ord.compare(a, b)
+  }
+  private val heaps =
+    new java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+
+  def insert(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    var heap = heaps.get(key)
+    if (heap == null) {
+      heap = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+      heaps.put(key.copy(), heap)
+    }
+    if (heap.size < k) heap.add(row.copy())
+    else if (ord.compare(row, heap.peek()) < 0) { // beats current worst
+      heap.poll()
+      heap.add(row.copy())
+    }
+  }
+
+  def drain(): java.util.Iterator[InternalRow] = {
+    val out = new java.util.ArrayList[InternalRow]()
+    val it = heaps.values.iterator()
+    while (it.hasNext) {
+      val heap = it.next()
+      val rows = new Array[InternalRow](heap.size)
+      var i = rows.length - 1
+      while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // heap pops worst-first
+      var j = 0
+      while (j < rows.length) { out.add(rows(j)); j += 1 }
+    }
+    out.iterator()
   }
 }

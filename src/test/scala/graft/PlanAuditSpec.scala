@@ -153,6 +153,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyed == 1, s"profile pass grew extra shuffles: $keyed\n${p.take(900)}")
   }
 
+  test("q30: GroupedTopK fuses into whole-stage codegen") {
+    val df = SparkEntry.queries("q30_grouped_topk")(spark, sfDir)
+    df.collect() // execute so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    // both the partial and final GroupedTopK passes must sit INSIDE a
+    // WholeStageCodegen stage ("*(n) GroupedTopK"), not behind an
+    // iterator boundary
+    val fused = p.linesIterator.count(l =>
+      l.contains("GroupedTopK") && l.trim.matches("""^[+\-:\s]*\*\(\d+\).*"""))
+    assert(fused >= 2, s"GroupedTopK not codegen-fused:\n${p.take(1500)}")
+  }
+
   test("v5/v6/v7: ANN query side flows in-plan, never collected to the driver") {
     for (name <- Seq("v5_pq_adc", "v6_ivf_pq", "v7_sq_int8")) {
       val p = planOf(name)
