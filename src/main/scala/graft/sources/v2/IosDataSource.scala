@@ -38,6 +38,36 @@ class IosDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Bloom-join pushdown support: the build side of a selective join (a
+  * mission manifest, a channel whitelist) is summarized as a Bloom
+  * filter and shipped to the scan as an option — the DSv2 analogue of
+  * Spark's runtime bloom-filter join, but applied BEFORE file open
+  * (filename bloom) or before observation rows materialize (channel
+  * bloom). No false negatives ⇒ pruning is only ever an optimization;
+  * Spark re-applies the real join afterwards.
+  */
+object IosBloom {
+  import org.apache.spark.util.sketch.BloomFilter
+
+  val FilenameOption = "filenameBloom"
+  val ChannelOption = "channelBloom"
+
+  /** Build a base64 bloom over a string column of the (small) build-side
+    * DataFrame, for `.option(IosBloom.FilenameOption, ...)`.
+    */
+  def buildOption(df: org.apache.spark.sql.DataFrame, column: String,
+                  expectedItems: Long = 100000L, fpp: Double = 0.01): String = {
+    val bf = df.stat.bloomFilter(column, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  def decode(b64: String): BloomFilter =
+    BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64)))
+}
+
 object IosTable {
   val fullSchema: StructType = StructType(Seq(
     StructField("filename", StringType),
@@ -63,7 +93,9 @@ class IosTable(pathPatterns: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new IosScanBuilder(pathPatterns)
+    new IosScanBuilder(pathPatterns,
+      Option(options.get(IosBloom.FilenameOption)),
+      Option(options.get(IosBloom.ChannelOption)))
 }
 
 /** Filter pushdown tiers (SupportsPushDownFilters):
@@ -77,7 +109,9 @@ class IosTable(pathPatterns: Seq[String]) extends Table with SupportsRead {
   * Every filter is also returned as residual (Spark re-applies it), so
   * pruning can never change semantics — only skip work.
   */
-class IosScanBuilder(pathPatterns: Seq[String])
+class IosScanBuilder(pathPatterns: Seq[String],
+                     fileBloom: Option[String] = None,
+                     channelBloom: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
   private var required: StructType = IosTable.fullSchema
@@ -88,7 +122,8 @@ class IosScanBuilder(pathPatterns: Seq[String])
     filters // all residual: pruning is an optimization, never a contract
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new IosScan(pathPatterns, required, pushed)
+  override def build(): Scan =
+    new IosScan(pathPatterns, required, pushed, fileBloom, channelBloom)
 }
 
 /** Conservative predicate evaluation for pruning: `true` = might match
@@ -147,7 +182,9 @@ object IosFilters {
   * excluded files before opening any of them.
   */
 class IosScan(pathPatterns: Seq[String], required: StructType,
-              filters: Array[org.apache.spark.sql.sources.Filter])
+              filters: Array[org.apache.spark.sql.sources.Filter],
+              fileBloom: Option[String] = None,
+              channelBloom: Option[String] = None)
     extends Scan with Batch with SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
@@ -158,30 +195,42 @@ class IosScan(pathPatterns: Seq[String], required: StructType,
   override def description(): String =
     s"IosScan(files=${pathPatterns.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")}, " +
-      s"pushed=[${filters.mkString(",")}])"
+      s"pushed=[${filters.mkString(",")}]" +
+      fileBloom.map(_ => ", filenameBloom").getOrElse("") +
+      channelBloom.map(_ => ", channelBloom").getOrElse("") + ")"
+  // runtime key sets arrive for both the file axis (prunes opens) and
+  // the channel axis (prunes rows in the reader)
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("filename"))
+    Array(Expressions.column("filename"), Expressions.column("channel_name"))
   override def filter(newFilters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     runtimeFilters = newFilters.filter(IosFilters.prunable)
   }
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val bloom = fileBloom.map(IosBloom.decode)
     pathPatterns.flatMap(IosTable.expandGlob).distinct
       .filter { f =>
-        val attrs = Map[String, Any]("filename" -> f.split('/').last)
-        (filters ++ runtimeFilters).forall(IosFilters.mightMatch(_, attrs))
+        val name = f.split('/').last
+        val attrs = Map[String, Any]("filename" -> name)
+        bloom.forall(_.mightContainString(name)) &&
+          (filters ++ runtimeFilters).forall(IosFilters.mightMatch(_, attrs))
       }
       .map(f => IosFilePartition(f): InputPartition).toArray
+  }
+  // runtime filters joined in: a channel-key set delivered after planning
+  // must reach the reader, where channels drop before rows expand
   override def createReaderFactory(): PartitionReaderFactory =
-    new IosReaderFactory(required.fieldNames, filters)
+    new IosReaderFactory(required.fieldNames, filters ++ runtimeFilters, channelBloom)
 }
 
 case class IosFilePartition(path: String) extends InputPartition
 
 class IosReaderFactory(columns: Array[String],
-                       filters: Array[org.apache.spark.sql.sources.Filter])
+                       filters: Array[org.apache.spark.sql.sources.Filter],
+                       channelBloom: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new IosPartitionReader(partition.asInstanceOf[IosFilePartition].path, columns, filters)
+    new IosPartitionReader(partition.asInstanceOf[IosFilePartition].path, columns,
+      filters, channelBloom)
 }
 
 /** Parses one file and streams observation rows, emitting only the
@@ -189,7 +238,8 @@ class IosReaderFactory(columns: Array[String],
   * format would).
   */
 class IosPartitionReader(path: String, columns: Array[String],
-                         filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                         filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                         channelBloom: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
@@ -210,11 +260,14 @@ class IosPartitionReader(path: String, columns: Array[String],
         .orElse(p.file.get("PAD").map(_.trim))
         .flatMap(s => scala.util.Try(s.toDouble).toOption)
     // channel-level pushdown: drop excluded channels ONCE, before the
-    // data rows expand (row count scales with surviving channels)
+    // data rows expand (row count scales with surviving channels); the
+    // bloom (join build side summary) prunes alongside the exact filters
+    val chBloom = channelBloom.map(IosBloom.decode)
     val keptChannels = p.channels.zipWithIndex.filter { case (ch, _) =>
       val attrs = Map[String, Any]("filename" -> p.filename,
         "channel_name" -> ch.name, "channel_no" -> ch.no)
-      filters.forall(IosFilters.mightMatch(_, attrs))
+      chBloom.forall(_.mightContainString(ch.name)) &&
+        filters.forall(IosFilters.mightMatch(_, attrs))
     }
     p.data.iterator.zipWithIndex.flatMap { case (row, ri) =>
       keptChannels.iterator.map { case (ch, ci) =>

@@ -56,12 +56,70 @@ class IosV2SourceSpec extends SparkSpec {
     val scan = new IosScan(Seq(s"$base/ctd_profile/*.ctd"),
       IosTable.fullSchema, Array.empty)
     assert(scan.planInputPartitions().length == 6)
-    assert(scan.filterAttributes().map(_.describe()).sameElements(Array("filename")))
+    assert(scan.filterAttributes().map(_.describe())
+      .sameElements(Array("filename", "channel_name")))
     // Spark delivers the join build side's keys like this at runtime
     scan.filter(Array[org.apache.spark.sql.sources.Filter](In("filename",
       Array("2017-020-0474.ctd", "2017-23-0042.ctd"))))
     assert(scan.planInputPartitions().length == 2,
       "runtime key set must prune the file list before any open")
+  }
+
+  test("runtime channel key set reaches the reader and cuts materialized rows") {
+    import graft.sources.v2.{IosFilePartition, IosScan, IosTable}
+    import org.apache.spark.sql.sources.In
+    val scan = new IosScan(Seq(s"$base/ctd_profile/2017-020-0474.ctd"),
+      IosTable.fullSchema, Array.empty)
+    def countRows(s: IosScan): Int = {
+      val factory = s.createReaderFactory()
+      s.planInputPartitions().map { part =>
+        val r = factory.createReader(part)
+        var n = 0
+        while (r.next()) n += 1
+        r.close(); n
+      }.sum
+    }
+    val all = countRows(scan)
+    // a selective join's build side delivers two channel names
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("channel_name", Array("Depth", "Temperature:Primary"))))
+    val pruned = countRows(scan)
+    // 12 channels in the file → exactly 2/12 of the rows materialize
+    assert(all > 0 && pruned == all / 12 * 2,
+      s"runtime channel filter must cut the reader's rows: $pruned of $all")
+  }
+
+  test("bloom-join pushdown prunes files and channels without false drops") {
+    import graft.sources.v2.IosBloom
+    import spark.implicits._
+    // file-level: the build side is a 2-file mission manifest
+    val manifest = Seq("2017-020-0474.ctd", "2017-23-0042.ctd").toDF("filename")
+    val fb = IosBloom.buildOption(manifest, "filename", expectedItems = 100L)
+    val files = spark.read.format("graft.sources.v2.IosDataSource")
+      .option(IosBloom.FilenameOption, fb)
+      .load(s"$base/ctd_profile/*.ctd")
+    // both manifest files survive (no false negatives, bloom-exact here)
+    assert(files.rdd.getNumPartitions == 2,
+      s"expected the 2 manifest files, got ${files.rdd.getNumPartitions} partitions")
+    assert(files.select("filename").distinct().collect()
+      .map(_.getString(0)).sorted.sameElements(
+        Array("2017-020-0474.ctd", "2017-23-0042.ctd")))
+
+    // channel-level: a channel whitelist cuts rows before they expand
+    val whitelist = Seq("Depth").toDF("channel_name")
+    val cb = IosBloom.buildOption(whitelist, "channel_name", expectedItems = 100L)
+    val glob = s"$base/ctd_profile/2017-020-0474.ctd"
+    val allRows = spark.read.format("graft.sources.v2.IosDataSource").load(glob).count()
+    val bloomed = spark.read.format("graft.sources.v2.IosDataSource")
+      .option(IosBloom.ChannelOption, cb)
+      .load(glob)
+    // 12 channels → only the whitelisted one's rows materialize
+    assert(bloomed.count() == allRows / 12,
+      s"expected ${allRows / 12} rows, got ${bloomed.count()}")
+    assert(bloomed.select("channel_name").distinct().collect()
+      .map(_.getString(0)).sameElements(Array("Depth")))
+    // and the scan advertises the bloom
+    assert(bloomed.queryExecution.executedPlan.toString.contains("channelBloom"))
   }
 
   test("channel filter drops channels before rows materialize") {
