@@ -117,6 +117,46 @@ class SinkAndSkewSpec extends SparkSpec {
     assert(after.sameElements(before), "compaction changed row content")
   }
 
+  test("snapshot table: compaction is an atomic commit; pinned readers see old-or-new, never a mix") {
+    import graft.operators.SnapshotTable
+    val path = "target/tmp/snap_table"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(root)) hfs.delete(root, true)
+
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val v1 = SnapshotTable.write(spark, li.repartition(16), path)
+    assert(v1 == 1L)
+
+    // reader resolves the v1 manifest NOW — pinned to snap-00000001
+    val pinned = SnapshotTable.read(spark, path)
+    val before = pinned.collect().map(_.toString).sorted
+
+    val stats = SnapshotTable.compact(spark, path, targetFileBytes = 64L * 1024 * 1024)
+    assert(stats.filesBefore == 16 && stats.filesAfter < 16)
+    assert(SnapshotTable.currentVersion(spark, path).contains(2L))
+
+    // mid-swap isolation: the pinned reader still reads ONLY snap-1 files
+    // (file-level proof, not just row equality), and the fresh reader
+    // reads ONLY snap-2 files — entirely-old or entirely-new, no mix
+    val pinnedFiles = pinned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(pinnedFiles.nonEmpty && pinnedFiles.forall(_.contains("snap-00000001")),
+      s"pinned reader leaked into a newer snapshot: ${pinnedFiles.take(3).mkString(",")}")
+    assert(pinned.collect().map(_.toString).sorted.sameElements(before))
+    val fresh = SnapshotTable.read(spark, path)
+    val freshFiles = fresh.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(freshFiles.nonEmpty && freshFiles.forall(_.contains("snap-00000002")))
+    assert(fresh.collect().map(_.toString).sorted.sameElements(before),
+      "compaction commit changed row content")
+
+    // retention: expire(keep=1) drops snap-1; the current snapshot reads on
+    assert(SnapshotTable.expire(spark, path, keep = 1) == 1)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(path, "snap-00000001")))
+    assert(SnapshotTable.read(spark, path).count() == before.length)
+  }
+
   test("z-order interleaves bits correctly and clusters files") {
     import graft.operators.ZOrder
     // interleave(x=3 (011), y=5 (101)) with 3 bits:
