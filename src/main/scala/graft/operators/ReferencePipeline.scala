@@ -61,14 +61,80 @@ object ReferencePipeline {
       .join(prof, "filename")
   }
 
+  /** Per-dataset CF global attributes — the metadata block
+    * write_ctd_ncfile.py:20-90 emits into every NetCDF (featureType,
+    * title/summary by dataset type, institution, infoUrl, the full
+    * original header, mission/profile identity, administration and
+    * instrument fields) — as one JSON row per source file, written as a
+    * sidecar next to the parquet so ERDDAP-style consumers keep the
+    * interchange metadata parquet cannot carry in its schema.
+    */
+  def cfAttributes(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.IosFileParser
+    spark.read.option("wholetext", "true").format("text").load(pathGlob)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)].mapPartitions { it =>
+        it.map { case (path, content) =>
+          val p = IosFileParser.parse(path.split('/').last, content)
+          val ext = p.filename.split('.').last.toLowerCase
+          val isBot = ext == "bot" || ext == "che"
+          val summary =
+            if (isBot)
+              "This dataset contains observations made by the Institute of Ocean Sciences of Fisheries and Oceans (DFO) using water samples."
+            else
+              "This dataset contains observations made by the Institute of Ocean Sciences of Fisheries and Oceans (DFO) using CTDs mounted on rosettes."
+          // mission id normalized to %04d-%03d like write_ctd_ncfile.py:48-51;
+          // unparsable missions keep their raw string (we convert archives,
+          // not crash on them — soft-fail semantics like the outer script)
+          val missionRaw = p.administration.get("MISSION")
+            .orElse(p.administration.get("CRUISE")).map(_.trim).getOrElse("")
+          val missionId = missionRaw.split('-') match {
+            case Array(a, b) if scala.util.Try(a.toInt).isSuccess &&
+                scala.util.Try(b.toInt).isSuccess => f"${a.toInt}%04d-${b.toInt}%03d"
+            case _ => missionRaw
+          }
+          // event number from LOCATION, else guessed from the filename
+          // (write_ctd_ncfile.py:79-84)
+          val eventId = p.location.get("EVENT NUMBER").map(_.trim).getOrElse {
+            val tail = p.filename.split('-').last
+            if (tail.length > 4) tail.dropRight(4) else tail
+          }
+          val profileId = s"$missionId-${("0" * math.max(0, 4 - eventId.length)) + eventId}"
+          (p.filename, "profile", summary, summary,
+            "Institute of Ocean Sciences, 9860 West Saanich Road, Sidney, B.C., Canada",
+            "http://www.pac.dfo-mpo.gc.ca/science/oceans/data-donnees/index-eng.html",
+            "time", missionId, eventId, profileId,
+            p.administration.get("COUNTRY").map(_.trim),
+            p.administration.get("SCIENTIST").map(_.trim),
+            p.administration.get("PROJECT").map(_.trim),
+            p.administration.get("AGENCY").map(_.trim),
+            p.administration.get("PLATFORM").map(_.trim),
+            p.instrument.get("TYPE").map(_.trim),
+            p.instrument.get("MODEL").map(_.trim),
+            p.instrument.get("SERIAL NUMBER").map(_.trim),
+            p.latitude, p.longitude,
+            IosFileParser.headerJson(p))
+        }
+      }.toDF("filename", "featureType", "title", "summary", "institution",
+        "infoUrl", "cdm_profile_variables", "mission_id", "event_number",
+        "profile_id", "country", "scientist", "project", "agency", "platform",
+        "instrument_type", "instrument_model", "instrument_serial_number",
+        "latitude", "longitude", "header")
+  }
+
   /** Full conversion: standardized observations → parquet partitioned by
-    * variable class. Returns the per-file summary (the reference prints
-    * one log line per converted file; we return it as data).
+    * variable class, plus the per-dataset CF-attribute sidecar
+    * (`_cf_attributes/`, JSON). Returns the per-file summary (the
+    * reference prints one log line per converted file; we return it as
+    * data).
     */
   def convertArchive(spark: SparkSession, pathGlob: String, outDir: String,
                      geoCatalog: Seq[Geo.NamedPolygon] = Geo.testCatalog): DataFrame = {
     val std = standardize(spark, pathGlob, geoCatalog)
     std.write.mode("overwrite").partitionBy("var_class").parquet(outDir)
+    cfAttributes(spark, pathGlob).write.mode("overwrite")
+      .json(s"$outDir/_cf_attributes")
     std.groupBy(col("filename"), col("mission"), col("geo_code"))
       .agg(countDistinct(col("bodc")).as("n_vars"), count(lit(1)).as("n_values"),
         count(col("value")).as("n_nonnull"))

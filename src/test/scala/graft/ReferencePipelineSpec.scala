@@ -54,4 +54,28 @@ class ReferencePipelineSpec extends SparkSpec {
     // profile metadata travels with every value row
     assert(back.filter(col("geo_code").isNull).count() == 0)
   }
+
+  test("convertArchive emits the CF-attribute sidecar write_ctd_ncfile builds") {
+    val out = "target/tmp/ref_pipeline_cf"
+    ReferencePipeline.convertArchive(spark, s"$base/ctd_profile/*.ctd", out)
+    val cf = spark.read.json(s"$out/_cf_attributes")
+    val rows = cf.collect()
+    assert(rows.length == 6)
+    // the constants every reference NetCDF carries (write_ctd_ncfile.py:22-33)
+    assert(rows.forall(_.getAs[String]("featureType") == "profile"))
+    assert(rows.forall(_.getAs[String]("institution").startsWith(
+      "Institute of Ocean Sciences")))
+    assert(rows.forall(_.getAs[String]("summary").contains("CTDs mounted on rosettes")))
+    assert(rows.forall(_.getAs[String]("cdm_profile_variables") == "time"))
+    // identity block: %04d-%03d mission, event number, zfilled profile id
+    val r474 = rows.find(_.getAs[String]("filename") == "2017-020-0474.ctd").get
+    assert(r474.getAs[String]("mission_id") == "2017-020")
+    assert(r474.getAs[String]("event_number") == "474")
+    assert(r474.getAs[String]("profile_id") == "2017-020-0474")
+    // instrument + admin fields and the full original header survive
+    assert(r474.getAs[String]("scientist") != null)
+    assert(r474.getAs[String]("instrument_type") != null)
+    assert(r474.getAs[String]("header").contains("\"FILE\""))
+    assert(!r474.isNullAt(r474.fieldIndex("latitude")))
+  }
 }
