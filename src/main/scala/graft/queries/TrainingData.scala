@@ -1625,6 +1625,121 @@ object TrainingData {
       FROM documents JOIN p ON lang = plang
       GROUP BY lang, p5, p95 ORDER BY lang"""))
 
+  // ---- d14_dedup_incremental: bloom-prefiltered new-batch dedup ----------
+  // The cronjob shape of dedup at 100 TB: an existing corpus summarized
+  // as a Bloom filter over content hashes splits each incoming batch —
+  // probe-negative rows are DEFINITELY new (no join work at all, the
+  // overwhelming majority at normal dup rates), probe-positive rows
+  // (true dups + the fpp share) resolve exactly with an anti-join the
+  // bloom already shrank. The bloom is a pure prefilter, so the OUTPUT
+  // is exactly "incoming minus exact duplicates" — fully deterministic
+  // and SQL-oracle-checked even though a sketch sits on the fast path.
+  private val d14 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.newDocuments(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", expectedItems = 1000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents i
+      WHERE doc_id >= 400 AND NOT EXISTS (
+        SELECT 1 FROM documents e
+        WHERE e.doc_id < 400 AND md5(e.text) = md5(i.text))
+      ORDER BY doc_id"""))
+
+  // ---- t22_html_strip: boilerplate/markup removal ------------------------
+  // The first transform every web-crawl pipeline runs: drop script/style
+  // blocks, strip tags, collapse whitespace. HTML is synthesized
+  // deterministically around each doc's text on BOTH engines (same d6
+  // convention), the strip chain is three regexp_replace passes —
+  // map-only, codegen'd, no UDF.
+  private val t22 = Q(
+    (s, dir) => {
+      val html = concat(lit("<html><body><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><nav><a href=\"/home\">home</a></nav><p>"),
+        substring(col("text"), 1, 200),
+        lit("</p><script>var x = 1;</script></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("html"), lit("<[^>]+>"), lit(0))).as("n_tags"),
+          trim(regexp_replace(regexp_replace(regexp_replace(col("html"),
+            "<script[^<]*</script>", " "), "<[^>]+>", " "), "\\s+", " ")).as("clean"))
+        .select(col("doc_id"), col("n_tags"), length(col("clean")).as("clean_len"),
+          substring(col("clean"), 1, 40).as("clean_prefix"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+               '</h1><nav><a href="/home">home</a></nav><p>' ||
+               substr(text, 1, 200) ||
+               '</p><script>var x = 1;</script></body></html>' AS html
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INTEGER) AS n_tags,
+               trim(regexp_replace(regexp_replace(regexp_replace(html,
+                 '<script[^<]*</script>', ' ', 'g'), '<[^>]+>', ' ', 'g'),
+                 '\s+', ' ', 'g')) AS clean
+        FROM h)
+      SELECT doc_id, n_tags, CAST(length(clean) AS INTEGER) AS clean_len,
+             substr(clean, 1, 40) AS clean_prefix
+      FROM c ORDER BY doc_id"""))
+
+  // ---- t23_zipf_slope: rank-frequency power-law fit ----------------------
+  // Corpus health check: the least-squares slope of ln(freq) on ln(rank)
+  // over the top-200 tokens (natural text ≈ −1; a corpus that drifts far
+  // off is boilerplate- or template-heavy). One token count, one rank
+  // window over 200 rows, then a closed-form regression from
+  // exact-decimal sums; the ln inputs are pre-quantized so a 1-ulp libm
+  // divergence between engines cannot flip the result.
+  private val t23 = Q(
+    (s, dir) => {
+      // top-200 cut via orderBy().limit() = distributed TakeOrdered (no
+      // global sort of the vocabulary); the rank window then runs over
+      // just the 200 survivors
+      val freqs = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(200)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("freq").desc, col("tok"))))
+        .select(Det.qz(log(col("rnk").cast("double")), 8).as("x"),
+          Det.qz(log(col("freq").cast("double")), 8).as("y"))
+      val sums = freqs.agg(count(lit(1)).cast("double").as("n"),
+        Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
+        Det.dsum(col("x") * col("y")).as("sxy"),
+        Det.dsum(col("x") * col("x")).as("sxx"))
+      sums.select(col("n").cast("long").as("n_tokens"),
+        Det.qz((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+      f AS (
+        SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+      r AS (
+        SELECT ${Det.qzSql("LN(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE))", 8)} AS x,
+               ${Det.qzSql("LN(CAST(freq AS DOUBLE))", 8)} AS y,
+               row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+        FROM f QUALIFY rnk <= 200),
+      s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               ${Det.dsumSql("x")} AS sx, ${Det.dsumSql("y")} AS sy,
+               ${Det.dsumSql("x * y")} AS sxy, ${Det.dsumSql("x * x")} AS sxx
+        FROM r)
+      SELECT CAST(n AS BIGINT) AS n_tokens,
+             ${Det.qzSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS zipf_slope
+      FROM s"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "d1_dedup_exact" -> d1,
@@ -1640,6 +1755,7 @@ object TrainingData {
     "d11_snapshot_diff" -> d11,
     "d12_embedding_clusters" -> d12,
     "d13_minhash_dedup" -> d13,
+    "d14_dedup_incremental" -> d14,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
@@ -1661,6 +1777,8 @@ object TrainingData {
     "t19_context_pack" -> t19,
     "t20_weighted_sample" -> t20,
     "t21_length_gate" -> t21,
+    "t22_html_strip" -> t22,
+    "t23_zipf_slope" -> t23,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
