@@ -359,17 +359,34 @@ object TrainingData {
   // the bounded-heap node. Training is hash-deterministic but the key
   // involves ln() ranking → rows-only; Round5Spec pins layout
   // invariance and the weight-bias property.
+  // With the portable-hash uniform, the Efraimidis-Spirakis selection is
+  // fully oracle-replayed: DuckDB derives the same u in (0,1] from
+  // md5(doc_id), ranks ln(u)/w per stratum, and takes the same top-20.
   private val t20 = Q(
     (s, dir) => {
       val sampled = graft.operators.Sampling.weightedSample(
-        t(s, dir, "documents"), "doc_id", "n_chars", "lang", 20)
+        t(s, dir, "documents"), "doc_id", "n_chars", "lang", 20,
+        portableHash = true)
       sampled.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"),
           Det.davg(col("n_chars").cast("double")).as("avg_sampled_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy("lang")
     },
-    None)
+    Some(s"""
+      WITH k AS (
+        SELECT doc_id, lang, n_chars,
+               LN((${Text.md5LongSql("CAST(doc_id AS VARCHAR)")} + 1) /
+                 1.152921504606846976e18) / CAST(n_chars AS DOUBLE) AS es_key
+        FROM documents WHERE n_chars > 0),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY es_key DESC, doc_id) AS rn
+        FROM k)
+      SELECT lang, COUNT(*) AS n_sampled,
+             ${Det.davgSql("CAST(n_chars AS DOUBLE)")} AS avg_sampled_chars,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM r WHERE rn <= 20 GROUP BY lang ORDER BY lang"""))
 
   // ---- d13_minhash_dedup: the full MinHash pipeline as a keep decision ---
   // End-to-end what d3 (candidates) and d8 (clustering) exercise in
