@@ -89,35 +89,31 @@ object SimilaritySearch {
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Nearest-centroid id as ONE constant-size expression: the centroid
-    * table rides along as a literal array of (id, c·c, vec) structs and
-    * the argmin is a single higher-order `aggregate` fold over it
-    * (comparable distance c·c − 2·v·c; the v·v term is constant across
-    * centroids). Constant expression size is the point — unrolling
-    * k×dims literal arithmetic instead re-Janino-compiles a
-    * multi-thousand-node tree for every fresh centroid set (measured
-    * ~15 s per Lloyd round); this form compiles once and evaluates the
-    * tight fold per row. Strict `<` keeps the earlier id on ties —
-    * deterministic.
+  /** Column wrapper for a raw Catalyst expression. */
+  private def exprCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftSqlShim.column(e)
+  private def exprOf(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.GraftSqlShim.expression(c)
+
+  /** (subspace, code, centroid) triples → dense [subspace][code][dim]
+    * array for the native quantizer expressions.
+    */
+  private def booksToArray(books: Seq[(Int, Int, Array[Double])]): Array[Array[Array[Double]]] = {
+    val byS = books.groupBy(_._1)
+    (0 to books.map(_._1).max).map(s => byS(s).sortBy(_._2).map(_._3).toArray).toArray
+  }
+
+  /** Nearest-centroid id via the native [[graft.plans.NearestCentroidExpr]]
+    * kernel: the centroid table rides as a plain JVM array on the
+    * expression object (O(1) plan-tree size — a literal encoding instead
+    * re-walks thousands of nodes per optimizer pass) and the argmin is a
+    * primitive codegen loop. Distance is the comparable c·c − 2·v·c with
+    * strict `<` keeping the earlier id on ties — deterministic, and
+    * bit-identical to the HOF fold it replaced.
     */
   private def nearestExpr(v: org.apache.spark.sql.Column,
-                          cents: Array[Array[Double]]): org.apache.spark.sql.Column = {
-    val centsLit = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("i"), lit(c.map(x => x * x).sum).as("cc"),
-        array(c.map(lit(_)): _*).as("v"))
-    }: _*)
-    // accumulator is [best_dist, best_id] as array<double> — struct field
-    // names do not survive inside lambda bodies, arrays need none
-    element_at(aggregate(centsLit,
-      array(lit(Double.MaxValue), lit(-1.0)),
-      (acc, ce) => {
-        val dot = aggregate(zip_with(v, ce.getField("v"), (x, y) => x.cast("double") * y),
-          lit(0.0), (a, b) => a + b)
-        val d = ce.getField("cc") - lit(2.0) * dot
-        when(d < element_at(acc, 1),
-          array(d, ce.getField("i").cast("double"))).otherwise(acc)
-      }), 2).cast("int")
-  }
+                          cents: Array[Array[Double]]): org.apache.spark.sql.Column =
+    exprCol(graft.plans.NearestCentroidExpr(exprOf(v), cents))
 
   /** Deterministic hash-ordered training sample: one distributed
     * TakeOrdered pass (O(corpus) scan, O(sample) result) whose size is
@@ -219,44 +215,15 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
-  /** Nearest entry of ONE subspace codebook: the same constant-size fold
-    * as [[nearestExpr]] over a (code, c·c, centroid) literal array.
-    * Returns [best_dist_rel, best_code] (relative distance:
-    * c·c − 2·v·c; add v·v for the true squared distance).
+  /** PQ encode as ONE native struct expression ([[graft.plans.PqEncodeExpr]]):
+    * per-subspace argmin codes + total squared reconstruction error in a
+    * single primitive codegen loop — the map-only encode kernel shared
+    * by [[pqEncodeWith]] and [[ivfPqTopK]]'s index build. No explode, no
+    * shuffle, no codebook literals in the plan.
     */
-  private def nearestOfBook(v: org.apache.spark.sql.Column,
-                            book: Seq[(Int, Array[Double])]): org.apache.spark.sql.Column = {
-    val centsLit = array(book.map { case (j, c) =>
-      struct(lit(j).as("j"), lit(c.map(x => x * x).sum).as("cc"),
-        array(c.map(lit(_)): _*).as("v"))
-    }: _*)
-    aggregate(centsLit,
-      array(lit(Double.MaxValue), lit(-1.0)),
-      (acc, ce) => {
-        val dot = aggregate(zip_with(v, ce.getField("v"), (x, y) => x.cast("double") * y),
-          lit(0.0), (a, b) => a + b)
-        val d = ce.getField("cc") - lit(2.0) * dot
-        when(d < element_at(acc, 1),
-          array(d, ce.getField("j").cast("double"))).otherwise(acc)
-      })
-  }
-
-  /** Per-subspace (code, derr) structs for one vector column — the
-    * map-only encode kernel shared by [[pqEncodeWith]] and
-    * [[ivfPqTopK]]'s index build: `subspaces` bounded folds, each over
-    * its own 16-entry codebook literal, no explode, no shuffle.
-    */
-  private def pqBestCols(v: org.apache.spark.sql.Column,
-                         books: Seq[(Int, Int, Array[Double])],
-                         subDim: Int): Seq[org.apache.spark.sql.Column] = {
-    val byS = books.groupBy(_._1)
-    (0 to books.map(_._1).max).map { s =>
-      val sv = slice(v, s * subDim + 1, subDim)
-      val best = nearestOfBook(sv, byS(s).sortBy(_._2).map { case (_, j, c) => (j, c) })
-      struct(element_at(best, 2).cast("int").as("code"),
-        (Text.dotFast(sv, sv) + element_at(best, 1)).as("derr"))
-    }
-  }
+  private def pqEncodeCol(v: org.apache.spark.sql.Column,
+                          books: Seq[(Int, Int, Array[Double])]): org.apache.spark.sql.Column =
+    exprCol(graft.plans.PqEncodeExpr(exprOf(v), booksToArray(books)))
 
   /** Product quantization: split `dims` into `subspaces` blocks, train a
     * `codebookSize`-entry codebook per block (all blocks in one
@@ -300,17 +267,11 @@ object SimilaritySearch {
     * Returns (id, codes array<int>, err).
     */
   def pqEncodeWith(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
-                   books: Seq[(Int, Int, Array[Double])]): DataFrame = {
-    val subspaces = books.map(_._1).max + 1
-    val subDim = dims / subspaces
+                   books: Seq[(Int, Int, Array[Double])]): DataFrame =
     graft.Tables.spread(vectors, col(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), array(pqBestCols(col("v"), books, subDim): _*).as("b"))
-      .select(col("id"),
-        transform(col("b"), x => x.getField("code")).as("codes"),
-        aggregate(transform(col("b"), x => x.getField("derr")),
-          lit(0.0), (a, b) => a + b).as("err"))
-  }
+      .select(col("id"), pqEncodeCol(col("v"), books).as("pq"))
+      .select(col("id"), col("pq.codes").as("codes"), col("pq.err").as("err"))
 
   /** Train + encode in one call. */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
@@ -330,42 +291,18 @@ object SimilaritySearch {
     */
   private def adcLut(qv: org.apache.spark.sql.Column,
                      books: Seq[(Int, Int, Array[Double])],
-                     subspaces: Int, subDim: Int): org.apache.spark.sql.Column = {
-    val byS = books.groupBy(_._1)
-    val booksLit = array((0 until subspaces).map { s =>
-      array(byS(s).sortBy(_._2).map { case (_, _, c) =>
-        array(c.map(lit(_)): _*)
-      }: _*)
-    }: _*)
-    transform(sequence(lit(0), lit(subspaces - 1)), s => {
-      val qs = slice(qv, s * lit(subDim) + lit(1), lit(subDim))
-      transform(element_at(booksLit, s + 1), cv =>
-        aggregate(zip_with(qs, cv,
-            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (x, y) => x + y))
-    })
-  }
+                     subspaces: Int, subDim: Int): org.apache.spark.sql.Column =
+    exprCol(graft.plans.AdcLutExpr(exprOf(qv), booksToArray(books)))
 
-  /** `nProbe` nearest inverted-list ids as an in-plan column: distances
-    * to the centroid literal, `array_sort` on (dist, id) structs (struct
-    * ordering is field-by-field, so ties break on the earlier id —
-    * identical to the driver-side sortBy), then a bounded slice.
+  /** `nProbe` nearest inverted-list ids as an in-plan column
+    * ([[graft.plans.ProbeListExpr]]): distances against the JVM centroid
+    * array, (dist, id)-lexicographic order so ties break on the earlier
+    * id — identical to the array_sort-on-structs contract.
     */
   private def probeList(qv: org.apache.spark.sql.Column,
                         cents: Array[Array[Double]],
-                        nProbe: Int): org.apache.spark.sql.Column = {
-    val centsLit = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(lit(c.map(x => x * x).sum).as("cc"), lit(i).as("i"),
-        array(c.map(lit(_)): _*).as("v"))
-    }: _*)
-    transform(
-      slice(array_sort(transform(centsLit, ce =>
-        struct((ce.getField("cc") - lit(2.0) * aggregate(
-            zip_with(qv, ce.getField("v"), (x, y) => x.cast("double") * y),
-            lit(0.0), (a, b) => a + b)).as("d"),
-          ce.getField("i").as("i")))), 1, nProbe),
-      x => x.getField("i"))
-  }
+                        nProbe: Int): org.apache.spark.sql.Column =
+    exprCol(graft.plans.ProbeListExpr(exprOf(qv), cents, nProbe))
 
   /** PQ ADC (asymmetric distance) top-k: candidates are searched in CODE
     * space — the query computes one small lookup table per subspace
@@ -458,8 +395,7 @@ object SimilaritySearch {
     val index = graft.Tables.spread(candidates, col(idCol))
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .select(col("cid"),
-        transform(array(pqBestCols(col("cv"), books, subDim): _*),
-          x => x.getField("code")).as("codes"),
+        pqEncodeCol(col("cv"), books).getField("codes").as("codes"),
         nearestExpr(col("cv"), cents).as("centroid_id"))
 
     // query prep IN-PLAN on the broadcast side: the ADC LUT is a bounded

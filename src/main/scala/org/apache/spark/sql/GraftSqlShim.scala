@@ -11,6 +11,17 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Wrap a raw Catalyst expression as a user-facing Column (the
+    * construction path for custom expressions the public DSL cannot
+    * spell).
+    */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The inverse: recover the Catalyst expression behind a Column. */
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** -0.0/NaN canonicalization for grouping keys in custom physical plans
     * — the optimizer applies [[catalyst.optimizer.NormalizeFloatingNumbers]]
     * only to built-in Aggregate/Window/Join nodes.
