@@ -595,8 +595,64 @@ object TimeSeriesQueries {
       FROM dev JOIN mad ON event_type = at
       GROUP BY event_type, med, mad ORDER BY event_type"""))
 
+  // ---- s17_ewma: truncated exponential smoothing -----------------------
+  // EWMA with α=0.3 truncated at 16 taps: y_t = Σ_{j<16} α(1−α)^j·x_{t−j}
+  // per user stream. The decay weights are computed ONCE in Scala and
+  // interpolated into BOTH engines as literals — no pow() at query time,
+  // so there is no libm divergence to manage. The trailing window rides
+  // as an ordered ROWS-frame collect_list (deterministic order), the
+  // tap-weighted sum is an exact decimal fold (order-free). One keyed
+  // exchange at any scale.
+  private val s17 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val alpha = 0.3
+      val ws: Array[Double] = {
+        var w = alpha
+        Array.tabulate(16) { _ => val c = w; w *= (1 - alpha); c }
+      }
+      val wsLit = array(ws.map(lit(_)): _*)
+      val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, 0)
+      val trail = col("trail")
+      // each tap-weighted product quantizes to integer MICRO-UNITS with
+      // floor-based rounding (pure double arithmetic — identical bits on
+      // both engines; a double→decimal cast instead diverges: Spark
+      // rounds HALF_UP on the shortest decimal string, DuckDB truncates
+      // the scaled binary), then the micro-units sum exactly as longs
+      val prods = transform(sequence(lit(0), size(trail) - 1),
+        i => floor(element_at(trail, size(trail) - i) * element_at(wsLit, i + 1)
+          * 1e6 + 0.5).cast("long"))
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("trail", collect_list(col("value")).over(win))
+        .select(col("event_id"), col("user_id"),
+          Det.qz(aggregate(prods, lit(0L), (a, b) => a + b).cast("double") / 1e6).as("ewma"))
+        .orderBy("event_id")
+    },
+    Some {
+      val alpha = 0.3
+      val ws: Array[Double] = {
+        var w = alpha
+        Array.tabulate(16) { _ => val c = w; w *= (1 - alpha); c }
+      }
+      val wLit = ws.mkString("[", ", ", "]")
+      s"""
+      WITH tw AS (
+        SELECT event_id, user_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS trail
+        FROM events WHERE value IS NOT NULL)
+      SELECT event_id, user_id,
+             ${Det.qzSql(
+               s"CAST(list_sum(list_transform(range(len(trail)), " +
+               s"i -> CAST(FLOOR(trail[len(trail) - i] * ($wLit)[i + 1] * 1e6 + 0.5) AS BIGINT))) " +
+               s"AS DOUBLE) / 1e6")} AS ewma
+      FROM tw ORDER BY event_id"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
+    "s17_ewma" -> s17,
     "s2_sessionize" -> s2,
     "s3_asof_join" -> s3,
     "s4_range_join" -> s4,
