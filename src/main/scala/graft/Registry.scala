@@ -20,7 +20,19 @@ final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[Strin
   */
 object Det {
   val D = DecimalType(28, 6)
-  /** Order-insensitive, engine-exact sum of a double expression. */
+  /** Order-insensitive, engine-exact sum of a double expression.
+    *
+    * CAVEAT (measured, round 6): the double→decimal cast itself is only
+    * engine-identical for "tame" doubles — raw data values with few
+    * significant decimals. For COMPUTED doubles with long decimal tails,
+    * Spark rounds HALF_UP on the shortest decimal string
+    * (BigDecimal.valueOf) while DuckDB rounds the exact binary value, and
+    * shortest-representation exact-halves (…x5) diverge — the same
+    * hazard class as `round()` (see [[qz]]). When summing computed
+    * products, quantize to integer micro-units with floor arithmetic
+    * first (pure double ops, identical bits everywhere) and sum longs —
+    * see s17_ewma for the pattern.
+    */
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
   /** SQL twin of [[dsum]]. */
   def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
