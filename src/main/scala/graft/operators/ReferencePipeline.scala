@@ -69,21 +69,30 @@ object ReferencePipeline {
     * sidecar next to the parquet so ERDDAP-style consumers keep the
     * interchange metadata parquet cannot carry in its schema.
     */
-  def cfAttributes(spark: SparkSession, pathGlob: String): DataFrame = {
+  def cfAttributes(spark: SparkSession, pathGlob: String,
+                   datasetType: String = "ctd"): DataFrame = {
     import spark.implicits._
     import graft.sources.IosFileParser
+    // the dataset type is CALLER-supplied, exactly like the reference's
+    // per-archive ftype argument — every sample file carries a TIME
+    // INCREMENT, so header content cannot discriminate profile CTDs
+    // from moorings; the operator running the conversion knows which
+    // archive this is (write_ctd_ncfile.py:23-29 'ctd'/'bot' branches,
+    // write_mctd_ncfile.py:20-25 'mctd')
+    val featureType = if (datasetType == "mctd") "timeSeries" else "profile"
+    val summary = datasetType match {
+      case "bot" | "che" =>
+        "This dataset contains observations made by the Institute of Ocean Sciences of Fisheries and Oceans (DFO) using water samples."
+      case "mctd" =>
+        "This dataset contains observations made by the Institute of Ocean Sciences of Fisheries and Oceans (DFO) using CTDs mounted on moorings."
+      case _ =>
+        "This dataset contains observations made by the Institute of Ocean Sciences of Fisheries and Oceans (DFO) using CTDs mounted on rosettes."
+    }
     spark.read.option("wholetext", "true").format("text").load(pathGlob)
       .select(input_file_name().as("path"), col("value"))
       .as[(String, String)].mapPartitions { it =>
         it.map { case (path, content) =>
           val p = IosFileParser.parse(path.split('/').last, content)
-          val ext = p.filename.split('.').last.toLowerCase
-          val isBot = ext == "bot" || ext == "che"
-          val summary =
-            if (isBot)
-              "This dataset contains observations made by the Institute of Ocean Sciences of Fisheries and Oceans (DFO) using water samples."
-            else
-              "This dataset contains observations made by the Institute of Ocean Sciences of Fisheries and Oceans (DFO) using CTDs mounted on rosettes."
           // mission id normalized to %04d-%03d like write_ctd_ncfile.py:48-51;
           // unparsable missions keep their raw string (we convert archives,
           // not crash on them — soft-fail semantics like the outer script)
@@ -101,7 +110,7 @@ object ReferencePipeline {
             if (tail.length > 4) tail.dropRight(4) else tail
           }
           val profileId = s"$missionId-${("0" * math.max(0, 4 - eventId.length)) + eventId}"
-          (p.filename, "profile", summary, summary,
+          (p.filename, featureType, summary, summary,
             "Institute of Ocean Sciences, 9860 West Saanich Road, Sidney, B.C., Canada",
             "http://www.pac.dfo-mpo.gc.ca/science/oceans/data-donnees/index-eng.html",
             "time", missionId, eventId, profileId,
@@ -130,10 +139,11 @@ object ReferencePipeline {
     * data).
     */
   def convertArchive(spark: SparkSession, pathGlob: String, outDir: String,
-                     geoCatalog: Seq[Geo.NamedPolygon] = Geo.testCatalog): DataFrame = {
+                     geoCatalog: Seq[Geo.NamedPolygon] = Geo.testCatalog,
+                     datasetType: String = "ctd"): DataFrame = {
     val std = standardize(spark, pathGlob, geoCatalog)
     std.write.mode("overwrite").partitionBy("var_class").parquet(outDir)
-    cfAttributes(spark, pathGlob).write.mode("overwrite")
+    cfAttributes(spark, pathGlob, datasetType).write.mode("overwrite")
       .json(s"$outDir/_cf_attributes")
     std.groupBy(col("filename"), col("mission"), col("geo_code"))
       .agg(countDistinct(col("bodc")).as("n_vars"), count(lit(1)).as("n_values"),

@@ -78,4 +78,19 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(r474.getAs[String]("header").contains("\"FILE\""))
     assert(!r474.isNullAt(r474.fieldIndex("latitude")))
   }
+
+  test("CF sidecar routes mctd archives to the timeSeries featureType") {
+    val cf = ReferencePipeline.cfAttributes(spark,
+      s"$base/ctd_mooring/a1_20080429_20080518_0034m.ctd",
+      datasetType = "mctd").collect()
+    assert(cf.length == 1)
+    // write_mctd_ncfile.py:20-22: timeSeries + the moorings summary
+    assert(cf.head.getAs[String]("featureType") == "timeSeries")
+    assert(cf.head.getAs[String]("summary").contains("mounted on moorings"))
+    // bottle archives get the water-samples summary
+    val bot = ReferencePipeline.cfAttributes(spark,
+      s"$base/bot/1990-033-0002.che", datasetType = "bot").collect()
+    assert(bot.head.getAs[String]("featureType") == "profile")
+    assert(bot.head.getAs[String]("summary").contains("water samples"))
+  }
 }
