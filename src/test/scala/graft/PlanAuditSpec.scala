@@ -178,6 +178,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s17: EWMA is one keyed exchange, join-free, with no pow at query time") {
+    val p = planOf("s17_ewma")
+    assert(!p.contains("Join"), "EWMA must not join")
+    val keyed = "hashpartitioning".r.findAllIn(p).size
+    assert(keyed == 1, s"EWMA grew extra shuffles: $keyed\n${p.take(800)}")
+    // decay weights are literals, not pow() calls — no libm in the plan
+    assert(!p.toLowerCase.contains("pow("), "weights must be precomputed literals")
+  }
+
+  test("t22: boilerplate strip is map-only below the final sort") {
+    val p = planOf("t22_html_strip")
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+      s"tag strip must be map-only\n${p.take(800)}")
+  }
+
+  test("d14: incremental dedup plans the bloom fast path + one anti-join") {
+    val p = planOf("d14_dedup_incremental")
+    // the probe-positive residue resolves via ONE left-anti hash join
+    assert(p.contains("LeftAnti"), p.take(1000))
+    // the bloom probe rides as the native might_contain expression
+    assert(p.contains("might_contain"), "bloom prefilter missing from the plan")
+  }
+
   test("q36/s11: window shapes plan exactly one keyed exchange") {
     for (name <- Seq("q36_fill_down", "s11_moving_avg")) {
       val p = planOf(name)
