@@ -139,7 +139,11 @@ object Seawater {
   }
   private object SqlNum extends Num[String] {
     def const(v: Double): String = {
-      val s = v.toString
+      // e-notation: DuckDB types plain decimal literals DECIMAL(18,17)
+      // and may multiply in decimal (FLOAT operands don't force the
+      // double promotion) — e-notation parses as DOUBLE, keeping both
+      // engines on the identical IEEE ops. %.17e round-trips exactly.
+      val s = String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
       // negative constants must parenthesize or "a * -b" miparses
       if (v < 0) s"($s)" else s
     }
@@ -486,4 +490,133 @@ object Seawater {
     lit(1.0) / specvolG(sa, ct, p)(ColNum)
   def rhoTeos10Sql(sa: String, ct: String, p: String): String =
     s"(1.0 / ${specvolG(s"($sa)", s"($ct)", s"($p)")(SqlNum)})"
+
+  /** ∂v/∂CT part of the 75-term polynomial — the `a`-coefficient Horner
+    * tree from the reference's `gsw_alpha`
+    * (gsw_oceanographic_toolbox.c:242-265, coefficients
+    * gsw_internal_const.h GSW_SPECVOL_COEFFICIENTS), same nesting order
+    * so doubles match bit-for-bit.
+    */
+  private def vCtPartG[T](sa: T, ct: T, p: T)(implicit N: Num[T]): T = {
+    final class W(val t: T) {
+      def +(o: W): W = new W(N.add(t, o.t))
+      def *(o: W): W = new W(N.mul(t, o.t))
+    }
+    def c(v: Double): W = new W(N.const(v))
+    val xs = new W(N.sqrtN(N.add(N.mul(N.const(0.0248826675584615), sa),
+      N.const(5.971840214030754e-1))))
+    val ys = new W(N.mul(ct, N.const(0.025)))
+    val z = new W(N.mul(p, N.const(1e-4)))
+    val a000 = c(-1.56497346750e-5); val a001 = c(1.85057654290e-5); val a002 = c(-1.17363867310e-6)
+    val a003 = c(-3.65270065530e-7); val a004 = c(3.14540999020e-7); val a010 = c(5.55242129680e-5)
+    val a011 = c(-2.34332137060e-5); val a012 = c(4.26100574800e-6); val a013 = c(5.73918103180e-7)
+    val a020 = c(-4.95634777770e-5); val a021 = c(2.37838968519e-5); val a022 = c(-1.38397620111e-6)
+    val a030 = c(2.76445290808e-5); val a031 = c(-1.36408749928e-5); val a032 = c(-2.53411666056e-7)
+    val a040 = c(-4.02698077700e-6); val a041 = c(2.53683834070e-6); val a050 = c(1.23258565608e-6)
+    val a100 = c(3.50095997640e-5); val a101 = c(-9.56770881560e-6); val a102 = c(-5.56991545570e-6)
+    val a103 = c(-2.72956962370e-7); val a110 = c(-7.48716846880e-5); val a111 = c(-4.73566167220e-7)
+    val a112 = c(7.82747741600e-7); val a120 = c(7.24244384490e-5); val a121 = c(-1.03676320965e-5)
+    val a122 = c(2.32856664276e-8); val a130 = c(-3.50383492616e-5); val a131 = c(5.18268711320e-6)
+    val a140 = c(-1.65263794500e-6); val a200 = c(-4.35926785610e-5); val a201 = c(1.11008347650e-5)
+    val a202 = c(5.46207488340e-6); val a210 = c(7.18156455200e-5); val a211 = c(5.85666925900e-6)
+    val a212 = c(-1.31462208134e-6); val a220 = c(-4.30608991440e-5); val a221 = c(9.49659182340e-7)
+    val a230 = c(1.74814722392e-5); val a300 = c(3.45324618280e-5); val a301 = c(-9.84471178440e-6)
+    val a302 = c(-1.35441856270e-6); val a310 = c(-3.73971683740e-5); val a311 = c(-9.76522784000e-7)
+    val a320 = c(6.85899736680e-6); val a400 = c(-1.19594097880e-5); val a401 = c(2.59092252600e-6)
+    val a410 = c(7.71906784880e-6); val a500 = c(1.38645945810e-6)
+    val value = (a000
+      + xs*(a100 + xs*(a200 + xs*(a300 + xs*(a400 + a500*xs))))
+      + ys*(a010 + xs*(a110 + xs*(a210 + xs*(a310 + a410*xs)))
+      + ys*(a020 + xs*(a120 + xs*(a220 + a320*xs)) + ys*(a030
+      + xs*(a130 + a230*xs) + ys*(a040 + a140*xs + a050*ys))))
+      + z*(a001 + xs*(a101 + xs*(a201 + xs*(a301 + a401*xs)))
+      + ys*(a011 + xs*(a111 + xs*(a211 + a311*xs)) + ys*(a021
+      + xs*(a121 + a221*xs) + ys*(a031 + a131*xs + a041*ys)))
+      + z*(a002 + xs*(a102 + xs*(a202 + a302*xs)) + ys*(a012
+      + xs*(a112 + a212*xs) + ys*(a022 + a122*xs + a032*ys))
+      + z*(a003 + a103*xs + a013*ys + a004*z))))
+    value.t
+  }
+
+  /** ∂v/∂SA part — the `b`-coefficient Horner tree from the reference's
+    * `gsw_beta` (gsw_oceanographic_toolbox.c:386-409), same nesting.
+    */
+  private def vSaPartG[T](sa: T, ct: T, p: T)(implicit N: Num[T]): T = {
+    final class W(val t: T) {
+      def +(o: W): W = new W(N.add(t, o.t))
+      def *(o: W): W = new W(N.mul(t, o.t))
+    }
+    def c(v: Double): W = new W(N.const(v))
+    val xs = new W(N.sqrtN(N.add(N.mul(N.const(0.0248826675584615), sa),
+      N.const(5.971840214030754e-1))))
+    val ys = new W(N.mul(ct, N.const(0.025)))
+    val z = new W(N.mul(p, N.const(1e-4)))
+    val b000 = c(-3.10389819760e-4); val b001 = c(2.42624687470e-5); val b002 = c(-5.84844329840e-7)
+    val b003 = c(3.63101885150e-7); val b004 = c(-1.11471254230e-7); val b010 = c(3.50095997640e-5)
+    val b011 = c(-9.56770881560e-6); val b012 = c(-5.56991545570e-6); val b013 = c(-2.72956962370e-7)
+    val b020 = c(-3.74358423440e-5); val b021 = c(-2.36783083610e-7); val b022 = c(3.91373870800e-7)
+    val b030 = c(2.41414794830e-5); val b031 = c(-3.45587736550e-6); val b032 = c(7.76188880920e-9)
+    val b040 = c(-8.75958731540e-6); val b041 = c(1.29567177830e-6); val b050 = c(-3.30527589000e-7)
+    val b100 = c(1.33856134076e-3); val b101 = c(-6.95849219480e-5); val b102 = c(-9.62445031940e-6)
+    val b103 = c(3.34926075600e-8); val b110 = c(-8.71853571220e-5); val b111 = c(2.22016695300e-5)
+    val b112 = c(1.09241497668e-5); val b120 = c(7.18156455200e-5); val b121 = c(5.85666925900e-6)
+    val b122 = c(-1.31462208134e-6); val b130 = c(-2.87072660960e-5); val b131 = c(6.33106121560e-7)
+    val b140 = c(8.74073611960e-6); val b200 = c(-2.55143801811e-3); val b201 = c(1.12412331915e-4)
+    val b202 = c(1.47789320994e-5); val b210 = c(1.03597385484e-4); val b211 = c(-2.95341353532e-5)
+    val b212 = c(-4.06325568810e-6); val b220 = c(-5.60957525610e-5); val b221 = c(-1.46478417600e-6)
+    val b230 = c(6.85899736680e-6); val b300 = c(2.32344279772e-3); val b301 = c(-6.92888744480e-5)
+    val b302 = c(-7.12478989080e-6); val b310 = c(-4.78376391520e-5); val b311 = c(1.03636901040e-5)
+    val b320 = c(1.54381356976e-5); val b400 = c(-1.05461852535e-3); val b401 = c(1.54637136265e-5)
+    val b410 = c(6.93229729050e-6); val b500 = c(1.91594743830e-4)
+    val value = (b000
+      + xs*(b100 + xs*(b200 + xs*(b300 + xs*(b400 + b500*xs))))
+      + ys*(b010 + xs*(b110 + xs*(b210 + xs*(b310 + b410*xs)))
+      + ys*(b020 + xs*(b120 + xs*(b220 + b320*xs)) + ys*(b030
+      + xs*(b130 + b230*xs) + ys*(b040 + b140*xs + b050*ys))))
+      + z*(b001 + xs*(b101 + xs*(b201 + xs*(b301 + b401*xs)))
+      + ys*(b011 + xs*(b111 + xs*(b211 + b311*xs)) + ys*(b021
+      + xs*(b121 + b221*xs) + ys*(b031 + b131*xs + b041*ys)))
+      + z*(b002 + xs*(b102 + xs*(b202 + b302*xs)) + ys*(b012
+      + xs*(b112 + b212*xs) + ys*(b022 + b122*xs + b032*ys))
+      + z*(b003 + b103*xs + b013*ys + b004*z))))
+    value.t
+  }
+
+  private def alphaG[T](sa: T, ct: T, p: T)(implicit N: Num[T]): T =
+    N.div(N.mul(N.const(0.025), vCtPartG(sa, ct, p)), specvolG(sa, ct, p))
+
+  private def betaG[T](sa: T, ct: T, p: T)(implicit N: Num[T]): T = {
+    val xs = N.sqrtN(N.add(N.mul(N.const(0.0248826675584615), sa),
+      N.const(5.971840214030754e-1)))
+    N.div(N.mul(N.mul(vSaPartG(sa, ct, p), N.const(-0.5)),
+      N.const(0.0248826675584615)), N.mul(specvolG(sa, ct, p), xs))
+  }
+
+  /** Thermal expansion coefficient α(SA, CT, p) 1/K with respect to
+    * Conservative Temperature — TEOS-10 `gsw_alpha`
+    * (gsw_oceanographic_toolbox.c:242-265): α = 0.025·(∂v/∂CT)/v over the
+    * 75-term polynomial's analytic derivative. Check values (evaluated
+    * through the reference's own C polynomial on the standard TEOS-10
+    * profile): α(34.7118, 28.8099, 10) = 3.246389345092448e-4,
+    * α(34.8472, 10.2262, 250) = 1.731997163447798e-4,
+    * α(34.7324, 4.3236, 1000) = 1.294148453345987e-4.
+    */
+  def alphaTeos10(sa: Column, ct: Column, p: Column): Column =
+    alphaG(sa, ct, p)(ColNum)
+  def alphaTeos10Sql(sa: String, ct: String, p: String): String =
+    alphaG(s"($sa)", s"($ct)", s"($p)")(SqlNum)
+
+  /** Saline (haline) contraction coefficient β(SA, CT, p) kg/g at
+    * constant CT and p — TEOS-10 `gsw_beta`
+    * (gsw_oceanographic_toolbox.c:386-409): β = −(∂v/∂SA)/v with the
+    * chain rule through xs = √(sfac·SA + offset). Check values (via the
+    * reference's own C polynomial): β(34.7118, 28.8099, 10) =
+    * 7.174839875961353e-4, β(34.8472, 10.2262, 250) =
+    * 7.505007517497767e-4, β(34.7324, 4.3236, 1000) =
+    * 7.570508133843701e-4.
+    */
+  def betaTeos10(sa: Column, ct: Column, p: Column): Column =
+    betaG(sa, ct, p)(ColNum)
+  def betaTeos10Sql(sa: String, ct: String, p: String): String =
+    betaG(s"($sa)", s"($ct)", s"($p)")(SqlNum)
 }

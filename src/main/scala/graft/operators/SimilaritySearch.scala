@@ -563,4 +563,33 @@ object SimilaritySearch {
       .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Recall@k evaluator — the measurement half of every ANN tier: how
+    * much of the exact top-k did the approximate index return? Both
+    * inputs are (qid, cid[, rnk]) result sets (e.g. [[bruteForceTopK]]
+    * ground truth vs [[ivfTopK]]/[[lshTopK]]/[[sqTopK]] candidates);
+    * rows ranked beyond k are ignored on both sides, so a shortlist
+    * larger than k can be evaluated at any cutoff.
+    *
+    * Scale shape: result sets are queries×k rows — tiny relative to the
+    * corpus whatever the corpus size — so the hit-join is one keyed
+    * exchange of id pairs (never vectors), and per-query recall is one
+    * aggregation on the same key. Works unchanged when `exact` carries
+    * millions of queries; nothing here touches the driver.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    def cut(df: DataFrame, q: String, c: String) = {
+      val base = df.select(col("qid").as(q), col("cid").as(c),
+        (if (df.columns.contains("rnk")) col("rnk")
+         else row_number().over(Window.partitionBy("qid").orderBy("cid"))).as("r"))
+      base.filter(col("r") <= k).drop("r")
+    }
+    val e = cut(exact, "qid", "cid")
+    val a = cut(approx, "aqid", "acid")
+    e.join(a, col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"), count(col("acid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+  }
 }

@@ -813,6 +813,37 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r28_alpha_beta: TEOS-10 thermal expansion / haline contraction --
+  // The analytic CT- and SA-derivatives of the 75-term specific-volume
+  // polynomial (gsw_alpha / gsw_beta) — the coefficients an oceanographer
+  // needs right after density itself: buoyancy-frequency decomposition
+  // N² = g(α·dCT/dz − β·dSA/dz), cabbeling, water-mass analysis. Pure
+  // map-side column math over the same synthesized (SA, CT, p) ramp as
+  // r27; both engines evaluate the identical Horner tree, quantized at
+  // 1e-10 (α,β ~ 10⁻⁴, so 6 significant digits survive).
+  private val r28 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sa", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("ct", col("l_quantity") % 30.0)
+        .withColumn("pres", col("l_extendedprice") % 4000.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.alphaTeos10(col("sa"), col("ct"), col("pres")), 10).as("alpha"),
+        graft.Det.qz(graft.functions.Seawater.betaTeos10(col("sa"), col("ct"), col("pres")), 10).as("beta"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val al = graft.functions.Seawater.alphaTeos10Sql(
+        "30.0 + l_discount * 100.0", "l_quantity % 30.0", "l_extendedprice % 4000.0")
+      val be = graft.functions.Seawater.betaTeos10Sql(
+        "30.0 + l_discount * 100.0", "l_quantity % 30.0", "l_extendedprice % 4000.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($al) * 1e10 + 0.5) / 1e10 AS alpha,
+             FLOOR(($be) * 1e10 + 0.5) / 1e10 AS beta
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -840,5 +871,6 @@ object ReferenceOps {
     "p2_ocean_products" -> p2,
     "r25_bottle_matchup" -> r25,
     "r26_abs_salinity" -> r26,
-    "r27_insitu_density" -> r27)
+    "r27_insitu_density" -> r27,
+    "r28_alpha_beta" -> r28)
 }

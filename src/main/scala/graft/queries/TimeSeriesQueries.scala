@@ -635,7 +635,10 @@ object TimeSeriesQueries {
         var w = alpha
         Array.tabulate(16) { _ => val c = w; w *= (1 - alpha); c }
       }
-      val wLit = ws.mkString("[", ", ", "]")
+      // e-notation so DuckDB types the taps DOUBLE, not DECIMAL (same
+      // boundary hazard as s18's matrices — see sqlLit there)
+      val wLit = ws.map(w => String.format(java.util.Locale.ROOT, "%.17e", Double.box(w)))
+        .mkString("[", ", ", "]")
       s"""
       WITH tw AS (
         SELECT event_id, user_id,
@@ -650,9 +653,86 @@ object TimeSeriesQueries {
       FROM tw ORDER BY event_id"""
     })
 
+  // ---- s18_holt: double-exponential (Holt) smoothing -------------------
+  // Level + trend smoothing truncated at 12 taps, the trend-aware
+  // complement to s17's EWMA. The Holt recursion (l_t = αx_t +
+  // (1−α)(l_{t−1}+b_{t−1}); b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, init
+  // l₁ = x₁, b₁ = 0) has state LINEAR in the inputs, so it unrolls to a
+  // per-trail-length tap-weight vector. Both weight matrices (level and
+  // trend, one row per window fill 1..12) are computed ONCE in Scala by
+  // running the recursion on unit vectors, and interpolated into BOTH
+  // engines as nested literals — query time is a bounded weighted sum,
+  // no recursion, no pow(), no libm. Same exact micro-unit fold as s17
+  // (pure-double products floored to longs, order-free exact sum). One
+  // keyed exchange at any scale.
+  private val s18: Q = {
+    val W = 12; val alpha = 0.5; val beta = 0.3
+    // unrolled Holt recursion: weight j of level/trend after n steps
+    def weightsAt(n: Int): (Array[Double], Array[Double]) = {
+      var lw = Array.tabulate(n)(j => if (j == 0) 1.0 else 0.0)
+      var bw = Array.fill(n)(0.0)
+      for (t <- 1 until n) {
+        val nl = Array.tabulate(n)(j =>
+          (1 - alpha) * (lw(j) + bw(j)) + (if (j == t) alpha else 0.0))
+        val nb = Array.tabulate(n)(j => beta * (nl(j) - lw(j)) + (1 - beta) * bw(j))
+        lw = nl; bw = nb
+      }
+      (lw, bw)
+    }
+    val mats = (1 to W).map(weightsAt)
+    val lMat = mats.map(_._1); val bMat = mats.map(_._2)
+
+    def sparkLit(m: Seq[Array[Double]]) =
+      array(m.map(row => array(row.map(lit(_)).toSeq: _*)): _*)
+    // scientific notation: DuckDB types plain decimal literals as
+    // DECIMAL(18,17) and does decimal arithmetic (different rounding —
+    // one tap landing on a .5 micro-unit boundary flips the floor);
+    // e-notation parses as DOUBLE, so both engines run the same IEEE
+    // multiply. %.17e round-trips every double exactly.
+    def sqlLit(m: Seq[Array[Double]]) =
+      m.map(_.map(w => String.format(java.util.Locale.ROOT, "%.17e", Double.box(w)))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+    def fold(mat: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val trail = col("trail")
+      val row = element_at(mat, size(trail))
+      val prods = transform(sequence(lit(1), size(trail)),
+        j => floor(element_at(trail, j) * element_at(row, j) * 1e6 + 0.5).cast("long"))
+      Det.qz(aggregate(prods, lit(0L), (a, b) => a + b).cast("double") / 1e6)
+    }
+    def foldSql(matLit: String): String = Det.qzSql(
+      s"CAST(list_sum(list_transform(range(1, len(trail) + 1), " +
+      s"j -> CAST(FLOOR(trail[j] * ($matLit)[len(trail)][j] * 1e6 + 0.5) AS BIGINT))) " +
+      s"AS DOUBLE) / 1e6")
+
+    Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-(W - 1), 0)
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("trail", collect_list(col("value")).over(win))
+          .select(col("event_id"), col("user_id"),
+            fold(sparkLit(lMat)).as("holt_level"),
+            fold(sparkLit(bMat)).as("holt_trend"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH tw AS (
+          SELECT event_id, user_id,
+                 list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS trail
+          FROM events WHERE value IS NOT NULL)
+        SELECT event_id, user_id,
+               ${foldSql(sqlLit(lMat))} AS holt_level,
+               ${foldSql(sqlLit(bMat))} AS holt_trend
+        FROM tw ORDER BY event_id"""))
+  }
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s17_ewma" -> s17,
+    "s18_holt" -> s18,
     "s2_sessionize" -> s2,
     "s3_asof_join" -> s3,
     "s4_range_join" -> s4,

@@ -1119,6 +1119,27 @@ object TrainingData {
     },
     None)
 
+  // ---- v8_recall_eval: ANN quality measurement --------------------------
+  // The evaluation harness every ANN deployment runs before trusting an
+  // index: recall@k of the IVF tier against the exact brute-force
+  // baseline, per query. Join is on (qid, cid) id pairs — queries×k
+  // rows however big the corpus — so the evaluator is constant-cost
+  // relative to the index build. Approx side is training-dependent →
+  // rows-only; Round6Spec pins the nProbe→recall monotonicity and the
+  // full-probe==1.0 identity.
+  private val v8 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val c = emb.filter(col("vec_id") >= 5)
+      val exact = SimilaritySearch.bruteForceTopK(q, c, "vec_id", "embedding", k = 10)
+      val approx = SimilaritySearch.ivfTopK(q, c, "vec_id", "embedding",
+        k = 10, nCentroids = 10, nProbe = 3, iters = 3)
+      SimilaritySearch.recallAtK(exact, approx, k = 10)
+        .orderBy("qid")
+    },
+    None)
+
   // ---- t12_histogram: corpus length distribution per language ------------
   // Fixed-width histogram (500-char buckets) of document length by lang —
   // the profiling shape behind "what does this corpus look like" at
@@ -1803,6 +1824,7 @@ object TrainingData {
     "v5_pq_adc" -> v5,
     "v6_ivf_pq" -> v6,
     "v7_sq_int8" -> v7,
+    "v8_recall_eval" -> v8,
     "m1_binary_meta" -> m1,
     "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3,

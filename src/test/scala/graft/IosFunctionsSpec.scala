@@ -122,6 +122,26 @@ class IosFunctionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - 1025.963954409665) < 1e-9)
   }
 
+  test("TEOS-10 alpha/beta match the reference C derivative polynomials") {
+    import graft.functions.Seawater
+    val df = Seq(1.0).toDF("x")
+    val row = df.select(
+      Seawater.alphaTeos10(lit(34.7118), lit(28.8099), lit(10.0)).as("a1"),
+      Seawater.alphaTeos10(lit(34.8472), lit(10.2262), lit(250.0)).as("a2"),
+      Seawater.alphaTeos10(lit(34.7324), lit(4.3236), lit(1000.0)).as("a3"),
+      Seawater.betaTeos10(lit(34.7118), lit(28.8099), lit(10.0)).as("b1"),
+      Seawater.betaTeos10(lit(34.8472), lit(10.2262), lit(250.0)).as("b2"),
+      Seawater.betaTeos10(lit(34.7324), lit(4.3236), lit(1000.0)).as("b3")).collect()(0)
+    // evaluated through the reference's own gsw_alpha/gsw_beta Horner
+    // chains on the standard TEOS-10 check profile
+    assert(math.abs(row.getDouble(0) - 3.246389345092448e-4) < 1e-17)
+    assert(math.abs(row.getDouble(1) - 1.731997163447798e-4) < 1e-17)
+    assert(math.abs(row.getDouble(2) - 1.294148453345987e-4) < 1e-17)
+    assert(math.abs(row.getDouble(3) - 7.174839875961353e-4) < 1e-17)
+    assert(math.abs(row.getDouble(4) - 7.505007517497767e-4) < 1e-17)
+    assert(math.abs(row.getDouble(5) - 7.570508133843701e-4) < 1e-17)
+  }
+
   test("SA from SP: open-ocean scaling and the Baltic analytic branch") {
     import graft.functions.Seawater
     val df = Seq(1.0).toDF("x")

@@ -187,6 +187,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("pow("), "weights must be precomputed literals")
   }
 
+  test("s18: Holt smoothing is one keyed exchange, join-free, weights as literals") {
+    val p = planOf("s18_holt")
+    assert(!p.contains("Join"), "Holt must not join")
+    val keyed = "hashpartitioning".r.findAllIn(p).size
+    assert(keyed == 1, s"Holt grew extra shuffles: $keyed\n${p.take(800)}")
+    assert(!p.toLowerCase.contains("pow("), "weights must be precomputed literals")
+  }
+
   test("t22: boilerplate strip is map-only below the final sort") {
     val p = planOf("t22_html_strip")
     assert(!p.contains("Join") && !p.contains("hashpartitioning"),

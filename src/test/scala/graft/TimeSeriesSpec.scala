@@ -67,4 +67,46 @@ class TimeSeriesSpec extends SparkSpec {
       .as[Timestamp].head()
     assert(out == ts("2024-01-01 10:00:00"))
   }
+
+  test("s18: unrolled Holt weights equal the direct recursion on real data") {
+    // the registry query computes level/trend through the precomputed
+    // weight matrices; replay the plain Holt recursion per user over the
+    // same 12-tap trail with the same micro-unit quantization and compare
+    // every row
+    val W = 12; val alpha = 0.5; val beta = 0.3
+    val got = SparkEntry.queries("s18_holt")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getDouble(2), r.getDouble(3)))).toMap
+
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("value").isNotNull)
+      .select("user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    def qz(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    var checked = 0
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      val vals = evs.map(_._4)
+      for (i <- evs.indices) {
+        val trail = vals.slice(math.max(0, i - (W - 1)), i + 1)
+        var l = trail(0); var b = 0.0
+        for (t2 <- 1 until trail.length) {
+          val prev = l
+          l = alpha * trail(t2) + (1 - alpha) * (l + b)
+          b = beta * (l - prev) + (1 - beta) * b
+        }
+        // the engine rounds per-tap products to micro-units (≤0.5e-6 per
+        // tap), which can push the pre-quantization value across one
+        // 1e-4 boundary of the final Det.qz — tolerate exactly one
+        // quantum plus the tap rounding, not recursion drift
+        val (gl, gt) = got(evs(i)._3)
+        assert(math.abs(gl - qz(l)) < 1.1e-4,
+          s"level mismatch at event ${evs(i)._3}: got $gl want ~$l")
+        assert(math.abs(gt - qz(b)) < 1.1e-4,
+          s"trend mismatch at event ${evs(i)._3}: got $gt want ~$b")
+        checked += 1
+      }
+    }
+    assert(checked > 100)
+  }
 }
