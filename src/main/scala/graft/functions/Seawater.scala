@@ -592,6 +592,81 @@ object Seawater {
       N.const(0.0248826675584615)), N.mul(specvolG(sa, ct, p), xs))
   }
 
+  /** Dynamic-enthalpy part of the 75-term polynomial — the
+    * pressure-integrated `h`-coefficient Horner tree from the
+    * reference's `gsw_dynamic_enthalpy`
+    * (gsw_oceanographic_toolbox.c:1856-1884, coefficients
+    * gsw_internal_const.h), same nesting so doubles match the C
+    * bit-for-bit. Result scaled by db2pa·1e4 = 1e8 like the C.
+    */
+  private def dynEnthalpyG[T](sa: T, ct: T, p: T)(implicit N: Num[T]): T = {
+    final class W(val t: T) {
+      def +(o: W): W = new W(N.add(t, o.t))
+      def *(o: W): W = new W(N.mul(t, o.t))
+    }
+    def c(v: Double): W = new W(N.const(v))
+    val xs = new W(N.sqrtN(N.add(N.mul(N.const(0.0248826675584615), sa),
+      N.const(5.971840214030754e-1))))
+    val ys = new W(N.mul(ct, N.const(0.025)))
+    val z = new W(N.mul(p, N.const(1e-4)))
+    val h001 = c(1.07699958620e-3); val h002 = c(-3.03995719050e-5); val h003 = c(3.32853897400e-6)
+    val h004 = c(-2.82734035930e-7); val h005 = c(2.10623061600e-8); val h006 = c(-2.10787688100e-9)
+    val h007 = c(2.80192913290e-10); val h011 = c(-1.56497346750e-5); val h012 = c(9.25288271450e-6)
+    val h013 = c(-3.91212891030e-7); val h014 = c(-9.13175163830e-8); val h015 = c(6.29081998040e-8)
+    val h021 = c(2.77621064840e-5); val h022 = c(-5.85830342650e-6); val h023 = c(7.10167624670e-7)
+    val h024 = c(7.17397628980e-8); val h031 = c(-1.65211592590e-5); val h032 = c(3.96398280870e-6)
+    val h033 = c(-1.53775133460e-7); val h041 = c(6.91113227020e-6); val h042 = c(-1.70510937410e-6)
+    val h043 = c(-2.11176388380e-8); val h051 = c(-8.05396155400e-7); val h052 = c(2.53683834070e-7)
+    val h061 = c(2.05430942680e-7); val h101 = c(-3.10389819760e-4); val h102 = c(1.21312343735e-5)
+    val h103 = c(-1.94948109950e-7); val h104 = c(9.07754712880e-8); val h105 = c(-2.22942508460e-8)
+    val h111 = c(3.50095997640e-5); val h112 = c(-4.78385440780e-6); val h113 = c(-1.85663848520e-6)
+    val h114 = c(-6.82392405930e-8); val h121 = c(-3.74358423440e-5); val h122 = c(-1.18391541805e-7)
+    val h123 = c(1.30457956930e-7); val h131 = c(2.41414794830e-5); val h132 = c(-1.72793868275e-6)
+    val h133 = c(2.58729626970e-9); val h141 = c(-8.75958731540e-6); val h142 = c(6.47835889150e-7)
+    val h151 = c(-3.30527589000e-7); val h201 = c(6.69280670380e-4); val h202 = c(-1.73962304870e-5)
+    val h203 = c(-1.60407505320e-6); val h204 = c(4.18657594500e-9); val h211 = c(-4.35926785610e-5)
+    val h212 = c(5.55041738250e-6); val h213 = c(1.82069162780e-6); val h221 = c(3.59078227600e-5)
+    val h222 = c(1.46416731475e-6); val h223 = c(-2.19103680220e-7); val h231 = c(-1.43536330480e-5)
+    val h232 = c(1.58276530390e-7); val h241 = c(4.37036805980e-6); val h301 = c(-8.50479339370e-4)
+    val h302 = c(1.87353886525e-5); val h303 = c(1.64210356660e-6); val h311 = c(3.45324618280e-5)
+    val h312 = c(-4.92235589220e-6); val h313 = c(-4.51472854230e-7); val h321 = c(-1.86985841870e-5)
+    val h322 = c(-2.44130696000e-7); val h331 = c(2.28633245560e-6); val h401 = c(5.80860699430e-4)
+    val h402 = c(-8.66110930600e-6); val h403 = c(-5.93732490900e-7); val h411 = c(-1.19594097880e-5)
+    val h412 = c(1.29546126300e-6); val h421 = c(3.85953392440e-6); val h501 = c(-2.10923705070e-4)
+    val h502 = c(1.54637136265e-6); val h511 = c(1.38645945810e-6); val h601 = c(3.19324573050e-5)
+    val part = (z*(h001 + xs*(h101 + xs*(h201 + xs*(h301 + xs*(h401 + xs*(h501
+      + h601*xs))))) + ys*(h011 + xs*(h111 + xs*(h211 + xs*(h311 + xs*(h411
+      + h511*xs)))) + ys*(h021 + xs*(h121 + xs*(h221 + xs*(h321 + h421*xs)))
+      + ys*(h031 + xs*(h131 + xs*(h231 + h331*xs)) + ys*(h041 + xs*(h141
+      + h241*xs) + ys*(h051 + h151*xs + h061*ys))))) + z*(h002 + xs*(h102
+      + xs*(h202 + xs*(h302 + xs*(h402 + h502*xs)))) + ys*(h012 + xs*(h112
+      + xs*(h212 + xs*(h312 + h412*xs))) + ys*(h022 + xs*(h122 + xs*(h222
+      + h322*xs)) + ys*(h032 + xs*(h132 + h232*xs) + ys*(h042 + h142*xs
+      + h052*ys)))) + z*(h003 + xs*(h103 + xs*(h203 + xs*(h303 + h403*xs)))
+      + ys*(h013 + xs*(h113 + xs*(h213 + h313*xs)) + ys*(h023 + xs*(h123
+      + h223*xs) + ys*(h033 + h133*xs + h043*ys))) + z*(h004 + xs*(h104
+      + h204*xs) + ys*(h014 + h114*xs + h024*ys) + z*(h005 + h105*xs
+      + h015*ys + z*(h006 + h007*z)))))))
+    N.mul(part.t, N.const(1e8))
+  }
+
+  private def enthalpyG[T](sa: T, ct: T, p: T)(implicit N: Num[T]): T =
+    N.add(N.mul(N.const(3991.86795711963), ct), dynEnthalpyG(sa, ct, p))
+
+  /** Specific enthalpy h(SA, CT, p) J/kg — TEOS-10 `gsw_enthalpy`
+    * (gsw_oceanographic_toolbox.c:1900-1923): cp0·CT plus the
+    * pressure-integral (dynamic) enthalpy from the 75-term polynomial.
+    * The heat-content currency of ocean heat transport budgets. Check
+    * values (evaluated through the reference's own C polynomial on the
+    * standard TEOS-10 profile): h(34.7118, 28.8099, 10) =
+    * 115103.181355909, h(34.8472, 10.2262, 250) = 43255.371302628,
+    * h(34.7324, 4.3236, 1000) = 26970.684160346.
+    */
+  def enthalpyTeos10(sa: Column, ct: Column, p: Column): Column =
+    enthalpyG(sa, ct, p)(ColNum)
+  def enthalpyTeos10Sql(sa: String, ct: String, p: String): String =
+    enthalpyG(s"($sa)", s"($ct)", s"($p)")(SqlNum)
+
   /** Thermal expansion coefficient α(SA, CT, p) 1/K with respect to
     * Conservative Temperature — TEOS-10 `gsw_alpha`
     * (gsw_oceanographic_toolbox.c:242-265): α = 0.025·(∂v/∂CT)/v over the

@@ -63,6 +63,42 @@ object Dedup {
       .filter(col("inter_cnt") * minJaccardInv >= col("union_cnt"))
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |A∩B|/|A| over distinct
+    * k-shingle sets — the near-dup relation Jaccard misses when a short
+    * document is wholly embedded in a long one (quote inclusion, page
+    * aggregation, boilerplate wrapping). Same scale shape as
+    * [[ngramJaccardPairs]]: df-cap window kills hot shingles BEFORE the
+    * self-join, set sizes ride the same exchange as window counts, and
+    * both join sides are one reused subplan. Emits both directions
+    * (c1 = inter/|id1|, c2 = inter/|id2|); pairs kept when either
+    * containment clears `minContainmentPct`.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, k: Int = 3,
+                       maxShingleDf: Int = Int.MaxValue,
+                       minContainmentPct: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = graft.Tables.spread(docs, col(idCol))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"),
+        explode(Text.shingles(Text.tokens(col(textCol)), k)).as("sh"))
+    val filtered =
+      if (maxShingleDf == Int.MaxValue) raw
+      else raw.withColumn("df", count(lit(1)).over(Window.partitionBy("blk", "sh")))
+        .filter(col("df") <= maxShingleDf).drop("df")
+    val sh = filtered.withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    sh.as("a").join(sh.as("b"),
+      col("a.sh") === col("b.sh") && col("a.blk") === col("b.blk") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter_cnt"),
+        max(col("a.sz")).as("sz1"), max(col("b.sz")).as("sz2"))
+      // max(c1, c2) = inter/min(sz1, sz2) — integer comparison, no division
+      .filter(col("inter_cnt") * 100 >= least(col("sz1"), col("sz2")) * minContainmentPct)
+      .select(col("id1"), col("id2"), col("inter_cnt"), col("sz1"), col("sz2"),
+        graft.Det.qz(col("inter_cnt").cast("double") / col("sz1").cast("double")).as("c1"),
+        graft.Det.qz(col("inter_cnt").cast("double") / col("sz2").cast("double")).as("c2"))
+  }
+
   /** MinHash+LSH near-dup candidates: signature and band keys are computed
     * row-local (one projection), pairs come from a shuffle keyed on band
     * buckets — the classic shingle→minhash→band→bucket-join pipeline.

@@ -844,6 +844,31 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r29_enthalpy: TEOS-10 specific enthalpy -------------------------
+  // cp0·CT + the pressure-integrated dynamic-enthalpy polynomial
+  // (gsw_enthalpy) — the heat-content quantity ocean heat-transport
+  // budgets integrate. Same synthesized (SA, CT, p) ramp as r27/r28,
+  // map-only column math, quantized at 1e-4 J/kg (h ~ 10⁴-10⁵, so 8-9
+  // significant digits survive).
+  private val r29 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sa", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("ct", col("l_quantity") % 30.0)
+        .withColumn("pres", col("l_extendedprice") % 4000.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.enthalpyTeos10(col("sa"), col("ct"), col("pres")), 4).as("enthalpy"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val en = graft.functions.Seawater.enthalpyTeos10Sql(
+        "30.0 + l_discount * 100.0", "l_quantity % 30.0", "l_extendedprice % 4000.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($en) * 1e4 + 0.5) / 1e4 AS enthalpy
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -872,5 +897,6 @@ object ReferenceOps {
     "r25_bottle_matchup" -> r25,
     "r26_abs_salinity" -> r26,
     "r27_insitu_density" -> r27,
-    "r28_alpha_beta" -> r28)
+    "r28_alpha_beta" -> r28,
+    "r29_enthalpy" -> r29)
 }

@@ -72,6 +72,47 @@ object TrainingData {
       WHERE inter_cnt * 100 >= s1.sz + s2.sz - inter_cnt
       ORDER BY id1, id2"""))
 
+  // ---- d15_containment: asymmetric shingle containment -----------------
+  // C(A→B) = |A∩B|/|A|: the inclusion relation Jaccard misses when a
+  // short doc is embedded in a long one. Same df-cap + self-join shape
+  // as d2 (one window exchange, reused join subplan), exact integer
+  // counts, divisions quantized — fully oracle-replayed.
+  private val d15 = Q(
+    (s, dir) => {
+      Dedup.containmentPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 80), "doc_id", "text", "lang",
+        maxShingleDf = 40, minContainmentPct = 20)
+        .orderBy("id1", "id2")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id < 80),
+      sh0 AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(range(greatest(len(w)-2, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        FROM tok),
+      dfc AS (
+        SELECT lang AS dblk, sh AS dsh, COUNT(*) AS df
+        FROM sh0 GROUP BY 1, 2 HAVING COUNT(*) <= 40),
+      sh AS (
+        SELECT doc_id, lang, sh FROM sh0
+        JOIN dfc ON sh0.lang = dfc.dblk AND sh0.sh = dfc.dsh),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_cnt
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, inter_cnt, s1.sz AS sz1, s2.sz AS sz2,
+             ${Det.qzSql("CAST(inter_cnt AS DOUBLE) / CAST(s1.sz AS DOUBLE)")} AS c1,
+             ${Det.qzSql("CAST(inter_cnt AS DOUBLE) / CAST(s2.sz AS DOUBLE)")} AS c2
+      FROM pairs
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE inter_cnt * 100 >= LEAST(s1.sz, s2.sz) * 20
+      ORDER BY id1, id2"""))
+
   // ---- d3_dedup_minhash: LSH candidate summary (oracle-replayed) -------
   // The signature pipeline is deterministic given the shingle hash; with
   // the portable md5-derived re-key ([[Text.md5Long]]) DuckDB replays the
@@ -1119,6 +1160,68 @@ object TrainingData {
     },
     None)
 
+  // ---- m6_patch_grid: ViT-style patch tiling over opaque frames ---------
+  // The vision-transformer preprocessing shape: from each frame's typed
+  // header (m2's decode), derive the 16×16 patch grid and emit the
+  // byte-level access plan (patch coords → row-major byte offset at the
+  // format's pixel stride) for a BOUNDED corner window of the grid —
+  // the explode is capped at 4×4 per frame, so row growth is a constant
+  // factor, never width×height. Integer arithmetic end to end; the
+  // actual pixel decode stays behind the codec stub (Multimodal.scala),
+  // this is the distributed access-planning layer above it.
+  private val m6 = Q(
+    (s, dir) => {
+      val P = 16
+      val h = substring(md5(encode(col("text"), "UTF-8")), 1, 16)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), h.as("hdr"))
+        .select(col("doc_id"),
+          element_at(array(lit("raw"), lit("rgb"), lit("yuv"), lit("gray")),
+            (conv(substring(col("hdr"), 1, 1), 16, 10).cast("int") % 4) + 1).as("format"),
+          conv(substring(col("hdr"), 2, 4), 16, 10).cast("long").as("width"),
+          conv(substring(col("hdr"), 6, 4), 16, 10).cast("long").as("height"))
+        .withColumn("bpp",
+          element_at(map(lit("raw"), lit(1L), lit("rgb"), lit(3L),
+            lit("yuv"), lit(2L), lit("gray"), lit(1L)), col("format")))
+        // floor-div on both engines (plain / is float division in each,
+        // and DuckDB's CAST(double AS BIGINT) rounds instead of truncating)
+        .withColumn("npx", floor(col("width") / P).cast("long"))
+        .withColumn("npy", floor(col("height") / P).cast("long"))
+        .filter(col("npx") >= 1 && col("npy") >= 1)
+      base
+        .withColumn("py", explode(sequence(lit(0L), least(col("npy"), lit(4L)) - 1)))
+        .withColumn("px", explode(sequence(lit(0L), least(col("npx"), lit(4L)) - 1)))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          (col("npx") * col("npy")).as("n_patches"),
+          (col("py") * col("npx") + col("px")).as("patch_id"),
+          col("px"), col("py"),
+          ((col("py") * P * col("width") + col("px") * P) * col("bpp")).as("byte_off"))
+        .orderBy("doc_id", "patch_id")
+    },
+    Some(s"""
+      WITH hh AS (
+        SELECT doc_id, substr(md5(text), 1, 16) AS hdr FROM documents),
+      b AS (
+        SELECT doc_id,
+               ['raw', 'rgb', 'yuv', 'gray'][(CAST(('0x' || substr(hdr, 1, 1)) AS INTEGER) % 4) + 1] AS format,
+               CAST(('0x' || substr(hdr, 2, 4)) AS BIGINT) AS width,
+               CAST(('0x' || substr(hdr, 6, 4)) AS BIGINT) AS height
+        FROM hh),
+      g AS (
+        SELECT *,
+               CASE format WHEN 'rgb' THEN 3 WHEN 'yuv' THEN 2 ELSE 1 END AS bpp,
+               CAST(FLOOR(width / 16) AS BIGINT) AS npx,
+               CAST(FLOOR(height / 16) AS BIGINT) AS npy
+        FROM b WHERE width >= 16 AND height >= 16)
+      SELECT doc_id, format, width, height,
+             npx * npy AS n_patches,
+             py * npx + px AS patch_id,
+             px, py,
+             (py * 16 * width + px * 16) * bpp AS byte_off
+      FROM g, range(4) tx(px), range(4) ty(py)
+      WHERE px < LEAST(npx, 4) AND py < LEAST(npy, 4)
+      ORDER BY doc_id, patch_id"""))
+
   // ---- v8_recall_eval: ANN quality measurement --------------------------
   // The evaluation harness every ANN deployment runs before trusting an
   // index: recall@k of the IVF tier against the exact brute-force
@@ -1794,6 +1897,7 @@ object TrainingData {
     "d12_embedding_clusters" -> d12,
     "d13_minhash_dedup" -> d13,
     "d14_dedup_incremental" -> d14,
+    "d15_containment" -> d15,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
@@ -1829,5 +1933,6 @@ object TrainingData {
     "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3,
     "m4_channel_stats" -> m4,
-    "m5_cdc_chunks" -> m5)
+    "m5_cdc_chunks" -> m5,
+    "m6_patch_grid" -> m6)
 }

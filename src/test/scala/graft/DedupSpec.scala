@@ -35,6 +35,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containment finds a short doc embedded in a long one that jaccard misses") {
+    // doc 20 is a strict prefix of doc 21 (one fifth of it): containment
+    // of the short side is 1.0 while jaccard is far below any dedup cut
+    val unit = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    val docs = Seq(
+      (20L, unit),
+      (21L, unit + "one two three four five six seven eight nine ten " * 8),
+      (22L, "unrelated words entirely about other things and more stuff"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", "lang",
+      minContainmentPct = 90)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Double]("c1"), r.getAs[Double]("c2")))).toMap
+    assert(got.contains((20L, 21L)), s"containment pair missed: ${got.keySet}")
+    val (c1, c2) = got((20L, 21L))
+    assert(c1 == 1.0, s"short-side containment should be exact: $c1")
+    assert(c2 < 0.5, s"long side must not read as contained: $c2")
+    // jaccard on the same pair stays below the d2 default keep threshold
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", minJaccardInv = 1)
+      .collect()
+    assert(j.forall(r => r.getAs[Long]("inter_cnt").toDouble /
+      r.getAs[Long]("union_cnt") < 0.5))
+    assert(!got.keySet.exists { case (a, b) => a == 22L || b == 22L })
+  }
+
   test("connected components label near-dup clusters by min member id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 3L)).toDF("id1", "id2")
     val cc = Dedup.connectedComponents(pairs, "id1", "id2")
