@@ -1446,6 +1446,61 @@ object TrainingData {
               stop_frac >= 0.02 AND short_frac <= 0.3) AS keep
       FROM m ORDER BY doc_id"""))
 
+  // ---- t24_code_detect: code-vs-prose heuristic -------------------------
+  // The training-mix router every web-scale corpus needs: is this
+  // document source code or natural language? Symbol-density heuristics
+  // (brace/semicolon/operator incidence, indented-line share, keyword
+  // hits) composed into a score and a cut — the interpretable tier
+  // below an ML classifier, and the shape the classifier's features
+  // feed through anyway. Map-only: character counts by replace-diff,
+  // line stats by one split, everything quantized before the cut.
+  private val t24 = Q(
+    (s, dir) => {
+      val txt = col("text")
+      def cnt(ss: String) =
+        ((length(txt) - length(replace(txt, lit(ss), lit("")))) / ss.length).cast("long")
+      val lines = split(txt, "\n")
+      val nLines = size(lines)
+      val nIndent = size(filter(lines, l => l.startsWith("    ") || l.startsWith("\t")))
+      val symbols = cnt("{") + cnt("}") + cnt(";") + cnt("==") + cnt("->") + cnt("=>")
+      val kw = size(filter(split(lower(txt), "\\s+"),
+        x => x.isin("def", "return", "import", "class", "void", "const", "func", "let")))
+      val nChars = length(txt).cast("long")
+      val symDensity = Det.qz(symbols.cast("double") * 1000.0 / nChars.cast("double"))
+      val indentFrac = Det.qz(nIndent.cast("double") / nLines.cast("double"))
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), nChars.as("n_chars_m"),
+          symbols.as("n_symbols"), kw.as("n_keywords"),
+          symDensity.as("sym_per_kchar"), indentFrac.as("indent_frac"))
+        .withColumn("is_code",
+          col("sym_per_kchar") >= 20.0 ||
+            (col("n_keywords") >= 3 && col("indent_frac") >= 0.2))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST((length(text) - length(replace(text, '{', ''))) +
+                    (length(text) - length(replace(text, '}', ''))) +
+                    (length(text) - length(replace(text, ';', ''))) +
+                    (length(text) - length(replace(text, '==', ''))) / 2 +
+                    (length(text) - length(replace(text, '->', ''))) / 2 +
+                    (length(text) - length(replace(text, '=>', ''))) / 2 AS BIGINT) AS n_symbols,
+               CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> x IN ('def','return','import','class','void','const','func','let'))) AS INTEGER) AS n_keywords,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\n'),
+                 l -> l LIKE '    %' OR l LIKE chr(9) || '%')) AS DOUBLE) /
+               CAST(len(regexp_split_to_array(text, '\\n')) AS DOUBLE) AS indent_frac_raw
+        FROM documents WHERE length(text) > 0)
+      SELECT doc_id, n_chars_m, n_symbols, n_keywords,
+             ${Det.qzSql("CAST(n_symbols AS DOUBLE) * 1000.0 / CAST(n_chars_m AS DOUBLE)")} AS sym_per_kchar,
+             ${Det.qzSql("indent_frac_raw")} AS indent_frac,
+             (${Det.qzSql("CAST(n_symbols AS DOUBLE) * 1000.0 / CAST(n_chars_m AS DOUBLE)")} >= 20.0 OR
+              (n_keywords >= 3 AND ${Det.qzSql("indent_frac_raw")} >= 0.2)) AS is_code
+      FROM m ORDER BY doc_id"""))
+
   // ---- t17_domain_tld: URL structure analytics ---------------------------
   // The crawl-corpus provenance rollup: parse URLs (synthesized
   // deterministically from doc_id on BOTH engines, like d6) into host /
@@ -1921,6 +1976,7 @@ object TrainingData {
     "t21_length_gate" -> t21,
     "t22_html_strip" -> t22,
     "t23_zipf_slope" -> t23,
+    "t24_code_detect" -> t24,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

@@ -195,6 +195,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("pow("), "weights must be precomputed literals")
   }
 
+  test("d15: containment self-join reuses one exchange for both sides") {
+    val df = SparkEntry.queries("d15_containment")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery") ||
+      "Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"containment grew non-reused exchanges\n${p.take(1200)}")
+  }
+
+  test("m6: patch grid is generate+project only below the final sort") {
+    val p = planOf("m6_patch_grid")
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+      s"patch tiling must be map-only\n${p.take(800)}")
+    assert(p.contains("Generate"), "bounded corner explode missing")
+  }
+
+  test("t24: code detect is map-only below the final sort") {
+    val p = planOf("t24_code_detect")
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+      s"code detect must be map-only\n${p.take(800)}")
+  }
+
+  test("v8: recall eval joins id pairs, never vectors, with no cartesian") {
+    val p = planOf("v8_recall_eval")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"recall eval must not plan a cartesian join\n${p.take(1200)}")
+  }
+
   test("t22: boilerplate strip is map-only below the final sort") {
     val p = planOf("t22_html_strip")
     assert(!p.contains("Join") && !p.contains("hashpartitioning"),

@@ -53,6 +53,25 @@ class Round6Spec extends SparkSpec {
     assert(r(0).getAs[Double]("recall") == 0.5)
   }
 
+  test("code-detect heuristic separates planted code from prose") {
+    import spark.implicits._
+    val code =
+      "def main(args):\n    import os\n    return {x: 1};\n    if a == b -> c;\n" +
+      "    class Foo { void bar() { let x = 1; const y = 2; } };\n" * 3
+    val prose = "the quiet morning light settled over the harbor as fishermen " +
+      "prepared their nets and talked about the weather and the tide " * 5
+    val docs = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val q = SparkEntry.queries("t24_code_detect")
+    // run the registry query against a scratch dir holding the fixture
+    val tmp = java.nio.file.Files.createTempDirectory("t24").toString
+    docs.withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = q(spark, tmp).collect().map(x =>
+      (x.getAs[Long]("doc_id"), x.getAs[Boolean]("is_code"))).toMap
+    assert(r(1L), "code fixture not flagged as code")
+    assert(!r(2L), "prose fixture flagged as code")
+  }
+
   test("v8_recall_eval registry entry returns one row per query") {
     val df = SparkEntry.queries("v8_recall_eval")(spark, sfDir)
     val rows = df.collect()
