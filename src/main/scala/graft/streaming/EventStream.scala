@@ -124,6 +124,29 @@ object EventStream {
       }
   }
 
+  /** Streaming recall monitor — the online half of
+    * [[graft.operators.SimilaritySearch.recallAtK]]: approximate result
+    * rows (qid, cid, rnk) arrive as a stream, the exact top-k ground
+    * truth is a static table, and each micro-batch updates per-query
+    * recall. The static side pre-carries its per-query size so the plan
+    * is one stream-static inner join (hits only) + one streaming
+    * aggregation — no join-after-aggregation, which streaming forbids.
+    * Queries with zero hits so far simply haven't emitted yet; complete
+    * mode holds the current recall of every query with ≥1 hit.
+    */
+  def recallMonitor(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = exact.filter(col("rnk") <= k)
+      .select(col("qid").as("eqid"), col("cid").as("ecid"))
+      .withColumn("n_exact", count(lit(1)).over(Window.partitionBy("eqid")))
+    approx.filter(col("rnk") <= k)
+      .join(e, col("qid") === col("eqid") && col("cid") === col("ecid"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hit"), max(col("n_exact")).as("n_exact"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+  }
+
   /** Convenience: wire a streaming DataFrame to an in-memory sink for
     * tests/demos; production sinks are parquet/kafka via the same plan.
     */

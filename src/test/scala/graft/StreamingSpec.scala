@@ -221,4 +221,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == 2 && got.sameElements(batch),
       "streamed sketches must equal batch sketches over the same rows")
   }
+
+  test("streaming recall monitor converges to the batch evaluator") {
+    // ANN quality monitoring online: approximate result rows stream in,
+    // per-query recall vs a static exact top-k updates every batch and
+    // must end equal to the batch recallAtK over the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)).toDF("qid", "cid", "rnk")
+    val approxRows = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3),   // q1: 2 of 3
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))   // q2: 3 of 3
+    val input = MemoryStream[(Long, Long, Int)]
+    val mon = graft.streaming.EventStream.recallMonitor(
+      input.toDF().toDF("qid", "cid", "rnk"), exact, k = 3)
+    val q = mon.writeStream.format("memory")
+      .queryName("recall_mon").outputMode("complete").start()
+    input.addData(approxRows.take(2)); q.processAllAvailable()
+    // mid-stream state: q1 has 1 hit of 3 so far
+    val mid = spark.table("recall_mon").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("recall"))).toMap
+    assert(mid.get(1L).contains(0.3333))
+    input.addData(approxRows.drop(2)); q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("recall_mon").collect()
+      .map(r => (r.getLong(0), (r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))).toMap
+    assert(fin(1L) == ((2L, 0.6667)))
+    assert(fin(2L) == ((3L, 1.0)))
+    // batch evaluator over the same rows agrees
+    val batch = graft.operators.SimilaritySearch.recallAtK(
+      exact, approxRows.toDF("qid", "cid", "rnk"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("recall"))).toMap
+    assert(batch(1L) == 0.6667 && batch(2L) == 1.0)
+  }
 }
