@@ -665,6 +665,34 @@ object TimeSeriesQueries {
   // no recursion, no pow(), no libm. Same exact micro-unit fold as s17
   // (pure-double products floored to longs, order-free exact sum). One
   // keyed exchange at any scale.
+  // Shared machinery for the unrolled-recursion smoothers (s18/s19): a
+  // per-trail-length tap-weight matrix rides into BOTH engines as a
+  // nested literal and the weighted sum is an exact micro-unit fold.
+  private object TapFold {
+    def sparkLit(m: Seq[Array[Double]]): org.apache.spark.sql.Column =
+      array(m.map(row => array(row.map(lit(_)).toSeq: _*)): _*)
+    // scientific notation: DuckDB types plain decimal literals as
+    // DECIMAL(18,17) and does decimal arithmetic (different rounding —
+    // one tap landing on a .5 micro-unit boundary flips the floor);
+    // e-notation parses as DOUBLE, so both engines run the same IEEE
+    // multiply. %.17e round-trips every double exactly.
+    def sqlLit(m: Seq[Array[Double]]): String =
+      m.map(_.map(w => String.format(java.util.Locale.ROOT, "%.17e", Double.box(w)))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+    def fold(mat: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val trail = col("trail")
+      val row = element_at(mat, size(trail))
+      val prods = transform(sequence(lit(1), size(trail)),
+        j => floor(element_at(trail, j) * element_at(row, j) * 1e6 + 0.5).cast("long"))
+      Det.qz(aggregate(prods, lit(0L), (a, b) => a + b).cast("double") / 1e6)
+    }
+    def foldSql(matLit: String): String = Det.qzSql(
+      s"CAST(list_sum(list_transform(range(1, len(trail) + 1), " +
+      s"j -> CAST(FLOOR(trail[j] * ($matLit)[len(trail)][j] * 1e6 + 0.5) AS BIGINT))) " +
+      s"AS DOUBLE) / 1e6")
+  }
+
   private val s18: Q = {
     val W = 12; val alpha = 0.5; val beta = 0.3
     // unrolled Holt recursion: weight j of level/trend after n steps
@@ -681,29 +709,7 @@ object TimeSeriesQueries {
     }
     val mats = (1 to W).map(weightsAt)
     val lMat = mats.map(_._1); val bMat = mats.map(_._2)
-
-    def sparkLit(m: Seq[Array[Double]]) =
-      array(m.map(row => array(row.map(lit(_)).toSeq: _*)): _*)
-    // scientific notation: DuckDB types plain decimal literals as
-    // DECIMAL(18,17) and does decimal arithmetic (different rounding —
-    // one tap landing on a .5 micro-unit boundary flips the floor);
-    // e-notation parses as DOUBLE, so both engines run the same IEEE
-    // multiply. %.17e round-trips every double exactly.
-    def sqlLit(m: Seq[Array[Double]]) =
-      m.map(_.map(w => String.format(java.util.Locale.ROOT, "%.17e", Double.box(w)))
-        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
-
-    def fold(mat: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val trail = col("trail")
-      val row = element_at(mat, size(trail))
-      val prods = transform(sequence(lit(1), size(trail)),
-        j => floor(element_at(trail, j) * element_at(row, j) * 1e6 + 0.5).cast("long"))
-      Det.qz(aggregate(prods, lit(0L), (a, b) => a + b).cast("double") / 1e6)
-    }
-    def foldSql(matLit: String): String = Det.qzSql(
-      s"CAST(list_sum(list_transform(range(1, len(trail) + 1), " +
-      s"j -> CAST(FLOOR(trail[j] * ($matLit)[len(trail)][j] * 1e6 + 0.5) AS BIGINT))) " +
-      s"AS DOUBLE) / 1e6")
+    import TapFold.{sparkLit, sqlLit, fold, foldSql}
 
     Q(
       (s, dir) => {
@@ -729,10 +735,83 @@ object TimeSeriesQueries {
         FROM tw ORDER BY event_id"""))
   }
 
+  // ---- s19_kalman: constant-velocity Kalman filter ---------------------
+  // The state-space tier above Holt's fixed gains: a 1-D
+  // constant-velocity Kalman filter (state = position+velocity, unit
+  // timestep) whose gain schedule comes from the Riccati recursion —
+  // which is INPUT-INDEPENDENT for fixed dt, so the gains K_t are
+  // precomputed in Scala, and the filtered estimate (linear in the
+  // observations, init x̂₁ = z₁, v̂₁ = 0) unrolls to the same
+  // per-trail-length tap-weight matrices as s18. Truncated at 12 taps
+  // (the filter restarts per trailing window — the oracle-able batch
+  // form; unbounded streaming state is mapGroupsWithState territory,
+  // see EventStream). Engine-exact micro-unit fold; one keyed exchange.
+  private val s19: Q = {
+    val W = 12
+    val q = 0.1   // process-noise spectral density (σa²)
+    val r = 4.0   // measurement-noise variance
+    // Riccati gain schedule: P after the x̂₁ = z₁ init is [[r,0],[0,10]]
+    val gains: Array[(Double, Double)] = {
+      var p00 = r; var p01 = 0.0; var p10 = 0.0; var p11 = 10.0
+      Array.tabulate(W) { _ =>
+        // predict: P⁻ = F P Fᵀ + Q, F = [[1,1],[0,1]], Q = q·[[1/4,1/2],[1/2,1]]
+        val a00 = p00 + p01 + p10 + p11 + q / 4
+        val a01 = p01 + p11 + q / 2
+        val a10 = p10 + p11 + q / 2
+        val a11 = p11 + q
+        val s = a00 + r
+        val kp = a00 / s; val kv = a10 / s
+        p00 = (1 - kp) * a00; p01 = (1 - kp) * a01
+        p10 = a10 - kv * a00; p11 = a11 - kv * a01
+        (kp, kv)
+      }
+    }
+    // unroll: weight matrices for position/velocity vs each observation
+    def weightsAt(n: Int): (Array[Double], Array[Double]) = {
+      var sp = Array.tabulate(n)(j => if (j == 0) 1.0 else 0.0)
+      var sv = Array.fill(n)(0.0)
+      for (t <- 1 until n) {
+        val (kp, kv) = gains(t - 1)
+        val pr = Array.tabulate(n)(j => sp(j) + sv(j))  // predicted position
+        val inn = Array.tabulate(n)(j => (if (j == t) 1.0 else 0.0) - pr(j))
+        sp = Array.tabulate(n)(j => pr(j) + kp * inn(j))
+        sv = Array.tabulate(n)(j => sv(j) + kv * inn(j))
+      }
+      (sp, sv)
+    }
+    val mats = (1 to W).map(weightsAt)
+    val pMat = mats.map(_._1); val vMat = mats.map(_._2)
+    import TapFold.{sparkLit, sqlLit, fold, foldSql}
+
+    Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-(W - 1), 0)
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("trail", collect_list(col("value")).over(win))
+          .select(col("event_id"), col("user_id"),
+            fold(sparkLit(pMat)).as("kalman_pos"),
+            fold(sparkLit(vMat)).as("kalman_vel"))
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH tw AS (
+          SELECT event_id, user_id,
+                 list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN ${W - 1} PRECEDING AND CURRENT ROW) AS trail
+          FROM events WHERE value IS NOT NULL)
+        SELECT event_id, user_id,
+               ${foldSql(sqlLit(pMat))} AS kalman_pos,
+               ${foldSql(sqlLit(vMat))} AS kalman_vel
+        FROM tw ORDER BY event_id"""))
+  }
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s17_ewma" -> s17,
     "s18_holt" -> s18,
+    "s19_kalman" -> s19,
     "s2_sessionize" -> s2,
     "s3_asof_join" -> s3,
     "s4_range_join" -> s4,

@@ -223,6 +223,13 @@ class PlanAuditSpec extends SparkSpec {
       s"recall eval must not plan a cartesian join\n${p.take(1200)}")
   }
 
+  test("s19: Kalman smoothing is one keyed exchange, join-free, gains as literals") {
+    val p = planOf("s19_kalman")
+    assert(!p.contains("Join"), "Kalman must not join")
+    val keyed = "hashpartitioning".r.findAllIn(p).size
+    assert(keyed == 1, s"Kalman grew extra shuffles: $keyed\n${p.take(800)}")
+  }
+
   test("t22: boilerplate strip is map-only below the final sort") {
     val p = planOf("t22_html_strip")
     assert(!p.contains("Join") && !p.contains("hashpartitioning"),

@@ -68,6 +68,58 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == ts("2024-01-01 10:00:00"))
   }
 
+  test("s19: unrolled Kalman weights equal the direct filter on real data") {
+    // replay the plain constant-velocity Kalman recursion (predict +
+    // gain update with the same Riccati schedule) per user over the
+    // 12-tap trail and compare every row
+    val W = 12; val q = 0.1; val r = 4.0
+    val gains: Array[(Double, Double)] = {
+      var p00 = r; var p01 = 0.0; var p10 = 0.0; var p11 = 10.0
+      Array.tabulate(W) { _ =>
+        val a00 = p00 + p01 + p10 + p11 + q / 4
+        val a01 = p01 + p11 + q / 2
+        val a10 = p10 + p11 + q / 2
+        val a11 = p11 + q
+        val s2 = a00 + r
+        val kp = a00 / s2; val kv = a10 / s2
+        p00 = (1 - kp) * a00; p01 = (1 - kp) * a01
+        p10 = a10 - kv * a00; p11 = a11 - kv * a01
+        (kp, kv)
+      }
+    }
+    val got = SparkEntry.queries("s19_kalman")(spark, sfDir)
+      .collect().map(x => (x.getLong(0), (x.getDouble(2), x.getDouble(3)))).toMap
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("value").isNotNull)
+      .select("user_id", "ts", "event_id", "value")
+      .collect()
+      .map(x => (x.getLong(0), x.get(1).toString, x.getLong(2), x.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    def qz(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    var checked = 0
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      val vals = evs.map(_._4)
+      for (i <- evs.indices) {
+        val trail = vals.slice(math.max(0, i - (W - 1)), i + 1)
+        var pos = trail(0); var vel = 0.0
+        for (t2 <- 1 until trail.length) {
+          val (kp, kv) = gains(t2 - 1)
+          val pred = pos + vel
+          val inn = trail(t2) - pred
+          pos = pred + kp * inn
+          vel = vel + kv * inn
+        }
+        val (gp, gv) = got(evs(i)._3)
+        assert(math.abs(gp - qz(pos)) < 1.1e-4,
+          s"pos mismatch at event ${evs(i)._3}: got $gp want ~$pos")
+        assert(math.abs(gv - qz(vel)) < 1.1e-4,
+          s"vel mismatch at event ${evs(i)._3}: got $gv want ~$vel")
+        checked += 1
+      }
+    }
+    assert(checked > 100)
+  }
+
   test("s18: unrolled Holt weights equal the direct recursion on real data") {
     // the registry query computes level/trend through the precomputed
     // weight matrices; replay the plain Holt recursion per user over the
