@@ -225,6 +225,53 @@ object Dedup {
     }
   }
 
+  /** DBSCAN over an embedding column with cosine similarity as the
+    * ε-neighborhood (cos ≥ minCosine): points with ≥ minPts neighbors
+    * are CORES, non-cores adjacent to a core are BORDER (attached to
+    * the minimum cluster label among their core neighbors — a
+    * deterministic tie-break where classic DBSCAN is scan-order-
+    * dependent), the rest NOISE. Clusters are connected components of
+    * the core-core graph labeled by minimum member id
+    * ([[connectedComponents]]); an isolated core keeps its own id.
+    *
+    * Neighbor pairs come from [[embeddingCosinePairs]] — the exact tier
+    * here (bounded-subset contract like d5); at corpus scale pass
+    * blockBits>0 for the LSH-blocked pair path and the same roles
+    * downstream. Everything after the pair list is id-keyed joins and
+    * aggregations — pair-list-sized, never corpus².
+    */
+  def dbscan(points: DataFrame, idCol: String, vecCol: String,
+             minCosine: Double, minPts: Int,
+             blockBits: Int = 0): DataFrame = {
+    val pairs = embeddingCosinePairs(points, idCol, vecCol, minCosine, blockBits)
+      .select("id1", "id2")
+    val sym = pairs.union(pairs.select(col("id2"), col("id1"))).toDF("id", "nb")
+    val cnt = sym.groupBy("id").agg(count(lit(1)).as("n_neighbors"))
+    val ids = points.select(col(idCol).as("id"))
+    val withCnt = ids.join(cnt, Seq("id"), "left")
+      .withColumn("n_neighbors", coalesce(col("n_neighbors"), lit(0L)))
+    val coreIds = withCnt.filter(col("n_neighbors") >= minPts).select(col("id"))
+    val ce = pairs
+      .join(coreIds.select(col("id").as("c1")), col("id1") === col("c1"))
+      .join(coreIds.select(col("id").as("c2")), col("id2") === col("c2"))
+      .select("id1", "id2")
+    val cc = connectedComponents(ce, "id1", "id2")
+    val coreClusters = coreIds
+      .join(cc.select(col("id"), col("cluster")), Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    val borderClusters = sym
+      .join(coreClusters.select(col("id").as("nb"), col("cluster")), "nb")
+      .groupBy(col("id")).agg(min(col("cluster")).as("bcluster"))
+    withCnt
+      .join(coreClusters.select(col("id"), col("cluster").as("ccluster")), Seq("id"), "left")
+      .join(borderClusters, Seq("id"), "left")
+      .select(col("id"), col("n_neighbors"),
+        when(col("ccluster").isNotNull, "core")
+          .when(col("bcluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("ccluster"), col("bcluster")).as("cluster"))
+  }
+
   /** Connected components over a near-dup pair list → cluster labels
     * (cluster id = minimum member id), the step that turns pairwise
     * candidates (jaccard/minhash/simhash/cosine) into keep-one-per-

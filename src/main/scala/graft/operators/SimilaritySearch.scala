@@ -564,6 +564,55 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe LSH top-k (Lv et al.'s probing idea, declaratively):
+    * instead of more hash tables, each QUERY also probes the buckets
+    * whose hyperplane sign is most likely wrong — flip order is the
+    * ascending |margin| of the query's plane dots, so probe 2 flips the
+    * plane the query sat closest to, probe 3 the next-closest, etc.
+    * Candidates stay single-bucketed: the probe fan-out multiplies only
+    * the (small) query side of the bucket join, which is why this beats
+    * adding tables at corpus scale — the big side is hashed ONCE.
+    * Margin sort is an array-of-structs sort (deterministic (abs, j)
+    * lexicographic tie-break), all map-side.
+    */
+  def multiProbeLshTopK(queries: DataFrame, candidates: DataFrame,
+                        idCol: String, vecCol: String, dims: Int, bits: Int,
+                        k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= bits + 1,
+      s"nProbe must be in [1, bits+1]; got $nProbe for $bits planes")
+    val c = graft.Tables.spread(candidates, col(idCol))
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        lshBucket(col(vecCol), dims, bits).as("bucket"))
+    val dots = array((0 until bits).map { j =>
+      (0 until dims).map { d =>
+        element_at(col(vecCol), d + 1).cast("double") * lit(planeSign(j, d))
+      }.reduce(_ + _)
+    }: _*)
+    // plane indices ordered by how marginal the query's sign was
+    val flipOrder = transform(
+      array_sort(zip_with(dots, sequence(lit(0), lit(bits - 1)),
+        (d, j) => struct(abs(d).as("a"), j.as("j")))),
+      s => s.getField("j"))
+    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      lshBucket(col(vecCol), dims, bits).as("hb"), flipOrder.as("fo"))
+    val probes = array((0 until nProbe).map { i =>
+      if (i == 0) col("hb")
+      else {
+        // 1 << fo[i] as a coalesced when-chain (shiftleft needs a
+        // literal count)
+        val mask = coalesce(((0 until bits).map(j =>
+          when(element_at(col("fo"), i) === j, lit(1L << j))) :+ lit(0L)): _*)
+        col("hb").bitwiseXOR(mask)
+      }
+    }: _*)
+    val q = q0.withColumn("bucket", explode(probes)).drop("hb", "fo")
+    val scored = q.join(c, "bucket")
+      .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
+      .dropDuplicates("qid", "cid")
+      .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Recall@k evaluator — the measurement half of every ANN tier: how
     * much of the exact top-k did the approximate index return? Both
     * inputs are (qid, cid[, rnk]) result sets (e.g. [[bruteForceTopK]]

@@ -113,6 +113,61 @@ object TrainingData {
       WHERE inter_cnt * 100 >= LEAST(s1.sz, s2.sz) * 20
       ORDER BY id1, id2"""))
 
+  // ---- d16_dbscan: density clustering over embeddings -------------------
+  // DBSCAN with a cosine ε-neighborhood on d5's bounded exact tier:
+  // core/border/noise roles + min-label core clusters, every tie-break
+  // deterministic (classic DBSCAN's scan-order border assignment
+  // replaced by min-cluster-of-core-neighbors). DuckDB replays the
+  // whole thing — exact pairs, neighbor counts, a recursive transitive
+  // closure seeded per core (so isolated cores self-label), border
+  // attachment — row for row.
+  private val d16 = Q(
+    (s, dir) => {
+      Dedup.dbscan(
+        t(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", minCosine = 0.35, minPts = 2)
+        .orderBy("id")
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT vec_id, embedding AS v,
+               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        FROM embeddings WHERE vec_id < 400),
+      p AS (
+        SELECT i1, i2 FROM (
+          SELECT a.vec_id AS i1, b.vec_id AS i2,
+            FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+              / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id) z
+        WHERE cos >= 0.35),
+      sym AS (SELECT i1 AS id, i2 AS nb FROM p UNION ALL SELECT i2, i1 FROM p),
+      cnt AS (SELECT id, COUNT(*) AS n FROM sym GROUP BY id),
+      wc AS (
+        SELECT e.vec_id AS id, COALESCE(cnt.n, 0) AS n_neighbors
+        FROM e LEFT JOIN cnt ON e.vec_id = cnt.id),
+      core AS (SELECT id FROM wc WHERE n_neighbors >= 2),
+      ce AS (
+        SELECT i1, i2 FROM p
+        JOIN core c1 ON i1 = c1.id JOIN core c2 ON i2 = c2.id),
+      edges AS (SELECT i1 AS ea, i2 AS eb FROM ce UNION SELECT i2, i1 FROM ce),
+      reach(x, y) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT r.x, g.eb FROM reach r JOIN edges g ON r.y = g.ea),
+      clus AS (SELECT x AS clid, MIN(y) AS cluster FROM reach GROUP BY x),
+      border AS (
+        SELECT s.id AS bid, MIN(c.cluster) AS bcluster
+        FROM sym s JOIN clus c ON s.nb = c.clid GROUP BY s.id)
+      SELECT wc.id, CAST(wc.n_neighbors AS BIGINT) AS n_neighbors,
+             CASE WHEN cl.cluster IS NOT NULL THEN 'core'
+                  WHEN b.bcluster IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             COALESCE(cl.cluster, b.bcluster) AS cluster
+      FROM wc
+      LEFT JOIN clus cl ON wc.id = cl.clid
+      LEFT JOIN border b ON wc.id = b.bid
+      ORDER BY id"""))
+
   // ---- d3_dedup_minhash: LSH candidate summary (oracle-replayed) -------
   // The signature pipeline is deterministic given the shingle hash; with
   // the portable md5-derived re-key ([[Text.md5Long]]) DuckDB replays the
@@ -921,6 +976,24 @@ object TrainingData {
     },
     None)
 
+  // ---- v9_multiprobe_lsh: margin-ranked probing ANN ---------------------
+  // One hash table probed nProbe times per query (home bucket + lowest-
+  // margin bit flips) instead of nProbe tables: the corpus is bucketed
+  // ONCE, the probe fan-out rides the broadcast-small query side.
+  // Training-free and deterministic, but bucket membership isn't SQL-
+  // replayable cheaply → rows-only; Round6Spec pins recall ≥ the
+  // single-probe table and a floor vs brute force.
+  private val v9 = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.multiProbeLshTopK(
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", dims = 64, bits = 4, k = 10, nProbe = 3)
+        .select(col("qid"), col("cid"), col("cos"), col("rnk"))
+        .orderBy("qid", "rnk")
+    },
+    None)
+
   // ---- m1_binary_meta: opaque-binary plumbing over text bytes ----------
   private val m1 = Q(
     (s, dir) => {
@@ -1501,6 +1574,54 @@ object TrainingData {
               (n_keywords >= 3 AND ${Det.qzSql("indent_frac_raw")} >= 0.2)) AS is_code
       FROM m ORDER BY doc_id"""))
 
+  // ---- t25_host_rank: PageRank over the host graph ----------------------
+  // The crawl-authority signal corpus curation weights by (CommonCrawl
+  // publishes exactly this): PageRank on a host-level link graph, here
+  // synthesized deterministically (50 hosts, two fixed out-links each)
+  // so both engines build the identical graph. Three Jacobi iterations,
+  // d = 0.85, each one keyed join + keyed agg — the 100 TB shape, where
+  // iterations dominate and every round is one shuffle on the dst key.
+  // Per-iteration contributions are pre-quantized to 1e-6 so the
+  // decimal-exact sum sees identical values on both engines (a raw
+  // double→decimal cast rounds differently: Spark HALF_UP on the
+  // shortest string, DuckDB on the scaled binary).
+  private val t25 = Q(
+    (s, dir) => {
+      val hosts = t(s, dir, "documents").select((col("doc_id") % 50).as("h")).distinct()
+      val el = hosts.select(col("h").as("src"))
+        .select(col("src"), explode(array(
+          (col("src") * 7 + 3) % 50, (col("src") * 13 + 11) % 50)).as("dst"))
+      var pr = hosts.select(col("h"), lit(0.02).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = el.join(pr, col("src") === col("h"))
+          .select(col("dst"), Det.qz(col("pr") / 2, 6).as("c"))
+        val agg = contrib.groupBy("dst").agg(Det.dsum(col("c")).as("sc"))
+        pr = hosts.join(agg, col("h") === col("dst"), "left")
+          .select(col("h"),
+            Det.qz(lit(3.0e-3) + lit(8.5e-1) * coalesce(col("sc"), lit(0.0)), 6).as("pr"))
+      }
+      pr.select(col("h").as("host"), col("pr")).orderBy("host")
+    },
+    Some(s"""
+      WITH hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents),
+      el AS (
+        SELECT h AS src, (h * 7 + 3) % 50 AS dst FROM hosts
+        UNION ALL SELECT h, (h * 13 + 11) % 50 FROM hosts),
+      pr0 AS (SELECT h, 2.0e-2 AS pr FROM hosts),
+      c1 AS (SELECT dst, FLOOR(pr / 2 * 1e6 + 0.5) / 1e6 AS c FROM el JOIN pr0 ON src = h),
+      a1 AS (SELECT dst, ${Det.dsumSql("c")} AS sc FROM c1 GROUP BY dst),
+      pr1 AS (SELECT h, FLOOR((3.0e-3 + 8.5e-1 * COALESCE(sc, 0.0)) * 1e6 + 0.5) / 1e6 AS pr
+              FROM hosts LEFT JOIN a1 ON h = a1.dst),
+      c2 AS (SELECT dst, FLOOR(pr / 2 * 1e6 + 0.5) / 1e6 AS c FROM el JOIN pr1 ON src = h),
+      a2 AS (SELECT dst, ${Det.dsumSql("c")} AS sc FROM c2 GROUP BY dst),
+      pr2 AS (SELECT h, FLOOR((3.0e-3 + 8.5e-1 * COALESCE(sc, 0.0)) * 1e6 + 0.5) / 1e6 AS pr
+              FROM hosts LEFT JOIN a2 ON h = a2.dst),
+      c3 AS (SELECT dst, FLOOR(pr / 2 * 1e6 + 0.5) / 1e6 AS c FROM el JOIN pr2 ON src = h),
+      a3 AS (SELECT dst, ${Det.dsumSql("c")} AS sc FROM c3 GROUP BY dst),
+      pr3 AS (SELECT h, FLOOR((3.0e-3 + 8.5e-1 * COALESCE(sc, 0.0)) * 1e6 + 0.5) / 1e6 AS pr
+              FROM hosts LEFT JOIN a3 ON h = a3.dst)
+      SELECT h AS host, pr FROM pr3 ORDER BY host"""))
+
   // ---- t17_domain_tld: URL structure analytics ---------------------------
   // The crawl-corpus provenance rollup: parse URLs (synthesized
   // deterministically from doc_id on BOTH engines, like d6) into host /
@@ -1953,6 +2074,7 @@ object TrainingData {
     "d13_minhash_dedup" -> d13,
     "d14_dedup_incremental" -> d14,
     "d15_containment" -> d15,
+    "d16_dbscan" -> d16,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
@@ -1977,6 +2099,7 @@ object TrainingData {
     "t22_html_strip" -> t22,
     "t23_zipf_slope" -> t23,
     "t24_code_detect" -> t24,
+    "t25_host_rank" -> t25,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,
@@ -1985,6 +2108,7 @@ object TrainingData {
     "v6_ivf_pq" -> v6,
     "v7_sq_int8" -> v7,
     "v8_recall_eval" -> v8,
+    "v9_multiprobe_lsh" -> v9,
     "m1_binary_meta" -> m1,
     "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3,

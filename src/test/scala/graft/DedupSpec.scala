@@ -60,6 +60,32 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 22L || b == 22L })
   }
 
+  test("dbscan assigns core/border/noise with deterministic min-label clusters") {
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); parts.foreach { case (i, v) => a(i) = v }; a
+    }
+    // 1,2,3: tight cluster along dim 0 (pairwise cos ≈ 1 → all cores).
+    // 4: similar ONLY to 3 (cos(3,4) ≈ 0.83, cos(1/2,4) ≈ 0.55 < ε) →
+    //    one neighbor → border, attached to cluster 1.
+    // 5: orthogonal → noise.
+    val pts = Seq(
+      (1L, vec(0 -> 1.0f)),
+      (2L, vec(0 -> 1.0f, 1 -> 0.05f)),
+      (3L, vec(0 -> 1.0f, 2 -> 0.6f)),
+      (4L, vec(0 -> 0.4f, 2 -> 0.6f)),
+      (5L, vec(5 -> 1.0f))).toDF("vec_id", "embedding")
+    val got = Dedup.dbscan(pts, "vec_id", "embedding", minCosine = 0.7, minPts = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got(1L)._2 == "core" && got(1L)._3.contains(1L))
+    assert(got(2L)._2 == "core" && got(2L)._3.contains(1L))
+    assert(got(3L)._2 == "core" && got(3L)._3.contains(1L))
+    assert(got(4L)._2 == "border" && got(4L)._3.contains(1L), s"got ${got(4L)}")
+    assert(got(5L)._2 == "noise" && got(5L)._3.isEmpty)
+    assert(got(5L)._1 == 0L)
+  }
+
   test("connected components label near-dup clusters by min member id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 3L)).toDF("id1", "id2")
     val cc = Dedup.connectedComponents(pairs, "id1", "id2")

@@ -72,6 +72,21 @@ class Round6Spec extends SparkSpec {
     assert(!r(2L), "prose fixture flagged as code")
   }
 
+  test("multi-probe LSH recall dominates single-probe on the same table") {
+    def rec(nProbe: Int): Double = {
+      val a = SimilaritySearch.multiProbeLshTopK(q, c, "vec_id", "embedding",
+        dims = 64, bits = 4, k = 10, nProbe = nProbe)
+      SimilaritySearch.recallAtK(exact, a, k = 10)
+        .agg(avg("recall")).head.getDouble(0)
+    }
+    val r1 = rec(1); val r3 = rec(3); val r5 = rec(5)
+    // probing supersets buckets, so recall can only grow with nProbe
+    assert(r1 <= r3 + 1e-9 && r3 <= r5 + 1e-9,
+      s"multi-probe recall not monotone: $r1 / $r3 / $r5")
+    assert(r3 > r1, s"probing gained nothing: $r1 -> $r3 (fixture too easy?)")
+    assert(r5 >= 0.35, s"5-probe recall floor broken: $r5")
+  }
+
   test("v8_recall_eval registry entry returns one row per query") {
     val df = SparkEntry.queries("v8_recall_eval")(spark, sfDir)
     val rows = df.collect()
