@@ -667,6 +667,65 @@ object Seawater {
   def enthalpyTeos10Sql(sa: String, ct: String, p: String): String =
     enthalpyG(s"($sa)", s"($ct)", s"($p)")(SqlNum)
 
+  /** ∂v/∂p part (z-chain) of the 75-term polynomial — the
+    * `c`-coefficient Horner tree from the reference's `gsw_sound_speed`
+    * (gsw_oceanographic_toolbox.c:9320-9357), same nesting.
+    */
+  private def vPPartG[T](sa: T, ct: T, p: T)(implicit N: Num[T]): T = {
+    final class W(val t: T) {
+      def +(o: W): W = new W(N.add(t, o.t))
+      def *(o: W): W = new W(N.mul(t, o.t))
+    }
+    def c(v: Double): W = new W(N.const(v))
+    val xs = new W(N.sqrtN(N.add(N.mul(N.const(0.0248826675584615), sa),
+      N.const(5.971840214030754e-1))))
+    val ys = new W(N.mul(ct, N.const(0.025)))
+    val z = new W(N.mul(p, N.const(1e-4)))
+    val c000 = c(-6.07991438090e-5); val c001 = c(1.99712338438e-5); val c002 = c(-3.39280843110e-6)
+    val c003 = c(4.21246123200e-7); val c004 = c(-6.32363064300e-8); val c005 = c(1.17681023580e-8)
+    val c010 = c(1.85057654290e-5); val c011 = c(-2.34727734620e-6); val c012 = c(-1.09581019659e-6)
+    val c013 = c(1.25816399608e-6); val c020 = c(-1.17166068530e-5); val c021 = c(4.26100574800e-6)
+    val c022 = c(8.60877154770e-7); val c030 = c(7.92796561730e-6); val c031 = c(-9.22650800740e-7)
+    val c040 = c(-3.41021874820e-6); val c041 = c(-1.26705833028e-7); val c050 = c(5.07367668140e-7)
+    val c100 = c(2.42624687470e-5); val c101 = c(-1.16968865968e-6); val c102 = c(1.08930565545e-6)
+    val c103 = c(-4.45885016920e-7); val c110 = c(-9.56770881560e-6); val c111 = c(-1.11398309114e-5)
+    val c112 = c(-8.18870887110e-7); val c120 = c(-2.36783083610e-7); val c121 = c(7.82747741600e-7)
+    val c130 = c(-3.45587736550e-6); val c131 = c(1.55237776184e-8); val c140 = c(1.29567177830e-6)
+    val c200 = c(-3.47924609740e-5); val c201 = c(-9.62445031940e-6); val c202 = c(5.02389113400e-8)
+    val c210 = c(1.11008347650e-5); val c211 = c(1.09241497668e-5); val c220 = c(2.92833462950e-6)
+    val c221 = c(-1.31462208134e-6); val c230 = c(3.16553060780e-7); val c300 = c(3.74707773050e-5)
+    val c301 = c(9.85262139960e-6); val c310 = c(-9.84471178440e-6); val c311 = c(-2.70883712540e-6)
+    val c320 = c(-4.88261392000e-7); val c400 = c(-1.73222186120e-5); val c401 = c(-3.56239494540e-6)
+    val c410 = c(2.59092252600e-6); val c500 = c(3.09274272530e-6)
+    val value = (c000
+      + xs*(c100 + xs*(c200 + xs*(c300 + xs*(c400 + c500*xs))))
+      + ys*(c010 + xs*(c110 + xs*(c210 + xs*(c310 + c410*xs))) + ys*(c020
+      + xs*(c120 + xs*(c220 + c320*xs)) + ys*(c030 + xs*(c130 + c230*xs)
+      + ys*(c040 + c140*xs + c050*ys)))) + z*(c001 + xs*(c101 + xs*(c201
+      + xs*(c301 + c401*xs))) + ys*(c011 + xs*(c111 + xs*(c211 + c311*xs))
+      + ys*(c021 + xs*(c121 + c221*xs) + ys*(c031 + c131*xs + c041*ys)))
+      + z*(c002 + xs*(c102 + c202*xs) + ys*(c012 + c112*xs + c022*ys)
+      + z*(c003 + c103*xs + c013*ys + z*(c004 + c005*z)))))
+    value.t
+  }
+
+  /** TEOS-10 sound speed c(SA, CT, p) m/s — `gsw_sound_speed`:
+    * c = 10⁴·√(−v²/(∂v/∂p)) over the 75-term polynomial and its
+    * analytic pressure derivative — the thermodynamically-consistent
+    * replacement for r13's UNESCO formula. Check values (via the
+    * reference's own C polynomial): c(34.7118, 28.8099, 10) =
+    * 1542.478379390, c(34.8472, 10.2262, 250) = 1494.430077614,
+    * c(34.7324, 4.3236, 1000) = 1483.937417670.
+    */
+  def soundSpeedTeos10(sa: Column, ct: Column, p: Column): Column = {
+    val v = specvolG(sa, ct, p)(ColNum)
+    lit(10000.0) * sqrt(lit(0.0) - v * v / vPPartG(sa, ct, p)(ColNum))
+  }
+  def soundSpeedTeos10Sql(sa: String, ct: String, p: String): String = {
+    val v = specvolG(s"($sa)", s"($ct)", s"($p)")(SqlNum)
+    s"(10000.0 * SQRT(0.0 - ($v) * ($v) / (${vPPartG(s"($sa)", s"($ct)", s"($p)")(SqlNum)})))"
+  }
+
   /** Thermal expansion coefficient α(SA, CT, p) 1/K with respect to
     * Conservative Temperature — TEOS-10 `gsw_alpha`
     * (gsw_oceanographic_toolbox.c:242-265): α = 0.025·(∂v/∂CT)/v over the

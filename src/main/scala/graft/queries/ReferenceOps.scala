@@ -869,6 +869,30 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r30_sound_speed_exact: TEOS-10 sound speed ----------------------
+  // c = 10⁴·√(−v²/(∂v/∂p)) from the 75-term polynomial and its analytic
+  // pressure derivative (gsw_sound_speed) — supersedes r13's UNESCO
+  // fit with the thermodynamically-consistent value. Same ramp as
+  // r27-r29; quantized at 1e-6 m/s.
+  private val r30 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sa", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("ct", col("l_quantity") % 30.0)
+        .withColumn("pres", col("l_extendedprice") % 4000.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.soundSpeedTeos10(col("sa"), col("ct"), col("pres")), 6).as("c_ms"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val cs = graft.functions.Seawater.soundSpeedTeos10Sql(
+        "30.0 + l_discount * 100.0", "l_quantity % 30.0", "l_extendedprice % 4000.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($cs) * 1e6 + 0.5) / 1e6 AS c_ms
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
@@ -898,5 +922,6 @@ object ReferenceOps {
     "r26_abs_salinity" -> r26,
     "r27_insitu_density" -> r27,
     "r28_alpha_beta" -> r28,
-    "r29_enthalpy" -> r29)
+    "r29_enthalpy" -> r29,
+    "r30_sound_speed_exact" -> r30)
 }

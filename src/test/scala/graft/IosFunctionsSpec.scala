@@ -155,6 +155,19 @@ class IosFunctionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - 26970.684160346) < 2e-9)
   }
 
+  test("TEOS-10 sound speed matches the reference C polynomial check values") {
+    import graft.functions.Seawater
+    val df = Seq(1.0).toDF("x")
+    val row = df.select(
+      Seawater.soundSpeedTeos10(lit(34.7118), lit(28.8099), lit(10.0)).as("a"),
+      Seawater.soundSpeedTeos10(lit(34.8472), lit(10.2262), lit(250.0)).as("b"),
+      Seawater.soundSpeedTeos10(lit(34.7324), lit(4.3236), lit(1000.0)).as("c")).collect()(0)
+    // evaluated through the reference's own gsw_sound_speed Horner chains
+    assert(math.abs(row.getDouble(0) - 1542.478379390) < 2e-9)
+    assert(math.abs(row.getDouble(1) - 1494.430077614) < 2e-9)
+    assert(math.abs(row.getDouble(2) - 1483.937417670) < 2e-9)
+  }
+
   test("SA from SP: open-ocean scaling and the Baltic analytic branch") {
     import graft.functions.Seawater
     val df = Seq(1.0).toDF("x")
