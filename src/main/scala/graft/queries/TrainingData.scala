@@ -168,6 +168,64 @@ object TrainingData {
       LEFT JOIN border b ON wc.id = b.bid
       ORDER BY id"""))
 
+  // ---- d17_winnowing: substring-overlap pairs (MOSS fingerprints) ------
+  // Winnowing (Schleimer et al., SIGMOD 2003) catches POSITIONAL overlap
+  // — shared runs ≥ k+w−1 chars — that the bag-of-shingles family (d2,
+  // d3) can't see. With the portable md5-derived k-gram hash DuckDB
+  // replays the whole pipeline: char 8-grams → 4-window sliding min →
+  // distinct fingerprints → df-capped self-join → overlap ratio. The
+  // per-pair overlap is floor-quantized BEFORE the decimal-exact mean so
+  // no computed-double decimal cast is ever compared across engines.
+  private val d17 = Q(
+    (s, dir) => {
+      val fps = Dedup.winnowingFingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 8, w = 4, portableHash = true)
+      Dedup.winnowingPairs(fps, maxFpDf = 100, minSharedFps = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("shared") * 10 >= col("min_sz") * 8, 1L).otherwise(0L))
+            .as("n_high"),
+          Det.davg(col("overlap")).as("avg_overlap"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS txt
+        FROM documents),
+      g0 AS (
+        SELECT doc_id, len(txt) AS l, txt,
+               unnest(range(len(txt) - 7)) AS pos
+        FROM base WHERE len(txt) >= 11),
+      g AS (
+        SELECT doc_id, l, pos,
+               ${Text.md5LongSql("substr(txt, CAST(pos AS INTEGER) + 1, 8)")} AS h
+        FROM g0),
+      wm AS (
+        SELECT doc_id, l, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM g),
+      fps AS (
+        SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= l - 11),
+      capped AS (
+        SELECT doc_id, fp FROM (
+          SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps)
+        WHERE df <= 100),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+        FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      ov AS (
+        SELECT shared, LEAST(x.sz, y.sz) AS min_sz,
+               ${Det.qzSql("shared / CAST(LEAST(x.sz, y.sz) AS DOUBLE)")} AS overlap
+        FROM pairs JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+        WHERE shared >= 3)
+      SELECT COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN shared * 10 >= min_sz * 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_high,
+             ${Det.davgSql("overlap")} AS avg_overlap
+      FROM ov"""))
+
   // ---- d3_dedup_minhash: LSH candidate summary (oracle-replayed) -------
   // The signature pipeline is deterministic given the shingle hash; with
   // the portable md5-derived re-key ([[Text.md5Long]]) DuckDB replays the
@@ -2075,6 +2133,7 @@ object TrainingData {
     "d14_dedup_incremental" -> d14,
     "d15_containment" -> d15,
     "d16_dbscan" -> d16,
+    "d17_winnowing" -> d17,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -94,4 +94,47 @@ class Round6Spec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Double]("recall") >= 0.0 &&
       r.getAs[Double]("recall") <= 1.0))
   }
+
+  test("winnowing guarantee: a shared run of k+w-1 chars shares a fingerprint") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // k=8, w=4 → any common substring of length >= 11 must yield at least
+    // one common fingerprint (Schleimer et al. theorem 1); these two docs
+    // share exactly the 16-char run "quick brown foxes"
+    val docs = Seq(
+      (1L, "aaa the quick brown foxes bbb ccc ddd eee fff ggg hhh"),
+      (2L, "zzz yyy the quick brown foxes xxx www vvv uuu ttt sss"),
+      (3L, "totally unrelated content with no overlap whatsoever!!")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text").cache()
+    val shared12 = fps.filter(col("id") === 1).select("fp")
+      .intersect(fps.filter(col("id") === 2).select("fp")).count()
+    assert(shared12 >= 1, "guaranteed fingerprint for an 11+ char run missing")
+    val shared13 = fps.filter(col("id") === 1).select("fp")
+      .intersect(fps.filter(col("id") === 3).select("fp")).count()
+    assert(shared13 == 0, "disjoint texts should not collide")
+  }
+
+  test("winnowingPairs ranks a half-copied doc high and the df-cap kills hot fps") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "the tide rolled in over the grey stones while gulls wheeled " +
+      "above the harbour and the fishermen mended their long nets quietly"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.take(70) + " entirely different second half of this document here"),
+      (3L, "nothing in common with the other two documents at all, none!!")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(
+      Dedup.winnowingFingerprints(docs, "doc_id", "text")).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L &&
+      pairs.head.getLong(1) == 2L)
+    val ov = pairs.head.getAs[Double]("overlap")
+    assert(ov > 0.3 && ov < 0.95, s"half-copy overlap out of range: $ov")
+    // a fingerprint present in > maxFpDf docs must be dropped before the
+    // self-join: with cap 1 every fp is "hot" and no pairs survive
+    val capped = Dedup.winnowingPairs(
+      Dedup.winnowingFingerprints(docs, "doc_id", "text"), maxFpDf = 1)
+    assert(capped.count() == 0)
+  }
 }
