@@ -807,8 +807,93 @@ object TimeSeriesQueries {
         FROM tw ORDER BY event_id"""))
   }
 
+  // ---- s20_acf: autocorrelation function per event_type ----------------
+  // The seasonality diagnostic run before choosing smoothing/window
+  // widths (s10/s11/s17): Pearson autocorrelation of the hourly-bucket
+  // sums at lags 1–3, per event_type. Engine-exactness is the whole
+  // design: bucket sums are decimal-exact (dsum), then floor-quantized
+  // to integer ten-thousandths so every product/square in the Pearson
+  // sums is EXACT integer decimal arithmetic — the computed-double
+  // decimal-cast hazard (Det caveat) never arises. The final r is pure
+  // IEEE over identical doubles, then floor-quantized. Lags ride one
+  // window over the per-type exchange; the stack to (lag, pair) rows is
+  // row-local. Three keyed exchanges total (bucket agg → per-type window
+  // → type+lag agg), each on keys that only narrow — no join at any
+  // scale.
+  private val s20 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("bkt"))
+        .agg(Det.dsum(col("value")).as("x"))
+      val ser = hourly.select(col("event_type"), col("bkt"),
+        floor(col("x") * 1e4 + 0.5).cast("long").as("xq"))
+      val w = Window.partitionBy("event_type").orderBy("bkt")
+      val st = ser
+        .withColumn("l1", lag(col("xq"), 1).over(w))
+        .withColumn("l2", lag(col("xq"), 2).over(w))
+        .withColumn("l3", lag(col("xq"), 3).over(w))
+        .selectExpr("event_type", "xq",
+          "stack(3, 1, l1, 2, l2, 3, l3) AS (lg, yq)")
+        .filter(col("yq").isNotNull)
+      val dx = col("xq").cast(DecimalType(18, 0))
+      val dy = col("yq").cast(DecimalType(18, 0))
+      val agged = st.groupBy(col("event_type"), col("lg"))
+        .agg(count(lit(1)).as("n"),
+          sum(dx).as("sx"), sum(dy).as("sy"),
+          sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"))
+      val nD = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      val vx = nD * d("sxx") - d("sx") * d("sx")
+      val vy = nD * d("syy") - d("sy") * d("sy")
+      val r = (nD * d("sxy") - d("sx") * d("sy")) / (sqrt(vx) * sqrt(vy))
+      agged.select(col("event_type"), col("lg"), col("n"),
+        when(vx > 0 && vy > 0, Det.qz(r)).otherwise(lit(null)).as("acf"))
+        .orderBy("event_type", "lg")
+    },
+    Some(s"""
+      WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS bkt,
+               ${Det.dsumSql("value")} AS x
+        FROM events GROUP BY 1, 2),
+      ser AS (
+        SELECT event_type, bkt, CAST(FLOOR(x * 1e4 + 0.5) AS BIGINT) AS xq
+        FROM hourly),
+      lagged AS (
+        SELECT event_type, xq,
+               lag(xq, 1) OVER w AS l1, lag(xq, 2) OVER w AS l2,
+               lag(xq, 3) OVER w AS l3
+        FROM ser WINDOW w AS (PARTITION BY event_type ORDER BY bkt)),
+      st AS (
+        SELECT event_type, 1 AS lg, xq, l1 AS yq FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, xq, l2 FROM lagged WHERE l2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, xq, l3 FROM lagged WHERE l3 IS NOT NULL),
+      agg AS (
+        SELECT event_type, lg, COUNT(*) AS n,
+               SUM(CAST(xq AS DECIMAL(18,0))) AS sx,
+               SUM(CAST(yq AS DECIMAL(18,0))) AS sy,
+               SUM(CAST(xq AS DECIMAL(18,0)) * yq) AS sxy,
+               SUM(CAST(xq AS DECIMAL(18,0)) * xq) AS sxx,
+               SUM(CAST(yq AS DECIMAL(18,0)) * yq) AS syy
+        FROM st GROUP BY 1, 2)
+      SELECT event_type, CAST(lg AS INTEGER) AS lg, n,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+             THEN ${Det.qzSql(
+               "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+               "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+               "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))")}
+             ELSE NULL END AS acf
+      FROM agg ORDER BY event_type, lg"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
+    "s20_acf" -> s20,
     "s17_ewma" -> s17,
     "s18_holt" -> s18,
     "s19_kalman" -> s19,

@@ -1680,6 +1680,97 @@ object TrainingData {
               FROM hosts LEFT JOIN a3 ON h = a3.dst)
       SELECT h AS host, pr FROM pr3 ORDER BY host"""))
 
+  // ---- t26_readability: Flesch reading ease per language -----------------
+  // The grade-level routing signal curriculum-ordered training mixes cut
+  // on (easy → hard). Flesch reading ease with a vowel-group syllable
+  // proxy (the standard dictionary-free approximation): words = \S+ runs,
+  // sentences = [.!?]+ runs, syllables = [aeiouy]+ groups. All three are
+  // single regexp_count passes — map-only below one keyed agg. Every
+  // ratio is pure-IEEE then floor-quantized before banding and before the
+  // decimal mean, so the band cuts and the averages are engine-exact.
+  private val t26 = Q(
+    (s, dir) => {
+      val words = greatest(regexp_count(col("text"), lit("\\S+")), lit(1L))
+      val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1L))
+      val syll = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1L))
+      val flesch = Det.qz(lit(206.835)
+        - lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - lit(84.6) * (syll.cast("double") / words.cast("double")))
+      val band = when(col("flesch") >= 90, "very_easy")
+        .when(col("flesch") >= 70, "easy")
+        .when(col("flesch") >= 50, "medium")
+        .when(col("flesch") >= 30, "hard")
+        .otherwise("very_hard")
+      t(s, dir, "documents")
+        .select(col("lang"), flesch.as("flesch"),
+          Det.qz(words.cast("double") / sents.cast("double")).as("wps"))
+        .select(col("lang"), col("flesch"), col("wps"), band.as("band"))
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n"),
+          Det.davg(col("flesch")).as("avg_flesch"),
+          Det.davg(col("wps")).as("avg_wps"))
+        .orderBy("lang", "band")
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT lang,
+               GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS words,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+               GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syll
+        FROM documents),
+      sc AS (
+        SELECT lang,
+               ${Det.qzSql("206.835 - 1.015 * (CAST(words AS DOUBLE) / sents) " +
+                           "- 84.6 * (CAST(syll AS DOUBLE) / words)")} AS flesch,
+               ${Det.qzSql("CAST(words AS DOUBLE) / sents")} AS wps
+        FROM f)
+      SELECT lang,
+             CASE WHEN flesch >= 90 THEN 'very_easy'
+                  WHEN flesch >= 70 THEN 'easy'
+                  WHEN flesch >= 50 THEN 'medium'
+                  WHEN flesch >= 30 THEN 'hard'
+                  ELSE 'very_hard' END AS band,
+             COUNT(*) AS n,
+             ${Det.davgSql("flesch")} AS avg_flesch,
+             ${Det.davgSql("wps")} AS avg_wps
+      FROM sc GROUP BY 1, 2 ORDER BY lang, band"""))
+
+  // ---- t27_domain_cap: per-domain document caps (C4-style) ---------------
+  // Crawl corpora cap documents per registered domain so one hot site
+  // can't dominate the mix (C4 does exactly this). Keep the `cap` best
+  // documents per domain by a deterministic quality key (n_chars desc,
+  // doc_id asc tie-break) — routed through the custom GroupedTopK plan
+  // node (bounded per-group heaps with a map-side partial pass, no
+  // partition sort), so the cap costs ONE keyed exchange at any corpus
+  // size. The oracle replays it as the window row_number shape.
+  private val t27 = Q(
+    (s, dir) => {
+      val cap = 25
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 37).as("domain"),
+          col("n_chars"), col("lang"))
+      graft.operators.TopK.perKey(docs,
+        keys = Seq("domain"),
+        order = Seq(("n_chars", false), ("doc_id", true)),
+        k = cap)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          min(col("n_chars")).as("cut_n_chars"))
+        .orderBy("domain")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT doc_id % 37 AS domain, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 37
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      SELECT domain, COUNT(*) AS n_kept,
+             CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+             MIN(n_chars) AS cut_n_chars
+      FROM ranked WHERE rn <= 25
+      GROUP BY domain ORDER BY domain"""))
+
   // ---- t17_domain_tld: URL structure analytics ---------------------------
   // The crawl-corpus provenance rollup: parse URLs (synthesized
   // deterministically from doc_id on BOTH engines, like d6) into host /
@@ -2159,6 +2250,8 @@ object TrainingData {
     "t23_zipf_slope" -> t23,
     "t24_code_detect" -> t24,
     "t25_host_rank" -> t25,
+    "t26_readability" -> t26,
+    "t27_domain_cap" -> t27,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

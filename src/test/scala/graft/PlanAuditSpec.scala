@@ -255,4 +255,25 @@ class PlanAuditSpec extends SparkSpec {
       assert(keyed == 1, s"$name keyed exchanges: $keyed\n${p.take(800)}")
     }
   }
+
+  test("t26: readability scoring is map-only below one keyed exchange") {
+    val p = planOf("t26_readability")
+    assert(!p.contains("Join"), "readability must not join")
+    val keyed = "hashpartitioning".r.findAllIn(p).size
+    assert(keyed == 1, s"t26 keyed exchanges: $keyed\n${p.take(800)}")
+  }
+
+  test("t27: the domain cap runs through the GroupedTopK node, no sort") {
+    val p = planOf("t27_domain_cap")
+    assert(p.contains("GroupedTopK"), s"custom node missing\n${p.take(800)}")
+    // the cap itself must not plan a Window (that's the oracle's shape)
+    assert(!p.contains("Window"), "cap must use bounded heaps, not a window sort")
+  }
+
+  test("s20: acf is join-free with three keyed exchanges (agg, window, agg)") {
+    val p = planOf("s20_acf")
+    assert(!p.contains("Join"), "acf must not join")
+    val keyed = "hashpartitioning".r.findAllIn(p).size
+    assert(keyed <= 3, s"s20 keyed exchanges: $keyed\n${p.take(800)}")
+  }
 }
