@@ -753,4 +753,65 @@ object Seawater {
     betaG(sa, ct, p)(ColNum)
   def betaTeos10Sql(sa: String, ct: String, p: String): String =
     betaG(s"($sa)", s"($ct)", s"($p)")(SqlNum)
+
+  /** Surface spiciness π₀(SA, CT) kg/m³ — TEOS-10 `gsw_spiciness0`
+    * (McDougall & Krzysik 2015; reference bundle:
+    * gsw_oceanographic_toolbox.c `gsw_spiciness0`), the water-mass
+    * variable orthogonal (in the isopycnal sense) to density: warm-salty
+    * raises it, cold-fresh lowers it, and it is 0 at standard ocean
+    * (SSO, 0 °C) by construction. 7×7 polynomial in
+    * (xs = √(sfac·SA + offset), ys = CT/40) with the C's exact Horner
+    * nesting, so doubles match the reference bit-for-bit. Check values
+    * (via the reference's own polynomial): π₀(34.7118, 28.8099) =
+    * 5.728998558542941, π₀(34.8472, 10.2262) = 1.0693625566417637,
+    * π₀(34.7324, 4.3236) = 0.08972518849408573, |π₀(35.16504, 0)| <
+    * 2e-14.
+    */
+  private def spiciness0G[T](sa: T, ct: T)(implicit N: Num[T]): T = {
+    final class W(val t: T) {
+      def +(o: W): W = new W(N.add(t, o.t))
+      def *(o: W): W = new W(N.mul(t, o.t))
+    }
+    def c(v: Double): W = new W(N.const(v))
+    val xs = new W(N.sqrtN(N.add(N.mul(N.const(0.0248826675584615), sa),
+      N.const(5.971840214030754e-1))))
+    val ys = new W(N.mul(ct, N.const(0.025)))
+    val s01 = c(-9.22982898371678e1); val s02 = c(-1.35727873628866e1)
+    val s03 = c(1.87353650994010e1); val s04 = c(-1.61360047373455e1)
+    val s05 = c(3.76112762286425e1); val s06 = c(-4.27086671461257e1)
+    val s07 = c(2.00820111041594e1); val s08 = c(2.87969717584045e2)
+    val s09 = c(1.13747111959674e1); val s10 = c(6.07377192990680e1)
+    val s11 = c(-7.37514033570187e1); val s12 = c(-7.51171878953574e1)
+    val s13 = c(1.63310989721504e2); val s14 = c(-8.83222751638095e1)
+    val s15 = c(-6.41725302237048e2); val s16 = c(2.79732530789261e1)
+    val s17 = c(-2.49466901993728e2); val s18 = c(3.26691295035416e2)
+    val s19 = c(2.66389243708181e1); val s20 = c(-2.93170905757579e2)
+    val s21 = c(1.76053907144524e2); val s22 = c(8.27634318120224e2)
+    val s23 = c(-7.02156220126926e1); val s24 = c(3.82973336590803e2)
+    val s25 = c(-5.06206828083959e2); val s26 = c(6.69626565169529e1)
+    val s27 = c(3.02851235050766e2); val s28 = c(-1.96345285604621e2)
+    val s29 = c(-5.74040806713526e2); val s30 = c(7.03285905478333e1)
+    val s31 = c(-2.97870298879716e2); val s32 = c(3.88340373735118e2)
+    val s33 = c(-8.29188936089122e1); val s34 = c(-1.87602137195354e2)
+    val s35 = c(1.27096944425793e2); val s36 = c(2.11671167892147e2)
+    val s37 = c(-3.15140919876285e1); val s38 = c(1.16458864953602e2)
+    val s39 = c(-1.50029730802344e2); val s40 = c(3.76293848660589e1)
+    val s41 = c(6.47247424373200e1); val s42 = c(-4.47159994408867e1)
+    val s43 = c(-3.23533339449055e1); val s44 = c(5.30648562097667)
+    val s45 = c(-1.82051249177948e1); val s46 = c(2.33184351090495e1)
+    val s47 = c(-6.22909903460368); val s48 = c(-9.55975464301446)
+    val s49 = c(6.61877073960113)
+    val value = (s01 + ys*(s02 + ys*(s03 + ys*(s04 + ys*(s05 + ys*(s06 + s07*ys)))))
+      + xs*(s08 + ys*(s09 + ys*(s10 + ys*(s11 + ys*(s12 + ys*(s13 + s14*ys)))))
+      + xs*(s15 + ys*(s16 + ys*(s17 + ys*(s18 + ys*(s19 + ys*(s20 + s21*ys)))))
+      + xs*(s22 + ys*(s23 + ys*(s24 + ys*(s25 + ys*(s26 + ys*(s27 + s28*ys)))))
+      + xs*(s29 + ys*(s30 + ys*(s31 + ys*(s32 + ys*(s33 + ys*(s34 + s35*ys)))))
+      + xs*(s36 + ys*(s37 + ys*(s38 + ys*(s39 + ys*(s40 + ys*(s41 + s42*ys)))))
+      + xs*(s43 + ys*(s44 + ys*(s45 + ys*(s46 + ys*(s47 + ys*(s48 + s49*ys)))))
+      )))))))
+    value.t
+  }
+  def spiciness0(sa: Column, ct: Column): Column = spiciness0G(sa, ct)(ColNum)
+  def spiciness0Sql(sa: String, ct: String): String =
+    spiciness0G(s"($sa)", s"($ct)")(SqlNum)
 }

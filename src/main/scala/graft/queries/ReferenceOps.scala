@@ -893,7 +893,32 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r31_spiciness: TEOS-10 surface spiciness ------------------------
+  // π₀(SA, CT) (McDougall & Krzysik 2015) — the along-isopycnal
+  // water-mass coordinate that pairs with r27's density: fronts with
+  // compensating temperature/salinity gradients are invisible in ρ but
+  // jump in π₀. Same synthesized (SA, CT) ramp as r27-r30; both engines
+  // evaluate the identical 7×7 Horner tree, quantized at 1e-6 kg/m³.
+  private val r31 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sa", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("ct", col("l_quantity") % 30.0)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.qz(graft.functions.Seawater.spiciness0(col("sa"), col("ct")), 6).as("spice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val sp = graft.functions.Seawater.spiciness0Sql(
+        "30.0 + l_discount * 100.0", "l_quantity % 30.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             FLOOR(($sp) * 1e6 + 0.5) / 1e6 AS spice
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
+    "r31_spiciness" -> r31,
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
     "r3_dms_coords" -> r3,

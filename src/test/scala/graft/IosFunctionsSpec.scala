@@ -168,6 +168,22 @@ class IosFunctionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - 1483.937417670) < 2e-9)
   }
 
+  test("TEOS-10 spiciness0 matches the reference polynomial and is 0 at SSO") {
+    import graft.functions.Seawater
+    val df = Seq(1.0).toDF("x")
+    val row = df.select(
+      Seawater.spiciness0(lit(34.7118), lit(28.8099)).as("a"),
+      Seawater.spiciness0(lit(34.8472), lit(10.2262)).as("b"),
+      Seawater.spiciness0(lit(34.7324), lit(4.3236)).as("c"),
+      // standard ocean: spiciness0 is zero by construction
+      Seawater.spiciness0(lit(Seawater.gswSso), lit(0.0)).as("d")).collect()(0)
+    // evaluated through the reference's own gsw_spiciness0 Horner chain
+    assert(math.abs(row.getDouble(0) - 5.728998558542941) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 1.0693625566417637) < 1e-12)
+    assert(math.abs(row.getDouble(2) - 0.08972518849408573) < 1e-12)
+    assert(math.abs(row.getDouble(3)) < 1e-13)
+  }
+
   test("SA from SP: open-ocean scaling and the Baltic analytic branch") {
     import graft.functions.Seawater
     val df = Seq(1.0).toDF("x")
