@@ -2206,6 +2206,146 @@ object TrainingData {
              ${Det.qzSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS zipf_slope
       FROM s"""))
 
+  // ---- t28_bm25: BM25 top-k retrieval ------------------------------------
+  // The ranked-retrieval workhorse (Robertson-Spärck Jones BM25,
+  // k1 = 1.2, b = 0.75) over the corpus for a small query batch — what a
+  // training-data team runs to pull topical slices out of 100 TB. Plan
+  // shape: document length is a map-only size(split()) (no explode for
+  // dl); the token explode is filtered to query terms IMMEDIATELY, so the
+  // (doc, term) aggregation only ever shuffles matching tokens — corpus
+  // rows with no query term never leave the scan. df and the global
+  // length stats are tiny aggregates broadcast back; the final per-query
+  // ranking is the bounded-heap GroupedTopK, not a corpus sort. Numeric
+  // determinism: tf/df/dl/n_docs/sum_dl are integers, idf's ln is
+  // quantized before use (Det.qz 8), each term contribution is quantized,
+  // and the per-doc score is an exact decimal sum of quantized terms.
+  private val bm25Queries: Seq[(String, String)] = Seq(
+    "qa" -> "spark", "qa" -> "join",
+    "qb" -> "hash", "qb" -> "scan", "qb" -> "merge",
+    "qc" -> "vector", "qc" -> "stream")
+  private val t28 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val terms = bm25Queries.map(_._2).distinct
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val qt = bm25Queries.toDF("qid", "term")
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfc), "term")
+        .crossJoin(broadcast(stats))
+        .join(broadcast(qt), "term")
+        .withColumn("idf", Det.qz(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 8))
+        // dl/avgdl kept rational as dl·n_docs/sum_dl: one double division
+        .withColumn("contrib", Det.qz(col("idf") * (col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * (col("dl") * col("n_docs") / col("sum_dl"))))), 8))
+      val perDoc = scored.groupBy(col("qid"), col("doc_id"))
+        .agg(Det.qz(Det.dsum(col("contrib")), 6).as("score"),
+          count(lit(1)).as("n_terms"))
+      val top = graft.operators.TopK.perKey(perDoc, Seq("qid"),
+        Seq(("score", false), ("doc_id", true)), 5)
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+      top.withColumn("rnk", row_number().over(w))
+        .select(col("qid"), col("rnk"), col("doc_id"), col("n_terms"), col("score"))
+        .orderBy("qid", "rnk")
+    },
+    Some {
+      val qvals = bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+      val inList = bm25Queries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      val idf = Det.qzSql("LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)", 8)
+      val contrib = Det.qzSql(
+        s"($idf) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl * n_docs / sum_dl))))", 8)
+      s"""
+      WITH qt(qid, term) AS (VALUES $qvals),
+      d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+      st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dd),
+      tok AS (SELECT doc_id, dl, unnest(w) AS tterm FROM dd),
+      tf AS (
+        SELECT doc_id, tterm, COUNT(*) AS tf, MAX(dl) AS dl FROM tok
+        WHERE tterm IN ($inList) GROUP BY doc_id, tterm),
+      dfc AS (SELECT tterm AS dterm, COUNT(*) AS df FROM tf GROUP BY tterm),
+      scored AS (
+        SELECT qid, doc_id, $contrib AS contrib
+        FROM tf JOIN dfc ON tterm = dterm CROSS JOIN st
+             JOIN qt ON term = tterm),
+      perdoc AS (
+        SELECT qid, doc_id,
+               ${Det.qzSql(Det.dsumSql("contrib"), 6)} AS score,
+               COUNT(*) AS n_terms
+        FROM scored GROUP BY qid, doc_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+        FROM perdoc)
+      SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms, score
+      FROM ranked WHERE rnk <= 5
+      ORDER BY qid, rnk"""
+    })
+
+  // ---- t30_source_overlap: pairwise corpus-slice resemblance -------------
+  // The "how much does source A repeat source B" matrix — the diagnostic a
+  // curation team reads before mixing corpus slices (crawl snapshots,
+  // vendor drops) into one training set. Resemblance unit is the distinct
+  // 3-token shingle set per source (d2's unit, aggregated per slice
+  // instead of per doc): |A∩B|, |A|, |B| and exact Jaccard per source
+  // pair. Plan shape: one distinct over (source, shingle), then a
+  // self-join keyed on the shingle — the per-key fanout is bounded by the
+  // number of sources containing that shingle (≤ #slices, a fixed small
+  // catalog at any corpus size), so the join output is O(#shingles ·
+  // #slices²) worst case and the exchange carries (source, shingle)
+  // pairs, never documents. Sizes ride in as broadcast joins.
+  private val t30 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = docs
+        .select(col("source"), explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("src1"), col("n").as("n1"))), "src1")
+        .join(broadcast(sizes.select(col("source").as("src2"), col("n").as("n2"))), "src2")
+        .withColumn("jaccard",
+          Det.qz(col("n_common") / (col("n1") + col("n2") - col("n_common")), 6))
+        .select("src1", "src2", "n1", "n2", "n_common", "jaccard")
+        .orderBy("src1", "src2")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct(list_transform(range(greatest(len(w)-2, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' ')))) AS sh
+        FROM tok),
+      sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+      pairs AS (
+        SELECT a.source AS src1, b.source AS src2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT src1, src2, s1.n AS n1, s2.n AS n2, n_common,
+             ${Det.qzSql("n_common / (s1.n + s2.n - n_common)", 6)} AS jaccard
+      FROM pairs
+        JOIN sizes s1 ON s1.source = src1
+        JOIN sizes s2 ON s2.source = src2
+      ORDER BY src1, src2"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "d1_dedup_exact" -> d1,
@@ -2252,6 +2392,8 @@ object TrainingData {
     "t25_host_rank" -> t25,
     "t26_readability" -> t26,
     "t27_domain_cap" -> t27,
+    "t28_bm25" -> t28,
+    "t30_source_overlap" -> t30,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

@@ -137,4 +137,39 @@ class Round6Spec extends SparkSpec {
       Dedup.winnowingFingerprints(docs, "doc_id", "text"), maxFpDf = 1)
     assert(capped.count() == 0)
   }
+
+  test("t28_bm25: per-query top-k is dense, descending, and term-grounded") {
+    val rows = SparkEntry.queries("t28_bm25")(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[String]("qid"))
+    assert(byQ.keySet == Set("qa", "qb", "qc"))
+    byQ.foreach { case (qid, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(ranked.map(_.getAs[Int]("rnk")).toSeq == (1 to ranked.length),
+        s"$qid ranks not dense")
+      val scores = ranked.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$qid scores not descending: ${scores.mkString(",")}")
+      assert(scores.forall(_ > 0.0), s"$qid has non-positive scores")
+      // every hit matched at least one and at most all of the query's terms
+      val qLen = Map("qa" -> 2, "qb" -> 3, "qc" -> 2)(qid)
+      assert(ranked.forall { r =>
+        val n = r.getAs[Long]("n_terms"); n >= 1 && n <= qLen
+      })
+    }
+  }
+
+  test("t30_source_overlap: Jaccard bounds and intersection consistency") {
+    val rows = SparkEntry.queries("t30_source_overlap")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2, nc) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("n_common"))
+      val j = r.getAs[Double]("jaccard")
+      assert(r.getAs[String]("src1") < r.getAs[String]("src2"))
+      assert(nc >= 1 && nc <= math.min(n1, n2),
+        s"intersection exceeds a side: $nc vs ($n1, $n2)")
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      assert(math.abs(j - nc.toDouble / (n1 + n2 - nc)) < 1e-4)
+    }
+  }
 }
