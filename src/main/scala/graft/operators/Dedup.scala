@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for document corpora (SURVEY.md §2.C).
@@ -429,40 +429,33 @@ object Dedup {
     * fingerprint — the positional-overlap relation that token-set
     * Jaccard (d2) and minhash (d3) both miss (they see bags, not runs).
     *
-    * Shape: positions explode to ROWS and the k-gram hash is computed
-    * once per row — the nested-HOF formulation (slice + array_min over a
-    * hash array) re-inlines the hash expression into every window
-    * because interpreted HOFs have no CSE (measured 5-14× on the same
-    * trap in round 2). The sliding min is then a ROWS-frame window
-    * inside the single per-doc exchange, and the distinct fingerprint
-    * set reuses that same exchange. One keyed shuffle at any scale.
+    * Shape: gram hashes, the w-window sliding min, and the distinct
+    * fingerprint set all happen inside ONE map-side projection — the
+    * native [[graft.plans.WinnowingFpExpr]] kernel, a per-row primitive
+    * loop — so the document never leaves its row until the (much
+    * smaller) distinct fingerprints explode. The earlier
+    * explode-per-character + keyed-window form shipped the EXPANDED
+    * corpus (one row per char position) through a per-doc exchange — at
+    * 100 TB that is a >100 TB shuffle to compute a value that never
+    * needed to leave the row. (The intermediate all-HOF form fixed the
+    * shuffle but still paid interpreted per-gram hashing — the kernel
+    * is ~4× over it on the md5 path.)
     *
     * `portableHash` swaps xxhash64 for the md5-derived hash DuckDB can
-    * replay ([[Text.md5Long]]).
+    * replay ([[Text.md5Long]]); both are bit-exact in the kernel.
     */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 8, w: Int = 4,
                             portableHash: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 2 && w >= 1, s"degenerate winnowing params k=$k w=$w")
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     val base = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"), norm.as("txt"))
       .filter(length(col("txt")) >= k + w - 1)
-    val gram = substr(col("txt"), col("pos") + 1, lit(k))
-    val grams = base
-      .select(col("id"), col("txt"), length(col("txt")).as("len"),
-        explode(sequence(lit(0), length(col("txt")) - k)).as("pos"))
-      .select(col("id"), col("len"), col("pos"),
-        (if (portableHash) Text.md5Long(gram) else xxhash64(gram)).as("h"))
-    val winMin = min(col("h")).over(
-      Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1))
-    grams.withColumn("fp", winMin)
-      // only full windows fingerprint: the last window starts at
-      // (n_grams − w) = len − k + 1 − w
-      .filter(col("pos") <= col("len") - k - w + 1)
-      .select(col("id"), col("fp"))
-      .distinct()
+    val fps = org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.WinnowingFpExpr(
+        org.apache.spark.sql.GraftSqlShim.expression(col("txt")), k, w, portableHash))
+    base.select(col("id"), explode(fps).as("fp"))
   }
 
   /** Substring-overlap pairs from winnowing fingerprints: self-join on

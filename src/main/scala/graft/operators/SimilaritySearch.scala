@@ -522,11 +522,13 @@ object SimilaritySearch {
         sqrt(aggregate(transform(col("qv"), q => q.cast("double") * q.cast("double")),
           lit(0.0), (a, b) => a + b)).as("qnorm"),
         zip_with(col("qv"), deltaLit, (q, d) => q.cast("double") * d).as("w")))
+    // candidate-scan scoring is the native codegen'd SqAdcDotExpr — a
+    // primitive loop over the compressed int codes per pair; the
+    // interpreted-HOF form this replaces was the whole-bench hotspot
+    val adcDot = exprCol(graft.plans.SqAdcDotExpr(exprOf(col("w")), exprOf(col("codes"))))
     val scored = coded.crossJoin(qdf)
       .select(col("qid"), col("cid"),
-        ((col("off") + aggregate(
-          zip_with(col("w"), col("codes"), (wj, cj) => wj * cj.cast("double")),
-          lit(0.0), (a, b) => a + b)) / (col("qnorm") * col("rnorm"))).as("sq_cos"))
+        ((col("off") + adcDot) / (col("qnorm") * col("rnorm"))).as("sq_cos"))
     val short = TopK.perKey(scored, Seq("qid"), Seq(("sq_cos", false), ("cid", true)), shortlist)
     val cv = candidates.select(col(idCol).as("cid2"), col(vecCol).as("cvec"))
     val qvec = broadcast(queries.select(col(idCol).cast("long").as("qid2"), col(vecCol).as("qvec")))

@@ -191,6 +191,74 @@ case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Asymmetric SQ8 ADC dot: Σ_j w_j · code_j over per-query weights
+  * (array<double>, broadcast with the query row) and candidate codes
+  * (array<int>, the compressed scan side). This IS the SQ8 hot loop —
+  * it runs once per candidate×query pair over the whole corpus, so it
+  * gets `doGenCode` (FAISS's SQ ADC scan layout: the query-dependent
+  * affine terms are folded into w/offset, the candidate side stays
+  * compressed integers).
+  *
+  * Semantics exactly match the HOF form it replaces
+  * (`aggregate(zip_with(w, codes, (wj, cj) => wj * cj.cast("double")), 0d, +)`):
+  * mismatched lengths → NULL (zip_with pads with null), any null
+  * element → NULL (null poisons the fold), sequential left-to-right
+  * double accumulation.
+  */
+case class SqAdcDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sq_adc_dot expects (array<double>, array<int>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sq_adc_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val w = l.asInstanceOf[ArrayData]
+    val c = r.asInstanceOf[ArrayData]
+    val n = w.numElements()
+    if (n != c.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (w.isNullAt(i) || c.isNullAt(i)) return null
+      s += w.getDouble(i) * c.getInt(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, c) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        final int $n = $w.numElements();
+        if ($n != $c.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($w.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $s += $w.getDouble($i) * ((double) $c.getInt($i));
+          }
+          if (!${ev.isNull}) { ${ev.value} = $s; }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Per-query ADC lookup table lut(s)(j) = ‖q_s − c_sj‖². Runs on the
   * broadcast query side (bounded rows), so interpreted eval suffices —
   * the win is the O(1) plan tree.

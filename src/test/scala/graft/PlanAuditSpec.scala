@@ -178,6 +178,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d17: winnowing fingerprints build map-side, no per-character shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fps = graft.operators.Dedup.winnowingFingerprints(
+      docs, "doc_id", "text", k = 8, w = 4, portableHash = true)
+    val p = fps.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the only permissible exchange is Tables.spread's small-input
+    // repartition at the scan; the sliding min must NOT plan a window
+    assert(!p.contains("Window"),
+      s"fingerprint sliding min regressed to a keyed window\n${p.take(1000)}")
+    // formatted mode prints each node twice (tree + detail) — count the
+    // "(n) Exchange" detail headers so one node counts once
+    val ex = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(ex <= 1, s"fingerprint build plans $ex exchanges\n${p.take(1000)}")
+  }
+
+  test("v7: SQ8 candidate scan scores via the native codegen ADC dot") {
+    val p = planOf("v7_sq_int8")
+    assert(p.contains("graft_sq_adc_dot"),
+      s"SQ8 scan fell back to the interpreted HOF form\n${p.take(1200)}")
+  }
+
   test("s17: EWMA is one keyed exchange, join-free, with no pow at query time") {
     val p = planOf("s17_ewma")
     assert(!p.contains("Join"), "EWMA must not join")
