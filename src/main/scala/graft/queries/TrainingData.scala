@@ -1355,20 +1355,23 @@ object TrainingData {
 
   // ---- v8_recall_eval: ANN quality measurement --------------------------
   // The evaluation harness every ANN deployment runs before trusting an
-  // index: recall@k of the IVF tier against the exact brute-force
+  // index: recall@k of an approximate tier against the exact brute-force
   // baseline, per query. Join is on (qid, cid) id pairs — queries×k
   // rows however big the corpus — so the evaluator is constant-cost
-  // relative to the index build. Approx side is training-dependent →
-  // rows-only; Round6Spec pins the nProbe→recall monotonicity and the
-  // full-probe==1.0 identity.
+  // relative to the index build. The evaluated index is the multi-probe
+  // LSH tier (training-free), so this row bills the EVALUATOR, not an
+  // inline k-means — v3's row already prices IVF training, and
+  // Round6Spec pins the evaluator against IVF (nProbe→recall
+  // monotonicity, full-probe==1.0 identity) separately. Approx side is
+  // hash-dependent → rows-only.
   private val v8 = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
       val c = emb.filter(col("vec_id") >= 5)
       val exact = SimilaritySearch.bruteForceTopK(q, c, "vec_id", "embedding", k = 10)
-      val approx = SimilaritySearch.ivfTopK(q, c, "vec_id", "embedding",
-        k = 10, nCentroids = 10, nProbe = 3, iters = 3)
+      val approx = SimilaritySearch.multiProbeLshTopK(q, c, "vec_id", "embedding",
+        dims = 64, bits = 4, k = 10, nProbe = 3)
       SimilaritySearch.recallAtK(exact, approx, k = 10)
         .orderBy("qid")
     },
@@ -2219,10 +2222,14 @@ object TrainingData {
   // determinism: tf/df/dl/n_docs/sum_dl are integers, idf's ln is
   // quantized before use (Det.qz 8), each term contribution is quantized,
   // and the per-doc score is an exact decimal sum of quantized terms.
-  private val bm25Queries: Seq[(String, String)] = Seq(
+  // `.distinct` guards the scoring join: a duplicate (qid, term) pair
+  // would silently double that term's contribution and inflate n_terms.
+  // private[graft] so the spec derives per-query term counts from the
+  // same list instead of hardcoding them.
+  private[graft] val bm25Queries: Seq[(String, String)] = Seq(
     "qa" -> "spark", "qa" -> "join",
     "qb" -> "hash", "qb" -> "scan", "qb" -> "merge",
-    "qc" -> "vector", "qc" -> "stream")
+    "qc" -> "vector", "qc" -> "stream").distinct
   private val t28 = Q(
     (s, dir) => {
       import s.implicits._
@@ -2305,7 +2312,12 @@ object TrainingData {
   // number of sources containing that shingle (≤ #slices, a fixed small
   // catalog at any corpus size), so the join output is O(#shingles ·
   // #slices²) worst case and the exchange carries (source, shingle)
-  // pairs, never documents. Sizes ride in as broadcast joins.
+  // pairs, never documents. Sizes ride in as broadcast joins. Both join
+  // sides and the sizes agg read the SAME distinct subplan — Spark plans
+  // the second side as a ReusedExchange (PlanAuditSpec pins it), so the
+  // tokenize+shingle+distinct work runs once, not three times. Contract:
+  // source pairs with ZERO shingle overlap are omitted (inner join), not
+  // emitted as jaccard=0 rows — absent pair ⇒ no resemblance.
   private val t30 = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")

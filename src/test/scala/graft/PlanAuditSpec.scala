@@ -194,6 +194,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(ex <= 1, s"fingerprint build plans $ex exchanges\n${p.take(1000)}")
   }
 
+  test("t30: self-join sides reuse the shingle-distinct exchange") {
+    val df = SparkEntry.queries("t30_source_overlap")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"t30 re-evaluates the tokenize+shingle+distinct subtree per side\n${p.take(1200)}")
+  }
+
   test("v7: SQ8 candidate scan scores via the native codegen ADC dot") {
     val p = planOf("v7_sq_int8")
     assert(p.contains("graft_sq_adc_dot"),

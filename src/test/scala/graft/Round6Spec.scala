@@ -150,8 +150,10 @@ class Round6Spec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
         s"$qid scores not descending: ${scores.mkString(",")}")
       assert(scores.forall(_ > 0.0), s"$qid has non-positive scores")
-      // every hit matched at least one and at most all of the query's terms
-      val qLen = Map("qa" -> 2, "qb" -> 3, "qc" -> 2)(qid)
+      // every hit matched at least one and at most all of the query's
+      // terms — bounds derived from the registry's own query list so
+      // editing it cannot silently desync this test
+      val qLen = graft.queries.TrainingData.bm25Queries.count(_._1 == qid)
       assert(ranked.forall { r =>
         val n = r.getAs[Long]("n_terms"); n >= 1 && n <= qLen
       })
