@@ -122,6 +122,10 @@ object Seawater {
     def ifLt(a: T, b: T, x: T, y: T): T
     /** if (a <= b) x else y. */
     def ifLe(a: T, b: T, x: T, y: T): T
+    /** atan2(y, x) — libm on both engines; like ln/exp it can differ by
+      * one ulp between the JVM and DuckDB, so only use quantized.
+      */
+    def atan2N(y: T, x: T): T
   }
   private object ColNum extends Num[Column] {
     def const(v: Double): Column = lit(v)
@@ -136,6 +140,7 @@ object Seawater {
       when(a < b, x).otherwise(y)
     def ifLe(a: Column, b: Column, x: Column, y: Column): Column =
       when(a <= b, x).otherwise(y)
+    def atan2N(y: Column, x: Column): Column = atan2(y, x)
   }
   private object SqlNum extends Num[String] {
     def const(v: Double): String = {
@@ -158,6 +163,7 @@ object Seawater {
       s"(CASE WHEN $a < $b THEN $x ELSE $y END)"
     def ifLe(a: String, b: String, x: String, y: String): String =
       s"(CASE WHEN $a <= $b THEN $x ELSE $y END)"
+    def atan2N(y: String, x: String): String = s"ATAN2($y, $x)"
   }
 
   /** Adiabatic temperature gradient (°C/dbar), UNESCO 1983 `atg`:
@@ -814,4 +820,80 @@ object Seawater {
   def spiciness0(sa: Column, ct: Column): Column = spiciness0G(sa, ct)(ColNum)
   def spiciness0Sql(sa: String, ct: String): String =
     spiciness0G(s"($sa)", s"($ct)")(SqlNum)
+
+  // --- TEOS-10 vertical stability (gsw/stability.py) --------------------
+
+  /** TEOS-10 buoyancy frequency squared N²(1/s²) between two adjacent
+    * profile levels — `Nsquared` (reference bundle: GSW-Python
+    * gsw/stability.py:29-90, lat=None branch; the C composes the same
+    * quantities per level in gsw_oceanographic_toolbox.c
+    * `gsw_nsquared`): with midpoint properties (SA̅, CT̅, p̅) and level
+    * differences (ΔSA, ΔCT, Δp),
+    *   N² = g²/(v(SA̅,CT̅,p̅)·10⁴·Δp) · (β·ΔSA − α·ΔCT),
+    * g = 9.7963 m/s² (Griffies 2004 — stability.py's constant when no
+    * latitude is supplied). Positive = stable stratification. Check
+    * values (standard TEOS-10 profile, via the reference's own C
+    * polynomials): midpoints (30, 87.5, 187.5, 425, 800) dbar →
+    * N² = (6.10381482544474901e-5, 2.36472200911899471e-4,
+    * 2.17278529580053640e-4, 1.29803654205153541e-5,
+    * 8.45888560259768221e-6).
+    */
+  private def nsquaredG[T](saMid: T, ctMid: T, pMid: T,
+      dSa: T, dCt: T, dP: T)(implicit N: Num[T]): T = {
+    val g = 9.7963
+    N.mul(
+      N.div(N.const(g * g),
+        N.mul(N.mul(specvolG(saMid, ctMid, pMid), N.const(1e4)), dP)),
+      N.sub(N.mul(betaG(saMid, ctMid, pMid), dSa),
+        N.mul(alphaG(saMid, ctMid, pMid), dCt)))
+  }
+  def nsquaredTeos10(saMid: Column, ctMid: Column, pMid: Column,
+      dSa: Column, dCt: Column, dP: Column): Column =
+    nsquaredG(saMid, ctMid, pMid, dSa, dCt, dP)(ColNum)
+  def nsquaredTeos10Sql(saMid: String, ctMid: String, pMid: String,
+      dSa: String, dCt: String, dP: String): String =
+    nsquaredG(s"($saMid)", s"($ctMid)", s"($pMid)",
+      s"($dSa)", s"($dCt)", s"($dP)")(SqlNum)
+
+  /** Turner angle Tu (degrees) at a mid-level — `Turner_Rsubrho`
+    * (stability.py:93-146; C: gsw_oceanographic_toolbox.c
+    * `gsw_turner_rsubrho`): with ΔSA/ΔCT taken SHALLOW-minus-deep,
+    *   Tu = (180/π)·atan2(α·ΔCT + β·ΔSA, α·ΔCT − β·ΔSA).
+    * |Tu| < 45° double-stable, 45–90° salt-fingering regime, < −45°
+    * diffusive-convection regime. Callers clip SA to [0, 50] first
+    * (stability.py:120). Check values (standard profile, reference C):
+    * Tu = (-2.06385890528114713, 41.7584352167844273,
+    * 47.6069669816875347, 53.7103511517063694, 45.5270638582115339)°.
+    */
+  private def turnerG[T](saMid: T, ctMid: T, pMid: T,
+      dSa: T, dCt: T)(implicit N: Num[T]): T = {
+    val a = alphaG(saMid, ctMid, pMid); val b = betaG(saMid, ctMid, pMid)
+    N.mul(N.const(180.0 / math.Pi),
+      N.atan2N(N.add(N.mul(a, dCt), N.mul(b, dSa)),
+        N.sub(N.mul(a, dCt), N.mul(b, dSa))))
+  }
+  def turnerTeos10(saMid: Column, ctMid: Column, pMid: Column,
+      dSa: Column, dCt: Column): Column =
+    turnerG(saMid, ctMid, pMid, dSa, dCt)(ColNum)
+  def turnerTeos10Sql(saMid: String, ctMid: String, pMid: String,
+      dSa: String, dCt: String): String =
+    turnerG(s"($saMid)", s"($ctMid)", s"($pMid)", s"($dSa)", s"($dCt)")(SqlNum)
+
+  /** Stability ratio R_ρ = (α·ΔCT)/(β·ΔSA) — the double-diffusion
+    * diagnostic paired with Tu (same reference lines). Callers guard
+    * ΔSA = 0 (reference returns invalid there). Check values (standard
+    * profile, reference C): R_ρ = (-0.930433506903869278,
+    * -17.6564834348708892, 21.9627771740757289, 6.52714246620019622,
+    * 108.704405467974254).
+    */
+  private def rsubrhoG[T](saMid: T, ctMid: T, pMid: T,
+      dSa: T, dCt: T)(implicit N: Num[T]): T =
+    N.div(N.mul(alphaG(saMid, ctMid, pMid), dCt),
+      N.mul(betaG(saMid, ctMid, pMid), dSa))
+  def rsubrhoTeos10(saMid: Column, ctMid: Column, pMid: Column,
+      dSa: Column, dCt: Column): Column =
+    rsubrhoG(saMid, ctMid, pMid, dSa, dCt)(ColNum)
+  def rsubrhoTeos10Sql(saMid: String, ctMid: String, pMid: String,
+      dSa: String, dCt: String): String =
+    rsubrhoG(s"($saMid)", s"($ctMid)", s"($pMid)", s"($dSa)", s"($dCt)")(SqlNum)
 }

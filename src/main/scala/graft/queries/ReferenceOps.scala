@@ -917,8 +917,120 @@ object ReferenceOps {
       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r32_nsquared: TEOS-10 exact buoyancy frequency -------------------
+  // The thermodynamically-consistent N² the reference computes in
+  // GSW-Python stability.py `Nsquared` (lat=None branch): midpoint
+  // specvol/α/β from the 75-term polynomial between adjacent profile
+  // levels, N² = g²/(v·10⁴·Δp)·(β·ΔSA − α·ΔCT), g = 9.7963. Supersedes
+  // r20's EOS-80 σ-t finite difference with the exact TEOS-10 form; r20
+  // keeps its row as the legacy product. Same window shape as r20: ONE
+  // keyed exchange, the lag runs inside the per-profile sort; duplicate
+  // level numbers give Δp = 0 → NULL, as does the first level.
+  private val r32 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sa", lit(30.0) + col("l_discount") * 100.0)
+        .withColumn("ct", col("l_quantity") % 30.0)
+        .withColumn("pres", col("l_linenumber").cast("double") * 10.0)
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("sa"), col("ct"))
+      val saMid = (lag(col("sa"), 1).over(w) + col("sa")) * 0.5
+      val ctMid = (lag(col("ct"), 1).over(w) + col("ct")) * 0.5
+      val pMid = (lag(col("pres"), 1).over(w) + col("pres")) * 0.5
+      val dSa = col("sa") - lag(col("sa"), 1).over(w)
+      val dCt = col("ct") - lag(col("ct"), 1).over(w)
+      val dP = col("pres") - lag(col("pres"), 1).over(w)
+      li.select(col("l_orderkey"), col("l_linenumber"), saMid.as("sa_mid"),
+          ctMid.as("ct_mid"), pMid.as("p_mid"), dSa.as("dsa"), dCt.as("dct"), dP.as("dp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("dp") > 0.0,
+            graft.Det.qz(graft.functions.Seawater.nsquaredTeos10(
+              col("sa_mid"), col("ct_mid"), col("p_mid"),
+              col("dsa"), col("dct"), col("dp")), 10)).as("n2"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("n2"))
+    },
+    Some {
+      val n2 = graft.functions.Seawater.nsquaredTeos10Sql(
+        "sa_mid", "ct_mid", "p_mid", "dsa", "dct", "dp")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN dp > 0.0 THEN ${graft.Det.qzSql(n2, 10)} END AS n2
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+               (lag(sa, 1) OVER w + sa) * 0.5 AS sa_mid,
+               (lag(ct, 1) OVER w + ct) * 0.5 AS ct_mid,
+               (lag(pres, 1) OVER w + pres) * 0.5 AS p_mid,
+               sa - lag(sa, 1) OVER w AS dsa,
+               ct - lag(ct, 1) OVER w AS dct,
+               pres - lag(pres, 1) OVER w AS dp
+        FROM (SELECT l_orderkey, l_linenumber,
+                     30.0 + l_discount * 100.0 AS sa,
+                     l_quantity % 30.0 AS ct,
+                     CAST(l_linenumber AS DOUBLE) * 10.0 AS pres
+              FROM lineitem) s0
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, sa, ct)) s1
+      ORDER BY l_orderkey, l_linenumber, n2"""
+    })
+
+  // ---- r33_turner: Turner angle + stability ratio ------------------------
+  // The double-diffusion classifier the reference ships right next to N²
+  // (stability.py `Turner_Rsubrho`): Tu = deg·atan2(α·ΔCT + β·ΔSA,
+  // α·ΔCT − β·ΔSA) with SHALLOW-minus-deep differences and SA clipped to
+  // [0, 50] first (stability.py:120), R_ρ = (α·ΔCT)/(β·ΔSA) guarded on
+  // ΔSA = 0. |Tu| < 45° double-stable; 45–90° salt fingering; < −45°
+  // diffusive convection. Same one-exchange window shape as r32; first
+  // level NULL. atan2 is libm on both engines → quantized at 1e-6°.
+  private val r33 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sa", least(greatest(lit(30.0) + col("l_discount") * 100.0, lit(0.0)), lit(50.0)))
+        .withColumn("ct", col("l_quantity") % 30.0)
+        .withColumn("pres", col("l_linenumber").cast("double") * 10.0)
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("sa"), col("ct"))
+      val prev = lag(col("sa"), 1).over(w)
+      val saMid = (prev + col("sa")) * 0.5
+      val ctMid = (lag(col("ct"), 1).over(w) + col("ct")) * 0.5
+      val pMid = (lag(col("pres"), 1).over(w) + col("pres")) * 0.5
+      val dSa = prev - col("sa")
+      val dCt = lag(col("ct"), 1).over(w) - col("ct")
+      li.select(col("l_orderkey"), col("l_linenumber"), saMid.as("sa_mid"),
+          ctMid.as("ct_mid"), pMid.as("p_mid"), dSa.as("dsa"), dCt.as("dct"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.Det.qz(graft.functions.Seawater.turnerTeos10(
+            col("sa_mid"), col("ct_mid"), col("p_mid"), col("dsa"), col("dct")), 6).as("tu"),
+          when(col("dsa") =!= 0.0,
+            graft.Det.qz(graft.functions.Seawater.rsubrhoTeos10(
+              col("sa_mid"), col("ct_mid"), col("p_mid"), col("dsa"), col("dct")), 6)).as("r_rho"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("tu"), col("r_rho"))
+    },
+    Some {
+      val tu = graft.functions.Seawater.turnerTeos10Sql(
+        "sa_mid", "ct_mid", "p_mid", "dsa", "dct")
+      val rr = graft.functions.Seawater.rsubrhoTeos10Sql(
+        "sa_mid", "ct_mid", "p_mid", "dsa", "dct")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             ${graft.Det.qzSql(tu, 6)} AS tu,
+             CASE WHEN dsa <> 0.0 THEN ${graft.Det.qzSql(rr, 6)} END AS r_rho
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+               (lag(sa, 1) OVER w + sa) * 0.5 AS sa_mid,
+               (lag(ct, 1) OVER w + ct) * 0.5 AS ct_mid,
+               (lag(pres, 1) OVER w + pres) * 0.5 AS p_mid,
+               lag(sa, 1) OVER w - sa AS dsa,
+               lag(ct, 1) OVER w - ct AS dct
+        FROM (SELECT l_orderkey, l_linenumber,
+                     LEAST(GREATEST(30.0 + l_discount * 100.0, 0.0), 50.0) AS sa,
+                     l_quantity % 30.0 AS ct,
+                     CAST(l_linenumber AS DOUBLE) * 10.0 AS pres
+              FROM lineitem) s0
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, sa, ct)) s1
+      ORDER BY l_orderkey, l_linenumber, tu, r_rho"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r31_spiciness" -> r31,
+    "r32_nsquared" -> r32,
+    "r33_turner" -> r33,
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
     "r3_dms_coords" -> r3,

@@ -184,6 +184,53 @@ class IosFunctionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3)) < 1e-13)
   }
 
+  test("TEOS-10 Nsquared matches the reference on the standard profile") {
+    import graft.functions.Seawater
+    // Standard TEOS-10 check profile; midpoints/diffs computed exactly
+    // like stability.py Nsquared (lat=None → g = 9.7963). Expected
+    // values evaluated through the reference's own C polynomials
+    // (gsw_specvol_alpha_beta composed per stability.py:63-88).
+    val sa = Seq(34.7118, 34.8915, 35.0256, 34.8472, 34.7366, 34.7324)
+    val ct = Seq(28.8099, 28.4392, 22.7862, 10.2262, 6.8272, 4.3236)
+    val p = Seq(10.0, 50.0, 125.0, 250.0, 600.0, 1000.0)
+    val rows = (0 until 5).map { k =>
+      (0.5 * (sa(k) + sa(k + 1)), 0.5 * (ct(k) + ct(k + 1)), 0.5 * (p(k) + p(k + 1)),
+        sa(k + 1) - sa(k), ct(k + 1) - ct(k), p(k + 1) - p(k))
+    }
+    val df = rows.toDF("sam", "ctm", "pm", "dsa", "dct", "dp")
+    val got = df.select(Seawater.nsquaredTeos10(
+      $"sam", $"ctm", $"pm", $"dsa", $"dct", $"dp").as("n2")).collect().map(_.getDouble(0))
+    val want = Seq(6.10381482544474901e-05, 2.36472200911899471e-04,
+      2.17278529580053640e-04, 1.29803654205153541e-05, 8.45888560259768221e-06)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-18, s"$g vs $w") }
+  }
+
+  test("TEOS-10 Turner angle / R_rho match the reference C on the standard profile") {
+    import graft.functions.Seawater
+    // gsw_turner_rsubrho check values from the reference's own C
+    // (shallow-minus-deep differences, rad2deg·atan2 form)
+    val sa = Seq(34.7118, 34.8915, 35.0256, 34.8472, 34.7366, 34.7324)
+    val ct = Seq(28.8099, 28.4392, 22.7862, 10.2262, 6.8272, 4.3236)
+    val p = Seq(10.0, 50.0, 125.0, 250.0, 600.0, 1000.0)
+    val rows = (0 until 5).map { k =>
+      (0.5 * (sa(k) + sa(k + 1)), 0.5 * (ct(k) + ct(k + 1)), 0.5 * (p(k) + p(k + 1)),
+        sa(k) - sa(k + 1), ct(k) - ct(k + 1))
+    }
+    val df = rows.toDF("sam", "ctm", "pm", "dsa", "dct")
+    val got = df.select(
+      Seawater.turnerTeos10($"sam", $"ctm", $"pm", $"dsa", $"dct").as("tu"),
+      Seawater.rsubrhoTeos10($"sam", $"ctm", $"pm", $"dsa", $"dct").as("rr"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val wantTu = Seq(-2.06385890528114713, 41.7584352167844273,
+      47.6069669816875347, 53.7103511517063694, 45.5270638582115339)
+    val wantRr = Seq(-0.930433506903869278, -17.6564834348708892,
+      21.9627771740757289, 6.52714246620019622, 108.704405467974254)
+    got.zip(wantTu.zip(wantRr)).foreach { case ((tu, rr), (wt, wr)) =>
+      assert(math.abs(tu - wt) < 1e-10, s"Tu $tu vs $wt")
+      assert(math.abs(rr - wr) < math.abs(wr) * 1e-12, s"R_rho $rr vs $wr")
+    }
+  }
+
   test("SA from SP: open-ocean scaling and the Baltic analytic branch") {
     import graft.functions.Seawater
     val df = Seq(1.0).toDF("x")
