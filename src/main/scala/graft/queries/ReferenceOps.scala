@@ -1027,10 +1027,83 @@ object ReferenceOps {
       ORDER BY l_orderkey, l_linenumber, tu, r_rho"""
     })
 
+  // ---- r34_geostrophic: velocity between adjacent casts ------------------
+  // The quantity r21's dynamic-height integral exists to produce
+  // (GSW-Python gsw/geostrophy.py `geostrophic_velocity` +  `distance` +
+  // `f`): for each adjacent station pair along a section,
+  //   u = Δ(geo_strf) / (ds · f(lat̅)),
+  // ds the great-circle distance in metres (atan2-form haversine,
+  // R = 6371e3, p = 0 so no depth correction — distance:169-230), f =
+  // 2Ω·sin(lat̅) with Ω = 7.292115e-5 (Groten 2004), and midpoint
+  // lon/lat reported alongside. Stations synthesize like r23's track
+  // (no longitude wrap at −129°, so the reference's `unwrap` is the
+  // identity here); adjacent pairing is one lag window under the
+  // (ts, event_id) total order — ONE keyed exchange. Coincident fixes
+  // (ds = 0) and each section's first station give NULL velocity.
+  private val r34 = Q(
+    (s, dir) => {
+      val lat = lit(48.0) + (col("user_id") % 100).cast("double") / 50.0 +
+        (col("event_id") % 17).cast("double") / 1000.0
+      val lon = lit(-129.0) + (col("user_id") % 37).cast("double") / 25.0 +
+        (col("event_id") % 23).cast("double") / 1000.0
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("lat", lat).withColumn("lon", lon)
+        .withColumn("strf", col("value"))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("pstrf", lag(col("strf"), 1).over(w))
+      val dphi = radians(col("lat")) - radians(col("plat"))
+      val dlam = radians(col("lon")) - radians(col("plon"))
+      val a = sin(dphi / 2) * sin(dphi / 2) +
+        cos(radians(col("plat"))) * cos(radians(col("lat"))) *
+          sin(dlam / 2) * sin(dlam / 2)
+      val ds = lit(6371e3) * (lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a)))
+      val midLat = (col("plat") + col("lat")) * 0.5
+      val midLon = (col("plon") + col("lon")) * 0.5
+      val fCor = lit(2.0) * lit(7.292115e-5) * sin(radians(midLat))
+      e.withColumn("ds", ds)
+        .select(col("user_id"), col("event_id"),
+          Det.qz(midLat, 8).as("mid_lat"), Det.qz(midLon, 8).as("mid_lon"),
+          when(col("ds") > 0.0,
+            Det.qz((col("strf") - col("pstrf")) / (col("ds") * fCor), 6)).as("vel"))
+        .orderBy(col("user_id"), col("event_id"), col("vel"))
+    },
+    Some {
+      val lat = "48.0 + CAST(user_id % 100 AS DOUBLE) / 50.0 + CAST(event_id % 17 AS DOUBLE) / 1000.0"
+      val lon = "-129.0 + CAST(user_id % 37 AS DOUBLE) / 25.0 + CAST(event_id % 23 AS DOUBLE) / 1000.0"
+      val aExpr = "sin((radians(lat) - radians(plat)) / 2) * sin((radians(lat) - radians(plat)) / 2) + " +
+        "cos(radians(plat)) * cos(radians(lat)) * " +
+        "sin((radians(lon) - radians(plon)) / 2) * sin((radians(lon) - radians(plon)) / 2)"
+      s"""
+      WITH pos AS (
+        SELECT user_id, ts, event_id, ($lat) AS lat, ($lon) AS lon, value AS strf
+        FROM events),
+      pairs AS (
+        SELECT user_id, event_id, lat, lon, strf,
+               lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+               lag(strf) OVER w AS pstrf
+        FROM pos
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      legs AS (
+        SELECT user_id, event_id, lat, lon, strf, plat, plon, pstrf,
+               6371e3 * (2.0 * atan2(sqrt($aExpr), sqrt(1.0 - ($aExpr)))) AS ds
+        FROM pairs)
+      SELECT user_id, event_id,
+             ${Det.qzSql("(plat + lat) * 0.5", 8)} AS mid_lat,
+             ${Det.qzSql("(plon + lon) * 0.5", 8)} AS mid_lon,
+             CASE WHEN ds > 0.0 THEN ${Det.qzSql(
+        "(strf - pstrf) / (ds * (2.0 * 7.292115e-5 * sin(radians((plat + lat) * 0.5))))", 6)}
+             END AS vel
+      FROM legs
+      ORDER BY user_id, event_id, vel"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r31_spiciness" -> r31,
     "r32_nsquared" -> r32,
     "r33_turner" -> r33,
+    "r34_geostrophic" -> r34,
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
     "r3_dms_coords" -> r3,
