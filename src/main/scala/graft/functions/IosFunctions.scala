@@ -140,6 +140,66 @@ object IosFunctions {
       .otherwise(lit(null))
   }
 
+  // --- Per-variable CF attributes --------------------------------------
+
+  /** CF `long_name` for a standardized channel — the per-variable block
+    * `OceanNcVar.add_var` writes next to every NetCDF variable
+    * (OceanNcVar.py:44-152; nutrient names from __get_bodc_code,
+    * OceanNcVar.py:239-256). Keyed on the variable class, with the BODC
+    * code disambiguating the nutrient species.
+    */
+  def cfLongName(cls: Column, bodc: Column): Column =
+    when(cls === "depth", "Depth in meters")
+      .when(cls === "pressure", "Pressure")
+      .when(cls === "temperature", "Sea Water Temperature")
+      .when(cls === "salinity", "Sea Water Practical Salinity")
+      .when(cls === "oxygen", "Oxygen concentration")
+      .when(cls === "conductivity", "Sea Water Electrical Conductivity")
+      .when(cls === "nutrient",
+        when(bodc.startsWith("NTRZAAZ"), "Mole Concentration of Nitrate and Nitrite in Sea Water")
+          .when(bodc.startsWith("PHOSAAZ"), "Mole Concentration of Phosphate in Sea Water")
+          .when(bodc.startsWith("SLCAAAZ"), "Mole Concentration of Silicate in Sea Water"))
+      .otherwise(lit(null).cast("string"))
+
+  /** CF `standard_name` twin of [[cfLongName]] (OceanNcVar.py:44-152).
+    * The reference's longitude branch sets standard_name='latitude'
+    * (OceanNcVar.py:63 — an evident copy-paste slip that would break CF
+    * compliance checkers); we emit 'longitude' in the coordinate rows and
+    * note the divergence here rather than reproduce it.
+    */
+  def cfStandardName(cls: Column, bodc: Column): Column =
+    when(cls === "depth", "depth_below_sea_level_in_meters")
+      .when(cls === "pressure", "sea_water_pressure")
+      .when(cls === "temperature", "sea_water_temperature")
+      .when(cls === "salinity", "sea_water_practical_salinity")
+      .when(cls === "oxygen", "dissolved_oxygen_concentration")
+      .when(cls === "conductivity", "sea_water_electrical_conductivity")
+      .when(cls === "nutrient",
+        when(bodc.startsWith("NTRZAAZ"), "mole_concentration_of_nitrate_and_nitrite_in_sea_water")
+          .when(bodc.startsWith("PHOSAAZ"), "mole_concentration_of_phosphate_in_sea_water")
+          .when(bodc.startsWith("SLCAAAZ"), "mole_concentration_of_silicate_in_sea_water"))
+      .otherwise(lit(null).cast("string"))
+
+  /** Canonical CF units for a standardized channel — the `bodc_units`
+    * side of __get_bodc_code (OceanNcVar.py:170-258): the BODC code
+    * already encodes which unit branch matched, so the canonical unit
+    * string derives from (class, code prefix) alone. CNDCSTX is tested
+    * before CNDCST (its prefix).
+    */
+  def cfCanonicalUnits(cls: Column, bodc: Column): Column =
+    when(cls === "depth", "m")
+      .when(cls === "pressure", "decibar")
+      .when(cls === "temperature", "deg C")
+      .when(cls === "salinity",
+        when(bodc.startsWith("PSALST"), "PSS-78").otherwise("PPT"))
+      .when(cls === "oxygen",
+        when(bodc.startsWith("DOXYZZ"), "mL/L")
+          .when(bodc.startsWith("DOXMZZ"), "umol/kg").otherwise("umol/L"))
+      .when(cls === "conductivity",
+        when(bodc.startsWith("CNDCSTX"), "mS/cm").otherwise("S/m"))
+      .when(cls === "nutrient", "umol/L")
+      .otherwise(lit(null).cast("string"))
+
   // --- Unit conversions (GSW-adjacent, deterministic scalar math) ------
 
   /** Dissolved oxygen mL/L → µmol/L (molar volume of O2: 44.661). */

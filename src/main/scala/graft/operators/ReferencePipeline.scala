@@ -132,11 +132,47 @@ object ReferencePipeline {
         "latitude", "longitude", "header")
   }
 
+  /** Per-VARIABLE CF attributes — the metadata block `OceanNcVar.add_var`
+    * attaches to every NetCDF variable (name, long_name, standard_name,
+    * canonical units, cf_role; OceanNcVar.py:44-258) — one row per
+    * (file, variable), derived from the standardized observations plus
+    * the four coordinate variables the reference adds to every dataset
+    * (time / latitude / longitude / profile, write_ctd_ncfile.py:95-120).
+    * Plan shape: a distinct over the already-standardized channel
+    * attributes (tiny — #files × #channels) unioned with four literal
+    * rows per profile row; everything map-side below the distinct.
+    */
+  def cfVariableAttributes(std: DataFrame): DataFrame = {
+    val chans = std
+      .select(col("filename"), col("var_class"), col("bodc")).distinct()
+      .select(col("filename"), col("bodc").as("name"),
+        IosFunctions.cfLongName(col("var_class"), col("bodc")).as("long_name"),
+        IosFunctions.cfStandardName(col("var_class"), col("bodc")).as("standard_name"),
+        IosFunctions.cfCanonicalUnits(col("var_class"), col("bodc")).as("units"),
+        lit(null).cast("string").as("cf_role"))
+    val files = std.select(col("filename")).distinct()
+    // the coordinate variables every dataset gets (add_var's str_id /
+    // profile / lat / lon / time branches; lon's standard_name corrected
+    // — see IosFunctions.cfStandardName)
+    val coords = Seq(
+      ("time", "time", "time", "seconds since 1970-01-01 00:00:00+0000", null: String),
+      ("latitude", "Latitude", "latitude", "degrees_north", null: String),
+      ("longitude", "Longitude", "longitude", "degrees_east", null: String),
+      ("profile", null: String, null: String, null: String, "profile_id"))
+    val coordRows = coords.map { case (n, ln, sn, u, role) =>
+      files.select(col("filename"), lit(n).as("name"),
+        lit(ln).cast("string").as("long_name"), lit(sn).cast("string").as("standard_name"),
+        lit(u).cast("string").as("units"), lit(role).cast("string").as("cf_role"))
+    }.reduce(_ unionByName _)
+    chans.unionByName(coordRows)
+  }
+
   /** Full conversion: standardized observations → parquet partitioned by
     * variable class, plus the per-dataset CF-attribute sidecar
-    * (`_cf_attributes/`, JSON). Returns the per-file summary (the
-    * reference prints one log line per converted file; we return it as
-    * data).
+    * (`_cf_attributes/`, JSON) and the per-variable attribute sidecar
+    * (`_cf_variable_attributes/`, JSON). Returns the per-file summary
+    * (the reference prints one log line per converted file; we return it
+    * as data).
     */
   def convertArchive(spark: SparkSession, pathGlob: String, outDir: String,
                      geoCatalog: Seq[Geo.NamedPolygon] = Geo.testCatalog,
@@ -145,6 +181,8 @@ object ReferencePipeline {
     std.write.mode("overwrite").partitionBy("var_class").parquet(outDir)
     cfAttributes(spark, pathGlob, datasetType).write.mode("overwrite")
       .json(s"$outDir/_cf_attributes")
+    cfVariableAttributes(std).write.mode("overwrite")
+      .json(s"$outDir/_cf_variable_attributes")
     std.groupBy(col("filename"), col("mission"), col("geo_code"))
       .agg(countDistinct(col("bodc")).as("n_vars"), count(lit(1)).as("n_values"),
         count(col("value")).as("n_nonnull"))

@@ -79,6 +79,48 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(!r474.isNullAt(r474.fieldIndex("latitude")))
   }
 
+  test("per-variable CF attributes match OceanNcVar.add_var for the sample archive") {
+    val std = ReferencePipeline.standardize(spark, s"$base/ctd_profile/2017-020-0474.ctd")
+    val vars = ReferencePipeline.cfVariableAttributes(std).collect()
+      .map(r => r.getAs[String]("name") -> r).toMap
+    // measured channels: the add_var blocks (OceanNcVar.py:92-152) keyed
+    // by the BODC names the standardizer already pinned above
+    val t = vars("TEMPS901")
+    assert(t.getAs[String]("long_name") == "Sea Water Temperature")
+    assert(t.getAs[String]("standard_name") == "sea_water_temperature")
+    assert(t.getAs[String]("units") == "deg C")
+    val s = vars("PSALST01")
+    assert(s.getAs[String]("long_name") == "Sea Water Practical Salinity")
+    assert(s.getAs[String]("standard_name") == "sea_water_practical_salinity")
+    assert(s.getAs[String]("units") == "PSS-78")
+    // the two oxygen variants carry their unit-branch canonical units
+    assert(vars("DOXYZZ01").getAs[String]("units") == "mL/L")
+    assert(vars("DOXMZZ01").getAs[String]("units") == "umol/kg")
+    assert(vars("DOXYZZ01").getAs[String]("standard_name") == "dissolved_oxygen_concentration")
+    val p = vars("PRESPR01")
+    assert(p.getAs[String]("standard_name") == "sea_water_pressure")
+    assert(p.getAs[String]("units") == "decibar")
+    assert(vars("CNDCST01").getAs[String]("units") == "S/m")
+    assert(vars("depth").getAs[String]("standard_name") == "depth_below_sea_level_in_meters")
+    // coordinate variables every dataset gets (+ the corrected lon
+    // standard_name — the reference's copy-paste 'latitude' slip)
+    assert(vars("time").getAs[String]("units") == "seconds since 1970-01-01 00:00:00+0000")
+    assert(vars("latitude").getAs[String]("units") == "degrees_north")
+    assert(vars("longitude").getAs[String]("standard_name") == "longitude")
+    assert(vars("profile").getAs[String]("cf_role") == "profile_id")
+  }
+
+  test("convertArchive writes the per-variable sidecar next to the global one") {
+    val out = "target/tmp/ref_pipeline_cfv"
+    ReferencePipeline.convertArchive(spark, s"$base/ctd_profile/2017-020-0474.ctd", out)
+    val v = spark.read.json(s"$out/_cf_variable_attributes")
+    // 7 measured channels (2 temp-class rows collapse? no: distinct bodc)
+    // + 4 coordinate rows for the single file
+    assert(v.filter(col("name") === "TEMPS901").count() == 1)
+    assert(v.filter(col("cf_role") === "profile_id").count() == 1)
+    assert(v.select("filename").distinct().count() == 1)
+  }
+
   test("CF sidecar routes mctd archives to the timeSeries featureType") {
     val cf = ReferencePipeline.cfAttributes(spark,
       s"$base/ctd_mooring/a1_20080429_20080518_0034m.ctd",
