@@ -896,4 +896,43 @@ object Seawater {
   def rsubrhoTeos10Sql(saMid: String, ctMid: String, pMid: String,
       dSa: String, dCt: String): String =
     rsubrhoG(s"($saMid)", s"($ctMid)", s"($pMid)", s"($dSa)", s"($dCt)")(SqlNum)
+
+  /** IPV-to-fN² ratio — `IPV_vs_fNsquared_ratio` (stability.py:148-202;
+    * Eqn. 3.20.17 of IOC et al. 2010): the vertical potential-density
+    * gradient referenced to p_ref over the locally-referenced one,
+    *   ratio = (ΔCT·α(SA̅,CT̅,p_ref) − ΔSA·β(SA̅,CT̅,p_ref)) /
+    *           (ΔCT·α(SA̅,CT̅,p̅)    − ΔSA·β(SA̅,CT̅,p̅)),
+    * ΔSA/ΔCT SHALLOW-minus-deep, SA clipped [0, 50] by callers
+    * (stability.py:179). Identity: p_ref = p̅ ⇒ ratio ≡ 1 (spec-pinned).
+    * Callers guard the zero denominator (reference emits NaN there).
+    */
+  private def ipvFn2G[T](saMid: T, ctMid: T, pMid: T,
+      dSa: T, dCt: T, pRef: T)(implicit N: Num[T]): T =
+    N.div(
+      N.sub(N.mul(dCt, alphaG(saMid, ctMid, pRef)),
+        N.mul(dSa, betaG(saMid, ctMid, pRef))),
+      N.sub(N.mul(dCt, alphaG(saMid, ctMid, pMid)),
+        N.mul(dSa, betaG(saMid, ctMid, pMid))))
+  def ipvFn2Teos10(saMid: Column, ctMid: Column, pMid: Column,
+      dSa: Column, dCt: Column, pRef: Column): Column =
+    ipvFn2G(saMid, ctMid, pMid, dSa, dCt, pRef)(ColNum)
+  def ipvFn2Teos10Sql(saMid: String, ctMid: String, pMid: String,
+      dSa: String, dCt: String, pRef: String): String =
+    ipvFn2G(s"($saMid)", s"($ctMid)", s"($pMid)",
+      s"($dSa)", s"($dCt)", s"($pRef)")(SqlNum)
+
+  /** The locally-referenced denominator of [[ipvFn2Teos10]], exposed so
+    * queries can replicate the reference's NaN-on-zero-denominator guard
+    * engine-identically (both sides test the same double against 0).
+    */
+  def ipvFn2DenTeos10(saMid: Column, ctMid: Column, pMid: Column,
+      dSa: Column, dCt: Column): Column =
+    ColNum.sub(ColNum.mul(dCt, alphaG(saMid, ctMid, pMid)(ColNum)),
+      ColNum.mul(dSa, betaG(saMid, ctMid, pMid)(ColNum)))
+  def ipvFn2DenTeos10Sql(saMid: String, ctMid: String, pMid: String,
+      dSa: String, dCt: String): String = {
+    implicit val N: Num[String] = SqlNum
+    N.sub(N.mul(s"($dCt)", alphaG(s"($saMid)", s"($ctMid)", s"($pMid)")),
+      N.mul(s"($dSa)", betaG(s"($saMid)", s"($ctMid)", s"($pMid)")))
+  }
 }

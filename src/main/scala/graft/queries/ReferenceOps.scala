@@ -1027,6 +1027,66 @@ object ReferenceOps {
       ORDER BY l_orderkey, l_linenumber, tu, r_rho"""
     })
 
+  // ---- r35_ipv_ratio: IPV / (f·N²) ---------------------------------------
+  // Completes the reference's stability family (gsw/stability.py:148-202
+  // `IPV_vs_fNsquared_ratio`, Eqn. 3.20.17 of IOC et al. 2010): the
+  // ratio of the p_ref-referenced vertical potential-density gradient to
+  // the locally-referenced one, on the same adjacent-level midpoints as
+  // r32/r33 — SHALLOW-minus-deep differences, SA clipped [0, 50]
+  // (stability.py:179), p_ref = 0 (the function's default), NULL where
+  // the locally-referenced denominator is exactly zero (the reference
+  // fills NaN) and on each profile's first level. Same ONE-keyed-window
+  // exchange; every α/β evaluation is the r28 Horner tree, so the whole
+  // row is map-side scalar math under the window.
+  private val r35 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("sa", least(greatest(lit(30.0) + col("l_discount") * 100.0, lit(0.0)), lit(50.0)))
+        .withColumn("ct", col("l_quantity") % 30.0)
+        .withColumn("pres", col("l_linenumber").cast("double") * 10.0)
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("sa"), col("ct"))
+      val prev = lag(col("sa"), 1).over(w)
+      val saMid = (prev + col("sa")) * 0.5
+      val ctMid = (lag(col("ct"), 1).over(w) + col("ct")) * 0.5
+      val pMid = (lag(col("pres"), 1).over(w) + col("pres")) * 0.5
+      val dSa = prev - col("sa")
+      val dCt = lag(col("ct"), 1).over(w) - col("ct")
+      li.select(col("l_orderkey"), col("l_linenumber"), saMid.as("sa_mid"),
+          ctMid.as("ct_mid"), pMid.as("p_mid"), dSa.as("dsa"), dCt.as("dct"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Det.qz(col("p_mid"), 6).as("p_mid"),
+          when(graft.functions.Seawater.ipvFn2DenTeos10(
+              col("sa_mid"), col("ct_mid"), col("p_mid"), col("dsa"), col("dct")) =!= 0.0,
+            Det.qz(graft.functions.Seawater.ipvFn2Teos10(
+              col("sa_mid"), col("ct_mid"), col("p_mid"),
+              col("dsa"), col("dct"), lit(0.0)), 6)).as("ipv_ratio"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ipv_ratio"))
+    },
+    Some {
+      val den = graft.functions.Seawater.ipvFn2DenTeos10Sql(
+        "sa_mid", "ct_mid", "p_mid", "dsa", "dct")
+      val ratio = graft.functions.Seawater.ipvFn2Teos10Sql(
+        "sa_mid", "ct_mid", "p_mid", "dsa", "dct", "0.0")
+      s"""
+      SELECT l_orderkey, l_linenumber,
+             ${graft.Det.qzSql("p_mid", 6)} AS p_mid,
+             CASE WHEN ($den) <> 0.0 THEN ${graft.Det.qzSql(ratio, 6)} END AS ipv_ratio
+      FROM (
+        SELECT l_orderkey, l_linenumber,
+               (lag(sa, 1) OVER w + sa) * 0.5 AS sa_mid,
+               (lag(ct, 1) OVER w + ct) * 0.5 AS ct_mid,
+               (lag(pres, 1) OVER w + pres) * 0.5 AS p_mid,
+               lag(sa, 1) OVER w - sa AS dsa,
+               lag(ct, 1) OVER w - ct AS dct
+        FROM (SELECT l_orderkey, l_linenumber,
+                     LEAST(GREATEST(30.0 + l_discount * 100.0, 0.0), 50.0) AS sa,
+                     l_quantity % 30.0 AS ct,
+                     CAST(l_linenumber AS DOUBLE) * 10.0 AS pres
+              FROM lineitem) s0
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, sa, ct)) s1
+      ORDER BY l_orderkey, l_linenumber, ipv_ratio"""
+    })
+
   // ---- r34_geostrophic: velocity between adjacent casts ------------------
   // The quantity r21's dynamic-height integral exists to produce
   // (GSW-Python gsw/geostrophy.py `geostrophic_velocity` +  `distance` +
@@ -1104,6 +1164,7 @@ object ReferenceOps {
     "r32_nsquared" -> r32,
     "r33_turner" -> r33,
     "r34_geostrophic" -> r34,
+    "r35_ipv_ratio" -> r35,
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
     "r3_dms_coords" -> r3,

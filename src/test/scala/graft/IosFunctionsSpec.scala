@@ -231,6 +231,37 @@ class IosFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("TEOS-10 IPV/fN2 ratio: p_ref = p_mid identity and alpha/beta composition") {
+    import graft.functions.Seawater
+    val sa = Seq(34.7118, 34.8915, 35.0256, 34.8472, 34.7366, 34.7324)
+    val ct = Seq(28.8099, 28.4392, 22.7862, 10.2262, 6.8272, 4.3236)
+    val p = Seq(10.0, 50.0, 125.0, 250.0, 600.0, 1000.0)
+    val rows = (0 until 5).map { k =>
+      (0.5 * (sa(k) + sa(k + 1)), 0.5 * (ct(k) + ct(k + 1)), 0.5 * (p(k) + p(k + 1)),
+        sa(k) - sa(k + 1), ct(k) - ct(k + 1))
+    }
+    val df = rows.toDF("sam", "ctm", "pm", "dsa", "dct")
+    // stability.py:191-200 with p_ref = p_mid: num == den, ratio exactly 1
+    val ident = df.select(Seawater.ipvFn2Teos10(
+      $"sam", $"ctm", $"pm", $"dsa", $"dct", $"pm").as("r")).collect().map(_.getDouble(0))
+    ident.foreach(r => assert(r == 1.0, s"identity broken: $r"))
+    // p_ref = 0 must equal the same expression composed from the
+    // check-value-pinned alpha/beta trees directly (wiring parity)
+    val got = df.select(
+      Seawater.ipvFn2Teos10($"sam", $"ctm", $"pm", $"dsa", $"dct", lit(0.0)).as("r"),
+      (($"dct" * Seawater.alphaTeos10($"sam", $"ctm", lit(0.0)) -
+        $"dsa" * Seawater.betaTeos10($"sam", $"ctm", lit(0.0))) /
+       ($"dct" * Seawater.alphaTeos10($"sam", $"ctm", $"pm") -
+        $"dsa" * Seawater.betaTeos10($"sam", $"ctm", $"pm"))).as("byhand"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    // surface-referenced gradients shrink relative to local ones in the
+    // thermocline (alpha grows with pressure): ratio < 1 there
+    val r1 = got(1).getDouble(0)
+    assert(r1 > 0.5 && r1 < 1.1, s"thermocline ratio implausible: $r1")
+  }
+
   test("SA from SP: open-ocean scaling and the Baltic analytic branch") {
     import graft.functions.Seawater
     val df = Seq(1.0).toDF("x")
