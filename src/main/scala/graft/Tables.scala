@@ -8,12 +8,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * through here so scans stay uniform (parquet, pushdown-friendly — no
   * inferSchema surprises, no caching side effects).
   *
-  * `events.parquet` carries a nanosecond-precision INT64 timestamp, which
-  * Spark's parquet reader rejects. Sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]); the
-  * loader then truncates nanos → microseconds, which is exactly what a
-  * microsecond-native engine (e.g. DuckDB) does on read, so both sides of
-  * the correctness gate see identical instants.
+  * `events.parquet` has shipped with two physical types for `ts` across
+  * driver revisions: a nanosecond-precision INT64 (readable only with
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[Sessions]]) and a
+  * plain microsecond `timestamp[us]` (no UTC flag, so Spark reads it as
+  * TIMESTAMP_NTZ). The loader normalizes BOTH to a session-zone (UTC)
+  * microsecond timestamp: nanos are integer-truncated to micros — exactly
+  * what a microsecond-native engine (e.g. DuckDB) does on read — and NTZ
+  * wall-clock values are re-tagged as UTC instants, so both sides of the
+  * correctness gate see identical instants whichever file vintage is on
+  * disk.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -22,12 +26,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // integer `div` (not `/`): double division would lose precision on
-      // ~1.7e18 nano values (> 2^53).
-      df.selectExpr("event_id", "timestamp_micros(ts div 1000) AS ts",
-        "user_id", "event_type", "value", "props")
-    else df
+    if (name == "events") {
+      val ts = df.schema("ts").dataType match {
+        // nano INT64 vintage: integer `div` (not `/`) — double division
+        // would lose precision on ~1.7e18 nano values (> 2^53).
+        case org.apache.spark.sql.types.LongType =>
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+        // timestamp[us] vintage (TIMESTAMP or TIMESTAMP_NTZ): with the
+        // session zone pinned to UTC the NTZ→TZ cast re-tags the wall
+        // clock as the same UTC instant the old path produced.
+        case _ =>
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType)
+      }
+      import org.apache.spark.sql.functions.col
+      df.select(col("event_id"), ts.as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    } else df
   }
 
   /** Guarantee at least the ambient parallelism before heavy per-row work.
