@@ -6,15 +6,20 @@ import org.apache.spark.sql.SparkSession
   * prints the driver's one-line JSON. `count()` forces full execution of
   * the plan (scan → shuffle → agg) without driver-side result transfer.
   *
-  * Each query is timed TWICE and the reported number is the min of the
-  * two passes: a single reading is hostage to whatever the JVM is doing
-  * mid-run (GC, codegen cache churn, a page-cache miss), and the round-5
-  * driver capture showed exactly that — an 80 s spike across six queries
-  * that a clean re-run finished in 15 s. The min of two passes measures
-  * the engine, not the JVM's mood. Failures are never swallowed: a
-  * query that throws is reported in an "errors" map (and its slot holds
-  * the elapsed-time-to-failure), so a regression cannot hide behind a
-  * plausible-looking timing.
+  * Each query is timed in TWO FULL SWEEPS — sweep 1 runs every query,
+  * then sweep 2 runs every query again, and the reported number is the
+  * per-query min across sweeps. A single reading is hostage to whatever
+  * the JVM/box is doing mid-run (GC, codegen cache churn, a page-cache
+  * miss, a co-tenant process), and min-of-two back-to-back passes does
+  * NOT protect when the contention window outlasts both passes: the
+  * round-8 driver run billed 58.2 s across ten queries that a clean
+  * re-run finished in 12.8 s, because each query's two passes landed in
+  * the same spike. With full sweeps the two samples of any one query are
+  * separated by the entire rest of the suite (~minutes), so a transient
+  * spike lands on DIFFERENT queries in each sweep and the min discards
+  * it. Failures are never swallowed: a query that throws is reported in
+  * an "errors" map (and its slot holds the elapsed-time-to-failure), so
+  * a regression cannot hide behind a plausible-looking timing.
   */
 object Bench {
 
@@ -50,21 +55,25 @@ object Bench {
         n -> SparkEntry.queries.getOrElse(n, sys.error(
           s"unknown query '$n'; registered: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
       }
-    val results = selected.map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
-        catch { case e: Throwable =>
-          ((System.nanoTime() - t0) / 1e9,
-            Some(e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160)))
-        }
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
+      catch { case e: Throwable =>
+        ((System.nanoTime() - t0) / 1e9,
+          Some(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160)))
       }
-      val (cold, err1) = once()
-      // no second pass after a failure — the error is the result
+    }
+    // Sweep 1: every query once (these are the "cold" numbers).
+    val sweep1 = selected.map { case (name, fn) => (name, fn, once(name, fn)) }
+    // Sweep 2: every query again, minutes of other work later — except
+    // queries that already failed (the error is the result; re-running
+    // would bill a second failure's latency for nothing).
+    val results = sweep1.map { case (name, fn, (cold, err1)) =>
       val (warm, err) =
         if (err1.isDefined) (cold, err1)
-        else { val (w, e2) = once(); (math.min(cold, w), e2) }
+        else { val (w, e2) = once(name, fn); (math.min(cold, w), e2) }
       R(name, cold, warm, err)
     }
     def fmt(v: Double): String = f"$v%.3f"

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Schema-pinned readers for the driver-generated test tables.
   *
@@ -11,13 +12,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `events.parquet` has shipped with two physical types for `ts` across
   * driver revisions: a nanosecond-precision INT64 (readable only with
   * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[Sessions]]) and a
-  * plain microsecond `timestamp[us]` (no UTC flag, so Spark reads it as
-  * TIMESTAMP_NTZ). The loader normalizes BOTH to a session-zone (UTC)
-  * microsecond timestamp: nanos are integer-truncated to micros — exactly
-  * what a microsecond-native engine (e.g. DuckDB) does on read — and NTZ
-  * wall-clock values are re-tagged as UTC instants, so both sides of the
-  * correctness gate see identical instants whichever file vintage is on
-  * disk.
+  * plain microsecond `timestamp[us]` (no UTC flag). The loader normalizes
+  * BOTH to a session-zone (UTC) microsecond timestamp: nanos are
+  * integer-truncated to micros — exactly what a microsecond-native engine
+  * (e.g. DuckDB) does on read — and the no-UTC-flag vintage is read
+  * directly as a UTC instant, so both sides of the correctness gate see
+  * identical instants whichever file vintage is on disk.
+  *
+  * Pushdown note: [[Sessions.builderDefaults]] sets
+  * `spark.sql.parquet.inferTimestampNTZ.enabled=false`, so the
+  * no-UTC-flag vintage surfaces as TIMESTAMP (LTZ in the UTC session
+  * zone) straight off the scan and `ts` range predicates reach
+  * PushedFilters / row-group min-max skipping. A cast-above-the-scan
+  * (the round-8 shape) kept the values right but turned every time-range
+  * filter on a 100 TB events table into a full scan — at scale the time
+  * predicate IS the predicate, so the loader refuses to degrade silently:
+  * if a caller bypasses [[Sessions]] and the scan still emits NTZ, the
+  * cast fallback demands a UTC session zone (anything else re-tags every
+  * instant into the wrong zone) and any third physical type throws.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -30,14 +42,30 @@ object Tables {
       val ts = df.schema("ts").dataType match {
         // nano INT64 vintage: integer `div` (not `/`) — double division
         // would lose precision on ~1.7e18 nano values (> 2^53).
-        case org.apache.spark.sql.types.LongType =>
+        case LongType =>
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-        // timestamp[us] vintage (TIMESTAMP or TIMESTAMP_NTZ): with the
-        // session zone pinned to UTC the NTZ→TZ cast re-tags the wall
-        // clock as the same UTC instant the old path produced.
-        case _ =>
+        // timestamp[us] vintage under builderDefaults (inferTimestampNTZ
+        // off, session zone UTC): already the instant we want, untouched —
+        // ts predicates stay eligible for parquet pushdown.
+        case TimestampType =>
           org.apache.spark.sql.functions.col("ts")
-            .cast(org.apache.spark.sql.types.TimestampType)
+        // Same vintage read by a session that bypassed Sessions and left
+        // NTZ inference on: the NTZ→LTZ cast re-tags the wall clock as an
+        // instant in the SESSION zone, which is only the UTC instant the
+        // other vintages produce if that zone is UTC — fail loudly rather
+        // than silently shifting every timestamp.
+        case TimestampNTZType =>
+          val zone = spark.conf.get("spark.sql.session.timeZone")
+          require(zone == "UTC" || zone == "Etc/UTC",
+            s"events.ts is TIMESTAMP_NTZ and session timeZone is '$zone': " +
+              "the NTZ->TIMESTAMP re-tag is only correct under UTC " +
+              "(build the session via graft.Sessions)")
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType)
+        // A third physical vintage must be a loader change, not a silent
+        // cast to nulls/garbage in a schema-pinned reader.
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other; " +
+            "expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ")
       }
       import org.apache.spark.sql.functions.col
       df.select(col("event_id"), ts.as("ts"), col("user_id"),
@@ -73,6 +101,11 @@ object Sessions {
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timestamp[us] columns without the isAdjustedToUTC flag read as
+    // TIMESTAMP (UTC session zone) instead of TIMESTAMP_NTZ, so the
+    // Tables.load events branch is a no-op and ts range predicates push
+    // into the parquet scan (row-group min-max skipping) — see Tables.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.ui.enabled", "false")

@@ -21,6 +21,22 @@ class PlanAuditSpec extends SparkSpec {
       s"column pruning failed: $read")
   }
 
+  test("events: ts range predicate reaches the parquet scan (pushdown survives the vintage normalizer)") {
+    // The timestamp[us] no-UTC-flag vintage must surface as TIMESTAMP off
+    // the scan (inferTimestampNTZ disabled in Sessions.builderDefaults) —
+    // a cast-above-the-scan would keep values correct but turn every
+    // time-range filter on a 100 TB events table into a full scan. This
+    // guard fails if the loader ever reintroduces that shape.
+    val df = Tables.load(spark, sfDir, "events")
+      .filter(org.apache.spark.sql.functions.col("ts") >=
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters:"), p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"ts predicate not pushed into the events scan:\n${p.take(1200)}")
+  }
+
   test("q4: dimension chain uses broadcast hash joins") {
     val p = planOf("q4_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
