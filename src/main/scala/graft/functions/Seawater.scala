@@ -126,6 +126,10 @@ object Seawater {
       * one ulp between the JVM and DuckDB, so only use quantized.
       */
     def atan2N(y: T, x: T): T
+    /** sin — libm on both engines, same one-ulp caveat as atan2/ln/exp;
+      * only use quantized.
+      */
+    def sinN(a: T): T
   }
   private object ColNum extends Num[Column] {
     def const(v: Double): Column = lit(v)
@@ -141,6 +145,7 @@ object Seawater {
     def ifLe(a: Column, b: Column, x: Column, y: Column): Column =
       when(a <= b, x).otherwise(y)
     def atan2N(y: Column, x: Column): Column = atan2(y, x)
+    def sinN(a: Column): Column = sin(a)
   }
   private object SqlNum extends Num[String] {
     def const(v: Double): String = {
@@ -164,6 +169,7 @@ object Seawater {
     def ifLe(a: String, b: String, x: String, y: String): String =
       s"(CASE WHEN $a <= $b THEN $x ELSE $y END)"
     def atan2N(y: String, x: String): String = s"ATAN2($y, $x)"
+    def sinN(a: String): String = s"SIN($a)"
   }
 
   /** Adiabatic temperature gradient (°C/dbar), UNESCO 1983 `atg`:
@@ -672,6 +678,57 @@ object Seawater {
     enthalpyG(sa, ct, p)(ColNum)
   def enthalpyTeos10Sql(sa: String, ct: String, p: String): String =
     enthalpyG(s"($sa)", s"($ct)", s"($p)")(SqlNum)
+
+  /** Enthalpy at Standard Ocean Salinity and CT = 0 °C as a function of
+    * pressure alone — the streamlined `gsw_enthalpy_sso_0`
+    * (gsw_oceanographic_toolbox.c:2414-2427): the z-only chain of the
+    * dynamic-enthalpy coefficients (h001…h007, gsw_internal_const.h),
+    * same nesting, scaled by db2pa·1e4 = 1e8 like the C. Feeds the
+    * pressure→height inversion in [[zFromPTeos10]].
+    */
+  private def enthalpySso0G[T](p: T)(implicit N: Num[T]): T = {
+    import N._
+    val z = mul(p, const(1e-4))
+    val part = mul(z, add(const(9.726613854843870e-4),
+      mul(z, add(const(-2.252956605630465e-5),
+        mul(z, add(const(2.376909655387404e-6),
+          mul(z, add(const(-1.664294869986011e-7),
+            mul(z, add(const(-5.988108894465758e-9),
+              mul(z, add(const(-2.10787688100e-9),
+                mul(z, const(2.80192913290e-10))))))))))))))
+    // the C scales `part*db2pa*1.0e4` — two rounded multiplies, kept
+    // verbatim (a single ·1e8 can differ by one ulp)
+    mul(mul(part, const(1e4)), const(1e4))
+  }
+
+  private def zFromPG[T](p: T, lat: T)(implicit N: Num[T]): T = {
+    import N._
+    val x = sinN(mul(lat, const(math.Pi / 180.0)))
+    val sin2 = mul(x, x)
+    // somigliana gravity at the surface: 9.780327·(1 + (5.2792e-3 + 2.32e-5·sin²)·sin²)
+    val b = mul(const(9.780327), add(const(1.0),
+      mul(add(const(5.2792e-3), mul(const(2.32e-5), sin2)), sin2)))
+    // a = −0.5·gamma·b, gamma = 2.26e-7 (the C folds −0.5·gamma exactly)
+    val a = mul(const(-0.5 * 2.26e-7), b)
+    val c = enthalpySso0G(p) // geo_strf_dyn_height = sea_surface_geopot = 0
+    div(mul(const(-2.0), c),
+      add(b, sqrtN(sub(mul(b, b), mul(mul(const(4.0), a), c)))))
+  }
+
+  /** Height z (m, NEGATIVE below the sea surface) from sea pressure p
+    * (dbar) and latitude — TEOS-10 `gsw_z_from_p`
+    * (gsw_oceanographic_toolbox.c:11399-11417) with the dynamic-height
+    * and sea-surface-geopotential terms at their zero defaults, exactly
+    * as `gsw.geostrophy.distance` calls it (geostrophy.py:209): the
+    * quadratic-formula inversion of the hydrostatic integral with
+    * Somigliana surface gravity and the gamma = 2.26e-7 depth gradient.
+    * Check values (C formula replayed in double precision): z(10, 4) =
+    * -9.944583446945298, z(1000, 4) = -992.0919060719987, z(5000, 60) =
+    * -4895.713388014601.
+    */
+  def zFromPTeos10(p: Column, lat: Column): Column = zFromPG(p, lat)(ColNum)
+  def zFromPTeos10Sql(p: String, lat: String): String =
+    zFromPG(s"($p)", s"($lat)")(SqlNum)
 
   /** ∂v/∂p part (z-chain) of the 75-term polynomial — the
     * `c`-coefficient Horner tree from the reference's `gsw_sound_speed`

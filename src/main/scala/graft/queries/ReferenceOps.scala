@@ -1097,7 +1097,9 @@ object ReferenceOps {
   // 2Ω·sin(lat̅) with Ω = 7.292115e-5 (Groten 2004), and midpoint
   // lon/lat reported alongside. Stations synthesize like r23's track
   // (no longitude wrap at −129°, so the reference's `unwrap` is the
-  // identity here); adjacent pairing is one lag window under the
+  // identity here — r36 exercises the wrap-crossing path, r37 the
+  // p ≠ 0 depth-corrected distance); adjacent pairing is one lag
+  // window under the
   // (ts, event_id) total order — ONE keyed exchange. Coincident fixes
   // (ds = 0) and each section's first station give NULL velocity.
   private val r34 = Q(
@@ -1159,12 +1161,203 @@ object ReferenceOps {
       ORDER BY user_id, event_id, vel"""
     })
 
+  // ---- r36_unwrap_section: geostrophic velocity across the antimeridian --
+  // The piece of `geostrophic_velocity` r34's corpus cannot reach: the
+  // reference unconditionally runs `lon = unwrap(lon)` first
+  // (gsw/geostrophy.py:289, unwrap at :105-148) — cumulative ±360°
+  // jump corrections along the section, then centering by subtracting
+  // 360·round(mean/360) — so a section crossing ±180° reports sane
+  // midpoints instead of a wrapped-average lon near 0. Stations here
+  // synthesize a westbound walk from 175°E across the antimeridian,
+  // stored wrapped to [−180, 180) like a real position feed; the
+  // operator must recover the continuous track. All of it — diff, jump
+  // flags, running correction, per-section mean, pairing — is windows
+  // over the SAME user_id key: ONE keyed exchange, no join, no collect.
+  // np.round is half-even; both engines here use floor(x+0.5)
+  // (half-up), which differs only at exact .5 ties — measure-zero for
+  // these float means and identical on both sides of the oracle.
+  private val r36 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy(col("user_id"))
+      val e = t(s, dir, "events")
+        .withColumn("lat", lit(52.0) + (col("user_id") % 80).cast("double") / 40.0 +
+          (col("event_id") % 17).cast("double") / 1000.0)
+        .withColumn("strf", col("value"))
+        .withColumn("seq", row_number().over(w))
+        .withColumn("walk", lit(175.0) + (col("seq") - 1).cast("double") * 0.8 +
+          (col("event_id") % 13).cast("double") / 100.0)
+        .withColumn("lon_raw", ((col("walk") + 180.0) % 360.0) - 180.0)
+        .withColumn("ld", col("lon_raw") - lag(col("lon_raw"), 1).over(w))
+        // ld > 180 → crossed eastward (subtract a turn); ld < −180 →
+        // crossed westward (add one); first station (null ld) → 0
+        .withColumn("wjump",
+          when(col("ld") > 180.0, -1).when(col("ld") < -180.0, 1).otherwise(0))
+        .withColumn("lon_u", col("lon_raw") + sum(col("wjump")).over(wcum) * 360.0)
+        .withColumn("lon",
+          col("lon_u") - lit(360.0) * floor(avg(col("lon_u")).over(wall) / 360.0 + 0.5))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("pstrf", lag(col("strf"), 1).over(w))
+      val dphi = radians(col("lat")) - radians(col("plat"))
+      val dlam = radians(col("lon")) - radians(col("plon"))
+      val a = sin(dphi / 2) * sin(dphi / 2) +
+        cos(radians(col("plat"))) * cos(radians(col("lat"))) *
+          sin(dlam / 2) * sin(dlam / 2)
+      val ds = lit(6371e3) * (lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a)))
+      val midLat = (col("plat") + col("lat")) * 0.5
+      val midLon = (col("plon") + col("lon")) * 0.5
+      val fCor = lit(2.0) * lit(7.292115e-5) * sin(radians(midLat))
+      e.withColumn("ds", ds)
+        .select(col("user_id"), col("event_id"),
+          Det.qz(midLat, 8).as("mid_lat"), Det.qz(midLon, 8).as("mid_lon"),
+          when(col("ds") > 0.0,
+            Det.qz((col("strf") - col("pstrf")) / (col("ds") * fCor), 6)).as("vel"))
+        .orderBy(col("user_id"), col("event_id"), col("vel"))
+    },
+    Some {
+      val aExpr = "sin((radians(lat) - radians(plat)) / 2) * sin((radians(lat) - radians(plat)) / 2) + " +
+        "cos(radians(plat)) * cos(radians(lat)) * " +
+        "sin((radians(lon) - radians(plon)) / 2) * sin((radians(lon) - radians(plon)) / 2)"
+      s"""
+      WITH base AS (
+        SELECT user_id, ts, event_id, value AS strf,
+               52.0 + CAST(user_id % 80 AS DOUBLE) / 40.0
+                    + CAST(event_id % 17 AS DOUBLE) / 1000.0 AS lat,
+               row_number() OVER w AS seq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      rawpos AS (
+        SELECT *, ((175.0 + CAST(seq - 1 AS DOUBLE) * 0.8
+                         + CAST(event_id % 13 AS DOUBLE) / 100.0
+                    + 180.0) % 360.0) - 180.0 AS lon_raw
+        FROM base),
+      jump AS (
+        SELECT *, CASE WHEN lon_raw - lag(lon_raw) OVER w > 180.0 THEN -1
+                       WHEN lon_raw - lag(lon_raw) OVER w < -180.0 THEN 1
+                       ELSE 0 END AS wjump
+        FROM rawpos
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      unwrapped AS (
+        SELECT *, lon_raw + sum(wjump) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 360.0 AS lon_u
+        FROM jump),
+      centered AS (
+        SELECT *, lon_u - 360.0 * floor(avg(lon_u) OVER (PARTITION BY user_id) / 360.0 + 0.5) AS lon
+        FROM unwrapped),
+      pairs AS (
+        SELECT user_id, event_id, lat, lon, strf,
+               lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+               lag(strf) OVER w AS pstrf
+        FROM centered
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      legs AS (
+        SELECT user_id, event_id, lat, lon, strf, plat, plon, pstrf,
+               6371e3 * (2.0 * atan2(sqrt($aExpr), sqrt(1.0 - ($aExpr)))) AS ds
+        FROM pairs)
+      SELECT user_id, event_id,
+             ${Det.qzSql("(plat + lat) * 0.5", 8)} AS mid_lat,
+             ${Det.qzSql("(plon + lon) * 0.5", 8)} AS mid_lon,
+             CASE WHEN ds > 0.0 THEN ${Det.qzSql(
+        "(strf - pstrf) / (ds * (2.0 * 7.292115e-5 * sin(radians((plat + lat) * 0.5))))", 6)}
+             END AS vel
+      FROM legs
+      ORDER BY user_id, event_id, vel"""
+    })
+
+  // ---- r37_depth_distance: pair distance with the z_from_p correction ----
+  // The other branch of the reference's `distance` (gsw/geostrophy.py
+  // :201-222): when station pressure is nonzero, the great-circle angle
+  // is scaled by (R + z) with z = z_from_p(p_mid, lat_mid) — the TEOS-10
+  // pressure→height inversion (negative below the surface), evaluated at
+  // the PAIR midpoint pressure and latitude. r34 covers the p = 0
+  // branch; this runs the corrected one on the same −129° corpus (no
+  // wrap — unwrap identity, isolating the depth term) with casts at
+  // p = (event_id mod 50)·40 dbar, and prices the corrected velocity
+  // u = Δψ/(ds·f). z_from_p is the [[graft.functions.Seawater]]
+  // dual-engine scalar (Horner enthalpy_SSO_0 + Somigliana gravity), so
+  // the whole row is map-side math under ONE keyed window exchange.
+  private val r37 = Q(
+    (s, dir) => {
+      val lat = lit(48.0) + (col("user_id") % 100).cast("double") / 50.0 +
+        (col("event_id") % 17).cast("double") / 1000.0
+      val lon = lit(-129.0) + (col("user_id") % 37).cast("double") / 25.0 +
+        (col("event_id") % 23).cast("double") / 1000.0
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .withColumn("lat", lat).withColumn("lon", lon)
+        .withColumn("pres", (col("event_id") % 50).cast("double") * 40.0)
+        .withColumn("strf", col("value"))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .withColumn("ppres", lag(col("pres"), 1).over(w))
+        .withColumn("pstrf", lag(col("strf"), 1).over(w))
+      val dphi = radians(col("lat")) - radians(col("plat"))
+      val dlam = radians(col("lon")) - radians(col("plon"))
+      val a = sin(dphi / 2) * sin(dphi / 2) +
+        cos(radians(col("plat"))) * cos(radians(col("lat"))) *
+          sin(dlam / 2) * sin(dlam / 2)
+      val angles = lit(2.0) * atan2(sqrt(a), sqrt(lit(1.0) - a))
+      val midLat = (col("plat") + col("lat")) * 0.5
+      val midLon = (col("plon") + col("lon")) * 0.5
+      val pMid = (col("ppres") + col("pres")) * 0.5
+      val zMid = graft.functions.Seawater.zFromPTeos10(pMid, midLat)
+      val ds = (lit(6371e3) + zMid) * angles
+      val fCor = lit(2.0) * lit(7.292115e-5) * sin(radians(midLat))
+      e.withColumn("ds", ds)
+        .select(col("user_id"), col("event_id"),
+          Det.qz(midLat, 8).as("mid_lat"), Det.qz(midLon, 8).as("mid_lon"),
+          Det.qz(zMid, 6).as("z_mid"), Det.qz(col("ds"), 6).as("ds_m"),
+          when(col("ds") > 0.0,
+            Det.qz((col("strf") - col("pstrf")) / (col("ds") * fCor), 6)).as("vel"))
+        .orderBy(col("user_id"), col("event_id"), col("vel"))
+    },
+    Some {
+      val lat = "48.0 + CAST(user_id % 100 AS DOUBLE) / 50.0 + CAST(event_id % 17 AS DOUBLE) / 1000.0"
+      val lon = "-129.0 + CAST(user_id % 37 AS DOUBLE) / 25.0 + CAST(event_id % 23 AS DOUBLE) / 1000.0"
+      val aExpr = "sin((radians(lat) - radians(plat)) / 2) * sin((radians(lat) - radians(plat)) / 2) + " +
+        "cos(radians(plat)) * cos(radians(lat)) * " +
+        "sin((radians(lon) - radians(plon)) / 2) * sin((radians(lon) - radians(plon)) / 2)"
+      val zMid = graft.functions.Seawater.zFromPTeos10Sql(
+        "(ppres + pres) * 0.5", "(plat + lat) * 0.5")
+      s"""
+      WITH pos AS (
+        SELECT user_id, ts, event_id, ($lat) AS lat, ($lon) AS lon,
+               CAST(event_id % 50 AS DOUBLE) * 40.0 AS pres, value AS strf
+        FROM events),
+      pairs AS (
+        SELECT user_id, event_id, lat, lon, pres, strf,
+               lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+               lag(pres) OVER w AS ppres, lag(strf) OVER w AS pstrf
+        FROM pos
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      legs AS (
+        SELECT user_id, event_id, lat, lon, plat, plon, pstrf, strf,
+               ($zMid) AS z_mid,
+               (6371e3 + ($zMid)) *
+                 (2.0 * atan2(sqrt($aExpr), sqrt(1.0 - ($aExpr)))) AS ds
+        FROM pairs)
+      SELECT user_id, event_id,
+             ${Det.qzSql("(plat + lat) * 0.5", 8)} AS mid_lat,
+             ${Det.qzSql("(plon + lon) * 0.5", 8)} AS mid_lon,
+             ${Det.qzSql("z_mid", 6)} AS z_mid,
+             ${Det.qzSql("ds", 6)} AS ds_m,
+             CASE WHEN ds > 0.0 THEN ${Det.qzSql(
+        "(strf - pstrf) / (ds * (2.0 * 7.292115e-5 * sin(radians((plat + lat) * 0.5))))", 6)}
+             END AS vel
+      FROM legs
+      ORDER BY user_id, event_id, vel"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r31_spiciness" -> r31,
     "r32_nsquared" -> r32,
     "r33_turner" -> r33,
     "r34_geostrophic" -> r34,
     "r35_ipv_ratio" -> r35,
+    "r36_unwrap_section" -> r36,
+    "r37_depth_distance" -> r37,
     "r1_tz_parse" -> r1,
     "r2_time_expand" -> r2,
     "r3_dms_coords" -> r3,

@@ -891,6 +891,39 @@ object TimeSeriesQueries {
              ELSE NULL END AS acf
       FROM agg ORDER BY event_type, lg"""))
 
+  // ---- s21_time_slice: pushed ts-range scan + daily rollup -------------
+  // THE shape that dominates a 100 TB events table: a time-range
+  // predicate that must reach the parquet scan (PushedFilters +
+  // row-group min-max skipping — a one-week slice of a month reads
+  // ~quarter of the row groups, and at warehouse scale a partition-
+  // pruned fraction of the files), then a narrow daily/type rollup on
+  // what survives. The range literals are strings cast in the UTC
+  // session zone, so both engines compare the same wall-clock micros;
+  // the loader guard (PlanAuditSpec "events: ts range predicate")
+  // pins that this filter actually pushes instead of dying above a
+  // cast. One keyed exchange for the groupBy; countDistinct adds its
+  // partial under the same key.
+  private val s21 = Q(
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      e.groupBy(
+        date_format(TimeSeries.timeBucket(col("ts"), 86400), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day", "event_type")
+    },
+    Some(s"""
+      SELECT strftime(make_timestamp((epoch_us(ts) // 86400000000) * 86400000000),
+                      '%Y-%m-%d') AS day,
+             event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1, 2 ORDER BY day, event_type"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s20_acf" -> s20,
@@ -911,5 +944,6 @@ object TimeSeriesQueries {
     "s13_attribution" -> s13,
     "s14_throttle" -> s14,
     "s15_lttb_downsample" -> s15,
-    "s16_mad_outliers" -> s16)
+    "s16_mad_outliers" -> s16,
+    "s21_time_slice" -> s21)
 }

@@ -110,6 +110,26 @@ object IosReader {
     all.filterNot(f => doneSet.contains(stem(f)))
   }
 
+  /** File age in hours relative to `nowMillis`, negative for files
+    * modified in the past — the reference's `file_mod_time`
+    * (utils.py:37-43, `(mtime − now)/3600`).
+    */
+  def fileModTimeHours(path: String, nowMillis: Long = System.currentTimeMillis()): Double =
+    (java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path))
+      .toMillis - nowMillis) / 3.6e6
+
+  /** The cronjob's other "new-only" gate: keep only files touched within
+    * the last `windowHours` (the reference skips conversion when
+    * `file_mod_time(fname) < -24` in 'new' mode,
+    * ios_data_transform_script.py:53-56). [[pendingFiles]] is the
+    * inventory-diff variant for the same use case; this is the
+    * time-window one — both are driver-side metadata filters over the
+    * file listing, so at archive scale they cost one listing, not a scan.
+    */
+  def recentFiles(all: Seq[String], windowHours: Double = 24.0,
+                  nowMillis: Long = System.currentTimeMillis()): Seq[String] =
+    all.filter(f => fileModTimeHours(f, nowMillis) >= -windowHours)
+
   /** Reference-pipeline sink: long observations enriched with variable
     * class (keyword rules) written as parquet partitioned by class — the
     * partition-prunable layout downstream readers want.

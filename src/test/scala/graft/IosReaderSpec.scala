@@ -95,6 +95,28 @@ class IosReaderSpec extends SparkSpec {
     assert(IosReader.pendingFiles(all, done) == Seq("/a/f1.ctd", "/b/f3.ctd"))
   }
 
+  test("recentFiles keeps only files inside the mod-time window ('new' mode gate)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_modtime")
+    val fresh = dir.resolve("fresh.ctd"); val stale = dir.resolve("stale.ctd")
+    java.nio.file.Files.writeString(fresh, "x")
+    java.nio.file.Files.writeString(stale, "y")
+    val now = System.currentTimeMillis()
+    // stale: 30 h old; fresh: 1 h old (pin both so the test is not
+    // hostage to filesystem timestamp granularity)
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(now - 30L * 3600 * 1000))
+    java.nio.file.Files.setLastModifiedTime(fresh,
+      java.nio.file.attribute.FileTime.fromMillis(now - 1L * 3600 * 1000))
+    val all = Seq(fresh.toString, stale.toString)
+    assert(IosReader.recentFiles(all, windowHours = 24.0, nowMillis = now) ==
+      Seq(fresh.toString))
+    // boundary: exactly -24 h is kept (the reference skips only < -24)
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(now - 24L * 3600 * 1000))
+    assert(IosReader.recentFiles(all, windowHours = 24.0, nowMillis = now).size == 2)
+    assert(IosReader.fileModTimeHours(stale.toString, now) == -24.0)
+  }
+
   test("malformed content degrades gracefully (reference soft-exit semantics)") {
     val p1 = IosFileParser.parse("junk.ctd", "complete garbage\nno sections at all\n")
     assert(p1.nRecords == 0 && p1.channels.isEmpty && p1.data.isEmpty)

@@ -37,6 +37,12 @@ class PlanAuditSpec extends SparkSpec {
       s"ts predicate not pushed into the events scan:\n${p.take(1200)}")
   }
 
+  test("s21: both time-range bounds reach the events scan") {
+    val p = planOf("s21_time_slice")
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      s"range bounds not pushed:\n${p.take(1200)}")
+  }
+
   test("q4: dimension chain uses broadcast hash joins") {
     val p = planOf("q4_broadcast_join")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
@@ -297,6 +303,19 @@ class PlanAuditSpec extends SparkSpec {
       // formatted mode lists partitioning under "Arguments:"; exactly one
       // hash exchange (the user_id shuffle) — the other is the final sort's
       // range partitioning
+      val keyed = "hashpartitioning".r.findAllIn(p).size
+      assert(keyed == 1, s"$name keyed exchanges: $keyed\n${p.take(800)}")
+    }
+  }
+
+  test("r36/r37: geostrophic variants stay join-free on one keyed exchange") {
+    // unwrap (diff → jump flags → running sum → per-section mean →
+    // centering → pairing) and the depth-corrected distance are all
+    // windows over the same user_id key: every extra hashpartitioning
+    // would be a second full shuffle of a 100 TB events table.
+    for (name <- Seq("r36_unwrap_section", "r37_depth_distance")) {
+      val p = planOf(name)
+      assert(!p.contains("Join"), s"$name must not join")
       val keyed = "hashpartitioning".r.findAllIn(p).size
       assert(keyed == 1, s"$name keyed exchanges: $keyed\n${p.take(800)}")
     }

