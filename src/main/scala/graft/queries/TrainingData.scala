@@ -2358,6 +2358,51 @@ object TrainingData {
         JOIN sizes s2 ON s2.source = src2
       ORDER BY src1, src2"""))
 
+  // ---- t31_sequence_pack: concat-and-chop packing into context windows --
+  // The step between a cleaned corpus and a training run: documents are
+  // concatenated per stream (lang) in a deterministic order and chopped
+  // into fixed token-budget sequences (B = 2048), docs straddling pack
+  // boundaries — the packing LLM pipelines actually run (concat + split
+  // at the context length), NOT bin-packing: the chop form is an
+  // exclusive-prefix-sum per stream, so it's ONE keyed window exchange
+  // at any corpus size, where greedy whole-doc bin-packing is an
+  // inherently sequential recursion. Output per doc: token count, first/
+  // last pack index, span width, and the offset inside its first pack —
+  // everything a sharded loader needs to materialize pack -> (doc,
+  // slice) lists via a range join on pack index. Integer-only math
+  // (`div`/`%` on longs) so both engines are exact.
+  private val t31 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          Text.bpeTokenCount(col("text")).cast("long").as("toks"))
+        .filter(col("toks") > 0)
+        .withColumn("cum", sum(col("toks")).over(w) - col("toks"))
+        .select(col("lang"), col("doc_id"), col("toks"),
+          expr("cum div 2048").as("pack_first"),
+          expr("(cum + toks - 1) div 2048").as("pack_last"),
+          expr("(cum + toks - 1) div 2048 - cum div 2048 + 1").as("n_packs"),
+          expr("cum % 2048").as("pack_off"))
+        .orderBy("lang", "doc_id")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT lang, doc_id,
+               CAST(len(regexp_extract_all(text, '${Text.bpePattern}')) AS BIGINT) AS toks
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id, toks,
+               SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - toks AS cum
+        FROM d WHERE toks > 0)
+      SELECT lang, doc_id, toks,
+             CAST(cum // 2048 AS BIGINT) AS pack_first,
+             CAST((cum + toks - 1) // 2048 AS BIGINT) AS pack_last,
+             CAST((cum + toks - 1) // 2048 - cum // 2048 + 1 AS BIGINT) AS n_packs,
+             CAST(cum % 2048 AS BIGINT) AS pack_off
+      FROM c ORDER BY lang, doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "d1_dedup_exact" -> d1,
@@ -2406,6 +2451,7 @@ object TrainingData {
     "t27_domain_cap" -> t27,
     "t28_bm25" -> t28,
     "t30_source_overlap" -> t30,
+    "t31_sequence_pack" -> t31,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

@@ -321,6 +321,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t31: sequence packing is join-free on one keyed exchange") {
+    // the chop form must stay an exclusive-prefix-sum window per stream;
+    // a second hashpartitioning would mean the packing re-shuffles the
+    // whole corpus
+    val p = planOf("t31_sequence_pack")
+    assert(!p.contains("Join"), "packing must not join")
+    val keyed = "hashpartitioning".r.findAllIn(p).size
+    assert(keyed == 1, s"t31 keyed exchanges: $keyed\n${p.take(800)}")
+  }
+
   test("t26: readability scoring is map-only below one keyed exchange") {
     val p = planOf("t26_readability")
     assert(!p.contains("Join"), "readability must not join")
