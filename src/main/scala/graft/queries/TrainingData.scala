@@ -2403,6 +2403,38 @@ object TrainingData {
              CAST(cum % 2048 AS BIGINT) AS pack_off
       FROM c ORDER BY lang, doc_id"""))
 
+  // ---- t32_shard_shuffle: deterministic global shuffle into shards -------
+  // The loader-side companion to t31: training runs don't read the
+  // corpus in ingest order, they read a reproducible pseudo-random
+  // permutation split into shards. A salted portable hash gives every
+  // doc a shuffle key (uniform ⇒ no shard skew by construction), shard =
+  // key mod N, and the intra-shard position is the rank of the key —
+  // fully deterministic across runs/engines, no RNG state. ONE keyed
+  // exchange (the shard window); at warehouse scale N_SHARDS rises with
+  // the cluster (the 64 here is a test-size parameter, not a design
+  // limit) and each shard sorts independently. The salt string
+  // re-shuffles the corpus per epoch without rewriting anything.
+  private val t32 = Q(
+    (s, dir) => {
+      val h = Text.md5Long(concat(lit("epoch0:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", (col("h") % 64).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+    Some(s"""
+      WITH k AS (
+        SELECT doc_id,
+               ${Text.md5LongSql("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents)
+      SELECT CAST(h % 64 AS INTEGER) AS shard,
+             CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS INTEGER) AS pos,
+             doc_id
+      FROM k ORDER BY shard, pos"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "d1_dedup_exact" -> d1,
@@ -2452,6 +2484,7 @@ object TrainingData {
     "t28_bm25" -> t28,
     "t30_source_overlap" -> t30,
     "t31_sequence_pack" -> t31,
+    "t32_shard_shuffle" -> t32,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

@@ -87,6 +87,37 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("t32: shard assignment is balanced and deterministic") {
+    val rows = SparkEntry.queries("t32_shard_shuffle")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val n = rows.length
+    assert(n > 0)
+    // every doc exactly once
+    assert(rows.map(_._3).distinct.length == n, "a doc landed in two shards")
+    // positions are 1..k contiguous per shard
+    rows.groupBy(_._1).foreach { case (shard, ds) =>
+      assert(ds.map(_._2).sorted.toSeq == (1 to ds.length),
+        s"shard $shard has position gaps")
+    }
+    // uniform hash ⇒ no severe skew (loose bound: ≤ 4× the ideal share)
+    val maxShard = rows.groupBy(_._1).values.map(_.length).max
+    assert(maxShard <= math.max(4.0 * n / 64, 8.0),
+      s"shard skew: max $maxShard of $n")
+    // deterministic: a second evaluation is byte-identical
+    val again = SparkEntry.queries("t32_shard_shuffle")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq, "shuffle is not reproducible")
+  }
+
+  test("loader: a third ts physical vintage fails loudly, not as null casts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badvintage").toString
+    spark.range(3).selectExpr("id AS event_id", "CAST(id AS STRING) AS ts",
+      "id AS user_id", "'a' AS event_type", "CAST(id AS DOUBLE) AS value",
+      "'{}' AS props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.load(spark, dir, "events"))
+    assert(e.getMessage.contains("unsupported physical type"), e.getMessage)
+  }
+
   test("r37: depth correction shrinks every leg by the z/R factor, never more") {
     // z_from_p is negative below the surface and |z| < 2000 m for this
     // corpus (p ≤ 1960 dbar), so ds_corrected/ds_p0 = (R+z)/R must sit
