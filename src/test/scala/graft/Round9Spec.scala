@@ -59,6 +59,58 @@ class Round9Spec extends SparkSpec {
       "no section reached the antimeridian — the wrap path was not exercised")
   }
 
+  test("unwrap window form matches the sequential reference algorithm bit-for-bit") {
+    // The r36 pipeline computes unwrap as windows (diff → jump flags →
+    // running sum → mean-centering). The reference's unwrap
+    // (gsw/geostrophy.py:105-148) is a sequential scan: w = ∓1 where
+    // |diff| > 180, x += cumsum(w)·360, then x −= 360·round(mean/360).
+    // Replay that scan directly in Scala over the same synthesized
+    // sections and demand bit-identical doubles (same ops in the same
+    // order; round replaced by the engines' floor(x+0.5) on both sides).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wcum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val wall = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val sectioned = Tables.load(spark, sfDir, "events")
+      .withColumn("seq", row_number().over(w))
+      .withColumn("walk", lit(175.0) + (col("seq") - 1).cast("double") * 0.8 +
+        (col("event_id") % 13).cast("double") / 100.0)
+      .withColumn("lon_raw", ((col("walk") + 180.0) % 360.0) - 180.0)
+      .withColumn("ld", col("lon_raw") - lag(col("lon_raw"), 1).over(w))
+      .withColumn("wjump",
+        when(col("ld") > 180.0, -1).when(col("ld") < -180.0, 1).otherwise(0))
+      .withColumn("lon_u", col("lon_raw") + sum(col("wjump")).over(wcum) * 360.0)
+      .withColumn("lon_c",
+        col("lon_u") - lit(360.0) * floor(avg(col("lon_u")).over(wall) / 360.0 + 0.5))
+      .select("user_id", "seq", "lon_raw", "lon_c")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(sectioned.nonEmpty)
+    sectioned.foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val raw = ordered.map(_._3)
+      // sequential reference scan
+      val x = raw.toArray
+      var cum = 0
+      for (i <- 1 until x.length) {
+        val ld = raw(i) - raw(i - 1)
+        if (ld > 180.0) cum -= 1 else if (ld < -180.0) cum += 1
+        x(i) = raw(i) + cum * 360.0
+      }
+      val mean = x.sum / x.length
+      val k = math.floor(mean / 360.0 + 0.5)
+      val centered = x.map(_ - 360.0 * k)
+      ordered.map(_._4).zip(centered).zipWithIndex.foreach { case ((got, want), i) =>
+        // the mean's summation order differs between engines, so the
+        // centering constant k must match EXACTLY (it's an integer
+        // multiple decision) and then the values are bit-identical
+        assert(got == want, s"section $uid pos $i: window $got != sequential $want")
+      }
+    }
+  }
+
   test("t31: pack indices tile each stream contiguously") {
     // Concat-and-chop invariants, checkable from the output alone: the
     // next doc starts exactly where this one ended — offset advances by
