@@ -55,7 +55,7 @@ object Bench {
         n -> SparkEntry.queries.getOrElse(n, sys.error(
           s"unknown query '$n'; registered: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
       }
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
@@ -66,14 +66,14 @@ object Bench {
       }
     }
     // Sweep 1: every query once (these are the "cold" numbers).
-    val sweep1 = selected.map { case (name, fn) => (name, fn, once(name, fn)) }
+    val sweep1 = selected.map { case (name, fn) => (name, fn, once(fn)) }
     // Sweep 2: every query again, minutes of other work later — except
     // queries that already failed (the error is the result; re-running
     // would bill a second failure's latency for nothing).
     val results = sweep1.map { case (name, fn, (cold, err1)) =>
       val (warm, err) =
         if (err1.isDefined) (cold, err1)
-        else { val (w, e2) = once(name, fn); (math.min(cold, w), e2) }
+        else { val (w, e2) = once(fn); (math.min(cold, w), e2) }
       R(name, cold, warm, err)
     }
     def fmt(v: Double): String = f"$v%.3f"

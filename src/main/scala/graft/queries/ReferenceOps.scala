@@ -1174,8 +1174,15 @@ object ReferenceOps {
   // flags, running correction, per-section mean, pairing — is windows
   // over the SAME user_id key: ONE keyed exchange, no join, no collect.
   // np.round is half-even; both engines here use floor(x+0.5)
-  // (half-up), which differs only at exact .5 ties — measure-zero for
-  // these float means and identical on both sides of the oracle.
+  // (half-up), which differs from numpy only at exact .5 ties. Across
+  // the ORACLE the residual risk is the mean itself: the two engines
+  // may sum lon_u in different orders, so a section whose mean sits
+  // within ulps of an odd multiple of 180° could flip the centering
+  // constant k by 1 (shifting that section 360°). For these fixtures
+  // the means sit far from the boundary (spec-pinned) and the flip
+  // needs |mean − boundary| ≲ 1e-10°, so it's accepted, not designed
+  // away — an exactly-deterministic mean would need a decimal-cast of
+  // computed doubles, the engine-divergence hazard Det documents.
   private val r36 = Q(
     (s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

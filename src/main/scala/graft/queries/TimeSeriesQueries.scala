@@ -901,8 +901,10 @@ object TimeSeriesQueries {
   // session zone, so both engines compare the same wall-clock micros;
   // the loader guard (PlanAuditSpec "events: ts range predicate")
   // pins that this filter actually pushes instead of dying above a
-  // cast. One keyed exchange for the groupBy; countDistinct adds its
-  // partial under the same key.
+  // cast. The distinct-user count plans Spark's standard two-phase
+  // distinct aggregate — a first exchange keyed (day, type, user) then
+  // the (day, type) re-agg — so the rollup is two keyed exchanges whose
+  // second carries only group rows, all downstream of the pruned scan.
   private val s21 = Q(
     (s, dir) => {
       val e = t(s, dir, "events")

@@ -11,6 +11,14 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** True when the fixture's events.parquet is the nano-INT64 vintage,
+    * where `ts` is a derived column and pushdown is impossible by
+    * construction (see Tables) — the pushdown guards skip there.
+    */
+  private lazy val eventsTsIsNanoLong: Boolean =
+    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+
   test("q2: filters and projection reach the parquet scan") {
     val p = planOf("q2_filter_project")
     assert(p.contains("PushedFilters:"), p.take(800))
@@ -26,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     // the scan (inferTimestampNTZ disabled in Sessions.builderDefaults) —
     // a cast-above-the-scan would keep values correct but turn every
     // time-range filter on a 100 TB events table into a full scan. This
-    // guard fails if the loader ever reintroduces that shape.
+    // guard fails if the loader ever reintroduces that shape. On the
+    // nano-INT64 vintage ts is necessarily a derived column and CANNOT
+    // push — the guard only applies to the timestamp vintages.
+    assume(!eventsTsIsNanoLong, "nano INT64 events vintage: ts pushdown not applicable")
     val df = Tables.load(spark, sfDir, "events")
       .filter(org.apache.spark.sql.functions.col("ts") >=
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
@@ -38,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("s21: both time-range bounds reach the events scan") {
+    assume(!eventsTsIsNanoLong, "nano INT64 events vintage: ts pushdown not applicable")
     val p = planOf("s21_time_slice")
     assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
       s"range bounds not pushed:\n${p.take(1200)}")

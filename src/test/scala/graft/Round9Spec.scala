@@ -38,6 +38,13 @@ class Round9Spec extends SparkSpec {
     // (|naive mid| ≈ 2° for a 179.6/−179.7 pair) and the midpoint
     // sequence jumps by ~360. After unwrap the mid_lon sequence must
     // advance monotonically in small steps within every section.
+    // section order is the operator's window order (ts, event_id) — NOT
+    // event_id alone, which the data layout happens to correlate with
+    // today but nothing guarantees
+    val tsOf = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getTimestamp(2).getTime)
+      .toMap
     val out = SparkEntry.queries("r36_unwrap_section")(spark, sfDir)
       .select("user_id", "event_id", "mid_lon")
       .na.drop(Seq("mid_lon"))
@@ -45,7 +52,7 @@ class Round9Spec extends SparkSpec {
       .groupBy(_._1)
     assert(out.nonEmpty)
     out.foreach { case (uid, rows) =>
-      val seq = rows.sortBy(_._2).map(_._3)
+      val seq = rows.sortBy(t => (tsOf((t._1, t._2)), t._2)).map(_._3)
       assert(seq.length > 10, s"section $uid too short to cross the wrap")
       val steps = seq.sliding(2).map { case Array(a, b) => b - a }.toSeq
       assert(steps.forall(st => st > 0.0 && st < 2.0),
