@@ -168,6 +168,39 @@ class Round9Spec extends SparkSpec {
     assert(rows.toSeq == again.toSeq, "shuffle is not reproducible")
   }
 
+  test("loader: all three supported ts vintages yield identical instants") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vintages").toString
+    val base = spark.range(5).selectExpr("id AS event_id",
+      "timestamp_micros(1704067200000000 + id * 987654321) AS ts",
+      "id AS user_id", "'a' AS event_type", "CAST(id AS DOUBLE) AS value",
+      "'{}' AS props")
+    val want = base.selectExpr("event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def loadedMicros(d: String): Map[Long, Long] =
+      Tables.load(spark, d, "events").selectExpr("event_id", "unix_micros(ts) AS us")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // nano INT64 vintage: a raw long column (truncating micros→nanos→micros
+    // round-trips exactly, matching the integer-div contract)
+    base.selectExpr("event_id", "unix_micros(ts) * 1000 AS ts", "user_id",
+      "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/nano/events.parquet")
+    assert(loadedMicros(s"$dir/nano") == want, "nano vintage mismatch")
+    // timestamp vintage as written by this Spark session (UTC-flagged)
+    base.write.mode("overwrite").parquet(s"$dir/us/events.parquet")
+    assert(loadedMicros(s"$dir/us") == want, "timestamp[us] vintage mismatch")
+    // NTZ fallback branch: force NTZ inference back on so the same file
+    // surfaces as TIMESTAMP_NTZ, exercising the guarded cast path
+    base.selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+      "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      assert(loadedMicros(s"$dir/ntz") == want, "NTZ fallback mismatch")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("loader: a third ts physical vintage fails loudly, not as null casts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badvintage").toString
     spark.range(3).selectExpr("id AS event_id", "CAST(id AS STRING) AS ts",
