@@ -1953,48 +1953,70 @@ object TrainingData {
       GROUP BY 1 ORDER BY status"""))
 
   // ---- t19_context_pack: sequence packing into context windows -----------
-  // The GPT-pretraining packing shape: per language, documents are
+  // The GPT-pretraining packing shape: per packing stream, documents are
   // concatenated in a deterministic order (doc_id) and chunked into
   // fixed token-budget context windows — chunk id is just
   // floor(preceding_tokens / budget) over a running sum, so packing is
-  // ONE keyed exchange (the per-lang window) plus the per-chunk rollup.
+  // ONE keyed exchange (the per-stream window) plus the per-chunk rollup.
+  // The stream key is (lang, pack_shard) with pack_shard a salted
+  // portable hash of the doc id mod N (t32's shard machinery):
+  // partitioning by bare lang would cap packing parallelism at the
+  // language count — ~10 reducer tasks each sorting a whole language at
+  // 100 TB — while the composite key scales the stream count with N
+  // (a parameter that rises with the cluster; the 8 here is test-sized)
+  // and stays deterministic and engine-portable with no RNG state.
   // Output: per-chunk document count, token fill, and fill fraction
   // (the packing-efficiency metric batch builders watch).
   private val t19budget = 2048L
+
+  /** Packing streams per language for t19/t31 (test-size parameter — at
+    * warehouse scale this rises with the cluster, like t32's N_SHARDS).
+    * The salted portable hash makes stream assignment uniform,
+    * deterministic across runs, and replayable in the oracle engine.
+    */
+  private val packShards = 8L
+  private def packShard: org.apache.spark.sql.Column =
+    Text.md5Long(concat(lit("pack:"), col("doc_id").cast("string"))) % packShards
+  private def packShardSql: String =
+    s"${Text.md5LongSql("'pack:' || CAST(doc_id AS VARCHAR)")} % $packShards"
+
   private val t19 = Q(
     (s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("lang"), col("pack_shard"))
+        .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val toks = size(split(trim(col("text")), "\\s+")).cast("long")
       t(s, dir, "documents")
         .select(col("lang"), col("doc_id"), toks.as("n_toks"))
+        .withColumn("pack_shard", packShard)
         .withColumn("before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
         .withColumn("chunk_id", floor(col("before") / t19budget))
-        .groupBy(col("lang"), col("chunk_id"))
+        .groupBy(col("lang"), col("pack_shard"), col("chunk_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("chunk_toks"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .withColumn("fill_frac",
           Det.qz(col("chunk_toks").cast("double") / lit(t19budget.toDouble), 6))
-        .orderBy("lang", "chunk_id")
+        .orderBy("lang", "pack_shard", "chunk_id")
     },
     Some(s"""
       WITH d AS (
-        SELECT lang, doc_id,
+        SELECT lang, doc_id, $packShardSql AS pack_shard,
                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
         FROM documents),
       p AS (
-        SELECT lang, doc_id, n_toks,
-               COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        SELECT lang, pack_shard, doc_id, n_toks,
+               COALESCE(SUM(n_toks) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         FROM d)
-      SELECT lang, CAST(FLOOR(before / $t19budget) AS BIGINT) AS chunk_id,
+      SELECT lang, CAST(pack_shard AS BIGINT) AS pack_shard,
+             CAST(FLOOR(before / $t19budget) AS BIGINT) AS chunk_id,
              COUNT(*) AS n_docs,
              CAST(SUM(n_toks) AS BIGINT) AS chunk_toks,
              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
              ${Det.qzSql(s"CAST(SUM(n_toks) AS DOUBLE) / $t19budget.0", 6)} AS fill_frac
-      FROM p GROUP BY 1, 2 ORDER BY lang, chunk_id"""))
+      FROM p GROUP BY 1, 2, 3 ORDER BY lang, pack_shard, chunk_id"""))
 
   // ---- p1_corpus_pipeline: the end-to-end cleaning funnel ----------------
   // The headline composite: language-ID gate → quality-score gate →
@@ -2360,48 +2382,54 @@ object TrainingData {
 
   // ---- t31_sequence_pack: concat-and-chop packing into context windows --
   // The step between a cleaned corpus and a training run: documents are
-  // concatenated per stream (lang) in a deterministic order and chopped
-  // into fixed token-budget sequences (B = 2048), docs straddling pack
+  // concatenated per stream in a deterministic order and chopped into
+  // fixed token-budget sequences (B = 2048), docs straddling pack
   // boundaries — the packing LLM pipelines actually run (concat + split
   // at the context length), NOT bin-packing: the chop form is an
   // exclusive-prefix-sum per stream, so it's ONE keyed window exchange
   // at any corpus size, where greedy whole-doc bin-packing is an
-  // inherently sequential recursion. Output per doc: token count, first/
-  // last pack index, span width, and the offset inside its first pack —
+  // inherently sequential recursion. The stream key is the composite
+  // (lang, pack_shard) — see [[packShards]]: bare lang would funnel
+  // 100 TB into #languages reducer tasks; the salted-hash shard keeps
+  // every tiling invariant per stream while the stream count scales
+  // with the parameter. Output per doc: token count, first/last pack
+  // index, span width, and the offset inside its first pack —
   // everything a sharded loader needs to materialize pack -> (doc,
   // slice) lists via a range join on pack index. Integer-only math
   // (`div`/`%` on longs) so both engines are exact.
   private val t31 = Q(
     (s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("lang"), col("pack_shard"))
+        .orderBy(col("doc_id"))
       t(s, dir, "documents")
         .select(col("lang"), col("doc_id"),
           Text.bpeTokenCount(col("text")).cast("long").as("toks"))
         .filter(col("toks") > 0)
+        .withColumn("pack_shard", packShard)
         .withColumn("cum", sum(col("toks")).over(w) - col("toks"))
-        .select(col("lang"), col("doc_id"), col("toks"),
+        .select(col("lang"), col("pack_shard"), col("doc_id"), col("toks"),
           expr("cum div 2048").as("pack_first"),
           expr("(cum + toks - 1) div 2048").as("pack_last"),
           expr("(cum + toks - 1) div 2048 - cum div 2048 + 1").as("n_packs"),
           expr("cum % 2048").as("pack_off"))
-        .orderBy("lang", "doc_id")
+        .orderBy("lang", "pack_shard", "doc_id")
     },
     Some(s"""
       WITH d AS (
-        SELECT lang, doc_id,
+        SELECT lang, doc_id, $packShardSql AS pack_shard,
                CAST(len(regexp_extract_all(text, '${Text.bpePattern}')) AS BIGINT) AS toks
         FROM documents),
       c AS (
-        SELECT lang, doc_id, toks,
-               SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        SELECT lang, pack_shard, doc_id, toks,
+               SUM(toks) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id
                                ROWS UNBOUNDED PRECEDING) - toks AS cum
         FROM d WHERE toks > 0)
-      SELECT lang, doc_id, toks,
+      SELECT lang, CAST(pack_shard AS BIGINT) AS pack_shard, doc_id, toks,
              CAST(cum // 2048 AS BIGINT) AS pack_first,
              CAST((cum + toks - 1) // 2048 AS BIGINT) AS pack_last,
              CAST((cum + toks - 1) // 2048 - cum // 2048 + 1 AS BIGINT) AS n_packs,
              CAST(cum % 2048 AS BIGINT) AS pack_off
-      FROM c ORDER BY lang, doc_id"""))
+      FROM c ORDER BY lang, pack_shard, doc_id"""))
 
   // ---- t32_shard_shuffle: deterministic global shuffle into shards -------
   // The loader-side companion to t31: training runs don't read the

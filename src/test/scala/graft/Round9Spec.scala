@@ -124,23 +124,24 @@ class Round9Spec extends SparkSpec {
     // toks mod B, and the pack index advances by one exactly when the
     // chop lands on a pack boundary (offset wraps to 0).
     val B = 2048L
+    // streams are the composite (lang, pack_shard) key since round 10
     val rows = SparkEntry.queries("t31_sequence_pack")(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
       .groupBy(_._1)
     assert(rows.nonEmpty)
-    rows.foreach { case (lang, ds) =>
+    rows.foreach { case (stream, ds) =>
       val seq = ds.sortBy(_._2)
       seq.foreach { case (_, id, toks, first, last, n, off) =>
-        assert(toks > 0 && off >= 0 && off < B, s"$lang/$id bad off/toks")
-        assert(n == last - first + 1 && n >= 1, s"$lang/$id span mismatch")
-        assert(n == (off + toks + B - 1) / B, s"$lang/$id n_packs != ceil((off+toks)/B)")
+        assert(toks > 0 && off >= 0 && off < B, s"$stream/$id bad off/toks")
+        assert(n == last - first + 1 && n >= 1, s"$stream/$id span mismatch")
+        assert(n == (off + toks + B - 1) / B, s"$stream/$id n_packs != ceil((off+toks)/B)")
       }
       seq.sliding(2).foreach {
         case Array((_, _, toks, _, last, _, off), (_, id2, _, first2, _, _, off2)) =>
-          assert(off2 == (off + toks) % B, s"$lang/$id2 offset discontinuity")
+          assert(off2 == (off + toks) % B, s"$stream/$id2 offset discontinuity")
           val expectedFirst = if (off2 == 0) last + 1 else last
-          assert(first2 == expectedFirst, s"$lang/$id2 pack index gap")
+          assert(first2 == expectedFirst, s"$stream/$id2 pack index gap")
         case _ => ()
       }
     }
