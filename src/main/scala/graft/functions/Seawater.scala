@@ -503,6 +503,39 @@ object Seawater {
   def rhoTeos10Sql(sa: String, ct: String, p: String): String =
     s"(1.0 / ${specvolG(s"($sa)", s"($ct)", s"($p)")(SqlNum)})"
 
+  /** Specific volume at the Standard Ocean Salinity (SSO = 35.16504 g/kg)
+    * and CT = 0 °C as a function of pressure — the reference's streamlined
+    * `gsw_specvol_sso_0` (gsw_oceanographic_toolbox.c:10202-10214): a
+    * 6-term Horner in z = p·1e-4 sharing v005/v006 with the 75-term
+    * table. Same nesting order as the C so doubles match bit-for-bit.
+    */
+  private def specvolSso0G[T](p: T)(implicit N: Num[T]): T = {
+    val z = N.mul(p, N.const(1e-4))
+    val l5 = N.add(N.const(-1.2647261286e-8),
+      N.mul(N.const(1.9613503930e-9), z))
+    val l4 = N.add(N.const(-2.994054447232880e-8), N.mul(z, l5))
+    val l3 = N.add(N.const(-6.657179479768312e-7), N.mul(z, l4))
+    val l2 = N.add(N.const(7.130728965927127e-6), N.mul(z, l3))
+    val l1 = N.add(N.const(-4.505913211160929e-5), N.mul(z, l2))
+    N.add(N.const(9.726613854843870e-4), N.mul(z, l1))
+  }
+
+  /** Specific volume anomaly relative to the standard ocean —
+    * `gsw_specvol_anom_standard` (gsw_oceanographic_toolbox.c:9835-9838):
+    * v(SA, CT, p) − v_SSO_0(p). This is the integrand of dynamic height
+    * (the `b` array of gsw_geo_strf_dyn_height_1). Check values (via the
+    * reference's own C): svan(34.7118, 28.8099, 10) =
+    * 6.01051894897415735e-6, svan(34.8472, 10.2262, 250) =
+    * 1.42190453761834902e-6, svan(34.7324, 4.3236, 1000) =
+    * 7.63833895777387382e-7.
+    */
+  def svanStandard(sa: Column, ct: Column, p: Column): Column =
+    ColNum.sub(specvolG(sa, ct, p)(ColNum), specvolSso0G(p)(ColNum))
+  def svanStandardSql(sa: String, ct: String, p: String): String = {
+    implicit val N: Num[String] = SqlNum
+    N.sub(specvolG(s"($sa)", s"($ct)", s"($p)"), specvolSso0G(s"($p)"))
+  }
+
   /** ∂v/∂CT part of the 75-term polynomial — the `a`-coefficient Horner
     * tree from the reference's `gsw_alpha`
     * (gsw_oceanographic_toolbox.c:242-265, coefficients

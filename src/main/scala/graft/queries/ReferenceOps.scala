@@ -1357,7 +1357,53 @@ object ReferenceOps {
       ORDER BY user_id, event_id, vel"""
     })
 
+  // ---- r38_dyn_height_ref: full-fidelity referenced dynamic height -------
+  // The p_ref / max_dp machinery r21's per-level integral omits
+  // (GSW-Python geostrophy.py:17-102 + gsw_geo_strf_dyn_height_1): Ψ
+  // referenced to p_ref = 5 dbar with the surface-extension branch (casts
+  // starting below 5 dbar extend upward on a max_dp grid carrying the
+  // shallowest SA/CT) and the max_dp = 10 regridding branch (profiles
+  // with a coarse gap, or no sample exactly at p_ref, are refined with
+  // uniform candidates + p_ref and linear SA/CT interpolation) — see
+  // operators/DynHeight.scala for the full plan. Cast synthesis walks all
+  // the reference's branches: l_orderkey%3 picks the start pressure (2 →
+  // p_ref inserted mid-profile; 32 → surface extension; 5 → bottle
+  // exactly at p_ref), a 27-dbar gap opens at level 4 (→ refined path for
+  // casts of ≥ 4 levels, fast path below), and 1-level casts replay the
+  // reference's skip-to-NaN as NULL. r34/r36 consume this streamfunction.
+  private val r38 = Q(
+    (s, dir) => {
+      val p0 = when(col("l_orderkey") % 3 === 0, 2.0)
+        .when(col("l_orderkey") % 3 === 1, 32.0).otherwise(5.0)
+      val levels = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("pid"), col("l_linenumber").as("lvl"),
+        (p0 + (col("l_linenumber") - 1).cast("double") * 6.0 +
+          when(col("l_linenumber") >= 4, 21.0).otherwise(0.0)).as("p"),
+        (lit(30.0) + col("l_discount") * 100.0).as("sa"),
+        (col("l_quantity") % 30.0).as("ct"))
+      graft.operators.DynHeight.perProfile(levels, pRef = 5.0, maxDp = 10.0)
+        .select(col("pid").as("l_orderkey"), col("lvl").as("l_linenumber"),
+          col("dyn_height"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val lvlSql = """
+        SELECT l_orderkey AS pid, l_linenumber AS lvl,
+               (CASE WHEN l_orderkey % 3 = 0 THEN 2.0
+                     WHEN l_orderkey % 3 = 1 THEN 32.0 ELSE 5.0 END)
+                 + CAST(l_linenumber - 1 AS DOUBLE) * 6.0
+                 + CASE WHEN l_linenumber >= 4 THEN 21.0 ELSE 0.0 END AS p,
+               30.0 + l_discount * 100.0 AS sa,
+               l_quantity % 30.0 AS ct
+        FROM lineitem"""
+      s"""
+      SELECT pid AS l_orderkey, lvl AS l_linenumber, dyn_height
+      FROM (${graft.operators.DynHeight.perProfileSql(lvlSql, 5.0, 10.0)})
+      ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
+    "r38_dyn_height_ref" -> r38,
     "r31_spiciness" -> r31,
     "r32_nsquared" -> r32,
     "r33_turner" -> r33,

@@ -343,6 +343,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyed == 1, s"t31 keyed exchanges: $keyed\n${p.take(800)}")
   }
 
+  test("r38: referenced dynamic height is join-free, all exchanges profile-keyed") {
+    // the grid build (extension + refinement candidates + p_ref) is
+    // unions of explodes, never a join; every window partitions on the
+    // profile key so a cast's grid never leaves its partition
+    val p = planOf("r38_dyn_height_ref")
+    assert(!p.contains("Join"), "dynamic height must not join")
+    val parts = "hashpartitioning\\(pid".r.findAllIn(p).size +
+      "hashpartitioning\\(l_orderkey".r.findAllIn(p).size
+    val all = "hashpartitioning".r.findAllIn(p).size
+    assert(all == parts, s"non-profile-keyed exchange present\n${p.take(1200)}")
+    assert(all > 0, "expected keyed exchanges")
+  }
+
   test("t26: readability scoring is map-only below one keyed exchange") {
     val p = planOf("t26_readability")
     assert(!p.contains("Join"), "readability must not join")

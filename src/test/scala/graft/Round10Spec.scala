@@ -60,6 +60,69 @@ class Round10Spec extends SparkSpec {
         s"${(t19.keySet diff t31.keySet).take(3)}")
   }
 
+  test("svan_standard matches the reference C check values") {
+    import graft.functions.Seawater
+    val cases = Seq(
+      (34.7118, 28.8099, 10.0, 6.01051894897415735e-6),
+      (34.8472, 10.2262, 250.0, 1.42190453761834902e-6),
+      (34.7324, 4.3236, 1000.0, 7.63833895777387382e-7))
+    val rows = cases.zipWithIndex.map { case ((sa, ct, p, _), i) => (i, sa, ct, p) }
+    val got = spark.createDataFrame(rows).toDF("i", "sa", "ct", "p")
+      .select(col("i"), Seawater.svanStandard(col("sa"), col("ct"), col("p")).as("v"))
+      .orderBy("i").collect().map(_.getDouble(1))
+    cases.zip(got).foreach { case ((sa, ct, p, want), v) =>
+      assert(math.abs(v - want) <= math.abs(want) * 1e-13,
+        s"svan($sa, $ct, $p): got $v, want $want")
+    }
+  }
+
+  test("r38 operator matches the reference geo_strf_dyn_height path on all branches") {
+    // Check values computed through the reference's own code path: the
+    // geostrophy.py wrapper (surface extension + skip semantics) replayed
+    // over gsw_geo_strf_dyn_height_1 (linear interp) compiled from the
+    // bundled C, p_ref = 5 dbar, max_dp = 10 dbar.
+    //   A: starts at 32 dbar (3-point surface extension) + a 27-dbar gap
+    //      at level 4 (refined grid, candidates + interpolation)
+    //   B: starts at 2 dbar, no bottle at p_ref (refined: p_ref inserted)
+    //   C: bottle exactly at p_ref, all gaps ≤ max_dp (C fast path)
+    //   D: single level (skip → NULL)
+    val mk = Seq(
+      (1L, Seq(32.0, 38.0, 44.0, 71.0, 77.0, 83.0, 89.0).zipWithIndex.map {
+        case (p, i) => (p, 33.5 + 0.3 * i, 18.0 - 1.5 * i) }),
+      (2L, Seq((2.0, 34.1, 12.0), (8.0, 34.4, 11.0), (14.0, 34.9, 9.5))),
+      (3L, Seq((5.0, 35.0, 20.0), (11.0, 35.1, 19.0), (17.0, 35.3, 17.5),
+        (23.0, 35.2, 15.0), (29.0, 35.5, 14.0))),
+      (4L, Seq((8.0, 34.0, 10.0))))
+    val rows = mk.flatMap { case (pid, lv) =>
+      lv.zipWithIndex.map { case ((p, sa, ct), i) => (pid, i + 1, p, sa, ct) } }
+    val levels = spark.createDataFrame(rows).toDF("pid", "lvl", "p", "sa", "ct")
+    val got = graft.operators.DynHeight
+      .perProfile(levels, pRef = 5.0, maxDp = 10.0, outScale = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .map { case (pid, lvl, v) => (pid, lvl) -> v }.toMap
+    val want: Map[(Long, Int), Option[Double]] = Map(
+      (1L, 1) -> Some(-1.05059311990585891), (1L, 2) -> Some(-1.26768083725122294),
+      (1L, 3) -> Some(-1.45218551061485313), (1L, 4) -> Some(-2.14083447606084309),
+      (1L, 5) -> Some(-2.26357261263550846), (1L, 6) -> Some(-2.35699288395934170),
+      (1L, 7) -> Some(-2.42211856956648175),
+      (2L, 1) -> Some(6.35016716155382410e-2), (2L, 2) -> Some(-5.76106851988970048e-2),
+      (2L, 3) -> Some(-1.48577403707329914e-1),
+      (3L, 1) -> Some(0.0), (3L, 2) -> Some(-0.188123141954480821),
+      (3L, 3) -> Some(-0.351867134527538927), (3L, 4) -> Some(-0.486439248869961094),
+      (3L, 5) -> Some(-0.594126950012743182),
+      (4L, 1) -> None)
+    assert(got.keySet == want.keySet, s"row universe: ${got.keySet} vs ${want.keySet}")
+    want.foreach { case (k, w) =>
+      (got(k), w) match {
+        case (Some(g), Some(v)) =>
+          assert(math.abs(g - v) <= 1e-9, s"$k: got $g, want $v")
+        case (None, None) => ()
+        case other => fail(s"$k: null mismatch $other")
+      }
+    }
+  }
+
   test("t19: chunk ids tile each stream contiguously from zero") {
     val rows = SparkEntry.queries("t19_context_pack")(spark, sfDir)
       .select("lang", "pack_shard", "chunk_id", "n_docs", "chunk_toks")
