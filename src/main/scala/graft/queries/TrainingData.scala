@@ -407,16 +407,12 @@ object TrainingData {
       val pairs = Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 80), "doc_id", "text", "lang",
         maxShingleDf = 40, minJaccardInv = 100)
-      // `members` format contract: ascending member ids, base-10,
-      // comma-joined with no spaces ("3,17,42"). A string rather than
-      // array<long> because the comparison harness hashes scalar cells;
-      // consumers needing the array should split(',') and cast — or use
-      // Dedup.connectedComponents directly, which returns typed rows.
+      // `members` is a typed array<long> of ascending member ids — the
+      // schema a downstream consumer joins/explodes without re-parsing
       Dedup.connectedComponents(pairs, "id1", "id2")
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"),
-          array_join(transform(sort_array(collect_list(col("id"))),
-            _.cast("string")), ",").as("members"))
+          sort_array(collect_list(col("id"))).as("members"))
         .orderBy("cluster")
     },
     Some("""
@@ -454,7 +450,7 @@ object TrainingData {
         SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
       cc AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id)
       SELECT cluster, COUNT(*) AS n_members,
-             array_to_string(list_sort(list(id)), ',') AS members
+             list_sort(list(id)) AS members
       FROM cc GROUP BY cluster ORDER BY cluster"""))
 
   // ---- d12_embedding_clusters: semantic near-dup clusters ----------------
@@ -1106,23 +1102,20 @@ object TrainingData {
     (s, dir) => {
       val n = length(col("text"))
       val nFrames = when(n >= 16, floor((n - 16) / 64).cast("int") + 1).otherwise(0)
-      // `frame_fps` format contract: one 8-hex-char fingerprint per
-      // sampled frame, in frame order, comma-joined with no spaces
-      // ("a1b2c3d4,..."). String rather than array<string> because the
-      // comparison harness hashes scalar cells; split(',') recovers the
-      // array (fingerprints never contain commas).
+      // `frame_fps` is a typed array<string>: one 8-hex-char fingerprint
+      // per sampled frame, in frame order — consumers index it directly
       t(s, dir, "documents")
         .select(col("doc_id"), nFrames.as("n_frames"),
-          array_join(transform(sequence(lit(0), nFrames - 1),
-            i => substring(md5(encode(col("text").substr(i * 64 + 1, lit(16)), "UTF-8")), 1, 8)), ",")
+          transform(sequence(lit(0), nFrames - 1),
+            i => substring(md5(encode(col("text").substr(i * 64 + 1, lit(16)), "UTF-8")), 1, 8))
             .as("frame_fps"))
         .filter(col("n_frames") > 0)
         .orderBy("doc_id")
     },
     Some("""
       SELECT doc_id, n_frames,
-             array_to_string(list_transform(range(n_frames),
-               i -> substr(md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 16)), 1, 8)), ',') AS frame_fps
+             list_transform(range(n_frames),
+               i -> substr(md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 16)), 1, 8)) AS frame_fps
       FROM (SELECT doc_id, text,
                    CASE WHEN LENGTH(text) >= 16
                         THEN CAST(FLOOR((LENGTH(text) - 16) / 64) AS INTEGER) + 1
