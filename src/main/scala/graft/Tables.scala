@@ -105,6 +105,16 @@ object Sessions {
     // TIMESTAMP (UTC session zone) instead of TIMESTAMP_NTZ, so the
     // Tables.load events branch is a no-op and ts range predicates push
     // into the parquet scan (row-group min-max skipping) — see Tables.
+    //
+    // SESSION-WIDE EFFECT, by design: this knob applies to EVERY parquet
+    // read in the session, not just events — any future table whose
+    // column is genuinely wall-clock TIMESTAMP_NTZ will surface as a UTC
+    // instant instead. That is the correct reading for this library's
+    // contract (the session zone is pinned UTC two lines up, so the
+    // re-tag is value-preserving, and the DuckDB oracle sees the same
+    // instants), but a table that must round-trip as NTZ would need
+    // either a per-read `.option("inferTimestampNTZ", "true")` or an
+    // explicit NTZ schema on its reader — don't discover this silently.
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
     .config("spark.sql.adaptive.enabled", "true")

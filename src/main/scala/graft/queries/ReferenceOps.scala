@@ -1176,13 +1176,16 @@ object ReferenceOps {
   // np.round is half-even; both engines here use floor(x+0.5)
   // (half-up), which differs from numpy only at exact .5 ties. Across
   // the ORACLE the residual risk is the mean itself: the two engines
-  // may sum lon_u in different orders, so a section whose mean sits
-  // within ulps of an odd multiple of 180° could flip the centering
-  // constant k by 1 (shifting that section 360°). For these fixtures
-  // the means sit far from the boundary (spec-pinned) and the flip
-  // needs |mean − boundary| ≲ 1e-10°, so it's accepted, not designed
-  // away — an exactly-deterministic mean would need a decimal-cast of
-  // computed doubles, the engine-divergence hazard Det documents.
+  // may sum lon_u in different orders, so the raw means differ by ulps.
+  // The centering constant k = floor(mean/360 + 0.5) therefore computes
+  // from the QUANTIZED mean (Det.qz at 1e-6°): both engines collapse
+  // their ulp-different means onto the same grid value, so k can only
+  // diverge when the raw means straddle a quantization cell edge
+  // (|mean − edge| ≲ 1e-12°) AND that one cell edge abuts an odd
+  // multiple of 180° — orders of magnitude narrower than the raw-mean
+  // flip window this replaces. k is an integer decision, so for any
+  // fixture where both engines agree on k the output doubles are
+  // bit-identical to the unquantized form.
   private val r36 = Q(
     (s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1203,7 +1206,8 @@ object ReferenceOps {
           when(col("ld") > 180.0, -1).when(col("ld") < -180.0, 1).otherwise(0))
         .withColumn("lon_u", col("lon_raw") + sum(col("wjump")).over(wcum) * 360.0)
         .withColumn("lon",
-          col("lon_u") - lit(360.0) * floor(avg(col("lon_u")).over(wall) / 360.0 + 0.5))
+          col("lon_u") - lit(360.0) *
+            floor(Det.qz(avg(col("lon_u")).over(wall), 6) / 360.0 + 0.5))
         .withColumn("plat", lag(col("lat"), 1).over(w))
         .withColumn("plon", lag(col("lon"), 1).over(w))
         .withColumn("pstrf", lag(col("strf"), 1).over(w))
@@ -1251,7 +1255,8 @@ object ReferenceOps {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 360.0 AS lon_u
         FROM jump),
       centered AS (
-        SELECT *, lon_u - 360.0 * floor(avg(lon_u) OVER (PARTITION BY user_id) / 360.0 + 0.5) AS lon
+        SELECT *, lon_u - 360.0 * floor(
+          ${Det.qzSql("avg(lon_u) OVER (PARTITION BY user_id)", 6)} / 360.0 + 0.5) AS lon
         FROM unwrapped),
       pairs AS (
         SELECT user_id, event_id, lat, lon, strf,

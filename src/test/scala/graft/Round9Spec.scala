@@ -90,7 +90,8 @@ class Round9Spec extends SparkSpec {
         when(col("ld") > 180.0, -1).when(col("ld") < -180.0, 1).otherwise(0))
       .withColumn("lon_u", col("lon_raw") + sum(col("wjump")).over(wcum) * 360.0)
       .withColumn("lon_c",
-        col("lon_u") - lit(360.0) * floor(avg(col("lon_u")).over(wall) / 360.0 + 0.5))
+        col("lon_u") - lit(360.0) *
+          floor(Det.qz(avg(col("lon_u")).over(wall), 6) / 360.0 + 0.5))
       .select("user_id", "seq", "lon_raw", "lon_c")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
       .groupBy(_._1)
@@ -107,7 +108,10 @@ class Round9Spec extends SparkSpec {
         x(i) = raw(i) + cum * 360.0
       }
       val mean = x.sum / x.length
-      val k = math.floor(mean / 360.0 + 0.5)
+      // mirror the operator: k decides from the 1e-6°-quantized mean so
+      // cross-engine summation-order ulps can't flip the 360° shift
+      val qmean = math.floor(mean * 1e6 + 0.5) / 1e6
+      val k = math.floor(qmean / 360.0 + 0.5)
       val centered = x.map(_ - 360.0 * k)
       ordered.map(_._4).zip(centered).zipWithIndex.foreach { case ((got, want), i) =>
         // the mean's summation order differs between engines, so the
