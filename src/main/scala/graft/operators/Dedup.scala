@@ -272,6 +272,105 @@ object Dedup {
         coalesce(col("ccluster"), col("bcluster")).as("cluster"))
   }
 
+  /** HDBSCAN-lite: density-adaptive clustering over an embedding column,
+    * the variable-density case a single global ε (d16 [[dbscan]]) cannot
+    * handle — a dense cluster and a sparse cluster need different ε, and
+    * any single choice either dissolves the sparse one into noise or
+    * merges the dense one into its surroundings.
+    *
+    * The HDBSCAN machinery kept (Campello/Moulavi/Sander 2013, re-derived
+    * here in similarity space where bigger = closer):
+    *  - CORE SIMILARITY: a point's `minPts`-th largest neighbor cosine —
+    *    the k-NN density estimate (HDBSCAN's core distance, inverted).
+    *    Points with fewer than `minPts` neighbors above `simFloor` get no
+    *    core similarity and can only ever be noise.
+    *  - MUTUAL REACHABILITY: mr(a,b) = min(cos(a,b), core(a), core(b)) —
+    *    an edge is only as strong as its LESS dense endpoint, which stops
+    *    a straggler chain through sparse space from bridging clusters
+    *    (classic DBSCAN's single-link chaining artifact).
+    *  - HIERARCHY BY LEVELS: instead of the exact dendrogram (an MST +
+    *    condensed-tree walk — inherently sequential, driver-sized),
+    *    connected components of the mr-graph are taken at each λ in
+    *    `levels` (descending). This is the dendrogram sampled at L cut
+    *    heights: each CC call runs on the (filter-shrunken) pair list
+    *    with the [[connectedComponents]] scale path, so the whole
+    *    hierarchy is L pair-list-sized passes, distributed end to end.
+    *  - STABILITY-LITE SELECTION: each point's cluster is taken from the
+    *    HIGHEST λ at which its component reaches `minClusterSize` — the
+    *    dense cluster resolves at its own (high) density level before
+    *    lower levels can merge it with surroundings, the sparse cluster
+    *    is extracted at the level where it first coheres, and fragments
+    *    that never reach `minClusterSize` at any level are noise exactly
+    *    as in full HDBSCAN. Labels are (level, component-min-id) pairs,
+    *    so a λ-0 cluster can never collide with the λ-2 component that
+    *    absorbed it.
+    *
+    * Neighbor pairs come from [[embeddingCosinePairs]]: exact tier on
+    * bounded blocks (`blockBits = 0`, the d5/d16 contract), LSH-blocked
+    * at corpus scale. Everything downstream of the pair list is id-keyed
+    * joins/aggregations — pair-list-sized, never corpus².
+    *
+    * Output: (id, n_neighbors, core_sim, birth_level, cluster_level,
+    * cluster, role) with role ∈ clustered / sparse (mr-connected but no
+    * component ever reached `minClusterSize`) / noise.
+    */
+  def hdbscanLite(points: DataFrame, idCol: String, vecCol: String,
+                  simFloor: Double, minPts: Int, levels: Seq[Double],
+                  minClusterSize: Int = 0, blockBits: Int = 0): DataFrame = {
+    require(levels.nonEmpty && levels.forall(_ >= simFloor),
+      s"levels $levels must all sit at or above simFloor $simFloor " +
+        "(edges below the floor were never generated)")
+    val mcs = if (minClusterSize > 0) minClusterSize else minPts
+    val lvls = levels.sorted(Ordering[Double].reverse)
+    val pairs = embeddingCosinePairs(points, idCol, vecCol, simFloor, blockBits)
+    val sym = pairs.select(col("id1").as("id"), col("id2").as("nb"), col("cos"))
+      .unionByName(pairs.select(col("id2").as("id"), col("id1").as("nb"), col("cos")))
+    // minPts-th largest neighbor cosine per point; cos is quantized by
+    // the pair tier, nb breaks ties, so the rank is deterministic. The
+    // count rides the same window pass (one keyed exchange on id).
+    import org.apache.spark.sql.expressions.Window
+    val byId = Window.partitionBy(col("id"))
+    val w = byId.orderBy(col("cos").desc, col("nb"))
+    val ranked = sym.withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(byId))
+    val cnt = ranked.filter(col("rn") === 1)
+      .select(col("id"), col("nn").as("n_neighbors"))
+    val core = ranked.filter(col("rn") === minPts)
+      .select(col("id"), col("cos").as("core_sim"))
+    val mr = pairs
+      .join(core.select(col("id").as("id1"), col("core_sim").as("cs1")), "id1")
+      .join(core.select(col("id").as("id2"), col("core_sim").as("cs2")), "id2")
+      .select(col("id1"), col("id2"),
+        least(col("cos"), col("cs1"), col("cs2")).as("mr"))
+    // One CC per level over the λ-filtered mr-edges; label carries the
+    // level so clusters selected at different cut heights can't collide.
+    val perLevel = lvls.zipWithIndex.map { case (lambda, l) =>
+      val cc = connectedComponents(mr.filter(col("mr") >= lambda), "id1", "id2")
+      val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      cc.join(sizes, "cluster")
+        .select(col("id"), lit(l).as("lvl"), col("cluster"), col("sz"))
+    }
+    val labs = perLevel.reduce(_ unionByName _)
+    val birth = labs.groupBy(col("id")).agg(min(col("lvl")).as("birth_level"))
+    // stability-lite: smallest level index (highest λ) whose component
+    // already has >= mcs members
+    val sel = labs.filter(col("sz") >= mcs)
+      .groupBy(col("id")).agg(min(col("lvl")).as("cluster_level"))
+      .join(labs.select(col("id"), col("lvl").as("cluster_level"), col("cluster")),
+        Seq("id", "cluster_level"))
+    points.select(col(idCol).as("id"))
+      .join(cnt, Seq("id"), "left")
+      .join(core, Seq("id"), "left")
+      .join(birth, Seq("id"), "left")
+      .join(sel, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        col("core_sim"), col("birth_level"), col("cluster_level"), col("cluster"),
+        when(col("cluster").isNotNull, "clustered")
+          .when(col("birth_level").isNotNull, "sparse")
+          .otherwise("noise").as("role"))
+  }
+
   /** Connected components over a near-dup pair list → cluster labels
     * (cluster id = minimum member id), the step that turns pairwise
     * candidates (jaccard/minhash/simhash/cosine) into keep-one-per-

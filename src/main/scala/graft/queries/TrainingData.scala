@@ -176,6 +176,26 @@ object TrainingData {
   // distinct fingerprints → df-capped self-join → overlap ratio. The
   // per-pair overlap is floor-quantized BEFORE the decimal-exact mean so
   // no computed-double decimal cast is ever compared across engines.
+  // ---- d18_hdbscan: density-ADAPTIVE clustering (HDBSCAN-lite) ---------
+  // The variable-density case d16's single global ε cannot serve: core
+  // similarity (minPts-th neighbor cosine) + mutual-reachability edges
+  // + components cut at a descending λ ladder, each point's cluster
+  // taken from the highest λ where its component reaches minClusterSize.
+  // Rows-only by design — the per-level recursive closure has no
+  // tractable SQL twin; semantics (dense+sparse planted clusters both
+  // recovered where single-ε DBSCAN provably fails) are pinned in
+  // Round10Spec on a planted fixture. Same bounded-subset contract as
+  // d16; at corpus scale pass blockBits>0 for the LSH pair tier.
+  private val d18 = Q(
+    (s, dir) => {
+      Dedup.hdbscanLite(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", simFloor = 0.3, minPts = 3,
+        levels = Seq(0.5, 0.4, 0.3), minClusterSize = 4)
+        .orderBy("id")
+    },
+    None)
+
   private val d17 = Q(
     (s, dir) => {
       val fps = Dedup.winnowingFingerprints(t(s, dir, "documents"),
@@ -2475,6 +2495,7 @@ object TrainingData {
     "d15_containment" -> d15,
     "d16_dbscan" -> d16,
     "d17_winnowing" -> d17,
+    "d18_hdbscan" -> d18,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

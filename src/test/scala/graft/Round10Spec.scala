@@ -123,6 +123,96 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  // ---- d18 hdbscanLite: planted clusters of DIFFERENT densities --------
+  // One dense cluster (intra-cos ~0.95), one sparse (~0.55) at
+  // cross-center cos 0.6 — close enough that an ε loose enough for the
+  // sparse cluster's interior also spans the gap BETWEEN clusters — plus
+  // pure noise. The point of the operator: both clusters recovered, each
+  // at its own λ level, where any single global ε provably loses one
+  // (tight ⇒ sparse dissolves; loose ⇒ the two merge).
+  private lazy val densityFixture = {
+    val r = new scala.util.Random(7)
+    val cA = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    val cB = Array.tabulate(64)(i =>
+      if (i == 0) 0.6 else if (i == 1) 0.8 else 0.0)
+    def around(center: Array[Double], sigma: Double): Array[Float] = {
+      val v = Array.tabulate(64)(i => center(i) + sigma * r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val dense = (0L until 30L).map(i => (i, around(cA, 0.03)))
+    val sparse = (100L until 130L).map(i => (i, around(cB, 0.12)))
+    val noise = (200L until 240L).map { i =>
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i, v.map(x => (x / n).toFloat))
+    }
+    import spark.implicits._
+    (dense ++ sparse ++ noise).toDF("vec_id", "embedding")
+  }
+
+  test("d18: dense and sparse planted clusters resolve at their own density levels") {
+    val out = graft.operators.Dedup.hdbscanLite(densityFixture,
+      "vec_id", "embedding", simFloor = 0.4, minPts = 3,
+      levels = Seq(0.85, 0.7, 0.45), minClusterSize = 8)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getString(6))).toSeq
+    def majority(ids: Range) = {
+      val labs = out.filter(t => ids.contains(t._1.toInt))
+        .collect { case (_, Some(lvl), Some(c), _) => (lvl, c) }
+      val (lab, n) = labs.groupBy(identity).view.mapValues(_.size)
+        .maxByOption(_._2).getOrElse(((-1, -1L), 0))
+      (lab, n.toDouble / ids.size)
+    }
+    val ((denseLvl, denseLab), denseCov) = majority(0 until 30)
+    val ((sparseLvl, sparseLab), sparseCov) = majority(100 until 130)
+    assert(denseCov >= 0.9, s"dense cluster recall $denseCov")
+    assert(sparseCov >= 0.7, s"sparse cluster recall $sparseCov")
+    assert(denseLvl == 0, s"dense cluster selected at level $denseLvl, not the top λ")
+    assert(sparseLvl > denseLvl, s"sparse cluster level $sparseLvl !> dense $denseLvl")
+    assert((denseLvl, denseLab) != (sparseLvl, sparseLab), "clusters collided")
+    val noiseRoles = out.filter(_._1 >= 200L)
+    assert(noiseRoles.count(_._4 == "noise").toDouble / noiseRoles.size >= 0.8,
+      "random points were clustered")
+  }
+
+  test("d18: any single-ε DBSCAN loses one of the two planted clusters") {
+    def roles(minCos: Double): Map[Long, (String, Any)] =
+      graft.operators.Dedup.dbscan(densityFixture, "vec_id", "embedding",
+        minCosine = minCos, minPts = 3)
+        .collect().map(r => r.getLong(0) -> (r.getString(2), r.get(3))).toMap
+    // ε tight enough to keep the dense cluster pure → sparse dissolves
+    val tight = roles(0.85)
+    assert((100L until 130L).count(i => tight(i)._1 == "noise") >= 24,
+      "sparse cluster unexpectedly survived the tight ε")
+    assert((0L until 30L).count(i => tight(i)._1 == "core") >= 27)
+    // ε loose enough for the sparse cluster's interior also spans the
+    // 0.6-cos gap between the clusters → one merged blob. This is the
+    // failure hdbscanLite's level selection avoids (previous test: same
+    // data, clusters kept apart at their own levels).
+    val loose = roles(0.45)
+    val denseLab = (0L until 30L).flatMap(i => Option(loose(i)._2)).toSet
+    val sparseLab = (100L until 130L).flatMap(i => Option(loose(i)._2)).toSet
+    assert(denseLab.size == 1 && sparseLab.size == 1,
+      s"planted clusters fragmented: $denseLab / $sparseLab")
+    assert(denseLab == sparseLab,
+      s"expected the loose ε to merge the planted clusters: $denseLab vs $sparseLab")
+  }
+
+  test("d18: registry row is total over its subset and repeatable") {
+    val q = SparkEntry.queries("d18_hdbscan")
+    val a = q(spark, sfDir).collect()
+    val b = q(spark, sfDir).collect()
+    assert(a.nonEmpty, "d18 returned no rows")
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "d18 is not deterministic")
+    val nPoints = graft.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 500).count()
+    assert(a.length == nPoints, s"${a.length} rows for $nPoints points")
+  }
+
   test("t19: chunk ids tile each stream contiguously from zero") {
     val rows = SparkEntry.queries("t19_context_pack")(spark, sfDir)
       .select("lang", "pack_shard", "chunk_id", "n_docs", "chunk_toks")
