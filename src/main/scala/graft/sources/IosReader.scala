@@ -130,6 +130,68 @@ object IosReader {
                   nowMillis: Long = System.currentTimeMillis()): Seq[String] =
     all.filter(f => fileModTimeHours(f, nowMillis) >= -windowHours)
 
+  /** `.env` config parity (utils.import_env_variables, utils.py:21-35):
+    * the key:value file the reference's cronjob reads so deployments are
+    * independent of local folder layout. Faithful to the reference's
+    * quirks, which ARE its contract:
+    *  - parsing STOPS at the first blank line (the reference `break`s,
+    *    not `continue`s) — trailing content after a blank line is
+    *    intentionally dead;
+    *  - lines whose first non-space char is '#' are comments;
+    *  - value is the SECOND colon field only (`split(':')[1]`) — a value
+    *    containing ':' (a URL, a windows path) is truncated at its own
+    *    first colon, exactly as upstream;
+    *  - a non-blank line without ':' raises (the reference dies on
+    *    IndexError — loud beats a silently dropped config key);
+    *  - duplicate keys: last one wins (dict assignment order).
+    */
+  def importEnvVariables(path: String): Map[String, String] = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).toArray(Array.empty[String])
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val it = lines.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val line = it.next()
+      val t = line.trim
+      if (t.isEmpty) stop = true
+      else if (t.head == '#') ()
+      else {
+        val fields = line.split(':')
+        require(fields.length >= 2,
+          s"$path: malformed .env line (no ':'): '$line'")
+        out(fields(0).trim) = fields(1).trim
+      }
+    }
+    out.toMap
+  }
+
+  /** One archive job resolved from the `.env` map the way the
+    * reference's convert_files dispatches on ftype
+    * (ios_data_transform_script.py:20-41): raw/nc folders from
+    * `{ftype}_raw_folder` / `{ftype}_nc_folder`, the shared
+    * `geojson_file`, and the ftype's case-insensitive extension globs
+    * (mctd also sweeps .CTD moorings; bot sweeps .BOT and .CHE).
+    * Unknown ftypes throw — upstream prints an error and returns None,
+    * and a silent no-op conversion is the one behavior not worth parity.
+    */
+  final case class ArchiveJob(rawFolder: String, ncFolder: String,
+      geojsonFile: String, globPatterns: Seq[String])
+
+  def archiveJob(env: Map[String, String], ftype: String): ArchiveJob = {
+    val patterns = ftype match {
+      case "ctd" => Seq("**/*.[Cc][Tt][Dd]")
+      case "mctd" => Seq("**/*.[Cc][Tt][Dd]", "**/*.mctd")
+      case "bot" => Seq("**/*.[Bb][Oo][Tt]", "**/*.[Cc][Hh][Ee]")
+      case other => throw new IllegalArgumentException(
+        s"ftype '$other' not understood (ctd | mctd | bot)")
+    }
+    def req(k: String) = env.getOrElse(k,
+      throw new NoSuchElementException(s".env is missing '$k'"))
+    ArchiveJob(req(s"${ftype}_raw_folder"), req(s"${ftype}_nc_folder"),
+      req("geojson_file"), patterns)
+  }
+
   /** Reference-pipeline sink: long observations enriched with variable
     * class (keyword rules) written as parquet partitioned by class — the
     * partition-prunable layout downstream readers want.

@@ -233,4 +233,47 @@ class IosReaderSpec extends SparkSpec {
     assert(obs.count() > 0)
     assert(obs.filter(col("obs_time_utc").isNotNull).count() > 0)
   }
+
+  test(".env import matches the reference's parsing quirks") {
+    val f = java.nio.file.Files.createTempFile("graft_env", ".env")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "# deployment layout",
+      "ctd_raw_folder : /data/raw/ctd/",
+      "ctd_nc_folder:/data/nc/ctd/",
+      "geojson_file: http://example.org/ios_polygons.geojson",
+      "ctd_raw_folder: /data/raw/ctd2/",
+      "",
+      "mctd_raw_folder: /never/read/"))
+    val env = IosReader.importEnvVariables(f.toString)
+    // comment skipped; keys/values trimmed; LAST duplicate wins;
+    // parsing stopped at the blank line; the URL value truncated at its
+    // own ':' (split(':')[1] upstream)
+    assert(env == Map(
+      "ctd_raw_folder" -> "/data/raw/ctd2/",
+      "ctd_nc_folder" -> "/data/nc/ctd/",
+      "geojson_file" -> "http"))
+    // a config line without ':' dies loudly, as upstream does
+    java.nio.file.Files.write(f, java.util.Arrays.asList("broken line"))
+    intercept[IllegalArgumentException] { IosReader.importEnvVariables(f.toString) }
+    java.nio.file.Files.delete(f)
+  }
+
+  test("archive jobs resolve folders and globs per ftype like convert_files") {
+    val env = Map(
+      "ctd_raw_folder" -> "/raw/ctd/", "ctd_nc_folder" -> "/nc/ctd/",
+      "mctd_raw_folder" -> "/raw/mctd/", "mctd_nc_folder" -> "/nc/mctd/",
+      "bot_raw_folder" -> "/raw/bot/", "bot_nc_folder" -> "/nc/bot/",
+      "geojson_file" -> "/etc/ios_polygons.geojson")
+    val ctd = IosReader.archiveJob(env, "ctd")
+    assert(ctd.rawFolder == "/raw/ctd/" && ctd.globPatterns == Seq("**/*.[Cc][Tt][Dd]"))
+    val mctd = IosReader.archiveJob(env, "mctd")
+    assert(mctd.globPatterns == Seq("**/*.[Cc][Tt][Dd]", "**/*.mctd"))
+    val bot = IosReader.archiveJob(env, "bot")
+    assert(bot.globPatterns == Seq("**/*.[Bb][Oo][Tt]", "**/*.[Cc][Hh][Ee]"))
+    assert(bot.geojsonFile == "/etc/ios_polygons.geojson")
+    intercept[IllegalArgumentException] { IosReader.archiveJob(env, "cur") }
+    intercept[NoSuchElementException] {
+      IosReader.archiveJob(env - "bot_nc_folder", "bot")
+    }
+  }
 }
