@@ -484,15 +484,26 @@ object Dedup {
     labels.withColumnRenamed("lbl", "cluster")
   }
 
-  /** SimHash near-dup candidates: 32-bit simhash, banded on 4 byte-slices
-    * (any pair within Hamming ≤ maxHamming shares at least one exact
-    * byte... guaranteed only for ≤3 with 4 bands), exact Hamming verify
-    * after the bucket join.
+  /** SimHash near-dup candidates: 64-bit simhash banded on 4 contiguous
+    * 16-bit slices (the Manku/Jain/Sarma WWW'07 shape), exact Hamming
+    * verify after the bucket join. By pigeonhole, any pair within
+    * Hamming ≤ 3 differs in at most 3 of the 4 slices, so it matches
+    * exactly on at least one band — candidate generation is lossless for
+    * the default bound regardless of band width.
+    *
+    * Band width is the SCALE parameter, not a free choice: 8-bit bands
+    * (the earlier 32-bit form) give 256 buckets per band FOREVER, so
+    * bucket occupancy grows linearly with the corpus and the verify
+    * join's pair count quadratically — the sf1.0 smoke measured exactly
+    * that (×14.3 runtime for ×10 docs, BENCH_sf1_r10.json). 16-bit
+    * bands give 65,536 buckets per band; at 100 TB the banded join is
+    * still keyed on uniform slices of a uniform hash, and occupancy —
+    * hence pairs per bucket — is 256× smaller at any corpus size.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
-      "4-byte banding only guarantees candidate generation for Hamming <= 3")
+      "4-band slicing only guarantees candidate generation for Hamming <= 3")
     // Same materialization reasoning as minhash: per-bit ±1 sums as a
     // real aggregation (map-side combinable), simhash assembled from the
     // aggregated attributes. `portableHash` swaps the token hash for the
@@ -501,17 +512,18 @@ object Dedup {
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
       .select(col("id"),
         (if (portableHash) Text.md5Long(col("t")) else xxhash64(col("t"))).as("h"))
-    val bitSums = (0 until 32).map { b =>
+    val bitSums = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$b")
     }
     val agged = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val simBits = (0 until 32).map { b =>
+    val simBits = (0 until 64).map { b =>
+      // b = 63 is Long.MinValue — still a plain bit under OR/XOR.
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     val sh = agged.select(col("id"), simBits.as("sim"))
     val banded = sh.select(col("id"), col("sim"), explode(array(
       (0 until 4).map(b => concat(lit(s"$b:"),
-        shiftright(col("sim"), b * 8).bitwiseAND(0xffL).cast("string"))): _*)).as("band"))
+        shiftright(col("sim"), b * 16).bitwiseAND(0xffffL).cast("string"))): _*)).as("band"))
     banded.as("a").join(banded.as("b"),
       col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

@@ -297,8 +297,12 @@ object TrainingData {
 
   // ---- d4_dedup_simhash: hamming-bucket candidate summary (oracled) ----
   // Same portable re-key as d3: bit-b of the md5-derived token hash
-  // drives the ±1 sums, so DuckDB rebuilds the 32-bit simhash, the
-  // 4-byte banding, and the Hamming verify exactly.
+  // drives the ±1 sums, so DuckDB rebuilds the 64-bit simhash, the
+  // 4×16-bit banding, and the Hamming verify exactly. Bit 63 is
+  // assembled as an explicit Long.MinValue addend: DuckDB refuses
+  // `1::BIGINT << 63` (left-shift overflow), but the two's-complement
+  // value of the full pattern is SUM(low-bit powers) − 2⁶³, which its
+  // HUGEINT SUM carries exactly before the final BIGINT cast.
   private val d4 = Q(
     (s, dir) => {
       Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text",
@@ -316,13 +320,14 @@ object TrainingData {
       bits AS (
         SELECT doc_id, bb,
                SUM(CASE WHEN (h >> CAST(bb AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-        FROM hx, (SELECT unnest(range(32)) AS bb) GROUP BY 1, 2),
+        FROM hx, (SELECT unnest(range(64)) AS bb) GROUP BY 1, 2),
       sim AS (
         SELECT doc_id,
-               CAST(SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << CAST(bb AS INTEGER)) ELSE 0 END) AS BIGINT) AS sim
+               CAST(SUM(CASE WHEN sgn > 0 AND bb < 63 THEN (1::BIGINT << CAST(bb AS INTEGER)) ELSE 0 END)
+                    + SUM(CASE WHEN sgn > 0 AND bb = 63 THEN -9223372036854775807 - 1 ELSE 0 END) AS BIGINT) AS sim
         FROM bits GROUP BY doc_id),
       band AS (
-        SELECT doc_id, sim, bb, (sim >> CAST(bb*8 AS INTEGER)) & 255 AS key
+        SELECT doc_id, sim, bb, (sim >> CAST(bb*16 AS INTEGER)) & 65535 AS key
         FROM sim, (SELECT unnest(range(4)) AS bb)),
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
