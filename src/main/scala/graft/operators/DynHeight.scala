@@ -27,9 +27,18 @@ import org.apache.spark.sql.functions._
   *     unless every pressure gap is ≤ max_dp AND a sample sits exactly at
   *     p_ref (the C's no-interpolation fast path, toolbox.c:4162-4190),
   *     the grid is refined with uniform candidates p[0] + i·max_dp plus
-  *     p_ref itself, and SA/CT are linearly interpolated onto the new
-  *     points (linear_interp_SA_CT_for_dh, toolbox.c:4081-4108 — the
-  *     interp_method='linear' branch; pchip not offered).
+  *     p_ref itself, and SA/CT are interpolated onto the new points by
+  *     `interpMethod`: "linear" (linear_interp_SA_CT_for_dh,
+  *     toolbox.c:4081-4108) or "pchip" — the reference's DEFAULT
+  *     (geostrophy.py:18 `interp_method='pchip'`) — the shape-preserving
+  *     Fritsch–Carlson monotone cubic Hermite of gsw_util_pchip_interp
+  *     (toolbox.c:11147-11306): per-knot derivatives from the weighted
+  *     harmonic mean of bracketing slopes (zero at local extrema, the
+  *     one-sided edge rule at endpoints, plain slope for 2-point
+  *     profiles), then Hermite basis evaluation on each bracketed grid
+  *     point. Derivatives need only bracketing knots, so they are one
+  *     extra lag/lead window pass over the known rows — still keyed on
+  *     pid, still join-free.
   *   - Skip semantics (geostrophy.py:79-81): profiles with fewer than two
   *     good levels or with p_ref below the deepest sample yield NULL at
   *     every level (the reference fills NaN). DOCUMENTED DEVIATION:
@@ -61,8 +70,53 @@ import org.apache.spark.sql.functions._
   */
 object DynHeight {
 
+  private type Col = org.apache.spark.sql.Column
+
+  /** The C's pchip_derivs for one knot attribute, expressed over lag/lead
+    * pairs (toolbox.c:11175-11231). All divisions sit inside the branch
+    * that guarantees their denominators non-zero (gaps are positive on
+    * valid profiles; the harmonic-mean denominator is a same-sign sum of
+    * non-zero terms), so ANSI mode never faults.
+    */
+  private def pchipD(pg: Col, y: Col, w: org.apache.spark.sql.expressions.WindowSpec): Col = {
+    val (pgm1, pgm2) = (lag(pg, 1).over(w), lag(pg, 2).over(w))
+    val (pgp1, pgp2) = (lead(pg, 1).over(w), lead(pg, 2).over(w))
+    val (ym1, ym2) = (lag(y, 1).over(w), lag(y, 2).over(w))
+    val (yp1, yp2) = (lead(y, 1).over(w), lead(y, 2).over(w))
+    val hm = pg - pgm1
+    val hp = pgp1 - pg
+    val mm = (y - ym1) / hm
+    val mp = (yp1 - y) / hp
+    // pchip_edge_case(h0, h1, m0, m1), toolbox.c:11147-11164
+    def edge(h0: Col, h1: Col, m0: Col, m1: Col): Col = {
+      val d = ((lit(2.0) * h0 + h1) * m0 - h0 * m1) / (h0 + h1)
+      when(signum(d) =!= signum(m0), 0.0)
+        .when(signum(m0) =!= signum(m1) && abs(d) > lit(3.0) * abs(m0),
+          lit(3.0) * m0)
+        .otherwise(d)
+    }
+    val interior =
+      when(signum(mm) =!= signum(mp) || mp === 0.0 || mm === 0.0, 0.0)
+        .otherwise {
+          val w1 = lit(2.0) * hp + hm
+          val w2 = hp + lit(2.0) * hm
+          (w1 + w2) / (w1 / mm + w2 / mp)
+        }
+    when(pgm1.isNull && pgp2.isNull, mp) // n == 2, first knot
+      .when(pgp1.isNull && pgm2.isNull, mm) // n == 2, last knot
+      .when(pgm1.isNull, // first knot of n >= 3
+        edge(hp, pgp2 - pgp1, mp, (yp2 - yp1) / (pgp2 - pgp1)))
+      .when(pgp1.isNull, // last knot of n >= 3
+        edge(hm, pgm1 - pgm2, mm, (ym1 - ym2) / (pgm1 - pgm2)))
+      .otherwise(interior)
+  }
+
   def perProfile(levels: DataFrame, pRef: Double, maxDp: Double,
-      unitScale: Int = 12, outScale: Int = 6): DataFrame = {
+      unitScale: Int = 12, outScale: Int = 6,
+      interpMethod: String = "linear"): DataFrame = {
+    require(interpMethod == "linear" || interpMethod == "pchip",
+      s"interpMethod must be linear or pchip, got '$interpMethod'")
+    val pchip = interpMethod == "pchip"
     val lvlType = levels.schema("lvl").dataType
     val unit = math.pow(10, unitScale)
 
@@ -122,13 +176,28 @@ object DynHeight {
     val prefArr = guarded(col("p0") < pRef,
       array(struct(lit(pRef).as("pg"), lit(null).cast("double").as("sa"),
         lit(null).cast("double").as("ct"), lit(false).as("known"))))
-    val aux = shal
-      .select(col("pid"), explode(concat(extArr, candArr, prefArr)).as("g"))
+    def auxRows(arr: org.apache.spark.sql.Column) = shal
+      .select(col("pid"), explode(arr).as("g"))
       .select(col("pid"), lit(null).cast(lvlType).as("lvl"),
         col("g.pg").as("pg"), col("g.sa").as("sa"), col("g.ct").as("ct"),
         col("g.known").as("known"), lit(false).as("is_orig"),
         lit(true).as("valid"))
-    val grid = orig.unionByName(aux)
+    val grid = if (!pchip) {
+      orig.unionByName(auxRows(concat(extArr, candArr, prefArr)))
+    } else {
+      // pchip derivatives live on the KNOTS (originals + surface
+      // extension — exactly the array the C differentiates after the
+      // wrapper prepends the mixed layer); one extra lag/lead window
+      // pass over known rows, still keyed on pid, before the unknown
+      // grid points union in for the carry/Hermite pass.
+      val wK = Window.partitionBy("pid").orderBy("pg")
+      val knots = orig.unionByName(auxRows(extArr))
+        .withColumn("d_sa", when(col("valid"), pchipD(col("pg"), col("sa"), wK)))
+        .withColumn("d_ct", when(col("valid"), pchipD(col("pg"), col("ct"), wK)))
+      knots.unionByName(auxRows(concat(candArr, prefArr))
+        .withColumn("d_sa", lit(null).cast("double"))
+        .withColumn("d_ct", lit(null).cast("double")))
+    }
 
     // linear SA/CT interpolation between the bracketing known points —
     // the C's sa[i-1] + pfac*(sa[i]-sa[i-1]) with pfac a single division.
@@ -144,22 +213,48 @@ object DynHeight {
       last(when(col("known"), c), ignoreNulls = true).over(wPrev)
     def carryNext(c: org.apache.spark.sql.Column) =
       first(when(col("known"), c), ignoreNulls = true).over(wNext)
-    val interp = grid
+    val carried = grid
       .withColumn("pk_prev", carryPrev(col("pg")))
       .withColumn("sa_prev", carryPrev(col("sa")))
       .withColumn("ct_prev", carryPrev(col("ct")))
       .withColumn("pk_next", carryNext(col("pg")))
       .withColumn("sa_next", carryNext(col("sa")))
       .withColumn("ct_next", carryNext(col("ct")))
+    val carried2 = if (!pchip) carried else carried
+      .withColumn("dsa_prev", carryPrev(col("d_sa")))
+      .withColumn("dct_prev", carryPrev(col("d_ct")))
+      .withColumn("dsa_next", carryNext(col("d_sa")))
+      .withColumn("dct_next", carryNext(col("d_ct")))
+    // Hermite basis evaluation between the bracketing knots — the C's
+    // gsw_util_pchip_interp inner loop (toolbox.c:11287-11297), with t
+    // the same pfac the linear branch uses.
+    def hermite(yp: Col, yn: Col, dp_ : Col, dn: Col): Col = {
+      val dx = col("pk_next") - col("pk_prev")
+      val t = col("pfac")
+      val tt = t * t
+      val ttt = tt * t
+      val h00 = lit(2.0) * ttt - lit(3.0) * tt + lit(1.0)
+      val h10 = ttt - lit(2.0) * tt + t
+      val h01 = lit(-2.0) * ttt + lit(3.0) * tt
+      val h11 = ttt - tt
+      yp * h00 + dp_ * dx * h10 + yn * h01 + dn * dx * h11
+    }
+    def interp1(y: String): Col = {
+      val lin = col(s"${y}_prev") +
+        col("pfac") * (col(s"${y}_next") - col(s"${y}_prev"))
+      when(col("known"), col(y)).otherwise(
+        if (pchip) hermite(col(s"${y}_prev"), col(s"${y}_next"),
+          col(s"d${y}_prev"), col(s"d${y}_next"))
+        else lin)
+    }
+    val interp = carried2
       .filter(col("known") || col("pk_prev") =!= col("pg"))
       // guard: only unknown rows divide (known rows have pk_prev = pg =
       // pk_next and ANSI mode faults on the dead branch if unconditional)
       .withColumn("pfac", when(!col("known"),
         (col("pg") - col("pk_prev")) / (col("pk_next") - col("pk_prev"))))
-      .withColumn("sa_i", when(col("known"), col("sa"))
-        .otherwise(col("sa_prev") + col("pfac") * (col("sa_next") - col("sa_prev"))))
-      .withColumn("ct_i", when(col("known"), col("ct"))
-        .otherwise(col("ct_prev") + col("pfac") * (col("ct_next") - col("ct_prev"))))
+      .withColumn("sa_i", interp1("sa"))
+      .withColumn("ct_i", interp1("ct"))
 
     // trapezoid recurrence in integer 1e-unitScale units: term_i =
     // −0.5·(b_i + b_{i−1})·Δp·db2pa, floor-quantized then long-summed
@@ -182,11 +277,49 @@ object DynHeight {
           .as("dyn_height"))
   }
 
+  /** The SQL text of [[pchipD]] for knot attribute `y` over named window
+    * `wk` — structurally identical arithmetic so IEEE doubles agree
+    * bit-for-bit with the Spark side.
+    */
+  private def pchipDSql(y: String): String = {
+    def lg(c: String, k: Int) = s"lag($c, $k) OVER wk"
+    def ld(c: String, k: Int) = s"lead($c, $k) OVER wk"
+    val hm = s"(pg - ${lg("pg", 1)})"
+    val hp = s"(${ld("pg", 1)} - pg)"
+    val mm = s"(($y - ${lg(y, 1)}) / $hm)"
+    val mp = s"((${ld(y, 1)} - $y) / $hp)"
+    def edge(h0: String, h1: String, m0: String, m1: String): String = {
+      val d = s"((((2.0 * $h0) + $h1) * $m0 - $h0 * $m1) / ($h0 + $h1))"
+      s"""CASE WHEN sign($d) <> sign($m0) THEN 0.0
+              WHEN sign($m0) <> sign($m1) AND abs($d) > 3.0 * abs($m0)
+                THEN 3.0 * $m0
+              ELSE $d END"""
+    }
+    val w1 = s"((2.0 * $hp) + $hm)"
+    val w2 = s"($hp + (2.0 * $hm))"
+    val interior =
+      s"""CASE WHEN sign($mm) <> sign($mp) OR $mp = 0.0 OR $mm = 0.0 THEN 0.0
+              ELSE (($w1 + $w2) / (($w1 / $mm) + ($w2 / $mp))) END"""
+    val h1p = s"(${ld("pg", 2)} - ${ld("pg", 1)})"
+    val m1p = s"((${ld(y, 2)} - ${ld(y, 1)}) / $h1p)"
+    val h1m = s"(${lg("pg", 1)} - ${lg("pg", 2)})"
+    val m1m = s"((${lg(y, 1)} - ${lg(y, 2)}) / $h1m)"
+    s"""CASE WHEN ${lg("pg", 1)} IS NULL AND ${ld("pg", 2)} IS NULL THEN $mp
+            WHEN ${ld("pg", 1)} IS NULL AND ${lg("pg", 2)} IS NULL THEN $mm
+            WHEN ${lg("pg", 1)} IS NULL THEN ${edge(hp, h1p, mp, m1p)}
+            WHEN ${ld("pg", 1)} IS NULL THEN ${edge(hm, h1m, mm, m1m)}
+            ELSE $interior END"""
+  }
+
   /** DuckDB twin of [[perProfile]] — identical arithmetic over the same
     * constants; `lvlTable` must expose (pid, lvl, p, sa, ct).
     */
   def perProfileSql(lvlTable: String, pRef: Double, maxDp: Double,
-      unitScale: Int = 12, outScale: Int = 6): String = {
+      unitScale: Int = 12, outScale: Int = 6,
+      interpMethod: String = "linear"): String = {
+    require(interpMethod == "linear" || interpMethod == "pchip",
+      s"interpMethod must be linear or pchip, got '$interpMethod'")
+    val pchip = interpMethod == "pchip"
     val pR = s"%.17e".format(pRef)
     val dp = s"%.17e".format(maxDp)
     val unit = s"1e$unitScale"
@@ -236,19 +369,54 @@ object DynHeight {
                CAST(NULL AS DOUBLE) AS sa, CAST(NULL AS DOUBLE) AS ct,
                FALSE AS known, FALSE AS is_orig, TRUE AS valid
         FROM shal WHERE p0 < $pR),
+      ${if (!pchip) s"""
       grid AS (
         SELECT pid, lvl, pg, sa, ct, known, is_orig, valid FROM orig
         UNION ALL SELECT pid, lvl, pg, sa, ct, known, is_orig, valid FROM ext
         UNION ALL SELECT pid, lvl, pg, sa, ct, known, is_orig, valid FROM cand
-        UNION ALL SELECT pid, lvl, pg, sa, ct, known, is_orig, valid FROM pref),
+        UNION ALL SELECT pid, lvl, pg, sa, ct, known, is_orig, valid FROM pref),"""
+      else s"""
+      knots AS (
+        SELECT pid, lvl, pg, sa, ct, known, is_orig, valid FROM orig
+        UNION ALL SELECT pid, lvl, pg, sa, ct, known, is_orig, valid FROM ext),
+      kd AS (
+        SELECT *,
+               CASE WHEN valid THEN ${pchipDSql("sa")} END AS d_sa,
+               CASE WHEN valid THEN ${pchipDSql("ct")} END AS d_ct
+        FROM knots
+        WINDOW wk AS (PARTITION BY pid ORDER BY pg)),
+      grid AS (
+        SELECT pid, lvl, pg, sa, ct, known, is_orig, valid, d_sa, d_ct FROM kd
+        UNION ALL SELECT pid, lvl, pg, sa, ct, known, is_orig, valid,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM cand
+        UNION ALL SELECT pid, lvl, pg, sa, ct, known, is_orig, valid,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM pref),"""}
       interp AS (
         SELECT *,
+               ${if (!pchip) """
                CASE WHEN known THEN sa ELSE sa_prev +
                  ((pg - pk_prev) / (pk_next - pk_prev)) * (sa_next - sa_prev)
                END AS sa_i,
                CASE WHEN known THEN ct ELSE ct_prev +
                  ((pg - pk_prev) / (pk_next - pk_prev)) * (ct_next - ct_prev)
-               END AS ct_i
+               END AS ct_i"""
+               else {
+                 // Hermite text mirrors the Column tree in perProfile:
+                 // t = pfac, tt = t*t, ttt = tt*t, left-assoc sums.
+                 val t = "((pg - pk_prev) / (pk_next - pk_prev))"
+                 val tt = s"($t * $t)"
+                 val ttt = s"($tt * $t)"
+                 val h00 = s"((2.0 * $ttt - 3.0 * $tt) + 1.0)"
+                 val h10 = s"(($ttt - 2.0 * $tt) + $t)"
+                 val h01 = s"(-2.0 * $ttt + 3.0 * $tt)"
+                 val h11 = s"($ttt - $tt)"
+                 def herm(y: String) =
+                   s"""CASE WHEN known THEN $y ELSE
+                       ${y}_prev * $h00 + d${y}_prev * (pk_next - pk_prev) * $h10
+                       + ${y}_next * $h01 + d${y}_next * (pk_next - pk_prev) * $h11
+                     END AS ${y}_i"""
+                 s"${herm("sa")},\n               ${herm("ct")}"
+               }}
         FROM (
           SELECT *,
                  LAST_VALUE(CASE WHEN known THEN pg END IGNORE NULLS) OVER wp AS pk_prev,
@@ -256,7 +424,12 @@ object DynHeight {
                  LAST_VALUE(CASE WHEN known THEN ct END IGNORE NULLS) OVER wp AS ct_prev,
                  FIRST_VALUE(CASE WHEN known THEN pg END IGNORE NULLS) OVER wn AS pk_next,
                  FIRST_VALUE(CASE WHEN known THEN sa END IGNORE NULLS) OVER wn AS sa_next,
-                 FIRST_VALUE(CASE WHEN known THEN ct END IGNORE NULLS) OVER wn AS ct_next
+                 FIRST_VALUE(CASE WHEN known THEN ct END IGNORE NULLS) OVER wn AS ct_next${
+            if (!pchip) "" else """,
+                 LAST_VALUE(CASE WHEN known THEN d_sa END IGNORE NULLS) OVER wp AS dsa_prev,
+                 LAST_VALUE(CASE WHEN known THEN d_ct END IGNORE NULLS) OVER wp AS dct_prev,
+                 FIRST_VALUE(CASE WHEN known THEN d_sa END IGNORE NULLS) OVER wn AS dsa_next,
+                 FIRST_VALUE(CASE WHEN known THEN d_ct END IGNORE NULLS) OVER wn AS dct_next"""}
           FROM grid
           WINDOW wp AS (PARTITION BY pid ORDER BY pg, known DESC
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),

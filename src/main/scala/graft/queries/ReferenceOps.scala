@@ -1407,8 +1407,51 @@ object ReferenceOps {
       ORDER BY l_orderkey, l_linenumber"""
     })
 
+  // ---- r39_dyn_height_pchip: the reference's DEFAULT interpolation -------
+  // geo_strf_dyn_height defaults to interp_method='pchip'
+  // (geostrophy.py:18); r38 pins the 'linear' branch, this row the
+  // Fritsch–Carlson monotone-cubic one (gsw_util_pchip_interp,
+  // toolbox.c:11147-11306) on the same cast synthesis — per-knot
+  // derivatives from lag/lead windows, Hermite evaluation at refined
+  // grid points, all still join-free and pid-keyed. The DuckDB twin
+  // replays the identical derivative/Hermite arithmetic; C check values
+  // for the pchip path are pinned in Round10Spec.
+  private val r39 = Q(
+    (s, dir) => {
+      val p0 = when(col("l_orderkey") % 3 === 0, 2.0)
+        .when(col("l_orderkey") % 3 === 1, 32.0).otherwise(5.0)
+      val levels = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("pid"), col("l_linenumber").as("lvl"),
+        (p0 + (col("l_linenumber") - 1).cast("double") * 6.0 +
+          when(col("l_linenumber") >= 4, 21.0).otherwise(0.0)).as("p"),
+        (lit(30.0) + col("l_discount") * 100.0).as("sa"),
+        (col("l_quantity") % 30.0).as("ct"))
+      graft.operators.DynHeight
+        .perProfile(levels, pRef = 5.0, maxDp = 10.0, interpMethod = "pchip")
+        .select(col("pid").as("l_orderkey"), col("lvl").as("l_linenumber"),
+          col("dyn_height"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val lvlSql = """
+        SELECT l_orderkey AS pid, l_linenumber AS lvl,
+               (CASE WHEN l_orderkey % 3 = 0 THEN 2.0
+                     WHEN l_orderkey % 3 = 1 THEN 32.0 ELSE 5.0 END)
+                 + CAST(l_linenumber - 1 AS DOUBLE) * 6.0
+                 + CASE WHEN l_linenumber >= 4 THEN 21.0 ELSE 0.0 END AS p,
+               30.0 + l_discount * 100.0 AS sa,
+               l_quantity % 30.0 AS ct
+        FROM lineitem"""
+      s"""
+      SELECT pid AS l_orderkey, lvl AS l_linenumber, dyn_height
+      FROM (${graft.operators.DynHeight.perProfileSql(lvlSql, 5.0, 10.0,
+        interpMethod = "pchip")})
+      ORDER BY l_orderkey, l_linenumber"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "r38_dyn_height_ref" -> r38,
+    "r39_dyn_height_pchip" -> r39,
     "r31_spiciness" -> r31,
     "r32_nsquared" -> r32,
     "r33_turner" -> r33,

@@ -213,6 +213,53 @@ class Round10Spec extends SparkSpec {
     assert(a.length == nPoints, s"${a.length} rows for $nPoints points")
   }
 
+  test("r39: pchip interpolation matches the reference's DEFAULT dyn-height path") {
+    // Same fixture as the r38 test, same reference replay (geostrophy.py
+    // wrapper over the bundled C's gsw_geo_strf_dyn_height_1), but with
+    // interp method 2 = pchip — the geo_strf_dyn_height DEFAULT
+    // (geostrophy.py:18). Cast A exercises Fritsch–Carlson derivatives
+    // across the extension/profile junction (slope sign change ⇒ zero
+    // derivative knots) and the refined 27-dbar gap; B the p_ref
+    // insertion; C the no-interp fast path (values bit-identical to the
+    // linear branch by construction); D the skip.
+    val mk = Seq(
+      (1L, Seq(32.0, 38.0, 44.0, 71.0, 77.0, 83.0, 89.0).zipWithIndex.map {
+        case (p, i) => (p, 33.5 + 0.3 * i, 18.0 - 1.5 * i) }),
+      (2L, Seq((2.0, 34.1, 12.0), (8.0, 34.4, 11.0), (14.0, 34.9, 9.5))),
+      (3L, Seq((5.0, 35.0, 20.0), (11.0, 35.1, 19.0), (17.0, 35.3, 17.5),
+        (23.0, 35.2, 15.0), (29.0, 35.5, 14.0))),
+      (4L, Seq((8.0, 34.0, 10.0))))
+    val rows = mk.flatMap { case (pid, lv) =>
+      lv.zipWithIndex.map { case ((p, sa, ct), i) => (pid, i + 1, p, sa, ct) } }
+    val levels = spark.createDataFrame(rows).toDF("pid", "lvl", "p", "sa", "ct")
+    val got = graft.operators.DynHeight
+      .perProfile(levels, pRef = 5.0, maxDp = 10.0, outScale = 12,
+        interpMethod = "pchip")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .map { case (pid, lvl, v) => (pid, lvl) -> v }.toMap
+    val want: Map[(Long, Int), Option[Double]] = Map(
+      (1L, 1) -> Some(-1.05059311990585891), (1L, 2) -> Some(-1.26976635096474011),
+      (1L, 3) -> Some(-1.45427102432837030), (1L, 4) -> Some(-2.14351868987531979),
+      (1L, 5) -> Some(-2.26689836310020798), (1L, 6) -> Some(-2.36031863442404122),
+      (1L, 7) -> Some(-2.42544432003118127),
+      (2L, 1) -> Some(6.38893502811192365e-2), (2L, 2) -> Some(-5.79983638644780142e-2),
+      (2L, 3) -> Some(-1.49782877475358345e-1),
+      (3L, 1) -> Some(0.0), (3L, 2) -> Some(-0.188123141954480821),
+      (3L, 3) -> Some(-0.351867134527538927), (3L, 4) -> Some(-0.486439248869961094),
+      (3L, 5) -> Some(-0.594126950012743182),
+      (4L, 1) -> None)
+    assert(got.keySet == want.keySet, s"row universe: ${got.keySet} vs ${want.keySet}")
+    want.foreach { case (k, w) =>
+      (got(k), w) match {
+        case (Some(g), Some(v)) =>
+          assert(math.abs(g - v) <= 1e-9, s"$k: got $g, want $v")
+        case (None, None) => ()
+        case other => fail(s"$k: null mismatch $other")
+      }
+    }
+  }
+
   test("t19: chunk ids tile each stream contiguously from zero") {
     val rows = SparkEntry.queries("t19_context_pack")(spark, sfDir)
       .select("lang", "pack_shard", "chunk_id", "n_docs", "chunk_toks")
