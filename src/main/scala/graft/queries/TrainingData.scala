@@ -181,11 +181,13 @@ object TrainingData {
   // similarity (minPts-th neighbor cosine) + mutual-reachability edges
   // + components cut at a descending λ ladder, each point's cluster
   // taken from the highest λ where its component reaches minClusterSize.
-  // Rows-only by design — the per-level recursive closure has no
-  // tractable SQL twin; semantics (dense+sparse planted clusters both
-  // recovered where single-ε DBSCAN provably fails) are pinned in
-  // Round10Spec on a planted fixture. Same bounded-subset contract as
-  // d16; at corpus scale pass blockBits>0 for the LSH pair tier.
+  // Semantics (dense+sparse planted clusters both recovered where
+  // single-ε DBSCAN provably fails) are pinned in Round10Spec on a
+  // planted fixture; here DuckDB replays the WHOLE operator — quantized
+  // exact pairs, the minPts-th-neighbor rank, mutual-reachability
+  // LEAST, and the per-level min-label closure as ONE recursive CTE
+  // keyed by (level, seed) — row for row. Same bounded-subset contract
+  // as d16; at corpus scale pass blockBits>0 for the LSH pair tier.
   private val d18 = Q(
     (s, dir) => {
       Dedup.hdbscanLite(
@@ -194,7 +196,68 @@ object TrainingData {
         levels = Seq(0.5, 0.4, 0.3), minClusterSize = 4)
         .orderBy("id")
     },
-    None)
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT vec_id, embedding AS v,
+               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        FROM embeddings WHERE vec_id < 500),
+      p AS (
+        SELECT i1, i2, cos FROM (
+          SELECT a.vec_id AS i1, b.vec_id AS i2,
+            FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+              / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id) z
+        WHERE cos >= 0.3),
+      sym AS (SELECT i1 AS id, i2 AS nb, cos FROM p
+              UNION ALL SELECT i2, i1, cos FROM p),
+      cnt AS (SELECT id, COUNT(*) AS n FROM sym GROUP BY id),
+      core AS (
+        SELECT id, cos AS core_sim FROM (
+          SELECT id, cos,
+                 row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rn
+          FROM sym)
+        WHERE rn = 3),
+      mr AS (
+        SELECT p.i1, p.i2, LEAST(p.cos, c1.core_sim, c2.core_sim) AS mr
+        FROM p JOIN core c1 ON p.i1 = c1.id JOIN core c2 ON p.i2 = c2.id),
+      lvl(l, lam) AS (VALUES (0, 0.5), (1, 0.4), (2, 0.3)),
+      le AS (SELECT l, i1, i2 FROM mr JOIN lvl ON mr.mr >= lvl.lam),
+      nodes AS (SELECT DISTINCT l, i1 AS id FROM le
+                UNION SELECT DISTINCT l, i2 FROM le),
+      edges AS (SELECT l, i1 AS ea, i2 AS eb FROM le
+                UNION SELECT l, i2, i1 FROM le),
+      reach(l, x, y) AS (
+        SELECT l, id, id FROM nodes
+        UNION
+        SELECT r.l, r.x, g.eb FROM reach r JOIN edges g
+          ON r.l = g.l AND r.y = g.ea),
+      labs AS (SELECT l, x AS id, MIN(y) AS cluster FROM reach GROUP BY l, x),
+      sizes AS (SELECT l, cluster, COUNT(*) AS sz FROM labs GROUP BY l, cluster),
+      labsz AS (
+        SELECT labs.l, labs.id, labs.cluster, sizes.sz
+        FROM labs JOIN sizes ON labs.l = sizes.l AND labs.cluster = sizes.cluster),
+      birth AS (SELECT id, MIN(l) AS birth_level FROM labs GROUP BY id),
+      sel0 AS (SELECT id, MIN(l) AS cluster_level FROM labsz
+               WHERE sz >= 4 GROUP BY id),
+      sel AS (
+        SELECT sel0.id, sel0.cluster_level, labsz.cluster
+        FROM sel0 JOIN labsz
+          ON labsz.id = sel0.id AND labsz.l = sel0.cluster_level)
+      SELECT e.vec_id AS id,
+             CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_neighbors,
+             core.core_sim,
+             CAST(birth.birth_level AS INTEGER) AS birth_level,
+             CAST(sel.cluster_level AS INTEGER) AS cluster_level,
+             sel.cluster,
+             CASE WHEN sel.cluster IS NOT NULL THEN 'clustered'
+                  WHEN birth.birth_level IS NOT NULL THEN 'sparse'
+                  ELSE 'noise' END AS role
+      FROM e
+      LEFT JOIN cnt ON e.vec_id = cnt.id
+      LEFT JOIN core ON e.vec_id = core.id
+      LEFT JOIN birth ON e.vec_id = birth.id
+      LEFT JOIN sel ON e.vec_id = sel.id
+      ORDER BY id"""))
 
   private val d17 = Q(
     (s, dir) => {
