@@ -360,6 +360,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(all > 0, "expected keyed exchanges")
   }
 
+  test("r39: pchip dynamic height stays join-free with profile-keyed exchanges") {
+    // the pchip derivative pass is one more lag/lead window over the
+    // knots — it must add a pid-keyed window, never a join against the
+    // knot set
+    val p = planOf("r39_dyn_height_pchip")
+    assert(!p.contains("Join"), "pchip dynamic height must not join")
+    val parts = "hashpartitioning\\(pid".r.findAllIn(p).size +
+      "hashpartitioning\\(l_orderkey".r.findAllIn(p).size
+    val all = "hashpartitioning".r.findAllIn(p).size
+    assert(all == parts, s"non-profile-keyed exchange present\n${p.take(1200)}")
+    assert(all > 0, "expected keyed exchanges")
+  }
+
   test("t26: readability scoring is map-only below one keyed exchange") {
     val p = planOf("t26_readability")
     assert(!p.contains("Join"), "readability must not join")
