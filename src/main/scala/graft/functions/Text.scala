@@ -36,6 +36,20 @@ object Text {
           i => concat_ws(" ", slice(tk, i + 1, lit(k))))))
         .otherwise(array().cast("array<string>"))), 1)
 
+  /** ALL k-word shingles IN ORDER (no distinct): element i+1 is the
+    * shingle starting at 0-based token position i, so `posexplode` over
+    * the result recovers (position, shingle) pairs — the unit run-merging
+    * operators (d19) need, where [[shingles]]'s set semantics would lose
+    * both duplicates and positions. Same lambda-binding and short-doc
+    * guard as [[shingles]].
+    */
+  def shinglesAt(toks: Column, k: Int): Column =
+    element_at(transform(array(toks), tk =>
+      when(size(tk) >= k,
+        transform(sequence(lit(0), size(tk) - k),
+          i => concat_ws(" ", slice(tk, i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))), 1)
+
   /** Distinct k-token shingle HASHES: each token is xxhash64'd once, then
     * k consecutive token-hashes are combined per window. Equivalent
     * near-dup semantics to [[shingles]] (a set of shingle identities) at

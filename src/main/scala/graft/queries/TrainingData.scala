@@ -259,6 +259,93 @@ object TrainingData {
       LEFT JOIN sel ON e.vec_id = sel.id
       ORDER BY id"""))
 
+  // ---- d19_exact_substr: maximal repeated token-run detection ----------
+  // The substring-level dedup unit (the "exact substring" family:
+  // corpus-wide repeated spans are memorized verbatim by LMs, so
+  // pipelines locate every maximal token run whose k-shingles all occur
+  // ≥2 times anywhere in the corpus — within-doc repeats count — and
+  // either excise the spans or drop high-coverage docs). Shape: ALL
+  // positioned k-shingles (no distinct — position is the payload),
+  // hash-keyed count ≥2 marks repeated positions, then per-doc island
+  // detection merges marked positions into maximal runs (new run iff
+  // pos > prev + k: spans [p, p+k-1] overlap or touch exactly when the
+  // next start is within k of the previous). Two shingle-keyed
+  // exchanges (the count and the mark join — both linear in corpus
+  // tokens, never pairwise) + one doc-keyed window; the repeated-hash
+  // side is NOT broadcast because repeated mass grows with dup content,
+  // unlike t11's fixed-size benchmark side. Output per contaminated
+  // doc: run count, repeated-token mass, longest run, coverage
+  // fraction — docs with no repeated run are absent by contract.
+  private val d19k = 5
+  private val d19 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pos = Tables.spread(docs, col("doc_id"))
+        .select(col("doc_id"),
+          posexplode(Text.shinglesAt(Text.tokens(col("text")), d19k)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          Text.md5Long(col("col")).as("h"))
+      val rep = pos.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select("h")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = pos.join(rep, "h")
+        .select("doc_id", "pos")
+        .withColumn("newrun",
+          when(col("pos") > lag(col("pos"), 1, -1000000L).over(w) + d19k,
+            1L).otherwise(0L))
+        .withColumn("run_id", sum(col("newrun")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("run_id"))
+        .agg(min(col("pos")).as("p0"),
+          (max(col("pos")) + lit(d19k - 1L)).as("p1"))
+      val toks = docs.select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      runs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_runs"),
+          sum(col("p1") - col("p0") + 1).as("rep_tokens"),
+          max(col("p1") - col("p0") + 1).as("longest_run"))
+        .join(toks, "doc_id")
+        .withColumn("rep_frac", Det.qz(
+          col("rep_tokens").cast("double") / col("n_toks").cast("double"), 6))
+        .select("doc_id", "n_runs", "rep_tokens", "longest_run", "rep_frac")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      u AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(w) - ${d19k - 1}, 0)),
+                 i -> {'pos': i, 'h': ${Text.md5LongSql(s"array_to_string(w[i+1 : i+$d19k], ' ')")}})) AS s
+        FROM w),
+      p AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM u),
+      rep AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) >= 2),
+      fl AS (SELECT doc_id, pos FROM p JOIN rep USING (h)),
+      marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1000000) + $d19k
+                    THEN 1 ELSE 0 END AS newrun
+        FROM fl),
+      rid AS (
+        SELECT doc_id, pos,
+               SUM(newrun) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked),
+      runs AS (
+        SELECT doc_id, run_id, MIN(pos) AS p0, MAX(pos) + ${d19k - 1} AS p1
+        FROM rid GROUP BY doc_id, run_id),
+      toks AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+        FROM documents)
+      SELECT r.doc_id,
+             COUNT(*) AS n_runs,
+             CAST(SUM(p1 - p0 + 1) AS BIGINT) AS rep_tokens,
+             CAST(MAX(p1 - p0 + 1) AS BIGINT) AS longest_run,
+             ${Det.qzSql("CAST(SUM(p1 - p0 + 1) AS DOUBLE) / n_toks", 6)} AS rep_frac
+      FROM runs r JOIN toks USING (doc_id)
+      GROUP BY r.doc_id, n_toks
+      ORDER BY doc_id"""))
+
   private val d17 = Q(
     (s, dir) => {
       val fps = Dedup.winnowingFingerprints(t(s, dir, "documents"),
@@ -2564,6 +2651,7 @@ object TrainingData {
     "d16_dbscan" -> d16,
     "d17_winnowing" -> d17,
     "d18_hdbscan" -> d18,
+    "d19_exact_substr" -> d19,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

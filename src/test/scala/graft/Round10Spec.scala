@@ -277,4 +277,38 @@ class Round10Spec extends SparkSpec {
       }
     }
   }
+
+  test("d19: repeated shingle positions merge into maximal token runs") {
+    // planted corpus, k=5: cross-doc shared spans (100/101), a clean doc
+    // (102, must be absent), a within-doc repeat two islands apart (103),
+    // and two repeated 5-gram blocks that TOUCH (106: next start exactly
+    // prev+k must merge into one maximal 10-token run, not two)
+    import spark.implicits._
+    val docs = Seq(
+      (100L, "a b c d e f g h X p q r s t u v w"),
+      (101L, "z1 z2 a b c d e f g h z3 z4 z5 p q r s t u v w"),
+      (102L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      (103L, "m1 m2 m3 m4 m5 q1 q2 m1 m2 m3 m4 m5"),
+      (106L, "r1 r2 r3 r4 r5 s1 s2 s3 s4 s5"),
+      (107L, "r1 r2 r3 r4 r5 x9 y9"),
+      (108L, "w9 s1 s2 s3 s4 s5"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d19fix").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d19_exact_substr")(spark, dir)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet == Set(100L, 101L, 103L, 106L, 107L, 108L),
+      s"row universe (102 must be absent): ${out.keySet}")
+    // (n_runs, rep_tokens, longest_run, rep_frac)
+    assert(out(100L) == ((2L, 16L, 8L, 0.941176)), s"100: ${out(100L)}")
+    assert(out(101L) == ((2L, 16L, 8L, 0.761905)), s"101: ${out(101L)}")
+    assert(out(103L) == ((2L, 10L, 5L, 0.833333)), s"103: ${out(103L)}")
+    assert(out(106L) == ((1L, 10L, 10L, 1.0)), s"106: ${out(106L)}")
+    assert(out(107L) == ((1L, 5L, 5L, 0.714286)), s"107: ${out(107L)}")
+    assert(out(108L) == ((1L, 5L, 5L, 0.833333)), s"108: ${out(108L)}")
+  }
 }
