@@ -595,4 +595,48 @@ object Dedup {
         graft.Det.qz(col("shared").cast("double") /
           least(col("sz1"), col("sz2")).cast("double")).as("overlap"))
   }
+
+  /** Maximal repeated token runs (the exact-substring dedup unit): every
+    * span of ≥ k tokens whose k-shingles all occur ≥ 2 times anywhere in
+    * the corpus — within-doc repeats count. ALL positioned k-shingles
+    * (order kept, no distinct), a hash-keyed occurrence count marks
+    * repeated start positions, then per-doc island detection merges
+    * marked positions into maximal runs: a new run starts iff
+    * pos > prev + k, since covered spans [p, p+k-1] overlap or touch
+    * exactly when the next start is within k of the previous.
+    *
+    * Output: one row per run — (idCol, p0, p1) with p0/p1 the inclusive
+    * 0-based token bounds. Two shingle-keyed exchanges (count + mark
+    * join, both linear in corpus tokens, never pairwise) + one doc-keyed
+    * window; the repeated-hash side is NOT broadcast because repeated
+    * mass grows with dup content. Consumers: d19 (per-doc run stats),
+    * d20 (span excision / cleaned-corpus materialization).
+    *
+    * `portableHash` re-keys shingles on the md5-derived 60-bit hash the
+    * DuckDB oracle can replay; the library path keeps xxhash64.
+    */
+  def repeatedRuns(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, portableHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col(idCol),
+        posexplode(Text.shinglesAt(Text.tokens(col(textCol)), k)))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        (if (portableHash) Text.md5Long(col("col"))
+         else xxhash64(col("col"))).as("h"))
+    val rep = pos.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    pos.join(rep, "h")
+      .select(idCol, "pos")
+      .withColumn("newrun",
+        when(col("pos") > lag(col("pos"), 1, -1000000L).over(w) + k,
+          1L).otherwise(0L))
+      .withColumn("run_id", sum(col("newrun")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("run_id"))
+      .agg(min(col("pos")).as("p0"),
+        (max(col("pos")) + lit(k - 1L)).as("p1"))
+      .drop("run_id")
+  }
 }

@@ -280,24 +280,8 @@ object TrainingData {
   private val d19 = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val pos = Tables.spread(docs, col("doc_id"))
-        .select(col("doc_id"),
-          posexplode(Text.shinglesAt(Text.tokens(col("text")), d19k)))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          Text.md5Long(col("col")).as("h"))
-      val rep = pos.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2).select("h")
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val runs = pos.join(rep, "h")
-        .select("doc_id", "pos")
-        .withColumn("newrun",
-          when(col("pos") > lag(col("pos"), 1, -1000000L).over(w) + d19k,
-            1L).otherwise(0L))
-        .withColumn("run_id", sum(col("newrun")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("run_id"))
-        .agg(min(col("pos")).as("p0"),
-          (max(col("pos")) + lit(d19k - 1L)).as("p1"))
+      val runs = Dedup.repeatedRuns(Tables.spread(docs, col("doc_id")),
+        "doc_id", "text", d19k, portableHash = true)
       val toks = docs.select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_toks"))
       runs.groupBy(col("doc_id"))
@@ -345,6 +329,102 @@ object TrainingData {
       FROM runs r JOIN toks USING (doc_id)
       GROUP BY r.doc_id, n_toks
       ORDER BY doc_id"""))
+
+  // ---- d20_substr_excise: cleaned-corpus materialization ---------------
+  // The excision half of exact-substring dedup: d19 locates maximal
+  // repeated token runs; this op MATERIALIZES the cleaned corpus a
+  // training loader actually reads. Policy: repeated spans are
+  // boilerplate — excised at every occurrence — and a doc whose
+  // repeated coverage reaches 80% is dropped outright (it IS the
+  // duplicate; excising it would leave connective tissue). The gate is
+  // integer-exact (n_removed·5 < n_toks·4), never a float compare.
+  // Shape on top of Dedup.repeatedRuns: runs explode to covered
+  // positions (run-list-sized, ≤ corpus tokens), kept tokens are a
+  // doc-keyed anti-join, and the text rebuild is one per-doc
+  // sort+join — every exchange doc- or shingle-keyed, linear in corpus
+  // tokens. Untouched docs pass through with n_removed = 0 and their
+  // text intact.
+  private val d20 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spreadDocs = Tables.spread(docs, col("doc_id"))
+      val runs = Dedup.repeatedRuns(spreadDocs, "doc_id", "text", d19k,
+        portableHash = true)
+      val covered = runs.select(col("doc_id"),
+        explode(sequence(col("p0"), col("p1"))).as("pos"))
+      val toksP = spreadDocs
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("tok"))
+      val totals = docs.select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      val removed = covered.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_removed"))
+      val cleaned = toksP.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("cleaned_text"))
+      totals
+        .join(removed, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_removed"))
+        .filter(col("n_removed") * 5 < col("n_toks") * 4)
+        .join(cleaned, Seq("doc_id"))
+        .select("doc_id", "n_toks", "n_kept", "n_removed", "cleaned_text")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      u AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(w) - ${d19k - 1}, 0)),
+                 i -> {'pos': i, 'h': ${Text.md5LongSql(s"array_to_string(w[i+1 : i+$d19k], ' ')")}})) AS s
+        FROM w),
+      p AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM u),
+      rep AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) >= 2),
+      fl AS (SELECT doc_id, pos FROM p JOIN rep USING (h)),
+      marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1000000) + $d19k
+                    THEN 1 ELSE 0 END AS newrun
+        FROM fl),
+      rid AS (
+        SELECT doc_id, pos,
+               SUM(newrun) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked),
+      runs AS (
+        SELECT doc_id, run_id, MIN(pos) AS p0, MAX(pos) + ${d19k - 1} AS p1
+        FROM rid GROUP BY doc_id, run_id),
+      covered AS (SELECT doc_id, unnest(range(p0, p1 + 1)) AS pos FROM runs),
+      tk AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(w)), i -> {'pos': i, 'tok': w[i+1]})) AS s
+        FROM w),
+      toksP AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tk),
+      totals AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+        FROM documents),
+      removed AS (SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toksP t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.pos IS NULL),
+      cleaned AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(t.n_toks AS BIGINT) AS n_toks,
+             CAST(c.n_kept AS BIGINT) AS n_kept,
+             CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+             c.cleaned_text
+      FROM totals t
+        LEFT JOIN removed r ON r.doc_id = t.doc_id
+        JOIN cleaned c ON c.doc_id = t.doc_id
+      WHERE COALESCE(r.n_removed, 0) * 5 < t.n_toks * 4
+      ORDER BY t.doc_id"""))
 
   private val d17 = Q(
     (s, dir) => {
@@ -2652,6 +2732,7 @@ object TrainingData {
     "d17_winnowing" -> d17,
     "d18_hdbscan" -> d18,
     "d19_exact_substr" -> d19,
+    "d20_substr_excise" -> d20,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

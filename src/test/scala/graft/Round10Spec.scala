@@ -311,4 +311,64 @@ class Round10Spec extends SparkSpec {
     assert(out(107L) == ((1L, 5L, 5L, 0.714286)), s"107: ${out(107L)}")
     assert(out(108L) == ((1L, 5L, 5L, 0.833333)), s"108: ${out(108L)}")
   }
+
+  test("d20: excision rebuilds cleaned text and gates near-total duplicates") {
+    // same planted corpus as the d19 pin; coverage fractions there are
+    // 100→0.941, 101→0.762, 103→0.833, 106→1.0, 107→0.714, 108→0.833,
+    // so the 80% gate must drop 100/103/106/108 and keep 101/102/107
+    import spark.implicits._
+    val docs = Seq(
+      (100L, "a b c d e f g h X p q r s t u v w"),
+      (101L, "z1 z2 a b c d e f g h z3 z4 z5 p q r s t u v w"),
+      (102L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+      (103L, "m1 m2 m3 m4 m5 q1 q2 m1 m2 m3 m4 m5"),
+      (106L, "r1 r2 r3 r4 r5 s1 s2 s3 s4 s5"),
+      (107L, "r1 r2 r3 r4 r5 x9 y9"),
+      (108L, "w9 s1 s2 s3 s4 s5"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d20fix").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d20_substr_excise")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out.keySet == Set(101L, 102L, 107L),
+      s"gate universe (drop >= 80% coverage): ${out.keySet}")
+    // (n_toks, n_kept, n_removed, cleaned_text)
+    assert(out(101L) == ((21L, 5L, 16L, "z1 z2 z3 z4 z5")), s"101: ${out(101L)}")
+    assert(out(102L) == ((9L, 9L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")),
+      s"102 must pass through untouched: ${out(102L)}")
+    assert(out(107L) == ((7L, 2L, 5L, "x9 y9")), s"107: ${out(107L)}")
+  }
+
+  test("d19 and d20 agree on repeated mass across the real fixture") {
+    // the two halves of exact-substring dedup must see the same runs:
+    // for every doc d20 kept, its n_removed equals d19's rep_tokens (or
+    // 0 when d19 has no row), and every d20-dropped doc crosses the 80%
+    // gate in d19's terms
+    val nToks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stats = SparkEntry.queries("d19_exact_substr")(spark, sfDir)
+      .select("doc_id", "rep_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), nToks(r.getLong(0))))).toMap
+    val ex = SparkEntry.queries("d20_substr_excise")(spark, sfDir)
+      .select("doc_id", "n_toks", "n_kept", "n_removed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ex.nonEmpty)
+    ex.foreach { case (id, nToks, nKept, nRem) =>
+      val expected = stats.get(id).map(_._1).getOrElse(0L)
+      assert(nRem == expected, s"doc $id: d20 removed $nRem, d19 says $expected")
+      assert(nKept + nRem == nToks, s"doc $id: kept+removed != total")
+      assert(nRem * 5 < nToks * 4, s"doc $id passed the gate it should fail")
+    }
+    val keptIds = ex.map(_._1).toSet
+    stats.foreach { case (id, (rep, nToks)) =>
+      if (rep * 5 >= nToks * 4)
+        assert(!keptIds.contains(id), s"doc $id at ${rep}/$nToks survived the gate")
+    }
+  }
 }
