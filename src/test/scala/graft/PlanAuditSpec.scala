@@ -393,4 +393,23 @@ class PlanAuditSpec extends SparkSpec {
     val keyed = "hashpartitioning".r.findAllIn(p).size
     assert(keyed <= 3, s"s20 keyed exchanges: $keyed\n${p.take(800)}")
   }
+
+  test("d19: run detection is keyed joins only — no pairwise blowup") {
+    val p = planOf("d19_exact_substr")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join shape in d19:\n${p.take(1200)}")
+    // the shingle-occurrence count must two-phase (map-side partial
+    // before its exchange) — at 100 TB the partial is what keeps the
+    // repeated-hash shuffle linear in distinct shingles, not tokens
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
+  test("d20: excision anti-join is equi-keyed and the rebuild is doc-local") {
+    val p = planOf("d20_substr_excise")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join shape in d20:\n${p.take(1200)}")
+    assert(p.contains("LeftAnti"), "kept-positions anti-join missing")
+  }
 }
