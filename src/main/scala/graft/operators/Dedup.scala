@@ -184,6 +184,45 @@ object Dedup {
     * keyed equality join on bucket ids — near-linear at corpus scale,
     * recall < 1 by construction (spec-pinned against the exact path).
     */
+  /** SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et al.
+    * 2023, arXiv:2303.09540 shape): semantic dedup runs the expensive
+    * pairwise-cosine step WITHIN clusters only, so the pair space is
+    * sum-of-cluster-sizes², never corpus². The equality join on the
+    * cluster id is a plain keyed shuffle — at 100 TB the cluster count
+    * is the scale knob (SemDeDup uses k ≈ 10⁴–10⁵ k-means clusters, so
+    * per-cluster membership is bounded; [[SimilaritySearch.ivfTopK]]'s
+    * deterministic Lloyd's training provides exactly that assignment
+    * when no upstream clustering exists). Scoring reuses
+    * [[embeddingCosinePairs]]'s two-phase trick: the codegen'd double
+    * dot prefilters inside the join condition and the decimal-exact
+    * cosine only evaluates for survivors — bit-identical to exact
+    * scoring, oracle-comparable.
+    *
+    * Returns (cluster, id1, id2, cos) with quantized cos ≥ `tau`,
+    * id1 < id2, both ids in the same cluster. The caller applies the
+    * keeper policy (the registry query keeps the smallest id — the
+    * deterministic variant of the paper's keep-one-per-group rule).
+    */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, tau: Double): DataFrame = {
+    val side = emb.select(col(idCol).as("id"), col(clusterCol).as("cl"),
+      col(vecCol).as("v"),
+      sqrt(Text.norm2Exact(col(vecCol)).cast("double")).as("nrm"))
+    val a = side.select(col("id").as("id1"), col("cl").as("cl1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = side.select(col("id").as("id2"), col("cl").as("cl2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val exactCos = graft.Det.qz(
+      Text.dotExact(col("v1"), col("v2")).cast("double") /
+        (col("n1") * col("n2")), 6)
+    a.join(graft.Tables.spread(b, col("id2")),
+      col("cl1") === col("cl2") && col("id1") < col("id2") &&
+        Text.dotFast(col("v1"), col("v2")) / (col("n1") * col("n2")) >= tau - 1e-4 &&
+        exactCos >= tau)
+      .select(col("cl1").as("cluster"), col("id1"), col("id2"),
+        exactCos.as("cos"))
+  }
+
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                            minCosine: Double, blockBits: Int = 0,
                            tables: Int = 2, dims: Int = 64): DataFrame = {

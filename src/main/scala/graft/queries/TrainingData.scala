@@ -2711,6 +2711,219 @@ object TrainingData {
              doc_id
       FROM k ORDER BY shard, pos"""))
 
+  // ---- t33_bigram_lm: stupid-backoff bigram LM perplexity filter ---------
+  // The KenLM-filter shape one order up from t18: a bigram LM with
+  // stupid backoff (Brants et al. EMNLP'07 — score, not probability:
+  // S(w2|w1) = c(w1w2)/c(w1) when the bigram was seen in training, else
+  // 0.4·(c(w2)+1)/(N+V) add-one-smoothed unigram) trained on the
+  // doc_id%5≠0 split and scoring the held-out doc_id%5=0 docs, so the
+  // backoff branch actually fires (in-stream training à la t18 would
+  // make every scored bigram a seen bigram). Bigram formation is a
+  // map-only array transform (no window, no per-doc exchange); counts
+  // are two keyed aggs with map-side partials; scoring joins are keyed
+  // on the token/bigram — never a collect, totals broadcast. Per-term
+  // scores go through the t18 decimal pipeline (each -ln quantized to
+  // 1e-6 by the DECIMAL(28,6) cast, summed order-free) so the held-out
+  // mean NLL and the keep gate are engine-exact.
+  private val t33 = Q(
+    (s, dir) => {
+      val docs = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          filter(split(trim(lower(col("text"))), "\\s+"), x => x =!= "").as("tk"))
+      val big = docs.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(0, size(tk)-2), " +
+            "i -> named_struct('w1', tk[i], 'w2', tk[i+1]))")).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val train = big.filter(col("doc_id") % 5 =!= 0)
+      val bigCnt = train.groupBy(col("lang").as("bl"), col("w1").as("bw1"),
+        col("w2").as("bw2")).agg(count(lit(1)).as("c12"))
+      val ctxCnt = train.groupBy(col("lang").as("kl"), col("w1").as("kw"))
+        .agg(count(lit(1)).as("c1"))
+      val uni = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("lang"), explode(col("tk")).as("w"))
+      val uniCnt = uni.groupBy(col("lang").as("ul"), col("w").as("uw"))
+        .agg(count(lit(1)).as("c2"))
+      val tot = uniCnt.groupBy(col("ul").as("tl"))
+        .agg(sum(col("c2")).as("n_tok"), count(lit(1)).as("n_vocab"))
+      val score =
+        when(col("c12").isNotNull, col("c12").cast("double") / col("c1"))
+          .otherwise(lit(0.4) * (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (col("n_tok") + col("n_vocab")))
+      big.filter(col("doc_id") % 5 === 0)
+        .join(bigCnt, col("lang") === col("bl") && col("w1") === col("bw1") &&
+          col("w2") === col("bw2"), "left")
+        .join(ctxCnt, col("lang") === col("kl") && col("w1") === col("kw"), "left")
+        .join(uniCnt, col("lang") === col("ul") && col("w2") === col("uw"), "left")
+        .join(broadcast(tot), col("lang") === col("tl"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_backoff"),
+          Det.qz(Det.dsum(-log(score)) / count(lit(1))).as("avg_nll"))
+        .withColumn("keep", col("avg_nll") <= 3.5)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+      bigr AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> {'w1': tk[i], 'w2': tk[i+1]})) AS bg
+        FROM d WHERE len(tk) >= 2),
+      b2 AS (SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM bigr),
+      train AS (SELECT * FROM b2 WHERE doc_id % 5 <> 0),
+      bigcnt AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM train GROUP BY 1, 2, 3),
+      ctxcnt AS (SELECT lang, w1, COUNT(*) AS c1 FROM train GROUP BY 1, 2),
+      uni AS (SELECT lang, unnest(tk) AS w FROM d WHERE doc_id % 5 <> 0),
+      unicnt AS (SELECT lang, w, COUNT(*) AS c2 FROM uni GROUP BY 1, 2),
+      tot AS (SELECT lang, SUM(c2) AS n_tok, COUNT(*) AS n_vocab FROM unicnt GROUP BY 1),
+      sc AS (
+        SELECT h.doc_id,
+               (bc.c12 IS NULL) AS backoff,
+               CASE WHEN bc.c12 IS NOT NULL THEN CAST(bc.c12 AS DOUBLE) / cc.c1
+                    ELSE 0.4 * (COALESCE(uc.c2, 0) + 1.0) / (tt.n_tok + tt.n_vocab)
+               END AS s
+        FROM (SELECT * FROM b2 WHERE doc_id % 5 = 0) h
+        LEFT JOIN bigcnt bc ON h.lang = bc.lang AND h.w1 = bc.w1 AND h.w2 = bc.w2
+        LEFT JOIN ctxcnt cc ON h.lang = cc.lang AND h.w1 = cc.w1
+        LEFT JOIN unicnt uc ON h.lang = uc.lang AND h.w2 = uc.w
+        JOIN tot tt ON h.lang = tt.lang),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+               ${Det.qzSql(s"${Det.dsumSql("-ln(s)")} / COUNT(*)")} AS avg_nll
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, n_backoff, avg_nll, (avg_nll <= 3.5) AS keep
+      FROM agg ORDER BY doc_id"""))
+
+  // ---- t34_dsir_select: hashed-ngram importance resampling ---------------
+  // DSIR (Xie et al. NeurIPS'23) data selection: score raw-corpus docs
+  // by how target-like their hashed token distribution is. Features are
+  // tokens hashed into B=64 buckets (portable md5 hash, so the oracle
+  // replays the bucketing bit-for-bit); the bucket log-likelihood-ratio
+  // table ln(p_target[b]) − ln(p_raw[b]) (add-one smoothed) is B rows —
+  // broadcast at any corpus size — and a doc's importance weight is the
+  // sum of its tokens' bucket LLRs (Σ_b f_b(doc)·llr_b). The target
+  // here is the src0 slice standing in for the curated corpus. Two
+  // keyed aggs (bucket counts w/ map-side partials, per-doc rollup) +
+  // one global top-k cut (TakeOrdered, not a full sort); per-bucket
+  // LLRs quantized to 1e-6 BEFORE the per-doc decimal sum so weights
+  // and the top-100 cut (tie-broken by doc_id) are engine-exact.
+  private val t34 = Q(
+    (s, dir) => {
+      val B = 64L
+      val toks = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(filter(split(trim(lower(col("text"))), "\\s+"),
+            x => x =!= "")).as("w"))
+        .withColumn("b", Text.md5Long(col("w")) % B)
+      val cnt = toks.groupBy(col("b").as("cb")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
+      val tot = cnt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      val llr = cnt.crossJoin(broadcast(tot))
+        .select(col("cb"),
+          Det.qz(log((col("ct") + lit(1.0)) / (col("nt") + lit(B.toDouble))) -
+            log((col("cr") + lit(1.0)) / (col("nr") + lit(B.toDouble))), 6).as("llr"))
+      toks.filter(col("source") =!= "src0")
+        .join(broadcast(llr), col("b") === col("cb"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          Det.qz(Det.dsum(col("llr"))).as("weight"))
+        .orderBy(col("weight").desc, col("doc_id")).limit(100)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, w,
+               ${Text.md5LongSql("w")} % 64 AS b
+        FROM (SELECT doc_id, source,
+                     unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents)),
+      cnt AS (
+        SELECT b,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+        FROM toks GROUP BY b),
+      tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt),
+      llr AS (
+        SELECT b,
+               ${Det.qzSql("ln((ct + 1.0) / (nt + 64.0)) - ln((cr + 1.0) / (nr + 64.0))", 6)} AS llr
+        FROM cnt, tot)
+      SELECT doc_id, COUNT(*) AS n_toks,
+             ${Det.qzSql(Det.dsumSql("llr"))} AS weight
+      FROM toks k JOIN llr l ON k.b = l.b
+      WHERE source <> 'src0'
+      GROUP BY doc_id
+      ORDER BY weight DESC, doc_id LIMIT 100"""))
+
+  // ---- d21_semdedup: cluster-scoped semantic dedup -----------------------
+  // SemDeDup (Abbas et al. 2023): near-duplicate excision scoped to
+  // semantic clusters — the pairwise step runs within a cluster only,
+  // so pair cost is Σ(cluster size)², never corpus², and the cluster
+  // count is the scale knob (the paper uses 10⁴–10⁵ k-means clusters;
+  // here the fixture's label column stands in for that assignment —
+  // [[graft.operators.SimilaritySearch.ivfTopK]]'s deterministic
+  // Lloyd's centroids provide it when no labels exist). Keeper policy:
+  // a vector is removed iff some same-cluster neighbor with a SMALLER
+  // id sits at cos ≥ τ (deterministic keep-first). vec_id < 800 bounds
+  // the exact tier like d5/d16; the per-cluster rollup reports what
+  // curation dashboards track — how much each semantic region shrinks.
+  private val d21 = Q(
+    (s, dir) => {
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 800)
+      val pairs = Dedup.semDedupPairs(base, "vec_id", "embedding", "label", 0.35)
+      val removed = pairs.select(col("cluster").as("rc"), col("id2").as("rid"))
+        .distinct()
+      val remCnt = removed.groupBy(col("rc")).agg(count(lit(1)).as("n_removed"))
+      val pairCnt = pairs.groupBy(col("cluster").as("pc"))
+        .agg(count(lit(1)).as("n_pairs"), Det.qz(max(col("cos")), 6).as("max_cos"))
+      base.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+        .join(pairCnt, col("label") === col("pc"), "left")
+        .join(remCnt, col("label") === col("rc"), "left")
+        .select(col("label"), col("n_vecs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          (col("n_vecs") - coalesce(col("n_removed"), lit(0L))).as("n_kept"),
+          col("max_cos"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding AS v,
+               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        FROM embeddings WHERE vec_id < 800),
+      pairs AS (
+        SELECT cluster, id1, id2, cos FROM (
+          SELECT a.label AS cluster, a.vec_id AS id1, b.vec_id AS id2,
+            FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+              / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) z
+        WHERE cos >= 0.35),
+      remcnt AS (
+        SELECT cluster, COUNT(*) AS n_removed
+        FROM (SELECT DISTINCT cluster, id2 FROM pairs) r GROUP BY cluster),
+      paircnt AS (
+        SELECT cluster, COUNT(*) AS n_pairs,
+               FLOOR(MAX(cos) * 1e6 + 0.5) / 1e6 AS max_cos
+        FROM pairs GROUP BY cluster),
+      basecnt AS (
+        SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY label)
+      SELECT b.label, b.n_vecs,
+             COALESCE(p.n_pairs, 0) AS n_pairs,
+             COALESCE(r.n_removed, 0) AS n_removed,
+             b.n_vecs - COALESCE(r.n_removed, 0) AS n_kept,
+             p.max_cos
+      FROM basecnt b
+      LEFT JOIN paircnt p ON b.label = p.cluster
+      LEFT JOIN remcnt r ON b.label = r.cluster
+      ORDER BY b.label"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "d1_dedup_exact" -> d1,
@@ -2733,6 +2946,7 @@ object TrainingData {
     "d18_hdbscan" -> d18,
     "d19_exact_substr" -> d19,
     "d20_substr_excise" -> d20,
+    "d21_semdedup" -> d21,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
@@ -2764,6 +2978,8 @@ object TrainingData {
     "t30_source_overlap" -> t30,
     "t31_sequence_pack" -> t31,
     "t32_shard_shuffle" -> t32,
+    "t33_bigram_lm" -> t33,
+    "t34_dsir_select" -> t34,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

@@ -371,4 +371,60 @@ class Round10Spec extends SparkSpec {
         assert(!keptIds.contains(id), s"doc $id at ${rep}/$nToks survived the gate")
     }
   }
+
+  test("d21: semantic dedup is cluster-scoped — identical vectors in different clusters survive") {
+    // the semantic SemDeDup adds over d5's global pairs: the pairwise
+    // step never crosses a cluster boundary, so a near-dup is only
+    // excised against members of its own cluster
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val vNear = v.clone(); vNear(0) = v(0) + 0.01f // cos ≈ 1 with v
+    val vFar = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq(
+      (1L, "a", v),     // keeper (smallest id in cluster a)
+      (2L, "a", vNear), // same-cluster near-dup of 1 → removed
+      (3L, "b", v),     // IDENTICAL to 1 but in cluster b → no pair
+      (4L, "b", vFar)   // unrelated → no pair
+    ).toDF("vec_id", "cluster", "embedding")
+    val pairs = graft.operators.Dedup
+      .semDedupPairs(emb, "vec_id", "embedding", "cluster", 0.9)
+      .select("cluster", "id1", "id2").as[(String, Long, Long)].collect()
+    assert(pairs.toSet == Set(("a", 1L, 2L)),
+      s"expected only the within-cluster pair, got ${pairs.mkString(",")}")
+  }
+
+  test("t33: stupid backoff fires on held-out bigrams and the gate matches the score") {
+    val rows = SparkEntry.queries("t33_bigram_lm")(spark, sfDir)
+      .select("doc_id", "n_bigrams", "n_backoff", "avg_nll", "keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // only held-out docs are scored, training docs never leak in
+    rows.foreach { case (id, nb, nbk, nll, keep) =>
+      assert(id % 5 == 0, s"training doc $id scored")
+      assert(nbk <= nb, s"doc $id: more backoff terms than bigrams")
+      assert(nll > 0, s"doc $id: non-positive NLL")
+      assert(keep == (nll <= 3.5), s"doc $id: gate disagrees with its score")
+    }
+    // the held-out split exists precisely so this branch is reachable
+    assert(rows.exists(_._3 > 0), "no held-out bigram ever hit the backoff branch")
+    assert(rows.exists(_._3 == 0), "every doc backed off — train split too small")
+  }
+
+  test("t34: DSIR selects raw-corpus docs only, ranked by importance weight") {
+    val sel = SparkEntry.queries("t34_dsir_select")(spark, sfDir)
+      .select("doc_id", "weight")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sel.length == 100)
+    // ranking is by weight desc with doc_id tiebreak — verify the order
+    sel.sliding(2).foreach { case Array((i1, w1), (i2, w2)) =>
+      assert(w1 > w2 || (w1 == w2 && i1 < i2), s"order broken at $i1/$i2")
+    }
+    // the target slice is the reference distribution, never a candidate
+    val target = Tables.load(spark, sfDir, "documents")
+      .filter(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sel.forall { case (id, _) => !target.contains(id) },
+      "a target-slice doc selected itself")
+  }
 }
