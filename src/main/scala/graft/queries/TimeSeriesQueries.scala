@@ -926,6 +926,96 @@ object TimeSeriesQueries {
       WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
       GROUP BY 1, 2 ORDER BY day, event_type"""))
 
+  // ---- s22_seasonal_decompose: classical additive decomposition --------
+  // The step after s20's diagnosis: split the hourly series into
+  // trend + seasonal (classical decomposition, the moving-average form
+  // STL descends from). Trend is the standard 2×24 centered MA for an
+  // even period (two offset 24-wide ROWS frames averaged); the seasonal
+  // index per hour-of-day is the mean detrended value, re-centered to
+  // sum to zero per type. Missing grid hours are zero-filled first —
+  // the sum of no events IS zero, so the grid join (per-type extent agg
+  // → sequence+explode → one keyed left join) makes the ROWS frames
+  // genuine 24-hour spans instead of gap-compressed ones. Engine
+  // exactness mirrors s20: bucket sums decimal-exact then quantized to
+  // integer ten-thousandths, both MA frames kept as INTEGER sums (the
+  // detrended value 48·x − sA − sB is exact integer arithmetic), means
+  // via decimal sums, floats only at the final quantized divisions.
+  // Exchanges: the hourly agg is the only one that sees event rows;
+  // everything after runs on types×hours rows (grid join keyed, one
+  // per-type window pass carrying both frames, hod agg, and the
+  // 24-row-per-type recenter window).
+  private val s22 = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("bkt"))
+        .agg(Det.dsum(col("value")).as("x"))
+        .select(col("event_type").as("ht"), col("bkt").as("hb"),
+          floor(col("x") * 1e4 + 0.5).cast("long").as("xq"))
+      val ext = hourly.groupBy(col("ht").as("et"))
+        .agg(min(col("hb")).as("b0"), max(col("hb")).as("b1"))
+      val grid = ext.select(col("et"), explode(sequence(col("b0"), col("b1"))).as("gb"))
+      val ser = grid.join(hourly, col("et") === col("ht") && col("gb") === col("hb"), "left")
+        .select(col("et").as("event_type"), col("gb").as("bkt"),
+          coalesce(col("xq"), lit(0L)).as("xq"))
+      val w = Window.partitionBy("event_type").orderBy("bkt")
+      val wA = w.rowsBetween(-12, 11)
+      val wB = w.rowsBetween(-11, 12)
+      val det = ser
+        .withColumn("sA", sum(col("xq")).over(wA))
+        .withColumn("cA", count(lit(1)).over(wA))
+        .withColumn("sB", sum(col("xq")).over(wB))
+        .withColumn("cB", count(lit(1)).over(wB))
+        .filter(col("cA") === 24 && col("cB") === 24)
+        .select(col("event_type"), (col("bkt") % 24).cast("int").as("hod"),
+          (col("xq") * 48 - col("sA") - col("sB")).as("d48"))
+      val hm = det.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d48").cast(DecimalType(28, 0))).as("sd"))
+        .select(col("event_type"), col("hod"), col("n"),
+          Det.qz(((col("sd").cast("double") / col("n")) / lit(48.0)) / lit(1e4), 6).as("mq"))
+      val wT = Window.partitionBy("event_type")
+      hm.select(col("event_type"), col("hod"), col("n"),
+        Det.qz(col("mq") -
+          sum(col("mq").cast(DecimalType(18, 6))).over(wT).cast("double") /
+            count(lit(1)).over(wT), 6).as("seasonal"))
+        .orderBy("event_type", "hod")
+    },
+    Some(s"""
+      WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS bkt,
+               ${dsumSql("value")} AS x
+        FROM events GROUP BY 1, 2),
+      hq AS (
+        SELECT event_type, bkt, CAST(FLOOR(x * 1e4 + 0.5) AS BIGINT) AS xq
+        FROM hourly),
+      ext AS (SELECT event_type, MIN(bkt) AS b0, MAX(bkt) AS b1 FROM hq GROUP BY 1),
+      grid AS (SELECT event_type, unnest(range(b0, b1 + 1)) AS bkt FROM ext),
+      ser AS (
+        SELECT g.event_type, g.bkt, COALESCE(h.xq, 0) AS xq
+        FROM grid g LEFT JOIN hq h ON g.event_type = h.event_type AND g.bkt = h.bkt),
+      ma AS (
+        SELECT event_type, bkt, xq,
+               SUM(xq) OVER wa AS sA, COUNT(*) OVER wa AS cA,
+               SUM(xq) OVER wb AS sB, COUNT(*) OVER wb AS cB
+        FROM ser
+        WINDOW wa AS (PARTITION BY event_type ORDER BY bkt
+                      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+               wb AS (PARTITION BY event_type ORDER BY bkt
+                      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+      det AS (
+        SELECT event_type, CAST(bkt % 24 AS INTEGER) AS hod,
+               xq * 48 - sA - sB AS d48
+        FROM ma WHERE cA = 24 AND cB = 24),
+      hm AS (
+        SELECT event_type, hod, COUNT(*) AS n,
+               ${Det.qzSql("((CAST(SUM(CAST(d48 AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*)) / 48.0) / 1e4", 6)} AS mq
+        FROM det GROUP BY 1, 2)
+      SELECT event_type, hod, n,
+             ${Det.qzSql("mq - CAST(SUM(CAST(mq AS DECIMAL(18,6))) OVER (PARTITION BY event_type) AS DOUBLE) / COUNT(*) OVER (PARTITION BY event_type)", 6)} AS seasonal
+      FROM hm ORDER BY event_type, hod"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "s1_resample" -> s1,
     "s20_acf" -> s20,
@@ -947,5 +1037,6 @@ object TimeSeriesQueries {
     "s14_throttle" -> s14,
     "s15_lttb_downsample" -> s15,
     "s16_mad_outliers" -> s16,
-    "s21_time_slice" -> s21)
+    "s21_time_slice" -> s21,
+    "s22_seasonal_decompose" -> s22)
 }

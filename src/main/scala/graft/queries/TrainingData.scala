@@ -2862,6 +2862,78 @@ object TrainingData {
       GROUP BY doc_id
       ORDER BY weight DESC, doc_id LIMIT 100"""))
 
+  // ---- t35_fuzzy_decontam: n-gram-Jaccard eval-set decontamination -------
+  // The fuzzy half of benchmark decontamination: t11's exact 13-gram
+  // containment misses a contaminated doc the moment a few tokens
+  // drift, so this scores corpus docs against each benchmark doc by
+  // 3-shingle Jaccard resemblance (the PaLM/Llama-style "high-overlap
+  // with an eval example" report). Same scale split as t11: the
+  // benchmark side is fixed-size → its (bench_id, shingle) set
+  // BROADCASTS; the corpus side is one map-only scan (per-doc distinct
+  // shingle array built once, its size riding each exploded row — no
+  // per-doc size agg) into a per-(doc, bench) keyed count. Output is
+  // bounded by pairs that share ≥1 shingle; per corpus doc the best
+  // match wins by quantized-Jaccard with bench-id tiebreak (one keyed
+  // window over the overlap pairs, which are join output — tiny
+  // relative to the corpus). Jaccard = inter/(na+nb−inter) over exact
+  // integers, so the quantized score and the ≥0.2 flag are engine-exact.
+  private val t35k = 3
+  private val t35 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bid"),
+          Text.shingles(Text.tokens(col("text")), t35k).as("barr"))
+        .select(col("bid"), size(col("barr")).as("nb"),
+          explode(col("barr")).as("bsh"))
+        .select(col("bid"), col("nb"), md5(col("bsh")).as("bh"))
+      val corp = graft.Tables.spread(docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"))
+        .select(col("doc_id"),
+          Text.shingles(Text.tokens(col("text")), t35k).as("arr"))
+        .select(col("doc_id"), size(col("arr")).as("na"),
+          explode(col("arr")).as("sh"))
+        .select(col("doc_id"), col("na"), md5(col("sh")).as("h"))
+      val ov = corp.join(broadcast(bench), col("h") === col("bh"))
+        .groupBy(col("doc_id"), col("na"), col("bid"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("doc_id"), col("bid"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("un"),
+          Det.qz(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jacc"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("jacc").desc, col("bid"))
+      ov.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("bid").as("best_bench"), col("inter"),
+          col("un"), col("jacc"), (col("jacc") >= 0.2).as("flagged"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               len(list_distinct(list_transform(range(greatest(len(w) - ${t35k - 1}, 0)),
+                 i -> md5(array_to_string(w[i+1 : i+$t35k], ' '))))) AS n,
+               unnest(list_distinct(list_transform(range(greatest(len(w) - ${t35k - 1}, 0)),
+                 i -> md5(array_to_string(w[i+1 : i+$t35k], ' '))))) AS h
+        FROM w),
+      bench AS (SELECT doc_id AS bid, n AS nb, h AS bh FROM sh WHERE doc_id % 50 = 0),
+      corp AS (SELECT doc_id, n AS na, h FROM sh WHERE doc_id % 50 <> 0),
+      ov AS (
+        SELECT c.doc_id, c.na, b.bid, b.nb, COUNT(*) AS inter
+        FROM corp c JOIN bench b ON c.h = b.bh
+        GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT doc_id, bid, inter, na + nb - inter AS un,
+               ${Det.qzSql("CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)", 6)} AS jacc
+        FROM ov),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY jacc DESC, bid) AS rn
+        FROM scored)
+      SELECT doc_id, bid AS best_bench, inter, un, jacc, (jacc >= 0.2) AS flagged
+      FROM best WHERE rn = 1 ORDER BY doc_id"""))
+
   // ---- d21_semdedup: cluster-scoped semantic dedup -----------------------
   // SemDeDup (Abbas et al. 2023): near-duplicate excision scoped to
   // semantic clusters — the pairwise step runs within a cluster only,
@@ -2980,6 +3052,7 @@ object TrainingData {
     "t32_shard_shuffle" -> t32,
     "t33_bigram_lm" -> t33,
     "t34_dsir_select" -> t34,
+    "t35_fuzzy_decontam" -> t35,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

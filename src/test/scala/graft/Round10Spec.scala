@@ -411,6 +411,46 @@ class Round10Spec extends SparkSpec {
     assert(rows.exists(_._3 == 0), "every doc backed off — train split too small")
   }
 
+  test("s22: seasonal indices re-center to zero and cover every hour-of-day") {
+    val rows = SparkEntry.queries("s22_seasonal_decompose")(spark, sfDir)
+      .select("event_type", "hod", "n", "seasonal")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, gs) =>
+      // a month-long hourly series detrended by a 48-sample frame keeps
+      // every hour-of-day represented
+      assert(gs.map(_._2).toSet == (0 until 24).toSet, s"$tpe: missing hods")
+      // re-centering: the 24 quantized indices sum to ~0 (each is
+      // quantized to 1e-6, so the sum is bounded by 24 quantization ulps)
+      val sSum = gs.map(_._4).sum
+      assert(math.abs(sSum) < 24e-6, s"$tpe: seasonal sums to $sSum")
+      // the zero-filled grid means each hod sees nearly the same number
+      // of detrended samples (edges trim at most one full period)
+      val ns = gs.map(_._3)
+      assert(ns.max - ns.min <= 2, s"$tpe: uneven hod coverage ${ns.min}..${ns.max}")
+    }
+  }
+
+  test("t35: fuzzy decontamination flags the planted near-copy and only scores corpus docs") {
+    val rows = SparkEntry.queries("t35_fuzzy_decontam")(spark, sfDir)
+      .select("doc_id", "best_bench", "jacc", "flagged")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, bid, j, fl) =>
+      assert(id % 50 != 0, s"benchmark doc $id scored against itself")
+      assert(bid % 50 == 0, s"non-benchmark doc $bid on the bench side")
+      assert(j > 0 && j <= 1.0, s"doc $id: jaccard $j out of range")
+      assert(fl == (j >= 0.2), s"doc $id: flag disagrees with score")
+    }
+    // the fixture plants exact/near copies across the % 50 split — the
+    // fuzzy scorer must catch at least one where exact 13-gram overlap
+    // is the only other signal
+    assert(rows.exists(_._4), "no contaminated doc flagged")
+    assert(rows.count(_._4) < rows.length, "every overlap flagged — threshold vacuous")
+  }
+
   test("t34: DSIR selects raw-corpus docs only, ranked by importance weight") {
     val sel = SparkEntry.queries("t34_dsir_select")(spark, sfDir)
       .select("doc_id", "weight")
