@@ -412,4 +412,36 @@ class PlanAuditSpec extends SparkSpec {
       s"pairwise join shape in d20:\n${p.take(1200)}")
     assert(p.contains("LeftAnti"), "kept-positions anti-join missing")
   }
+
+  test("t34: the DSIR LLR table broadcasts — the corpus never shuffles for it") {
+    val p = planOf("t34_dsir_select")
+    // at 100 TB the 64-row LLR table rides to the corpus, not the
+    // reverse: the scoring join must be a broadcast hash join and the
+    // final cut a TakeOrdered, never a full sort
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-k cut is a full sort")
+  }
+
+  test("t35: the benchmark shingle set broadcasts like t11's") {
+    val p = planOf("t35_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join shape in t35:\n${p.take(1200)}")
+  }
+
+  test("t33: bigram formation is map-only — no window below the count aggs") {
+    val p = planOf("t33_bigram_lm")
+    // the transform/explode bigram build must not plan a per-doc Window
+    // (the lag-window form would shuffle the whole corpus before
+    // counting); all exchanges are aggregation/join keyed
+    assert(!p.contains("Window"), s"window in the bigram path:\n${p.take(1200)}")
+  }
+
+  test("d21: the semantic-dedup pair join is cluster-keyed, never a cross product") {
+    val p = planOf("d21_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join shape in d21:\n${p.take(1200)}")
+  }
 }
