@@ -105,4 +105,27 @@ object Sketches {
     */
   def heavyHitters(item: Column, k: Int): Column =
     call_function("graft_heavy_hitters", item, lit(k))
+
+  /** Bottom-k uniform-sample quantile sketch (requires graft
+    * extensions): struct(hs: array<long>, vs: array<double>) ordered by
+    * hash. `hashed` must be a uniform hash of the row's UNIQUE id
+    * ([[hash63]] of the id column — NOT of the value, or duplicate
+    * values collapse). Rank error is O(1/√k); the sketch value is
+    * layout-independent (same k smallest hashes win under any
+    * partitioning) and re-aggregating retained pairs IS the union —
+    * see [[graft.plans.QuantileSampleAgg]].
+    */
+  def quantileSketch(hashed: Column, value: Column, k: Int): Column =
+    call_function("graft_quantile_sketch", hashed, value, lit(k))
+
+  /** Nearest-rank quantile estimate from the sketch's value sample:
+    * the ⌈q·n⌉-th smallest retained value (deterministic — integer rank
+    * over a sorted bounded array, no interpolation).
+    */
+  def sketchQuantile(sk: Column, q: Double): Column = {
+    val vs = array_sort(sk.getField("vs"))
+    val rank = least(size(vs), greatest(lit(1),
+      ceil(lit(q) * size(vs)).cast("int")))
+    element_at(vs, rank)
+  }
 }

@@ -105,6 +105,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MisraGriesAgg(children(0), k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSampleAgg].getName, "graft_quantile_sketch"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"graft_quantile_sketch(hash, value, k) takes 3 arguments, got ${children.length}")
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_quantile_sketch(hash, value, k): k must be an integer literal, got $other")
+        }
+        QuantileSampleAgg(children(0), children(1), k)
+      }))
     // Spark's bloom probe expression exists but is not SQL-registered
     // (it backs runtime row-level filtering); expose it for the
     // incremental-dedup pre-filter.

@@ -998,6 +998,45 @@ object Relational {
     },
     None)
 
+  // ---- k7_sketch_quantile: mergeable bottom-k quantile sketches ----------
+  // The fourth sketch corner: per-(type, day) quantile sketches — the
+  // granularity a warehouse persists — UNIONED to per-type quantiles by
+  // re-aggregating retained (hash, value) pairs, never re-reading raw
+  // rows (the k3 re-agg idiom; exact because the global bottom-k is a
+  // subset of the per-group bottom-ks). The output self-audits: each
+  // estimate is joined back against the raw stream to report its TRUE
+  // CDF position, which Round10Spec bounds around the target quantile.
+  // Rows-only: TypedImperativeAggregate state has no SQL twin.
+  private val k7 = Q(
+    (s, dir) => {
+      import graft.functions.Sketches._
+      val e = t(s, dir, "events")
+      val daily = e
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(quantileSketch(hash63(col("event_id")), col("value"), 256).as("sk"))
+      val perType = daily
+        .select(col("event_type"), col("sk.hs").as("h0"), col("sk.vs").as("v0"))
+        .select(col("event_type"),
+          explode(arrays_zip(col("h0").as("h"), col("v0").as("v"))).as("p"))
+        .select(col("event_type"), col("p.h").as("h"), col("p.v").as("v"))
+        .groupBy(col("event_type"))
+        .agg(quantileSketch(col("h"), col("v"), 256).as("sk"))
+      val est = perType.select(col("event_type"),
+        size(col("sk.hs")).as("n_sample"),
+        sketchQuantile(col("sk"), 0.5).as("est_p50"),
+        sketchQuantile(col("sk"), 0.9).as("est_p90"))
+      e.join(broadcast(est), "event_type")
+        .groupBy(col("event_type"), col("n_sample"),
+          col("est_p50"), col("est_p90"))
+        .agg(
+          Det.qz(sum(when(col("value") <= col("est_p50"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("rank_p50"),
+          Det.qz(sum(when(col("value") <= col("est_p90"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("rank_p90"))
+        .orderBy("event_type")
+    },
+    None)
+
   // ---- q38_running_distinct: COUNT(DISTINCT) over a running window -------
   // Spark (correctly) refuses DISTINCT aggregates over windows; the
   // scalable form marks each key's FIRST occurrence with one window and
@@ -1267,5 +1306,6 @@ object Relational {
     "k3_sketch_union" -> k3,
     "k4_theta_setops" -> k4,
     "k5_cms_freq" -> k5,
-    "k6_heavy_hitters" -> k6)
+    "k6_heavy_hitters" -> k6,
+    "k7_sketch_quantile" -> k7)
 }

@@ -451,6 +451,55 @@ class Round10Spec extends SparkSpec {
     assert(rows.count(_._4) < rows.length, "every overlap flagged — threshold vacuous")
   }
 
+  test("k7: quantile estimates land at their true CDF position") {
+    val rows = SparkEntry.queries("k7_sketch_quantile")(spark, sfDir)
+      .select("event_type", "n_sample", "rank_p50", "rank_p90")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, n, r50, r90) =>
+      assert(n > 0 && n <= 256, s"$tpe: sample size $n out of range")
+      // rank error is O(1/sqrt(k)); these bands are > 3 sigma for k=256
+      assert(r50 > 0.38 && r50 < 0.62, s"$tpe: p50 estimate sits at CDF $r50")
+      assert(r90 > 0.78 && r90 <= 1.0, s"$tpe: p90 estimate sits at CDF $r90")
+    }
+  }
+
+  test("k7: the sketch is layout-independent and unions exactly") {
+    import graft.functions.Sketches._
+    val e = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"), col("value"), col("ts"))
+    def skOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(quantileSketch(hash63(col("event_id")), col("value"), 64).as("sk"))
+      .select(col("event_type"), col("sk.hs"), col("sk.vs"))
+      .collect()
+      .map(r => (r.getString(0), (r.getSeq[Long](1), r.getSeq[Double](2))))
+      .toMap
+    // the k smallest hashes win under ANY partitioning/order — sketches
+    // over shuffled layouts must be bit-identical, not just close
+    val direct = skOf(e)
+    val shuffled = skOf(e.repartition(13, col("value")))
+    assert(direct == shuffled, "sketch depends on data layout")
+    // union via re-aggregation of retained pairs equals the sketch of
+    // the whole stream: the global bottom-k is a subset of the
+    // per-group bottom-ks, so rolling up persisted daily sketches loses
+    // nothing vs re-scanning raw history
+    val daily = e
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(quantileSketch(hash63(col("event_id")), col("value"), 64).as("sk"))
+      .select(col("event_type"), col("sk.hs").as("h0"), col("sk.vs").as("v0"))
+      .select(col("event_type"),
+        explode(arrays_zip(col("h0").as("h"), col("v0").as("v"))).as("p"))
+      .groupBy(col("event_type"))
+      .agg(quantileSketch(col("p.h"), col("p.v"), 64).as("sk"))
+      .select(col("event_type"), col("sk.hs"), col("sk.vs"))
+      .collect()
+      .map(r => (r.getString(0), (r.getSeq[Long](1), r.getSeq[Double](2))))
+      .toMap
+    assert(daily == direct, "daily-sketch rollup diverges from the whole-stream sketch")
+  }
+
   test("t34: DSIR selects raw-corpus docs only, ranked by importance weight") {
     val sel = SparkEntry.queries("t34_dsir_select")(spark, sfDir)
       .select("doc_id", "weight")

@@ -222,6 +222,41 @@ class StreamingSpec extends SparkSpec {
       "streamed sketches must equal batch sketches over the same rows")
   }
 
+  test("streaming quantile sketch equals the batch sketch over the same rows") {
+    // The quantile corner of the sketch family under incremental
+    // aggregation: the bottom-k sample is layout- and order-independent
+    // (the k smallest hashes win regardless of batch boundaries), so
+    // complete-mode streaming state must be BIT-identical to batch.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketches
+    val rows = (1L to 500L).map(i => (if (i % 3 == 0) "a" else "b", i * 1.5 % 37))
+    val input = MemoryStream[(String, Double)]
+    val streamed = input.toDF().toDF("grp", "v")
+      .groupBy(col("grp"))
+      .agg(Sketches.quantileSketch(
+        Sketches.hash63(col("v") * 1000 + length(col("grp"))), col("v"), 32).as("sk"))
+      .select(col("grp"), col("sk.hs"), col("sk.vs"),
+        Sketches.sketchQuantile(col("sk"), 0.5).as("p50"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("qsk_test").outputMode("complete").start()
+    input.addData(rows.take(200)); q.processAllAvailable()
+    input.addData(rows.drop(200)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qsk_test")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Double](2), r.getDouble(3)))
+      .sortBy(_._1)
+    val batch = rows.toDF("grp", "v")
+      .groupBy(col("grp"))
+      .agg(Sketches.quantileSketch(
+        Sketches.hash63(col("v") * 1000 + length(col("grp"))), col("v"), 32).as("sk"))
+      .select(col("grp"), col("sk.hs"), col("sk.vs"),
+        Sketches.sketchQuantile(col("sk"), 0.5).as("p50"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Double](2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.length == 2 && got.sameElements(batch),
+      "streamed quantile sketch must equal the batch sketch")
+  }
+
   test("streaming recall monitor converges to the batch evaluator") {
     // ANN quality monitoring online: approximate result rows stream in,
     // per-query recall vs a static exact top-k updates every batch and
