@@ -36,7 +36,21 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  /** 1-minute system load average (whole host, not this JVM). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    // Ambient load BEFORE we start any Spark work: the min-of-two-sweeps
+    // methodology protects against transient spikes but not against a
+    // co-tenant that outlasts the whole run (it did, twice: r8 and r10
+    // driver benches were both inflated ~3×). Sampling the host loadavg
+    // before we contribute any load — and again mid-run, where it is
+    // self-contaminated but still shows EXTRA load above our own thread
+    // count — lets a reader discount a contended artifact mechanically
+    // instead of chasing phantom regressions.
+    val ambientLoad = loadAvg()
+    val hostCpus = Runtime.getRuntime.availableProcessors()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builderDefaults(SparkSession.builder()
@@ -66,7 +80,9 @@ object Bench {
       }
     }
     // Sweep 1: every query once (these are the "cold" numbers).
+    val preSweep1Load = loadAvg()
     val sweep1 = selected.map { case (name, fn) => (name, fn, once(fn)) }
+    val preSweep2Load = loadAvg()
     // Sweep 2: every query again, minutes of other work later — except
     // queries that already failed (the error is the result; re-running
     // would bill a second failure's latency for nothing).
@@ -82,20 +98,30 @@ object Bench {
       if (errs.isEmpty) ""
       else errs.map(r => jstr(r.name) + ":" + jstr(r.err.get))
         .mkString(",\"errors\":{", ",", "}")
+    // load_contended: ambient (pre-Spark) host load above half the host
+    // cores means a co-tenant owned the box before we started — the r8/
+    // r10 failure mode. pre_sweep readings are self-contaminated (our
+    // own `cpus` threads are in them) and are published for context, not
+    // flagged on.
+    val loadJson =
+      f""","load":{"ambient":$ambientLoad%.2f,"pre_sweep1":$preSweep1Load%.2f,"pre_sweep2":$preSweep2Load%.2f,"host_cpus":$hostCpus,"bench_cpus":$cpus},"load_contended":${ambientLoad > hostCpus / 2.0}"""
     def jline(rs: Seq[R], extra: String = ""): String = {
       val qs = rs.map(r => "\"" + r.name + "\":" + fmt(r.warm)).mkString("{", ",", "}")
       val total = results.map(_.warm).sum
       val coldTotal = results.map(_.cold).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_err":${errs.size}$errJson$extra,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_err":${errs.size}$errJson$loadJson$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query line first (humans reading the raw log), then a
     // compact line with only the slowest 40 — the driver's log capture
     // keeps the LAST ~2000 chars of output, so the line it parses must
     // fit entirely inside that window; the full line (~2.6 KB at 110+
-    // queries) does not.
+    // queries) does not. The compact line is SELF-DESCRIBING about the
+    // truncation ("queries_note") so tooling that sums `queries` knows
+    // it will not reach `value` (ADVICE r10: BENCH_sf1_r10.json carried
+    // the truncated map with no marker).
     println(jline(results))
     println(jline(results.sortBy(-_.warm).take(40),
-      extra = s""","n_queries":${results.size}"""))
+      extra = s""","n_queries":${results.size},"queries_note":"top-40 by warm time; value/cold_total cover all n_queries""""))
     spark.stop()
   }
 }

@@ -126,6 +126,9 @@ object Sketches {
     val vs = array_sort(sk.getField("vs"))
     val rank = least(size(vs), greatest(lit(1),
       ceil(lit(q) * size(vs)).cast("int")))
-    element_at(vs, rank)
+    // An empty sketch (group whose inputs were all NULL) would clamp
+    // rank to 0 and element_at(vs, 0) is a runtime error in Spark, not
+    // a null — guard to null like every built-in agg over no rows.
+    when(size(vs) === 0, lit(null)).otherwise(element_at(vs, rank))
   }
 }

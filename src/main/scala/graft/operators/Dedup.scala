@@ -381,6 +381,12 @@ object Dedup {
       .join(core.select(col("id").as("id2"), col("core_sim").as("cs2")), "id2")
       .select(col("id1"), col("id2"),
         least(col("cos"), col("cs1"), col("cs2")).as("mr"))
+      // Materialize the mutual-reachability edges ONCE: every λ level
+      // below re-filters this pair list, and without the checkpoint each
+      // level's connectedComponents call (whose bounded fast path is an
+      // action) re-derives embeddingCosinePairs + the core-sim window +
+      // both joins from scratch — L full passes over the pair machinery.
+      .localCheckpoint(true)
     // One CC per level over the λ-filtered mr-edges; label carries the
     // level so clusters selected at different cut heights can't collide.
     val perLevel = lvls.zipWithIndex.map { case (lambda, l) =>
@@ -522,6 +528,24 @@ object Dedup {
         s"($changed labels still moving) — raise maxIter (components deeper than it exist)")
     labels.withColumnRenamed("lbl", "cluster")
   }
+
+  /** Cluster roll-up of [[connectedComponents]]: one row per cluster
+    * with the TYPED member list — (cluster, n_members, members:
+    * array<id-type> ascending). This is the consumer-facing shape (join
+    * or explode `members` without re-parsing); registry twins that need
+    * a driver-sortable scalar project `array_join(members, ',')` on top
+    * (the driver's pandas canonicalization cannot sort raw array
+    * columns — oracle-harness constraint, not a semantic one).
+    * One keyed aggregation over the label output; members sort inside
+    * their cluster row, never across the corpus.
+    */
+  def clusterMembers(pairs: DataFrame, id1: String, id2: String,
+                     maxIter: Int = 20,
+                     driverEdgeLimit: Int = 4 << 20): DataFrame =
+    connectedComponents(pairs, id1, id2, maxIter, driverEdgeLimit)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("id"))).as("members"))
 
   /** SimHash near-dup candidates: 64-bit simhash banded on 4 contiguous
     * 16-bit slices (the Manku/Jain/Sarma WWW'07 shape), exact Hamming

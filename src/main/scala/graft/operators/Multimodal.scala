@@ -33,6 +33,25 @@ object Multimodal {
   def byteSample(bin: org.apache.spark.sql.Column, stride: Int, n: Int, width: Int): org.apache.spark.sql.Column =
     array((0 until n).map(j => substring(bin, 1 + j * stride, width)): _*)
 
+  /** Strided frame fingerprints — the TYPED consumer API behind
+    * m3_frame_sample: one 8-hex-char fingerprint per sampled
+    * `frameLen`-byte frame at `stride` spacing, in frame order, as
+    * array<string> (consumers index frames directly). Pure column
+    * expressions over a per-row bounded sequence — no explode, order
+    * preserved. `nFrames` must be the matching frame count
+    * (`frameCount(payload, frameLen, stride)`). Registry twins that
+    * need a driver-sortable scalar wrap this in `array_join(_, ",")`.
+    */
+  def frameCount(payload: org.apache.spark.sql.Column, frameLen: Int, stride: Int): org.apache.spark.sql.Column = {
+    val n = length(payload)
+    when(n >= frameLen, floor((n - frameLen) / stride).cast("int") + 1).otherwise(0)
+  }
+
+  def frameFingerprints(payload: org.apache.spark.sql.Column, nFrames: org.apache.spark.sql.Column,
+                        frameLen: Int, stride: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), nFrames - 1),
+      i => substring(md5(encode(payload.substr(i * stride + 1, lit(frameLen)), "UTF-8")), 1, 8))
+
   /** Batch "decode + featurize" over binary payloads via mapPartitions —
     * the partition-preserving, executor-local iteration a real codec
     * would use (one codec init per partition, streaming rows, no driver

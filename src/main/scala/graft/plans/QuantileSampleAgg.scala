@@ -31,8 +31,10 @@ import java.nio.ByteBuffer
   *
   * Output: struct(hs: array<long>, vs: array<double>) ordered by hash —
   * engine-portable arrays, estimators are plain column functions
-  * ([[graft.functions.Sketches.sketchQuantile]]). Hash collisions drop
-  * one row in 2^63 — irrelevant at any k.
+  * ([[graft.functions.Sketches.sketchQuantile]]). A ~n²/2^64 hash
+  * collision between distinct rows drops one of them; the tie breaks on
+  * the smaller VALUE so the outcome is a function of the colliding set,
+  * not of encounter order — bit-identical under any partitioning.
   */
 case class QuantileSampleAgg(
     hashChild: Expression,
@@ -56,7 +58,12 @@ case class QuantileSampleAgg(
 
   private def add(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
                   h: Long, v: Double): Unit = {
-    if (buf.containsKey(h)) () // 2^-63 collision: first row wins, both engines
+    if (buf.containsKey(h)) {
+      // ~n²/2^64 hash collision between DISTINCT rows: keep the smaller
+      // value, so the winner depends only on the colliding SET, never on
+      // encounter order — layout independence stays unconditional.
+      if (v < buf.get(h)) { buf.put(h, v); () }
+    }
     else if (buf.size < k) { buf.put(h, v); () }
     else if (h < buf.lastKey) { buf.put(h, v); buf.pollLastEntry(); () }
   }

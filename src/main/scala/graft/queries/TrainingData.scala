@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, Q, Tables}
 import graft.functions.Text
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -131,12 +131,12 @@ object TrainingData {
     Some("""
       WITH RECURSIVE e AS (
         SELECT vec_id, embedding AS v,
-               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+               sqrt(CAST(list_sum(list_transform(range(len(embedding)), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
         FROM embeddings WHERE vec_id < 400),
       p AS (
         SELECT i1, i2 FROM (
           SELECT a.vec_id AS i1, b.vec_id AS i2,
-            FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+            FLOOR((CAST(list_sum(list_transform(range(len(a.v)), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
               / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
           FROM e a JOIN e b ON a.vec_id < b.vec_id) z
         WHERE cos >= 0.35),
@@ -199,12 +199,12 @@ object TrainingData {
     Some("""
       WITH RECURSIVE e AS (
         SELECT vec_id, embedding AS v,
-               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+               sqrt(CAST(list_sum(list_transform(range(len(embedding)), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
         FROM embeddings WHERE vec_id < 500),
       p AS (
         SELECT i1, i2, cos FROM (
           SELECT a.vec_id AS i1, b.vec_id AS i2,
-            FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+            FLOOR((CAST(list_sum(list_transform(range(len(a.v)), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
               / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
           FROM e a JOIN e b ON a.vec_id < b.vec_id) z
         WHERE cos >= 0.3),
@@ -581,11 +581,11 @@ object TrainingData {
     Some("""
       WITH e AS (
         SELECT vec_id, embedding AS v,
-               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+               sqrt(CAST(list_sum(list_transform(range(len(embedding)), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
         FROM embeddings WHERE vec_id < 400)
       SELECT id1, id2, cos FROM (
         SELECT a.vec_id AS id1, b.vec_id AS id2,
-          FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+          FLOOR((CAST(list_sum(list_transform(range(len(a.v)), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
             / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id) z
       WHERE cos >= 0.30 ORDER BY id1, id2"""))
@@ -662,12 +662,14 @@ object TrainingData {
       val pairs = Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 80), "doc_id", "text", "lang",
         maxShingleDf = 40, minJaccardInv = 100)
-      // `members` is a typed array<long> of ascending member ids — the
-      // schema a downstream consumer joins/explodes without re-parsing
-      Dedup.connectedComponents(pairs, "id1", "id2")
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_members"),
-          sort_array(collect_list(col("id"))).as("members"))
+      // Typed array<long> members live in Dedup.clusterMembers (the
+      // consumer API); the REGISTRY row projects them to a CSV scalar
+      // because the driver's pandas comparator sort_values-es raw
+      // columns and cannot order array cells (oracle-harness
+      // constraint — r10 shipped the raw array and both rows errored).
+      Dedup.clusterMembers(pairs, "id1", "id2")
+        .select(col("cluster"), col("n_members"),
+          array_join(col("members").cast("array<string>"), ",").as("members"))
         .orderBy("cluster")
     },
     Some("""
@@ -705,7 +707,7 @@ object TrainingData {
         SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
       cc AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id)
       SELECT cluster, COUNT(*) AS n_members,
-             list_sort(list(id)) AS members
+             array_to_string(list_sort(list(id)), ',') AS members
       FROM cc GROUP BY cluster ORDER BY cluster"""))
 
   // ---- d12_embedding_clusters: semantic near-dup clusters ----------------
@@ -732,12 +734,12 @@ object TrainingData {
     Some("""
       WITH RECURSIVE e AS (
         SELECT vec_id, embedding AS v,
-               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+               sqrt(CAST(list_sum(list_transform(range(len(embedding)), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
         FROM embeddings WHERE vec_id < 400),
       pairs AS (
         SELECT id1, id2 FROM (
           SELECT a.vec_id AS id1, b.vec_id AS id2,
-            FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+            FLOOR((CAST(list_sum(list_transform(range(len(a.v)), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
               / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
           FROM e a JOIN e b ON a.vec_id < b.vec_id) z
         WHERE cos >= 0.30),
@@ -1257,9 +1259,9 @@ object TrainingData {
       c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 5),
       scored AS (
         SELECT qid, cid,
-          FLOOR((CAST(list_sum(list_transform(range(64), i -> (qv[i+1]::DOUBLE * cv[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
-            / (sqrt(CAST(list_sum(list_transform(range(64), i -> (qv[i+1]::DOUBLE * qv[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE))
-             * sqrt(CAST(list_sum(list_transform(range(64), i -> (cv[i+1]::DOUBLE * cv[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS cos
+          FLOOR((CAST(list_sum(list_transform(range(len(qv)), i -> (qv[i+1]::DOUBLE * cv[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+            / (sqrt(CAST(list_sum(list_transform(range(len(qv)), i -> (qv[i+1]::DOUBLE * qv[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(range(len(cv)), i -> (cv[i+1]::DOUBLE * cv[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS cos
         FROM q, c)
       SELECT qid, cid, cos, CAST(rnk AS INTEGER) AS rnk
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
@@ -1355,22 +1357,24 @@ object TrainingData {
   // itself stays a stub (no codecs in env) exactly like Multimodal.
   private val m3 = Q(
     (s, dir) => {
-      val n = length(col("text"))
-      val nFrames = when(n >= 16, floor((n - 16) / 64).cast("int") + 1).otherwise(0)
-      // `frame_fps` is a typed array<string>: one 8-hex-char fingerprint
-      // per sampled frame, in frame order — consumers index it directly
+      val nFrames = Multimodal.frameCount(col("text"), frameLen = 16, stride = 64)
+      // Typed array<string> fingerprints live in
+      // Multimodal.frameFingerprints (the consumer API); the REGISTRY
+      // row projects them to a CSV scalar because the driver's pandas
+      // comparator cannot sort raw array columns (oracle-harness
+      // constraint — r10 shipped the raw array and the row errored).
       t(s, dir, "documents")
         .select(col("doc_id"), nFrames.as("n_frames"),
-          transform(sequence(lit(0), nFrames - 1),
-            i => substring(md5(encode(col("text").substr(i * 64 + 1, lit(16)), "UTF-8")), 1, 8))
-            .as("frame_fps"))
+          array_join(
+            Multimodal.frameFingerprints(col("text"), nFrames, frameLen = 16, stride = 64),
+            ",").as("frame_fps"))
         .filter(col("n_frames") > 0)
         .orderBy("doc_id")
     },
     Some("""
       SELECT doc_id, n_frames,
-             list_transform(range(n_frames),
-               i -> substr(md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 16)), 1, 8)) AS frame_fps
+             array_to_string(list_transform(range(n_frames),
+               i -> substr(md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 16)), 1, 8)), ',') AS frame_fps
       FROM (SELECT doc_id, text,
                    CASE WHEN LENGTH(text) >= 16
                         THEN CAST(FLOOR((LENGTH(text) - 16) / 64) AS INTEGER) + 1
@@ -2333,6 +2337,133 @@ object TrainingData {
              ${Det.qzSql("CAST(SUM(CASE WHEN g_kept THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS yield_frac
       FROM flags GROUP BY source ORDER BY source"""))
 
+  // ---- p3_curation_pipeline: p1 + substring excision ---------------------
+  // The FULL modern curation chain (what a production corpus build runs
+  // end-to-end): langid → quality → repetition → exact-dedup keep →
+  // exact-SUBSTRING excision (Lee et al. dedup over the doc-level
+  // survivors). Stage order matters and is the production order:
+  // doc-level dedup first, so spans that repeat only because whole-doc
+  // duplicates exist are already gone and the substring pass sees each
+  // surviving doc once. On the kept set, `Dedup.repeatedRuns` marks
+  // maximal repeated token runs; the d20 policy applies — a doc at
+  // ≥80% repeated coverage is dropped outright (integer-exact gate,
+  // n_removed·5 < n_toks·4), otherwise its repeated tokens are excised
+  // from the kept-token volume. Funnel accounting extends p1 with
+  // n_substr (docs surviving the coverage gate) and clean_toks (token
+  // volume AFTER excision — the number the training loader actually
+  // reads). Plan: p1's three exchanges + the two linear shingle-keyed
+  // exchanges of the runs pass over the (smaller) kept subset.
+  private val p3 = Q(
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val dupFrac = Det.qz(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+      val hw = Window.partitionBy(col("h"))
+      val staged = t(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("predicted", Text.langPredict(col("text")))
+        .withColumn("score", Text.qualityScore(col("text")))
+        .withColumn("dup_frac", dupFrac)
+        .withColumn("n_toks", size(toks).cast("long"))
+        .withColumn("owner", min(col("doc_id")).over(hw))
+        .withColumn("g_lang", col("predicted") =!= "und")
+        .withColumn("g_quality", col("g_lang") && col("score") >= 0.4)
+        .withColumn("g_rep", col("g_quality") && col("dup_frac") <= 0.6)
+        .withColumn("g_kept", col("g_rep") && col("doc_id") === col("owner"))
+      val kept = staged.filter(col("g_kept"))
+        .select(col("doc_id"), col("source"), col("text"), col("n_toks"))
+      val removed = Dedup.repeatedRuns(Tables.spread(kept, col("doc_id")),
+          "doc_id", "text", d19k, portableHash = true)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("p1") - col("p0") + 1).as("n_removed"))
+      val substr = kept.join(removed, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_removed"))
+        .withColumn("g_substr", col("n_removed") * 5 < col("n_toks") * 4)
+        .groupBy(col("source"))
+        .agg(sum(when(col("g_substr"), 1L).otherwise(0L)).as("n_substr"),
+          sum(when(col("g_substr"), col("n_toks") - col("n_removed"))
+            .otherwise(0L)).as("clean_toks"))
+      staged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("g_lang"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("g_quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("g_rep"), 1L).otherwise(0L)).as("n_rep"),
+          sum(when(col("g_kept"), 1L).otherwise(0L)).as("n_kept"))
+        .join(substr, Seq("source"), "left")
+        .na.fill(0L, Seq("n_substr", "clean_toks"))
+        .withColumn("yield_frac",
+          Det.qz(col("n_substr").cast("double") / col("n_total").cast("double"), 6))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH lang AS (
+        SELECT doc_id, $langPredictSql AS predicted
+        FROM (SELECT doc_id, $langScoresSql FROM documents) a),
+      qual AS ($qualityScoreSql),
+      staged AS (
+        SELECT d.doc_id, d.source, d.text,
+               l.predicted <> 'und' AS g_lang,
+               (l.predicted <> 'und' AND q.score >= 0.4) AS g_quality,
+               (l.predicted <> 'und' AND q.score >= 0.4 AND
+                FLOOR((1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(d.text), '\\s+'))) AS DOUBLE)
+                       / CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS DOUBLE)) * 1e6 + 0.5) / 1e6 <= 0.6) AS g_rep,
+               CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_toks,
+               MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS owner
+        FROM documents d
+        JOIN lang l ON d.doc_id = l.doc_id
+        JOIN qual q ON d.doc_id = q.doc_id),
+      flags AS (
+        SELECT doc_id, source, text, n_toks, g_lang, g_quality, g_rep,
+               (g_rep AND doc_id = owner) AS g_kept
+        FROM staged),
+      kept AS (SELECT doc_id, source, text, n_toks FROM flags WHERE g_kept),
+      w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM kept),
+      u AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(w) - ${d19k - 1}, 0)),
+                 i -> {'pos': i, 'h': ${Text.md5LongSql(s"array_to_string(w[i+1 : i+$d19k], ' ')")}})) AS s
+        FROM w),
+      p AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM u),
+      rep AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) >= 2),
+      fl AS (SELECT doc_id, pos FROM p JOIN rep USING (h)),
+      marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1000000) + $d19k
+                    THEN 1 ELSE 0 END AS newrun
+        FROM fl),
+      rid AS (
+        SELECT doc_id, pos,
+               SUM(newrun) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM marked),
+      runs AS (
+        SELECT doc_id, run_id, MIN(pos) AS p0, MAX(pos) + ${d19k - 1} AS p1
+        FROM rid GROUP BY doc_id, run_id),
+      removed AS (
+        SELECT doc_id, CAST(SUM(p1 - p0 + 1) AS BIGINT) AS n_removed
+        FROM runs GROUP BY doc_id),
+      substr AS (
+        SELECT k.source,
+               CAST(SUM(CASE WHEN COALESCE(r.n_removed, 0) * 5 < k.n_toks * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_substr,
+               CAST(SUM(CASE WHEN COALESCE(r.n_removed, 0) * 5 < k.n_toks * 4
+                             THEN k.n_toks - COALESCE(r.n_removed, 0) ELSE 0 END) AS BIGINT) AS clean_toks
+        FROM kept k LEFT JOIN removed r USING (doc_id)
+        GROUP BY k.source),
+      fcnt AS (
+        SELECT source, COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN g_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+               CAST(SUM(CASE WHEN g_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(SUM(CASE WHEN g_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+               CAST(SUM(CASE WHEN g_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM flags GROUP BY source)
+      SELECT f.source, f.n_total, f.n_lang, f.n_quality, f.n_rep, f.n_kept,
+             COALESCE(s.n_substr, 0) AS n_substr,
+             COALESCE(s.clean_toks, 0) AS clean_toks,
+             ${Det.qzSql("CAST(COALESCE(s.n_substr, 0) AS DOUBLE) / CAST(f.n_total AS DOUBLE)", 6)} AS yield_frac
+      FROM fcnt f LEFT JOIN substr s USING (source)
+      ORDER BY f.source"""))
+
   // ---- t21_length_gate: percentile winsorization filter ------------------
   // The outlier-length gate corpus builds run before training: per-lang
   // exact interpolated p5/p95 of document length, then each doc keeps
@@ -2968,12 +3099,12 @@ object TrainingData {
     Some("""
       WITH e AS (
         SELECT vec_id, label, embedding AS v,
-               sqrt(CAST(list_sum(list_transform(range(64), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
+               sqrt(CAST(list_sum(list_transform(range(len(embedding)), i -> (embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)) AS nrm
         FROM embeddings WHERE vec_id < 800),
       pairs AS (
         SELECT cluster, id1, id2, cos FROM (
           SELECT a.label AS cluster, a.vec_id AS id1, b.vec_id AS id2,
-            FLOOR((CAST(list_sum(list_transform(range(64), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
+            FLOOR((CAST(list_sum(list_transform(range(len(a.v)), i -> (a.v[i+1]::DOUBLE * b.v[i+1]::DOUBLE)::DECIMAL(38,18))) AS DOUBLE)
               / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) z
         WHERE cos >= 0.35),
@@ -2998,6 +3129,7 @@ object TrainingData {
 
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
+    "p3_curation_pipeline" -> p3,
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
     "d3_dedup_minhash" -> d3,

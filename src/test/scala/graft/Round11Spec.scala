@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-11 pins: driver-sortable registry projections for d8/m3 with
+  * the typed arrays kept in the operator API, the d18 checkpoint that
+  * stops the λ loop re-deriving the pair pipeline, the p3 full curation
+  * chain, and the sketch-quantile edge guards from ADVICE r10.
+  */
+class Round11Spec extends SparkSpec {
+
+  // ---- typed-array operator APIs behind the CSV registry rows ----------
+
+  test("clusterMembers keeps the typed array<long> the registry row flattens") {
+    import spark.implicits._
+    // two components: {1,2,3} (chain) and {10, 11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val out = graft.operators.Dedup.clusterMembers(pairs, "id1", "id2")
+      .orderBy("cluster").collect()
+    assert(out.length == 2)
+    val membersField = graft.operators.Dedup.clusterMembers(pairs, "id1", "id2")
+      .schema("members").dataType
+    assert(membersField == ArrayType(LongType, containsNull = false) ||
+      membersField == ArrayType(LongType, containsNull = true),
+      s"members must stay a typed array<long> in the API, got $membersField")
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 3L)
+    assert(out(0).getSeq[Long](2) == Seq(1L, 2L, 3L), "members must sort ascending")
+    assert(out(1).getSeq[Long](2) == Seq(10L, 11L))
+  }
+
+  test("d8 registry row is the CSV flattening of the typed cluster API") {
+    val reg = SparkEntry.queries("d8_dedup_clusters")(spark, sfDir)
+    assert(reg.schema("members").dataType == StringType,
+      "registry projection must be driver-sortable (scalar), not an array")
+    val rows = reg.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val csv = r.getAs[String]("members").split(',')
+      assert(csv.length == r.getAs[Long]("n_members"),
+        s"cluster ${r.get(0)}: csv arity ${csv.length} != n_members")
+      assert(csv.map(_.toLong).sorted.sameElements(csv.map(_.toLong)),
+        s"cluster ${r.get(0)}: members not ascending in the CSV")
+    }
+  }
+
+  test("m3 registry row is the CSV flattening of Multimodal.frameFingerprints") {
+    val reg = SparkEntry.queries("m3_frame_sample")(spark, sfDir)
+    assert(reg.schema("frame_fps").dataType == StringType,
+      "registry projection must be driver-sortable (scalar), not an array")
+    // typed API agrees element-for-element with the flattened row
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nf = graft.operators.Multimodal.frameCount(col("text"), 16, 64)
+    val typed = docs.select(col("doc_id"),
+        graft.operators.Multimodal.frameFingerprints(col("text"), nf, 16, 64).as("fps"))
+      .filter(size(col("fps")) > 0)
+    assert(typed.schema("fps").dataType.asInstanceOf[ArrayType].elementType == StringType)
+    val t = typed.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val flat = reg.collect().map(r =>
+      r.getLong(0) -> r.getAs[String]("frame_fps").split(',').toSeq).toMap
+    assert(t.keySet == flat.keySet)
+    t.foreach { case (id, fps) => assert(fps == flat(id), s"doc $id fingerprints diverge") }
+  }
+
+  // ---- sketch-quantile edge guards (ADVICE r10) -------------------------
+
+  test("sketchQuantile over an all-NULL group is null, not a runtime error") {
+    import spark.implicits._
+    import graft.functions.Sketches._
+    val df = Seq((1L, Some(2.0)), (2L, Some(4.0)), (3L, None), (4L, None))
+      .toDF("id", "v")
+      .withColumn("grp", when(col("v").isNotNull, "full").otherwise("empty"))
+    val out = df.groupBy(col("grp"))
+      .agg(quantileSketch(hash63(col("id")), col("v"), 8).as("sk"))
+      .select(col("grp"), sketchQuantile(col("sk"), 0.5).as("p50"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("empty").isEmpty, "empty sketch must yield null")
+    assert(out("full").contains(2.0) || out("full").contains(4.0))
+  }
+
+  test("QuantileSampleAgg hash collision keeps the smaller value in any order") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    val agg = graft.plans.QuantileSampleAgg(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, DoubleType, nullable = true), k = 4)
+    def run(rows: Seq[(Long, Double)]): Seq[(Long, Double)] = {
+      val b = agg.createAggregationBuffer()
+      rows.foreach { case (h, v) => agg.update(b, InternalRow(h, v)) }
+      import scala.jdk.CollectionConverters._
+      b.entrySet().asScala.map(e => (e.getKey.toLong, e.getValue.toDouble)).toSeq
+    }
+    val fwd = run(Seq((5L, 2.0), (5L, 1.0), (7L, 9.0)))
+    val rev = run(Seq((5L, 1.0), (5L, 2.0), (7L, 9.0)))
+    assert(fwd == rev, s"collision outcome depends on encounter order: $fwd vs $rev")
+    assert(fwd.contains((5L, 1.0)), "tie must break to the smaller value")
+    // merge path takes the same rule
+    val b1 = agg.createAggregationBuffer(); agg.update(b1, InternalRow(5L, 2.0))
+    val b2 = agg.createAggregationBuffer(); agg.update(b2, InternalRow(5L, 1.0))
+    assert(agg.merge(b1, b2).get(5L) == 1.0)
+  }
+
+  // ---- p3: the full curation chain over p1's funnel ---------------------
+
+  test("p3 extends p1's funnel monotonically and excision only shrinks volume") {
+    val p1 = SparkEntry.queries("p1_corpus_pipeline")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"), r.getAs[Long]("kept_toks"))).toMap
+    val p3 = SparkEntry.queries("p3_curation_pipeline")(spark, sfDir).collect()
+    assert(p3.nonEmpty)
+    p3.foreach { r =>
+      val src = r.getAs[String]("source")
+      val Seq(nTotal, nLang, nQuality, nRep, nKept, nSubstr, cleanToks) =
+        Seq("n_total", "n_lang", "n_quality", "n_rep", "n_kept", "n_substr", "clean_toks")
+          .map(r.getAs[Long])
+      assert(nTotal >= nLang && nLang >= nQuality && nQuality >= nRep &&
+        nRep >= nKept && nKept >= nSubstr, s"$src funnel not monotone")
+      val (pTotal, pKept, pToks) = p1(src)
+      assert(nTotal == pTotal && nKept == pKept,
+        s"$src: p3's shared stages diverge from p1")
+      assert(cleanToks <= pToks,
+        s"$src: excision grew the token volume ($cleanToks > $pToks)")
+    }
+    // the fixture contains repeated spans, so the stage must actually bite
+    val totalClean = p3.map(_.getAs[Long]("clean_toks")).sum
+    val totalKept = p1.values.map(_._3).sum
+    assert(totalClean < totalKept,
+      "substring excision removed nothing corpus-wide — stage is inert")
+  }
+
+  // ---- d18: the λ loop must reuse ONE materialized mr-edge list ---------
+
+  test("d18 extra λ levels do not re-derive the pair pipeline") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val pts = (0L until 60L).map { i =>
+      val c = if (i < 30) 0 else 1
+      val v = Array.tabulate(16)(j =>
+        (if (j == c) 1.0 else 0.0) + 0.05 * r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i, v.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    pts.count()
+    def stagesFor(levels: Seq[Double]): Int = {
+      val sc = spark.sparkContext
+      val group = "r11-d18-" + levels.size
+      sc.setJobGroup(group, "d18 stage audit")
+      try graft.operators.Dedup.hdbscanLite(pts, "vec_id", "embedding",
+        simFloor = 0.4, minPts = 3, levels = levels, minClusterSize = 5).count()
+      finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group)
+        .flatMap(id => sc.statusTracker.getJobInfo(id).map(_.stageIds().length)).sum
+    }
+    val one = stagesFor(Seq(0.8))
+    val three = stagesFor(Seq(0.9, 0.8, 0.7))
+    // With the checkpoint, each extra level costs only its own CC pass
+    // over the materialized edge list (a couple of stages). Without it,
+    // each level re-runs embeddingCosinePairs + the core-sim window +
+    // two joins (~10 stages each) — the bound below fails loudly.
+    assert(three - one <= 10,
+      s"two extra λ levels added ${three - one} stages (expected ≲ a CC pass each); " +
+        "the mr-edge checkpoint is not holding")
+  }
+}

@@ -56,6 +56,16 @@ for name in sorted(oracle):
         print(f"WARN {name}: dtype mismatch {tmis}")
     if len(got) != len(want):
         print(f"FAIL {name}: rows got={len(got)} want={len(want)}");  fails += 1;  continue
+    # driver-fidelity probe: the DRIVER's comparator sort_values-es the
+    # RAW pandas frame (no astype(str)), which throws on array-typed
+    # cells ("unhashable type: numpy.ndarray") — r10 shipped two typed-
+    # array registry columns that were green here and red there. Fail
+    # locally on anything the driver cannot sort.
+    try:
+        got.sort_values(by=sorted(got.columns))
+    except Exception as e:
+        print(f"FAIL {name}: driver-unsortable output ({type(e).__name__}: {e})")
+        fails += 1;  continue
     cg, cw = canon(got), canon(want)
     if cg != cw:
         bad = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b][:3]
