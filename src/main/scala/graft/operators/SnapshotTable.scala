@@ -52,12 +52,18 @@ object SnapshotTable {
     }
   }
 
-  private def readManifest(spark: SparkSession, path: String, v: Long): (String, String) = {
+  /** Manifest line 1 is a comma-separated DIR LIST: an overwrite commit
+    * lists one directory; an append commit ([[ingest]]) lists the
+    * parent's directories plus its delta directory, so appending is
+    * O(delta) — no snapshot ever rewrites prior files. Line 2 is the
+    * format.
+    */
+  private def readManifest(spark: SparkSession, path: String, v: Long): (Seq[String], String) = {
     val f = fs(spark, manifest(path, v))
     val in = f.open(manifest(path, v))
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val Array(dir, format) = content.trim.split("\n").take(2)
-    (dir, format)
+    val Array(dirs, format) = content.trim.split("\n").take(2)
+    (dirs.split(",").toSeq, format)
   }
 
   /** Atomic publish: write a temp manifest, rename to the versioned name.
@@ -66,13 +72,13 @@ object SnapshotTable {
     * staged against a stale parent — optimistic concurrency).
     */
   private def commit(spark: SparkSession, path: String, expectedNext: Long,
-                     dir: String, format: String): Long = {
+                     dirs: Seq[String], format: String): Long = {
     val vd = versionsDir(path)
     val f = fs(spark, vd)
     f.mkdirs(vd)
     val tmp = new Path(vd, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(s"$dir\n$format\n".getBytes("UTF-8")) finally out.close()
+    try out.write(s"${dirs.mkString(",")}\n$format\n".getBytes("UTF-8")) finally out.close()
     val target = manifest(path, expectedNext)
     if (f.exists(target) || !f.rename(tmp, target)) {
       f.delete(tmp, false)
@@ -84,26 +90,28 @@ object SnapshotTable {
   }
 
   /** Commit `df` as the table's next snapshot (the full-table-overwrite
-    * write path; incremental appends would stage file lists the same
-    * way).
+    * write path; [[ingest]] is the incremental append path).
     */
   def write(spark: SparkSession, df: DataFrame, path: String,
             format: String = "parquet"): Long = {
     val next = currentVersion(spark, path).getOrElse(0L) + 1
     val dir = snapDir(path, next)
     df.write.mode("overwrite").format(format).save(new Path(path, dir).toString)
-    commit(spark, path, next, dir, format)
+    commit(spark, path, next, Seq(dir), format)
   }
 
   /** Read the CURRENT snapshot. The manifest resolves here, once — the
     * returned DataFrame is pinned to this snapshot's immutable files and
-    * is unaffected by any later commit (snapshot isolation).
+    * is unaffected by any later commit (snapshot isolation). An
+    * append-chain snapshot lists several directories; the scan unions
+    * their file lists (same format, one multi-path scan node).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
-    val (dir, format) = readManifest(spark, path, v)
-    spark.read.format(format).load(new Path(path, dir).toString)
+    val (dirs, format) = readManifest(spark, path, v)
+    spark.read.format(format)
+      .load(dirs.map(d => new Path(path, d).toString): _*)
   }
 
   /** Size-targeted compaction as a SNAPSHOT COMMIT: the rewrite stages
@@ -118,27 +126,33 @@ object SnapshotTable {
               sortCols: Seq[String] = Nil): Sink.CompactionStats = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
-    val (dir, format) = readManifest(spark, path, v)
-    val dataDir = new Path(path, dir)
-    val f = fs(spark, dataDir)
-    val before = f.listStatus(dataDir).filter(s => s.isFile &&
+    val (dirs, format) = readManifest(spark, path, v)
+    val f = fs(spark, new Path(path))
+    val before = dirs.flatMap(d => f.listStatus(new Path(path, d))).filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.format(format).load(dataDir.toString)
+    val df = spark.read.format(format)
+      .load(dirs.map(d => new Path(path, d).toString): _*)
     val repart = df.repartition(nOut)
     val sorted =
       if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(df(_)): _*) else repart
     val nextDir = snapDir(path, v + 1)
     sorted.write.mode("overwrite").format(format).save(new Path(path, nextDir).toString)
-    commit(spark, path, v + 1, nextDir, format)
+    // Compaction also collapses an append chain back to ONE directory
+    // (and its bloom carries over unchanged — same content, same set).
+    commit(spark, path, v + 1, Seq(nextDir), format)
+    copyBloom(spark, path, v, v + 1)
     val after = f.listStatus(new Path(path, nextDir)).count(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     Sink.CompactionStats(before.length, after, totalBytes)
   }
 
   /** Drop snapshots older than the `keep` most recent manifests — the
-    * retention window concurrent readers get to finish inside.
+    * retention window concurrent readers get to finish inside. With
+    * append chains, directories are SHARED between consecutive
+    * manifests: a directory is deleted only when no retained manifest
+    * still references it.
     */
   def expire(spark: SparkSession, path: String, keep: Int = 2): Int = {
     require(keep >= 1, "must retain at least the current snapshot")
@@ -150,11 +164,134 @@ object SnapshotTable {
       .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption)
       .sorted
     val drop = versions.dropRight(keep)
+    val retainedDirs = versions.takeRight(keep)
+      .flatMap(v => readManifest(spark, path, v)._1).toSet
     drop.foreach { v =>
-      val (dir, _) = readManifest(spark, path, v)
-      f.delete(new Path(path, dir), true)
+      val (dirs, _) = readManifest(spark, path, v)
+      dirs.filterNot(retainedDirs).foreach(d => f.delete(new Path(path, d), true))
       f.delete(manifest(path, v), false)
+      f.delete(bloomFile(path, v), false)
     }
     drop.length
+  }
+
+  // ---- incremental content-dedup ingest (the d14 bloom path over
+  // commits) --------------------------------------------------------------
+
+  private def bloomFile(path: String, v: Long) =
+    new Path(versionsDir(path), f"b$v%08d.bin")
+
+  private def readBloom(spark: SparkSession, path: String,
+                        v: Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val bf = bloomFile(path, v)
+    val f = fs(spark, bf)
+    if (!f.exists(bf)) None
+    else {
+      val in = f.open(bf)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in)) finally in.close()
+    }
+  }
+
+  private def writeBloom(spark: SparkSession, path: String, v: Long,
+                         bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val bf = bloomFile(path, v)
+    val f = fs(spark, bf)
+    val out = f.create(bf, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  private def copyBloom(spark: SparkSession, path: String, from: Long, to: Long): Unit =
+    readBloom(spark, path, from).foreach(writeBloom(spark, path, to, _))
+
+  final case class IngestStats(version: Long, nIncoming: Long, nNew: Long)
+
+  /** Incremental content-dedup ingest — "this batch minus ALL prior
+    * content" as one committed operator (the cronjob shape of corpus
+    * dedup at 100 TB, [[Dedup.newDocuments]] wired over snapshot
+    * commits). Three properties make it scale:
+    *
+    *  1. The content bloom is a PERSISTED SIDECAR (`_versions/bNNN.bin`)
+    *     updated by merging the delta's bloom — bloom-of-union is the
+    *     bitwise OR at fixed (expectedItems, fpp), so no ingest ever
+    *     rescans history to rebuild the filter; the filter cost is
+    *     O(delta) per commit forever.
+    *  2. The commit APPENDS: the new manifest lists the parent's
+    *     directories plus one delta directory, so the write cost is
+    *     O(new rows), never a table rewrite. [[compact]] collapses the
+    *     chain back to one directory when file counts grow.
+    *  3. Probe-negative rows (the overwhelming majority at normal dup
+    *     rates) are definitely-new and never join; probe-positive rows
+    *     (true dups + the fpp share) resolve EXACTLY against the
+    *     existing table's md5 projection — a 1-column scan on the big
+    *     side, keyed anti-join sized by the bloom's positive rate. The
+    *     sketch is a pure prefilter: output is exactly "incoming minus
+    *     exact content duplicates", fully deterministic.
+    *
+    * Re-ingesting a batch is idempotent (its content is now in the
+    * table, so the delta is empty and version still advances by one —
+    * commit history stays an audit log). Within-batch duplicates pass
+    * through, matching [[Dedup.newDocuments]]. `expectedItems`/`fpp`
+    * must stay constant per table (sidecar blooms merge only at equal
+    * parameters); a parameter change or missing sidecar falls back to
+    * one rebuild scan of the current snapshot.
+    */
+  def ingest(spark: SparkSession, incoming: DataFrame, path: String,
+             textCol: String, expectedItems: Long = 1000000L,
+             fpp: Double = 0.01, format: String = "parquet"): IngestStats = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(spark, path)
+    val next = cur.getOrElse(0L) + 1
+    val deltaDir = snapDir(path, next)
+    // Prior-content bloom: the sidecar when present (O(1)), else ONE
+    // rebuild scan of the current snapshot. It MUST cover all existing
+    // content — a gap would let a duplicate pass as probe-negative.
+    val priorBloom = cur.map { v =>
+      readBloom(spark, path, v).getOrElse(
+        read(spark, path).stat.bloomFilter(xxhash64(col(textCol)), expectedItems, fpp))
+    }
+    val delta = priorBloom match {
+      case None => incoming
+      case Some(bloom) =>
+        val existing = read(spark, path)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        val probe = call_function("graft_might_contain",
+          lit(bos.toByteArray), xxhash64(col(textCol)))
+        val definitelyNew = incoming.filter(!probe)
+        val needsCheck = incoming.filter(probe)
+        val verifiedNew = needsCheck.join(
+          existing.select(md5(col(textCol)).as("__h")).distinct(),
+          md5(needsCheck(textCol)) === col("__h"), "left_anti")
+        definitelyNew.unionByName(verifiedNew)
+    }
+    delta.write.mode("overwrite").format(format)
+      .save(new Path(path, deltaDir).toString)
+    // The delta is on disk: count it and build its bloom from the
+    // WRITTEN files (one small scan — never re-executes the dedup plan).
+    val written = spark.read.format(format).load(new Path(path, deltaDir).toString)
+    val nNew = written.count()
+    // Spark's stat.bloomFilter NPEs on zero rows (its merge sees a null
+    // partial) — an empty delta contributes an empty filter anyway.
+    val deltaBloom =
+      if (nNew == 0) org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else written.stat.bloomFilter(xxhash64(col(textCol)), expectedItems, fpp)
+    val merged = priorBloom match {
+      case Some(prior) if prior.isCompatible(deltaBloom) =>
+        prior.mergeInPlace(deltaBloom); prior
+      case Some(_) =>
+        // caller changed (expectedItems, fpp) mid-table: rebuild once
+        // over the whole next snapshot so coverage stays total
+        read(spark, path).select(col(textCol))
+          .unionByName(written.select(col(textCol)))
+          .stat.bloomFilter(xxhash64(col(textCol)), expectedItems, fpp)
+      case None => deltaBloom
+    }
+    val parentDirs = cur.map(v => readManifest(spark, path, v)._1).getOrElse(Nil)
+    // Publish the bloom BEFORE the manifest rename: when the version
+    // becomes visible its sidecar already exists (a lost race leaves an
+    // orphan sidecar, which expire() sweeps).
+    writeBloom(spark, path, next, merged)
+    commit(spark, path, next, parentDirs :+ deltaDir, format)
+    IngestStats(next, incoming.count(), nNew)
   }
 }

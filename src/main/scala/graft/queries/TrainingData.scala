@@ -3127,6 +3127,70 @@ object TrainingData {
       LEFT JOIN remcnt r ON b.label = r.cluster
       ORDER BY b.label"""))
 
+  // ---- d22_url_content_incremental: composite-key incremental dedup ----
+  // The document-level admission rule a crawl ingest actually runs: a
+  // new-batch row is admitted iff NEITHER its canonical URL NOR its
+  // content hash appears in the existing corpus (URL catches re-crawls
+  // of changed pages, content catches mirrors on new URLs — either
+  // alone misses half the duplication). Registry twin of the
+  // SnapshotTable.ingest operator family, as a deterministic batch
+  // query: both existence checks are keyed left joins against DISTINCT
+  // key projections of the existing side (hash-keyed, broadcast-able
+  // when the history index is small, bloom-prefilterable via the d14
+  // path at 100 TB); per-row flags emitted so the oracle checks the
+  // classification, not just the survivor count. URLs are synthesized
+  // from doc_id on BOTH engines (d6's convention) with port/slash/
+  // tracking noise so canonicalization is load-bearing.
+  private val d22 = Q(
+    (s, dir) => {
+      // page id: docs 450+ re-crawl pages 0-49, so URL collisions across
+      // the 400-boundary exist by construction (noise fields still vary
+      // per doc_id so canonicalization is what makes them collide)
+      def urlOf = concat(
+        lit("HTTP://Mirror"), ((col("doc_id") % 450) % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 450).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?a=1&utm_campaign=x"))
+      val docs = t(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"),
+        md5(col("text")).as("h"), Text.canonicalUrl(urlOf).as("u"))
+      val existing = keyed.filter(col("doc_id") < 400)
+      val incoming = keyed.filter(col("doc_id") >= 400)
+      incoming
+        .join(existing.select(col("h").as("eh")).distinct(),
+          col("h") === col("eh"), "left")
+        .join(existing.select(col("u").as("eu")).distinct(),
+          col("u") === col("eu"), "left")
+        .select(col("doc_id"),
+          col("eu").isNotNull.as("dup_url"),
+          col("eh").isNotNull.as("dup_content"),
+          (col("eu").isNull && col("eh").isNull).as("admitted"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val urlSql = "concat('HTTP://Mirror', CAST((doc_id % 450) % 7 AS VARCHAR), '.COM', " +
+        "CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END, " +
+        "'/p/', CAST(doc_id % 450 AS VARCHAR), " +
+        "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END, " +
+        "'?a=1&utm_campaign=x')"
+      s"""
+      WITH keyed AS (
+        SELECT doc_id, md5(text) AS h, ${Text.canonicalUrlSql(urlSql)} AS u
+        FROM documents),
+      exh AS (SELECT DISTINCT h FROM keyed WHERE doc_id < 400),
+      exu AS (SELECT DISTINCT u FROM keyed WHERE doc_id < 400)
+      SELECT i.doc_id,
+             (exu.u IS NOT NULL) AS dup_url,
+             (exh.h IS NOT NULL) AS dup_content,
+             (exu.u IS NULL AND exh.h IS NULL) AS admitted
+      FROM keyed i
+      LEFT JOIN exh ON i.h = exh.h
+      LEFT JOIN exu ON i.u = exu.u
+      WHERE i.doc_id >= 400
+      ORDER BY i.doc_id"""
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3151,6 +3215,7 @@ object TrainingData {
     "d19_exact_substr" -> d19,
     "d20_substr_excise" -> d20,
     "d21_semdedup" -> d21,
+    "d22_url_content_incremental" -> d22,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

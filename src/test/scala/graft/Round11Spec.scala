@@ -128,6 +128,55 @@ class Round11Spec extends SparkSpec {
       "substring excision removed nothing corpus-wide — stage is inert")
   }
 
+  // ---- incremental ingest: d14's bloom path over snapshot commits -------
+
+  test("SnapshotTable.ingest admits exactly new-content rows, incrementally") {
+    import spark.implicits._
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val s1 = SnapshotTable.ingest(spark, b1, path, "text", expectedItems = 100L)
+    assert(s1.version == 1L && s1.nNew == 3L,
+      "first ingest commits the whole batch (within-batch dups pass through)")
+    // batch 2: one dup of prior content (different id), one new
+    val b2 = Seq((10L, "gamma delta"), (11L, "epsilon zeta")).toDF("doc_id", "text")
+    val s2 = SnapshotTable.ingest(spark, b2, path, "text", expectedItems = 100L)
+    assert(s2.version == 2L && s2.nIncoming == 2L && s2.nNew == 1L,
+      s"dup-of-prior content must be rejected: $s2")
+    val after2 = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after2 == Set((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "alpha beta"), (11L, "epsilon zeta")))
+    // idempotence: re-ingesting batch 2 adds nothing, version still logs
+    val s3 = SnapshotTable.ingest(spark, b2, path, "text", expectedItems = 100L)
+    assert(s3.version == 3L && s3.nNew == 0L, s"re-ingest must be a content no-op: $s3")
+    assert(SnapshotTable.read(spark, path).count() == 4L)
+    // the commits were APPENDS: v3 still reads data written at v1
+    assert(new java.io.File(path, "snap-00000001").exists(),
+      "append commit must not rewrite the parent snapshot's files")
+  }
+
+  test("SnapshotTable compaction collapses an ingest chain; expire keeps shared dirs") {
+    import spark.implicits._
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-ingest2").toString
+    SnapshotTable.ingest(spark, Seq((1L, "a b")).toDF("doc_id", "text"), path, "text", 100L)
+    SnapshotTable.ingest(spark, Seq((2L, "c d")).toDF("doc_id", "text"), path, "text", 100L)
+    SnapshotTable.ingest(spark, Seq((3L, "e f")).toDF("doc_id", "text"), path, "text", 100L)
+    // v3 references three shared dirs; expire(keep=1) must delete NONE
+    // of them (all still referenced by the retained manifest)
+    assert(SnapshotTable.expire(spark, path, keep = 1) == 2)
+    assert(SnapshotTable.read(spark, path).count() == 3L,
+      "expire deleted a directory the retained snapshot still references")
+    // compaction collapses the chain to one directory and v4 still dedups
+    SnapshotTable.compact(spark, path)
+    assert(SnapshotTable.read(spark, path).count() == 3L)
+    val s = SnapshotTable.ingest(spark,
+      Seq((4L, "a b"), (5L, "g h")).toDF("doc_id", "text"), path, "text", 100L)
+    assert(s.nNew == 1L, "post-compaction ingest lost the content bloom")
+  }
+
   // ---- d18: the λ loop must reuse ONE materialized mr-edge list ---------
 
   test("d18 extra λ levels do not re-derive the pair pipeline") {
