@@ -923,8 +923,15 @@ object Relational {
     (s, dir) => {
       import graft.functions.Sketches._
       val K = 256
+      // FULL SQL oracle since r11: portable md5-derived hash (the d3/d13
+      // oracle-tax re-key; library path keeps hash63/xxhash64), shifted
+      // to 63-bit scale (<<3) so the estimators' 2^63 normalization — and
+      // the Round3Spec accuracy bounds — hold unchanged. The KMV sketch
+      // is a pure function of the distinct hash set, so DuckDB replays
+      // retained sets, thetas, and every estimator with list functions.
+      val ph = shiftleft(graft.functions.Text.md5Long(col("user_id").cast("string")), 3)
       val sk = t(s, dir, "events").groupBy(col("event_type"))
-        .agg(thetaSketch(hash63(col("user_id")), K).as("sk"),
+        .agg(thetaSketch(ph, K).as("sk"),
           countDistinct(col("user_id")).as("exact_users"))
       val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"),
         col("exact_users").as("exact_a"))
@@ -938,7 +945,47 @@ object Relational {
           Det.qz(jaccardEstimate(col("ska"), col("skb"), K), 6).as("est_jaccard"))
         .orderBy("type_a", "type_b")
     },
-    None)
+    Some(s"""
+      WITH hh AS (
+        SELECT DISTINCT event_type,
+               ${graft.functions.Text.md5LongSql("CAST(user_id AS VARCHAR)")} * 8 AS h
+        FROM events),
+      r AS (
+        SELECT event_type, list_sort(list(h))[1:256] AS l
+        FROM hh GROUP BY event_type),
+      ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type),
+      p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.l AS la, b.l AS lb,
+               ea.exact_users AS exact_a, eb.exact_users AS exact_b
+        FROM r a JOIN r b ON a.event_type < b.event_type
+        JOIN ex ea ON ea.event_type = a.event_type
+        JOIN ex eb ON eb.event_type = b.event_type),
+      calc AS (
+        SELECT type_a, type_b, exact_a, exact_b, la, lb,
+          CASE WHEN len(la) < 256 THEN CAST(len(la) AS DOUBLE)
+               ELSE 255.0 * 9.223372036854775808e18 / CAST(la[256] AS DOUBLE) END AS est_a_raw,
+          list_sort(list_distinct(list_concat(la, lb)))[1:256] AS lu,
+          LEAST(
+            CASE WHEN len(la) < 256 THEN 9.223372036854775808e18 ELSE CAST(la[256] AS DOUBLE) END,
+            CASE WHEN len(lb) < 256 THEN 9.223372036854775808e18 ELSE CAST(lb[256] AS DOUBLE) END) AS thc
+        FROM p),
+      calc2 AS (
+        SELECT type_a, type_b, exact_a, exact_b, est_a_raw,
+          CASE WHEN len(lu) < 256 THEN CAST(len(lu) AS DOUBLE)
+               ELSE 255.0 * 9.223372036854775808e18 / CAST(lu[256] AS DOUBLE) END AS est_u_raw,
+          CAST(len(list_filter(list_intersect(la, lb),
+                 x -> CAST(x AS DOUBLE) < thc)) AS DOUBLE)
+            * 9.223372036854775808e18 / thc AS est_i_raw
+        FROM calc)
+      SELECT type_a, type_b, exact_a, exact_b,
+             ${Det.qzSql("est_a_raw")} AS est_a,
+             ${Det.qzSql("est_u_raw")} AS est_union,
+             ${Det.qzSql("est_i_raw")} AS est_intersect,
+             ${Det.qzSql("CASE WHEN est_u_raw = 0 THEN 0.0 ELSE est_i_raw / est_u_raw END", 6)} AS est_jaccard
+      FROM calc2 ORDER BY type_a, type_b"""))
 
   // ---- k5_cms_freq: Count-Min Sketch token frequencies -------------------
   // The heavy-hitter frequency path at 100 TB: per-language CMS sketches
@@ -955,11 +1002,18 @@ object Relational {
   private val k5 = Q(
     (s, dir) => {
       import graft.functions.Sketches._
+      // FULL SQL oracle since r11 (same portable-hash re-key as k4/k7):
+      // the CMS cell address ((h%P)·A_i+B_i)%P%w is overflow-free BIGINT
+      // arithmetic by design (CountMinSketchAgg.P scaladoc), so DuckDB
+      // rebuilds each addressed cell's count directly from the token
+      // stream with the same literal A_i/B_i and takes the same min.
+      def ph(c: org.apache.spark.sql.Column) =
+        shiftleft(graft.functions.Text.md5Long(c), 3)
       val tok = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("tk"))
         .filter(col("tk") =!= "")
       val sk = tok.groupBy(col("lang"))
-        .agg(cms(hash63(col("tk")), k5d, k5w).as("sk"), count(lit(1)).as("n_tokens"))
+        .agg(cms(ph(col("tk")), k5d, k5w).as("sk"), count(lit(1)).as("n_tokens"))
       val exact = tok.filter(col("tk").isin(k5probes: _*))
         .groupBy(col("lang").as("elang"), col("tk").as("etk"))
         .agg(count(lit(1)).as("exact_cnt"))
@@ -968,12 +1022,50 @@ object Relational {
         .join(exact, col("lang") === col("elang") && col("token") === col("etk"), "left")
         .select(col("lang"), col("token"), col("n_tokens"),
           coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
-          cmsEstimate(col("sk"), hash63(col("token")), k5d, k5w).as("est_cnt"))
+          cmsEstimate(col("sk"), ph(col("token")), k5d, k5w).as("est_cnt"))
         .withColumn("no_undercount",
           col("est_cnt") >= col("exact_cnt"))
         .orderBy("lang", "token")
     },
-    None)
+    Some {
+      import graft.plans.CountMinSketchAgg.{A, B, P}
+      val abRows = (0 until k5d)
+        .map(i => s"($i, ${A(i)}, ${B(i)})").mkString(", ")
+      val probeRows = k5probes.map(p => s"('$p')").mkString(", ")
+      val hSql = graft.functions.Text.md5LongSql("tk") + " * 8"
+      val hpSql = graft.functions.Text.md5LongSql("token") + " * 8"
+      s"""
+      WITH ab(i, a, b) AS (VALUES $abRows),
+      pr(token) AS (VALUES $probeRows),
+      tok AS (
+        SELECT lang, tk FROM (
+          SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tk
+          FROM documents) z WHERE tk <> ''),
+      lt AS (SELECT lang, COUNT(*) AS n_tokens FROM tok GROUP BY lang),
+      cells AS (
+        SELECT lang, i, (((($hSql % $P) * a + b) % $P) % $k5w) AS cell,
+               COUNT(*) AS cnt
+        FROM tok CROSS JOIN ab GROUP BY 1, 2, 3),
+      pc AS (
+        SELECT token, i, (((($hpSql % $P) * a + b) % $P) % $k5w) AS cell
+        FROM pr CROSS JOIN ab),
+      est AS (
+        SELECT lt.lang, pc.token, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+        FROM lt CROSS JOIN pc
+        LEFT JOIN cells c ON c.lang = lt.lang AND c.i = pc.i AND c.cell = pc.cell
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT lang, tk AS token, COUNT(*) AS exact_cnt
+        FROM tok WHERE tk IN (SELECT token FROM pr) GROUP BY 1, 2)
+      SELECT e.lang, e.token, lt.n_tokens,
+             COALESCE(x.exact_cnt, 0) AS exact_cnt,
+             e.est_cnt,
+             (e.est_cnt >= COALESCE(x.exact_cnt, 0)) AS no_undercount
+      FROM est e
+      JOIN lt ON lt.lang = e.lang
+      LEFT JOIN exact x ON x.lang = e.lang AND x.token = e.token
+      ORDER BY e.lang, e.token"""
+    })
 
   // ---- k6_heavy_hitters: Misra-Gries dominant tokens per source ----------
   // "Which items dominate each group" without pre-declared candidates:
@@ -1006,14 +1098,20 @@ object Relational {
   // subset of the per-group bottom-ks). The output self-audits: each
   // estimate is joined back against the raw stream to report its TRUE
   // CDF position, which Round10Spec bounds around the target quantile.
-  // Rows-only: TypedImperativeAggregate state has no SQL twin.
+  // FULL SQL oracle since r11: the registry row re-keys on the portable
+  // md5-derived row hash (the d3/d13 oracle-tax pattern — the library
+  // path keeps hash63/xxhash64), and the r11 collision rule (min-value
+  // tiebreak, order-free) makes the sketch a pure FUNCTION of the row
+  // set — so DuckDB replays the whole thing: per-group min-value dedup
+  // on the hash, bottom-256 by hash, re-agg union, ceil-rank estimates.
   private val k7 = Q(
     (s, dir) => {
       import graft.functions.Sketches._
       val e = t(s, dir, "events")
+      val ph = graft.functions.Text.md5Long(col("event_id").cast("string"))
       val daily = e
         .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
-        .agg(quantileSketch(hash63(col("event_id")), col("value"), 256).as("sk"))
+        .agg(quantileSketch(ph, col("value"), 256).as("sk"))
       val perType = daily
         .select(col("event_type"), col("sk.hs").as("h0"), col("sk.vs").as("v0"))
         .select(col("event_type"),
@@ -1035,7 +1133,38 @@ object Relational {
             .cast("double") / count(lit(1))).as("rank_p90"))
         .orderBy("event_type")
     },
-    None)
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               ${graft.functions.Text.md5LongSql("CAST(event_id AS VARCHAR)")} AS h,
+               CAST(value AS DOUBLE) AS v
+        FROM events),
+      dd AS (SELECT event_type, day, h, MIN(v) AS v FROM h GROUP BY 1, 2, 3),
+      daily AS (
+        SELECT event_type, day, h, v FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+          FROM dd) z WHERE rn <= 256),
+      pt AS (SELECT event_type, h, MIN(v) AS v FROM daily GROUP BY 1, 2),
+      kept AS (
+        SELECT event_type, h, v FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM pt) z WHERE rn <= 256),
+      vs AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+               COUNT(*) OVER (PARTITION BY event_type) AS ns
+        FROM kept),
+      est AS (
+        SELECT event_type, CAST(MAX(ns) AS INTEGER) AS n_sample,
+               MAX(CASE WHEN vr = LEAST(ns, GREATEST(1, CAST(CEIL(0.5 * ns) AS BIGINT))) THEN v END) AS est_p50,
+               MAX(CASE WHEN vr = LEAST(ns, GREATEST(1, CAST(CEIL(0.9 * ns) AS BIGINT))) THEN v END) AS est_p90
+        FROM vs GROUP BY event_type)
+      SELECT e.event_type, est.n_sample, est.est_p50, est.est_p90,
+             ${Det.qzSql("CAST(SUM(CASE WHEN e.value <= est.est_p50 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS rank_p50,
+             ${Det.qzSql("CAST(SUM(CASE WHEN e.value <= est.est_p90 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS rank_p90
+      FROM events e JOIN est ON e.event_type = est.event_type
+      GROUP BY 1, 2, 3, 4
+      ORDER BY e.event_type"""))
 
   // ---- q38_running_distinct: COUNT(DISTINCT) over a running window -------
   // Spark (correctly) refuses DISTINCT aggregates over windows; the

@@ -152,4 +152,31 @@ object EventStream {
     */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Streaming twin of [[graft.operators.SnapshotTable.ingest]]: each
+    * micro-batch commits "batch minus ALL prior content" as the table's
+    * next snapshot via foreachBatch — the continuous-crawl form of
+    * incremental content dedup. Cross-batch state is NOT streaming
+    * state: it is the table's own persisted bloom sidecar + manifest
+    * chain, so dedup coverage spans every previous batch AND every
+    * previous run of the query (restarts resume against the committed
+    * table, no state-store rebuild), and state size is the bloom's
+    * fixed bytes, not an ever-growing keyed store. foreachBatch is the
+    * right tool because a snapshot commit is a transactional SINK
+    * operation (write delta dir + merge bloom + atomic manifest
+    * rename), not a row transform; an empty delta still commits, so
+    * the version log records every batch (audit trail + restart
+    * idempotence: a replayed batch admits nothing).
+    */
+  def ingestSink(incoming: DataFrame, path: String, textCol: String,
+                 expectedItems: Long = 1000000L,
+                 fpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.SnapshotTable.ingest(
+          batch.sparkSession, batch, path, textCol, expectedItems, fpp)
+        ()
+      }
+      .start()
 }

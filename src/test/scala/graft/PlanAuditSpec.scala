@@ -444,4 +444,25 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"pairwise join shape in d21:\n${p.take(1200)}")
   }
+
+  test("d22: both existence checks are equi-keyed joins, never a cross product") {
+    val p = planOf("d22_url_content_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join shape in d22:\n${p.take(1200)}")
+    // the two history indexes (content hash, canonical URL) must arrive
+    // as DISTINCT key sets — an aggregate per side, so per-key join
+    // fanout is exactly 0 or 1 regardless of corpus dup rates
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("p3: the substring stage adds only linear keyed exchanges to p1's funnel") {
+    val p = planOf("p3_curation_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join shape in p3:\n${p.take(1200)}")
+    // the repeated-runs pass must keep its map-side partial (the
+    // shingle-count exchange stays linear in distinct shingles)
+    assert(p.contains("partial_count"), p.take(1200))
+  }
 }
