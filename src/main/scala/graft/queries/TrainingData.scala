@@ -3127,6 +3127,121 @@ object TrainingData {
       LEFT JOIN remcnt r ON b.label = r.cluster
       ORDER BY b.label"""))
 
+  // ---- p4_ccnet_pipeline: the CCNet stage ORDER -------------------------
+  // The other published curation chain (Wenzek et al. 2019, CCNet):
+  // paragraph-level dedup FIRST, then language-ID, then LM-perplexity
+  // bucketing into head/middle/tail terciles — a deliberately different
+  // stage order than p1/p3 (which gate then dedup whole docs): CCNet
+  // dedups shared boilerplate paragraphs BEFORE the LM sees them, so
+  // perplexity measures each doc's unique content. Paragraph model is
+  // d9's 20-token blocks; a block is kept iff its (doc_id, position) is
+  // the FIRST corpus-wide occurrence of its hash (within-doc repeats
+  // dedup too); docs left with zero full blocks drop (CCNet drops empty
+  // docs). The unigram LM trains in-stream per predicted lang over KEPT
+  // block tokens (t18's add-one form), doc score = mean token NLL over
+  // kept blocks, and per-lang EXACT terciles (t21's percentile →
+  // broadcast pattern) cut head/middle/tail. Exchanges: block-hash
+  // window, lang/token-keyed LM aggs with broadcast totals, doc-keyed
+  // score agg, bounded percentile agg — all linear, no pairwise step.
+  private val p4 = Q(
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val blockArr = filter(
+        transform(sequence(lit(0), (size(toks) / d9blk).cast("int")),
+          j => slice(toks, j * d9blk + 1, lit(d9blk))),
+        a => size(a) === d9blk)
+      val base = t(s, dir, "documents")
+        .withColumn("predicted", Text.langPredict(col("text")))
+        .filter(col("predicted") =!= "und")
+      val blocks = Tables.spread(base, col("doc_id"))
+        .select(col("doc_id"), col("predicted").as("lang"),
+          posexplode(blockArr))
+        .select(col("doc_id"), col("lang"), col("pos").as("j"),
+          col("col").as("btoks"))
+        .withColumn("h", md5(array_join(col("btoks"), " ")))
+      val wH = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("j"))
+      val kept = blocks.withColumn("rn", row_number().over(wH))
+        .filter(col("rn") === 1)
+      val ktok = kept.select(col("doc_id"), col("lang"),
+        explode(col("btoks")).as("tk"))
+      val vocab = ktok.groupBy(col("lang").as("vlang"), col("tk").as("vtk"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = vocab.groupBy(col("vlang"))
+        .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_vocab"))
+      val probs = vocab.join(broadcast(totals), "vlang")
+        .select(col("vlang"), col("vtk"),
+          ((col("cnt") + 1.0) / (col("n_tok") + col("n_vocab"))).as("p"))
+      val scored = ktok
+        .join(probs, col("lang") === col("vlang") && col("tk") === col("vtk"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("kept_toks"),
+          Det.qz(Det.dsum(-log(col("p"))) / count(lit(1))).as("avg_nll"))
+      val cuts = scored.groupBy(col("lang").as("plang"))
+        .agg(Det.qz(expr("percentile(avg_nll, 0.3333333333333333)")).as("c1"),
+          Det.qz(expr("percentile(avg_nll, 0.6666666666666666)")).as("c2"))
+      scored.join(broadcast(cuts), col("lang") === col("plang"))
+        .withColumn("bucket",
+          when(col("avg_nll") <= col("c1"), "head")
+            .when(col("avg_nll") <= col("c2"), "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept_toks")).as("kept_toks"),
+          Det.qz(Det.dsum(col("avg_nll")) / count(lit(1))).as("mean_nll"))
+        .orderBy("lang", "bucket")
+    },
+    Some(s"""
+      WITH lang AS (
+        SELECT doc_id, $langPredictSql AS predicted
+        FROM (SELECT doc_id, $langScoresSql FROM documents) a),
+      raw AS (
+        SELECT d.doc_id, l.predicted AS lang,
+               regexp_split_to_array(trim(d.text), '\\s+') AS toks
+        FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+        WHERE l.predicted <> 'und'),
+      blocks AS (
+        SELECT doc_id, lang, j,
+               md5(array_to_string(toks[j*$d9blk+1 : j*$d9blk+$d9blk], ' ')) AS h
+        FROM (SELECT doc_id, lang, toks,
+                     unnest(range(0, CAST(len(toks)/$d9blk AS INTEGER) + 1)) AS j
+              FROM raw) r
+        WHERE len(toks[j*$d9blk+1 : j*$d9blk+$d9blk]) = $d9blk),
+      kept AS (
+        SELECT doc_id, lang, j FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, j) AS rn
+          FROM blocks) z WHERE rn = 1),
+      ktok AS (
+        SELECT k.doc_id, k.lang,
+               unnest(r.toks[k.j*$d9blk+1 : k.j*$d9blk+$d9blk]) AS tk
+        FROM kept k JOIN raw r ON k.doc_id = r.doc_id),
+      vocab AS (
+        SELECT lang, tk, COUNT(*) AS cnt FROM ktok GROUP BY 1, 2),
+      totals AS (
+        SELECT lang, SUM(cnt) AS n_tok, COUNT(*) AS n_vocab FROM vocab GROUP BY 1),
+      probs AS (
+        SELECT v.lang, v.tk, (cnt + 1.0) / (n_tok + n_vocab) AS p
+        FROM vocab v JOIN totals t ON v.lang = t.lang),
+      scored AS (
+        SELECT k.doc_id, k.lang, COUNT(*) AS kept_toks,
+               ${Det.qzSql(s"${Det.dsumSql("-ln(p)")} / COUNT(*)")} AS avg_nll
+        FROM ktok k JOIN probs p ON k.lang = p.lang AND k.tk = p.tk
+        GROUP BY 1, 2),
+      cuts AS (
+        SELECT lang AS plang,
+               ${Det.qzSql("quantile_cont(avg_nll, 0.3333333333333333)")} AS c1,
+               ${Det.qzSql("quantile_cont(avg_nll, 0.6666666666666666)")} AS c2
+        FROM scored GROUP BY lang),
+      bucketed AS (
+        SELECT s.lang, s.kept_toks, s.avg_nll,
+               CASE WHEN s.avg_nll <= c.c1 THEN 'head'
+                    WHEN s.avg_nll <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN cuts c ON s.lang = c.plang)
+      SELECT lang, bucket, COUNT(*) AS n_docs,
+             CAST(SUM(kept_toks) AS BIGINT) AS kept_toks,
+             ${Det.qzSql(s"${Det.dsumSql("avg_nll")} / COUNT(*)")} AS mean_nll
+      FROM bucketed GROUP BY 1, 2 ORDER BY lang, bucket"""))
+
   // ---- d22_url_content_incremental: composite-key incremental dedup ----
   // The document-level admission rule a crawl ingest actually runs: a
   // new-batch row is admitted iff NEITHER its canonical URL NOR its
@@ -3194,6 +3309,7 @@ object TrainingData {
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
+    "p4_ccnet_pipeline" -> p4,
     "d1_dedup_exact" -> d1,
     "d2_dedup_ngram_jaccard" -> d2,
     "d3_dedup_minhash" -> d3,

@@ -128,6 +128,41 @@ class Round11Spec extends SparkSpec {
       "substring excision removed nothing corpus-wide — stage is inert")
   }
 
+  // ---- p4: the CCNet stage order ----------------------------------------
+
+  test("p4 terciles partition each language's docs and paragraph dedup bites") {
+    val rows = SparkEntry.queries("p4_ccnet_pipeline")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val buckets = rs.map(_.getAs[String]("bucket")).toSet
+      assert(buckets.subsetOf(Set("head", "middle", "tail")), s"$lang: $buckets")
+      // exact terciles: no bucket may hold more than ~half of the docs
+      // (ties on quantized NLL can shift the thirds, but not collapse them)
+      val counts = rs.map(_.getAs[Long]("n_docs"))
+      val total = counts.sum
+      assert(counts.max <= (total + 1) / 2 + 1,
+        s"$lang tercile collapse: $counts")
+      // mean NLL must be non-decreasing head -> middle -> tail by
+      // construction of the cut
+      val nll = rs.map(r => r.getAs[String]("bucket") -> r.getAs[Double]("mean_nll")).toMap
+      for (a <- nll.get("head"); b <- nll.get("middle")) assert(a <= b)
+      for (b <- nll.get("middle"); c <- nll.get("tail")) assert(b <= c)
+    }
+    // dedup stage bites: kept tokens < total full-block tokens of the
+    // langid survivors (the fixture contains duplicate text)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("predicted", graft.functions.Text.langPredict(col("text")))
+      .filter(col("predicted") =!= "und")
+    val fullBlockToks = docs.select(
+        (floor(size(graft.functions.Text.tokens(col("text"))) / 20) * 20).as("bt"))
+      .agg(sum("bt")).collect()(0).getLong(0)
+    val keptToks = rows.map(_.getAs[Long]("kept_toks")).sum
+    assert(keptToks < fullBlockToks,
+      s"paragraph dedup removed nothing: $keptToks of $fullBlockToks")
+  }
+
   // ---- incremental ingest: d14's bloom path over snapshot commits -------
 
   test("SnapshotTable.ingest admits exactly new-content rows, incrementally") {
