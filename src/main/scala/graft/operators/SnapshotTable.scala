@@ -139,8 +139,15 @@ object SnapshotTable {
       if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(df(_)): _*) else repart
     val nextDir = snapDir(path, v + 1)
     sorted.write.mode("overwrite").format(format).save(new Path(path, nextDir).toString)
-    // Compaction also collapses an append chain back to ONE directory
-    // (and its bloom carries over unchanged — same content, same set).
+    // Compaction also collapses an append chain back to ONE directory.
+    // Its bloom carries over unchanged (same content, same set), and the
+    // hash sidecar — when the whole chain has one — collapses by pure
+    // hash union, no payload re-hash.
+    val srcSidecars = dirs.map(d => hashesDir(path, d))
+    if (srcSidecars.nonEmpty && srcSidecars.forall(f.exists))
+      spark.read.format(format).load(srcSidecars.map(_.toString): _*)
+        .write.mode("overwrite").format(format)
+        .save(hashesDir(path, nextDir).toString)
     commit(spark, path, v + 1, Seq(nextDir), format)
     copyBloom(spark, path, v, v + 1)
     val after = f.listStatus(new Path(path, nextDir)).count(s => s.isFile &&
@@ -168,7 +175,10 @@ object SnapshotTable {
       .flatMap(v => readManifest(spark, path, v)._1).toSet
     drop.foreach { v =>
       val (dirs, _) = readManifest(spark, path, v)
-      dirs.filterNot(retainedDirs).foreach(d => f.delete(new Path(path, d), true))
+      dirs.filterNot(retainedDirs).foreach { d =>
+        f.delete(new Path(path, d), true)
+        f.delete(hashesDir(path, d), true)
+      }
       f.delete(manifest(path, v), false)
       f.delete(bloomFile(path, v), false)
     }
@@ -180,6 +190,39 @@ object SnapshotTable {
 
   private def bloomFile(path: String, v: Long) =
     new Path(versionsDir(path), f"b$v%08d.bin")
+
+  /** Per-data-directory md5 sidecar (`_hashes/<dirname>`): the exact-
+    * verify anti-join's build side as hash-only parquet (~16 B/row), so
+    * verifying probe-positives reads hashes, never the full payload — at
+    * 100 TB that is the difference between a hash-column scan and a
+    * whole-table scan per ingest. `read()` loads only manifest dirs, so
+    * sidecars never pollute table reads; a missing sidecar (e.g. a
+    * snapshot written by plain [[write]]) falls back to hashing the
+    * payload once.
+    */
+  private def hashesDir(path: String, dataDir: String) =
+    new Path(new Path(path, "_hashes"), dataDir)
+
+  private def writeHashSidecar(spark: SparkSession, path: String, dataDir: String,
+                               data: DataFrame, textCol: String, format: String): Unit = {
+    import org.apache.spark.sql.functions._
+    data.select(md5(col(textCol)).as("__h"))
+      .write.mode("overwrite").format(format)
+      .save(hashesDir(path, dataDir).toString)
+  }
+
+  /** Union of the chain's hash sidecars when they all exist; else one
+    * fallback scan hashing the current snapshot's payload.
+    */
+  private def existingHashes(spark: SparkSession, path: String, dirs: Seq[String],
+                             textCol: String, format: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, new Path(path))
+    val sidecars = dirs.map(d => hashesDir(path, d))
+    if (sidecars.nonEmpty && sidecars.forall(f.exists))
+      spark.read.format(format).load(sidecars.map(_.toString): _*)
+    else read(spark, path).select(md5(col(textCol)).as("__h"))
+  }
 
   private def readBloom(spark: SparkSession, path: String,
                         v: Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
@@ -222,10 +265,12 @@ object SnapshotTable {
     *  3. Probe-negative rows (the overwhelming majority at normal dup
     *     rates) are definitely-new and never join; probe-positive rows
     *     (true dups + the fpp share) resolve EXACTLY against the
-    *     existing table's md5 projection — a 1-column scan on the big
-    *     side, keyed anti-join sized by the bloom's positive rate. The
-    *     sketch is a pure prefilter: output is exactly "incoming minus
-    *     exact content duplicates", fully deterministic.
+    *     chain's md5 HASH SIDECARS (`_hashes/<dir>`, ~16 B/row — the
+    *     verify pass reads hashes, never the payload; a sidecar-less
+    *     snapshot falls back to hashing the payload once), keyed
+    *     anti-join sized by the bloom's positive rate. The sketch is a
+    *     pure prefilter: output is exactly "incoming minus exact
+    *     content duplicates", fully deterministic.
     *
     * Re-ingesting a batch is idempotent (its content is now in the
     * table, so the delta is empty and version still advances by one —
@@ -242,6 +287,7 @@ object SnapshotTable {
     val cur = currentVersion(spark, path)
     val next = cur.getOrElse(0L) + 1
     val deltaDir = snapDir(path, next)
+    val parentDirs = cur.map(v => readManifest(spark, path, v)._1).getOrElse(Nil)
     // Prior-content bloom: the sidecar when present (O(1)), else ONE
     // rebuild scan of the current snapshot. It MUST cover all existing
     // content — a gap would let a duplicate pass as probe-negative.
@@ -252,7 +298,6 @@ object SnapshotTable {
     val delta = priorBloom match {
       case None => incoming
       case Some(bloom) =>
-        val existing = read(spark, path)
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos)
         val probe = call_function("graft_might_contain",
@@ -260,7 +305,7 @@ object SnapshotTable {
         val definitelyNew = incoming.filter(!probe)
         val needsCheck = incoming.filter(probe)
         val verifiedNew = needsCheck.join(
-          existing.select(md5(col(textCol)).as("__h")).distinct(),
+          existingHashes(spark, path, parentDirs, textCol, format).distinct(),
           md5(needsCheck(textCol)) === col("__h"), "left_anti")
         definitelyNew.unionByName(verifiedNew)
     }
@@ -286,10 +331,10 @@ object SnapshotTable {
           .stat.bloomFilter(xxhash64(col(textCol)), expectedItems, fpp)
       case None => deltaBloom
     }
-    val parentDirs = cur.map(v => readManifest(spark, path, v)._1).getOrElse(Nil)
-    // Publish the bloom BEFORE the manifest rename: when the version
-    // becomes visible its sidecar already exists (a lost race leaves an
-    // orphan sidecar, which expire() sweeps).
+    // Publish sidecars BEFORE the manifest rename: when the version
+    // becomes visible its bloom and the delta's hash sidecar already
+    // exist (a lost race leaves orphans, which expire() sweeps).
+    writeHashSidecar(spark, path, deltaDir, written, textCol, format)
     writeBloom(spark, path, next, merged)
     commit(spark, path, next, parentDirs :+ deltaDir, format)
     IngestStats(next, incoming.count(), nNew)

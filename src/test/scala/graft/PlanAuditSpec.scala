@@ -456,6 +456,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
   }
 
+  test("p4: LM totals and tercile cuts broadcast; no pairwise step anywhere") {
+    val p = planOf("p4_ccnet_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join shape in p4:\n${p.take(1200)}")
+    // the per-lang LM totals and the per-lang tercile cut table are
+    // bounded by the language count — they must ride to the corpus as
+    // broadcasts, never shuffle the token stream against them
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
   test("p3: the substring stage adds only linear keyed exchanges to p1's funnel") {
     val p = planOf("p3_curation_pipeline")
     assert(!p.contains("CartesianProduct") &&

@@ -190,6 +190,11 @@ class Round11Spec extends SparkSpec {
     // the commits were APPENDS: v3 still reads data written at v1
     assert(new java.io.File(path, "snap-00000001").exists(),
       "append commit must not rewrite the parent snapshot's files")
+    // every delta carries its hash sidecar, so exact-verify reads
+    // ~16 B/row instead of the payload
+    assert(new java.io.File(s"$path/_hashes", "snap-00000001").exists() &&
+      new java.io.File(s"$path/_hashes", "snap-00000003").exists(),
+      "ingest must publish the per-delta md5 sidecar")
   }
 
   test("SnapshotTable compaction collapses an ingest chain; expire keeps shared dirs") {
