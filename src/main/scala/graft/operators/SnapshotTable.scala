@@ -333,7 +333,11 @@ object SnapshotTable {
     }
     // Publish sidecars BEFORE the manifest rename: when the version
     // becomes visible its bloom and the delta's hash sidecar already
-    // exist (a lost race leaves orphans, which expire() sweeps).
+    // exist. A lost commit race leaves the staged delta dir + sidecars
+    // as orphans — harmless (never referenced by any manifest; expire()
+    // only walks committed manifests, so production cleanup of
+    // never-committed staging dirs is a separate janitor concern, as in
+    // every manifest-based table format).
     writeHashSidecar(spark, path, deltaDir, written, textCol, format)
     writeBloom(spark, path, next, merged)
     commit(spark, path, next, parentDirs :+ deltaDir, format)
