@@ -52,7 +52,11 @@ object Bench {
     val ambientLoad = loadAvg()
     val hostCpus = Runtime.getRuntime.availableProcessors()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Parsed ONCE to an Int: the raw string feeds shuffle.partitions
+    // (where "*" fails at query time anyway) AND the JSON line (where an
+    // unquoted non-integer would corrupt the one line the driver
+    // parses) — fail loudly here instead of either failure mode.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.builderDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))

@@ -49,8 +49,14 @@ object Multimodal {
 
   def frameFingerprints(payload: org.apache.spark.sql.Column, nFrames: org.apache.spark.sql.Column,
                         frameLen: Int, stride: Int): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), nFrames - 1),
-      i => substring(md5(encode(payload.substr(i * stride + 1, lit(frameLen)), "UTF-8")), 1, 8))
+    // nFrames = 0 must yield an EMPTY array: Spark's sequence(0, -1)
+    // counts DOWN to [0, -1] (the same pitfall Text.shinglesAt guards),
+    // which would fabricate two garbage fingerprints for a payload that
+    // has no frames at all.
+    when(nFrames > 0,
+      transform(sequence(lit(0), nFrames - 1),
+        i => substring(md5(encode(payload.substr(i * stride + 1, lit(frameLen)), "UTF-8")), 1, 8)))
+      .otherwise(array().cast("array<string>"))
 
   /** Batch "decode + featurize" over binary payloads via mapPartitions —
     * the partition-preserving, executor-local iteration a real codec

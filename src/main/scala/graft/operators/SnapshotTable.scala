@@ -37,7 +37,16 @@ object SnapshotTable {
   private def versionsDir(path: String) = new Path(path, "_versions")
   private def manifest(path: String, v: Long) =
     new Path(versionsDir(path), f"v$v%08d.txt")
-  private def snapDir(path: String, v: Long) = f"snap-$v%08d"
+
+  /** UNIQUE staging name for version v's new directory. Two racers for
+    * the same version number stage into DIFFERENT directories, so the
+    * loser's writes can never land inside (or overwrite) the winner's
+    * committed files — the manifest rename stays the single point of
+    * truth. The version prefix keeps listings readable; the suffix is
+    * what makes the optimistic-concurrency retry actually safe.
+    */
+  private def stageDir(v: Long): String =
+    f"snap-$v%08d-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Latest committed version, if any. */
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
@@ -56,29 +65,44 @@ object SnapshotTable {
     * lists one directory; an append commit ([[ingest]]) lists the
     * parent's directories plus its delta directory, so appending is
     * O(delta) — no snapshot ever rewrites prior files. Line 2 is the
-    * format.
+    * format. Optional line 3 names the version's content-bloom sidecar
+    * file (absent for plain [[write]] commits and pre-bloom manifests);
+    * naming the bloom IN the manifest — instead of a deterministic
+    * per-version filename — is what lets two commit racers stage
+    * independent blooms without either overwriting the other's.
     */
-  private def readManifest(spark: SparkSession, path: String, v: Long): (Seq[String], String) = {
+  private def readManifestFull(spark: SparkSession, path: String,
+                               v: Long): (Seq[String], String, Option[String]) = {
     val f = fs(spark, manifest(path, v))
     val in = f.open(manifest(path, v))
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val Array(dirs, format) = content.trim.split("\n").take(2)
-    (dirs.split(",").toSeq, format)
+    val lines = content.trim.split("\n")
+    (lines(0).split(",").toSeq, lines(1), lines.drop(2).headOption.filter(_.nonEmpty))
+  }
+
+  private def readManifest(spark: SparkSession, path: String, v: Long): (Seq[String], String) = {
+    val (dirs, format, _) = readManifestFull(spark, path, v)
+    (dirs, format)
   }
 
   /** Atomic publish: write a temp manifest, rename to the versioned name.
     * Returns the committed version; retries (writing on top of the new
     * state is the CALLER's job, so a lost race throws for writers that
-    * staged against a stale parent — optimistic concurrency).
+    * staged against a stale parent — optimistic concurrency). Staged
+    * artifacts all carry caller-unique names ([[stageDir]], uniquely
+    * named blooms), so a lost race leaves only unreferenced orphans.
     */
   private def commit(spark: SparkSession, path: String, expectedNext: Long,
-                     dirs: Seq[String], format: String): Long = {
+                     dirs: Seq[String], format: String,
+                     bloomName: Option[String] = None): Long = {
     val vd = versionsDir(path)
     val f = fs(spark, vd)
     f.mkdirs(vd)
     val tmp = new Path(vd, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(s"${dirs.mkString(",")}\n$format\n".getBytes("UTF-8")) finally out.close()
+    try out.write(
+      (s"${dirs.mkString(",")}\n$format\n" + bloomName.map(_ + "\n").getOrElse(""))
+        .getBytes("UTF-8")) finally out.close()
     val target = manifest(path, expectedNext)
     if (f.exists(target) || !f.rename(tmp, target)) {
       f.delete(tmp, false)
@@ -95,7 +119,7 @@ object SnapshotTable {
   def write(spark: SparkSession, df: DataFrame, path: String,
             format: String = "parquet"): Long = {
     val next = currentVersion(spark, path).getOrElse(0L) + 1
-    val dir = snapDir(path, next)
+    val dir = stageDir(next)
     df.write.mode("overwrite").format(format).save(new Path(path, dir).toString)
     commit(spark, path, next, Seq(dir), format)
   }
@@ -126,7 +150,7 @@ object SnapshotTable {
               sortCols: Seq[String] = Nil): Sink.CompactionStats = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
-    val (dirs, format) = readManifest(spark, path, v)
+    val (dirs, format, bloomName) = readManifestFull(spark, path, v)
     val f = fs(spark, new Path(path))
     val before = dirs.flatMap(d => f.listStatus(new Path(path, d))).filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
@@ -137,19 +161,22 @@ object SnapshotTable {
     val repart = df.repartition(nOut)
     val sorted =
       if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(df(_)): _*) else repart
-    val nextDir = snapDir(path, v + 1)
+    val nextDir = stageDir(v + 1)
     sorted.write.mode("overwrite").format(format).save(new Path(path, nextDir).toString)
     // Compaction also collapses an append chain back to ONE directory.
-    // Its bloom carries over unchanged (same content, same set), and the
-    // hash sidecar — when the whole chain has one — collapses by pure
-    // hash union, no payload re-hash.
+    // The hash sidecar — when the whole chain has one — collapses by
+    // pure hash union (no payload re-hash), and the bloom carries over
+    // BY REFERENCE: the new manifest names the same bloom file (same
+    // content, same set — expire refcounts bloom names like dirs).
     val srcSidecars = dirs.map(d => hashesDir(path, d))
     if (srcSidecars.nonEmpty && srcSidecars.forall(f.exists))
       spark.read.format(format).load(srcSidecars.map(_.toString): _*)
         .write.mode("overwrite").format(format)
         .save(hashesDir(path, nextDir).toString)
-    commit(spark, path, v + 1, Seq(nextDir), format)
-    copyBloom(spark, path, v, v + 1)
+    val carried = bloomName.orElse(
+      Some(legacyBloomFile(path, v).getName)
+        .filter(n => f.exists(new Path(versionsDir(path), n))))
+    commit(spark, path, v + 1, Seq(nextDir), format, carried)
     val after = f.listStatus(new Path(path, nextDir)).count(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     Sink.CompactionStats(before.length, after, totalBytes)
@@ -171,16 +198,21 @@ object SnapshotTable {
       .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption)
       .sorted
     val drop = versions.dropRight(keep)
-    val retainedDirs = versions.takeRight(keep)
-      .flatMap(v => readManifest(spark, path, v)._1).toSet
+    val retained = versions.takeRight(keep).map(v => readManifestFull(spark, path, v))
+    val retainedDirs = retained.flatMap(_._1).toSet
+    // bloom files are shared by reference across compactions — refcount
+    // their names exactly like dirs
+    val retainedBlooms = retained.flatMap(_._3).toSet
     drop.foreach { v =>
-      val (dirs, _) = readManifest(spark, path, v)
+      val (dirs, _, bloomName) = readManifestFull(spark, path, v)
       dirs.filterNot(retainedDirs).foreach { d =>
         f.delete(new Path(path, d), true)
         f.delete(hashesDir(path, d), true)
       }
       f.delete(manifest(path, v), false)
-      f.delete(bloomFile(path, v), false)
+      (bloomName.toSeq :+ legacyBloomFile(path, v).getName)
+        .filterNot(retainedBlooms)
+        .foreach(n => f.delete(new Path(versionsDir(path), n), false))
     }
     drop.length
   }
@@ -188,8 +220,23 @@ object SnapshotTable {
   // ---- incremental content-dedup ingest (the d14 bloom path over
   // commits) --------------------------------------------------------------
 
-  private def bloomFile(path: String, v: Long) =
+  /** Pre-manifest-named bloom location (versions written before blooms
+    * were named in the manifest); also the fallback read path.
+    */
+  private def legacyBloomFile(path: String, v: Long) =
     new Path(versionsDir(path), f"b$v%08d.bin")
+
+  /** Content identity key: md5 of the payload, with NULL payloads mapped
+    * to a sentinel no 32-hex-char md5 can equal. NULL content is still
+    * content — two null-payload rows are duplicates of each other — and
+    * nothing in the probe/verify path may be nullable: a null join key
+    * would evaluate the anti-join condition to NULL, the left_anti
+    * would KEEP the row, and every replay would re-admit it.
+    */
+  private def contentKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(md5(c), lit("<null>"))
+  }
 
   /** Per-data-directory md5 sidecar (`_hashes/<dirname>`): the exact-
     * verify anti-join's build side as hash-only parquet (~16 B/row), so
@@ -206,13 +253,16 @@ object SnapshotTable {
   private def writeHashSidecar(spark: SparkSession, path: String, dataDir: String,
                                data: DataFrame, textCol: String, format: String): Unit = {
     import org.apache.spark.sql.functions._
-    data.select(md5(col(textCol)).as("__h"))
+    data.select(contentKey(col(textCol)).as("__h"))
       .write.mode("overwrite").format(format)
       .save(hashesDir(path, dataDir).toString)
   }
 
   /** Union of the chain's hash sidecars when they all exist; else one
-    * fallback scan hashing the current snapshot's payload.
+    * fallback scan hashing the current snapshot's payload. No distinct:
+    * the consumer is a left_anti probe ("does a match exist"), which
+    * duplicate build keys cannot change — deduplicating the whole
+    * history's key set per ingest would buy nothing.
     */
   private def existingHashes(spark: SparkSession, path: String, dirs: Seq[String],
                              textCol: String, format: String): DataFrame = {
@@ -221,30 +271,32 @@ object SnapshotTable {
     val sidecars = dirs.map(d => hashesDir(path, d))
     if (sidecars.nonEmpty && sidecars.forall(f.exists))
       spark.read.format(format).load(sidecars.map(_.toString): _*)
-    else read(spark, path).select(md5(col(textCol)).as("__h"))
+    else read(spark, path).select(contentKey(col(textCol)).as("__h"))
   }
 
+  /** Resolve version v's bloom: the manifest-named sidecar when line 3
+    * is present, else the legacy per-version filename.
+    */
   private def readBloom(spark: SparkSession, path: String,
                         v: Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val bf = bloomFile(path, v)
-    val f = fs(spark, bf)
-    if (!f.exists(bf)) None
-    else {
-      val in = f.open(bf)
-      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in)) finally in.close()
-    }
+    val f = fs(spark, versionsDir(path))
+    val named = readManifestFull(spark, path, v)._3
+      .map(n => new Path(versionsDir(path), n))
+    named.filter(f.exists).orElse(Some(legacyBloomFile(path, v)).filter(f.exists))
+      .map { bf =>
+        val in = f.open(bf)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+      }
   }
 
-  private def writeBloom(spark: SparkSession, path: String, v: Long,
-                         bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
-    val bf = bloomFile(path, v)
+  private def writeBloomAt(spark: SparkSession, path: String, name: String,
+                           bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val bf = new Path(versionsDir(path), name)
     val f = fs(spark, bf)
-    val out = f.create(bf, true)
+    f.mkdirs(versionsDir(path))
+    val out = f.create(bf, false) // unique name per committer: never overwrite
     try bloom.writeTo(out) finally out.close()
   }
-
-  private def copyBloom(spark: SparkSession, path: String, from: Long, to: Long): Unit =
-    readBloom(spark, path, from).foreach(writeBloom(spark, path, to, _))
 
   final case class IngestStats(version: Long, nIncoming: Long, nNew: Long)
 
@@ -253,11 +305,12 @@ object SnapshotTable {
     * dedup at 100 TB, [[Dedup.newDocuments]] wired over snapshot
     * commits). Three properties make it scale:
     *
-    *  1. The content bloom is a PERSISTED SIDECAR (`_versions/bNNN.bin`)
-    *     updated by merging the delta's bloom — bloom-of-union is the
-    *     bitwise OR at fixed (expectedItems, fpp), so no ingest ever
-    *     rescans history to rebuild the filter; the filter cost is
-    *     O(delta) per commit forever.
+    *  1. The content bloom is a PERSISTED SIDECAR (a committer-unique
+    *     file under `_versions/`, NAMED in the manifest) updated by
+    *     merging the delta's bloom — bloom-of-union is the bitwise OR
+    *     at fixed (expectedItems, fpp), so no ingest ever rescans
+    *     history to rebuild the filter; the filter cost is O(delta)
+    *     per commit forever.
     *  2. The commit APPENDS: the new manifest lists the parent's
     *     directories plus one delta directory, so the write cost is
     *     O(new rows), never a table rewrite. [[compact]] collapses the
@@ -275,10 +328,13 @@ object SnapshotTable {
     * Re-ingesting a batch is idempotent (its content is now in the
     * table, so the delta is empty and version still advances by one —
     * commit history stays an audit log). Within-batch duplicates pass
-    * through, matching [[Dedup.newDocuments]]. `expectedItems`/`fpp`
-    * must stay constant per table (sidecar blooms merge only at equal
-    * parameters); a parameter change or missing sidecar falls back to
-    * one rebuild scan of the current snapshot.
+    * through, matching [[Dedup.newDocuments]]. NULL payloads dedup like
+    * any other content (the key is [[contentKey]]'s non-null sentinel —
+    * a raw md5 key would be NULL, the anti-join condition would
+    * evaluate to NULL, and every replay would re-admit the row).
+    * `expectedItems`/`fpp` must stay constant per table (sidecar blooms
+    * merge only at equal parameters); a parameter change or missing
+    * sidecar falls back to one rebuild scan of the current snapshot.
     */
   def ingest(spark: SparkSession, incoming: DataFrame, path: String,
              textCol: String, expectedItems: Long = 1000000L,
@@ -286,61 +342,71 @@ object SnapshotTable {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(spark, path)
     val next = cur.getOrElse(0L) + 1
-    val deltaDir = snapDir(path, next)
+    val deltaDir = stageDir(next)
     val parentDirs = cur.map(v => readManifest(spark, path, v)._1).getOrElse(Nil)
-    // Prior-content bloom: the sidecar when present (O(1)), else ONE
-    // rebuild scan of the current snapshot. It MUST cover all existing
-    // content — a gap would let a duplicate pass as probe-negative.
-    val priorBloom = cur.map { v =>
-      readBloom(spark, path, v).getOrElse(
-        read(spark, path).stat.bloomFilter(xxhash64(col(textCol)), expectedItems, fpp))
-    }
-    val delta = priorBloom match {
-      case None => incoming
-      case Some(bloom) =>
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        val probe = call_function("graft_might_contain",
-          lit(bos.toByteArray), xxhash64(col(textCol)))
-        val definitelyNew = incoming.filter(!probe)
-        val needsCheck = incoming.filter(probe)
-        val verifiedNew = needsCheck.join(
-          existingHashes(spark, path, parentDirs, textCol, format).distinct(),
-          md5(needsCheck(textCol)) === col("__h"), "left_anti")
-        definitelyNew.unionByName(verifiedNew)
-    }
-    delta.write.mode("overwrite").format(format)
-      .save(new Path(path, deltaDir).toString)
-    // The delta is on disk: count it and build its bloom from the
-    // WRITTEN files (one small scan — never re-executes the dedup plan).
-    val written = spark.read.format(format).load(new Path(path, deltaDir).toString)
-    val nNew = written.count()
-    // Spark's stat.bloomFilter NPEs on zero rows (its merge sees a null
-    // partial) — an empty delta contributes an empty filter anyway.
-    val deltaBloom =
-      if (nNew == 0) org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-      else written.stat.bloomFilter(xxhash64(col(textCol)), expectedItems, fpp)
-    val merged = priorBloom match {
-      case Some(prior) if prior.isCompatible(deltaBloom) =>
-        prior.mergeInPlace(deltaBloom); prior
-      case Some(_) =>
-        // caller changed (expectedItems, fpp) mid-table: rebuild once
-        // over the whole next snapshot so coverage stays total
-        read(spark, path).select(col(textCol))
-          .unionByName(written.select(col(textCol)))
-          .stat.bloomFilter(xxhash64(col(textCol)), expectedItems, fpp)
-      case None => deltaBloom
-    }
-    // Publish sidecars BEFORE the manifest rename: when the version
-    // becomes visible its bloom and the delta's hash sidecar already
-    // exist. A lost commit race leaves the staged delta dir + sidecars
-    // as orphans — harmless (never referenced by any manifest; expire()
-    // only walks committed manifests, so production cleanup of
-    // never-committed staging dirs is a separate janitor concern, as in
-    // every manifest-based table format).
-    writeHashSidecar(spark, path, deltaDir, written, textCol, format)
-    writeBloom(spark, path, next, merged)
-    commit(spark, path, next, parentDirs :+ deltaDir, format)
-    IngestStats(next, incoming.count(), nNew)
+    // Cache the batch: both probe branches and the stats count scan it,
+    // and a crawl batch is expensive to recompute (batch-sized to hold).
+    incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nIncoming = incoming.count()
+      // Prior-content bloom (keyed on xxhash64 of the CONTENT KEY): the
+      // sidecar when present (O(1)), else ONE rebuild scan of the
+      // current snapshot. It MUST cover all existing content — a gap
+      // would let a duplicate pass as probe-negative.
+      val priorBloom = cur.map { v =>
+        readBloom(spark, path, v).getOrElse(
+          read(spark, path).stat.bloomFilter(
+            xxhash64(contentKey(col(textCol))), expectedItems, fpp))
+      }
+      val delta = priorBloom match {
+        case None => incoming
+        case Some(bloom) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          val probe = call_function("graft_might_contain",
+            lit(bos.toByteArray), xxhash64(contentKey(col(textCol))))
+          val definitelyNew = incoming.filter(!probe)
+          val needsCheck = incoming.filter(probe)
+          val verifiedNew = needsCheck.join(
+            existingHashes(spark, path, parentDirs, textCol, format),
+            contentKey(needsCheck(textCol)) === col("__h"), "left_anti")
+          definitelyNew.unionByName(verifiedNew)
+      }
+      delta.write.mode("overwrite").format(format)
+        .save(new Path(path, deltaDir).toString)
+      // The delta is on disk: count it and build its bloom from the
+      // WRITTEN files (one small scan — never re-executes the dedup plan).
+      val written = spark.read.format(format).load(new Path(path, deltaDir).toString)
+      val nNew = written.count()
+      // Spark's stat.bloomFilter NPEs on zero rows (its merge sees a null
+      // partial) — an empty delta contributes an empty filter anyway.
+      val deltaBloom =
+        if (nNew == 0) org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+        else written.stat.bloomFilter(
+          xxhash64(contentKey(col(textCol))), expectedItems, fpp)
+      val merged = priorBloom match {
+        case Some(prior) if prior.isCompatible(deltaBloom) =>
+          prior.mergeInPlace(deltaBloom); prior
+        case Some(_) =>
+          // caller changed (expectedItems, fpp) mid-table: rebuild once
+          // over the whole next snapshot so coverage stays total
+          read(spark, path).select(col(textCol))
+            .unionByName(written.select(col(textCol)))
+            .stat.bloomFilter(xxhash64(contentKey(col(textCol))), expectedItems, fpp)
+        case None => deltaBloom
+      }
+      // Publish sidecars BEFORE the manifest rename: when the version
+      // becomes visible, its bloom and the delta's hash sidecar already
+      // exist. All staged names are committer-unique (stageDir suffix,
+      // bloom named after it), so a lost commit race leaves only
+      // unreferenced orphans — the winner's files are untouched, and
+      // janitor cleanup of never-committed staging dirs is a separate
+      // concern, as in every manifest-based table format.
+      val bloomName = f"b$next%08d-${deltaDir.takeRight(8)}.bin"
+      writeHashSidecar(spark, path, deltaDir, written, textCol, format)
+      writeBloomAt(spark, path, bloomName, merged)
+      commit(spark, path, next, parentDirs :+ deltaDir, format, Some(bloomName))
+      IngestStats(next, nIncoming, nNew)
+    } finally { incoming.unpersist(); () }
   }
 }

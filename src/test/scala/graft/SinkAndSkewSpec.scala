@@ -153,7 +153,10 @@ class SinkAndSkewSpec extends SparkSpec {
 
     // retention: expire(keep=1) drops snap-1; the current snapshot reads on
     assert(SnapshotTable.expire(spark, path, keep = 1) == 1)
-    assert(!hfs.exists(new org.apache.hadoop.fs.Path(path, "snap-00000001")))
+    // staged dirs carry a unique suffix — prove deletion by prefix listing
+    val v1Dirs = hfs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("snap-00000001"))
+    assert(v1Dirs.isEmpty, s"expire left v1 dirs: ${v1Dirs.mkString(",")}")
     assert(SnapshotTable.read(spark, path).count() == before.length)
   }
 
