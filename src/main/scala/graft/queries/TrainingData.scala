@@ -277,27 +277,15 @@ object TrainingData {
   // doc: run count, repeated-token mass, longest run, coverage
   // fraction — docs with no repeated run are absent by contract.
   private val d19k = 5
-  private val d19 = Q(
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val runs = Dedup.repeatedRuns(Tables.spread(docs, col("doc_id")),
-        "doc_id", "text", d19k, portableHash = true)
-      val toks = docs.select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
-      runs.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_runs"),
-          sum(col("p1") - col("p0") + 1).as("rep_tokens"),
-          max(col("p1") - col("p0") + 1).as("longest_run"))
-        .join(toks, "doc_id")
-        .withColumn("rep_frac", Det.qz(
-          col("rep_tokens").cast("double") / col("n_toks").cast("double"), 6))
-        .select("doc_id", "n_runs", "rep_tokens", "longest_run", "rep_frac")
-        .orderBy("doc_id")
-    },
-    Some(s"""
-      WITH w AS (
+
+  /** SQL twin of [[Dedup.repeatedRuns]] (portable-hash form) as the CTE
+    * chain `w → u → p → rep → fl → marked → rid → runs` over the doc
+    * table named by `src` — shared by d19, d20, and p3 so the three
+    * replays cannot drift.
+    */
+  private def repeatedRunsSql(src: String): String = s"""w AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-        FROM documents),
+        FROM $src),
       u AS (
         SELECT doc_id,
                unnest(list_transform(range(greatest(len(w) - ${d19k - 1}, 0)),
@@ -317,7 +305,26 @@ object TrainingData {
         FROM marked),
       runs AS (
         SELECT doc_id, run_id, MIN(pos) AS p0, MAX(pos) + ${d19k - 1} AS p1
-        FROM rid GROUP BY doc_id, run_id),
+        FROM rid GROUP BY doc_id, run_id)"""
+  private val d19 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val runs = Dedup.repeatedRuns(Tables.spread(docs, col("doc_id")),
+        "doc_id", "text", d19k, portableHash = true)
+      val toks = docs.select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
+      runs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_runs"),
+          sum(col("p1") - col("p0") + 1).as("rep_tokens"),
+          max(col("p1") - col("p0") + 1).as("longest_run"))
+        .join(toks, "doc_id")
+        .withColumn("rep_frac", Det.qz(
+          col("rep_tokens").cast("double") / col("n_toks").cast("double"), 6))
+        .select("doc_id", "n_runs", "rep_tokens", "longest_run", "rep_frac")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH ${repeatedRunsSql("documents")},
       toks AS (
         SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
         FROM documents)
@@ -375,29 +382,7 @@ object TrainingData {
         .orderBy("doc_id")
     },
     Some(s"""
-      WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-        FROM documents),
-      u AS (
-        SELECT doc_id,
-               unnest(list_transform(range(greatest(len(w) - ${d19k - 1}, 0)),
-                 i -> {'pos': i, 'h': ${Text.md5LongSql(s"array_to_string(w[i+1 : i+$d19k], ' ')")}})) AS s
-        FROM w),
-      p AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM u),
-      rep AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) >= 2),
-      fl AS (SELECT doc_id, pos FROM p JOIN rep USING (h)),
-      marked AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1000000) + $d19k
-                    THEN 1 ELSE 0 END AS newrun
-        FROM fl),
-      rid AS (
-        SELECT doc_id, pos,
-               SUM(newrun) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
-        FROM marked),
-      runs AS (
-        SELECT doc_id, run_id, MIN(pos) AS p0, MAX(pos) + ${d19k - 1} AS p1
-        FROM rid GROUP BY doc_id, run_id),
+      WITH ${repeatedRunsSql("documents")},
       covered AS (SELECT doc_id, unnest(range(p0, p1 + 1)) AS pos FROM runs),
       tk AS (
         SELECT doc_id,
@@ -2279,41 +2264,39 @@ object TrainingData {
   // repetition ratio uses array_distinct in-row, no token shuffle);
   // the dedup owner is one window over the content hash; the funnel
   // rollup is one keyed agg. Three exchanges total at any corpus size.
-  private val p1 = Q(
-    (s, dir) => {
-      val toks = Text.tokens(col("text"))
-      val dupFrac = Det.qz(lit(1.0) -
-        size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
-      val hw = Window.partitionBy(col("h"))
-      val staged = t(s, dir, "documents")
-        .withColumn("h", md5(col("text")))
-        .withColumn("predicted", Text.langPredict(col("text")))
-        .withColumn("score", Text.qualityScore(col("text")))
-        .withColumn("dup_frac", dupFrac)
-        .withColumn("n_toks", size(toks).cast("long"))
-        .withColumn("owner", min(col("doc_id")).over(hw))
-        .withColumn("g_lang", col("predicted") =!= "und")
-        .withColumn("g_quality", col("g_lang") && col("score") >= 0.4)
-        .withColumn("g_rep", col("g_quality") && col("dup_frac") <= 0.6)
-        .withColumn("g_kept", col("g_rep") && col("doc_id") === col("owner"))
-      staged.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("g_lang"), 1L).otherwise(0L)).as("n_lang"),
-          sum(when(col("g_quality"), 1L).otherwise(0L)).as("n_quality"),
-          sum(when(col("g_rep"), 1L).otherwise(0L)).as("n_rep"),
-          sum(when(col("g_kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("g_kept"), col("n_toks")).otherwise(0L)).as("kept_toks"))
-        .withColumn("yield_frac",
-          Det.qz(col("n_kept").cast("double") / col("n_total").cast("double"), 6))
-        .orderBy("source")
-    },
-    Some(s"""
-      WITH lang AS (
+  /** The p1 gate cascade (langid → quality → repetition → exact-dedup
+    * owner), shared by p1 and p3 so the two funnels cannot drift: one
+    * row per doc with the cumulative g_* flags.
+    */
+  private def stagedGates(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val dupFrac = Det.qz(lit(1.0) -
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
+    val hw = Window.partitionBy(col("h"))
+    t(s, dir, "documents")
+      .withColumn("h", md5(col("text")))
+      .withColumn("predicted", Text.langPredict(col("text")))
+      .withColumn("score", Text.qualityScore(col("text")))
+      .withColumn("dup_frac", dupFrac)
+      .withColumn("n_toks", size(toks).cast("long"))
+      .withColumn("owner", min(col("doc_id")).over(hw))
+      .withColumn("g_lang", col("predicted") =!= "und")
+      .withColumn("g_quality", col("g_lang") && col("score") >= 0.4)
+      .withColumn("g_rep", col("g_quality") && col("dup_frac") <= 0.6)
+      .withColumn("g_kept", col("g_rep") && col("doc_id") === col("owner"))
+  }
+
+  /** SQL twin of [[stagedGates]] as a CTE prefix (`lang`, `qual`,
+    * `staged`, `flags`) — `flags` carries the superset of columns both
+    * consumers read.
+    */
+  private def stagedGatesSql: String = s"""
+      lang AS (
         SELECT doc_id, $langPredictSql AS predicted
         FROM (SELECT doc_id, $langScoresSql FROM documents) a),
       qual AS ($qualityScoreSql),
       staged AS (
-        SELECT d.doc_id, d.source,
+        SELECT d.doc_id, d.source, d.text,
                l.predicted <> 'und' AS g_lang,
                (l.predicted <> 'und' AND q.score >= 0.4) AS g_quality,
                (l.predicted <> 'und' AND q.score >= 0.4 AND
@@ -2325,9 +2308,25 @@ object TrainingData {
         JOIN lang l ON d.doc_id = l.doc_id
         JOIN qual q ON d.doc_id = q.doc_id),
       flags AS (
-        SELECT source, n_toks, g_lang, g_quality, g_rep,
+        SELECT doc_id, source, text, n_toks, g_lang, g_quality, g_rep,
                (g_rep AND doc_id = owner) AS g_kept
-        FROM staged)
+        FROM staged)"""
+
+  private val p1 = Q(
+    (s, dir) => {
+      stagedGates(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("g_lang"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("g_quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("g_rep"), 1L).otherwise(0L)).as("n_rep"),
+          sum(when(col("g_kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("g_kept"), col("n_toks")).otherwise(0L)).as("kept_toks"))
+        .withColumn("yield_frac",
+          Det.qz(col("n_kept").cast("double") / col("n_total").cast("double"), 6))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH $stagedGatesSql
       SELECT source, COUNT(*) AS n_total,
              CAST(SUM(CASE WHEN g_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
              CAST(SUM(CASE WHEN g_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -2355,21 +2354,7 @@ object TrainingData {
   // exchanges of the runs pass over the (smaller) kept subset.
   private val p3 = Q(
     (s, dir) => {
-      val toks = Text.tokens(col("text"))
-      val dupFrac = Det.qz(lit(1.0) -
-        size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 6)
-      val hw = Window.partitionBy(col("h"))
-      val staged = t(s, dir, "documents")
-        .withColumn("h", md5(col("text")))
-        .withColumn("predicted", Text.langPredict(col("text")))
-        .withColumn("score", Text.qualityScore(col("text")))
-        .withColumn("dup_frac", dupFrac)
-        .withColumn("n_toks", size(toks).cast("long"))
-        .withColumn("owner", min(col("doc_id")).over(hw))
-        .withColumn("g_lang", col("predicted") =!= "und")
-        .withColumn("g_quality", col("g_lang") && col("score") >= 0.4)
-        .withColumn("g_rep", col("g_quality") && col("dup_frac") <= 0.6)
-        .withColumn("g_kept", col("g_rep") && col("doc_id") === col("owner"))
+      val staged = stagedGates(s, dir)
       val kept = staged.filter(col("g_kept"))
         .select(col("doc_id"), col("source"), col("text"), col("n_toks"))
       val removed = Dedup.repeatedRuns(Tables.spread(kept, col("doc_id")),
@@ -2396,50 +2381,9 @@ object TrainingData {
         .orderBy("source")
     },
     Some(s"""
-      WITH lang AS (
-        SELECT doc_id, $langPredictSql AS predicted
-        FROM (SELECT doc_id, $langScoresSql FROM documents) a),
-      qual AS ($qualityScoreSql),
-      staged AS (
-        SELECT d.doc_id, d.source, d.text,
-               l.predicted <> 'und' AS g_lang,
-               (l.predicted <> 'und' AND q.score >= 0.4) AS g_quality,
-               (l.predicted <> 'und' AND q.score >= 0.4 AND
-                FLOOR((1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(d.text), '\\s+'))) AS DOUBLE)
-                       / CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS DOUBLE)) * 1e6 + 0.5) / 1e6 <= 0.6) AS g_rep,
-               CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_toks,
-               MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS owner
-        FROM documents d
-        JOIN lang l ON d.doc_id = l.doc_id
-        JOIN qual q ON d.doc_id = q.doc_id),
-      flags AS (
-        SELECT doc_id, source, text, n_toks, g_lang, g_quality, g_rep,
-               (g_rep AND doc_id = owner) AS g_kept
-        FROM staged),
+      WITH $stagedGatesSql,
       kept AS (SELECT doc_id, source, text, n_toks FROM flags WHERE g_kept),
-      w AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-        FROM kept),
-      u AS (
-        SELECT doc_id,
-               unnest(list_transform(range(greatest(len(w) - ${d19k - 1}, 0)),
-                 i -> {'pos': i, 'h': ${Text.md5LongSql(s"array_to_string(w[i+1 : i+$d19k], ' ')")}})) AS s
-        FROM w),
-      p AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM u),
-      rep AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) >= 2),
-      fl AS (SELECT doc_id, pos FROM p JOIN rep USING (h)),
-      marked AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos > COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -1000000) + $d19k
-                    THEN 1 ELSE 0 END AS newrun
-        FROM fl),
-      rid AS (
-        SELECT doc_id, pos,
-               SUM(newrun) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
-        FROM marked),
-      runs AS (
-        SELECT doc_id, run_id, MIN(pos) AS p0, MAX(pos) + ${d19k - 1} AS p1
-        FROM rid GROUP BY doc_id, run_id),
+      ${repeatedRunsSql("kept")},
       removed AS (
         SELECT doc_id, CAST(SUM(p1 - p0 + 1) AS BIGINT) AS n_removed
         FROM runs GROUP BY doc_id),

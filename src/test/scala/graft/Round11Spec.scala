@@ -16,11 +16,10 @@ class Round11Spec extends SparkSpec {
     import spark.implicits._
     // two components: {1,2,3} (chain) and {10, 11}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
-    val out = graft.operators.Dedup.clusterMembers(pairs, "id1", "id2")
-      .orderBy("cluster").collect()
+    val cm = graft.operators.Dedup.clusterMembers(pairs, "id1", "id2")
+    val out = cm.orderBy("cluster").collect()
     assert(out.length == 2)
-    val membersField = graft.operators.Dedup.clusterMembers(pairs, "id1", "id2")
-      .schema("members").dataType
+    val membersField = cm.schema("members").dataType
     assert(membersField == ArrayType(LongType, containsNull = false) ||
       membersField == ArrayType(LongType, containsNull = true),
       s"members must stay a typed array<long> in the API, got $membersField")
