@@ -3104,8 +3104,17 @@ object TrainingData {
           col("col").as("btoks"))
         .withColumn("h", md5(array_join(col("btoks"), " ")))
       val wH = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("j"))
+      // Materialize the kept blocks ONCE: the token explode below feeds
+      // FOUR consumers (vocab, totals via vocab, and the scoring join's
+      // two sides), each pruning different columns — so Catalyst plans
+      // four non-identical subtrees and ReusedExchange never fires,
+      // re-running the block explode + dedup window per consumer
+      // (PLANS_r11.md showed the 4× repeat). Same checkpoint idiom as
+      // d18's mr-edge list; block rows are corpus-tokens/20 sized.
       val kept = blocks.withColumn("rn", row_number().over(wH))
         .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("btoks"))
+        .localCheckpoint(true)
       val ktok = kept.select(col("doc_id"), col("lang"),
         explode(col("btoks")).as("tk"))
       val vocab = ktok.groupBy(col("lang").as("vlang"), col("tk").as("vtk"))
