@@ -142,6 +142,27 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MinHash signature is an elementwise-min fold, independent of layout") {
+    val K = 16
+    val agg = graft.plans.MinHashSigAgg(BoundReference(0, LongType, nullable = true), K)
+    check("minhash", Prop.forAll(seededInput) { case (hs, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val bufs = partition(hs, rnd).map { part =>
+        val b = agg.createAggregationBuffer()
+        part.foreach(h => agg.update(b, InternalRow(h)))
+        b
+      }
+      val merged = rnd.shuffle(bufs).foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val direct = agg.createAggregationBuffer()
+      hs.foreach(h => agg.update(direct, InternalRow(h)))
+      // signature is a pure per-permutation min over the value SET —
+      // duplicates, order, and partitioning must all be invisible
+      val dedup = agg.createAggregationBuffer()
+      rnd.shuffle(hs.distinct).foreach(h => agg.update(dedup, InternalRow(h)))
+      merged.sameElements(direct) && merged.sameElements(dedup)
+    })
+  }
+
   test("CMS cell addressing stays in range over the full 63-bit hash domain") {
     val gen = for {
       h <- Gen.chooseNum(0L, Long.MaxValue)
