@@ -3104,17 +3104,18 @@ object TrainingData {
           col("col").as("btoks"))
         .withColumn("h", md5(array_join(col("btoks"), " ")))
       val wH = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("j"))
-      // Materialize the kept blocks ONCE: the token explode below feeds
-      // FOUR consumers (vocab, totals via vocab, and the scoring join's
-      // two sides), each pruning different columns — so Catalyst plans
-      // four non-identical subtrees and ReusedExchange never fires,
-      // re-running the block explode + dedup window per consumer
-      // (PLANS_r11.md showed the 4× repeat). Same checkpoint idiom as
-      // d18's mr-edge list; block rows are corpus-tokens/20 sized.
+      // The kept-block subplan feeds four differently-pruned consumers
+      // (vocab, totals, both scoring-join sides), so Catalyst plans four
+      // subtrees and ReusedExchange never fires. A localCheckpoint here
+      // was A/B-measured at sf1.0 and REVERTED: within one action the
+      // scheduler overlaps the duplicate branches, and the serialized
+      // materialize-then-reuse form was no faster (~6.8-8.5 s vs
+      // ~6.7-7.1 s) — unlike d18, where the recompute crossed ACTION
+      // boundaries (per-level collects) and the checkpoint genuinely
+      // removed serial re-execution. Duplication within a plan is wall-
+      // clock-free here; recompute across actions is not.
       val kept = blocks.withColumn("rn", row_number().over(wH))
         .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang"), col("btoks"))
-        .localCheckpoint(true)
       val ktok = kept.select(col("doc_id"), col("lang"),
         explode(col("btoks")).as("tk"))
       val vocab = ktok.groupBy(col("lang").as("vlang"), col("tk").as("vtk"))
