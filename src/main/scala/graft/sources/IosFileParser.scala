@@ -210,11 +210,29 @@ object IosFileParser {
     if (!(s.startsWith("(") && s.endsWith(")")))
       throw new IllegalArgumentException(s"not a parenthesized FORMAT: $fmt")
     var i = 0
+    // Hostile-input allocation bound: repeat counts EXPAND into the
+    // segment vector, so "(999999999(F8.2,I4))" in one corrupted header
+    // would OOM the executor before a single data row is read (fuzz-
+    // found, IosFuzzSpec). Real IOS formats carry dozens of fields;
+    // anything past the cap is malformed and routes to the width-based
+    // fallback like every other bad FORMAT.
+    val maxSegs = 10000L
+    var nSegs = 0L
+    def bump(n: Long): Unit = { // Long: rep × nested-group size can top Int
+      nSegs += n
+      if (nSegs > maxSegs) throw new IllegalArgumentException(
+        s"FORMAT expands past $maxSegs segments (hostile repeat count?): $fmt")
+    }
     def readInt(): Int = {
       val st = i
       while (i < s.length && s(i).isDigit) i += 1
       if (i == st) throw new IllegalArgumentException(s"expected digits at $st in $fmt")
-      s.substring(st, i).toInt
+      val digits = s.substring(st, i)
+      // 10-digit counts already exceed any sane format — reject before
+      // Int overflow can flip the value negative
+      if (digits.length > 7) throw new IllegalArgumentException(
+        s"absurd numeric '$digits' in $fmt")
+      digits.toInt
     }
     def parseGroup(): Vector[FmtSeg] = {
       i += 1 // consume '('
@@ -228,9 +246,11 @@ object IosFileParser {
           s(i) match {
             case '(' =>
               val inner = parseGroup()
+              bump(rep.toLong * inner.length)
               (0 until rep).foreach(_ => out ++= inner)
             case 'X' | 'x' =>
               i += 1
+              bump(1)
               out += FmtSeg(rep, isField = false, numeric = false)
             case d if "FfEeDdGg".indexOf(d) >= 0 =>
               i += 1
@@ -238,15 +258,18 @@ object IosFileParser {
               if (i < s.length && s(i) == '.') { i += 1; readInt() }
               // E15.7E3-style exponent-width suffix
               if (i < s.length && (s(i) == 'E' || s(i) == 'e')) { i += 1; readInt() }
+              bump(rep)
               (0 until rep).foreach(_ => out += FmtSeg(w, isField = true, numeric = true))
             case d if d == 'I' || d == 'i' =>
               i += 1
               val w = readInt()
               if (i < s.length && s(i) == '.') { i += 1; readInt() }
+              bump(rep)
               (0 until rep).foreach(_ => out += FmtSeg(w, isField = true, numeric = true))
             case d if d == 'A' || d == 'a' =>
               i += 1
               val w = readInt()
+              bump(rep)
               (0 until rep).foreach(_ => out += FmtSeg(w, isField = true, numeric = false))
             case other =>
               throw new IllegalArgumentException(s"unsupported descriptor '$other' in $fmt")
