@@ -12,11 +12,15 @@ object Explain {
     val spark = Sessions.local(8, 8)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val (out, names) = args.toSeq match {
+      case Seq("--snapshot") =>
+        sys.error("--snapshot needs a file operand: Explain --snapshot PLANS.md q1 ...")
       case "--snapshot" +: file +: rest => (Some(file), rest)
       case rest => (None, rest)
     }
     def planOf(name: String): String =
-      SparkEntry.queries(name)(spark, dir)
+      // a typo'd name fails loudly with the registry, like Bench
+      SparkEntry.queries.getOrElse(name, sys.error(
+        s"unknown query '$name'; registered: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))(spark, dir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
     out match {

@@ -104,12 +104,29 @@ object SnapshotTable {
       (s"${dirs.mkString(",")}\n$format\n" + bloomName.map(_ + "\n").getOrElse(""))
         .getBytes("UTF-8")) finally out.close()
     val target = manifest(path, expectedNext)
-    if (f.exists(target) || !f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(
-        s"concurrent commit won version $expectedNext at $path; " +
-          "re-stage against the current snapshot and retry")
+    // Publish = atomic create-if-absent of the target name. HDFS rename
+    // refuses an existing destination, so exists+rename suffices there —
+    // but POSIX rename(2) silently REPLACES an existing file, making
+    // exists-then-rename a TOCTOU on file:// (two racers could both
+    // "win", the second replacing the first's manifest and orphaning its
+    // committed delta). On local paths we publish via link(2) instead:
+    // hard-linking the tmp file to the target fails atomically with
+    // EEXIST when the slot is taken.
+    val isLocal = {
+      val scheme = target.toUri.getScheme
+      scheme == null || scheme == "file"
     }
+    val won =
+      if (isLocal) {
+        val tgt = java.nio.file.Paths.get(f.makeQualified(target).toUri.getPath)
+        val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+        try { java.nio.file.Files.createLink(tgt, src); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !f.exists(target) && f.rename(tmp, target)
+    if (isLocal || !won) f.delete(tmp, false)
+    if (!won) throw new java.io.IOException(
+      s"concurrent commit won version $expectedNext at $path; " +
+        "re-stage against the current snapshot and retry")
     expectedNext
   }
 
@@ -173,10 +190,10 @@ object SnapshotTable {
       spark.read.format(format).load(srcSidecars.map(_.toString): _*)
         .write.mode("overwrite").format(format)
         .save(hashesDir(path, nextDir).toString)
-    val carried = bloomName.orElse(
-      Some(legacyBloomFile(path, v).getName)
-        .filter(n => f.exists(new Path(versionsDir(path), n))))
-    commit(spark, path, v + 1, Seq(nextDir), format, carried)
+    // Only a manifest-NAMED bloom carries forward; a legacy per-version
+    // file is keyed on the pre-contentKey hash and must not be laundered
+    // into a named reference (readBloom would then trust it).
+    commit(spark, path, v + 1, Seq(nextDir), format, bloomName)
     val after = f.listStatus(new Path(path, nextDir)).count(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     Sink.CompactionStats(before.length, after, totalBytes)
@@ -274,20 +291,35 @@ object SnapshotTable {
     else read(spark, path).select(contentKey(col(textCol)).as("__h"))
   }
 
-  /** Resolve version v's bloom: the manifest-named sidecar when line 3
-    * is present, else the legacy per-version filename.
+  /** Resolve version v's bloom: ONLY the manifest-named sidecar. A
+    * legacy per-version file (pre-manifest-naming vintage) is
+    * deliberately NOT trusted: those blooms were keyed on
+    * xxhash64(payload), while the probe key is now xxhash64 of the
+    * [[contentKey]] — every legacy bit would be a false negative and a
+    * silently-broken coverage invariant. Returning None instead routes
+    * the caller to the one-scan rebuild, after which the table carries
+    * a correctly-keyed named bloom forever.
     */
   private def readBloom(spark: SparkSession, path: String,
                         v: Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val f = fs(spark, versionsDir(path))
-    val named = readManifestFull(spark, path, v)._3
+    readManifestFull(spark, path, v)._3
       .map(n => new Path(versionsDir(path), n))
-    named.filter(f.exists).orElse(Some(legacyBloomFile(path, v)).filter(f.exists))
+      .filter(f.exists)
       .map { bf =>
         val in = f.open(bf)
         try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
       }
   }
+
+  /** stat.bloomFilter NPEs on zero input rows (its merge sees a null
+    * partial) — every bloom-build site routes through this guard.
+    */
+  private def bloomOf(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+                      expectedItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    if (df.limit(1).count() == 0)
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    else df.stat.bloomFilter(keyCol, expectedItems, fpp)
 
   private def writeBloomAt(spark: SparkSession, path: String, name: String,
                            bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
@@ -346,17 +378,21 @@ object SnapshotTable {
     val parentDirs = cur.map(v => readManifest(spark, path, v)._1).getOrElse(Nil)
     // Cache the batch: both probe branches and the stats count scan it,
     // and a crawl batch is expensive to recompute (batch-sized to hold).
-    incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Only cache what WE cached: unpersisting a caller-established cache
+    // would silently evict it (persist is not refcounted).
+    val weCached = incoming.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nIncoming = incoming.count()
       // Prior-content bloom (keyed on xxhash64 of the CONTENT KEY): the
       // sidecar when present (O(1)), else ONE rebuild scan of the
-      // current snapshot. It MUST cover all existing content — a gap
-      // would let a duplicate pass as probe-negative.
+      // current snapshot (zero-row-guarded — a committed EMPTY snapshot
+      // is legal). It MUST cover all existing content — a gap would let
+      // a duplicate pass as probe-negative.
       val priorBloom = cur.map { v =>
         readBloom(spark, path, v).getOrElse(
-          read(spark, path).stat.bloomFilter(
-            xxhash64(contentKey(col(textCol))), expectedItems, fpp))
+          bloomOf(read(spark, path), xxhash64(contentKey(col(textCol))),
+            expectedItems, fpp))
       }
       val delta = priorBloom match {
         case None => incoming
@@ -378,21 +414,17 @@ object SnapshotTable {
       // WRITTEN files (one small scan — never re-executes the dedup plan).
       val written = spark.read.format(format).load(new Path(path, deltaDir).toString)
       val nNew = written.count()
-      // Spark's stat.bloomFilter NPEs on zero rows (its merge sees a null
-      // partial) — an empty delta contributes an empty filter anyway.
-      val deltaBloom =
-        if (nNew == 0) org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-        else written.stat.bloomFilter(
-          xxhash64(contentKey(col(textCol))), expectedItems, fpp)
+      val deltaBloom = bloomOf(written,
+        xxhash64(contentKey(col(textCol))), expectedItems, fpp)
       val merged = priorBloom match {
         case Some(prior) if prior.isCompatible(deltaBloom) =>
           prior.mergeInPlace(deltaBloom); prior
         case Some(_) =>
           // caller changed (expectedItems, fpp) mid-table: rebuild once
           // over the whole next snapshot so coverage stays total
-          read(spark, path).select(col(textCol))
-            .unionByName(written.select(col(textCol)))
-            .stat.bloomFilter(xxhash64(contentKey(col(textCol))), expectedItems, fpp)
+          bloomOf(read(spark, path).select(col(textCol))
+            .unionByName(written.select(col(textCol))),
+            xxhash64(contentKey(col(textCol))), expectedItems, fpp)
         case None => deltaBloom
       }
       // Publish sidecars BEFORE the manifest rename: when the version
@@ -407,6 +439,6 @@ object SnapshotTable {
       writeBloomAt(spark, path, bloomName, merged)
       commit(spark, path, next, parentDirs :+ deltaDir, format, Some(bloomName))
       IngestStats(next, nIncoming, nNew)
-    } finally { incoming.unpersist(); () }
+    } finally { if (weCached) { incoming.unpersist(); () } }
   }
 }

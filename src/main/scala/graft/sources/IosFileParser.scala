@@ -284,6 +284,14 @@ object IosFileParser {
     // trailing junk after the closing paren is a malformed line
     if (i < s.length && s.substring(i).trim.nonEmpty)
       throw new IllegalArgumentException(s"trailing content in $fmt")
+    // Bound the DECLARED RECORD WIDTH too: the segment cap alone still
+    // admits "(100A9999999)", and formatFields pads every data line to
+    // the declared total — a per-row multi-GB allocation from one
+    // hostile width (fuzz-found, IosFuzzSpec). Real IOS records are
+    // hundreds of chars.
+    val totalWidth = segs.map(_.width.toLong).sum
+    if (totalWidth > 100000L) throw new IllegalArgumentException(
+      s"FORMAT declares $totalWidth chars per record (hostile width?): $fmt")
     segs
   }
 
@@ -323,7 +331,12 @@ object IosFileParser {
   }
 
   private def fixedWidthFields(line: String, widths: Vector[Int]): Vector[String] = {
-    val total = widths.sum
+    // same hostile-width bound as the FORMAT path — channel-table widths
+    // are attacker-controlled input too, and padTo allocates the total
+    val totalL = widths.map(_.toLong).sum
+    if (totalL > 100000L) throw new IllegalArgumentException(
+      s"channel widths declare $totalL chars per record (hostile width?)")
+    val total = totalL.toInt
     val padded = if (line.length < total) line.padTo(total, ' ') else line
     val out = Vector.newBuilder[String]
     var off = 0

@@ -38,7 +38,11 @@ class IosFuzzSpec extends AnyFunSuite {
     // "(999999999(F8.2))"-style bombs: the parser expands repeat groups
     // into a segment vector — a naive expansion of a hostile count would
     // OOM before any data is read
-    val bomb = Gen.chooseNum(1000, Int.MaxValue).map(n => s"($n(F8.2,I4))")
+    val bomb = Gen.oneOf(
+      Gen.chooseNum(1000, Int.MaxValue).map(n => s"($n(F8.2,I4))"), // repeat bomb
+      Gen.chooseNum(100000, 9999999).map(w => s"(100A$w)"), // width bomb
+      Gen.chooseNum(100000, 9999999).map(w => s"(${w}X,F8.2)"), // skip-width bomb
+      Gen.const("(9999(999(9(F9.2))))")) // nested product bomb
     check("repeat-bomb", Prop.forAll(bomb) { fmt =>
       try { IosFileParser.parseFortranFormat(fmt); () }
       catch { case _: IllegalArgumentException => () }

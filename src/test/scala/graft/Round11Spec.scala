@@ -216,6 +216,39 @@ class Round11Spec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() == 3L)
   }
 
+  test("ingest onto a write()-created table rebuilds coverage; empty snapshots are legal") {
+    import spark.implicits._
+    import graft.operators.SnapshotTable
+    // write() commits no bloom sidecar: the next ingest must REBUILD
+    // coverage from the snapshot (never trust an absent/legacy bloom —
+    // pre-contentKey blooms are keyed differently and would pass
+    // duplicates as probe-negative)
+    val p1 = java.nio.file.Files.createTempDirectory("graft-write-ingest").toString
+    SnapshotTable.write(spark, Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), p1)
+    val s = SnapshotTable.ingest(spark,
+      Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text"), p1, "text", 100L)
+    assert(s.nNew == 1L, s"dup of write()-committed content re-admitted: $s")
+    assert(SnapshotTable.read(spark, p1).count() == 3L)
+    // a committed EMPTY snapshot must not NPE the bloom fallback
+    val p2 = java.nio.file.Files.createTempDirectory("graft-empty-ingest").toString
+    SnapshotTable.write(spark, Seq.empty[(Long, String)].toDF("doc_id", "text"), p2)
+    val s2 = SnapshotTable.ingest(spark,
+      Seq((1L, "a")).toDF("doc_id", "text"), p2, "text", 100L)
+    assert(s2.nNew == 1L)
+  }
+
+  test("ingest leaves a caller-established cache on the batch in place") {
+    import spark.implicits._
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-cache-ingest").toString
+    val df = Seq((1L, "x y z")).toDF("doc_id", "text").persist()
+    df.count()
+    SnapshotTable.ingest(spark, df, path, "text", 100L)
+    assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "ingest evicted the caller's cache")
+    df.unpersist()
+  }
+
   test("concurrent ingests: at most one commits per version, state stays consistent") {
     import spark.implicits._
     import graft.operators.SnapshotTable
