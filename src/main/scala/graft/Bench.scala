@@ -17,13 +17,17 @@ import org.apache.spark.sql.SparkSession
   * the same spike. With full sweeps the two samples of any one query are
   * separated by the entire rest of the suite (~minutes), so a transient
   * spike lands on DIFFERENT queries in each sweep and the min discards
-  * it. Failures are never swallowed: a query that throws is reported in
+  * it. When the two sweeps still disagree by >20% on a top-40 row, a
+  * third timing arbitrates (min-of-three, recorded in the artifact's
+  * "arbitrated" map) — that disagreement is itself the signature of a
+  * distorted sample. Failures are never swallowed: a query that throws is reported in
   * an "errors" map (and its slot holds the elapsed-time-to-failure), so
   * a regression cannot hide behind a plausible-looking timing.
   */
 object Bench {
 
-  private final case class R(name: String, cold: Double, warm: Double, err: Option[String])
+  private final case class R(name: String, cold: Double, warm: Double, err: Option[String],
+                             sweeps: Seq[Double], arbitrated: Boolean = false)
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -55,8 +59,15 @@ object Bench {
     // Parsed ONCE to an Int: the raw string feeds shuffle.partitions
     // (where "*" fails at query time anyway) AND the JSON line (where an
     // unquoted non-integer would corrupt the one line the driver
-    // parses) — fail loudly here instead of either failure mode.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // parses) — fail loudly here instead of either failure mode. The
+    // failure NAMES the env var: a driver log showing a bare
+    // NumberFormatException would not point at the misconfiguration.
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = try cpusRaw.toInt catch {
+      case _: NumberFormatException => sys.error(
+        s"SPARK_GRAFT_CPUS must be an integer thread count, got '$cpusRaw' " +
+          "(values like '*' are not supported: the count also sizes shuffle.partitions)")
+    }
     val spark = Sessions.builderDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -90,11 +101,30 @@ object Bench {
     // Sweep 2: every query again, minutes of other work later — except
     // queries that already failed (the error is the result; re-running
     // would bill a second failure's latency for nothing).
-    val results = sweep1.map { case (name, fn, (cold, err1)) =>
-      val (warm, err) =
-        if (err1.isDefined) (cold, err1)
-        else { val (w, e2) = once(fn); (math.min(cold, w), e2) }
-      R(name, cold, warm, err)
+    val twoSweeps = sweep1.map { case (name, fn, (cold, err1)) =>
+      val (warm, err, sweeps) =
+        if (err1.isDefined) (cold, err1, Seq(cold))
+        else { val (w, e2) = once(fn); (math.min(cold, w), e2, Seq(cold, w)) }
+      (R(name, cold, warm, err, sweeps), fn)
+    }
+    // Sweep 3 (ARBITRATION, round-12 calibration): min-of-two discards a
+    // spike that lands on ONE sweep, but r11 showed a softer failure
+    // mode — ambient load below the contention flag still inflated
+    // individual rows 15-25% when a co-tenant overlapped one of a row's
+    // two timings. When the two sweeps DISAGREE by >20% on a row that
+    // matters (the slowest 40, the rows the driver's compact line
+    // publishes), the disagreement itself is the evidence one sample was
+    // distorted — time that row a third time and keep min-of-three. Rows
+    // whose sweeps agree are left alone: a clean run pays nothing.
+    val top40Names = twoSweeps.map(_._1).sortBy(-_.warm).take(40).map(_.name).toSet
+    val results = twoSweeps.map { case (r, fn) =>
+      val disagree = r.err.isEmpty && r.sweeps.size == 2 &&
+        r.sweeps.max / math.max(r.sweeps.min, 1e-9) > 1.2
+      if (disagree && top40Names(r.name)) {
+        val (t3, e3) = once(fn)
+        if (e3.isDefined) r // a sweep-3 failure never overwrites two successes
+        else r.copy(warm = math.min(r.warm, t3), sweeps = r.sweeps :+ t3, arbitrated = true)
+      } else r
     }
     def fmt(v: Double): String = f"$v%.3f"
     val errs = results.filter(_.err.isDefined)
@@ -102,18 +132,35 @@ object Bench {
       if (errs.isEmpty) ""
       else errs.map(r => jstr(r.name) + ":" + jstr(r.err.get))
         .mkString(",\"errors\":{", ",", "}")
-    // load_contended: ambient (pre-Spark) host load above half the host
-    // cores means a co-tenant owned the box before we started — the r8/
-    // r10 failure mode. pre_sweep readings are self-contaminated (our
-    // own `cpus` threads are in them) and are published for context, not
-    // flagged on.
+    // load_contended: ambient (pre-Spark) host load above hostCpus/8
+    // means a co-tenant was on the box before we started. The threshold
+    // was hostCpus/2 through r11, which only caught the r8/r10 regime
+    // (3× inflation); r11 measured that ambient 7-8 on 32 cores — well
+    // under 16 — still inflated the shuffle-heavy top rows 15-25%, so
+    // the flag now trips at the regime that actually distorts numbers
+    // (4 on a 32-core box). pre_sweep readings are self-contaminated
+    // (our own `cpus` threads are in them) and are published for
+    // context, not flagged on. A platform that cannot report loadavg
+    // returns -1: publish load_unknown instead of a false "idle host".
+    val loadKnown = ambientLoad >= 0
     val loadJson =
-      f""","load":{"ambient":$ambientLoad%.2f,"pre_sweep1":$preSweep1Load%.2f,"pre_sweep2":$preSweep2Load%.2f,"host_cpus":$hostCpus,"bench_cpus":$cpus},"load_contended":${ambientLoad > hostCpus / 2.0}"""
+      if (!loadKnown)
+        s""","load":{"host_cpus":$hostCpus,"bench_cpus":$cpus},"load_unknown":true,"load_contended":false"""
+      else
+        f""","load":{"ambient":$ambientLoad%.2f,"pre_sweep1":$preSweep1Load%.2f,"pre_sweep2":$preSweep2Load%.2f,"host_cpus":$hostCpus,"bench_cpus":$cpus},"load_contended":${ambientLoad > hostCpus / 8.0}"""
+    // Arbitration record: which rows got a third timing and what every
+    // sweep measured, so a reader can see HOW MUCH the discarded sample
+    // was inflated (the artifact carries its own evidence).
+    val arb = results.filter(_.arbitrated)
+    val arbJson =
+      if (arb.isEmpty) ""
+      else arb.map(r => jstr(r.name) + ":[" + r.sweeps.map(fmt).mkString(",") + "]")
+        .mkString(",\"arbitrated\":{", ",", "}")
     def jline(rs: Seq[R], extra: String = ""): String = {
       val qs = rs.map(r => "\"" + r.name + "\":" + fmt(r.warm)).mkString("{", ",", "}")
       val total = results.map(_.warm).sum
       val coldTotal = results.map(_.cold).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_err":${errs.size}$errJson$loadJson$extra,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_err":${errs.size}$errJson$loadJson$arbJson$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query line first (humans reading the raw log), then a
     // compact line with only the slowest 40 — the driver's log capture
