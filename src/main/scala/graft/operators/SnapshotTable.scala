@@ -48,18 +48,23 @@ object SnapshotTable {
   private def stageDir(v: Long): String =
     f"snap-$v%08d-${java.util.UUID.randomUUID().toString.take(8)}"
 
-  /** Latest committed version, if any. */
-  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+  /** All committed versions still retained, ascending — the time-travel
+    * index ([[expire]] trims the left edge). One directory listing; no
+    * manifest is opened.
+    */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
     val vd = versionsDir(path)
     val f = fs(spark, vd)
-    if (!f.exists(vd)) None
-    else {
-      val vs = f.listStatus(vd).map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".txt"))
-        .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption)
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    if (!f.exists(vd)) Nil
+    else f.listStatus(vd).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption)
+      .toSeq.sorted
   }
+
+  /** Latest committed version, if any. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
 
   /** Manifest line 1 is a comma-separated DIR LIST: an overwrite commit
     * lists one directory; an append commit ([[ingest]]) lists the
@@ -150,7 +155,28 @@ object SnapshotTable {
   def read(spark: SparkSession, path: String): DataFrame = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
-    val (dirs, format) = readManifest(spark, path, v)
+    readAt(spark, path, v)
+  }
+
+  /** Time travel: read a PINNED committed version (the Iceberg/Delta
+    * `VERSION AS OF` contract). The manifest chain already retains every
+    * version inside the [[expire]] window and snapshot directories are
+    * immutable, so an old version's read is exactly as stable as the
+    * current one: later commits (including concurrent ingests racing
+    * this read) never touch its files. Reading an expired or
+    * never-committed version fails loudly with the retained range — a
+    * silent fallback to "current" would turn an audit query into a lie.
+    */
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val f = fs(spark, manifest(path, version))
+    if (!f.exists(manifest(path, version))) {
+      val have = versions(spark, path)
+      throw new IllegalArgumentException(
+        s"version $version not committed at $path" +
+          (if (have.isEmpty) " (no committed snapshot)"
+           else s" (retained versions: ${have.min}..${have.max}; earlier ones expired)"))
+    }
+    val (dirs, format) = readManifest(spark, path, version)
     spark.read.format(format)
       .load(dirs.map(d => new Path(path, d).toString): _*)
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, Q, Tables}
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch, SnapshotTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2152,19 +2152,40 @@ object TrainingData {
 
   // ---- d11_snapshot_diff: corpus version delta ---------------------------
   // The incremental-ingest bookkeeping op: diff two corpus snapshots
-  // (synthesized deterministically: v2 drops doc_id % 17 == 0, rewrites
-  // text for doc_id % 13 == 0, keeps the rest) into added / removed /
-  // changed / unchanged via ONE full outer join on doc_id comparing
-  // content hashes. At 100 TB both sides shuffle once on the id — or
-  // zero times if both snapshots are bucketed by id ([[Sink]]).
+  // (v2 drops doc_id % 17 == 0, rewrites text for doc_id % 13 == 0,
+  // keeps the rest) into added / removed / changed / unchanged via ONE
+  // full outer join on doc_id comparing content hashes. At 100 TB both
+  // sides shuffle once on the id — or zero times if both snapshots are
+  // bucketed by id ([[Sink]]). Since round 12 the two versions are REAL
+  // [[SnapshotTable]] commits read back through `readAt` — the table
+  // format's time-travel contract exercised by its flagship consumer
+  // query, not a same-plan synthesis. The fixture table is staged once
+  // per sf dir (content is deterministic, so the rebuild is idempotent);
+  // anything other than exactly versions {1,2} — a crashed half-stage,
+  // a stale vintage — is torn down and rebuilt rather than trusted.
+  private def d11Fixture(s: SparkSession, dir: String): String = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-d11-" + Integer.toHexString(dir.hashCode)).toString
+    if (SnapshotTable.versions(s, path) != Seq(1L, 2L)) {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = t(s, dir, "documents")
+      SnapshotTable.write(s, docs.select(col("doc_id"), col("text")), path)
+      SnapshotTable.write(s, docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text")), path)
+    }
+    path
+  }
+
   private val d11 = Q(
     (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val v1 = docs.select(col("doc_id").as("id1"), md5(col("text")).as("h1"))
-      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
-        .select(col("doc_id").as("id2"),
-          md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text"))).as("h2"))
+      val path = d11Fixture(s, dir)
+      val v1 = SnapshotTable.readAt(s, path, 1L)
+        .select(col("doc_id").as("id1"), md5(col("text")).as("h1"))
+      val v2 = SnapshotTable.readAt(s, path, 2L)
+        .select(col("doc_id").as("id2"), md5(col("text")).as("h2"))
       v1.join(v2, col("id1") === col("id2"), "full_outer")
         .select(
           when(col("id1").isNull, "added")
