@@ -116,7 +116,13 @@ object SnapshotTable {
     // "win", the second replacing the first's manifest and orphaning its
     // committed delta). On local paths we publish via link(2) instead:
     // hard-linking the tmp file to the target fails atomically with
-    // EEXIST when the slot is taken.
+    // EEXIST when the slot is taken. CONTRACT for other schemes: the
+    // non-local branch requires HDFS-style refuse-existing rename
+    // semantics; an object-store FS whose rename replaces the
+    // destination (e.g. some Hadoop S3 connectors) re-opens the TOCTOU
+    // and needs a create(target, overwrite=false)-based publish or an
+    // external commit lock instead — as every manifest-based table
+    // format documents for the same reason.
     val isLocal = {
       val scheme = target.toUri.getScheme
       scheme == null || scheme == "file"
@@ -187,10 +193,27 @@ object SnapshotTable {
     * in-flight readers finish on the exact file set they resolved.
     * Same rewrite kernel as [[Sink.compact]] (scan → repartition to
     * ceil(bytes/target) → write), different publication contract.
+    *
+    * With `textCol` set, compaction also REPAIRS the incremental-ingest
+    * sidecars for chains that started from a plain [[write]] (which
+    * commits neither hash sidecar nor bloom): when they cannot be
+    * carried forward — a source dir lacks its hash sidecar, or the
+    * manifest names no bloom — they are rebuilt from the compacted
+    * output this pass is already rewriting (one hash-projection scan of
+    * freshly-written, page-cache-hot files; never an extra pass over the
+    * old chain). After that, [[ingest]] on the compacted table keeps the
+    * never-reads-payloads invariant: the bloom gates probe-negatives and
+    * probe-positives verify against ~16 B/row hash sidecars. Without
+    * `textCol` the prior behavior stands (sidecars collapse only when
+    * the whole chain has them; a gap falls back to one payload scan at
+    * the next ingest).
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              sortCols: Seq[String] = Nil): Sink.CompactionStats = {
+              sortCols: Seq[String] = Nil,
+              textCol: Option[String] = None,
+              expectedItems: Long = 1000000L,
+              fpp: Double = 0.01): Sink.CompactionStats = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     val (dirs, format, bloomName) = readManifestFull(spark, path, v)
@@ -211,15 +234,31 @@ object SnapshotTable {
     // pure hash union (no payload re-hash), and the bloom carries over
     // BY REFERENCE: the new manifest names the same bloom file (same
     // content, same set — expire refcounts bloom names like dirs).
+    // When either is missing and the caller named the content column,
+    // rebuild it from the just-written compacted output (see scaladoc).
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    lazy val written = spark.read.format(format).load(new Path(path, nextDir).toString)
     val srcSidecars = dirs.map(d => hashesDir(path, d))
     if (srcSidecars.nonEmpty && srcSidecars.forall(f.exists))
       spark.read.format(format).load(srcSidecars.map(_.toString): _*)
         .write.mode("overwrite").format(format)
         .save(hashesDir(path, nextDir).toString)
+    else textCol.foreach(tc => writeHashSidecar(spark, path, nextDir, written, tc, format))
     // Only a manifest-NAMED bloom carries forward; a legacy per-version
     // file is keyed on the pre-contentKey hash and must not be laundered
-    // into a named reference (readBloom would then trust it).
-    commit(spark, path, v + 1, Seq(nextDir), format, bloomName)
+    // into a named reference (readBloom would then trust it). A chain
+    // with NO named bloom gets one built from the compacted output when
+    // textCol is given, so the next ingest's probe path is O(delta).
+    val outBloomName = (bloomName, textCol) match {
+      case (some @ Some(_), _) => some
+      case (None, Some(tc)) =>
+        val name = f"b${v + 1}%08d-${nextDir.takeRight(8)}.bin"
+        writeBloomAt(spark, path, name,
+          bloomOf(written, xxhash64(contentKey(col(tc))), expectedItems, fpp))
+        Some(name)
+      case (None, None) => None
+    }
+    commit(spark, path, v + 1, Seq(nextDir), format, outBloomName)
     val after = f.listStatus(new Path(path, nextDir)).count(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     Sink.CompactionStats(before.length, after, totalBytes)
@@ -258,6 +297,54 @@ object SnapshotTable {
         .foreach(n => f.delete(new Path(versionsDir(path), n), false))
     }
     drop.length
+  }
+
+  final case class VacuumStats(nDataDirs: Int, nHashSidecars: Int, nVersionFiles: Int)
+
+  /** Staging-orphan janitor. A lost commit race or a crashed ingest
+    * leaves artifacts no manifest ever came to reference: a staged
+    * `snap-*` directory, its `_hashes/<dir>` sidecar, a committer-unique
+    * bloom, a `.tmp-*` manifest. They are harmless to correctness
+    * (nothing resolves them) but at cronjob cadence they accumulate
+    * storage forever. Vacuum deletes everything a retained manifest does
+    * not reference — data dirs, hash sidecars, bloom/tmp files under
+    * `_versions/` — PROVIDED it is older than `graceMs`: the grace
+    * window is what keeps an in-flight committer's freshly staged (not
+    * yet committed) artifacts safe, exactly the remove-orphan-files
+    * contract of production table formats. Manifests themselves are
+    * never touched ([[expire]] owns version retention). Legacy
+    * per-version bloom files are always unreferenced (manifests name
+    * their blooms) and age out with the rest.
+    */
+  def vacuum(spark: SparkSession, path: String,
+             graceMs: Long = 24L * 3600 * 1000): VacuumStats = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return VacuumStats(0, 0, 0)
+    val retained = versions(spark, path).map(v => readManifestFull(spark, path, v))
+    val refDirs = retained.flatMap(_._1).toSet
+    val refBlooms = retained.flatMap(_._3).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    def deletable(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      s.getModificationTime < cutoff
+    val dataDirs = f.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("snap-") && !refDirs(s.getPath.getName) && deletable(s))
+    dataDirs.foreach(s => f.delete(s.getPath, true))
+    val hd = new Path(path, "_hashes")
+    val sidecars =
+      if (!f.exists(hd)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(hd).filter(s => !refDirs(s.getPath.getName) && deletable(s))
+    sidecars.foreach(s => f.delete(s.getPath, true))
+    val vd = versionsDir(path)
+    val versionFiles =
+      if (!f.exists(vd)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(vd).filter { s =>
+        val n = s.getPath.getName
+        val isManifest = n.startsWith("v") && n.endsWith(".txt")
+        !isManifest && !refBlooms(n) && deletable(s)
+      }
+    versionFiles.foreach(s => f.delete(s.getPath, false))
+    VacuumStats(dataDirs.length, sidecars.length, versionFiles.length)
   }
 
   // ---- incremental content-dedup ingest (the d14 bloom path over
@@ -458,8 +545,8 @@ object SnapshotTable {
       // exist. All staged names are committer-unique (stageDir suffix,
       // bloom named after it), so a lost commit race leaves only
       // unreferenced orphans — the winner's files are untouched, and
-      // janitor cleanup of never-committed staging dirs is a separate
-      // concern, as in every manifest-based table format.
+      // [[vacuum]] reclaims never-committed staging artifacts once they
+      // age past its grace window.
       val bloomName = f"b$next%08d-${deltaDir.takeRight(8)}.bin"
       writeHashSidecar(spark, path, deltaDir, written, textCol, format)
       writeBloomAt(spark, path, bloomName, merged)

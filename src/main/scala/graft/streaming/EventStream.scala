@@ -167,6 +167,15 @@ object EventStream {
     * rename), not a row transform; an empty delta still commits, so
     * the version log records every batch (audit trail + restart
     * idempotence: a replayed batch admits nothing).
+    *
+    * Operational note for high-frequency micro-batches: EVERY commit —
+    * including an empty one — writes a full merged bloom sidecar
+    * (~1.2 MB at the default expectedItems/fpp) under `_versions/`, so
+    * sidecar storage grows linearly with commit count. Run
+    * [[graft.operators.SnapshotTable.expire]] (and periodically
+    * [[graft.operators.SnapshotTable.compact]] + `vacuum`) on a cadence
+    * matched to the trigger interval; at one commit per second that is
+    * ~100 GB/day of sidecars left to retention.
     */
   def ingestSink(incoming: DataFrame, path: String, textCol: String,
                  expectedItems: Long = 1000000L,

@@ -69,4 +69,102 @@ class Round12Spec extends SparkSpec {
     assert(rows.getOrElse("added", 0L) == 0L)
     assert(rows("changed") + rows("unchanged") == n2)
   }
+
+  // ---- compaction repairs missing ingest sidecars -----------------------
+
+  test("compact(textCol) repairs sidecars so ingest after write() never reads payload") {
+    import spark.implicits._
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-compact-repair").toString
+    // ~1 KB of low-compressibility text per row so the payload dwarfs
+    // the ~33 B/row hash sidecar on disk — the input-size audit needs
+    // the gap to be unmistakable.
+    def blob(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 32).map { j =>
+        md.digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.mkString
+    }
+    val rows = (0L until 2000L).map(i => (i, blob(i)))
+    // write() commits neither hash sidecar nor bloom
+    SnapshotTable.write(spark, rows.toDF("doc_id", "text"), path)
+    SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 5000L)
+    // the compacted snapshot carries BOTH repaired sidecars
+    val cur = SnapshotTable.versions(spark, path).max
+    val dirs = Option(new java.io.File(path).listFiles()).get
+      .map(_.getName).filter(_.startsWith(f"snap-$cur%08d"))
+    assert(dirs.length == 1)
+    assert(new java.io.File(s"$path/_hashes/${dirs.head}").exists(),
+      "compact must build the hash sidecar it could not collapse")
+    val payloadBytes = Option(new java.io.File(s"$path/${dirs.head}").listFiles()).get
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    assert(payloadBytes > 500000L, s"fixture payload too small for the audit: $payloadBytes")
+    // ingest a batch with one dup + one new row, measuring file bytes read
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val stats =
+      try {
+        val s = SnapshotTable.ingest(spark,
+          Seq((9001L, blob(7L)), (9002L, "genuinely new")).toDF("doc_id", "text"),
+          path, "text", expectedItems = 5000L)
+        // listener delivery is async: poll until the counter settles
+        var last = -1L
+        var spins = 0
+        while (bytes.get() != last && spins < 50) {
+          last = bytes.get(); Thread.sleep(100); spins += 1
+        }
+        s
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(stats.nNew == 1L, s"dup of compacted content re-admitted: $stats")
+    assert(bytes.get() < payloadBytes / 2,
+      s"ingest read ${bytes.get()} B against a $payloadBytes B payload — " +
+        "the verify path is scanning payload text instead of the hash sidecars")
+  }
+
+  // ---- vacuum: staging-orphan janitor -----------------------------------
+
+  test("vacuum removes aged unreferenced staging artifacts, keeps live state") {
+    import spark.implicits._
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    SnapshotTable.ingest(spark, Seq((1L, "alpha")).toDF("doc_id", "text"), path, "text", 100L)
+    SnapshotTable.ingest(spark, Seq((2L, "beta")).toDF("doc_id", "text"), path, "text", 100L)
+    // plant the lost-race debris: a staged-but-never-committed data dir,
+    // its hash sidecar, a committer-unique bloom, a crashed tmp manifest
+    def plant(rel: String, dir: Boolean): java.io.File = {
+      val f = new java.io.File(path, rel)
+      if (dir) { f.mkdirs(); new java.io.File(f, "part-orphan.parquet").createNewFile() }
+      else { f.getParentFile.mkdirs(); f.createNewFile() }
+      f
+    }
+    val orphans = Seq(
+      plant("snap-00000002-deadbeef", dir = true),
+      plant("_hashes/snap-00000002-deadbeef", dir = true),
+      plant("_versions/b00000002-deadbeef.bin", dir = false),
+      plant("_versions/.tmp-crashed", dir = false))
+    // fresh orphans sit INSIDE the grace window: vacuum must not touch them
+    val s0 = SnapshotTable.vacuum(spark, path, graceMs = 3600000L)
+    assert(s0 == SnapshotTable.VacuumStats(0, 0, 0),
+      s"vacuum deleted inside the grace window: $s0")
+    assert(orphans.forall(_.exists()))
+    // age them out and vacuum again: all four go, live state survives
+    orphans.foreach { f =>
+      f.setLastModified(1000L)
+      Option(f.listFiles()).foreach(_.foreach(_.setLastModified(1000L)))
+    }
+    val s1 = SnapshotTable.vacuum(spark, path, graceMs = 3600000L)
+    assert(s1 == SnapshotTable.VacuumStats(1, 1, 2), s"unexpected vacuum stats: $s1")
+    assert(orphans.forall(!_.exists()), "aged orphans must be deleted")
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L))
+    assert(SnapshotTable.read(spark, path).count() == 2L)
+    // the live bloom survived: a dup is still rejected without a rebuild
+    val s = SnapshotTable.ingest(spark,
+      Seq((10L, "alpha")).toDF("doc_id", "text"), path, "text", 100L)
+    assert(s.nNew == 0L, "vacuum deleted a manifest-referenced bloom or sidecar")
+  }
 }
