@@ -1387,6 +1387,55 @@ object Relational {
       FROM bits b JOIN mode m ON b.event_type = m.event_type
       ORDER BY b.event_type"""))
 
+  // ---- q43_bucketed_join: fact-fact join over bucketed tables ----------
+  // The co-located join [[graft.operators.Sink.writeBucketed]] exists
+  // for, as a registry row: lineitem and orders bucketed 8-ways on the
+  // orderkey, then joined and aggregated ON that key. Both scans come
+  // out hash-partitioned by bucket, so the plan needs ZERO exchanges —
+  // no join shuffle (both sides co-located), no aggregation shuffle
+  // (partitioning by orderkey already clusters the (orderkey, priority)
+  // group keys), and the final top-k is a TakeOrdered. At 100 TB this
+  // is the difference between re-shuffling two fact tables on every
+  // query and paying the bucketing shuffle once at write time — the
+  // standard warehouse layout for a repeatedly-joined key.
+  // PlanAuditSpec pins the zero-Exchange shape. The merge hint keeps
+  // the join a sort-merge at every sf (a broadcast would also skip the
+  // exchange, but only while one side stays small — the bucketed SMJ is
+  // the shape that survives 100×). Tables stage once per (sf dir,
+  // process): the in-memory catalog forgets them across JVMs, so a
+  // stale managed location left by a previous process is cleared first.
+  private def q43Table(s: SparkSession, dir: String, src: String, key: String): DataFrame = {
+    val tbl = s"graft_q43_${src}_${Integer.toHexString(dir.hashCode)}"
+    if (!s.catalog.tableExists(tbl)) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, tbl)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      graft.operators.Sink.writeBucketed(t(s, dir, src), tbl, "parquet", key, 8)
+    }
+    s.table(tbl)
+  }
+
+  private val q43 = Q(
+    (s, dir) => {
+      val li = q43Table(s, dir, "lineitem", "l_orderkey")
+      val ord = q43Table(s, dir, "orders", "o_orderkey")
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+    Some(s"""
+      SELECT l_orderkey, o_orderpriority,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 20"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "q1_agg" -> q1,
     "q2_filter_project" -> q2,
@@ -1430,6 +1479,7 @@ object Relational {
     "q40_money_exact" -> q40,
     "q41_grouping_sets" -> q41,
     "q42_null_semantics" -> q42,
+    "q43_bucketed_join" -> q43,
     "k1_sketch_distinct" -> k1,
     "k2_sketch_quantile" -> k2,
     "k3_sketch_union" -> k3,

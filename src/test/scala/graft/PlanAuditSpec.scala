@@ -476,4 +476,16 @@ class PlanAuditSpec extends SparkSpec {
     // shingle-count exchange stays linear in distinct shingles)
     assert(p.contains("partial_count"), p.take(1200))
   }
+
+  test("q43: bucketed fact-fact join plans ZERO exchanges") {
+    val p = planOf("q43_bucketed_join")
+    // sort-merge on the bucket key, both scans pre-partitioned: no join
+    // shuffle, no aggregation shuffle (orderkey clusters the group
+    // keys), no broadcast — "Exchange" must not appear AT ALL
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("Exchange"),
+      s"bucketed join planned an exchange — the write-once bucketing is not being consumed:\n${p.take(2000)}")
+    assert(p.contains("Bucketed: true"),
+      s"scan did not report bucketed reading:\n${p.take(2000)}")
+  }
 }
