@@ -179,13 +179,22 @@ object EventStream {
     */
   def ingestSink(incoming: DataFrame, path: String, textCol: String,
                  expectedItems: Long = 1000000L,
-                 fpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery =
-    incoming.writeStream
+                 fpp: Double = 0.01,
+                 checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = incoming.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.SnapshotTable.ingest(
           batch.sparkSession, batch, path, textCol, expectedItems, fpp)
         ()
       }
-      .start()
+    // With a checkpoint the query survives process restarts: Spark
+    // replays any batch whose offsets hit the WAL but whose commit
+    // marker never landed (foreachBatch is at-least-once), and the
+    // replayed ingest admits nothing because the COMMITTED TABLE — not
+    // a state store — is what already contains the batch's content.
+    // That is the exactly-once argument: idempotent sink, not
+    // exactly-once delivery.
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

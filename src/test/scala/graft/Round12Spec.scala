@@ -167,4 +167,52 @@ class Round12Spec extends SparkSpec {
       Seq((10L, "alpha")).toDF("doc_id", "text"), path, "text", 100L)
     assert(s.nNew == 0L, "vacuum deleted a manifest-referenced bloom or sidecar")
   }
+
+  // ---- the d5/d18 blockBits escape, measured ----------------------------
+
+  test("blocked pair tier: pair work grows linearly when blockBits scales with n") {
+    // The 100 TB claim for density clustering rests on blockBits being
+    // the knob that rises with corpus size so PER-BUCKET occupancy
+    // stays bounded — then the banded join's pair work Σ s·(s−1)/2 is
+    // (buckets ∝ n) × (bounded s²), i.e. LINEAR in n. Measure it: 500
+    // embeddings at 4 bits vs 2000 at 6 bits — same expected occupancy
+    // (~31/bucket/table). Fixed bits would multiply pair work ×16 for
+    // ×4 rows (quadratic); the scaled knob must hold it to ~×4
+    // (measured ×4.06). Also pins bucket balance: a skew-collapsed
+    // table (one bucket holding everything) would pass a total-pairs
+    // bound at small n while degenerating to n² at scale.
+    import graft.operators.SimilaritySearch.lshBucket
+    def pairWork(dir: String, bits: Int): (Long, Long, Double) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val per = (0 until 2).map { t =>
+        val r = emb.select(lshBucket(col("embedding"), 64, bits, planeOffset = t * bits).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("s"))
+          .agg(sum((col("s") * (col("s") - 1) / lit(2)).cast("long")).as("pairs"),
+            max(col("s")).as("mx"), avg(col("s")).as("mean"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      }
+      (per.map(_._1).sum, per.map(_._2).max, per.map(_._3).max)
+    }
+    val (pSmall, mxSmall, meanSmall) = pairWork("/root/testdata/sf0.001", 4)
+    val (pBig, mxBig, meanBig) = pairWork("/root/testdata/sf0.1", 6)
+    assert(pBig.toDouble / pSmall <= 6.0,
+      s"pair work grew ×${pBig.toDouble / pSmall} for ×4 rows ($pSmall → $pBig), " +
+        "well past linear: the blockBits knob is not holding per-bucket occupancy")
+    assert(mxSmall <= 8 * meanSmall && mxBig <= 8 * meanBig,
+      s"bucket skew: max/mean ${mxSmall / meanSmall} at n=500, ${mxBig / meanBig} at n=2000")
+    // the operator consumes exactly these buckets: the blocked path at
+    // the larger scale must run (keyed join, no cartesian) and respect
+    // the cosine floor
+    val pairs = graft.operators.Dedup.embeddingCosinePairs(
+      spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet"),
+      "vec_id", "embedding", minCosine = 0.9, blockBits = 6)
+    val plan = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked tier planned a pairwise join:\n${plan.take(1200)}")
+    val got = pairs.collect()
+    assert(got.forall(_.getAs[Double]("cos") >= 0.9))
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+  }
 }
