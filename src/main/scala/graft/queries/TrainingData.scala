@@ -3281,6 +3281,46 @@ object TrainingData {
       ORDER BY i.doc_id"""
     })
 
+  // ---- d23_snapshot_changelog: O(delta) what-arrived-since read --------
+  // The CDC-read companion of d11's full diff: two REAL SnapshotTable
+  // ingest commits (corpus < 400, then the >= 400 crawl batch), then
+  // `addedBetween(v1)` reads ONLY the second commit's delta directory —
+  // never the base — so "what arrived since yesterday" costs O(new
+  // data) at any table size. Because ingest is content-dedup, the
+  // committed delta (and hence the changelog) is exactly "batch 2 minus
+  // batch 1's content", which DuckDB replays as d14's NOT EXISTS shape.
+  // Fixture stages once per sf dir; anything but exactly versions {1,2}
+  // is torn down and rebuilt (the d11 convention).
+  private def d23Fixture(s: SparkSession, dir: String): String = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-d23-" + Integer.toHexString(dir.hashCode)).toString
+    if (SnapshotTable.versions(s, path) != Seq(1L, 2L)) {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 400), path, "text",
+        expectedItems = 100000L)
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") >= 400), path, "text",
+        expectedItems = 100000L)
+    }
+    path
+  }
+
+  private val d23 = Q(
+    (s, dir) => {
+      SnapshotTable.addedBetween(s, d23Fixture(s, dir), 1L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents i
+      WHERE doc_id >= 400 AND NOT EXISTS (
+        SELECT 1 FROM documents e
+        WHERE e.doc_id < 400 AND md5(e.text) = md5(i.text))
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3307,6 +3347,7 @@ object TrainingData {
     "d20_substr_excise" -> d20,
     "d21_semdedup" -> d21,
     "d22_url_content_incremental" -> d22,
+    "d23_snapshot_changelog" -> d23,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -168,6 +168,70 @@ class Round12Spec extends SparkSpec {
     assert(s.nNew == 0L, "vacuum deleted a manifest-referenced bloom or sidecar")
   }
 
+  // ---- snapshot changelog: O(delta) added-rows read ---------------------
+
+  test("addedBetween reads only the delta dirs; compaction in range fails loudly") {
+    import spark.implicits._
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-changelog").toString
+    // big base (low-compressibility blobs) + tiny deltas: the O(delta)
+    // claim is that reading "since v1" never touches the base bytes
+    def blob(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 32).map { j =>
+        md.digest(s"c:$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.mkString
+    }
+    SnapshotTable.ingest(spark,
+      (0L until 2000L).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 5000L)
+    SnapshotTable.ingest(spark,
+      Seq((9001L, "delta one"), (9002L, blob(7L))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 5000L)
+    SnapshotTable.ingest(spark,
+      Seq((9003L, "delta two")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 5000L)
+    val basePayload = Option(new java.io.File(path).listFiles()).get
+      .filter(_.getName.startsWith("snap-00000001")).flatMap(d => Option(d.listFiles()).get)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val since1 =
+      try {
+        val rows = SnapshotTable.addedBetween(spark, path, 1L).collect()
+        var last = -1L; var spins = 0
+        while (bytes.get() != last && spins < 50) { last = bytes.get(); Thread.sleep(100); spins += 1 }
+        rows
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // content-dedup shaped the deltas: blob(7) was a dup and never committed
+    assert(since1.map(_.getLong(0)).toSet == Set(9001L, 9003L),
+      s"changelog rows wrong: ${since1.mkString(",")}")
+    assert(bytes.get() < basePayload / 4,
+      s"addedBetween read ${bytes.get()} B against a $basePayload B base — it is scanning " +
+        "the base instead of just the delta dirs")
+    assert(SnapshotTable.addedBetween(spark, path, 2L, Some(3L))
+      .collect().map(_.getLong(0)).toSeq == Seq(9003L))
+    // same-version range: empty frame, schema intact
+    val empty = SnapshotTable.addedBetween(spark, path, 3L)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("doc_id", "text"))
+    // a compaction boundary rewrites the file set: the delta is no
+    // longer identifiable by directory and the range must refuse
+    SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 5000L)
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.addedBetween(spark, path, 1L))
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    // but ranges on the post-compaction side work again
+    SnapshotTable.ingest(spark, Seq((9004L, "delta three")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 5000L)
+    assert(SnapshotTable.addedBetween(spark, path, 4L)
+      .collect().map(_.getLong(0)).toSeq == Seq(9004L))
+  }
+
   // ---- the d5/d18 blockBits escape, measured ----------------------------
 
   test("blocked pair tier: pair work grows linearly when blockBits scales with n") {
