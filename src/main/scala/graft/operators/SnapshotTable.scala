@@ -317,6 +317,12 @@ object SnapshotTable {
     val to = toVersion.getOrElse(currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path")))
     require(fromVersion <= to, s"fromVersion $fromVersion is after toVersion $to")
+    // an expired/unknown endpoint gets readAt's loud retained-range
+    // error, not a raw missing-file failure from the manifest read
+    val f = fs(spark, versionsDir(path))
+    Seq(fromVersion, to).filterNot(v => f.exists(manifest(path, v))).foreach { v =>
+      readAt(spark, path, v) // throws with the retained range
+    }
     val (fromDirs, format) = readManifest(spark, path, fromVersion)
     val (toDirs, _) = readManifest(spark, path, to)
     val missing = fromDirs.filterNot(toDirs.toSet)

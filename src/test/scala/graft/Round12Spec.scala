@@ -230,6 +230,11 @@ class Round12Spec extends SparkSpec {
       path, "text", expectedItems = 5000L)
     assert(SnapshotTable.addedBetween(spark, path, 4L)
       .collect().map(_.getLong(0)).toSeq == Seq(9004L))
+    // an uncommitted endpoint gets readAt's loud error, not a raw
+    // missing-manifest failure (v0 is never committed; versions start at 1)
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotTable.addedBetween(spark, path, 0L))
+    assert(e2.getMessage.contains("not committed"), e2.getMessage)
   }
 
   // ---- the d5/d18 blockBits escape, measured ----------------------------
