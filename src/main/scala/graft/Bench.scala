@@ -116,15 +116,36 @@ object Bench {
     // publishes), the disagreement itself is the evidence one sample was
     // distorted — time that row a third time and keep min-of-three. Rows
     // whose sweeps agree are left alone: a clean run pays nothing.
-    val top40Names = twoSweeps.map(_._1).sortBy(-_.warm).take(40).map(_.name).toSet
-    val results = twoSweeps.map { case (r, fn) =>
-      val disagree = r.err.isEmpty && r.sweeps.size == 2 &&
-        r.sweeps.max / math.max(r.sweeps.min, 1e-9) > 1.2
-      if (disagree && top40Names(r.name)) {
-        val (t3, e3) = once(fn)
-        if (e3.isDefined) r // a sweep-3 failure never overwrites two successes
-        else r.copy(warm = math.min(r.warm, t3), sweeps = r.sweeps :+ t3, arbitrated = true)
-      } else r
+    // Arbitration can SHRINK a row's warm time and pull previously
+    // rank-41+ rows into the published top-40, so eligibility is
+    // re-evaluated until the post-arbitration top-40 contains no
+    // unarbitrated disagreeing row (each row is timed at most once
+    // more, so the loop is bounded by the row count). A third timing
+    // that FAILS is still recorded — sweeps carries its elapsed and the
+    // row is marked arbitrated — but never overwrites two successes:
+    // warm stays min of the successful sweeps.
+    def disagrees(r: R): Boolean = r.err.isEmpty && r.sweeps.size == 2 &&
+      r.sweeps.max / math.max(r.sweeps.min, 1e-9) > 1.2
+    val arbErrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var results = twoSweeps.map(_._1)
+    val fns = twoSweeps.map { case (r, fn) => r.name -> fn }.toMap
+    var pending = true
+    while (pending) {
+      val top40Names = results.sortBy(-_.warm).take(40).map(_.name).toSet
+      val due = results.filter(r => disagrees(r) && !r.arbitrated && top40Names(r.name))
+      pending = due.nonEmpty
+      if (pending) {
+        val dueNames = due.map(_.name).toSet
+        results = results.map { r =>
+          if (!dueNames(r.name)) r
+          else {
+            val (t3, e3) = once(fns(r.name))
+            e3.foreach(m => arbErrs(r.name) = m)
+            val warm3 = if (e3.isDefined) r.warm else math.min(r.warm, t3)
+            r.copy(warm = warm3, sweeps = r.sweeps :+ t3, arbitrated = true)
+          }
+        }
+      }
     }
     def fmt(v: Double): String = f"$v%.3f"
     val errs = results.filter(_.err.isDefined)
@@ -150,17 +171,27 @@ object Bench {
         f""","load":{"ambient":$ambientLoad%.2f,"pre_sweep1":$preSweep1Load%.2f,"pre_sweep2":$preSweep2Load%.2f,"host_cpus":$hostCpus,"bench_cpus":$cpus},"load_contended":${ambientLoad > hostCpus / 8.0}"""
     // Arbitration record: which rows got a third timing and what every
     // sweep measured, so a reader can see HOW MUCH the discarded sample
-    // was inflated (the artifact carries its own evidence).
+    // was inflated (the artifact carries its own evidence). The per-row
+    // map is UNBOUNDED (up to 40 entries × ~45 chars) and goes on the
+    // FULL line only — embedding it in the compact line could push that
+    // line past the ~2000-char capture window it exists to fit inside,
+    // precisely on the contended runs where arbitration fires most. The
+    // compact line carries the fixed-size count. A failed third timing
+    // surfaces in "arb_errors" (full line) rather than vanishing.
     val arb = results.filter(_.arbitrated)
     val arbJson =
       if (arb.isEmpty) ""
       else arb.map(r => jstr(r.name) + ":[" + r.sweeps.map(fmt).mkString(",") + "]")
         .mkString(",\"arbitrated\":{", ",", "}")
+    val arbErrJson =
+      if (arbErrs.isEmpty) ""
+      else arbErrs.map { case (n, m) => jstr(n) + ":" + jstr(m) }
+        .mkString(",\"arb_errors\":{", ",", "}")
     def jline(rs: Seq[R], extra: String = ""): String = {
       val qs = rs.map(r => "\"" + r.name + "\":" + fmt(r.warm)).mkString("{", ",", "}")
       val total = results.map(_.warm).sum
       val coldTotal = results.map(_.cold).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_err":${errs.size}$errJson$loadJson$arbJson$extra,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_err":${errs.size}$errJson$loadJson,"n_arbitrated":${arb.size}$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query line first (humans reading the raw log), then a
     // compact line with only the slowest 40 — the driver's log capture
@@ -170,7 +201,7 @@ object Bench {
     // truncation ("queries_note") so tooling that sums `queries` knows
     // it will not reach `value` (ADVICE r10: BENCH_sf1_r10.json carried
     // the truncated map with no marker).
-    println(jline(results))
+    println(jline(results, extra = arbJson + arbErrJson))
     println(jline(results.sortBy(-_.warm).take(40),
       extra = s""","n_queries":${results.size},"queries_note":"top-40 by warm time; value/cold_total cover all n_queries""""))
     spark.stop()

@@ -206,7 +206,12 @@ object SnapshotTable {
     * probe-positives verify against ~16 B/row hash sidecars. Without
     * `textCol` the prior behavior stands (sidecars collapse only when
     * the whole chain has them; a gap falls back to one payload scan at
-    * the next ingest).
+    * the next ingest). `expectedItems`/`fpp` here MUST match the values
+    * the table's ingests use — blooms merge only at equal parameters,
+    * so a repaired bloom built at different ones is incompatible with
+    * the next ingest's delta bloom and that ingest pays the one
+    * full-table rebuild scan the repair exists to avoid (correctness
+    * is unaffected either way).
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
@@ -272,15 +277,11 @@ object SnapshotTable {
     */
   def expire(spark: SparkSession, path: String, keep: Int = 2): Int = {
     require(keep >= 1, "must retain at least the current snapshot")
-    val vd = versionsDir(path)
-    val f = fs(spark, vd)
-    if (!f.exists(vd)) return 0
-    val versions = f.listStatus(vd).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption)
-      .sorted
-    val drop = versions.dropRight(keep)
-    val retained = versions.takeRight(keep).map(v => readManifestFull(spark, path, v))
+    val f = fs(spark, versionsDir(path))
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return 0
+    val drop = vs.dropRight(keep)
+    val retained = vs.takeRight(keep).map(v => readManifestFull(spark, path, v))
     val retainedDirs = retained.flatMap(_._1).toSet
     // bloom files are shared by reference across compactions — refcount
     // their names exactly like dirs

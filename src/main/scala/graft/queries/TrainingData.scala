@@ -2159,22 +2159,40 @@ object TrainingData {
   // bucketed by id ([[Sink]]). Since round 12 the two versions are REAL
   // [[SnapshotTable]] commits read back through `readAt` — the table
   // format's time-travel contract exercised by its flagship consumer
-  // query, not a same-plan synthesis. The fixture table is staged once
-  // per sf dir (content is deterministic, so the rebuild is idempotent);
-  // anything other than exactly versions {1,2} — a crashed half-stage,
-  // a stale vintage — is torn down and rebuilt rather than trusted.
-  private def d11Fixture(s: SparkSession, dir: String): String = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-d11-" + Integer.toHexString(dir.hashCode)).toString
-    if (SnapshotTable.versions(s, path) != Seq(1L, 2L)) {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+  // query, not a same-plan synthesis.
+  private def d11Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d11") { path =>
       val docs = t(s, dir, "documents")
       SnapshotTable.write(s, docs.select(col("doc_id"), col("text")), path)
       SnapshotTable.write(s, docs.filter(col("doc_id") % 17 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text")), path)
+    }
+
+  /** Two-commit SnapshotTable fixture staging shared by d11/d23, keyed
+    * by (prefix, sf dir) under a PER-USER tmp subdirectory (a shared
+    * host's world-writable tmpdir must not serve — or block deleting —
+    * another user's staging). Content is deterministic per sf dir, so
+    * reuse across calls is sound; anything other than exactly versions
+    * {1,2} — a crashed half-stage, a stale vintage — is torn down and
+    * rebuilt rather than trusted.
+    */
+  private[graft] def fixturePath(dir: String, prefix: String): String = {
+    val user = Integer.toHexString(
+      System.getProperty("user.name", "anon").hashCode)
+    new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-$user"),
+      s"$prefix-${Integer.toHexString(dir.hashCode)}").toString
+  }
+
+  private def stagedSnapshotFixture(s: SparkSession, dir: String, prefix: String)
+                                   (build: String => Unit): String = {
+    val path = fixturePath(dir, prefix)
+    if (SnapshotTable.versions(s, path) != Seq(1L, 2L)) {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      build(path)
     }
     path
   }
@@ -3289,23 +3307,16 @@ object TrainingData {
   // data) at any table size. Because ingest is content-dedup, the
   // committed delta (and hence the changelog) is exactly "batch 2 minus
   // batch 1's content", which DuckDB replays as d14's NOT EXISTS shape.
-  // Fixture stages once per sf dir; anything but exactly versions {1,2}
-  // is torn down and rebuilt (the d11 convention).
-  private def d23Fixture(s: SparkSession, dir: String): String = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-d23-" + Integer.toHexString(dir.hashCode)).toString
-    if (SnapshotTable.versions(s, path) != Seq(1L, 2L)) {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+  private def d23Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d23") { path =>
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
       SnapshotTable.ingest(s, docs.filter(col("doc_id") < 400), path, "text",
         expectedItems = 100000L)
       SnapshotTable.ingest(s, docs.filter(col("doc_id") >= 400), path, "text",
         expectedItems = 100000L)
+      ()
     }
-    path
-  }
 
   private val d23 = Q(
     (s, dir) => {

@@ -59,8 +59,7 @@ class Round12Spec extends SparkSpec {
     val reg = SparkEntry.queries("d11_snapshot_diff")(spark, sfDir)
     val rows = reg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     import graft.operators.SnapshotTable
-    val fixture = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft-d11-" + Integer.toHexString(sfDir.hashCode)).toString
+    val fixture = graft.queries.TrainingData.fixturePath(sfDir, "d11")
     assert(SnapshotTable.versions(spark, fixture) == Seq(1L, 2L),
       "d11 must have staged a real two-version snapshot table")
     val n1 = SnapshotTable.readAt(spark, fixture, 1L).count()
