@@ -171,21 +171,42 @@ object EventStream {
     * Operational note for high-frequency micro-batches: EVERY commit —
     * including an empty one — writes a full merged bloom sidecar
     * (~1.2 MB at the default expectedItems/fpp) under `_versions/`, so
-    * sidecar storage grows linearly with commit count. Run
-    * [[graft.operators.SnapshotTable.expire]] (and periodically
-    * [[graft.operators.SnapshotTable.compact]] + `vacuum`) on a cadence
-    * matched to the trigger interval; at one commit per second that is
-    * ~100 GB/day of sidecars left to retention.
+    * sidecar storage grows linearly with commit count, the manifest's
+    * dir list grows by one entry per batch, and data-file counts grow
+    * with every non-empty delta. Pass `maintenance` to bound all three
+    * in-line: every N batches the sink compacts the chain back to one
+    * directory (with the sidecars/bloom carried — compact runs at THIS
+    * sink's expectedItems/fpp so the repaired bloom stays
+    * merge-compatible), expires to the retention window, and vacuums
+    * aged orphans. Maintenance runs AFTER the batch's commit inside the
+    * same foreachBatch invocation, so it never races this query's own
+    * ingests; a maintenance failure fails the batch (and the query)
+    * loudly rather than silently skipping retention forever.
     */
+  final case class Maintenance(everyBatches: Int = 100, keep: Int = 2,
+                               targetFileBytes: Long = 128L * 1024 * 1024,
+                               vacuumGraceMs: Long = 24L * 3600 * 1000)
+
   def ingestSink(incoming: DataFrame, path: String, textCol: String,
                  expectedItems: Long = 1000000L,
                  fpp: Double = 0.01,
-                 checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                 checkpoint: Option[String] = None,
+                 maintenance: Option[Maintenance] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = incoming.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.SnapshotTable.ingest(
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.SnapshotTable
+        SnapshotTable.ingest(
           batch.sparkSession, batch, path, textCol, expectedItems, fpp)
+        maintenance.foreach { m =>
+          if (batchId > 0 && batchId % m.everyBatches == 0) {
+            SnapshotTable.compact(batch.sparkSession, path, m.targetFileBytes,
+              textCol = Some(textCol), expectedItems = expectedItems, fpp = fpp)
+            SnapshotTable.expire(batch.sparkSession, path, m.keep)
+            SnapshotTable.vacuum(batch.sparkSession, path, m.vacuumGraceMs)
+            ()
+          }
+        }
         ()
       }
     // With a checkpoint the query survives process restarts: Spark

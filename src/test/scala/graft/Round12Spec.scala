@@ -236,6 +236,77 @@ class Round12Spec extends SparkSpec {
     assert(e2.getMessage.contains("not committed"), e2.getMessage)
   }
 
+  // ---- model check over the whole SnapshotTable op surface --------------
+
+  test("model check: random write/ingest/compact/expire/vacuum sequences hold invariants") {
+    // Deterministic model-based test: drive the table with random op
+    // sequences and after EVERY op compare against a trivial in-memory
+    // model — current content is exactly what the semantics promise,
+    // retained historical versions replay via readAt, versions ascend.
+    // The unit specs pin each op's contract in isolation; this pins the
+    // COMPOSITIONS nobody thought to write a bespoke test for (e.g.
+    // expire directly after compact after an idempotent re-ingest).
+    import spark.implicits._
+    import graft.operators.SnapshotTable
+    for (seed <- Seq(17, 23)) {
+      val r = new scala.util.Random(seed)
+      val path = java.nio.file.Files.createTempDirectory(s"graft-model-$seed").toString
+      var model = Vector.empty[(Long, String)]   // expected current rows
+      var modelAt = Map.empty[Long, Vector[(Long, String)]] // per retained version
+      var nextId = 0L
+      def freshDoc(): (Long, String) = { nextId += 1; (nextId, s"doc $seed-$nextId") }
+      def record(): Unit =
+        modelAt += SnapshotTable.currentVersion(spark, path).get -> model
+      val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 12).foreach { i =>
+        val op = if (i == 0) 0 else r.nextInt(6)
+        op match {
+          case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
+            val batch = (0 until 1 + r.nextInt(3)).map { _ =>
+              if (model.nonEmpty && r.nextBoolean()) (nextId + 100000L, model(r.nextInt(model.size))._2)
+              else freshDoc()
+            }
+            opsRun += s"ingest(${batch.size})"
+            SnapshotTable.ingest(spark, batch.toDF("doc_id", "text"), path, "text", 1000L)
+            val existing = model.map(_._2).toSet
+            model ++= batch.filterNot(b => existing(b._2)) // within-batch dups pass through
+            record()
+          case 2 => // overwrite
+            val docs = (0 until 1 + r.nextInt(3)).map(_ => freshDoc()).toVector
+            opsRun += s"write(${docs.size})"
+            SnapshotTable.write(spark, docs.toDF("doc_id", "text"), path)
+            model = docs
+            record()
+          case 3 =>
+            opsRun += "compact"
+            SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 1000L)
+            record()
+          case 4 =>
+            val keep = 1 + r.nextInt(2)
+            opsRun += s"expire($keep)"
+            SnapshotTable.expire(spark, path, keep)
+            val retained = SnapshotTable.versions(spark, path).toSet
+            modelAt = modelAt.filter { case (v, _) => retained(v) }
+          case 5 =>
+            opsRun += "vacuum"
+            SnapshotTable.vacuum(spark, path, graceMs = 0L)
+        }
+        val ctx = s"seed=$seed step=$i ops=${opsRun.mkString("→")}"
+        val got = SnapshotTable.read(spark, path).collect()
+          .map(row => (row.getLong(0), row.getString(1))).toSet
+        assert(got == model.toSet, s"$ctx: current read diverged from model")
+        val vs = SnapshotTable.versions(spark, path)
+        assert(vs == vs.sorted && vs.distinct == vs, s"$ctx: version log not ascending")
+        // historical versions we still hold a model for replay exactly
+        modelAt.filter { case (v, _) => vs.contains(v) }.foreach { case (v, m) =>
+          val at = SnapshotTable.readAt(spark, path, v).collect()
+            .map(row => (row.getLong(0), row.getString(1))).toSet
+          assert(at == m.toSet, s"$ctx: readAt($v) diverged from the recorded model")
+        }
+      }
+    }
+  }
+
   // ---- the d5/d18 blockBits escape, measured ----------------------------
 
   test("blocked pair tier: pair work grows linearly when blockBits scales with n") {

@@ -370,4 +370,46 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, path).contains(vAfterStop + 1),
       "the redelivered batch must still commit (empty delta, version advances)")
   }
+
+  test("ingestSink maintenance bounds versions, dirs, and sidecars in-line") {
+    // ADVICE r11: at micro-batch cadence the per-commit bloom sidecars,
+    // manifest dir lists, and delta files all grow without bound. The
+    // maintenance hook must bound them from INSIDE the sink (compact →
+    // expire → vacuum every N batches) while the dedup contract keeps
+    // holding across the maintenance boundary.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-maint-ingest").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.ingestSink(
+      input.toDF().toDF("doc_id", "text"), path, "text", expectedItems = 100L,
+      maintenance = Some(EventStream.Maintenance(
+        everyBatches = 2, keep = 1, vacuumGraceMs = 0L)))
+    // 6 batches; ids 0..5, maintenance fires after batches 2 and 4
+    val batches = Seq(
+      Seq((1L, "alpha")), Seq((2L, "beta")), Seq((3L, "gamma"), (4L, "alpha")),
+      Seq((5L, "delta")), Seq((6L, "beta"), (7L, "epsilon")), Seq((8L, "zeta")))
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    // dedup held across every boundary: dups of batch-1/2 content dropped
+    val rows = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (5L, "delta"), (7L, "epsilon"), (8L, "zeta")), s"content wrong: $rows")
+    // retention bounded: only the window's manifests remain, and the
+    // compactions collapsed the dir chain (strictly fewer data dirs and
+    // _versions files than the 6-batch no-maintenance chain would hold:
+    // 6 manifests + 6 blooms + 6+ data dirs)
+    assert(SnapshotTable.versions(spark, path).size <= 3,
+      s"expire did not bound the version log: ${SnapshotTable.versions(spark, path)}")
+    def count(rel: String, prefix: String) =
+      Option(new java.io.File(path, rel).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith(prefix))
+    assert(count(".", "snap-") <= 4, s"data-dir chain unbounded: ${count(".", "snap-")}")
+    assert(count("_versions", "b") <= 3, s"bloom sidecars unbounded: ${count("_versions", "b")}")
+    // and the surviving bloom still gates: old content is still a dup
+    val s = SnapshotTable.ingest(spark,
+      Seq((100L, "gamma")).toDF("doc_id", "text"), path, "text", 100L)
+    assert(s.nNew == 0L, "maintenance lost dedup coverage")
+  }
 }
