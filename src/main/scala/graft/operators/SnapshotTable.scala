@@ -337,6 +337,28 @@ object SnapshotTable {
       .load(added.map(d => new Path(path, d).toString): _*)
   }
 
+  /** Cheap chain shape probe for maintenance policies: (number of
+    * directories the CURRENT manifest lists, total data bytes in every
+    * dir after the first). The first-listed dir is the chain's base
+    * (post-compaction snapshots list exactly one); the rest are the
+    * appended deltas a compaction would fold in — their byte total is
+    * what decides whether an O(table) rewrite is worth paying. File
+    * metadata listings only; no data is read.
+    */
+  private[graft] def chainInfo(spark: SparkSession, path: String): (Int, Long) = {
+    val v = currentVersion(spark, path).getOrElse(return (0, 0L))
+    val (dirs, _) = readManifest(spark, path, v)
+    val f = fs(spark, new Path(path))
+    val deltaBytes = dirs.drop(1).map { d =>
+      val p = new Path(path, d)
+      if (!f.exists(p)) 0L
+      else f.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    }.sum
+    (dirs.size, deltaBytes)
+  }
+
   final case class VacuumStats(nDataDirs: Int, nHashSidecars: Int, nVersionFiles: Int)
 
   /** Staging-orphan janitor. A lost commit race or a crashed ingest

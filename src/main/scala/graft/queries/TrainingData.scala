@@ -2189,10 +2189,25 @@ object TrainingData {
   private def stagedSnapshotFixture(s: SparkSession, dir: String, prefix: String)
                                    (build: String => Unit): String = {
     val path = fixturePath(dir, prefix)
+    val hadoopConf = s.sparkContext.hadoopConfiguration
+    // reclaim the pre-r12 flat-tmpdir staging location, which nothing
+    // rebuilds or reads anymore (dead storage otherwise)
+    val legacy = new org.apache.hadoop.fs.Path(new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-$prefix-${Integer.toHexString(dir.hashCode)}").toString)
+    legacy.getFileSystem(hadoopConf).delete(legacy, true)
     if (SnapshotTable.versions(s, path) != Seq(1L, 2L)) {
       val hp = new org.apache.hadoop.fs.Path(path)
-      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val f = hp.getFileSystem(hadoopConf)
+      // a failed teardown must fail HERE: building on top of a stale
+      // vintage would serve wrong v1/v2 content for this whole run
+      // (Hadoop's delete returns false instead of throwing)
+      if (!f.delete(hp, true) && f.exists(hp)) throw new java.io.IOException(
+        s"cannot remove stale fixture at $path; refusing to stage on top of it")
       build(path)
+      val staged = SnapshotTable.versions(s, path)
+      if (staged != Seq(1L, 2L)) throw new IllegalStateException(
+        s"fixture staging at $path produced versions $staged, expected {1, 2}")
     }
     path
   }

@@ -153,6 +153,30 @@ object EventStream {
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
+  /** In-line retention policy for [[ingestSink]]. Every `everyBatches`
+    * batches the sink expires to `keep` manifests and vacuums orphans
+    * older than `vacuumGraceMs` (both metadata-cost), and compacts the
+    * snapshot chain — an O(table) rewrite — only when the accumulated
+    * delta dirs hold ≥ `compactWhenDeltaBytes` of new data OR the
+    * manifest lists ≥ `maxChainDirs` directories (the bound that keeps
+    * an idle stream's near-empty per-batch dirs from bloating the
+    * manifest while ALSO keeping its full rewrite amortized instead of
+    * per-tick). Compaction runs at the sink's own expectedItems/fpp so
+    * the carried bloom stays merge-compatible. Parameters are validated
+    * here so a bad policy fails at construction, not batches into the
+    * stream.
+    */
+  final case class Maintenance(everyBatches: Int = 100, keep: Int = 2,
+                               targetFileBytes: Long = 128L * 1024 * 1024,
+                               vacuumGraceMs: Long = 24L * 3600 * 1000,
+                               compactWhenDeltaBytes: Long = 128L * 1024 * 1024,
+                               maxChainDirs: Int = 64) {
+    require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(maxChainDirs >= 2, s"maxChainDirs must be >= 2, got $maxChainDirs")
+    require(vacuumGraceMs >= 0, s"vacuumGraceMs must be >= 0, got $vacuumGraceMs")
+  }
+
   /** Streaming twin of [[graft.operators.SnapshotTable.ingest]]: each
     * micro-batch commits "batch minus ALL prior content" as the table's
     * next snapshot via foreachBatch — the continuous-crawl form of
@@ -174,19 +198,12 @@ object EventStream {
     * sidecar storage grows linearly with commit count, the manifest's
     * dir list grows by one entry per batch, and data-file counts grow
     * with every non-empty delta. Pass `maintenance` to bound all three
-    * in-line: every N batches the sink compacts the chain back to one
-    * directory (with the sidecars/bloom carried — compact runs at THIS
-    * sink's expectedItems/fpp so the repaired bloom stays
-    * merge-compatible), expires to the retention window, and vacuums
-    * aged orphans. Maintenance runs AFTER the batch's commit inside the
-    * same foreachBatch invocation, so it never races this query's own
-    * ingests; a maintenance failure fails the batch (and the query)
-    * loudly rather than silently skipping retention forever.
+    * in-line (see [[Maintenance]]). Maintenance runs AFTER the batch's
+    * commit inside the same foreachBatch invocation, so it never races
+    * this query's own ingests; a maintenance failure fails the batch
+    * (and the query) loudly rather than silently skipping retention
+    * forever.
     */
-  final case class Maintenance(everyBatches: Int = 100, keep: Int = 2,
-                               targetFileBytes: Long = 128L * 1024 * 1024,
-                               vacuumGraceMs: Long = 24L * 3600 * 1000)
-
   def ingestSink(incoming: DataFrame, path: String, textCol: String,
                  expectedItems: Long = 1000000L,
                  fpp: Double = 0.01,
@@ -200,8 +217,19 @@ object EventStream {
           batch.sparkSession, batch, path, textCol, expectedItems, fpp)
         maintenance.foreach { m =>
           if (batchId > 0 && batchId % m.everyBatches == 0) {
-            SnapshotTable.compact(batch.sparkSession, path, m.targetFileBytes,
-              textCol = Some(textCol), expectedItems = expectedItems, fpp = fpp)
+            // Compact rewrites the WHOLE table — gate it on the chain
+            // actually having accumulated delta bytes worth rewriting,
+            // OR the manifest dir list growing long enough to matter
+            // (an idle stream appends a near-empty dir per batch; its
+            // rewrite amortizes over maxChainDirs batches instead of
+            // recurring every tick). Expire + vacuum are metadata-cost
+            // and always run.
+            val (nDirs, deltaBytes) = SnapshotTable.chainInfo(batch.sparkSession, path)
+            if (deltaBytes >= m.compactWhenDeltaBytes || nDirs >= m.maxChainDirs) {
+              SnapshotTable.compact(batch.sparkSession, path, m.targetFileBytes,
+                textCol = Some(textCol), expectedItems = expectedItems, fpp = fpp)
+              ()
+            }
             SnapshotTable.expire(batch.sparkSession, path, m.keep)
             SnapshotTable.vacuum(batch.sparkSession, path, m.vacuumGraceMs)
             ()

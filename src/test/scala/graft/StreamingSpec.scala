@@ -384,7 +384,8 @@ class StreamingSpec extends SparkSpec {
     val q = EventStream.ingestSink(
       input.toDF().toDF("doc_id", "text"), path, "text", expectedItems = 100L,
       maintenance = Some(EventStream.Maintenance(
-        everyBatches = 2, keep = 1, vacuumGraceMs = 0L)))
+        everyBatches = 2, keep = 1, vacuumGraceMs = 0L,
+        compactWhenDeltaBytes = 1L))) // test batches are tiny: always compact
     // 6 batches; ids 0..5, maintenance fires after batches 2 and 4
     val batches = Seq(
       Seq((1L, "alpha")), Seq((2L, "beta")), Seq((3L, "gamma"), (4L, "alpha")),
@@ -411,5 +412,31 @@ class StreamingSpec extends SparkSpec {
     val s = SnapshotTable.ingest(spark,
       Seq((100L, "gamma")).toDF("doc_id", "text"), path, "text", 100L)
     assert(s.nNew == 0L, "maintenance lost dedup coverage")
+  }
+
+  test("maintenance skips the O(table) compact on an idle chain; bad policies fail at construction") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    // everyBatches = 0 would divide by zero batches into the stream;
+    // keep = 0 would abort at the first expire tick — both must fail
+    // when the policy is BUILT
+    intercept[IllegalArgumentException](EventStream.Maintenance(everyBatches = 0))
+    intercept[IllegalArgumentException](EventStream.Maintenance(keep = 0))
+    // an idle-ish stream under default byte thresholds: ticks run
+    // expire but SKIP the full-table rewrite (delta bytes tiny, chain
+    // short), so the base dir from batch 0 survives un-rewritten
+    val path = java.nio.file.Files.createTempDirectory("graft-maint-idle").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.ingestSink(
+      input.toDF().toDF("doc_id", "text"), path, "text", expectedItems = 100L,
+      maintenance = Some(EventStream.Maintenance(everyBatches = 2, keep = 1)))
+    (0 until 5).foreach { i => input.addData(Seq((i.toLong, s"doc $i"))); q.processAllAvailable() }
+    q.stop()
+    def dirs = Option(new java.io.File(path).listFiles()).get
+      .map(_.getName).filter(_.startsWith("snap-")).sorted
+    assert(dirs.exists(_.startsWith("snap-00000001")),
+      "idle-chain maintenance rewrote the base dir (compact should have been skipped)")
+    assert(SnapshotTable.versions(spark, path).size <= 2, "expire must still run on skip ticks")
+    assert(SnapshotTable.read(spark, path).count() == 5L)
   }
 }
