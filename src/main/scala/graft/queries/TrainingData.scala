@@ -2186,6 +2186,23 @@ object TrainingData {
       s"$prefix-${Integer.toHexString(dir.hashCode)}").toString
   }
 
+  /** Metadata-only vintage stamp of the fixture's SOURCE table: total
+    * bytes + newest mtime of `documents.parquet` (file or directory).
+    * The fixture dir outlives a single process (tmpdir persists across
+    * driver rounds), so "versions == {1,2}" alone would happily serve a
+    * fixture staged from a PREVIOUS generation of the testdata — the
+    * stamp detects a regenerated source without reading any data.
+    */
+  private def sourceStamp(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = f.getFileStatus(p)
+    val parts =
+      if (st.isFile) Array(st)
+      else f.listStatus(p).filter(_.isFile)
+    s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}"
+  }
+
   private def stagedSnapshotFixture(s: SparkSession, dir: String, prefix: String)
                                    (build: String => Unit): String = {
     val path = fixturePath(dir, prefix)
@@ -2196,7 +2213,12 @@ object TrainingData {
       System.getProperty("java.io.tmpdir"),
       s"graft-$prefix-${Integer.toHexString(dir.hashCode)}").toString)
     legacy.getFileSystem(hadoopConf).delete(legacy, true)
-    if (SnapshotTable.versions(s, path) != Seq(1L, 2L)) {
+    val stamp = sourceStamp(s, dir)
+    val stampFile = new java.io.File(path, "_fixture_src")
+    val fresh = SnapshotTable.versions(s, path) == Seq(1L, 2L) &&
+      stampFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(stampFile.toPath), "UTF-8") == stamp
+    if (!fresh) {
       val hp = new org.apache.hadoop.fs.Path(path)
       val f = hp.getFileSystem(hadoopConf)
       // a failed teardown must fail HERE: building on top of a stale
@@ -2208,6 +2230,8 @@ object TrainingData {
       val staged = SnapshotTable.versions(s, path)
       if (staged != Seq(1L, 2L)) throw new IllegalStateException(
         s"fixture staging at $path produced versions $staged, expected {1, 2}")
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes("UTF-8"))
+      ()
     }
     path
   }

@@ -67,6 +67,16 @@ class Round12Spec extends SparkSpec {
     assert(rows("removed") == n1 - n2, "diff counts must reconcile with the commits")
     assert(rows.getOrElse("added", 0L) == 0L)
     assert(rows("changed") + rows("unchanged") == n2)
+    // the fixture dir outlives driver rounds: a source-vintage mismatch
+    // must force a rebuild (versions == {1,2} alone is not freshness)
+    val stampFile = new java.io.File(fixture, "_fixture_src")
+    assert(stampFile.isFile, "fixture must carry its source stamp")
+    val good = java.nio.file.Files.readAllBytes(stampFile.toPath)
+    java.nio.file.Files.write(stampFile.toPath, "stale:0".getBytes("UTF-8"))
+    assert(SparkEntry.queries("d11_snapshot_diff")(spark, sfDir).collect().nonEmpty)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(stampFile.toPath), good),
+      "a stale source stamp must trigger a fixture rebuild that restores the stamp")
   }
 
   // ---- compaction repairs missing ingest sidecars -----------------------
