@@ -472,8 +472,8 @@ object SimilaritySearch {
     */
   def sqEncodeWith(vectors: DataFrame, idCol: String, vecCol: String, dims: Int,
                    mins: Array[Double], deltas: Array[Double]): DataFrame = {
-    val minLit = array(mins.map(lit(_)): _*)
-    val deltaLit = array(deltas.map(lit(_)): _*)
+    val minLit = array(mins.toIndexedSeq.map(lit(_)): _*)
+    val deltaLit = array(deltas.toIndexedSeq.map(lit(_)): _*)
     val codes = transform(sequence(lit(0), lit(dims - 1)), j =>
       greatest(lit(0L), least(lit(255L),
         floor((element_at(col("v"), j + 1).cast("double") - element_at(minLit, j + 1)) /
@@ -512,8 +512,8 @@ object SimilaritySearch {
     // offset = Σ q_j·min_j, weights w_j = q_j·δ_j, qnorm = ‖q‖ — bounded
     // HOFs over literal min/delta arrays. The lambda casts accept float
     // OR double vector columns, and queries never collect to the driver.
-    val minLit = array(mins.map(lit(_)): _*)
-    val deltaLit = array(deltas.map(lit(_)): _*)
+    val minLit = array(mins.toIndexedSeq.map(lit(_)): _*)
+    val deltaLit = array(deltas.toIndexedSeq.map(lit(_)): _*)
     val qdf = broadcast(queries
       .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
       .select(col("qid"),

@@ -48,8 +48,8 @@ object TimeSeries {
     l.unionByName(r)
       .withColumn("__carried", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        rightPayload.map(p => col(s"__carried.$p").as(s"asof_$p")): _*)
+      .select((leftCols.map(col) ++
+        rightPayload.map(p => col(s"__carried.$p").as(s"asof_$p"))).toIndexedSeq: _*)
   }
 
   /** Linear-interpolation resample: for each grid row, the value
@@ -104,7 +104,7 @@ object TimeSeries {
       .withColumn("__nt", last(obsT, ignoreNulls = true).over(wb))
       .withColumn("__nv", last(obsV, ignoreNulls = true).over(wb))
       .filter(col("__side") === 1)
-      .select(gridCols.map(col) :+ interp.as("interp_value"): _*)
+      .select((gridCols.map(col) :+ interp.as("interp_value")).toIndexedSeq: _*)
   }
 
   /** Gap-based sessionization: a new session starts when the time since

@@ -611,7 +611,7 @@ object TimeSeriesQueries {
         var w = alpha
         Array.tabulate(16) { _ => val c = w; w *= (1 - alpha); c }
       }
-      val wsLit = array(ws.map(lit(_)): _*)
+      val wsLit = array(ws.toIndexedSeq.map(lit(_)): _*)
       val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-15, 0)
       val trail = col("trail")
