@@ -17,7 +17,7 @@ class IosV2SourceSpec extends SparkSpec {
       val v2 = spark.read.format("graft.sources.v2.IosDataSource").load(glob)
         .orderBy("filename", "row_idx", "channel_no").collect()
       val v1 = IosReader.observations(spark, glob)
-        .select(v2.head.schema.fieldNames.map(col): _*)
+        .select(v2.head.schema.fieldNames.toIndexedSeq.map(col): _*)
         .orderBy("filename", "row_idx", "channel_no").collect()
       assert(v2.length == v1.length && v2.length > 0)
       v2.zip(v1).foreach { case (a, b) => assert(a == b, s"$a != $b") }

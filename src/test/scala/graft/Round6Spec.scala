@@ -28,7 +28,7 @@ class Round6Spec extends SparkSpec {
       val a = SimilaritySearch.ivfTopK(q, c, "vec_id", "embedding",
         k = 10, nCentroids = 10, nProbe = nProbe, iters = 3)
       val r = SimilaritySearch.recallAtK(exact, a, k = 10)
-        .agg(avg("recall")).head.getDouble(0)
+        .agg(avg("recall")).head().getDouble(0)
       r
     }
     val r2 = mean(2); val r5 = mean(5); val r10 = mean(10)
@@ -77,7 +77,7 @@ class Round6Spec extends SparkSpec {
       val a = SimilaritySearch.multiProbeLshTopK(q, c, "vec_id", "embedding",
         dims = 64, bits = 4, k = 10, nProbe = nProbe)
       SimilaritySearch.recallAtK(exact, a, k = 10)
-        .agg(avg("recall")).head.getDouble(0)
+        .agg(avg("recall")).head().getDouble(0)
     }
     val r1 = rec(1); val r3 = rec(3); val r5 = rec(5)
     // probing supersets buckets, so recall can only grow with nProbe
