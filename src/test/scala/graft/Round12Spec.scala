@@ -258,7 +258,11 @@ class Round12Spec extends SparkSpec {
     // expire directly after compact after an idempotent re-ingest).
     import spark.implicits._
     import graft.operators.SnapshotTable
-    for (seed <- Seq(17, 23)) {
+    // CI runs two seeds; an extended local fuzz can widen via
+    // -Dgraft.model.seeds=1,2,...,40 without touching the spec
+    val seeds = sys.props.get("graft.model.seeds")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(17, 23))
+    for (seed <- seeds) {
       val r = new scala.util.Random(seed)
       val path = java.nio.file.Files.createTempDirectory(s"graft-model-$seed").toString
       var model = Vector.empty[(Long, String)]   // expected current rows
