@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.hadoop.fs.Path
 
 /** Minimal table-format layering over the sink: versioned snapshots with
@@ -66,29 +67,70 @@ object SnapshotTable {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     versions(spark, path).lastOption
 
-  /** Manifest line 1 is a comma-separated DIR LIST: an overwrite commit
-    * lists one directory; an append commit ([[ingest]]) lists the
-    * parent's directories plus its delta directory, so appending is
-    * O(delta) — no snapshot ever rewrites prior files. Line 2 is the
-    * format. Optional line 3 names the version's content-bloom sidecar
-    * file (absent for plain [[write]] commits and pre-bloom manifests);
-    * naming the bloom IN the manifest — instead of a deterministic
-    * per-version filename — is what lets two commit racers stage
-    * independent blooms without either overwriting the other's.
+  /** One parsed manifest. `dirs` is the snapshot's DIR LIST: an
+    * overwrite commit lists one directory; an append commit ([[ingest]])
+    * lists the parent's directories plus its delta directory, so
+    * appending is O(delta) — no snapshot ever rewrites prior files.
+    * `bloom` names the version's content-bloom sidecar (absent for
+    * plain [[write]] commits); naming the bloom IN the manifest —
+    * instead of a deterministic per-version filename — is what lets two
+    * commit racers stage independent blooms without either overwriting
+    * the other's. `schema` is the committed table schema (absent on
+    * pre-r13 manifests): readers apply it EXPLICITLY, which both skips
+    * footer inference at scan planning and null-fills columns that were
+    * added after an old directory was written (additive evolution).
+    * `statsCols` is the table's persisted stats configuration — the
+    * columns whose per-file min/max sidecars every subsequent commit
+    * maintains, so scan pruning survives compaction without the caller
+    * re-stating the config.
     */
-  private def readManifestFull(spark: SparkSession, path: String,
-                               v: Long): (Seq[String], String, Option[String]) = {
+  private[graft] final case class Manifest(dirs: Seq[String], format: String,
+                                           bloom: Option[String],
+                                           schema: Option[StructType],
+                                           statsCols: Seq[String])
+
+  /** Manifest file layout: line 1 the comma-separated dir list, line 2
+    * the format, then tagged optional lines (`bloom:`, `schema:`,
+    * `stats:`). A bare untagged line 3 is a pre-r13 manifest's bloom
+    * name — still parsed, never written.
+    */
+  private def readManifestFull(spark: SparkSession, path: String, v: Long): Manifest = {
     val f = fs(spark, manifest(path, v))
     val in = f.open(manifest(path, v))
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = content.trim.split("\n")
-    (lines(0).split(",").toSeq, lines(1), lines.drop(2).headOption.filter(_.nonEmpty))
+    var bloom: Option[String] = None
+    var schema: Option[StructType] = None
+    var statsCols: Seq[String] = Nil
+    lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
+      case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
+      case l if l.startsWith("schema:") =>
+        schema = Some(DataType.fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
+      case l if l.startsWith("stats:") =>
+        statsCols = l.stripPrefix("stats:").split(",").toSeq.filter(_.nonEmpty)
+      case legacyBloomName => bloom = Some(legacyBloomName)
+    }
+    Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols)
   }
 
-  private def readManifest(spark: SparkSession, path: String, v: Long): (Seq[String], String) = {
-    val (dirs, format, _) = readManifestFull(spark, path, v)
-    (dirs, format)
-  }
+  /** [[readManifestFull]] with the missing-manifest failure mapped to
+    * the designed loud error. The manifest can be missing because the
+    * version never committed, because [[expire]] already dropped it, OR
+    * because a concurrent expire deleted it between the caller's
+    * resolution and this open — all three surface the same
+    * retained-range message instead of a raw FileNotFoundException, so
+    * there is no exists-then-read TOCTOU anywhere in the read path.
+    */
+  private[graft] def readManifestChecked(spark: SparkSession, path: String,
+                                         v: Long): Manifest =
+    try readManifestFull(spark, path, v)
+    catch { case _: java.io.FileNotFoundException =>
+      val have = versions(spark, path)
+      throw new IllegalArgumentException(
+        s"version $v not committed at $path" +
+          (if (have.isEmpty) " (no committed snapshot)"
+           else s" (retained versions: ${have.min}..${have.max}; earlier ones expired)"))
+    }
 
   /** Atomic publish: write a temp manifest, rename to the versioned name.
     * Returns the committed version; retries (writing on top of the new
@@ -98,31 +140,35 @@ object SnapshotTable {
     * named blooms), so a lost race leaves only unreferenced orphans.
     */
   private def commit(spark: SparkSession, path: String, expectedNext: Long,
-                     dirs: Seq[String], format: String,
-                     bloomName: Option[String] = None): Long = {
+                     m: Manifest): Long = {
     val vd = versionsDir(path)
     val f = fs(spark, vd)
     f.mkdirs(vd)
     val tmp = new Path(vd, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(
-      (s"${dirs.mkString(",")}\n$format\n" + bloomName.map(_ + "\n").getOrElse(""))
-        .getBytes("UTF-8")) finally out.close()
+    val body = new StringBuilder()
+      .append(m.dirs.mkString(",")).append('\n')
+      .append(m.format).append('\n')
+    m.bloom.foreach(b => body.append("bloom:").append(b).append('\n'))
+    m.schema.foreach(s => body.append("schema:").append(s.json).append('\n'))
+    if (m.statsCols.nonEmpty)
+      body.append("stats:").append(m.statsCols.mkString(",")).append('\n')
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
     val target = manifest(path, expectedNext)
-    // Publish = atomic create-if-absent of the target name. HDFS rename
-    // refuses an existing destination, so exists+rename suffices there —
-    // but POSIX rename(2) silently REPLACES an existing file, making
+    // Publish = atomic create-if-absent of the target name. POSIX
+    // rename(2) silently REPLACES an existing file, making
     // exists-then-rename a TOCTOU on file:// (two racers could both
-    // "win", the second replacing the first's manifest and orphaning its
-    // committed delta). On local paths we publish via link(2) instead:
+    // "win", the second replacing the first's manifest and orphaning
+    // its committed delta) — local paths publish via link(2) instead:
     // hard-linking the tmp file to the target fails atomically with
-    // EEXIST when the slot is taken. CONTRACT for other schemes: the
-    // non-local branch requires HDFS-style refuse-existing rename
-    // semantics; an object-store FS whose rename replaces the
-    // destination (e.g. some Hadoop S3 connectors) re-opens the TOCTOU
-    // and needs a create(target, overwrite=false)-based publish or an
-    // external commit lock instead — as every manifest-based table
-    // format documents for the same reason.
+    // EEXIST when the slot is taken. Every other scheme publishes via
+    // FileContext.rename with Options.Rename.NONE ([[fcPublish]]) —
+    // the refuse-existing rename, which HDFS resolves atomically at
+    // the namenode. CONTRACT: an object-store FS whose rename is
+    // non-atomic copy+delete (e.g. raw S3 connectors without a
+    // metadata layer) still re-opens the race and needs an external
+    // commit lock — as every manifest-based table format documents for
+    // the same reason.
     val isLocal = {
       val scheme = target.toUri.getScheme
       scheme == null || scheme == "file"
@@ -133,7 +179,9 @@ object SnapshotTable {
         val src = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
         try { java.nio.file.Files.createLink(tgt, src); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !f.exists(target) && f.rename(tmp, target)
+      } else fcPublish(spark, tmp, target)
+    // local link leaves tmp in place either way; fcPublish consumed tmp
+    // on success and left it on failure
     if (isLocal || !won) f.delete(tmp, false)
     if (!won) throw new java.io.IOException(
       s"concurrent commit won version $expectedNext at $path; " +
@@ -141,16 +189,56 @@ object SnapshotTable {
     expectedNext
   }
 
+  /** Refuse-existing publish for non-local schemes: FileContext.rename
+    * defaults to Options.Rename.NONE, which throws
+    * FileAlreadyExistsException when the destination exists — on HDFS
+    * this check-and-rename is one atomic namenode operation (unlike
+    * FileSystem.rename, whose local implementation silently replaces,
+    * and unlike exists+rename, which is a TOCTOU on every scheme).
+    * Returns true when this committer won the version slot. Only the
+    * atomicity is scheme-dependent; the mechanics are spec-pinned on
+    * file:// (the sole scheme in this environment).
+    */
+  private[graft] def fcPublish(spark: SparkSession, tmp: Path, target: Path): Boolean = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(tmp, target); true }
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+  }
+
   /** Commit `df` as the table's next snapshot (the full-table-overwrite
-    * write path; [[ingest]] is the incremental append path).
+    * write path; [[ingest]] is the incremental append path). `statsCols`
+    * names columns to carry per-file min/max stats sidecars for
+    * ([[readWhere]] prunes on them); Nil inherits the parent manifest's
+    * stats config, so a table keeps its pruning columns across plain
+    * overwrites.
     */
   def write(spark: SparkSession, df: DataFrame, path: String,
-            format: String = "parquet"): Long = {
-    val next = currentVersion(spark, path).getOrElse(0L) + 1
+            format: String = "parquet", statsCols: Seq[String] = Nil): Long = {
+    val cur = currentVersion(spark, path)
+    val next = cur.getOrElse(0L) + 1
+    val effStats = effectiveStatsCols(spark, path, cur, statsCols)
     val dir = stageDir(next)
     df.write.mode("overwrite").format(format).save(new Path(path, dir).toString)
-    commit(spark, path, next, Seq(dir), format)
+    writeStatsSidecar(spark, path, dir,
+      spark.read.format(format).load(new Path(path, dir).toString), effStats)
+    commit(spark, path, next, Manifest(Seq(dir), format, None,
+      Some(nullableSchema(df.schema)), effStats))
   }
+
+  /** Requested stats columns, or the parent manifest's persisted config
+    * when the caller passed Nil — the table "remembers" its pruning
+    * columns the way Iceberg persists metrics config in table
+    * properties, so ingest/compact/merge maintain them without every
+    * call site re-stating the list.
+    */
+  private def effectiveStatsCols(spark: SparkSession, path: String,
+                                 cur: Option[Long], requested: Seq[String]): Seq[String] =
+    if (requested.nonEmpty) requested
+    else cur.map(v => readManifestChecked(spark, path, v).statsCols).getOrElse(Nil)
+
+  private def nullableSchema(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
 
   /** Read the CURRENT snapshot. The manifest resolves here, once — the
     * returned DataFrame is pinned to this snapshot's immutable files and
@@ -172,19 +260,287 @@ object SnapshotTable {
     * this read) never touch its files. Reading an expired or
     * never-committed version fails loudly with the retained range — a
     * silent fallback to "current" would turn an audit query into a lie.
+    * (A concurrent expire racing this call hits the same loud error via
+    * [[readManifestChecked]]; there is no exists-then-read window.)
     */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val f = fs(spark, manifest(path, version))
-    if (!f.exists(manifest(path, version))) {
-      val have = versions(spark, path)
-      throw new IllegalArgumentException(
-        s"version $version not committed at $path" +
-          (if (have.isEmpty) " (no committed snapshot)"
-           else s" (retained versions: ${have.min}..${have.max}; earlier ones expired)"))
+    val m = readManifestChecked(spark, path, version)
+    val reader = spark.read.format(m.format)
+    m.schema.fold(reader)(reader.schema)
+      .load(m.dirs.map(d => new Path(path, d).toString): _*)
+  }
+
+  // ---- per-file column stats + predicate-pruned scan planning -----------
+
+  /** Per-data-directory stats sidecar (`_stats/<dirname>`, always
+    * parquet): one row per (file, stats column) with min/max encoded by
+    * kind — numerics as conservatively-widened doubles, strings as-is.
+    * This is the manifest-metrics half of the Iceberg/Delta scan
+    * planning contract: at 100 TB the difference between "read the
+    * table" and "open the three files whose [min,max] the predicate
+    * intersects". Sidecars are written from the freshly-committed
+    * (page-cache-hot) output, never by re-scanning history, and
+    * [[readWhere]] treats them as strictly optional — a dir without
+    * stats simply isn't pruned.
+    */
+  private def statsDir(path: String, dataDir: String) =
+    new Path(new Path(path, "_stats"), dataDir)
+
+  /** One file's stats for one column. Numeric bounds are widened one
+    * ulp outward at write time, so a long→double cast's rounding can
+    * never tighten a bound past a true value (pruning stays strictly
+    * conservative even beyond 2^53).
+    */
+  private final case class ColStat(loD: Option[Double], hiD: Option[Double],
+                                   loS: Option[String], hiS: Option[String],
+                                   nNonNull: Long)
+
+  private def isNumeric(dt: DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
+  private def writeStatsSidecar(spark: SparkSession, path: String, dataDir: String,
+                                writtenIn: => DataFrame, statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    if (statsCols.isEmpty) return
+    val written = writtenIn
+    val byName = written.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = statsCols.filter(c => byName.get(c).exists(dt =>
+      isNumeric(dt) || dt == org.apache.spark.sql.types.StringType))
+    if (cols.isEmpty) return
+    val aggs = cols.flatMap { c =>
+      val num = isNumeric(byName(c))
+      Seq(
+        (if (num) min(col(c)).cast("double") else lit(null).cast("double")).as(s"__lod_$c"),
+        (if (num) max(col(c)).cast("double") else lit(null).cast("double")).as(s"__hid_$c"),
+        (if (num) lit(null).cast("string") else min(col(c))).as(s"__los_$c"),
+        (if (num) lit(null).cast("string") else max(col(c))).as(s"__his_$c"),
+        count(col(c)).as(s"__n_$c"))
     }
-    val (dirs, format) = readManifest(spark, path, version)
-    spark.read.format(format)
-      .load(dirs.map(d => new Path(path, d).toString): _*)
+    // One pass over the just-written files; stats rows are metadata
+    // (files × columns), so the driver-side reshape is a few KB even at
+    // thousand-file commits — the same scale class as a manifest.
+    val perFile = written.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val rows = perFile.flatMap { r =>
+      val fname = r.getAs[String]("__file").split('/').last
+      cols.map { c =>
+        def d(n: String): java.lang.Double =
+          if (r.isNullAt(r.fieldIndex(n))) null else java.lang.Double.valueOf(r.getAs[Double](n))
+        def s(n: String): String = r.getAs[String](n)
+        (fname, c,
+          Option(d(s"__lod_$c")).map(v => java.lang.Double.valueOf(Math.nextDown(v.doubleValue))).orNull,
+          Option(d(s"__hid_$c")).map(v => java.lang.Double.valueOf(Math.nextUp(v.doubleValue))).orNull,
+          s(s"__los_$c"), s(s"__his_$c"),
+          r.getAs[Long](s"__n_$c"))
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("file", "col", "lo_d", "hi_d", "lo_s", "hi_s", "n_nonnull")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsDir(path, dataDir).toString)
+  }
+
+  /** Extracted range constraint from one predicate conjunct: closed
+    * interval by kind (numeric vs string). Exclusive bounds are widened
+    * to inclusive — pruning may only ever be conservative.
+    */
+  private final case class Range(colName: String, loD: Option[Double], hiD: Option[Double],
+                                 loS: Option[String], hiS: Option[String])
+
+  /** Unsigned UTF-8 byte comparison — the collation Spark's string
+    * min/max aggregate uses (UTF8String binary order), so driver-side
+    * pruning decisions agree with executor-computed stats even for
+    * supplementary characters where UTF-16 code-unit order differs.
+    */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def litNum(v: Any): Option[Double] = v match {
+    case n: Byte => Some(n.toDouble)
+    case n: Short => Some(n.toDouble)
+    case n: Int => Some(n.toDouble)
+    case n: Long => Some(n.toDouble)
+    case n: Float => Some(n.toDouble)
+    case n: Double => Some(n)
+    case n: org.apache.spark.sql.types.Decimal => Some(n.toDouble)
+    case n: java.math.BigDecimal => Some(n.doubleValue)
+    case _ => None
+  }
+
+  private def litStr(v: Any): Option[String] = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  /** Pull simple column-vs-literal range conjuncts out of a Catalyst
+    * predicate tree. Anything unrecognized (casts, functions, ORs,
+    * nulls tests) contributes NO constraint — the file keeps being
+    * read and the residual filter stays exact, so unsupported shapes
+    * cost only the pruning opportunity, never correctness.
+    */
+  private def extractRanges(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Range] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def range(colName: String, lo: Option[Any], hi: Option[Any]): Option[Range] = {
+      val loD = lo.flatMap(litNum); val hiD = hi.flatMap(litNum)
+      val loS = lo.flatMap(litStr); val hiS = hi.flatMap(litStr)
+      // a bound that is neither numeric nor string (timestamp, binary…)
+      // would silently vanish and over-prune the other side — only emit
+      // when every requested bound survived encoding
+      val ok = lo.forall(v => litNum(v).isDefined || litStr(v).isDefined) &&
+        hi.forall(v => litNum(v).isDefined || litStr(v).isDefined)
+      if (ok && (loD.orElse(hiD).isDefined || loS.orElse(hiS).isDefined))
+        Some(Range(colName, loD, hiD, loS, hiS))
+      else None
+    }
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(e).flatMap {
+      case EqualTo(a, Literal(v, _)) if attr(a).isDefined =>
+        range(attr(a).get, Some(v), Some(v))
+      case EqualTo(Literal(v, _), a) if attr(a).isDefined =>
+        range(attr(a).get, Some(v), Some(v))
+      case GreaterThan(a, Literal(v, _)) if attr(a).isDefined =>
+        range(attr(a).get, Some(v), None)
+      case GreaterThanOrEqual(a, Literal(v, _)) if attr(a).isDefined =>
+        range(attr(a).get, Some(v), None)
+      case LessThan(a, Literal(v, _)) if attr(a).isDefined =>
+        range(attr(a).get, None, Some(v))
+      case LessThanOrEqual(a, Literal(v, _)) if attr(a).isDefined =>
+        range(attr(a).get, None, Some(v))
+      case GreaterThan(Literal(v, _), a) if attr(a).isDefined =>
+        range(attr(a).get, None, Some(v))
+      case GreaterThanOrEqual(Literal(v, _), a) if attr(a).isDefined =>
+        range(attr(a).get, None, Some(v))
+      case LessThan(Literal(v, _), a) if attr(a).isDefined =>
+        range(attr(a).get, Some(v), None)
+      case LessThanOrEqual(Literal(v, _), a) if attr(a).isDefined =>
+        range(attr(a).get, Some(v), None)
+      case In(a, vs) if attr(a).isDefined && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]) =>
+        val lits = vs.map(_.asInstanceOf[Literal].value)
+        if (lits.forall(v => litNum(v).isDefined)) {
+          val ds = lits.flatMap(litNum)
+          range(attr(a).get, Some(ds.min), Some(ds.max))
+        } else if (lits.forall(v => litStr(v).isDefined)) {
+          val ss = lits.flatMap(litStr)
+          range(attr(a).get, Some(ss.min(Ordering.fromLessThan[String](cmpUtf8(_, _) < 0))),
+            Some(ss.max(Ordering.fromLessThan[String](cmpUtf8(_, _) < 0))))
+        } else None
+      case _ => None
+    }
+  }
+
+  /** Does the file's stat interval intersect the query range? A file
+    * with zero non-null values cannot satisfy any range/equality
+    * predicate on the column (NULL never compares true), so it prunes;
+    * a file with no stat ROW for the column keeps being read.
+    */
+  private def mayMatch(st: ColStat, q: Range): Boolean = {
+    if (st.nNonNull == 0L) return false
+    val numOk = (q.loD, q.hiD, st.loD, st.hiD) match {
+      case (None, None, _, _) => true
+      case (lo, hi, Some(slo), Some(shi)) =>
+        lo.forall(l => shi >= l) && hi.forall(h => slo <= h)
+      case _ => true // numeric query bound but string-kind stats: no info
+    }
+    val strOk = (q.loS, q.hiS, st.loS, st.hiS) match {
+      case (None, None, _, _) => true
+      case (lo, hi, Some(slo), Some(shi)) =>
+        lo.forall(l => cmpUtf8(shi, l) >= 0) && hi.forall(h => cmpUtf8(slo, h) <= 0)
+      case _ => true
+    }
+    numOk && strOk
+  }
+
+  final case class PruneReport(nFilesTotal: Int, nFilesKept: Int)
+
+  /** Predicate-pruned snapshot read — the scan-planning half of the
+    * stats contract. Resolves the (current or pinned) manifest, extracts
+    * simple range conjuncts from `predicate`, drops every data file
+    * whose persisted [min,max] cannot intersect them, and applies the
+    * FULL predicate to the survivors, so the result is exactly
+    * `readAt(...).filter(predicate)` at a fraction of the bytes when
+    * stats exist ([[write]]/[[ingest]]/[[compact]]/[[merge]] maintain
+    * them per the manifest's `stats:` config). Dirs without sidecars,
+    * columns without stats, and unsupported predicate shapes all fall
+    * back to reading — pruning is only ever an optimization. Stats
+    * sidecars are metadata-scale (one row per file×column) and resolve
+    * on the driver exactly like the manifest itself.
+    */
+  def readWhere(spark: SparkSession, path: String, predicate: Column,
+                version: Option[Long] = None): DataFrame =
+    readWhereReport(spark, path, predicate, version)._1
+
+  /** [[readWhere]] plus the pruning decision (total vs kept file
+    * counts) for audits and tests.
+    */
+  def readWhereReport(spark: SparkSession, path: String, predicate: Column,
+                      version: Option[Long] = None): (DataFrame, PruneReport) = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, v)
+    val ranges = extractRanges(org.apache.spark.sql.GraftSqlShim.expression(predicate))
+    val f = fs(spark, new Path(path))
+    def dataFiles(d: String): Seq[Path] =
+      f.listStatus(new Path(path, d)).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath)
+    val perDir = m.dirs.map { d =>
+      val files = dataFiles(d)
+      val sp = statsDir(path, d)
+      val kept =
+        if (ranges.isEmpty || !f.exists(sp)) files
+        else {
+          val stats = spark.read.parquet(sp.toString).collect().map { r =>
+            (r.getAs[String]("file"), r.getAs[String]("col")) -> ColStat(
+              Option(r.getAs[java.lang.Double]("lo_d")).map(_.doubleValue),
+              Option(r.getAs[java.lang.Double]("hi_d")).map(_.doubleValue),
+              Option(r.getAs[String]("lo_s")), Option(r.getAs[String]("hi_s")),
+              r.getAs[Long]("n_nonnull"))
+          }.toMap
+          files.filter { p =>
+            ranges.forall { q =>
+              stats.get((p.getName, q.colName)).forall(st => mayMatch(st, q))
+            }
+          }
+        }
+      (files.size, kept)
+    }
+    val total = perDir.map(_._1).sum
+    val kept = perDir.flatMap(_._2)
+    val report = PruneReport(total, kept.size)
+    val df =
+      if (kept.isEmpty)
+        // constant-false filter folds to an empty LocalRelation: right
+        // schema, zero files opened
+        readAt(spark, path, v)
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else {
+        val reader = spark.read.format(m.format)
+        m.schema.fold(reader)(reader.schema)
+          .load(kept.map(_.toString): _*)
+          .filter(predicate)
+      }
+    (df, report)
   }
 
   /** Size-targeted compaction as a SNAPSHOT COMMIT: the rewrite stages
@@ -212,28 +568,34 @@ object SnapshotTable {
     * the next ingest's delta bloom and that ingest pays the one
     * full-table rebuild scan the repair exists to avoid (correctness
     * is unaffected either way).
+    *
+    * Stats sidecars are REBUILT for the compacted output (the old
+    * per-file intervals name rewritten files), per the manifest's
+    * persisted `stats:` config or this call's `statsCols` override —
+    * compacting with `sortCols` on a stats column is exactly what makes
+    * the rebuilt intervals disjoint and pruning sharp.
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               sortCols: Seq[String] = Nil,
               textCol: Option[String] = None,
               expectedItems: Long = 1000000L,
-              fpp: Double = 0.01): Sink.CompactionStats = {
+              fpp: Double = 0.01,
+              statsCols: Seq[String] = Nil): Sink.CompactionStats = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
-    val (dirs, format, bloomName) = readManifestFull(spark, path, v)
+    val m = readManifestChecked(spark, path, v)
     val f = fs(spark, new Path(path))
-    val before = dirs.flatMap(d => f.listStatus(new Path(path, d))).filter(s => s.isFile &&
+    val before = m.dirs.flatMap(d => f.listStatus(new Path(path, d))).filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.format(format)
-      .load(dirs.map(d => new Path(path, d).toString): _*)
+    val df = readAt(spark, path, v)
     val repart = df.repartition(nOut)
     val sorted =
       if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(df(_)): _*) else repart
     val nextDir = stageDir(v + 1)
-    sorted.write.mode("overwrite").format(format).save(new Path(path, nextDir).toString)
+    sorted.write.mode("overwrite").format(m.format).save(new Path(path, nextDir).toString)
     // Compaction also collapses an append chain back to ONE directory.
     // The hash sidecar — when the whole chain has one — collapses by
     // pure hash union (no payload re-hash), and the bloom carries over
@@ -242,19 +604,19 @@ object SnapshotTable {
     // When either is missing and the caller named the content column,
     // rebuild it from the just-written compacted output (see scaladoc).
     import org.apache.spark.sql.functions.{col, xxhash64}
-    lazy val written = spark.read.format(format).load(new Path(path, nextDir).toString)
-    val srcSidecars = dirs.map(d => hashesDir(path, d))
+    lazy val written = spark.read.format(m.format).load(new Path(path, nextDir).toString)
+    val srcSidecars = m.dirs.map(d => hashesDir(path, d))
     if (srcSidecars.nonEmpty && srcSidecars.forall(f.exists))
-      spark.read.format(format).load(srcSidecars.map(_.toString): _*)
-        .write.mode("overwrite").format(format)
+      spark.read.format(m.format).load(srcSidecars.map(_.toString): _*)
+        .write.mode("overwrite").format(m.format)
         .save(hashesDir(path, nextDir).toString)
-    else textCol.foreach(tc => writeHashSidecar(spark, path, nextDir, written, tc, format))
+    else textCol.foreach(tc => writeHashSidecar(spark, path, nextDir, written, tc, m.format))
     // Only a manifest-NAMED bloom carries forward; a legacy per-version
     // file is keyed on the pre-contentKey hash and must not be laundered
     // into a named reference (readBloom would then trust it). A chain
     // with NO named bloom gets one built from the compacted output when
     // textCol is given, so the next ingest's probe path is O(delta).
-    val outBloomName = (bloomName, textCol) match {
+    val outBloomName = (m.bloom, textCol) match {
       case (some @ Some(_), _) => some
       case (None, Some(tc)) =>
         val name = f"b${v + 1}%08d-${nextDir.takeRight(8)}.bin"
@@ -263,7 +625,10 @@ object SnapshotTable {
         Some(name)
       case (None, None) => None
     }
-    commit(spark, path, v + 1, Seq(nextDir), format, outBloomName)
+    val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
+    writeStatsSidecar(spark, path, nextDir, written, effStats)
+    commit(spark, path, v + 1, Manifest(Seq(nextDir), m.format, outBloomName,
+      m.schema.orElse(Some(nullableSchema(written.schema))), effStats))
     val after = f.listStatus(new Path(path, nextDir)).count(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     Sink.CompactionStats(before.length, after, totalBytes)
@@ -282,18 +647,19 @@ object SnapshotTable {
     if (vs.isEmpty) return 0
     val drop = vs.dropRight(keep)
     val retained = vs.takeRight(keep).map(v => readManifestFull(spark, path, v))
-    val retainedDirs = retained.flatMap(_._1).toSet
+    val retainedDirs = retained.flatMap(_.dirs).toSet
     // bloom files are shared by reference across compactions — refcount
     // their names exactly like dirs
-    val retainedBlooms = retained.flatMap(_._3).toSet
+    val retainedBlooms = retained.flatMap(_.bloom).toSet
     drop.foreach { v =>
-      val (dirs, _, bloomName) = readManifestFull(spark, path, v)
-      dirs.filterNot(retainedDirs).foreach { d =>
+      val m = readManifestFull(spark, path, v)
+      m.dirs.filterNot(retainedDirs).foreach { d =>
         f.delete(new Path(path, d), true)
         f.delete(hashesDir(path, d), true)
+        f.delete(statsDir(path, d), true)
       }
       f.delete(manifest(path, v), false)
-      (bloomName.toSeq :+ legacyBloomFile(path, v).getName)
+      (m.bloom.toSeq :+ legacyBloomFile(path, v).getName)
         .filterNot(retainedBlooms)
         .foreach(n => f.delete(new Path(versionsDir(path), n), false))
     }
@@ -309,32 +675,32 @@ object SnapshotTable {
     * reads O(new data) regardless of table size — the CDC-read shape
     * every table format pairs with time travel (vs d11's full-outer
     * diff, which is the right tool when versions DON'T share files).
-    * An intervening [[compact]]/[[write]] rewrites the file set, making
-    * the delta unidentifiable by directory — that range fails loudly
-    * instead of silently returning the whole rewritten table.
+    * An intervening [[compact]]/[[write]]/[[merge]] rewrites the file
+    * set, making the delta unidentifiable by directory — that range
+    * fails loudly instead of silently returning the whole rewritten
+    * table.
     */
   def addedBetween(spark: SparkSession, path: String, fromVersion: Long,
                    toVersion: Option[Long] = None): DataFrame = {
     val to = toVersion.getOrElse(currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path")))
     require(fromVersion <= to, s"fromVersion $fromVersion is after toVersion $to")
-    // an expired/unknown endpoint gets readAt's loud retained-range
-    // error, not a raw missing-file failure from the manifest read
-    val f = fs(spark, versionsDir(path))
-    Seq(fromVersion, to).filterNot(v => f.exists(manifest(path, v))).foreach { v =>
-      readAt(spark, path, v) // throws with the retained range
-    }
-    val (fromDirs, format) = readManifest(spark, path, fromVersion)
-    val (toDirs, _) = readManifest(spark, path, to)
-    val missing = fromDirs.filterNot(toDirs.toSet)
+    // an expired/unknown/concurrently-expired endpoint gets the loud
+    // retained-range error, not a raw missing-file failure
+    val fromM = readManifestChecked(spark, path, fromVersion)
+    val toM = readManifestChecked(spark, path, to)
+    val missing = fromM.dirs.filterNot(toM.dirs.toSet)
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"versions $fromVersion..$to at $path are not an append-only chain " +
         s"(${missing.mkString(", ")} rewritten by a compact/overwrite in the range); " +
         "use a keyed diff of readAt frames instead")
-    val added = toDirs.filterNot(fromDirs.toSet)
+    val added = toM.dirs.filterNot(fromM.dirs.toSet)
     if (added.isEmpty) readAt(spark, path, to).limit(0)
-    else spark.read.format(format)
-      .load(added.map(d => new Path(path, d).toString): _*)
+    else {
+      val reader = spark.read.format(toM.format)
+      toM.schema.fold(reader)(reader.schema)
+        .load(added.map(d => new Path(path, d).toString): _*)
+    }
   }
 
   /** Cheap chain shape probe for maintenance policies: (number of
@@ -347,34 +713,36 @@ object SnapshotTable {
     */
   private[graft] def chainInfo(spark: SparkSession, path: String): (Int, Long) = {
     val v = currentVersion(spark, path).getOrElse(return (0, 0L))
-    val (dirs, _) = readManifest(spark, path, v)
+    val m = readManifestChecked(spark, path, v)
     val f = fs(spark, new Path(path))
-    val deltaBytes = dirs.drop(1).map { d =>
+    val deltaBytes = m.dirs.drop(1).map { d =>
       val p = new Path(path, d)
       if (!f.exists(p)) 0L
       else f.listStatus(p).filter(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
         .map(_.getLen).sum
     }.sum
-    (dirs.size, deltaBytes)
+    (m.dirs.size, deltaBytes)
   }
 
   final case class VacuumStats(nDataDirs: Int, nHashSidecars: Int, nVersionFiles: Int)
 
   /** Staging-orphan janitor. A lost commit race or a crashed ingest
     * leaves artifacts no manifest ever came to reference: a staged
-    * `snap-*` directory, its `_hashes/<dir>` sidecar, a committer-unique
-    * bloom, a `.tmp-*` manifest. They are harmless to correctness
-    * (nothing resolves them) but at cronjob cadence they accumulate
-    * storage forever. Vacuum deletes everything a retained manifest does
-    * not reference — data dirs, hash sidecars, bloom/tmp files under
-    * `_versions/` — PROVIDED it is older than `graceMs`: the grace
-    * window is what keeps an in-flight committer's freshly staged (not
-    * yet committed) artifacts safe, exactly the remove-orphan-files
-    * contract of production table formats. Manifests themselves are
-    * never touched ([[expire]] owns version retention). Legacy
-    * per-version bloom files are always unreferenced (manifests name
-    * their blooms) and age out with the rest.
+    * `snap-*` directory, its `_hashes/<dir>` and `_stats/<dir>`
+    * sidecars, a committer-unique bloom, a `.tmp-*` manifest. They are
+    * harmless to correctness (nothing resolves them) but at cronjob
+    * cadence they accumulate storage forever. Vacuum deletes everything
+    * a retained manifest does not reference — data dirs, sidecars,
+    * bloom/tmp files under `_versions/` — PROVIDED it is older than
+    * `graceMs`: the grace window is what keeps an in-flight committer's
+    * freshly staged (not yet committed) artifacts safe, exactly the
+    * remove-orphan-files contract of production table formats. A grace
+    * below the worst-case staging duration is safe only under strict
+    * single-writer (see [[graft.streaming.EventStream.Maintenance]]).
+    * Manifests themselves are never touched ([[expire]] owns version
+    * retention). Legacy per-version bloom files are always unreferenced
+    * (manifests name their blooms) and age out with the rest.
     */
   def vacuum(spark: SparkSession, path: String,
              graceMs: Long = 24L * 3600 * 1000): VacuumStats = {
@@ -382,18 +750,19 @@ object SnapshotTable {
     val f = fs(spark, root)
     if (!f.exists(root)) return VacuumStats(0, 0, 0)
     val retained = versions(spark, path).map(v => readManifestFull(spark, path, v))
-    val refDirs = retained.flatMap(_._1).toSet
-    val refBlooms = retained.flatMap(_._3).toSet
+    val refDirs = retained.flatMap(_.dirs).toSet
+    val refBlooms = retained.flatMap(_.bloom).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     def deletable(s: org.apache.hadoop.fs.FileStatus): Boolean =
       s.getModificationTime < cutoff
     val dataDirs = f.listStatus(root).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith("snap-") && !refDirs(s.getPath.getName) && deletable(s))
     dataDirs.foreach(s => f.delete(s.getPath, true))
-    val hd = new Path(path, "_hashes")
-    val sidecars =
-      if (!f.exists(hd)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else f.listStatus(hd).filter(s => !refDirs(s.getPath.getName) && deletable(s))
+    val sidecars = Seq("_hashes", "_stats").flatMap { side =>
+      val hd = new Path(path, side)
+      if (!f.exists(hd)) Nil
+      else f.listStatus(hd).filter(s => !refDirs(s.getPath.getName) && deletable(s)).toSeq
+    }
     sidecars.foreach(s => f.delete(s.getPath, true))
     val vd = versionsDir(path)
     val versionFiles =
@@ -476,7 +845,7 @@ object SnapshotTable {
   private def readBloom(spark: SparkSession, path: String,
                         v: Long): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val f = fs(spark, versionsDir(path))
-    readManifestFull(spark, path, v)._3
+    readManifestChecked(spark, path, v).bloom
       .map(n => new Path(versionsDir(path), n))
       .filter(f.exists)
       .map { bf =>
@@ -501,6 +870,40 @@ object SnapshotTable {
     f.mkdirs(versionsDir(path))
     val out = f.create(bf, false) // unique name per committer: never overwrite
     try bloom.writeTo(out) finally out.close()
+  }
+
+  /** Ingest's drift contract: an incoming batch must carry every table
+    * column at the same type (nullability ignored — parquet round-trips
+    * it loosely). Missing or re-typed columns are NON-ADDITIVE drift
+    * and fail loudly here, BEFORE any staging I/O — silently
+    * union-by-name-ing a half-matching batch would corrupt the table
+    * for every later reader. Extra columns are ADDITIVE drift: accepted
+    * only when the caller opted in via `evolveSchema`, in which case the
+    * committed schema widens and old directories read back null-filled
+    * (the manifest's explicit schema is what makes that read work).
+    */
+  private def mergedIngestSchema(table: StructType, incoming: StructType,
+                                 evolveSchema: Boolean): StructType = {
+    val inByName = incoming.fields.map(f => f.name -> f).toMap
+    val missing = table.fields.filterNot(f => inByName.contains(f.name))
+    val retyped = table.fields.flatMap(f =>
+      inByName.get(f.name).filter(_.dataType != f.dataType).map(g => (f, g)))
+    if (missing.nonEmpty || retyped.nonEmpty) throw new IllegalArgumentException(
+      "non-additive schema drift rejected at ingest: " +
+        (missing.map(f => s"missing column ${f.name}: ${f.dataType.simpleString}") ++
+          retyped.map { case (f, g) =>
+            s"column ${f.name} retyped ${f.dataType.simpleString} -> ${g.dataType.simpleString}" })
+          .mkString("; ") +
+        " — rewrite the table explicitly (write/merge) to change existing columns")
+    val tableNames = table.fieldNames.toSet
+    val extras = incoming.fields.filterNot(f => tableNames.contains(f.name))
+    if (extras.isEmpty) table
+    else if (!evolveSchema) throw new IllegalArgumentException(
+      s"additive schema drift rejected at ingest: new column(s) " +
+        extras.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+        " — pass evolveSchema = true to widen the table schema " +
+        "(old snapshots read back null-filled)")
+    else nullableSchema(StructType(table.fields ++ extras))
   }
 
   final case class IngestStats(version: Long, nIncoming: Long, nNew: Long)
@@ -540,15 +943,34 @@ object SnapshotTable {
     * `expectedItems`/`fpp` must stay constant per table (sidecar blooms
     * merge only at equal parameters); a parameter change or missing
     * sidecar falls back to one rebuild scan of the current snapshot.
+    *
+    * Schema drift is checked BEFORE any staging I/O (see
+    * [[mergedIngestSchema]]): non-additive drift always fails loudly;
+    * additive columns commit a widened schema when `evolveSchema` is
+    * set. `statsCols` seeds or overrides the per-file min/max sidecar
+    * config; Nil inherits the table's persisted config.
     */
   def ingest(spark: SparkSession, incoming: DataFrame, path: String,
              textCol: String, expectedItems: Long = 1000000L,
-             fpp: Double = 0.01, format: String = "parquet"): IngestStats = {
+             fpp: Double = 0.01, format: String = "parquet",
+             statsCols: Seq[String] = Nil,
+             evolveSchema: Boolean = false): IngestStats = {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(spark, path)
     val next = cur.getOrElse(0L) + 1
     val deltaDir = stageDir(next)
-    val parentDirs = cur.map(v => readManifest(spark, path, v)._1).getOrElse(Nil)
+    val parent = cur.map(v => readManifestChecked(spark, path, v))
+    val parentDirs = parent.map(_.dirs).getOrElse(Nil)
+    // Drift gate first: fail before any staging I/O. A first commit
+    // defines the table schema; later commits check against the
+    // manifest's schema (or, for pre-r13 tables, the files' schema).
+    val tableSchema = parent.map(m =>
+      m.schema.getOrElse(nullableSchema(readAt(spark, path, cur.get).schema)))
+    val committedSchema = tableSchema match {
+      case None => nullableSchema(incoming.schema)
+      case Some(ts) => mergedIngestSchema(ts, incoming.schema, evolveSchema)
+    }
+    val effStats = effectiveStatsCols(spark, path, cur, statsCols)
     // Cache the batch: both probe branches and the stats count scan it,
     // and a crawl batch is expensive to recompute (batch-sized to hold).
     // Only cache what WE cached: unpersisting a caller-established cache
@@ -577,11 +999,15 @@ object SnapshotTable {
           val definitelyNew = incoming.filter(!probe)
           val needsCheck = incoming.filter(probe)
           val verifiedNew = needsCheck.join(
-            existingHashes(spark, path, parentDirs, textCol, format),
+            existingHashes(spark, path, parentDirs, textCol, parent.get.format),
             contentKey(needsCheck(textCol)) === col("__h"), "left_anti")
           definitelyNew.unionByName(verifiedNew)
       }
-      delta.write.mode("overwrite").format(format)
+      // Canonical column order: the committed schema's. An evolved batch
+      // appends its new columns after the table's; a reordered batch
+      // lands in table order.
+      delta.select(committedSchema.fieldNames.map(col(_)).toSeq: _*)
+        .write.mode("overwrite").format(format)
         .save(new Path(path, deltaDir).toString)
       // The delta is on disk: count it and build its bloom from the
       // WRITTEN files (one small scan — never re-executes the dedup plan).
@@ -601,17 +1027,126 @@ object SnapshotTable {
         case None => deltaBloom
       }
       // Publish sidecars BEFORE the manifest rename: when the version
-      // becomes visible, its bloom and the delta's hash sidecar already
-      // exist. All staged names are committer-unique (stageDir suffix,
-      // bloom named after it), so a lost commit race leaves only
+      // becomes visible, its bloom, hash sidecar, and stats sidecar
+      // already exist. All staged names are committer-unique (stageDir
+      // suffix, bloom named after it), so a lost commit race leaves only
       // unreferenced orphans — the winner's files are untouched, and
       // [[vacuum]] reclaims never-committed staging artifacts once they
       // age past its grace window.
       val bloomName = f"b$next%08d-${deltaDir.takeRight(8)}.bin"
       writeHashSidecar(spark, path, deltaDir, written, textCol, format)
+      writeStatsSidecar(spark, path, deltaDir, written, effStats)
       writeBloomAt(spark, path, bloomName, merged)
-      commit(spark, path, next, parentDirs :+ deltaDir, format, Some(bloomName))
+      commit(spark, path, next, Manifest(parentDirs :+ deltaDir, format,
+        Some(bloomName), Some(committedSchema), effStats))
       IngestStats(next, nIncoming, nNew)
     } finally { if (weCached) { incoming.unpersist(); () } }
+  }
+
+  final case class MergeStats(version: Long, nChanges: Long, nUpserts: Long,
+                              nDeletes: Long, rowsAfter: Long)
+
+  /** Row-level MERGE as a committed copy-on-write operator: apply a
+    * keyed change batch — upserts plus optional deletes — and commit the
+    * result as the table's next snapshot (the q33_cdc_merge SEMANTICS,
+    * promoted from a query to a table commit). The change batch carries
+    * the table's payload columns plus optional control columns:
+    * `deleteCol` (boolean; true rows delete their key, NULL means
+    * upsert) and `orderCol` (latest-wins tie-break WITHIN the batch —
+    * the greatest `orderCol` value per key is the row that applies;
+    * without it, duplicate keys in one batch are ambiguous and fail
+    * loudly rather than resolving arbitrarily).
+    *
+    * The rewrite is one keyed `left_anti` (current minus changed keys)
+    * plus a union of the winning upserts — Catalyst/AQE pick broadcast
+    * vs shuffle by the change batch's size, and the output stages into
+    * a single fresh directory published by the same atomic manifest
+    * commit as every other operator. Copy-on-write is the right
+    * trade-off for analytical tables (reads stay single-scan, no
+    * merge-on-read overlay); a merge commit REWRITES the file set, so
+    * [[addedBetween]] refuses ranges that cross it — use the versioned
+    * reads ([[readAt]]) on either side instead.
+    *
+    * With `textCol`, the content bloom and hash sidecars are rebuilt
+    * from the merged output (deleted/replaced content must drop out of
+    * the dedup universe or a re-crawled row could never be re-admitted);
+    * without it, a subsequent ingest pays the documented one-scan
+    * rebuild. Stats sidecars follow the manifest's persisted config or
+    * this call's override.
+    */
+  def merge(spark: SparkSession, changes: DataFrame, path: String, keyCol: String,
+            deleteCol: Option[String] = None, orderCol: Option[String] = None,
+            textCol: Option[String] = None, statsCols: Seq[String] = Nil,
+            expectedItems: Long = 1000000L, fpp: Double = 0.01): MergeStats = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot at $path to merge into; create the table with write/ingest"))
+    val m = readManifestChecked(spark, path, cur)
+    val current = readAt(spark, path, cur)
+    val tableSchema = m.schema.getOrElse(nullableSchema(current.schema))
+    // contract checks: key exists on both sides; payload columns match
+    // the table by name+type (merge does not evolve schema — evolution
+    // belongs to ingest/write, where old-row semantics are defined)
+    val ctrl = (deleteCol.toSeq ++ orderCol.toSeq).toSet
+    require(tableSchema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' is not a table column (${tableSchema.fieldNames.mkString(", ")})")
+    val payload = StructType(changes.schema.fields.filterNot(f => ctrl(f.name)))
+    val tByName = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = tableSchema.fields.filterNot(f =>
+      payload.fields.exists(g => g.name == f.name && g.dataType == f.dataType)) ++
+      payload.fields.filterNot(f => tByName.get(f.name).contains(f.dataType))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      "merge change batch does not match the table schema (payload columns must " +
+        s"carry exactly the table's columns): ${bad.map(f =>
+          s"${f.name}: ${f.dataType.simpleString}").distinct.mkString(", ")}")
+    val weCached = changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // latest-wins within the batch, or a loud duplicate-key error
+      val winning = orderCol match {
+        case Some(oc) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol)).orderBy(col(oc).desc)
+          changes.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        case None =>
+          val dup = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1).limit(1).collect()
+          if (dup.nonEmpty) throw new IllegalArgumentException(
+            s"duplicate key ${dup.head.get(0)} in merge batch with no orderCol: " +
+              "latest-wins needs an ordering column to be well-defined")
+          changes
+      }
+      val isDelete = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false)))
+        .getOrElse(lit(false))
+      val upserts = winning.filter(!isDelete)
+        .select(tableSchema.fieldNames.map(col(_)).toSeq: _*)
+      val nChanges = winning.count()
+      val nUpserts = upserts.count()
+      val nDeletes = nChanges - nUpserts
+      val changedKeys = winning.select(col(keyCol).as("__mk"))
+      val next = current
+        .join(changedKeys, current(keyCol) === col("__mk"), "left_anti")
+        .unionByName(upserts)
+      val nextDir = stageDir(cur + 1)
+      next.write.mode("overwrite").format(m.format)
+        .save(new Path(path, nextDir).toString)
+      val written = spark.read.format(m.format).load(new Path(path, nextDir).toString)
+      val rowsAfter = written.count()
+      // sidecars: the merged output IS the new dedup universe
+      val bloomName = textCol.map { tc =>
+        writeHashSidecar(spark, path, nextDir, written, tc, m.format)
+        val name = f"b${cur + 1}%08d-${nextDir.takeRight(8)}.bin"
+        writeBloomAt(spark, path, name,
+          bloomOf(written, xxhash64(contentKey(col(tc))), expectedItems, fpp))
+        name
+      }
+      val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
+      writeStatsSidecar(spark, path, nextDir, written, effStats)
+      commit(spark, path, cur + 1, Manifest(Seq(nextDir), m.format, bloomName,
+        Some(tableSchema), effStats))
+      MergeStats(cur + 1, nChanges, nUpserts, nDeletes, rowsAfter)
+    } finally { if (weCached) { changes.unpersist(); () } }
   }
 }

@@ -3363,12 +3363,18 @@ object TrainingData {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     },
+    // COALESCE mirrors ingest's contentKey NULL sentinel: the table
+    // dedups NULL payloads against each other (NULL content is still
+    // content), so the oracle's compare must be null-equal too — a bare
+    // md5(e.text) = md5(i.text) never matches NULL and would KEEP a
+    // NULL-text doc the ingest dropped as a duplicate.
     Some("""
       SELECT doc_id, lang, n_chars
       FROM documents i
       WHERE doc_id >= 400 AND NOT EXISTS (
         SELECT 1 FROM documents e
-        WHERE e.doc_id < 400 AND md5(e.text) = md5(i.text))
+        WHERE e.doc_id < 400
+          AND COALESCE(md5(e.text), '<null>') = COALESCE(md5(i.text), '<null>'))
       ORDER BY doc_id"""))
 
   val entries: Seq[(String, Q)] = Seq(

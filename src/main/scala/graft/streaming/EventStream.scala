@@ -165,6 +165,16 @@ object EventStream {
     * the carried bloom stays merge-compatible. Parameters are validated
     * here so a bad policy fails at construction, not batches into the
     * stream.
+    *
+    * SINGLE-WRITER ASSUMPTION for `vacuumGraceMs`: vacuum's only
+    * protection for a concurrent committer's staged-but-uncommitted
+    * artifacts (delta dir, bloom, .tmp manifest) is the grace window. A
+    * value below the worst-case staging duration — and 0 in particular
+    * — is safe ONLY when this sink is the table's sole writer, which
+    * foreachBatch guarantees for the sink's OWN ingests (maintenance
+    * runs after the batch commit, same thread) but nothing enforces
+    * against an external process. With out-of-band writers, keep the
+    * grace comfortably above their staging time (default 24 h).
     */
   final case class Maintenance(everyBatches: Int = 100, keep: Int = 2,
                                targetFileBytes: Long = 128L * 1024 * 1024,
