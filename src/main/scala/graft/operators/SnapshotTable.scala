@@ -388,12 +388,24 @@ object SnapshotTable {
     * read and the residual filter stays exact, so unsupported shapes
     * cost only the pruning opportunity, never correctness.
     */
-  private def extractRanges(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Range] = {
+  private def extractRanges(raw: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Range] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // The analyzer wraps literals in type-promotion casts (700 becomes
+    // CAST(700 AS BIGINT) against a bigint column); fold every foldable
+    // subtree back to a bare Literal so the matchers below see it.
+    val e = raw.transformUp {
+      case x if x.foldable && !x.isInstanceOf[Literal] =>
+        scala.util.Try(Literal.create(x.eval(null), x.dataType)).getOrElse(x)
+    }
     def attr(x: Expression): Option[String] = x match {
       case a: UnresolvedAttribute => Some(a.nameParts.last)
       case a: AttributeReference => Some(a.name)
+      // a WIDENING numeric cast of the column preserves order, and the
+      // stats comparison happens in double space anyway — see through
+      // it; any other cast changes semantics and blocks extraction
+      case Cast(c, dt, _, _) if isNumeric(dt) &&
+          attr(c).isDefined && c.dataType != null && isNumeric(c.dataType) => attr(c)
       case _ => None
     }
     def range(colName: String, lo: Option[Any], hi: Option[Any]): Option[Range] = {
@@ -497,7 +509,14 @@ object SnapshotTable {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     val m = readManifestChecked(spark, path, v)
-    val ranges = extractRanges(org.apache.spark.sql.GraftSqlShim.expression(predicate))
+    // Resolve the predicate the way Spark itself would: analyze a
+    // filter of the snapshot (driver-only, no execution) and extract
+    // the condition — the analyzer resolves names, inserts promotion
+    // casts, and rejects unknown columns loudly, all for free.
+    val ranges = readAt(spark, path, v).filter(predicate)
+      .queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.flatMap(extractRanges)
     val f = fs(spark, new Path(path))
     def dataFiles(d: String): Seq[Path] =
       f.listStatus(new Path(path, d)).toSeq
@@ -591,9 +610,18 @@ object SnapshotTable {
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = readAt(spark, path, v)
-    val repart = df.repartition(nOut)
+    // With sortCols, compaction CLUSTERS: range-repartition on the sort
+    // key gives every output file a disjoint key interval (round-robin
+    // would spread the whole range across every file), which is exactly
+    // what makes the rebuilt min/max stats prunable — the write-side
+    // half of [[readWhere]]'s contract, same role z-order plays in
+    // [[Sink]]. Without sortCols the rewrite stays pure round-robin
+    // size-targeting.
     val sorted =
-      if (sortCols.nonEmpty) repart.sortWithinPartitions(sortCols.map(df(_)): _*) else repart
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(df(_)): _*)
+          .sortWithinPartitions(sortCols.map(df(_)): _*)
+      else df.repartition(nOut)
     val nextDir = stageDir(v + 1)
     sorted.write.mode("overwrite").format(m.format).save(new Path(path, nextDir).toString)
     // Compaction also collapses an append chain back to ONE directory.

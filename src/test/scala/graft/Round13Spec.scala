@@ -1,0 +1,309 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 pins: per-file column stats + predicate-pruned scan
+  * planning, SnapshotTable.merge as a committed copy-on-write operator,
+  * the ingest schema-drift contract, the race-free manifest read path,
+  * and the refuse-existing FileContext publish.
+  */
+class Round13Spec extends SparkSpec {
+
+  import graft.operators.SnapshotTable
+
+  /** ~1 KB of low-compressibility text per row so payload bytes dwarf
+    * metadata and the bytes-read audit has an unmistakable gap.
+    */
+  private def blob(i: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 32).map { j =>
+      md.digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.mkString
+  }
+
+  /** Bytes the plan's scans were BUILT over: the sum of leaf-relation
+    * sizes in the optimized plan, i.e. the file set the scan will read.
+    * (Task-level inputMetrics undercount local parquet reads, so the
+    * audit pins the planning decision — which is what file pruning
+    * changes — rather than an IO counter that can't see the files.)
+    */
+  private def scanBytes(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes.toLong).sum
+
+  // ---- stats-pruned scan planning ---------------------------------------
+
+  test("readWhere prunes to the files a range predicate can touch (bytes-read audited)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    // three append commits over DISJOINT doc_id ranges; the stats config
+    // is stated once at table creation and inherited by later ingests
+    SnapshotTable.ingest(spark, (0L until 600L).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L, statsCols = Seq("doc_id"))
+    SnapshotTable.ingest(spark, (600L until 1200L).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L)
+    SnapshotTable.ingest(spark, (1200L until 1800L).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L)
+    val allBytes = scanBytes(SnapshotTable.read(spark, path))
+    assert(allBytes > 500000L, s"fixture too small for a meaningful audit: $allBytes")
+    // predicate inside commit 2's range only
+    val pred = col("doc_id") >= 700L && col("doc_id") < 800L
+    val (prunedDf, report) = SnapshotTable.readWhereReport(spark, path, pred)
+    val rows = prunedDf.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (700L until 800L).toSeq)
+    assert(report.nFilesKept < report.nFilesTotal,
+      s"stats present but nothing pruned: $report")
+    val prunedBytes = scanBytes(prunedDf)
+    assert(prunedBytes < allBytes / 2,
+      s"pruned read still plans ${prunedBytes}B of ${allBytes}B")
+    // result set identical to the unpruned filter
+    val expect = SnapshotTable.read(spark, path).filter(pred).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(SnapshotTable.readWhere(spark, path, pred).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
+    // a predicate matching NOTHING prunes every file and still has the
+    // right schema (note: `< 0` would conservatively keep the file
+    // holding 0 — exclusive bounds widen to inclusive by design)
+    val (none, noneRep) = SnapshotTable.readWhereReport(spark, path, col("doc_id") === -1L)
+    assert(noneRep.nFilesKept == 0 && none.count() == 0L)
+    assert(none.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("readWhere without stats reads everything but stays correct; unsupported predicates never prune") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-prune-nostats").toString
+    // no statsCols anywhere: the fallback path
+    SnapshotTable.ingest(spark, (0L until 300L).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L)
+    SnapshotTable.ingest(spark, (300L until 600L).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L)
+    val pred = col("doc_id") === 450L
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path, pred)
+    assert(rep.nFilesKept == rep.nFilesTotal, s"pruned without stats: $rep")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(450L))
+    // stats table, but a predicate shape extraction can't see through:
+    // must keep all files and stay exact
+    val p2 = java.nio.file.Files.createTempDirectory("graft-prune-opaque").toString
+    SnapshotTable.ingest(spark, (0L until 200L).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      p2, "text", expectedItems = 10000L, statsCols = Seq("doc_id"))
+    val opaque = (col("doc_id") % 97L) === 0L
+    val (df2, rep2) = SnapshotTable.readWhereReport(spark, p2, opaque)
+    assert(rep2.nFilesKept == rep2.nFilesTotal,
+      s"an arithmetic predicate must not prune (no literal-vs-column range): $rep2")
+    assert(df2.count() == (0L until 200L).count(_ % 97L == 0L))
+    // and an OR at the top is one unrecognized conjunct, not two ranges
+    val orPred = col("doc_id") < 10L || col("doc_id") > 190L
+    val (df3, rep3) = SnapshotTable.readWhereReport(spark, p2, orPred)
+    assert(rep3.nFilesKept == rep3.nFilesTotal, s"OR must not prune: $rep3")
+    assert(df3.count() == 19L)
+  }
+
+  test("string stats prune with UTF-8 collation; IN lists prune by min/max envelope") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-prune-str").toString
+    // two commits with disjoint lang alphabets
+    SnapshotTable.ingest(spark,
+      (0L until 100L).map(i => (i, s"doc a $i", if (i % 2 == 0) "aa" else "bb"))
+        .toDF("doc_id", "text", "lang"),
+      path, "text", expectedItems = 10000L, statsCols = Seq("lang", "doc_id"))
+    SnapshotTable.ingest(spark,
+      (100L until 200L).map(i => (i, s"doc b $i", if (i % 2 == 0) "yy" else "zz"))
+        .toDF("doc_id", "text", "lang"),
+      path, "text", expectedItems = 10000L)
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path, col("lang") === "zz")
+    assert(rep.nFilesKept < rep.nFilesTotal, s"string stats did not prune: $rep")
+    assert(df.count() == 50L)
+    val (df2, rep2) = SnapshotTable.readWhereReport(
+      spark, path, col("lang").isin("aa", "bb") && col("doc_id") < 10L)
+    assert(rep2.nFilesKept < rep2.nFilesTotal, s"IN + range did not prune: $rep2")
+    assert(df2.count() == 10L)
+  }
+
+  test("compact with sortCols rebuilds stats whose intervals keep pruning sharp") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-prune-compact").toString
+    // interleaved commits: pre-compaction, every dir spans the full id
+    // range, so a range predicate can prune nothing
+    SnapshotTable.ingest(spark,
+      (0L until 1000L).filter(_ % 2 == 0).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L, statsCols = Seq("doc_id"))
+    SnapshotTable.ingest(spark,
+      (0L until 1000L).filter(_ % 2 == 1).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L)
+    val pred = col("doc_id") < 100L
+    // compaction sorted by the stats column: few small files, disjoint
+    // intervals, stats config inherited from the manifest — pruning now
+    // drops the non-matching files
+    SnapshotTable.compact(spark, path, targetFileBytes = 64L * 1024,
+      sortCols = Seq("doc_id"), textCol = Some("text"), expectedItems = 10000L)
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path, pred)
+    assert(rep.nFilesTotal >= 4, s"compaction made too few files to audit pruning: $rep")
+    assert(rep.nFilesKept < rep.nFilesTotal, s"post-compaction stats did not prune: $rep")
+    assert(df.count() == 100L)
+    assert(df.collect().map(_.getLong(0)).toSet == (0L until 100L).toSet)
+  }
+
+  // ---- merge: committed copy-on-write upsert/delete ---------------------
+
+  test("merge applies upserts and deletes as one committed snapshot") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    SnapshotTable.ingest(spark,
+      (0L until 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    val changes = Seq(
+      (3L, "doc 3 v2", false), // update
+      (5L, "whatever", true),  // delete
+      (42L, "doc 42", false))  // insert
+      .toDF("doc_id", "text", "is_deleted")
+    val st = SnapshotTable.merge(spark, changes, path, "doc_id",
+      deleteCol = Some("is_deleted"), textCol = Some("text"))
+    assert(st.version == 2L && st.nChanges == 3L && st.nUpserts == 2L && st.nDeletes == 1L)
+    assert(st.rowsAfter == 10L) // 10 - 1 delete + 1 insert
+    val got = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(!got.contains(5L), "deleted key survived the merge")
+    assert(got(3L) == "doc 3 v2", "update did not apply")
+    assert(got(42L) == "doc 42", "insert did not apply")
+    assert(got(7L) == "doc 7", "untouched row disturbed")
+    // time travel still reads the pre-merge snapshot
+    assert(SnapshotTable.readAt(spark, path, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap.get(3L).contains("doc 3"))
+    // the rebuilt bloom/hash sidecars reflect the MERGED universe:
+    // replaced content ("doc 3") is re-admittable, kept content is not
+    val s2 = SnapshotTable.ingest(spark,
+      Seq((200L, "doc 3"), (201L, "doc 7")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    assert(s2.nNew == 1L, "merge sidecars stale: dedup universe must be the merged output")
+    // and addedBetween refuses to cross the rewrite boundary
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.addedBetween(spark, path, 1L, Some(3L)))
+    assert(e.getMessage.contains("not an append-only chain"), e.getMessage)
+  }
+
+  test("merge latest-wins needs orderCol; without it duplicate keys fail loudly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-merge-dup").toString
+    SnapshotTable.write(spark, Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), path)
+    val dup = Seq((1L, "first", 10L), (1L, "last", 20L), (2L, "only", 5L))
+      .toDF("doc_id", "text", "seq")
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.merge(spark, dup.drop("seq"), path, "doc_id"))
+    assert(e.getMessage.contains("duplicate key"), e.getMessage)
+    // with orderCol: the greatest seq wins per key
+    val st = SnapshotTable.merge(spark, dup, path, "doc_id", orderCol = Some("seq"))
+    assert(st.nChanges == 2L)
+    val got = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "last", 2L -> "only"))
+  }
+
+  test("merge rejects change batches that do not match the table schema") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-merge-schema").toString
+    SnapshotTable.write(spark, Seq((1L, "a")).toDF("doc_id", "text"), path)
+    val eMissing = intercept[IllegalArgumentException](
+      SnapshotTable.merge(spark, Seq(Tuple1(1L)).toDF("doc_id"), path, "doc_id"))
+    assert(eMissing.getMessage.contains("does not match the table schema"))
+    val eTyped = intercept[IllegalArgumentException](
+      SnapshotTable.merge(spark, Seq((1, "x")).toDF("doc_id", "text"), path, "doc_id"))
+    assert(eTyped.getMessage.contains("does not match the table schema"))
+    val eEmpty = intercept[IllegalArgumentException](
+      SnapshotTable.merge(spark,
+        Seq((1L, "x")).toDF("doc_id", "text"),
+        java.nio.file.Files.createTempDirectory("graft-merge-none").toString, "doc_id"))
+    assert(eEmpty.getMessage.contains("no committed snapshot"))
+  }
+
+  // ---- ingest schema-drift contract -------------------------------------
+
+  test("non-additive schema drift fails loudly BEFORE staging; versions unchanged") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    SnapshotTable.ingest(spark, Seq((1L, "a", "en")).toDF("doc_id", "text", "lang"),
+      path, "text", expectedItems = 100L)
+    // missing column
+    val eMissing = intercept[IllegalArgumentException](
+      SnapshotTable.ingest(spark, Seq((2L, "b")).toDF("doc_id", "text"),
+        path, "text", expectedItems = 100L))
+    assert(eMissing.getMessage.contains("missing column lang"), eMissing.getMessage)
+    // retyped column
+    val eTyped = intercept[IllegalArgumentException](
+      SnapshotTable.ingest(spark, Seq((2, "b", "en")).toDF("doc_id", "text", "lang"),
+        path, "text", expectedItems = 100L))
+    assert(eTyped.getMessage.contains("retyped"), eTyped.getMessage)
+    // additive without the opt-in
+    val eAdd = intercept[IllegalArgumentException](
+      SnapshotTable.ingest(spark, Seq((2L, "b", "en", 0.5)).toDF("doc_id", "text", "lang", "quality"),
+        path, "text", expectedItems = 100L))
+    assert(eAdd.getMessage.contains("evolveSchema"), eAdd.getMessage)
+    // nothing committed by any of the failures
+    assert(SnapshotTable.versions(spark, path) == Seq(1L),
+      "a rejected batch must not advance the version log")
+    val dirs = Option(new java.io.File(path).listFiles()).get
+      .map(_.getName).count(_.startsWith("snap-"))
+    assert(dirs == 1, "a rejected batch must not leave staged data dirs")
+  }
+
+  test("additive evolution widens the schema; old snapshots read back null-filled") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    SnapshotTable.ingest(spark, Seq((1L, "a")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 100L)
+    SnapshotTable.ingest(spark, Seq((2L, "b", "en")).toDF("doc_id", "text", "lang"),
+      path, "text", expectedItems = 100L, evolveSchema = true)
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.schema.fieldNames.toSeq == Seq("doc_id", "text", "lang"))
+    val rows = cur.collect().map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some("en")),
+      "pre-evolution rows must read back null-filled in the new column")
+    // the PINNED old version still reads with its own committed schema
+    assert(SnapshotTable.readAt(spark, path, 1L).schema.fieldNames.toSeq ==
+      Seq("doc_id", "text"))
+    // and dedup still covers pre-evolution content
+    val st = SnapshotTable.ingest(spark, Seq((3L, "a", "xx")).toDF("doc_id", "text", "lang"),
+      path, "text", expectedItems = 100L)
+    assert(st.nNew == 0L, "evolution broke the content-dedup universe")
+  }
+
+  // ---- race-free manifest reads + refuse-existing publish ---------------
+
+  test("a manifest vanishing at open time surfaces the retained-range error, not FNFE") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-race").toString
+    SnapshotTable.write(spark, Seq((1L, "a")).toDF("doc_id", "text"), path)
+    SnapshotTable.write(spark, Seq((2L, "b")).toDF("doc_id", "text"), path)
+    // simulate the concurrent-expire race: the manifest disappears after
+    // any caller-side existence reasoning and before the open — the read
+    // path has no exists pre-check left, so this IS the race path
+    assert(new java.io.File(s"$path/_versions/v00000001.txt").delete())
+    val e = intercept[IllegalArgumentException](SnapshotTable.readAt(spark, path, 1L))
+    assert(e.getMessage.contains("retained versions: 2..2"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotTable.addedBetween(spark, path, 1L))
+    assert(e2.getMessage.contains("not committed"), e2.getMessage)
+  }
+
+  test("fcPublish refuses an existing target and consumes tmp on success") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fc").toFile
+    val fsDir = new org.apache.hadoop.fs.Path(dir.toString)
+    def mk(name: String, content: String): org.apache.hadoop.fs.Path = {
+      val p = new java.io.File(dir, name)
+      java.nio.file.Files.write(p.toPath, content.getBytes("UTF-8"))
+      new org.apache.hadoop.fs.Path(p.toString)
+    }
+    val tmp1 = mk(".tmp-1", "one")
+    val target = new org.apache.hadoop.fs.Path(new java.io.File(dir, "v1.txt").toString)
+    assert(SnapshotTable.fcPublish(spark, tmp1, target), "first publish must win")
+    assert(!new java.io.File(dir, ".tmp-1").exists(), "success must consume tmp")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "v1.txt").toPath), "UTF-8") == "one")
+    // the slot is taken: a second publish must refuse, not replace
+    val tmp2 = mk(".tmp-2", "two")
+    assert(!SnapshotTable.fcPublish(spark, tmp2, target), "occupied slot must refuse")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "v1.txt").toPath), "UTF-8") == "one",
+      "loser must not replace the winner's manifest")
+    assert(fsDir != null)
+  }
+}
