@@ -2170,13 +2170,13 @@ object TrainingData {
             .otherwise(col("text")).as("text")), path)
     }
 
-  /** Two-commit SnapshotTable fixture staging shared by d11/d23, keyed
+  /** SnapshotTable fixture staging shared by d11/d23/d24/d25, keyed
     * by (prefix, sf dir) under a PER-USER tmp subdirectory (a shared
     * host's world-writable tmpdir must not serve — or block deleting —
     * another user's staging). Content is deterministic per sf dir, so
-    * reuse across calls is sound; anything other than exactly versions
-    * {1,2} — a crashed half-stage, a stale vintage — is torn down and
-    * rebuilt rather than trusted.
+    * reuse across calls is sound; anything other than exactly the
+    * `expect` version set — a crashed half-stage, a stale vintage — is
+    * torn down and rebuilt rather than trusted.
     */
   private[graft] def fixturePath(dir: String, prefix: String): String = {
     val user = Integer.toHexString(
@@ -2203,7 +2203,8 @@ object TrainingData {
     s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}"
   }
 
-  private def stagedSnapshotFixture(s: SparkSession, dir: String, prefix: String)
+  private def stagedSnapshotFixture(s: SparkSession, dir: String, prefix: String,
+                                    expect: Seq[Long] = Seq(1L, 2L))
                                    (build: String => Unit): String = {
     val path = fixturePath(dir, prefix)
     val hadoopConf = s.sparkContext.hadoopConfiguration
@@ -2215,7 +2216,7 @@ object TrainingData {
     legacy.getFileSystem(hadoopConf).delete(legacy, true)
     val stamp = sourceStamp(s, dir)
     val stampFile = new java.io.File(path, "_fixture_src")
-    val fresh = SnapshotTable.versions(s, path) == Seq(1L, 2L) &&
+    val fresh = SnapshotTable.versions(s, path) == expect &&
       stampFile.isFile &&
       new String(java.nio.file.Files.readAllBytes(stampFile.toPath), "UTF-8") == stamp
     if (!fresh) {
@@ -2228,8 +2229,8 @@ object TrainingData {
         s"cannot remove stale fixture at $path; refusing to stage on top of it")
       build(path)
       val staged = SnapshotTable.versions(s, path)
-      if (staged != Seq(1L, 2L)) throw new IllegalStateException(
-        s"fixture staging at $path produced versions $staged, expected {1, 2}")
+      if (staged != expect) throw new IllegalStateException(
+        s"fixture staging at $path produced versions $staged, expected $expect")
       java.nio.file.Files.write(stampFile.toPath, stamp.getBytes("UTF-8"))
       ()
     }
@@ -3377,6 +3378,88 @@ object TrainingData {
           AND COALESCE(md5(e.text), '<null>') = COALESCE(md5(i.text), '<null>'))
       ORDER BY doc_id"""))
 
+  // ---- d24_snapshot_merge: committed copy-on-write upsert/delete -------
+  // q33_cdc_merge proves the merge SEMANTICS as a query; this row proves
+  // it as a TABLE COMMIT: v1 ingests the corpus (< 400), v2 is one
+  // SnapshotTable.merge applying updates (100-199 revised), deletes
+  // (200-249), and inserts (400-449), and the registry reads the final
+  // committed snapshot. DuckDB replays the row-level result with plain
+  // relational algebra — no table format involved — so the hash match
+  // pins that the copy-on-write commit is exactly "current minus changed
+  // keys plus winning upserts".
+  private def d24Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d24") { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 400), path, "text",
+        expectedItems = 100000L)
+      val updates = docs.filter(col("doc_id").between(100, 199))
+        .select(col("doc_id"), upper(col("lang")).as("lang"),
+          (col("n_chars") + 1).as("n_chars"),
+          concat(col("text"), lit(" rev2")).as("text"), lit(false).as("is_deleted"))
+      val deletes = docs.filter(col("doc_id").between(200, 249))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          lit(true).as("is_deleted"))
+      val inserts = docs.filter(col("doc_id").between(400, 449))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          lit(false).as("is_deleted"))
+      SnapshotTable.merge(s, updates.unionByName(deletes).unionByName(inserts),
+        path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+        expectedItems = 100000L)
+      ()
+    }
+
+  private val d24 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d24Fixture(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 100 AND 199 THEN upper(lang) ELSE lang END AS lang,
+             CASE WHEN doc_id BETWEEN 100 AND 199 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE (doc_id < 400 AND doc_id NOT BETWEEN 200 AND 249)
+         OR doc_id BETWEEN 400 AND 449
+      ORDER BY doc_id"""))
+
+  // ---- d25_stats_pruned_scan: predicate-pruned snapshot read -----------
+  // The read-side half of the stats contract as a registry row: three
+  // append commits with per-file doc_id min/max sidecars (config stated
+  // once, inherited by the chain), then readWhere resolves the current
+  // manifest and plans the scan over ONLY the files whose intervals the
+  // predicate can touch (Round13Spec audits the planned bytes; here the
+  // oracle pins that pruning never changes the ANSWER — a plain DuckDB
+  // filter over the same rows). Texts are suffixed with the doc id so
+  // cross-commit content dedup provably admits every row and the oracle
+  // stays a pure filter.
+  private def d25Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d25", expect = Seq(1L, 2L, 3L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("#"), col("doc_id")).as("text"))
+      Seq(col("doc_id") < 200, col("doc_id").between(200, 399), col("doc_id") >= 400)
+        .foreach { slice =>
+          SnapshotTable.ingest(s, docs.filter(slice), path, "text",
+            expectedItems = 100000L, statsCols = Seq("doc_id"))
+        }
+      ()
+    }
+
+  private val d25 = Q(
+    (s, dir) => {
+      SnapshotTable.readWhere(s, d25Fixture(s, dir),
+          col("doc_id") >= 250 && col("doc_id") < 350)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE doc_id >= 250 AND doc_id < 350
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3404,6 +3487,8 @@ object TrainingData {
     "d21_semdedup" -> d21,
     "d22_url_content_incremental" -> d22,
     "d23_snapshot_changelog" -> d23,
+    "d24_snapshot_merge" -> d24,
+    "d25_stats_pruned_scan" -> d25,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

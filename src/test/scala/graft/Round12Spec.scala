@@ -273,7 +273,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(6)
+        val op = if (i == 0) 0 else r.nextInt(8)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -304,6 +304,33 @@ class Round12Spec extends SparkSpec {
           case 5 =>
             opsRun += "vacuum"
             SnapshotTable.vacuum(spark, path, graceMs = 0L)
+          case 6 => // keyed copy-on-write merge: updates + deletes + inserts
+            // admitted ids are unique (fresh ids ascend; content-dup rows
+            // never enter), so the row key IS the model key
+            val touched = r.shuffle(model.map(_._1)).take(r.nextInt(3))
+            val (delKeys, updKeys) = touched.splitAt(touched.size / 2)
+            val inserts =
+              (0 until (r.nextInt(2) + (if (touched.isEmpty) 1 else 0))).map(_ => freshDoc())
+            val rows = updKeys.map(k => (k, s"upd $seed-$k-$i", false)) ++
+              delKeys.map(k => (k, s"del $seed-$k-$i", true)) ++
+              inserts.map { case (id, t) => (id, t, false) }
+            opsRun += s"merge(u${updKeys.size}/d${delKeys.size}/i${inserts.size})"
+            SnapshotTable.merge(spark, rows.toDF("doc_id", "text", "is_deleted"),
+              path, "doc_id", deleteCol = Some("is_deleted"),
+              textCol = Some("text"), expectedItems = 1000L)
+            val gone = touched.toSet
+            model = model.filterNot(p => gone(p._1)) ++
+              updKeys.map(k => (k, s"upd $seed-$k-$i")) ++ inserts
+            record()
+          case 7 => // drifted batch: rejected loudly, no commit, no state change
+            opsRun += "drift-reject"
+            val bad = Seq((nextId + 500000L, s"drift $seed-$i", 1.0))
+              .toDF("doc_id", "text", "extra")
+            val before = SnapshotTable.versions(spark, path)
+            assertThrows[IllegalArgumentException](
+              SnapshotTable.ingest(spark, bad, path, "text", 1000L))
+            assert(SnapshotTable.versions(spark, path) == before,
+              s"seed=$seed step=$i: a rejected drifted batch advanced the version log")
         }
         val ctx = s"seed=$seed step=$i ops=${opsRun.mkString("→")}"
         val got = SnapshotTable.read(spark, path).collect()
