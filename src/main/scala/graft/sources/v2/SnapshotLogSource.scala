@@ -1,0 +1,157 @@
+package graft.sources.v2
+
+import graft.operators.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util
+
+/** Streaming CDC over a [[SnapshotTable]]'s version log: a DataSource V2
+  * micro-batch source whose OFFSET IS THE VERSION NUMBER. Each committed
+  * version emits exactly one row — `(version, rewrite, format,
+  * added_dirs)` — where `added_dirs` are the full paths of the
+  * directories that version added over its parent (the O(delta) payload
+  * [[SnapshotTable.addedBetween]] reads in batch). Offsets live in the
+  * query's checkpoint like any Spark source, so a restart resumes at
+  * the last committed version with no replay and no gap — the version
+  * log itself is the write-ahead log, the checkpoint just remembers the
+  * cursor.
+  *
+  * The source emits METADATA rows, not data rows: a commit's delta can
+  * be arbitrarily large, and funneling it through a single-row-source
+  * partition would serialize what is naturally a parallel scan. The
+  * consumer loads `added_dirs` with a normal (fully parallel) batch
+  * read per micro-batch — [[graft.streaming.SnapshotChangelog]] wires
+  * exactly that via foreachBatch.
+  *
+  * Rewrite commits (compact/write/merge) replace files instead of
+  * adding them, so a by-directory delta does not exist: the row carries
+  * `rewrite = true` and the NEW snapshot's full dir list, and the
+  * consumer decides (a compaction is a content no-op and safely
+  * skippable; a merge is not). Versions expired while the stream was
+  * down fail the query loudly with the retained range — a silent skip
+  * would be a data-loss hole, exactly like a Kafka stream falling off
+  * the retention edge.
+  *
+  * `startVersion` option: `latest` (default — only commits after stream
+  * start), `earliest` (replay every retained commit), or a number N
+  * (emit versions > N).
+  */
+class SnapshotLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = SnapshotLogSource.Format
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotLogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"${SnapshotLogSource.Format} needs the table path: .load(<snapshot table path>)"))
+    new SnapshotLogTable(path, Option(properties.get("startVersion")))
+  }
+}
+
+object SnapshotLogSource {
+  val Format = "graft-snapshot-log"
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("rewrite", BooleanType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("added_dirs", ArrayType(StringType, containsNull = false), nullable = false)))
+}
+
+class SnapshotLogTable(path: String, startVersion: Option[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"${SnapshotLogSource.Format}($path)"
+  override def schema(): StructType = SnapshotLogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = SnapshotLogSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new SnapshotLogStream(path, startVersion)
+        override def description(): String = name()
+      }
+    }
+}
+
+/** The version cursor. Comparable as a plain long; serialized as its
+  * decimal string in the checkpoint's offset log.
+  */
+case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+class SnapshotLogStream(path: String, startVersion: Option[String]) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  /** Where the stream starts when the checkpoint has no offset yet.
+    * Resolved once per query incarnation; afterwards the checkpoint's
+    * offset wins (Spark never calls initialOffset again).
+    */
+  override def initialOffset(): Offset = {
+    val vs = SnapshotTable.versions(spark, path)
+    val v = startVersion.map(_.trim.toLowerCase) match {
+      case None | Some("latest") => vs.lastOption.getOrElse(0L)
+      case Some("earliest") => vs.headOption.map(_ - 1).getOrElse(0L)
+      case Some(n) => scala.util.Try(n.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"startVersion must be 'latest', 'earliest', or a version number; got '$n'"))
+    }
+    VersionOffset(v)
+  }
+
+  override def latestOffset(): Offset =
+    VersionOffset(SnapshotTable.currentVersion(spark, path).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val to = end.asInstanceOf[VersionOffset].v
+    ((from + 1) to to).map { v =>
+      // readManifestChecked turns an expired version into the loud
+      // retained-range error: the stream fell off the retention edge
+      // and silently skipping would lose data
+      val m = SnapshotTable.readManifestChecked(spark, path, v)
+      val prevDirs =
+        if (v == 1) Nil
+        else SnapshotTable.readManifestChecked(spark, path, v - 1).dirs
+      val rewrite = prevDirs.exists(d => !m.dirs.contains(d))
+      val emitted = if (rewrite) m.dirs else m.dirs.filterNot(prevDirs.toSet)
+      SnapshotLogPartition(v, rewrite, m.format,
+        emitted.map(d => new org.apache.hadoop.fs.Path(path, d).toString)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new SnapshotLogReader(partition.asInstanceOf[SnapshotLogPartition])
+    }
+
+  override def commit(end: Offset): Unit = () // the version log needs no ack
+  override def stop(): Unit = ()
+}
+
+case class SnapshotLogPartition(version: Long, rewrite: Boolean,
+                                format: String, dirs: Seq[String]) extends InputPartition
+
+class SnapshotLogReader(p: SnapshotLogPartition) extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = if (emitted) false else { emitted = true; true }
+  override def get(): InternalRow =
+    InternalRow(p.version, p.rewrite, UTF8String.fromString(p.format),
+      new GenericArrayData(p.dirs.map(UTF8String.fromString).toArray[Any]))
+  override def close(): Unit = ()
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.sources.v2.SnapshotLogSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Consumer wiring for the [[SnapshotLogSource]] version-log stream:
+  * the streaming twin of [[graft.operators.SnapshotTable.addedBetween]].
+  * The log source emits one metadata row per commit; this helper turns
+  * each into a fully parallel batch read of just that commit's added
+  * directories and hands it to the caller — "each new commit's delta,
+  * exactly once across restarts" with the offset cursor living in the
+  * query checkpoint.
+  */
+object SnapshotChangelog {
+
+  /** One emitted commit. `rewrite` marks compact/write/merge commits,
+    * whose `dirs` are the NEW snapshot's full file set rather than an
+    * append delta (see [[SnapshotLogSource]]).
+    */
+  final case class Commit(version: Long, rewrite: Boolean, format: String, dirs: Seq[String])
+
+  /** The raw log stream: one row per commit, offset = version. The
+    * provider is addressed by class name (same convention as the ios
+    * source specs — robust under classloaders that hide service files);
+    * `format("graft-snapshot-log")` works wherever ServiceLoader
+    * registration is visible.
+    */
+  def readLog(spark: SparkSession, tablePath: String,
+              startVersion: Option[String] = None): DataFrame = {
+    val r = spark.readStream.format(classOf[SnapshotLogSource].getName)
+    startVersion.fold(r)(v => r.option("startVersion", v)).load(tablePath)
+  }
+
+  /** Tail the table: for every commit, load its added directories as a
+    * normal parallel batch frame and invoke `onCommit(delta, commit)` in
+    * version order. Rewrite commits fail the query loudly by default —
+    * a compaction's "delta" is the whole table and silently re-emitting
+    * it would duplicate every downstream row; pass
+    * `allowRewrites = true` to receive them (flagged) and decide per
+    * commit (skip compactions, re-sync on merges). With a checkpoint
+    * the cursor survives restarts: commits processed before a clean
+    * stop are never redelivered, commits landed while the stream was
+    * down arrive on resume (foreachBatch keeps its usual at-least-once
+    * edge on a crash mid-batch — make `onCommit` idempotent, exactly as
+    * with every Spark sink).
+    */
+  def changelogSink(spark: SparkSession, tablePath: String,
+                    onCommit: (DataFrame, Commit) => Unit,
+                    checkpoint: Option[String] = None,
+                    startVersion: Option[String] = None,
+                    allowRewrites: Boolean = false): StreamingQuery = {
+    val w = readLog(spark, tablePath, startVersion).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a micro-batch can span several commits; rows are metadata-tiny
+        val commits = batch.collect().map { r =>
+          Commit(r.getAs[Long]("version"), r.getAs[Boolean]("rewrite"),
+            r.getAs[String]("format"), r.getSeq[String](r.fieldIndex("added_dirs")))
+        }.sortBy(_.version)
+        commits.foreach { c =>
+          if (c.rewrite && !allowRewrites) throw new IllegalStateException(
+            s"version ${c.version} of $tablePath is a rewrite commit (compact/write/merge); " +
+              "its by-directory delta does not exist. Pass allowRewrites = true and handle " +
+              "the flagged commit, or pause maintenance while this stream runs")
+          val delta =
+            if (c.dirs.isEmpty)
+              graft.operators.SnapshotTable.readAt(batch.sparkSession, tablePath, c.version)
+                .filter(org.apache.spark.sql.functions.lit(false))
+            else batch.sparkSession.read.format(c.format).load(c.dirs: _*)
+          onCommit(delta, c)
+        }
+        ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+}

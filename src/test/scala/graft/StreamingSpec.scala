@@ -439,4 +439,67 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, path).size <= 2, "expire must still run on skip ticks")
     assert(SnapshotTable.read(spark, path).count() == 5L)
   }
+
+  test("changelog stream tails commits exactly-once across restarts") {
+    import graft.operators.SnapshotTable
+    import graft.streaming.SnapshotChangelog
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    // v1 lands BEFORE the stream starts; startVersion=earliest replays it
+    SnapshotTable.ingest(spark, Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      path, "text", 100L)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, Set[Long])]()
+    def sink() = SnapshotChangelog.changelogSink(spark, path,
+      (delta, c) => { got.add((c.version, c.rewrite,
+        delta.collect().map(_.getLong(0)).toSet)); () },
+      checkpoint = Some(ckpt), startVersion = Some("earliest"))
+    val q = sink()
+    q.processAllAvailable()
+    // two live commits while the stream runs: each arrives as exactly
+    // its own delta ("beta" is a content dup in v2 — the admitted delta
+    // is just doc 3)
+    SnapshotTable.ingest(spark, Seq((3L, "gamma"), (4L, "beta")).toDF("doc_id", "text"),
+      path, "text", 100L)
+    q.processAllAvailable()
+    SnapshotTable.ingest(spark, Seq((5L, "delta")).toDF("doc_id", "text"),
+      path, "text", 100L)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toArray.toSeq == Seq(
+      (1L, false, Set(1L, 2L)), (2L, false, Set(3L)), (3L, false, Set(5L))),
+      s"live tail wrong: ${got.toArray.toSeq}")
+    // a commit lands while the stream is DOWN; the restarted query picks
+    // up at the checkpoint cursor: no replay of v1-v3, no gap over v4
+    SnapshotTable.ingest(spark, Seq((6L, "epsilon")).toDF("doc_id", "text"),
+      path, "text", 100L)
+    got.clear()
+    val q2 = sink()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.toArray.toSeq == Seq((4L, false, Set(6L))),
+      s"restart must deliver exactly the missed commit: ${got.toArray.toSeq}")
+    // a rewrite commit fails the default sink loudly instead of
+    // re-emitting the whole table as a phantom delta
+    SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 100L)
+    val q3 = sink()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    assert(e.getMessage.contains("rewrite commit") ||
+      Option(e.getCause).exists(_.getMessage.contains("rewrite commit")), e.getMessage)
+    q3.stop()
+    // with allowRewrites the commit arrives flagged, full dir list
+    got.clear()
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt2").toString
+    val q4 = SnapshotChangelog.changelogSink(spark, path,
+      (delta, c) => { got.add((c.version, c.rewrite,
+        delta.collect().map(_.getLong(0)).toSet)); () },
+      checkpoint = Some(ckpt2), startVersion = Some((SnapshotTable.versions(spark, path).max - 1).toString),
+      allowRewrites = true)
+    q4.processAllAvailable()
+    q4.stop()
+    assert(got.toArray.toSeq == Seq(
+      (5L, true, Set(1L, 2L, 3L, 5L, 6L))),
+      s"rewrite commit must arrive flagged with the full set: ${got.toArray.toSeq}")
+  }
 }
