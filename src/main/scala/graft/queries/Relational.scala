@@ -1405,7 +1405,12 @@ object Relational {
   // process): the in-memory catalog forgets them across JVMs, so a
   // stale managed location left by a previous process is cleared first.
   private def q43Table(s: SparkSession, dir: String, src: String, key: String): DataFrame = {
-    val tbl = s"graft_q43_${src}_${Integer.toHexString(dir.hashCode)}"
+    // collision-free table key: md5 of the sf dir's UTF-8 path. A
+    // 32-bit hashCode collision between two sf dirs in one process
+    // would silently serve the wrong scale's data; md5 cannot.
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tbl = s"graft_q43_${src}_$dirKey"
     if (!s.catalog.tableExists(tbl)) {
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = new org.apache.hadoop.fs.Path(
