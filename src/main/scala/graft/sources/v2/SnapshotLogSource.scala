@@ -119,16 +119,24 @@ class SnapshotLogStream(path: String, startVersion: Option[String]) extends Micr
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[VersionOffset].v
     val to = end.asInstanceOf[VersionOffset].v
+    val retained = SnapshotTable.versions(spark, path).toSet
     ((from + 1) to to).map { v =>
       // readManifestChecked turns an expired version into the loud
       // retained-range error: the stream fell off the retention edge
       // and silently skipping would lose data
       val m = SnapshotTable.readManifestChecked(spark, path, v)
+      // The parent manifest may itself be expired (an `earliest` replay
+      // on a table whose left edge was trimmed): the version's delta is
+      // then unprovable by directory, so it emits as a FLAGGED baseline
+      // row carrying the full snapshot — same contract as a rewrite
+      // commit, and the consumer treats it as the initial load.
       val prevDirs =
-        if (v == 1) Nil
-        else SnapshotTable.readManifestChecked(spark, path, v - 1).dirs
-      val rewrite = prevDirs.exists(d => !m.dirs.contains(d))
-      val emitted = if (rewrite) m.dirs else m.dirs.filterNot(prevDirs.toSet)
+        if (v == 1) Some(Nil)
+        else if (retained(v - 1)) Some(SnapshotTable.readManifestChecked(spark, path, v - 1).dirs)
+        else None
+      val rewrite = prevDirs.fold(true)(_.exists(d => !m.dirs.contains(d)))
+      val emitted =
+        if (rewrite) m.dirs else m.dirs.filterNot(prevDirs.getOrElse(Nil).toSet)
       SnapshotLogPartition(v, rewrite, m.format,
         emitted.map(d => new org.apache.hadoop.fs.Path(path, d).toString)): InputPartition
     }.toArray

@@ -502,4 +502,27 @@ class StreamingSpec extends SparkSpec {
       (5L, true, Set(1L, 2L, 3L, 5L, 6L))),
       s"rewrite commit must arrive flagged with the full set: ${got.toArray.toSeq}")
   }
+
+  test("changelog earliest-replay over a trimmed left edge emits a flagged baseline") {
+    import graft.operators.SnapshotTable
+    import graft.streaming.SnapshotChangelog
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc-trim").toString
+    SnapshotTable.ingest(spark, Seq((1L, "a")).toDF("doc_id", "text"), path, "text", 100L)
+    SnapshotTable.ingest(spark, Seq((2L, "b")).toDF("doc_id", "text"), path, "text", 100L)
+    SnapshotTable.ingest(spark, Seq((3L, "c")).toDF("doc_id", "text"), path, "text", 100L)
+    SnapshotTable.expire(spark, path, keep = 2) // retained: {2, 3}
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, Set[Long])]()
+    val q = SnapshotChangelog.changelogSink(spark, path,
+      (delta, c) => { got.add((c.version, c.rewrite,
+        delta.collect().map(_.getLong(0)).toSet)); () },
+      startVersion = Some("earliest"), allowRewrites = true)
+    q.processAllAvailable()
+    q.stop()
+    // v2's parent is expired: its delta is unprovable by directory, so
+    // it arrives as a FLAGGED baseline with v2's full snapshot; v3 is a
+    // provable append and arrives as exactly its delta
+    assert(got.toArray.toSeq == Seq(
+      (2L, true, Set(1L, 2L)), (3L, false, Set(3L))),
+      s"trimmed-edge replay wrong: ${got.toArray.toSeq}")
+  }
 }
