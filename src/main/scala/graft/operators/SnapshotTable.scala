@@ -298,6 +298,26 @@ object SnapshotTable {
   private def isNumeric(dt: DataType): Boolean =
     dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
 
+  /** Double-space encoder for a column's min/max stats, by type:
+    * numerics cast directly, timestamps as epoch MICROS (matching the
+    * analyzer's internal Literal representation, so the query side
+    * compares in the same space; NTZ goes through a session-UTC cast —
+    * [[graft.Sessions]] pins UTC), dates as epoch days. None = the type
+    * has no numeric stats encoding (strings use their own min/max pair;
+    * everything else is simply not pruned).
+    */
+  private def numEncoder(dt: DataType): Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case _ if isNumeric(dt) => Some(c => c.cast("double"))
+      case TimestampType => Some(c => unix_micros(c).cast("double"))
+      case TimestampNTZType => Some(c => unix_micros(c.cast(TimestampType)).cast("double"))
+      case DateType => Some(c => unix_date(c).cast("double"))
+      case _ => None
+    }
+  }
+
   private def writeStatsSidecar(spark: SparkSession, path: String, dataDir: String,
                                 writtenIn: => DataFrame, statsCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
@@ -305,15 +325,15 @@ object SnapshotTable {
     val written = writtenIn
     val byName = written.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = statsCols.filter(c => byName.get(c).exists(dt =>
-      isNumeric(dt) || dt == org.apache.spark.sql.types.StringType))
+      numEncoder(dt).isDefined || dt == org.apache.spark.sql.types.StringType))
     if (cols.isEmpty) return
     val aggs = cols.flatMap { c =>
-      val num = isNumeric(byName(c))
+      val enc = numEncoder(byName(c))
       Seq(
-        (if (num) min(col(c)).cast("double") else lit(null).cast("double")).as(s"__lod_$c"),
-        (if (num) max(col(c)).cast("double") else lit(null).cast("double")).as(s"__hid_$c"),
-        (if (num) lit(null).cast("string") else min(col(c))).as(s"__los_$c"),
-        (if (num) lit(null).cast("string") else max(col(c))).as(s"__his_$c"),
+        enc.map(e => min(e(col(c))).cast("double")).getOrElse(lit(null).cast("double")).as(s"__lod_$c"),
+        enc.map(e => max(e(col(c))).cast("double")).getOrElse(lit(null).cast("double")).as(s"__hid_$c"),
+        (if (enc.isDefined) lit(null).cast("string") else min(col(c))).as(s"__los_$c"),
+        (if (enc.isDefined) lit(null).cast("string") else max(col(c))).as(s"__his_$c"),
         count(col(c)).as(s"__n_$c"))
     }
     // One pass over the just-written files; stats rows are metadata
@@ -327,9 +347,20 @@ object SnapshotTable {
         def d(n: String): java.lang.Double =
           if (r.isNullAt(r.fieldIndex(n))) null else java.lang.Double.valueOf(r.getAs[Double](n))
         def s(n: String): String = r.getAs[String](n)
+        // Spark ORDERS NaN as the largest double while IEEE comparisons
+        // with NaN are all false — a NaN bound would wrongly prune a
+        // file whose NaN rows DO match `x >= v` under Spark semantics.
+        // Canonicalize: max=NaN (some NaN present) → +∞; min=NaN (ALL
+        // values NaN) → +∞ too, since the whole file sorts at +∞.
+        def wlo(v: java.lang.Double): java.lang.Double =
+          if (v.isNaN) java.lang.Double.valueOf(Double.PositiveInfinity)
+          else java.lang.Double.valueOf(Math.nextDown(v.doubleValue))
+        def whi(v: java.lang.Double): java.lang.Double =
+          if (v.isNaN) java.lang.Double.valueOf(Double.PositiveInfinity)
+          else java.lang.Double.valueOf(Math.nextUp(v.doubleValue))
         (fname, c,
-          Option(d(s"__lod_$c")).map(v => java.lang.Double.valueOf(Math.nextDown(v.doubleValue))).orNull,
-          Option(d(s"__hid_$c")).map(v => java.lang.Double.valueOf(Math.nextUp(v.doubleValue))).orNull,
+          Option(d(s"__lod_$c")).map(wlo).orNull,
+          Option(d(s"__hid_$c")).map(whi).orNull,
           s(s"__los_$c"), s(s"__his_$c"),
           r.getAs[Long](s"__n_$c"))
       }
@@ -364,22 +395,49 @@ object SnapshotTable {
     x.length - y.length
   }
 
-  private def litNum(v: Any): Option[Double] = v match {
-    case n: Byte => Some(n.toDouble)
-    case n: Short => Some(n.toDouble)
-    case n: Int => Some(n.toDouble)
-    case n: Long => Some(n.toDouble)
-    case n: Float => Some(n.toDouble)
-    case n: Double => Some(n)
-    case n: org.apache.spark.sql.types.Decimal => Some(n.toDouble)
-    case n: java.math.BigDecimal => Some(n.doubleValue)
-    case _ => None
+  private def litNum(v: Any): Option[Double] = {
+    val d = v match {
+      case n: Byte => Some(n.toDouble)
+      case n: Short => Some(n.toDouble)
+      case n: Int => Some(n.toDouble)
+      case n: Long => Some(n.toDouble)
+      case n: Float => Some(n.toDouble)
+      case n: Double => Some(n)
+      case n: org.apache.spark.sql.types.Decimal => Some(n.toDouble)
+      case n: java.math.BigDecimal => Some(n.doubleValue)
+      case _ => None
+    }
+    // mirror the stats-side canonicalization: Spark sorts NaN at +∞
+    d.map(x => if (x.isNaN) Double.PositiveInfinity else x)
   }
 
   private def litStr(v: Any): Option[String] = v match {
     case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
     case s: String => Some(s)
     case _ => None
+  }
+
+  /** Encode one analyzed-literal bound into the stats comparison space,
+    * BY ITS TYPE: timestamp literals are internal epoch-micros longs and
+    * date literals epoch-day ints (the exact space [[numEncoder]] wrote
+    * the column stats in); everything else falls to the raw numeric /
+    * string encodings. None = this bound has no stats encoding, which
+    * voids the whole conjunct (a half-encoded range could over-prune).
+    */
+  private def litVal(v: Any, dt: DataType): Option[Either[Double, String]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType | TimestampNTZType => v match {
+        case l: Long => Some(Left(l.toDouble))
+        case _ => None
+      }
+      case DateType => v match {
+        case i: Int => Some(Left(i.toDouble))
+        case _ => None
+      }
+      case _ => litNum(v).map(Left(_): Either[Double, String])
+        .orElse(litStr(v).map(Right(_): Either[Double, String]))
+    }
   }
 
   /** Pull simple column-vs-literal range conjuncts out of a Catalyst
@@ -408,54 +466,63 @@ object SnapshotTable {
           attr(c).isDefined && c.dataType != null && isNumeric(c.dataType) => attr(c)
       case _ => None
     }
-    def range(colName: String, lo: Option[Any], hi: Option[Any]): Option[Range] = {
-      val loD = lo.flatMap(litNum); val hiD = hi.flatMap(litNum)
-      val loS = lo.flatMap(litStr); val hiS = hi.flatMap(litStr)
-      // a bound that is neither numeric nor string (timestamp, binary…)
-      // would silently vanish and over-prune the other side — only emit
-      // when every requested bound survived encoding
-      val ok = lo.forall(v => litNum(v).isDefined || litStr(v).isDefined) &&
-        hi.forall(v => litNum(v).isDefined || litStr(v).isDefined)
-      if (ok && (loD.orElse(hiD).isDefined || loS.orElse(hiS).isDefined))
-        Some(Range(colName, loD, hiD, loS, hiS))
-      else None
+    def range(colName: String, lo: Option[Literal], hi: Option[Literal]): Option[Range] = {
+      val loE = lo.map(l => litVal(l.value, l.dataType))
+      val hiE = hi.map(l => litVal(l.value, l.dataType))
+      // a bound with no stats encoding (binary, interval…) voids the
+      // conjunct — a half-encoded range could over-prune the other side
+      if (loE.exists(_.isEmpty) || hiE.exists(_.isEmpty)) None
+      else {
+        val l = loE.flatten; val h = hiE.flatten
+        val r = Range(colName,
+          l.collect { case scala.util.Left(d) => d }, h.collect { case scala.util.Left(d) => d },
+          l.collect { case scala.util.Right(s) => s }, h.collect { case scala.util.Right(s) => s })
+        if (r.loD.orElse(r.hiD).isDefined || r.loS.orElse(r.hiS).isDefined) Some(r) else None
+      }
     }
     def conjuncts(x: Expression): Seq[Expression] = x match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
     conjuncts(e).flatMap {
-      case EqualTo(a, Literal(v, _)) if attr(a).isDefined =>
-        range(attr(a).get, Some(v), Some(v))
-      case EqualTo(Literal(v, _), a) if attr(a).isDefined =>
-        range(attr(a).get, Some(v), Some(v))
-      case GreaterThan(a, Literal(v, _)) if attr(a).isDefined =>
-        range(attr(a).get, Some(v), None)
-      case GreaterThanOrEqual(a, Literal(v, _)) if attr(a).isDefined =>
-        range(attr(a).get, Some(v), None)
-      case LessThan(a, Literal(v, _)) if attr(a).isDefined =>
-        range(attr(a).get, None, Some(v))
-      case LessThanOrEqual(a, Literal(v, _)) if attr(a).isDefined =>
-        range(attr(a).get, None, Some(v))
-      case GreaterThan(Literal(v, _), a) if attr(a).isDefined =>
-        range(attr(a).get, None, Some(v))
-      case GreaterThanOrEqual(Literal(v, _), a) if attr(a).isDefined =>
-        range(attr(a).get, None, Some(v))
-      case LessThan(Literal(v, _), a) if attr(a).isDefined =>
-        range(attr(a).get, Some(v), None)
-      case LessThanOrEqual(Literal(v, _), a) if attr(a).isDefined =>
-        range(attr(a).get, Some(v), None)
+      case EqualTo(a, l: Literal) if attr(a).isDefined =>
+        range(attr(a).get, Some(l), Some(l))
+      case EqualTo(l: Literal, a) if attr(a).isDefined =>
+        range(attr(a).get, Some(l), Some(l))
+      case GreaterThan(a, l: Literal) if attr(a).isDefined =>
+        range(attr(a).get, Some(l), None)
+      case GreaterThanOrEqual(a, l: Literal) if attr(a).isDefined =>
+        range(attr(a).get, Some(l), None)
+      case LessThan(a, l: Literal) if attr(a).isDefined =>
+        range(attr(a).get, None, Some(l))
+      case LessThanOrEqual(a, l: Literal) if attr(a).isDefined =>
+        range(attr(a).get, None, Some(l))
+      case GreaterThan(l: Literal, a) if attr(a).isDefined =>
+        range(attr(a).get, None, Some(l))
+      case GreaterThanOrEqual(l: Literal, a) if attr(a).isDefined =>
+        range(attr(a).get, None, Some(l))
+      case LessThan(l: Literal, a) if attr(a).isDefined =>
+        range(attr(a).get, Some(l), None)
+      case LessThanOrEqual(l: Literal, a) if attr(a).isDefined =>
+        range(attr(a).get, Some(l), None)
       case In(a, vs) if attr(a).isDefined && vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]) =>
-        val lits = vs.map(_.asInstanceOf[Literal].value)
-        if (lits.forall(v => litNum(v).isDefined)) {
-          val ds = lits.flatMap(litNum)
-          range(attr(a).get, Some(ds.min), Some(ds.max))
-        } else if (lits.forall(v => litStr(v).isDefined)) {
-          val ss = lits.flatMap(litStr)
-          range(attr(a).get, Some(ss.min(Ordering.fromLessThan[String](cmpUtf8(_, _) < 0))),
-            Some(ss.max(Ordering.fromLessThan[String](cmpUtf8(_, _) < 0))))
-        } else None
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val encoded = vs.map { x =>
+          val l = x.asInstanceOf[Literal]
+          litVal(l.value, l.dataType)
+        }
+        if (encoded.exists(_.isEmpty)) None
+        else {
+          val es = encoded.flatten
+          if (es.forall(_.isLeft)) {
+            val ds = es.collect { case scala.util.Left(d) => d }
+            Some(Range(attr(a).get, Some(ds.min), Some(ds.max), None, None))
+          } else if (es.forall(_.isRight)) {
+            val ss = es.collect { case scala.util.Right(s) => s }
+            val ord = Ordering.fromLessThan[String](cmpUtf8(_, _) < 0)
+            Some(Range(attr(a).get, None, None, Some(ss.min(ord)), Some(ss.max(ord))))
+          } else None
+        }
       case _ => None
     }
   }

@@ -143,6 +143,51 @@ class Round13Spec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSet == (0L until 100L).toSet)
   }
 
+  test("NaN doubles canonicalize to +inf in stats: Spark ordering semantics survive pruning") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-prune-nan").toString
+    SnapshotTable.ingest(spark,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("doc_id", "text", "score"),
+      path, "text", expectedItems = 100L, statsCols = Seq("score"))
+    SnapshotTable.ingest(spark,
+      Seq((3L, "c", Double.NaN), (4L, "d", 5.0)).toDF("doc_id", "text", "score"),
+      path, "text", expectedItems = 100L)
+    // Spark ORDERS NaN above every double: `score >= 100` matches only
+    // the NaN row, so the file holding it must survive pruning (an IEEE
+    // NaN max bound would compare false and wrongly drop it)
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path, col("score") >= 100.0)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "NaN row must match >= 100 under Spark ordering")
+    assert(rep.nFilesKept < rep.nFilesTotal, s"clean files should prune: $rep")
+    // and the NaN file still prunes for predicates NaN cannot match
+    val (df2, rep2) = SnapshotTable.readWhereReport(spark, path, col("score") <= 2.0)
+    assert(df2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(rep2.nFilesKept < rep2.nFilesTotal, s"NaN file should prune for <=2: $rep2")
+  }
+
+  test("timestamp stats prune time-slice reads in epoch-micros space") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val path = java.nio.file.Files.createTempDirectory("graft-prune-ts").toString
+    SnapshotTable.ingest(spark,
+      Seq((1L, "a", t("2024-01-01 00:00:00")), (2L, "b", t("2024-01-01 12:00:00")))
+        .toDF("doc_id", "text", "ts"),
+      path, "text", expectedItems = 100L, statsCols = Seq("ts"))
+    SnapshotTable.ingest(spark,
+      Seq((3L, "c", t("2024-02-01 00:00:00")), (4L, "d", t("2024-02-01 12:00:00")))
+        .toDF("doc_id", "text", "ts"),
+      path, "text", expectedItems = 100L)
+    // a string bound coerces to a timestamp literal in the analyzer and
+    // compares in the same epoch-micros space the stats were written in
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path, col("ts") >= "2024-01-20 00:00:00")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    assert(rep.nFilesKept < rep.nFilesTotal, s"January files should prune: $rep")
+    val (df2, rep2) = SnapshotTable.readWhereReport(spark, path,
+      col("ts") < lit(t("2024-01-15 00:00:00")))
+    assert(df2.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(rep2.nFilesKept < rep2.nFilesTotal, s"February files should prune: $rep2")
+  }
+
   // ---- merge: committed copy-on-write upsert/delete ---------------------
 
   test("merge applies upserts and deletes as one committed snapshot") {
