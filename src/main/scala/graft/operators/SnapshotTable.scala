@@ -590,23 +590,28 @@ object SnapshotTable {
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
           !s.getPath.getName.startsWith("."))
         .map(_.getPath)
+    // One multi-path read over every present sidecar (file names are
+    // parquet part-UUIDs — unique across dirs), so stats resolution is
+    // a single driver-side job regardless of chain length.
+    val statPaths =
+      if (ranges.isEmpty) Nil
+      else m.dirs.map(d => statsDir(path, d)).filter(f.exists)
+    val stats: Map[(String, String), ColStat] =
+      if (statPaths.isEmpty) Map.empty
+      else spark.read.parquet(statPaths.map(_.toString): _*).collect().map { r =>
+        (r.getAs[String]("file"), r.getAs[String]("col")) -> ColStat(
+          Option(r.getAs[java.lang.Double]("lo_d")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("hi_d")).map(_.doubleValue),
+          Option(r.getAs[String]("lo_s")), Option(r.getAs[String]("hi_s")),
+          r.getAs[Long]("n_nonnull"))
+      }.toMap
     val perDir = m.dirs.map { d =>
       val files = dataFiles(d)
-      val sp = statsDir(path, d)
       val kept =
-        if (ranges.isEmpty || !f.exists(sp)) files
-        else {
-          val stats = spark.read.parquet(sp.toString).collect().map { r =>
-            (r.getAs[String]("file"), r.getAs[String]("col")) -> ColStat(
-              Option(r.getAs[java.lang.Double]("lo_d")).map(_.doubleValue),
-              Option(r.getAs[java.lang.Double]("hi_d")).map(_.doubleValue),
-              Option(r.getAs[String]("lo_s")), Option(r.getAs[String]("hi_s")),
-              r.getAs[Long]("n_nonnull"))
-          }.toMap
-          files.filter { p =>
-            ranges.forall { q =>
-              stats.get((p.getName, q.colName)).forall(st => mayMatch(st, q))
-            }
+        if (ranges.isEmpty || stats.isEmpty) files
+        else files.filter { p =>
+          ranges.forall { q =>
+            stats.get((p.getName, q.colName)).forall(st => mayMatch(st, q))
           }
         }
       (files.size, kept)

@@ -3460,6 +3460,39 @@ object TrainingData {
       WHERE doc_id >= 250 AND doc_id < 350
       ORDER BY doc_id"""))
 
+  // ---- d26_schema_evolution: additive drift committed + null-filled ----
+  // The schema-evolution contract end-to-end through the oracle gate:
+  // v1 ingests (doc_id, text) only; v2 ingests the rest of the corpus
+  // WITH a lang column under evolveSchema=true, widening the committed
+  // schema. The current read applies the manifest schema explicitly, so
+  // v1's directory — whose parquet files have no lang column at all —
+  // reads back null-filled, which DuckDB replays as a CASE on the split
+  // point. Texts are id-suffixed so cross-commit dedup admits every row.
+  private def d26Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d26") { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(coalesce(col("text"), lit("")), lit("#"), col("doc_id")).as("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 300).select(col("doc_id"), col("text")),
+        path, "text", expectedItems = 100000L)
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") >= 300)
+          .select(col("doc_id"), col("text"), col("lang")),
+        path, "text", expectedItems = 100000L, evolveSchema = true)
+      ()
+    }
+
+  private val d26 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d26Fixture(s, dir))
+        .select(col("doc_id"), coalesce(col("lang"), lit("<absent>")).as("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id >= 300 THEN lang ELSE '<absent>' END AS lang
+      FROM documents
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3489,6 +3522,7 @@ object TrainingData {
     "d23_snapshot_changelog" -> d23,
     "d24_snapshot_merge" -> d24,
     "d25_stats_pruned_scan" -> d25,
+    "d26_schema_evolution" -> d26,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -218,13 +218,18 @@ object EventStream {
                  expectedItems: Long = 1000000L,
                  fpp: Double = 0.01,
                  checkpoint: Option[String] = None,
-                 maintenance: Option[Maintenance] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                 maintenance: Option[Maintenance] = None,
+                 statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = incoming.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.SnapshotTable
+        // statsCols seeds the table's persisted stats config on the
+        // first commit; later batches inherit it from the manifest
+        // (passing it every batch is a no-op override of the same list)
         SnapshotTable.ingest(
-          batch.sparkSession, batch, path, textCol, expectedItems, fpp)
+          batch.sparkSession, batch, path, textCol, expectedItems, fpp,
+          statsCols = statsCols)
         maintenance.foreach { m =>
           if (batchId > 0 && batchId % m.everyBatches == 0) {
             // Compact rewrites the WHOLE table — gate it on the chain
