@@ -672,7 +672,11 @@ object SnapshotTable {
               textCol: Option[String] = None,
               expectedItems: Long = 1000000L,
               fpp: Double = 0.01,
-              statsCols: Seq[String] = Nil): Sink.CompactionStats = {
+              statsCols: Seq[String] = Nil,
+              zorderCols: Seq[String] = Nil,
+              zorderBits: Int = 16): Sink.CompactionStats = {
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "sortCols and zorderCols are alternative clusterings; pass one")
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     val m = readManifestChecked(spark, path, v)
@@ -686,11 +690,21 @@ object SnapshotTable {
     // key gives every output file a disjoint key interval (round-robin
     // would spread the whole range across every file), which is exactly
     // what makes the rebuilt min/max stats prunable — the write-side
-    // half of [[readWhere]]'s contract, same role z-order plays in
-    // [[Sink]]. Without sortCols the rewrite stays pure round-robin
-    // size-targeting.
+    // half of [[readWhere]]'s contract. With zorderCols, the cluster
+    // key is the Morton interleave ([[ZOrder.zValue]] — non-negative
+    // integral domains; rank/bucket first otherwise): each file covers
+    // a compact z-range and therefore a compact range in EVERY
+    // interleaved dimension, so [[readWhere]] prunes on predicates
+    // over ANY of them — the lakehouse multi-dim layout, committed
+    // through the same atomic manifest path. Without either, the
+    // rewrite stays pure round-robin size-targeting.
     val sorted =
-      if (sortCols.nonEmpty)
+      if (zorderCols.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        df.withColumn("__z", ZOrder.zValue(zorderCols.map(df(_)), zorderBits))
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions(col("__z")).drop("__z")
+      } else if (sortCols.nonEmpty)
         df.repartitionByRange(nOut, sortCols.map(df(_)): _*)
           .sortWithinPartitions(sortCols.map(df(_)): _*)
       else df.repartition(nOut)
@@ -1155,7 +1169,14 @@ object SnapshotTable {
     * upsert) and `orderCol` (latest-wins tie-break WITHIN the batch —
     * the greatest `orderCol` value per key is the row that applies;
     * without it, duplicate keys in one batch are ambiguous and fail
-    * loudly rather than resolving arbitrarily).
+    * loudly rather than resolving arbitrarily). Two edge semantics,
+    * both SQL-equality-shaped: a NULL-key change row matches no
+    * current row (NULL = NULL is not true), so it never updates or
+    * deletes — an upsert with a NULL key simply inserts; and rows TIED
+    * on `orderCol` within a key resolve arbitrarily (same contract as
+    * Delta's MERGE under a non-deterministic source) — make `orderCol`
+    * unique per key (a sequence/commit-lsn) when replay determinism
+    * matters.
     *
     * The rewrite is one keyed `left_anti` (current minus changed keys)
     * plus a union of the winning upserts — Catalyst/AQE pick broadcast

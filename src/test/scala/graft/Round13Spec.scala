@@ -188,6 +188,35 @@ class Round13Spec extends SparkSpec {
     assert(rep2.nFilesKept < rep2.nFilesTotal, s"February files should prune: $rep2")
   }
 
+  test("z-order compaction makes BOTH interleaved dimensions prunable") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-prune-z").toString
+    // a 64x64 grid: row i lives at (x, y) = (i % 64, i / 64), with a
+    // short payload so the compaction fans out over many files
+    val rows = (0L until 4096L).map(i => (i, i % 64, i / 64, blob(i).take(128)))
+    SnapshotTable.ingest(spark, rows.toDF("doc_id", "x", "y", "text"),
+      path, "text", expectedItems = 10000L, statsCols = Seq("x", "y"))
+    SnapshotTable.compact(spark, path, targetFileBytes = 24L * 1024,
+      textCol = Some("text"), expectedItems = 10000L,
+      zorderCols = Seq("x", "y"), zorderBits = 6)
+    // a plain x-sort would leave y uniform in every file (y never
+    // prunes); the Morton interleave keeps each file compact in BOTH
+    // dimensions, so slices on either axis drop files
+    val (dfX, repX) = SnapshotTable.readWhereReport(spark, path, col("x") < 8L)
+    assert(repX.nFilesTotal >= 8, s"too few files to audit z-pruning: $repX")
+    assert(repX.nFilesKept < repX.nFilesTotal, s"x-slice did not prune: $repX")
+    assert(dfX.count() == 8L * 64)
+    val (dfY, repY) = SnapshotTable.readWhereReport(spark, path, col("y") < 8L)
+    assert(repY.nFilesKept < repY.nFilesTotal, s"y-slice did not prune: $repY")
+    assert(dfY.count() == 8L * 64)
+    // and a 2-D corner slice intersects both constraints
+    val (dfC, repC) = SnapshotTable.readWhereReport(spark, path,
+      col("x") < 8L && col("y") < 8L)
+    assert(repC.nFilesKept <= math.min(repX.nFilesKept, repY.nFilesKept),
+      s"corner slice must prune at least as hard as either axis: $repC vs $repX / $repY")
+    assert(dfC.count() == 64L)
+  }
+
   // ---- merge: committed copy-on-write upsert/delete ---------------------
 
   test("merge applies upserts and deletes as one committed snapshot") {
