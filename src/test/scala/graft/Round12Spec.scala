@@ -281,7 +281,12 @@ class Round12Spec extends SparkSpec {
               else freshDoc()
             }
             opsRun += s"ingest(${batch.size})"
-            SnapshotTable.ingest(spark, batch.toDF("doc_id", "text"), path, "text", 1000L)
+            // statsCols on the FIRST commit seeds the persisted pruning
+            // config; every later op inherits it, so the readWhere
+            // invariant below exercises stats maintenance across the
+            // whole op surface (compact/merge/evolving chains included)
+            SnapshotTable.ingest(spark, batch.toDF("doc_id", "text"), path, "text", 1000L,
+              statsCols = if (i == 0) Seq("doc_id") else Nil)
             val existing = model.map(_._2).toSet
             model ++= batch.filterNot(b => existing(b._2)) // within-batch dups pass through
             record()
@@ -336,6 +341,16 @@ class Round12Spec extends SparkSpec {
         val got = SnapshotTable.read(spark, path).collect()
           .map(row => (row.getLong(0), row.getString(1))).toSet
         assert(got == model.toSet, s"$ctx: current read diverged from model")
+        // pruned read replays the model's filter EXACTLY — stats
+        // sidecars must stay correct through every compact/merge/
+        // vacuum/expire composition or pruning silently loses rows
+        val lo = r.nextInt(40).toLong
+        val hi = lo + r.nextInt(10)
+        val pruned = SnapshotTable.readWhere(spark, path,
+            col("doc_id").between(lo, hi))
+          .collect().map(row => (row.getLong(0), row.getString(1))).toSet
+        assert(pruned == model.filter(p => p._1 >= lo && p._1 <= hi).toSet,
+          s"$ctx: readWhere([$lo,$hi]) diverged from the model filter")
         val vs = SnapshotTable.versions(spark, path)
         assert(vs == vs.sorted && vs.distinct == vs, s"$ctx: version log not ascending")
         // historical versions we still hold a model for replay exactly
