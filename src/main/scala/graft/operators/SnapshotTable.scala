@@ -82,17 +82,25 @@ object SnapshotTable {
     * `statsCols` is the table's persisted stats configuration — the
     * columns whose per-file min/max sidecars every subsequent commit
     * maintains, so scan pruning survives compaction without the caller
-    * re-stating the config.
+    * re-stating the config. `tombstones` is the CUMULATIVE list of
+    * merge-on-read tombstone sidecars ([[mergeOnRead]]) this snapshot's
+    * reads must mask by — a rewrite commit (compact/write/COW merge)
+    * materializes them and resets the list. `morKey` names the key
+    * column every listed tombstone is keyed on; it is defined exactly
+    * when `tombstones` is non-empty (the key may be re-chosen once a
+    * rewrite clears the overlay).
     */
   private[graft] final case class Manifest(dirs: Seq[String], format: String,
                                            bloom: Option[String],
                                            schema: Option[StructType],
-                                           statsCols: Seq[String])
+                                           statsCols: Seq[String],
+                                           tombstones: Seq[String] = Nil,
+                                           morKey: Option[String] = None)
 
   /** Manifest file layout: line 1 the comma-separated dir list, line 2
     * the format, then tagged optional lines (`bloom:`, `schema:`,
-    * `stats:`). A bare untagged line 3 is a pre-r13 manifest's bloom
-    * name — still parsed, never written.
+    * `stats:`, `tombstones:`, `morkey:`). A bare untagged line 3 is a
+    * pre-r13 manifest's bloom name — still parsed, never written.
     */
   private def readManifestFull(spark: SparkSession, path: String, v: Long): Manifest = {
     val f = fs(spark, manifest(path, v))
@@ -102,15 +110,21 @@ object SnapshotTable {
     var bloom: Option[String] = None
     var schema: Option[StructType] = None
     var statsCols: Seq[String] = Nil
+    var tombstones: Seq[String] = Nil
+    var morKey: Option[String] = None
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
       case l if l.startsWith("schema:") =>
         schema = Some(DataType.fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
       case l if l.startsWith("stats:") =>
         statsCols = l.stripPrefix("stats:").split(",").toSeq.filter(_.nonEmpty)
+      case l if l.startsWith("tombstones:") =>
+        tombstones = l.stripPrefix("tombstones:").split(",").toSeq.filter(_.nonEmpty)
+      case l if l.startsWith("morkey:") => morKey = Some(l.stripPrefix("morkey:"))
       case legacyBloomName => bloom = Some(legacyBloomName)
     }
-    Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols)
+    Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
+      tombstones, morKey)
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -153,6 +167,9 @@ object SnapshotTable {
     m.schema.foreach(s => body.append("schema:").append(s.json).append('\n'))
     if (m.statsCols.nonEmpty)
       body.append("stats:").append(m.statsCols.mkString(",")).append('\n')
+    if (m.tombstones.nonEmpty)
+      body.append("tombstones:").append(m.tombstones.mkString(",")).append('\n')
+    m.morKey.foreach(k => body.append("morkey:").append(k).append('\n'))
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
     val target = manifest(path, expectedNext)
     // Publish = atomic create-if-absent of the target name. POSIX
@@ -265,9 +282,63 @@ object SnapshotTable {
     */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val m = readManifestChecked(spark, path, version)
+    if (m.tombstones.isEmpty) rawScan(spark, path, m)
+    else applyTombstones(spark, path, m,
+      m.dirs.map(d => rawScan(spark, path, m.copy(dirs = Seq(d)))
+        .withColumn(dirVersionCol,
+          org.apache.spark.sql.functions.lit(dirVersion(d)))).reduce(_ unionByName _))
+  }
+
+  /** The snapshot's plain multi-path file scan, tombstones NOT applied —
+    * the physical-bytes view. Internal callers that need the real row
+    * set must go through [[readAt]]/[[applyTombstones]].
+    */
+  private def rawScan(spark: SparkSession, path: String, m: Manifest): DataFrame = {
     val reader = spark.read.format(m.format)
     m.schema.fold(reader)(reader.schema)
       .load(m.dirs.map(d => new Path(path, d).toString): _*)
+  }
+
+  // ---- merge-on-read tombstone overlay -----------------------------------
+
+  private val dirVersionCol = "__graft_dirv"
+
+  private def tombstonesRoot(path: String) = new Path(path, "_tombstones")
+  private def tombstonePath(path: String, name: String) =
+    new Path(tombstonesRoot(path), name)
+
+  /** Commit version encoded in a staged artifact name
+    * (`snap-<v>-<uuid>` / `t<v>-<uuid>` — both from the same zero-padded
+    * scheme), used to order data rows against tombstones at read time.
+    */
+  private def dirVersion(name: String): Long =
+    name.dropWhile(!_.isDigit).take(8).toLong
+
+  /** Overlay the manifest's tombstones on `base` (which carries each
+    * row's commit version in [[dirVersionCol]]): a row is masked when
+    * some tombstone with a STRICTLY LATER commit version names its key —
+    * the same-version exemption is what keeps a [[mergeOnRead]] commit's
+    * own upsert rows visible. The tombstone side is delta-scale by the
+    * MOR premise (rewrites reset it), so it aggregates to one row per
+    * key and broadcasts; the anti-join's extra `later-than` clause rides
+    * the hash join as a post-match filter. NULL keys mask nothing and
+    * are never written to tombstones — SQL-equality semantics, matching
+    * [[merge]]'s NULL-key contract.
+    */
+  private def applyTombstones(spark: SparkSession, path: String, m: Manifest,
+                              base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val key = m.morKey.getOrElse(throw new IllegalStateException(
+      s"manifest at $path lists tombstones but no morkey — corrupt manifest"))
+    val ts = m.tombstones.map { name =>
+      spark.read.format(m.format).load(tombstonePath(path, name).toString)
+        .select(col(key).as("__graft_tk"), lit(dirVersion(name)).as("__graft_tsv"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("__graft_tk")).agg(max(col("__graft_tsv")).as("__graft_tsv"))
+    base.join(broadcast(ts),
+        base(key) === col("__graft_tk") && col("__graft_tsv") > base(dirVersionCol),
+        "left_anti")
+      .drop(dirVersionCol)
   }
 
   // ---- per-file column stats + predicate-pruned scan planning -----------
@@ -579,8 +650,11 @@ object SnapshotTable {
     // Resolve the predicate the way Spark itself would: analyze a
     // filter of the snapshot (driver-only, no execution) and extract
     // the condition — the analyzer resolves names, inserts promotion
-    // casts, and rejects unknown columns loudly, all for free.
-    val ranges = readAt(spark, path, v).filter(predicate)
+    // casts, and rejects unknown columns loudly, all for free. The
+    // analysis runs over the RAW scan (tombstones not applied): the
+    // predicate names table columns only, and the mask join would just
+    // add plan noise to walk past.
+    val ranges = rawScan(spark, path, m).filter(predicate)
       .queryExecution.analyzed.collect {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.flatMap(extractRanges)
@@ -623,13 +697,26 @@ object SnapshotTable {
       if (kept.isEmpty)
         // constant-false filter folds to an empty LocalRelation: right
         // schema, zero files opened
-        readAt(spark, path, v)
+        rawScan(spark, path, m)
           .filter(org.apache.spark.sql.functions.lit(false))
       else {
-        val reader = spark.read.format(m.format)
-        m.schema.fold(reader)(reader.schema)
-          .load(kept.map(_.toString): _*)
-          .filter(predicate)
+        def filesScan(paths: Seq[Path]) = {
+          val reader = spark.read.format(m.format)
+          m.schema.fold(reader)(reader.schema).load(paths.map(_.toString): _*)
+        }
+        val base =
+          if (m.tombstones.isEmpty) filesScan(kept)
+          else
+            // pruning works at file granularity; the tombstone overlay
+            // needs each row's commit version, so group the kept files
+            // back by directory and tag before masking
+            kept.groupBy(p => p.getParent.getName).toSeq.map { case (d, files) =>
+              filesScan(files).withColumn(dirVersionCol,
+                org.apache.spark.sql.functions.lit(dirVersion(d)))
+            }.reduceLeft(_ unionByName _)
+        val masked =
+          if (m.tombstones.isEmpty) base else applyTombstones(spark, path, m, base)
+        masked.filter(predicate)
       }
     (df, report)
   }
@@ -719,8 +806,14 @@ object SnapshotTable {
     // rebuild it from the just-written compacted output (see scaladoc).
     import org.apache.spark.sql.functions.{col, xxhash64}
     lazy val written = spark.read.format(m.format).load(new Path(path, nextDir).toString)
+    // A tombstone overlay makes BOTH carry-forward shortcuts invalid:
+    // the old hash sidecars and bloom still contain the masked rows'
+    // content, and compaction is exactly the point where deleted content
+    // must leave the dedup universe (so a re-crawled deleted row can be
+    // re-admitted). With tombstones, rebuild from the compacted output
+    // (textCol) or drop the sidecars (next ingest pays one rebuild scan).
     val srcSidecars = m.dirs.map(d => hashesDir(path, d))
-    if (srcSidecars.nonEmpty && srcSidecars.forall(f.exists))
+    if (m.tombstones.isEmpty && srcSidecars.nonEmpty && srcSidecars.forall(f.exists))
       spark.read.format(m.format).load(srcSidecars.map(_.toString): _*)
         .write.mode("overwrite").format(m.format)
         .save(hashesDir(path, nextDir).toString)
@@ -731,13 +824,13 @@ object SnapshotTable {
     // with NO named bloom gets one built from the compacted output when
     // textCol is given, so the next ingest's probe path is O(delta).
     val outBloomName = (m.bloom, textCol) match {
-      case (some @ Some(_), _) => some
-      case (None, Some(tc)) =>
+      case (some @ Some(_), _) if m.tombstones.isEmpty => some
+      case (_, Some(tc)) =>
         val name = f"b${v + 1}%08d-${nextDir.takeRight(8)}.bin"
         writeBloomAt(spark, path, name,
           bloomOf(written, xxhash64(contentKey(col(tc))), expectedItems, fpp))
         Some(name)
-      case (None, None) => None
+      case _ => None
     }
     val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
     writeStatsSidecar(spark, path, nextDir, written, effStats)
@@ -763,8 +856,10 @@ object SnapshotTable {
     val retained = vs.takeRight(keep).map(v => readManifestFull(spark, path, v))
     val retainedDirs = retained.flatMap(_.dirs).toSet
     // bloom files are shared by reference across compactions — refcount
-    // their names exactly like dirs
+    // their names exactly like dirs; tombstone sidecars are shared by
+    // every later pre-rewrite manifest and refcount the same way
     val retainedBlooms = retained.flatMap(_.bloom).toSet
+    val retainedTs = retained.flatMap(_.tombstones).toSet
     drop.foreach { v =>
       val m = readManifestFull(spark, path, v)
       m.dirs.filterNot(retainedDirs).foreach { d =>
@@ -772,6 +867,8 @@ object SnapshotTable {
         f.delete(hashesDir(path, d), true)
         f.delete(statsDir(path, d), true)
       }
+      m.tombstones.filterNot(retainedTs)
+        .foreach(n => f.delete(tombstonePath(path, n), true))
       f.delete(manifest(path, v), false)
       (m.bloom.toSeq :+ legacyBloomFile(path, v).getName)
         .filterNot(retainedBlooms)
@@ -808,6 +905,14 @@ object SnapshotTable {
       s"versions $fromVersion..$to at $path are not an append-only chain " +
         s"(${missing.mkString(", ")} rewritten by a compact/overwrite in the range); " +
         "use a keyed diff of readAt frames instead")
+    // merge-on-read commits mutate rows WITHOUT touching the dir list:
+    // their logical deletes/updates have no append representation, so a
+    // range that crosses one cannot be answered by added rows alone
+    val newTs = toM.tombstones.filterNot(fromM.tombstones.toSet)
+    if (newTs.nonEmpty) throw new IllegalArgumentException(
+      s"versions $fromVersion..$to at $path are not an append-only chain " +
+        s"(merge-on-read tombstones ${newTs.mkString(", ")} were added in the range, " +
+        "masking earlier rows); use a keyed diff of readAt frames instead")
     val added = toM.dirs.filterNot(fromM.dirs.toSet)
     if (added.isEmpty) readAt(spark, path, to).limit(0)
     else {
@@ -866,6 +971,7 @@ object SnapshotTable {
     val retained = versions(spark, path).map(v => readManifestFull(spark, path, v))
     val refDirs = retained.flatMap(_.dirs).toSet
     val refBlooms = retained.flatMap(_.bloom).toSet
+    val refTs = retained.flatMap(_.tombstones).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     def deletable(s: org.apache.hadoop.fs.FileStatus): Boolean =
       s.getModificationTime < cutoff
@@ -876,6 +982,10 @@ object SnapshotTable {
       val hd = new Path(path, side)
       if (!f.exists(hd)) Nil
       else f.listStatus(hd).filter(s => !refDirs(s.getPath.getName) && deletable(s)).toSeq
+    } ++ {
+      val td = tombstonesRoot(path)
+      if (!f.exists(td)) Nil
+      else f.listStatus(td).filter(s => !refTs(s.getPath.getName) && deletable(s)).toSeq
     }
     sidecars.foreach(s => f.delete(s.getPath, true))
     val vd = versionsDir(path)
@@ -1151,8 +1261,13 @@ object SnapshotTable {
       writeHashSidecar(spark, path, deltaDir, written, textCol, format)
       writeStatsSidecar(spark, path, deltaDir, written, effStats)
       writeBloomAt(spark, path, bloomName, merged)
+      // an append carries the parent's tombstone overlay forward
+      // untouched: the delta's rows commit at a LATER version than
+      // every outstanding tombstone, so the mask never touches them
       commit(spark, path, next, Manifest(parentDirs :+ deltaDir, format,
-        Some(bloomName), Some(committedSchema), effStats))
+        Some(bloomName), Some(committedSchema), effStats,
+        parent.map(_.tombstones).getOrElse(Nil),
+        parent.flatMap(_.morKey)))
       IngestStats(next, nIncoming, nNew)
     } finally { if (weCached) { incoming.unpersist(); () } }
   }
@@ -1209,36 +1324,11 @@ object SnapshotTable {
     // contract checks: key exists on both sides; payload columns match
     // the table by name+type (merge does not evolve schema — evolution
     // belongs to ingest/write, where old-row semantics are defined)
-    val ctrl = (deleteCol.toSeq ++ orderCol.toSeq).toSet
-    require(tableSchema.fieldNames.contains(keyCol),
-      s"key column '$keyCol' is not a table column (${tableSchema.fieldNames.mkString(", ")})")
-    val payload = StructType(changes.schema.fields.filterNot(f => ctrl(f.name)))
-    val tByName = tableSchema.fields.map(f => f.name -> f.dataType).toMap
-    val bad = tableSchema.fields.filterNot(f =>
-      payload.fields.exists(g => g.name == f.name && g.dataType == f.dataType)) ++
-      payload.fields.filterNot(f => tByName.get(f.name).contains(f.dataType))
-    if (bad.nonEmpty) throw new IllegalArgumentException(
-      "merge change batch does not match the table schema (payload columns must " +
-        s"carry exactly the table's columns): ${bad.map(f =>
-          s"${f.name}: ${f.dataType.simpleString}").distinct.mkString(", ")}")
+    requireChangeSchema(tableSchema, changes, keyCol, deleteCol, orderCol)
     val weCached = changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (weCached) changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // latest-wins within the batch, or a loud duplicate-key error
-      val winning = orderCol match {
-        case Some(oc) =>
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(keyCol)).orderBy(col(oc).desc)
-          changes.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
-        case None =>
-          val dup = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-            .filter(col("__n") > 1).limit(1).collect()
-          if (dup.nonEmpty) throw new IllegalArgumentException(
-            s"duplicate key ${dup.head.get(0)} in merge batch with no orderCol: " +
-              "latest-wins needs an ordering column to be well-defined")
-          changes
-      }
+      val winning = winningRows(changes, keyCol, orderCol)
       val isDelete = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false)))
         .getOrElse(lit(false))
       val upserts = winning.filter(!isDelete)
@@ -1268,6 +1358,180 @@ object SnapshotTable {
       commit(spark, path, cur + 1, Manifest(Seq(nextDir), m.format, bloomName,
         Some(tableSchema), effStats))
       MergeStats(cur + 1, nChanges, nUpserts, nDeletes, rowsAfter)
+    } finally { if (weCached) { changes.unpersist(); () } }
+  }
+
+  /** Shared change-batch schema contract for [[merge]]/[[mergeOnRead]]:
+    * the key must be a table column, and the batch's payload columns
+    * (everything but the control columns) must carry exactly the
+    * table's columns by name and type — merges never evolve schema
+    * (evolution belongs to [[ingest]]/[[write]], where old-row
+    * semantics are defined).
+    */
+  private def requireChangeSchema(tableSchema: StructType, changes: DataFrame,
+                                  keyCol: String, deleteCol: Option[String],
+                                  orderCol: Option[String]): Unit = {
+    val ctrl = (deleteCol.toSeq ++ orderCol.toSeq).toSet
+    require(tableSchema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' is not a table column (${tableSchema.fieldNames.mkString(", ")})")
+    val payload = StructType(changes.schema.fields.filterNot(f => ctrl(f.name)))
+    val tByName = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = tableSchema.fields.filterNot(f =>
+      payload.fields.exists(g => g.name == f.name && g.dataType == f.dataType)) ++
+      payload.fields.filterNot(f => tByName.get(f.name).contains(f.dataType))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      "merge change batch does not match the table schema (payload columns must " +
+        s"carry exactly the table's columns): ${bad.map(f =>
+          s"${f.name}: ${f.dataType.simpleString}").distinct.mkString(", ")}")
+  }
+
+  /** Latest-wins within the batch, or a loud duplicate-key error — the
+    * per-key resolution both merge flavors apply before touching the
+    * table (see [[merge]]'s scaladoc for the tie and NULL-key edges).
+    */
+  private def winningRows(changes: DataFrame, keyCol: String,
+                          orderCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    orderCol match {
+      case Some(oc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(oc).desc)
+        changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None =>
+        val dup = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"duplicate key ${dup.head.get(0)} in merge batch with no orderCol: " +
+            "latest-wins needs an ordering column to be well-defined")
+        changes
+    }
+  }
+
+  final case class MergeOnReadStats(version: Long, nChanges: Long, nUpserts: Long,
+                                    nDeletes: Long, nOutstandingTombstones: Int)
+
+  /** Row-level MERGE as a committed MERGE-ON-READ operator: the same
+    * keyed change-batch semantics as [[merge]] — upserts plus optional
+    * deletes, `orderCol` latest-wins, NULL keys insert and never match —
+    * but the commit cost is O(change batch), NOT O(table). Instead of
+    * rewriting the file set, the commit stages (a) one delta directory
+    * holding just the winning upsert rows and (b) one TOMBSTONE sidecar
+    * (`_tombstones/t<version>-<uuid>`) holding the winning keys; reads
+    * overlay the tombstones — a row is masked when a later tombstone
+    * names its key ([[applyTombstones]]) — so the logical result is
+    * identical to the copy-on-write merge while the physical work is
+    * proportional to the change. At 100 TB this is the difference
+    * between "commit the day's 0.1% of updates" and "rewrite the
+    * table": copy-on-write pays the rewrite at EVERY merge; merge-on-
+    * read pays a delta write per merge and ONE rewrite at the next
+    * [[compact]], which materializes the overlay and resets it (the
+    * Iceberg v2 positional-delete / Delta deletion-vector trade,
+    * reduced to its keyed kernel).
+    *
+    * The read-side cost is one broadcast anti-join against the
+    * aggregated outstanding keys. That premise — tombstones are
+    * delta-scale — is why [[compact]] must run at maintenance cadence
+    * on a MOR table (EventStream.Maintenance's chain gate already
+    * does); the overlay also pins the key column: until a rewrite
+    * clears it, every further mergeOnRead must use the same `keyCol`
+    * (enforced loudly), because the mask joins every tombstone on one
+    * key.
+    *
+    * Dedup-universe interplay: with `textCol` and a manifest-named
+    * bloom, the upserts' content merges into the bloom and the delta
+    * dir gets its hash sidecar (O(delta), same as [[ingest]]) —
+    * REPLACED/DELETED content stays in the bloom and old sidecars until
+    * compaction rebuilds them, so re-ingesting content deleted by a MOR
+    * commit is conservatively blocked until then (the COW [[merge]]
+    * rebuilds eagerly instead, paying O(table) for it — the same trade
+    * as the data files). Without `textCol` (or without a prior named
+    * bloom) the commit names no bloom and the next ingest pays the
+    * documented one-scan rebuild over the masked read.
+    *
+    * [[addedBetween]] refuses ranges across a MOR commit (its logical
+    * deletes/updates are not append rows), and the streaming version
+    * log flags it like a rewrite — consumers re-sync via [[readAt]].
+    */
+  def mergeOnRead(spark: SparkSession, changes: DataFrame, path: String,
+                  keyCol: String, deleteCol: Option[String] = None,
+                  orderCol: Option[String] = None,
+                  textCol: Option[String] = None,
+                  statsCols: Seq[String] = Nil,
+                  expectedItems: Long = 1000000L,
+                  fpp: Double = 0.01): MergeOnReadStats = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot at $path to merge into; create the table with write/ingest"))
+    val m = readManifestChecked(spark, path, cur)
+    val tableSchema = m.schema.getOrElse(nullableSchema(rawScan(spark, path, m).schema))
+    require(!keyCol.contains(",") && !keyCol.contains("\n"),
+      s"merge-on-read key column name must not contain ',' or newlines: '$keyCol'")
+    m.morKey.filter(_ != keyCol).foreach(k => throw new IllegalArgumentException(
+      s"outstanding tombstones at $path are keyed on '$k'; a merge-on-read chain " +
+        s"cannot switch to '$keyCol' until a rewrite (compact/write/merge) clears the overlay"))
+    requireChangeSchema(tableSchema, changes, keyCol, deleteCol, orderCol)
+    val next = cur + 1
+    val weCached = changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val winning = winningRows(changes, keyCol, orderCol)
+      val isDelete = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false)))
+        .getOrElse(lit(false))
+      val upserts = winning.filter(!isDelete)
+        .select(tableSchema.fieldNames.map(col(_)).toSeq: _*)
+      val nChanges = winning.count()
+      val nUpserts = upserts.count()
+      val deltaDir = if (nUpserts == 0) None else {
+        val d = stageDir(next)
+        upserts.write.mode("overwrite").format(m.format)
+          .save(new Path(path, d).toString)
+        Some(d)
+      }
+      // the tombstone lists EVERY winning non-null key: an upsert masks
+      // the key's prior row (the replacement lives in the delta dir,
+      // committed at the same version the mask exempts), a delete masks
+      // it with no replacement. One small file — keys are delta-scale.
+      val tName = f"t$next%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+      winning.filter(col(keyCol).isNotNull).select(col(keyCol))
+        .coalesce(1)
+        .write.mode("overwrite").format(m.format)
+        .save(tombstonePath(path, tName).toString)
+      val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
+      // delta-dir sidecars mirror ingest's: stats for pruning, and —
+      // when the dedup gate is live — the hash sidecar plus the bloom
+      // extended with the upserts' content. A pure-delete commit (no
+      // delta dir) carries the parent's bloom BY REFERENCE: nothing was
+      // added, so it still over-covers. A commit that adds rows it
+      // cannot fold into the bloom (no textCol / no prior / params
+      // changed) must name NO bloom — a stale name would claim coverage
+      // the upserts break, letting a later dup of them probe negative.
+      val bloomName = deltaDir match {
+        case None => m.bloom
+        case Some(d) =>
+          lazy val written = spark.read.format(m.format).load(new Path(path, d).toString)
+          writeStatsSidecar(spark, path, d, written, effStats)
+          textCol.flatMap { tc =>
+            writeHashSidecar(spark, path, d, written, tc, m.format)
+            readBloom(spark, path, cur).flatMap { prior =>
+              val deltaBloom = bloomOf(written,
+                xxhash64(contentKey(col(tc))), expectedItems, fpp)
+              if (!prior.isCompatible(deltaBloom)) None
+              else {
+                prior.mergeInPlace(deltaBloom)
+                val name = f"b$next%08d-${d.takeRight(8)}.bin"
+                writeBloomAt(spark, path, name, prior)
+                Some(name)
+              }
+            }
+          }
+      }
+      commit(spark, path, next, Manifest(m.dirs ++ deltaDir.toSeq, m.format,
+        bloomName, Some(tableSchema), effStats,
+        m.tombstones :+ tName, Some(keyCol)))
+      MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
+        m.tombstones.size + 1)
     } finally { if (weCached) { changes.unpersist(); () } }
   }
 }

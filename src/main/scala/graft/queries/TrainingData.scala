@@ -3493,6 +3493,76 @@ object TrainingData {
       FROM documents
       ORDER BY doc_id"""))
 
+  // ---- d27_merge_on_read: O(delta) committed upserts/deletes -----------
+  // d24 proves the merge semantics as a COPY-ON-WRITE commit; this row
+  // proves the MERGE-ON-READ flavor gives the IDENTICAL logical table
+  // while writing only deltas: v1 ingests the corpus (< 400), v2 is one
+  // SnapshotTable.mergeOnRead (updates 100-199, deletes 200-249, inserts
+  // 400-449 — one small delta dir + one tombstone, base files untouched),
+  // and v3 STACKS a second overlay that masks rows from BOTH earlier
+  // vintages: updates 0-49 (masking v1 rows), re-updates 120-129
+  // (masking v2's own delta rows — the strictly-later-tombstone rule),
+  // and deletes 300-319 plus 410-419 (the latter erasing v2 inserts).
+  // The registry reads the final masked table; DuckDB replays the same
+  // row-level result with plain relational algebra, so the hash match
+  // pins that the tombstone overlay is exactly the copy-on-write answer.
+  private def d27Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d27", expect = Seq(1L, 2L, 3L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 400), path, "text",
+        expectedItems = 100000L)
+      val upd2 = docs.filter(col("doc_id").between(100, 199))
+        .select(col("doc_id"), upper(col("lang")).as("lang"),
+          (col("n_chars") + 1).as("n_chars"),
+          concat(col("text"), lit(" rev2")).as("text"), lit(false).as("is_deleted"))
+      val del2 = docs.filter(col("doc_id").between(200, 249))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          lit(true).as("is_deleted"))
+      val ins2 = docs.filter(col("doc_id").between(400, 449))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          lit(false).as("is_deleted"))
+      SnapshotTable.mergeOnRead(s, upd2.unionByName(del2).unionByName(ins2),
+        path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+        expectedItems = 100000L)
+      val upd3a = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 2).as("n_chars"),
+          concat(col("text"), lit(" rev3")).as("text"), lit(false).as("is_deleted"))
+      val upd3b = docs.filter(col("doc_id").between(120, 129))
+        .select(col("doc_id"), upper(col("lang")).as("lang"),
+          (col("n_chars") + 10).as("n_chars"),
+          concat(col("text"), lit(" rev3b")).as("text"), lit(false).as("is_deleted"))
+      val del3 = docs.filter(col("doc_id").between(300, 319) ||
+          col("doc_id").between(410, 419))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          lit(true).as("is_deleted"))
+      SnapshotTable.mergeOnRead(s, upd3a.unionByName(upd3b).unionByName(del3),
+        path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+        expectedItems = 100000L)
+      ()
+    }
+
+  private val d27 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d27Fixture(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 120 AND 129 THEN upper(lang)
+                  WHEN doc_id BETWEEN 100 AND 199 THEN upper(lang)
+                  ELSE lang END AS lang,
+             CASE WHEN doc_id BETWEEN 120 AND 129 THEN n_chars + 10
+                  WHEN doc_id BETWEEN 0 AND 49 THEN n_chars + 2
+                  WHEN doc_id BETWEEN 100 AND 199 THEN n_chars + 1
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE (doc_id < 400 AND doc_id NOT BETWEEN 200 AND 249
+                          AND doc_id NOT BETWEEN 300 AND 319)
+         OR (doc_id BETWEEN 400 AND 449 AND doc_id NOT BETWEEN 410 AND 419)
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3523,6 +3593,7 @@ object TrainingData {
     "d24_snapshot_merge" -> d24,
     "d25_stats_pruned_scan" -> d25,
     "d26_schema_evolution" -> d26,
+    "d27_merge_on_read" -> d27,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -130,13 +130,22 @@ class SnapshotLogStream(path: String, startVersion: Option[String]) extends Micr
       // then unprovable by directory, so it emits as a FLAGGED baseline
       // row carrying the full snapshot — same contract as a rewrite
       // commit, and the consumer treats it as the initial load.
-      val prevDirs =
-        if (v == 1) Some(Nil)
-        else if (retained(v - 1)) Some(SnapshotTable.readManifestChecked(spark, path, v - 1).dirs)
-        else None
-      val rewrite = prevDirs.fold(true)(_.exists(d => !m.dirs.contains(d)))
+      val prev =
+        if (v == 1) Some((Nil: Seq[String], Nil: Seq[String]))
+        else if (retained(v - 1)) {
+          val pm = SnapshotTable.readManifestChecked(spark, path, v - 1)
+          Some((pm.dirs, pm.tombstones))
+        } else None
+      // flagged when the commit is not purely additive: a dir left the
+      // list (compact/write/COW merge), or a merge-on-read tombstone
+      // arrived (rows were logically deleted/updated — the delta dir
+      // alone under-represents the commit)
+      val rewrite = prev.fold(true) { case (pDirs, pTs) =>
+        pDirs.exists(d => !m.dirs.contains(d)) ||
+          m.tombstones.exists(t => !pTs.contains(t))
+      }
       val emitted =
-        if (rewrite) m.dirs else m.dirs.filterNot(prevDirs.getOrElse(Nil).toSet)
+        if (rewrite) m.dirs else m.dirs.filterNot(prev.map(_._1).getOrElse(Nil).toSet)
       SnapshotLogPartition(v, rewrite, m.format,
         emitted.map(d => new org.apache.hadoop.fs.Path(path, d).toString)): InputPartition
     }.toArray

@@ -273,7 +273,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(8)
+        val op = if (i == 0) 0 else r.nextInt(9)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -326,6 +326,30 @@ class Round12Spec extends SparkSpec {
             val gone = touched.toSet
             model = model.filterNot(p => gone(p._1)) ++
               updKeys.map(k => (k, s"upd $seed-$k-$i")) ++ inserts
+            record()
+          case 8 => // merge-on-read: same logical semantics as case 6,
+            // O(delta) physical commit via tombstone overlay. The model
+            // is IDENTICAL — that is the whole point — so the read/
+            // readWhere/readAt invariants below verify the overlay
+            // against the same oracle as the copy-on-write path, and
+            // later compact/expire/vacuum ops fuzz its materialization.
+            // (Generated content never re-uses a deleted row's text, so
+            // the overlay's conservative dedup-universe never diverges
+            // from the model's visible-content dedup.)
+            val morTouched = r.shuffle(model.map(_._1)).take(r.nextInt(3))
+            val (morDel, morUpd) = morTouched.splitAt(morTouched.size / 2)
+            val morIns =
+              (0 until (r.nextInt(2) + (if (morTouched.isEmpty) 1 else 0))).map(_ => freshDoc())
+            val morRows = morUpd.map(k => (k, s"mupd $seed-$k-$i", false)) ++
+              morDel.map(k => (k, s"mdel $seed-$k-$i", true)) ++
+              morIns.map { case (id, t) => (id, t, false) }
+            opsRun += s"mor(u${morUpd.size}/d${morDel.size}/i${morIns.size})"
+            SnapshotTable.mergeOnRead(spark, morRows.toDF("doc_id", "text", "is_deleted"),
+              path, "doc_id", deleteCol = Some("is_deleted"),
+              textCol = Some("text"), expectedItems = 1000L)
+            val morGone = morTouched.toSet
+            model = model.filterNot(p => morGone(p._1)) ++
+              morUpd.map(k => (k, s"mupd $seed-$k-$i")) ++ morIns
             record()
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"

@@ -380,4 +380,152 @@ class Round13Spec extends SparkSpec {
       "loser must not replace the winner's manifest")
     assert(fsDir != null)
   }
+
+  // ---- merge-on-read: O(delta) committed upserts/deletes ----------------
+
+  /** Data bytes in the named snapshot dirs (files only, sidecars and
+    * markers excluded) — the physical cost a commit wrote.
+    */
+  private def dirBytes(path: String, dirs: Seq[String]): Long = {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirs.map { d =>
+      f.listStatus(new org.apache.hadoop.fs.Path(path, d))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    }.sum
+  }
+
+  test("mergeOnRead commits O(delta): base files untouched, masked read exact") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    SnapshotTable.ingest(spark,
+      (0L until 600L).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L, statsCols = Seq("doc_id"))
+    val m1 = SnapshotTable.readManifestChecked(spark, path, 1L)
+    val baseBytes = dirBytes(path, m1.dirs)
+    val changes =
+      (100L until 150L).map(k => (k, s"upd-$k", false)) ++
+        (200L until 260L).map(k => (k, "ignored", true)) ++
+        (600L until 620L).map(k => (k, blob(k), false))
+    val st = SnapshotTable.mergeOnRead(spark,
+      changes.toDF("doc_id", "text", "is_deleted"), path, "doc_id",
+      deleteCol = Some("is_deleted"), textCol = Some("text"),
+      expectedItems = 10000L)
+    assert(st == SnapshotTable.MergeOnReadStats(2L, 130L, 70L, 60L, 1), st.toString)
+    // physically O(delta): every base dir still listed, one small delta
+    val m2 = SnapshotTable.readManifestChecked(spark, path, 2L)
+    assert(m1.dirs.forall(m2.dirs.contains), "merge-on-read rewrote the base dir list")
+    val delta = m2.dirs.filterNot(m1.dirs.toSet)
+    assert(delta.size == 1 && m2.tombstones.size == 1 && m2.morKey.contains("doc_id"))
+    assert(dirBytes(path, delta) < baseBytes / 4,
+      s"delta dir is not delta-sized: ${dirBytes(path, delta)} of $baseBytes")
+    // logical result identical to the copy-on-write semantics
+    val expect = ((0L until 600L).filterNot(k => k >= 200L && k < 260L).map { k =>
+      if (k >= 100L && k < 150L) (k, s"upd-$k") else (k, blob(k))
+    } ++ (600L until 620L).map(k => (k, blob(k)))).toSet
+    val got = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect, "masked read diverged from merge semantics")
+    // time travel: v1 replays the pre-merge table (tombstones are v2's)
+    assert(SnapshotTable.readAt(spark, path, 1L).count() == 600L)
+    // stats-pruned read applies the same mask: deletions inside the
+    // range are gone, updates show the new payload
+    val pruned = SnapshotTable.readWhere(spark, path,
+        col("doc_id").between(140L, 210L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned == expect.filter(p => p._1 >= 140L && p._1 <= 210L),
+      "pruned read over the tombstone overlay diverged")
+    // the overlay pins the key until a rewrite clears it
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.mergeOnRead(spark,
+        Seq((9999L, "k", false)).toDF("doc_id", "text", "is_deleted"),
+        path, "text", deleteCol = Some("is_deleted")))
+    assert(e.getMessage.contains("keyed on 'doc_id'"), e.getMessage)
+    // the changelog cannot represent logical deletes as appended rows
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotTable.addedBetween(spark, path, 1L))
+    assert(e2.getMessage.contains("tombstones"), e2.getMessage)
+  }
+
+  test("compact materializes the MOR overlay, resets it, and frees the dedup universe") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-mor-compact").toString
+    SnapshotTable.ingest(spark,
+      (0L until 100L).map(i => (i, s"doc-$i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    SnapshotTable.mergeOnRead(spark,
+      ((10L until 20L).map(k => (k, "ignored", true)) ++
+        (20L until 30L).map(k => (k, s"rev-$k", false)) ++
+        (100L until 105L).map(k => (k, s"doc-$k", false)))
+        .toDF("doc_id", "text", "is_deleted"),
+      path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+      expectedItems = 1000L)
+    // a pure-delete batch stages NO delta dir — only a tombstone
+    val st2 = SnapshotTable.mergeOnRead(spark,
+      (0L until 5L).map(k => (k, "ignored", true)).toDF("doc_id", "text", "is_deleted"),
+      path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+      expectedItems = 1000L)
+    assert(st2.nUpserts == 0L && st2.nOutstandingTombstones == 2)
+    assert(SnapshotTable.readManifestChecked(spark, path, 3L).dirs ==
+      SnapshotTable.readManifestChecked(spark, path, 2L).dirs,
+      "a pure-delete merge must not stage a data dir")
+    val expect = ((5L until 100L).filterNot(k => k >= 10L && k < 20L).map { k =>
+      if (k >= 20L && k < 30L) (k, s"rev-$k") else (k, s"doc-$k")
+    } ++ (100L until 105L).map(k => (k, s"doc-$k"))).toSet
+    def current() = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(current() == expect)
+    // compaction folds the overlay into files and resets it
+    SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 1000L)
+    val mC = SnapshotTable.readManifestChecked(spark, path, 4L)
+    assert(mC.tombstones.isEmpty && mC.morKey.isEmpty && mC.dirs.size == 1)
+    assert(current() == expect, "compaction changed the logical table")
+    // pre-compact versions still replay through their overlay
+    assert(SnapshotTable.readAt(spark, path, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == expect)
+    // the rebuilt dedup universe dropped the deleted content: a
+    // re-crawl of doc 12's text is admitted again (pre-compact it was
+    // conservatively blocked by the merged bloom + old sidecars)
+    val re = SnapshotTable.ingest(spark,
+      Seq((500L, "doc-12")).toDF("doc_id", "text"), path, "text", 1000L)
+    assert(re.nNew == 1L, "compaction must evict deleted content from the dedup universe")
+    // key can be re-chosen once the overlay is cleared
+    SnapshotTable.mergeOnRead(spark,
+      Seq(("doc-50", 51L)).toDF("text", "doc_id").select(col("doc_id"), col("text"),
+        lit(true).as("del")),
+      path, "text", deleteCol = Some("del"), expectedItems = 1000L)
+    // retention: expire + vacuum reclaim tombstones no retained
+    // manifest references
+    val tsRoot = new java.io.File(path, "_tombstones")
+    assert(tsRoot.listFiles().nonEmpty)
+    SnapshotTable.expire(spark, path, keep = 2)
+    SnapshotTable.vacuum(spark, path, graceMs = 0L)
+    val left = Option(tsRoot.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    val stillRef = SnapshotTable.versions(spark, path)
+      .flatMap(v => SnapshotTable.readManifestChecked(spark, path, v).tombstones).toSet
+    assert(left == stillRef,
+      s"vacuum left unreferenced tombstones: kept=$left referenced=$stillRef")
+  }
+
+  test("the version log flags a merge-on-read commit like a rewrite") {
+    import spark.implicits._
+    import graft.streaming.SnapshotChangelog
+    val path = java.nio.file.Files.createTempDirectory("graft-mor-log").toString
+    SnapshotTable.ingest(spark, Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+      path, "text", 100L)
+    SnapshotTable.mergeOnRead(spark,
+      Seq((2L, "b2", false)).toDF("doc_id", "text", "is_deleted"),
+      path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+      expectedItems = 100L)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+    val q = SnapshotChangelog.changelogSink(spark, path,
+      (_, c) => { got.add((c.version, c.rewrite)); () },
+      startVersion = Some("earliest"), allowRewrites = true)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toArray.toSeq == Seq((1L, false), (2L, true)),
+      s"MOR commit must arrive flagged: ${got.toArray.toSeq}")
+  }
 }
