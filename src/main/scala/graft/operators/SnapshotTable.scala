@@ -325,6 +325,15 @@ object SnapshotTable {
     * are never written to tombstones — SQL-equality semantics, matching
     * [[merge]]'s NULL-key contract.
     */
+  /** Outstanding-overlay size above which [[applyTombstones]] stops
+    * FORCING a broadcast and lets size stats / AQE pick the join
+    * strategy: a compaction-starved table whose tombstone keys outgrew
+    * executor memory must degrade to a shuffled anti-join, not OOM on
+    * a hint. Well under Spark's broadcast comfort zone; key-only
+    * parquet at this size is several million keys.
+    */
+  private val tombstoneBroadcastMaxBytes = 64L * 1024 * 1024
+
   private def applyTombstones(spark: SparkSession, path: String, m: Manifest,
                               base: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -335,7 +344,16 @@ object SnapshotTable {
         .select(col(key).as("__graft_tk"), lit(dirVersion(name)).as("__graft_tsv"))
     }.reduce(_ unionByName _)
       .groupBy(col("__graft_tk")).agg(max(col("__graft_tsv")).as("__graft_tsv"))
-    base.join(broadcast(ts),
+    // hint broadcast only while the overlay is provably small (file
+    // metadata check, no data read); past the bound the optimizer
+    // plans from its own stats — overload protection, not a plan pin
+    val f = fs(spark, new Path(path))
+    val tsBytes = m.tombstones.map { name =>
+      val p = tombstonePath(path, name)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }.sum
+    val build = if (tsBytes <= tombstoneBroadcastMaxBytes) broadcast(ts) else ts
+    base.join(build,
         base(key) === col("__graft_tk") && col("__graft_tsv") > base(dirVersionCol),
         "left_anti")
       .drop(dirVersionCol)
@@ -924,14 +942,18 @@ object SnapshotTable {
 
   /** Cheap chain shape probe for maintenance policies: (number of
     * directories the CURRENT manifest lists, total data bytes in every
-    * dir after the first). The first-listed dir is the chain's base
+    * dir after the first, number of outstanding merge-on-read
+    * tombstones). The first-listed dir is the chain's base
     * (post-compaction snapshots list exactly one); the rest are the
     * appended deltas a compaction would fold in — their byte total is
-    * what decides whether an O(table) rewrite is worth paying. File
-    * metadata listings only; no data is read.
+    * what decides whether an O(table) rewrite is worth paying. The
+    * tombstone count matters separately because a pure-delete
+    * [[mergeOnRead]] grows the read overlay WITHOUT adding a dir or a
+    * delta byte — a dirs/bytes-only gate would never compact it away.
+    * File metadata listings only; no data is read.
     */
-  private[graft] def chainInfo(spark: SparkSession, path: String): (Int, Long) = {
-    val v = currentVersion(spark, path).getOrElse(return (0, 0L))
+  private[graft] def chainInfo(spark: SparkSession, path: String): (Int, Long, Int) = {
+    val v = currentVersion(spark, path).getOrElse(return (0, 0L, 0))
     val m = readManifestChecked(spark, path, v)
     val f = fs(spark, new Path(path))
     val deltaBytes = m.dirs.drop(1).map { d =>
@@ -941,7 +963,7 @@ object SnapshotTable {
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
         .map(_.getLen).sum
     }.sum
-    (m.dirs.size, deltaBytes)
+    (m.dirs.size, deltaBytes, m.tombstones.size)
   }
 
   final case class VacuumStats(nDataDirs: Int, nHashSidecars: Int, nVersionFiles: Int)

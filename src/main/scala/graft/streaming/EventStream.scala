@@ -157,11 +157,14 @@ object EventStream {
     * batches the sink expires to `keep` manifests and vacuums orphans
     * older than `vacuumGraceMs` (both metadata-cost), and compacts the
     * snapshot chain — an O(table) rewrite — only when the accumulated
-    * delta dirs hold ≥ `compactWhenDeltaBytes` of new data OR the
+    * delta dirs hold ≥ `compactWhenDeltaBytes` of new data, OR the
     * manifest lists ≥ `maxChainDirs` directories (the bound that keeps
     * an idle stream's near-empty per-batch dirs from bloating the
     * manifest while ALSO keeping its full rewrite amortized instead of
-    * per-tick). Compaction runs at the sink's own expectedItems/fpp so
+    * per-tick), OR ≥ `maxTombstones` merge-on-read tombstones are
+    * outstanding (each one is an anti-join build on every read, and
+    * [[upsertSink]] adds one per batch; compaction folds them back
+    * into the files). Compaction runs at the sink's own expectedItems/fpp so
     * the carried bloom stays merge-compatible. Parameters are validated
     * here so a bad policy fails at construction, not batches into the
     * stream.
@@ -180,11 +183,13 @@ object EventStream {
                                targetFileBytes: Long = 128L * 1024 * 1024,
                                vacuumGraceMs: Long = 24L * 3600 * 1000,
                                compactWhenDeltaBytes: Long = 128L * 1024 * 1024,
-                               maxChainDirs: Int = 64) {
+                               maxChainDirs: Int = 64,
+                               maxTombstones: Int = 16) {
     require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
     require(keep >= 1, s"keep must be >= 1, got $keep")
     require(maxChainDirs >= 2, s"maxChainDirs must be >= 2, got $maxChainDirs")
     require(vacuumGraceMs >= 0, s"vacuumGraceMs must be >= 0, got $vacuumGraceMs")
+    require(maxTombstones >= 1, s"maxTombstones must be >= 1, got $maxTombstones")
   }
 
   /** Streaming twin of [[graft.operators.SnapshotTable.ingest]]: each
@@ -239,8 +244,13 @@ object EventStream {
             // rewrite amortizes over maxChainDirs batches instead of
             // recurring every tick). Expire + vacuum are metadata-cost
             // and always run.
-            val (nDirs, deltaBytes) = SnapshotTable.chainInfo(batch.sparkSession, path)
-            if (deltaBytes >= m.compactWhenDeltaBytes || nDirs >= m.maxChainDirs) {
+            // tombstone growth matters independently: each outstanding
+            // merge-on-read overlay adds an anti-join build to every
+            // read, and a pure-delete merge grows it with ZERO delta
+            // bytes — only compaction folds it back into the files
+            val (nDirs, deltaBytes, nTombstones) = SnapshotTable.chainInfo(batch.sparkSession, path)
+            if (deltaBytes >= m.compactWhenDeltaBytes || nDirs >= m.maxChainDirs ||
+                nTombstones >= m.maxTombstones) {
               SnapshotTable.compact(batch.sparkSession, path, m.targetFileBytes,
                 textCol = Some(textCol), expectedItems = expectedItems, fpp = fpp)
               ()
@@ -259,6 +269,80 @@ object EventStream {
     // a state store — is what already contains the batch's content.
     // That is the exactly-once argument: idempotent sink, not
     // exactly-once delivery.
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** Streaming CDC APPLY — the third leg of the streaming table story
+    * (ingestSink appends, changelogSink reads commits, upsertSink
+    * applies changes): each micro-batch of keyed changes — upserts plus
+    * optional `deleteCol` deletes, `orderCol` latest-wins inside the
+    * batch — lands as one [[graft.operators.SnapshotTable.mergeOnRead]]
+    * commit, i.e. O(batch) physical work per tick regardless of table
+    * size. This is the canonical "apply a CDC feed to a lakehouse
+    * table" shape (Kafka upsert stream → Delta/Iceberg MERGE), built on
+    * the tombstone overlay instead of a per-batch table rewrite.
+    *
+    * Restart semantics: foreachBatch is at-least-once, and a replayed
+    * batch re-applies the SAME winning rows — the new tombstone masks
+    * the previous application's delta and the re-written rows carry
+    * identical content, so the logical table is unchanged (idempotent
+    * apply; the version log keeps both commits as an audit trail).
+    * `orderCol` should be a source sequence (commit LSN, event time)
+    * so within-batch winners are replay-deterministic.
+    *
+    * `maintenance` matters MORE here than for ingestSink: every batch
+    * adds a tombstone, and every outstanding tombstone is an anti-join
+    * build on every read — [[Maintenance.maxTombstones]] bounds the
+    * overlay by folding it into the files at compaction (which also
+    * rebuilds bloom/hash sidecars so deleted content leaves the dedup
+    * universe). The same single-writer caveats apply.
+    *
+    * An ABSENT table bootstraps from the first batch: an empty v1
+    * baseline is committed with the batch's payload schema (control
+    * columns stripped), then every batch — including the first — goes
+    * through the same mergeOnRead path.
+    */
+  def upsertSink(changes: DataFrame, path: String, keyCol: String,
+                 deleteCol: Option[String] = None,
+                 orderCol: Option[String] = None,
+                 textCol: Option[String] = None,
+                 expectedItems: Long = 1000000L,
+                 fpp: Double = 0.01,
+                 checkpoint: Option[String] = None,
+                 maintenance: Option[Maintenance] = None,
+                 statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = changes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.SnapshotTable
+        if (SnapshotTable.currentVersion(batch.sparkSession, path).isEmpty) {
+          val ctrl = (deleteCol.toSeq ++ orderCol.toSeq).toSet
+          val payload = batch.select(batch.columns.filterNot(ctrl)
+            .map(org.apache.spark.sql.functions.col(_)).toSeq: _*)
+          SnapshotTable.write(batch.sparkSession, payload.limit(0), path,
+            statsCols = statsCols)
+          ()
+        }
+        SnapshotTable.mergeOnRead(batch.sparkSession, batch, path, keyCol,
+          deleteCol = deleteCol, orderCol = orderCol, textCol = textCol,
+          statsCols = statsCols, expectedItems = expectedItems, fpp = fpp)
+        maintenance.foreach { m =>
+          if (batchId > 0 && batchId % m.everyBatches == 0) {
+            val (nDirs, deltaBytes, nTombstones) =
+              SnapshotTable.chainInfo(batch.sparkSession, path)
+            if (deltaBytes >= m.compactWhenDeltaBytes || nDirs >= m.maxChainDirs ||
+                nTombstones >= m.maxTombstones) {
+              SnapshotTable.compact(batch.sparkSession, path, m.targetFileBytes,
+                textCol = textCol, expectedItems = expectedItems, fpp = fpp)
+              ()
+            }
+            SnapshotTable.expire(batch.sparkSession, path, m.keep)
+            SnapshotTable.vacuum(batch.sparkSession, path, m.vacuumGraceMs)
+            ()
+          }
+        }
+        ()
+      }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 }

@@ -525,4 +525,90 @@ class StreamingSpec extends SparkSpec {
       (2L, true, Set(1L, 2L)), (3L, false, Set(3L))),
       s"trimmed-edge replay wrong: ${got.toArray.toSeq}")
   }
+
+  test("upsertSink applies a CDC feed as O(batch) merge-on-read commits; maintenance folds the overlay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert-sink").toString
+    val input = MemoryStream[(Long, String, Boolean, Long)]
+    val q = EventStream.upsertSink(
+      input.toDF().toDF("doc_id", "text", "del", "seq"), path, "doc_id",
+      deleteCol = Some("del"), orderCol = Some("seq"), textCol = Some("text"),
+      expectedItems = 100L,
+      maintenance = Some(EventStream.Maintenance(everyBatches = 2, keep = 1,
+        vacuumGraceMs = 0L, maxTombstones = 1)))
+    // batch 0 bootstraps the absent table (empty v1 baseline from the
+    // payload schema) and inserts three rows
+    input.addData(Seq((1L, "a", false, 1L), (2L, "b", false, 1L), (3L, "c", false, 1L)))
+    q.processAllAvailable()
+    def current() = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(current() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L))
+    // batch 1: update, delete, and a within-batch key collision the
+    // orderCol resolves latest-wins — one O(batch) commit, base carried
+    input.addData(Seq((2L, "b2", false, 2L), (3L, "x", true, 2L),
+      (4L, "d0", false, 1L), (4L, "d", false, 2L)))
+    q.processAllAvailable()
+    assert(current() == Set((1L, "a"), (2L, "b2"), (4L, "d")),
+      s"CDC apply diverged: ${current()}")
+    val m3 = SnapshotTable.readManifestChecked(spark, path, 3L)
+    assert(m3.tombstones.size == 2 && m3.morKey.contains("doc_id"))
+    assert(SnapshotTable.readManifestChecked(spark, path, 2L)
+      .dirs.forall(m3.dirs.contains), "upsert batch rewrote the base")
+    // batch 2 (batchId 2, everyBatches 2): maintenance fires — the
+    // overlay exceeds maxTombstones, so compaction folds it into files,
+    // expire trims to keep=1, vacuum reclaims the tombstone sidecars
+    input.addData(Seq((1L, "a2", false, 3L)))
+    q.processAllAvailable()
+    q.stop()
+    assert(current() == Set((1L, "a2"), (2L, "b2"), (4L, "d")))
+    val vs = SnapshotTable.versions(spark, path)
+    val mLast = SnapshotTable.readManifestChecked(spark, path, vs.last)
+    assert(mLast.tombstones.isEmpty && mLast.morKey.isEmpty && mLast.dirs.size == 1,
+      s"maintenance did not fold the overlay: $mLast")
+    val tsLeft = Option(new java.io.File(path, "_tombstones").listFiles())
+      .map(_.length).getOrElse(0)
+    assert(tsLeft == 0, s"vacuum left $tsLeft tombstone sidecars")
+  }
+
+  test("upsertSink restart redelivery is logically idempotent through the overlay") {
+    // Same crash window as the ingestSink restart pin: offsets in the
+    // WAL, merge committed, process dies before the commit marker. The
+    // replayed batch re-applies the SAME winning rows — its tombstone
+    // masks the first application's delta and the rewritten rows carry
+    // identical content, so the logical table is unchanged while the
+    // version log records the replay.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert-restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ckpt").toString
+    val input = MemoryStream[(Long, String, Boolean, Long)]
+    val df = input.toDF().toDF("doc_id", "text", "del", "seq")
+    def sink() = EventStream.upsertSink(df, path, "doc_id",
+      deleteCol = Some("del"), orderCol = Some("seq"),
+      expectedItems = 100L, checkpoint = Some(ckpt))
+    val q1 = sink()
+    input.addData(Seq((1L, "a", false, 1L), (2L, "b", false, 1L)))
+    q1.processAllAvailable()
+    input.addData(Seq((2L, "b2", false, 2L), (1L, "x", true, 2L)))
+    q1.processAllAvailable()
+    q1.stop()
+    def current() = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(current() == Set((2L, "b2")))
+    val vAfterStop = SnapshotTable.currentVersion(spark, path).get
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length == 2, s"expected 2 commit markers, got ${commits.length}")
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc").delete()
+    val q2 = sink()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(current() == Set((2L, "b2")),
+      "replayed CDC batch changed the logical table — the overlay failed as the idempotence source")
+    assert(SnapshotTable.currentVersion(spark, path).contains(vAfterStop + 1),
+      "the redelivered batch must still commit (audit trail, version advances)")
+  }
 }
