@@ -1556,4 +1556,53 @@ object SnapshotTable {
         m.tombstones.size + 1)
     } finally { if (weCached) { changes.unpersist(); () } }
   }
+
+  /** SQL's `DELETE FROM t WHERE ...` as a committed operator: resolve
+    * the victims through the STATS-PRUNED scan (a selective predicate
+    * on a stats column opens only the files it can touch — at 100 TB a
+    * targeted erasure request reads the three matching files, not the
+    * table) and commit them as one pure-delete [[mergeOnRead]] — a
+    * tombstone sidecar, no data dir, no rewrite; the next [[compact]]
+    * physically removes the rows. Keys are deduplicated first (delete
+    * is per-key; a non-unique-key table deletes ALL rows carrying a
+    * matching key, exactly like the keyed merge).
+    */
+  def deleteWhere(spark: SparkSession, path: String, keyCol: String,
+                  predicate: Column): MergeOnReadStats = {
+    import org.apache.spark.sql.functions._
+    val victims = readWhere(spark, path, predicate)
+      .dropDuplicates(Seq(keyCol))
+      .withColumn("__graft_del", lit(true))
+    mergeOnRead(spark, victims, path, keyCol, deleteCol = Some("__graft_del"))
+  }
+
+  /** SQL's `UPDATE t SET c = expr, ... WHERE ...` as a committed
+    * operator: victims resolve through the stats-pruned scan, every SET
+    * expression evaluates against the OLD row (standard UPDATE
+    * semantics — one select, not a chain), and the updated rows commit
+    * as one [[mergeOnRead]] (tombstone masks the old rows, the delta
+    * dir carries the new ones — O(matches), no rewrite). SET targets
+    * must be existing non-key columns of matching type (the merge's
+    * schema contract enforces the type; updates never evolve schema).
+    * On a non-unique-key table one arbitrary matching row per key
+    * becomes the update source — keep merge keys unique.
+    */
+  def updateWhere(spark: SparkSession, path: String, keyCol: String,
+                  predicate: Column, set: Map[String, Column],
+                  textCol: Option[String] = None,
+                  expectedItems: Long = 1000000L,
+                  fpp: Double = 0.01): MergeOnReadStats = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    require(!set.contains(keyCol),
+      s"updateWhere must not SET the merge key '$keyCol' (a key change is a delete + insert)")
+    val victims = readWhere(spark, path, predicate).dropDuplicates(Seq(keyCol))
+    val unknown = set.keySet.filterNot(victims.columns.toSet)
+    require(unknown.isEmpty,
+      s"SET names non-table columns: ${unknown.mkString(", ")}")
+    val updated = victims.select(victims.columns.toSeq.map(c =>
+      set.getOrElse(c, col(c)).as(c)): _*)
+    mergeOnRead(spark, updated, path, keyCol, textCol = textCol,
+      expectedItems = expectedItems, fpp = fpp)
+  }
 }

@@ -3563,6 +3563,43 @@ object TrainingData {
          OR (doc_id BETWEEN 400 AND 449 AND doc_id NOT BETWEEN 410 AND 419)
       ORDER BY doc_id"""))
 
+  // ---- d28_update_delete_where: SQL row-level UPDATE/DELETE -------------
+  // The UPDATE ... SET ... WHERE / DELETE ... WHERE surface over the
+  // snapshot table, each an O(matches) merge-on-read commit whose victim
+  // scan goes through the stats-pruned read: v1 ingests the corpus
+  // (< 400) with doc_id stats, v2 is one updateWhere (SET lang =
+  // upper(lang), n_chars = n_chars + 1 WHERE doc_id BETWEEN 100 AND 199
+  // — every SET evaluates against the OLD row), v3 is one deleteWhere
+  // (WHERE doc_id BETWEEN 200 AND 249 OR doc_id >= 380, a tombstone-only
+  // commit). DuckDB replays both as plain CASE/WHERE algebra.
+  private def d28Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d28", expect = Seq(1L, 2L, 3L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 400), path, "text",
+        expectedItems = 100000L, statsCols = Seq("doc_id"))
+      SnapshotTable.updateWhere(s, path, "doc_id",
+        col("doc_id").between(100, 199),
+        Map("lang" -> upper(col("lang")), "n_chars" -> (col("n_chars") + 1)))
+      SnapshotTable.deleteWhere(s, path, "doc_id",
+        col("doc_id").between(200, 249) || col("doc_id") >= 380)
+      ()
+    }
+
+  private val d28 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d28Fixture(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 100 AND 199 THEN upper(lang) ELSE lang END AS lang,
+             CASE WHEN doc_id BETWEEN 100 AND 199 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE doc_id < 380 AND doc_id NOT BETWEEN 200 AND 249
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3594,6 +3631,7 @@ object TrainingData {
     "d25_stats_pruned_scan" -> d25,
     "d26_schema_evolution" -> d26,
     "d27_merge_on_read" -> d27,
+    "d28_update_delete_where" -> d28,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

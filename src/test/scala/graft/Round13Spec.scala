@@ -509,6 +509,43 @@ class Round13Spec extends SparkSpec {
       s"vacuum left unreferenced tombstones: kept=$left referenced=$stillRef")
   }
 
+  test("updateWhere SETs against the OLD row; deleteWhere commits tombstone-only") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-upd-del").toString
+    SnapshotTable.write(spark,
+      (0L until 10L).map(i => (i, i * 10L, i * 100L)).toDF("id", "a", "b"),
+      path, statsCols = Seq("id"))
+    // a/b SWAP: both SETs must evaluate against the old row (a chained
+    // withColumn would make b see the already-updated a)
+    val st = SnapshotTable.updateWhere(spark, path, "id",
+      col("id").between(2L, 4L), Map("a" -> col("b"), "b" -> col("a")))
+    assert(st.nUpserts == 3L && st.nDeletes == 0L)
+    val got = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = (0L until 10L).map { i =>
+      if (i >= 2L && i <= 4L) (i, i * 100L, i * 10L) else (i, i * 10L, i * 100L)
+    }.toSet
+    assert(got == expect, s"SET must see the OLD row: $got")
+    // DELETE WHERE: a pure-delete merge — tombstone sidecar, NO data dir
+    val st2 = SnapshotTable.deleteWhere(spark, path, "id", col("id") >= 8L)
+    assert(st2.nUpserts == 0L && st2.nDeletes == 2L)
+    assert(SnapshotTable.readManifestChecked(spark, path, 3L).dirs ==
+      SnapshotTable.readManifestChecked(spark, path, 2L).dirs,
+      "deleteWhere must not stage a data dir")
+    assert(SnapshotTable.read(spark, path).collect().map(_.getLong(0)).toSet ==
+      (0L until 8L).toSet)
+    // guards: SET on the key, unknown columns, and type drift all loud
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.updateWhere(spark, path, "id", col("id") < 2L,
+        Map("id" -> lit(99L)))).getMessage.contains("key"))
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.updateWhere(spark, path, "id", col("id") < 2L,
+        Map("nope" -> lit(1L)))).getMessage.contains("non-table"))
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.updateWhere(spark, path, "id", col("id") < 2L,
+        Map("a" -> lit("wrong-type")))).getMessage.contains("schema"))
+  }
+
   test("the version log flags a merge-on-read commit like a rewrite") {
     import spark.implicits._
     import graft.streaming.SnapshotChangelog
