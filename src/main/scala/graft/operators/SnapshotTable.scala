@@ -13,8 +13,12 @@ import org.apache.hadoop.fs.Path
   *
   * Layout (the Iceberg-on-HDFS commit idea reduced to its kernel):
   * {{{
-  *   path/snap-00000001/...            immutable data files, never edited
-  *   path/_versions/v00000001.txt      manifest: the snapshot dir name
+  *   path/snap-00000001-<uuid>/...     immutable data files, never edited
+  *   path/_versions/v00000001.txt      manifest: dirs, schema, sidecar refs
+  *   path/_versions/b00000001-....bin  content bloom (named by manifest)
+  *   path/_hashes/<dir>/...            ~16 B/row content keys per data dir
+  *   path/_stats/<dir>/...             per-file column min/max for pruning
+  *   path/_tombstones/t00000002-.../   merge-on-read delete/update keys
   * }}}
   * A commit WRITES a fresh snapshot directory, then publishes it by
   * renaming a temp manifest to `v<next>.txt` — rename-into-place is the
@@ -310,9 +314,13 @@ object SnapshotTable {
   /** Commit version encoded in a staged artifact name
     * (`snap-<v>-<uuid>` / `t<v>-<uuid>` — both from the same zero-padded
     * scheme), used to order data rows against tombstones at read time.
+    * Reads the FULL digit run, not a fixed width: %08d widens past
+    * eight digits beyond version 99,999,999 (a few years of per-second
+    * micro-batch commits) and a truncated parse would mis-order the
+    * overlay there.
     */
   private def dirVersion(name: String): Long =
-    name.dropWhile(!_.isDigit).take(8).toLong
+    name.dropWhile(!_.isDigit).takeWhile(_.isDigit).toLong
 
   /** Overlay the manifest's tombstones on `base` (which carries each
     * row's commit version in [[dirVersionCol]]): a row is masked when

@@ -273,7 +273,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(9)
+        val op = if (i == 0) 0 else r.nextInt(11)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -351,6 +351,29 @@ class Round12Spec extends SparkSpec {
             model = model.filterNot(p => morGone(p._1)) ++
               morUpd.map(k => (k, s"mupd $seed-$k-$i")) ++ morIns
             record()
+          case 9 => // UPDATE ... SET ... WHERE over a random id range:
+            // victims resolve through the pruned scan, SETs see the old
+            // row; an empty victim set still commits (tombstone of zero
+            // keys) and must change nothing
+            val ulo = r.nextInt(40).toLong
+            val uhi = ulo + r.nextInt(8)
+            opsRun += s"updateWhere($ulo..$uhi)"
+            SnapshotTable.updateWhere(spark, path, "doc_id",
+              col("doc_id").between(ulo, uhi),
+              Map("text" -> concat(col("text"), lit(s" uw$i"))),
+              textCol = Some("text"), expectedItems = 1000L)
+            model = model.map { case (k, t) =>
+              if (k >= ulo && k <= uhi) (k, s"$t uw$i") else (k, t)
+            }
+            record()
+          case 10 => // DELETE ... WHERE over a random id range (may be empty)
+            val dlo = r.nextInt(40).toLong
+            val dhi = dlo + r.nextInt(8)
+            opsRun += s"deleteWhere($dlo..$dhi)"
+            SnapshotTable.deleteWhere(spark, path, "doc_id",
+              col("doc_id").between(dlo, dhi))
+            model = model.filterNot(p => p._1 >= dlo && p._1 <= dhi)
+            record()
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"
             val bad = Seq((nextId + 500000L, s"drift $seed-$i", 1.0))
@@ -382,6 +405,18 @@ class Round12Spec extends SparkSpec {
           val at = SnapshotTable.readAt(spark, path, v).collect()
             .map(row => (row.getLong(0), row.getString(1))).toSet
           assert(at == m.toSet, s"$ctx: readAt($v) diverged from the recorded model")
+          // pruned TIME-TRAVEL read: stats + the version's own tombstone
+          // overlay must compose at any pinned version, not just current
+          // (sampled to bound fuzz cost)
+          if (r.nextInt(4) == 0) {
+            val plo = r.nextInt(40).toLong
+            val phi = plo + r.nextInt(10)
+            val pAt = SnapshotTable.readWhere(spark, path,
+                col("doc_id").between(plo, phi), version = Some(v))
+              .collect().map(row => (row.getLong(0), row.getString(1))).toSet
+            assert(pAt == m.filter(p => p._1 >= plo && p._1 <= phi).toSet,
+              s"$ctx: readWhere([$plo,$phi], v=$v) diverged from the recorded model")
+          }
         }
       }
     }
