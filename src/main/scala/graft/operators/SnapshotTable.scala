@@ -308,7 +308,7 @@ object SnapshotTable {
   private val dirVersionCol = "__graft_dirv"
 
   private def tombstonesRoot(path: String) = new Path(path, "_tombstones")
-  private def tombstonePath(path: String, name: String) =
+  private[graft] def tombstonePath(path: String, name: String) =
     new Path(tombstonesRoot(path), name)
 
   /** Commit version encoded in a staged artifact name

@@ -17,9 +17,11 @@ import java.util
 /** Streaming CDC over a [[SnapshotTable]]'s version log: a DataSource V2
   * micro-batch source whose OFFSET IS THE VERSION NUMBER. Each committed
   * version emits exactly one row — `(version, rewrite, format,
-  * added_dirs)` — where `added_dirs` are the full paths of the
-  * directories that version added over its parent (the O(delta) payload
-  * [[SnapshotTable.addedBetween]] reads in batch). Offsets live in the
+  * added_dirs, added_tombstones)` — where `added_dirs` are the full
+  * paths of the directories that version added over its parent (the
+  * O(delta) payload [[SnapshotTable.addedBetween]] reads in batch) and
+  * `added_tombstones` the merge-on-read key sidecars it added (the
+  * DELETE/UPDATE half of a CDC event; empty for pure appends). Offsets live in the
   * query's checkpoint like any Spark source, so a restart resumes at
   * the last committed version with no replay and no gap — the version
   * log itself is the write-ahead log, the checkpoint just remembers the
@@ -64,7 +66,8 @@ object SnapshotLogSource {
     StructField("version", LongType, nullable = false),
     StructField("rewrite", BooleanType, nullable = false),
     StructField("format", StringType, nullable = false),
-    StructField("added_dirs", ArrayType(StringType, containsNull = false), nullable = false)))
+    StructField("added_dirs", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("added_tombstones", ArrayType(StringType, containsNull = false), nullable = false)))
 }
 
 class SnapshotLogTable(path: String, startVersion: Option[String])
@@ -136,18 +139,28 @@ class SnapshotLogStream(path: String, startVersion: Option[String]) extends Micr
           val pm = SnapshotTable.readManifestChecked(spark, path, v - 1)
           Some((pm.dirs, pm.tombstones))
         } else None
-      // flagged when the commit is not purely additive: a dir left the
-      // list (compact/write/COW merge), or a merge-on-read tombstone
-      // arrived (rows were logically deleted/updated — the delta dir
-      // alone under-represents the commit)
-      val rewrite = prev.fold(true) { case (pDirs, pTs) =>
-        pDirs.exists(d => !m.dirs.contains(d)) ||
-          m.tombstones.exists(t => !pTs.contains(t))
+      // rewrite = a dir left the list (compact/write/COW merge) or the
+      // parent expired (delta unprovable). A merge-on-read commit is
+      // NOT a rewrite: it is a well-formed delta — added dirs carry the
+      // upserts, added tombstones carry the deleted/updated keys — and
+      // emits as one, with the keys alongside so a consumer can APPLY
+      // it instead of resyncing (the sink still refuses it by default;
+      // naive append consumers would double-count updated keys).
+      val rewrite = prev.fold(true) { case (pDirs, _) =>
+        pDirs.exists(d => !m.dirs.contains(d))
       }
       val emitted =
         if (rewrite) m.dirs else m.dirs.filterNot(prev.map(_._1).getOrElse(Nil).toSet)
+      // non-rewrite: exactly the tombstones this commit added; rewrite/
+      // baseline: the FULL outstanding overlay (a consumer interpreting
+      // the emitted dir list raw would over-report masked rows — empty
+      // after compact/write/merge, which materialize and reset it)
+      val emittedTs =
+        if (rewrite) m.tombstones
+        else m.tombstones.filterNot(prev.map(_._2).getOrElse(Nil).toSet)
       SnapshotLogPartition(v, rewrite, m.format,
-        emitted.map(d => new org.apache.hadoop.fs.Path(path, d).toString)): InputPartition
+        emitted.map(d => new org.apache.hadoop.fs.Path(path, d).toString),
+        emittedTs.map(t => SnapshotTable.tombstonePath(path, t).toString)): InputPartition
     }.toArray
   }
 
@@ -162,13 +175,15 @@ class SnapshotLogStream(path: String, startVersion: Option[String]) extends Micr
 }
 
 case class SnapshotLogPartition(version: Long, rewrite: Boolean,
-                                format: String, dirs: Seq[String]) extends InputPartition
+                                format: String, dirs: Seq[String],
+                                tombstones: Seq[String]) extends InputPartition
 
 class SnapshotLogReader(p: SnapshotLogPartition) extends PartitionReader[InternalRow] {
   private var emitted = false
   override def next(): Boolean = if (emitted) false else { emitted = true; true }
   override def get(): InternalRow =
     InternalRow(p.version, p.rewrite, UTF8String.fromString(p.format),
-      new GenericArrayData(p.dirs.map(UTF8String.fromString).toArray[Any]))
+      new GenericArrayData(p.dirs.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(p.tombstones.map(UTF8String.fromString).toArray[Any]))
   override def close(): Unit = ()
 }

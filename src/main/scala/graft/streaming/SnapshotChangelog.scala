@@ -14,11 +14,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object SnapshotChangelog {
 
-  /** One emitted commit. `rewrite` marks compact/write/merge commits,
-    * whose `dirs` are the NEW snapshot's full file set rather than an
-    * append delta (see [[SnapshotLogSource]]).
+  /** One emitted commit. `rewrite` marks compact/write/COW-merge
+    * commits, whose `dirs` are the NEW snapshot's full file set rather
+    * than an append delta (see [[SnapshotLogSource]]). `tombstones`
+    * carries a merge-on-read commit's added key sidecars — together
+    * with `dirs` (the upserts) they are a complete upsert+delete CDC
+    * event; on a rewrite row they list the version's full outstanding
+    * overlay instead (empty after compact/write/merge, which
+    * materialize it).
     */
-  final case class Commit(version: Long, rewrite: Boolean, format: String, dirs: Seq[String])
+  final case class Commit(version: Long, rewrite: Boolean, format: String,
+                          dirs: Seq[String], tombstones: Seq[String])
+
+  /** The keys a commit's tombstones name (deleted or updated by that
+    * commit) as one parallel batch read — the DELETE half of applying a
+    * merge-on-read commit downstream. Empty frame for pure appends.
+    */
+  def tombstoneKeys(spark: SparkSession, c: Commit): Option[DataFrame] =
+    if (c.tombstones.isEmpty) None
+    else Some(spark.read.format(c.format).load(c.tombstones: _*))
 
   /** The raw log stream: one row per commit, offset = version. The
     * provider is addressed by class name (same convention as the ios
@@ -34,11 +48,16 @@ object SnapshotChangelog {
 
   /** Tail the table: for every commit, load its added directories as a
     * normal parallel batch frame and invoke `onCommit(delta, commit)` in
-    * version order. Rewrite commits fail the query loudly by default —
-    * a compaction's "delta" is the whole table and silently re-emitting
-    * it would duplicate every downstream row; pass
-    * `allowRewrites = true` to receive them (flagged) and decide per
-    * commit (skip compactions, re-sync on merges). With a checkpoint
+    * version order. Commits that are not pure appends fail the query
+    * loudly by default — a compaction's "delta" is the whole table and
+    * silently re-emitting it would duplicate every downstream row, and
+    * a merge-on-read commit's delta DELETES/UPDATES keys a pure-append
+    * consumer would double-count. Pass `allowRewrites = true` to
+    * receive them and decide per commit: skip compactions, re-sync on
+    * COW merges (the rewrite delta arrives as the version's correct
+    * masked read, never a raw over-reporting dir list), APPLY a
+    * merge-on-read commit precisely — `delta` is its upserts,
+    * [[tombstoneKeys]] its deleted/updated keys. With a checkpoint
     * the cursor survives restarts: commits processed before a clean
     * stop are never redelivered, commits landed while the stream was
     * down arrive on resume (foreachBatch keeps its usual at-least-once
@@ -55,15 +74,27 @@ object SnapshotChangelog {
         // a micro-batch can span several commits; rows are metadata-tiny
         val commits = batch.collect().map { r =>
           Commit(r.getAs[Long]("version"), r.getAs[Boolean]("rewrite"),
-            r.getAs[String]("format"), r.getSeq[String](r.fieldIndex("added_dirs")))
+            r.getAs[String]("format"), r.getSeq[String](r.fieldIndex("added_dirs")),
+            r.getSeq[String](r.fieldIndex("added_tombstones")))
         }.sortBy(_.version)
         commits.foreach { c =>
           if (c.rewrite && !allowRewrites) throw new IllegalStateException(
             s"version ${c.version} of $tablePath is a rewrite commit (compact/write/merge); " +
               "its by-directory delta does not exist. Pass allowRewrites = true and handle " +
               "the flagged commit, or pause maintenance while this stream runs")
+          if (c.tombstones.nonEmpty && !c.rewrite && !allowRewrites)
+            throw new IllegalStateException(
+              s"version ${c.version} of $tablePath is a merge-on-read commit; its delta " +
+                "deletes/updates keys that a pure-append consumer would double-count. Pass " +
+                "allowRewrites = true and apply added_dirs (upserts) + tombstoneKeys (deletes)")
           val delta =
-            if (c.dirs.isEmpty)
+            if (c.rewrite)
+              // the snapshot's real row set: a raw load of the full dir
+              // list would over-report rows masked by an outstanding
+              // merge-on-read overlay (e.g. an `earliest` baseline on a
+              // MOR table whose parent expired)
+              graft.operators.SnapshotTable.readAt(batch.sparkSession, tablePath, c.version)
+            else if (c.dirs.isEmpty)
               graft.operators.SnapshotTable.readAt(batch.sparkSession, tablePath, c.version)
                 .filter(org.apache.spark.sql.functions.lit(false))
             else batch.sparkSession.read.format(c.format).load(c.dirs: _*)

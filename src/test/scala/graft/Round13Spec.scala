@@ -546,23 +546,41 @@ class Round13Spec extends SparkSpec {
         Map("a" -> lit("wrong-type")))).getMessage.contains("schema"))
   }
 
-  test("the version log flags a merge-on-read commit like a rewrite") {
+  test("the version log emits a merge-on-read commit as an applyable upsert+delete event") {
     import spark.implicits._
     import graft.streaming.SnapshotChangelog
     val path = java.nio.file.Files.createTempDirectory("graft-mor-log").toString
-    SnapshotTable.ingest(spark, Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+    SnapshotTable.ingest(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text"),
       path, "text", 100L)
     SnapshotTable.mergeOnRead(spark,
-      Seq((2L, "b2", false)).toDF("doc_id", "text", "is_deleted"),
+      Seq((2L, "b2", false), (3L, "x", true)).toDF("doc_id", "text", "is_deleted"),
       path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
       expectedItems = 100L)
-    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+    // the default sink refuses the MOR commit: its delta deletes keys a
+    // pure-append consumer would double-count
+    val qRefuse = SnapshotChangelog.changelogSink(spark, path, (_, _) => (),
+      startVersion = Some("earliest"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      qRefuse.processAllAvailable())
+    qRefuse.stop()
+    assert(e.getMessage.contains("merge-on-read commit"), e.getMessage)
+    // an opted-in consumer can APPLY it exactly: delta = the upserts
+    // (not flagged rewrite, not the full table), tombstoneKeys = the
+    // deleted/updated keys
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, Set[Long], Set[Long])]()
     val q = SnapshotChangelog.changelogSink(spark, path,
-      (_, c) => { got.add((c.version, c.rewrite)); () },
+      (delta, c) => {
+        val keys = SnapshotChangelog.tombstoneKeys(delta.sparkSession, c)
+          .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])
+        got.add((c.version, c.rewrite, delta.collect().map(_.getLong(0)).toSet, keys))
+        ()
+      },
       startVersion = Some("earliest"), allowRewrites = true)
     q.processAllAvailable()
     q.stop()
-    assert(got.toArray.toSeq == Seq((1L, false), (2L, true)),
-      s"MOR commit must arrive flagged: ${got.toArray.toSeq}")
+    assert(got.toArray.toSeq == Seq(
+      (1L, false, Set(1L, 2L, 3L), Set.empty[Long]),
+      (2L, false, Set(2L), Set(2L, 3L))),
+      s"MOR commit must arrive as upserts + delete keys: ${got.toArray.toSeq}")
   }
 }
