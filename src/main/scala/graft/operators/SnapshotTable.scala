@@ -1613,4 +1613,83 @@ object SnapshotTable {
     mergeOnRead(spark, updated, path, keyCol, textCol = textCol,
       expectedItems = expectedItems, fpp = fpp)
   }
+
+  // ---- metadata tables ---------------------------------------------------
+
+  /** The table's commit history as a DataFrame — the `DESCRIBE HISTORY`
+    * contract: one row per RETAINED version, ascending, with the commit
+    * kind derived from the manifest diff against its parent. Kinds:
+    * `create` (version 1), `append` (dirs grew, overlay unchanged —
+    * ingest/write-stream batches), `merge-on-read` (tombstones grew;
+    * upserts may have added a dir), `rewrite` (a parent dir left the
+    * list — compact/overwrite/COW merge), `baseline` (the retained left
+    * edge after [[expire]] trimmed its parent: the diff is unprovable,
+    * same contract as the changelog source's flagged baseline), `noop`
+    * (nothing changed — not produced by any current operator). Pure
+    * manifest metadata; no data files are opened.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val vs = versions(spark, path)
+    val ms = vs.map(v => v -> readManifestChecked(spark, path, v)).toMap
+    val rows = vs.map { v =>
+      val m = ms(v)
+      val parent = ms.get(v - 1)
+      val kind =
+        if (v == 1L) "create"
+        else parent match {
+          case None => "baseline"
+          case Some(p) =>
+            if (p.dirs.exists(d => !m.dirs.contains(d))) "rewrite"
+            else if (m.tombstones.size > p.tombstones.size) "merge-on-read"
+            else if (m.dirs.size > p.dirs.size) "append"
+            else "noop"
+        }
+      val added: Long = parent match {
+        case Some(p) => m.dirs.count(d => !p.dirs.contains(d)).toLong
+        case None => if (v == 1L) m.dirs.size.toLong else -1L
+      }
+      org.apache.spark.sql.Row(v, kind, m.dirs.size.toLong, added,
+        m.tombstones.size.toLong, m.format,
+        m.schema.map(_.size.toLong).getOrElse(-1L), m.statsCols.mkString(","))
+    }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_dirs", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_added_dirs", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tombstones", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("format", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_fields", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("stats_cols", org.apache.spark.sql.types.StringType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The files a version references, as a DataFrame — the files
+    * metadata-table contract: one row per data file of the pinned (or
+    * current) snapshot with its directory, commit version, and size.
+    * Listing-only (no data read); the ops view for "is compaction due",
+    * "how skewed are my file sizes", "which dirs does v hold".
+    */
+  def filesMeta(spark: SparkSession, path: String,
+                version: Option[Long] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, v)
+    val f = fs(spark, new Path(path))
+    val rows = m.dirs.flatMap { d =>
+      f.listStatus(new Path(path, d)).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(s => org.apache.spark.sql.Row(d, dirVersion(d),
+          s.getPath.getName, s.getLen))
+    }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("dir", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("commit_version", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
 }

@@ -3600,6 +3600,32 @@ object TrainingData {
       WHERE doc_id < 380 AND doc_id NOT BETWEEN 200 AND 249
       ORDER BY doc_id"""))
 
+  // ---- d29_table_history: the DESCRIBE HISTORY metadata table -----------
+  // One row per retained version with the commit kind derived from the
+  // manifest diff (create/append/merge-on-read/rewrite/baseline). Over
+  // the d28 fixture the history is a deterministic function of the
+  // staged ops, so the oracle is a literal VALUES relation — a
+  // cross-engine CONTRACT PIN of the derived kinds and counts rather
+  // than a data replay (the fixture's determinism is what it verifies:
+  // ingest→1 dir, updateWhere→+1 dir +1 tombstone, deleteWhere→+0 dirs
+  // +1 tombstone).
+  private val d29 = Q(
+    (s, dir) => {
+      SnapshotTable.history(s, d28Fixture(s, dir))
+        .select(col("version"), col("kind"), col("n_dirs"),
+          col("n_added_dirs"), col("n_tombstones"))
+        .orderBy("version")
+    },
+    Some("""
+      SELECT CAST(v AS BIGINT) AS version, kind,
+             CAST(nd AS BIGINT) AS n_dirs,
+             CAST(na AS BIGINT) AS n_added_dirs,
+             CAST(nt AS BIGINT) AS n_tombstones
+      FROM (VALUES (1, 'create', 1, 1, 0),
+                   (2, 'merge-on-read', 2, 1, 1),
+                   (3, 'merge-on-read', 2, 0, 2)) AS t(v, kind, nd, na, nt)
+      ORDER BY version"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3632,6 +3658,7 @@ object TrainingData {
     "d26_schema_evolution" -> d26,
     "d27_merge_on_read" -> d27,
     "d28_update_delete_where" -> d28,
+    "d29_table_history" -> d29,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -546,6 +546,41 @@ class Round13Spec extends SparkSpec {
         Map("a" -> lit("wrong-type")))).getMessage.contains("schema"))
   }
 
+  test("history derives every commit kind; filesMeta lists the pinned snapshot's files") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-history").toString
+    SnapshotTable.write(spark, Seq((1L, "a")).toDF("doc_id", "text"), path)
+    SnapshotTable.ingest(spark, Seq((2L, "b")).toDF("doc_id", "text"), path, "text", 100L)
+    SnapshotTable.mergeOnRead(spark, Seq((2L, "b2", false)).toDF("doc_id", "text", "del"),
+      path, "doc_id", deleteCol = Some("del"), expectedItems = 100L)
+    SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 100L)
+    SnapshotTable.ingest(spark, Seq((3L, "c")).toDF("doc_id", "text"), path, "text", 100L)
+    def kinds() = SnapshotTable.history(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq
+    assert(kinds() == Seq((1L, "create", 0L), (2L, "append", 0L),
+      (3L, "merge-on-read", 1L), (4L, "rewrite", 0L), (5L, "append", 0L)),
+      s"history kinds wrong: ${kinds()}")
+    // the retained left edge after expire reads as a baseline (its
+    // parent's manifest is gone, so the diff is unprovable — same
+    // contract as the changelog source's flagged baseline)
+    SnapshotTable.expire(spark, path, keep = 2)
+    assert(kinds() == Seq((4L, "baseline", 0L), (5L, "append", 0L)),
+      s"post-expire history wrong: ${kinds()}")
+    // filesMeta: current snapshot = compacted base + the v5 delta, each
+    // file tagged with its dir's commit version; a pinned version lists
+    // ITS files
+    val fm = SnapshotTable.filesMeta(spark, path).collect()
+    assert(fm.map(_.getLong(1)).toSet == Set(4L, 5L), "commit_version parse wrong")
+    assert(fm.forall(_.getLong(3) > 0L), "file bytes must be positive")
+    assert(SnapshotTable.filesMeta(spark, path, version = Some(4L)).collect()
+      .map(_.getLong(1)).toSet == Set(4L))
+    // metadata reads are listing-only: both work on a table whose data
+    // would be expensive to scan, and an expired version fails loudly
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.filesMeta(spark, path, version = Some(1L)))
+    assert(e.getMessage.contains("retained versions"), e.getMessage)
+  }
+
   test("the version log emits a merge-on-read commit as an applyable upsert+delete event") {
     import spark.implicits._
     import graft.streaming.SnapshotChangelog
