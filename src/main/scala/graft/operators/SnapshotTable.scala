@@ -99,7 +99,8 @@ object SnapshotTable {
                                            schema: Option[StructType],
                                            statsCols: Seq[String],
                                            tombstones: Seq[String] = Nil,
-                                           morKey: Option[String] = None)
+                                           morKey: Option[String] = None,
+                                           kind: Option[String] = None)
 
   /** Manifest file layout: line 1 the comma-separated dir list, line 2
     * the format, then tagged optional lines (`bloom:`, `schema:`,
@@ -116,6 +117,7 @@ object SnapshotTable {
     var statsCols: Seq[String] = Nil
     var tombstones: Seq[String] = Nil
     var morKey: Option[String] = None
+    var kind: Option[String] = None
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
       case l if l.startsWith("schema:") =>
@@ -125,10 +127,11 @@ object SnapshotTable {
       case l if l.startsWith("tombstones:") =>
         tombstones = l.stripPrefix("tombstones:").split(",").toSeq.filter(_.nonEmpty)
       case l if l.startsWith("morkey:") => morKey = Some(l.stripPrefix("morkey:"))
+      case l if l.startsWith("kind:") => kind = Some(l.stripPrefix("kind:"))
       case legacyBloomName => bloom = Some(legacyBloomName)
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
-      tombstones, morKey)
+      tombstones, morKey, kind)
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -174,6 +177,7 @@ object SnapshotTable {
     if (m.tombstones.nonEmpty)
       body.append("tombstones:").append(m.tombstones.mkString(",")).append('\n')
     m.morKey.foreach(k => body.append("morkey:").append(k).append('\n'))
+    m.kind.foreach(k => body.append("kind:").append(k).append('\n'))
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
     val target = manifest(path, expectedNext)
     // Publish = atomic create-if-absent of the target name. POSIX
@@ -244,7 +248,7 @@ object SnapshotTable {
     writeStatsSidecar(spark, path, dir,
       spark.read.format(format).load(new Path(path, dir).toString), effStats)
     commit(spark, path, next, Manifest(Seq(dir), format, None,
-      Some(nullableSchema(df.schema)), effStats))
+      Some(nullableSchema(df.schema)), effStats, kind = Some("overwrite")))
   }
 
   /** Requested stats columns, or the parent manifest's persisted config
@@ -553,14 +557,33 @@ object SnapshotTable {
       case x if x.foldable && !x.isInstanceOf[Literal] =>
         scala.util.Try(Literal.create(x.eval(null), x.dataType)).getOrElse(x)
     }
+    // A cast may be seen through ONLY when comparing the DOUBLE-encoded
+    // column (what the stats sidecar holds) against the double-encoded
+    // literal is equivalent to the predicate's own comparison in cast
+    // space. True for rank-widening integral casts (value-preserving)
+    // and for any-numeric→double (the stats encoder applies the
+    // IDENTICAL cast, so both sides round the same way). False for
+    // everything else: a NARROWING cast truncates/wraps (cast(score AS
+    // int) === 5 matches score ∈ [5.0, 6.0), but stripping it would
+    // prune to the point [5,5] and silently drop matching rows), and a
+    // →float cast rounds differently than the double-space stats.
+    def castSeeThrough(from: DataType, to: DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      def rank(dt: DataType): Option[Int] = dt match {
+        case ByteType => Some(0); case ShortType => Some(1)
+        case IntegerType => Some(2); case LongType => Some(3)
+        case _ => None
+      }
+      (rank(from), rank(to)) match {
+        case (Some(f), Some(t)) => f <= t
+        case _ => to == DoubleType && isNumeric(from)
+      }
+    }
     def attr(x: Expression): Option[String] = x match {
       case a: UnresolvedAttribute => Some(a.nameParts.last)
       case a: AttributeReference => Some(a.name)
-      // a WIDENING numeric cast of the column preserves order, and the
-      // stats comparison happens in double space anyway — see through
-      // it; any other cast changes semantics and blocks extraction
-      case Cast(c, dt, _, _) if isNumeric(dt) &&
-          attr(c).isDefined && c.dataType != null && isNumeric(c.dataType) => attr(c)
+      case Cast(c, dt, _, _) if attr(c).isDefined && c.dataType != null &&
+          castSeeThrough(c.dataType, dt) => attr(c)
       case _ => None
     }
     def range(colName: String, lo: Option[Literal], hi: Option[Literal]): Option[Range] = {
@@ -861,7 +884,8 @@ object SnapshotTable {
     val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
     writeStatsSidecar(spark, path, nextDir, written, effStats)
     commit(spark, path, v + 1, Manifest(Seq(nextDir), m.format, outBloomName,
-      m.schema.orElse(Some(nullableSchema(written.schema))), effStats))
+      m.schema.orElse(Some(nullableSchema(written.schema))), effStats,
+      kind = Some("compact")))
     val after = f.listStatus(new Path(path, nextDir)).count(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     Sink.CompactionStats(before.length, after, totalBytes)
@@ -1224,7 +1248,9 @@ object SnapshotTable {
       case None => nullableSchema(incoming.schema)
       case Some(ts) => mergedIngestSchema(ts, incoming.schema, evolveSchema)
     }
-    val effStats = effectiveStatsCols(spark, path, cur, statsCols)
+    // the parent manifest is already parsed above — no second read
+    val effStats =
+      if (statsCols.nonEmpty) statsCols else parent.map(_.statsCols).getOrElse(Nil)
     // Cache the batch: both probe branches and the stats count scan it,
     // and a crawl batch is expensive to recompute (batch-sized to hold).
     // Only cache what WE cached: unpersisting a caller-established cache
@@ -1297,7 +1323,7 @@ object SnapshotTable {
       commit(spark, path, next, Manifest(parentDirs :+ deltaDir, format,
         Some(bloomName), Some(committedSchema), effStats,
         parent.map(_.tombstones).getOrElse(Nil),
-        parent.flatMap(_.morKey)))
+        parent.flatMap(_.morKey), kind = Some("append")))
       IngestStats(next, nIncoming, nNew)
     } finally { if (weCached) { incoming.unpersist(); () } }
   }
@@ -1358,11 +1384,8 @@ object SnapshotTable {
     val weCached = changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (weCached) changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val winning = winningRows(changes, keyCol, orderCol)
-      val isDelete = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false)))
-        .getOrElse(lit(false))
-      val upserts = winning.filter(!isDelete)
-        .select(tableSchema.fieldNames.map(col(_)).toSeq: _*)
+      val (winning, upserts) =
+        winningAndUpserts(changes, keyCol, deleteCol, orderCol, tableSchema)
       val nChanges = winning.count()
       val nUpserts = upserts.count()
       val nDeletes = nChanges - nUpserts
@@ -1386,7 +1409,7 @@ object SnapshotTable {
       val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
       writeStatsSidecar(spark, path, nextDir, written, effStats)
       commit(spark, path, cur + 1, Manifest(Seq(nextDir), m.format, bloomName,
-        Some(tableSchema), effStats))
+        Some(tableSchema), effStats, kind = Some("merge")))
       MergeStats(cur + 1, nChanges, nUpserts, nDeletes, rowsAfter)
     } finally { if (weCached) { changes.unpersist(); () } }
   }
@@ -1418,24 +1441,47 @@ object SnapshotTable {
   /** Latest-wins within the batch, or a loud duplicate-key error — the
     * per-key resolution both merge flavors apply before touching the
     * table (see [[merge]]'s scaladoc for the tie and NULL-key edges).
+    * NULL keys are EXEMPT from resolution: they have no collision
+    * semantics (NULL = NULL is not true — each one "simply inserts"),
+    * so two NULL-key rows are neither duplicates of each other nor
+    * collapsed to a latest winner; they all pass through.
     */
   private def winningRows(changes: DataFrame, keyCol: String,
                           orderCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    orderCol match {
+    val keyed = changes.filter(col(keyCol).isNotNull)
+    val nullKeyed = changes.filter(col(keyCol).isNull)
+    val resolved = orderCol match {
       case Some(oc) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol)).orderBy(col(oc).desc)
-        changes.withColumn("__rn", row_number().over(w))
+        keyed.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       case None =>
-        val dup = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+        val dup = keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > 1).limit(1).collect()
         if (dup.nonEmpty) throw new IllegalArgumentException(
           s"duplicate key ${dup.head.get(0)} in merge batch with no orderCol: " +
             "latest-wins needs an ordering column to be well-defined")
-        changes
+        keyed
     }
+    resolved.unionByName(nullKeyed)
+  }
+
+  /** The per-batch resolution both merge flavors share: (winning rows,
+    * winning upserts projected to the table's column order). Factored
+    * so a semantics change to delete-flag handling cannot diverge the
+    * two flavors' "same keyed change-batch semantics" contract.
+    */
+  private def winningAndUpserts(changes: DataFrame, keyCol: String,
+                                deleteCol: Option[String], orderCol: Option[String],
+                                tableSchema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val winning = winningRows(changes, keyCol, orderCol)
+    val isDelete = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
+    (winning, winning.filter(!isDelete)
+      .select(tableSchema.fieldNames.map(col(_)).toSeq: _*))
   }
 
   final case class MergeOnReadStats(version: Long, nChanges: Long, nUpserts: Long,
@@ -1506,12 +1552,17 @@ object SnapshotTable {
     val weCached = changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (weCached) changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val winning = winningRows(changes, keyCol, orderCol)
-      val isDelete = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false)))
-        .getOrElse(lit(false))
-      val upserts = winning.filter(!isDelete)
-        .select(tableSchema.fieldNames.map(col(_)).toSeq: _*)
+      val (winning, upserts) =
+        winningAndUpserts(changes, keyCol, deleteCol, orderCol, tableSchema)
       val nChanges = winning.count()
+      if (nChanges == 0) {
+        // a batch that touches nothing (e.g. deleteWhere matching zero
+        // rows) must not pin morKey or grow the overlay — commit an
+        // audit version IDENTICAL to the parent (streaming sinks keep
+        // their one-commit-per-batch trail; reads pay nothing new)
+        commit(spark, path, next, m.copy(kind = Some("merge-on-read")))
+        return MergeOnReadStats(next, 0L, 0L, 0L, m.tombstones.size)
+      }
       val nUpserts = upserts.count()
       val deltaDir = if (nUpserts == 0) None else {
         val d = stageDir(next)
@@ -1559,7 +1610,7 @@ object SnapshotTable {
       }
       commit(spark, path, next, Manifest(m.dirs ++ deltaDir.toSeq, m.format,
         bloomName, Some(tableSchema), effStats,
-        m.tombstones :+ tName, Some(keyCol)))
+        m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read")))
       MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
         m.tombstones.size + 1)
     } finally { if (weCached) { changes.unpersist(); () } }
@@ -1618,15 +1669,16 @@ object SnapshotTable {
 
   /** The table's commit history as a DataFrame — the `DESCRIBE HISTORY`
     * contract: one row per RETAINED version, ascending, with the commit
-    * kind derived from the manifest diff against its parent. Kinds:
-    * `create` (version 1), `append` (dirs grew, overlay unchanged —
-    * ingest/write-stream batches), `merge-on-read` (tombstones grew;
-    * upserts may have added a dir), `rewrite` (a parent dir left the
-    * list — compact/overwrite/COW merge), `baseline` (the retained left
-    * edge after [[expire]] trimmed its parent: the diff is unprovable,
-    * same contract as the changelog source's flagged baseline), `noop`
-    * (nothing changed — not produced by any current operator). Pure
-    * manifest metadata; no data files are opened.
+    * kind. Every operator RECORDS its kind in the manifest (`overwrite`,
+    * `append`, `compact`, `merge`, `merge-on-read`), so the history —
+    * and downstream changelog consumers — can tell a content-no-op
+    * compaction from a content-changing COW merge, which the dir-diff
+    * alone cannot. Manifests written before kinds were recorded fall
+    * back to deriving from the parent diff: `create` (version 1),
+    * `append` (dirs grew), `merge-on-read` (tombstones grew), `rewrite`
+    * (a parent dir left the list), `baseline` (the retained left edge
+    * after [[expire]] trimmed its parent — diff unprovable), `noop`.
+    * Pure manifest metadata; no data files are opened.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -1635,7 +1687,7 @@ object SnapshotTable {
     val rows = vs.map { v =>
       val m = ms(v)
       val parent = ms.get(v - 1)
-      val kind =
+      val kind = m.kind.getOrElse {
         if (v == 1L) "create"
         else parent match {
           case None => "baseline"
@@ -1645,6 +1697,7 @@ object SnapshotTable {
             else if (m.dirs.size > p.dirs.size) "append"
             else "noop"
         }
+      }
       val added: Long = parent match {
         case Some(p) => m.dirs.count(d => !p.dirs.contains(d)).toLong
         case None => if (v == 1L) m.dirs.size.toLong else -1L

@@ -2193,6 +2193,15 @@ object TrainingData {
     * fixture staged from a PREVIOUS generation of the testdata — the
     * stamp detects a regenerated source without reading any data.
     */
+  /** Bump when the STAGED ARTIFACT's semantics change (not just the
+    * source data) — e.g. manifests gaining recorded commit kinds that a
+    * metadata query reads back: a fixture staged by older code would
+    * pass the versions+vintage freshness check while serving the old
+    * manifest shape. The epoch rides the stamp, so every fixture
+    * restages exactly once per bump.
+    */
+  private val fixtureEpoch = 2
+
   private def sourceStamp(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2200,7 +2209,7 @@ object TrainingData {
     val parts =
       if (st.isFile) Array(st)
       else f.listStatus(p).filter(_.isFile)
-    s"${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}"
+    s"e$fixtureEpoch:${parts.map(_.getLen).sum}:${parts.map(_.getModificationTime).max}"
   }
 
   private def stagedSnapshotFixture(s: SparkSession, dir: String, prefix: String,
@@ -3601,14 +3610,15 @@ object TrainingData {
       ORDER BY doc_id"""))
 
   // ---- d29_table_history: the DESCRIBE HISTORY metadata table -----------
-  // One row per retained version with the commit kind derived from the
-  // manifest diff (create/append/merge-on-read/rewrite/baseline). Over
-  // the d28 fixture the history is a deterministic function of the
-  // staged ops, so the oracle is a literal VALUES relation — a
-  // cross-engine CONTRACT PIN of the derived kinds and counts rather
-  // than a data replay (the fixture's determinism is what it verifies:
-  // ingest→1 dir, updateWhere→+1 dir +1 tombstone, deleteWhere→+0 dirs
-  // +1 tombstone).
+  // One row per retained version with the commit kind RECORDED by the
+  // operator in the manifest (overwrite/append/compact/merge/
+  // merge-on-read; pre-kind manifests fall back to the diff-derived
+  // class). Over the d28 fixture the history is a deterministic
+  // function of the staged ops, so the oracle is a literal VALUES
+  // relation — a cross-engine CONTRACT PIN of the kinds and counts
+  // rather than a data replay (the fixture's determinism is what it
+  // verifies: ingest→1 dir, updateWhere→+1 dir +1 tombstone,
+  // deleteWhere→+0 dirs +1 tombstone).
   private val d29 = Q(
     (s, dir) => {
       SnapshotTable.history(s, d28Fixture(s, dir))
@@ -3621,7 +3631,7 @@ object TrainingData {
              CAST(nd AS BIGINT) AS n_dirs,
              CAST(na AS BIGINT) AS n_added_dirs,
              CAST(nt AS BIGINT) AS n_tombstones
-      FROM (VALUES (1, 'create', 1, 1, 0),
+      FROM (VALUES (1, 'append', 1, 1, 0),
                    (2, 'merge-on-read', 2, 1, 1),
                    (3, 'merge-on-read', 2, 0, 2)) AS t(v, kind, nd, na, nt)
       ORDER BY version"""))

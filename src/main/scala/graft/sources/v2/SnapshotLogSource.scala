@@ -67,7 +67,8 @@ object SnapshotLogSource {
     StructField("rewrite", BooleanType, nullable = false),
     StructField("format", StringType, nullable = false),
     StructField("added_dirs", ArrayType(StringType, containsNull = false), nullable = false),
-    StructField("added_tombstones", ArrayType(StringType, containsNull = false), nullable = false)))
+    StructField("added_tombstones", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("kind", StringType, nullable = false)))
 }
 
 class SnapshotLogTable(path: String, startVersion: Option[String])
@@ -160,7 +161,11 @@ class SnapshotLogStream(path: String, startVersion: Option[String]) extends Micr
         else m.tombstones.filterNot(prev.map(_._2).getOrElse(Nil).toSet)
       SnapshotLogPartition(v, rewrite, m.format,
         emitted.map(d => new org.apache.hadoop.fs.Path(path, d).toString),
-        emittedTs.map(t => SnapshotTable.tombstonePath(path, t).toString)): InputPartition
+        emittedTs.map(t => SnapshotTable.tombstonePath(path, t).toString),
+        // the manifest-recorded operator kind — what lets a consumer
+        // SKIP compactions (content no-ops) while re-syncing on merges;
+        // legacy manifests fall back to the diff-derived class
+        m.kind.getOrElse(if (rewrite) "rewrite" else "append")): InputPartition
     }.toArray
   }
 
@@ -176,7 +181,8 @@ class SnapshotLogStream(path: String, startVersion: Option[String]) extends Micr
 
 case class SnapshotLogPartition(version: Long, rewrite: Boolean,
                                 format: String, dirs: Seq[String],
-                                tombstones: Seq[String]) extends InputPartition
+                                tombstones: Seq[String],
+                                kind: String) extends InputPartition
 
 class SnapshotLogReader(p: SnapshotLogPartition) extends PartitionReader[InternalRow] {
   private var emitted = false
@@ -184,6 +190,7 @@ class SnapshotLogReader(p: SnapshotLogPartition) extends PartitionReader[Interna
   override def get(): InternalRow =
     InternalRow(p.version, p.rewrite, UTF8String.fromString(p.format),
       new GenericArrayData(p.dirs.map(UTF8String.fromString).toArray[Any]),
-      new GenericArrayData(p.tombstones.map(UTF8String.fromString).toArray[Any]))
+      new GenericArrayData(p.tombstones.map(UTF8String.fromString).toArray[Any]),
+      UTF8String.fromString(p.kind))
   override def close(): Unit = ()
 }

@@ -236,29 +236,9 @@ object EventStream {
           batch.sparkSession, batch, path, textCol, expectedItems, fpp,
           statsCols = statsCols)
         maintenance.foreach { m =>
-          if (batchId > 0 && batchId % m.everyBatches == 0) {
-            // Compact rewrites the WHOLE table — gate it on the chain
-            // actually having accumulated delta bytes worth rewriting,
-            // OR the manifest dir list growing long enough to matter
-            // (an idle stream appends a near-empty dir per batch; its
-            // rewrite amortizes over maxChainDirs batches instead of
-            // recurring every tick). Expire + vacuum are metadata-cost
-            // and always run.
-            // tombstone growth matters independently: each outstanding
-            // merge-on-read overlay adds an anti-join build to every
-            // read, and a pure-delete merge grows it with ZERO delta
-            // bytes — only compaction folds it back into the files
-            val (nDirs, deltaBytes, nTombstones) = SnapshotTable.chainInfo(batch.sparkSession, path)
-            if (deltaBytes >= m.compactWhenDeltaBytes || nDirs >= m.maxChainDirs ||
-                nTombstones >= m.maxTombstones) {
-              SnapshotTable.compact(batch.sparkSession, path, m.targetFileBytes,
-                textCol = Some(textCol), expectedItems = expectedItems, fpp = fpp)
-              ()
-            }
-            SnapshotTable.expire(batch.sparkSession, path, m.keep)
-            SnapshotTable.vacuum(batch.sparkSession, path, m.vacuumGraceMs)
-            ()
-          }
+          if (batchId > 0 && batchId % m.everyBatches == 0)
+            runMaintenance(batch.sparkSession, path, m, Some(textCol),
+              expectedItems, fpp)
         }
         ()
       }
@@ -327,22 +307,38 @@ object EventStream {
           deleteCol = deleteCol, orderCol = orderCol, textCol = textCol,
           statsCols = statsCols, expectedItems = expectedItems, fpp = fpp)
         maintenance.foreach { m =>
-          if (batchId > 0 && batchId % m.everyBatches == 0) {
-            val (nDirs, deltaBytes, nTombstones) =
-              SnapshotTable.chainInfo(batch.sparkSession, path)
-            if (deltaBytes >= m.compactWhenDeltaBytes || nDirs >= m.maxChainDirs ||
-                nTombstones >= m.maxTombstones) {
-              SnapshotTable.compact(batch.sparkSession, path, m.targetFileBytes,
-                textCol = textCol, expectedItems = expectedItems, fpp = fpp)
-              ()
-            }
-            SnapshotTable.expire(batch.sparkSession, path, m.keep)
-            SnapshotTable.vacuum(batch.sparkSession, path, m.vacuumGraceMs)
-            ()
-          }
+          if (batchId > 0 && batchId % m.everyBatches == 0)
+            runMaintenance(batch.sparkSession, path, m, textCol,
+              expectedItems, fpp)
         }
         ()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** The in-line maintenance pass both table sinks share. Compaction —
+    * the only O(table) step — is gated on the chain having accumulated
+    * enough delta bytes, enough manifest dirs, or enough merge-on-read
+    * tombstones to be worth a rewrite (the tombstone gate matters
+    * independently: each outstanding overlay is an anti-join build on
+    * every read, and a pure-delete merge grows it with ZERO delta
+    * bytes). Expire + vacuum are metadata-cost and always run. ONE
+    * implementation on purpose: a policy change must not land in one
+    * sink and silently miss the other.
+    */
+  private def runMaintenance(spark: org.apache.spark.sql.SparkSession, path: String,
+                             m: Maintenance, textCol: Option[String],
+                             expectedItems: Long, fpp: Double): Unit = {
+    import graft.operators.SnapshotTable
+    val (nDirs, deltaBytes, nTombstones) = SnapshotTable.chainInfo(spark, path)
+    if (deltaBytes >= m.compactWhenDeltaBytes || nDirs >= m.maxChainDirs ||
+        nTombstones >= m.maxTombstones) {
+      SnapshotTable.compact(spark, path, m.targetFileBytes,
+        textCol = textCol, expectedItems = expectedItems, fpp = fpp)
+      ()
+    }
+    SnapshotTable.expire(spark, path, m.keep)
+    SnapshotTable.vacuum(spark, path, m.vacuumGraceMs)
+    ()
   }
 }

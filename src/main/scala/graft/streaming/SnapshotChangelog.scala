@@ -21,10 +21,14 @@ object SnapshotChangelog {
     * with `dirs` (the upserts) they are a complete upsert+delete CDC
     * event; on a rewrite row they list the version's full outstanding
     * overlay instead (empty after compact/write/merge, which
-    * materialize it).
+    * materialize it). `kind` is the manifest-recorded operator
+    * (`overwrite`/`append`/`compact`/`merge`/`merge-on-read`) — what
+    * makes "skip compactions, re-sync on merges" implementable: both
+    * arrive as rewrite rows, but only a compaction is a content no-op.
     */
   final case class Commit(version: Long, rewrite: Boolean, format: String,
-                          dirs: Seq[String], tombstones: Seq[String])
+                          dirs: Seq[String], tombstones: Seq[String],
+                          kind: String)
 
   /** The keys a commit's tombstones name (deleted or updated by that
     * commit) as one parallel batch read — the DELETE half of applying a
@@ -75,7 +79,8 @@ object SnapshotChangelog {
         val commits = batch.collect().map { r =>
           Commit(r.getAs[Long]("version"), r.getAs[Boolean]("rewrite"),
             r.getAs[String]("format"), r.getSeq[String](r.fieldIndex("added_dirs")),
-            r.getSeq[String](r.fieldIndex("added_tombstones")))
+            r.getSeq[String](r.fieldIndex("added_tombstones")),
+            r.getAs[String]("kind"))
         }.sortBy(_.version)
         commits.foreach { c =>
           if (c.rewrite && !allowRewrites) throw new IllegalStateException(

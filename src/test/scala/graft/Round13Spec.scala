@@ -546,6 +546,70 @@ class Round13Spec extends SparkSpec {
         Map("a" -> lit("wrong-type")))).getMessage.contains("schema"))
   }
 
+  test("a narrowing cast blocks pruning: cast(score AS int) === 5 must keep the file holding 5.2") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-castprune").toString
+    // one commit per disjoint range so stats COULD prune if (mis)used
+    SnapshotTable.ingest(spark, (0 until 50).map(i => (5.2 + i * 0.01, s"a$i"))
+      .toDF("score", "text"), path, "text", 1000L, statsCols = Seq("score"))
+    SnapshotTable.ingest(spark, (0 until 50).map(i => (9.0 + i * 0.01, s"b$i"))
+      .toDF("score", "text"), path, "text", 1000L)
+    // non-ANSI cast truncates 5.2..5.69 to 5: stripping the cast would
+    // build Range[5,5], see file-min 5.2 > 5, and prune ALL matches
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path,
+      col("score").cast("int") === 5)
+    assert(df.count() == 50L, "narrowing cast must not lose matching rows")
+    assert(rep.nFilesKept == rep.nFilesTotal,
+      s"a truncating cast cannot justify pruning: $rep")
+    // the WIDENING promotion cast still prunes (long literal vs double
+    // column goes through the same double space as the stats)
+    val (df2, rep2) = SnapshotTable.readWhereReport(spark, path,
+      col("score") >= 9.0)
+    assert(df2.count() == 50L && rep2.nFilesKept < rep2.nFilesTotal,
+      s"widening path must still prune: $rep2")
+  }
+
+  test("NULL-key changes all insert; an empty change batch pins nothing") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-nullkey").toString
+    SnapshotTable.write(spark,
+      Seq((Some(1L), "a"), (Some(2L), "b")).toDF("doc_id", "text"), path)
+    // two NULL-key inserts in ONE batch: neither duplicates of each
+    // other (NULL = NULL is not true) nor collapsed latest-wins — both
+    // land, alongside a keyed update resolved by orderCol
+    val st = SnapshotTable.mergeOnRead(spark,
+      Seq((Option.empty[Long], "n1", false, 1L), (Option.empty[Long], "n2", false, 2L),
+        (Some(2L), "b0", false, 1L), (Some(2L), "b2", false, 2L))
+        .toDF("doc_id", "text", "del", "seq"),
+      path, "doc_id", deleteCol = Some("del"), orderCol = Some("seq"))
+    assert(st.nUpserts == 3L, st.toString)
+    val got = SnapshotTable.read(spark, path).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set((Some(1L), "a"), (Some(2L), "b2"),
+      (None, "n1"), (None, "n2")), s"NULL-key inserts lost: $got")
+    // and without orderCol, two NULL keys are NOT a duplicate-key error
+    val st2 = SnapshotTable.mergeOnRead(spark,
+      Seq((Option.empty[Long], "n3", false), (Option.empty[Long], "n4", false))
+        .toDF("doc_id", "text", "del"),
+      path, "doc_id", deleteCol = Some("del"))
+    assert(st2.nUpserts == 2L)
+    // an empty victim set is a true no-op: the commit advances (audit
+    // trail) but pins no key, writes no tombstone, grows no overlay —
+    // a later merge on a DIFFERENT key must not be blocked by it
+    SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 1000L)
+    val vBefore = SnapshotTable.currentVersion(spark, path).get
+    val st3 = SnapshotTable.deleteWhere(spark, path, "doc_id", col("doc_id") === -999L)
+    assert(st3 == SnapshotTable.MergeOnReadStats(vBefore + 1, 0L, 0L, 0L, 0))
+    val mNoop = SnapshotTable.readManifestChecked(spark, path, vBefore + 1)
+    assert(mNoop.tombstones.isEmpty && mNoop.morKey.isEmpty,
+      "an empty batch must not pin morKey or write a tombstone")
+    SnapshotTable.mergeOnRead(spark,
+      Seq(("b2", 77L, true)).toDF("text", "doc_id", "del")
+        .select(col("doc_id"), col("text"), col("del")),
+      path, "text", deleteCol = Some("del"))
+    assert(SnapshotTable.read(spark, path).filter(col("text") === "b2").count() == 0L)
+  }
+
   test("history derives every commit kind; filesMeta lists the pinned snapshot's files") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-history").toString
@@ -557,14 +621,14 @@ class Round13Spec extends SparkSpec {
     SnapshotTable.ingest(spark, Seq((3L, "c")).toDF("doc_id", "text"), path, "text", 100L)
     def kinds() = SnapshotTable.history(spark, path).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq
-    assert(kinds() == Seq((1L, "create", 0L), (2L, "append", 0L),
-      (3L, "merge-on-read", 1L), (4L, "rewrite", 0L), (5L, "append", 0L)),
+    assert(kinds() == Seq((1L, "overwrite", 0L), (2L, "append", 0L),
+      (3L, "merge-on-read", 1L), (4L, "compact", 0L), (5L, "append", 0L)),
       s"history kinds wrong: ${kinds()}")
-    // the retained left edge after expire reads as a baseline (its
-    // parent's manifest is gone, so the diff is unprovable — same
-    // contract as the changelog source's flagged baseline)
+    // kinds are RECORDED in the manifest, so expire trimming v4's
+    // parent does not degrade it to an unprovable baseline — a consumer
+    // can still tell the compaction (content no-op) from a COW merge
     SnapshotTable.expire(spark, path, keep = 2)
-    assert(kinds() == Seq((4L, "baseline", 0L), (5L, "append", 0L)),
+    assert(kinds() == Seq((4L, "compact", 0L), (5L, "append", 0L)),
       s"post-expire history wrong: ${kinds()}")
     // filesMeta: current snapshot = compacted base + the v5 delta, each
     // file tagged with its dir's commit version; a pinned version lists
@@ -602,20 +666,32 @@ class Round13Spec extends SparkSpec {
     // an opted-in consumer can APPLY it exactly: delta = the upserts
     // (not flagged rewrite, not the full table), tombstoneKeys = the
     // deleted/updated keys
-    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, Set[Long], Set[Long])]()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, String, Set[Long], Set[Long])]()
     val q = SnapshotChangelog.changelogSink(spark, path,
       (delta, c) => {
         val keys = SnapshotChangelog.tombstoneKeys(delta.sparkSession, c)
           .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])
-        got.add((c.version, c.rewrite, delta.collect().map(_.getLong(0)).toSet, keys))
+        got.add((c.version, c.rewrite, c.kind,
+          delta.collect().map(_.getLong(0)).toSet, keys))
         ()
       },
       startVersion = Some("earliest"), allowRewrites = true)
     q.processAllAvailable()
     q.stop()
     assert(got.toArray.toSeq == Seq(
-      (1L, false, Set(1L, 2L, 3L), Set.empty[Long]),
-      (2L, false, Set(2L), Set(2L, 3L))),
+      (1L, false, "append", Set(1L, 2L, 3L), Set.empty[Long]),
+      (2L, false, "merge-on-read", Set(2L), Set(2L, 3L))),
       s"MOR commit must arrive as upserts + delete keys: ${got.toArray.toSeq}")
+    // the recorded kind is what makes "skip compactions, re-sync on
+    // merges" implementable — both arrive as rewrite rows
+    SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 100L)
+    got.clear()
+    val q2 = SnapshotChangelog.changelogSink(spark, path,
+      (_, c) => { got.add((c.version, c.rewrite, c.kind, Set.empty, Set.empty)); () },
+      startVersion = Some("2"), allowRewrites = true)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.toArray.toSeq == Seq((3L, true, "compact", Set.empty[Long], Set.empty[Long])),
+      s"compaction must arrive flagged WITH its recorded kind: ${got.toArray.toSeq}")
   }
 }
