@@ -100,12 +100,14 @@ object SnapshotTable {
                                            statsCols: Seq[String],
                                            tombstones: Seq[String] = Nil,
                                            morKey: Option[String] = None,
-                                           kind: Option[String] = None)
+                                           kind: Option[String] = None,
+                                           partitionCols: Seq[String] = Nil)
 
   /** Manifest file layout: line 1 the comma-separated dir list, line 2
     * the format, then tagged optional lines (`bloom:`, `schema:`,
-    * `stats:`, `tombstones:`, `morkey:`). A bare untagged line 3 is a
-    * pre-r13 manifest's bloom name — still parsed, never written.
+    * `stats:`, `tombstones:`, `morkey:`, `partition:`). A bare untagged
+    * line 3 is a pre-r13 manifest's bloom name — still parsed, never
+    * written.
     */
   private def readManifestFull(spark: SparkSession, path: String, v: Long): Manifest = {
     val f = fs(spark, manifest(path, v))
@@ -118,6 +120,7 @@ object SnapshotTable {
     var tombstones: Seq[String] = Nil
     var morKey: Option[String] = None
     var kind: Option[String] = None
+    var partitionCols: Seq[String] = Nil
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
       case l if l.startsWith("schema:") =>
@@ -128,10 +131,12 @@ object SnapshotTable {
         tombstones = l.stripPrefix("tombstones:").split(",").toSeq.filter(_.nonEmpty)
       case l if l.startsWith("morkey:") => morKey = Some(l.stripPrefix("morkey:"))
       case l if l.startsWith("kind:") => kind = Some(l.stripPrefix("kind:"))
+      case l if l.startsWith("partition:") =>
+        partitionCols = l.stripPrefix("partition:").split(",").toSeq.filter(_.nonEmpty)
       case legacyBloomName => bloom = Some(legacyBloomName)
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
-      tombstones, morKey, kind)
+      tombstones, morKey, kind, partitionCols)
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -178,6 +183,8 @@ object SnapshotTable {
       body.append("tombstones:").append(m.tombstones.mkString(",")).append('\n')
     m.morKey.foreach(k => body.append("morkey:").append(k).append('\n'))
     m.kind.foreach(k => body.append("kind:").append(k).append('\n'))
+    if (m.partitionCols.nonEmpty)
+      body.append("partition:").append(m.partitionCols.mkString(",")).append('\n')
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
     val target = manifest(path, expectedNext)
     // Publish = atomic create-if-absent of the target name. POSIX
@@ -239,16 +246,26 @@ object SnapshotTable {
     * overwrites.
     */
   def write(spark: SparkSession, df: DataFrame, path: String,
-            format: String = "parquet", statsCols: Seq[String] = Nil): Long = {
+            format: String = "parquet", statsCols: Seq[String] = Nil,
+            partitionCols: Seq[String] = Nil): Long = {
     val cur = currentVersion(spark, path)
     val next = cur.getOrElse(0L) + 1
     val effStats = effectiveStatsCols(spark, path, cur, statsCols)
+    // an overwrite replaces every directory at once, so it may REDEFINE
+    // the table's partitioning; Nil inherits the parent's (a plain
+    // overwrite keeps the table's layout, like its stats config)
+    val effParts =
+      if (partitionCols.nonEmpty) partitionCols
+      else cur.map(v => readManifestChecked(spark, path, v).partitionCols)
+        .getOrElse(Nil)
+    requirePartitionable(effParts, df.schema, "write")
     val dir = stageDir(next)
-    df.write.mode("overwrite").format(format).save(new Path(path, dir).toString)
+    stagedWrite(df, new Path(path, dir), format, effParts)
     writeStatsSidecar(spark, path, dir,
       spark.read.format(format).load(new Path(path, dir).toString), effStats)
     commit(spark, path, next, Manifest(Seq(dir), format, None,
-      Some(nullableSchema(df.schema)), effStats, kind = Some("overwrite")))
+      Some(nullableSchema(df.schema)), effStats, kind = Some("overwrite"),
+      partitionCols = effParts))
   }
 
   /** Requested stats columns, or the parent manifest's persisted config
@@ -264,6 +281,77 @@ object SnapshotTable {
 
   private def nullableSchema(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
+
+  // ---- identity partitioning --------------------------------------------
+
+  /** Validate a partitioning spec against the committed schema: every
+    * partition column must be a schema column, and at least one data
+    * column must remain (parquet cannot write a zero-column file).
+    */
+  private def requirePartitionable(cols: Seq[String], schema: StructType,
+                                   ctx: String): Unit = {
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"$ctx: partition columns ${missing.mkString(", ")} not in schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    if (cols.nonEmpty && cols.size >= schema.size)
+      throw new IllegalArgumentException(
+        s"$ctx: partitioning on every column leaves no data columns to write")
+  }
+
+  /** The table's partitioning for an INCREMENTAL commit: the parent
+    * manifest's spec, full stop. Partitioning is a physical-layout
+    * contract every snapshot directory must share (a mixed chain breaks
+    * the multi-dir partition discovery Spark's scan relies on), so an
+    * append/merge may not restate it differently — re-partitioning a
+    * table is a REWRITE ([[write]] redefines it, because an overwrite
+    * replaces every directory at once).
+    */
+  private def inheritedPartitionCols(parent: Option[Manifest],
+                                     requested: Seq[String],
+                                     ctx: String): Seq[String] =
+    parent match {
+      case Some(pm) =>
+        if (requested.nonEmpty && requested != pm.partitionCols)
+          throw new IllegalArgumentException(
+            s"$ctx: partitionCols ${requested.mkString(", ")} do not match the " +
+              s"table's committed partitioning (${pm.partitionCols.mkString(", ")}); " +
+              "changing a table's partitioning requires a full rewrite (write)")
+        pm.partitionCols
+      case None => requested
+    }
+
+  /** Stage a snapshot directory, Hive-layout-partitioned when the table
+    * is: `dir/<k1>=<v1>/.../part-*.parquet`. Partition values live in
+    * the path, not the files — Spark's partition discovery restores the
+    * columns on read (each manifest dir is a discovery root; the
+    * first non-`k=v` path segment stops the upward walk, so the
+    * snapshot-dir name never parses as a partition).
+    */
+  private def stagedWrite(df: DataFrame, dest: Path, format: String,
+                          partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .save(dest.toString)
+  }
+
+  /** Data files under one snapshot directory, descending through
+    * partition subdirectories; `_`/`.`-prefixed names are skipped at
+    * every level (sidecars, _SUCCESS, hidden files).
+    */
+  private def listDataFiles(f: org.apache.hadoop.fs.FileSystem,
+                            dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    def walk(p: Path): Unit =
+      f.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isFile) out += st else walk(st.getPath)
+        }
+      }
+    if (f.exists(dir)) walk(dir)
+    out.result()
+  }
 
   /** Read the CURRENT snapshot. The manifest resolves here, once — the
     * returned DataFrame is pinned to this snapshot's immutable files and
@@ -302,9 +390,25 @@ object SnapshotTable {
     * set must go through [[readAt]]/[[applyTombstones]].
     */
   private def rawScan(spark: SparkSession, path: String, m: Manifest): DataFrame = {
-    val reader = spark.read.format(m.format)
-    m.schema.fold(reader)(reader.schema)
-      .load(m.dirs.map(d => new Path(path, d).toString): _*)
+    def reader = {
+      val r = spark.read.format(m.format)
+      m.schema.fold(r)(r.schema)
+    }
+    if (m.partitionCols.isEmpty)
+      reader.load(m.dirs.map(d => new Path(path, d).toString): _*)
+    else {
+      // Partitioned chains scan PER DIR and union: Spark's partition
+      // discovery demands one "discovered base path" across all leaves,
+      // and a multi-root load over snap dirs discovers one base per dir
+      // (CONFLICTING_DIRECTORY_STRUCTURES). Per-dir scans each discover
+      // cleanly; unionByName reconciles discovery's column reorder, and
+      // the final select restores the manifest's declared order so a
+      // partitioned table reads identical to its unpartitioned twin.
+      val df = m.dirs.map(d => reader.load(new Path(path, d).toString))
+        .reduceLeft(_ unionByName _)
+      m.schema.fold(df)(s =>
+        df.select(s.fieldNames.map(org.apache.spark.sql.functions.col(_)).toSeq: _*))
+    }
   }
 
   // ---- merge-on-read tombstone overlay -----------------------------------
@@ -669,7 +773,41 @@ object SnapshotTable {
     numOk && strOk
   }
 
-  final case class PruneReport(nFilesTotal: Int, nFilesKept: Int)
+  /** Scan-planning decision for one [[readWhere]]: file counts after
+    * stats pruning, and — for partitioned tables — partition-directory
+    * counts (examined vs descended). When partition pruning skips a
+    * subtree its files are never LISTED, so `nFilesTotal` counts only
+    * the files of surviving partitions (listing the pruned ones would
+    * reintroduce exactly the metadata cost pruning exists to avoid).
+    */
+  final case class PruneReport(nFilesTotal: Int, nFilesKept: Int,
+                               nPartDirsTotal: Int = 0, nPartDirsKept: Int = 0)
+
+  /** Synthetic single-value stats for a Hive partition-path segment
+    * `col=value`: min = max = value in the column's kind (numeric
+    * widened one ulp each way, mirroring the sidecar writer's
+    * conservatism), so [[mayMatch]] evaluates partition pruning with
+    * the same rule as file pruning. `__HIVE_DEFAULT_PARTITION__` is a
+    * null partition — `nNonNull = 0`, which every extracted range
+    * rejects (ranges come from null-rejecting comparisons only).
+    * Types outside numeric/string (timestamps, dates — path-FORMATTED,
+    * not epoch-encoded) return None: that segment is never pruned on.
+    */
+  private def partColStat(raw: String, dt: DataType): Option[ColStat] = {
+    val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(raw)
+    if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME)
+      Some(ColStat(None, None, None, None, 0L))
+    else if (dt == org.apache.spark.sql.types.StringType)
+      Some(ColStat(None, None, Some(v), Some(v), 1L))
+    else if (isNumeric(dt))
+      try {
+        val d = v.toDouble
+        Some(ColStat(Some(Math.nextDown(d)), Some(Math.nextUp(d)), None, None, 1L))
+      } catch { case _: NumberFormatException => None }
+    else None
+  }
 
   /** Predicate-pruned snapshot read — the scan-planning half of the
     * stats contract. Resolves the (current or pinned) manifest, extracts
@@ -708,11 +846,47 @@ object SnapshotTable {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.flatMap(extractRanges)
     val f = fs(spark, new Path(path))
-    def dataFiles(d: String): Seq[Path] =
-      f.listStatus(new Path(path, d)).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .map(_.getPath)
+    val typeOf: Map[String, DataType] =
+      m.schema.map(_.fields.map(fd => fd.name -> fd.dataType).toMap)
+        .getOrElse(Map.empty)
+    // Partition-aware listing with PARTITION pruning: a `col=value`
+    // subtree whose single-point stats no extracted range can intersect
+    // is skipped WITHOUT listing its files — at 100 TB this is the
+    // Hive-metastore contract (touch O(partitions) names, not
+    // O(files)), and it runs BEFORE the per-file stats pass below.
+    // Returns the surviving files plus partition-dir counts.
+    def dataFiles(d: String): (Seq[Path], Int, Int) = {
+      var partsTotal = 0
+      var partsKept = 0
+      val out = Seq.newBuilder[Path]
+      def walk(p: Path): Unit =
+        f.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (st.isFile) out += st.getPath
+            else {
+              val eq = n.indexOf('=')
+              val keep =
+                if (eq <= 0) true
+                else {
+                  partsTotal += 1
+                  val k = n.substring(0, eq)
+                  val qs = ranges.filter(_.colName == k)
+                  val ok = qs.isEmpty ||
+                    partColStat(n.substring(eq + 1), typeOf.getOrElse(k,
+                      org.apache.spark.sql.types.NullType))
+                      .forall(st0 => qs.forall(q => mayMatch(st0, q)))
+                  if (ok) partsKept += 1
+                  ok
+                }
+              if (keep) walk(st.getPath)
+            }
+          }
+        }
+      val root = new Path(path, d)
+      if (f.exists(root)) walk(root)
+      (out.result(), partsTotal, partsKept)
+    }
     // One multi-path read over every present sidecar (file names are
     // parquet part-UUIDs — unique across dirs), so stats resolution is
     // a single driver-side job regardless of chain length.
@@ -729,7 +903,7 @@ object SnapshotTable {
           r.getAs[Long]("n_nonnull"))
       }.toMap
     val perDir = m.dirs.map { d =>
-      val files = dataFiles(d)
+      val (files, pt, pk) = dataFiles(d)
       val kept =
         if (ranges.isEmpty || stats.isEmpty) files
         else files.filter { p =>
@@ -737,11 +911,12 @@ object SnapshotTable {
             stats.get((p.getName, q.colName)).forall(st => mayMatch(st, q))
           }
         }
-      (files.size, kept)
+      (d, files.size, kept, pt, pk)
     }
-    val total = perDir.map(_._1).sum
-    val kept = perDir.flatMap(_._2)
-    val report = PruneReport(total, kept.size)
+    val total = perDir.map(_._2).sum
+    val kept = perDir.flatMap(_._3)
+    val report = PruneReport(total, kept.size,
+      perDir.map(_._4).sum, perDir.map(_._5).sum)
     val df =
       if (kept.isEmpty)
         // constant-false filter folds to an empty LocalRelation: right
@@ -749,20 +924,40 @@ object SnapshotTable {
         rawScan(spark, path, m)
           .filter(org.apache.spark.sql.functions.lit(false))
       else {
-        def filesScan(paths: Seq[Path]) = {
-          val reader = spark.read.format(m.format)
-          m.schema.fold(reader)(reader.schema).load(paths.map(_.toString): _*)
+        // Loading LEAF FILES loses the k=v path context partition
+        // discovery needs; basePath = the file's SNAPSHOT dir restores
+        // it. Discovery tolerates only one base per scan, so partitioned
+        // kept-file scans group by manifest dir and union (mirroring
+        // [[rawScan]]); unpartitioned tables keep the single
+        // multi-file scan node.
+        def filesScan(d: String, paths: Seq[Path]) = {
+          val reader0 = spark.read.format(m.format)
+          val reader =
+            if (m.partitionCols.isEmpty) reader0
+            else reader0.option("basePath", new Path(path, d).toString)
+          val df0 = m.schema.fold(reader)(reader.schema)
+            .load(paths.map(_.toString): _*)
+          if (m.partitionCols.isEmpty) df0
+          else m.schema.fold(df0)(s => df0.select(
+            s.fieldNames.map(org.apache.spark.sql.functions.col(_)).toSeq: _*))
         }
+        // the tombstone overlay additionally needs each row's commit
+        // version, so its per-dir scans tag before masking (the group
+        // key is the MANIFEST dir tracked through the listing — a
+        // partition subdir's name must never reach dirVersion)
         val base =
-          if (m.tombstones.isEmpty) filesScan(kept)
-          else
-            // pruning works at file granularity; the tombstone overlay
-            // needs each row's commit version, so group the kept files
-            // back by directory and tag before masking
-            kept.groupBy(p => p.getParent.getName).toSeq.map { case (d, files) =>
-              filesScan(files).withColumn(dirVersionCol,
-                org.apache.spark.sql.functions.lit(dirVersion(d)))
-            }.reduceLeft(_ unionByName _)
+          if (m.tombstones.isEmpty && m.partitionCols.isEmpty)
+            filesScan(perDir.head._1, kept)
+          else {
+            val perDirScans = perDir.filter(_._3.nonEmpty)
+              .map { case (d, _, files, _, _) =>
+                val s = filesScan(d, files)
+                if (m.tombstones.isEmpty) s
+                else s.withColumn(dirVersionCol,
+                  org.apache.spark.sql.functions.lit(dirVersion(d)))
+              }
+            perDirScans.reduceLeft(_ unionByName _)
+          }
         val masked =
           if (m.tombstones.isEmpty) base else applyTombstones(spark, path, m, base)
         masked.filter(predicate)
@@ -817,8 +1012,7 @@ object SnapshotTable {
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     val m = readManifestChecked(spark, path, v)
     val f = fs(spark, new Path(path))
-    val before = m.dirs.flatMap(d => f.listStatus(new Path(path, d))).filter(s => s.isFile &&
-      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val before = m.dirs.flatMap(d => listDataFiles(f, new Path(path, d)))
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = readAt(spark, path, v)
@@ -834,18 +1028,31 @@ object SnapshotTable {
     // over ANY of them — the lakehouse multi-dim layout, committed
     // through the same atomic manifest path. Without either, the
     // rewrite stays pure round-robin size-targeting.
+    // On a partitioned table every clustering key is PREFIXED with the
+    // partition columns: each output task then holds a contiguous run
+    // of (partition, cluster-key), so partitionBy at write emits a
+    // handful of files per task instead of one per (task × partition
+    // value) — the file-explosion failure mode of naive repartition +
+    // partitionBy. The plain branch spreads within partition values on
+    // a synthetic id so a large partition still splits to size targets.
+    val pcols = m.partitionCols.map(df(_))
     val sorted =
       if (zorderCols.nonEmpty) {
         import org.apache.spark.sql.functions.col
         df.withColumn("__z", ZOrder.zValue(zorderCols.map(df(_)), zorderBits))
-          .repartitionByRange(nOut, col("__z"))
-          .sortWithinPartitions(col("__z")).drop("__z")
+          .repartitionByRange(nOut, pcols :+ col("__z"): _*)
+          .sortWithinPartitions(pcols :+ col("__z"): _*).drop("__z")
       } else if (sortCols.nonEmpty)
-        df.repartitionByRange(nOut, sortCols.map(df(_)): _*)
-          .sortWithinPartitions(sortCols.map(df(_)): _*)
-      else df.repartition(nOut)
+        df.repartitionByRange(nOut, pcols ++ sortCols.map(df(_)): _*)
+          .sortWithinPartitions(pcols ++ sortCols.map(df(_)): _*)
+      else if (m.partitionCols.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+        df.withColumn("__spread", monotonically_increasing_id())
+          .repartitionByRange(nOut, pcols :+ col("__spread"): _*)
+          .drop("__spread")
+      } else df.repartition(nOut)
     val nextDir = stageDir(v + 1)
-    sorted.write.mode("overwrite").format(m.format).save(new Path(path, nextDir).toString)
+    stagedWrite(sorted, new Path(path, nextDir), m.format, m.partitionCols)
     // Compaction also collapses an append chain back to ONE directory.
     // The hash sidecar — when the whole chain has one — collapses by
     // pure hash union (no payload re-hash), and the bloom carries over
@@ -854,7 +1061,11 @@ object SnapshotTable {
     // When either is missing and the caller named the content column,
     // rebuild it from the just-written compacted output (see scaladoc).
     import org.apache.spark.sql.functions.{col, xxhash64}
-    lazy val written = spark.read.format(m.format).load(new Path(path, nextDir).toString)
+    lazy val written = {
+      val r = spark.read.format(m.format)
+      (if (m.partitionCols.isEmpty) r
+       else m.schema.fold(r)(r.schema)).load(new Path(path, nextDir).toString)
+    }
     // A tombstone overlay makes BOTH carry-forward shortcuts invalid:
     // the old hash sidecars and bloom still contain the masked rows'
     // content, and compaction is exactly the point where deleted content
@@ -885,9 +1096,8 @@ object SnapshotTable {
     writeStatsSidecar(spark, path, nextDir, written, effStats)
     commit(spark, path, v + 1, Manifest(Seq(nextDir), m.format, outBloomName,
       m.schema.orElse(Some(nullableSchema(written.schema))), effStats,
-      kind = Some("compact")))
-    val after = f.listStatus(new Path(path, nextDir)).count(s => s.isFile &&
-      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      kind = Some("compact"), partitionCols = m.partitionCols))
+    val after = listDataFiles(f, new Path(path, nextDir)).size
     Sink.CompactionStats(before.length, after, totalBytes)
   }
 
@@ -989,11 +1199,7 @@ object SnapshotTable {
     val m = readManifestChecked(spark, path, v)
     val f = fs(spark, new Path(path))
     val deltaBytes = m.dirs.drop(1).map { d =>
-      val p = new Path(path, d)
-      if (!f.exists(p)) 0L
-      else f.listStatus(p).filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        .map(_.getLen).sum
+      listDataFiles(f, new Path(path, d)).map(_.getLen).sum
     }.sum
     (m.dirs.size, deltaBytes, m.tombstones.size)
   }
@@ -1232,7 +1438,8 @@ object SnapshotTable {
              textCol: String, expectedItems: Long = 1000000L,
              fpp: Double = 0.01, format: String = "parquet",
              statsCols: Seq[String] = Nil,
-             evolveSchema: Boolean = false): IngestStats = {
+             evolveSchema: Boolean = false,
+             partitionCols: Seq[String] = Nil): IngestStats = {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(spark, path)
     val next = cur.getOrElse(0L) + 1
@@ -1251,6 +1458,10 @@ object SnapshotTable {
     // the parent manifest is already parsed above — no second read
     val effStats =
       if (statsCols.nonEmpty) statsCols else parent.map(_.statsCols).getOrElse(Nil)
+    // partitioning: set at table creation, inherited (and enforced)
+    // after — every snapshot dir must share one physical layout
+    val effParts = inheritedPartitionCols(parent, partitionCols, "ingest")
+    requirePartitionable(effParts, committedSchema, "ingest")
     // Cache the batch: both probe branches and the stats count scan it,
     // and a crawl batch is expensive to recompute (batch-sized to hold).
     // Only cache what WE cached: unpersisting a caller-established cache
@@ -1286,12 +1497,16 @@ object SnapshotTable {
       // Canonical column order: the committed schema's. An evolved batch
       // appends its new columns after the table's; a reordered batch
       // lands in table order.
-      delta.select(committedSchema.fieldNames.map(col(_)).toSeq: _*)
-        .write.mode("overwrite").format(format)
-        .save(new Path(path, deltaDir).toString)
+      stagedWrite(delta.select(committedSchema.fieldNames.map(col(_)).toSeq: _*),
+        new Path(path, deltaDir), format, effParts)
       // The delta is on disk: count it and build its bloom from the
       // WRITTEN files (one small scan — never re-executes the dedup plan).
-      val written = spark.read.format(format).load(new Path(path, deltaDir).toString)
+      // A partitioned dir reads with the committed schema so partition
+      // values come back in their declared types, not path-inferred ones.
+      val writtenReader = spark.read.format(format)
+      val written =
+        (if (effParts.isEmpty) writtenReader else writtenReader.schema(committedSchema))
+          .load(new Path(path, deltaDir).toString)
       val nNew = written.count()
       val deltaBloom = bloomOf(written,
         xxhash64(contentKey(col(textCol))), expectedItems, fpp)
@@ -1323,7 +1538,8 @@ object SnapshotTable {
       commit(spark, path, next, Manifest(parentDirs :+ deltaDir, format,
         Some(bloomName), Some(committedSchema), effStats,
         parent.map(_.tombstones).getOrElse(Nil),
-        parent.flatMap(_.morKey), kind = Some("append")))
+        parent.flatMap(_.morKey), kind = Some("append"),
+        partitionCols = effParts))
       IngestStats(next, nIncoming, nNew)
     } finally { if (weCached) { incoming.unpersist(); () } }
   }
@@ -1394,9 +1610,12 @@ object SnapshotTable {
         .join(changedKeys, current(keyCol) === col("__mk"), "left_anti")
         .unionByName(upserts)
       val nextDir = stageDir(cur + 1)
-      next.write.mode("overwrite").format(m.format)
-        .save(new Path(path, nextDir).toString)
-      val written = spark.read.format(m.format).load(new Path(path, nextDir).toString)
+      stagedWrite(next, new Path(path, nextDir), m.format, m.partitionCols)
+      val written = {
+        val r = spark.read.format(m.format)
+        (if (m.partitionCols.isEmpty) r else r.schema(tableSchema))
+          .load(new Path(path, nextDir).toString)
+      }
       val rowsAfter = written.count()
       // sidecars: the merged output IS the new dedup universe
       val bloomName = textCol.map { tc =>
@@ -1409,7 +1628,8 @@ object SnapshotTable {
       val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
       writeStatsSidecar(spark, path, nextDir, written, effStats)
       commit(spark, path, cur + 1, Manifest(Seq(nextDir), m.format, bloomName,
-        Some(tableSchema), effStats, kind = Some("merge")))
+        Some(tableSchema), effStats, kind = Some("merge"),
+        partitionCols = m.partitionCols))
       MergeStats(cur + 1, nChanges, nUpserts, nDeletes, rowsAfter)
     } finally { if (weCached) { changes.unpersist(); () } }
   }
@@ -1566,8 +1786,7 @@ object SnapshotTable {
       val nUpserts = upserts.count()
       val deltaDir = if (nUpserts == 0) None else {
         val d = stageDir(next)
-        upserts.write.mode("overwrite").format(m.format)
-          .save(new Path(path, d).toString)
+        stagedWrite(upserts, new Path(path, d), m.format, m.partitionCols)
         Some(d)
       }
       // the tombstone lists EVERY winning non-null key: an upsert masks
@@ -1591,7 +1810,11 @@ object SnapshotTable {
       val bloomName = deltaDir match {
         case None => m.bloom
         case Some(d) =>
-          lazy val written = spark.read.format(m.format).load(new Path(path, d).toString)
+          lazy val written = {
+            val r = spark.read.format(m.format)
+            (if (m.partitionCols.isEmpty) r else r.schema(tableSchema))
+              .load(new Path(path, d).toString)
+          }
           writeStatsSidecar(spark, path, d, written, effStats)
           textCol.flatMap { tc =>
             writeHashSidecar(spark, path, d, written, tc, m.format)
@@ -1610,7 +1833,8 @@ object SnapshotTable {
       }
       commit(spark, path, next, Manifest(m.dirs ++ deltaDir.toSeq, m.format,
         bloomName, Some(tableSchema), effStats,
-        m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read")))
+        m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read"),
+        partitionCols = m.partitionCols))
       MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
         m.tombstones.size + 1)
     } finally { if (weCached) { changes.unpersist(); () } }
@@ -1732,11 +1956,14 @@ object SnapshotTable {
     val m = readManifestChecked(spark, path, v)
     val f = fs(spark, new Path(path))
     val rows = m.dirs.flatMap { d =>
-      f.listStatus(new Path(path, d)).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .map(s => org.apache.spark.sql.Row(d, dirVersion(d),
-          s.getPath.getName, s.getLen))
+      val root = f.makeQualified(new Path(path, d)).toString
+      listDataFiles(f, new Path(path, d)).map { s =>
+        // `file` keeps the partition subpath (`lang=en/part-...`) so
+        // the ops view shows per-partition file skew at a glance
+        val full = f.makeQualified(s.getPath).toString
+        val rel = full.stripPrefix(root).stripPrefix("/")
+        org.apache.spark.sql.Row(d, dirVersion(d), rel, s.getLen)
+      }
     }
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("dir", org.apache.spark.sql.types.StringType, nullable = false),

@@ -3636,6 +3636,49 @@ object TrainingData {
                    (3, 'merge-on-read', 2, 0, 2)) AS t(v, kind, nd, na, nt)
       ORDER BY version"""))
 
+  // ---- d30_partitioned_scan: Hive-partitioned snapshot, pruned read ----
+  // The identity-partitioning half of the table-format read path as a
+  // registry row: two ingest commits Hive-partitioned by lang (the
+  // layout is set at table creation and inherited — enforced — down the
+  // chain) with per-file doc_id stats, then readWhere plans the scan by
+  // dropping whole lang=... partition SUBTREES before listing a single
+  // file (the Hive-metastore contract: O(partitions) names touched, not
+  // O(files)), composes the per-file stats pass on the survivors, and
+  // restores partition values through basePath leaf scans.
+  // PartitionedTableSpec audits layouts, dir counts, and bytes; here the
+  // oracle pins that the pruned read aggregates exactly like the plain
+  // filter. Texts are doc_id-suffixed so cross-commit content dedup
+  // admits every row (the d25 discipline).
+  private def d30Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d30") { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("#"), col("doc_id")).as("text"))
+      Seq(col("doc_id") < 300, col("doc_id") >= 300).foreach { slice =>
+        SnapshotTable.ingest(s, docs.filter(slice), path, "text",
+          expectedItems = 100000L, statsCols = Seq("doc_id"),
+          partitionCols = Seq("lang"))
+      }
+      ()
+    }
+
+  private val d30 = Q(
+    (s, dir) => {
+      SnapshotTable.readWhere(s, d30Fixture(s, dir),
+          col("lang").isin("en", "fr") && col("doc_id") < 300)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents
+      WHERE lang IN ('en', 'fr') AND doc_id < 300
+      GROUP BY lang ORDER BY lang"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3669,6 +3712,7 @@ object TrainingData {
     "d27_merge_on_read" -> d27,
     "d28_update_delete_where" -> d28,
     "d29_table_history" -> d29,
+    "d30_partitioned_scan" -> d30,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
