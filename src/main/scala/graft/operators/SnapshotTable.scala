@@ -215,11 +215,20 @@ object SnapshotTable {
     // local link leaves tmp in place either way; fcPublish consumed tmp
     // on success and left it on failure
     if (isLocal || !won) f.delete(tmp, false)
-    if (!won) throw new java.io.IOException(
+    if (!won) throw new CommitConflictException(
       s"concurrent commit won version $expectedNext at $path; " +
         "re-stage against the current snapshot and retry")
     expectedNext
   }
+
+  /** A commit lost the version-slot race to a concurrent committer.
+    * [[ingest]] catches this and rebases (see its scaladoc); rewrite
+    * operators (write/compact/merge/mergeOnRead) surface it — their
+    * staged output was derived from a snapshot that is no longer
+    * current, so only the caller can decide to recompute.
+    */
+  final class CommitConflictException(message: String)
+    extends java.io.IOException(message)
 
   /** Refuse-existing publish for non-local schemes: FileContext.rename
     * defaults to Options.Rename.NONE, which throws
@@ -1392,6 +1401,173 @@ object SnapshotTable {
 
   final case class IngestStats(version: Long, nIncoming: Long, nNew: Long)
 
+  /** Test seam: invoked exactly once immediately before [[ingest]]'s
+    * first commit attempt, then self-clears. Lets specs inject a
+    * deterministic concurrent commit (no thread timing) to drive the
+    * rebase path. No-op in production.
+    */
+  private[graft] var ingestCommitFault: () => Unit = () => ()
+
+  /** Optimistic-concurrency rebase for a LOST append commit — the
+    * Iceberg commit-retry contract reduced to its kernel. The staged
+    * delta directory, its sidecars, and its bloom all carry
+    * committer-unique names, so losing the version slot loses no work:
+    * when every interleaved commit is content-compatible — `append`
+    * (adds content) or `compact` (preserves it) — the delta re-commits
+    * on top of the winner's state at O(delta) cost:
+    *
+    *  1. validate the interleaved chain: kinds ⊆ {append, compact},
+    *     schema and partitioning unchanged — anything else (overwrite,
+    *     merge, merge-on-read, evolution) invalidates the staged
+    *     dedup decisions, so the conflict surfaces to the caller;
+    *  2. re-dedup the STAGED files against the interleaved appends'
+    *     ~16 B/row hash sidecars (per-dir payload fallback): rows a
+    *     racer admitted first drop out, preserving the table's
+    *     content-dedup invariant under concurrency;
+    *  3. re-home the delta at the new version — a pure RENAME of the
+    *     dir and its hash/stats sidecars when nothing dropped (file
+    *     names, and therefore stats rows, are stable under rename), a
+    *     rewrite otherwise. The dir name must carry the COMMIT
+    *     version: the merge-on-read overlay orders rows against
+    *     tombstones by it, and a stale number would let an outstanding
+    *     tombstone mask freshly-appended rows;
+    *  4. bloom: merge the delta's bloom into the WINNER's, which
+    *     already covers the interleaved content (the delta bloom may
+    *     over-cover dropped rows — bloom over-coverage is always safe,
+    *     the hash verify catches the false positives). If the winner
+    *     names no compatible bloom, the commit names none and the next
+    *     ingest pays the documented one-scan rebuild — the rebase
+    *     itself NEVER scans the table;
+    *  5. commit; on another lost race, loop (bounded by `retries`).
+    *
+    * Returns (committed version, rows committed after re-dedup).
+    */
+  private def rebaseLostAppend(spark: SparkSession, path: String,
+      textCol: String, format: String, committedSchema: StructType,
+      effStats: Seq[String], effParts: Seq[String],
+      deltaBloom: org.apache.spark.util.sketch.BloomFilter,
+      stagedDir0: String, parentV0: Option[Long], parentDirs0: Seq[String],
+      retries: Int): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, new Path(path))
+    var stagedDir = stagedDir0
+    var parentV = parentV0
+    var parentDirs = parentDirs0
+    var attempt = 0
+    while (true) {
+      val winnerV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"commit conflict at $path with no current version — manifest store inconsistent"))
+      val chain = ((parentV.getOrElse(0L) + 1) to winnerV)
+        .map(v => v -> readManifestChecked(spark, path, v))
+      chain.foreach { case (v, mm) =>
+        val k = mm.kind.getOrElse("unknown")
+        if (k != "append" && k != "compact") throw new java.io.IOException(
+          s"ingest at $path lost the commit race to version $v (kind '$k'); " +
+            "only append/compact interleavings rebase automatically — " +
+            "re-run the ingest against the current snapshot")
+      }
+      val winnerM = chain.last._2
+      if (!winnerM.schema.forall(_ == committedSchema))
+        throw new java.io.IOException(
+          s"ingest at $path lost the commit race and the winner committed a " +
+            "different schema; re-run the ingest against the current snapshot")
+      if (winnerM.partitionCols != effParts)
+        throw new java.io.IOException(
+          s"ingest at $path lost the commit race and the winner committed " +
+            "different partitioning; re-run the ingest against the current snapshot")
+      // dirs the interleaved APPENDs added; a compact REPLACES the dir
+      // list but preserves content the delta was already deduped against
+      val appendAdded = {
+        var prev = parentDirs
+        val out = Seq.newBuilder[String]
+        chain.foreach { case (_, mm) =>
+          if (mm.kind.contains("append")) out ++= mm.dirs.diff(prev)
+          prev = mm.dirs
+        }
+        out.result()
+      }
+      val stagedRead = {
+        val r = spark.read.format(format)
+        (if (effParts.isEmpty) r else r.schema(committedSchema))
+          .load(new Path(path, stagedDir).toString)
+      }
+      val nStaged = stagedRead.count()
+      val next = winnerV + 1
+      val newDir = stageDir(next)
+      val nNew =
+        if (appendAdded.isEmpty) { renameStaged(f, path, stagedDir, newDir); nStaged }
+        else {
+          val sidecars = appendAdded.map(d => hashesDir(path, d))
+          val theirs =
+            if (sidecars.forall(f.exists))
+              spark.read.format(format).load(sidecars.map(_.toString): _*)
+            else rawScan(spark, path,
+                winnerM.copy(dirs = appendAdded, tombstones = Nil))
+              .select(contentKey(col(textCol)).as("__h"))
+          val surv = stagedRead.join(theirs,
+            contentKey(stagedRead(textCol)) === col("__h"), "left_anti")
+          val nSurv = surv.count()
+          if (nSurv == nStaged) { renameStaged(f, path, stagedDir, newDir); nStaged }
+          else {
+            // racer admitted some of our content first: rewrite the
+            // survivors into a fresh correctly-versioned dir (the old
+            // staging becomes a vacuum-reclaimable orphan)
+            stagedWrite(surv.select(committedSchema.fieldNames.map(col(_)).toSeq: _*),
+              new Path(path, newDir), format, effParts)
+            val rewritten = {
+              val r = spark.read.format(format)
+              (if (effParts.isEmpty) r else r.schema(committedSchema))
+                .load(new Path(path, newDir).toString)
+            }
+            writeHashSidecar(spark, path, newDir, rewritten, textCol, format)
+            writeStatsSidecar(spark, path, newDir, rewritten, effStats)
+            nSurv
+          }
+        }
+      val bloomName = readBloom(spark, path, winnerV) match {
+        case Some(wb) if wb.isCompatible(deltaBloom) =>
+          wb.mergeInPlace(deltaBloom)
+          val name = f"b$next%08d-${newDir.takeRight(8)}.bin"
+          writeBloomAt(spark, path, name, wb)
+          Some(name)
+        case _ => None
+      }
+      try {
+        commit(spark, path, next, Manifest(winnerM.dirs :+ newDir, format,
+          bloomName, Some(committedSchema), effStats, winnerM.tombstones,
+          winnerM.morKey, kind = Some("append"), partitionCols = effParts))
+        return (next, nNew)
+      } catch {
+        case _: CommitConflictException =>
+          attempt += 1
+          if (attempt >= retries) throw new java.io.IOException(
+            s"ingest at $path lost $retries consecutive commit races; " +
+              "giving up — retry under lower commit contention")
+          parentV = Some(winnerV)
+          parentDirs = winnerM.dirs
+          stagedDir = newDir
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Re-home a staged delta at a new commit version by pure rename:
+    * the data dir plus its hash and stats sidecars (both keyed by dir
+    * name; stats rows key on FILE names, which rename preserves).
+    */
+  private def renameStaged(f: org.apache.hadoop.fs.FileSystem, path: String,
+                           from: String, to: String): Unit = {
+    if (!f.rename(new Path(path, from), new Path(path, to)))
+      throw new java.io.IOException(
+        s"rebase could not rename staged dir $from to $to under $path")
+    Seq((hashesDir(path, from), hashesDir(path, to)),
+        (statsDir(path, from), statsDir(path, to))).foreach { case (a, b) =>
+      if (f.exists(a) && !f.rename(a, b)) throw new java.io.IOException(
+        s"rebase could not rename sidecar $a to $b")
+    }
+  }
+
   /** Incremental content-dedup ingest — "this batch minus ALL prior
     * content" as one committed operator (the cronjob shape of corpus
     * dedup at 100 TB, [[Dedup.newDocuments]] wired over snapshot
@@ -1433,6 +1609,15 @@ object SnapshotTable {
     * additive columns commit a widened schema when `evolveSchema` is
     * set. `statsCols` seeds or overrides the per-file min/max sidecar
     * config; Nil inherits the table's persisted config.
+    *
+    * CONCURRENT INGESTS both succeed: a committer that loses the
+    * version-slot race REBASES its staged delta onto the winner's
+    * state instead of failing — re-deduped against the interleaved
+    * appends' hash sidecars so the content-dedup invariant holds under
+    * concurrency, at O(delta) cost and bounded retries (see
+    * [[rebaseLostAppend]]). Interleaved rewrites (overwrite / merge /
+    * merge-on-read) or schema changes refuse the rebase loudly; the
+    * caller re-runs against the new snapshot.
     */
   def ingest(spark: SparkSession, incoming: DataFrame, path: String,
              textCol: String, expectedItems: Long = 1000000L,
@@ -1535,12 +1720,26 @@ object SnapshotTable {
       // an append carries the parent's tombstone overlay forward
       // untouched: the delta's rows commit at a LATER version than
       // every outstanding tombstone, so the mask never touches them
-      commit(spark, path, next, Manifest(parentDirs :+ deltaDir, format,
-        Some(bloomName), Some(committedSchema), effStats,
-        parent.map(_.tombstones).getOrElse(Nil),
-        parent.flatMap(_.morKey), kind = Some("append"),
-        partitionCols = effParts))
-      IngestStats(next, nIncoming, nNew)
+      val fault = ingestCommitFault
+      ingestCommitFault = () => ()
+      fault()
+      try {
+        commit(spark, path, next, Manifest(parentDirs :+ deltaDir, format,
+          Some(bloomName), Some(committedSchema), effStats,
+          parent.map(_.tombstones).getOrElse(Nil),
+          parent.flatMap(_.morKey), kind = Some("append"),
+          partitionCols = effParts))
+        IngestStats(next, nIncoming, nNew)
+      } catch {
+        case _: CommitConflictException =>
+          // a concurrent committer took our version slot: rebase the
+          // staged delta onto the winner's state (see
+          // [[rebaseLostAppend]]) instead of throwing work away
+          val (v, n) = rebaseLostAppend(spark, path, textCol, format,
+            committedSchema, effStats, effParts, deltaBloom,
+            deltaDir, cur, parentDirs, retries = 5)
+          IngestStats(v, nIncoming, n)
+      }
     } finally { if (weCached) { incoming.unpersist(); () } }
   }
 

@@ -3679,6 +3679,59 @@ object TrainingData {
       WHERE lang IN ('en', 'fr') AND doc_id < 300
       GROUP BY lang ORDER BY lang"""))
 
+  // ---- d31_concurrent_ingest: racing appends, deterministic table -----
+  // The multi-writer contract as a registry row: two ingests RACE from
+  // the same parent snapshot (a real barrier, not a simulation — the
+  // loser's commit hits the version-slot conflict and rebases per
+  // SnapshotTable.rebaseLostAppend, re-deduping its staged delta
+  // against the winner's hash sidecars at O(delta)). The batches
+  // overlap each other AND the base, so every conflict class fires;
+  // because overlapping rows are byte-identical and dedup is by
+  // content, the final table is the SAME SET regardless of which
+  // writer wins — which is exactly what lets DuckDB replay it as a
+  // plain filter. ConcurrencySpec pins the mechanism (rename vs
+  // rewrite re-home, bloom re-merge, rewrite refusal); this row pins
+  // the user-visible semantics through the oracle gate.
+  private def d31Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d31", expect = Seq(1L, 2L, 3L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("#"), col("doc_id")).as("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 200), path, "text",
+        expectedItems = 100000L, statsCols = Seq("doc_id"))
+      val a = docs.filter(col("doc_id").between(150, 299))
+      val b = docs.filter(col("doc_id").between(250, 399))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(a, b).map { batch =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            SnapshotTable.ingest(s, batch, path, "text",
+              expectedItems = 100000L)
+            ()
+          } catch { case th: Throwable => errors.add(th); () }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      if (!errors.isEmpty) throw new IllegalStateException(
+        s"d31 fixture race failed: ${errors.peek()}", errors.peek())
+      ()
+    }
+
+  private val d31 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d31Fixture(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE doc_id < 400
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3713,6 +3766,7 @@ object TrainingData {
     "d28_update_delete_where" -> d28,
     "d29_table_history" -> d29,
     "d30_partitioned_scan" -> d30,
+    "d31_concurrent_ingest" -> d31,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Optimistic-concurrency pins for SnapshotTable.ingest: a committer
+  * that loses the version-slot race rebases its staged delta onto the
+  * winner's state — re-deduped, re-homed under the new commit version,
+  * bloom re-merged — instead of failing. Deterministic conflicts are
+  * injected through the `ingestCommitFault` seam (which fires once
+  * between staging and the first commit attempt); one test races real
+  * threads through the whole path.
+  */
+class ConcurrencySpec extends SparkSpec {
+
+  import graft.operators.SnapshotTable
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docs(ids: Range, lang: String = "en") = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, lang, s"document body $i")).toDF("doc_id", "lang", "text")
+  }
+
+  private def ids(path: String): Set[Long] = {
+    import spark.implicits._
+    SnapshotTable.read(spark, path).select("doc_id").as[Long].collect().toSet
+  }
+
+  test("a lost append commit rebases: disjoint interleave renames the staged delta in place") {
+    val path = tmp("graft-race1")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    // the fault fires between our staging and our commit: a concurrent
+    // ingest takes version 2, so ours must land at 3
+    SnapshotTable.ingestCommitFault = () =>
+      { SnapshotTable.ingest(spark, docs(40 until 60), path, "text",
+          expectedItems = 1000L); () }
+    val st = SnapshotTable.ingest(spark, docs(20 until 40), path, "text",
+      expectedItems = 1000L)
+    assert(st.version == 3L && st.nNew == 20L, st)
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(ids(path) == (0L until 60L).toSet)
+    // the renamed dir carries the COMMIT version in its name — the
+    // merge-on-read overlay orders rows by it, so a stale number would
+    // let later tombstones mask these rows
+    val metas = SnapshotTable.filesMeta(spark, path)
+      .select("commit_version").distinct().collect().map(_.getLong(0)).toSet
+    assert(metas == Set(1L, 2L, 3L), metas)
+    // history: all three commits recorded as appends (the rebase is
+    // still an append, just re-homed)
+    val kinds = SnapshotTable.history(spark, path)
+      .select("kind").collect().map(_.getString(0)).toSet
+    assert(kinds == Set("append"), kinds)
+    // the bloom and hash sidecars followed the rebase: replaying any
+    // already-committed content admits nothing
+    val replay = SnapshotTable.ingest(spark, docs(0 until 60), path, "text",
+      expectedItems = 1000L)
+    assert(replay.nNew == 0L, replay)
+  }
+
+  test("an overlapping interleave drops racer-admitted rows and rewrites the delta") {
+    val path = tmp("graft-race2")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    // racer commits 30..49 first; our staged 20..39 must drop 30..39
+    SnapshotTable.ingestCommitFault = () =>
+      { SnapshotTable.ingest(spark, docs(30 until 50), path, "text",
+          expectedItems = 1000L); () }
+    val st = SnapshotTable.ingest(spark, docs(20 until 40), path, "text",
+      expectedItems = 1000L)
+    assert(st.version == 3L && st.nNew == 10L, st)
+    // every id exactly once — the content-dedup invariant held under
+    // the race
+    val all = SnapshotTable.read(spark, path).groupBy("doc_id").count()
+    assert(all.filter(col("count") > 1).isEmpty)
+    assert(ids(path) == (0L until 50L).toSet)
+    // survivors live under commit version 3
+    val v3rows = SnapshotTable.read(spark, path)
+      .filter(col("doc_id").between(20, 29)).count()
+    assert(v3rows == 10L)
+  }
+
+  test("rebase refuses rewrite interleavings loudly; the staged work stays reclaimable") {
+    import spark.implicits._
+    val path = tmp("graft-race3")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    SnapshotTable.ingestCommitFault = () => {
+      val changes = Seq((1L, "en", "rewritten body 1"))
+        .toDF("doc_id", "lang", "text")
+      SnapshotTable.merge(spark, changes, path, "doc_id"); ()
+    }
+    val e = intercept[java.io.IOException] {
+      SnapshotTable.ingest(spark, docs(20 until 40), path, "text",
+        expectedItems = 1000L)
+    }
+    assert(e.getMessage.contains("kind 'merge'"), e.getMessage)
+    // the merge's snapshot is current and intact; the loser's staging
+    // is an orphan for vacuum, never a committed dir
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L))
+    assert(SnapshotTable.read(spark, path).count() == 20L)
+  }
+
+  test("partitioned tables rebase with their Hive layout intact") {
+    import spark.implicits._
+    val path = tmp("graft-race4")
+    def pdocs(ids: Range) = ids.map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "fr", s"document body $i"))
+      .toDF("doc_id", "lang", "text")
+    SnapshotTable.ingest(spark, pdocs(0 until 20), path, "text",
+      expectedItems = 1000L, partitionCols = Seq("lang"))
+    SnapshotTable.ingestCommitFault = () =>
+      { SnapshotTable.ingest(spark, pdocs(40 until 60), path, "text",
+          expectedItems = 1000L); () }
+    val st = SnapshotTable.ingest(spark, pdocs(20 until 40), path, "text",
+      expectedItems = 1000L)
+    assert(st.version == 3L && st.nNew == 20L, st)
+    // the re-homed dir kept its k=v layout and partition pruning sees it
+    val v3dir = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-00000003"))
+    assert(v3dir.length == 1)
+    assert(v3dir.head.listFiles().filter(_.isDirectory).map(_.getName).sorted
+      .toSeq == Seq("lang=en", "lang=fr"))
+    val (en, rep) = SnapshotTable.readWhereReport(spark, path, col("lang") === "en")
+    assert(rep.nPartDirsTotal == 6 && rep.nPartDirsKept == 3, rep)
+    assert(en.count() == 30L)
+  }
+
+  test("two genuinely concurrent ingests both commit; content is their deduped union") {
+    val path = tmp("graft-race5")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    val a = docs(20 until 45) // overlap with b on 40..44
+    val b = docs(40 until 65)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[SnapshotTable.IngestStats]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(a, b).map { batch =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          results.add(SnapshotTable.ingest(spark, batch, path, "text",
+            expectedItems = 1000L))
+          ()
+        } catch { case t: Throwable => errors.add(t); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, errors)
+    import scala.jdk.CollectionConverters._
+    val vs = results.asScala.map(_.version).toSet
+    assert(vs == Set(2L, 3L), vs)
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(ids(path) == (0L until 65L).toSet)
+    val dups = SnapshotTable.read(spark, path).groupBy("text").count()
+      .filter(col("count") > 1)
+    assert(dups.isEmpty)
+  }
+}

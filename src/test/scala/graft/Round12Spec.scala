@@ -273,7 +273,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(11)
+        val op = if (i == 0) 0 else r.nextInt(12)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -373,6 +373,37 @@ class Round12Spec extends SparkSpec {
             SnapshotTable.deleteWhere(spark, path, "doc_id",
               col("doc_id").between(dlo, dhi))
             model = model.filterNot(p => p._1 >= dlo && p._1 <= dhi)
+            record()
+          case 11 => // RACING ingest: a concurrent append takes our
+            // version slot (injected via the ingestCommitFault seam)
+            // and our commit rebases — re-deduped against the racer's
+            // sidecars. The model applies the WINNER's batch first,
+            // then ours deduped against the result: content-identical
+            // to two sequential ingests, which is the rebase contract.
+            // Batches overlap the racer's fresh content half the time,
+            // so both re-home paths (pure rename / drop-and-rewrite)
+            // fuzz across seeds.
+            val yBatch = (0 until 1 + r.nextInt(2)).map(_ => freshDoc())
+            val xBatch = (0 until 1 + r.nextInt(2)).map { _ =>
+              if (r.nextBoolean()) (nextId + 200000L, yBatch(r.nextInt(yBatch.size))._2)
+              else freshDoc()
+            }
+            opsRun += s"racingIngest(x${xBatch.size}/y${yBatch.size})"
+            SnapshotTable.ingestCommitFault = () => {
+              SnapshotTable.ingest(spark, yBatch.toDF("doc_id", "text"),
+                path, "text", 1000L)
+              ()
+            }
+            SnapshotTable.ingest(spark, xBatch.toDF("doc_id", "text"),
+              path, "text", 1000L)
+            val afterY = model ++ {
+              val seen = model.map(_._2).toSet
+              yBatch.filterNot(b => seen(b._2))
+            }
+            model = afterY ++ {
+              val seen = afterY.map(_._2).toSet
+              xBatch.filterNot(b => seen(b._2))
+            }
             record()
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"
