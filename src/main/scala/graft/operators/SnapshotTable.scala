@@ -1005,6 +1005,14 @@ object SnapshotTable {
     * persisted `stats:` config or this call's `statsCols` override —
     * compacting with `sortCols` on a stats column is exactly what makes
     * the rebuilt intervals disjoint and pruning sharp.
+    *
+    * CONCURRENT APPENDS are safe: a compaction that loses the
+    * version-slot race to interleaved `ingest` commits REBASES — the
+    * compacted dir re-homes (pure rename) next to the interleaved
+    * append dirs it never read, at O(delta) cost and bounded retries
+    * (see [[rebaseLostCompact]]). A concurrent COMPACTION or any
+    * rewrite (overwrite/merge/merge-on-read) refuses loudly — the
+    * chain this rewrite replaced no longer exists.
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
@@ -1092,21 +1100,39 @@ object SnapshotTable {
     // into a named reference (readBloom would then trust it). A chain
     // with NO named bloom gets one built from the compacted output when
     // textCol is given, so the next ingest's probe path is O(delta).
+    var rebuiltBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
     val outBloomName = (m.bloom, textCol) match {
       case (some @ Some(_), _) if m.tombstones.isEmpty => some
       case (_, Some(tc)) =>
         val name = f"b${v + 1}%08d-${nextDir.takeRight(8)}.bin"
-        writeBloomAt(spark, path, name,
-          bloomOf(written, xxhash64(contentKey(col(tc))), expectedItems, fpp))
+        val b = bloomOf(written, xxhash64(contentKey(col(tc))), expectedItems, fpp)
+        writeBloomAt(spark, path, name, b)
+        rebuiltBloom = Some(b)
         Some(name)
       case _ => None
     }
     val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
     writeStatsSidecar(spark, path, nextDir, written, effStats)
-    commit(spark, path, v + 1, Manifest(Seq(nextDir), m.format, outBloomName,
-      m.schema.orElse(Some(nullableSchema(written.schema))), effStats,
-      kind = Some("compact"), partitionCols = m.partitionCols))
-    val after = listDataFiles(f, new Path(path, nextDir)).size
+    val committedSchema = m.schema.getOrElse(nullableSchema(written.schema))
+    val fault = compactCommitFault
+    compactCommitFault = () => ()
+    fault()
+    val finalDir =
+      try {
+        commit(spark, path, v + 1, Manifest(Seq(nextDir), m.format, outBloomName,
+          Some(committedSchema), effStats,
+          kind = Some("compact"), partitionCols = m.partitionCols))
+        nextDir
+      } catch {
+        case _: CommitConflictException =>
+          // a concurrent committer took our version slot: when only
+          // appends interleaved, the rewrite still replaces exactly the
+          // dirs it read — rebase instead of throwing the rewrite away
+          // (see [[rebaseLostCompact]])
+          rebaseLostCompact(spark, path, m, v, committedSchema, effStats,
+            nextDir, rebuiltBloom, expectedItems, fpp, retries = 5)
+      }
+    val after = listDataFiles(f, new Path(path, finalDir)).size
     Sink.CompactionStats(before.length, after, totalBytes)
   }
 
@@ -1547,6 +1573,129 @@ object SnapshotTable {
           parentV = Some(winnerV)
           parentDirs = winnerM.dirs
           stagedDir = newDir
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Test seam: invoked exactly once immediately before [[compact]]'s
+    * first commit attempt, then self-clears. Lets specs inject a
+    * deterministic concurrent commit (no thread timing) to drive the
+    * rebase path. No-op in production.
+    */
+  private[graft] var compactCommitFault: () => Unit = () => ()
+
+  /** Optimistic-concurrency rebase for a LOST compaction commit. When
+    * only APPENDS interleaved, the staged rewrite of the original chain
+    * still replaces exactly those dirs — the rebased manifest is
+    * [compacted dir] ++ [interleaved append dirs], the compacted dir
+    * re-homed at the new version by pure rename (its content never
+    * changes, so nothing re-stages and the rebase never scans the
+    * table). The interleaved appends were deduped against a bloom
+    * covering the compacted content, so the content-dedup invariant is
+    * untouched. Tombstones clear as in any compaction: the parent's
+    * overlay is materialized in the compacted output, and append
+    * commits never add tombstones, so the appended rows were never
+    * masked. Bloom selection:
+    *
+    *   - parent had NO tombstones: compacted content == parent content,
+    *     and the winner's manifest-named bloom already covers
+    *     parent ∪ appends — the rebased manifest references the
+    *     WINNER's bloom. (If the winner names none, the rebase names
+    *     none: the compaction's own bloom under-covers the appends and
+    *     naming it would let a replayed append row pass as
+    *     probe-negative; the next ingest pays the documented one-scan
+    *     rebuild instead.)
+    *   - tombstones were materialized: deleted content must LEAVE the
+    *     dedup universe here (the re-admission contract), so the
+    *     winner's bloom — which still covers it — is unusable; the
+    *     bloom rebuilt from the compacted output merges the append
+    *     dirs' ~16 B/row hash sidecars (O(delta)). Without a rebuilt
+    *     bloom (no `textCol`) or a missing sidecar, the manifest names
+    *     none.
+    *
+    * A concurrent COMPACT refuses: the chain this rewrite replaces no
+    * longer exists, so the staged output is obsolete — and the caller's
+    * compaction goal is already met by the winner. Rewrites (overwrite/
+    * merge/merge-on-read) and schema/partition changes refuse loudly,
+    * as in [[rebaseLostAppend]]. Returns the committed dir name.
+    */
+  private def rebaseLostCompact(spark: SparkSession, path: String,
+      parentM: Manifest, parentV: Long, committedSchema: StructType,
+      effStats: Seq[String], compactedDir0: String,
+      rebuiltBloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      expectedItems: Long, fpp: Double, retries: Int): String = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, new Path(path))
+    var compactedDir = compactedDir0
+    var attempt = 0
+    while (true) {
+      val winnerV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"commit conflict at $path with no current version — manifest store inconsistent"))
+      val chain = ((parentV + 1) to winnerV)
+        .map(v => v -> readManifestChecked(spark, path, v))
+      chain.foreach { case (cv, mm) =>
+        val k = mm.kind.getOrElse("unknown")
+        if (k == "compact") throw new java.io.IOException(
+          s"compaction at $path lost the commit race to a concurrent compaction " +
+            s"(version $cv); this rewrite is obsolete — the chain it replaced " +
+            "no longer exists and the winner already compacted it")
+        if (k != "append") throw new java.io.IOException(
+          s"compaction at $path lost the commit race to version $cv (kind '$k'); " +
+            "only append interleavings rebase automatically — re-run the " +
+            "compaction against the current snapshot")
+      }
+      val winnerM = chain.last._2
+      if (!winnerM.schema.forall(_ == committedSchema))
+        throw new java.io.IOException(
+          s"compaction at $path lost the commit race and the winner committed a " +
+            "different schema; re-run the compaction against the current snapshot")
+      if (winnerM.partitionCols != parentM.partitionCols)
+        throw new java.io.IOException(
+          s"compaction at $path lost the commit race and the winner committed " +
+            "different partitioning; re-run the compaction against the current snapshot")
+      val parentSet = parentM.dirs.toSet
+      val appendAdded = winnerM.dirs.filterNot(parentSet)
+      val next = winnerV + 1
+      val newDir = stageDir(next)
+      renameStaged(f, path, compactedDir, newDir)
+      val bloomName =
+        if (parentM.tombstones.isEmpty) winnerM.bloom
+        else rebuiltBloom.flatMap { rb =>
+          val sidecars = appendAdded.map(d => hashesDir(path, d))
+          if (appendAdded.isEmpty || sidecars.forall(f.exists)) {
+            val merged =
+              if (appendAdded.isEmpty) Some(rb)
+              else {
+                // re-merging dirs already merged on a prior attempt is
+                // a bitwise-idempotent OR — safe across the retry loop
+                val ab = bloomOf(
+                  spark.read.format(parentM.format)
+                    .load(sidecars.map(_.toString): _*),
+                  xxhash64(col("__h")), expectedItems, fpp)
+                if (rb.isCompatible(ab)) { rb.mergeInPlace(ab); Some(rb) }
+                else None
+              }
+            merged.map { b =>
+              val name = f"b$next%08d-${newDir.takeRight(8)}.bin"
+              writeBloomAt(spark, path, name, b)
+              name
+            }
+          } else None
+        }
+      try {
+        commit(spark, path, next, Manifest(newDir +: appendAdded, parentM.format,
+          bloomName, Some(committedSchema), effStats,
+          kind = Some("compact"), partitionCols = parentM.partitionCols))
+        return newDir
+      } catch {
+        case _: CommitConflictException =>
+          attempt += 1
+          if (attempt >= retries) throw new java.io.IOException(
+            s"compaction at $path lost $retries consecutive commit races; " +
+              "giving up — retry under lower commit contention")
+          compactedDir = newDir
       }
     }
     throw new IllegalStateException("unreachable")

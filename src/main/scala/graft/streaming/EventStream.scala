@@ -178,6 +178,11 @@ object EventStream {
     * runs after the batch commit, same thread) but nothing enforces
     * against an external process. With out-of-band writers, keep the
     * grace comfortably above their staging time (default 24 h).
+    * COMMITS, by contrast, need no single-writer assumption: both this
+    * sink's ingests and its compactions rebase onto a concurrent
+    * append's winning commit instead of failing (see
+    * `SnapshotTable.rebaseLostAppend`/`rebaseLostCompact`) — only
+    * vacuum's grace window carries the caveat above.
     */
   final case class Maintenance(everyBatches: Int = 100, keep: Int = 2,
                                targetFileBytes: Long = 128L * 1024 * 1024,

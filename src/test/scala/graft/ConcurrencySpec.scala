@@ -124,6 +124,116 @@ class ConcurrencySpec extends SparkSpec {
     assert(en.count() == 30L)
   }
 
+  test("a lost compaction rebases onto interleaved appends: compacted + appended dirs") {
+    val path = tmp("graft-race6")
+    SnapshotTable.ingest(spark, docs(0 until 30), path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark, docs(30 until 60), path, "text", expectedItems = 1000L)
+    // the fault fires between compact's staging and its commit: a
+    // concurrent append takes version 3, the compaction lands at 4
+    SnapshotTable.compactCommitFault = () =>
+      { SnapshotTable.ingest(spark, docs(60 until 80), path, "text",
+          expectedItems = 1000L); () }
+    SnapshotTable.compact(spark, path, textCol = Some("text"),
+      expectedItems = 1000L)
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(path) == (0L until 80L).toSet)
+    // manifest = the compacted dir (re-homed at v4) + the interleaved
+    // append's delta dir — the append's rows never re-staged
+    val m = SnapshotTable.readManifestChecked(spark, path, 4L)
+    assert(m.dirs.size == 2, m.dirs)
+    assert(m.dirs.head.startsWith("snap-00000004"), m.dirs)
+    assert(m.dirs.exists(_.startsWith("snap-00000003")), m.dirs)
+    assert(m.kind.contains("compact"), m.kind)
+    // the rebased manifest references the WINNER's bloom (which covers
+    // parent ∪ append): replaying anything admits nothing
+    val replay = SnapshotTable.ingest(spark, docs(0 until 80), path, "text",
+      expectedItems = 1000L)
+    assert(replay.nNew == 0L, replay)
+  }
+
+  test("a lost compaction with tombstones rebuilds its bloom over the appends' sidecars") {
+    import spark.implicits._
+    val path = tmp("graft-race7")
+    SnapshotTable.ingest(spark, docs(0 until 40), path, "text", expectedItems = 1000L)
+    // delete 10..19 via a MOR tombstone; the compaction materializes it
+    SnapshotTable.mergeOnRead(spark,
+      (10L until 20L).map(k => (k, "en", "ignored", true))
+        .toDF("doc_id", "lang", "text", "is_deleted"),
+      path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+      expectedItems = 1000L)
+    SnapshotTable.compactCommitFault = () =>
+      { SnapshotTable.ingest(spark, docs(50 until 70), path, "text",
+          expectedItems = 1000L); () }
+    SnapshotTable.compact(spark, path, textCol = Some("text"),
+      expectedItems = 1000L)
+    assert(ids(path) ==
+      ((0L until 10L) ++ (20L until 40L) ++ (50L until 70L)).toSet)
+    val m = SnapshotTable.readManifestChecked(spark, path,
+      SnapshotTable.currentVersion(spark, path).get)
+    assert(m.tombstones.isEmpty && m.kind.contains("compact"), m)
+    // deleted content LEFT the dedup universe at compaction even under
+    // the race: a re-crawl of row 10 re-admits it...
+    val re = SnapshotTable.ingest(spark, docs(10 until 11), path, "text",
+      expectedItems = 1000L)
+    assert(re.nNew == 1L, re)
+    // ...while the interleaved append's content — covered only via the
+    // merged-in sidecar bloom — stays deduplicated
+    val replay = SnapshotTable.ingest(spark, docs(50 until 70), path, "text",
+      expectedItems = 1000L)
+    assert(replay.nNew == 0L, replay)
+  }
+
+  test("a compaction lost to a concurrent compaction refuses: the rewrite is obsolete") {
+    val path = tmp("graft-race8")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark, docs(20 until 40), path, "text", expectedItems = 1000L)
+    SnapshotTable.compactCommitFault = () =>
+      { SnapshotTable.compact(spark, path, textCol = Some("text"),
+          expectedItems = 1000L); () }
+    val e = intercept[java.io.IOException] {
+      SnapshotTable.compact(spark, path, textCol = Some("text"),
+        expectedItems = 1000L)
+    }
+    assert(e.getMessage.contains("concurrent compaction"), e.getMessage)
+    // the winner's compaction is current and intact
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(ids(path) == (0L until 40L).toSet)
+  }
+
+  test("a live ingest/compact race: both commit regardless of winner order") {
+    val path = tmp("graft-race9")
+    SnapshotTable.ingest(spark, docs(0 until 30), path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark, docs(30 until 60), path, "text", expectedItems = 1000L)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tIngest = new Thread(() => {
+      try {
+        barrier.await()
+        SnapshotTable.ingest(spark, docs(60 until 90), path, "text",
+          expectedItems = 1000L)
+        ()
+      } catch { case t: Throwable => errors.add(t); () }
+    })
+    val tCompact = new Thread(() => {
+      try {
+        barrier.await()
+        SnapshotTable.compact(spark, path, textCol = Some("text"),
+          expectedItems = 1000L)
+        ()
+      } catch { case t: Throwable => errors.add(t); () }
+    })
+    Seq(tIngest, tCompact).foreach(_.start())
+    Seq(tIngest, tCompact).foreach(_.join(120000))
+    assert(errors.isEmpty, errors)
+    // whoever lost rebased: versions 3 and 4 both exist, content is
+    // the full union, and the committed bloom still covers everything
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(path) == (0L until 90L).toSet)
+    val replay = SnapshotTable.ingest(spark, docs(0 until 90), path, "text",
+      expectedItems = 1000L)
+    assert(replay.nNew == 0L, replay)
+  }
+
   test("two genuinely concurrent ingests both commit; content is their deduped union") {
     val path = tmp("graft-race5")
     SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)

@@ -273,7 +273,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(12)
+        val op = if (i == 0) 0 else r.nextInt(13)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -403,6 +403,27 @@ class Round12Spec extends SparkSpec {
             model = afterY ++ {
               val seen = afterY.map(_._2).toSet
               xBatch.filterNot(b => seen(b._2))
+            }
+            record()
+          case 12 => // RACING compact: a concurrent append takes the
+            // version slot (ingestCommitFault's compact twin) and the
+            // compaction rebases — compacted dir + the interleaved
+            // delta. The model is "append applied, then a content
+            // no-op": identical to sequential ops 0-then-3. When prior
+            // mergeOnRead ops left tombstones outstanding, this also
+            // fuzzes the rebuilt-bloom-plus-append-sidecars path.
+            val rBatch = (0 until 1 + r.nextInt(2)).map(_ => freshDoc())
+            opsRun += s"racingCompact(y${rBatch.size})"
+            SnapshotTable.compactCommitFault = () => {
+              SnapshotTable.ingest(spark, rBatch.toDF("doc_id", "text"),
+                path, "text", 1000L)
+              ()
+            }
+            SnapshotTable.compact(spark, path, textCol = Some("text"),
+              expectedItems = 1000L)
+            model = model ++ {
+              val seen = model.map(_._2).toSet
+              rBatch.filterNot(b => seen(b._2))
             }
             record()
           case 7 => // drifted batch: rejected loudly, no commit, no state change
