@@ -1208,6 +1208,15 @@ object SnapshotTable {
       s"versions $fromVersion..$to at $path are not an append-only chain " +
         s"(merge-on-read tombstones ${newTs.mkString(", ")} were added in the range, " +
         "masking earlier rows); use a keyed diff of readAt frames instead")
+    // the symmetric check: tombstones DROPPED with the dir list intact
+    // (a rollback across a pure-delete merge-on-read commit) resurrect
+    // masked rows — rows were logically ADDED with no dir to show for it
+    val goneTs = fromM.tombstones.filterNot(toM.tombstones.toSet)
+    if (goneTs.nonEmpty) throw new IllegalArgumentException(
+      s"versions $fromVersion..$to at $path are not an append-only chain " +
+        s"(tombstones ${goneTs.mkString(", ")} were dropped in the range — a " +
+        "rollback resurrected rows they masked); use a keyed diff of readAt " +
+        "frames instead")
     val added = toM.dirs.filterNot(fromM.dirs.toSet)
     if (added.isEmpty) readAt(spark, path, to).limit(0)
     else {
@@ -1215,6 +1224,48 @@ object SnapshotTable {
       toM.schema.fold(reader)(reader.schema)
         .load(added.map(d => new Path(path, d).toString): _*)
     }
+  }
+
+  final case class RollbackStats(version: Long, toVersion: Long)
+
+  /** Roll the table back to a RETAINED earlier version as a NEW commit
+    * (the Delta RESTORE / Iceberg rollback contract): version cur+1
+    * re-references `toVersion`'s manifest content verbatim — dirs,
+    * bloom, schema, stats config, tombstone overlay, partitioning.
+    * PURE METADATA: no data file is read, copied, or moved. Snapshot
+    * dirs are immutable and [[expire]]/[[vacuum]] refcount dirs,
+    * blooms, and tombstones across ALL retained manifests, so the
+    * re-references keep every artifact alive even after the rolled-over
+    * versions expire. History stays linear and auditable — the bad
+    * commits remain retained and time-travelable until [[expire]] trims
+    * them, and "rolling forward" again is just another rollback to a
+    * later retained version. Rolling back to the CURRENT version is a
+    * no-op and does not commit (idempotent re-runs never grow the
+    * version log); an expired or never-committed target fails loudly
+    * with the retained range. Dedup follows content: content first
+    * admitted AFTER `toVersion` leaves the bloom universe with the
+    * rollback, so a later re-crawl re-admits it — the same re-admission
+    * contract compaction applies to deleted content.
+    *
+    * Changelog semantics: a rollback is a REWRITE-class commit — the
+    * version-log stream flags it (including the dirs-intact case where
+    * only tombstones were dropped, resurrecting the rows they masked)
+    * and [[addedBetween]] refuses ranges that cross it.
+    *
+    * Concurrency: a lost version-slot race surfaces
+    * [[CommitConflictException]] to the caller — rebasing a rollback
+    * over a concurrent commit would silently discard that commit, which
+    * is exactly what a rollback must never do implicitly.
+    */
+  def rollback(spark: SparkSession, path: String, toVersion: Long): RollbackStats = {
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    require(toVersion <= cur,
+      s"cannot roll back to future version $toVersion (current is $cur)")
+    if (toVersion == cur) return RollbackStats(cur, toVersion)
+    val target = readManifestChecked(spark, path, toVersion)
+    commit(spark, path, cur + 1, target.copy(kind = Some("rollback")))
+    RollbackStats(cur + 1, toVersion)
   }
 
   /** Cheap chain shape probe for maintenance policies: (number of

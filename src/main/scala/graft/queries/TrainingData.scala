@@ -3732,6 +3732,46 @@ object TrainingData {
       WHERE doc_id < 400
       ORDER BY doc_id"""))
 
+  // ---- d32_snapshot_rollback: RESTORE as a commit, dedup follows --------
+  // The rollback contract through the oracle gate: v1 ingests
+  // doc_id<300, v2 ingests the "bad batch" 300..499, v3 rolls back to
+  // v1 (pure metadata — v1's manifest content re-referenced, nothing
+  // staged), v4 re-crawls 300..399. Because the rollback dropped the
+  // bad batch's content from the dedup universe (the bloom reference
+  // is v1's again), the re-crawl is ADMITTED — the same re-admission
+  // contract compaction applies to deleted content, here proven
+  // through DuckDB replaying the final state as a plain filter: rows
+  // <300 from the kept base, 300..399 from the re-crawl, 400..499
+  // gone with the rollback. Round13Spec pins the mechanism (metadata-
+  // only manifest, expire keeping re-referenced dirs, the flagged
+  // rewrite in the changelog); this row pins the user-visible state.
+  private def d32Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d32", expect = Seq(1L, 2L, 3L, 4L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("#"), col("doc_id")).as("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 300), path, "text",
+        expectedItems = 100000L)
+      SnapshotTable.ingest(s, docs.filter(col("doc_id").between(300, 499)),
+        path, "text", expectedItems = 100000L)
+      SnapshotTable.rollback(s, path, 1L)
+      SnapshotTable.ingest(s, docs.filter(col("doc_id").between(300, 399)),
+        path, "text", expectedItems = 100000L)
+      ()
+    }
+
+  private val d32 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d32Fixture(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE doc_id < 400
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3767,6 +3807,7 @@ object TrainingData {
     "d29_table_history" -> d29,
     "d30_partitioned_scan" -> d30,
     "d31_concurrent_ingest" -> d31,
+    "d32_snapshot_rollback" -> d32,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

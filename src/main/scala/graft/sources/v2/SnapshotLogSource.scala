@@ -140,15 +140,20 @@ class SnapshotLogStream(path: String, startVersion: Option[String]) extends Micr
           val pm = SnapshotTable.readManifestChecked(spark, path, v - 1)
           Some((pm.dirs, pm.tombstones))
         } else None
-      // rewrite = a dir left the list (compact/write/COW merge) or the
-      // parent expired (delta unprovable). A merge-on-read commit is
-      // NOT a rewrite: it is a well-formed delta — added dirs carry the
-      // upserts, added tombstones carry the deleted/updated keys — and
-      // emits as one, with the keys alongside so a consumer can APPLY
-      // it instead of resyncing (the sink still refuses it by default;
-      // naive append consumers would double-count updated keys).
-      val rewrite = prev.fold(true) { case (pDirs, _) =>
-        pDirs.exists(d => !m.dirs.contains(d))
+      // rewrite = a dir left the list (compact/write/COW merge), a
+      // tombstone left the list with the dirs intact (a rollback across
+      // a pure-delete merge-on-read commit resurrects the rows it
+      // masked — logically ADDED rows with no dir to show for it), or
+      // the parent expired (delta unprovable). A merge-on-read commit
+      // is NOT a rewrite: it is a well-formed delta — added dirs carry
+      // the upserts, added tombstones carry the deleted/updated keys —
+      // and emits as one, with the keys alongside so a consumer can
+      // APPLY it instead of resyncing (the sink still refuses it by
+      // default; naive append consumers would double-count updated
+      // keys).
+      val rewrite = prev.fold(true) { case (pDirs, pTs) =>
+        pDirs.exists(d => !m.dirs.contains(d)) ||
+          pTs.exists(t => !m.tombstones.contains(t))
       }
       val emitted =
         if (rewrite) m.dirs else m.dirs.filterNot(prev.map(_._1).getOrElse(Nil).toSet)

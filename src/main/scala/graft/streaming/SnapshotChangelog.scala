@@ -84,9 +84,10 @@ object SnapshotChangelog {
         }.sortBy(_.version)
         commits.foreach { c =>
           if (c.rewrite && !allowRewrites) throw new IllegalStateException(
-            s"version ${c.version} of $tablePath is a rewrite commit (compact/write/merge); " +
-              "its by-directory delta does not exist. Pass allowRewrites = true and handle " +
-              "the flagged commit, or pause maintenance while this stream runs")
+            s"version ${c.version} of $tablePath is a rewrite commit " +
+              "(compact/write/merge/rollback); its by-directory delta does not exist. " +
+              "Pass allowRewrites = true and handle the flagged commit, or pause " +
+              "maintenance while this stream runs")
           if (c.tombstones.nonEmpty && !c.rewrite && !allowRewrites)
             throw new IllegalStateException(
               s"version ${c.version} of $tablePath is a merge-on-read commit; its delta " +

@@ -273,7 +273,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(13)
+        val op = if (i == 0) 0 else r.nextInt(14)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -425,6 +425,18 @@ class Round12Spec extends SparkSpec {
               val seen = model.map(_._2).toSet
               rBatch.filterNot(b => seen(b._2))
             }
+            record()
+          case 13 => // rollback to a random RETAINED version we hold a
+            // model for: current content becomes exactly that model
+            // (no-op when the target IS current); the rolled-over
+            // versions stay replayable until expire, and later ops —
+            // ingest re-admission, compact, expire refcounting the
+            // re-referenced dirs — compose on top across seeds
+            val vs0 = SnapshotTable.versions(spark, path).filter(modelAt.contains)
+            val tgt = vs0(r.nextInt(vs0.size))
+            opsRun += s"rollback($tgt)"
+            SnapshotTable.rollback(spark, path, tgt)
+            model = modelAt(tgt)
             record()
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"

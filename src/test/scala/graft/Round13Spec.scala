@@ -694,4 +694,101 @@ class Round13Spec extends SparkSpec {
     assert(got.toArray.toSeq == Seq((3L, true, "compact", Set.empty[Long], Set.empty[Long])),
       s"compaction must arrive flagged WITH its recorded kind: ${got.toArray.toSeq}")
   }
+
+  // ---- rollback: the RESTORE contract -----------------------------------
+
+  test("rollback re-references a retained version as a new commit; pure metadata") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-rollback").toString
+    SnapshotTable.ingest(spark,
+      (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark,
+      (50L until 90L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    val st = SnapshotTable.rollback(spark, path, 1L)
+    assert(st == SnapshotTable.RollbackStats(3L, 1L), st)
+    // current content is v1's; the rolled-over v2 stays time-travelable
+    assert(SnapshotTable.read(spark, path).count() == 50L)
+    assert(SnapshotTable.readAt(spark, path, 2L).count() == 90L)
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L))
+    val kinds = SnapshotTable.history(spark, path).orderBy("version")
+      .select("kind").collect().map(_.getString(0)).toSeq
+    assert(kinds.last == "rollback", kinds)
+    // pure metadata: v3 lists exactly v1's dirs and bloom — nothing
+    // was staged, copied, or rewritten
+    val m1 = SnapshotTable.readManifestChecked(spark, path, 1L)
+    val m3 = SnapshotTable.readManifestChecked(spark, path, 3L)
+    assert(m3.dirs == m1.dirs && m3.bloom == m1.bloom, (m1, m3))
+    // no-op: rolling back to the current state commits nothing
+    assert(SnapshotTable.rollback(spark, path, 3L) ==
+      SnapshotTable.RollbackStats(3L, 3L))
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L))
+    // loud error on a future target
+    assertThrows[IllegalArgumentException](SnapshotTable.rollback(spark, path, 9L))
+    // dedup follows content: v2's rows left the universe with the
+    // rollback, so a re-crawl re-admits all of them
+    val re = SnapshotTable.ingest(spark,
+      (50L until 90L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    assert(re.nNew == 40L, re)
+    assert(SnapshotTable.read(spark, path).count() == 90L)
+  }
+
+  test("expire after rollback keeps the re-referenced artifacts alive") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-rollback-exp").toString
+    SnapshotTable.ingest(spark,
+      (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark,
+      (50L until 90L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    SnapshotTable.rollback(spark, path, 1L)
+    SnapshotTable.ingest(spark,
+      (90L until 120L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    // keep=2 retains v3 (the rollback) and v4; v1's dir must survive
+    // because the retained v3/v4 manifests re-reference it
+    SnapshotTable.expire(spark, path, keep = 2)
+    assert(SnapshotTable.versions(spark, path) == Seq(3L, 4L))
+    assert(SnapshotTable.readAt(spark, path, 3L).count() == 50L)
+    assert(SnapshotTable.read(spark, path).count() == 80L)
+    // and an expired rollback target now fails loudly with the range
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.rollback(spark, path, 2L))
+    assert(e.getMessage.contains("retained versions"), e.getMessage)
+  }
+
+  test("a rollback across a pure-delete MOR commit is a flagged rewrite, not a silent no-op") {
+    import spark.implicits._
+    import graft.streaming.SnapshotChangelog
+    val path = java.nio.file.Files.createTempDirectory("graft-rollback-mor").toString
+    SnapshotTable.ingest(spark,
+      (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    SnapshotTable.mergeOnRead(spark,
+      (5L until 10L).map(k => (k, "ignored", true)).toDF("doc_id", "text", "is_deleted"),
+      path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+      expectedItems = 1000L)
+    assert(SnapshotTable.read(spark, path).count() == 25L)
+    // the rollback drops ONLY tombstones — the dir list is unchanged,
+    // which is exactly the shape a dir-diff-only changelog would
+    // misread as an empty append
+    SnapshotTable.rollback(spark, path, 1L)
+    assert(SnapshotTable.read(spark, path).count() == 30L)
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.addedBetween(spark, path, 2L, Some(3L)))
+    assert(e.getMessage.contains("dropped"), e.getMessage)
+    // the version-log stream emits the rollback as a REWRITE row with
+    // its recorded kind (delta = the version's full correct row set)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, String, Long)]()
+    val q = SnapshotChangelog.changelogSink(spark, path,
+      (delta, c) => { got.add((c.version, c.rewrite, c.kind, delta.count())); () },
+      startVersion = Some("2"), allowRewrites = true)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toArray.toSeq == Seq((3L, true, "rollback", 30L)),
+      s"rollback must arrive flagged with its kind: ${got.toArray.toSeq}")
+  }
 }
