@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -46,6 +46,15 @@ import java.util
   * `startVersion` option: `latest` (default — only commits after stream
   * start), `earliest` (replay every retained commit), or a number N
   * (emit versions > N).
+  *
+  * `maxVersionsPerBatch` option (admission control — the Kafka
+  * `maxOffsetsPerTrigger` / Delta `maxFilesPerTrigger` analog): cap how
+  * many commits one micro-batch may span. Without it, an `earliest`
+  * backfill of a long-lived table plans EVERY retained version into the
+  * first batch — thousands of manifest reads and one giant delta load
+  * where a 100 TB consumer needs bounded, checkpointed progress.
+  * Throttled batches commit their cursor after each slice, so a restart
+  * mid-backfill resumes at the slice boundary instead of version 0.
   */
 class SnapshotLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = SnapshotLogSource.Format
@@ -56,7 +65,14 @@ class SnapshotLogSource extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path")).filter(_.nonEmpty).getOrElse(
       throw new IllegalArgumentException(
         s"${SnapshotLogSource.Format} needs the table path: .load(<snapshot table path>)"))
-    new SnapshotLogTable(path, Option(properties.get("startVersion")))
+    val maxPerBatch = Option(properties.get("maxVersionsPerBatch")).map { s =>
+      val n = scala.util.Try(s.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxVersionsPerBatch must be a positive integer; got '$s'"))
+      require(n > 0, s"maxVersionsPerBatch must be a positive integer; got $n")
+      n
+    }
+    new SnapshotLogTable(path, Option(properties.get("startVersion")), maxPerBatch)
   }
 }
 
@@ -71,7 +87,8 @@ object SnapshotLogSource {
     StructField("kind", StringType, nullable = false)))
 }
 
-class SnapshotLogTable(path: String, startVersion: Option[String])
+class SnapshotLogTable(path: String, startVersion: Option[String],
+                       maxVersionsPerBatch: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"${SnapshotLogSource.Format}($path)"
   override def schema(): StructType = SnapshotLogSource.schema
@@ -82,7 +99,7 @@ class SnapshotLogTable(path: String, startVersion: Option[String])
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = SnapshotLogSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotLogStream(path, startVersion)
+          new SnapshotLogStream(path, startVersion, maxVersionsPerBatch)
         override def description(): String = name()
       }
     }
@@ -95,7 +112,9 @@ case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-class SnapshotLogStream(path: String, startVersion: Option[String]) extends MicroBatchStream {
+class SnapshotLogStream(path: String, startVersion: Option[String],
+                        maxVersionsPerBatch: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
@@ -115,7 +134,31 @@ class SnapshotLogStream(path: String, startVersion: Option[String]) extends Micr
     VersionOffset(v)
   }
 
-  override def latestOffset(): Offset =
+  // Admission control: one version = one emitted row, so ReadMaxRows is
+  // an exact cap on versions per micro-batch. The engine calls the
+  // two-arg latestOffset when SupportsAdmissionControl is implemented;
+  // the no-arg form must never be reached (same contract as Kafka's).
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = SnapshotTable.currentVersion(spark, path).getOrElse(0L)
+    val from = start.asInstanceOf[VersionOffset].v
+    def cap(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows => from + r.maxRows()
+      case c: CompositeReadLimit => c.getReadLimits.map(cap).min
+      case _ => head // allAvailable / minRows: no upper cap
+    }
+    VersionOffset(math.min(head, cap(limit)))
+  }
+
+  /** The TRUE head for progress reporting, independent of the cap — what
+    * lets a monitor see backfill lag (cursor vs head) while throttled.
+    */
+  override def reportLatestOffset(): Offset =
     VersionOffset(SnapshotTable.currentVersion(spark, path).getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)

@@ -45,9 +45,12 @@ object SnapshotChangelog {
     * registration is visible.
     */
   def readLog(spark: SparkSession, tablePath: String,
-              startVersion: Option[String] = None): DataFrame = {
-    val r = spark.readStream.format(classOf[SnapshotLogSource].getName)
-    startVersion.fold(r)(v => r.option("startVersion", v)).load(tablePath)
+              startVersion: Option[String] = None,
+              maxVersionsPerBatch: Option[Long] = None): DataFrame = {
+    val r0 = spark.readStream.format(classOf[SnapshotLogSource].getName)
+    val r1 = startVersion.fold(r0)(v => r0.option("startVersion", v))
+    maxVersionsPerBatch.fold(r1)(n => r1.option("maxVersionsPerBatch", n.toString))
+      .load(tablePath)
   }
 
   /** Tail the table: for every commit, load its added directories as a
@@ -66,14 +69,19 @@ object SnapshotChangelog {
     * stop are never redelivered, commits landed while the stream was
     * down arrive on resume (foreachBatch keeps its usual at-least-once
     * edge on a crash mid-batch — make `onCommit` idempotent, exactly as
-    * with every Spark sink).
+    * with every Spark sink). `maxVersionsPerBatch` bounds a backfill:
+    * each micro-batch spans at most that many commits, and the cursor
+    * checkpoints at every slice boundary — on a long table an
+    * `earliest` consumer makes bounded, restartable progress instead of
+    * loading the whole history as one batch.
     */
   def changelogSink(spark: SparkSession, tablePath: String,
                     onCommit: (DataFrame, Commit) => Unit,
                     checkpoint: Option[String] = None,
                     startVersion: Option[String] = None,
-                    allowRewrites: Boolean = false): StreamingQuery = {
-    val w = readLog(spark, tablePath, startVersion).writeStream
+                    allowRewrites: Boolean = false,
+                    maxVersionsPerBatch: Option[Long] = None): StreamingQuery = {
+    val w = readLog(spark, tablePath, startVersion, maxVersionsPerBatch).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // a micro-batch can span several commits; rows are metadata-tiny
         val commits = batch.collect().map { r =>

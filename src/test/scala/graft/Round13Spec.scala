@@ -791,4 +791,78 @@ class Round13Spec extends SparkSpec {
     assert(got.toArray.toSeq == Seq((3L, true, "rollback", 30L)),
       s"rollback must arrive flagged with its kind: ${got.toArray.toSeq}")
   }
+
+  // ---- maxVersionsPerBatch: admission-controlled backfill ---------------
+
+  private def ingestN(path: String, fromV: Int, n: Int): Unit = {
+    import spark.implicits._
+    (0 until n).foreach { k =>
+      val base = (fromV + k) * 100L
+      SnapshotTable.ingest(spark,
+        (base until base + 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+        path, "text", expectedItems = 1000L)
+    }
+  }
+
+  test("maxVersionsPerBatch slices an earliest backfill into bounded, ordered batches") {
+    import graft.streaming.SnapshotChangelog
+    val path = java.nio.file.Files.createTempDirectory("graft-throttle").toString
+    ingestN(path, 0, 5)
+    def run(cap: Option[Long]): Seq[Seq[Long]] = {
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+      val q = SnapshotChangelog.readLog(spark, path, Some("earliest"), cap)
+        .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = b.select("version").collect().map(_.getLong(0)).toSeq.sorted
+          if (vs.nonEmpty) batches.add(vs)
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      batches.asScala.toSeq
+    }
+    // throttled: three slices of <=2 commits, in order, exactly once
+    val sliced = run(Some(2L))
+    assert(sliced.flatten == (1L to 5L), sliced)
+    assert(sliced.forall(_.size <= 2), sliced)
+    assert(sliced.size == 3, s"cap=2 over 5 commits must yield 3 slices: $sliced")
+    // unthrottled control: the whole history arrives as ONE batch —
+    // pinning that the cap (not micro-batch accident) made the slices
+    val whole = run(None)
+    assert(whole == Seq(1L to 5L), whole)
+  }
+
+  test("a throttled checkpointed consumer resumes without replay and keeps the cap") {
+    import graft.streaming.SnapshotChangelog
+    val path = java.nio.file.Files.createTempDirectory("graft-throttle-ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-throttle-ckpt-c").toString
+    ingestN(path, 0, 5)
+    def run(): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = SnapshotChangelog.changelogSink(spark, path,
+        (_, c) => { got.add(c.version); () },
+        checkpoint = Some(ckpt), startVersion = Some("earliest"),
+        maxVersionsPerBatch = Some(2L))
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    assert(run() == (1L to 5L))
+    ingestN(path, 5, 3)
+    // restart: only the three new commits arrive — the backfill's slice
+    // cursors were checkpointed, nothing replays
+    assert(run() == (6L to 8L))
+  }
+
+  test("maxVersionsPerBatch rejects non-positive and non-numeric values loudly") {
+    import graft.streaming.SnapshotChangelog
+    val path = java.nio.file.Files.createTempDirectory("graft-throttle-bad").toString
+    ingestN(path, 0, 1)
+    val e = intercept[IllegalArgumentException](
+      SnapshotChangelog.readLog(spark, path, None, Some(0L)))
+    assert(e.getMessage.contains("maxVersionsPerBatch"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      spark.readStream.format(classOf[graft.sources.v2.SnapshotLogSource].getName)
+        .option("maxVersionsPerBatch", "two").load(path))
+    assert(e2.getMessage.contains("maxVersionsPerBatch"), e2.getMessage)
+  }
 }
