@@ -1136,6 +1136,97 @@ object SnapshotTable {
     Sink.CompactionStats(before.length, after, totalBytes)
   }
 
+  final case class BinpackStats(version: Long, nDirsMerged: Int, nDirsKept: Int,
+                                bytesMerged: Long, committed: Boolean)
+
+  /** Incremental bin-pack compaction: merge ONLY the small-directory
+    * tail of an append chain into one size-targeted directory, leaving
+    * every directory at or above `smallDirBytes` untouched — the
+    * Iceberg `rewriteDataFiles` binpack strategy reduced to its chain
+    * form. Cost is O(small tail): the big directories are never read,
+    * never rewritten, and keep their exact file names, so their stats
+    * sidecars (and therefore [[readWhere]] pruning) survive unchanged.
+    * This is what daily maintenance on a 100 TB table actually runs —
+    * [[compact]]'s full rewrite is the right tool after a merge or to
+    * re-cluster, but compacting a petabyte because the last hour added
+    * forty small commits is not a plan that survives scale.
+    *
+    * PURE LAYOUT OP: content is unchanged, so the merged directory's
+    * hash sidecar is the pure union of the merged inputs' sidecars (no
+    * payload re-hash; if any input lacks one, none is written and the
+    * next ingest pays the usual one-time rebuild) and the table bloom
+    * carries forward BY REFERENCE — the dedup universe is exactly what
+    * it was, unlike [[compact]] over tombstones, which is precisely the
+    * operation that re-opens it.
+    *
+    * Fewer than two small directories = a content AND layout no-op:
+    * nothing commits, the version log does not grow (idempotent
+    * maintenance loops never churn the manifest chain).
+    *
+    * An outstanding merge-on-read overlay refuses loudly: the overlay
+    * masks by key across ALL directories, and materializing it for only
+    * the rewritten subset would silently split the table into
+    * overlay-applied and overlay-pending halves under one tombstone
+    * list. Run [[compact]] (which materializes and resets the overlay)
+    * first.
+    *
+    * Like every rewrite it is a rewrite-class commit downstream:
+    * [[addedBetween]] refuses ranges crossing it and the version-log
+    * stream flags it with kind `binpack`. A lost version-slot race
+    * surfaces [[CommitConflictException]]; re-running is cheap by
+    * construction.
+    */
+  def compactSmall(spark: SparkSession, path: String,
+                   smallDirBytes: Long = 64L * 1024 * 1024,
+                   targetFileBytes: Long = 128L * 1024 * 1024): BinpackStats = {
+    require(smallDirBytes > 0, s"smallDirBytes must be positive, got $smallDirBytes")
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, v)
+    if (m.tombstones.nonEmpty) throw new IllegalStateException(
+      s"$path has ${m.tombstones.size} outstanding merge-on-read tombstone sidecar(s); " +
+        "binpack rewrites only a subset of directories and cannot materialize a " +
+        "table-wide key overlay for it. Run compact() first to materialize and reset " +
+        "the overlay, then binpack the append tail")
+    val f = fs(spark, new Path(path))
+    val sized = m.dirs.map(d => d -> listDataFiles(f, new Path(path, d)).map(_.getLen).sum)
+    val (smalls, bigs) = sized.partition(_._2 < smallDirBytes)
+    if (smalls.size < 2)
+      return BinpackStats(v, 0, m.dirs.size, 0L, committed = false)
+    val smallBytes = smalls.map(_._2).sum
+    val nOut = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+    val df = rawScan(spark, path, m.copy(dirs = smalls.map(_._1)))
+    // same partition-safe spreading as [[compact]]'s plain branch: on a
+    // partitioned table, range-spread on a synthetic id keeps each task
+    // on a contiguous slice so partitionBy emits a handful of files per
+    // task instead of one per (task × partition value)
+    val spread =
+      if (m.partitionCols.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+        df.withColumn("__spread", monotonically_increasing_id())
+          .repartitionByRange(nOut, m.partitionCols.map(df(_)) :+ col("__spread"): _*)
+          .drop("__spread")
+      } else df.repartition(nOut)
+    val nextDir = stageDir(v + 1)
+    stagedWrite(spread, new Path(path, nextDir), m.format, m.partitionCols)
+    // hash sidecar: pure union of the merged inputs' sidecars — content
+    // is unchanged, so no payload is re-hashed
+    val srcSidecars = smalls.map(s => hashesDir(path, s._1))
+    if (srcSidecars.forall(f.exists))
+      spark.read.format(m.format).load(srcSidecars.map(_.toString): _*)
+        .write.mode("overwrite").format(m.format)
+        .save(hashesDir(path, nextDir).toString)
+    lazy val written = {
+      val r = spark.read.format(m.format)
+      (if (m.partitionCols.isEmpty) r
+       else m.schema.fold(r)(r.schema)).load(new Path(path, nextDir).toString)
+    }
+    writeStatsSidecar(spark, path, nextDir, written, m.statsCols)
+    commit(spark, path, v + 1, m.copy(dirs = bigs.map(_._1) :+ nextDir,
+      kind = Some("binpack")))
+    BinpackStats(v + 1, smalls.size, bigs.size, smallBytes, committed = true)
+  }
+
   /** Drop snapshots older than the `keep` most recent manifests — the
     * retention window concurrent readers get to finish inside. With
     * append chains, directories are SHARED between consecutive

@@ -3772,6 +3772,48 @@ object TrainingData {
       WHERE doc_id < 400
       ORDER BY doc_id"""))
 
+  // ---- d33_binpack_compact: incremental small-file compaction ----------
+  // The maintenance shape a 100 TB table actually runs: v1 ingests the
+  // base (doc_id<300), v2-v4 ingest three small tails, v5 binpacks —
+  // compactSmall(threshold = the base dir's own bytes) merges ONLY the
+  // three strictly-smaller tail dirs into one and keeps the base dir
+  // BY NAME, never reading it (bytes-audited in Round13Spec alongside
+  // the no-op, overlay-refusal, and dedup-carry-forward pins). Content
+  // is unchanged by construction, so DuckDB replays the final state as
+  // a plain filter — the oracle proves the layout op was a content
+  // no-op.
+  private def d33Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d33", expect = Seq(1L, 2L, 3L, 4L, 5L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("@"), col("doc_id")).as("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 300), path, "text",
+        expectedItems = 100000L)
+      Seq((300, 319), (320, 339), (340, 359)).foreach { case (lo, hi) =>
+        SnapshotTable.ingest(s, docs.filter(col("doc_id").between(lo, hi)),
+          path, "text", expectedItems = 100000L)
+      }
+      val bigBytes = SnapshotTable.filesMeta(s, path)
+        .filter(col("commit_version") === 1L)
+        .agg(sum(col("bytes"))).head.getLong(0)
+      val st = SnapshotTable.compactSmall(s, path, smallDirBytes = bigBytes)
+      require(st.committed && st.nDirsMerged == 3 && st.nDirsKept == 1,
+        s"binpack fixture staged unexpectedly: $st")
+      ()
+    }
+
+  private val d33 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d33Fixture(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE doc_id < 360
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3808,6 +3850,7 @@ object TrainingData {
     "d30_partitioned_scan" -> d30,
     "d31_concurrent_ingest" -> d31,
     "d32_snapshot_rollback" -> d32,
+    "d33_binpack_compact" -> d33,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -273,7 +273,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(14)
+        val op = if (i == 0) 0 else r.nextInt(15)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -437,6 +437,15 @@ class Round12Spec extends SparkSpec {
             opsRun += s"rollback($tgt)"
             SnapshotTable.rollback(spark, path, tgt)
             model = modelAt(tgt)
+            record()
+          case 14 => // binpack: a pure layout op — content must be
+            // IDENTICAL whether it merged, no-op'd (<2 smalls), or
+            // refused an outstanding overlay; record() is idempotent on
+            // the no-commit paths
+            val threshold = Seq(1L << 10, 1L << 20, Long.MaxValue)(r.nextInt(3))
+            opsRun += s"binpack($threshold)"
+            try { SnapshotTable.compactSmall(spark, path, smallDirBytes = threshold); () }
+            catch { case _: IllegalStateException => () } // MOR overlay outstanding
             record()
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"

@@ -853,6 +853,125 @@ class Round13Spec extends SparkSpec {
     assert(run() == (6L to 8L))
   }
 
+  // ---- compactSmall: incremental bin-pack compaction --------------------
+
+  test("compactSmall merges only the small-dir tail; the big dir is kept by name and never read") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-binpack").toString
+    SnapshotTable.ingest(spark,
+      (0L until 2000L).map(i => (i, blob(i))).toDF("doc_id", "text"),
+      path, "text", expectedItems = 5000L)
+    (0 until 3).foreach { k =>
+      val base = 9000L + k * 10
+      SnapshotTable.ingest(spark,
+        (base until base + 3L).map(i => (i, s"tiny $i")).toDF("doc_id", "text"),
+        path, "text", expectedItems = 5000L)
+    }
+    val m4 = SnapshotTable.readManifestChecked(spark, path, 4L)
+    val bigDir = m4.dirs.head
+    assert(bigDir.startsWith("snap-00000001"), m4.dirs)
+    val bigFiles = Option(new java.io.File(path, bigDir).listFiles()).get
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.length()).sortBy(_._1).toSeq
+    val bigBytes = bigFiles.map(_._2).sum
+    // bytes audit: the binpack scan must read only the small tail
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val st =
+      try {
+        val st0 = SnapshotTable.compactSmall(spark, path, smallDirBytes = bigBytes)
+        var last = -1L; var spins = 0
+        while (bytes.get() != last && spins < 50) { last = bytes.get(); Thread.sleep(100); spins += 1 }
+        st0
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(st == SnapshotTable.BinpackStats(5L, 3, 1, st.bytesMerged, committed = true) &&
+      st.bytesMerged > 0, st)
+    assert(bytes.get() < bigBytes / 4,
+      s"binpack read ${bytes.get()} B against a $bigBytes B big dir — it is scanning " +
+        "the dirs it promised to keep")
+    // manifest: the big dir survives BY NAME (same files), plus ONE merged dir
+    val m5 = SnapshotTable.readManifestChecked(spark, path, 5L)
+    assert(m5.dirs.size == 2 && m5.dirs.head == bigDir, m5.dirs)
+    assert(m5.kind.contains("binpack"), m5.kind)
+    val bigFilesAfter = Option(new java.io.File(path, bigDir).listFiles()).get
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.length()).sortBy(_._1).toSeq
+    assert(bigFilesAfter == bigFiles, "big dir files must be untouched")
+    // content no-op
+    assert(SnapshotTable.read(spark, path).count() == 2009L)
+    // idempotent maintenance: one small dir left below the threshold —
+    // nothing to merge, nothing commits, the version log does not grow
+    val st2 = SnapshotTable.compactSmall(spark, path, smallDirBytes = bigBytes)
+    assert(st2 == SnapshotTable.BinpackStats(5L, 0, 2, 0L, committed = false), st2)
+    assert(SnapshotTable.versions(spark, path).last == 5L)
+    // dedup carried: the merged sidecar is the union of the tails' — a
+    // re-crawl of merged content admits nothing
+    val re = SnapshotTable.ingest(spark,
+      Seq((9100L, "tiny 9000"), (9101L, "tiny 9021")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 5000L)
+    assert(re.nNew == 0L, re)
+    // rewrite-class downstream: a changelog range crossing it refuses
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.addedBetween(spark, path, 3L))
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
+  test("compactSmall keeps the Hive partition layout and partition pruning") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-binpack-part").toString
+    (0 until 3).foreach { k =>
+      val rows = (0 until 10).map { j =>
+        val i = k * 10 + j
+        (i.toLong, s"doc $i", if (i % 2 == 0) "en" else "fr")
+      }
+      SnapshotTable.ingest(spark, rows.toDF("doc_id", "text", "lang"),
+        path, "text", expectedItems = 1000L,
+        statsCols = if (k == 0) Seq("doc_id") else Nil,
+        partitionCols = if (k == 0) Seq("lang") else Nil)
+    }
+    val st = SnapshotTable.compactSmall(spark, path, smallDirBytes = Long.MaxValue)
+    assert(st.committed && st.nDirsMerged == 3 && st.nDirsKept == 0, st)
+    val m = SnapshotTable.readManifestChecked(spark, path, 4L)
+    assert(m.dirs.size == 1 && m.partitionCols == Seq("lang"), m)
+    // the merged dir is a Hive layout: lang=en / lang=fr subdirs
+    val subdirs = Option(new java.io.File(path, m.dirs.head).listFiles()).get
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(subdirs == Seq("lang=en", "lang=fr"), subdirs)
+    // content identical, partition values restored in their column
+    val got = SnapshotTable.read(spark, path)
+    assert(got.count() == 30L)
+    assert(got.filter(col("lang") === "en").count() == 15L)
+    // readWhere still prunes: a lang IN (...) predicate plus the stats
+    // column both survive the rewrite
+    val pruned = SnapshotTable.readWhere(spark, path,
+      col("lang") === "fr" && col("doc_id") < 10)
+    assert(pruned.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
+  test("compactSmall refuses an outstanding merge-on-read overlay loudly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-binpack-mor").toString
+    SnapshotTable.ingest(spark,
+      (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark,
+      (30L until 35L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    SnapshotTable.mergeOnRead(spark,
+      Seq((3L, "ignored", true)).toDF("doc_id", "text", "is_deleted"),
+      path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+      expectedItems = 1000L)
+    val e = intercept[IllegalStateException](
+      SnapshotTable.compactSmall(spark, path, smallDirBytes = Long.MaxValue))
+    assert(e.getMessage.contains("binpack") && e.getMessage.contains("compact()"),
+      e.getMessage)
+  }
+
   test("maxVersionsPerBatch rejects non-positive and non-numeric values loudly") {
     import graft.streaming.SnapshotChangelog
     val path = java.nio.file.Files.createTempDirectory("graft-throttle-bad").toString
