@@ -101,7 +101,8 @@ object SnapshotTable {
                                            tombstones: Seq[String] = Nil,
                                            morKey: Option[String] = None,
                                            kind: Option[String] = None,
-                                           partitionCols: Seq[String] = Nil)
+                                           partitionCols: Seq[String] = Nil,
+                                           ts: Option[Long] = None)
 
   /** Manifest file layout: line 1 the comma-separated dir list, line 2
     * the format, then tagged optional lines (`bloom:`, `schema:`,
@@ -121,6 +122,7 @@ object SnapshotTable {
     var morKey: Option[String] = None
     var kind: Option[String] = None
     var partitionCols: Seq[String] = Nil
+    var ts: Option[Long] = None
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
       case l if l.startsWith("schema:") =>
@@ -133,10 +135,11 @@ object SnapshotTable {
       case l if l.startsWith("kind:") => kind = Some(l.stripPrefix("kind:"))
       case l if l.startsWith("partition:") =>
         partitionCols = l.stripPrefix("partition:").split(",").toSeq.filter(_.nonEmpty)
+      case l if l.startsWith("ts:") => ts = Some(l.stripPrefix("ts:").toLong)
       case legacyBloomName => bloom = Some(legacyBloomName)
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
-      tombstones, morKey, kind, partitionCols)
+      tombstones, morKey, kind, partitionCols, ts)
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -185,6 +188,11 @@ object SnapshotTable {
     m.kind.foreach(k => body.append("kind:").append(k).append('\n'))
     if (m.partitionCols.nonEmpty)
       body.append("partition:").append(m.partitionCols.mkString(",")).append('\n')
+    // the commit wall-clock instant — [[readAtTimestamp]]'s index.
+    // Stamped HERE so every operator (including a rollback copying an
+    // old manifest) records when IT committed, not when its content
+    // first appeared; read-side running-max monotonicizes racer skew
+    body.append("ts:").append(System.currentTimeMillis()).append('\n')
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
     val target = manifest(path, expectedNext)
     // Publish = atomic create-if-absent of the target name. POSIX
@@ -392,6 +400,62 @@ object SnapshotTable {
       m.dirs.map(d => rawScan(spark, path, m.copy(dirs = Seq(d)))
         .withColumn(dirVersionCol,
           org.apache.spark.sql.functions.lit(dirVersion(d)))).reduce(_ unionByName _))
+  }
+
+  /** The effective commit instant of every retained version, ascending —
+    * the recorded `ts:` manifest line (legacy pre-ts manifests fall back
+    * to the manifest file's modification time) monotonicized by a
+    * running max, so clock skew between racing committers can never
+    * make time travel non-monotonic. Driver metadata only, bounded by
+    * the retention window — the same cost class as [[history]].
+    */
+  private def effectiveCommitTimes(spark: SparkSession,
+                                   path: String): Seq[(Long, Long)] = {
+    val f = fs(spark, versionsDir(path))
+    var eff = Long.MinValue
+    versions(spark, path).map { v =>
+      val raw = readManifestChecked(spark, path, v).ts.getOrElse(
+        f.getFileStatus(manifest(path, v)).getModificationTime)
+      eff = math.max(eff, raw)
+      v -> eff
+    }
+  }
+
+  /** The version a wall-clock instant resolves to — the newest retained
+    * commit at or before `tsMillis` (the Delta/Iceberg `TIMESTAMP AS
+    * OF` contract). An instant before the retained left edge fails
+    * loudly with the earliest retained commit time: silently clamping
+    * to the oldest snapshot would hand an audit query a state that did
+    * not exist at that instant (or existed but has expired).
+    */
+  def versionAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val times = effectiveCommitTimes(spark, path)
+    if (times.isEmpty) throw new IllegalArgumentException(
+      s"no committed snapshot at $path")
+    val hit = times.takeWhile(_._2 <= tsMillis)
+    if (hit.isEmpty) throw new IllegalArgumentException(
+      s"timestamp $tsMillis predates the retained history of $path " +
+        s"(earliest retained commit: version ${times.head._1} at " +
+        s"${times.head._2}); earlier snapshots have expired")
+    hit.last._1
+  }
+
+  /** Time travel by wall clock: [[readAt]] of [[versionAtTimestamp]]. */
+  def readAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readAt(spark, path, versionAtTimestamp(spark, path, tsMillis))
+
+  /** Age-based retention (the Delta `delete retention` / Iceberg
+    * `expireSnapshots(olderThan)` contract): drop every snapshot whose
+    * effective commit instant is before `cutoffMillis`, always keeping
+    * at least the current one. Delegates to [[expire]]'s refcounted
+    * delete, so directories/blooms/tombstones shared with retained
+    * manifests survive exactly as with count-based retention.
+    */
+  def expireOlderThan(spark: SparkSession, path: String, cutoffMillis: Long): Int = {
+    val times = effectiveCommitTimes(spark, path)
+    if (times.isEmpty) return 0
+    val keep = math.max(1, times.count(_._2 >= cutoffMillis))
+    expire(spark, path, keep)
   }
 
   /** The snapshot's plain multi-path file scan, tombstones NOT applied —
@@ -1172,9 +1236,17 @@ object SnapshotTable {
     *
     * Like every rewrite it is a rewrite-class commit downstream:
     * [[addedBetween]] refuses ranges crossing it and the version-log
-    * stream flags it with kind `binpack`. A lost version-slot race
-    * surfaces [[CommitConflictException]]; re-running is cheap by
-    * construction.
+    * stream flags it with kind `binpack`.
+    *
+    * CONCURRENT APPENDS are safe — the maintenance-loop norm is binpack
+    * racing a streaming ingest: a lost version-slot race REBASES the
+    * staged merge onto the winner's state (the merged dir re-homes by
+    * pure rename; the rebased manifest = the winner's dirs minus the
+    * merged smalls plus the merge — content is unchanged by binpack, so
+    * the winner's bloom, schema, and stats config all carry as-is), at
+    * O(1) metadata cost and bounded retries. Interleaved rewrites,
+    * merges, schema or partition changes refuse loudly; the caller
+    * re-runs against the new snapshot (see [[rebaseLostBinpack]]).
     */
   def compactSmall(spark: SparkSession, path: String,
                    smallDirBytes: Long = 64L * 1024 * 1024,
@@ -1222,9 +1294,83 @@ object SnapshotTable {
        else m.schema.fold(r)(r.schema)).load(new Path(path, nextDir).toString)
     }
     writeStatsSidecar(spark, path, nextDir, written, m.statsCols)
-    commit(spark, path, v + 1, m.copy(dirs = bigs.map(_._1) :+ nextDir,
-      kind = Some("binpack")))
-    BinpackStats(v + 1, smalls.size, bigs.size, smallBytes, committed = true)
+    val fault = binpackCommitFault
+    binpackCommitFault = () => ()
+    fault()
+    try {
+      commit(spark, path, v + 1, m.copy(dirs = bigs.map(_._1) :+ nextDir,
+        kind = Some("binpack")))
+      BinpackStats(v + 1, smalls.size, bigs.size, smallBytes, committed = true)
+    } catch {
+      case _: CommitConflictException =>
+        val next = rebaseLostBinpack(spark, path, m, v, smalls.map(_._1),
+          nextDir, retries = 5)
+        BinpackStats(next, smalls.size, bigs.size, smallBytes, committed = true)
+    }
+  }
+
+  private[graft] var binpackCommitFault: () => Unit = () => ()
+
+  /** Optimistic-concurrency rebase for a LOST binpack commit. Binpack
+    * is a pure layout op over a subset of dirs, so when only APPENDS
+    * interleaved the staged merge still replaces exactly the small dirs
+    * it read: the rebased manifest is the WINNER's dir list minus the
+    * merged smalls plus the merged dir, re-homed at the new version by
+    * pure rename (content never changes, nothing re-stages, the table
+    * is never scanned). The winner's bloom covers parent ∪ appends and
+    * binpack adds no content, so bloom, schema, and stats config all
+    * carry from the winner's manifest as-is. Appends never add
+    * tombstones (and binpack required an empty overlay), so the
+    * rebased manifest's overlay is empty by construction. Anything but
+    * an append interleaving — a rewrite, merge, merge-on-read, schema
+    * or partition change, or another compaction — refuses loudly: the
+    * dirs this merge replaced may no longer exist, and re-running
+    * binpack against the current snapshot is cheap by construction.
+    */
+  private def rebaseLostBinpack(spark: SparkSession, path: String,
+      parentM: Manifest, parentV: Long, mergedSmalls: Seq[String],
+      stagedDir0: String, retries: Int): Long = {
+    val f = fs(spark, new Path(path))
+    val merged = mergedSmalls.toSet
+    var stagedDir = stagedDir0
+    var attempt = 0
+    while (true) {
+      val winnerV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"commit conflict at $path with no current version — manifest store inconsistent"))
+      val chain = ((parentV + 1) to winnerV)
+        .map(v => v -> readManifestChecked(spark, path, v))
+      chain.foreach { case (cv, mm) =>
+        val k = mm.kind.getOrElse("unknown")
+        if (k != "append") throw new java.io.IOException(
+          s"binpack at $path lost the commit race to version $cv (kind '$k'); " +
+            "only append interleavings rebase automatically — re-run binpack " +
+            "against the current snapshot")
+      }
+      val winnerM = chain.last._2
+      if (winnerM.schema != parentM.schema) throw new java.io.IOException(
+        s"binpack at $path lost the commit race and the winner committed a " +
+          "different schema; re-run binpack against the current snapshot")
+      if (winnerM.partitionCols != parentM.partitionCols) throw new java.io.IOException(
+        s"binpack at $path lost the commit race and the winner committed " +
+          "different partitioning; re-run binpack against the current snapshot")
+      val next = winnerV + 1
+      val newDir = stageDir(next)
+      renameStaged(f, path, stagedDir, newDir)
+      try {
+        commit(spark, path, next, winnerM.copy(
+          dirs = winnerM.dirs.filterNot(merged) :+ newDir, kind = Some("binpack")))
+        return next
+      } catch {
+        case _: CommitConflictException =>
+          attempt += 1
+          if (attempt >= retries) throw new java.io.IOException(
+            s"binpack at $path lost $retries consecutive commit races; " +
+              "giving up — retry under lower commit contention")
+          stagedDir = newDir
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop snapshots older than the `keep` most recent manifests — the

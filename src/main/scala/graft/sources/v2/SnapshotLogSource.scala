@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -55,6 +55,13 @@ import java.util
   * where a 100 TB consumer needs bounded, checkpointed progress.
   * Throttled batches commit their cursor after each slice, so a restart
   * mid-backfill resumes at the slice boundary instead of version 0.
+  *
+  * `Trigger.AvailableNow` is supported: the head version is fenced at
+  * trigger preparation, the backlog up to the fence drains in
+  * `maxVersionsPerBatch`-capped slices, and the query stops — the
+  * scheduled-batch form of the consumer ("catch up on last night's
+  * commits, then exit"), with commits landing mid-drain left for the
+  * next run's checkpointed cursor.
   */
 class SnapshotLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = SnapshotLogSource.Format
@@ -114,9 +121,23 @@ case class VersionOffset(v: Long) extends Offset {
 
 class SnapshotLogStream(path: String, startVersion: Option[String],
                         maxVersionsPerBatch: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  /** `Trigger.AvailableNow` fence: the head version snapshotted when
+    * the trigger prepared. The engine keeps firing micro-batches (each
+    * still capped by `maxVersionsPerBatch`) until the cursor reaches
+    * this fence, then stops the query — "drain the backlog in bounded
+    * slices, then exit", the batch-job form of the changelog consumer.
+    * Commits landing AFTER prepare are deliberately out of scope for
+    * this run; the next run's checkpointed cursor picks them up.
+    */
+  @volatile private var availableNowFence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence = Some(SnapshotTable.currentVersion(spark, path).getOrElse(0L))
 
   /** Where the stream starts when the checkpoint has no offset yet.
     * Resolved once per query incarnation; afterwards the checkpoint's
@@ -145,7 +166,8 @@ class SnapshotLogStream(path: String, startVersion: Option[String],
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val head = SnapshotTable.currentVersion(spark, path).getOrElse(0L)
+    val head0 = SnapshotTable.currentVersion(spark, path).getOrElse(0L)
+    val head = availableNowFence.fold(head0)(math.min(head0, _))
     val from = start.asInstanceOf[VersionOffset].v
     def cap(l: ReadLimit): Long = l match {
       case r: ReadMaxRows => from + r.maxRows()

@@ -264,4 +264,50 @@ class ConcurrencySpec extends SparkSpec {
       .filter(col("count") > 1)
     assert(dups.isEmpty)
   }
+
+  test("a lost binpack rebases onto interleaved appends: merged dir re-homes, appends kept") {
+    val path = tmp("graft-race8")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark, docs(20 until 30), path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark, docs(30 until 40), path, "text", expectedItems = 1000L)
+    // the fault fires between binpack's staging and its commit: a
+    // concurrent append takes version 4, the merge lands at 5
+    SnapshotTable.binpackCommitFault = () =>
+      { SnapshotTable.ingest(spark, docs(50 until 70), path, "text",
+          expectedItems = 1000L); () }
+    val st = SnapshotTable.compactSmall(spark, path, smallDirBytes = Long.MaxValue)
+    assert(st.version == 5L && st.nDirsMerged == 3 && st.committed, st)
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids(path) == ((0L until 40L) ++ (50L until 70L)).toSet)
+    // manifest = the interleaved append's dir + the merged dir re-homed
+    // at v5 — the append's rows never re-staged, the merge never re-ran
+    val m = SnapshotTable.readManifestChecked(spark, path, 5L)
+    assert(m.dirs.size == 2, m.dirs)
+    assert(m.dirs.head.startsWith("snap-00000004"), m.dirs)
+    assert(m.dirs.last.startsWith("snap-00000005"), m.dirs)
+    assert(m.kind.contains("binpack"), m.kind)
+    // the rebased manifest references the WINNER's bloom (parent ∪
+    // append): replaying anything admits nothing
+    val replay = SnapshotTable.ingest(spark,
+      docs(0 until 40).unionByName(docs(50 until 70)), path, "text",
+      expectedItems = 1000L)
+    assert(replay.nNew == 0L, replay)
+  }
+
+  test("a lost binpack refuses a rewrite interleaving loudly") {
+    val path = tmp("graft-race9")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark, docs(20 until 30), path, "text", expectedItems = 1000L)
+    // the interleaved commit is a COMPACTION: the dirs the merge read
+    // no longer exist, so the rebase must refuse with the kind named
+    SnapshotTable.binpackCommitFault = () =>
+      { SnapshotTable.compact(spark, path, textCol = Some("text"),
+          expectedItems = 1000L); () }
+    val e = intercept[java.io.IOException](
+      SnapshotTable.compactSmall(spark, path, smallDirBytes = Long.MaxValue))
+    assert(e.getMessage.contains("compact") && e.getMessage.contains("re-run"),
+      e.getMessage)
+    // the winner's compaction stands; content is intact
+    assert(ids(path) == (0L until 30L).toSet)
+  }
 }

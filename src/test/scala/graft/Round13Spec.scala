@@ -972,6 +972,78 @@ class Round13Spec extends SparkSpec {
       e.getMessage)
   }
 
+  test("Trigger.AvailableNow drains the backlog in capped slices, then stops") {
+    import graft.streaming.SnapshotChangelog
+    val path = java.nio.file.Files.createTempDirectory("graft-availnow").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-availnow-c").toString
+    ingestN(path, 0, 5)
+    def drain(): Seq[Seq[Long]] = {
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+      val q = SnapshotChangelog.readLog(spark, path, Some("earliest"), Some(2L))
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = b.select("version").collect().map(_.getLong(0)).toSeq.sorted
+          if (vs.nonEmpty) batches.add(vs)
+          ()
+        }.start()
+      // AvailableNow self-terminates once the cursor reaches the fence
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop at the fence")
+      import scala.jdk.CollectionConverters._
+      batches.asScala.toSeq
+    }
+    val first = drain()
+    assert(first.flatten == (1L to 5L), first)
+    assert(first.forall(_.size <= 2) && first.size == 3, first)
+    // next scheduled run: only the commits since the last fence arrive
+    ingestN(path, 5, 3)
+    val second = drain()
+    assert(second.flatten == (6L to 8L), second)
+    assert(second.size == 2, second)
+  }
+
+  // ---- timestamp time travel + age-based retention -----------------------
+
+  test("readAtTimestamp resolves wall-clock instants; expireOlderThan trims by age") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-ts-travel").toString
+    SnapshotTable.ingest(spark,
+      (0L until 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    Thread.sleep(30); val afterV1 = System.currentTimeMillis(); Thread.sleep(30)
+    SnapshotTable.ingest(spark,
+      (10L until 25L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    Thread.sleep(30); val afterV2 = System.currentTimeMillis(); Thread.sleep(30)
+    SnapshotTable.ingest(spark,
+      (25L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)
+    // instants between commits resolve to the newest commit at-or-before
+    assert(SnapshotTable.versionAtTimestamp(spark, path, afterV1) == 1L)
+    assert(SnapshotTable.readAtTimestamp(spark, path, afterV1).count() == 10L)
+    assert(SnapshotTable.versionAtTimestamp(spark, path, afterV2) == 2L)
+    assert(SnapshotTable.readAtTimestamp(spark, path, afterV2).count() == 25L)
+    // "now" resolves to the current snapshot
+    assert(SnapshotTable.readAtTimestamp(spark, path,
+      System.currentTimeMillis()).count() == 30L)
+    // an instant before the table existed fails loudly with the edge
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.versionAtTimestamp(spark, path, 1000L))
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    // age-based retention: cutoff between v2 and v3 keeps only v3...
+    SnapshotTable.expireOlderThan(spark, path, afterV2)
+    assert(SnapshotTable.versions(spark, path) == Seq(3L))
+    // ...and the v1 instant now fails as expired instead of resolving
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotTable.readAtTimestamp(spark, path, afterV1))
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+    // a cutoff in the future always retains the current snapshot
+    SnapshotTable.expireOlderThan(spark, path,
+      System.currentTimeMillis() + 3600000L)
+    assert(SnapshotTable.versions(spark, path) == Seq(3L))
+    assert(SnapshotTable.read(spark, path).count() == 30L)
+  }
+
   test("maxVersionsPerBatch rejects non-positive and non-numeric values loudly") {
     import graft.streaming.SnapshotChangelog
     val path = java.nio.file.Files.createTempDirectory("graft-throttle-bad").toString
