@@ -2384,6 +2384,14 @@ object SnapshotTable {
     * [[addedBetween]] refuses ranges across a MOR commit (its logical
     * deletes/updates are not append rows), and the streaming version
     * log flags it like a rewrite — consumers re-sync via [[readAt]].
+    *
+    * CONCURRENT APPENDS and MERGE-ON-READS are safe: a commit that
+    * loses the version-slot race REBASES — delta dir, sidecars, and
+    * tombstone re-home by pure rename at the new version, which is
+    * serially exact because change values come from the batch, never
+    * the table (see [[rebaseLostMergeOnRead]]). Rewrites, schema or
+    * partition changes, or a winner pinned to a different key refuse
+    * loudly; re-running the merge is O(change batch).
     */
   def mergeOnRead(spark: SparkSession, changes: DataFrame, path: String,
                   keyCol: String, deleteCol: Option[String] = None,
@@ -2416,7 +2424,16 @@ object SnapshotTable {
         // rows) must not pin morKey or grow the overlay — commit an
         // audit version IDENTICAL to the parent (streaming sinks keep
         // their one-commit-per-batch trail; reads pay nothing new)
-        commit(spark, path, next, m.copy(kind = Some("merge-on-read")))
+        try commit(spark, path, next, m.copy(kind = Some("merge-on-read")))
+        catch {
+          case _: CommitConflictException =>
+            // nothing staged: the audit no-op re-homes as a copy of the
+            // WINNER's manifest (same acceptance rule as the real rebase)
+            val (rv, rout) = rebaseLostMergeOnRead(spark, path, m, cur,
+              tableSchema, keyCol, None, None, textCol, statsCols,
+              expectedItems, fpp, retries = 5)
+            return MergeOnReadStats(rv, 0L, 0L, 0L, rout)
+        }
         return MergeOnReadStats(next, 0L, 0L, 0L, m.tombstones.size)
       }
       val nUpserts = upserts.count()
@@ -2467,13 +2484,161 @@ object SnapshotTable {
             }
           }
       }
-      commit(spark, path, next, Manifest(m.dirs ++ deltaDir.toSeq, m.format,
-        bloomName, Some(tableSchema), effStats,
-        m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read"),
-        partitionCols = m.partitionCols))
-      MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
-        m.tombstones.size + 1)
+      val fault = morCommitFault
+      morCommitFault = () => ()
+      fault()
+      try {
+        commit(spark, path, next, Manifest(m.dirs ++ deltaDir.toSeq, m.format,
+          bloomName, Some(tableSchema), effStats,
+          m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read"),
+          partitionCols = m.partitionCols))
+        MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
+          m.tombstones.size + 1)
+      } catch {
+        case _: CommitConflictException =>
+          val (rv, rout) = rebaseLostMergeOnRead(spark, path, m, cur,
+            tableSchema, keyCol, deltaDir, Some(tName), textCol, statsCols,
+            expectedItems, fpp, retries = 5)
+          MergeOnReadStats(rv, nChanges, nUpserts, nChanges - nUpserts, rout)
+      }
     } finally { if (weCached) { changes.unpersist(); () } }
+  }
+
+  /** Test seam: invoked exactly once immediately before [[mergeOnRead]]'s
+    * first commit attempt (after all staging), then self-clears. Lets
+    * specs inject a deterministic concurrent commit to drive the rebase
+    * path. No-op in production.
+    */
+  private[graft] var morCommitFault: () => Unit = () => ()
+
+  /** Optimistic-concurrency rebase for a LOST merge-on-read commit.
+    * A MOR commit is (delta dir of winning upserts, key tombstone); its
+    * change values come from the CHANGE BATCH, never from table content,
+    * so rebasing onto interleaved APPENDS is serially exact: the
+    * tombstone re-homed at the higher rebased version masks the
+    * interleaved appends' rows for the changed keys — exactly what a
+    * serial append-then-merge would have done — and the upsert rows are
+    * byte-identical either way. Interleaved MERGE-ON-READs rebase too
+    * (two CDC-apply sinks racing): both overlays mask strictly below
+    * their own commit version, so stacking them at distinct versions
+    * reproduces the serial outcome, provided the chain stays keyed on
+    * ONE column (a winner that pinned a different `morKey` refuses).
+    * Everything re-homes by pure rename (delta dir + hash/stats
+    * sidecars via [[renameStaged]]; the tombstone file keeps its uuid,
+    * gaining the new version prefix [[applyTombstones]] orders by) — the
+    * table is never scanned. Bloom: the winner's bloom covers
+    * parent ∪ interleaved content; with a delta dir and a live dedup
+    * gate the delta's bloom re-merges into it (O(delta), re-reading the
+    * page-cache-hot staged upserts); a pure-delete rebase carries the
+    * winner's bloom by reference; a delta the gate cannot fold (no
+    * textCol / incompatible params / winner names none) names NO bloom,
+    * same as the first-attempt rule. Rewrites (overwrite / compact /
+    * binpack / COW merge), schema or partition changes refuse loudly —
+    * re-running the merge against the current snapshot is O(change).
+    */
+  private def rebaseLostMergeOnRead(spark: SparkSession, path: String,
+      parentM: Manifest, parentV: Long, tableSchema: StructType,
+      keyCol: String, deltaDir0: Option[String], tomb0: Option[String],
+      textCol: Option[String], statsColsParam: Seq[String],
+      expectedItems: Long, fpp: Double, retries: Int): (Long, Int) = {
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, new Path(path))
+    var deltaDir = deltaDir0
+    var tomb = tomb0
+    var attempt = 0
+    while (true) {
+      val winnerV = currentVersion(spark, path).getOrElse(
+        throw new IllegalStateException(
+          s"commit conflict at $path with no current version — manifest store inconsistent"))
+      val chain = ((parentV + 1) to winnerV)
+        .map(v => v -> readManifestChecked(spark, path, v))
+      chain.foreach { case (cv, mm) =>
+        val k = mm.kind.getOrElse("unknown")
+        if (k != "append" && k != "merge-on-read") throw new java.io.IOException(
+          s"merge-on-read at $path lost the commit race to version $cv (kind '$k'); " +
+            "only append/merge-on-read interleavings rebase automatically — " +
+            "re-run the merge against the current snapshot")
+      }
+      val winnerM = chain.last._2
+      if (!winnerM.schema.forall(_ == tableSchema)) throw new java.io.IOException(
+        s"merge-on-read at $path lost the commit race and the winner committed a " +
+          "different schema; re-run the merge against the current snapshot")
+      if (winnerM.partitionCols != parentM.partitionCols) throw new java.io.IOException(
+        s"merge-on-read at $path lost the commit race and the winner committed " +
+          "different partitioning; re-run the merge against the current snapshot")
+      if (tomb.nonEmpty) winnerM.morKey.filter(_ != keyCol).foreach(k =>
+        throw new java.io.IOException(
+          s"merge-on-read at $path lost the commit race to an overlay keyed on '$k' " +
+            s"(this merge is keyed on '$keyCol'); the chain pins one key column — " +
+            "re-run the merge against the current snapshot after a rewrite clears it"))
+      val next = winnerV + 1
+      if (deltaDir.isEmpty && tomb.isEmpty) {
+        // audit no-op: nothing staged, commit the winner's state as-is
+        try {
+          commit(spark, path, next, winnerM.copy(kind = Some("merge-on-read")))
+          return (next, winnerM.tombstones.size)
+        } catch {
+          case _: CommitConflictException =>
+            attempt += 1
+            if (attempt >= retries) throw new java.io.IOException(
+              s"merge-on-read at $path lost $retries consecutive commit races; " +
+                "giving up — retry under lower commit contention")
+        }
+      } else {
+        val newDelta = deltaDir.map { d =>
+          val nd = stageDir(next)
+          renameStaged(f, path, d, nd)
+          nd
+        }
+        val newTomb = tomb.map { t =>
+          val nt = f"t$next%08d-${t.drop(t.indexOf('-') + 1)}"
+          if (!f.rename(tombstonePath(path, t), tombstonePath(path, nt)))
+            throw new java.io.IOException(
+              s"rebase could not rename tombstone $t to $nt under $path")
+          nt
+        }
+        val effStats =
+          if (statsColsParam.nonEmpty) statsColsParam else winnerM.statsCols
+        val bloomName = newDelta match {
+          case None => winnerM.bloom
+          case Some(d) =>
+            textCol.flatMap { tc =>
+              readBloom(spark, path, winnerV).flatMap { wb =>
+                val written = {
+                  val r = spark.read.format(winnerM.format)
+                  (if (winnerM.partitionCols.isEmpty) r else r.schema(tableSchema))
+                    .load(new Path(path, d).toString)
+                }
+                val deltaBloom = bloomOf(written,
+                  xxhash64(contentKey(col(tc))), expectedItems, fpp)
+                if (!wb.isCompatible(deltaBloom)) None
+                else {
+                  wb.mergeInPlace(deltaBloom)
+                  val name = f"b$next%08d-${d.takeRight(8)}.bin"
+                  writeBloomAt(spark, path, name, wb)
+                  Some(name)
+                }
+              }
+            }
+        }
+        try {
+          commit(spark, path, next, Manifest(winnerM.dirs ++ newDelta.toSeq,
+            winnerM.format, bloomName, Some(tableSchema), effStats,
+            winnerM.tombstones ++ newTomb.toSeq, Some(keyCol),
+            kind = Some("merge-on-read"), partitionCols = winnerM.partitionCols))
+          return (next, winnerM.tombstones.size + 1)
+        } catch {
+          case _: CommitConflictException =>
+            attempt += 1
+            if (attempt >= retries) throw new java.io.IOException(
+              s"merge-on-read at $path lost $retries consecutive commit races; " +
+                "giving up — retry under lower commit contention")
+            deltaDir = newDelta
+            tomb = newTomb
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** SQL's `DELETE FROM t WHERE ...` as a committed operator: resolve
@@ -2529,7 +2694,11 @@ object SnapshotTable {
 
   /** The table's commit history as a DataFrame — the `DESCRIBE HISTORY`
     * contract: one row per RETAINED version, ascending, with the commit
-    * kind. Every operator RECORDS its kind in the manifest (`overwrite`,
+    * kind and effective commit instant (`commit_ts` — the same
+    * running-max-monotonicized clock [[versionAtTimestamp]] resolves
+    * against, so `readAtTimestamp(history row's ts)` always returns
+    * that row's version). Every operator RECORDS its kind in the
+    * manifest (`overwrite`,
     * `append`, `compact`, `merge`, `merge-on-read`), so the history —
     * and downstream changelog consumers — can tell a content-no-op
     * compaction from a content-changing COW merge, which the dir-diff
@@ -2544,8 +2713,14 @@ object SnapshotTable {
     import scala.jdk.CollectionConverters._
     val vs = versions(spark, path)
     val ms = vs.map(v => v -> readManifestChecked(spark, path, v)).toMap
+    val f = fs(spark, versionsDir(path))
+    // running-max effective instants, same monotonicization as
+    // [[versionAtTimestamp]] — history and time travel must agree
+    var eff = Long.MinValue
     val rows = vs.map { v =>
       val m = ms(v)
+      eff = math.max(eff, m.ts.getOrElse(
+        f.getFileStatus(manifest(path, v)).getModificationTime))
       val parent = ms.get(v - 1)
       val kind = m.kind.getOrElse {
         if (v == 1L) "create"
@@ -2562,13 +2737,15 @@ object SnapshotTable {
         case Some(p) => m.dirs.count(d => !p.dirs.contains(d)).toLong
         case None => if (v == 1L) m.dirs.size.toLong else -1L
       }
-      org.apache.spark.sql.Row(v, kind, m.dirs.size.toLong, added,
+      org.apache.spark.sql.Row(v, kind, new java.sql.Timestamp(eff),
+        m.dirs.size.toLong, added,
         m.tombstones.size.toLong, m.format,
         m.schema.map(_.size.toLong).getOrElse(-1L), m.statsCols.mkString(","))
     }
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("commit_ts", org.apache.spark.sql.types.TimestampType, nullable = false),
       org.apache.spark.sql.types.StructField("n_dirs", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("n_added_dirs", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("n_tombstones", org.apache.spark.sql.types.LongType, nullable = false),

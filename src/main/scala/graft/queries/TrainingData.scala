@@ -3814,6 +3814,54 @@ object TrainingData {
       WHERE doc_id < 360
       ORDER BY doc_id"""))
 
+  // ---- d34_time_travel_ts: timestamp time travel over real commits -----
+  // TIMESTAMP AS OF, oracled: three ingest commits (doc_id<200,
+  // 200-299, 300-349 — content salted with @doc_id so the dedup gate
+  // never collapses cross-batch duplicates), then each retained version
+  // is read back via readAtTimestamp at ITS OWN recorded commit instant
+  // (taken from the history metadata table — driver metadata, the same
+  // clock versionAtTimestamp resolves against). The per-version
+  // (n_docs, sum_chars) aggregates replay in DuckDB from the doc_id
+  // splits, proving each instant resolved to exactly the snapshot that
+  // was current then — the audit-query contract ("what did the table
+  // hold at 02:00?") pinned cross-engine. Mid-commit instants and the
+  // predates-history error are spec-pinned (Round13Spec); this row pins
+  // the at-or-before resolution on REAL manifests across runs (the
+  // instants persist in the manifests, so a cached fixture exercises
+  // the read path identically).
+  private def d34Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d34", expect = Seq(1L, 2L, 3L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("@"), col("doc_id")).as("text"))
+      Seq(col("doc_id") < 200, col("doc_id").between(200, 299),
+          col("doc_id").between(300, 349)).foreach { p =>
+        SnapshotTable.ingest(s, docs.filter(p), path, "text",
+          expectedItems = 100000L)
+      }
+      ()
+    }
+
+  private val d34 = Q(
+    (s, dir) => {
+      val path = d34Fixture(s, dir)
+      val instants = SnapshotTable.history(s, path)
+        .select(col("version"), col("commit_ts")).collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+      Seq(1L, 2L, 3L).map { v =>
+        SnapshotTable.readAtTimestamp(s, path, instants(v))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+    Some("""
+      SELECT CAST(v AS BIGINT) AS version,
+             (SELECT count(*) FROM documents WHERE doc_id < lim) AS n_docs,
+             (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id < lim) AS sum_chars
+      FROM (VALUES (1, 200), (2, 300), (3, 350)) AS t(v, lim)
+      ORDER BY version"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3851,6 +3899,7 @@ object TrainingData {
     "d31_concurrent_ingest" -> d31,
     "d32_snapshot_rollback" -> d32,
     "d33_binpack_compact" -> d33,
+    "d34_time_travel_ts" -> d34,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

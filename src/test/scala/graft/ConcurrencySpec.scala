@@ -294,6 +294,69 @@ class ConcurrencySpec extends SparkSpec {
     assert(replay.nNew == 0L, replay)
   }
 
+  test("a lost merge-on-read rebases onto an interleaved append: serially exact") {
+    val path = tmp("graft-race10")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    // the fault fires between MOR staging and its commit: a concurrent
+    // append takes version 2, the merge lands at 3
+    SnapshotTable.morCommitFault = () =>
+      { SnapshotTable.ingest(spark, docs(20 until 40), path, "text",
+          expectedItems = 1000L); () }
+    import spark.implicits._
+    // upsert doc 5 (in the parent) AND delete doc 25 (in the
+    // INTERLEAVED append — the rebased tombstone must mask it, exactly
+    // as a serial append-then-merge would)
+    val changes = Seq(
+      (5L, "en", "document body 5 REVISED", false),
+      (25L, "en", "", true)
+    ).toDF("doc_id", "lang", "text", "del")
+    val st = SnapshotTable.mergeOnRead(spark, changes, path, "doc_id",
+      deleteCol = Some("del"), textCol = Some("text"), expectedItems = 1000L)
+    assert(st.version == 3L && st.nUpserts == 1L && st.nDeletes == 1L, st)
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(ids(path) == ((0L until 40L).toSet - 25L))
+    val texts = SnapshotTable.read(spark, path)
+      .filter(col("doc_id") === 5L).select("text").as[String].collect().toSeq
+    assert(texts == Seq("document body 5 REVISED"), texts)
+    // the rebased bloom = winner's (parent ∪ append) ∪ upserts:
+    // replaying the revised content admits nothing
+    val replay = SnapshotTable.ingest(spark,
+      Seq((500L, "en", "document body 5 REVISED")).toDF("doc_id", "lang", "text"),
+      path, "text", expectedItems = 1000L)
+    assert(replay.nNew == 0L, replay)
+    // tombstone + delta dir both re-homed at the commit version
+    val m = SnapshotTable.readManifestChecked(spark, path, 3L)
+    assert(m.tombstones.size == 1 && m.tombstones.head.startsWith("t00000003"), m)
+    assert(m.dirs.last.startsWith("snap-00000003"), m.dirs)
+    assert(m.kind.contains("merge-on-read") && m.morKey.contains("doc_id"), m)
+  }
+
+  test("a lost pure-delete merge-on-read rebases; a rewrite interleaving refuses") {
+    val path = tmp("graft-race11")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    SnapshotTable.morCommitFault = () =>
+      { SnapshotTable.ingest(spark, docs(20 until 30), path, "text",
+          expectedItems = 1000L); () }
+    val st = SnapshotTable.deleteWhere(spark, path, "doc_id",
+      col("doc_id") < 3L)
+    assert(st.version == 3L && st.nDeletes == 3L, st)
+    assert(ids(path) == (3L until 30L).toSet)
+    // pure delete: winner's bloom carried by reference — deleted content
+    // stays conservatively blocked until compaction
+    val m = SnapshotTable.readManifestChecked(spark, path, 3L)
+    assert(m.bloom == SnapshotTable.readManifestChecked(spark, path, 2L).bloom, m)
+    // a COMPACTION interleaving refuses loudly: the dirs the overlay
+    // masks may have been rewritten under it
+    SnapshotTable.morCommitFault = () =>
+      { SnapshotTable.compact(spark, path, textCol = Some("text"),
+          expectedItems = 1000L); () }
+    val e = intercept[java.io.IOException](
+      SnapshotTable.deleteWhere(spark, path, "doc_id", col("doc_id") === 5L))
+    assert(e.getMessage.contains("compact") && e.getMessage.contains("re-run"),
+      e.getMessage)
+    assert(ids(path) == (3L until 30L).toSet)
+  }
+
   test("a lost binpack refuses a rewrite interleaving loudly") {
     val path = tmp("graft-race9")
     SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)

@@ -619,8 +619,9 @@ class Round13Spec extends SparkSpec {
       path, "doc_id", deleteCol = Some("del"), expectedItems = 100L)
     SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 100L)
     SnapshotTable.ingest(spark, Seq((3L, "c")).toDF("doc_id", "text"), path, "text", 100L)
-    def kinds() = SnapshotTable.history(spark, path).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq
+    def kinds() = SnapshotTable.history(spark, path)
+      .select("version", "kind", "n_tombstones").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(kinds() == Seq((1L, "overwrite", 0L), (2L, "append", 0L),
       (3L, "merge-on-read", 1L), (4L, "compact", 0L), (5L, "append", 0L)),
       s"history kinds wrong: ${kinds()}")
@@ -1026,6 +1027,13 @@ class Round13Spec extends SparkSpec {
     // "now" resolves to the current snapshot
     assert(SnapshotTable.readAtTimestamp(spark, path,
       System.currentTimeMillis()).count() == 30L)
+    // history's commit_ts IS the time-travel clock: resolving each
+    // history row's instant returns that row's version
+    SnapshotTable.history(spark, path)
+      .select("version", "commit_ts").collect().foreach { r =>
+        assert(SnapshotTable.versionAtTimestamp(spark, path,
+          r.getTimestamp(1).getTime) == r.getLong(0), r)
+      }
     // an instant before the table existed fails loudly with the edge
     val e = intercept[IllegalArgumentException](
       SnapshotTable.versionAtTimestamp(spark, path, 1000L))
