@@ -409,8 +409,8 @@ object SnapshotTable {
     * make time travel non-monotonic. Driver metadata only, bounded by
     * the retention window — the same cost class as [[history]].
     */
-  private def effectiveCommitTimes(spark: SparkSession,
-                                   path: String): Seq[(Long, Long)] = {
+  private[graft] def effectiveCommitTimes(spark: SparkSession,
+                                          path: String): Seq[(Long, Long)] = {
     val f = fs(spark, versionsDir(path))
     var eff = Long.MinValue
     versions(spark, path).map { v =>

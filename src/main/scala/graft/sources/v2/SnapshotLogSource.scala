@@ -47,6 +47,14 @@ import java.util
   * start), `earliest` (replay every retained commit), or a number N
   * (emit versions > N).
   *
+  * `startTimestamp` option (mutually exclusive with `startVersion` —
+  * the Delta CDF `startingTimestamp` contract): epoch millis or an
+  * ISO-8601 instant; the stream delivers every commit whose effective
+  * instant (the manifests' monotonicized `ts:` clock) is at or after
+  * it. An instant at or before a TRIMMED log's retained left edge
+  * fails loudly — the changelog since then is incomplete (see
+  * [[SnapshotLogStream.initialOffset]]).
+  *
   * `maxVersionsPerBatch` option (admission control — the Kafka
   * `maxOffsetsPerTrigger` / Delta `maxFilesPerTrigger` analog): cap how
   * many commits one micro-batch may span. Without it, an `earliest`
@@ -79,7 +87,18 @@ class SnapshotLogSource extends TableProvider with DataSourceRegister {
       require(n > 0, s"maxVersionsPerBatch must be a positive integer; got $n")
       n
     }
-    new SnapshotLogTable(path, Option(properties.get("startVersion")), maxPerBatch)
+    val startVersion = Option(properties.get("startVersion"))
+    val startTs = Option(properties.get("startTimestamp")).map { s =>
+      val t = s.trim
+      scala.util.Try(t.toLong).orElse(
+        scala.util.Try(java.time.Instant.parse(t).toEpochMilli)).getOrElse(
+        throw new IllegalArgumentException(
+          s"startTimestamp must be epoch millis or an ISO-8601 instant; got '$s'"))
+    }
+    if (startVersion.nonEmpty && startTs.nonEmpty)
+      throw new IllegalArgumentException(
+        "startVersion and startTimestamp are mutually exclusive; set one")
+    new SnapshotLogTable(path, startVersion, maxPerBatch, startTs)
   }
 }
 
@@ -95,7 +114,8 @@ object SnapshotLogSource {
 }
 
 class SnapshotLogTable(path: String, startVersion: Option[String],
-                       maxVersionsPerBatch: Option[Long] = None)
+                       maxVersionsPerBatch: Option[Long] = None,
+                       startTimestamp: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"${SnapshotLogSource.Format}($path)"
   override def schema(): StructType = SnapshotLogSource.schema
@@ -106,7 +126,7 @@ class SnapshotLogTable(path: String, startVersion: Option[String],
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = SnapshotLogSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotLogStream(path, startVersion, maxVersionsPerBatch)
+          new SnapshotLogStream(path, startVersion, maxVersionsPerBatch, startTimestamp)
         override def description(): String = name()
       }
     }
@@ -120,7 +140,8 @@ case class VersionOffset(v: Long) extends Offset {
 }
 
 class SnapshotLogStream(path: String, startVersion: Option[String],
-                        maxVersionsPerBatch: Option[Long] = None)
+                        maxVersionsPerBatch: Option[Long] = None,
+                        startTimestamp: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -142,15 +163,41 @@ class SnapshotLogStream(path: String, startVersion: Option[String],
   /** Where the stream starts when the checkpoint has no offset yet.
     * Resolved once per query incarnation; afterwards the checkpoint's
     * offset wins (Spark never calls initialOffset again).
+    *
+    * `startTimestamp` (the Delta CDF `startingTimestamp` contract:
+    * "changes committed at or after this instant") resolves against the
+    * same monotonicized clock as [[SnapshotTable.versionAtTimestamp]]:
+    * the cursor lands just before the FIRST retained commit whose
+    * effective instant is >= the given one, so that commit is the first
+    * delivered; an instant past the head starts at the head (future
+    * commits only). An instant at or before the retained left edge of a
+    * TRIMMED log fails loudly — commits between it and the edge may
+    * have expired, and silently starting at the edge would present a
+    * gap as a complete changelog (startVersion=earliest is the explicit
+    * accept-the-trimmed-baseline spelling).
     */
   override def initialOffset(): Offset = {
     val vs = SnapshotTable.versions(spark, path)
-    val v = startVersion.map(_.trim.toLowerCase) match {
-      case None | Some("latest") => vs.lastOption.getOrElse(0L)
-      case Some("earliest") => vs.headOption.map(_ - 1).getOrElse(0L)
-      case Some(n) => scala.util.Try(n.toLong).getOrElse(
-        throw new IllegalArgumentException(
-          s"startVersion must be 'latest', 'earliest', or a version number; got '$n'"))
+    val v = startTimestamp match {
+      case Some(ts) =>
+        val times = SnapshotTable.effectiveCommitTimes(spark, path)
+        times.headOption match {
+          case None => 0L
+          case Some((firstV, firstTs)) =>
+            if (firstV > 1L && ts <= firstTs) throw new IllegalArgumentException(
+              s"startTimestamp $ts is at or before the retained left edge of $path " +
+                s"(version $firstV at $firstTs); earlier commits have expired — " +
+                "changes since that instant cannot be delivered completely. " +
+                "Use startVersion=earliest to accept the trimmed baseline explicitly")
+            times.find(_._2 >= ts).map(_._1 - 1).getOrElse(times.last._1)
+        }
+      case None => startVersion.map(_.trim.toLowerCase) match {
+        case None | Some("latest") => vs.lastOption.getOrElse(0L)
+        case Some("earliest") => vs.headOption.map(_ - 1).getOrElse(0L)
+        case Some(n) => scala.util.Try(n.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"startVersion must be 'latest', 'earliest', or a version number; got '$n'"))
+      }
     }
     VersionOffset(v)
   }

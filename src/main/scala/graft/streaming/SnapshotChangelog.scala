@@ -46,10 +46,12 @@ object SnapshotChangelog {
     */
   def readLog(spark: SparkSession, tablePath: String,
               startVersion: Option[String] = None,
-              maxVersionsPerBatch: Option[Long] = None): DataFrame = {
+              maxVersionsPerBatch: Option[Long] = None,
+              startTimestamp: Option[Long] = None): DataFrame = {
     val r0 = spark.readStream.format(classOf[SnapshotLogSource].getName)
     val r1 = startVersion.fold(r0)(v => r0.option("startVersion", v))
-    maxVersionsPerBatch.fold(r1)(n => r1.option("maxVersionsPerBatch", n.toString))
+    val r2 = startTimestamp.fold(r1)(t => r1.option("startTimestamp", t.toString))
+    maxVersionsPerBatch.fold(r2)(n => r2.option("maxVersionsPerBatch", n.toString))
       .load(tablePath)
   }
 

@@ -273,7 +273,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(15)
+        val op = if (i == 0) 0 else r.nextInt(17)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -447,6 +447,51 @@ class Round12Spec extends SparkSpec {
             try { SnapshotTable.compactSmall(spark, path, smallDirBytes = threshold); () }
             catch { case _: IllegalStateException => () } // MOR overlay outstanding
             record()
+          case 15 => // RACING merge-on-read: a concurrent ingest takes
+            // the version slot (morCommitFault seam) and the merge
+            // rebases — delta + tombstone re-home at the new version.
+            // Serial equivalence is the contract: the model applies the
+            // WINNER's append first, then the merge's keyed changes on
+            // top (the re-homed tombstone masks the interleaved rows
+            // for changed keys exactly as a serial merge would).
+            val yMor = (0 until 1 + r.nextInt(2)).map(_ => freshDoc())
+            val rmTouched = r.shuffle(model.map(_._1)).take(r.nextInt(3))
+            val (rmDel, rmUpd) = rmTouched.splitAt(rmTouched.size / 2)
+            val rmIns =
+              (0 until (r.nextInt(2) + (if (rmTouched.isEmpty) 1 else 0))).map(_ => freshDoc())
+            val rmRows = rmUpd.map(k => (k, s"rmu $seed-$k-$i", false)) ++
+              rmDel.map(k => (k, s"rmd $seed-$k-$i", true)) ++
+              rmIns.map { case (id, t) => (id, t, false) }
+            opsRun += s"racingMor(u${rmUpd.size}/d${rmDel.size}/i${rmIns.size}/y${yMor.size})"
+            SnapshotTable.morCommitFault = () => {
+              SnapshotTable.ingest(spark, yMor.toDF("doc_id", "text"),
+                path, "text", 1000L)
+              ()
+            }
+            SnapshotTable.mergeOnRead(spark, rmRows.toDF("doc_id", "text", "is_deleted"),
+              path, "doc_id", deleteCol = Some("is_deleted"),
+              textCol = Some("text"), expectedItems = 1000L)
+            val afterYMor = model ++ {
+              val seen = model.map(_._2).toSet
+              yMor.filterNot(b => seen(b._2))
+            }
+            val rmGone = rmTouched.toSet
+            model = afterYMor.filterNot(p => rmGone(p._1)) ++
+              rmUpd.map(k => (k, s"rmu $seed-$k-$i")) ++ rmIns
+            record()
+          case 16 => // age-based retention: cutoff = a random retained
+            // version's own effective instant — keeps exactly the
+            // versions at-or-after it (ties by effective ms included),
+            // always at least the current one; the model's retained-
+            // version map trims like expire's
+            val times = SnapshotTable.effectiveCommitTimes(spark, path)
+            val (cv, ct) = times(r.nextInt(times.size))
+            opsRun += s"expireOlderThan(v$cv)"
+            SnapshotTable.expireOlderThan(spark, path, ct)
+            val retainedT = SnapshotTable.versions(spark, path).toSet
+            assert(retainedT.contains(times.last._1),
+              s"seed=$seed step=$i: expireOlderThan dropped the current snapshot")
+            modelAt = modelAt.filter { case (v, _) => retainedT(v) }
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"
             val bad = Seq((nextId + 500000L, s"drift $seed-$i", 1.0))
@@ -473,6 +518,21 @@ class Round12Spec extends SparkSpec {
           s"$ctx: readWhere([$lo,$hi]) diverged from the model filter")
         val vs = SnapshotTable.versions(spark, path)
         assert(vs == vs.sorted && vs.distinct == vs, s"$ctx: version log not ascending")
+        // the history clock and time travel agree after EVERY op: each
+        // retained version's recorded instant resolves back to a version
+        // holding the same content (equal-millisecond neighbors resolve
+        // to the newest of the tie — content must still match; sampled
+        // to bound fuzz cost)
+        if (r.nextInt(3) == 0) {
+          SnapshotTable.history(spark, path).select("version", "commit_ts")
+            .collect().foreach { hr =>
+              val rv = SnapshotTable.versionAtTimestamp(spark, path,
+                hr.getTimestamp(1).getTime)
+              assert(rv >= hr.getLong(0),
+                s"$ctx: versionAtTimestamp(history ts of v${hr.getLong(0)}) " +
+                  s"resolved BACKWARD to $rv")
+            }
+        }
         // historical versions we still hold a model for replay exactly
         modelAt.filter { case (v, _) => vs.contains(v) }.foreach { case (v, m) =>
           val at = SnapshotTable.readAt(spark, path, v).collect()

@@ -1003,6 +1003,57 @@ class Round13Spec extends SparkSpec {
     assert(second.size == 2, second)
   }
 
+  test("startTimestamp starts the changelog at the first commit at-or-after the instant") {
+    import graft.streaming.SnapshotChangelog
+    val path = java.nio.file.Files.createTempDirectory("graft-startts").toString
+    ingestN(path, 0, 2)
+    Thread.sleep(30); val mid = System.currentTimeMillis(); Thread.sleep(30)
+    ingestN(path, 2, 3)
+    def drain(startTs: Long): Seq[Long] = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-startts-c").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = SnapshotChangelog.readLog(spark, path, startTimestamp = Some(startTs))
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("version").collect().foreach(r => got.add(r.getLong(0))); ()
+        }.start()
+      assert(q.awaitTermination(120000), "query did not stop at the fence")
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.sorted
+    }
+    // an instant between v2 and v3 delivers exactly v3..v5
+    assert(drain(mid) == Seq(3L, 4L, 5L), drain(mid))
+    // an instant past the head delivers nothing (future commits only)
+    assert(drain(System.currentTimeMillis() + 3600000L).isEmpty)
+    // both start options set → loud
+    val e = intercept[Exception] {
+      SnapshotChangelog.readLog(spark, path, startVersion = Some("earliest"),
+        startTimestamp = Some(mid)).writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-startts-x").toString)
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ()).start()
+        .awaitTermination(60000)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")), e)
+    // a trimmed log refuses an instant at/below its retained left edge:
+    // completeness cannot be proven once earlier commits expired
+    SnapshotTable.expire(spark, path, keep = 2)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = SnapshotChangelog.readLog(spark, path, startTimestamp = Some(mid))
+        .writeStream.option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-startts-y").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ()).start()
+      q.awaitTermination(120000); ()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e2).exists(m => m.contains("retained left edge")), chain(e2))
+  }
+
   // ---- timestamp time travel + age-based retention -----------------------
 
   test("readAtTimestamp resolves wall-clock instants; expireOlderThan trims by age") {
