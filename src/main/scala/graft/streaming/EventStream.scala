@@ -157,14 +157,17 @@ object EventStream {
     * batches the sink expires to `keep` manifests and vacuums orphans
     * older than `vacuumGraceMs` (both metadata-cost), and compacts the
     * snapshot chain — an O(table) rewrite — only when the accumulated
-    * delta dirs hold ≥ `compactWhenDeltaBytes` of new data, OR the
-    * manifest lists ≥ `maxChainDirs` directories (the bound that keeps
-    * an idle stream's near-empty per-batch dirs from bloating the
-    * manifest while ALSO keeping its full rewrite amortized instead of
-    * per-tick), OR ≥ `maxTombstones` merge-on-read tombstones are
-    * outstanding (each one is an anti-join build on every read, and
-    * [[upsertSink]] adds one per batch; compaction folds them back
-    * into the files). Compaction runs at the sink's own expectedItems/fpp so
+    * delta dirs hold ≥ `compactWhenDeltaBytes` of new data, OR
+    * ≥ `maxTombstones` merge-on-read tombstones are outstanding (each
+    * one is an anti-join build on every read, and [[upsertSink]] adds
+    * one per batch; compaction folds them back into the files). A
+    * chain that merely grew PAST `maxChainDirs` directories without
+    * hitting either rewrite trigger — the idle stream whose near-empty
+    * per-batch dirs bloat the manifest — is BINPACKED instead
+    * (`compactSmall` at `targetFileBytes`: O(small tail), the big dirs
+    * are never read), falling back to the full rewrite only when an
+    * overlay is outstanding or the merge cannot shorten the chain
+    * below the bound. Compaction runs at the sink's own expectedItems/fpp so
     * the carried bloom stays merge-compatible. Parameters are validated
     * here so a bad policy fails at construction, not batches into the
     * stream.
@@ -336,11 +339,30 @@ object EventStream {
                              expectedItems: Long, fpp: Double): Unit = {
     import graft.operators.SnapshotTable
     val (nDirs, deltaBytes, nTombstones) = SnapshotTable.chainInfo(spark, path)
-    if (deltaBytes >= m.compactWhenDeltaBytes || nDirs >= m.maxChainDirs ||
-        nTombstones >= m.maxTombstones) {
+    if (deltaBytes >= m.compactWhenDeltaBytes || nTombstones >= m.maxTombstones) {
+      // real data volume to amortize, or an outstanding overlay to
+      // materialize: the full O(table) rewrite is the right tool
       SnapshotTable.compact(spark, path, m.targetFileBytes,
         textCol = textCol, expectedItems = expectedItems, fpp = fpp)
       ()
+    } else if (nDirs >= m.maxChainDirs) {
+      // chain-length-only trigger: the problem is manifest bloat from
+      // many small per-batch dirs, not data volume — BINPACK the small
+      // tail at O(small tail) instead of rewriting the table every
+      // time an idle stream's near-empty commits pile up. Falls back
+      // to the full rewrite when an overlay is outstanding (binpack
+      // refuses it) or when the merge cannot shorten the chain below
+      // the bound (dirs genuinely at/above target size).
+      val merged = nTombstones == 0 && {
+        val st = SnapshotTable.compactSmall(spark, path,
+          smallDirBytes = m.targetFileBytes, targetFileBytes = m.targetFileBytes)
+        st.committed && SnapshotTable.chainInfo(spark, path)._1 < m.maxChainDirs
+      }
+      if (!merged) {
+        SnapshotTable.compact(spark, path, m.targetFileBytes,
+          textCol = textCol, expectedItems = expectedItems, fpp = fpp)
+        ()
+      }
     }
     SnapshotTable.expire(spark, path, m.keep)
     SnapshotTable.vacuum(spark, path, m.vacuumGraceMs)

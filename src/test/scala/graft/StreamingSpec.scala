@@ -440,6 +440,38 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() == 5L)
   }
 
+  test("maintenance binpacks a long small-dir chain instead of rewriting the table") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    // delta bytes stay far below the rewrite threshold while the chain
+    // grows past maxChainDirs: the tick must merge the SMALL TAIL
+    // (kind `binpack` in the history, base dir kept by name) and never
+    // run the O(table) compact
+    val path = java.nio.file.Files.createTempDirectory("graft-maint-binpack").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.ingestSink(
+      input.toDF().toDF("doc_id", "text"), path, "text", expectedItems = 100L,
+      maintenance = Some(EventStream.Maintenance(
+        everyBatches = 4, keep = 10, maxChainDirs = 3)))
+    (0 until 8).foreach { i =>
+      input.addData(Seq((i.toLong, s"doc $i"))); q.processAllAvailable()
+    }
+    q.stop()
+    val kinds = SnapshotTable.history(spark, path)
+      .select("kind").collect().map(_.getString(0)).toSeq
+    assert(kinds.count(_ == "binpack") >= 1, s"no binpack tick ran: $kinds")
+    assert(!kinds.contains("compact"),
+      s"chain-length trigger ran the O(table) rewrite instead of binpack: $kinds")
+    // content exact, dedup intact across the binpack boundary
+    assert(SnapshotTable.read(spark, path).count() == 8L)
+    assert(SnapshotTable.ingest(spark,
+      Seq((100L, "doc 3")).toDF("doc_id", "text"), path, "text", 100L).nNew == 0L,
+      "binpack maintenance lost dedup coverage")
+    // the chain is actually bounded after the tick
+    assert(SnapshotTable.chainInfo(spark, path)._1 <= 5,
+      s"chain still unbounded: ${SnapshotTable.chainInfo(spark, path)}")
+  }
+
   test("changelog stream tails commits exactly-once across restarts") {
     import graft.operators.SnapshotTable
     import graft.streaming.SnapshotChangelog
