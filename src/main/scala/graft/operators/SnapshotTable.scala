@@ -102,7 +102,20 @@ object SnapshotTable {
                                            morKey: Option[String] = None,
                                            kind: Option[String] = None,
                                            partitionCols: Seq[String] = Nil,
-                                           ts: Option[Long] = None)
+                                           ts: Option[Long] = None,
+                                           constraints: Seq[Constraint] = Nil)
+
+  /** A table CHECK constraint (the Delta constraints / DLT expectations
+    * contract): `expr` is a boolean SQL expression over table columns,
+    * evaluated with SQL CHECK semantics — a row violates only when the
+    * expression is FALSE (NULL passes). `mode` is the write-gate
+    * policy: `fail` refuses the whole batch on the first violation
+    * (Delta `ADD CONSTRAINT`); `drop` silently excludes violating rows
+    * and admits the rest (DLT `expect_or_drop` — the 100 TB crawl
+    * shape, where one malformed document must not fail the day's
+    * ingest).
+    */
+  final case class Constraint(name: String, mode: String, expr: String)
 
   /** Manifest file layout: line 1 the comma-separated dir list, line 2
     * the format, then tagged optional lines (`bloom:`, `schema:`,
@@ -123,6 +136,7 @@ object SnapshotTable {
     var kind: Option[String] = None
     var partitionCols: Seq[String] = Nil
     var ts: Option[Long] = None
+    val constraints = Seq.newBuilder[Constraint]
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
       case l if l.startsWith("schema:") =>
@@ -136,10 +150,18 @@ object SnapshotTable {
       case l if l.startsWith("partition:") =>
         partitionCols = l.stripPrefix("partition:").split(",").toSeq.filter(_.nonEmpty)
       case l if l.startsWith("ts:") => ts = Some(l.stripPrefix("ts:").toLong)
+      case l if l.startsWith("constraint:") =>
+        val rest = l.stripPrefix("constraint:")
+        val i1 = rest.indexOf(':')
+        val i2 = rest.indexOf(':', i1 + 1)
+        require(i1 > 0 && i2 > i1 + 1,
+          s"malformed constraint manifest line: '$l'")
+        constraints += Constraint(rest.substring(0, i1),
+          rest.substring(i1 + 1, i2), rest.substring(i2 + 1))
       case legacyBloomName => bloom = Some(legacyBloomName)
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
-      tombstones, morKey, kind, partitionCols, ts)
+      tombstones, morKey, kind, partitionCols, ts, constraints.result())
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -188,6 +210,8 @@ object SnapshotTable {
     m.kind.foreach(k => body.append("kind:").append(k).append('\n'))
     if (m.partitionCols.nonEmpty)
       body.append("partition:").append(m.partitionCols.mkString(",")).append('\n')
+    m.constraints.foreach(c => body.append("constraint:").append(c.name)
+      .append(':').append(c.mode).append(':').append(c.expr).append('\n'))
     // the commit wall-clock instant — [[readAtTimestamp]]'s index.
     // Stamped HERE so every operator (including a rollback copying an
     // old manifest) records when IT committed, not when its content
@@ -268,21 +292,127 @@ object SnapshotTable {
     val cur = currentVersion(spark, path)
     val next = cur.getOrElse(0L) + 1
     val effStats = effectiveStatsCols(spark, path, cur, statsCols)
+    val parentM = cur.map(v => readManifestChecked(spark, path, v))
     // an overwrite replaces every directory at once, so it may REDEFINE
     // the table's partitioning; Nil inherits the parent's (a plain
     // overwrite keeps the table's layout, like its stats config)
     val effParts =
       if (partitionCols.nonEmpty) partitionCols
-      else cur.map(v => readManifestChecked(spark, path, v).partitionCols)
-        .getOrElse(Nil)
+      else parentM.map(_.partitionCols).getOrElse(Nil)
     requirePartitionable(effParts, df.schema, "write")
+    // constraints persist like the stats config: an overwrite replaces
+    // CONTENT, not the table contract — the new content is gated
+    val constraints = parentM.map(_.constraints).getOrElse(Nil)
+    val gated = enforceConstraints(df, constraints, "write")
     val dir = stageDir(next)
-    stagedWrite(df, new Path(path, dir), format, effParts)
+    stagedWrite(gated, new Path(path, dir), format, effParts)
     writeStatsSidecar(spark, path, dir,
       spark.read.format(format).load(new Path(path, dir).toString), effStats)
     commit(spark, path, next, Manifest(Seq(dir), format, None,
       Some(nullableSchema(df.schema)), effStats, kind = Some("overwrite"),
-      partitionCols = effParts))
+      partitionCols = effParts, constraints = constraints))
+  }
+
+  /** Enforce the table's CHECK constraints on a write batch — the gate
+    * every content-adding operator runs BEFORE staging I/O. SQL CHECK
+    * semantics: a row violates only when the expression is FALSE (NULL
+    * passes). Constraints apply in declaration order; `drop`-mode
+    * constraints filter the batch (the filter folds into the staging
+    * write — no extra pass), `fail`-mode constraints refuse the whole
+    * batch loudly on the first violation (one limit-3 scan of the
+    * batch per fail constraint — batch-scale, never table-scale).
+    * Rows matching `exempt` pass unchecked (merge DELETE markers,
+    * whose payload columns carry no contract).
+    */
+  private def enforceConstraints(df: DataFrame, cs: Seq[Constraint], op: String,
+                                 exempt: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (cs.isEmpty) return df
+    val ex = exempt.getOrElse(lit(false))
+    var out = df
+    cs.foreach { c =>
+      val violates = !ex && !coalesce(expr(c.expr), lit(true))
+      c.mode match {
+        case "drop" => out = out.filter(!violates)
+        case _ =>
+          val bad = out.filter(violates).limit(3).collect()
+          if (bad.nonEmpty) throw new IllegalArgumentException(
+            s"$op batch violates CHECK constraint '${c.name}' (${c.expr}); " +
+              s"first violating row(s): ${bad.map(_.toString.take(160)).mkString("; ")}. " +
+              "Fix the batch, drop the constraint, or re-add it with mode='drop' " +
+              "to exclude violating rows instead")
+      }
+    }
+    out
+  }
+
+  /** The constraint-name grammar: identifier-ish, no ':' (the manifest
+    * line separator) and no newline.
+    */
+  private val constraintName = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+
+  /** Add a table CHECK constraint as a metadata commit (the Delta
+    * `ALTER TABLE ADD CONSTRAINT` / DLT expectation contract — see
+    * [[Constraint]] for the mode semantics). The expression is resolved
+    * through the ANALYZER against the current snapshot (unknown columns
+    * and non-boolean shapes fail here, not batches later), and a
+    * `fail`-mode constraint additionally validates the EXISTING data —
+    * one scan, violations refuse the add with samples (a constraint the
+    * table already breaks would make every future read a lie); a
+    * `drop`-mode constraint gates only future writes and skips the
+    * scan. Later [[ingest]]/[[write]]/[[merge]]/[[mergeOnRead]] batches
+    * are gated O(batch). A lost version-slot race surfaces
+    * [[CommitConflictException]] — re-run against the current snapshot.
+    * NOTE [[rollback]] restores a target manifest VERBATIM, constraint
+    * config included: rolling back across an addConstraint removes it.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    exprSql: String, mode: String = "fail"): Long = {
+    require(constraintName.pattern.matcher(name).matches(),
+      s"constraint name must match ${constraintName.regex}; got '$name'")
+    require(mode == "fail" || mode == "drop",
+      s"constraint mode must be 'fail' or 'drop'; got '$mode'")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(!exprSql.contains("\n") && !exprSql.contains("\r"),
+      "constraint expression must be a single line")
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot at $path to constrain; create the table first"))
+    val m = readManifestChecked(spark, path, cur)
+    if (m.constraints.exists(_.name == name)) throw new IllegalArgumentException(
+      s"constraint '$name' already exists on $path " +
+        s"(${m.constraints.find(_.name == name).get.expr}); drop it first")
+    // analyzer resolution + type check, driver-only: unknown columns
+    // throw here; a non-boolean expression fails the filter analysis
+    val probe = readAt(spark, path, cur)
+    probe.filter(expr(exprSql)).queryExecution.analyzed
+    if (mode == "fail") {
+      val bad = probe.filter(!coalesce(expr(exprSql), lit(true))).limit(3).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"existing data at $path violates '$name' (${exprSql}); " +
+          s"first violating row(s): ${bad.map(_.toString.take(160)).mkString("; ")}. " +
+          "A fail-mode constraint must hold over existing data (clean it first " +
+          "or add with mode='drop' to gate only future writes)")
+    }
+    commit(spark, path, cur + 1, m.copy(
+      constraints = m.constraints :+ Constraint(name, mode, exprSql),
+      kind = Some("constraint")))
+    cur + 1
+  }
+
+  /** Remove a CHECK constraint by name as a metadata commit. */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Long = {
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, cur)
+    if (!m.constraints.exists(_.name == name)) throw new IllegalArgumentException(
+      s"no constraint named '$name' on $path " +
+        s"(have: ${m.constraints.map(_.name).mkString(", ")})")
+    commit(spark, path, cur + 1, m.copy(
+      constraints = m.constraints.filterNot(_.name == name),
+      kind = Some("drop-constraint")))
+    cur + 1
   }
 
   /** Requested stats columns, or the parent manifest's persisted config
@@ -1185,7 +1315,8 @@ object SnapshotTable {
       try {
         commit(spark, path, v + 1, Manifest(Seq(nextDir), m.format, outBloomName,
           Some(committedSchema), effStats,
-          kind = Some("compact"), partitionCols = m.partitionCols))
+          kind = Some("compact"), partitionCols = m.partitionCols,
+          constraints = m.constraints))
         nextDir
       } catch {
         case _: CommitConflictException =>
@@ -1850,7 +1981,8 @@ object SnapshotTable {
       try {
         commit(spark, path, next, Manifest(winnerM.dirs :+ newDir, format,
           bloomName, Some(committedSchema), effStats, winnerM.tombstones,
-          winnerM.morKey, kind = Some("append"), partitionCols = effParts))
+          winnerM.morKey, kind = Some("append"), partitionCols = effParts,
+          constraints = winnerM.constraints))
         return (next, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -1975,7 +2107,8 @@ object SnapshotTable {
       try {
         commit(spark, path, next, Manifest(newDir +: appendAdded, parentM.format,
           bloomName, Some(committedSchema), effStats,
-          kind = Some("compact"), partitionCols = parentM.partitionCols))
+          kind = Some("compact"), partitionCols = parentM.partitionCols,
+          constraints = winnerM.constraints))
         return newDir
       } catch {
         case _: CommitConflictException =>
@@ -2084,14 +2217,19 @@ object SnapshotTable {
     // after — every snapshot dir must share one physical layout
     val effParts = inheritedPartitionCols(parent, partitionCols, "ingest")
     requirePartitionable(effParts, committedSchema, "ingest")
+    // CHECK-constraint gate, with the drift gate above: still before
+    // any staging I/O. fail-mode refuses the batch; drop-mode filters
+    // it, and the filter rides the cached plan below (one batch pass).
+    val gated = enforceConstraints(incoming,
+      parent.map(_.constraints).getOrElse(Nil), "ingest")
     // Cache the batch: both probe branches and the stats count scan it,
     // and a crawl batch is expensive to recompute (batch-sized to hold).
     // Only cache what WE cached: unpersisting a caller-established cache
     // would silently evict it (persist is not refcounted).
-    val weCached = incoming.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (weCached) incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weCached = gated.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) gated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nIncoming = incoming.count()
+      val nIncoming = gated.count()
       // Prior-content bloom (keyed on xxhash64 of the CONTENT KEY): the
       // sidecar when present (O(1)), else ONE rebuild scan of the
       // current snapshot (zero-row-guarded — a committed EMPTY snapshot
@@ -2103,14 +2241,14 @@ object SnapshotTable {
             expectedItems, fpp))
       }
       val delta = priorBloom match {
-        case None => incoming
+        case None => gated
         case Some(bloom) =>
           val bos = new java.io.ByteArrayOutputStream()
           bloom.writeTo(bos)
           val probe = call_function("graft_might_contain",
             lit(bos.toByteArray), xxhash64(contentKey(col(textCol))))
-          val definitelyNew = incoming.filter(!probe)
-          val needsCheck = incoming.filter(probe)
+          val definitelyNew = gated.filter(!probe)
+          val needsCheck = gated.filter(probe)
           val verifiedNew = needsCheck.join(
             existingHashes(spark, path, parentDirs, textCol, parent.get.format),
             contentKey(needsCheck(textCol)) === col("__h"), "left_anti")
@@ -2165,7 +2303,8 @@ object SnapshotTable {
           Some(bloomName), Some(committedSchema), effStats,
           parent.map(_.tombstones).getOrElse(Nil),
           parent.flatMap(_.morKey), kind = Some("append"),
-          partitionCols = effParts))
+          partitionCols = effParts,
+          constraints = parent.map(_.constraints).getOrElse(Nil)))
         IngestStats(next, nIncoming, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -2177,7 +2316,7 @@ object SnapshotTable {
             deltaDir, cur, parentDirs, retries = 5)
           IngestStats(v, nIncoming, n)
       }
-    } finally { if (weCached) { incoming.unpersist(); () } }
+    } finally { if (weCached) { gated.unpersist(); () } }
   }
 
   final case class MergeStats(version: Long, nChanges: Long, nUpserts: Long,
@@ -2233,11 +2372,16 @@ object SnapshotTable {
     // the table by name+type (merge does not evolve schema — evolution
     // belongs to ingest/write, where old-row semantics are defined)
     requireChangeSchema(tableSchema, changes, keyCol, deleteCol, orderCol)
-    val weCached = changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (weCached) changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CHECK-constraint gate on the change batch BEFORE resolution:
+    // violating upsert rows refuse (fail) or leave the batch (drop);
+    // DELETE markers are exempt — their payload carries no contract
+    val gatedChanges = enforceConstraints(changes, m.constraints, "merge",
+      exempt = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false))))
+    val weCached = gatedChanges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) gatedChanges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (winning, upserts) =
-        winningAndUpserts(changes, keyCol, deleteCol, orderCol, tableSchema)
+        winningAndUpserts(gatedChanges, keyCol, deleteCol, orderCol, tableSchema)
       val nChanges = winning.count()
       val nUpserts = upserts.count()
       val nDeletes = nChanges - nUpserts
@@ -2265,9 +2409,9 @@ object SnapshotTable {
       writeStatsSidecar(spark, path, nextDir, written, effStats)
       commit(spark, path, cur + 1, Manifest(Seq(nextDir), m.format, bloomName,
         Some(tableSchema), effStats, kind = Some("merge"),
-        partitionCols = m.partitionCols))
+        partitionCols = m.partitionCols, constraints = m.constraints))
       MergeStats(cur + 1, nChanges, nUpserts, nDeletes, rowsAfter)
-    } finally { if (weCached) { changes.unpersist(); () } }
+    } finally { if (weCached) { gatedChanges.unpersist(); () } }
   }
 
   /** Shared change-batch schema contract for [[merge]]/[[mergeOnRead]]:
@@ -2412,12 +2556,16 @@ object SnapshotTable {
       s"outstanding tombstones at $path are keyed on '$k'; a merge-on-read chain " +
         s"cannot switch to '$keyCol' until a rewrite (compact/write/merge) clears the overlay"))
     requireChangeSchema(tableSchema, changes, keyCol, deleteCol, orderCol)
+    // same CHECK-constraint gate as [[merge]] (the "same keyed
+    // change-batch semantics" contract): pre-resolution, deletes exempt
+    val gatedChanges = enforceConstraints(changes, m.constraints, "merge-on-read",
+      exempt = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false))))
     val next = cur + 1
-    val weCached = changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (weCached) changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weCached = gatedChanges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) gatedChanges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (winning, upserts) =
-        winningAndUpserts(changes, keyCol, deleteCol, orderCol, tableSchema)
+        winningAndUpserts(gatedChanges, keyCol, deleteCol, orderCol, tableSchema)
       val nChanges = winning.count()
       if (nChanges == 0) {
         // a batch that touches nothing (e.g. deleteWhere matching zero
@@ -2491,7 +2639,7 @@ object SnapshotTable {
         commit(spark, path, next, Manifest(m.dirs ++ deltaDir.toSeq, m.format,
           bloomName, Some(tableSchema), effStats,
           m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read"),
-          partitionCols = m.partitionCols))
+          partitionCols = m.partitionCols, constraints = m.constraints))
         MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
           m.tombstones.size + 1)
       } catch {
@@ -2501,7 +2649,7 @@ object SnapshotTable {
             expectedItems, fpp, retries = 5)
           MergeOnReadStats(rv, nChanges, nUpserts, nChanges - nUpserts, rout)
       }
-    } finally { if (weCached) { changes.unpersist(); () } }
+    } finally { if (weCached) { gatedChanges.unpersist(); () } }
   }
 
   /** Test seam: invoked exactly once immediately before [[mergeOnRead]]'s
@@ -2625,7 +2773,8 @@ object SnapshotTable {
           commit(spark, path, next, Manifest(winnerM.dirs ++ newDelta.toSeq,
             winnerM.format, bloomName, Some(tableSchema), effStats,
             winnerM.tombstones ++ newTomb.toSeq, Some(keyCol),
-            kind = Some("merge-on-read"), partitionCols = winnerM.partitionCols))
+            kind = Some("merge-on-read"), partitionCols = winnerM.partitionCols,
+            constraints = winnerM.constraints))
           return (next, winnerM.tombstones.size + 1)
         } catch {
           case _: CommitConflictException =>

@@ -3862,6 +3862,45 @@ object TrainingData {
       FROM (VALUES (1, 200), (2, 300), (3, 350)) AS t(v, lim)
       ORDER BY version"""))
 
+  // ---- d35_check_constraints: the write-gate expectations contract -----
+  // CHECK constraints as table metadata (Delta constraints / DLT
+  // expectations), oracled end-to-end: v1 ingests the base (content
+  // salted with @doc_id), v2 commits a DROP-mode constraint
+  // (n_chars % 7 != 0 — SQL CHECK semantics, NULL passes), v3 ingests
+  // doc_id 200-299 through the gate so violating rows leave the batch
+  // while survivors admit. The gate costs O(batch) (the drop filter
+  // folds into the staging write) and the config rides the manifest
+  // like the stats config — compact/rebase carry-through and fail-mode
+  // refusal are Round13Spec-pinned; this row pins the ADMITTED SET
+  // cross-engine: DuckDB replays the gate as a plain WHERE.
+  private def d35Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d35", expect = Seq(1L, 2L, 3L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("@"), col("doc_id")).as("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 200), path, "text",
+        expectedItems = 100000L)
+      SnapshotTable.addConstraint(s, path, "mod7", "n_chars % 7 != 0",
+        mode = "drop")
+      SnapshotTable.ingest(s, docs.filter(col("doc_id").between(200, 299)),
+        path, "text", expectedItems = 100000L)
+      ()
+    }
+
+  private val d35 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d35Fixture(s, dir))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, n_chars
+      FROM documents
+      WHERE doc_id < 200
+         OR (doc_id BETWEEN 200 AND 299
+             AND (n_chars % 7 != 0 OR n_chars IS NULL))
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3900,6 +3939,7 @@ object TrainingData {
     "d32_snapshot_rollback" -> d32,
     "d33_binpack_compact" -> d33,
     "d34_time_travel_ts" -> d34,
+    "d35_check_constraints" -> d35,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -221,7 +221,11 @@ object EventStream {
     * sidecar storage grows linearly with commit count, the manifest's
     * dir list grows by one entry per batch, and data-file counts grow
     * with every non-empty delta. Pass `maintenance` to bound all three
-    * in-line (see [[Maintenance]]). Maintenance runs AFTER the batch's
+    * in-line (see [[Maintenance]]). Table CHECK constraints gate every
+    * batch through the ingest: a `fail`-mode violation FAILS THE QUERY
+    * (a poison batch stops the stream loudly); a continuous crawl that
+    * must survive malformed documents should add its expectations with
+    * mode `drop`, which excludes violating rows per batch instead. Maintenance runs AFTER the batch's
     * commit inside the same foreachBatch invocation, so it never races
     * this query's own ingests; a maintenance failure fails the batch
     * (and the query) loudly rather than silently skipping retention

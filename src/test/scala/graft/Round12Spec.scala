@@ -268,12 +268,13 @@ class Round12Spec extends SparkSpec {
       var model = Vector.empty[(Long, String)]   // expected current rows
       var modelAt = Map.empty[Long, Vector[(Long, String)]] // per retained version
       var nextId = 0L
+      var constraintOn = false // tracks the drop-mode CHECK constraint (ops 17/18)
       def freshDoc(): (Long, String) = { nextId += 1; (nextId, s"doc $seed-$nextId") }
       def record(): Unit =
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(17)
+        val op = if (i == 0) 0 else r.nextInt(19)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -437,6 +438,10 @@ class Round12Spec extends SparkSpec {
             opsRun += s"rollback($tgt)"
             SnapshotTable.rollback(spark, path, tgt)
             model = modelAt(tgt)
+            // rollback restores the target manifest VERBATIM, constraint
+            // config included — resync the tracker from the table
+            constraintOn = SnapshotTable.readManifestChecked(spark, path,
+              SnapshotTable.currentVersion(spark, path).get).constraints.nonEmpty
             record()
           case 14 => // binpack: a pure layout op — content must be
             // IDENTICAL whether it merged, no-op'd (<2 smalls), or
@@ -492,6 +497,33 @@ class Round12Spec extends SparkSpec {
             assert(retainedT.contains(times.last._1),
               s"seed=$seed step=$i: expireOlderThan dropped the current snapshot")
             modelAt = modelAt.filter { case (v, _) => retainedT(v) }
+          case 17 => // toggle a DROP-mode CHECK constraint (metadata
+            // commit, content unchanged; record() keeps the version
+            // replayable). Generated texts are always non-empty, so the
+            // gate never drops model-visible content — only op 18's
+            // deliberately-empty rows.
+            if (!constraintOn) {
+              opsRun += "addConstraint"
+              SnapshotTable.addConstraint(spark, path, "nonempty",
+                "length(text) > 0", mode = "drop")
+            } else {
+              opsRun += "dropConstraint"
+              SnapshotTable.dropConstraint(spark, path, "nonempty")
+            }
+            constraintOn = !constraintOn
+            record()
+          case 18 => // gated ingest: a batch carrying one empty-text row
+            // admits it only while the constraint is OFF (when ON, the
+            // row leaves the batch pre-staging; the commit still lands)
+            val good = freshDoc()
+            val emptyRow = (nextId + 300000L, "")
+            opsRun += s"gatedIngest(on=$constraintOn)"
+            SnapshotTable.ingest(spark,
+              Seq(good, emptyRow).toDF("doc_id", "text"), path, "text", 1000L)
+            val admitted = if (constraintOn) Seq(good) else Seq(good, emptyRow)
+            val existing2 = model.map(_._2).toSet
+            model ++= admitted.filterNot(b => existing2(b._2))
+            record()
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"
             val bad = Seq((nextId + 500000L, s"drift $seed-$i", 1.0))

@@ -1054,6 +1054,111 @@ class Round13Spec extends SparkSpec {
     assert(chain(e2).exists(m => m.contains("retained left edge")), chain(e2))
   }
 
+  // ---- CHECK constraints -------------------------------------------------
+
+  test("fail-mode CHECK constraints gate every write path; NULL passes; deletes exempt") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-constraint").toString
+    SnapshotTable.ingest(spark,
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 100L)
+    // add validates: name grammar, mode, single-line, resolution
+    intercept[IllegalArgumentException](
+      SnapshotTable.addConstraint(spark, path, "bad name", "doc_id >= 0"))
+    intercept[IllegalArgumentException](
+      SnapshotTable.addConstraint(spark, path, "x", "doc_id >= 0", mode = "warn"))
+    intercept[IllegalArgumentException](
+      SnapshotTable.addConstraint(spark, path, "x", "doc_id\n >= 0"))
+    intercept[Exception]( // analyzer: unknown column fails at ADD time
+      SnapshotTable.addConstraint(spark, path, "x", "no_such_col >= 0"))
+    val v = SnapshotTable.addConstraint(spark, path, "pos_id", "doc_id >= 0")
+    assert(v == 2L)
+    assert(SnapshotTable.history(spark, path).orderBy("version")
+      .select("kind").collect().last.getString(0) == "constraint")
+    // duplicate name refuses
+    val eDup = intercept[IllegalArgumentException](
+      SnapshotTable.addConstraint(spark, path, "pos_id", "doc_id >= 10"))
+    assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+    // a fail-mode add over violating EXISTING data refuses with samples
+    val eExist = intercept[IllegalArgumentException](
+      SnapshotTable.addConstraint(spark, path, "impossible", "doc_id > 100"))
+    assert(eExist.getMessage.contains("existing data"), eExist.getMessage)
+    // ingest: violating batch refused whole, version log unchanged
+    val before = SnapshotTable.versions(spark, path)
+    val eIng = intercept[IllegalArgumentException](SnapshotTable.ingest(spark,
+      Seq((-1L, "gamma")).toDF("doc_id", "text"), path, "text", 100L))
+    assert(eIng.getMessage.contains("pos_id"), eIng.getMessage)
+    assert(SnapshotTable.versions(spark, path) == before)
+    // clean batch admits; NULL expression result passes (SQL CHECK)
+    SnapshotTable.addConstraint(spark, path, "len", "length(text) > 0")
+    assert(SnapshotTable.ingest(spark,
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      path, "text", 100L).nNew == 1L)
+    // merge: violating upsert refuses; a DELETE row's payload is exempt
+    val eMerge = intercept[IllegalArgumentException](SnapshotTable.merge(spark,
+      Seq((-5L, "x", false)).toDF("doc_id", "text", "del"),
+      path, "doc_id", deleteCol = Some("del")))
+    assert(eMerge.getMessage.contains("pos_id"), eMerge.getMessage)
+    SnapshotTable.merge(spark,
+      Seq((2L, "", true)).toDF("doc_id", "text", "del"),
+      path, "doc_id", deleteCol = Some("del")) // empty-text payload, but a delete
+    assert(SnapshotTable.read(spark, path).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 3L))
+    // drop restores admission; unknown drop refuses
+    intercept[IllegalArgumentException](
+      SnapshotTable.dropConstraint(spark, path, "nope"))
+    SnapshotTable.dropConstraint(spark, path, "pos_id")
+    assert(SnapshotTable.ingest(spark,
+      Seq((-2L, "delta")).toDF("doc_id", "text"), path, "text", 100L).nNew == 1L)
+  }
+
+  test("drop-mode constraints exclude violating rows; config survives compact and rebase") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-constraint-drop").toString
+    SnapshotTable.ingest(spark,
+      (0L until 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 100L)
+    SnapshotTable.addConstraint(spark, path, "clean",
+      "text NOT LIKE '%bad%'", mode = "drop")
+    // the violating rows leave the batch; survivors admit (and the
+    // drop filter rides the one batch pass — nIncoming is the gated count)
+    val st = SnapshotTable.ingest(spark,
+      Seq((10L, "doc 10"), (11L, "bad 11"), (12L, "doc 12"), (13L, "bad 13"))
+        .toDF("doc_id", "text"), path, "text", 100L)
+    assert(st.nIncoming == 2L && st.nNew == 2L, st)
+    assert(SnapshotTable.read(spark, path).select("doc_id").as[Long]
+      .collect().toSet == Set(0L, 1L, 2L, 3L, 4L, 10L, 12L))
+    // merge-on-read: a violating upsert is dropped pre-resolution — the
+    // old row survives untouched; the clean upsert applies
+    SnapshotTable.mergeOnRead(spark,
+      Seq((3L, "bad update", false), (4L, "fresh 4", false))
+        .toDF("doc_id", "text", "del"),
+      path, "doc_id", deleteCol = Some("del"), textCol = Some("text"),
+      expectedItems = 100L)
+    val texts = SnapshotTable.read(spark, path)
+      .filter(col("doc_id").isin(3L, 4L))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts == Map(3L -> "doc 3", 4L -> "fresh 4"), texts)
+    // config survives the O(table) rewrite and keeps gating after it
+    SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 100L)
+    val mC = SnapshotTable.readManifestChecked(spark, path,
+      SnapshotTable.currentVersion(spark, path).get)
+    assert(mC.constraints.map(_.name) == Seq("clean"), mC.constraints)
+    assert(SnapshotTable.ingest(spark,
+      Seq((20L, "bad 20")).toDF("doc_id", "text"), path, "text", 100L).nNew == 0L)
+    // ...and survives a lost-commit-race rebase
+    SnapshotTable.ingestCommitFault = () =>
+      { SnapshotTable.ingest(spark,
+          Seq((30L, "doc 30")).toDF("doc_id", "text"), path, "text", 100L); () }
+    SnapshotTable.ingest(spark,
+      Seq((31L, "doc 31")).toDF("doc_id", "text"), path, "text", 100L)
+    val mR = SnapshotTable.readManifestChecked(spark, path,
+      SnapshotTable.currentVersion(spark, path).get)
+    assert(mR.constraints.map(_.name) == Seq("clean"), mR.constraints)
+    assert(SnapshotTable.ingest(spark,
+      Seq((32L, "bad 32")).toDF("doc_id", "text"), path, "text", 100L).nNew == 0L)
+  }
+
   // ---- timestamp time travel + age-based retention -----------------------
 
   test("readAtTimestamp resolves wall-clock instants; expireOlderThan trims by age") {
