@@ -158,6 +158,18 @@ object SnapshotTable {
           s"malformed constraint manifest line: '$l'")
         constraints += Constraint(rest.substring(0, i1),
           rest.substring(i1 + 1, i2), rest.substring(i2 + 1))
+      // forward-compat discipline: a tagged line this reader does not
+      // know means the manifest was written by a NEWER writer — fail
+      // loudly instead of silently misreading it (the legacy fallback
+      // below would otherwise adopt it as the bloom NAME, and bloom
+      // resolution would quietly break). Legacy pre-tag manifests named
+      // the bloom bare (`b00000002-xxxx.bin` — no ':'), so "contains a
+      // ':' in tag position" is exactly the newer-writer signature.
+      case l if l.takeWhile(_ != ':').matches("[a-z][a-z0-9-]*") && l.contains(':') =>
+        throw new IllegalStateException(
+          s"manifest line with unknown tag '${l.takeWhile(_ != ':')}:' — written " +
+            "by a newer graft writer than this reader; upgrade the reader " +
+            s"(line: '${l.take(80)}')")
       case legacyBloomName => bloom = Some(legacyBloomName)
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,

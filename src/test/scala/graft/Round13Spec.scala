@@ -1054,6 +1054,27 @@ class Round13Spec extends SparkSpec {
     assert(chain(e2).exists(m => m.contains("retained left edge")), chain(e2))
   }
 
+  test("a manifest written by a newer writer fails loudly instead of misreading") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-fwdcompat").toString
+    SnapshotTable.ingest(spark,
+      Seq((1L, "alpha")).toDF("doc_id", "text"), path, "text", 100L)
+    // simulate a future writer: an unknown tagged line in the manifest.
+    // The pre-discipline fallback would have adopted it as the bloom
+    // NAME and bloom resolution would quietly break; it must be loud.
+    val mf = java.nio.file.Paths.get(path, "_versions", "v00000001.txt")
+    java.nio.file.Files.write(mf,
+      (new String(java.nio.file.Files.readAllBytes(mf), "UTF-8") +
+        "future-feature:some-payload\n").getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](SnapshotTable.read(spark, path))
+    assert(e.getMessage.contains("unknown tag 'future-feature:'"), e.getMessage)
+    // bare legacy bloom names (no ':') still parse as the bloom
+    java.nio.file.Files.write(mf,
+      new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+        .replace("future-feature:some-payload\n", "").getBytes("UTF-8"))
+    assert(SnapshotTable.read(spark, path).count() == 1L)
+  }
+
   // ---- CHECK constraints -------------------------------------------------
 
   test("fail-mode CHECK constraints gate every write path; NULL passes; deletes exempt") {
