@@ -165,7 +165,8 @@ object SnapshotTable {
       // resolution would quietly break). Legacy pre-tag manifests named
       // the bloom bare (`b00000002-xxxx.bin` — no ':'), so "contains a
       // ':' in tag position" is exactly the newer-writer signature.
-      case l if l.takeWhile(_ != ':').matches("[a-z][a-z0-9-]*") && l.contains(':') =>
+      case l if l.contains(':') &&
+          l.takeWhile(_ != ':').matches("[A-Za-z][A-Za-z0-9_-]*") =>
         throw new IllegalStateException(
           s"manifest line with unknown tag '${l.takeWhile(_ != ':')}:' — written " +
             "by a newer graft writer than this reader; upgrade the reader " +
@@ -227,8 +228,22 @@ object SnapshotTable {
     // the commit wall-clock instant — [[readAtTimestamp]]'s index.
     // Stamped HERE so every operator (including a rollback copying an
     // old manifest) records when IT committed, not when its content
-    // first appeared; read-side running-max monotonicizes racer skew
-    body.append("ts:").append(System.currentTimeMillis()).append('\n')
+    // first appeared. STRICTLY INCREASING by construction: the stamp is
+    // clamped to parent's recorded instant + 1, so two commits landing
+    // in one millisecond tick (or behind a skewed-back clock) still get
+    // distinct, ordered instants — what makes the history-row ↔
+    // versionAtTimestamp round trip EXACT rather than newest-of-a-tie.
+    // Read-side running-max monotonicization stays for legacy chains
+    // (pre-ts manifests fall back to file mtimes, which this discipline
+    // never stamped).
+    val parentTs: Long =
+      if (expectedNext <= 1L) Long.MinValue
+      else try {
+        readManifestFull(spark, path, expectedNext - 1).ts.getOrElse(
+          f.getFileStatus(manifest(path, expectedNext - 1)).getModificationTime)
+      } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
+    body.append("ts:")
+      .append(math.max(System.currentTimeMillis(), parentTs + 1)).append('\n')
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
     val target = manifest(path, expectedNext)
     // Publish = atomic create-if-absent of the target name. POSIX
@@ -554,13 +569,42 @@ object SnapshotTable {
   private[graft] def effectiveCommitTimes(spark: SparkSession,
                                           path: String): Seq[(Long, Long)] = {
     val f = fs(spark, versionsDir(path))
-    var eff = Long.MinValue
+    // the running max SEEDS from the persisted clock floor — the eff
+    // instant of the newest EXPIRED commit ([[expire]] writes it before
+    // dropping manifests). Without it, trimming a legacy chain whose
+    // skewed-ahead early commit had flattened its successors would make
+    // the retained versions' effective instants DECREASE across the
+    // expire, silently changing versionAtTimestamp answers and letting
+    // the changelog's trimmed-left-edge completeness guard pass an
+    // instant whose commits expired. (Commits stamped by this writer
+    // are strictly increasing by construction, so the floor only ever
+    // matters for legacy/mtime chains.)
+    var eff = readClockFloor(f, path)
     versions(spark, path).map { v =>
       val raw = readManifestChecked(spark, path, v).ts.getOrElse(
         f.getFileStatus(manifest(path, v)).getModificationTime)
       eff = math.max(eff, raw)
       v -> eff
     }
+  }
+
+  /** The persisted clock floor: `_versions/tsfloor`, a single long —
+    * the effective commit instant of the newest expired manifest.
+    */
+  private def clockFloorFile(path: String) = new Path(versionsDir(path), "tsfloor")
+
+  private def readClockFloor(f: org.apache.hadoop.fs.FileSystem,
+                             path: String): Long = {
+    val p = clockFloorFile(path)
+    try {
+      if (!f.exists(p)) Long.MinValue
+      else {
+        val in = f.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          .trim.toLong
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
   }
 
   /** The version a wall-clock instant resolves to — the newest retained
@@ -1478,25 +1522,12 @@ object SnapshotTable {
     var stagedDir = stagedDir0
     var attempt = 0
     while (true) {
-      val winnerV = currentVersion(spark, path).getOrElse(
-        throw new IllegalStateException(
-          s"commit conflict at $path with no current version — manifest store inconsistent"))
-      val chain = ((parentV + 1) to winnerV)
-        .map(v => v -> readManifestChecked(spark, path, v))
-      chain.foreach { case (cv, mm) =>
-        val k = mm.kind.getOrElse("unknown")
-        if (k != "append") throw new java.io.IOException(
+      val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+        parentV, "binpack", parentM.schema, parentM.partitionCols,
+        (cv, k) => if (k != "append") throw new java.io.IOException(
           s"binpack at $path lost the commit race to version $cv (kind '$k'); " +
             "only append interleavings rebase automatically — re-run binpack " +
-            "against the current snapshot")
-      }
-      val winnerM = chain.last._2
-      if (winnerM.schema != parentM.schema) throw new java.io.IOException(
-        s"binpack at $path lost the commit race and the winner committed a " +
-          "different schema; re-run binpack against the current snapshot")
-      if (winnerM.partitionCols != parentM.partitionCols) throw new java.io.IOException(
-        s"binpack at $path lost the commit race and the winner committed " +
-          "different partitioning; re-run binpack against the current snapshot")
+            "against the current snapshot"))
       val next = winnerV + 1
       val newDir = stageDir(next)
       renameStaged(f, path, stagedDir, newDir)
@@ -1535,6 +1566,16 @@ object SnapshotTable {
     // every later pre-rewrite manifest and refcount the same way
     val retainedBlooms = retained.flatMap(_.bloom).toSet
     val retainedTs = retained.flatMap(_.tombstones).toSet
+    if (drop.nonEmpty) {
+      // persist the clock floor BEFORE dropping: the newest expired
+      // commit's EFFECTIVE instant seeds [[effectiveCommitTimes]] so the
+      // retained versions' effective clock never moves backward across
+      // an expire (see the seeding comment there). Overwrite-in-place is
+      // fine under the same single-maintainer assumption as vacuum.
+      val floor = effectiveCommitTimes(spark, path).toMap.apply(drop.last)
+      val out = f.create(clockFloorFile(path), true)
+      try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    }
     drop.foreach { v =>
       val m = readManifestFull(spark, path, v)
       m.dirs.filterNot(retainedDirs).foreach { d =>
@@ -1720,7 +1761,9 @@ object SnapshotTable {
       else f.listStatus(vd).filter { s =>
         val n = s.getPath.getName
         val isManifest = n.startsWith("v") && n.endsWith(".txt")
-        !isManifest && !refBlooms(n) && deletable(s)
+        // tsfloor is live table metadata (the expire clock floor), not
+        // a staging orphan — never reaped
+        !isManifest && n != "tsfloor" && !refBlooms(n) && deletable(s)
       }
     versionFiles.foreach(s => f.delete(s.getPath, false))
     VacuumStats(dataDirs.length, sidecars.length, versionFiles.length)
@@ -1899,6 +1942,37 @@ object SnapshotTable {
     *
     * Returns (committed version, rows committed after re-dedup).
     */
+  /** Shared scaffolding for the four optimistic-concurrency rebases
+    * (append / compact / binpack / merge-on-read): resolve the winner,
+    * read the interleaved manifest chain, and enforce the checks every
+    * flavor shares — interleaved kinds acceptable (policy supplied by
+    * the caller: which interleavings are content-safe is exactly what
+    * distinguishes the flavors), schema unchanged, partition layout
+    * unchanged. Returns (winner version, winner manifest, full chain).
+    */
+  private def rebaseWinnerChain(spark: SparkSession, path: String,
+      parentV: Long, opName: String,
+      expectSchema: Option[StructType], expectParts: Seq[String],
+      validateKind: (Long, String) => Unit): (Long, Manifest, Seq[(Long, Manifest)]) = {
+    val winnerV = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"commit conflict at $path with no current version — manifest store inconsistent"))
+    val chain = ((parentV + 1) to winnerV)
+      .map(v => v -> readManifestChecked(spark, path, v))
+    chain.foreach { case (cv, mm) =>
+      validateKind(cv, mm.kind.getOrElse("unknown")) }
+    val winnerM = chain.last._2
+    expectSchema.foreach { es =>
+      if (!winnerM.schema.forall(_ == es)) throw new java.io.IOException(
+        s"$opName at $path lost the commit race and the winner committed a " +
+          s"different schema; re-run the $opName against the current snapshot")
+    }
+    if (winnerM.partitionCols != expectParts) throw new java.io.IOException(
+      s"$opName at $path lost the commit race and the winner committed " +
+        s"different partitioning; re-run the $opName against the current snapshot")
+    (winnerV, winnerM, chain)
+  }
+
   private def rebaseLostAppend(spark: SparkSession, path: String,
       textCol: String, format: String, committedSchema: StructType,
       effStats: Seq[String], effParts: Seq[String],
@@ -1912,27 +1986,17 @@ object SnapshotTable {
     var parentDirs = parentDirs0
     var attempt = 0
     while (true) {
-      val winnerV = currentVersion(spark, path).getOrElse(
-        throw new IllegalStateException(
-          s"commit conflict at $path with no current version — manifest store inconsistent"))
-      val chain = ((parentV.getOrElse(0L) + 1) to winnerV)
-        .map(v => v -> readManifestChecked(spark, path, v))
-      chain.foreach { case (v, mm) =>
-        val k = mm.kind.getOrElse("unknown")
-        if (k != "append" && k != "compact") throw new java.io.IOException(
-          s"ingest at $path lost the commit race to version $v (kind '$k'); " +
-            "only append/compact interleavings rebase automatically — " +
-            "re-run the ingest against the current snapshot")
-      }
-      val winnerM = chain.last._2
-      if (!winnerM.schema.forall(_ == committedSchema))
-        throw new java.io.IOException(
-          s"ingest at $path lost the commit race and the winner committed a " +
-            "different schema; re-run the ingest against the current snapshot")
-      if (winnerM.partitionCols != effParts)
-        throw new java.io.IOException(
-          s"ingest at $path lost the commit race and the winner committed " +
-            "different partitioning; re-run the ingest against the current snapshot")
+      // binpack is content-preserving exactly like compact (and is the
+      // ROUTINE maintenance commit an ingest races) — rebase over it;
+      // its merged-away small dirs' sidecars stay on disk (the old
+      // snapshot is retained), so the dedup re-check below still reads
+      val (winnerV, winnerM, chain) = rebaseWinnerChain(spark, path,
+        parentV.getOrElse(0L), "ingest", Some(committedSchema), effParts,
+        (v, k) => if (k != "append" && k != "compact" && k != "binpack")
+          throw new java.io.IOException(
+            s"ingest at $path lost the commit race to version $v (kind '$k'); " +
+              "only append/compact/binpack interleavings rebase automatically — " +
+              "re-run the ingest against the current snapshot"))
       // dirs the interleaved APPENDs added; a compact REPLACES the dir
       // list but preserves content the delta was already deduped against
       val appendAdded = {
@@ -2062,31 +2126,22 @@ object SnapshotTable {
     var compactedDir = compactedDir0
     var attempt = 0
     while (true) {
-      val winnerV = currentVersion(spark, path).getOrElse(
-        throw new IllegalStateException(
-          s"commit conflict at $path with no current version — manifest store inconsistent"))
-      val chain = ((parentV + 1) to winnerV)
-        .map(v => v -> readManifestChecked(spark, path, v))
-      chain.foreach { case (cv, mm) =>
-        val k = mm.kind.getOrElse("unknown")
-        if (k == "compact") throw new java.io.IOException(
-          s"compaction at $path lost the commit race to a concurrent compaction " +
-            s"(version $cv); this rewrite is obsolete — the chain it replaced " +
-            "no longer exists and the winner already compacted it")
-        if (k != "append") throw new java.io.IOException(
-          s"compaction at $path lost the commit race to version $cv (kind '$k'); " +
-            "only append interleavings rebase automatically — re-run the " +
-            "compaction against the current snapshot")
-      }
-      val winnerM = chain.last._2
-      if (!winnerM.schema.forall(_ == committedSchema))
-        throw new java.io.IOException(
-          s"compaction at $path lost the commit race and the winner committed a " +
-            "different schema; re-run the compaction against the current snapshot")
-      if (winnerM.partitionCols != parentM.partitionCols)
-        throw new java.io.IOException(
-          s"compaction at $path lost the commit race and the winner committed " +
-            "different partitioning; re-run the compaction against the current snapshot")
+      // note: a binpack interleave REFUSES here (unlike the append/MOR
+      // rebases) — winnerM.dirs.filterNot(parentSet) below would list
+      // the binpacked dir next to this compaction's full rewrite and
+      // double-count the merged content
+      val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+        parentV, "compaction", Some(committedSchema), parentM.partitionCols,
+        (cv, k) => {
+          if (k == "compact") throw new java.io.IOException(
+            s"compaction at $path lost the commit race to a concurrent compaction " +
+              s"(version $cv); this rewrite is obsolete — the chain it replaced " +
+              "no longer exists and the winner already compacted it")
+          if (k != "append") throw new java.io.IOException(
+            s"compaction at $path lost the commit race to version $cv (kind '$k'); " +
+              "only append interleavings rebase automatically — re-run the " +
+              "compaction against the current snapshot")
+        })
       val parentSet = parentM.dirs.toSet
       val appendAdded = winnerM.dirs.filterNot(parentSet)
       val next = winnerV + 1
@@ -2229,18 +2284,21 @@ object SnapshotTable {
     // after — every snapshot dir must share one physical layout
     val effParts = inheritedPartitionCols(parent, partitionCols, "ingest")
     requirePartitionable(effParts, committedSchema, "ingest")
-    // CHECK-constraint gate, with the drift gate above: still before
-    // any staging I/O. fail-mode refuses the batch; drop-mode filters
-    // it, and the filter rides the cached plan below (one batch pass).
-    val gated = enforceConstraints(incoming,
-      parent.map(_.constraints).getOrElse(Nil), "ingest")
-    // Cache the batch: both probe branches and the stats count scan it,
-    // and a crawl batch is expensive to recompute (batch-sized to hold).
-    // Only cache what WE cached: unpersisting a caller-established cache
-    // would silently evict it (persist is not refcounted).
-    val weCached = gated.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (weCached) gated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Cache the batch: the constraint gate, both probe branches, and
+    // the stats count all scan it, and a crawl batch is expensive to
+    // recompute (batch-sized to hold). Persisted BEFORE the gate so a
+    // fail-mode constraint's violation probe reads the cache instead of
+    // recomputing the source once per constraint. Only cache what WE
+    // cached: unpersisting a caller-established cache would silently
+    // evict it (persist is not refcounted).
+    val weCached = incoming.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // CHECK-constraint gate, after the drift gate: still before any
+      // staging I/O. fail-mode refuses the batch; drop-mode filters it,
+      // and the filter rides the cached plan below (one batch pass).
+      val gated = enforceConstraints(incoming,
+        parent.map(_.constraints).getOrElse(Nil), "ingest")
       val nIncoming = gated.count()
       // Prior-content bloom (keyed on xxhash64 of the CONTENT KEY): the
       // sidecar when present (O(1)), else ONE rebuild scan of the
@@ -2328,7 +2386,7 @@ object SnapshotTable {
             deltaDir, cur, parentDirs, retries = 5)
           IngestStats(v, nIncoming, n)
       }
-    } finally { if (weCached) { gated.unpersist(); () } }
+    } finally { if (weCached) { incoming.unpersist(); () } }
   }
 
   final case class MergeStats(version: Long, nChanges: Long, nUpserts: Long,
@@ -2384,14 +2442,15 @@ object SnapshotTable {
     // the table by name+type (merge does not evolve schema — evolution
     // belongs to ingest/write, where old-row semantics are defined)
     requireChangeSchema(tableSchema, changes, keyCol, deleteCol, orderCol)
-    // CHECK-constraint gate on the change batch BEFORE resolution:
-    // violating upsert rows refuse (fail) or leave the batch (drop);
-    // DELETE markers are exempt — their payload carries no contract
-    val gatedChanges = enforceConstraints(changes, m.constraints, "merge",
-      exempt = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false))))
-    val weCached = gatedChanges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (weCached) gatedChanges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weCached = changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // CHECK-constraint gate on the CACHED change batch BEFORE
+      // resolution: violating upsert rows refuse (fail) or leave the
+      // batch (drop); DELETE markers are exempt — their payload carries
+      // no contract
+      val gatedChanges = enforceConstraints(changes, m.constraints, "merge",
+        exempt = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false))))
       val (winning, upserts) =
         winningAndUpserts(gatedChanges, keyCol, deleteCol, orderCol, tableSchema)
       val nChanges = winning.count()
@@ -2423,7 +2482,7 @@ object SnapshotTable {
         Some(tableSchema), effStats, kind = Some("merge"),
         partitionCols = m.partitionCols, constraints = m.constraints))
       MergeStats(cur + 1, nChanges, nUpserts, nDeletes, rowsAfter)
-    } finally { if (weCached) { gatedChanges.unpersist(); () } }
+    } finally { if (weCached) { changes.unpersist(); () } }
   }
 
   /** Shared change-batch schema contract for [[merge]]/[[mergeOnRead]]:
@@ -2568,14 +2627,15 @@ object SnapshotTable {
       s"outstanding tombstones at $path are keyed on '$k'; a merge-on-read chain " +
         s"cannot switch to '$keyCol' until a rewrite (compact/write/merge) clears the overlay"))
     requireChangeSchema(tableSchema, changes, keyCol, deleteCol, orderCol)
-    // same CHECK-constraint gate as [[merge]] (the "same keyed
-    // change-batch semantics" contract): pre-resolution, deletes exempt
-    val gatedChanges = enforceConstraints(changes, m.constraints, "merge-on-read",
-      exempt = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false))))
     val next = cur + 1
-    val weCached = gatedChanges.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (weCached) gatedChanges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weCached = changes.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // same CHECK-constraint gate as [[merge]] (the "same keyed
+      // change-batch semantics" contract): on the cached batch,
+      // pre-resolution, deletes exempt
+      val gatedChanges = enforceConstraints(changes, m.constraints, "merge-on-read",
+        exempt = deleteCol.map(dc => coalesce(col(dc).cast("boolean"), lit(false))))
       val (winning, upserts) =
         winningAndUpserts(gatedChanges, keyCol, deleteCol, orderCol, tableSchema)
       val nChanges = winning.count()
@@ -2661,7 +2721,7 @@ object SnapshotTable {
             expectedItems, fpp, retries = 5)
           MergeOnReadStats(rv, nChanges, nUpserts, nChanges - nUpserts, rout)
       }
-    } finally { if (weCached) { gatedChanges.unpersist(); () } }
+    } finally { if (weCached) { changes.unpersist(); () } }
   }
 
   /** Test seam: invoked exactly once immediately before [[mergeOnRead]]'s
@@ -2707,25 +2767,16 @@ object SnapshotTable {
     var tomb = tomb0
     var attempt = 0
     while (true) {
-      val winnerV = currentVersion(spark, path).getOrElse(
-        throw new IllegalStateException(
-          s"commit conflict at $path with no current version — manifest store inconsistent"))
-      val chain = ((parentV + 1) to winnerV)
-        .map(v => v -> readManifestChecked(spark, path, v))
-      chain.foreach { case (cv, mm) =>
-        val k = mm.kind.getOrElse("unknown")
-        if (k != "append" && k != "merge-on-read") throw new java.io.IOException(
-          s"merge-on-read at $path lost the commit race to version $cv (kind '$k'); " +
-            "only append/merge-on-read interleavings rebase automatically — " +
-            "re-run the merge against the current snapshot")
-      }
-      val winnerM = chain.last._2
-      if (!winnerM.schema.forall(_ == tableSchema)) throw new java.io.IOException(
-        s"merge-on-read at $path lost the commit race and the winner committed a " +
-          "different schema; re-run the merge against the current snapshot")
-      if (winnerM.partitionCols != parentM.partitionCols) throw new java.io.IOException(
-        s"merge-on-read at $path lost the commit race and the winner committed " +
-          "different partitioning; re-run the merge against the current snapshot")
+      // binpack is content-preserving: rebasing over it is the serial
+      // binpack-then-merge outcome (the re-homed tombstone masks the
+      // merged dir like any earlier dir)
+      val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+        parentV, "merge-on-read", Some(tableSchema), parentM.partitionCols,
+        (cv, k) => if (k != "append" && k != "merge-on-read" && k != "binpack")
+          throw new java.io.IOException(
+            s"merge-on-read at $path lost the commit race to version $cv (kind '$k'); " +
+              "only append/merge-on-read/binpack interleavings rebase automatically — " +
+              "re-run the merge against the current snapshot"))
       if (tomb.nonEmpty) winnerM.morKey.filter(_ != keyCol).foreach(k =>
         throw new java.io.IOException(
           s"merge-on-read at $path lost the commit race to an overlay keyed on '$k' " +
@@ -2874,14 +2925,13 @@ object SnapshotTable {
     import scala.jdk.CollectionConverters._
     val vs = versions(spark, path)
     val ms = vs.map(v => v -> readManifestChecked(spark, path, v)).toMap
-    val f = fs(spark, versionsDir(path))
-    // running-max effective instants, same monotonicization as
-    // [[versionAtTimestamp]] — history and time travel must agree
-    var eff = Long.MinValue
+    // THE effective clock — the same [[effectiveCommitTimes]] instants
+    // [[versionAtTimestamp]] resolves against, not a re-implementation:
+    // history and time travel must agree byte-for-byte
+    val effTs = effectiveCommitTimes(spark, path).toMap
     val rows = vs.map { v =>
       val m = ms(v)
-      eff = math.max(eff, m.ts.getOrElse(
-        f.getFileStatus(manifest(path, v)).getModificationTime))
+      val eff = effTs(v)
       val parent = ms.get(v - 1)
       val kind = m.kind.getOrElse {
         if (v == 1L) "create"

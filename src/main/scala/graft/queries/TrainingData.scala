@@ -3829,8 +3829,12 @@ object TrainingData {
   // the at-or-before resolution on REAL manifests across runs (the
   // instants persist in the manifests, so a cached fixture exercises
   // the read path identically).
+  // prefix "d34b": the b vintage forces a re-stage under the strictly-
+  // increasing commit-instant discipline — a pre-discipline cached
+  // fixture could carry equal-millisecond instants, and this row's
+  // exact instant→version round trip assumes distinct ones
   private def d34Fixture(s: SparkSession, dir: String): String =
-    stagedSnapshotFixture(s, dir, "d34", expect = Seq(1L, 2L, 3L)) { path =>
+    stagedSnapshotFixture(s, dir, "d34b", expect = Seq(1L, 2L, 3L)) { path =>
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
           concat(coalesce(col("text"), lit("")), lit("@"), col("doc_id")).as("text"))

@@ -294,6 +294,47 @@ class ConcurrencySpec extends SparkSpec {
     assert(replay.nNew == 0L, replay)
   }
 
+  test("a lost ingest rebases onto an interleaved binpack: the routine maintenance race") {
+    val path = tmp("graft-race12")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark, docs(20 until 30), path, "text", expectedItems = 1000L)
+    // the fault fires between our staging and our commit: a maintenance
+    // loop's binpack takes version 3, so ours must rebase to 4 — the
+    // exact race every streaming sink with Maintenance(maxChainDirs) runs
+    SnapshotTable.ingestCommitFault = () =>
+      { SnapshotTable.compactSmall(spark, path, smallDirBytes = Long.MaxValue); () }
+    val st = SnapshotTable.ingest(spark, docs(30 until 50), path, "text",
+      expectedItems = 1000L)
+    assert(st.version == 4L && st.nNew == 20L, st)
+    assert(ids(path) == (0L until 50L).toSet)
+    // manifest = the binpacked dir + our delta re-homed at v4
+    val m = SnapshotTable.readManifestChecked(spark, path, 4L)
+    assert(m.dirs.size == 2 && m.dirs.head.startsWith("snap-00000003")
+      && m.dirs.last.startsWith("snap-00000004"), m.dirs)
+    // dedup coverage intact across the rebase: replay admits nothing
+    val replay = SnapshotTable.ingest(spark, docs(0 until 50), path, "text",
+      expectedItems = 1000L)
+    assert(replay.nNew == 0L, replay)
+  }
+
+  test("a lost merge-on-read rebases onto an interleaved binpack too") {
+    val path = tmp("graft-race13")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
+    SnapshotTable.ingest(spark, docs(20 until 30), path, "text", expectedItems = 1000L)
+    SnapshotTable.morCommitFault = () =>
+      { SnapshotTable.compactSmall(spark, path, smallDirBytes = Long.MaxValue); () }
+    import spark.implicits._
+    val st = SnapshotTable.mergeOnRead(spark,
+      Seq((5L, "en", "rebased over binpack", false)).toDF("doc_id", "lang", "text", "del"),
+      path, "doc_id", deleteCol = Some("del"), textCol = Some("text"),
+      expectedItems = 1000L)
+    assert(st.version == 4L && st.nUpserts == 1L, st)
+    val texts = SnapshotTable.read(spark, path)
+      .filter(col("doc_id") === 5L).select("text").as[String].collect().toSeq
+    assert(texts == Seq("rebased over binpack"), texts)
+    assert(ids(path) == (0L until 30L).toSet)
+  }
+
   test("a lost merge-on-read rebases onto an interleaved append: serially exact") {
     val path = tmp("graft-race10")
     SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)

@@ -1180,6 +1180,74 @@ class Round13Spec extends SparkSpec {
       Seq((32L, "bad 32")).toDF("doc_id", "text"), path, "text", 100L).nNew == 0L)
   }
 
+  test("commit instants are strictly increasing; the effective clock survives expire") {
+    import spark.implicits._
+    def editTs(path: String, v: Long, ts: Long): Unit = {
+      val mf = java.nio.file.Paths.get(path, "_versions", f"v$v%08d.txt")
+      val txt = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+        .replaceAll("(?m)^ts:\\d+$", s"ts:$ts")
+      java.nio.file.Files.write(mf, txt.getBytes("UTF-8"))
+    }
+    // (a) strict increase even against a skewed-AHEAD parent: the next
+    // commit clamps to parent + 1 instead of stamping a smaller wall
+    // clock — the tie/backward case that would break the history-row ↔
+    // versionAtTimestamp round trip
+    val p1 = java.nio.file.Files.createTempDirectory("graft-clock1").toString
+    SnapshotTable.ingest(spark, Seq((1L, "a")).toDF("doc_id", "text"), p1, "text", 100L)
+    val ahead = System.currentTimeMillis() + 60000L
+    editTs(p1, 1L, ahead)
+    SnapshotTable.ingest(spark, Seq((2L, "b")).toDF("doc_id", "text"), p1, "text", 100L)
+    assert(SnapshotTable.readManifestChecked(spark, p1, 2L).ts.contains(ahead + 1L))
+    // rapid same-tick commits: instants stay strictly increasing, and
+    // every history row round-trips to exactly its own version
+    (3L to 6L).foreach(i => SnapshotTable.ingest(spark,
+      Seq((i, s"doc $i")).toDF("doc_id", "text"), p1, "text", 100L))
+    val hist = SnapshotTable.history(spark, p1)
+      .select("version", "commit_ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime)
+    assert(hist.sliding(2).forall(w => w(1)._2 > w(0)._2), hist.toSeq)
+    hist.foreach { case (v, t) =>
+      assert(SnapshotTable.versionAtTimestamp(spark, p1, t) == v, (v, t)) }
+    // (b) the expire clock floor: a LEGACY chain whose skewed-ahead v1
+    // flattened its successors must not have its effective instants
+    // move BACKWARD when v1 expires — versionAtTimestamp would silently
+    // hand an instant a state that did not exist at it
+    val p2 = java.nio.file.Files.createTempDirectory("graft-clock2").toString
+    (1L to 3L).foreach(i => SnapshotTable.ingest(spark,
+      Seq((i, s"doc $i")).toDF("doc_id", "text"), p2, "text", 100L))
+    val far = System.currentTimeMillis() + 1000L * 3600
+    editTs(p2, 1L, far); editTs(p2, 2L, 1000L); editTs(p2, 3L, 1001L)
+    val now = System.currentTimeMillis()
+    // pre-expire: eff = (far, far, far) — `now` predates every commit
+    intercept[IllegalArgumentException](
+      SnapshotTable.versionAtTimestamp(spark, p2, now))
+    SnapshotTable.expire(spark, p2, keep = 2)
+    // post-expire the answer must NOT change to v2/v3 (their raw ts are
+    // tiny): the persisted floor keeps the effective clock at `far`
+    intercept[IllegalArgumentException](
+      SnapshotTable.versionAtTimestamp(spark, p2, now))
+    // the changelog completeness guard holds for the same reason
+    import graft.streaming.SnapshotChangelog
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = SnapshotChangelog.readLog(spark, p2, startTimestamp = Some(now))
+        .writeStream.option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-clock2-c").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ()).start()
+      q.awaitTermination(120000); ()
+    }
+    def chain2(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain2(e).exists(_.contains("retained left edge")), chain2(e))
+    // vacuum never reaps the floor file
+    SnapshotTable.vacuum(spark, p2, graceMs = 0L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p2, "_versions", "tsfloor")))
+    intercept[IllegalArgumentException](
+      SnapshotTable.versionAtTimestamp(spark, p2, now))
+  }
+
   // ---- timestamp time travel + age-based retention -----------------------
 
   test("readAtTimestamp resolves wall-clock instants; expireOlderThan trims by age") {
