@@ -428,6 +428,79 @@ object SnapshotTable {
     cur + 1
   }
 
+  // ---- snapshot tags (named version pins) --------------------------------
+
+  private def tagsDir(path: String) = new Path(versionsDir(path), "tags")
+  private def tagFile(path: String, name: String) = new Path(tagsDir(path), name)
+
+  /** Pin a retained version under a NAME (the Iceberg tag contract) —
+    * the reproducibility primitive a training pipeline needs: tag the
+    * corpus vintage a run consumed (`tag(path, "run-2026-08-15")`) and
+    * [[expire]] keeps that snapshot alive FOREVER (refcounted like any
+    * retained manifest) while the rest of the history ages out. Tags
+    * are one tiny file each under `_versions/tags/<name>`, published
+    * create-if-absent so concurrent taggers cannot silently overwrite
+    * each other; re-pointing a name = dropTag + tag. Reads:
+    * [[readTag]] / [[tags]]. An instant-based read that lands in the
+    * gap an expired range leaves AROUND a tagged island refuses loudly
+    * (see [[versionAtTimestamp]]) — the tag pins one state, not the
+    * history near it.
+    */
+  def tag(spark: SparkSession, path: String, name: String,
+          version: Option[Long] = None): Long = {
+    require(constraintName.pattern.matcher(name).matches(),
+      s"tag name must match ${constraintName.regex}; got '$name'")
+    val vs = versions(spark, path)
+    val v = version.orElse(vs.lastOption).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path to tag"))
+    if (!vs.contains(v)) throw new IllegalArgumentException(
+      s"cannot tag version $v of $path: retained versions are " +
+        s"${vs.headOption.getOrElse(0L)}..${vs.lastOption.getOrElse(0L)}")
+    val f = fs(spark, tagsDir(path))
+    f.mkdirs(tagsDir(path))
+    val out =
+      try f.create(tagFile(path, name), false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"tag '$name' already exists on $path (at version " +
+              s"${tags(spark, path).getOrElse(name, -1L)}); dropTag it first to re-point")
+      }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Remove a tag; the pinned version becomes expirable again. */
+  def dropTag(spark: SparkSession, path: String, name: String): Unit = {
+    val f = fs(spark, tagsDir(path))
+    if (!f.exists(tagFile(path, name))) throw new IllegalArgumentException(
+      s"no tag named '$name' on $path (have: ${tags(spark, path).keys.toSeq.sorted.mkString(", ")})")
+    f.delete(tagFile(path, name), false)
+    ()
+  }
+
+  /** All tags as name → version. One directory listing. */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val d = tagsDir(path)
+    val f = fs(spark, d)
+    if (!f.exists(d)) Map.empty
+    else f.listStatus(d).filter(_.isFile).map { s =>
+      val in = f.open(s.getPath)
+      val v = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+      s.getPath.getName -> v
+    }.toMap
+  }
+
+  /** Read the snapshot a tag pins: [[readAt]] of the tagged version. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val v = tags(spark, path).getOrElse(name, throw new IllegalArgumentException(
+      s"no tag named '$name' on $path (have: ${tags(spark, path).keys.toSeq.sorted.mkString(", ")})"))
+    readAt(spark, path, v)
+  }
+
   /** Remove a CHECK constraint by name as a metadata commit. */
   def dropConstraint(spark: SparkSession, path: String, name: String): Long = {
     val cur = currentVersion(spark, path).getOrElse(
@@ -623,7 +696,23 @@ object SnapshotTable {
       s"timestamp $tsMillis predates the retained history of $path " +
         s"(earliest retained commit: version ${times.head._1} at " +
         s"${times.head._2}); earlier snapshots have expired")
-    hit.last._1
+    val r = hit.last._1
+    // a TAGGED old version survives expire as an island: versions
+    // between it and the next retained one are gone. An instant EQUAL
+    // to the island's own commit instant is provably that version; any
+    // instant strictly after it (and before the next retained commit)
+    // is unknowable — the expired successor that superseded the island
+    // may have committed before or after it, and silently handing back
+    // the island would present a state that may already have been
+    // superseded then. Contiguous retention (no tags) never enters this
+    // branch: version numbers are consecutive by construction.
+    if (r != times.last._1 && !times.exists(_._1 == r + 1) && tsMillis > hit.last._2)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis falls in an expired gap of $path: version $r is " +
+          s"retained (tagged), but its successors up to the next retained " +
+          s"version have expired — the state at that instant is gone. Read the " +
+          s"tagged snapshot explicitly via readAt/readTag")
+    r
   }
 
   /** Time travel by wall clock: [[readAt]] of [[versionAtTimestamp]]. */
@@ -1558,21 +1647,32 @@ object SnapshotTable {
     val f = fs(spark, versionsDir(path))
     val vs = versions(spark, path)
     if (vs.isEmpty) return 0
-    val drop = vs.dropRight(keep)
-    val retained = vs.takeRight(keep).map(v => readManifestFull(spark, path, v))
+    // TAGGED versions are pinned: they survive any retention window
+    // (the Iceberg ref contract — see [[tag]]), refcounted below like
+    // every retained manifest so their dirs/blooms/tombstones stay
+    val tagged = tags(spark, path).values.toSet
+    val drop = vs.dropRight(keep).filterNot(tagged)
+    val retained = vs.filterNot(drop.toSet).map(v => readManifestFull(spark, path, v))
     val retainedDirs = retained.flatMap(_.dirs).toSet
     // bloom files are shared by reference across compactions — refcount
     // their names exactly like dirs; tombstone sidecars are shared by
     // every later pre-rewrite manifest and refcount the same way
     val retainedBlooms = retained.flatMap(_.bloom).toSet
     val retainedTs = retained.flatMap(_.tombstones).toSet
-    if (drop.nonEmpty) {
-      // persist the clock floor BEFORE dropping: the newest expired
-      // commit's EFFECTIVE instant seeds [[effectiveCommitTimes]] so the
-      // retained versions' effective clock never moves backward across
-      // an expire (see the seeding comment there). Overwrite-in-place is
-      // fine under the same single-maintainer assumption as vacuum.
-      val floor = effectiveCommitTimes(spark, path).toMap.apply(drop.last)
+    // persist the clock floor BEFORE dropping: the newest expired
+    // commit's EFFECTIVE instant seeds [[effectiveCommitTimes]] so the
+    // retained versions' effective clock never moves backward across an
+    // expire (see the seeding comment there). Only the CONTIGUOUS
+    // left-edge prefix of the drop feeds the floor — a version dropped
+    // from the interior (between tagged islands) must not inflate the
+    // older retained islands' instants; interior drops cannot lower
+    // anyone's eff under the strictly-increasing stamp discipline, and
+    // legacy skewed chains predate tags. Overwrite-in-place is fine
+    // under the same single-maintainer assumption as vacuum.
+    val retainedHead = vs.filterNot(drop.toSet).head
+    val leftPrefix = drop.filter(_ < retainedHead)
+    if (leftPrefix.nonEmpty) {
+      val floor = effectiveCommitTimes(spark, path).toMap.apply(leftPrefix.last)
       val out = f.create(clockFloorFile(path), true)
       try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
     }
@@ -1761,9 +1861,9 @@ object SnapshotTable {
       else f.listStatus(vd).filter { s =>
         val n = s.getPath.getName
         val isManifest = n.startsWith("v") && n.endsWith(".txt")
-        // tsfloor is live table metadata (the expire clock floor), not
-        // a staging orphan — never reaped
-        !isManifest && n != "tsfloor" && !refBlooms(n) && deletable(s)
+        // tsfloor (the expire clock floor) and the tags/ directory are
+        // live table metadata, not staging orphans — never reaped
+        s.isFile && !isManifest && n != "tsfloor" && !refBlooms(n) && deletable(s)
       }
     versionFiles.foreach(s => f.delete(s.getPath, false))
     VacuumStats(dataDirs.length, sidecars.length, versionFiles.length)

@@ -3905,6 +3905,47 @@ object TrainingData {
              AND (n_chars % 7 != 0 OR n_chars IS NULL))
       ORDER BY doc_id"""))
 
+  // ---- d36_snapshot_tag: named version pins through retention ----------
+  // The Iceberg tag contract as the training-reproducibility primitive:
+  // tag the corpus vintage a run consumed and expire keeps that exact
+  // snapshot alive while the rest of the history ages out. Fixture:
+  // v1 = base ingest (doc_id<250), tag it "vintage"; v2 and v3 ingest
+  // more; expire(keep=1) drops v2 — retained versions become the
+  // TAGGED ISLAND {1} plus the head {3}, and the row reads the table
+  // BACK THROUGH THE TAG. DuckDB replays the pinned vintage as a plain
+  // filter — proving the tag still resolves to exactly the v1 content
+  // after its neighbors expired (dirs/blooms refcounted, not copied).
+  // Gap-instant refusal and drop-the-pin-then-age-out are
+  // Round13Spec-pinned.
+  private def d36Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d36", expect = Seq(1L, 3L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("@"), col("doc_id")).as("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 250), path, "text",
+        expectedItems = 100000L)
+      SnapshotTable.tag(s, path, "vintage", Some(1L))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id").between(250, 299)),
+        path, "text", expectedItems = 100000L)
+      SnapshotTable.ingest(s, docs.filter(col("doc_id").between(300, 349)),
+        path, "text", expectedItems = 100000L)
+      val n = SnapshotTable.expire(s, path, keep = 1)
+      require(n == 1, s"tag fixture expire dropped $n versions, expected 1 (v2)")
+      ()
+    }
+
+  private val d36 = Q(
+    (s, dir) => {
+      SnapshotTable.readTag(s, d36Fixture(s, dir), "vintage")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, n_chars
+      FROM documents
+      WHERE doc_id < 250
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3944,6 +3985,7 @@ object TrainingData {
     "d33_binpack_compact" -> d33,
     "d34_time_travel_ts" -> d34,
     "d35_check_constraints" -> d35,
+    "d36_snapshot_tag" -> d36,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

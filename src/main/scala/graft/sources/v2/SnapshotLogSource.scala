@@ -183,13 +183,33 @@ class SnapshotLogStream(path: String, startVersion: Option[String],
         val times = SnapshotTable.effectiveCommitTimes(spark, path)
         times.headOption match {
           case None => 0L
-          case Some((firstV, firstTs)) =>
-            if (firstV > 1L && ts <= firstTs) throw new IllegalArgumentException(
-              s"startTimestamp $ts is at or before the retained left edge of $path " +
-                s"(version $firstV at $firstTs); earlier commits have expired — " +
-                "changes since that instant cannot be delivered completely. " +
-                "Use startVersion=earliest to accept the trimmed baseline explicitly")
-            times.find(_._2 >= ts).map(_._1 - 1).getOrElse(times.last._1)
+          case Some(_) =>
+            val retained = times.map(_._1).toSet
+            times.find(_._2 >= ts) match {
+              // nothing at/after the instant: deliver future commits only
+              case None => times.last._1
+              case Some((fv, fTs)) =>
+                // completeness: every commit whose effective instant was
+                // >= ts must still be retained. (a) if fv's number-
+                // predecessor expired, commits with instants in
+                // [ts, fTs) may be gone — the classic retained left
+                // edge, and the gap an expired range leaves around a
+                // tagged island; (b) a gap ANYWHERE at/after fv means
+                // commits with instants >= ts expired.
+                if (fv > 1L && !retained(fv - 1L) && ts < fTs) throw new IllegalArgumentException(
+                  s"startTimestamp $ts is at or before the retained left edge of the " +
+                    s"changelog at $path (first retained match: version $fv at $fTs, " +
+                    s"whose predecessor has expired) — changes since that instant " +
+                    "cannot be delivered completely. Use startVersion=earliest to " +
+                    "accept the trimmed baseline explicitly")
+                val after = times.map(_._1).dropWhile(_ < fv)
+                after.zip(after.drop(1)).find { case (a, b) => b != a + 1 }
+                  .foreach { case (a, b) => throw new IllegalArgumentException(
+                    s"startTimestamp $ts cannot be delivered completely from $path: " +
+                      s"versions between $a and $b have expired (a tagged snapshot " +
+                      "pins an island, not the history around it)") }
+                fv - 1
+            }
         }
       case None => startVersion.map(_.trim.toLowerCase) match {
         case None | Some("latest") => vs.lastOption.getOrElse(0L)

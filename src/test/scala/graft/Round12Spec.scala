@@ -269,12 +269,13 @@ class Round12Spec extends SparkSpec {
       var modelAt = Map.empty[Long, Vector[(Long, String)]] // per retained version
       var nextId = 0L
       var constraintOn = false // tracks the drop-mode CHECK constraint (ops 17/18)
+      var livePins = Set.empty[String] // live tags (op 19)
       def freshDoc(): (Long, String) = { nextId += 1; (nextId, s"doc $seed-$nextId") }
       def record(): Unit =
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until 12).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(19)
+        val op = if (i == 0) 0 else r.nextInt(20)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -524,6 +525,21 @@ class Round12Spec extends SparkSpec {
             val existing2 = model.map(_._2).toSet
             model ++= admitted.filterNot(b => existing2(b._2))
             record()
+          case 19 => // tag/dropTag: metadata-only pins. A tagged version
+            // survives later expire ops as a retained ISLAND, so the
+            // generic readAt/readWhere replay below exercises gapped
+            // retention; content and the model are untouched.
+            if (livePins.isEmpty || r.nextBoolean()) {
+              val nm = s"pin$i"
+              opsRun += s"tag($nm)"
+              SnapshotTable.tag(spark, path, nm)
+              livePins += nm
+            } else {
+              val nm = livePins.toSeq.sorted.apply(r.nextInt(livePins.size))
+              opsRun += s"dropTag($nm)"
+              SnapshotTable.dropTag(spark, path, nm)
+              livePins -= nm
+            }
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"
             val bad = Seq((nextId + 500000L, s"drift $seed-$i", 1.0))

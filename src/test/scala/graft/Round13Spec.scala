@@ -1075,6 +1075,63 @@ class Round13Spec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() == 1L)
   }
 
+  test("snapshot tags pin versions through expire; gapped instants refuse loudly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-tags").toString
+    (1L to 4L).foreach(i => SnapshotTable.ingest(spark,
+      ((i - 1) * 10 until i * 10).map(k => (k, s"doc $k")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 100L))
+    // validation: name grammar, retained range, duplicate
+    intercept[IllegalArgumentException](SnapshotTable.tag(spark, path, "bad name"))
+    intercept[IllegalArgumentException](SnapshotTable.tag(spark, path, "x", Some(9L)))
+    assert(SnapshotTable.tag(spark, path, "baseline", Some(1L)) == 1L)
+    intercept[IllegalArgumentException](
+      SnapshotTable.tag(spark, path, "baseline", Some(2L)))
+    assert(SnapshotTable.tags(spark, path) == Map("baseline" -> 1L))
+    val instants = SnapshotTable.history(spark, path)
+      .select("version", "commit_ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    // expire keeps the tagged island alive forever; v2/v3 age out
+    SnapshotTable.expire(spark, path, keep = 1)
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 4L))
+    assert(SnapshotTable.readTag(spark, path, "baseline").count() == 10L)
+    assert(SnapshotTable.readAt(spark, path, 1L).count() == 10L)
+    intercept[IllegalArgumentException](SnapshotTable.readAt(spark, path, 2L))
+    // exact retained instants still resolve; an instant in the EXPIRED
+    // GAP refuses — the state then was some expired version, and the
+    // tagged island must not masquerade as it
+    assert(SnapshotTable.versionAtTimestamp(spark, path, instants(1L)) == 1L)
+    assert(SnapshotTable.versionAtTimestamp(spark, path, instants(4L)) == 4L)
+    val mid = instants(2L)
+    val eGap = intercept[IllegalArgumentException](
+      SnapshotTable.versionAtTimestamp(spark, path, mid))
+    assert(eGap.getMessage.contains("expired gap"), eGap.getMessage)
+    // the changelog refuses the same gap as incomplete
+    import graft.streaming.SnapshotChangelog
+    val eLog = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = SnapshotChangelog.readLog(spark, path, startTimestamp = Some(mid))
+        .writeStream.option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-tags-c").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ()).start()
+      q.awaitTermination(120000); ()
+    }
+    val msgs = Iterator.iterate(eLog: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(x => Option(x.getMessage)).toSeq
+    assert(msgs.exists(_.contains("expired")), msgs)
+    // vacuum never reaps the tags directory; dedup coverage intact
+    SnapshotTable.vacuum(spark, path, graceMs = 0L)
+    assert(SnapshotTable.tags(spark, path) == Map("baseline" -> 1L))
+    assert(SnapshotTable.ingest(spark,
+      Seq((100L, "doc 5")).toDF("doc_id", "text"), path, "text", 100L).nNew == 0L)
+    // dropping the tag releases the pin: the island ages out
+    intercept[IllegalArgumentException](SnapshotTable.dropTag(spark, path, "nope"))
+    SnapshotTable.dropTag(spark, path, "baseline")
+    SnapshotTable.expire(spark, path, keep = 1)
+    assert(SnapshotTable.versions(spark, path).size == 1)
+    assert(SnapshotTable.read(spark, path).count() == 40L)
+  }
+
   // ---- CHECK constraints -------------------------------------------------
 
   test("fail-mode CHECK constraints gate every write path; NULL passes; deletes exempt") {
