@@ -154,7 +154,9 @@ object EventStream {
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
   /** In-line retention policy for [[ingestSink]]. Every `everyBatches`
-    * batches the sink expires to `keep` manifests and vacuums orphans
+    * batches the sink expires to `keep` manifests (or, with
+    * `retainForMs` set, to the versions younger than that age — the
+    * time-travel-SLA form), and vacuums orphans
     * older than `vacuumGraceMs` (both metadata-cost), and compacts the
     * snapshot chain — an O(table) rewrite — only when the accumulated
     * delta dirs hold ≥ `compactWhenDeltaBytes` of new data, OR
@@ -192,12 +194,20 @@ object EventStream {
                                vacuumGraceMs: Long = 24L * 3600 * 1000,
                                compactWhenDeltaBytes: Long = 128L * 1024 * 1024,
                                maxChainDirs: Int = 64,
-                               maxTombstones: Int = 16) {
+                               maxTombstones: Int = 16,
+                               retainForMs: Option[Long] = None) {
     require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
     require(keep >= 1, s"keep must be >= 1, got $keep")
     require(maxChainDirs >= 2, s"maxChainDirs must be >= 2, got $maxChainDirs")
     require(vacuumGraceMs >= 0, s"vacuumGraceMs must be >= 0, got $vacuumGraceMs")
     require(maxTombstones >= 1, s"maxTombstones must be >= 1, got $maxTombstones")
+    // retainForMs: AGE-based retention instead of count-based — "every
+    // reader and time-travel query gets N hours" is an SLA a per-second
+    // micro-batch count cannot express (keep=2 at 1 Hz is a 2-second
+    // window). When set, ticks run expireOlderThan(now - retainForMs);
+    // `keep` is ignored. Snapshot TAGS survive either policy.
+    require(retainForMs.forall(_ >= 0),
+      s"retainForMs must be >= 0, got ${retainForMs.get}")
   }
 
   /** Streaming twin of [[graft.operators.SnapshotTable.ingest]]: each
@@ -368,7 +378,11 @@ object EventStream {
         ()
       }
     }
-    SnapshotTable.expire(spark, path, m.keep)
+    m.retainForMs match {
+      case Some(ms) =>
+        SnapshotTable.expireOlderThan(spark, path, System.currentTimeMillis() - ms)
+      case None => SnapshotTable.expire(spark, path, m.keep)
+    }
     SnapshotTable.vacuum(spark, path, m.vacuumGraceMs)
     ()
   }

@@ -262,6 +262,10 @@ class Round12Spec extends SparkSpec {
     // -Dgraft.model.seeds=1,2,...,40 without touching the spec
     val seeds = sys.props.get("graft.model.seeds")
       .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(17, 23))
+    // deeper campaigns: -Dgraft.model.steps=24 doubles the op-sequence
+    // length per seed (longer compositions — more retention gaps, more
+    // stacked overlays — without touching the CI cost)
+    val steps = sys.props.get("graft.model.steps").map(_.trim.toInt).getOrElse(12)
     for (seed <- seeds) {
       val r = new scala.util.Random(seed)
       val path = java.nio.file.Files.createTempDirectory(s"graft-model-$seed").toString
@@ -274,7 +278,7 @@ class Round12Spec extends SparkSpec {
       def record(): Unit =
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
-      (0 until 12).foreach { i =>
+      (0 until steps).foreach { i =>
         val op = if (i == 0) 0 else r.nextInt(20)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content

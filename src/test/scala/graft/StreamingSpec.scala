@@ -472,6 +472,32 @@ class StreamingSpec extends SparkSpec {
       s"chain still unbounded: ${SnapshotTable.chainInfo(spark, path)}")
   }
 
+  test("maintenance retainForMs trims by age instead of count") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    intercept[IllegalArgumentException](
+      EventStream.Maintenance(retainForMs = Some(-1L)))
+    // a zero-age window keeps only the current snapshot at each tick; a
+    // huge window retains the whole history regardless of `keep`
+    def run(retain: Long, dir: String): Int = {
+      val path = java.nio.file.Files.createTempDirectory(dir).toString
+      val input = MemoryStream[(Long, String)]
+      val q = EventStream.ingestSink(
+        input.toDF().toDF("doc_id", "text"), path, "text", expectedItems = 100L,
+        maintenance = Some(EventStream.Maintenance(everyBatches = 2, keep = 1,
+          retainForMs = Some(retain))))
+      (0 until 5).foreach { i =>
+        input.addData(Seq((i.toLong, s"doc $i"))); q.processAllAvailable()
+      }
+      q.stop()
+      val n = SnapshotTable.versions(spark, path).size
+      assert(SnapshotTable.read(spark, path).count() == 5L)
+      n
+    }
+    assert(run(0L, "graft-age0") <= 2, "zero-age window did not trim")
+    assert(run(3600L * 1000, "graft-age1h") == 5, "1h window must retain all 5")
+  }
+
   test("changelog stream tails commits exactly-once across restarts") {
     import graft.operators.SnapshotTable
     import graft.streaming.SnapshotChangelog
