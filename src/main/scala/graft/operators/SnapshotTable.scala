@@ -92,7 +92,17 @@ object SnapshotTable {
     * materializes them and resets the list. `morKey` names the key
     * column every listed tombstone is keyed on; it is defined exactly
     * when `tombstones` is non-empty (the key may be re-chosen once a
-    * rewrite clears the overlay).
+    * rewrite clears the overlay). `physmap` is the column-mapping layer
+    * ([[renameColumn]]/[[dropColumn]] — the Delta column-mapping "name
+    * mode" contract): logical column name → the PHYSICAL name the data
+    * files carry, recorded only where the two differ. A physical name
+    * is immutable for the life of its column — renames edit only this
+    * map, so every retained snapshot's files stay readable under every
+    * later logical schema with zero data I/O. `physRetired` lists
+    * physical names owned by DROPPED columns: a later re-add of the
+    * same logical name must mint a FRESH physical name (else the
+    * dropped column's bytes, still present in retained files, would
+    * silently resurrect as the new column's values).
     */
   private[graft] final case class Manifest(dirs: Seq[String], format: String,
                                            bloom: Option[String],
@@ -103,7 +113,12 @@ object SnapshotTable {
                                            kind: Option[String] = None,
                                            partitionCols: Seq[String] = Nil,
                                            ts: Option[Long] = None,
-                                           constraints: Seq[Constraint] = Nil)
+                                           constraints: Seq[Constraint] = Nil,
+                                           physmap: Map[String, String] = Map.empty,
+                                           physRetired: Seq[String] = Nil) {
+    /** Physical (on-disk) name of a logical column under this manifest. */
+    def physOf(logical: String): String = physmap.getOrElse(logical, logical)
+  }
 
   /** A table CHECK constraint (the Delta constraints / DLT expectations
     * contract): `expr` is a boolean SQL expression over table columns,
@@ -136,9 +151,19 @@ object SnapshotTable {
     var kind: Option[String] = None
     var partitionCols: Seq[String] = Nil
     var ts: Option[Long] = None
+    var physmap: Map[String, String] = Map.empty
+    var physRetired: Seq[String] = Nil
     val constraints = Seq.newBuilder[Constraint]
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
+      case l if l.startsWith("physmap:") =>
+        physmap = l.stripPrefix("physmap:").split(",").filter(_.nonEmpty).map { e =>
+          val i = e.indexOf('=')
+          require(i > 0 && i < e.length - 1, s"malformed physmap manifest entry: '$e'")
+          e.substring(0, i) -> e.substring(i + 1)
+        }.toMap
+      case l if l.startsWith("physretired:") =>
+        physRetired = l.stripPrefix("physretired:").split(",").toSeq.filter(_.nonEmpty)
       case l if l.startsWith("schema:") =>
         schema = Some(DataType.fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
       case l if l.startsWith("stats:") =>
@@ -174,7 +199,8 @@ object SnapshotTable {
       case legacyBloomName => bloom = Some(legacyBloomName)
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
-      tombstones, morKey, kind, partitionCols, ts, constraints.result())
+      tombstones, morKey, kind, partitionCols, ts, constraints.result(),
+      physmap, physRetired)
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -223,6 +249,12 @@ object SnapshotTable {
     m.kind.foreach(k => body.append("kind:").append(k).append('\n'))
     if (m.partitionCols.nonEmpty)
       body.append("partition:").append(m.partitionCols.mkString(",")).append('\n')
+    if (m.physmap.nonEmpty)
+      body.append("physmap:").append(
+        m.physmap.toSeq.sortBy(_._1).map { case (l, p) => s"$l=$p" }.mkString(","))
+        .append('\n')
+    if (m.physRetired.nonEmpty)
+      body.append("physretired:").append(m.physRetired.mkString(",")).append('\n')
     m.constraints.foreach(c => body.append("constraint:").append(c.name)
       .append(':').append(c.mode).append(':').append(c.expr).append('\n'))
     // the commit wall-clock instant — [[readAtTimestamp]]'s index.
@@ -331,13 +363,22 @@ object SnapshotTable {
     // CONTENT, not the table contract — the new content is gated
     val constraints = parentM.map(_.constraints).getOrElse(Nil)
     val gated = enforceConstraints(df, constraints, "write")
+    // column mapping: an overwrite keeps the TABLE's identity, so kept
+    // logical names keep their physical names; columns entering the
+    // schema get identity physicals unless claimed/retired
+    val parentPhys = parentM.map(_.physmap).getOrElse(Map.empty)
+    val parentRetired = parentM.map(_.physRetired).getOrElse(Nil)
+    val committedSchema = nullableSchema(df.schema)
+    val physmap = assignPhysical(committedSchema, parentPhys, parentRetired)
     val dir = stageDir(next)
-    stagedWrite(gated, new Path(path, dir), format, effParts)
+    stagedWrite(gated, new Path(path, dir), format, effParts, physmap)
     writeStatsSidecar(spark, path, dir,
-      spark.read.format(format).load(new Path(path, dir).toString), effStats)
+      spark.read.format(format).load(new Path(path, dir).toString),
+      effStats.map(c => physmap.getOrElse(c, c)))
     commit(spark, path, next, Manifest(Seq(dir), format, None,
-      Some(nullableSchema(df.schema)), effStats, kind = Some("overwrite"),
-      partitionCols = effParts, constraints = constraints))
+      Some(committedSchema), effStats, kind = Some("overwrite"),
+      partitionCols = effParts, constraints = constraints,
+      physmap = physmap, physRetired = parentRetired))
   }
 
   /** Enforce the table's CHECK constraints on a write batch — the gate
@@ -515,6 +556,134 @@ object SnapshotTable {
     cur + 1
   }
 
+  // ---- column mapping: rename / drop as metadata-only commits ------------
+
+  /** Top-level column names a constraint expression references —
+    * parse-only (no resolution), the rename/drop guard's input.
+    */
+  private def referencedCols(spark: SparkSession, exprSql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }
+
+  /** Shared rename/drop refusals: the operations are metadata-only, so
+    * anything whose on-disk or persisted-expression state NAMES the
+    * column must be resolved first, loudly — partition columns (their
+    * name IS the directory layout), the merge-on-read key while an
+    * overlay is outstanding (tombstone files carry the key column under
+    * its current name), and CHECK constraints (their SQL would silently
+    * stop resolving).
+    */
+  private def requireColumnUnpinned(spark: SparkSession, path: String,
+                                    m: Manifest, name: String, op: String): Unit = {
+    if (m.partitionCols.contains(name)) throw new IllegalArgumentException(
+      s"$op: '$name' is a partition column of $path — the physical directory " +
+        "layout is named by it; rewrite the table with different partitioning first")
+    if (m.morKey.contains(name)) throw new IllegalArgumentException(
+      s"$op: '$name' keys ${m.tombstones.size} outstanding merge-on-read " +
+        s"tombstone sidecar(s) at $path; run compact() to materialize the " +
+        "overlay first")
+    val refs = m.constraints.filter(c =>
+      referencedCols(spark, c.expr).exists(_.equalsIgnoreCase(name)))
+    if (refs.nonEmpty) throw new IllegalArgumentException(
+      s"$op: '$name' is referenced by CHECK constraint(s) " +
+        refs.map(c => s"${c.name} (${c.expr})").mkString(", ") +
+        s" at $path; dropConstraint first, then re-add against the new schema")
+  }
+
+  /** Rename a column as a METADATA-ONLY commit (the Delta column-mapping
+    * "name mode" / Iceberg `RENAME COLUMN` contract): no data file is
+    * read or written. The column's PHYSICAL name — what every retained
+    * data file carries — never changes; the new manifest just maps the
+    * new logical name onto it (`physmap`), and readers of every later
+    * version alias physical→logical at the scan. Time travel is exact:
+    * an old version reads under ITS manifest's names. Content sidecars
+    * (bloom, hash) key on VALUES, not names, so the incremental-ingest
+    * dedup invariant survives a rename of the content column — the next
+    * `ingest(textCol = <newName>)` probes the same universe. Stats
+    * sidecars key on physical names and stay valid; the persisted
+    * `stats:` config follows the rename. Refuses (loudly) on partition
+    * columns, the outstanding merge-on-read key, and constraint-
+    * referenced columns — see [[requireColumnUnpinned]]. Concurrency:
+    * optimistic like every commit; a lost race throws
+    * [[CommitConflictException]] (metadata-only — just re-run), and
+    * in-flight writers that staged under the old mapping refuse their
+    * rebase (the winner committed a different schema/mapping).
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   oldName: String, newName: String): Long = {
+    require(newName.nonEmpty, "renameColumn: new name must be non-empty")
+    require(!newName.exists(c => c == ',' || c == '=' || c == ':' ||
+        c == '\n' || c == '\r'),
+      s"renameColumn: new name must not contain ',', '=', ':' or newlines: '$newName'")
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, cur)
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"$path has no committed schema (pre-r13 manifest); rewrite the table " +
+        "(write/compact) before renaming columns"))
+    require(schema.fieldNames.contains(oldName),
+      s"renameColumn: '$oldName' is not a table column " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    if (newName != oldName && schema.fieldNames.exists(_.equalsIgnoreCase(newName)))
+      throw new IllegalArgumentException(
+        s"renameColumn: a column named '$newName' already exists " +
+          "(Spark's default resolver is case-insensitive)")
+    requireColumnUnpinned(spark, path, m, oldName, "renameColumn")
+    if (newName == oldName) return cur
+    val physical = m.physOf(oldName)
+    val newMap0 = m.physmap - oldName
+    val newMap =
+      if (newName == physical) newMap0 else newMap0 + (newName -> physical)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newStats = m.statsCols.map(c => if (c == oldName) newName else c)
+    commit(spark, path, cur + 1, m.copy(schema = Some(newSchema),
+      statsCols = newStats, physmap = newMap, kind = Some("renamecol")))
+    cur + 1
+  }
+
+  /** Drop a column as a METADATA-ONLY commit: no data file is read or
+    * written — the column's bytes stay in retained files (old versions
+    * still read them; time travel is exact) but leave every projection
+    * from this version on. The physical name is RETIRED: a later re-add
+    * of the same logical name (ingest `evolveSchema` / overwrite) mints
+    * a fresh physical name, so the dropped column's bytes can never
+    * resurrect as the new column's values. The manifest's bloom
+    * reference is conservatively CLEARED: if the dropped column was the
+    * table's content-dedup column, the bloom and hash sidecars describe
+    * content that no longer exists logically — the next ingest pays one
+    * documented rebuild scan keyed on ITS content column instead of
+    * trusting a universe the drop may have invalidated. Same refusals
+    * as [[renameColumn]]; additionally refuses to drop the last data
+    * column.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, cur)
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"$path has no committed schema (pre-r13 manifest); rewrite the table " +
+        "(write/compact) before dropping columns"))
+    require(schema.fieldNames.contains(name),
+      s"dropColumn: '$name' is not a table column " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    requireColumnUnpinned(spark, path, m, name, "dropColumn")
+    val remaining = schema.fields.filterNot(_.name == name)
+    if (remaining.isEmpty || remaining.forall(f => m.partitionCols.contains(f.name)))
+      throw new IllegalArgumentException(
+        s"dropColumn: dropping '$name' would leave no data column at $path")
+    commit(spark, path, cur + 1, m.copy(
+      schema = Some(StructType(remaining)),
+      statsCols = m.statsCols.filterNot(_ == name),
+      physmap = m.physmap - name,
+      physRetired = (m.physRetired :+ m.physOf(name)).distinct,
+      bloom = None,
+      kind = Some("dropcol")))
+    cur + 1
+  }
+
   /** Requested stats columns, or the parent manifest's persisted config
     * when the caller passed Nil — the table "remembers" its pruning
     * columns the way Iceberg persists metrics config in table
@@ -575,10 +744,62 @@ object SnapshotTable {
     * first non-`k=v` path segment stops the upward walk, so the
     * snapshot-dir name never parses as a partition).
     */
+  /** `schema` with every field renamed to its physical (on-disk) name —
+    * what data files actually carry and what raw (pre-alias) readers
+    * must declare. Identity when the manifest has no column mapping.
+    */
+  private def physSchema(schema: StructType, physmap: Map[String, String]): StructType =
+    if (physmap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = physmap.getOrElse(f.name, f.name))))
+
+  /** Physical-name assignment for a commit's schema (the column-mapping
+    * invariant keeper): existing mappings are kept (filtered to live
+    * fields), and a field WITHOUT a mapping gets one minted exactly when
+    * its identity name is already claimed — by another column's physical
+    * data or by a retired (dropped) column whose bytes still sit in
+    * retained files. Deterministic (`<name>__p<i>`), collision-checked
+    * against every reserved name.
+    */
+  private def assignPhysical(schema: StructType, physmap: Map[String, String],
+                             retired: Seq[String]): Map[String, String] = {
+    val names = schema.fieldNames.toSeq
+    val keep = physmap.filter { case (l, _) => names.contains(l) }
+    if (retired.isEmpty && keep.isEmpty) return keep
+    val reserved = scala.collection.mutable.Set[String]()
+    reserved ++= keep.values
+    reserved ++= retired
+    reserved ++= names
+    var out = keep
+    names.foreach { n =>
+      if (!out.contains(n) && (keep.values.exists(_ == n) || retired.contains(n))) {
+        var i = 1
+        var cand = s"${n}__p$i"
+        while (reserved(cand)) { i += 1; cand = s"${n}__p$i" }
+        out += n -> cand
+        reserved += cand
+      }
+    }
+    out
+  }
+
+  /** Stage `df` (logical column names) to `dest`, translating to the
+    * table's physical names at this single choke point — every data
+    * write in the file goes through here, so "files carry physical
+    * names" holds by construction. Partition columns are translated
+    * too, though rename/drop refuse on them (identity in practice).
+    */
   private def stagedWrite(df: DataFrame, dest: Path, format: String,
-                          partitionCols: Seq[String]): Unit = {
-    val w = df.write.mode("overwrite").format(format)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+                          partitionCols: Seq[String],
+                          physmap: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.col
+    val out =
+      if (physmap.isEmpty) df
+      else df.select(df.columns.map(c =>
+        col(c).as(physmap.getOrElse(c, c))).toSeq: _*)
+    val parts = partitionCols.map(c => physmap.getOrElse(c, c))
+    val w = out.write.mode("overwrite").format(format)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .save(dest.toString)
   }
 
@@ -738,12 +959,22 @@ object SnapshotTable {
     * set must go through [[readAt]]/[[applyTombstones]].
     */
   private def rawScan(spark: SparkSession, path: String, m: Manifest): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // data files carry PHYSICAL names ([[stagedWrite]]): declare the
+    // physical schema at the scan, then alias back to the manifest's
+    // logical names — the column-mapping read half. Identity (and
+    // therefore alias-free, preserving pre-r14 plans exactly) when no
+    // rename/drop ever touched the table.
     def reader = {
       val r = spark.read.format(m.format)
-      m.schema.fold(r)(r.schema)
+      m.schema.fold(r)(s => r.schema(physSchema(s, m.physmap)))
     }
+    def toLogical(df: DataFrame): DataFrame =
+      if (m.physmap.isEmpty) df
+      else df.select(m.schema.get.fieldNames.map(n =>
+        col(m.physOf(n)).as(n)).toSeq: _*)
     if (m.partitionCols.isEmpty)
-      reader.load(m.dirs.map(d => new Path(path, d).toString): _*)
+      toLogical(reader.load(m.dirs.map(d => new Path(path, d).toString): _*))
     else {
       // Partitioned chains scan PER DIR and union: Spark's partition
       // discovery demands one "discovered base path" across all leaves,
@@ -754,8 +985,8 @@ object SnapshotTable {
       // partitioned table reads identical to its unpartitioned twin.
       val df = m.dirs.map(d => reader.load(new Path(path, d).toString))
         .reduceLeft(_ unionByName _)
-      m.schema.fold(df)(s =>
-        df.select(s.fieldNames.map(org.apache.spark.sql.functions.col(_)).toSeq: _*))
+      if (m.physmap.nonEmpty) toLogical(df)
+      else m.schema.fold(df)(s => df.select(s.fieldNames.map(col(_)).toSeq: _*))
     }
   }
 
@@ -1189,13 +1420,17 @@ object SnapshotTable {
     // analysis runs over the RAW scan (tombstones not applied): the
     // predicate names table columns only, and the mask join would just
     // add plan noise to walk past.
+    // ranges come out in LOGICAL names (the analyzer resolves the
+    // caller's predicate); stats sidecars, partition dir names, and
+    // file contents are all PHYSICAL — translate once here
     val ranges = rawScan(spark, path, m).filter(predicate)
       .queryExecution.analyzed.collect {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.flatMap(extractRanges)
+      .map(r => r.copy(colName = m.physOf(r.colName)))
     val f = fs(spark, new Path(path))
     val typeOf: Map[String, DataType] =
-      m.schema.map(_.fields.map(fd => fd.name -> fd.dataType).toMap)
+      m.schema.map(_.fields.map(fd => m.physOf(fd.name) -> fd.dataType).toMap)
         .getOrElse(Map.empty)
     // Partition-aware listing with PARTITION pruning: a `col=value`
     // subtree whose single-point stats no extracted range can intersect
@@ -1283,9 +1518,12 @@ object SnapshotTable {
           val reader =
             if (m.partitionCols.isEmpty) reader0
             else reader0.option("basePath", new Path(path, d).toString)
-          val df0 = m.schema.fold(reader)(reader.schema)
+          val df0 = m.schema.fold(reader)(s => reader.schema(physSchema(s, m.physmap)))
             .load(paths.map(_.toString): _*)
-          if (m.partitionCols.isEmpty) df0
+          if (m.physmap.nonEmpty)
+            df0.select(m.schema.get.fieldNames.map(n =>
+              org.apache.spark.sql.functions.col(m.physOf(n)).as(n)).toSeq: _*)
+          else if (m.partitionCols.isEmpty) df0
           else m.schema.fold(df0)(s => df0.select(
             s.fieldNames.map(org.apache.spark.sql.functions.col(_)).toSeq: _*))
         }
@@ -1408,7 +1646,8 @@ object SnapshotTable {
           .drop("__spread")
       } else df.repartition(nOut)
     val nextDir = stageDir(v + 1)
-    stagedWrite(sorted, new Path(path, nextDir), m.format, m.partitionCols)
+    stagedWrite(sorted, new Path(path, nextDir), m.format, m.partitionCols,
+      m.physmap)
     // Compaction also collapses an append chain back to ONE directory.
     // The hash sidecar — when the whole chain has one — collapses by
     // pure hash union (no payload re-hash), and the bloom carries over
@@ -1417,10 +1656,12 @@ object SnapshotTable {
     // When either is missing and the caller named the content column,
     // rebuild it from the just-written compacted output (see scaladoc).
     import org.apache.spark.sql.functions.{col, xxhash64}
+    // raw re-read of the freshly-written files: PHYSICAL column names
     lazy val written = {
       val r = spark.read.format(m.format)
       (if (m.partitionCols.isEmpty) r
-       else m.schema.fold(r)(r.schema)).load(new Path(path, nextDir).toString)
+       else m.schema.fold(r)(s => r.schema(physSchema(s, m.physmap))))
+        .load(new Path(path, nextDir).toString)
     }
     // A tombstone overlay makes BOTH carry-forward shortcuts invalid:
     // the old hash sidecars and bloom still contain the masked rows'
@@ -1433,7 +1674,8 @@ object SnapshotTable {
       spark.read.format(m.format).load(srcSidecars.map(_.toString): _*)
         .write.mode("overwrite").format(m.format)
         .save(hashesDir(path, nextDir).toString)
-    else textCol.foreach(tc => writeHashSidecar(spark, path, nextDir, written, tc, m.format))
+    else textCol.foreach(tc =>
+      writeHashSidecar(spark, path, nextDir, written, m.physOf(tc), m.format))
     // Only a manifest-NAMED bloom carries forward; a legacy per-version
     // file is keyed on the pre-contentKey hash and must not be laundered
     // into a named reference (readBloom would then trust it). A chain
@@ -1444,14 +1686,16 @@ object SnapshotTable {
       case (some @ Some(_), _) if m.tombstones.isEmpty => some
       case (_, Some(tc)) =>
         val name = f"b${v + 1}%08d-${nextDir.takeRight(8)}.bin"
-        val b = bloomOf(written, xxhash64(contentKey(col(tc))), expectedItems, fpp)
+        val b = bloomOf(written, xxhash64(contentKey(col(m.physOf(tc)))),
+          expectedItems, fpp)
         writeBloomAt(spark, path, name, b)
         rebuiltBloom = Some(b)
         Some(name)
       case _ => None
     }
     val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
-    writeStatsSidecar(spark, path, nextDir, written, effStats)
+    writeStatsSidecar(spark, path, nextDir, written,
+      effStats.map(m.physOf))
     val committedSchema = m.schema.getOrElse(nullableSchema(written.schema))
     val fault = compactCommitFault
     compactCommitFault = () => ()
@@ -1461,7 +1705,8 @@ object SnapshotTable {
         commit(spark, path, v + 1, Manifest(Seq(nextDir), m.format, outBloomName,
           Some(committedSchema), effStats,
           kind = Some("compact"), partitionCols = m.partitionCols,
-          constraints = m.constraints))
+          constraints = m.constraints,
+          physmap = m.physmap, physRetired = m.physRetired))
         nextDir
       } catch {
         case _: CommitConflictException =>
@@ -1556,7 +1801,8 @@ object SnapshotTable {
           .drop("__spread")
       } else df.repartition(nOut)
     val nextDir = stageDir(v + 1)
-    stagedWrite(spread, new Path(path, nextDir), m.format, m.partitionCols)
+    stagedWrite(spread, new Path(path, nextDir), m.format, m.partitionCols,
+      m.physmap)
     // hash sidecar: pure union of the merged inputs' sidecars — content
     // is unchanged, so no payload is re-hashed
     val srcSidecars = smalls.map(s => hashesDir(path, s._1))
@@ -1567,9 +1813,10 @@ object SnapshotTable {
     lazy val written = {
       val r = spark.read.format(m.format)
       (if (m.partitionCols.isEmpty) r
-       else m.schema.fold(r)(r.schema)).load(new Path(path, nextDir).toString)
+       else m.schema.fold(r)(s => r.schema(physSchema(s, m.physmap))))
+        .load(new Path(path, nextDir).toString)
     }
-    writeStatsSidecar(spark, path, nextDir, written, m.statsCols)
+    writeStatsSidecar(spark, path, nextDir, written, m.statsCols.map(m.physOf))
     val fault = binpackCommitFault
     binpackCommitFault = () => ()
     fault()
@@ -1616,7 +1863,8 @@ object SnapshotTable {
         (cv, k) => if (k != "append") throw new java.io.IOException(
           s"binpack at $path lost the commit race to version $cv (kind '$k'); " +
             "only append interleavings rebase automatically — re-run binpack " +
-            "against the current snapshot"))
+            "against the current snapshot"),
+        expectPhysmap = parentM.physmap)
       val next = winnerV + 1
       val newDir = stageDir(next)
       renameStaged(f, path, stagedDir, newDir)
@@ -1740,11 +1988,10 @@ object SnapshotTable {
         "frames instead")
     val added = toM.dirs.filterNot(fromM.dirs.toSet)
     if (added.isEmpty) readAt(spark, path, to).limit(0)
-    else {
-      val reader = spark.read.format(toM.format)
-      toM.schema.fold(reader)(reader.schema)
-        .load(added.map(d => new Path(path, d).toString): _*)
-    }
+    // delta dirs are a sub-chain of `to`'s snapshot: scan them through
+    // the same manifest machinery (physical names, partition discovery,
+    // logical aliasing) as a full read — just with the dir list cut down
+    else rawScan(spark, path, toM.copy(dirs = added))
   }
 
   final case class RollbackStats(version: Long, toVersion: Long)
@@ -2053,7 +2300,8 @@ object SnapshotTable {
   private def rebaseWinnerChain(spark: SparkSession, path: String,
       parentV: Long, opName: String,
       expectSchema: Option[StructType], expectParts: Seq[String],
-      validateKind: (Long, String) => Unit): (Long, Manifest, Seq[(Long, Manifest)]) = {
+      validateKind: (Long, String) => Unit,
+      expectPhysmap: Map[String, String] = Map.empty): (Long, Manifest, Seq[(Long, Manifest)]) = {
     val winnerV = currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"commit conflict at $path with no current version — manifest store inconsistent"))
@@ -2070,6 +2318,14 @@ object SnapshotTable {
     if (winnerM.partitionCols != expectParts) throw new java.io.IOException(
       s"$opName at $path lost the commit race and the winner committed " +
         s"different partitioning; re-run the $opName against the current snapshot")
+    // belt-and-braces: the kinds every rebase admits (append / compact /
+    // binpack) all preserve the column mapping, and a rename/drop commit
+    // (kind renamecol/dropcol) changes the logical schema and refuses
+    // above — but the staged files were written under OUR physmap, so a
+    // divergent winner mapping must never slip through silently
+    if (winnerM.physmap != expectPhysmap) throw new java.io.IOException(
+      s"$opName at $path lost the commit race and the winner committed a " +
+        s"different column mapping; re-run the $opName against the current snapshot")
     (winnerV, winnerM, chain)
   }
 
@@ -2078,8 +2334,10 @@ object SnapshotTable {
       effStats: Seq[String], effParts: Seq[String],
       deltaBloom: org.apache.spark.util.sketch.BloomFilter,
       stagedDir0: String, parentV0: Option[Long], parentDirs0: Seq[String],
-      retries: Int): (Long, Long) = {
+      retries: Int, physmap: Map[String, String] = Map.empty,
+      physRetired: Seq[String] = Nil): (Long, Long) = {
     import org.apache.spark.sql.functions._
+    val physText = physmap.getOrElse(textCol, textCol)
     val f = fs(spark, new Path(path))
     var stagedDir = stagedDir0
     var parentV = parentV0
@@ -2096,7 +2354,8 @@ object SnapshotTable {
           throw new java.io.IOException(
             s"ingest at $path lost the commit race to version $v (kind '$k'); " +
               "only append/compact/binpack interleavings rebase automatically — " +
-              "re-run the ingest against the current snapshot"))
+              "re-run the ingest against the current snapshot"),
+        expectPhysmap = physmap)
       // dirs the interleaved APPENDs added; a compact REPLACES the dir
       // list but preserves content the delta was already deduped against
       val appendAdded = {
@@ -2110,7 +2369,7 @@ object SnapshotTable {
       }
       val stagedRead = {
         val r = spark.read.format(format)
-        (if (effParts.isEmpty) r else r.schema(committedSchema))
+        (if (effParts.isEmpty) r else r.schema(physSchema(committedSchema, physmap)))
           .load(new Path(path, stagedDir).toString)
       }
       val nStaged = stagedRead.count()
@@ -2127,22 +2386,28 @@ object SnapshotTable {
                 winnerM.copy(dirs = appendAdded, tombstones = Nil))
               .select(contentKey(col(textCol)).as("__h"))
           val surv = stagedRead.join(theirs,
-            contentKey(stagedRead(textCol)) === col("__h"), "left_anti")
+            contentKey(stagedRead(physText)) === col("__h"), "left_anti")
           val nSurv = surv.count()
           if (nSurv == nStaged) { renameStaged(f, path, stagedDir, newDir); nStaged }
           else {
             // racer admitted some of our content first: rewrite the
             // survivors into a fresh correctly-versioned dir (the old
-            // staging becomes a vacuum-reclaimable orphan)
-            stagedWrite(surv.select(committedSchema.fieldNames.map(col(_)).toSeq: _*),
-              new Path(path, newDir), format, effParts)
+            // staging becomes a vacuum-reclaimable orphan). `surv` is a
+            // raw (physical-named) frame, so stage it WITHOUT the
+            // logical→physical translation — its names are already
+            // physical.
+            stagedWrite(surv.select(physSchema(committedSchema, physmap)
+              .fieldNames.map(col(_)).toSeq: _*),
+              new Path(path, newDir), format,
+              effParts.map(c => physmap.getOrElse(c, c)))
             val rewritten = {
               val r = spark.read.format(format)
-              (if (effParts.isEmpty) r else r.schema(committedSchema))
+              (if (effParts.isEmpty) r else r.schema(physSchema(committedSchema, physmap)))
                 .load(new Path(path, newDir).toString)
             }
-            writeHashSidecar(spark, path, newDir, rewritten, textCol, format)
-            writeStatsSidecar(spark, path, newDir, rewritten, effStats)
+            writeHashSidecar(spark, path, newDir, rewritten, physText, format)
+            writeStatsSidecar(spark, path, newDir, rewritten,
+              effStats.map(c => physmap.getOrElse(c, c)))
             nSurv
           }
         }
@@ -2158,7 +2423,8 @@ object SnapshotTable {
         commit(spark, path, next, Manifest(winnerM.dirs :+ newDir, format,
           bloomName, Some(committedSchema), effStats, winnerM.tombstones,
           winnerM.morKey, kind = Some("append"), partitionCols = effParts,
-          constraints = winnerM.constraints))
+          constraints = winnerM.constraints,
+          physmap = physmap, physRetired = physRetired))
         return (next, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -2232,6 +2498,8 @@ object SnapshotTable {
       // double-count the merged content
       val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
         parentV, "compaction", Some(committedSchema), parentM.partitionCols,
+        expectPhysmap = parentM.physmap,
+        validateKind =
         (cv, k) => {
           if (k == "compact") throw new java.io.IOException(
             s"compaction at $path lost the commit race to a concurrent compaction " +
@@ -2275,7 +2543,8 @@ object SnapshotTable {
         commit(spark, path, next, Manifest(newDir +: appendAdded, parentM.format,
           bloomName, Some(committedSchema), effStats,
           kind = Some("compact"), partitionCols = parentM.partitionCols,
-          constraints = winnerM.constraints))
+          constraints = winnerM.constraints,
+          physmap = winnerM.physmap, physRetired = winnerM.physRetired))
         return newDir
       } catch {
         case _: CommitConflictException =>
@@ -2384,6 +2653,12 @@ object SnapshotTable {
     // after — every snapshot dir must share one physical layout
     val effParts = inheritedPartitionCols(parent, partitionCols, "ingest")
     requirePartitionable(effParts, committedSchema, "ingest")
+    // column mapping: inherit the parent's, minting physicals for any
+    // evolved-in columns whose identity name is claimed or retired
+    val parentRetired = parent.map(_.physRetired).getOrElse(Nil)
+    val physmap = assignPhysical(committedSchema,
+      parent.map(_.physmap).getOrElse(Map.empty), parentRetired)
+    val physText = physmap.getOrElse(textCol, textCol)
     // Cache the batch: the constraint gate, both probe branches, and
     // the stats count all scan it, and a crawl batch is expensive to
     // recompute (batch-sized to hold). Persisted BEFORE the gate so a
@@ -2428,18 +2703,20 @@ object SnapshotTable {
       // appends its new columns after the table's; a reordered batch
       // lands in table order.
       stagedWrite(delta.select(committedSchema.fieldNames.map(col(_)).toSeq: _*),
-        new Path(path, deltaDir), format, effParts)
+        new Path(path, deltaDir), format, effParts, physmap)
       // The delta is on disk: count it and build its bloom from the
       // WRITTEN files (one small scan — never re-executes the dedup plan).
       // A partitioned dir reads with the committed schema so partition
       // values come back in their declared types, not path-inferred ones.
+      // Raw re-reads see PHYSICAL column names.
       val writtenReader = spark.read.format(format)
       val written =
-        (if (effParts.isEmpty) writtenReader else writtenReader.schema(committedSchema))
+        (if (effParts.isEmpty) writtenReader
+         else writtenReader.schema(physSchema(committedSchema, physmap)))
           .load(new Path(path, deltaDir).toString)
       val nNew = written.count()
       val deltaBloom = bloomOf(written,
-        xxhash64(contentKey(col(textCol))), expectedItems, fpp)
+        xxhash64(contentKey(col(physText))), expectedItems, fpp)
       val merged = priorBloom match {
         case Some(prior) if prior.isCompatible(deltaBloom) =>
           prior.mergeInPlace(deltaBloom); prior
@@ -2447,7 +2724,7 @@ object SnapshotTable {
           // caller changed (expectedItems, fpp) mid-table: rebuild once
           // over the whole next snapshot so coverage stays total
           bloomOf(read(spark, path).select(col(textCol))
-            .unionByName(written.select(col(textCol))),
+            .unionByName(written.select(col(physText).as(textCol))),
             xxhash64(contentKey(col(textCol))), expectedItems, fpp)
         case None => deltaBloom
       }
@@ -2459,8 +2736,9 @@ object SnapshotTable {
       // [[vacuum]] reclaims never-committed staging artifacts once they
       // age past its grace window.
       val bloomName = f"b$next%08d-${deltaDir.takeRight(8)}.bin"
-      writeHashSidecar(spark, path, deltaDir, written, textCol, format)
-      writeStatsSidecar(spark, path, deltaDir, written, effStats)
+      writeHashSidecar(spark, path, deltaDir, written, physText, format)
+      writeStatsSidecar(spark, path, deltaDir, written,
+        effStats.map(c => physmap.getOrElse(c, c)))
       writeBloomAt(spark, path, bloomName, merged)
       // an append carries the parent's tombstone overlay forward
       // untouched: the delta's rows commit at a LATER version than
@@ -2474,7 +2752,8 @@ object SnapshotTable {
           parent.map(_.tombstones).getOrElse(Nil),
           parent.flatMap(_.morKey), kind = Some("append"),
           partitionCols = effParts,
-          constraints = parent.map(_.constraints).getOrElse(Nil)))
+          constraints = parent.map(_.constraints).getOrElse(Nil),
+          physmap = physmap, physRetired = parentRetired))
         IngestStats(next, nIncoming, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -2483,7 +2762,8 @@ object SnapshotTable {
           // [[rebaseLostAppend]]) instead of throwing work away
           val (v, n) = rebaseLostAppend(spark, path, textCol, format,
             committedSchema, effStats, effParts, deltaBloom,
-            deltaDir, cur, parentDirs, retries = 5)
+            deltaDir, cur, parentDirs, retries = 5,
+            physmap = physmap, physRetired = parentRetired)
           IngestStats(v, nIncoming, n)
       }
     } finally { if (weCached) { incoming.unpersist(); () } }
@@ -2561,26 +2841,30 @@ object SnapshotTable {
         .join(changedKeys, current(keyCol) === col("__mk"), "left_anti")
         .unionByName(upserts)
       val nextDir = stageDir(cur + 1)
-      stagedWrite(next, new Path(path, nextDir), m.format, m.partitionCols)
+      stagedWrite(next, new Path(path, nextDir), m.format, m.partitionCols,
+        m.physmap)
       val written = {
         val r = spark.read.format(m.format)
-        (if (m.partitionCols.isEmpty) r else r.schema(tableSchema))
+        (if (m.partitionCols.isEmpty) r
+         else r.schema(physSchema(tableSchema, m.physmap)))
           .load(new Path(path, nextDir).toString)
       }
       val rowsAfter = written.count()
       // sidecars: the merged output IS the new dedup universe
       val bloomName = textCol.map { tc =>
-        writeHashSidecar(spark, path, nextDir, written, tc, m.format)
+        writeHashSidecar(spark, path, nextDir, written, m.physOf(tc), m.format)
         val name = f"b${cur + 1}%08d-${nextDir.takeRight(8)}.bin"
         writeBloomAt(spark, path, name,
-          bloomOf(written, xxhash64(contentKey(col(tc))), expectedItems, fpp))
+          bloomOf(written, xxhash64(contentKey(col(m.physOf(tc)))),
+            expectedItems, fpp))
         name
       }
       val effStats = if (statsCols.nonEmpty) statsCols else m.statsCols
-      writeStatsSidecar(spark, path, nextDir, written, effStats)
+      writeStatsSidecar(spark, path, nextDir, written, effStats.map(m.physOf))
       commit(spark, path, cur + 1, Manifest(Seq(nextDir), m.format, bloomName,
         Some(tableSchema), effStats, kind = Some("merge"),
-        partitionCols = m.partitionCols, constraints = m.constraints))
+        partitionCols = m.partitionCols, constraints = m.constraints,
+        physmap = m.physmap, physRetired = m.physRetired))
       MergeStats(cur + 1, nChanges, nUpserts, nDeletes, rowsAfter)
     } finally { if (weCached) { changes.unpersist(); () } }
   }
@@ -2759,7 +3043,8 @@ object SnapshotTable {
       val nUpserts = upserts.count()
       val deltaDir = if (nUpserts == 0) None else {
         val d = stageDir(next)
-        stagedWrite(upserts, new Path(path, d), m.format, m.partitionCols)
+        stagedWrite(upserts, new Path(path, d), m.format, m.partitionCols,
+          m.physmap)
         Some(d)
       }
       // the tombstone lists EVERY winning non-null key: an upsert masks
@@ -2785,15 +3070,16 @@ object SnapshotTable {
         case Some(d) =>
           lazy val written = {
             val r = spark.read.format(m.format)
-            (if (m.partitionCols.isEmpty) r else r.schema(tableSchema))
+            (if (m.partitionCols.isEmpty) r
+             else r.schema(physSchema(tableSchema, m.physmap)))
               .load(new Path(path, d).toString)
           }
-          writeStatsSidecar(spark, path, d, written, effStats)
+          writeStatsSidecar(spark, path, d, written, effStats.map(m.physOf))
           textCol.flatMap { tc =>
-            writeHashSidecar(spark, path, d, written, tc, m.format)
+            writeHashSidecar(spark, path, d, written, m.physOf(tc), m.format)
             readBloom(spark, path, cur).flatMap { prior =>
               val deltaBloom = bloomOf(written,
-                xxhash64(contentKey(col(tc))), expectedItems, fpp)
+                xxhash64(contentKey(col(m.physOf(tc)))), expectedItems, fpp)
               if (!prior.isCompatible(deltaBloom)) None
               else {
                 prior.mergeInPlace(deltaBloom)
@@ -2811,7 +3097,8 @@ object SnapshotTable {
         commit(spark, path, next, Manifest(m.dirs ++ deltaDir.toSeq, m.format,
           bloomName, Some(tableSchema), effStats,
           m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read"),
-          partitionCols = m.partitionCols, constraints = m.constraints))
+          partitionCols = m.partitionCols, constraints = m.constraints,
+          physmap = m.physmap, physRetired = m.physRetired))
         MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
           m.tombstones.size + 1)
       } catch {
@@ -2876,7 +3163,8 @@ object SnapshotTable {
           throw new java.io.IOException(
             s"merge-on-read at $path lost the commit race to version $cv (kind '$k'); " +
               "only append/merge-on-read/binpack interleavings rebase automatically — " +
-              "re-run the merge against the current snapshot"))
+              "re-run the merge against the current snapshot"),
+        expectPhysmap = parentM.physmap)
       if (tomb.nonEmpty) winnerM.morKey.filter(_ != keyCol).foreach(k =>
         throw new java.io.IOException(
           s"merge-on-read at $path lost the commit race to an overlay keyed on '$k' " +
@@ -2917,11 +3205,12 @@ object SnapshotTable {
               readBloom(spark, path, winnerV).flatMap { wb =>
                 val written = {
                   val r = spark.read.format(winnerM.format)
-                  (if (winnerM.partitionCols.isEmpty) r else r.schema(tableSchema))
+                  (if (winnerM.partitionCols.isEmpty) r
+                   else r.schema(physSchema(tableSchema, winnerM.physmap)))
                     .load(new Path(path, d).toString)
                 }
                 val deltaBloom = bloomOf(written,
-                  xxhash64(contentKey(col(tc))), expectedItems, fpp)
+                  xxhash64(contentKey(col(winnerM.physOf(tc)))), expectedItems, fpp)
                 if (!wb.isCompatible(deltaBloom)) None
                 else {
                   wb.mergeInPlace(deltaBloom)
@@ -2937,7 +3226,8 @@ object SnapshotTable {
             winnerM.format, bloomName, Some(tableSchema), effStats,
             winnerM.tombstones ++ newTomb.toSeq, Some(keyCol),
             kind = Some("merge-on-read"), partitionCols = winnerM.partitionCols,
-            constraints = winnerM.constraints))
+            constraints = winnerM.constraints,
+            physmap = winnerM.physmap, physRetired = winnerM.physRetired))
           return (next, winnerM.tombstones.size + 1)
         } catch {
           case _: CommitConflictException =>

@@ -3946,6 +3946,48 @@ object TrainingData {
       WHERE doc_id < 250
       ORDER BY doc_id"""))
 
+  // ---- d37_column_mapping: rename/drop as metadata-only commits --------
+  // The Delta column-mapping "name mode" / Iceberg RENAME-DROP COLUMN
+  // contract end-to-end through the oracle gate: v1 ingests (doc_id,
+  // lang, n_chars, text) for doc_id<300; v2 RENAMES lang→language — a
+  // metadata-only commit (no data file touched; v1's parquet keeps the
+  // physical name `lang` forever, the manifest maps it); v3 ingests the
+  // rest of the corpus under the NEW logical name (its delta dir is
+  // written with the PHYSICAL name, so the whole chain shares one
+  // on-disk schema); v4 DROPS n_chars (metadata-only; the bytes stay in
+  // retained files but leave every projection, and the physical name
+  // retires so a later re-add can never resurrect them). The registry
+  // reads the final table: every row's language — across files written
+  // under BOTH vintages of the name — must equal the plain DuckDB
+  // projection, and n_chars must be gone (schema hash). Deep coverage
+  // (time travel under old names, fresh-physical re-add, refusals,
+  // compact/merge on a mapped table) is Round14Spec-pinned.
+  private def d37Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d37", expect = Seq(1L, 2L, 3L, 4L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("#"), col("doc_id")).as("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 300), path, "text",
+        expectedItems = 100000L, statsCols = Seq("doc_id"))
+      SnapshotTable.renameColumn(s, path, "lang", "language")
+      SnapshotTable.ingest(s,
+        docs.filter(col("doc_id") >= 300).withColumnRenamed("lang", "language"),
+        path, "text", expectedItems = 100000L)
+      SnapshotTable.dropColumn(s, path, "n_chars")
+      ()
+    }
+
+  private val d37 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d37Fixture(s, dir))
+        .select(col("doc_id"), col("language"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang AS language
+      FROM documents
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -3986,6 +4028,7 @@ object TrainingData {
     "d34_time_travel_ts" -> d34,
     "d35_check_constraints" -> d35,
     "d36_snapshot_tag" -> d36,
+    "d37_column_mapping" -> d37,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

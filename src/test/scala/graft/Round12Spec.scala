@@ -274,12 +274,17 @@ class Round12Spec extends SparkSpec {
       var nextId = 0L
       var constraintOn = false // tracks the drop-mode CHECK constraint (ops 17/18)
       var livePins = Set.empty[String] // live tags (op 19)
+      // current LOGICAL name of the content column (op 20 renames it
+      // back and forth) — every batch constructor and textCol argument
+      // speaks this name, so a live column mapping crosses every other
+      // op in the fuzz (ingest/merge/MOR/compact/rollback/time travel)
+      var textName = "text"
       def freshDoc(): (Long, String) = { nextId += 1; (nextId, s"doc $seed-$nextId") }
       def record(): Unit =
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until steps).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(20)
+        val op = if (i == 0) 0 else r.nextInt(21)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -291,7 +296,7 @@ class Round12Spec extends SparkSpec {
             // config; every later op inherits it, so the readWhere
             // invariant below exercises stats maintenance across the
             // whole op surface (compact/merge/evolving chains included)
-            SnapshotTable.ingest(spark, batch.toDF("doc_id", "text"), path, "text", 1000L,
+            SnapshotTable.ingest(spark, batch.toDF("doc_id", textName), path, textName, 1000L,
               statsCols = if (i == 0) Seq("doc_id") else Nil)
             val existing = model.map(_._2).toSet
             model ++= batch.filterNot(b => existing(b._2)) // within-batch dups pass through
@@ -299,12 +304,12 @@ class Round12Spec extends SparkSpec {
           case 2 => // overwrite
             val docs = (0 until 1 + r.nextInt(3)).map(_ => freshDoc()).toVector
             opsRun += s"write(${docs.size})"
-            SnapshotTable.write(spark, docs.toDF("doc_id", "text"), path)
+            SnapshotTable.write(spark, docs.toDF("doc_id", textName), path)
             model = docs
             record()
           case 3 =>
             opsRun += "compact"
-            SnapshotTable.compact(spark, path, textCol = Some("text"), expectedItems = 1000L)
+            SnapshotTable.compact(spark, path, textCol = Some(textName), expectedItems = 1000L)
             record()
           case 4 =>
             val keep = 1 + r.nextInt(2)
@@ -326,9 +331,9 @@ class Round12Spec extends SparkSpec {
               delKeys.map(k => (k, s"del $seed-$k-$i", true)) ++
               inserts.map { case (id, t) => (id, t, false) }
             opsRun += s"merge(u${updKeys.size}/d${delKeys.size}/i${inserts.size})"
-            SnapshotTable.merge(spark, rows.toDF("doc_id", "text", "is_deleted"),
+            SnapshotTable.merge(spark, rows.toDF("doc_id", textName, "is_deleted"),
               path, "doc_id", deleteCol = Some("is_deleted"),
-              textCol = Some("text"), expectedItems = 1000L)
+              textCol = Some(textName), expectedItems = 1000L)
             val gone = touched.toSet
             model = model.filterNot(p => gone(p._1)) ++
               updKeys.map(k => (k, s"upd $seed-$k-$i")) ++ inserts
@@ -350,9 +355,9 @@ class Round12Spec extends SparkSpec {
               morDel.map(k => (k, s"mdel $seed-$k-$i", true)) ++
               morIns.map { case (id, t) => (id, t, false) }
             opsRun += s"mor(u${morUpd.size}/d${morDel.size}/i${morIns.size})"
-            SnapshotTable.mergeOnRead(spark, morRows.toDF("doc_id", "text", "is_deleted"),
+            SnapshotTable.mergeOnRead(spark, morRows.toDF("doc_id", textName, "is_deleted"),
               path, "doc_id", deleteCol = Some("is_deleted"),
-              textCol = Some("text"), expectedItems = 1000L)
+              textCol = Some(textName), expectedItems = 1000L)
             val morGone = morTouched.toSet
             model = model.filterNot(p => morGone(p._1)) ++
               morUpd.map(k => (k, s"mupd $seed-$k-$i")) ++ morIns
@@ -366,8 +371,8 @@ class Round12Spec extends SparkSpec {
             opsRun += s"updateWhere($ulo..$uhi)"
             SnapshotTable.updateWhere(spark, path, "doc_id",
               col("doc_id").between(ulo, uhi),
-              Map("text" -> concat(col("text"), lit(s" uw$i"))),
-              textCol = Some("text"), expectedItems = 1000L)
+              Map(textName -> concat(col(textName), lit(s" uw$i"))),
+              textCol = Some(textName), expectedItems = 1000L)
             model = model.map { case (k, t) =>
               if (k >= ulo && k <= uhi) (k, s"$t uw$i") else (k, t)
             }
@@ -396,12 +401,12 @@ class Round12Spec extends SparkSpec {
             }
             opsRun += s"racingIngest(x${xBatch.size}/y${yBatch.size})"
             SnapshotTable.ingestCommitFault = () => {
-              SnapshotTable.ingest(spark, yBatch.toDF("doc_id", "text"),
-                path, "text", 1000L)
+              SnapshotTable.ingest(spark, yBatch.toDF("doc_id", textName),
+                path, textName, 1000L)
               ()
             }
-            SnapshotTable.ingest(spark, xBatch.toDF("doc_id", "text"),
-              path, "text", 1000L)
+            SnapshotTable.ingest(spark, xBatch.toDF("doc_id", textName),
+              path, textName, 1000L)
             val afterY = model ++ {
               val seen = model.map(_._2).toSet
               yBatch.filterNot(b => seen(b._2))
@@ -421,11 +426,11 @@ class Round12Spec extends SparkSpec {
             val rBatch = (0 until 1 + r.nextInt(2)).map(_ => freshDoc())
             opsRun += s"racingCompact(y${rBatch.size})"
             SnapshotTable.compactCommitFault = () => {
-              SnapshotTable.ingest(spark, rBatch.toDF("doc_id", "text"),
-                path, "text", 1000L)
+              SnapshotTable.ingest(spark, rBatch.toDF("doc_id", textName),
+                path, textName, 1000L)
               ()
             }
-            SnapshotTable.compact(spark, path, textCol = Some("text"),
+            SnapshotTable.compact(spark, path, textCol = Some(textName),
               expectedItems = 1000L)
             model = model ++ {
               val seen = model.map(_._2).toSet
@@ -443,10 +448,14 @@ class Round12Spec extends SparkSpec {
             opsRun += s"rollback($tgt)"
             SnapshotTable.rollback(spark, path, tgt)
             model = modelAt(tgt)
-            // rollback restores the target manifest VERBATIM, constraint
-            // config included — resync the tracker from the table
-            constraintOn = SnapshotTable.readManifestChecked(spark, path,
-              SnapshotTable.currentVersion(spark, path).get).constraints.nonEmpty
+            // rollback restores the target manifest VERBATIM — constraint
+            // config AND schema (column names) included — resync both
+            // trackers from the table
+            val restored = SnapshotTable.readManifestChecked(spark, path,
+              SnapshotTable.currentVersion(spark, path).get)
+            constraintOn = restored.constraints.nonEmpty
+            textName = restored.schema.get.fieldNames
+              .find(n => n == "text" || n == "body").get
             record()
           case 14 => // binpack: a pure layout op — content must be
             // IDENTICAL whether it merged, no-op'd (<2 smalls), or
@@ -474,13 +483,13 @@ class Round12Spec extends SparkSpec {
               rmIns.map { case (id, t) => (id, t, false) }
             opsRun += s"racingMor(u${rmUpd.size}/d${rmDel.size}/i${rmIns.size}/y${yMor.size})"
             SnapshotTable.morCommitFault = () => {
-              SnapshotTable.ingest(spark, yMor.toDF("doc_id", "text"),
-                path, "text", 1000L)
+              SnapshotTable.ingest(spark, yMor.toDF("doc_id", textName),
+                path, textName, 1000L)
               ()
             }
-            SnapshotTable.mergeOnRead(spark, rmRows.toDF("doc_id", "text", "is_deleted"),
+            SnapshotTable.mergeOnRead(spark, rmRows.toDF("doc_id", textName, "is_deleted"),
               path, "doc_id", deleteCol = Some("is_deleted"),
-              textCol = Some("text"), expectedItems = 1000L)
+              textCol = Some(textName), expectedItems = 1000L)
             val afterYMor = model ++ {
               val seen = model.map(_._2).toSet
               yMor.filterNot(b => seen(b._2))
@@ -510,7 +519,7 @@ class Round12Spec extends SparkSpec {
             if (!constraintOn) {
               opsRun += "addConstraint"
               SnapshotTable.addConstraint(spark, path, "nonempty",
-                "length(text) > 0", mode = "drop")
+                s"length($textName) > 0", mode = "drop")
             } else {
               opsRun += "dropConstraint"
               SnapshotTable.dropConstraint(spark, path, "nonempty")
@@ -524,7 +533,7 @@ class Round12Spec extends SparkSpec {
             val emptyRow = (nextId + 300000L, "")
             opsRun += s"gatedIngest(on=$constraintOn)"
             SnapshotTable.ingest(spark,
-              Seq(good, emptyRow).toDF("doc_id", "text"), path, "text", 1000L)
+              Seq(good, emptyRow).toDF("doc_id", textName), path, textName, 1000L)
             val admitted = if (constraintOn) Seq(good) else Seq(good, emptyRow)
             val existing2 = model.map(_._2).toSet
             model ++= admitted.filterNot(b => existing2(b._2))
@@ -544,13 +553,34 @@ class Round12Spec extends SparkSpec {
               SnapshotTable.dropTag(spark, path, nm)
               livePins -= nm
             }
+          case 20 => // rename the content column (column mapping): a
+            // metadata-only commit every subsequent batch speaks the new
+            // name through — fuzzes the mapping against every other op
+            // (physical names on disk never change; dedup, stats pruning
+            // and time travel must be rename-oblivious). While the CHECK
+            // constraint is on, the rename must REFUSE (its SQL names
+            // the column) and change nothing.
+            val target = if (textName == "text") "body" else "text"
+            if (constraintOn) {
+              opsRun += s"renameRefused($textName)"
+              val before = SnapshotTable.versions(spark, path)
+              assertThrows[IllegalArgumentException](
+                SnapshotTable.renameColumn(spark, path, textName, target))
+              assert(SnapshotTable.versions(spark, path) == before,
+                s"seed=$seed step=$i: a refused rename advanced the version log")
+            } else {
+              opsRun += s"rename($textName→$target)"
+              SnapshotTable.renameColumn(spark, path, textName, target)
+              textName = target
+              record()
+            }
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"
             val bad = Seq((nextId + 500000L, s"drift $seed-$i", 1.0))
-              .toDF("doc_id", "text", "extra")
+              .toDF("doc_id", textName, "extra")
             val before = SnapshotTable.versions(spark, path)
             assertThrows[IllegalArgumentException](
-              SnapshotTable.ingest(spark, bad, path, "text", 1000L))
+              SnapshotTable.ingest(spark, bad, path, textName, 1000L))
             assert(SnapshotTable.versions(spark, path) == before,
               s"seed=$seed step=$i: a rejected drifted batch advanced the version log")
         }
