@@ -1102,6 +1102,21 @@ object SnapshotTable {
     }
   }
 
+  /** Stats sidecar layout, declared explicitly on every read so sidecar
+    * vintages mix: pre-bloom files (no `bloom` column) read back
+    * null-filled, and a bloom-bearing file read by the range-only path
+    * just carries an unused column.
+    */
+  private val statsSidecarSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("col", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lo_d", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("hi_d", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("lo_s", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("hi_s", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_nonnull", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bloom", org.apache.spark.sql.types.BinaryType)))
+
   private def writeStatsSidecar(spark: SparkSession, path: String, dataDir: String,
                                 writtenIn: => DataFrame, statsCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
@@ -1150,7 +1165,44 @@ object SnapshotTable {
       }
     }
     import spark.implicits._
-    rows.toSeq.toDF("file", "col", "lo_d", "hi_d", "lo_s", "hi_s", "n_nonnull")
+    val rangeRows = rows.toSeq
+      .toDF("file", "col", "lo_d", "hi_d", "lo_s", "hi_s", "n_nonnull")
+      .withColumn("bloom", lit(null).cast(org.apache.spark.sql.types.BinaryType))
+    // POINT-LOOKUP blooms for the string stats columns: min/max intervals
+    // prune range predicates, but equality on a hash-distributed key
+    // (URL, content key, uuid) finds every file's [min,max] spanning the
+    // whole space — the bloom is what skips files there. One extra
+    // columnar pass over the freshly-written (page-cache-hot) files,
+    // sized to the largest file's row count from the pass-1 stats, so
+    // the filter never saturates on its own commit; rows are written
+    // DISTRIBUTED next to the range rows (`bloom` set, interval fields
+    // null), never collected to the driver.
+    val strCols = cols.filter(c => byName(c) == org.apache.spark.sql.types.StringType)
+    val bloomRows =
+      if (strCols.isEmpty) None
+      else {
+        val maxN = rows.map(_._7).maxOption.getOrElse(0L)
+        val items = math.max(1024L, maxN)
+        val aggs = strCols.map(c => org.apache.spark.sql.GraftSqlShim.column(
+          graft.plans.BloomAgg(
+            org.apache.spark.sql.GraftSqlShim.expression(col(c)),
+            items, 0.02).toAggregateExpression()).as(s"__bl_$c"))
+        val agged = written.groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+        Some(agged.select(col("__file"),
+            explode(array(strCols.map(c =>
+              struct(lit(c).as("col"), col(s"__bl_$c").as("bloom"))): _*)).as("e"))
+          .select(
+            element_at(split(col("__file"), "/"), -1).as("file"),
+            col("e.col").as("col"),
+            lit(null).cast("double").as("lo_d"),
+            lit(null).cast("double").as("hi_d"),
+            lit(null).cast("string").as("lo_s"),
+            lit(null).cast("string").as("hi_s"),
+            lit(null).cast("long").as("n_nonnull"),
+            col("e.bloom").as("bloom")))
+      }
+    bloomRows.fold(rangeRows)(rangeRows.unionByName(_))
       .coalesce(1)
       .write.mode("overwrite").parquet(statsDir(path, dataDir).toString)
   }
@@ -1476,22 +1528,53 @@ object SnapshotTable {
     val statPaths =
       if (ranges.isEmpty) Nil
       else m.dirs.map(d => statsDir(path, d)).filter(f.exists)
+    // string EQUALITY values in the predicate — the point lookups the
+    // per-file blooms can answer; bloom rows for other columns are
+    // filtered out AT THE SIDECAR SCAN so a wide bloom config never
+    // inflates this driver-side resolution
+    val pointStrCols = ranges.collect {
+      case q if q.loS.isDefined && q.loS == q.hiS => q.colName
+    }.distinct
+    val sidecarRows =
+      if (statPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else {
+        val r0 = spark.read.schema(statsSidecarSchema)
+          .parquet(statPaths.map(_.toString): _*)
+        val keep =
+          if (pointStrCols.isEmpty) r0.filter(org.apache.spark.sql.functions.col("bloom").isNull)
+          else r0.filter(org.apache.spark.sql.functions.col("bloom").isNull ||
+            org.apache.spark.sql.functions.col("col").isin(pointStrCols: _*))
+        keep.collect()
+      }
     val stats: Map[(String, String), ColStat] =
-      if (statPaths.isEmpty) Map.empty
-      else spark.read.parquet(statPaths.map(_.toString): _*).collect().map { r =>
+      sidecarRows.filter(_.isNullAt(7)).map { r =>
         (r.getAs[String]("file"), r.getAs[String]("col")) -> ColStat(
           Option(r.getAs[java.lang.Double]("lo_d")).map(_.doubleValue),
           Option(r.getAs[java.lang.Double]("hi_d")).map(_.doubleValue),
           Option(r.getAs[String]("lo_s")), Option(r.getAs[String]("hi_s")),
           r.getAs[Long]("n_nonnull"))
       }.toMap
+    val blooms: Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+      sidecarRows.filterNot(_.isNullAt(7)).map { r =>
+        (r.getAs[String]("file"), r.getAs[String]("col")) ->
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      }.toMap
     val perDir = m.dirs.map { d =>
       val (files, pt, pk) = dataFiles(d)
       val kept =
-        if (ranges.isEmpty || stats.isEmpty) files
+        if (ranges.isEmpty || (stats.isEmpty && blooms.isEmpty)) files
         else files.filter { p =>
           ranges.forall { q =>
-            stats.get((p.getName, q.colName)).forall(st => mayMatch(st, q))
+            stats.get((p.getName, q.colName)).forall(st => mayMatch(st, q)) && {
+              // point lookup: a file whose bloom rules the value out is
+              // skipped even when its [min,max] spans it (the
+              // hash-distributed-key case where intervals never prune).
+              // Missing bloom (legacy sidecar, numeric column) → keep.
+              q.loS.filter(_ => q.loS == q.hiS).forall(v =>
+                blooms.get((p.getName, q.colName)).forall(
+                  _.mightContainBinary(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+            }
           }
         }
       (d, files.size, kept, pt, pk)

@@ -3988,6 +3988,41 @@ object TrainingData {
       FROM documents
       ORDER BY doc_id"""))
 
+  // ---- d38_bloom_pruned_scan: point-lookup file skipping ----------------
+  // The equality half of the scan-planning contract (d25 is the range
+  // half): per-file BLOOMS over string stats columns skip files on point
+  // predicates where min/max intervals cannot — the key column here is a
+  // content hash, so every file's [min,max] spans ~the whole keyspace and
+  // interval stats alone keep everything. Fixture: three ingests keyed on
+  // md5(doc_id); the row point-reads one key through readWhere and DuckDB
+  // replays the same lookup as a plain filter (pruning must never change
+  // the ANSWER; the files-skipped audit is Round14Spec-pinned).
+  private def d38Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d38", expect = Seq(1L, 2L, 3L)) { path =>
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+      Seq(col("doc_id") < 200, col("doc_id").between(200, 399), col("doc_id") >= 400)
+        .foreach { slice =>
+          SnapshotTable.ingest(s, keyed.filter(slice), path, "k",
+            expectedItems = 100000L, statsCols = Seq("k"))
+        }
+      ()
+    }
+
+  private val d38 = Q(
+    (s, dir) => {
+      val probe = java.security.MessageDigest.getInstance("MD5")
+        .digest("123".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      SnapshotTable.readWhere(s, d38Fixture(s, dir), col("k") === probe)
+        .select(col("doc_id"), col("k"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+      WHERE doc_id = 123
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4029,6 +4064,7 @@ object TrainingData {
     "d35_check_constraints" -> d35,
     "d36_snapshot_tag" -> d36,
     "d37_column_mapping" -> d37,
+    "d38_bloom_pruned_scan" -> d38,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -252,6 +252,60 @@ class Round14Spec extends SparkSpec {
     assert(SnapshotTable.readAt(spark, path, v).columns.contains("document_id"))
   }
 
+  test("per-file blooms skip files on string point lookups where min/max intervals cannot") {
+    import spark.implicits._
+    val path = tmp("graft-bloom-prune")
+    def key(i: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // hash-distributed keys: EVERY file's [min,max] spans ~the whole
+    // keyspace, so interval stats alone can never skip a file here
+    def batch(lo: Long, hi: Long) = (lo until hi).map(i => (i, key(i))).toDF("doc_id", "k")
+    SnapshotTable.ingest(spark, batch(0, 400), path, "k",
+      expectedItems = 10000L, statsCols = Seq("k"))
+    SnapshotTable.ingest(spark, batch(400, 800), path, "k", expectedItems = 10000L)
+    SnapshotTable.ingest(spark, batch(800, 1200), path, "k", expectedItems = 10000L)
+    val (df, report) = SnapshotTable.readWhereReport(spark, path, col("k") === key(567L))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(567L))
+    assert(report.nFilesTotal >= 3)
+    assert(report.nFilesKept < report.nFilesTotal,
+      s"bloom point-skipping pruned nothing on hash-distributed keys: $report")
+    // an absent key prunes (near-)everything — fpp keeps this a bound,
+    // not an exact zero; the RESULT must be exactly empty either way
+    val (df2, report2) = SnapshotTable.readWhereReport(spark, path,
+      col("k") === "0000000000000000000000000000000000000000")
+    assert(df2.count() == 0L)
+    assert(report2.nFilesKept < report2.nFilesTotal, s"absent key kept everything: $report2")
+    // a RANGE predicate ignores blooms and stays correct
+    assert(SnapshotTable.readWhere(spark, path, col("doc_id") < 100L).count() == 100L)
+  }
+
+  test("legacy (pre-bloom) stats sidecars read back null-filled: equality stays correct, range pruning still works") {
+    import spark.implicits._
+    val path = tmp("graft-bloom-legacy")
+    def batch(lo: Long, hi: Long) = (lo until hi).map(i => (i, s"key-$i" * 10)).toDF("doc_id", "k")
+    SnapshotTable.ingest(spark, batch(0, 300), path, "k",
+      expectedItems = 10000L, statsCols = Seq("doc_id", "k"))
+    SnapshotTable.ingest(spark, batch(300, 600), path, "k", expectedItems = 10000L)
+    // rewrite every sidecar WITHOUT the bloom column (the pre-r14 shape)
+    new java.io.File(path, "_stats").listFiles().foreach { d =>
+      val legacy = spark.read.parquet(d.toString)
+        .filter(col("bloom").isNull).drop("bloom")
+      val tmpOut = d.toString + ".legacy"
+      legacy.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val f = new org.apache.hadoop.fs.Path(d.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(d.toString), true)
+      f.rename(new org.apache.hadoop.fs.Path(tmpOut), new org.apache.hadoop.fs.Path(d.toString))
+    }
+    // equality: no bloom → conservative keep, result exact
+    val (df, _) = SnapshotTable.readWhereReport(spark, path, col("k") === ("key-42" * 10))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // range pruning on the numeric column still prunes from legacy rows
+    val (df2, report2) = SnapshotTable.readWhereReport(spark, path, col("doc_id") < 100L)
+    assert(df2.count() == 100L)
+    assert(report2.nFilesKept < report2.nFilesTotal, s"legacy range pruning lost: $report2")
+  }
+
   test("manifest round-trip: physmap and physretired survive commit/parse; pre-r14 readers would fail loudly (unknown tag)") {
     val path = tmp("graft-map-manifest")
     SnapshotTable.ingest(spark, docs(10), path, "text", expectedItems = 100L)
