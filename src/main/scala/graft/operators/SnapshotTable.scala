@@ -2077,6 +2077,26 @@ object SnapshotTable {
     else rawScan(spark, path, toM.copy(dirs = added))
   }
 
+  /** Scan a subset of `version`'s snapshot directories through the full
+    * manifest machinery — declared PHYSICAL schema, partition discovery,
+    * logical-name aliasing — without the tombstone mask (the caller is
+    * reading an append/upsert delta, whose rows commit at-or-after every
+    * outstanding tombstone). This is the changelog consumer's delta
+    * read: a raw `spark.read.load(dirs)` would surface physical column
+    * names on a renamed table and miss null-filling on an evolved one.
+    * `dirPaths` accepts the full paths the log source emits or bare dir
+    * names.
+    */
+  def scanDirsAt(spark: SparkSession, path: String, version: Long,
+                 dirPaths: Seq[String]): DataFrame = {
+    val m = readManifestChecked(spark, path, version)
+    val names = dirPaths.map(p => new Path(p).getName)
+    val unknown = names.filterNot(m.dirs.contains)
+    require(unknown.isEmpty,
+      s"scanDirsAt: ${unknown.mkString(", ")} are not directories of version $version at $path")
+    rawScan(spark, path, m.copy(dirs = names, tombstones = Nil))
+  }
+
   final case class RollbackStats(version: Long, toVersion: Long)
 
   /** Roll the table back to a RETAINED earlier version as a NEW commit

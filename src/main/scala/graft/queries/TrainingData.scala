@@ -3097,6 +3097,76 @@ object TrainingData {
       SELECT doc_id, bid AS best_bench, inter, un, jacc, (jacc >= 0.2) AS flagged
       FROM best WHERE rn = 1 ORDER BY doc_id"""))
 
+  // ---- t36_mixture_budget: token-budget mixture sampling -----------------
+  // The pre-training data RECIPE op: given a target mixture (uniform
+  // across languages here) and a total token budget (30% of the corpus),
+  // select documents per language by deterministic hash priority until
+  // that language's token quota fills — the reproducible "sample a
+  // 500B-token mix from a 100TB corpus" step every training run starts
+  // with. Selection rule: order docs within a language by md5 priority
+  // and admit while the EXCLUSIVE running token sum is under the quota
+  // (the boundary doc is admitted — budgets are targets, not caps).
+  // SCALE: the naive form is one window per language — #languages
+  // reducer tasks at any corpus size. Instead the priority space splits
+  // into 256 buckets (the first priority byte): per-(lang, bucket) token
+  // sums classify every bucket as fully-inside / boundary / beyond the
+  // quota in metadata-sized work, whole buckets keep or drop MAP-SIDE,
+  // and only the single boundary bucket per language (~1/256 of rows)
+  // pays the exact ordering window. DuckDB replays the plain one-window
+  // form — the bucket decomposition must be invisible in the answer.
+  private val t36 = Q(
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          Text.bpeTokenCount(col("text")).cast("long").as("toks"))
+        .filter(col("toks") > 0)
+        .withColumn("pri", md5(concat_ws(":", col("lang"), col("doc_id"))))
+        .withColumn("bkt", conv(substring(col("pri"), 1, 2), 16, 10).cast("int"))
+      // quota per language: integer-exact 30% of corpus tokens, uniform
+      // target shares (one tiny agg; broadcast back)
+      val perLang = base.groupBy(col("lang")).agg(sum("toks").as("lang_toks"))
+      val tot = perLang.agg(sum("lang_toks").as("tot"), count(lit(1)).as("nl"))
+      val quota = perLang.crossJoin(broadcast(tot))
+        .select(col("lang").as("qlang"), expr("tot * 3 div 10 div nl").as("quota"))
+      // bucket boundary table: metadata-scale (langs × 256 rows)
+      val wB = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      val buckets = base.groupBy(col("lang"), col("bkt")).agg(sum("toks").as("btoks"))
+        .withColumn("bcum", sum(col("btoks")).over(wB) - col("btoks"))
+        .join(quota, col("lang") === col("qlang"))
+        .select(col("lang").as("blang"), col("bkt").as("bbkt"),
+          col("bcum"), col("quota"),
+          (col("bcum") + col("btoks") <= col("quota")).as("full"),
+          (col("bcum") < col("quota") && col("bcum") + col("btoks") > col("quota")).as("edge"))
+      val joined = base.join(broadcast(buckets),
+        col("lang") === col("blang") && col("bkt") === col("bbkt"))
+      val fullKeep = joined.filter(col("full")).select(col("doc_id"), col("lang"))
+      val wE = Window.partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+      val edgeKeep = joined.filter(col("edge"))
+        .withColumn("ecum", sum(col("toks")).over(wE) - col("toks"))
+        .filter(col("bcum") + col("ecum") < col("quota"))
+        .select(col("doc_id"), col("lang"))
+      fullKeep.unionByName(edgeKeep).orderBy("lang", "doc_id")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '${Text.bpePattern}')) AS BIGINT) AS toks,
+               md5(concat(lang, ':', doc_id)) AS pri
+        FROM documents WHERE lang IS NOT NULL),
+      d2 AS (SELECT * FROM d WHERE toks > 0),
+      q AS (
+        SELECT lang, SUM(SUM(toks)) OVER () * 3 // 10 // COUNT(*) OVER () AS quota
+        FROM d2 GROUP BY lang),
+      c AS (
+        SELECT d2.doc_id, d2.lang,
+               SUM(toks) OVER (PARTITION BY d2.lang ORDER BY pri, doc_id
+                               ROWS UNBOUNDED PRECEDING) - toks AS cumb,
+               q.quota
+        FROM d2 JOIN q USING (lang))
+      SELECT doc_id, lang FROM c WHERE cumb < quota
+      ORDER BY lang, doc_id"""))
+
   // ---- d21_semdedup: cluster-scoped semantic dedup -----------------------
   // SemDeDup (Abbas et al. 2023): near-duplicate excision scoped to
   // semantic clusters — the pairwise step runs within a cluster only,
@@ -4099,6 +4169,7 @@ object TrainingData {
     "t33_bigram_lm" -> t33,
     "t34_dsir_select" -> t34,
     "t35_fuzzy_decontam" -> t35,
+    "t36_mixture_budget" -> t36,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

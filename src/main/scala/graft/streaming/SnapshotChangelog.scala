@@ -113,7 +113,12 @@ object SnapshotChangelog {
             else if (c.dirs.isEmpty)
               graft.operators.SnapshotTable.readAt(batch.sparkSession, tablePath, c.version)
                 .filter(org.apache.spark.sql.functions.lit(false))
-            else batch.sparkSession.read.format(c.format).load(c.dirs: _*)
+            else
+              // through the manifest machinery, not a raw load: the
+              // delta must arrive under the version's LOGICAL schema
+              // (column mapping aliased, evolved columns null-filled)
+              graft.operators.SnapshotTable.scanDirsAt(
+                batch.sparkSession, tablePath, c.version, c.dirs)
           onCommit(delta, c)
         }
         ()

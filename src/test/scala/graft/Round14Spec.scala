@@ -306,6 +306,63 @@ class Round14Spec extends SparkSpec {
     assert(report2.nFilesKept < report2.nFilesTotal, s"legacy range pruning lost: $report2")
   }
 
+  test("t36 bucket-decomposed mixture sampling equals the plain one-window prefix rule") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    // the operator under test (bucketed: whole buckets keep/drop map-side,
+    // only the boundary bucket pays the exact ordering window)
+    val got = SparkEntry.queries("t36_mixture_budget")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the naive single-window form it must be indistinguishable from
+    val base = graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        Text.bpeTokenCount(col("text")).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("pri", md5(concat_ws(":", col("lang"), col("doc_id"))))
+    val perLang = base.groupBy(col("lang")).agg(sum("toks").as("lang_toks"))
+    val quota = perLang.crossJoin(
+        broadcast(perLang.agg(sum("lang_toks").as("tot"), count(lit(1)).as("nl"))))
+      .select(col("lang").as("qlang"), expr("tot * 3 div 10 div nl").as("quota"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+    val expect = base.join(broadcast(quota), col("lang") === col("qlang"))
+      .withColumn("cumb", sum(col("toks")).over(w) - col("toks"))
+      .filter(col("cumb") < col("quota"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).toSet
+    assert(got == expect,
+      s"bucket decomposition diverged: +${(got -- expect).take(5)} -${(expect -- got).take(5)}")
+    // non-vacuous: at least one language hit its quota (docs dropped)
+    assert(got.size < base.count(), "budget selected everything — quota never binds")
+    assert(got.nonEmpty)
+  }
+
+  test("changelog stream delivers deltas under the LOGICAL schema on a mapped table") {
+    import graft.streaming.SnapshotChangelog
+    import spark.implicits._
+    val path = tmp("graft-cdc-mapped")
+    val ckpt = tmp("graft-cdc-mapped-ckpt")
+    SnapshotTable.ingest(spark, Seq((1L, "alpha", "en"), (2L, "beta", "de"))
+      .toDF("doc_id", "text", "lang"), path, "text", 100L)
+    SnapshotTable.renameColumn(spark, path, "lang", "language")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[String], Set[(Long, String)])]()
+    val q = SnapshotChangelog.changelogSink(spark, path,
+      (delta, c) => { got.add((c.version, delta.columns.toSeq,
+        delta.collect().map(r => (r.getLong(0), r.getAs[String]("language"))).toSet)); () },
+      checkpoint = Some(ckpt))
+    q.processAllAvailable()
+    // a post-rename ingest: the delta dir's FILES carry the physical
+    // name `lang`, but the stream consumer must see `language`
+    SnapshotTable.ingest(spark, Seq((3L, "gamma", "fr"))
+      .toDF("doc_id", "text", "language"), path, "text", 100L)
+    q.processAllAvailable()
+    q.stop()
+    val rows = got.toArray.toSeq.asInstanceOf[Seq[(Long, Seq[String], Set[(Long, String)])]]
+    assert(rows.size == 1, s"expected one live commit, got $rows")
+    assert(rows.head._2 == Seq("doc_id", "text", "language"),
+      s"delta columns must be LOGICAL: ${rows.head._2}")
+    assert(rows.head._3 == Set((3L, "fr")), s"delta content wrong: ${rows.head._3}")
+  }
+
   test("manifest round-trip: physmap and physretired survive commit/parse; pre-r14 readers would fail loudly (unknown tag)") {
     val path = tmp("graft-map-manifest")
     SnapshotTable.ingest(spark, docs(10), path, "text", expectedItems = 100L)
