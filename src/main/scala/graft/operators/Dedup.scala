@@ -122,6 +122,26 @@ object Dedup {
     // `portableHash` re-keys shingle identity on the md5-derived
     // [[Text.md5Long]] over the literal shingle string so a SQL oracle
     // can replay the signature bit-for-bit; same pipeline otherwise.
+    val banded = minhashBanded(docs, idCol, textCol, k, bands, shingleLen, portableHash)
+    banded.as("a").join(banded.as("b"),
+      col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_jaccard"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** The shared minhash front half: (id, sig, band_key) per document,
+    * one band row per band. Signature minima are a real aggregation
+    * (map-side partial mins, one keyed shuffle) through the one-pass
+    * [[graft.plans.MinHashSigAgg]] buffer — see [[minhashCandidates]]'s
+    * inline notes for why the signature must be a materialized attribute
+    * rather than a row-local expression.
+    */
+  private def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, bands: Int, shingleLen: Int,
+                            portableHash: Boolean): DataFrame = {
+    val rows = k / bands
     val hashed = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"),
         if (portableHash)
@@ -135,14 +155,39 @@ object Dedup {
     // one long[k] buffer per group instead of k separate min() aggregates
     val sig = hashed.groupBy(col("id"))
       .agg(expr(s"graft_minhash_sig(h, $k)").as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+    sig.select(col("id"), col("sig"),
       explode(Text.minhashBandKeys(col("sig"), bands, rows)).as("band_key"))
-    banded.as("a").join(banded.as("b"),
-      col("a.band_key") === col("b.band_key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
-          .cast("double") / k).as("est_jaccard"))
-      .dropDuplicates("id1", "id2")
+  }
+
+  /** Incremental NEAR-dup admission — the fuzzy twin of [[newDocuments]]
+    * (which is exact-content): a new crawl batch is admitted minus the
+    * docs whose estimated Jaccard against SOME existing doc reaches
+    * `tau`. The asymmetric LSH join is what scales: both sides reduce to
+    * (id, sig, band_key) rows — the existing side is signature METADATA
+    * (k longs per doc, ~256 B at k=32; at 100 TB of payload that is a
+    * ~0.1% sidecar, and a table format can persist it per snapshot dir
+    * exactly like the content-hash sidecars) — and candidates come from
+    * the band-bucket join, never a payload pair scan. Band-bucket
+    * occupancy is corpus-bounded the same way [[minhashCandidates]]'s
+    * is; the verify step compares the two signatures already on the
+    * joined row (no payload read). Docs with no shingles (shorter than
+    * `shingleLen`) have no signature and are admitted — matching the
+    * batch LSH operators, which never pair them.
+    */
+  def newDocumentsFuzzy(existing: DataFrame, incoming: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+                        tau: Double = 0.5,
+                        portableHash: Boolean = false): DataFrame = {
+    require(k % bands == 0,
+      s"signature size $k must divide evenly into $bands bands or trailing components are dead")
+    val ex = minhashBanded(existing, idCol, textCol, k, bands, shingleLen, portableHash)
+    val in = minhashBanded(incoming, idCol, textCol, k, bands, shingleLen, portableHash)
+    val dupIds = in.as("a").join(ex.as("b"), col("a.band_key") === col("b.band_key"))
+      .filter((size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+        .cast("double") / k) >= tau)
+      .select(col("a.id").as("__dup")).distinct()
+    incoming.join(dupIds, col(idCol) === col("__dup"), "left_anti")
   }
 
   /** Incremental-ingest pre-filter: a Bloom filter over the existing

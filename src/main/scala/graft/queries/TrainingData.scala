@@ -4093,6 +4093,64 @@ object TrainingData {
       WHERE doc_id = 123
       ORDER BY doc_id"""))
 
+  // ---- d39_neardup_incremental: fuzzy new-batch admission ---------------
+  // d14/d22 admit a crawl batch against EXACT content/URL history; this
+  // is the fuzzy tier every production crawl also runs — "drop the new
+  // doc if it's a NEAR-dup of anything already ingested". The operator
+  // ([[Dedup.newDocumentsFuzzy]]) joins the batch's minhash band keys
+  // against the existing corpus' SIGNATURES (k longs per doc — metadata
+  // an ingest chain can persist per snapshot dir like the hash
+  // sidecars), verifies candidates on the joined signature pair, and
+  // never touches existing payloads. The portable-hash re-key lets
+  // DuckDB replay the whole stack — shingles → 32 minima → 8-band keys
+  // → cross-split candidates → signature-estimate gate — so admission
+  // is hash-compared end-to-end. Split: existing = doc_id<300,
+  // incoming = doc_id>=300; within-batch near-dups both admit (the
+  // operator gates on HISTORY only), which the oracle mirrors by
+  // pairing across the split alone.
+  private val d39 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.newDocumentsFuzzy(
+          docs.filter(col("doc_id") < 300),
+          docs.filter(col("doc_id") >= 300),
+          "doc_id", "text", tau = 0.5, portableHash = true)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(w)-2, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' '))) AS s
+        FROM tok),
+      sh AS (
+        SELECT DISTINCT doc_id, ${Text.md5LongSql("s")} % 2147483647 AS h
+        FROM sh0),
+      params(i, a, b) AS (VALUES $minhashParamsSql),
+      sig AS (
+        SELECT doc_id, i, MIN((h * a + b) % 2147483647) AS v
+        FROM sh CROSS JOIN params GROUP BY 1, 2),
+      sigl AS (
+        SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, bb, sig[bb*4+1 : bb*4+4] AS key
+        FROM sigl, (SELECT unnest(range(8)) AS bb)),
+      dup AS (
+        SELECT DISTINCT a.doc_id AS id
+        FROM band a JOIN band b ON a.bb = b.bb AND a.key = b.key
+        JOIN sigl x ON a.doc_id = x.doc_id
+        JOIN sigl y ON b.doc_id = y.doc_id
+        WHERE a.doc_id >= 300 AND b.doc_id < 300
+          AND len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0 >= 0.5)
+      SELECT doc_id, lang
+      FROM documents
+      WHERE doc_id >= 300 AND doc_id NOT IN (SELECT id FROM dup)
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4135,6 +4193,7 @@ object TrainingData {
     "d36_snapshot_tag" -> d36,
     "d37_column_mapping" -> d37,
     "d38_bloom_pruned_scan" -> d38,
+    "d39_neardup_incremental" -> d39,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

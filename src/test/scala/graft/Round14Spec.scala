@@ -363,6 +363,34 @@ class Round14Spec extends SparkSpec {
     assert(rows.head._3 == Set((3L, "fr")), s"delta content wrong: ${rows.head._3}")
   }
 
+  test("newDocumentsFuzzy admits a batch minus near-dups of history; short and within-batch dups pass") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different text about oceanography and temperature profiles at depth levels")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base + " extra"),                                   // near-dup of doc 1 → dropped
+      (11L, "an entirely novel document with its own words nobody has written before here"),
+      (12L, "an entirely novel document with its own words nobody has written before here"),
+      (13L, "xy zz")                                            // < shingle length: no signature → admitted
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.newDocumentsFuzzy(existing, incoming, "doc_id", "text",
+      tau = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 is history-near-dup (dropped); 11/12 are WITHIN-batch dups of
+    // each other but novel vs history (both admitted — the operator
+    // gates on history only); 13 has no shingles (admitted)
+    assert(admitted == Set(11L, 12L, 13L), s"admitted: $admitted")
+    // and on the corpus: the gate is non-vacuous at sf0.001
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val nIncoming = docs.filter(col("doc_id") >= 300).count()
+    val nAdmitted = SparkEntry.queries("d39_neardup_incremental")(spark, sfDir).count()
+    assert(nAdmitted > 0 && nAdmitted < nIncoming,
+      s"near-dup admission vacuous at sf0.001: $nAdmitted of $nIncoming")
+  }
+
   test("manifest round-trip: physmap and physretired survive commit/parse; pre-r14 readers would fail loudly (unknown tag)") {
     val path = tmp("graft-map-manifest")
     SnapshotTable.ingest(spark, docs(10), path, "text", expectedItems = 100L)
