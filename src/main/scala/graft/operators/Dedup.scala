@@ -138,10 +138,18 @@ object Dedup {
     * inline notes for why the signature must be a materialized attribute
     * rather than a row-local expression.
     */
-  private def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
-                            k: Int, bands: Int, shingleLen: Int,
-                            portableHash: Boolean): DataFrame = {
-    val rows = k / bands
+  private[graft] def minhashBanded(docs: DataFrame, idCol: String, textCol: String,
+                                   k: Int, bands: Int, shingleLen: Int,
+                                   portableHash: Boolean): DataFrame =
+    bandSigs(minhashSigs(docs, idCol, textCol, k, shingleLen, portableHash), k, bands)
+
+  /** (id, sig) per document — the persistable signature form (k longs).
+    * A table format stores exactly this per snapshot dir so later fuzzy
+    * admissions read signatures, never payloads.
+    */
+  private[graft] def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
+                                 k: Int, shingleLen: Int,
+                                 portableHash: Boolean): DataFrame = {
     val hashed = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"),
         if (portableHash)
@@ -153,11 +161,15 @@ object Dedup {
         lit(Text.minhashPrime)).as("h"))
     // custom one-pass TypedImperativeAggregate (graft.plans.MinHashSigAgg):
     // one long[k] buffer per group instead of k separate min() aggregates
-    val sig = hashed.groupBy(col("id"))
-      .agg(expr(s"graft_minhash_sig(h, $k)").as("sig"))
-    sig.select(col("id"), col("sig"),
-      explode(Text.minhashBandKeys(col("sig"), bands, rows)).as("band_key"))
+    hashed.groupBy(col("id")).agg(expr(s"graft_minhash_sig(h, $k)").as("sig"))
   }
+
+  /** Explode a signature frame into (…, band_key) rows — the LSH bucket
+    * half, derived from stored signatures at read time.
+    */
+  private[graft] def bandSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame =
+    sigs.withColumn("band_key",
+      explode(Text.minhashBandKeys(col("sig"), bands, k / bands)))
 
   /** Incremental NEAR-dup admission — the fuzzy twin of [[newDocuments]]
     * (which is exact-content): a new crawl batch is admitted minus the
@@ -183,12 +195,22 @@ object Dedup {
       s"signature size $k must divide evenly into $bands bands or trailing components are dead")
     val ex = minhashBanded(existing, idCol, textCol, k, bands, shingleLen, portableHash)
     val in = minhashBanded(incoming, idCol, textCol, k, bands, shingleLen, portableHash)
-    val dupIds = in.as("a").join(ex.as("b"), col("a.band_key") === col("b.band_key"))
+    incoming.join(fuzzyDupIds(ex, in, k, tau), col(idCol) === col("__dup"), "left_anti")
+  }
+
+  /** Incoming ids whose signature matches SOME existing signature at
+    * est-Jaccard ≥ tau — the verify half of [[newDocumentsFuzzy]], split
+    * out so a table format can feed the existing side from persisted
+    * signature sidecars instead of recomputing it from payloads. Both
+    * inputs are (id, sig, band_key) frames (the existing side's `id` is
+    * unused and may be any value).
+    */
+  private[graft] def fuzzyDupIds(exBanded: DataFrame, inBanded: DataFrame,
+                                 k: Int, tau: Double): DataFrame =
+    inBanded.as("a").join(exBanded.as("b"), col("a.band_key") === col("b.band_key"))
       .filter((size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
         .cast("double") / k) >= tau)
       .select(col("a.id").as("__dup")).distinct()
-    incoming.join(dupIds, col(idCol) === col("__dup"), "left_anti")
-  }
 
   /** Incremental-ingest pre-filter: a Bloom filter over the existing
     * corpus' content hashes splits a new batch cheaply. No false

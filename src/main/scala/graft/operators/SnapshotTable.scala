@@ -2013,6 +2013,11 @@ object SnapshotTable {
         f.delete(new Path(path, d), true)
         f.delete(hashesDir(path, d), true)
         f.delete(statsDir(path, d), true)
+        // minhash sidecars live under per-parameter subdirs
+        // (_minhash/k32s3/<dir>) — sweep every parameter vintage
+        val mh = new Path(path, "_minhash")
+        if (f.exists(mh)) f.listStatus(mh).foreach(p =>
+          f.delete(new Path(p.getPath, d), true))
       }
       m.tombstones.filterNot(retainedTs)
         .foreach(n => f.delete(tombstonePath(path, n), true))
@@ -2869,6 +2874,124 @@ object SnapshotTable {
             physmap = physmap, physRetired = parentRetired)
           IngestStats(v, nIncoming, n)
       }
+    } finally { if (weCached) { incoming.unpersist(); () } }
+  }
+
+  // ---- fuzzy (near-dup) incremental ingest -------------------------------
+
+  /** Signature sidecar location for one data dir. The minhash parameters
+    * are ENCODED IN THE PATH (`k<k>s<shingleLen>[p]`): a caller changing
+    * them simply misses the old sidecars and pays the self-healing
+    * payload recompute below — never a silent signature-shape mismatch.
+    */
+  private def minhashDir(path: String, dataDir: String,
+                         k: Int, shingleLen: Int, portable: Boolean) =
+    new Path(new Path(new Path(path, "_minhash"),
+      s"k${k}s$shingleLen${if (portable) "p" else ""}"), dataDir)
+
+  final case class FuzzyIngestStats(version: Long, nIncoming: Long,
+                                    nFuzzyDropped: Long, nNew: Long)
+
+  /** [[ingest]] with a NEAR-dup admission gate in front — the fuzzy twin
+    * of the exact content gate, as a committed operator
+    * ([[graft.operators.Dedup.newDocumentsFuzzy]] wired over snapshot
+    * commits): a batch row is dropped when its estimated Jaccard against
+    * SOME row already in the table reaches `tau`; survivors then pass
+    * through the normal exact-dedup ingest. What makes it O(delta +
+    * signatures) instead of O(table):
+    *
+    *  1. Every fuzzy ingest PERSISTS its delta's minhash signatures as a
+    *     sidecar (`_minhash/k<k>s<len>/<dir>`, k longs ≈ 260 B per doc —
+    *     ~0.1% of a 100 TB corpus), so later admissions band-join the
+    *     batch against SIGNATURE metadata, never payload text.
+    *  2. A dir without a sidecar (plain-ingest history, a compaction's
+    *     rewrite output, changed parameters) is recomputed ONCE from its
+    *     payload and the sidecar is written back — self-healing, like
+    *     the hash-sidecar repair in [[compact]].
+    *  3. The verify step compares the two signatures already on the
+    *     banded join row — no second lookup, no payload read.
+    *
+    * Semantics notes: within-batch near-dups all pass (the gate is
+    * against HISTORY, matching [[Dedup.newDocumentsFuzzy]]); rows whose
+    * text yields no shingle (shorter than `shingleLen` tokens) are never
+    * near-dups and fall through to the exact gate; rows masked by an
+    * outstanding merge-on-read overlay still gate admissions until a
+    * rewrite materializes the overlay — the same conservative
+    * deleted-content rule as the exact bloom. `tau`/`k`/`bands`/
+    * `shingleLen` should stay constant per table; a change just forfeits
+    * the sidecar fast path for pre-change dirs. Set `portableHash` only
+    * when an external SQL replay of admissions is required (the fast
+    * path hashes shingles with xxhash64). Concurrency: the gate runs
+    * against the resolved snapshot, then delegates to [[ingest]] (whose
+    * rebase handles racers); the post-commit sidecar write is idempotent
+    * (signatures are deterministic) and a crash before it just re-pays
+    * the one-dir recompute later.
+    */
+  def ingestFuzzy(spark: SparkSession, incoming: DataFrame, path: String,
+                  idCol: String, textCol: String, tau: Double = 0.5,
+                  k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+                  portableHash: Boolean = false,
+                  expectedItems: Long = 1000000L, fpp: Double = 0.01,
+                  format: String = "parquet", statsCols: Seq[String] = Nil,
+                  evolveSchema: Boolean = false,
+                  partitionCols: Seq[String] = Nil): FuzzyIngestStats = {
+    import org.apache.spark.sql.functions.col
+    require(k % bands == 0,
+      s"signature size $k must divide evenly into $bands bands")
+    val f = fs(spark, new Path(path))
+    val cur = currentVersion(spark, path)
+    val weCached = incoming.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nIncoming = incoming.count()
+      val survivors = cur match {
+        case None => incoming
+        case Some(v) =>
+          val m = readManifestChecked(spark, path, v)
+          val exSigs = m.dirs.map { d =>
+            val sd = minhashDir(path, d, k, shingleLen, portableHash)
+            if (f.exists(sd))
+              spark.read.format(m.format).load(sd.toString).select(col("sig"))
+            else {
+              // self-healing: one payload pass for this dir, persisted so
+              // the NEXT fuzzy ingest reads metadata only
+              val sigs = graft.operators.Dedup.minhashSigs(
+                scanDirsAt(spark, path, v, Seq(d)), idCol, textCol,
+                k, shingleLen, portableHash).select(col("sig"))
+              sigs.write.mode("overwrite").format(m.format).save(sd.toString)
+              spark.read.format(m.format).load(sd.toString).select(col("sig"))
+            }
+          }
+          if (exSigs.isEmpty) incoming
+          else {
+            val exBanded = graft.operators.Dedup.bandSigs(
+              exSigs.reduce(_ unionByName _), k, bands)
+            val inBanded = graft.operators.Dedup.minhashBanded(
+              incoming, idCol, textCol, k, bands, shingleLen, portableHash)
+            incoming.join(
+              graft.operators.Dedup.fuzzyDupIds(exBanded, inBanded, k, tau),
+              col(idCol) === col("__dup"), "left_anti")
+          }
+      }
+      val nSurvivors = survivors.count()
+      val st = ingest(spark, survivors, path, textCol, expectedItems, fpp,
+        format, statsCols, evolveSchema, partitionCols)
+      // persist the committed delta's signatures (post-commit: the dir
+      // name is the manifest diff against the parent — exact under
+      // rebase too, since our commit adds exactly one dir)
+      val newM = readManifestChecked(spark, path, st.version)
+      val parentDirs =
+        if (st.version == 1L) Set.empty[String]
+        else readManifestChecked(spark, path, st.version - 1).dirs.toSet
+      newM.dirs.filterNot(parentDirs).foreach { d =>
+        graft.operators.Dedup.minhashSigs(
+            scanDirsAt(spark, path, st.version, Seq(d)), idCol, textCol,
+            k, shingleLen, portableHash)
+          .select(col("sig"))
+          .write.mode("overwrite").format(newM.format)
+          .save(minhashDir(path, d, k, shingleLen, portableHash).toString)
+      }
+      FuzzyIngestStats(st.version, nIncoming, nIncoming - nSurvivors, st.nNew)
     } finally { if (weCached) { incoming.unpersist(); () } }
   }
 

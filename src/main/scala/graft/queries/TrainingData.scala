@@ -4151,6 +4151,73 @@ object TrainingData {
       WHERE doc_id >= 300 AND doc_id NOT IN (SELECT id FROM dup)
       ORDER BY doc_id"""))
 
+  // ---- d40_fuzzy_ingest: near-dup gate as a COMMITTED table operator ----
+  // d39 proves fuzzy admission as a batch operator; this row proves it
+  // wired over snapshot commits ([[SnapshotTable.ingestFuzzy]]): v1
+  // fuzzy-ingests doc_id<300 (no history — all admitted), v2
+  // fuzzy-ingests the rest — near-dups of v1 drop at the signature
+  // gate (sidecar-fed; the bytes-read audit is Round14Spec-pinned),
+  // exact dups of v1 content drop at ingest's exact gate (the only rows
+  // the fuzzy gate can miss are shingle-less ones, where est-Jaccard
+  // does not exist). The registry reads the final committed table;
+  // DuckDB replays BOTH gates — the d39 signature stack for fuzzy, the
+  // null-safe md5 NOT EXISTS for exact — over the same split.
+  private def d40Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d40") { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      SnapshotTable.ingestFuzzy(s, docs.filter(col("doc_id") < 300), path,
+        "doc_id", "text", portableHash = true, expectedItems = 100000L)
+      SnapshotTable.ingestFuzzy(s, docs.filter(col("doc_id") >= 300), path,
+        "doc_id", "text", portableHash = true, expectedItems = 100000L)
+      ()
+    }
+
+  private val d40 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d40Fixture(s, dir))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(w)-2, 0)),
+                 i -> array_to_string(w[i+1:i+3], ' '))) AS s
+        FROM tok),
+      sh AS (
+        SELECT DISTINCT doc_id, ${Text.md5LongSql("s")} % 2147483647 AS h
+        FROM sh0),
+      params(i, a, b) AS (VALUES $minhashParamsSql),
+      sig AS (
+        SELECT doc_id, i, MIN((h * a + b) % 2147483647) AS v
+        FROM sh CROSS JOIN params GROUP BY 1, 2),
+      sigl AS (
+        SELECT doc_id, list(v ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+      band AS (
+        SELECT doc_id, bb, sig[bb*4+1 : bb*4+4] AS key
+        FROM sigl, (SELECT unnest(range(8)) AS bb)),
+      dup AS (
+        SELECT DISTINCT a.doc_id AS id
+        FROM band a JOIN band b ON a.bb = b.bb AND a.key = b.key
+        JOIN sigl x ON a.doc_id = x.doc_id
+        JOIN sigl y ON b.doc_id = y.doc_id
+        WHERE a.doc_id >= 300 AND b.doc_id < 300
+          AND len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0 >= 0.5)
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id < 300
+      UNION ALL
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id >= 300
+        AND d.doc_id NOT IN (SELECT id FROM dup)
+        AND NOT EXISTS (
+          SELECT 1 FROM documents e WHERE e.doc_id < 300
+            AND COALESCE(md5(e.text), '<null>') = COALESCE(md5(d.text), '<null>'))
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4194,6 +4261,7 @@ object TrainingData {
     "d37_column_mapping" -> d37,
     "d38_bloom_pruned_scan" -> d38,
     "d39_neardup_incremental" -> d39,
+    "d40_fuzzy_ingest" -> d40,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

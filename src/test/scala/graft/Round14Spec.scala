@@ -391,6 +391,77 @@ class Round14Spec extends SparkSpec {
       s"near-dup admission vacuous at sf0.001: $nAdmitted of $nIncoming")
   }
 
+  test("ingestFuzzy gates on persisted signatures: no payload read, self-healing sidecars") {
+    import spark.implicits._
+    val path = tmp("graft-fuzzy-ingest")
+    // word-shaped ~1.6 KB docs so signatures exist and payload dwarfs
+    // the ~260 B/doc signature sidecar
+    def words(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 200).map { j =>
+        md.digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      }.mkString(" ")
+    }
+    val base = (0L until 1500L).map(i => (i, words(i))).toDF("doc_id", "text")
+    val s1 = SnapshotTable.ingestFuzzy(spark, base, path, "doc_id", "text",
+      expectedItems = 10000L)
+    assert(s1.nNew == 1500L && s1.nFuzzyDropped == 0L)
+    // sidecar persisted for the delta dir
+    val mhRoot = new java.io.File(path, "_minhash/k32s3")
+    assert(mhRoot.isDirectory && mhRoot.listFiles().nonEmpty, "signature sidecar missing")
+    val payloadBytes = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("snap-")).flatMap(_.listFiles())
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+    assert(payloadBytes > 1000000L, s"fixture too small: $payloadBytes")
+    // batch 2: one near-dup of doc 7 (first 190 words shared), one new
+    val nearDup = (9001L, words(7L).split(" ").take(190).mkString(" ") + " tail drift here")
+    val fresh = (9002L, words(424242L))
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val s2 =
+      try {
+        val s = SnapshotTable.ingestFuzzy(spark,
+          Seq(nearDup, fresh).toDF("doc_id", "text"), path, "doc_id", "text",
+          expectedItems = 10000L)
+        var last = -1L
+        var spins = 0
+        while (bytes.get() != last && spins < 50) {
+          last = bytes.get(); Thread.sleep(100); spins += 1
+        }
+        s
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(s2.nFuzzyDropped == 1L, s"near-dup not dropped: $s2")
+    assert(s2.nNew == 1L, s"fresh doc not admitted: $s2")
+    assert(bytes.get() < payloadBytes / 2,
+      s"fuzzy ingest read ${bytes.get()} B against a $payloadBytes B payload — " +
+        "the gate is scanning payload text instead of signature sidecars")
+    // self-healing: delete a sidecar; the next ingest recomputes it from
+    // that one dir's payload, persists it back, and still gates right
+    val victim = mhRoot.listFiles().head
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    rmRf(victim)
+    val s3 = SnapshotTable.ingestFuzzy(spark,
+      Seq((9003L, words(11L).split(" ").take(190).mkString(" ") + " other end")).toDF("doc_id", "text"),
+      path, "doc_id", "text", expectedItems = 10000L)
+    assert(s3.nFuzzyDropped == 1L, s"gate lost coverage after sidecar loss: $s3")
+    assert(new java.io.File(mhRoot, victim.getName).exists(),
+      "recomputed sidecar must be persisted back")
+    // expire sweeps minhash sidecars of deleted dirs
+    SnapshotTable.expire(spark, path, keep = 1)
+    val liveDirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("snap-")).toSet
+    assert(mhRoot.listFiles().map(_.getName).toSet.subsetOf(liveDirs),
+      "expire left minhash sidecars of deleted dirs behind")
+  }
+
   test("manifest round-trip: physmap and physretired survive commit/parse; pre-r14 readers would fail loudly (unknown tag)") {
     val path = tmp("graft-map-manifest")
     SnapshotTable.ingest(spark, docs(10), path, "text", expectedItems = 100L)
