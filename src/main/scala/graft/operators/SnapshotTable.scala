@@ -1529,52 +1529,61 @@ object SnapshotTable {
       if (ranges.isEmpty) Nil
       else m.dirs.map(d => statsDir(path, d)).filter(f.exists)
     // string EQUALITY values in the predicate — the point lookups the
-    // per-file blooms can answer; bloom rows for other columns are
-    // filtered out AT THE SIDECAR SCAN so a wide bloom config never
-    // inflates this driver-side resolution
-    val pointStrCols = ranges.collect {
-      case q if q.loS.isDefined && q.loS == q.hiS => q.colName
-    }.distinct
-    val sidecarRows =
-      if (statPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else {
-        val r0 = spark.read.schema(statsSidecarSchema)
-          .parquet(statPaths.map(_.toString): _*)
-        val keep =
-          if (pointStrCols.isEmpty) r0.filter(org.apache.spark.sql.functions.col("bloom").isNull)
-          else r0.filter(org.apache.spark.sql.functions.col("bloom").isNull ||
-            org.apache.spark.sql.functions.col("col").isin(pointStrCols: _*))
-        keep.collect()
-      }
+    // per-file blooms can answer. Blooms are probed IN THE SIDECAR SCAN
+    // (the per-row [[graft.plans.BloomMightContainBinary]] expression):
+    // only (file, col, verdict) booleans ever reach the driver, so
+    // planning a point lookup over an arbitrarily long chain costs
+    // O(files) driver memory, never O(files × bloom bytes).
+    val pointStr: Map[String, String] = ranges.collect {
+      case q if q.loS.isDefined && q.loS == q.hiS => q.colName -> q.loS.get
+    }.toMap
+    def sidecarScan = spark.read.schema(statsSidecarSchema)
+      .parquet(statPaths.map(_.toString): _*)
     val stats: Map[(String, String), ColStat] =
-      sidecarRows.filter(_.isNullAt(7)).map { r =>
-        (r.getAs[String]("file"), r.getAs[String]("col")) -> ColStat(
-          Option(r.getAs[java.lang.Double]("lo_d")).map(_.doubleValue),
-          Option(r.getAs[java.lang.Double]("hi_d")).map(_.doubleValue),
-          Option(r.getAs[String]("lo_s")), Option(r.getAs[String]("hi_s")),
-          r.getAs[Long]("n_nonnull"))
-      }.toMap
-    val blooms: Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
-      sidecarRows.filterNot(_.isNullAt(7)).map { r =>
-        (r.getAs[String]("file"), r.getAs[String]("col")) ->
-          org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-      }.toMap
+      if (statPaths.isEmpty) Map.empty
+      else sidecarScan.filter(org.apache.spark.sql.functions.col("bloom").isNull)
+        .collect().map { r =>
+          (r.getAs[String]("file"), r.getAs[String]("col")) -> ColStat(
+            Option(r.getAs[java.lang.Double]("lo_d")).map(_.doubleValue),
+            Option(r.getAs[java.lang.Double]("hi_d")).map(_.doubleValue),
+            Option(r.getAs[String]("lo_s")), Option(r.getAs[String]("hi_s")),
+            r.getAs[Long]("n_nonnull"))
+        }.toMap
+    // (file, col) -> "the bloom rules the queried value OUT" — absent
+    // entries (no bloom row: legacy sidecar, numeric column) keep the file
+    val bloomExcludes: Set[(String, String)] =
+      if (statPaths.isEmpty || pointStr.isEmpty) Set.empty
+      else {
+        import org.apache.spark.sql.functions.{col => c, lit, when}
+        val probe = pointStr.foldLeft(lit(null).cast("boolean")) {
+          case (acc, (colName, value)) =>
+            when(c("col") === colName,
+              org.apache.spark.sql.GraftSqlShim.column(
+                graft.plans.BloomMightContainBinary(
+                  org.apache.spark.sql.GraftSqlShim.expression(c("bloom")),
+                  org.apache.spark.sql.catalyst.expressions.Literal(
+                    value.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+              .otherwise(acc)
+        }
+        sidecarScan.filter(c("bloom").isNotNull &&
+            c("col").isin(pointStr.keys.toSeq: _*))
+          .select(c("file"), c("col"), probe.as("ok"))
+          .collect()
+          .filter(r => !r.isNullAt(2) && !r.getBoolean(2))
+          .map(r => (r.getString(0), r.getString(1)))
+          .toSet
+      }
     val perDir = m.dirs.map { d =>
       val (files, pt, pk) = dataFiles(d)
       val kept =
-        if (ranges.isEmpty || (stats.isEmpty && blooms.isEmpty)) files
+        if (ranges.isEmpty || (stats.isEmpty && bloomExcludes.isEmpty)) files
         else files.filter { p =>
           ranges.forall { q =>
-            stats.get((p.getName, q.colName)).forall(st => mayMatch(st, q)) && {
+            stats.get((p.getName, q.colName)).forall(st => mayMatch(st, q)) &&
               // point lookup: a file whose bloom rules the value out is
               // skipped even when its [min,max] spans it (the
-              // hash-distributed-key case where intervals never prune).
-              // Missing bloom (legacy sidecar, numeric column) → keep.
-              q.loS.filter(_ => q.loS == q.hiS).forall(v =>
-                blooms.get((p.getName, q.colName)).forall(
-                  _.mightContainBinary(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-            }
+              // hash-distributed-key case where intervals never prune)
+              !bloomExcludes((p.getName, q.colName))
           }
         }
       (d, files.size, kept, pt, pk)

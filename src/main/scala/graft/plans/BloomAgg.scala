@@ -85,3 +85,42 @@ case class BloomAgg(
       newChildren: IndexedSeq[Expression]): BloomAgg =
     copy(child = newChildren.head)
 }
+
+/** Probe a PER-ROW serialized bloom (left, binary) for a byte value
+  * (right, binary or string) — the read half of [[BloomAgg]]. Built for
+  * metadata-scale inputs (one row per file × column in a stats
+  * sidecar), where per-row deserialization IS the whole job: probing
+  * distributed keeps the planner's driver footprint at O(files)
+  * booleans instead of O(files × bloom bytes) — the difference between
+  * planning a point lookup over a 100 TB chain and OOMing the driver on
+  * its own metadata. CodegenFallback is deliberate at this row count.
+  */
+case class BloomMightContainBinary(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType &&
+        (right.dataType == BinaryType || right.dataType == StringType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might_contain expects (binary, binary|string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override protected def nullSafeEval(bloom: Any, value: Any): Any = {
+    val bf = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom.asInstanceOf[Array[Byte]]))
+    val bytes = value match {
+      case b: Array[Byte] => b
+      case s: UTF8String => s.getBytes
+    }
+    bf.mightContainBinary(bytes)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContainBinary =
+    copy(left = newLeft, right = newRight)
+}
