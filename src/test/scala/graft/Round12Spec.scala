@@ -513,28 +513,34 @@ class Round12Spec extends SparkSpec {
             modelAt = modelAt.filter { case (v, _) => retainedT(v) }
           case 17 => // toggle a DROP-mode CHECK constraint (metadata
             // commit, content unchanged; record() keeps the version
-            // replayable). Generated texts are always non-empty, so the
-            // gate never drops model-visible content — only op 18's
-            // deliberately-empty rows.
+            // replayable). The gate matches op 18's 'bad '-prefixed
+            // rows only — normal generated texts never violate.
             if (!constraintOn) {
               opsRun += "addConstraint"
-              SnapshotTable.addConstraint(spark, path, "nonempty",
-                s"length($textName) > 0", mode = "drop")
+              SnapshotTable.addConstraint(spark, path, "clean",
+                s"$textName NOT LIKE 'bad %'", mode = "drop")
             } else {
               opsRun += "dropConstraint"
-              SnapshotTable.dropConstraint(spark, path, "nonempty")
+              SnapshotTable.dropConstraint(spark, path, "clean")
             }
             constraintOn = !constraintOn
             record()
-          case 18 => // gated ingest: a batch carrying one empty-text row
+          case 18 => // gated ingest: a batch carrying one violating row
             // admits it only while the constraint is OFF (when ON, the
-            // row leaves the batch pre-staging; the commit still lands)
+            // row leaves the batch pre-staging; the commit still lands).
+            // The violating TEXT is unique per step: the fuzz's model
+            // tracks visible-content dedup, while a deleted row's
+            // content conservatively stays in the table's dedup
+            // universe until a rewrite — a REUSED violating text (the
+            // original empty-string form) diverges the two exactly when
+            // a merge-on-read delete of it precedes a re-admission
+            // (found by the 40-seed deep fuzz, seed 8).
             val good = freshDoc()
-            val emptyRow = (nextId + 300000L, "")
+            val badRow = (nextId + 300000L, s"bad $seed-$i")
             opsRun += s"gatedIngest(on=$constraintOn)"
             SnapshotTable.ingest(spark,
-              Seq(good, emptyRow).toDF("doc_id", textName), path, textName, 1000L)
-            val admitted = if (constraintOn) Seq(good) else Seq(good, emptyRow)
+              Seq(good, badRow).toDF("doc_id", textName), path, textName, 1000L)
+            val admitted = if (constraintOn) Seq(good) else Seq(good, badRow)
             val existing2 = model.map(_._2).toSet
             model ++= admitted.filterNot(b => existing2(b._2))
             record()
