@@ -3123,15 +3123,18 @@ object TrainingData {
         .filter(col("toks") > 0)
         .withColumn("pri", md5(concat_ws(":", col("lang"), col("doc_id"))))
         .withColumn("bkt", conv(substring(col("pri"), 1, 2), 16, 10).cast("int"))
-      // quota per language: integer-exact 30% of corpus tokens, uniform
-      // target shares (one tiny agg; broadcast back)
-      val perLang = base.groupBy(col("lang")).agg(sum("toks").as("lang_toks"))
+      // ONE corpus aggregation: per-(lang, bucket) token sums. The
+      // per-language totals, the corpus total, and the quotas all derive
+      // from this metadata-scale table (langs × 256 rows) — no second
+      // pass over the corpus. Quota: integer-exact 30% of corpus
+      // tokens, uniform target shares.
+      val bsums = base.groupBy(col("lang"), col("bkt")).agg(sum("toks").as("btoks"))
+      val perLang = bsums.groupBy(col("lang")).agg(sum("btoks").as("lang_toks"))
       val tot = perLang.agg(sum("lang_toks").as("tot"), count(lit(1)).as("nl"))
       val quota = perLang.crossJoin(broadcast(tot))
         .select(col("lang").as("qlang"), expr("tot * 3 div 10 div nl").as("quota"))
-      // bucket boundary table: metadata-scale (langs × 256 rows)
       val wB = Window.partitionBy(col("lang")).orderBy(col("bkt"))
-      val buckets = base.groupBy(col("lang"), col("bkt")).agg(sum("toks").as("btoks"))
+      val buckets = bsums
         .withColumn("bcum", sum(col("btoks")).over(wB) - col("btoks"))
         .join(quota, col("lang") === col("qlang"))
         .select(col("lang").as("blang"), col("bkt").as("bbkt"),
