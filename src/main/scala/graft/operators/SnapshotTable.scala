@@ -102,7 +102,13 @@ object SnapshotTable {
     * physical names owned by DROPPED columns: a later re-add of the
     * same logical name must mint a FRESH physical name (else the
     * dropped column's bytes, still present in retained files, would
-    * silently resurrect as the new column's values).
+    * silently resurrect as the new column's values). `hashesValid`
+    * (serialized as `nohashes:` when false) is [[dropColumn]]'s poison
+    * marker for the per-dir `_hashes` dedup sidecars: the drop may have
+    * invalidated the content universe they describe, so
+    * [[existingHashes]] must pay the one-scan payload fallback instead
+    * of trusting them; incremental commits carry the flag forward and a
+    * rewrite that regenerates sidecars from live content clears it.
     */
   private[graft] final case class Manifest(dirs: Seq[String], format: String,
                                            bloom: Option[String],
@@ -115,7 +121,8 @@ object SnapshotTable {
                                            ts: Option[Long] = None,
                                            constraints: Seq[Constraint] = Nil,
                                            physmap: Map[String, String] = Map.empty,
-                                           physRetired: Seq[String] = Nil) {
+                                           physRetired: Seq[String] = Nil,
+                                           hashesValid: Boolean = true) {
     /** Physical (on-disk) name of a logical column under this manifest. */
     def physOf(logical: String): String = physmap.getOrElse(logical, logical)
   }
@@ -153,6 +160,7 @@ object SnapshotTable {
     var ts: Option[Long] = None
     var physmap: Map[String, String] = Map.empty
     var physRetired: Seq[String] = Nil
+    var hashesValid: Boolean = true
     val constraints = Seq.newBuilder[Constraint]
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
@@ -164,6 +172,8 @@ object SnapshotTable {
         }.toMap
       case l if l.startsWith("physretired:") =>
         physRetired = l.stripPrefix("physretired:").split(",").toSeq.filter(_.nonEmpty)
+      case l if l.startsWith("nohashes:") =>
+        hashesValid = false
       case l if l.startsWith("schema:") =>
         schema = Some(DataType.fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
       case l if l.startsWith("stats:") =>
@@ -200,7 +210,7 @@ object SnapshotTable {
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
       tombstones, morKey, kind, partitionCols, ts, constraints.result(),
-      physmap, physRetired)
+      physmap, physRetired, hashesValid)
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -255,6 +265,8 @@ object SnapshotTable {
         .append('\n')
     if (m.physRetired.nonEmpty)
       body.append("physretired:").append(m.physRetired.mkString(",")).append('\n')
+    if (!m.hashesValid)
+      body.append("nohashes:1").append('\n')
     m.constraints.foreach(c => body.append("constraint:").append(c.name)
       .append(':').append(c.mode).append(':').append(c.expr).append('\n'))
     // the commit wall-clock instant — [[readAtTimestamp]]'s index.
@@ -633,6 +645,13 @@ object SnapshotTable {
     requireColumnUnpinned(spark, path, m, oldName, "renameColumn")
     if (newName == oldName) return cur
     val physical = m.physOf(oldName)
+    // when the rename keeps a physical mapping, that physical name — an
+    // ORIGINAL schema name never validated at first write — lands in the
+    // '='/','-delimited physmap manifest line; refuse unsafe ones loudly
+    // (a rewrite under the new name clears the mapping entirely)
+    if (newName != physical)
+      requireManifestSafe(physical, "renameColumn",
+        s"physical name of column '$oldName'")
     val newMap0 = m.physmap - oldName
     val newMap =
       if (newName == physical) newMap0 else newMap0 + (newName -> physical)
@@ -651,13 +670,18 @@ object SnapshotTable {
     * of the same logical name (ingest `evolveSchema` / overwrite) mints
     * a fresh physical name, so the dropped column's bytes can never
     * resurrect as the new column's values. The manifest's bloom
-    * reference is conservatively CLEARED: if the dropped column was the
-    * table's content-dedup column, the bloom and hash sidecars describe
-    * content that no longer exists logically — the next ingest pays one
-    * documented rebuild scan keyed on ITS content column instead of
-    * trusting a universe the drop may have invalidated. Same refusals
-    * as [[renameColumn]]; additionally refuses to drop the last data
-    * column.
+    * reference is conservatively CLEARED **and the per-dir hash
+    * sidecars are marked untrusted** (`nohashes` manifest flag): if the
+    * dropped column was the table's content-dedup column, the bloom AND
+    * the `_hashes` sidecars describe content that no longer exists
+    * logically — [[existingHashes]] routes to the one-scan payload
+    * fallback keyed on the NEXT ingest's content column until a rewrite
+    * ([[compact]] with `textCol`, [[write]], [[merge]]) regenerates
+    * sidecars keyed on live content, instead of verifying probe-positive
+    * rows against hashes of dropped bytes (which would re-admit
+    * duplicates, or wrongly drop new rows whose values collide with the
+    * dropped column's). Same refusals as [[renameColumn]]; additionally
+    * refuses to drop the last data column.
     */
   def dropColumn(spark: SparkSession, path: String, name: String): Long = {
     val cur = currentVersion(spark, path).getOrElse(
@@ -670,6 +694,12 @@ object SnapshotTable {
       s"dropColumn: '$name' is not a table column " +
         s"(${schema.fieldNames.mkString(", ")})")
     requireColumnUnpinned(spark, path, m, name, "dropColumn")
+    // the physical name is about to be written into the comma/colon-
+    // delimited physretired manifest line; an unsafe original schema
+    // name (never validated at first write) would commit an unreadable
+    // or misparsed manifest — refuse loudly instead
+    requireManifestSafe(m.physOf(name), "dropColumn",
+      s"physical name of column '$name'")
     val remaining = schema.fields.filterNot(_.name == name)
     if (remaining.isEmpty || remaining.forall(f => m.partitionCols.contains(f.name)))
       throw new IllegalArgumentException(
@@ -680,6 +710,7 @@ object SnapshotTable {
       physmap = m.physmap - name,
       physRetired = (m.physRetired :+ m.physOf(name)).distinct,
       bloom = None,
+      hashesValid = false,
       kind = Some("dropcol")))
     cur + 1
   }
@@ -753,13 +784,34 @@ object SnapshotTable {
     else StructType(schema.fields.map(f =>
       f.copy(name = physmap.getOrElse(f.name, f.name))))
 
+  /** A name about to be embedded in the comma/'='/':'-delimited manifest
+    * lines (physmap values, physretired entries) must not contain the
+    * delimiters — an unsafe one would commit a manifest that either
+    * misparses into wrong names or fails the parse require on every
+    * later read, leaving a committed table unreadable.
+    */
+  private def requireManifestSafe(name: String, op: String, what: String): Unit =
+    if (name.exists(c => c == ',' || c == '=' || c == ':' ||
+        c == '\n' || c == '\r'))
+      throw new IllegalArgumentException(
+        s"$op: $what ('$name') contains a manifest delimiter " +
+          "(',', '=', ':' or newline) and cannot be recorded in the " +
+          "column-mapping manifest; rewrite the table (write) under a " +
+          "safe column name first")
+
   /** Physical-name assignment for a commit's schema (the column-mapping
     * invariant keeper): existing mappings are kept (filtered to live
     * fields), and a field WITHOUT a mapping gets one minted exactly when
     * its identity name is already claimed — by another column's physical
     * data or by a retired (dropped) column whose bytes still sit in
-    * retained files. Deterministic (`<name>__p<i>`), collision-checked
-    * against every reserved name.
+    * retained files. Claim checks are CASE-INSENSITIVE to match Spark's
+    * default parquet column resolution: re-adding a dropped column under
+    * a different case (N_CHARS after dropping n_chars) must still mint a
+    * fresh physical name, or the case-insensitive reader would resolve
+    * the new column to the retired column's bytes in old files — the
+    * exact resurrection [[dropColumn]] promises to prevent.
+    * Deterministic (`<name>__p<i>`), collision-checked against every
+    * reserved name.
     */
   private def assignPhysical(schema: StructType, physmap: Map[String, String],
                              retired: Seq[String]): Map[String, String] = {
@@ -767,17 +819,19 @@ object SnapshotTable {
     val keep = physmap.filter { case (l, _) => names.contains(l) }
     if (retired.isEmpty && keep.isEmpty) return keep
     val reserved = scala.collection.mutable.Set[String]()
-    reserved ++= keep.values
-    reserved ++= retired
-    reserved ++= names
+    reserved ++= keep.values.map(_.toLowerCase)
+    reserved ++= retired.map(_.toLowerCase)
+    reserved ++= names.map(_.toLowerCase)
     var out = keep
     names.foreach { n =>
-      if (!out.contains(n) && (keep.values.exists(_ == n) || retired.contains(n))) {
+      if (!out.contains(n) && (keep.values.exists(_.equalsIgnoreCase(n)) ||
+          retired.exists(_.equalsIgnoreCase(n)))) {
         var i = 1
         var cand = s"${n}__p$i"
-        while (reserved(cand)) { i += 1; cand = s"${n}__p$i" }
+        while (reserved(cand.toLowerCase)) { i += 1; cand = s"${n}__p$i" }
+        requireManifestSafe(cand, "ingest/write", s"minted physical name for column '$n'")
         out += n -> cand
-        reserved += cand
+        reserved += cand.toLowerCase
       }
     }
     out
@@ -1382,6 +1436,53 @@ object SnapshotTable {
     }
   }
 
+  /** [[extractRanges]] lifted over OR: a predicate becomes a CONJUNCTION
+    * of prunable DISJUNCTIONS — `Seq[branches]`, each branch a
+    * conjunction of [[Range]]s. A file survives a term when SOME branch
+    * is stats-possible; it must survive EVERY term. Three shapes feed
+    * the terms:
+    *
+    *   - a plain range conjunct → a one-branch term (the pre-r15 path,
+    *     bit-identical pruning);
+    *   - a top-level OR over extractable branches — the backfill
+    *     time-slice-union shape `(ts BETWEEN a AND b) OR (ts BETWEEN c
+    *     AND d)`, which previously degraded to read-everything — prunes
+    *     as a union of intervals (any branch with an unextractable
+    *     conjunct voids just that TERM, never correctness);
+    *   - `IN (v1..vk)` (k ≤ 32) → a k-branch term of point ranges,
+    *     sharper than the old [min,max] collapse: per-file string
+    *     blooms veto each value independently, and scattered values
+    *     stop over-keeping mid-range files. Larger INs keep the
+    *     min/max collapse (term count stays bounded by the predicate
+    *     size, not its value lists).
+    */
+  private def extractPruneTerms(
+      raw: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Seq[Seq[Range]]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def disjuncts(x: Expression): Seq[Expression] = x match {
+      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(raw).flatMap {
+      case in @ In(a, vs) if vs.nonEmpty && vs.size <= 32 && vs.forall(_.foldable) =>
+        val branches = vs.map(v => extractRanges(EqualTo(a, v)))
+        if (branches.exists(_.isEmpty)) extractRanges(in).map(r => Seq(Seq(r)))
+        else Seq(branches)
+      case or @ Or(_, _) =>
+        val branches = disjuncts(or).map(extractRanges)
+        // one unconstrained branch makes the whole disjunction unable
+        // to prune anything — contribute no term (never wrong, the
+        // residual filter stays exact)
+        if (branches.exists(_.isEmpty)) Nil else Seq(branches)
+      case other =>
+        extractRanges(other).map(r => Seq(Seq(r)))
+    }
+  }
+
   /** Does the file's stat interval intersect the query range? A file
     * with zero non-null values cannot satisfy any range/equality
     * predicate on the column (NULL never compares true), so it prunes;
@@ -1465,6 +1566,23 @@ object SnapshotTable {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     val m = readManifestChecked(spark, path, v)
+    val (perDir, report) = planPrunedFiles(spark, path, m, Some(predicate))
+    buildPrunedRead(spark, path, m, perDir, predicate, report)
+  }
+
+  /** The scan-planning kernel, shared by [[readWhereReport]] and the
+    * DataSource V2 scan ([[graft.sources.v2.GraftDataSource]] — the
+    * `spark.read.format("graft")` / SQL surface): extract prune terms
+    * from `predicate` (when given), list data files with PARTITION
+    * pruning per manifest dir, then drop every file whose stats
+    * interval / string bloom cannot satisfy the terms. Returns per-dir
+    * (dir, total files, kept files, partition-dir counts) plus the
+    * aggregate decision report. Pruning is only ever an optimization:
+    * callers re-apply the full predicate to the survivors.
+    */
+  private[graft] def planPrunedFiles(spark: SparkSession, path: String,
+      m: Manifest, predicate: Option[Column])
+      : (Seq[(String, Int, Seq[Path], Int, Int)], PruneReport) = {
     // Resolve the predicate the way Spark itself would: analyze a
     // filter of the snapshot (driver-only, no execution) and extract
     // the condition — the analyzer resolves names, inserts promotion
@@ -1475,11 +1593,16 @@ object SnapshotTable {
     // ranges come out in LOGICAL names (the analyzer resolves the
     // caller's predicate); stats sidecars, partition dir names, and
     // file contents are all PHYSICAL — translate once here
-    val ranges = rawScan(spark, path, m).filter(predicate)
-      .queryExecution.analyzed.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }.flatMap(extractRanges)
-      .map(r => r.copy(colName = m.physOf(r.colName)))
+    // terms: conjunction of disjunctions of range-conjunctions (see
+    // [[extractPruneTerms]]); a file/partition must keep SOME branch of
+    // EVERY term possible
+    val terms = predicate.toSeq.flatMap(p =>
+      rawScan(spark, path, m).filter(p)
+        .queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.flatMap(extractPruneTerms)
+        .map(_.map(_.map(r => r.copy(colName = m.physOf(r.colName))))))
+    val allRanges = terms.flatten.flatten
     val f = fs(spark, new Path(path))
     val typeOf: Map[String, DataType] =
       m.schema.map(_.fields.map(fd => m.physOf(fd.name) -> fd.dataType).toMap)
@@ -1506,11 +1629,12 @@ object SnapshotTable {
                 else {
                   partsTotal += 1
                   val k = n.substring(0, eq)
-                  val qs = ranges.filter(_.colName == k)
-                  val ok = qs.isEmpty ||
-                    partColStat(n.substring(eq + 1), typeOf.getOrElse(k,
-                      org.apache.spark.sql.types.NullType))
-                      .forall(st0 => qs.forall(q => mayMatch(st0, q)))
+                  val ok =
+                    if (!allRanges.exists(_.colName == k)) true
+                    else partColStat(n.substring(eq + 1), typeOf.getOrElse(k,
+                        org.apache.spark.sql.types.NullType))
+                      .forall(st0 => terms.forall(_.exists(_.forall(q =>
+                        q.colName != k || mayMatch(st0, q)))))
                   if (ok) partsKept += 1
                   ok
                 }
@@ -1526,17 +1650,19 @@ object SnapshotTable {
     // parquet part-UUIDs — unique across dirs), so stats resolution is
     // a single driver-side job regardless of chain length.
     val statPaths =
-      if (ranges.isEmpty) Nil
+      if (terms.isEmpty) Nil
       else m.dirs.map(d => statsDir(path, d)).filter(f.exists)
     // string EQUALITY values in the predicate — the point lookups the
-    // per-file blooms can answer. Blooms are probed IN THE SIDECAR SCAN
-    // (the per-row [[graft.plans.BloomMightContainBinary]] expression):
-    // only (file, col, verdict) booleans ever reach the driver, so
-    // planning a point lookup over an arbitrarily long chain costs
-    // O(files) driver memory, never O(files × bloom bytes).
-    val pointStr: Map[String, String] = ranges.collect {
+    // per-file blooms can answer (including each branch of an OR/IN
+    // term: a branch whose value the file's bloom rules out is dead for
+    // that file). Blooms are probed IN THE SIDECAR SCAN (the per-row
+    // [[graft.plans.BloomMightContainBinary]] expression): only (file,
+    // col, value-verdict) booleans ever reach the driver, so planning a
+    // point lookup over an arbitrarily long chain costs O(files) driver
+    // memory, never O(files × bloom bytes).
+    val pointStr: Seq[(String, String)] = allRanges.collect {
       case q if q.loS.isDefined && q.loS == q.hiS => q.colName -> q.loS.get
-    }.toMap
+    }.distinct
     def sidecarScan = spark.read.schema(statsSidecarSchema)
       .parquet(statPaths.map(_.toString): _*)
     val stats: Map[(String, String), ColStat] =
@@ -1549,49 +1675,69 @@ object SnapshotTable {
             Option(r.getAs[String]("lo_s")), Option(r.getAs[String]("hi_s")),
             r.getAs[Long]("n_nonnull"))
         }.toMap
-    // (file, col) -> "the bloom rules the queried value OUT" — absent
-    // entries (no bloom row: legacy sidecar, numeric column) keep the file
-    val bloomExcludes: Set[(String, String)] =
+    // (file, col, value) -> "the bloom rules the queried value OUT" —
+    // absent entries (no bloom row: legacy sidecar, numeric column) keep
+    // the file. One probe OUTPUT COLUMN per distinct queried value, so
+    // an OR/IN term's values each get their own verdict in the same
+    // single sidecar scan.
+    val bloomExcludes: Set[(String, String, String)] =
       if (statPaths.isEmpty || pointStr.isEmpty) Set.empty
       else {
         import org.apache.spark.sql.functions.{col => c, lit, when}
-        val probe = pointStr.foldLeft(lit(null).cast("boolean")) {
-          case (acc, (colName, value)) =>
-            when(c("col") === colName,
-              org.apache.spark.sql.GraftSqlShim.column(
-                graft.plans.BloomMightContainBinary(
-                  org.apache.spark.sql.GraftSqlShim.expression(c("bloom")),
-                  org.apache.spark.sql.catalyst.expressions.Literal(
-                    value.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
-              .otherwise(acc)
+        val probes = pointStr.map { case (colName, value) =>
+          when(c("col") === colName,
+            org.apache.spark.sql.GraftSqlShim.column(
+              graft.plans.BloomMightContainBinary(
+                org.apache.spark.sql.GraftSqlShim.expression(c("bloom")),
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  value.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+            .otherwise(lit(null).cast("boolean"))
         }
         sidecarScan.filter(c("bloom").isNotNull &&
-            c("col").isin(pointStr.keys.toSeq: _*))
-          .select(c("file"), c("col"), probe.as("ok"))
+            c("col").isin(pointStr.map(_._1).distinct: _*))
+          .select(c("file") +: c("col") +: probes: _*)
           .collect()
-          .filter(r => !r.isNullAt(2) && !r.getBoolean(2))
-          .map(r => (r.getString(0), r.getString(1)))
+          .flatMap { r =>
+            pointStr.zipWithIndex.collect {
+              case ((colName, value), i)
+                  if r.getString(1) == colName && !r.isNullAt(2 + i) &&
+                    !r.getBoolean(2 + i) =>
+                (r.getString(0), colName, value)
+            }
+          }
           .toSet
       }
+    // one range's verdict for one file: stats interval must intersect,
+    // and — for a string point — the file's bloom must not veto the
+    // value (the hash-distributed-key case where intervals never prune)
+    def rangeOk(file: String, q: Range): Boolean =
+      stats.get((file, q.colName)).forall(st => mayMatch(st, q)) &&
+        !(q.loS.isDefined && q.loS == q.hiS &&
+          bloomExcludes((file, q.colName, q.loS.get)))
     val perDir = m.dirs.map { d =>
       val (files, pt, pk) = dataFiles(d)
       val kept =
-        if (ranges.isEmpty || (stats.isEmpty && bloomExcludes.isEmpty)) files
+        if (terms.isEmpty || (stats.isEmpty && bloomExcludes.isEmpty)) files
         else files.filter { p =>
-          ranges.forall { q =>
-            stats.get((p.getName, q.colName)).forall(st => mayMatch(st, q)) &&
-              // point lookup: a file whose bloom rules the value out is
-              // skipped even when its [min,max] spans it (the
-              // hash-distributed-key case where intervals never prune)
-              !bloomExcludes((p.getName, q.colName))
-          }
+          terms.forall(_.exists(_.forall(q => rangeOk(p.getName, q))))
         }
       (d, files.size, kept, pt, pk)
     }
     val total = perDir.map(_._2).sum
-    val kept = perDir.flatMap(_._3)
-    val report = PruneReport(total, kept.size,
+    val report = PruneReport(total, perDir.map(_._3.size).sum,
       perDir.map(_._4).sum, perDir.map(_._5).sum)
+    (perDir, report)
+  }
+
+  /** Assemble the [[readWhere]] result from a [[planPrunedFiles]]
+    * decision: per-dir kept-file scans (basePath-grouped on partitioned
+    * tables), tombstone overlay, then the FULL predicate re-applied so
+    * pruning can never change the answer.
+    */
+  private def buildPrunedRead(spark: SparkSession, path: String, m: Manifest,
+      perDir: Seq[(String, Int, Seq[Path], Int, Int)], predicate: Column,
+      report: PruneReport): (DataFrame, PruneReport) = {
+    val kept = perDir.flatMap(_._3)
     val df =
       if (kept.isEmpty)
         // constant-false filter folds to an empty LocalRelation: right
@@ -1761,8 +1907,13 @@ object SnapshotTable {
     // must leave the dedup universe (so a re-crawled deleted row can be
     // re-admitted). With tombstones, rebuild from the compacted output
     // (textCol) or drop the sidecars (next ingest pays one rebuild scan).
+    // an untrusted chain (post-dropColumn `nohashes`) must NOT collapse
+    // by union — that would launder stale hashes into the new dir; the
+    // rebuild-from-written branch is exactly how compaction HEALS the
+    // table (the committed manifest below defaults back to trusted)
     val srcSidecars = m.dirs.map(d => hashesDir(path, d))
-    if (m.tombstones.isEmpty && srcSidecars.nonEmpty && srcSidecars.forall(f.exists))
+    if (m.tombstones.isEmpty && m.hashesValid &&
+        srcSidecars.nonEmpty && srcSidecars.forall(f.exists))
       spark.read.format(m.format).load(srcSidecars.map(_.toString): _*)
         .write.mode("overwrite").format(m.format)
         .save(hashesDir(path, nextDir).toString)
@@ -2274,18 +2425,22 @@ object SnapshotTable {
       .save(hashesDir(path, dataDir).toString)
   }
 
-  /** Union of the chain's hash sidecars when they all exist; else one
-    * fallback scan hashing the current snapshot's payload. No distinct:
-    * the consumer is a left_anti probe ("does a match exist"), which
+  /** Union of the chain's hash sidecars when they all exist AND the
+    * manifest still trusts them (`trusted` — false after a
+    * [[dropColumn]] until a rewrite regenerates sidecars keyed on live
+    * content); else one fallback scan hashing the current snapshot's
+    * payload under the CALLER's content column. No distinct: the
+    * consumer is a left_anti probe ("does a match exist"), which
     * duplicate build keys cannot change — deduplicating the whole
     * history's key set per ingest would buy nothing.
     */
   private def existingHashes(spark: SparkSession, path: String, dirs: Seq[String],
-                             textCol: String, format: String): DataFrame = {
+                             textCol: String, format: String,
+                             trusted: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     val f = fs(spark, new Path(path))
     val sidecars = dirs.map(d => hashesDir(path, d))
-    if (sidecars.nonEmpty && sidecars.forall(f.exists))
+    if (trusted && sidecars.nonEmpty && sidecars.forall(f.exists))
       spark.read.format(format).load(sidecars.map(_.toString): _*)
     else read(spark, path).select(contentKey(col(textCol)).as("__h"))
   }
@@ -2541,7 +2696,8 @@ object SnapshotTable {
           bloomName, Some(committedSchema), effStats, winnerM.tombstones,
           winnerM.morKey, kind = Some("append"), partitionCols = effParts,
           constraints = winnerM.constraints,
-          physmap = physmap, physRetired = physRetired))
+          physmap = physmap, physRetired = physRetired,
+          hashesValid = winnerM.hashesValid))
         return (next, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -2812,7 +2968,8 @@ object SnapshotTable {
           val definitelyNew = gated.filter(!probe)
           val needsCheck = gated.filter(probe)
           val verifiedNew = needsCheck.join(
-            existingHashes(spark, path, parentDirs, textCol, parent.get.format),
+            existingHashes(spark, path, parentDirs, textCol, parent.get.format,
+              trusted = parent.get.hashesValid),
             contentKey(needsCheck(textCol)) === col("__h"), "left_anti")
           definitelyNew.unionByName(verifiedNew)
       }
@@ -2870,7 +3027,10 @@ object SnapshotTable {
           parent.flatMap(_.morKey), kind = Some("append"),
           partitionCols = effParts,
           constraints = parent.map(_.constraints).getOrElse(Nil),
-          physmap = physmap, physRetired = parentRetired))
+          physmap = physmap, physRetired = parentRetired,
+          // an append cannot heal pre-existing untrusted sidecars (its
+          // own delta sidecar is fresh, but the parent dirs' are not)
+          hashesValid = parent.forall(_.hashesValid)))
         IngestStats(next, nIncoming, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -2930,11 +3090,16 @@ object SnapshotTable {
     * `shingleLen` should stay constant per table; a change just forfeits
     * the sidecar fast path for pre-change dirs. Set `portableHash` only
     * when an external SQL replay of admissions is required (the fast
-    * path hashes shingles with xxhash64). Concurrency: the gate runs
-    * against the resolved snapshot, then delegates to [[ingest]] (whose
-    * rebase handles racers); the post-commit sidecar write is idempotent
-    * (signatures are deterministic) and a crash before it just re-pays
-    * the one-dir recompute later.
+    * path hashes shingles with xxhash64). Concurrency: ONLY the exact
+    * tier is race-safe — the fuzzy gate runs against the snapshot
+    * resolved at entry, and the delegated [[ingest]] rebase re-verifies
+    * racer-added content for EXACT duplicates only, so a NEAR-dup
+    * committed by a concurrent fuzzy ingest between this gate and the
+    * commit is admitted (near-dup admission is best-effort under
+    * concurrent writers; serialize fuzzy ingests per table when the
+    * fuzzy invariant must be strict). The post-commit sidecar write is
+    * idempotent (signatures are deterministic) and a crash before it
+    * just re-pays the one-dir recompute later.
     */
   def ingestFuzzy(spark: SparkSession, incoming: DataFrame, path: String,
                   idCol: String, textCol: String, tau: Double = 0.5,
@@ -3333,7 +3498,8 @@ object SnapshotTable {
           bloomName, Some(tableSchema), effStats,
           m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read"),
           partitionCols = m.partitionCols, constraints = m.constraints,
-          physmap = m.physmap, physRetired = m.physRetired))
+          physmap = m.physmap, physRetired = m.physRetired,
+          hashesValid = m.hashesValid))
         MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
           m.tombstones.size + 1)
       } catch {
@@ -3462,7 +3628,8 @@ object SnapshotTable {
             winnerM.tombstones ++ newTomb.toSeq, Some(keyCol),
             kind = Some("merge-on-read"), partitionCols = winnerM.partitionCols,
             constraints = winnerM.constraints,
-            physmap = winnerM.physmap, physRetired = winnerM.physRetired))
+            physmap = winnerM.physmap, physRetired = winnerM.physRetired,
+            hashesValid = winnerM.hashesValid))
           return (next, winnerM.tombstones.size + 1)
         } catch {
           case _: CommitConflictException =>

@@ -3170,6 +3170,74 @@ object TrainingData {
       SELECT doc_id, lang FROM c WHERE cumb < quota
       ORDER BY lang, doc_id"""))
 
+  // ---- t37_bpe_train: distributed BPE tokenizer training -----------------
+  // The stage between raw text and every token-budget operator (t31
+  // packing, t36 mixture sampling): LEARN the vocabulary. Classic BPE
+  // (Sennrich et al. 2016) as a corpus-scale Spark loop
+  // ([[graft.operators.BpeTrainer]]): the corpus collapses to a
+  // (word, count) table in ONE keyed pass, then each merge round is one
+  // vocab-scale pair aggregation + a 1-row argmax whose winner is
+  // broadcast into a codegen'd string `replace`. Deterministic by
+  // construction (exact counts, total-order tie-break), layout-
+  // invariant (Round15Spec property). The registry row trains 6 merges
+  // over `documents` and emits per-doc token counts under the learned
+  // vocabulary; the oracle replays ALL SIX rounds — pair explode,
+  // argmax with the same tie-break, greedy left-to-right re-segmentation
+  // via the same `replace` — unrolled as DuckDB CTE stages, then the
+  // final per-word symbol counts joined back to documents.
+  private def bpeOracleSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""
+      sym$i AS (
+        SELECT w, cnt,
+               string_split(substr(seg, 2, len(seg) - 2), chr(2) || chr(1)) AS s
+        FROM s${i - 1}),
+      pe$i AS (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(s)), j -> [s[j], s[j + 1]])) AS pr
+        FROM sym$i),
+      p$i AS (SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS n FROM pe$i GROUP BY 1, 2),
+      b$i AS (SELECT l, r FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+      s$i AS (
+        SELECT w, cnt,
+               CASE WHEN b$i.l IS NULL THEN seg
+                    ELSE replace(seg,
+                                 chr(1) || b$i.l || chr(2) || chr(1) || b$i.r || chr(2),
+                                 chr(1) || b$i.l || b$i.r || chr(2)) END AS seg
+        FROM s${i - 1} LEFT JOIN b$i ON TRUE)"""
+    }.mkString(",")
+    s"""
+      WITH dw AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents)
+        WHERE len(w) > 0 AND NOT contains(w, chr(1)) AND NOT contains(w, chr(2))),
+      s0 AS (
+        SELECT w, COUNT(*) AS cnt,
+               regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seg
+        FROM dw GROUP BY w),$stages,
+      tok AS (
+        SELECT w,
+               len(string_split(substr(seg, 2, len(seg) - 2), chr(2) || chr(1))) AS n_sym
+        FROM s$rounds)
+      SELECT d.doc_id, CAST(COALESCE(x.n, 0) AS BIGINT) AS n_tokens
+      FROM documents d
+      LEFT JOIN (SELECT dw.doc_id, SUM(tok.n_sym) AS n
+                 FROM dw JOIN tok USING (w) GROUP BY 1) x
+        ON d.doc_id = x.doc_id
+      ORDER BY d.doc_id"""
+  }
+
+  private val t37 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.BpeTrainer.train(
+        graft.operators.BpeTrainer.wordTable(docs, "text"), 6)
+      graft.operators.BpeTrainer.tokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
+    Some(bpeOracleSql(6)))
+
   // ---- d21_semdedup: cluster-scoped semantic dedup -----------------------
   // SemDeDup (Abbas et al. 2023): near-duplicate excision scoped to
   // semantic clusters — the pairwise step runs within a cluster only,
@@ -4221,6 +4289,53 @@ object TrainingData {
             AND COALESCE(md5(e.text), '<null>') = COALESCE(md5(d.text), '<null>'))
       ORDER BY doc_id"""))
 
+  // ---- d41_or_pruned_scan: OR-of-ranges union-of-intervals pruning -----
+  // The backfill time-slice-union shape `(k BETWEEN a AND b) OR (k
+  // BETWEEN c AND d)` — pre-r15 readWhere degraded an OR conjunct to
+  // read-everything; the extraction now lifts a top-level OR over
+  // extractable branches into a union of intervals a file survives by
+  // matching ANY branch (Round15Spec audits the files actually
+  // skipped). Reuses the d25 three-commit chain with per-file doc_id
+  // stats; the two slices straddle the first and third commits, so the
+  // middle commit's files prune entirely. The oracle is the plain
+  // disjunctive filter — pruning must never change the answer.
+  private val d41 = Q(
+    (s, dir) => {
+      SnapshotTable.readWhere(s, d25Fixture(s, dir),
+          col("doc_id").between(100, 150) || col("doc_id").between(450, 520))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE (doc_id BETWEEN 100 AND 150) OR (doc_id BETWEEN 450 AND 520)
+      ORDER BY doc_id"""))
+
+  // ---- d42_dsv2_scan: the DataSource V2 / SQL surface of the format ----
+  // The same point lookup as d38, but THROUGH Spark's DataSource V2
+  // path (`spark.read.format("graft")` — graft.sources.v2
+  // .GraftDataSource): the pushed equality filter reaches the scan,
+  // plans through the SAME stats+bloom pruning readWhere runs
+  // (GraftV2SourceSpec pins identical files-kept counts and the
+  // PushedFilters audit), and the surviving files stream through
+  // Spark's own vectorized parquet reader. One fixture, two access
+  // paths, one oracle — the "a SQL consumer loses nothing" contract.
+  private val d42 = Q(
+    (s, dir) => {
+      val probe = java.security.MessageDigest.getInstance("MD5")
+        .digest("123".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s.read.format("graft").load(d38Fixture(s, dir))
+        .filter(col("k") === probe)
+        .select(col("doc_id"), col("k"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+      WHERE doc_id = 123
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4265,6 +4380,8 @@ object TrainingData {
     "d38_bloom_pruned_scan" -> d38,
     "d39_neardup_incremental" -> d39,
     "d40_fuzzy_ingest" -> d40,
+    "d41_or_pruned_scan" -> d41,
+    "d42_dsv2_scan" -> d42,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,
@@ -4300,6 +4417,7 @@ object TrainingData {
     "t34_dsir_select" -> t34,
     "t35_fuzzy_decontam" -> t35,
     "t36_mixture_budget" -> t36,
+    "t37_bpe_train" -> t37,
     "v1_cosine_topk" -> v1,
     "v2_ann_lsh" -> v2,
     "v3_ann_ivf" -> v3,

@@ -1,0 +1,163 @@
+package graft.sources.v2
+
+import graft.operators.SnapshotTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.hadoop.fs.Path
+import java.util
+
+/** A read-oriented [[TableCatalog]] over a directory of graft snapshot
+  * tables — what makes the table format reachable from PLAIN SQL,
+  * including Spark's standard time-travel syntax:
+  *
+  * {{{
+  *   spark.conf:
+  *     spark.sql.catalog.graft_cat = graft.sources.v2.GraftCatalog
+  *     spark.sql.catalog.graft_cat.warehouse = /data/tables
+  *
+  *   SELECT * FROM graft_cat.docs
+  *   SELECT * FROM graft_cat.docs VERSION AS OF 3
+  *   SELECT * FROM graft_cat.docs TIMESTAMP AS OF '2026-08-15 12:00:00'
+  * }}}
+  *
+  * An identifier maps to `warehouse/<ns parts>/<name>`; a table is any
+  * such directory with a committed `_versions` chain. Loads delegate to
+  * [[GraftTable]], so every SQL read gets the same stats/bloom/
+  * partition pruned planning as `SnapshotTable.readWhere`. Writes via
+  * SQL DDL are intentionally refused (loudly): graft commits are
+  * OPERATOR commits (ingest's dedup gate, merge's key contract) that a
+  * bare INSERT cannot express — write through the SnapshotTable API.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' requires a warehouse directory: set " +
+          s"spark.sql.catalog.$name.warehouse=<dir>"))
+  }
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def dirOf(parts: Seq[String]): Path =
+    parts.foldLeft(new Path(warehouse))((p, s) => new Path(p, s))
+  private def tablePath(ident: Identifier): Path =
+    dirOf(ident.namespace().toSeq :+ ident.name())
+  private def isTable(p: Path): Boolean = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(new Path(p, "_versions"))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = dirOf(namespace.toSeq)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && isTable(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = SnapshotTable.currentVersion(spark, p.toString).getOrElse(
+      throw new NoSuchTableException(ident))
+    GraftTable.forVersion(spark, p.toString, v)
+  }
+
+  /** SQL `VERSION AS OF <n>` (also accepts a snapshot TAG name). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v =
+      if (version.matches("\\d+")) version.toLong
+      else SnapshotTable.tags(spark, p.toString).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"'$version' is neither a version number nor a tag on " +
+            s"graft table $p"))
+    GraftTable.forVersion(spark, p.toString, v)
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark delivers epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = SnapshotTable.versionAtTimestamp(spark, p.toString,
+      math.floorDiv(timestamp, 1000L))
+    GraftTable.forVersion(spark, p.toString, v)
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog is read-only from SQL DDL ($op): table commits are " +
+        "operator commits — use the graft.operators.SnapshotTable API " +
+        "(write/ingest/merge/compact) to modify tables")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+
+  // ---- namespaces: directories under the warehouse ----------------------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = dirOf(Nil)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !isTable(st.getPath) &&
+        !st.getPath.getName.startsWith("_"))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val root = dirOf(namespace.toSeq)
+      val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(root)) throw new NoSuchNamespaceException(
+        catalogName +: namespace.toSeq)
+      f.listStatus(root).toSeq
+        .filter(st => st.isDirectory && !isTable(st.getPath) &&
+          !st.getPath.getName.startsWith("_"))
+        .map(st => namespace :+ st.getPath.getName).toArray
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = dirOf(namespace.toSeq)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.exists(p) && !isTable(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    readOnly("CREATE NAMESPACE")
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    readOnly("ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly("DROP NAMESPACE")
+}

@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** The DataSource V2 surface of the snapshot table format
+  * ([[graft.sources.v2.GraftDataSource]] / [[graft.sources.v2.GraftCatalog]]):
+  * `spark.read.format("graft")` and SQL (incl. `VERSION AS OF`) must
+  * see exactly what the SnapshotTable API sees, with the SAME
+  * stats/bloom/partition file pruning readWhere plans — pushed filters
+  * audited in the executed plan, prune counts cross-checked against
+  * readWhereReport.
+  */
+class GraftV2SourceSpec extends SparkSpec {
+
+  import graft.operators.SnapshotTable
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docs(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"text-$i", s"lang${i % 3}")).toDF("doc_id", "text", "lang")
+  }
+
+  /** Three-commit chain with doc_id stats — the d25/d38 fixture shape. */
+  private def chain(prefix: String): String = {
+    val path = tmp(prefix)
+    Seq(0 until 200, 200 until 400, 400 until 600).foreach { r =>
+      SnapshotTable.ingest(spark, docs(r), path, "text",
+        expectedItems = 10000L, statsCols = Seq("doc_id"))
+    }
+    path
+  }
+
+  private def graftScanInfo(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse(fail("no BatchScanExec in the executed plan"))
+
+  test("format(\"graft\") reads the current snapshot identically to SnapshotTable.read") {
+    val path = chain("graft-v2-read")
+    val v2 = spark.read.format("graft").load(path)
+    assert(v2.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(v2.count() == 600L)
+    assert(v2.except(SnapshotTable.read(spark, path)).isEmpty)
+    assert(SnapshotTable.read(spark, path).except(v2).isEmpty)
+  }
+
+  test("versionAsOf / timestampAsOf options time-travel like readAt/readAtTimestamp") {
+    val path = chain("graft-v2-tt")
+    val v1 = spark.read.format("graft").option("versionAsOf", "1").load(path)
+    assert(v1.count() == 200L)
+    assert(v1.except(SnapshotTable.readAt(spark, path, 1L)).isEmpty)
+    // timestamp pin: v2's recorded commit instant resolves to version 2
+    val t2 = SnapshotTable.history(spark, path)
+      .filter(col("version") === 2L).select("commit_ts")
+      .head.getTimestamp(0).getTime
+    val v2 = spark.read.format("graft")
+      .option("timestampAsOf", t2.toString).load(path)
+    assert(v2.count() == 400L)
+    intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", "1")
+        .option("timestampAsOf", t2.toString).load(path).count()
+    }
+  }
+
+  test("pushed filters reach the scan and prune the same files as readWhere") {
+    val path = chain("graft-v2-prune")
+    val pred = col("doc_id") >= 250L && col("doc_id") < 350L
+    val (_, rep) = SnapshotTable.readWhereReport(spark, path, pred)
+    assert(rep.nFilesKept < rep.nFilesTotal, s"fixture did not prune: $rep")
+    val v2 = spark.read.format("graft").load(path).filter(pred)
+    val info = graftScanInfo(v2)
+    assert(info.contains("PushedFilters: [") && info.contains("doc_id"),
+      s"filters not pushed to the graft scan: $info")
+    assert(info.contains(s"files=${rep.nFilesKept}/${rep.nFilesTotal}"),
+      s"V2 scan pruned differently than readWhere ($rep): $info")
+    // pruning must not change the answer
+    assert(v2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (250L until 350L).toSeq)
+  }
+
+  test("OR-of-ranges pushdown prunes through SQL-shaped predicates too") {
+    val path = chain("graft-v2-or")
+    val pred = col("doc_id") < 50L || col("doc_id") >= 550L
+    val (_, rep) = SnapshotTable.readWhereReport(spark, path, pred)
+    assert(rep.nFilesKept < rep.nFilesTotal)
+    val v2 = spark.read.format("graft").load(path).filter(pred)
+    assert(graftScanInfo(v2).contains(s"files=${rep.nFilesKept}/${rep.nFilesTotal}"))
+    assert(v2.count() == 100L)
+  }
+
+  test("column pruning reaches the parquet scan (ReadSchema carries only requested columns)") {
+    val path = chain("graft-v2-prunecols")
+    val v2 = spark.read.format("graft").load(path).select("doc_id")
+    val scan = v2.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(scan.readSchema().fieldNames.toSeq == Seq("doc_id"),
+      s"read schema not pruned: ${scan.readSchema()}")
+    assert(v2.count() == 600L)
+  }
+
+  test("a partitioned table reads with partition values and hive-pruned listing") {
+    val path = tmp("graft-v2-part")
+    SnapshotTable.ingest(spark, docs(0 until 300), path, "text",
+      expectedItems = 10000L, statsCols = Seq("doc_id"),
+      partitionCols = Seq("lang"))
+    val v2 = spark.read.format("graft").load(path)
+    assert(v2.count() == 300L)
+    assert(v2.filter(col("lang").isNull).count() == 0L)
+    assert(v2.except(SnapshotTable.read(spark, path)).isEmpty)
+    val one = spark.read.format("graft").load(path)
+      .filter(col("lang") === "lang1")
+    assert(one.count() == 100L)
+    assert(one.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 300).filter(_ % 3 == 1).map(_.toLong))
+  }
+
+  test("a column-mapped (renamed) table reads under LOGICAL names through V2") {
+    val path = tmp("graft-v2-mapped")
+    SnapshotTable.ingest(spark, docs(0 until 100), path, "text",
+      expectedItems = 10000L)
+    SnapshotTable.renameColumn(spark, path, "lang", "language")
+    SnapshotTable.ingest(spark,
+      docs(100 until 200).withColumnRenamed("lang", "language"), path, "text",
+      expectedItems = 10000L)
+    val v2 = spark.read.format("graft").load(path)
+    assert(v2.columns.toSeq == Seq("doc_id", "text", "language"))
+    assert(v2.count() == 200L)
+    assert(v2.filter(col("doc_id") === 7L).select("language").head.getString(0) == "lang1")
+    assert(v2.filter(col("doc_id") === 150L).select("language").head.getString(0) == "lang0")
+    // and time travel reads version 1 under ITS name
+    val v1 = spark.read.format("graft").option("versionAsOf", "1").load(path)
+    assert(v1.columns.toSeq == Seq("doc_id", "text", "lang"))
+  }
+
+  test("a schema-evolved chain reads old directories null-filled through V2") {
+    import spark.implicits._
+    val path = tmp("graft-v2-evolve")
+    SnapshotTable.ingest(spark,
+      (0 until 50).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L)
+    SnapshotTable.ingest(spark,
+      (50 until 100).map(i => (i.toLong, s"t$i", s"L${i % 2}"))
+        .toDF("doc_id", "text", "lang"),
+      path, "text", expectedItems = 10000L, evolveSchema = true)
+    val v2 = spark.read.format("graft").load(path)
+    assert(v2.count() == 100L)
+    assert(v2.filter(col("doc_id") < 50 && col("lang").isNotNull).count() == 0L)
+    assert(v2.filter(col("doc_id") === 51L).select("lang").head.getString(0) == "L1")
+  }
+
+  test("a table with an outstanding merge-on-read overlay refuses loudly") {
+    import spark.implicits._
+    val path = tmp("graft-v2-mor")
+    SnapshotTable.ingest(spark, docs(0 until 100), path, "text",
+      expectedItems = 10000L)
+    SnapshotTable.mergeOnRead(spark,
+      Seq((5L, "gone", "lang2", true)).toDF("doc_id", "text", "lang", "__del"),
+      path, "doc_id", deleteCol = Some("__del"))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(path).count()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    // compaction materializes the overlay; V2 reads again
+    SnapshotTable.compact(spark, path, textCol = Some("text"),
+      expectedItems = 10000L)
+    val v2 = spark.read.format("graft").load(path)
+    assert(v2.count() == 99L)
+    assert(v2.filter(col("doc_id") === 5L).count() == 0L)
+  }
+
+  test("GraftCatalog: SQL SELECT, VERSION AS OF, TIMESTAMP AS OF, tags, listTables") {
+    val wh = tmp("graft-v2-warehouse")
+    val path = new java.io.File(wh, "docs").toString
+    Seq(0 until 200, 200 until 400).foreach { r =>
+      SnapshotTable.ingest(spark, docs(r), path, "text",
+        expectedItems = 10000L, statsCols = Seq("doc_id"))
+    }
+    SnapshotTable.tag(spark, path, "vintage_one", Some(1L))
+    spark.conf.set("spark.sql.catalog.gtest", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", wh)
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.docs").head.getLong(0) == 400L)
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.docs VERSION AS OF 1")
+      .head.getLong(0) == 200L)
+    // tag name through the version channel
+    assert(spark.sql("SELECT count(*) AS n FROM gtest.docs VERSION AS OF 'vintage_one'")
+      .head.getLong(0) == 200L)
+    val t1 = SnapshotTable.history(spark, path)
+      .filter(col("version") === 1L).select("commit_ts").head.getTimestamp(0)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM gtest.docs TIMESTAMP AS OF '$t1'")
+      .head.getLong(0) == 200L)
+    // predicate through SQL prunes like readWhere
+    val pred = col("doc_id") >= 50L && col("doc_id") < 150L
+    val (_, rep) = SnapshotTable.readWhereReport(spark, path, pred)
+    val sqlDf = spark.sql("SELECT doc_id FROM gtest.docs WHERE doc_id >= 50 AND doc_id < 150")
+    assert(graftScanInfo(sqlDf).contains(s"files=${rep.nFilesKept}/${rep.nFilesTotal}"))
+    assert(sqlDf.count() == 100L)
+    assert(spark.sql("SHOW TABLES IN gtest").collect()
+      .map(_.getString(1)).contains("docs"))
+    // read-only: DDL refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.t2 (id BIGINT) USING graft")
+    }
+    assert(e.getMessage.contains("read-only") ||
+      e.getCause != null && e.getCause.getMessage.contains("read-only"))
+  }
+}

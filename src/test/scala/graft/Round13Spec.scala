@@ -91,11 +91,13 @@ class Round13Spec extends SparkSpec {
     assert(rep2.nFilesKept == rep2.nFilesTotal,
       s"an arithmetic predicate must not prune (no literal-vs-column range): $rep2")
     assert(df2.count() == (0L until 200L).count(_ % 97L == 0L))
-    // and an OR at the top is one unrecognized conjunct, not two ranges
+    // an OR over same-column ranges extracts as a union of intervals
+    // (r15) — pruning may fire, but the answer must stay exact
+    // (Round15Spec pins that it DOES prune on a clustered layout)
     val orPred = col("doc_id") < 10L || col("doc_id") > 190L
     val (df3, rep3) = SnapshotTable.readWhereReport(spark, p2, orPred)
-    assert(rep3.nFilesKept == rep3.nFilesTotal, s"OR must not prune: $rep3")
     assert(df3.count() == 19L)
+    assert(rep3.nFilesKept <= rep3.nFilesTotal)
   }
 
   test("string stats prune with UTF-8 collation; IN lists prune by min/max envelope") {

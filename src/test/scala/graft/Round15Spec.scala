@@ -1,0 +1,324 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins: the dedup-universe integrity holes around
+  * [[graft.operators.SnapshotTable.dropColumn]] — stale `_hashes`
+  * sidecars must stop being trusted after a drop (the `nohashes`
+  * manifest poison), case-insensitive physical-name resurrection, and
+  * manifest-delimiter-unsafe physical names — plus the OR-of-ranges
+  * scan pruning and the DSv2 / catalog surface added this round.
+  */
+class Round15Spec extends SparkSpec {
+
+  import graft.operators.SnapshotTable
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Rows with TWO content-ish columns so a table can switch its dedup
+    * column across a drop: `a` values "X<i>", `b` values "Y<i>".
+    */
+  private def dualDocs(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"X$i", s"Y$i")).toDF("id", "a", "b")
+  }
+
+  test("dropColumn poisons the hash sidecars: post-drop ingest on a different content column re-dedups on LIVE content") {
+    val path = tmp("graft-drophash")
+    // v1: dedup keyed on `a` — the _hashes sidecar holds md5("X<i>")
+    SnapshotTable.ingest(spark, dualDocs(0 until 50), path, "a",
+      expectedItems = 1000L)
+    // v2: drop the content column; sidecars now describe dropped bytes
+    SnapshotTable.dropColumn(spark, path, "a")
+    val m2 = SnapshotTable.readManifestChecked(spark, path, 2L)
+    assert(!m2.hashesValid, "dropColumn must mark hash sidecars untrusted")
+    val manifestText = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(path, "_versions").listFiles()
+        .filter(_.getName == "v00000002.txt").head.toPath), "UTF-8")
+    assert(manifestText.contains("nohashes:1"),
+      s"drop commit must serialize the poison marker; got:\n$manifestText")
+    // v3: ingest keyed on `b`, batch duplicating EXISTING b-content —
+    // pre-fix, the probe-positives verified against md5("X<i>") sidecar
+    // rows, matched nothing, and every duplicate was re-admitted
+    val dupBatch = dualDocs(0 until 50).select(
+      (col("id") + 100L).as("id"), col("b"))
+    val st3 = SnapshotTable.ingest(spark, dupBatch, path, "b",
+      expectedItems = 1000L)
+    assert(st3.nNew == 0L,
+      s"duplicates of live b-content were re-admitted (nNew=${st3.nNew}): " +
+        "stale a-keyed sidecars were trusted after dropColumn")
+    assert(SnapshotTable.read(spark, path).count() == 50L)
+  }
+
+  test("the nohashes poison persists across appends (later dirs' fresh sidecars must not re-enable trust)") {
+    val path = tmp("graft-drophash2")
+    SnapshotTable.ingest(spark, dualDocs(0 until 40), path, "a",
+      expectedItems = 1000L)
+    SnapshotTable.dropColumn(spark, path, "a")
+    // v3: a genuinely-new batch keyed on b — admits fully and writes a
+    // FRESH b-keyed sidecar for its own dir; every dir now HAS a
+    // sidecar file, which is exactly the state that pre-fix would have
+    // re-enabled the (still half-stale) union
+    val st3 = SnapshotTable.ingest(spark,
+      dualDocs(100 until 120).select(col("id"), col("b")), path, "b",
+      expectedItems = 1000L)
+    assert(st3.nNew == 20L)
+    assert(!SnapshotTable.readManifestChecked(spark, path, 3L).hashesValid,
+      "append must carry the poison forward")
+    // v4: duplicates of v1's b-content — the v1 dir's sidecar is still
+    // a-keyed, so trusting the union would re-admit all 10
+    val st4 = SnapshotTable.ingest(spark,
+      dualDocs(0 until 10).select((col("id") + 200L).as("id"), col("b")),
+      path, "b", expectedItems = 1000L)
+    assert(st4.nNew == 0L,
+      s"v1 b-duplicates re-admitted through the stale sidecar union (nNew=${st4.nNew})")
+  }
+
+  test("compact with textCol heals the poison: sidecars regenerate from live content and trust returns") {
+    val path = tmp("graft-drophash3")
+    SnapshotTable.ingest(spark, dualDocs(0 until 30), path, "a",
+      expectedItems = 1000L)
+    SnapshotTable.dropColumn(spark, path, "a")
+    SnapshotTable.compact(spark, path, textCol = Some("b"),
+      expectedItems = 1000L)
+    val m3 = SnapshotTable.readManifestChecked(spark, path, 3L)
+    assert(m3.hashesValid, "compact(textCol) must clear the poison")
+    // the compacted dir's sidecar is b-keyed now: duplicates drop, and
+    // they drop through the sidecar path (bloom present + trusted)
+    val st = SnapshotTable.ingest(spark,
+      dualDocs(0 until 30).select((col("id") + 500L).as("id"), col("b")),
+      path, "b", expectedItems = 1000L)
+    assert(st.nNew == 0L)
+    // fresh content still admits
+    val st2 = SnapshotTable.ingest(spark,
+      dualDocs(700 until 710).select(col("id"), col("b")), path, "b",
+      expectedItems = 1000L)
+    assert(st2.nNew == 10L)
+  }
+
+  test("compact without textCol must not launder a poisoned chain's sidecars by union") {
+    val path = tmp("graft-drophash4")
+    SnapshotTable.ingest(spark, dualDocs(0 until 25), path, "a",
+      expectedItems = 1000L)
+    SnapshotTable.dropColumn(spark, path, "a")
+    SnapshotTable.compact(spark, path) // no textCol: nothing to rebuild from
+    // the compacted dir must NOT carry a unioned (stale) sidecar; the
+    // next ingest pays the payload fallback and still dedups correctly
+    val st = SnapshotTable.ingest(spark,
+      dualDocs(0 until 25).select((col("id") + 300L).as("id"), col("b")),
+      path, "b", expectedItems = 1000L)
+    assert(st.nNew == 0L,
+      "compact unioned stale sidecars into the rewritten dir")
+  }
+
+  test("re-adding a dropped column under a different CASE mints a fresh physical name (no byte resurrection)") {
+    val path = tmp("graft-caseadd")
+    import spark.implicits._
+    val v1 = (0 until 20).map(i => (i.toLong, s"t$i", i * 10L))
+      .toDF("doc_id", "text", "n_chars")
+    SnapshotTable.ingest(spark, v1, path, "text", expectedItems = 1000L)
+    SnapshotTable.dropColumn(spark, path, "n_chars")
+    // re-add under a different case: Spark's default resolver is
+    // case-insensitive, so an identity physical name would resolve to
+    // the RETIRED column's bytes in v1's files
+    val v3 = (20 until 30).map(i => (i.toLong, s"t$i", i * 1000L))
+      .toDF("doc_id", "text", "N_CHARS")
+    SnapshotTable.ingest(spark, v3, path, "text", expectedItems = 1000L,
+      evolveSchema = true)
+    val m = SnapshotTable.readManifestChecked(
+      spark, path, SnapshotTable.versions(spark, path).last)
+    assert(m.physOf("N_CHARS") != "N_CHARS",
+      s"re-added N_CHARS got identity physical '${m.physOf("N_CHARS")}' — " +
+        "case-insensitive readers will resurrect the dropped n_chars bytes")
+    val cur = SnapshotTable.read(spark, path)
+    // old rows: NULL (never the retired bytes); new rows: the new values
+    assert(cur.filter(col("doc_id") < 20 && col("N_CHARS").isNotNull).count() == 0L,
+      "v1 rows leaked the dropped n_chars bytes into the re-added column")
+    assert(cur.filter(col("doc_id") === 25L).select("N_CHARS").head.getLong(0) == 25000L)
+  }
+
+  test("renameColumn/dropColumn refuse manifest-delimiter-unsafe physical names loudly") {
+    val path = tmp("graft-unsafename")
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i.toLong, s"v$i", s"w$i"))
+      .toDF("id", "a,b", "c")
+    SnapshotTable.write(spark, df, path)
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, path, "a,b", "ab")
+    }
+    assert(e1.getMessage.contains("manifest delimiter"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, path, "a,b")
+    }
+    assert(e2.getMessage.contains("manifest delimiter"))
+    // the refusals left the table fully readable and unchanged
+    assert(SnapshotTable.versions(spark, path) == Seq(1L))
+    assert(SnapshotTable.read(spark, path).count() == 10L)
+    // a safe column on the same table still renames fine
+    SnapshotTable.renameColumn(spark, path, "c", "d")
+    assert(SnapshotTable.read(spark, path).columns.toSeq == Seq("id", "a,b", "d"))
+  }
+
+  // ---- OR-of-ranges scan pruning ---------------------------------------
+
+  private def blob(i: Long): String = s"doc-$i-" + ("x" * 64)
+
+  private def rangedTable(prefix: String): String = {
+    import spark.implicits._
+    val path = tmp(prefix)
+    Seq(0L until 500L, 500L until 1000L, 1000L until 1500L).foreach { r =>
+      SnapshotTable.ingest(spark,
+        r.map(i => (i, blob(i))).toDF("doc_id", "text"), path, "text",
+        expectedItems = 10000L, statsCols = Seq("doc_id"))
+    }
+    path
+  }
+
+  test("OR of same-column ranges prunes as a union of intervals (backfill time-slice shape)") {
+    val path = rangedTable("graft-orprune")
+    // two slices, both OUTSIDE the middle commit's [500,1000) interval —
+    // pre-r15 this OR degraded to read-everything
+    val pred = (col("doc_id").between(50L, 80L)) ||
+      (col("doc_id").between(1200L, 1260L))
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path, pred)
+    assert(rep.nFilesKept < rep.nFilesTotal,
+      s"OR of ranges did not prune: $rep")
+    val got = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((50L to 80L) ++ (1200L to 1260L)).toSeq)
+    // cross-check vs the unpruned filter — pruning must never change
+    // the answer
+    assert(df.except(SnapshotTable.read(spark, path).filter(pred)).isEmpty)
+    // a disjunction with one unextractable branch must contribute no
+    // term: keeps everything, stays exact
+    val opaque = (col("doc_id").between(50L, 80L)) ||
+      ((col("doc_id") % 97L) === 0L)
+    val (df2, rep2) = SnapshotTable.readWhereReport(spark, path, opaque)
+    assert(rep2.nFilesKept == rep2.nFilesTotal,
+      s"an opaque OR branch must void the term, not over-prune: $rep2")
+    assert(df2.count() ==
+      (0L until 1500L).count(i => (i >= 50 && i <= 80) || i % 97 == 0))
+  }
+
+  test("OR term composes with AND conjuncts: both prune together") {
+    val path = rangedTable("graft-orprune2")
+    // conjunct 1 (plain range) excludes the third commit; conjunct 2
+    // (OR term) excludes the middle of the survivors
+    val pred = col("doc_id") < 900L &&
+      ((col("doc_id") < 30L) || (col("doc_id").between(700L, 730L)))
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path, pred)
+    assert(rep.nFilesKept < rep.nFilesTotal, s"no pruning: $rep")
+    val got = df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 30L) ++ (700L to 730L)).toSeq)
+  }
+
+  test("IN expands to point branches: string blooms veto each value independently") {
+    import spark.implicits._
+    val path = tmp("graft-inprune")
+    // hash-keyed string column: every file's [min,max] spans ~the whole
+    // keyspace, so interval stats alone keep everything — only the
+    // per-file blooms can prune, and only if each IN value gets its own
+    // verdict
+    def k(i: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Seq(0L until 400L, 400L until 800L, 800L until 1200L).foreach { r =>
+      SnapshotTable.ingest(spark,
+        r.map(i => (i, k(i))).toDF("doc_id", "key"), path, "key",
+        expectedItems = 10000L, statsCols = Seq("key"))
+    }
+    // two keys from the FIRST commit only
+    val pred = col("key").isin(k(7L), k(123L))
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path, pred)
+    assert(rep.nFilesKept < rep.nFilesTotal,
+      s"IN point lookup did not bloom-prune: $rep")
+    assert(df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(7L, 123L))
+    // partition-style sanity: a value from each of two commits keeps both
+    val pred2 = col("key").isin(k(7L), k(900L))
+    val (df2, _) = SnapshotTable.readWhereReport(spark, path, pred2)
+    assert(df2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(7L, 900L))
+  }
+
+  // ---- distributed BPE tokenizer training (t37) --------------------------
+
+  import graft.operators.BpeTrainer
+
+  /** Reference BPE on the driver: same greedy left-to-right merge, same
+    * (count DESC, left ASC, right ASC) tie-break — the ground truth the
+    * distributed trainer must reproduce exactly.
+    */
+  private def naiveBpe(words: Map[String, Long], k: Int): Seq[(String, String)] = {
+    def mergeGreedy(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    var segs: Seq[(List[String], Long)] =
+      words.toSeq.map { case (w, c) => w.map(_.toString).toList -> c }
+    val out = Seq.newBuilder[(String, String)]
+    var r = 0
+    var done = false
+    while (r < k && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      segs.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) += c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        out += best
+        segs = segs.map { case (syms, c) => (mergeGreedy(syms, best._1, best._2), c) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("BPE trainer matches the reference algorithm merge-for-merge") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low", "lower lower", "newest newest newest",
+      "newest newest newest", "widest widest", "low lower newest")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = BpeTrainer.wordTable(corpus, "text")
+    val got = BpeTrainer.train(words, 8).map(m => (m.left, m.right))
+    val wordCounts = words.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = naiveBpe(wordCounts, 8)
+    assert(got == want, s"distributed merges $got != reference $want")
+    // ranks are 1..n and frequencies are the argmax counts (non-increasing
+    // only within equal alphabets is NOT guaranteed — but positivity is)
+    val full = BpeTrainer.train(words, 8)
+    assert(full.map(_.rank) == (1 to full.size))
+    assert(full.forall(_.freq > 0))
+  }
+
+  test("BPE merge table is layout-invariant: shuffle/partitioning does not change the result") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val base = BpeTrainer.wordTable(docs, "text")
+    val a = BpeTrainer.train(base, 6)
+    val b = BpeTrainer.train(base.repartition(13), 6)
+    val c = BpeTrainer.train(base.repartition(1).sort(desc("w")), 6)
+    assert(a == b, s"repartition changed the learned merges:\n$a\n$b")
+    assert(a == c, s"sort order changed the learned merges:\n$a\n$c")
+  }
+
+  test("BPE token counts: merged symbols shrink counts, empty docs count 0, coverage total") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aa aa aa"), (2L, "ab"), (3L, ""), (4L, "aa ab"))
+      .toDF("doc_id", "text")
+    // one merge: (a,a) is the most frequent pair (freq 4: 'aa'×4... each
+    // 'aa' word has one a-a pair; 'ab' has an a-b pair)
+    val merges = BpeTrainer.train(BpeTrainer.wordTable(corpus, "text"), 1)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "a")))
+    val counts = BpeTrainer.tokenCounts(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 'aa' → 1 symbol after the merge; 'ab' stays 2
+    assert(counts == Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 3L), counts.toString)
+  }
+}
