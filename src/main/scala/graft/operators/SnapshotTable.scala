@@ -122,9 +122,14 @@ object SnapshotTable {
                                            constraints: Seq[Constraint] = Nil,
                                            physmap: Map[String, String] = Map.empty,
                                            physRetired: Seq[String] = Nil,
-                                           hashesValid: Boolean = true) {
+                                           hashesValid: Boolean = true,
+                                           posDeletes: Seq[String] = Nil) {
     /** Physical (on-disk) name of a logical column under this manifest. */
     def physOf(logical: String): String = physmap.getOrElse(logical, logical)
+    /** True when reads must mask rows (key tombstones or positional
+      * deletes) — the "cannot be served by a bare file scan" state.
+      */
+    def hasOverlay: Boolean = tombstones.nonEmpty || posDeletes.nonEmpty
   }
 
   /** A table CHECK constraint (the Delta constraints / DLT expectations
@@ -161,6 +166,7 @@ object SnapshotTable {
     var physmap: Map[String, String] = Map.empty
     var physRetired: Seq[String] = Nil
     var hashesValid: Boolean = true
+    var posDeletes: Seq[String] = Nil
     val constraints = Seq.newBuilder[Constraint]
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
@@ -174,6 +180,8 @@ object SnapshotTable {
         physRetired = l.stripPrefix("physretired:").split(",").toSeq.filter(_.nonEmpty)
       case l if l.startsWith("nohashes:") =>
         hashesValid = false
+      case l if l.startsWith("posdel:") =>
+        posDeletes = l.stripPrefix("posdel:").split(",").toSeq.filter(_.nonEmpty)
       case l if l.startsWith("schema:") =>
         schema = Some(DataType.fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
       case l if l.startsWith("stats:") =>
@@ -210,7 +218,7 @@ object SnapshotTable {
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
       tombstones, morKey, kind, partitionCols, ts, constraints.result(),
-      physmap, physRetired, hashesValid)
+      physmap, physRetired, hashesValid, posDeletes)
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -267,6 +275,8 @@ object SnapshotTable {
       body.append("physretired:").append(m.physRetired.mkString(",")).append('\n')
     if (!m.hashesValid)
       body.append("nohashes:1").append('\n')
+    if (m.posDeletes.nonEmpty)
+      body.append("posdel:").append(m.posDeletes.mkString(",")).append('\n')
     m.constraints.foreach(c => body.append("constraint:").append(c.name)
       .append(':').append(c.mode).append(':').append(c.expr).append('\n'))
     // the commit wall-clock instant — [[readAtTimestamp]]'s index.
@@ -900,11 +910,20 @@ object SnapshotTable {
     */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val m = readManifestChecked(spark, path, version)
-    if (m.tombstones.isEmpty) rawScan(spark, path, m)
-    else applyTombstones(spark, path, m,
-      m.dirs.map(d => rawScan(spark, path, m.copy(dirs = Seq(d)))
-        .withColumn(dirVersionCol,
-          org.apache.spark.sql.functions.lit(dirVersion(d)))).reduce(_ unionByName _))
+    if (!m.hasOverlay) rawScan(spark, path, m)
+    else {
+      val base = m.dirs.map { d =>
+        val s = rawScanPos(spark, path, m.copy(dirs = Seq(d)),
+          withPos = m.posDeletes.nonEmpty)
+        s.withColumn(dirVersionCol,
+          org.apache.spark.sql.functions.lit(dirVersion(d)))
+      }.reduce(_ unionByName _)
+      val keyMasked =
+        if (m.tombstones.isEmpty) base.drop(dirVersionCol)
+        else applyTombstones(spark, path, m, base)
+      if (m.posDeletes.isEmpty) keyMasked
+      else applyPosDeletes(spark, path, m, keyMasked)
+    }
   }
 
   /** The effective commit instant of every retained version, ascending —
@@ -1047,6 +1066,74 @@ object SnapshotTable {
   // ---- merge-on-read tombstone overlay -----------------------------------
 
   private val dirVersionCol = "__graft_dirv"
+  private val posFileCol = "__graft_pfile"
+  private val posOrdCol = "__graft_pord"
+
+  private def posDeletesRoot(path: String) = new Path(path, "_posdel")
+  private[graft] def posDeletePath(path: String, name: String) =
+    new Path(posDeletesRoot(path), name)
+
+  /** [[rawScan]] plus — when `withPos` — each row's (file name, row
+    * ordinal) identity from the parquet scan's `_metadata` struct: the
+    * positional-delete join key. File names are parquet part-UUIDs,
+    * unique across the chain (the same convention the stats sidecars
+    * key on), so (file, ordinal) identifies a physical row with no key
+    * column involved.
+    */
+  private def rawScanPos(spark: SparkSession, path: String, m: Manifest,
+                         withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!withPos) rawScan(spark, path, m)
+    else {
+      def reader = {
+        val r = spark.read.format(m.format)
+        m.schema.fold(r)(s => r.schema(physSchema(s, m.physmap)))
+      }
+      val posCols = Seq(col("_metadata.file_name").as(posFileCol),
+        col("_metadata.row_index").as(posOrdCol))
+      def project(df: DataFrame): DataFrame = {
+        val dataCols =
+          if (m.physmap.nonEmpty)
+            m.schema.get.fieldNames.toSeq.map(n => col(m.physOf(n)).as(n))
+          else m.schema.map(_.fieldNames.toSeq.map(col(_)))
+            .getOrElse(df.columns.toSeq.map(col(_)))
+        df.select(dataCols ++ posCols: _*)
+      }
+      if (m.partitionCols.isEmpty)
+        project(reader.load(m.dirs.map(d => new Path(path, d).toString): _*))
+      else
+        m.dirs.map(d => project(reader.load(new Path(path, d).toString)))
+          .reduceLeft(_ unionByName _)
+    }
+  }
+
+  /** Apply the positional-delete overlay: anti-join the base rows'
+    * (file, ordinal) identity against the union of the manifest's
+    * delete sidecars. Delete sets are delta-scale, so the build side
+    * broadcasts under the same size guard as the key-tombstone overlay;
+    * `keepPosCols` lets [[deleteWherePositional]]'s victim scan retain
+    * the identity columns it is about to record.
+    */
+  private def applyPosDeletes(spark: SparkSession, path: String, m: Manifest,
+                              base: DataFrame,
+                              keepPosCols: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pd = m.posDeletes.map(n =>
+        spark.read.format(m.format).load(posDeletePath(path, n).toString))
+      .reduce(_ unionByName _)
+      .select(col("file").as("__graft_delf"), col("ord").as("__graft_delo"))
+    val f = fs(spark, new Path(path))
+    val bytes = m.posDeletes.map { n =>
+      val p = posDeletePath(path, n)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }.sum
+    val build = if (bytes <= tombstoneBroadcastMaxBytes) broadcast(pd) else pd
+    val masked = base.join(build,
+      base(posFileCol) === col("__graft_delf") &&
+        base(posOrdCol) === col("__graft_delo"),
+      "left_anti")
+    if (keepPosCols) masked else masked.drop(posFileCol, posOrdCol)
+  }
 
   private def tombstonesRoot(path: String) = new Path(path, "_tombstones")
   private[graft] def tombstonePath(path: String, name: String) =
@@ -1736,7 +1823,7 @@ object SnapshotTable {
     */
   private def buildPrunedRead(spark: SparkSession, path: String, m: Manifest,
       perDir: Seq[(String, Int, Seq[Path], Int, Int)], predicate: Column,
-      report: PruneReport): (DataFrame, PruneReport) = {
+      report: PruneReport, exposePos: Boolean = false): (DataFrame, PruneReport) = {
     val kept = perDir.flatMap(_._3)
     val df =
       if (kept.isEmpty)
@@ -1751,6 +1838,8 @@ object SnapshotTable {
         // kept-file scans group by manifest dir and union (mirroring
         // [[rawScan]]); unpartitioned tables keep the single
         // multi-file scan node.
+        import org.apache.spark.sql.functions.col
+        val withPos = exposePos || m.posDeletes.nonEmpty
         def filesScan(d: String, paths: Seq[Path]) = {
           val reader0 = spark.read.format(m.format)
           val reader =
@@ -1758,12 +1847,19 @@ object SnapshotTable {
             else reader0.option("basePath", new Path(path, d).toString)
           val df0 = m.schema.fold(reader)(s => reader.schema(physSchema(s, m.physmap)))
             .load(paths.map(_.toString): _*)
+          val posCols =
+            if (!withPos) Nil
+            else Seq(col("_metadata.file_name").as(posFileCol),
+              col("_metadata.row_index").as(posOrdCol))
           if (m.physmap.nonEmpty)
-            df0.select(m.schema.get.fieldNames.map(n =>
-              org.apache.spark.sql.functions.col(m.physOf(n)).as(n)).toSeq: _*)
+            df0.select(m.schema.get.fieldNames.toSeq.map(n =>
+              col(m.physOf(n)).as(n)) ++ posCols: _*)
+          else if (posCols.nonEmpty)
+            df0.select(m.schema.map(_.fieldNames.toSeq.map(col(_)))
+              .getOrElse(df0.columns.toSeq.map(col(_))) ++ posCols: _*)
           else if (m.partitionCols.isEmpty) df0
           else m.schema.fold(df0)(s => df0.select(
-            s.fieldNames.map(org.apache.spark.sql.functions.col(_)).toSeq: _*))
+            s.fieldNames.map(col(_)).toSeq: _*))
         }
         // the tombstone overlay additionally needs each row's commit
         // version, so its per-dir scans tag before masking (the group
@@ -1782,8 +1878,11 @@ object SnapshotTable {
               }
             perDirScans.reduceLeft(_ unionByName _)
           }
-        val masked =
+        val keyMasked =
           if (m.tombstones.isEmpty) base else applyTombstones(spark, path, m, base)
+        val masked =
+          if (m.posDeletes.isEmpty) keyMasked
+          else applyPosDeletes(spark, path, m, keyMasked, keepPosCols = exposePos)
         masked.filter(predicate)
       }
     (df, report)
@@ -1912,7 +2011,7 @@ object SnapshotTable {
     // rebuild-from-written branch is exactly how compaction HEALS the
     // table (the committed manifest below defaults back to trusted)
     val srcSidecars = m.dirs.map(d => hashesDir(path, d))
-    if (m.tombstones.isEmpty && m.hashesValid &&
+    if (!m.hasOverlay && m.hashesValid &&
         srcSidecars.nonEmpty && srcSidecars.forall(f.exists))
       spark.read.format(m.format).load(srcSidecars.map(_.toString): _*)
         .write.mode("overwrite").format(m.format)
@@ -1926,7 +2025,7 @@ object SnapshotTable {
     // textCol is given, so the next ingest's probe path is O(delta).
     var rebuiltBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
     val outBloomName = (m.bloom, textCol) match {
-      case (some @ Some(_), _) if m.tombstones.isEmpty => some
+      case (some @ Some(_), _) if !m.hasOverlay => some
       case (_, Some(tc)) =>
         val name = f"b${v + 1}%08d-${nextDir.takeRight(8)}.bin"
         val b = bloomOf(written, xxhash64(contentKey(col(m.physOf(tc)))),
@@ -2019,11 +2118,13 @@ object SnapshotTable {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     val m = readManifestChecked(spark, path, v)
-    if (m.tombstones.nonEmpty) throw new IllegalStateException(
-      s"$path has ${m.tombstones.size} outstanding merge-on-read tombstone sidecar(s); " +
-        "binpack rewrites only a subset of directories and cannot materialize a " +
-        "table-wide key overlay for it. Run compact() first to materialize and reset " +
-        "the overlay, then binpack the append tail")
+    if (m.hasOverlay) throw new IllegalStateException(
+      s"$path has ${m.tombstones.size} outstanding merge-on-read tombstone sidecar(s) " +
+        s"and ${m.posDeletes.size} positional-delete sidecar(s); binpack rewrites " +
+        "only a subset of directories and cannot materialize a table-wide overlay " +
+        "for it (a partial rewrite would also orphan positional ordinals). Run " +
+        "compact() first to materialize and reset the overlay, then binpack the " +
+        "append tail")
     val f = fs(spark, new Path(path))
     val sized = m.dirs.map(d => d -> listDataFiles(f, new Path(path, d)).map(_.getLen).sum)
     val (smalls, bigs) = sized.partition(_._2 < smallDirBytes)
@@ -2150,6 +2251,7 @@ object SnapshotTable {
     // every later pre-rewrite manifest and refcount the same way
     val retainedBlooms = retained.flatMap(_.bloom).toSet
     val retainedTs = retained.flatMap(_.tombstones).toSet
+    val retainedPd = retained.flatMap(_.posDeletes).toSet
     // persist the clock floor BEFORE dropping: the newest expired
     // commit's EFFECTIVE instant seeds [[effectiveCommitTimes]] so the
     // retained versions' effective clock never moves backward across an
@@ -2181,6 +2283,8 @@ object SnapshotTable {
       }
       m.tombstones.filterNot(retainedTs)
         .foreach(n => f.delete(tombstonePath(path, n), true))
+      m.posDeletes.filterNot(retainedPd)
+        .foreach(n => f.delete(posDeletePath(path, n), true))
       f.delete(manifest(path, v), false)
       (m.bloom.toSeq :+ legacyBloomFile(path, v).getName)
         .filterNot(retainedBlooms)
@@ -2225,6 +2329,17 @@ object SnapshotTable {
       s"versions $fromVersion..$to at $path are not an append-only chain " +
         s"(merge-on-read tombstones ${newTs.mkString(", ")} were added in the range, " +
         "masking earlier rows); use a keyed diff of readAt frames instead")
+    val newPd = toM.posDeletes.filterNot(fromM.posDeletes.toSet)
+    if (newPd.nonEmpty) throw new IllegalArgumentException(
+      s"versions $fromVersion..$to at $path are not an append-only chain " +
+        s"(positional deletes ${newPd.mkString(", ")} were added in the range, " +
+        "masking earlier rows); use a keyed diff of readAt frames instead")
+    val gonePd = fromM.posDeletes.filterNot(toM.posDeletes.toSet)
+    if (gonePd.nonEmpty) throw new IllegalArgumentException(
+      s"versions $fromVersion..$to at $path are not an append-only chain " +
+        s"(positional deletes ${gonePd.mkString(", ")} were dropped in the range — " +
+        "a rollback resurrected rows they masked); use a keyed diff of readAt " +
+        "frames instead")
     // the symmetric check: tombstones DROPPED with the dir list intact
     // (a rollback across a pure-delete merge-on-read commit) resurrect
     // masked rows — rows were logically ADDED with no dir to show for it
@@ -2622,11 +2737,12 @@ object SnapshotTable {
       // snapshot is retained), so the dedup re-check below still reads
       val (winnerV, winnerM, chain) = rebaseWinnerChain(spark, path,
         parentV.getOrElse(0L), "ingest", Some(committedSchema), effParts,
-        (v, k) => if (k != "append" && k != "compact" && k != "binpack")
+        (v, k) => if (k != "append" && k != "compact" && k != "binpack" &&
+            k != "posdelete")
           throw new java.io.IOException(
             s"ingest at $path lost the commit race to version $v (kind '$k'); " +
-              "only append/compact/binpack interleavings rebase automatically — " +
-              "re-run the ingest against the current snapshot"),
+              "only append/compact/binpack/posdelete interleavings rebase " +
+              "automatically — re-run the ingest against the current snapshot"),
         expectPhysmap = physmap)
       // dirs the interleaved APPENDs added; a compact REPLACES the dir
       // list but preserves content the delta was already deduped against
@@ -2697,7 +2813,8 @@ object SnapshotTable {
           winnerM.morKey, kind = Some("append"), partitionCols = effParts,
           constraints = winnerM.constraints,
           physmap = physmap, physRetired = physRetired,
-          hashesValid = winnerM.hashesValid))
+          hashesValid = winnerM.hashesValid,
+          posDeletes = winnerM.posDeletes))
         return (next, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -2789,7 +2906,7 @@ object SnapshotTable {
       val newDir = stageDir(next)
       renameStaged(f, path, compactedDir, newDir)
       val bloomName =
-        if (parentM.tombstones.isEmpty) winnerM.bloom
+        if (!parentM.hasOverlay) winnerM.bloom
         else rebuiltBloom.flatMap { rb =>
           val sidecars = appendAdded.map(d => hashesDir(path, d))
           if (appendAdded.isEmpty || sidecars.forall(f.exists)) {
@@ -3030,7 +3147,8 @@ object SnapshotTable {
           physmap = physmap, physRetired = parentRetired,
           // an append cannot heal pre-existing untrusted sidecars (its
           // own delta sidecar is fresh, but the parent dirs' are not)
-          hashesValid = parent.forall(_.hashesValid)))
+          hashesValid = parent.forall(_.hashesValid),
+          posDeletes = parent.map(_.posDeletes).getOrElse(Nil)))
         IngestStats(next, nIncoming, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -3499,7 +3617,7 @@ object SnapshotTable {
           m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read"),
           partitionCols = m.partitionCols, constraints = m.constraints,
           physmap = m.physmap, physRetired = m.physRetired,
-          hashesValid = m.hashesValid))
+          hashesValid = m.hashesValid, posDeletes = m.posDeletes))
         MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
           m.tombstones.size + 1)
       } catch {
@@ -3629,7 +3747,7 @@ object SnapshotTable {
             kind = Some("merge-on-read"), partitionCols = winnerM.partitionCols,
             constraints = winnerM.constraints,
             physmap = winnerM.physmap, physRetired = winnerM.physRetired,
-            hashesValid = winnerM.hashesValid))
+            hashesValid = winnerM.hashesValid, posDeletes = winnerM.posDeletes))
           return (next, winnerM.tombstones.size + 1)
         } catch {
           case _: CommitConflictException =>
@@ -3645,6 +3763,104 @@ object SnapshotTable {
     throw new IllegalStateException("unreachable")
   }
 
+  final case class PosDeleteStats(version: Long, nDeleted: Long,
+                                  nFilesTouched: Long, committed: Boolean)
+
+  /** Test seam like the other commit faults: fires once before
+    * [[deleteWherePositional]]'s first commit attempt.
+    */
+  private[graft] var posDeleteCommitFault: () => Unit = () => ()
+
+  /** SQL's `DELETE FROM t WHERE ...` as a POSITIONAL merge-on-read
+    * commit — Iceberg v2's deletion-vector contract, and the tier that
+    * drops [[deleteWhere]]'s key-column requirement entirely: victims
+    * resolve through the same STATS-PRUNED scan (a selective predicate
+    * opens only the files it can touch), but what commits is their
+    * (file name, row ordinal) identity — a `_posdel/` sidecar of
+    * O(matches) rows, no key column, no data dir, no rewrite. Reads
+    * anti-join rows' parquet `_metadata` identity against the sidecar
+    * union (broadcast under the same size guard as key tombstones);
+    * the next [[compact]]/[[write]]/[[merge]] materializes the overlay
+    * and resets the list, exactly like key tombstones. The victim scan
+    * runs OVER the existing overlay, so an already-masked row is never
+    * re-recorded, and a predicate matching nothing commits nothing
+    * (`committed = false`).
+    *
+    * Invariants positional identity forces, enforced here and at the
+    * rewrite sites: (file, ordinal) is stable only while files are —
+    * [[compactSmall]]/binpack refuse under an outstanding overlay (a
+    * partial rewrite would both orphan ordinals and drop the mask), and
+    * a lost commit race rebases only over commits that PRESERVE the
+    * referenced files (append / posdelete / merge-on-read); any rewrite
+    * interleaving conflicts loudly. Deleted content still gates ingest
+    * admissions (bloom/hashes over-cover) until a rewrite, the same
+    * documented rule as key tombstones. Snapshot isolation: the delete
+    * applies to the snapshot it resolved — rows a racing append admits
+    * are not retro-matched.
+    */
+  def deleteWherePositional(spark: SparkSession, path: String,
+                            predicate: Column,
+                            retries: Int = 5): PosDeleteStats = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, cur)
+    require(m.format == "parquet",
+      s"positional deletes need parquet row ordinals (_metadata.row_index); " +
+        s"table format is '${m.format}'")
+    val (perDir, _) = planPrunedFiles(spark, path, m, Some(predicate))
+    if (perDir.forall(_._3.isEmpty))
+      return PosDeleteStats(cur, 0L, 0L, committed = false)
+    val (victims0, _) = buildPrunedRead(spark, path, m, perDir, predicate,
+      PruneReport(0, 0), exposePos = true)
+    val name = f"p${cur + 1}%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+    victims0.select(col(posFileCol).as("file"), col(posOrdCol).as("ord"))
+      .coalesce(1)
+      .write.mode("overwrite").format(m.format)
+      .save(posDeletePath(path, name).toString)
+    val written = spark.read.format(m.format)
+      .load(posDeletePath(path, name).toString)
+    val nDeleted = written.count()
+    if (nDeleted == 0L) {
+      fs(spark, new Path(path)).delete(posDeletePath(path, name), true)
+      return PosDeleteStats(cur, 0L, 0L, committed = false)
+    }
+    val nFiles = written.select("file").distinct().count()
+    val fault = posDeleteCommitFault
+    posDeleteCommitFault = () => ()
+    fault()
+    var parentV = cur
+    var parentM = m
+    var attempt = 0
+    while (true) {
+      try {
+        commit(spark, path, parentV + 1, parentM.copy(
+          posDeletes = parentM.posDeletes :+ name, kind = Some("posdelete")))
+        return PosDeleteStats(parentV + 1, nDeleted, nFiles, committed = true)
+      } catch {
+        case _: CommitConflictException =>
+          // rebase: valid iff every interleaved commit PRESERVED the
+          // files our ordinals reference — appends add dirs, posdeletes
+          // and merge-on-read add sidecars/delta dirs; none moves a row
+          val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+            parentV, "positional delete", parentM.schema, parentM.partitionCols,
+            (v, k) => if (k != "append" && k != "posdelete" && k != "merge-on-read")
+              throw new java.io.IOException(
+                s"positional delete at $path lost the commit race to version $v " +
+                  s"(kind '$k'); the rewrite may have moved the rows these " +
+                  "ordinals reference — re-run against the current snapshot"),
+            expectPhysmap = parentM.physmap)
+          attempt += 1
+          if (attempt >= retries) throw new java.io.IOException(
+            s"positional delete at $path lost $retries consecutive commit races; " +
+              "giving up — retry under lower commit contention")
+          parentV = winnerV
+          parentM = winnerM
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** SQL's `DELETE FROM t WHERE ...` as a committed operator: resolve
     * the victims through the STATS-PRUNED scan (a selective predicate
     * on a stats column opens only the files it can touch — at 100 TB a
@@ -3653,7 +3869,8 @@ object SnapshotTable {
     * tombstone sidecar, no data dir, no rewrite; the next [[compact]]
     * physically removes the rows. Keys are deduplicated first (delete
     * is per-key; a non-unique-key table deletes ALL rows carrying a
-    * matching key, exactly like the keyed merge).
+    * matching key, exactly like the keyed merge). [[deleteWherePositional]]
+    * is the keyless tier of the same contract.
     */
   def deleteWhere(spark: SparkSession, path: String, keyCol: String,
                   predicate: Column): MergeOnReadStats = {

@@ -4336,6 +4336,46 @@ object TrainingData {
       WHERE doc_id = 123
       ORDER BY doc_id"""))
 
+  // ---- d43_positional_delete: keyless deletion-vector MOR tier ----------
+  // Iceberg v2's positional-delete contract as a committed operator
+  // ([[SnapshotTable.deleteWherePositional]]): a predicate DELETE on
+  // NON-key columns over a 3-commit chain — victims resolve through the
+  // stats-pruned scan (the doc_id range term opens only the files it
+  // can touch), and what commits is their (file, row-ordinal) identity
+  // as a `_posdel/` sidecar of O(matches) rows. No key column exists or
+  // is required — the delta over d27/d28's key-equality overlay. The
+  // registry reads the final table (reads anti-join parquet `_metadata`
+  // row identity against the sidecar); DuckDB replays the delete as a
+  // plain WHERE. Round15Spec pins the sidecar bytes audit (only touched
+  // files' ordinals persisted), time-travel exactness, and compaction
+  // materializing + resetting the overlay.
+  private def d43Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d43", expect = Seq(1L, 2L, 3L, 4L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(coalesce(col("text"), lit("")), lit("#"), col("doc_id")).as("text"))
+      Seq(col("doc_id") < 200, col("doc_id").between(200, 399), col("doc_id") >= 400)
+        .foreach { slice =>
+          SnapshotTable.ingest(s, docs.filter(slice), path, "text",
+            expectedItems = 100000L, statsCols = Seq("doc_id"))
+        }
+      SnapshotTable.deleteWherePositional(s, path,
+        col("doc_id").between(150, 249) && col("lang") === "en")
+      ()
+    }
+
+  private val d43 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d43Fixture(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE NOT (doc_id BETWEEN 150 AND 249 AND COALESCE(lang = 'en', FALSE))
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4382,6 +4422,7 @@ object TrainingData {
     "d40_fuzzy_ingest" -> d40,
     "d41_or_pruned_scan" -> d41,
     "d42_dsv2_scan" -> d42,
+    "d43_positional_delete" -> d43,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

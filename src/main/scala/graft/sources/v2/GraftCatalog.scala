@@ -69,6 +69,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `t$history` / `t$tags` / `t$files`
+    // surface the commit log, tag pins, and live file inventory to SQL
+    // (`SELECT * FROM graft_cat.`docs$history``) — driver-metadata-scale
+    // frames computed from the manifest chain, never data files.
+    val dollar = ident.name().indexOf('$')
+    if (dollar > 0) {
+      val base = Identifier.of(ident.namespace(), ident.name().substring(0, dollar))
+      val kind = ident.name().substring(dollar + 1)
+      val p = tablePath(base)
+      if (!isTable(p)) throw new NoSuchTableException(base)
+      val s = spark
+      import s.implicits._
+      val df = kind match {
+        case "history" => SnapshotTable.history(s, p.toString)
+        case "tags" =>
+          SnapshotTable.tags(s, p.toString).toSeq.sortBy(_._1)
+            .toDF("tag", "version")
+        case "files" =>
+          val v = SnapshotTable.currentVersion(s, p.toString).getOrElse(
+            throw new NoSuchTableException(base))
+          val m = SnapshotTable.readManifestChecked(spark, p.toString, v)
+          val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          m.dirs.flatMap { d =>
+            val dir = new Path(p, d)
+            def walk(q: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+              fsys.listStatus(q).toSeq.flatMap(st =>
+                if (st.isFile) {
+                  if (st.getPath.getName.startsWith("_") ||
+                    st.getPath.getName.startsWith(".")) Nil
+                  else Seq(st)
+                } else walk(st.getPath))
+            if (fsys.exists(dir)) walk(dir).map(st =>
+              (d, st.getPath.getName, st.getLen)) else Nil
+          }.toDF("dir", "file", "bytes")
+        case other => throw new NoSuchTableException(ident)
+      }
+      return GraftMetadataTable(ident.toString, df)
+    }
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val v = SnapshotTable.currentVersion(spark, p.toString).getOrElse(
@@ -160,4 +198,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     readOnly("ALTER NAMESPACE")
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     readOnly("DROP NAMESPACE")
+}
+
+/** A metadata table (`t$history` / `t$tags` / `t$files`): the frame is
+  * computed ONCE at load from the manifest chain — driver metadata
+  * scale, bounded by the retention window, zero data files opened —
+  * and served back through a one-partition V2 scan with column
+  * pruning. Snapshot semantics match the manifest read the frame came
+  * from (a later commit needs a re-resolve, like any table load).
+  */
+object GraftMetadataTable {
+  def apply(name: String, df: org.apache.spark.sql.DataFrame): GraftMetadataTable =
+    new GraftMetadataTable(name, df.schema, df.collect().map(_.toSeq.toArray))
+}
+
+class GraftMetadataTable(tname: String, tschema: StructType,
+                         rows: Array[Array[Any]])
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read._
+  override def name(): String = tname
+  override def schema(): StructType = tschema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = tschema
+      override def pruneColumns(r: StructType): Unit = {
+        val want = r.fieldNames.toSet
+        required = StructType(tschema.fields.filter(f => want(f.name)))
+      }
+      override def build(): Scan = new Scan with Batch {
+        private val idx = required.fieldNames.map(tschema.fieldIndex)
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def description(): String = s"GraftMetadataScan($tname)"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftMetaPartition(rows.map(r => idx.map(r(_)))))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GraftMetaReaderFactory(required)
+      }
+    }
+}
+
+case class GraftMetaPartition(rows: Array[Array[Any]])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+class GraftMetaReaderFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[GraftMetaPartition].rows
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        conv(org.apache.spark.sql.Row.fromSeq(rows(i).toSeq))
+          .asInstanceOf[InternalRow]
+      override def close(): Unit = ()
+    }
+  }
 }

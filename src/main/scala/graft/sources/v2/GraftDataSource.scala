@@ -83,11 +83,12 @@ object GraftTable {
 
   def forVersion(spark: SparkSession, path: String, version: Long): GraftTable = {
     val m = SnapshotTable.readManifestChecked(spark, path, version)
-    if (m.tombstones.nonEmpty) throw new IllegalArgumentException(
-      s"graft table at $path@v$version has ${m.tombstones.size} outstanding " +
-        "merge-on-read tombstone(s); the V2 file scan cannot apply the " +
-        "overlay — compact the table first, or read through the " +
-        "SnapshotTable API")
+    if (m.hasOverlay) throw new IllegalArgumentException(
+      s"graft table at $path@v$version has an outstanding merge-on-read " +
+        s"overlay (${m.tombstones.size} key tombstone(s), " +
+        s"${m.posDeletes.size} positional-delete sidecar(s)); the V2 file " +
+        "scan cannot apply it — compact the table first, or read through " +
+        "the SnapshotTable API")
     val logical = m.schema
       .map(s => StructType(s.fields.map(_.copy(nullable = true))))
       .getOrElse(SnapshotTable.readAt(spark, path, version).schema)
@@ -192,13 +193,19 @@ class GraftPrunedFileIndex(spark: SparkSession, roots: Seq[Path],
 /** Thin veneer over the delegated [[ParquetScan]]: reports LOGICAL
   * column names (the delegate reads physical ones at the same
   * positions) and a description carrying the pushdown + prune decision
-  * so `.explain` shows what the planning did.
+  * so `.explain` shows what the planning did. Statistics delegate to
+  * the parquet scan's (kept-files byte/row estimate), so Catalyst can
+  * broadcast-size a pruned graft table in joins exactly like a plain
+  * parquet relation — after pruning, not before.
   */
 class GraftScan(delegate: ParquetScan, logicalRead: StructType,
                 pushed: Array[org.apache.spark.sql.sources.Filter],
-                report: SnapshotTable.PruneReport, path: String) extends Scan {
+                report: SnapshotTable.PruneReport, path: String)
+    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = logicalRead
   override def toBatch: Batch = delegate.toBatch
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    delegate.estimateStatistics()
   override def description(): String =
     s"GraftScan(path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"files=${report.nFilesKept}/${report.nFilesTotal}" +

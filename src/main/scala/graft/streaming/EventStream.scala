@@ -274,6 +274,54 @@ object EventStream {
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** [[ingestSink]] with the NEAR-dup admission gate in front — each
+    * micro-batch lands as one
+    * [[graft.operators.SnapshotTable.ingestFuzzy]] commit: rows whose
+    * estimated Jaccard against content ALREADY COMMITTED reaches `tau`
+    * drop at the signature gate (band-join against the `_minhash/`
+    * sidecars — ~260 B/doc metadata, never history payloads), exact
+    * dups drop at ingest's bloom+hash gate, survivors commit. The
+    * continuous-crawl dedup shape at 100 TB: per tick the work is
+    * O(batch + signature metadata), regardless of table size.
+    *
+    * Restart semantics: the persisted signature sidecars ARE the
+    * restart-safe state. foreachBatch is at-least-once; a redelivered
+    * batch's rows are by then near-dups (estimated Jaccard 1.0 ≥ any
+    * tau ≤ 1) or exact dups of committed content, so the replay admits
+    * nothing — the same idempotent-sink argument as [[ingestSink]],
+    * with the committed table + sidecars in place of a state store.
+    * (Rows too short to shingle fall through the fuzzy gate by design
+    * and are caught by the exact gate on replay.) Single-writer per
+    * table, like every sink here: the fuzzy tier's race window is
+    * documented on ingestFuzzy.
+    */
+  def fuzzySink(incoming: DataFrame, path: String, idCol: String,
+                textCol: String, tau: Double = 0.5, k: Int = 32,
+                bands: Int = 8, shingleLen: Int = 3,
+                portableHash: Boolean = false,
+                expectedItems: Long = 1000000L,
+                fpp: Double = 0.01,
+                checkpoint: Option[String] = None,
+                maintenance: Option[Maintenance] = None,
+                statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.SnapshotTable
+        SnapshotTable.ingestFuzzy(
+          batch.sparkSession, batch, path, idCol, textCol, tau, k, bands,
+          shingleLen, portableHash, expectedItems, fpp,
+          statsCols = statsCols)
+        maintenance.foreach { m =>
+          if (batchId > 0 && batchId % m.everyBatches == 0)
+            runMaintenance(batch.sparkSession, path, m, Some(textCol),
+              expectedItems, fpp)
+        }
+        ()
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming CDC APPLY — the third leg of the streaming table story
     * (ingestSink appends, changelogSink reads commits, upsertSink
     * applies changes): each micro-batch of keyed changes — upserts plus

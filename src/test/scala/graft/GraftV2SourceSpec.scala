@@ -207,5 +207,17 @@ class GraftV2SourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("read-only") ||
       e.getCause != null && e.getCause.getMessage.contains("read-only"))
+    // Iceberg-style metadata tables: history/tags/files from SQL
+    val hist = spark.sql(
+      "SELECT version, kind FROM gtest.`docs$history` ORDER BY version").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "append"), (2L, "append")))
+    val tags = spark.sql("SELECT tag, version FROM gtest.`docs$tags`").collect()
+    assert(tags.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("vintage_one", 1L)))
+    val files = spark.sql(
+      "SELECT dir, file, bytes FROM gtest.`docs$files`").collect()
+    assert(files.length >= 2 && files.forall(_.getLong(2) > 0L))
+    assert(files.map(_.getString(0)).distinct.length == 2, "two snapshot dirs expected")
   }
 }

@@ -240,6 +240,147 @@ class Round15Spec extends SparkSpec {
       Seq(7L, 900L))
   }
 
+  // ---- positional deletes (deletion-vector MOR tier, d43) ---------------
+
+  private def posDelTable(prefix: String): String = {
+    import spark.implicits._
+    val path = tmp(prefix)
+    Seq(0 until 200, 200 until 400, 400 until 600).foreach { r =>
+      SnapshotTable.ingest(spark,
+        r.map(i => (i.toLong, s"text-$i", s"lang${i % 3}", i * 10L))
+          .toDF("doc_id", "text", "lang", "n_chars"),
+        path, "text", expectedItems = 10000L, statsCols = Seq("doc_id"))
+    }
+    path
+  }
+
+  test("deleteWherePositional: keyless predicate delete, exact time travel, no-op commits nothing") {
+    val path = posDelTable("graft-posdel")
+    val st = SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id").between(150L, 249L) && col("lang") === "lang1")
+    assert(st.committed && st.version == 4L)
+    val expectGone = (150 to 249).filter(_ % 3 == 1)
+    assert(st.nDeleted == expectGone.size.toLong)
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.count() == 600L - expectGone.size)
+    assert(cur.filter(col("doc_id").isin(expectGone.map(_.toLong): _*)).count() == 0L)
+    // untouched rows keep every column intact (150 % 3 = 0 → lang0, kept
+    // even though its doc_id is in the range — the non-key conjunct rules)
+    assert(cur.filter(col("doc_id") === 150L).count() == 1L)
+    assert(cur.filter(col("doc_id") === 150L)
+      .select("n_chars").head.getLong(0) == 1500L)
+    // time travel: v3 still shows every row
+    assert(SnapshotTable.readAt(spark, path, 3L).count() == 600L)
+    // no-op predicate: nothing commits
+    val noop = SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id") === -1L)
+    assert(!noop.committed && noop.version == 4L)
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("positional-delete sidecar persists only touched files' ordinals (bytes audit)") {
+    val path = posDelTable("graft-posdel-bytes")
+    // predicate confined to the FIRST commit's doc_id range: the stats-
+    // pruned victim scan opens only its files, and the sidecar must
+    // reference no file outside them
+    val st = SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id") < 30L)
+    assert(st.committed && st.nDeleted == 30L)
+    val pdRoot = new java.io.File(path, "_posdel")
+    val sidecars = pdRoot.listFiles().filter(_.isDirectory)
+    assert(sidecars.length == 1)
+    val pd = spark.read.parquet(sidecars.head.toString)
+    assert(pd.columns.toSeq.sorted == Seq("file", "ord"))
+    assert(pd.count() == 30L)
+    assert(pd.select("file").distinct().count() == st.nFilesTouched)
+    // the files referenced all live in the FIRST commit's dir
+    val dir1Files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("snap-00000001")).head
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val referenced = pd.select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(referenced.subsetOf(dir1Files),
+      s"sidecar references files outside the pruned commit: ${referenced -- dir1Files}")
+    // sidecar bytes are O(matches), not O(table)
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length else f.listFiles().map(du).sum
+    val dataBytes = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("snap-")).map(du).sum
+    assert(du(pdRoot) < dataBytes / 2,
+      s"positional sidecar ${du(pdRoot)}B vs data ${dataBytes}B")
+  }
+
+  test("positional deletes stack with appends and later deletes; ingest rebases over a racing posdelete") {
+    import spark.implicits._
+    val path = posDelTable("graft-posdel-stack")
+    SnapshotTable.deleteWherePositional(spark, path, col("doc_id") < 10L)
+    // append after a delete: new rows land, mask intact
+    SnapshotTable.ingest(spark,
+      (600 until 650).map(i => (i.toLong, s"text-$i", s"lang${i % 3}", i * 10L))
+        .toDF("doc_id", "text", "lang", "n_chars"),
+      path, "text", expectedItems = 10000L)
+    assert(SnapshotTable.read(spark, path).count() == 640L)
+    // second positional delete over the stacked chain
+    SnapshotTable.deleteWherePositional(spark, path, col("doc_id") >= 640L)
+    assert(SnapshotTable.read(spark, path).count() == 630L)
+    // readWhere over the overlay stays exact and still prunes
+    val (df, rep) = SnapshotTable.readWhereReport(spark, path,
+      col("doc_id").between(0L, 99L))
+    assert(df.count() == 90L)
+    assert(rep.nFilesKept < rep.nFilesTotal)
+    // a racing posdelete between an ingest's staging and commit rebases
+    SnapshotTable.ingestCommitFault = () => {
+      SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 20L)
+      ()
+    }
+    val st = SnapshotTable.ingest(spark,
+      (700 until 720).map(i => (i.toLong, s"text-$i", s"lang${i % 3}", i * 10L))
+        .toDF("doc_id", "text", "lang", "n_chars"),
+      path, "text", expectedItems = 10000L)
+    assert(st.nNew == 20L)
+    val after = SnapshotTable.read(spark, path)
+    assert(after.count() == 630L - 1L + 20L)
+    assert(after.filter(col("doc_id") === 20L).count() == 0L)
+  }
+
+  test("compact materializes the positional overlay and resets it; binpack refuses under one") {
+    val path = posDelTable("graft-posdel-compact")
+    SnapshotTable.deleteWherePositional(spark, path, col("doc_id").between(100L, 199L))
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.compactSmall(spark, path)
+    }
+    assert(e.getMessage.contains("positional-delete"))
+    SnapshotTable.compact(spark, path, textCol = Some("text"),
+      expectedItems = 10000L)
+    val m = SnapshotTable.readManifestChecked(spark, path,
+      SnapshotTable.versions(spark, path).last)
+    assert(m.posDeletes.isEmpty && m.tombstones.isEmpty)
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.count() == 500L)
+    assert(cur.filter(col("doc_id").between(100L, 199L)).count() == 0L)
+    // post-compaction, deleted content RE-ADMITS (it left the dedup universe)
+    import spark.implicits._
+    val st = SnapshotTable.ingest(spark,
+      Seq((150L, "text-150", "lang0", 1500L)).toDF("doc_id", "text", "lang", "n_chars"),
+      path, "text", expectedItems = 10000L)
+    assert(st.nNew == 1L)
+  }
+
+  test("addedBetween refuses ranges crossing a positional delete; DSv2 refuses an outstanding overlay") {
+    val path = posDelTable("graft-posdel-guard")
+    SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 5L)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.addedBetween(spark, path, 2L)
+    }
+    assert(e.getMessage.contains("positional deletes"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(path).count()
+    }
+    assert(e2.getMessage.contains("positional-delete"))
+    // version 3 (pre-delete) still reads through V2
+    assert(spark.read.format("graft").option("versionAsOf", "3")
+      .load(path).count() == 600L)
+  }
+
   // ---- distributed BPE tokenizer training (t37) --------------------------
 
   import graft.operators.BpeTrainer
