@@ -2469,6 +2469,7 @@ object SnapshotTable {
     val refDirs = retained.flatMap(_.dirs).toSet
     val refBlooms = retained.flatMap(_.bloom).toSet
     val refTs = retained.flatMap(_.tombstones).toSet
+    val refPd = retained.flatMap(_.posDeletes).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     def deletable(s: org.apache.hadoop.fs.FileStatus): Boolean =
       s.getModificationTime < cutoff
@@ -2483,6 +2484,13 @@ object SnapshotTable {
       val td = tombstonesRoot(path)
       if (!f.exists(td)) Nil
       else f.listStatus(td).filter(s => !refTs(s.getPath.getName) && deletable(s)).toSeq
+    } ++ {
+      // positional-delete sidecars a crashed deleteWherePositional
+      // staged but never committed: unreferenced by every retained
+      // manifest, reclaimable once past the grace window
+      val pd = posDeletesRoot(path)
+      if (!f.exists(pd)) Nil
+      else f.listStatus(pd).filter(s => !refPd(s.getPath.getName) && deletable(s)).toSeq
     }
     sidecars.foreach(s => f.delete(s.getPath, true))
     val vd = versionsDir(path)

@@ -165,7 +165,7 @@ class GraftScanBuilder(spark: SparkSession, path: String,
       readPartPhys,
       pushed.flatMap(GraftFilters.rename(_, m.physOf)),
       CaseInsensitiveStringMap.empty())
-    new GraftScan(parquet, logicalRead, pushed, report, path)
+    new GraftScan(parquet, logicalRead, pushed, report, path, spark, m, index)
   }
 }
 
@@ -177,10 +177,15 @@ class GraftScanBuilder(spark: SparkSession, path: String,
   * listing).
   */
 class GraftPrunedFileIndex(spark: SparkSession, roots: Seq[Path],
-                           kept: Set[String],
+                           kept0: Set[String],
                            userSchema: Option[StructType])
     extends InMemoryFileIndex(spark, roots, Map.empty[String, String],
       userSchema, NoopCache) {
+  @volatile private var kept: Set[String] = kept0
+  /** Runtime-filter hook: shrink the kept set further (never grows —
+    * runtime information can only rule files OUT).
+    */
+  def restrict(to: Set[String]): Unit = kept = kept.intersect(to)
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -200,12 +205,32 @@ class GraftPrunedFileIndex(spark: SparkSession, roots: Seq[Path],
   */
 class GraftScan(delegate: ParquetScan, logicalRead: StructType,
                 pushed: Array[org.apache.spark.sql.sources.Filter],
-                report: SnapshotTable.PruneReport, path: String)
-    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+                report: SnapshotTable.PruneReport, path: String,
+                spark: SparkSession, m: SnapshotTable.Manifest,
+                index: GraftPrunedFileIndex)
+    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   override def readSchema(): StructType = logicalRead
   override def toBatch: Batch = delegate.toBatch
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     delegate.estimateStatistics()
+  /** Runtime filtering — the DSv2 analogue of dynamic partition
+    * pruning, the way Iceberg ships it: when this scan probes a
+    * selective join, Spark delivers the build side's key set AFTER
+    * planning; any key on a stats or partition column re-runs the SAME
+    * metadata-only planning ([[SnapshotTable.planPrunedFiles]] — driver,
+    * O(files) sidecar rows) and files no surviving key can touch never
+    * open. Pruning only ever shrinks (runtime information can only rule
+    * files out), and Spark re-applies the real join afterwards.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    (m.statsCols ++ m.partitionCols).distinct.map(Expressions.column).toArray
+  override def filter(runtime: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime.flatMap(GraftFilters.toColumn).reduceOption(_ && _).foreach { p =>
+      val (perDir, _) = SnapshotTable.planPrunedFiles(spark, path, m, Some(p))
+      index.restrict(perDir.flatMap(_._3).map(_.toString).toSet)
+    }
   override def description(): String =
     s"GraftScan(path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
       s"files=${report.nFilesKept}/${report.nFilesTotal}" +

@@ -91,6 +91,36 @@ class GraftV2SourceSpec extends SparkSpec {
     assert(v2.count() == 100L)
   }
 
+  test("runtime In filter (DSv2 dynamic file pruning) shrinks the planned file set after planning") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val path = chain("graft-v2-runtime")
+    def buildScan() = graft.sources.v2.GraftTable
+      .forVersion(spark, path, 3L)
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    def nFiles(s: org.apache.spark.sql.connector.read.Scan): Int =
+      s.toBatch.planInputPartitions()
+        .map(_.asInstanceOf[FilePartition].files.length).sum
+    val before = nFiles(buildScan())
+    // a selective join's build side delivers two doc_id keys at runtime
+    // (production order: filter() first, then the single
+    // planInputPartitions — mirrored here)
+    val filtered = buildScan()
+    assert(filtered.asInstanceOf[SupportsRuntimeFiltering]
+      .filterAttributes().map(_.describe()).contains("doc_id"))
+    filtered.asInstanceOf[SupportsRuntimeFiltering].filter(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("doc_id", Array(50L, 550L))))
+    val after = nFiles(filtered)
+    assert(after < before,
+      s"runtime key set must prune files before any open: $after vs $before")
+    // parity with the engine's own planning for the same key set
+    val (_, rep) = SnapshotTable.readWhereReport(spark, path,
+      col("doc_id").isin(50L, 550L))
+    assert(after == rep.nFilesKept, s"V2 runtime pruning ($after files) != readWhere (${rep.nFilesKept})")
+  }
+
   test("column pruning reaches the parquet scan (ReadSchema carries only requested columns)") {
     val path = chain("graft-v2-prunecols")
     val v2 = spark.read.format("graft").load(path).select("doc_id")

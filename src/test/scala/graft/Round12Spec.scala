@@ -284,7 +284,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until steps).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(21)
+        val op = if (i == 0) 0 else r.nextInt(22)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -580,6 +580,22 @@ class Round12Spec extends SparkSpec {
               textName = target
               record()
             }
+          case 21 => // POSITIONAL delete over a random id range: the
+            // keyless deletion-vector tier (r15) — for the model it is
+            // deleteWhere (rows leave the visible set), physically a
+            // (file, ordinal) sidecar composed over whatever overlay /
+            // mapping / retention history the seed built. Often a
+            // no-op (empty match commits nothing; record() idempotent),
+            // and every later op — compact materialization, rollback
+            // across the delete, expire refcounting the sidecar,
+            // racing ingests carrying the overlay — composes on top.
+            val zlo = r.nextInt(40).toLong
+            val zhi = zlo + r.nextInt(8)
+            opsRun += s"posDelete($zlo..$zhi)"
+            SnapshotTable.deleteWherePositional(spark, path,
+              col("doc_id").between(zlo, zhi))
+            model = model.filterNot(p => p._1 >= zlo && p._1 <= zhi)
+            record()
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"
             val bad = Seq((nextId + 500000L, s"drift $seed-$i", 1.0))
