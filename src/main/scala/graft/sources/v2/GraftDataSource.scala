@@ -83,12 +83,6 @@ object GraftTable {
 
   def forVersion(spark: SparkSession, path: String, version: Long): GraftTable = {
     val m = SnapshotTable.readManifestChecked(spark, path, version)
-    if (m.hasOverlay) throw new IllegalArgumentException(
-      s"graft table at $path@v$version has an outstanding merge-on-read " +
-        s"overlay (${m.tombstones.size} key tombstone(s), " +
-        s"${m.posDeletes.size} positional-delete sidecar(s)); the V2 file " +
-        "scan cannot apply it — compact the table first, or read through " +
-        "the SnapshotTable API")
     val logical = m.schema
       .map(s => StructType(s.fields.map(_.copy(nullable = true))))
       .getOrElse(SnapshotTable.readAt(spark, path, version).schema)
@@ -102,9 +96,9 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
   override def name(): String = s"graft.`$path` @ v$version"
   override def schema(): StructType = logical
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, path, m, logical)
+    new GraftScanBuilder(spark, path, m, logical, options)
 }
 
 /** Pushdown bridge: the V2 filter hooks feed the SAME planning kernel
@@ -116,7 +110,8 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
   * physical read schema (positional logical↔physical alignment).
   */
 class GraftScanBuilder(spark: SparkSession, path: String,
-                       m: SnapshotTable.Manifest, logical: StructType)
+                       m: SnapshotTable.Manifest, logical: StructType,
+                       options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
@@ -165,9 +160,19 @@ class GraftScanBuilder(spark: SparkSession, path: String,
       readPartPhys,
       pushed.flatMap(GraftFilters.rename(_, m.physOf)),
       CaseInsensitiveStringMap.empty())
-    new GraftScan(parquet, logicalRead, pushed, report, path, spark, m, index)
+    new GraftScan(parquet, logicalRead, pushed, report, path, spark, m, index,
+      StreamSchemas(dataPhys, readDataPhys, readPartPhys, phys(logical),
+        pushed.flatMap(GraftFilters.rename(_, m.physOf))),
+      options)
   }
 }
+
+/** The schema slices a micro-batch stream needs per batch (captured at
+  * scan build so every batch reads under the stream-start projection).
+  */
+case class StreamSchemas(dataPhys: StructType, readDataPhys: StructType,
+                         readPartPhys: StructType, fullPhys: StructType,
+                         pushedPhys: Array[org.apache.spark.sql.sources.Filter])
 
 /** [[InMemoryFileIndex]] restricted to the files the snapshot planning
   * kept: partition discovery (hive `k=v` layout under each snapshot
@@ -207,12 +212,37 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
                 pushed: Array[org.apache.spark.sql.sources.Filter],
                 report: SnapshotTable.PruneReport, path: String,
                 spark: SparkSession, m: SnapshotTable.Manifest,
-                index: GraftPrunedFileIndex)
+                index: GraftPrunedFileIndex,
+                streamSchemas: StreamSchemas = null,
+                options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   override def readSchema(): StructType = logicalRead
-  override def toBatch: Batch = delegate.toBatch
+  override def toBatch: Batch = {
+    // the overlay refusal lives HERE, not at table load: a bare file
+    // scan cannot apply the mask, but a STREAM over pre-overlay history
+    // is perfectly streamable (it fails loudly only when the cursor
+    // reaches the row-mutating commit itself)
+    if (m.hasOverlay) throw new IllegalArgumentException(
+      s"graft table at $path has an outstanding merge-on-read overlay " +
+        s"(${m.tombstones.size} key tombstone(s), ${m.posDeletes.size} " +
+        "positional-delete sidecar(s)); the V2 file scan cannot apply " +
+        "it — compact the table first, or read through the SnapshotTable API")
+    delegate.toBatch
+  }
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val maxPerBatch = Option(options.get("maxVersionsPerBatch")).map { s =>
+      val n = scala.util.Try(s.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxVersionsPerBatch must be a positive integer; got '$s'"))
+      require(n > 0, s"maxVersionsPerBatch must be a positive integer; got $n")
+      n
+    }
+    new GraftDataStream(path, streamSchemas, m.format, m.partitionCols,
+      Option(options.get("startVersion")), maxPerBatch)
+  }
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     delegate.estimateStatistics()
   /** Runtime filtering — the DSv2 analogue of dynamic partition
@@ -237,6 +267,137 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
       (if (report.nPartDirsTotal > 0)
          s", partitions=${report.nPartDirsKept}/${report.nPartDirsTotal}"
        else "") + ")"
+}
+
+/** Streaming DATA read of a graft table — the Delta-streaming-source
+  * contract through the SAME short name as batch
+  * (`spark.readStream.format("graft").load(path)`): each micro-batch
+  * delivers the rows the commits in its version range APPENDED, read
+  * directly from the delta directories with Spark's vectorized parquet
+  * readers (fully parallel — the metadata-row changelog source
+  * `graft-snapshot-log` remains the CDC form for consumers that want
+  * commits, not rows).
+  *
+  * Offsets are version numbers (the version log is the WAL; the
+  * checkpoint just remembers the cursor). Streamable commits: appends
+  * emit their added dirs' rows; content no-ops (compact/binpack) and
+  * metadata-only commits (constraints, renamecol — physical names are
+  * immutable, so the stream-start projection keeps reading later dirs)
+  * emit nothing and the cursor rolls past; version 1 emits the initial
+  * snapshot whatever its kind. Anything that changes or removes
+  * existing rows (overwrite/merge/merge-on-read/posdelete/dropcol/
+  * rollback) has NO append representation and fails the query loudly —
+  * silently skipping would present an incomplete changelog as complete
+  * (Delta's "data update detected" contract). A version expired while
+  * the stream was down fails with the retained range, like the
+  * changelog source. `startVersion` = latest (default) / earliest / N;
+  * `maxVersionsPerBatch` caps a backfill's batch size;
+  * `Trigger.AvailableNow` drains to a fence and stops.
+  */
+class GraftDataStream(path: String, schemas: StreamSchemas, format: String,
+                      partitionCols: Seq[String],
+                      startVersion: Option[String], maxPerBatch: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadLimit, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  private def spark = SparkSession.active
+
+  @volatile private var availableNowFence: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence = Some(SnapshotTable.currentVersion(spark, path).getOrElse(0L))
+
+  override def initialOffset(): Offset = {
+    val vs = SnapshotTable.versions(spark, path)
+    val v = startVersion.map(_.trim.toLowerCase) match {
+      case None | Some("latest") => vs.lastOption.getOrElse(0L)
+      case Some("earliest") => vs.headOption.map(_ - 1).getOrElse(0L)
+      case Some(n) => scala.util.Try(n.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"startVersion must be 'latest', 'earliest', or a version number; got '$n'"))
+    }
+    VersionOffset(v)
+  }
+
+  // one version ≈ one "row" for admission purposes: ReadMaxRows caps how
+  // many commits a micro-batch spans (the maxFilesPerTrigger analogue)
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head0 = SnapshotTable.currentVersion(spark, path).getOrElse(0L)
+    val head = availableNowFence.fold(head0)(math.min(head0, _))
+    val from = start.asInstanceOf[VersionOffset].v
+    def cap(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows => from + r.maxRows()
+      case c: CompositeReadLimit => c.getReadLimits.map(cap).min
+      case _ => head
+    }
+    VersionOffset(math.min(head, cap(limit)))
+  }
+  override def reportLatestOffset(): Offset =
+    VersionOffset(SnapshotTable.currentVersion(spark, path).getOrElse(0L))
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val to = end.asInstanceOf[VersionOffset].v
+    val retained = SnapshotTable.versions(spark, path).toSet
+    val addedDirs = ((from + 1) to to).flatMap { v =>
+      val mv = SnapshotTable.readManifestChecked(spark, path, v)
+      val kind = mv.kind.getOrElse("unknown")
+      if (v == 1) mv.dirs // initial snapshot: the table's baseline rows
+      else kind match {
+        case "append" =>
+          if (!retained(v - 1)) throw new IllegalStateException(
+            s"version ${v - 1} of $path expired while the stream was down — " +
+              s"the delta of version $v is unprovable by directory; restart " +
+              "from startVersion=latest or re-baseline the consumer")
+          mv.dirs.filterNot(
+            SnapshotTable.readManifestChecked(spark, path, v - 1).dirs.toSet)
+        case "compact" | "binpack" | "constraint" | "drop-constraint" |
+             "renamecol" => Nil // logical content no-ops for an append stream
+        case other => throw new IllegalStateException(
+          s"version $v of $path is a '$other' commit — it changes or removes " +
+            "existing rows and has no append representation; a row stream " +
+            "cannot deliver it (consume the 'graft-snapshot-log' changelog " +
+            "source, or restart this stream past it with startVersion)")
+      }
+    }
+    if (addedDirs.isEmpty) Array.empty
+    else batchScan(addedDirs).planInputPartitions()
+  }
+
+  /** One throwaway delegated parquet batch over specific dirs: the
+    * stream-start projection (physical read schemas captured at scan
+    * build) applied to the delta files — identical machinery to the
+    * batch path, so evolution null-fill and column mapping behave the
+    * same (physical names are immutable, so the capture stays valid).
+    */
+  private def batchScan(dirs: Seq[String]): Batch = {
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots = dirs.map(d => new Path(path, d)).filter(f.exists)
+    val index = new InMemoryFileIndex(spark, roots, Map.empty[String, String],
+      Some(schemas.fullPhys), NoopCache)
+    ParquetScan(
+      spark,
+      spark.sessionState.newHadoopConfWithOptions(Map.empty),
+      index,
+      schemas.dataPhys,
+      schemas.readDataPhys,
+      schemas.readPartPhys,
+      schemas.pushedPhys,
+      CaseInsensitiveStringMap.empty()).toBatch
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    batchScan(Nil).createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 object GraftFilters {

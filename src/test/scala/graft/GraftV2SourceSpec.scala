@@ -202,6 +202,51 @@ class GraftV2SourceSpec extends SparkSpec {
     assert(v2.filter(col("doc_id") === 5L).count() == 0L)
   }
 
+  test("readStream.format(\"graft\") streams appended rows; compactions roll past; row-mutating commits fail loudly") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("graft-v2-stream")
+    val ckpt = tmp("graft-v2-stream-ckpt")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text",
+      expectedItems = 10000L)
+    SnapshotTable.ingest(spark, docs(20 until 35), path, "text",
+      expectedItems = 10000L)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graft")
+      .option("startVersion", "earliest").load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    assert(got.asScala.toSeq.sorted == (0L until 35L), s"backfill wrong: ${got.size}")
+    // live append arrives incrementally, no duplicates
+    SnapshotTable.ingest(spark, docs(35 until 50), path, "text",
+      expectedItems = 10000L)
+    q.processAllAvailable()
+    assert(got.asScala.toSeq.sorted == (0L until 50L))
+    // a compaction is a logical content no-op: the cursor rolls past it
+    SnapshotTable.compact(spark, path, textCol = Some("text"),
+      expectedItems = 10000L)
+    SnapshotTable.ingest(spark, docs(50 until 60), path, "text",
+      expectedItems = 10000L)
+    q.processAllAvailable()
+    assert(got.asScala.toSeq.sorted == (0L until 60L),
+      "compaction must neither replay nor drop rows")
+    q.stop()
+    // a row-mutating commit has no append representation: fail loudly
+    SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 5L)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
+    }
+    assert(e.getMessage.contains("append representation") ||
+      Option(e.getCause).exists(_.getMessage.contains("append representation")),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("GraftCatalog: SQL SELECT, VERSION AS OF, TIMESTAMP AS OF, tags, listTables") {
     val wh = tmp("graft-v2-warehouse")
     val path = new java.io.File(wh, "docs").toString
