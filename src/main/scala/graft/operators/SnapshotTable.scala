@@ -3822,8 +3822,11 @@ object SnapshotTable {
     val (victims0, _) = buildPrunedRead(spark, path, m, perDir, predicate,
       PruneReport(0, 0), exposePos = true)
     val name = f"p${cur + 1}%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+    // no coalesce(1): a table-wide erasure sweep can match billions of
+    // rows, and funneling the sidecar through one task would serialize
+    // it — the sidecar is a DIRECTORY, readers load it whole, and tiny
+    // single-file outputs from small deletes cost nothing
     victims0.select(col(posFileCol).as("file"), col(posOrdCol).as("ord"))
-      .coalesce(1)
       .write.mode("overwrite").format(m.format)
       .save(posDeletePath(path, name).toString)
     val written = spark.read.format(m.format)
