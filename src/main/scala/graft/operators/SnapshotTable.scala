@@ -2746,7 +2746,7 @@ object SnapshotTable {
       val (winnerV, winnerM, chain) = rebaseWinnerChain(spark, path,
         parentV.getOrElse(0L), "ingest", Some(committedSchema), effParts,
         (v, k) => if (k != "append" && k != "compact" && k != "binpack" &&
-            k != "posdelete")
+            k != "posdelete" && k != "posdelete-compact")
           throw new java.io.IOException(
             s"ingest at $path lost the commit race to version $v (kind '$k'); " +
               "only append/compact/binpack/posdelete interleavings rebase " +
@@ -3855,7 +3855,8 @@ object SnapshotTable {
           // and merge-on-read add sidecars/delta dirs; none moves a row
           val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
             parentV, "positional delete", parentM.schema, parentM.partitionCols,
-            (v, k) => if (k != "append" && k != "posdelete" && k != "merge-on-read")
+            (v, k) => if (k != "append" && k != "posdelete" &&
+                k != "merge-on-read" && k != "posdelete-compact")
               throw new java.io.IOException(
                 s"positional delete at $path lost the commit race to version $v " +
                   s"(kind '$k'); the rewrite may have moved the rows these " +
@@ -3867,6 +3868,66 @@ object SnapshotTable {
               "giving up — retry under lower commit contention")
           parentV = winnerV
           parentM = winnerM
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Fold the outstanding positional-delete sidecars into ONE — the
+    * delete-file "minor compaction" (Iceberg's rewrite-position-deletes
+    * maintenance action): a delete-heavy table accumulates one sidecar
+    * per [[deleteWherePositional]] commit, and every read pays a
+    * per-sidecar load into the anti-join build, so maintenance folds
+    * the list WITHOUT touching a single data file — O(delete set)
+    * work, metadata-scale commit. Old sidecars stay on disk for the
+    * retained old manifests (time travel is exact); expire/vacuum
+    * reclaim them by the same refcount as every sidecar. A LOGICAL
+    * no-op by construction (the folded mask equals the union), so the
+    * streaming data read rolls past its commit; [[addedBetween]] still
+    * refuses ranges crossing it (mask equality is not provable from
+    * names alone — conservative, never wrong). Concurrency: a lost
+    * race re-resolves and re-folds the WINNER's list (bounded
+    * retries); racing appends/posdeletes/MORs all compose.
+    */
+  def compactPosDeletes(spark: SparkSession, path: String,
+                        retries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.col
+    var cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    var m = readManifestChecked(spark, path, cur)
+    var attempt = 0
+    while (true) {
+      if (m.posDeletes.size <= 1) return cur // nothing to fold
+      val name = f"p${cur + 1}%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+      m.posDeletes.map(n =>
+          spark.read.format(m.format).load(posDeletePath(path, n).toString))
+        .reduce(_ unionByName _)
+        .select(col("file"), col("ord"))
+        .distinct() // racing folds may have duplicated entries; the mask is a set
+        .write.mode("overwrite").format(m.format)
+        .save(posDeletePath(path, name).toString)
+      try {
+        commit(spark, path, cur + 1, m.copy(posDeletes = Seq(name),
+          kind = Some("posdelete-compact")))
+        return cur + 1
+      } catch {
+        case _: CommitConflictException =>
+          val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+            cur, "posdelete compaction", m.schema, m.partitionCols,
+            (v, k) => if (k != "append" && k != "posdelete" &&
+                k != "merge-on-read" && k != "posdelete-compact")
+              throw new java.io.IOException(
+                s"posdelete compaction at $path lost the commit race to " +
+                  s"version $v (kind '$k'); re-run against the current snapshot"),
+            expectPhysmap = m.physmap)
+          attempt += 1
+          if (attempt >= retries) throw new java.io.IOException(
+            s"posdelete compaction at $path lost $retries consecutive commit " +
+              "races; giving up — retry under lower commit contention")
+          // re-fold from the winner's list: a racer may have added a
+          // NEW sidecar our fold misses
+          cur = winnerV
+          m = winnerM
       }
     }
     throw new IllegalStateException("unreachable")

@@ -359,7 +359,8 @@ class GraftDataStream(path: String, schemas: StreamSchemas, format: String,
           mv.dirs.filterNot(
             SnapshotTable.readManifestChecked(spark, path, v - 1).dirs.toSet)
         case "compact" | "binpack" | "constraint" | "drop-constraint" |
-             "renamecol" => Nil // logical content no-ops for an append stream
+             "renamecol" | "posdelete-compact" =>
+          Nil // logical content no-ops for an append stream
         case other => throw new IllegalStateException(
           s"version $v of $path is a '$other' commit — it changes or removes " +
             "existing rows and has no append representation; a row stream " +

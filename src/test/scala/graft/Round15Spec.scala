@@ -342,6 +342,90 @@ class Round15Spec extends SparkSpec {
     assert(after.filter(col("doc_id") === 20L).count() == 0L)
   }
 
+  test("racing positional deletes both land (rebase over file-preserving kinds)") {
+    val path = posDelTable("graft-posdel-race")
+    // the seam injects a CONCURRENT posdelete between this delete's
+    // sidecar write and its commit: the loser must rebase onto the
+    // winner's manifest and BOTH masks must apply afterwards
+    SnapshotTable.posDeleteCommitFault = () => {
+      SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 7L)
+      ()
+    }
+    val st = SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id").between(100L, 109L))
+    assert(st.committed && st.nDeleted == 10L)
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.count() == 600L - 10L - 1L)
+    assert(cur.filter(col("doc_id") === 7L).isEmpty)
+    assert(cur.filter(col("doc_id").between(100L, 109L)).isEmpty)
+    val m = SnapshotTable.readManifestChecked(spark, path,
+      SnapshotTable.versions(spark, path).last)
+    assert(m.posDeletes.size == 2, s"both sidecars must be referenced: ${m.posDeletes}")
+    // a racing REWRITE must conflict loudly instead of rebasing onto
+    // moved files
+    SnapshotTable.posDeleteCommitFault = () => {
+      SnapshotTable.compact(spark, path, textCol = Some("text"),
+        expectedItems = 10000L)
+      ()
+    }
+    val e = intercept[java.io.IOException] {
+      SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 300L)
+    }
+    assert(e.getMessage.contains("may have moved"), e.getMessage)
+    // the refused delete changed nothing: the compact's state stands
+    assert(SnapshotTable.read(spark, path).count() == 589L)
+  }
+
+  test("compactPosDeletes folds the sidecar list without touching data; history stays exact") {
+    val path = posDelTable("graft-posdel-fold")
+    SnapshotTable.deleteWherePositional(spark, path, col("doc_id") < 10L)
+    SnapshotTable.deleteWherePositional(spark, path, col("doc_id").between(200L, 204L))
+    SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 450L)
+    assert(SnapshotTable.readManifestChecked(spark, path, 6L).posDeletes.size == 3)
+    val dataFilesBefore = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("snap-"))
+      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toMap
+    val v = SnapshotTable.compactPosDeletes(spark, path)
+    assert(v == 7L)
+    val m = SnapshotTable.readManifestChecked(spark, path, v)
+    assert(m.posDeletes.size == 1, s"fold left ${m.posDeletes}")
+    // zero data files touched — a pure metadata + sidecar commit
+    val dataFilesAfter = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("snap-"))
+      .flatMap(_.listFiles()).map(f => f.getName -> f.lastModified()).toMap
+    assert(dataFilesAfter == dataFilesBefore, "fold touched data files")
+    // identical logical content before and after the fold
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.count() == 600L - 10L - 5L - 1L)
+    assert(cur.filter(col("doc_id") === 450L).isEmpty)
+    assert(cur.except(SnapshotTable.readAt(spark, path, 6L)).isEmpty)
+    assert(SnapshotTable.readAt(spark, path, 6L).except(cur).isEmpty)
+    // pre-fold versions still replay under THEIR sidecar lists
+    assert(SnapshotTable.readAt(spark, path, 4L).count() == 590L)
+    assert(SnapshotTable.readAt(spark, path, 3L).count() == 600L)
+    // a second fold is a no-op; singleton lists never commit
+    assert(SnapshotTable.compactPosDeletes(spark, path) == 7L)
+    // full compaction still materializes and resets everything
+    SnapshotTable.compact(spark, path, textCol = Some("text"),
+      expectedItems = 10000L)
+    val mc = SnapshotTable.readManifestChecked(spark, path,
+      SnapshotTable.versions(spark, path).last)
+    assert(mc.posDeletes.isEmpty)
+    assert(SnapshotTable.read(spark, path).count() == 584L)
+  }
+
+  test("short-name DataSource resolution works for every registered source (ServiceLoader file)") {
+    // r15 fixed the mis-named META-INF/services registration file
+    // (org.apache.spark.sql.DataSourceRegister → ...sql.sources...);
+    // pin that each short name resolves so the regression cannot return
+    import org.apache.spark.sql.execution.datasources.DataSource
+    Seq("graft", "ios", "graft-snapshot-log").foreach { name =>
+      val cls = DataSource.lookupDataSource(name, spark.sessionState.conf)
+      assert(cls.getName.startsWith("graft.sources.v2."),
+        s"short name '$name' resolved to ${cls.getName}")
+    }
+  }
+
   test("compact materializes the positional overlay and resets it; binpack refuses under one") {
     val path = posDelTable("graft-posdel-compact")
     SnapshotTable.deleteWherePositional(spark, path, col("doc_id").between(100L, 199L))
