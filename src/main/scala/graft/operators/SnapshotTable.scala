@@ -1069,16 +1069,53 @@ object SnapshotTable {
   private val posFileCol = "__graft_pfile"
   private val posOrdCol = "__graft_pord"
 
+  /** Canonical FILE IDENTITY inside a snapshot: the path RELATIVE TO its
+    * snapshot directory (`part-....parquet`, or
+    * `lang=en/part-....parquet` under hive partitioning). Bare file
+    * names are NOT unique on partitioned tables — one write job emits
+    * the SAME task file name into every partition directory it touches —
+    * while the subpath is unique within a dir (task numbers), unique
+    * across dirs (one job per dir, job-unique UUIDs), and stable when a
+    * rebase RENAMES the directory (contents unchanged). On
+    * unpartitioned tables the subpath IS the file name, so sidecars
+    * written under the old name keying read back unchanged there.
+    */
+  private def fileSubpath(fullPath: String, dataDir: String): String = {
+    val marker = "/" + dataDir + "/"
+    val i = fullPath.lastIndexOf(marker)
+    if (i < 0) fullPath.split('/').last
+    else fullPath.substring(i + marker.length)
+  }
+
+  /** Column form of [[fileSubpath]] for a KNOWN snapshot dir. */
+  private def fileSubpathCol(c: org.apache.spark.sql.Column, dataDir: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, split}
+    element_at(split(c, java.util.regex.Pattern.quote("/" + dataDir + "/")), -1)
+  }
+
+  /** [[fileSubpath]] as an expression over `_metadata.file_path` when
+    * the snapshot dir varies per row (multi-dir scans): every data dir
+    * is [[stageDir]]-named, so the subpath is whatever follows the LAST
+    * `snap-*` segment.
+    */
+  private def fileSubpathMetaCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    regexp_extract(col("_metadata.file_path"), "^.*/snap-[^/]+/(.*)$", 1)
+  }
+
   private def posDeletesRoot(path: String) = new Path(path, "_posdel")
   private[graft] def posDeletePath(path: String, name: String) =
     new Path(posDeletesRoot(path), name)
 
-  /** [[rawScan]] plus — when `withPos` — each row's (file name, row
+  /** [[rawScan]] plus — when `withPos` — each row's (file subpath, row
     * ordinal) identity from the parquet scan's `_metadata` struct: the
-    * positional-delete join key. File names are parquet part-UUIDs,
-    * unique across the chain (the same convention the stats sidecars
-    * key on), so (file, ordinal) identifies a physical row with no key
-    * column involved.
+    * positional-delete join key. The subpath ([[fileSubpath]] — the
+    * path relative to the row's snapshot dir, partition segments
+    * included) is unique across the chain, unlike the bare file NAME,
+    * which repeats across partition sibling dirs written by one job; so
+    * (subpath, ordinal) identifies a physical row with no key column
+    * involved.
     */
   private def rawScanPos(spark: SparkSession, path: String, m: Manifest,
                          withPos: Boolean): DataFrame = {
@@ -1089,7 +1126,7 @@ object SnapshotTable {
         val r = spark.read.format(m.format)
         m.schema.fold(r)(s => r.schema(physSchema(s, m.physmap)))
       }
-      val posCols = Seq(col("_metadata.file_name").as(posFileCol),
+      val posCols = Seq(fileSubpathMetaCol.as(posFileCol),
         col("_metadata.row_index").as(posOrdCol))
       def project(df: DataFrame): DataFrame = {
         val dataCols =
@@ -1133,6 +1170,36 @@ object SnapshotTable {
         base(posOrdCol) === col("__graft_delo"),
       "left_anti")
     if (keepPosCols) masked else masked.drop(posFileCol, posOrdCol)
+  }
+
+  /** The positional-delete overlay as a DRIVER-side mask for readers
+    * that cannot run the anti-join in-plan (the DataSource V2 scan,
+    * [[graft.sources.v2.GraftDataSource]]): file name → sorted deleted
+    * ordinals. Gated by the same size bound as the broadcast overlay
+    * join — the mask is exactly the join's build side, so materializing
+    * it on the driver is the same memory class as broadcasting it.
+    * Returns None above the bound: the caller must degrade loudly
+    * (compact first) rather than OOM the driver on a compaction-starved
+    * overlay.
+    */
+  private[graft] def posDeleteMask(spark: SparkSession, path: String,
+                                   m: Manifest): Option[Map[String, Array[Long]]] = {
+    if (m.posDeletes.isEmpty) return Some(Map.empty)
+    val f = fs(spark, new Path(path))
+    val bytes = m.posDeletes.map { n =>
+      val p = posDeletePath(path, n)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }.sum
+    if (bytes > tombstoneBroadcastMaxBytes) None
+    else {
+      val pd = m.posDeletes.map(n =>
+          spark.read.format(m.format).load(posDeletePath(path, n).toString))
+        .reduce(_ unionByName _)
+      Some(pd.select("file", "ord").collect()
+        .groupBy(_.getString(0))
+        .map { case (file, rows) => file -> rows.map(_.getLong(1)).sorted }
+        .toMap)
+    }
   }
 
   private def tombstonesRoot(path: String) = new Path(path, "_tombstones")
@@ -1282,7 +1349,7 @@ object SnapshotTable {
     val perFile = written.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val rows = perFile.flatMap { r =>
-      val fname = r.getAs[String]("__file").split('/').last
+      val fname = fileSubpath(r.getAs[String]("__file"), dataDir)
       cols.map { c =>
         def d(n: String): java.lang.Double =
           if (r.isNullAt(r.fieldIndex(n))) null else java.lang.Double.valueOf(r.getAs[Double](n))
@@ -1334,7 +1401,7 @@ object SnapshotTable {
             explode(array(strCols.map(c =>
               struct(lit(c).as("col"), col(s"__bl_$c").as("bloom"))): _*)).as("e"))
           .select(
-            element_at(split(col("__file"), "/"), -1).as("file"),
+            fileSubpathCol(col("__file"), dataDir).as("file"),
             col("e.col").as("col"),
             lit(null).cast("double").as("lo_d"),
             lit(null).cast("double").as("hi_d"),
@@ -1733,9 +1800,10 @@ object SnapshotTable {
       if (f.exists(root)) walk(root)
       (out.result(), partsTotal, partsKept)
     }
-    // One multi-path read over every present sidecar (file names are
-    // parquet part-UUIDs — unique across dirs), so stats resolution is
-    // a single driver-side job regardless of chain length.
+    // One multi-path read over every present sidecar (rows key on the
+    // snapshot-dir-relative subpath — see [[fileSubpath]]: unique across
+    // dirs AND across partition siblings), so stats resolution is a
+    // single driver-side job regardless of chain length.
     val statPaths =
       if (terms.isEmpty) Nil
       else m.dirs.map(d => statsDir(path, d)).filter(f.exists)
@@ -1806,7 +1874,8 @@ object SnapshotTable {
       val kept =
         if (terms.isEmpty || (stats.isEmpty && bloomExcludes.isEmpty)) files
         else files.filter { p =>
-          terms.forall(_.exists(_.forall(q => rangeOk(p.getName, q))))
+          val id = fileSubpath(p.toString, d)
+          terms.forall(_.exists(_.forall(q => rangeOk(id, q))))
         }
       (d, files.size, kept, pt, pk)
     }
@@ -1847,9 +1916,13 @@ object SnapshotTable {
             else reader0.option("basePath", new Path(path, d).toString)
           val df0 = m.schema.fold(reader)(s => reader.schema(physSchema(s, m.physmap)))
             .load(paths.map(_.toString): _*)
+          // the unpartitioned fast path feeds ALL dirs' kept files into
+          // one scan, so the subpath must derive from each ROW's own
+          // path (the generic last-`snap-*`-segment form), not from a
+          // single dir name
           val posCols =
             if (!withPos) Nil
-            else Seq(col("_metadata.file_name").as(posFileCol),
+            else Seq(fileSubpathMetaCol.as(posFileCol),
               col("_metadata.row_index").as(posOrdCol))
           if (m.physmap.nonEmpty)
             df0.select(m.schema.get.fieldNames.toSeq.map(n =>
@@ -3169,6 +3242,136 @@ object SnapshotTable {
             physmap = physmap, physRetired = parentRetired)
           IngestStats(v, nIncoming, n)
       }
+    } finally { if (weCached) { incoming.unpersist(); () } }
+  }
+
+  // ---- plain append (the SQL INSERT INTO kernel) --------------------------
+
+  /** Test seam: invoked exactly once immediately before [[append]]'s
+    * first commit attempt, then self-clears. Lets specs inject a
+    * deterministic concurrent commit (no thread timing) to drive the
+    * rebase path. No-op in production.
+    */
+  private[graft] var appendCommitFault: () => Unit = () => ()
+
+  /** Plain committed APPEND — SQL `INSERT INTO` semantics over the
+    * snapshot chain (the kernel behind the DataSource V2 write path,
+    * [[graft.sources.v2.GraftDataSource]]): admit the batch VERBATIM.
+    * SQL inserts are row-preserving by contract, so there is no dedup
+    * gate here — [[ingest]]/[[ingestFuzzy]] are the content-gated twins.
+    * Everything else matches ingest's commit discipline: schema must
+    * match the table's exactly (INSERT never evolves a schema — Spark's
+    * own output resolution has already cast and positionally aligned the
+    * batch by the time a V2 write lands here), CHECK constraints gate
+    * the batch, partitioning is inherited and enforced, column mapping
+    * translates at the [[stagedWrite]] choke point, stats sidecars are
+    * written for the delta, and the commit APPENDS one delta directory —
+    * O(new rows), never a table rewrite.
+    *
+    * Dedup-accelerator interaction: the manifest does not record which
+    * column [[ingest]]'s content universe is keyed on, so an append can
+    * neither extend the content bloom nor write a correctly-keyed
+    * `_hashes` sidecar for its delta. It therefore commits with NO bloom
+    * reference — carrying the parent's bloom forward would UNDER-cover
+    * the appended content and let true duplicates of it pass a later
+    * ingest as probe-negative. The next ingest detects the missing bloom
+    * and pays the documented ONE-SCAN rebuild over the current snapshot
+    * (self-healing, conservative); the delta's missing hash sidecar
+    * likewise routes exact-verify to its payload fallback.
+    *
+    * A first commit CREATES the table (defines schema, partitioning,
+    * stats config) — the CTAS path. Concurrency: a lost version-slot
+    * race rebases over content-compatible interleavings (append /
+    * compact / binpack / posdelete / posdelete-compact) by re-homing the
+    * staged delta at the winner's next version — a pure rename, O(1)
+    * data I/O — and conflicts loudly on rewrites or schema changes.
+    * Returns the committed version.
+    */
+  def append(spark: SparkSession, incoming: DataFrame, path: String,
+             format: String = "parquet", statsCols: Seq[String] = Nil,
+             partitionCols: Seq[String] = Nil, retries: Int = 5): Long = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(spark, path)
+    val next = cur.getOrElse(0L) + 1
+    val parent = cur.map(v => readManifestChecked(spark, path, v))
+    val tableSchema = parent.map(m =>
+      m.schema.getOrElse(nullableSchema(readAt(spark, path, cur.get).schema)))
+    val committedSchema = tableSchema match {
+      case None => nullableSchema(incoming.schema)
+      case Some(ts) => mergedIngestSchema(ts, incoming.schema, evolveSchema = false)
+    }
+    val effStats =
+      if (statsCols.nonEmpty) statsCols else parent.map(_.statsCols).getOrElse(Nil)
+    val effParts = inheritedPartitionCols(parent, partitionCols, "append")
+    requirePartitionable(effParts, committedSchema, "append")
+    val parentRetired = parent.map(_.physRetired).getOrElse(Nil)
+    val physmap = assignPhysical(committedSchema,
+      parent.map(_.physmap).getOrElse(Map.empty), parentRetired)
+    // constraint gate before any staging I/O (fail-mode probes scan the
+    // batch; stagedWrite scans it again — cache only what WE cached)
+    val weCached = incoming.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gated = enforceConstraints(incoming,
+        parent.map(_.constraints).getOrElse(Nil), "append")
+      val deltaDir = stageDir(next)
+      stagedWrite(gated.select(committedSchema.fieldNames.map(col(_)).toSeq: _*),
+        new Path(path, deltaDir), format, effParts, physmap)
+      val writtenReader = spark.read.format(format)
+      val written =
+        (if (effParts.isEmpty) writtenReader
+         else writtenReader.schema(physSchema(committedSchema, physmap)))
+          .load(new Path(path, deltaDir).toString)
+      writeStatsSidecar(spark, path, deltaDir, written,
+        effStats.map(c => physmap.getOrElse(c, c)))
+      val fault = appendCommitFault
+      appendCommitFault = () => ()
+      fault()
+      val f = fs(spark, new Path(path))
+      var stagedDir = deltaDir
+      var parentV = cur
+      var parentM = parent
+      var attempt = 0
+      while (true) {
+        val v = parentV.getOrElse(0L) + 1
+        val dirAtV = if (dirVersion(stagedDir) == v) stagedDir else {
+          val renamed = stageDir(v)
+          renameStaged(f, path, stagedDir, renamed)
+          renamed
+        }
+        stagedDir = dirAtV
+        try {
+          commit(spark, path, v, Manifest(
+            parentM.map(_.dirs).getOrElse(Nil) :+ dirAtV, format,
+            None, Some(committedSchema), effStats,
+            parentM.map(_.tombstones).getOrElse(Nil),
+            parentM.flatMap(_.morKey), kind = Some("append"),
+            partitionCols = effParts,
+            constraints = parentM.map(_.constraints).getOrElse(Nil),
+            physmap = physmap, physRetired = parentRetired,
+            hashesValid = parentM.forall(_.hashesValid),
+            posDeletes = parentM.map(_.posDeletes).getOrElse(Nil)))
+          return v
+        } catch {
+          case _: CommitConflictException =>
+            val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+              parentV.getOrElse(0L), "append", Some(committedSchema), effParts,
+              (cv, k) => if (k != "append" && k != "compact" && k != "binpack" &&
+                  k != "posdelete" && k != "posdelete-compact")
+                throw new java.io.IOException(
+                  s"append at $path lost the commit race to version $cv (kind '$k'); " +
+                    "only append/compact/binpack/posdelete interleavings rebase " +
+                    "automatically — re-run the append against the current snapshot"),
+              expectPhysmap = physmap)
+            attempt += 1
+            if (attempt >= retries) throw new java.io.IOException(
+              s"append at $path lost $retries consecutive commit races; " +
+                "giving up — retry under lower commit contention")
+            parentV = Some(winnerV)
+            parentM = Some(winnerM)
+        }
+      }
+      throw new IllegalStateException("unreachable")
     } finally { if (weCached) { incoming.unpersist(); () } }
   }
 

@@ -2200,7 +2200,11 @@ object TrainingData {
     * manifest shape. The epoch rides the stamp, so every fixture
     * restages exactly once per bump.
     */
-  private val fixtureEpoch = 2
+  // epoch 3: file identity in stats/posdelete sidecars moved from bare
+  // names to snapshot-dir-relative subpaths (identical on unpartitioned
+  // fixtures, but restage everything once so no cached partitioned
+  // sidecar carries the colliding-name vintage)
+  private val fixtureEpoch = 3
 
   private def sourceStamp(s: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
@@ -4376,6 +4380,85 @@ object TrainingData {
       WHERE NOT (doc_id BETWEEN 150 AND 249 AND COALESCE(lang = 'en', FALSE))
       ORDER BY doc_id"""))
 
+  // ---- d44_sql_ingest: the SQL WRITE surface of the format --------------
+  // CREATE TABLE + INSERT INTO through [[graft.sources.v2.GraftCatalog]]:
+  // the create commits an empty v1 overwrite carrying the schema and
+  // the stats config; each INSERT lands as a plain APPEND commit
+  // ([[SnapshotTable.append]] — SQL is row-preserving, so no dedup
+  // gate) whose delta carries the table's stats sidecars. The registry
+  // reads back through SQL, so the row exercises catalog resolution,
+  // the V1-write bridge, and the pruned V2 scan in one chain; DuckDB
+  // replays the two INSERT slices as a plain union.
+  private val sqlCat = "graft_reg"
+  private def sqlCatalogFor(s: SparkSession, tablePath: String): String = {
+    val wh = new java.io.File(tablePath).getParent
+    s.conf.set(s"spark.sql.catalog.$sqlCat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$sqlCat.warehouse", wh)
+    new java.io.File(tablePath).getName
+  }
+
+  private def d44Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d44t", expect = Seq(1L, 2L, 3L)) { path =>
+      val name = sqlCatalogFor(s, path)
+      t(s, dir, "documents").createOrReplaceTempView("d44_src")
+      s.sql(s"CREATE TABLE $sqlCat.`$name` " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING) " +
+        "TBLPROPERTIES ('stats' = 'doc_id')")
+      s.sql(s"INSERT INTO $sqlCat.`$name` " +
+        "SELECT doc_id, lang, n_chars, text FROM d44_src WHERE doc_id < 300")
+      s.sql(s"INSERT INTO $sqlCat.`$name` " +
+        "SELECT doc_id, lang, n_chars, text FROM d44_src WHERE doc_id >= 300")
+      ()
+    }
+
+  private val d44 = Q(
+    (s, dir) => {
+      val path = d44Fixture(s, dir)
+      val name = sqlCatalogFor(s, path)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $sqlCat.`$name` ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      ORDER BY doc_id"""))
+
+  // ---- d45_sql_delete: SQL DELETE + the mask-applying V2 scan -----------
+  // `DELETE FROM ... WHERE` through the catalog routes to the
+  // positional-delete tier (SupportsDelete →
+  // [[SnapshotTable.deleteWherePositional]]): victims resolve through
+  // the stats-pruned scan, the commit is a (file, row-ordinal) sidecar,
+  // and — new with this row — the V2 scan APPLIES the overlay in its
+  // readers (row-index mask, size-gated broadcast), so DELETE → SELECT
+  // round-trips in pure SQL with no compaction in between. DuckDB
+  // replays the delete as a plain WHERE NOT.
+  private def d45Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d45t", expect = Seq(1L, 2L, 3L, 4L)) { path =>
+      val name = sqlCatalogFor(s, path)
+      t(s, dir, "documents").createOrReplaceTempView("d45_src")
+      s.sql(s"CREATE TABLE $sqlCat.`$name` " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING) " +
+        "TBLPROPERTIES ('stats' = 'doc_id')")
+      s.sql(s"INSERT INTO $sqlCat.`$name` " +
+        "SELECT doc_id, lang, n_chars, text FROM d45_src WHERE doc_id < 250")
+      s.sql(s"INSERT INTO $sqlCat.`$name` " +
+        "SELECT doc_id, lang, n_chars, text FROM d45_src WHERE doc_id >= 250")
+      s.sql(s"DELETE FROM $sqlCat.`$name` " +
+        "WHERE doc_id >= 100 AND doc_id < 400 AND lang = 'en'")
+      ()
+    }
+
+  private val d45 = Q(
+    (s, dir) => {
+      val path = d45Fixture(s, dir)
+      val name = sqlCatalogFor(s, path)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $sqlCat.`$name` ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE NOT (doc_id >= 100 AND doc_id < 400 AND COALESCE(lang = 'en', FALSE))
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4423,6 +4506,8 @@ object TrainingData {
     "d41_or_pruned_scan" -> d41,
     "d42_dsv2_scan" -> d42,
     "d43_positional_delete" -> d43,
+    "d44_sql_ingest" -> d44,
+    "d45_sql_delete" -> d45,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -10,9 +10,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.hadoop.fs.Path
 import java.util
 
-/** A read-oriented [[TableCatalog]] over a directory of graft snapshot
-  * tables — what makes the table format reachable from PLAIN SQL,
-  * including Spark's standard time-travel syntax:
+/** A [[TableCatalog]] over a directory of graft snapshot tables — what
+  * makes the table format reachable from PLAIN SQL, including Spark's
+  * standard time-travel syntax and the DML/DDL a Delta/Iceberg user
+  * expects:
   *
   * {{{
   *   spark.conf:
@@ -22,15 +23,29 @@ import java.util
   *   SELECT * FROM graft_cat.docs
   *   SELECT * FROM graft_cat.docs VERSION AS OF 3
   *   SELECT * FROM graft_cat.docs TIMESTAMP AS OF '2026-08-15 12:00:00'
+  *   CREATE TABLE graft_cat.t (id BIGINT, s STRING)
+  *     PARTITIONED BY (lang) TBLPROPERTIES ('stats' = 'id')
+  *   CREATE TABLE graft_cat.t2 AS SELECT ...
+  *   INSERT INTO graft_cat.t VALUES / SELECT ...    -- append commit
+  *   INSERT OVERWRITE graft_cat.t SELECT ...        -- overwrite commit
+  *   DELETE FROM graft_cat.t WHERE <predicate>      -- positional delete
+  *   TRUNCATE TABLE graft_cat.t
+  *   ALTER TABLE graft_cat.t RENAME COLUMN a TO b   -- metadata-only
+  *   ALTER TABLE graft_cat.t DROP COLUMN a          -- metadata-only
   * }}}
   *
   * An identifier maps to `warehouse/<ns parts>/<name>`; a table is any
   * such directory with a committed `_versions` chain. Loads delegate to
   * [[GraftTable]], so every SQL read gets the same stats/bloom/
-  * partition pruned planning as `SnapshotTable.readWhere`. Writes via
-  * SQL DDL are intentionally refused (loudly): graft commits are
-  * OPERATOR commits (ingest's dedup gate, merge's key contract) that a
-  * bare INSERT cannot express — write through the SnapshotTable API.
+  * partition pruned planning as `SnapshotTable.readWhere`, and every
+  * SQL write lands as the SAME committed operator the Scala API runs
+  * (INSERT INTO → [[SnapshotTable.append]], INSERT OVERWRITE →
+  * [[SnapshotTable.write]], DELETE → positional-delete sidecars) —
+  * ACID manifests, constraint gates, column-mapping translation,
+  * stats sidecars, optimistic-concurrency rebase included. The
+  * content-GATED commit classes (dedup ingest, fuzzy ingest, keyed
+  * merge) remain API operators: SQL INSERT is row-preserving by
+  * definition and must not silently drop duplicates.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -124,7 +139,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalArgumentException(
           s"'$version' is neither a version number nor a tag on " +
             s"graft table $p"))
-    GraftTable.forVersion(spark, p.toString, v)
+    GraftTable.forVersion(spark, p.toString, v, pinned = true)
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark delivers epoch MICROseconds. */
@@ -133,24 +148,103 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val v = SnapshotTable.versionAtTimestamp(spark, p.toString,
       math.floorDiv(timestamp, 1000L))
-    GraftTable.forVersion(spark, p.toString, v)
+    GraftTable.forVersion(spark, p.toString, v, pinned = true)
   }
 
-  private def readOnly(op: String): Nothing =
+  private def unsupported(op: String, why: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is read-only from SQL DDL ($op): table commits are " +
-        "operator commits — use the graft.operators.SnapshotTable API " +
-        "(write/ingest/merge/compact) to modify tables")
+      s"graft catalog does not support $op: $why")
 
+  /** SQL `CREATE TABLE` (and the create half of CTAS): commits version 1
+    * as an EMPTY overwrite snapshot carrying the declared schema,
+    * partitioning (identity transforms only — the format partitions by
+    * column value, Hive layout), and table properties `format` (default
+    * parquet) and `stats` (comma-separated stats-sidecar columns, the
+    * scan-pruning config every later commit maintains). The data half of
+    * CTAS then lands as an ordinary INSERT (append commit) — non-atomic
+    * two-commit CTAS, the non-staging-catalog contract.
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+                           properties: util.Map[String, String]): Table = {
+    if (ident.name().contains('$')) throw new IllegalArgumentException(
+      s"'$$' is reserved for metadata tables; cannot create ${ident.name()}")
+    val p = tablePath(ident)
+    if (isTable(p)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(ident.toString)
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case t => unsupported(s"partition transform '$t'",
+        "graft tables partition by column value (identity transforms) only")
+    }
+    val props = properties
+    val format = Option(props.get("format")).getOrElse("parquet")
+    val statsCols = Option(props.get("stats")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val known = Set("format", "stats", "provider", "owner", "location",
+      "comment", "external")
+    val unknown = props.keySet().toArray.map(_.toString)
+      .filterNot(k => known.contains(k.toLowerCase))
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"unknown graft table propert${if (unknown.length == 1) "y" else "ies"} " +
+        s"${unknown.mkString(", ")} — supported: format, stats")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(schema.fields.map(_.copy(nullable = true))))
+    SnapshotTable.write(spark, empty, p.toString, format,
+      statsCols = statsCols, partitionCols = partCols)
+    loadTable(ident)
+  }
+
+  /** SQL `ALTER TABLE ... RENAME COLUMN / DROP COLUMN` — routed to the
+    * column-mapping metadata commits ([[SnapshotTable.renameColumn]] /
+    * [[SnapshotTable.dropColumn]]: zero data files touched, physical
+    * names immutable, time travel reads every version under its own
+    * names). Every other change class refuses loudly — graft has no
+    * in-place type change, and properties are fixed at create.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        SnapshotTable.renameColumn(spark, p.toString, r.fieldNames()(0), r.newName())
+        ()
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        SnapshotTable.dropColumn(spark, p.toString, d.fieldNames()(0))
+        ()
+      case c => unsupported(s"ALTER TABLE change $c",
+        "supported changes: RENAME COLUMN, DROP COLUMN (top-level columns); " +
+          "schema-widening happens through ingest(evolveSchema = true)")
+    }
+    loadTable(ident)
+  }
+
+  /** SQL `DROP TABLE`: removes the table directory (all snapshots, all
+    * sidecars). Destructive and immediate — graft keeps history INSIDE
+    * the directory, so dropping the directory is the whole contract.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTable(p)) return false
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tablePath(newIdent)
+    val f = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(to)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(newIdent.toString)
+    if (!f.exists(to.getParent)) throw new NoSuchNamespaceException(
+      catalogName +: newIdent.namespace().toSeq)
+    if (!f.rename(from, to)) throw new java.io.IOException(
+      s"could not rename graft table $from to $to")
+  }
 
   // ---- namespaces: directories under the warehouse ----------------------
 
@@ -191,13 +285,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
 
   override def createNamespace(namespace: Array[String],
-                               metadata: util.Map[String, String]): Unit =
-    readOnly("CREATE NAMESPACE")
+                               metadata: util.Map[String, String]): Unit = {
+    val p = dirOf(namespace.toSeq)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) throw new org.apache.spark.sql.catalyst.analysis
+      .NamespaceAlreadyExistsException((catalogName +: namespace.toSeq).toArray)
+    if (!f.mkdirs(p)) throw new java.io.IOException(
+      s"could not create namespace directory $p")
+  }
   override def alterNamespace(namespace: Array[String],
                               changes: NamespaceChange*): Unit =
-    readOnly("ALTER NAMESPACE")
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    readOnly("DROP NAMESPACE")
+    unsupported("ALTER NAMESPACE", "namespaces are plain directories and " +
+      "carry no mutable metadata")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    val p = dirOf(namespace.toSeq)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!cascade && f.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty; " +
+          "use DROP NAMESPACE ... CASCADE")
+    f.delete(p, true)
+  }
 }
 
 /** A metadata table (`t$history` / `t$tags` / `t$files`): the frame is

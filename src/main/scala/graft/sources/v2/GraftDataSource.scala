@@ -40,7 +40,8 @@ import java.util
   * loudly (the overlay is an anti-join no bare file scan can express;
   * compact first, or read through [[SnapshotTable.read]]).
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "graft"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -49,6 +50,47 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     GraftTable.resolve(new CaseInsensitiveStringMap(properties))
+
+  /** `df.write.format("graft").mode(...).save(path)` — DataFrameWriter
+    * routes path-based saves through the V1 write bridge whenever a V2
+    * table doesn't expose a native BATCH_WRITE (ours is the V1-fallback
+    * write, like Delta's), so this provider implements the V1 hook and
+    * lands every mode on the SAME committed operators:
+    * append → [[SnapshotTable.append]], overwrite → [[SnapshotTable.write]],
+    * errorifexists/ignore → their SQL meanings against the committed
+    * chain. Reads are unaffected (TableProvider wins for `load`).
+    */
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = ctx.sparkSession
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft write requires a table path: df.write.format(\"graft\").save(<dir>)"))
+    if (parameters.contains("versionAsOf") || parameters.contains("timestampAsOf"))
+      throw new UnsupportedOperationException(
+        s"writing through a time-travel-pinned load of $path is not allowed: " +
+          "writes always commit against the CURRENT snapshot — drop the " +
+          "versionAsOf/timestampAsOf option to modify the table")
+    val exists = SnapshotTable.currentVersion(spark, path).isDefined
+    mode match {
+      case SaveMode.Append => SnapshotTable.append(spark, data, path)
+      case SaveMode.Overwrite => SnapshotTable.write(spark, data, path)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(s"graft.`$path`")
+      case SaveMode.ErrorIfExists => SnapshotTable.write(spark, data, path)
+      case SaveMode.Ignore if exists => // no-op by contract
+      case SaveMode.Ignore => SnapshotTable.write(spark, data, path)
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 }
 
 object GraftTable {
@@ -78,27 +120,122 @@ object GraftTable {
             s"no committed graft snapshot at $path"))
       }
     }
-    forVersion(spark, path, version)
+    forVersion(spark, path, version, pinned = vOpt.isDefined || tsOpt.isDefined)
   }
 
-  def forVersion(spark: SparkSession, path: String, version: Long): GraftTable = {
+  def forVersion(spark: SparkSession, path: String, version: Long,
+                 pinned: Boolean = false): GraftTable = {
     val m = SnapshotTable.readManifestChecked(spark, path, version)
     val logical = m.schema
       .map(s => StructType(s.fields.map(_.copy(nullable = true))))
       .getOrElse(SnapshotTable.readAt(spark, path, version).schema)
-    new GraftTable(spark, path, version, m, logical)
+    new GraftTable(spark, path, version, m, logical, pinned)
   }
 }
 
 class GraftTable(spark: SparkSession, path: String, version: Long,
-                 m: SnapshotTable.Manifest, logical: StructType)
-    extends Table with SupportsRead {
+                 m: SnapshotTable.Manifest, logical: StructType,
+                 pinned: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
   override def name(): String = s"graft.`$path` @ v$version"
   override def schema(): StructType = logical
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, path, m, logical, options)
+
+  private def refusePinned(op: String): Unit =
+    if (pinned) throw new UnsupportedOperationException(
+      s"$op through a time-travel-pinned load (v$version of $path) is not " +
+        "allowed: writes always commit against the CURRENT snapshot — " +
+        "load the table without versionAsOf/timestampAsOf to modify it")
+
+  /** The write path: Spark's V1 write fallback hands this table the
+    * fully-resolved batch as a DataFrame, which routes into the SAME
+    * committed operators the Scala API uses — [[SnapshotTable.append]]
+    * for INSERT INTO (plain append, one delta dir, optimistic-
+    * concurrency rebase) and [[SnapshotTable.write]] for INSERT
+    * OVERWRITE / mode("overwrite") (full-snapshot rewrite that keeps
+    * the table's stats config, constraints, partitioning, and column
+    * mapping). The DATA path is Spark's distributed parquet write
+    * inside those operators; the V1 bridge only carries the PLAN, so
+    * nothing funnels through the driver — and every commit-side
+    * invariant (constraint gate, schema contract, physmap translation,
+    * stats sidecars, commit races) lives in exactly one place instead
+    * of being re-implemented against the raw DataWriter API.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refusePinned("writing")
+    new GraftWriteBuilder(spark, path, m)
+  }
+
+  /** SQL `DELETE FROM t WHERE ...` — routed to the positional-delete
+    * (deletion-vector) tier: victims resolve through the stats-pruned
+    * scan, and what commits is a (file, row-ordinal) sidecar of
+    * O(matches) rows; no key column required, no data rewrite
+    * ([[SnapshotTable.deleteWherePositional]]). Only predicates that
+    * translate EXACTLY decline nothing: [[canDeleteWhere]] accepts a
+    * filter set iff every conjunct round-trips through
+    * [[GraftFilters.toColumn]], so Spark fails un-translatable deletes
+    * loudly at analysis instead of this table guessing at semantics.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !pinned && filters.forall(f => GraftFilters.toColumn(f).isDefined)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    refusePinned("DELETE FROM")
+    val pred = filters.flatMap(GraftFilters.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotTable.deleteWherePositional(spark, path, pred)
+    ()
+  }
+  /** SQL `TRUNCATE TABLE` — an overwrite commit with ZERO rows (keeps
+    * schema, partitioning, stats config, constraints; history retains
+    * the pre-truncate versions for time travel). Deliberately NOT a
+    * positional delete of every row: a whole-table erasure has no
+    * reason to keep the data files alive behind a total mask.
+    */
+  override def truncateTable(): Boolean = {
+    refusePinned("TRUNCATE TABLE")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    SnapshotTable.write(spark, empty, path, m.format)
+    true
+  }
+}
+
+/** V2 write builder bridging to the committed operators via Spark's V1
+  * write fallback (the same integration seam Delta Lake shipped on for
+  * years): `build()` returns a [[V1Write]] whose InsertableRelation
+  * receives the resolved batch and calls [[SnapshotTable.append]] /
+  * [[SnapshotTable.write]]. `truncate()` flips INSERT OVERWRITE /
+  * mode("overwrite") to the full-snapshot rewrite.
+  */
+class GraftWriteBuilder(spark: SparkSession, path: String,
+                        m: SnapshotTable.Manifest)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+                              overwriteFlag: Boolean): Unit = {
+            if (overwrite || overwriteFlag)
+              SnapshotTable.write(spark, data, path, m.format)
+            else SnapshotTable.append(spark, data, path, m.format)
+            ()
+          }
+        }
+    }
 }
 
 /** Pushdown bridge: the V2 filter hooks feed the SAME planning kernel
@@ -113,7 +250,8 @@ class GraftScanBuilder(spark: SparkSession, path: String,
                        m: SnapshotTable.Manifest, logical: StructType,
                        options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = logical
@@ -132,7 +270,49 @@ class GraftScanBuilder(spark: SparkSession, path: String,
     required = StructType(logical.fields.filter(f => want.contains(f.name)))
   }
 
+  // ---- aggregate pushdown (MIN/MAX/COUNT from parquet footers) ----------
+  // `SELECT count(*) / min(x) / max(x) [GROUP BY <partition col>]` over a
+  // graft table answers from FILE FOOTERS, never data pages — delegated
+  // to Spark's own ParquetScanBuilder so the support matrix (type gates,
+  // complete-vs-partial, the spark.sql.parquet.aggregatePushDown conf)
+  // stays exactly Spark's. Refused whenever the footer stats would lie
+  // about the table's logical rows: an outstanding overlay masks rows
+  // footers still count, and Spark only attempts the pushdown when no
+  // residual filter remains, so a refusal is always just "read the data"
+  // — never a wrong answer. Column-mapped tables refuse conservatively
+  // (the aggregation references logical names; footers carry physical).
+  private var aggPushed = false
+  private lazy val parquetAggBuilder = {
+    val partSet = m.partitionCols.toSet
+    val dataSchema = StructType(logical.fields.filterNot(f => partSet(f.name)))
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots = m.dirs.map(d => new Path(path, d)).filter(f.exists)
+    val index = new GraftPrunedFileIndex(spark, roots,
+      kept0 = null, Some(logical), // null = keep every listed file
+      partitioned = m.partitionCols.nonEmpty)
+    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark, index, logical, dataSchema, options)
+  }
+
+  private def aggEligible: Boolean =
+    !m.hasOverlay && m.physmap.isEmpty && m.format == "parquet" && pushed.isEmpty
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggEligible && parquetAggBuilder.supportCompletePushDown(aggregation)
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!aggEligible) return false
+    aggPushed = parquetAggBuilder.pushAggregation(aggregation)
+    aggPushed
+  }
+
   override def build(): Scan = {
+    // a pushed aggregation builds the delegate's footer-stats scan
+    // directly: its readSchema IS the aggregate row, partitions map to
+    // files, and the reader factory materializes rows from footers
+    if (aggPushed) return parquetAggBuilder.build()
     val predicate = pushed.flatMap(GraftFilters.toColumn)
       .reduceOption(_ && _)
     val (perDir, report) = SnapshotTable.planPrunedFiles(spark, path, m, predicate)
@@ -147,25 +327,58 @@ class GraftScanBuilder(spark: SparkSession, path: String,
     val logicalRead = StructType(
       required.fields.filterNot(f => partSet(f.name)) ++
         required.fields.filter(f => partSet(f.name)))
+    // positional-delete overlay: readable through the V2 scan by asking
+    // the parquet readers for each row's in-file ROW INDEX (the same
+    // `_metadata.row_index` identity the sidecars record) and masking
+    // against the driver-materialized delete set (size-gated — see
+    // [[SnapshotTable.posDeleteMask]]). Key-tombstone overlays still
+    // refuse at toBatch: their mask is a keyed anti-join, not a
+    // positional one.
+    val maskable = m.posDeletes.nonEmpty && m.tombstones.isEmpty
+    val posMask: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]] =
+      if (!maskable) None
+      else SnapshotTable.posDeleteMask(spark, path, m)
+        .map(spark.sparkContext.broadcast(_))
+    val readDataPhysEff =
+      if (posMask.isDefined) StructType(readDataPhys.fields :+
+        org.apache.spark.sql.types.StructField(
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+            .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      else readDataPhys
     val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val roots = m.dirs.map(d => new Path(path, d)).filter(f.exists)
     val index = new GraftPrunedFileIndex(spark, roots, keptPaths,
-      Some(phys(logical)))
+      Some(phys(logical)), partitioned = m.partitionCols.nonEmpty)
     val parquet = ParquetScan(
       spark,
       spark.sessionState.newHadoopConfWithOptions(Map.empty),
       index,
       dataPhys,
-      readDataPhys,
+      readDataPhysEff,
       readPartPhys,
       pushed.flatMap(GraftFilters.rename(_, m.physOf)),
       CaseInsensitiveStringMap.empty())
     new GraftScan(parquet, logicalRead, pushed, report, path, spark, m, index,
       StreamSchemas(dataPhys, readDataPhys, readPartPhys, phys(logical),
         pushed.flatMap(GraftFilters.rename(_, m.physOf))),
-      options)
+      options,
+      posMask.map(b => PosMaskSpec(b,
+        rowIdxPos = readDataPhys.length,
+        fullSchema = StructType(readDataPhysEff.fields ++ readPartPhys.fields))))
   }
 }
+
+/** Everything the masked batch needs to apply a positional-delete
+  * overlay inside the V2 readers: the broadcast (file → sorted deleted
+  * ordinals) mask, the position of the synthetic row-index column in
+  * the delegate's output rows, and the delegate's FULL row schema
+  * (read data fields incl. the row index, then partition fields) so the
+  * wrapper can project the row index back out.
+  */
+case class PosMaskSpec(
+    mask: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
+    rowIdxPos: Int, fullSchema: StructType)
 
 /** The schema slices a micro-batch stream needs per batch (captured at
   * scan build so every batch reads under the stream-start projection).
@@ -183,21 +396,54 @@ case class StreamSchemas(dataPhys: StructType, readDataPhys: StructType,
   */
 class GraftPrunedFileIndex(spark: SparkSession, roots: Seq[Path],
                            kept0: Set[String],
-                           userSchema: Option[StructType])
+                           userSchema: Option[StructType],
+                           partitioned: Boolean = false)
     extends InMemoryFileIndex(spark, roots, Map.empty[String, String],
       userSchema, NoopCache) {
   @volatile private var kept: Set[String] = kept0
+
+  /** Multi-root hive-partitioned chains: Spark's partition inference
+    * demands ONE discovered base path across all leaves, so parsing the
+    * whole snapshot-dir list at once throws
+    * CONFLICTING_DIRECTORY_STRUCTURES (the same reason the API read
+    * unions per-dir scans). Every snapshot directory shares one layout
+    * by the manifest's partitioning contract, so the spec parses
+    * PER ROOT — each root is a clean single-base discovery — and the
+    * partitions concatenate under the shared schema.
+    */
+  private lazy val mergedSpec: org.apache.spark.sql.execution.datasources.PartitionSpec = {
+    val perRoot = roots.map(r =>
+      new InMemoryFileIndex(spark, Seq(r), Map.empty[String, String],
+        userSchema, NoopCache).partitionSpec())
+    val nonEmpty = perRoot.filter(_.partitionColumns.nonEmpty)
+    if (nonEmpty.isEmpty) org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
+    else {
+      val schema = nonEmpty.head.partitionColumns
+      nonEmpty.foreach(s => require(s.partitionColumns == schema,
+        s"snapshot directories disagree on partition layout: " +
+          s"$schema vs ${s.partitionColumns} — manifest corrupt"))
+      org.apache.spark.sql.execution.datasources.PartitionSpec(
+        schema, perRoot.flatMap(_.partitions))
+    }
+  }
+
+  override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
+    if (partitioned && roots.length > 1) mergedSpec else super.partitionSpec()
   /** Runtime-filter hook: shrink the kept set further (never grows —
     * runtime information can only rule files OUT).
     */
-  def restrict(to: Set[String]): Unit = kept = kept.intersect(to)
+  def restrict(to: Set[String]): Unit =
+    kept = if (kept eq null) to else kept.intersect(to)
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[PartitionDirectory] =
-    super.listFiles(partitionFilters, dataFilters)
+      : Seq[PartitionDirectory] = {
+    val listed = super.listFiles(partitionFilters, dataFilters)
+    if (kept eq null) listed // null: no planning ran — keep everything
+    else listed
       .map(pd => pd.copy(files = pd.files.filter(st => kept(st.getPath.toString))))
       .filter(_.files.nonEmpty)
+  }
 }
 
 /** Thin veneer over the delegated [[ParquetScan]]: reports LOGICAL
@@ -214,22 +460,33 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
                 spark: SparkSession, m: SnapshotTable.Manifest,
                 index: GraftPrunedFileIndex,
                 streamSchemas: StreamSchemas = null,
-                options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+                options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+                posMask: Option[PosMaskSpec] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   override def readSchema(): StructType = logicalRead
   override def toBatch: Batch = {
-    // the overlay refusal lives HERE, not at table load: a bare file
-    // scan cannot apply the mask, but a STREAM over pre-overlay history
-    // is perfectly streamable (it fails loudly only when the cursor
-    // reaches the row-mutating commit itself)
-    if (m.hasOverlay) throw new IllegalArgumentException(
+    // key-tombstone refusal lives HERE, not at table load: a bare file
+    // scan cannot apply the keyed anti-join mask, but a STREAM over
+    // pre-overlay history is perfectly streamable (it fails loudly only
+    // when the cursor reaches the row-mutating commit itself)
+    if (m.tombstones.nonEmpty) throw new IllegalArgumentException(
       s"graft table at $path has an outstanding merge-on-read overlay " +
-        s"(${m.tombstones.size} key tombstone(s), ${m.posDeletes.size} " +
-        "positional-delete sidecar(s)); the V2 file scan cannot apply " +
-        "it — compact the table first, or read through the SnapshotTable API")
-    delegate.toBatch
+        s"(${m.tombstones.size} key tombstone(s)); the V2 file scan " +
+        "cannot apply a keyed mask — compact the table first, or read " +
+        "through the SnapshotTable API")
+    // positional deletes ARE applied in-scan (posMask); the only refusal
+    // left is a compaction-starved overlay too big to materialize
+    if (m.posDeletes.nonEmpty && posMask.isEmpty) throw new IllegalArgumentException(
+      s"graft table at $path carries a positional-delete overlay too " +
+        "large for the in-scan mask (past the broadcast size bound); " +
+        "compact the table to materialize it, or read through the " +
+        "SnapshotTable API's distributed anti-join")
+    posMask match {
+      case Some(spec) => new PosMaskedBatch(delegate.toBatch, spec)
+      case None => delegate.toBatch
+    }
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -266,7 +523,91 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
       s"files=${report.nFilesKept}/${report.nFilesTotal}" +
       (if (report.nPartDirsTotal > 0)
          s", partitions=${report.nPartDirsKept}/${report.nPartDirsTotal}"
+       else "") +
+      (if (m.posDeletes.nonEmpty)
+         s", posDeleteSidecars=${m.posDeletes.size}"
        else "") + ")"
+}
+
+/** The delegate batch with the positional-delete overlay applied INSIDE
+  * the readers: partitions are the delegate's, but each file's rows are
+  * filtered against the broadcast (file → sorted ordinals) mask using
+  * the row index the parquet reader generated, then projected back to
+  * the mask-free schema. Reads are row-based (a masked columnar batch
+  * would need row-by-row rebuilds anyway); the overlay is transient by
+  * design — [[graft.operators.SnapshotTable.compact]] materializes it
+  * and the scan returns to the vectorized path.
+  */
+class PosMaskedBatch(inner: Batch, spec: PosMaskSpec) extends Batch {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  override def planInputPartitions(): Array[InputPartition] = inner.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    PosMaskedReaderFactory(
+      inner.createReaderFactory()
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory],
+      spec)
+}
+
+/** Wraps the delegate's per-FILE readers (so each row's file identity is
+  * known without any per-row file column): rows whose (file name, row
+  * index) land in the mask are skipped; survivors project away the
+  * synthetic row-index column. Files absent from the mask stream
+  * through with one array lookup per file.
+  */
+case class PosMaskedReaderFactory(
+    delegate: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
+    spec: PosMaskSpec)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition].files
+    val keep = spec.fullSchema.fields.indices.filterNot(_ == spec.rowIdxPos)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      keep.map(i => org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, spec.fullSchema.fields(i).dataType, spec.fullSchema.fields(i).nullable)))
+    new PartitionReader[InternalRow] {
+      // mask keys are snapshot-dir-relative subpaths (the engine's
+      // canonical file identity — bare names repeat across partition
+      // sibling dirs): everything after the last `snap-*` path segment
+      def subpathOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile): String = {
+        val s = f.toPath.toString
+        val i = s.lastIndexOf("/snap-")
+        if (i < 0) s.split('/').last
+        else s.substring(s.indexOf('/', i + 1) + 1)
+      }
+      private var i = -1
+      private var cur: PartitionReader[InternalRow] = _
+      private var curDeleted: Array[Long] = _
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            i += 1
+            if (i >= files.length) return false
+            cur = delegate.buildReader(files(i))
+            curDeleted = spec.mask.value.getOrElse(subpathOf(files(i)), null)
+          }
+          if (!cur.next()) { cur.close(); cur = null }
+          else {
+            val r = cur.get()
+            if (curDeleted == null || java.util.Arrays.binarySearch(
+                curDeleted, r.getLong(spec.rowIdxPos)) < 0) {
+              row = r
+              return true
+            }
+          }
+        }
+        false // unreachable
+      }
+      override def get(): InternalRow = proj(row)
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
 }
 
 /** Streaming DATA read of a graft table — the Delta-streaming-source
@@ -422,6 +763,19 @@ object GraftFilters {
     case LessThanOrEqual(a, v) if simpleName(a) && v != null => Some(col(a) <= lit(v))
     case In(a, vs) if simpleName(a) && vs.nonEmpty && vs.forall(_ != null) =>
       Some(col(a).isin(vs.toSeq: _*))
+    case EqualNullSafe(a, v) if simpleName(a) =>
+      Some(if (v == null) col(a).isNull else col(a) <=> lit(v))
+    case IsNull(a) if simpleName(a) => Some(col(a).isNull)
+    case IsNotNull(a) if simpleName(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) if simpleName(a) && v != null =>
+      Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) if simpleName(a) && v != null =>
+      Some(col(a).endsWith(v))
+    case StringContains(a, v) if simpleName(a) && v != null =>
+      Some(col(a).contains(v))
+    case Not(c) => toColumn(c).map(!_)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
     case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
     case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case _ => None
@@ -438,6 +792,15 @@ object GraftFilters {
     case LessThan(a, v) => Some(LessThan(physOf(a), v))
     case LessThanOrEqual(a, v) => Some(LessThanOrEqual(physOf(a), v))
     case In(a, vs) => Some(In(physOf(a), vs))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(physOf(a), v))
+    case IsNull(a) => Some(IsNull(physOf(a)))
+    case IsNotNull(a) => Some(IsNotNull(physOf(a)))
+    case StringStartsWith(a, v) => Some(StringStartsWith(physOf(a), v))
+    case StringEndsWith(a, v) => Some(StringEndsWith(physOf(a), v))
+    case StringContains(a, v) => Some(StringContains(physOf(a), v))
+    case Not(c) => rename(c, physOf).map(Not)
+    case f: AlwaysTrue => Some(f)
+    case f: AlwaysFalse => Some(f)
     case And(l, r) => for (lc <- rename(l, physOf); rc <- rename(r, physOf)) yield And(lc, rc)
     case Or(l, r) => for (lc <- rename(l, physOf); rc <- rename(r, physOf)) yield Or(lc, rc)
     case _ => None

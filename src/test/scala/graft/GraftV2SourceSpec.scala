@@ -182,6 +182,107 @@ class GraftV2SourceSpec extends SparkSpec {
     assert(v2.filter(col("doc_id") === 51L).select("lang").head.getString(0) == "L1")
   }
 
+  test("a positional-delete overlay is APPLIED by the V2 scan, identically to the API read") {
+    val path = chain("graft-v2-posdel")
+    SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id").between(150, 249) && col("lang") === "lang0")
+    val api = SnapshotTable.read(spark, path)
+    val v2 = spark.read.format("graft").load(path)
+    assert(v2.count() == api.count())
+    assert(v2.except(api).isEmpty && api.except(v2).isEmpty)
+    // column pruning + filter pushdown still compose with the mask
+    val pruned = v2.filter(col("doc_id").between(100, 299)).select("doc_id")
+    val expect = (100 to 299).filterNot(i => i >= 150 && i <= 249 && i % 3 == 0)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == expect.map(_.toLong))
+    assert(graftScanInfo(pruned).contains("posDeleteSidecars=1"))
+    // a second delete stacks; time travel BEFORE the deletes is unmasked
+    SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 0L)
+    assert(spark.read.format("graft").load(path).count() ==
+      SnapshotTable.read(spark, path).count())
+    assert(spark.read.format("graft").option("versionAsOf", "3").load(path)
+      .count() == 600L)
+    // compaction materializes; the scan returns to the unmasked path
+    SnapshotTable.compact(spark, path, textCol = Some("text"),
+      expectedItems = 10000L)
+    val after = spark.read.format("graft").load(path)
+    assert(!graftScanInfo(after.select("doc_id")).contains("posDeleteSidecars"))
+    assert(after.count() == SnapshotTable.read(spark, path).count())
+  }
+
+  test("a positional-delete overlay on a PARTITIONED table masks through V2") {
+    import spark.implicits._
+    val path = tmp("graft-v2-posdel-part")
+    val rows = (0 until 300).map(i => (i.toLong, s"text-$i", s"lang${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    SnapshotTable.ingest(spark, rows, path, "text", expectedItems = 10000L,
+      statsCols = Seq("doc_id"), partitionCols = Seq("lang"))
+    SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id") < 100 && col("lang") === "lang1")
+    val api = SnapshotTable.read(spark, path)
+    val v2 = spark.read.format("graft").load(path)
+    assert(v2.count() == api.count())
+    assert(v2.except(api).isEmpty && api.except(v2).isEmpty)
+    // partition pruning composes with the row mask
+    assert(v2.filter(col("lang") === "lang1").count() ==
+      api.filter(col("lang") === "lang1").count())
+  }
+
+  test("a MULTI-COMMIT partitioned chain reads through V2 (per-root partition discovery)") {
+    // regression: Spark's partition inference demands one base path, so
+    // a multi-root hive-partitioned listing threw
+    // CONFLICTING_DIRECTORY_STRUCTURES before the per-root merged spec
+    import spark.implicits._
+    val path = tmp("graft-v2-multiroot")
+    val rows = (0 until 400).map(i => (i.toLong, s"text-$i", s"lang${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    SnapshotTable.ingest(spark, rows.filter(col("doc_id") < 200), path, "text",
+      expectedItems = 10000L, partitionCols = Seq("lang"))
+    SnapshotTable.ingest(spark, rows.filter(col("doc_id") >= 200), path, "text",
+      expectedItems = 10000L)
+    val api = SnapshotTable.read(spark, path)
+    val v2 = spark.read.format("graft").load(path)
+    assert(v2.count() == 400L)
+    assert(v2.except(api).isEmpty && api.except(v2).isEmpty)
+    // partition pruning still fires across both roots
+    assert(v2.filter(col("lang") === "lang2").count() ==
+      api.filter(col("lang") === "lang2").count())
+  }
+
+  test("MIN/MAX/COUNT push down to parquet footers (and refuse under overlay/mapping)") {
+    import spark.implicits._
+    val path = tmp("graft-v2-aggpd")
+    val rows = (0 until 400).map(i => (i.toLong, s"text-$i", s"lang${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    SnapshotTable.ingest(spark, rows.filter(col("doc_id") < 200), path, "text",
+      expectedItems = 10000L, partitionCols = Seq("lang"))
+    SnapshotTable.ingest(spark, rows.filter(col("doc_id") >= 200), path, "text",
+      expectedItems = 10000L)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val agg = spark.read.format("graft").load(path)
+        .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+      assert(agg.head == org.apache.spark.sql.Row(400L, 0L, 399L))
+      // grouped by the PARTITION column: still footer/metadata-only
+      val byLang = spark.read.format("graft").load(path)
+        .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+      assert(byLang.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+      assert(byLang.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("lang0", 134L), ("lang1", 133L), ("lang2", 133L)))
+      // a residual WHERE blocks the pushdown (Spark-side rule) but the
+      // answer stays exact through the ordinary pruned scan
+      val filtered = spark.read.format("graft").load(path)
+        .filter(col("doc_id") < 100).agg(count(lit(1)).as("n"))
+      assert(filtered.head.getLong(0) == 100L)
+      // an outstanding positional-delete overlay refuses the pushdown
+      // (footers would count masked rows) — the masked scan answers
+      SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 7L)
+      val masked = spark.read.format("graft").load(path).agg(count(lit(1)).as("n"))
+      assert(!masked.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+      assert(masked.head.getLong(0) == 399L)
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("a table with an outstanding merge-on-read overlay refuses loudly") {
     import spark.implicits._
     val path = tmp("graft-v2-mor")
@@ -276,12 +377,14 @@ class GraftV2SourceSpec extends SparkSpec {
     assert(sqlDf.count() == 100L)
     assert(spark.sql("SHOW TABLES IN gtest").collect()
       .map(_.getString(1)).contains("docs"))
-    // read-only: DDL refuses loudly
-    val e = intercept[Exception] {
-      spark.sql("CREATE TABLE gtest.t2 (id BIGINT) USING graft")
-    }
-    assert(e.getMessage.contains("read-only") ||
-      e.getCause != null && e.getCause.getMessage.contains("read-only"))
+    // DDL is live (GraftV2WriteSpec covers it in depth); a quick
+    // create/drop round trip through THIS catalog instance
+    spark.sql("CREATE TABLE gtest.t2 (id BIGINT, s STRING)")
+    assert(spark.sql("SHOW TABLES IN gtest").collect()
+      .map(_.getString(1)).contains("t2"))
+    spark.sql("DROP TABLE gtest.t2")
+    assert(!spark.sql("SHOW TABLES IN gtest").collect()
+      .map(_.getString(1)).contains("t2"))
     // Iceberg-style metadata tables: history/tags/files from SQL
     val hist = spark.sql(
       "SELECT version, kind FROM gtest.`docs$history` ORDER BY version").collect()

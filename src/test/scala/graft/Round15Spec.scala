@@ -449,18 +449,17 @@ class Round15Spec extends SparkSpec {
     assert(st.nNew == 1L)
   }
 
-  test("addedBetween refuses ranges crossing a positional delete; DSv2 refuses an outstanding overlay") {
+  test("addedBetween refuses ranges crossing a positional delete; DSv2 applies the mask") {
     val path = posDelTable("graft-posdel-guard")
     SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 5L)
     val e = intercept[IllegalArgumentException] {
       SnapshotTable.addedBetween(spark, path, 2L)
     }
     assert(e.getMessage.contains("positional deletes"))
-    val e2 = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(path).count()
-    }
-    assert(e2.getMessage.contains("positional-delete"))
-    // version 3 (pre-delete) still reads through V2
+    // the V2 scan APPLIES the positional overlay (late-r15 mask-applying
+    // read; the earlier refusal pin is obsolete) — identical to the API
+    assert(spark.read.format("graft").load(path).count() == 599L)
+    // version 3 (pre-delete) still reads through V2 unmasked
     assert(spark.read.format("graft").option("versionAsOf", "3")
       .load(path).count() == 600L)
   }
