@@ -867,6 +867,18 @@ object SnapshotTable {
       .save(dest.toString)
   }
 
+  /** First data file of one snapshot dir, if any — a dir's files share
+    * one write job's schema, so one footer stands for the dir (the
+    * V2 aggregate-pushdown evolution guard's probe).
+    */
+  private[graft] def firstDataFile(spark: SparkSession, path: String,
+                                   dir: String): Option[Path] = {
+    val root = new Path(path, dir)
+    val f = fs(spark, root)
+    if (!f.exists(root)) None
+    else listDataFiles(f, root).headOption.map(_.getPath)
+  }
+
   /** Data files under one snapshot directory, descending through
     * partition subdirectories; `_`/`.`-prefixed names are skipped at
     * every level (sidecars, _SUCCESS, hidden files).

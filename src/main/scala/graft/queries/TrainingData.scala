@@ -4389,24 +4389,27 @@ object TrainingData {
   // reads back through SQL, so the row exercises catalog resolution,
   // the V1-write bridge, and the pruned V2 scan in one chain; DuckDB
   // replays the two INSERT slices as a plain union.
-  private val sqlCat = "graft_reg"
-  private def sqlCatalogFor(s: SparkSession, tablePath: String): String = {
+  // one catalog name PER WAREHOUSE: Spark caches catalog instances per
+  // session, so re-pointing a fixed name's warehouse conf would keep
+  // serving the first warehouse it was initialized with
+  private def sqlCatalogFor(s: SparkSession, tablePath: String): (String, String) = {
     val wh = new java.io.File(tablePath).getParent
-    s.conf.set(s"spark.sql.catalog.$sqlCat", "graft.sources.v2.GraftCatalog")
-    s.conf.set(s"spark.sql.catalog.$sqlCat.warehouse", wh)
-    new java.io.File(tablePath).getName
+    val cat = s"graft_reg_${Integer.toHexString(wh.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, new java.io.File(tablePath).getName)
   }
 
   private def d44Fixture(s: SparkSession, dir: String): String =
     stagedSnapshotFixture(s, dir, "d44t", expect = Seq(1L, 2L, 3L)) { path =>
-      val name = sqlCatalogFor(s, path)
+      val (cat, name) = sqlCatalogFor(s, path)
       t(s, dir, "documents").createOrReplaceTempView("d44_src")
-      s.sql(s"CREATE TABLE $sqlCat.`$name` " +
+      s.sql(s"CREATE TABLE $cat.`$name` " +
         "(doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING) " +
         "TBLPROPERTIES ('stats' = 'doc_id')")
-      s.sql(s"INSERT INTO $sqlCat.`$name` " +
+      s.sql(s"INSERT INTO $cat.`$name` " +
         "SELECT doc_id, lang, n_chars, text FROM d44_src WHERE doc_id < 300")
-      s.sql(s"INSERT INTO $sqlCat.`$name` " +
+      s.sql(s"INSERT INTO $cat.`$name` " +
         "SELECT doc_id, lang, n_chars, text FROM d44_src WHERE doc_id >= 300")
       ()
     }
@@ -4414,8 +4417,8 @@ object TrainingData {
   private val d44 = Q(
     (s, dir) => {
       val path = d44Fixture(s, dir)
-      val name = sqlCatalogFor(s, path)
-      s.sql(s"SELECT doc_id, lang, n_chars FROM $sqlCat.`$name` ORDER BY doc_id")
+      val (cat, name) = sqlCatalogFor(s, path)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.`$name` ORDER BY doc_id")
     },
     Some("""
       SELECT doc_id, lang, n_chars
@@ -4433,16 +4436,16 @@ object TrainingData {
   // replays the delete as a plain WHERE NOT.
   private def d45Fixture(s: SparkSession, dir: String): String =
     stagedSnapshotFixture(s, dir, "d45t", expect = Seq(1L, 2L, 3L, 4L)) { path =>
-      val name = sqlCatalogFor(s, path)
+      val (cat, name) = sqlCatalogFor(s, path)
       t(s, dir, "documents").createOrReplaceTempView("d45_src")
-      s.sql(s"CREATE TABLE $sqlCat.`$name` " +
+      s.sql(s"CREATE TABLE $cat.`$name` " +
         "(doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING) " +
         "TBLPROPERTIES ('stats' = 'doc_id')")
-      s.sql(s"INSERT INTO $sqlCat.`$name` " +
+      s.sql(s"INSERT INTO $cat.`$name` " +
         "SELECT doc_id, lang, n_chars, text FROM d45_src WHERE doc_id < 250")
-      s.sql(s"INSERT INTO $sqlCat.`$name` " +
+      s.sql(s"INSERT INTO $cat.`$name` " +
         "SELECT doc_id, lang, n_chars, text FROM d45_src WHERE doc_id >= 250")
-      s.sql(s"DELETE FROM $sqlCat.`$name` " +
+      s.sql(s"DELETE FROM $cat.`$name` " +
         "WHERE doc_id >= 100 AND doc_id < 400 AND lang = 'en'")
       ()
     }
@@ -4450,8 +4453,8 @@ object TrainingData {
   private val d45 = Q(
     (s, dir) => {
       val path = d45Fixture(s, dir)
-      val name = sqlCatalogFor(s, path)
-      s.sql(s"SELECT doc_id, lang, n_chars FROM $sqlCat.`$name` ORDER BY doc_id")
+      val (cat, name) = sqlCatalogFor(s, path)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.`$name` ORDER BY doc_id")
     },
     Some("""
       SELECT doc_id, lang, n_chars

@@ -179,14 +179,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case t => unsupported(s"partition transform '$t'",
         "graft tables partition by column value (identity transforms) only")
     }
-    val props = properties
-    val format = Option(props.get("format")).getOrElse("parquet")
-    val statsCols = Option(props.get("stats")).toSeq
+    // one lowercase view of the properties: the unknown-key guard, the
+    // readers, and the LOCATION refusal must agree on case handling
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+    val format = props.getOrElse("format", "parquet")
+    val statsCols = props.get("stats").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    // a custom LOCATION would silently diverge from the warehouse path
+    // every later lookup derives — refuse rather than ignore
+    props.get("location").filter(_.nonEmpty)
+      .filterNot(l => new Path(l) == p).foreach(l =>
+        unsupported(s"CREATE TABLE ... LOCATION '$l'",
+          s"graft catalog tables live at <warehouse>/<namespace>/<name> ($p); " +
+            "external locations are reachable through " +
+            "spark.read.format(\"graft\").load(<path>) instead"))
     val known = Set("format", "stats", "provider", "owner", "location",
-      "comment", "external")
-    val unknown = props.keySet().toArray.map(_.toString)
-      .filterNot(k => known.contains(k.toLowerCase))
+      "comment")
+    val unknown = props.keys.filterNot(known.contains).toSeq.sorted
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"unknown graft table propert${if (unknown.length == 1) "y" else "ies"} " +
         s"${unknown.mkString(", ")} — supported: format, stats")
@@ -208,17 +218,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    changes.foreach {
+    // validate EVERY change before applying ANY: each supported change
+    // is its own metadata commit, so a mixed statement failing midway
+    // would otherwise leave the table permanently half-altered while
+    // the statement reports failure
+    val planned: Seq[() => Unit] = changes.map {
       case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
-        SnapshotTable.renameColumn(spark, p.toString, r.fieldNames()(0), r.newName())
-        ()
+        () => { SnapshotTable.renameColumn(spark, p.toString,
+          r.fieldNames()(0), r.newName()); () }
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
-        SnapshotTable.dropColumn(spark, p.toString, d.fieldNames()(0))
-        ()
+        () => { SnapshotTable.dropColumn(spark, p.toString,
+          d.fieldNames()(0)); () }
       case c => unsupported(s"ALTER TABLE change $c",
         "supported changes: RENAME COLUMN, DROP COLUMN (top-level columns); " +
           "schema-widening happens through ingest(evolveSchema = true)")
     }
+    planned.foreach(_.apply())
     loadTable(ident)
   }
 

@@ -47,9 +47,28 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftTable.resolve(options).schema()
 
+  /** True so DataFrameWriter resolves a PATH SAVE's table from the
+    * frame's own schema instead of inferSchema — a first save to a
+    * not-yet-committed path must not fail table resolution before the
+    * write (that creates the table) even runs.
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    GraftTable.resolve(new CaseInsensitiveStringMap(properties))
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val spark = SparkSession.active
+    val path = Option(options.get("path")).filter(_.nonEmpty)
+    path.filter(p => SnapshotTable.currentVersion(spark, p).isEmpty &&
+        !options.containsKey("versionAsOf") &&
+        !options.containsKey("timestampAsOf")) match {
+      // a write is about to CREATE this table: hand back a minimal
+      // write-only table (V1 bridge routes the data to createRelation,
+      // which commits with the declared partitioning/format)
+      case Some(p) if schema != null => new GraftNewTable(p, schema)
+      case _ => GraftTable.resolve(options)
+    }
+  }
 
   /** `df.write.format("graft").mode(...).save(path)` — DataFrameWriter
     * routes path-based saves through the V1 write bridge whenever a V2
@@ -75,22 +94,60 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         s"writing through a time-travel-pinned load of $path is not allowed: " +
           "writes always commit against the CURRENT snapshot — drop the " +
           "versionAsOf/timestampAsOf option to modify the table")
-    val exists = SnapshotTable.currentVersion(spark, path).isDefined
+    val cur = SnapshotTable.currentVersion(spark, path)
+    val exists = cur.isDefined
+    // an existing table's committed format governs every later commit —
+    // hard-coding the default would stage a parquet delta into (say) an
+    // orc chain and flip the whole manifest's format
+    val fmt = cur.map(v =>
+        SnapshotTable.readManifestChecked(spark, path, v).format)
+      .orElse(parameters.get("format"))
+      .getOrElse("parquet")
+    // DataFrameWriter encodes .partitionBy(...) into the V1 parameters
+    // as a JSON list under this key — dropping it would silently create
+    // an unpartitioned table
+    val partCols = parameters
+      .get(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns)
+      .getOrElse(Nil)
     mode match {
-      case SaveMode.Append => SnapshotTable.append(spark, data, path)
-      case SaveMode.Overwrite => SnapshotTable.write(spark, data, path)
+      case SaveMode.Append =>
+        SnapshotTable.append(spark, data, path, fmt, partitionCols = partCols)
+      case SaveMode.Overwrite =>
+        SnapshotTable.write(spark, data, path, fmt, partitionCols = partCols)
       case SaveMode.ErrorIfExists if exists =>
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(s"graft.`$path`")
-      case SaveMode.ErrorIfExists => SnapshotTable.write(spark, data, path)
+      case SaveMode.ErrorIfExists =>
+        SnapshotTable.write(spark, data, path, fmt, partitionCols = partCols)
       case SaveMode.Ignore if exists => // no-op by contract
-      case SaveMode.Ignore => SnapshotTable.write(spark, data, path)
+      case SaveMode.Ignore =>
+        SnapshotTable.write(spark, data, path, fmt, partitionCols = partCols)
     }
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext = ctx
       override def schema: StructType = data.schema
     }
   }
+}
+
+/** A graft table that does not exist yet — the resolution target of a
+  * path save's FIRST write. Write-only: the V1 bridge carries the data
+  * to [[GraftDataSource.createRelation]], which stages and commits
+  * version 1 (with the save's declared partitioning and format). Reads
+  * refuse — there is nothing to read until that commit lands.
+  */
+class GraftNewTable(path: String, schema0: StructType)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+  override def name(): String = s"graft.`$path` (uncommitted)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(SparkSession.active, path, "parquet")
 }
 
 object GraftTable {
@@ -145,8 +202,15 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the V2 scan delegates to Spark's vectorized PARQUET reader; a
+    // chain committed under another format must refuse loudly rather
+    // than decode garbage (the SnapshotTable API reads any format)
+    if (m.format != "parquet") throw new UnsupportedOperationException(
+      s"the graft V2 scan reads parquet chains only; table at $path is " +
+        s"committed as '${m.format}' — read it through the SnapshotTable API")
     new GraftScanBuilder(spark, path, m, logical, options)
+  }
 
   private def refusePinned(op: String): Unit =
     if (pinned) throw new UnsupportedOperationException(
@@ -170,7 +234,7 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refusePinned("writing")
-    new GraftWriteBuilder(spark, path, m)
+    new GraftWriteBuilder(spark, path, m.format)
   }
 
   /** SQL `DELETE FROM t WHERE ...` — routed to the positional-delete
@@ -216,7 +280,7 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
   * mode("overwrite") to the full-snapshot rewrite.
   */
 class GraftWriteBuilder(spark: SparkSession, path: String,
-                        m: SnapshotTable.Manifest)
+                        format: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -230,8 +294,8 @@ class GraftWriteBuilder(spark: SparkSession, path: String,
           override def insert(data: org.apache.spark.sql.DataFrame,
                               overwriteFlag: Boolean): Unit = {
             if (overwrite || overwriteFlag)
-              SnapshotTable.write(spark, data, path, m.format)
-            else SnapshotTable.append(spark, data, path, m.format)
+              SnapshotTable.write(spark, data, path, format)
+            else SnapshotTable.append(spark, data, path, format)
             ()
           }
         }
@@ -297,13 +361,43 @@ class GraftScanBuilder(spark: SparkSession, path: String,
   private def aggEligible: Boolean =
     !m.hasOverlay && m.physmap.isEmpty && m.format == "parquet" && pushed.isEmpty
 
+  /** Schema-evolved chains: a column added by `ingest(evolveSchema)`
+    * is ABSENT from older dirs' parquet files (reads null-fill it), but
+    * footer aggregation looks the column up in each file's physical
+    * schema and would fail at execution — a query that works without
+    * the pushdown must never break with it. Every dir's files share one
+    * write job's schema, so checking ONE footer per dir (O(dirs),
+    * planning-time, only under the aggregatePushdown conf) decides
+    * presence exactly. Partition columns live in paths, not footers —
+    * exempt.
+    */
+  private def aggColumnsEverywhere(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val partSet = m.partitionCols.toSet
+    val referenced = (aggregation.aggregateExpressions().flatMap(_.references()) ++
+        aggregation.groupByExpressions().flatMap(_.references()))
+      .flatMap(r => r.fieldNames().headOption)
+      .filterNot(partSet).distinct
+    referenced.isEmpty || {
+      val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      m.dirs.forall { d =>
+        SnapshotTable.firstDataFile(spark, path, d) match {
+          case None => true // empty dir contributes no footer rows
+          case Some(file) =>
+            val names = spark.read.parquet(file.toString).schema.fieldNames.toSet
+            referenced.forall(names.contains)
+        }
+      }
+    }
+  }
+
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     aggEligible && parquetAggBuilder.supportCompletePushDown(aggregation)
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (!aggEligible) return false
+    if (!aggEligible || !aggColumnsEverywhere(aggregation)) return false
     aggPushed = parquetAggBuilder.pushAggregation(aggregation)
     aggPushed
   }
@@ -331,16 +425,13 @@ class GraftScanBuilder(spark: SparkSession, path: String,
     // the parquet readers for each row's in-file ROW INDEX (the same
     // `_metadata.row_index` identity the sidecars record) and masking
     // against the driver-materialized delete set (size-gated — see
-    // [[SnapshotTable.posDeleteMask]]). Key-tombstone overlays still
-    // refuse at toBatch: their mask is a keyed anti-join, not a
-    // positional one.
+    // [[SnapshotTable.posDeleteMask]]; materialized LAZILY at toBatch so
+    // streams and EXPLAIN never pay the sidecar read). Key-tombstone
+    // overlays still refuse at toBatch: their mask is a keyed
+    // anti-join, not a positional one.
     val maskable = m.posDeletes.nonEmpty && m.tombstones.isEmpty
-    val posMask: Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]] =
-      if (!maskable) None
-      else SnapshotTable.posDeleteMask(spark, path, m)
-        .map(spark.sparkContext.broadcast(_))
     val readDataPhysEff =
-      if (posMask.isDefined) StructType(readDataPhys.fields :+
+      if (maskable) StructType(readDataPhys.fields :+
         org.apache.spark.sql.types.StructField(
           org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
             .ROW_INDEX_TEMPORARY_COLUMN_NAME,
@@ -363,18 +454,24 @@ class GraftScanBuilder(spark: SparkSession, path: String,
       StreamSchemas(dataPhys, readDataPhys, readPartPhys, phys(logical),
         pushed.flatMap(GraftFilters.rename(_, m.physOf))),
       options,
-      posMask.map(b => PosMaskSpec(b,
+      if (maskable) Some(PosMaskShape(
         rowIdxPos = readDataPhys.length,
-        fullSchema = StructType(readDataPhysEff.fields ++ readPartPhys.fields))))
+        fullSchema = StructType(readDataPhysEff.fields ++ readPartPhys.fields)))
+      else None)
   }
 }
 
-/** Everything the masked batch needs to apply a positional-delete
-  * overlay inside the V2 readers: the broadcast (file → sorted deleted
-  * ordinals) mask, the position of the synthetic row-index column in
-  * the delegate's output rows, and the delegate's FULL row schema
-  * (read data fields incl. the row index, then partition fields) so the
-  * wrapper can project the row index back out.
+/** The row-layout half of the positional-delete mask, fixed at scan
+  * build: the position of the synthetic row-index column in the
+  * delegate's output rows and the delegate's FULL row schema (read data
+  * fields incl. the row index, then partition fields) so the wrapper
+  * can project the row index back out. The mask DATA materializes
+  * lazily at toBatch.
+  */
+case class PosMaskShape(rowIdxPos: Int, fullSchema: StructType)
+
+/** [[PosMaskShape]] plus the materialized broadcast (file subpath →
+  * sorted deleted ordinals) mask.
   */
 case class PosMaskSpec(
     mask: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
@@ -409,7 +506,11 @@ class GraftPrunedFileIndex(spark: SparkSession, roots: Seq[Path],
     * unions per-dir scans). Every snapshot directory shares one layout
     * by the manifest's partitioning contract, so the spec parses
     * PER ROOT — each root is a clean single-base discovery — and the
-    * partitions concatenate under the shared schema.
+    * partitions concatenate under the shared schema. Known cost: the
+    * per-root indexes re-list directories the super constructor already
+    * listed (one extra LIST round per partitioned multi-root scan
+    * build — metadata-scale, and only on the partitioned multi-commit
+    * shape; InMemoryFileIndex offers no seam to inject cached leaves).
     */
   private lazy val mergedSpec: org.apache.spark.sql.execution.datasources.PartitionSpec = {
     val perRoot = roots.map(r =>
@@ -461,11 +562,18 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
                 index: GraftPrunedFileIndex,
                 streamSchemas: StreamSchemas = null,
                 options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-                posMask: Option[PosMaskSpec] = None)
+                maskShape: Option[PosMaskShape] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   override def readSchema(): StructType = logicalRead
+  // materialized once, only when a BATCH actually executes (streams and
+  // EXPLAIN never read the sidecars); None = overlay too big to mask
+  private lazy val posMask: Option[PosMaskSpec] = maskShape.flatMap { sh =>
+    SnapshotTable.posDeleteMask(spark, path, m)
+      .map(mk => PosMaskSpec(spark.sparkContext.broadcast(mk),
+        sh.rowIdxPos, sh.fullSchema))
+  }
   override def toBatch: Batch = {
     // key-tombstone refusal lives HERE, not at table load: a bare file
     // scan cannot apply the keyed anti-join mask, but a STREAM over
@@ -722,8 +830,12 @@ class GraftDataStream(path: String, schemas: StreamSchemas, format: String,
   private def batchScan(dirs: Seq[String]): Batch = {
     val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val roots = dirs.map(d => new Path(path, d)).filter(f.exists)
-    val index = new InMemoryFileIndex(spark, roots, Map.empty[String, String],
-      Some(schemas.fullPhys), NoopCache)
+    // GraftPrunedFileIndex (kept = null: no pruning) for its per-root
+    // partition discovery — a catch-up batch spanning several
+    // hive-partitioned append commits would otherwise hit Spark's
+    // one-base-path CONFLICTING_DIRECTORY_STRUCTURES check
+    val index = new GraftPrunedFileIndex(spark, roots, kept0 = null,
+      Some(schemas.fullPhys), partitioned = partitionCols.nonEmpty)
     ParquetScan(
       spark,
       spark.sessionState.newHadoopConfWithOptions(Map.empty),

@@ -283,6 +283,57 @@ class GraftV2SourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
   }
 
+  test("a streaming backfill over a multi-commit PARTITIONED chain reads (review regression)") {
+    import spark.implicits._
+    val path = tmp("graft-v2-stream-part")
+    val ckpt = tmp("graft-v2-stream-part-ckpt")
+    val rows = (0 until 120).map(i => (i.toLong, s"text-$i", s"lang${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    SnapshotTable.ingest(spark, rows.filter(col("doc_id") < 60), path, "text",
+      expectedItems = 10000L, partitionCols = Seq("lang"))
+    SnapshotTable.ingest(spark, rows.filter(col("doc_id") >= 60), path, "text",
+      expectedItems = 10000L)
+    // one catch-up batch spans BOTH hive-partitioned snapshot roots
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      .option("startVersion", "earliest").load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted == (0L until 120L))
+  }
+
+  test("aggregate pushdown refuses on a schema-evolved chain instead of crashing (review regression)") {
+    import spark.implicits._
+    val path = tmp("graft-v2-agg-evolve")
+    SnapshotTable.ingest(spark,
+      (0 until 50).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L)
+    SnapshotTable.ingest(spark,
+      (50 until 100).map(i => (i.toLong, s"t$i", i * 2L))
+        .toDF("doc_id", "text", "score"),
+      path, "text", expectedItems = 10000L, evolveSchema = true)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      // min/max of the EVOLVED column: old files lack it — pushdown must
+      // refuse (footer lookup would fail) and the exact scan answers
+      val agg = spark.read.format("graft").load(path)
+        .agg(min("score").as("lo"), max("score").as("hi"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+      assert(agg.head == org.apache.spark.sql.Row(100L, 198L))
+      // a column present in EVERY dir still pushes down
+      val ok = spark.read.format("graft").load(path)
+        .agg(min("doc_id").as("lo"))
+      assert(ok.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+      assert(ok.head.getLong(0) == 0L)
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("a table with an outstanding merge-on-read overlay refuses loudly") {
     import spark.implicits._
     val path = tmp("graft-v2-mor")

@@ -194,6 +194,12 @@ class GraftV2WriteSpec extends SparkSpec {
           "PARTITIONED BY (days(ts))")
       }
       assert(e.getMessage.contains("identity"))
+      // a divergent LOCATION refuses instead of being silently ignored
+      val e2 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.bad2 (x BIGINT, y BIGINT) " +
+          "LOCATION '/tmp/somewhere-else'")
+      }
+      assert(e2.getMessage.contains("LOCATION"))
     }
   }
 
@@ -287,6 +293,78 @@ class GraftV2WriteSpec extends SparkSpec {
     val kinds = SnapshotTable.history(spark, path)
       .orderBy("version").select("kind").collect().map(_.getString(0)).toSeq
     assert(kinds == Seq("append", "append", "constraint", "overwrite"))
+  }
+
+  test("path saves honor the committed format and .partitionBy (review regressions)") {
+    import spark.implicits._
+    // format: an orc table must stay orc through df.write append
+    val orcPath = tmp("graft-dfw-orc")
+    SnapshotTable.write(spark, docs(0 until 20), orcPath, format = "orc")
+    docs(20 until 30).write.format("graft").mode("append").save(orcPath)
+    assert(SnapshotTable.read(spark, orcPath).count() == 30L)
+    val m = SnapshotTable.history(spark, orcPath).count()
+    assert(m == 2L)
+    // the delta dir really is orc (no parquet files anywhere)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f) else Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+    assert(!walk(new java.io.File(orcPath))
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .exists(_.getName.endsWith(".parquet")))
+    // partitionBy: a fresh save must create the hive layout
+    val pPath = tmp("graft-dfw-part")
+    docs(0 until 30).write.format("graft").partitionBy("lang").save(pPath)
+    val langDirs = new java.io.File(pPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("lang="))
+    assert(langDirs.toSet == Set("lang=lang0", "lang=lang1", "lang=lang2"))
+    // an append restating DIFFERENT partitioning refuses loudly
+    val e = intercept[Exception] {
+      docs(30 until 40).write.format("graft").partitionBy("doc_id").mode("append").save(pPath)
+    }
+    assert(e.getMessage.contains("partition"))
+    // matching partitionBy (or none) appends fine
+    docs(30 until 60).write.format("graft").partitionBy("lang").mode("append").save(pPath)
+    assert(SnapshotTable.read(spark, pPath).count() == 60L)
+    // the V2 READ of a non-parquet chain refuses loudly (the scan
+    // delegates to the vectorized parquet reader; API reads any format)
+    val orcRead = intercept[Exception] {
+      spark.read.format("graft").load(orcPath).count()
+    }
+    assert(orcRead.getMessage.contains("parquet"))
+  }
+
+  test("TBLPROPERTIES keys are case-insensitive; multi-change ALTER validates upfront") {
+    withCatalog { cat =>
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      spark.sql(s"CREATE TABLE $cat.ci (doc_id BIGINT, text STRING) " +
+        "TBLPROPERTIES ('Stats' = 'doc_id')")
+      spark.sql(s"INSERT INTO $cat.ci VALUES (1, 'a'), (2, 'b')")
+      // the mixed-case stats property was HONORED (sidecar config set)
+      val (_, rep) = SnapshotTable.readWhereReport(spark, s"$wh/ci",
+        col("doc_id") === 1L)
+      assert(rep.nFilesTotal > 0)
+      val mf = scala.io.Source.fromFile(
+        new java.io.File(s"$wh/ci/_versions/v00000002.txt")).mkString
+      assert(mf.contains("stats:doc_id"), s"stats config not persisted: $mf")
+      // unknown keys still refuse, case-insensitively
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $cat.ci2 (x BIGINT, y BIGINT) TBLPROPERTIES ('Bogus' = '1')")
+      }
+      assert(e.getMessage.toLowerCase.contains("bogus"))
+      // a multi-change ALTER with one unsupported change applies NOTHING
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+      val catalog = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val before = SnapshotTable.currentVersion(spark, s"$wh/ci").get
+      intercept[Exception] {
+        catalog.alterTable(Identifier.of(Array.empty, "ci"),
+          TableChange.renameColumn(Array("text"), "body"),
+          TableChange.setProperty("k", "v"))
+      }
+      assert(SnapshotTable.currentVersion(spark, s"$wh/ci").get == before,
+        "a failed multi-change ALTER must not half-apply")
+      assert(spark.table(s"$cat.ci").columns.toSeq == Seq("doc_id", "text"))
+    }
   }
 
   test("writes through a time-travel-pinned load refuse loudly") {
