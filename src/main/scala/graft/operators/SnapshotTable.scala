@@ -4071,7 +4071,8 @@ object SnapshotTable {
           val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
             parentV, "positional delete", parentM.schema, parentM.partitionCols,
             (v, k) => if (k != "append" && k != "posdelete" &&
-                k != "merge-on-read" && k != "posdelete-compact")
+                k != "posupdate" && k != "merge-on-read" &&
+                k != "posdelete-compact")
               throw new java.io.IOException(
                 s"positional delete at $path lost the commit race to version $v " +
                   s"(kind '$k'); the rewrite may have moved the rows these " +
@@ -4130,7 +4131,8 @@ object SnapshotTable {
           val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
             cur, "posdelete compaction", m.schema, m.partitionCols,
             (v, k) => if (k != "append" && k != "posdelete" &&
-                k != "merge-on-read" && k != "posdelete-compact")
+                k != "posupdate" && k != "merge-on-read" &&
+                k != "posdelete-compact")
               throw new java.io.IOException(
                 s"posdelete compaction at $path lost the commit race to " +
                   s"version $v (kind '$k'); re-run against the current snapshot"),
@@ -4146,6 +4148,135 @@ object SnapshotTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  final case class PosUpdateStats(version: Long, nUpdated: Long,
+                                  committed: Boolean)
+
+  /** Test seam like the other commit faults: fires once before
+    * [[updateWherePositional]]'s first commit attempt.
+    */
+  private[graft] var posUpdateCommitFault: () => Unit = () => ()
+
+  /** SQL's `UPDATE t SET c = expr, ... WHERE ...` as a committed
+    * POSITIONAL merge-on-read operator — the keyless UPDATE completing
+    * [[deleteWherePositional]]'s tier (Iceberg v2's
+    * update-as-delete-plus-insert contract): victims resolve through
+    * the SAME stats-pruned scan over the existing overlay, their
+    * (file subpath, row ordinal) identity commits as a `_posdel/`
+    * sidecar, and their UPDATED forms stage as one ordinary delta
+    * directory — both in ONE commit (kind `posupdate`), so readers see
+    * the update atomically and time travel reads the pre-update rows
+    * exactly. No key column, no data-file rewrite: O(matches) work.
+    *
+    * SET semantics: each expression may reference the row's columns;
+    * values cast to the column's table type (the INSERT store
+    * contract). CHECK constraints gate the UPDATED form with merge's
+    * drop rule — a drop-mode-violating updated row keeps its OLD form
+    * (excluded from BOTH the sidecar and the new dir), never silently
+    * deleted; fail-mode refuses the whole update. Updating a partition
+    * column relocates the rewritten rows to their new `k=v` dirs.
+    *
+    * Dedup interaction: the updated rows are NEW content the parent
+    * bloom does not cover, so the commit DROPS the bloom reference
+    * (the plain-append rule — the next ingest pays the documented
+    * one-scan rebuild); masked old content conservatively stays in the
+    * dedup universe until a rewrite, like every MOR mask. Concurrency:
+    * a lost race rebases over file-preserving interleavings
+    * (append / posdelete / posupdate / merge-on-read /
+    * posdelete-compact) by re-homing the staged dir; rewrites conflict
+    * loudly. Snapshot isolation: rows a racing append admits are not
+    * retro-matched.
+    */
+  def updateWherePositional(spark: SparkSession, path: String,
+                            predicate: Column, set: Map[String, Column],
+                            retries: Int = 5): PosUpdateStats = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "updateWherePositional: SET map is empty")
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, cur)
+    require(m.format == "parquet",
+      "positional updates need parquet row ordinals (_metadata.row_index); " +
+        s"table format is '${m.format}'")
+    val schema = m.schema.getOrElse(nullableSchema(readAt(spark, path, cur).schema))
+    val unknown = set.keys.filterNot(schema.fieldNames.contains).toSeq
+    require(unknown.isEmpty,
+      s"updateWherePositional: SET column(s) ${unknown.mkString(", ")} " +
+        s"not in table schema (${schema.fieldNames.mkString(", ")})")
+    val (perDir, _) = planPrunedFiles(spark, path, m, Some(predicate))
+    if (perDir.forall(_._3.isEmpty))
+      return PosUpdateStats(cur, 0L, committed = false)
+    val (victims, _) = buildPrunedRead(spark, path, m, perDir, predicate,
+      PruneReport(0, 0), exposePos = true)
+    val updated = set.foldLeft(victims) { case (df, (k, expr)) =>
+      df.withColumn(k, expr.cast(schema(schema.fieldIndex(k)).dataType))
+    }
+    val gated = enforceConstraints(updated, m.constraints, "positional update")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val name = f"p${cur + 1}%08d-${java.util.UUID.randomUUID().toString.take(8)}"
+      gated.select(col(posFileCol).as("file"), col(posOrdCol).as("ord"))
+        .write.mode("overwrite").format(m.format)
+        .save(posDeletePath(path, name).toString)
+      val nUpdated = spark.read.format(m.format)
+        .load(posDeletePath(path, name).toString).count()
+      if (nUpdated == 0L) {
+        fs(spark, new Path(path)).delete(posDeletePath(path, name), true)
+        return PosUpdateStats(cur, 0L, committed = false)
+      }
+      var updDir = stageDir(cur + 1)
+      stagedWrite(gated.select(schema.fieldNames.map(col(_)).toSeq: _*),
+        new Path(path, updDir), m.format, m.partitionCols, m.physmap)
+      val writtenReader = spark.read.format(m.format)
+      val written =
+        (if (m.partitionCols.isEmpty) writtenReader
+         else writtenReader.schema(physSchema(schema, m.physmap)))
+          .load(new Path(path, updDir).toString)
+      writeStatsSidecar(spark, path, updDir, written,
+        m.statsCols.map(c => m.physmap.getOrElse(c, c)))
+      val fault = posUpdateCommitFault
+      posUpdateCommitFault = () => ()
+      fault()
+      val f = fs(spark, new Path(path))
+      var parentV = cur
+      var parentM = m
+      var attempt = 0
+      while (true) {
+        val v = parentV + 1
+        if (dirVersion(updDir) != v) {
+          val renamed = stageDir(v)
+          renameStaged(f, path, updDir, renamed)
+          updDir = renamed
+        }
+        try {
+          commit(spark, path, v, parentM.copy(
+            dirs = parentM.dirs :+ updDir, bloom = None,
+            posDeletes = parentM.posDeletes :+ name,
+            kind = Some("posupdate")))
+          return PosUpdateStats(v, nUpdated, committed = true)
+        } catch {
+          case _: CommitConflictException =>
+            val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+              parentV, "positional update", parentM.schema, parentM.partitionCols,
+              (cv, k) => if (k != "append" && k != "posdelete" &&
+                  k != "posupdate" && k != "merge-on-read" &&
+                  k != "posdelete-compact")
+                throw new java.io.IOException(
+                  s"positional update at $path lost the commit race to version $cv " +
+                    s"(kind '$k'); the rewrite may have moved the rows these " +
+                    "ordinals reference — re-run against the current snapshot"),
+              expectPhysmap = parentM.physmap)
+            attempt += 1
+            if (attempt >= retries) throw new java.io.IOException(
+              s"positional update at $path lost $retries consecutive commit " +
+                "races; giving up — retry under lower commit contention")
+            parentV = winnerV
+            parentM = winnerM
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally { gated.unpersist(); () }
   }
 
   /** SQL's `DELETE FROM t WHERE ...` as a committed operator: resolve

@@ -4462,6 +4462,43 @@ object TrainingData {
       WHERE NOT (doc_id >= 100 AND doc_id < 400 AND COALESCE(lang = 'en', FALSE))
       ORDER BY doc_id"""))
 
+  // ---- d46_positional_update: keyless UPDATE over the posdelete tier ----
+  // `updateWherePositional` — Iceberg v2's update-as-delete-plus-insert
+  // in ONE commit: victims resolve through the stats-pruned scan, their
+  // (file, row-ordinal) identity commits as a `_posdel/` sidecar and
+  // their UPDATED forms as one ordinary delta dir; no key column, no
+  // data-file rewrite, O(matches) work. DuckDB replays the update as a
+  // plain CASE WHEN projection.
+  private def d46Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d46", expect = Seq(1L, 2L, 3L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 300), path, "text",
+        expectedItems = 100000L, statsCols = Seq("doc_id"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") >= 300), path, "text",
+        expectedItems = 100000L)
+      SnapshotTable.updateWherePositional(s, path,
+        col("doc_id").between(100, 399) && col("lang") === "en",
+        Map("n_chars" -> (col("n_chars") + lit(1000000L)),
+            "lang" -> lit("en-up")))
+      ()
+    }
+
+  private val d46 = Q(
+    (s, dir) => {
+      SnapshotTable.read(s, d46Fixture(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 100 AND 399 AND COALESCE(lang = 'en', FALSE)
+                  THEN 'en-up' ELSE lang END AS lang,
+             CASE WHEN doc_id BETWEEN 100 AND 399 AND COALESCE(lang = 'en', FALSE)
+                  THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+      FROM documents
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4511,6 +4548,7 @@ object TrainingData {
     "d43_positional_delete" -> d43,
     "d44_sql_ingest" -> d44,
     "d45_sql_delete" -> d45,
+    "d46_positional_update" -> d46,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -284,7 +284,7 @@ class Round12Spec extends SparkSpec {
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until steps).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(22)
+        val op = if (i == 0) 0 else r.nextInt(23)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -595,6 +595,24 @@ class Round12Spec extends SparkSpec {
             SnapshotTable.deleteWherePositional(spark, path,
               col("doc_id").between(zlo, zhi))
             model = model.filterNot(p => p._1 >= zlo && p._1 <= zhi)
+            record()
+          case 22 => // POSITIONAL update over a random id range (late
+            // r15): keyless UPDATE as ONE posdelete+append commit. The
+            // rewritten text takes an "upd$i " PREFIX — never 'bad '-
+            // prefixed, so the drop-mode constraint cannot gate it and
+            // the model mirrors unconditionally; the step index keeps
+            // the new text unique, so the visible-content dedup model
+            // stays exact (the masked OLD text conservatively remains
+            // in the engine's universe, which only re-ingests of
+            // VISIBLE model content ever probe).
+            val ulo = r.nextInt(40).toLong
+            val uhi = ulo + r.nextInt(8)
+            opsRun += s"posUpdate($ulo..$uhi)"
+            SnapshotTable.updateWherePositional(spark, path,
+              col("doc_id").between(ulo, uhi),
+              Map(textName -> concat(lit(s"upd$i "), col(textName))))
+            model = model.map(p =>
+              if (p._1 >= ulo && p._1 <= uhi) (p._1, s"upd$i ${p._2}") else p)
             record()
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"

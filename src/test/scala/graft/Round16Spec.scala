@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SnapshotTable
+
+/** Late-round-15 additions: the keyless positional UPDATE tier
+  * ([[SnapshotTable.updateWherePositional]] — Iceberg v2's
+  * update-as-delete-plus-insert in ONE commit) and its interactions
+  * with constraints, partitioning, races, time travel, and the
+  * mask-applying V2 scan.
+  */
+class Round16Spec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def table(prefix: String): String = {
+    import spark.implicits._
+    val path = tmp(prefix)
+    Seq(0 until 200, 200 until 400).foreach { r =>
+      SnapshotTable.ingest(spark,
+        r.map(i => (i.toLong, s"text-$i", s"lang${i % 3}", i * 10L))
+          .toDF("doc_id", "text", "lang", "n_chars"),
+        path, "text", expectedItems = 10000L, statsCols = Seq("doc_id"))
+    }
+    path
+  }
+
+  test("updateWherePositional: atomic delete-plus-insert, exact time travel, O(matches) sidecar") {
+    val path = table("graft-posupd")
+    val st = SnapshotTable.updateWherePositional(spark, path,
+      col("doc_id").between(150L, 249L) && col("lang") === "lang1",
+      Map("n_chars" -> (col("n_chars") + lit(100000L)),
+          "text" -> concat(col("text"), lit("!up"))))
+    val hit = (150 to 249).filter(_ % 3 == 1)
+    assert(st.committed && st.version == 3L && st.nUpdated == hit.size.toLong)
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.count() == 400L) // updates never change cardinality
+    // updated rows carry BOTH new values; untouched rows are intact
+    assert(cur.filter(col("n_chars") > 90000L).count() == hit.size.toLong)
+    assert(cur.filter(col("doc_id") === 151L).select("text").head.getString(0)
+      == "text-151!up")
+    assert(cur.filter(col("doc_id") === 150L).select("text").head.getString(0)
+      == "text-150") // lang0: predicate misses
+    // time travel reads the pre-update rows exactly
+    assert(SnapshotTable.readAt(spark, path, 2L)
+      .filter(col("n_chars") > 90000L).count() == 0L)
+    // ONE commit: delete sidecar + new dir arrive atomically
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L, 3L))
+    // the V2 scan applies the same mask
+    val v2 = spark.read.format("graft").load(path)
+    assert(v2.count() == 400L)
+    assert(v2.except(cur).isEmpty && cur.except(v2).isEmpty)
+    // predicate matching nothing commits nothing
+    val noop = SnapshotTable.updateWherePositional(spark, path,
+      col("doc_id") === -1L, Map("n_chars" -> lit(0L)))
+    assert(!noop.committed && SnapshotTable.currentVersion(spark, path).get == 3L)
+    // unknown SET column refuses before any I/O
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.updateWherePositional(spark, path,
+        col("doc_id") === 1L, Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("updateWherePositional: constraints gate the UPDATED form (drop keeps old, fail refuses)") {
+    val path = table("graft-posupd-con")
+    SnapshotTable.addConstraint(spark, path, "chars_cap",
+      "n_chars < 50000", mode = "drop")
+    // doc 10 updates under the cap; doc 11's update violates -> keeps OLD form
+    SnapshotTable.updateWherePositional(spark, path,
+      col("doc_id").isin(10L, 11L),
+      Map("n_chars" -> when(col("doc_id") === 10L, lit(40000L))
+        .otherwise(lit(99999L))))
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.filter(col("doc_id") === 10L).select("n_chars").head.getLong(0) == 40000L)
+    assert(cur.filter(col("doc_id") === 11L).select("n_chars").head.getLong(0) == 110L,
+      "a drop-mode-violating update must keep the OLD row, not delete it")
+    assert(cur.count() == 400L)
+    // fail mode refuses the whole update, nothing committed
+    SnapshotTable.dropConstraint(spark, path, "chars_cap")
+    SnapshotTable.addConstraint(spark, path, "chars_cap2",
+      "n_chars < 50000", mode = "fail")
+    val before = SnapshotTable.currentVersion(spark, path).get
+    val e = intercept[Exception] {
+      SnapshotTable.updateWherePositional(spark, path,
+        col("doc_id") === 12L, Map("n_chars" -> lit(99999L)))
+    }
+    assert(e.getMessage.contains("chars_cap2"))
+    assert(SnapshotTable.currentVersion(spark, path).get == before)
+  }
+
+  test("updateWherePositional: racing posdelete rebases; racing compact conflicts loudly") {
+    val path = table("graft-posupd-race")
+    SnapshotTable.posUpdateCommitFault = () => {
+      SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 5L)
+      ()
+    }
+    val st = SnapshotTable.updateWherePositional(spark, path,
+      col("doc_id") === 7L, Map("n_chars" -> lit(777L)))
+    assert(st.committed && st.version == 4L, "loser must rebase onto the racer's slot")
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.count() == 399L) // the racing delete landed too
+    assert(cur.filter(col("doc_id") === 7L).select("n_chars").head.getLong(0) == 777L)
+    // a racing full compact moves files -> conflict, loudly
+    SnapshotTable.posUpdateCommitFault = () => {
+      SnapshotTable.compact(spark, path, textCol = Some("text"),
+        expectedItems = 10000L)
+      ()
+    }
+    val e = intercept[java.io.IOException] {
+      SnapshotTable.updateWherePositional(spark, path,
+        col("doc_id") === 8L, Map("n_chars" -> lit(888L)))
+    }
+    assert(e.getMessage.contains("kind 'compact'"))
+  }
+
+  test("updateWherePositional relocates rows when SET touches a partition column") {
+    import spark.implicits._
+    val path = tmp("graft-posupd-part")
+    SnapshotTable.ingest(spark,
+      (0 until 90).map(i => (i.toLong, s"t-$i", s"lang${i % 3}"))
+        .toDF("doc_id", "text", "lang"),
+      path, "text", expectedItems = 10000L, partitionCols = Seq("lang"))
+    SnapshotTable.updateWherePositional(spark, path,
+      col("doc_id") < 30 && col("lang") === "lang0",
+      Map("lang" -> lit("langX")))
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.count() == 90L)
+    val moved = (0 until 30).count(_ % 3 == 0)
+    assert(cur.filter(col("lang") === "langX").count() == moved.toLong)
+    assert(cur.filter(col("lang") === "lang0").count() == (30 - moved).toLong)
+    // the new dir carries the hive layout for the new value
+    def dirs(p: String) = Option(new java.io.File(p).listFiles()).toSeq.flatten
+    val updDirs = dirs(path).filter(f => f.isDirectory && f.getName.startsWith("snap-000000"))
+      .flatMap(d => dirs(d.toString)).map(_.getName)
+    assert(updDirs.contains("lang=langX"))
+  }
+
+  test("updateWherePositional then ingest: updated content enters the dedup universe via rebuild") {
+    import spark.implicits._
+    val path = tmp("graft-posupd-dedup")
+    def docs(r: Range) = r.map(i => (i.toLong, s"text-$i")).toDF("doc_id", "text")
+    SnapshotTable.ingest(spark, docs(0 until 100), path, "text",
+      expectedItems = 10000L)
+    SnapshotTable.updateWherePositional(spark, path,
+      col("doc_id") === 5L, Map("text" -> lit("updated-five")))
+    // re-ingesting the UPDATED content must dedup (bloom was dropped,
+    // the one-scan rebuild covers the new text)
+    val st = SnapshotTable.ingest(spark,
+      Seq((500L, "updated-five"), (501L, "brand-new")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 10000L)
+    assert(st.nNew == 1L)
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.filter(col("text") === "updated-five").count() == 1L)
+    assert(cur.filter(col("text") === "brand-new").count() == 1L)
+  }
+}
