@@ -394,8 +394,12 @@ object SnapshotTable {
     val physmap = assignPhysical(committedSchema, parentPhys, parentRetired)
     val dir = stageDir(next)
     stagedWrite(gated, new Path(path, dir), format, effParts, physmap)
+    // declare the schema at the stats re-read: a zero-row PARTITIONED
+    // overwrite (CREATE TABLE of a partitioned table) stages no data
+    // files at all, and a bare load of the empty dir cannot infer
     writeStatsSidecar(spark, path, dir,
-      spark.read.format(format).load(new Path(path, dir).toString),
+      spark.read.format(format).schema(physSchema(committedSchema, physmap))
+        .load(new Path(path, dir).toString),
       effStats.map(c => physmap.getOrElse(c, c)))
     commit(spark, path, next, Manifest(Seq(dir), format, None,
       Some(committedSchema), effStats, kind = Some("overwrite"),
@@ -4278,6 +4282,91 @@ object SnapshotTable {
       throw new IllegalStateException("unreachable")
     } finally { gated.unpersist(); () }
   }
+
+  /** Commit the output of a DSv2 row-level DELTA write
+    * ([[graft.sources.v2.GraftDeltaWrite]] — SQL UPDATE / MERGE INTO /
+    * subquery DELETE): the executors have already staged `stagedDir`
+    * (the inserted/updated rows as ordinary data files, physical names,
+    * hive layout) and `sidecar` (the deleted rows' (file subpath,
+    * ordinal) identity under `_posdel/`); this resolves the commit
+    * version, writes the stats sidecar for the staged dir, and lands
+    * the manifest with the SAME optimistic-concurrency rebase as
+    * [[updateWherePositional]]. Kind by content: deletes+inserts →
+    * `posupdate`, deletes only → `posdelete`, inserts only → `append`.
+    * A staged dir of new content drops the bloom reference (the
+    * plain-append rule); a pure delete keeps it (over-coverage is
+    * safe).
+    */
+  private[graft] def commitRowLevelDelta(spark: SparkSession, path: String,
+      stagedDir0: Option[String], sidecar: Option[String],
+      retries: Int = 5): Long = {
+    require(stagedDir0.nonEmpty || sidecar.nonEmpty,
+      "row-level delta commit with neither staged data nor a delete sidecar")
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, cur)
+    val kind =
+      if (stagedDir0.isDefined && sidecar.isDefined) "posupdate"
+      else if (sidecar.isDefined) "posdelete"
+      else "append"
+    stagedDir0.foreach { d =>
+      val schema = m.schema.getOrElse(nullableSchema(readAt(spark, path, cur).schema))
+      val reader = spark.read.format(m.format)
+      val written =
+        (if (m.partitionCols.isEmpty) reader
+         else reader.schema(physSchema(schema, m.physmap)))
+          .load(new Path(path, d).toString)
+      writeStatsSidecar(spark, path, d, written,
+        m.statsCols.map(c => m.physmap.getOrElse(c, c)))
+    }
+    val f = fs(spark, new Path(path))
+    var stagedDir = stagedDir0
+    var parentV = cur
+    var parentM = m
+    var attempt = 0
+    while (true) {
+      val v = parentV + 1
+      stagedDir = stagedDir.map { d =>
+        if (dirVersion(d) == v) d
+        else { val r = stageDir(v); renameStaged(f, path, d, r); r }
+      }
+      try {
+        commit(spark, path, v, parentM.copy(
+          dirs = parentM.dirs ++ stagedDir.toSeq,
+          bloom = if (stagedDir.isDefined) None else parentM.bloom,
+          posDeletes = parentM.posDeletes ++ sidecar.toSeq,
+          kind = Some(kind)))
+        return v
+      } catch {
+        case _: CommitConflictException =>
+          val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+            parentV, s"row-level $kind", parentM.schema, parentM.partitionCols,
+            (cv, k) => if (k != "append" && k != "posdelete" &&
+                k != "posupdate" && k != "merge-on-read" &&
+                k != "posdelete-compact")
+              throw new java.io.IOException(
+                s"row-level $kind at $path lost the commit race to version $cv " +
+                  s"(kind '$k'); the rewrite may have moved the rows these " +
+                  "ordinals reference — re-run against the current snapshot"),
+            expectPhysmap = parentM.physmap)
+          attempt += 1
+          if (attempt >= retries) throw new java.io.IOException(
+            s"row-level $kind at $path lost $retries consecutive commit " +
+              "races; giving up — retry under lower commit contention")
+          parentV = winnerV
+          parentM = winnerM
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Fresh staging names for a row-level delta write (the V2 writers
+    * need them before the commit version is known; [[commitRowLevelDelta]]
+    * re-homes on version races).
+    */
+  private[graft] def rowLevelStagingNames(parentV: Long): (String, String) =
+    (stageDir(parentV + 1),
+      f"p${parentV + 1}%08d-${java.util.UUID.randomUUID().toString.take(8)}")
 
   /** SQL's `DELETE FROM t WHERE ...` as a committed operator: resolve
     * the victims through the STATS-PRUNED scan (a selective predicate

@@ -4499,6 +4499,88 @@ object TrainingData {
       FROM documents
       ORDER BY doc_id"""))
 
+  // ---- d47_sql_update / d48_sql_merge: SQL row-level DML ----------------
+  // UPDATE and MERGE INTO through [[graft.sources.v2.GraftCatalog]] —
+  // the SupportsDelta row-level contract: Spark reads the table with
+  // the _graft_file/_graft_pos rowId metadata columns, computes per-row
+  // delete/insert ops, and the V2 delta writers stage them from the
+  // executors as a _posdel sidecar + one delta dir, committed
+  // atomically (kind posupdate). DuckDB replays the UPDATE as a CASE
+  // WHEN projection and the MERGE as its relational decomposition.
+  private def d47Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d47", expect = Seq(1L, 2L, 3L, 4L)) { path =>
+      val (cat, name) = sqlCatalogFor(s, path)
+      t(s, dir, "documents").createOrReplaceTempView("d47_src")
+      s.sql(s"CREATE TABLE $cat.`$name` TBLPROPERTIES ('stats' = 'doc_id') " +
+        "AS SELECT doc_id, lang, n_chars, text FROM d47_src")
+      s.sql(s"INSERT INTO $cat.`$name` " +
+        "SELECT doc_id + 1000000, lang, n_chars, text FROM d47_src WHERE doc_id < 50")
+      s.sql(s"UPDATE $cat.`$name` SET n_chars = n_chars + 7000000, lang = 'up' " +
+        "WHERE doc_id >= 120 AND doc_id < 420 AND lang = 'en'")
+      ()
+    }
+
+  private val d47 = Q(
+    (s, dir) => {
+      val path = d47Fixture(s, dir)
+      val (cat, name) = sqlCatalogFor(s, path)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.`$name` ORDER BY doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id < 50)
+      SELECT doc_id,
+             CASE WHEN doc_id >= 120 AND doc_id < 420 AND COALESCE(lang = 'en', FALSE)
+                  THEN 'up' ELSE lang END AS lang,
+             CASE WHEN doc_id >= 120 AND doc_id < 420 AND COALESCE(lang = 'en', FALSE)
+                  THEN n_chars + 7000000 ELSE n_chars END AS n_chars
+      FROM base
+      ORDER BY doc_id"""))
+
+  private def d48Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d48", expect = Seq(1L, 2L, 3L)) { path =>
+      val (cat, name) = sqlCatalogFor(s, path)
+      t(s, dir, "documents").createOrReplaceTempView("d48_src")
+      s.sql(s"CREATE TABLE $cat.`$name` TBLPROPERTIES ('stats' = 'doc_id') " +
+        "AS SELECT doc_id, lang, n_chars FROM d48_src")
+      // the change batch: updates for doc_id%10=3, deletes for %10=7,
+      // inserts above the id space — the CDC-apply shape
+      s.sql(s"""
+        MERGE INTO $cat.`$name` t
+        USING (
+          SELECT doc_id, 'merged' AS lang, n_chars + 5000000 AS n_chars,
+                 CASE WHEN doc_id % 10 = 7 THEN true ELSE false END AS is_del
+          FROM d48_src WHERE doc_id % 10 IN (3, 7)
+          UNION ALL
+          SELECT doc_id + 2000000, 'fresh', doc_id, false
+          FROM d48_src WHERE doc_id < 25
+        ) c ON t.doc_id = c.doc_id
+        WHEN MATCHED AND c.is_del THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.lang = c.lang, t.n_chars = c.n_chars
+        WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+          VALUES (c.doc_id, c.lang, c.n_chars)""")
+      ()
+    }
+
+  private val d48 = Q(
+    (s, dir) => {
+      val path = d48Fixture(s, dir)
+      val (cat, name) = sqlCatalogFor(s, path)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.`$name` ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 3 THEN 'merged' ELSE lang END AS lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 5000000 ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE doc_id % 10 <> 7
+      UNION ALL
+      SELECT doc_id + 2000000, 'fresh', doc_id
+      FROM documents WHERE doc_id < 25
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4549,6 +4631,8 @@ object TrainingData {
     "d44_sql_ingest" -> d44,
     "d45_sql_delete" -> d45,
     "d46_positional_update" -> d46,
+    "d47_sql_update" -> d47,
+    "d48_sql_merge" -> d48,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -190,18 +190,69 @@ object GraftTable {
   }
 }
 
+/** The engine's row-identity METADATA COLUMNS — the V2 analogue of
+  * parquet's `_metadata` struct and the rowId the SQL row-level
+  * commands (UPDATE / MERGE / subquery DELETE) join on: `_graft_file`
+  * is the row's snapshot-dir-relative file subpath (the canonical file
+  * identity every sidecar keys on) and `_graft_pos` its in-file row
+  * ordinal. Non-nullable by construction (every physical row has
+  * both); hidden from `SELECT *`, selectable by name.
+  */
+object GraftMeta {
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+  val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
+  val names: Seq[String] = Seq(FileCol, PosCol)
+  def typeOf(name: String): DataType =
+    if (name == FileCol) StringType else LongType
+  final class Col(cname: String, doc: String)
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = cname
+    override def dataType(): DataType = typeOf(cname)
+    override def isNullable: Boolean = false
+    override def comment(): String = doc
+  }
+  val columns: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new Col(FileCol, "snapshot-dir-relative data file subpath"),
+      new Col(PosCol, "row ordinal within the data file"))
+}
+
 class GraftTable(spark: SparkSession, path: String, version: Long,
                  m: SnapshotTable.Manifest, logical: StructType,
                  pinned: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
   override def name(): String = s"graft.`$path` @ v$version"
   override def schema(): StructType = logical
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftMeta.columns
+
+  /** SQL `UPDATE` / `MERGE INTO` (and DELETEs whose predicates the
+    * metadata path cannot express, e.g. subqueries) — the DELTA-based
+    * row-level contract ([[SupportsDelta]]): Spark reads the table with
+    * the `_graft_file`/`_graft_pos` rowId columns, computes the per-row
+    * delete/insert operations, and [[GraftDeltaWrite]] lands them as
+    * the SAME commit shape the API operators use — a `_posdel/` sidecar
+    * plus one delta directory, atomically.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refusePinned(s"${info.command} (row-level operation)")
+    if (m.format != "parquet") throw new UnsupportedOperationException(
+      s"row-level SQL operations need the parquet V2 scan; table at $path " +
+        s"is committed as '${m.format}'")
+    () => new GraftRowLevelOperation(spark, path, m, logical, info.command)
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // the V2 scan delegates to Spark's vectorized PARQUET reader; a
     // chain committed under another format must refuse loudly rather
@@ -326,12 +377,17 @@ class GraftScanBuilder(spark: SparkSession, path: String,
     filters // all residual: pruning must never change the answer
   }
   override def pushedFilters(): Array[Filter] = pushed
+  private var requiredMeta: Seq[String] = Nil
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep only known table columns, in TABLE order with partition
     // columns last (the FileScan row layout: data fields then
-    // partition fields)
+    // partition fields); requested METADATA columns (_graft_file /
+    // _graft_pos — the rowId the SQL row-level commands join on) are
+    // tracked separately and appended to the output by the wrapper
     val want = requiredSchema.fieldNames.toSet
     required = StructType(logical.fields.filter(f => want.contains(f.name)))
+    requiredMeta = GraftMeta.names.filter(want.contains)
   }
 
   // ---- aggregate pushdown (MIN/MAX/COUNT from parquet footers) ----------
@@ -421,17 +477,19 @@ class GraftScanBuilder(spark: SparkSession, path: String,
     val logicalRead = StructType(
       required.fields.filterNot(f => partSet(f.name)) ++
         required.fields.filter(f => partSet(f.name)))
-    // positional-delete overlay: readable through the V2 scan by asking
-    // the parquet readers for each row's in-file ROW INDEX (the same
-    // `_metadata.row_index` identity the sidecars record) and masking
-    // against the driver-materialized delete set (size-gated — see
-    // [[SnapshotTable.posDeleteMask]]; materialized LAZILY at toBatch so
-    // streams and EXPLAIN never pay the sidecar read). Key-tombstone
-    // overlays still refuse at toBatch: their mask is a keyed
-    // anti-join, not a positional one.
+    // the per-file reader WRAPPER engages for two independent reasons:
+    // a positional-delete overlay (rows masked by (file, ordinal) —
+    // mask data materialized LAZILY at toBatch, size-gated, see
+    // [[SnapshotTable.posDeleteMask]]) and/or requested METADATA
+    // columns (the wrapper appends each row's file subpath and row
+    // index). Either way the parquet readers generate the row index
+    // via Spark's temp-column machinery. Key-tombstone overlays still
+    // refuse at toBatch: their mask is a keyed anti-join, not a
+    // positional one.
     val maskable = m.posDeletes.nonEmpty && m.tombstones.isEmpty
+    val wrap = maskable || requiredMeta.nonEmpty
     val readDataPhysEff =
-      if (maskable) StructType(readDataPhys.fields :+
+      if (wrap) StructType(readDataPhys.fields :+
         org.apache.spark.sql.types.StructField(
           org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
             .ROW_INDEX_TEMPORARY_COLUMN_NAME,
@@ -450,32 +508,39 @@ class GraftScanBuilder(spark: SparkSession, path: String,
       readPartPhys,
       pushed.flatMap(GraftFilters.rename(_, m.physOf)),
       CaseInsensitiveStringMap.empty())
-    new GraftScan(parquet, logicalRead, pushed, report, path, spark, m, index,
+    val logicalReadOut = StructType(logicalRead.fields ++ requiredMeta.map(n =>
+      org.apache.spark.sql.types.StructField(n, GraftMeta.typeOf(n),
+        nullable = false)))
+    new GraftScan(parquet, logicalReadOut, pushed, report, path, spark, m, index,
       StreamSchemas(dataPhys, readDataPhys, readPartPhys, phys(logical),
         pushed.flatMap(GraftFilters.rename(_, m.physOf))),
       options,
-      if (maskable) Some(PosMaskShape(
+      if (wrap) Some(RowWrapShape(
         rowIdxPos = readDataPhys.length,
-        fullSchema = StructType(readDataPhysEff.fields ++ readPartPhys.fields)))
+        fullSchema = StructType(readDataPhysEff.fields ++ readPartPhys.fields),
+        metaNames = requiredMeta,
+        masked = maskable))
       else None)
   }
 }
 
-/** The row-layout half of the positional-delete mask, fixed at scan
+/** The row-layout half of the per-file reader wrapper, fixed at scan
   * build: the position of the synthetic row-index column in the
-  * delegate's output rows and the delegate's FULL row schema (read data
-  * fields incl. the row index, then partition fields) so the wrapper
-  * can project the row index back out. The mask DATA materializes
-  * lazily at toBatch.
+  * delegate's output rows, the delegate's FULL row schema (read data
+  * fields incl. the row index, then partition fields), the metadata
+  * columns to append, and whether the positional-delete mask applies
+  * (its DATA materializes lazily at toBatch).
   */
-case class PosMaskShape(rowIdxPos: Int, fullSchema: StructType)
+case class RowWrapShape(rowIdxPos: Int, fullSchema: StructType,
+                        metaNames: Seq[String], masked: Boolean)
 
-/** [[PosMaskShape]] plus the materialized broadcast (file subpath →
-  * sorted deleted ordinals) mask.
+/** [[RowWrapShape]] plus the materialized broadcast (file subpath →
+  * sorted deleted ordinals) mask — empty when only metadata columns
+  * engaged the wrapper.
   */
-case class PosMaskSpec(
+case class RowWrapSpec(
     mask: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
-    rowIdxPos: Int, fullSchema: StructType)
+    shape: RowWrapShape)
 
 /** The schema slices a micro-batch stream needs per batch (captured at
   * scan build so every batch reads under the stream-start projection).
@@ -562,18 +627,16 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
                 index: GraftPrunedFileIndex,
                 streamSchemas: StreamSchemas = null,
                 options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-                maskShape: Option[PosMaskShape] = None)
+                wrapShape: Option[RowWrapShape] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   override def readSchema(): StructType = logicalRead
   // materialized once, only when a BATCH actually executes (streams and
   // EXPLAIN never read the sidecars); None = overlay too big to mask
-  private lazy val posMask: Option[PosMaskSpec] = maskShape.flatMap { sh =>
-    SnapshotTable.posDeleteMask(spark, path, m)
-      .map(mk => PosMaskSpec(spark.sparkContext.broadcast(mk),
-        sh.rowIdxPos, sh.fullSchema))
-  }
+  private lazy val posMask: Option[Map[String, Array[Long]]] =
+    if (wrapShape.exists(_.masked)) SnapshotTable.posDeleteMask(spark, path, m)
+    else Some(Map.empty)
   override def toBatch: Batch = {
     // key-tombstone refusal lives HERE, not at table load: a bare file
     // scan cannot apply the keyed anti-join mask, but a STREAM over
@@ -584,20 +647,25 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
         s"(${m.tombstones.size} key tombstone(s)); the V2 file scan " +
         "cannot apply a keyed mask — compact the table first, or read " +
         "through the SnapshotTable API")
-    // positional deletes ARE applied in-scan (posMask); the only refusal
-    // left is a compaction-starved overlay too big to materialize
-    if (m.posDeletes.nonEmpty && posMask.isEmpty) throw new IllegalArgumentException(
-      s"graft table at $path carries a positional-delete overlay too " +
-        "large for the in-scan mask (past the broadcast size bound); " +
-        "compact the table to materialize it, or read through the " +
-        "SnapshotTable API's distributed anti-join")
-    posMask match {
-      case Some(spec) => new PosMaskedBatch(delegate.toBatch, spec)
+    wrapShape match {
       case None => delegate.toBatch
+      case Some(sh) =>
+        // positional deletes ARE applied in-scan; the only refusal left
+        // is a compaction-starved overlay too big to materialize
+        val mask = posMask.getOrElse(throw new IllegalArgumentException(
+          s"graft table at $path carries a positional-delete overlay too " +
+            "large for the in-scan mask (past the broadcast size bound); " +
+            "compact the table to materialize it, or read through the " +
+            "SnapshotTable API's distributed anti-join"))
+        new RowWrappedBatch(delegate.toBatch,
+          RowWrapSpec(spark.sparkContext.broadcast(mask), sh))
     }
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (wrapShape.exists(_.metaNames.nonEmpty)) throw new UnsupportedOperationException(
+      "the graft streaming data read does not serve the _graft_file/_graft_pos " +
+        "metadata columns; select table columns only")
     val maxPerBatch = Option(options.get("maxVersionsPerBatch")).map { s =>
       val n = scala.util.Try(s.trim.toLong).getOrElse(
         throw new IllegalArgumentException(
@@ -637,36 +705,37 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
        else "") + ")"
 }
 
-/** The delegate batch with the positional-delete overlay applied INSIDE
-  * the readers: partitions are the delegate's, but each file's rows are
-  * filtered against the broadcast (file → sorted ordinals) mask using
-  * the row index the parquet reader generated, then projected back to
-  * the mask-free schema. Reads are row-based (a masked columnar batch
-  * would need row-by-row rebuilds anyway); the overlay is transient by
-  * design — [[graft.operators.SnapshotTable.compact]] materializes it
-  * and the scan returns to the vectorized path.
+/** The delegate batch wrapped per FILE: rows masked by the positional-
+  * delete overlay are skipped (broadcast (file subpath → sorted
+  * ordinals) mask, one binary search per row in masked files), and
+  * requested metadata columns (_graft_file as a per-file constant,
+  * _graft_pos from the generated row index) are appended. Reads are
+  * row-based while the wrapper is engaged (a filtered columnar batch
+  * would need row-by-row rebuilds anyway); plain scans keep the
+  * vectorized path untouched.
   */
-class PosMaskedBatch(inner: Batch, spec: PosMaskSpec) extends Batch {
+class RowWrappedBatch(inner: Batch, spec: RowWrapSpec) extends Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
   override def planInputPartitions(): Array[InputPartition] = inner.planInputPartitions()
   override def createReaderFactory(): PartitionReaderFactory =
-    PosMaskedReaderFactory(
+    RowWrappedReaderFactory(
       inner.createReaderFactory()
         .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory],
       spec)
 }
 
 /** Wraps the delegate's per-FILE readers (so each row's file identity is
-  * known without any per-row file column): rows whose (file name, row
-  * index) land in the mask are skipped; survivors project away the
-  * synthetic row-index column. Files absent from the mask stream
-  * through with one array lookup per file.
+  * known without any per-row file column). Output row = the delegate's
+  * fields minus the synthetic row-index column, plus the requested
+  * metadata columns; one codegen'd projection per file (the file
+  * subpath is a literal in it).
   */
-case class PosMaskedReaderFactory(
+case class RowWrappedReaderFactory(
     delegate: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
-    spec: PosMaskSpec)
+    spec: RowWrapSpec)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
@@ -674,10 +743,8 @@ case class PosMaskedReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition
       .asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition].files
-    val keep = spec.fullSchema.fields.indices.filterNot(_ == spec.rowIdxPos)
-    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-      keep.map(i => org.apache.spark.sql.catalyst.expressions.BoundReference(
-        i, spec.fullSchema.fields(i).dataType, spec.fullSchema.fields(i).nullable)))
+    val sh = spec.shape
+    val keep = sh.fullSchema.fields.indices.filterNot(_ == sh.rowIdxPos)
     new PartitionReader[InternalRow] {
       // mask keys are snapshot-dir-relative subpaths (the engine's
       // canonical file identity — bare names repeat across partition
@@ -691,6 +758,7 @@ case class PosMaskedReaderFactory(
       private var i = -1
       private var cur: PartitionReader[InternalRow] = _
       private var curDeleted: Array[Long] = _
+      private var proj: UnsafeProjection = _
       private var row: InternalRow = _
       override def next(): Boolean = {
         while (true) {
@@ -698,13 +766,24 @@ case class PosMaskedReaderFactory(
             i += 1
             if (i >= files.length) return false
             cur = delegate.buildReader(files(i))
-            curDeleted = spec.mask.value.getOrElse(subpathOf(files(i)), null)
+            val sub = subpathOf(files(i))
+            curDeleted = spec.mask.value.getOrElse(sub, null)
+            val metaExprs = sh.metaNames.map {
+              case GraftMeta.FileCol => Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(sub),
+                org.apache.spark.sql.types.StringType)
+              case GraftMeta.PosCol => BoundReference(sh.rowIdxPos,
+                org.apache.spark.sql.types.LongType, nullable = true)
+            }
+            proj = UnsafeProjection.create(
+              keep.map(k => BoundReference(k, sh.fullSchema.fields(k).dataType,
+                sh.fullSchema.fields(k).nullable)) ++ metaExprs)
           }
           if (!cur.next()) { cur.close(); cur = null }
           else {
             val r = cur.get()
             if (curDeleted == null || java.util.Arrays.binarySearch(
-                curDeleted, r.getLong(spec.rowIdxPos)) < 0) {
+                curDeleted, r.getLong(sh.rowIdxPos)) < 0) {
               row = r
               return true
             }

@@ -224,14 +224,15 @@ class GraftV2WriteSpec extends SparkSpec {
       val expect2 = (0 until 200).count(i =>
         !(i >= 50 && i < 80 && i % 3 == 0) && !(i % 3 != 1 && i < 10))
       assert(spark.sql(s"SELECT count(*) AS n FROM $cat.deltab").head.getLong(0) == expect2.toLong)
-      // an un-translatable predicate refuses loudly instead of guessing
-      val e = intercept[Exception] {
-        spark.sql(s"DELETE FROM $cat.deltab WHERE length(text) > 3")
-      }
-      assert(e.getMessage.toLowerCase.contains("delete"))
+      // a predicate the metadata path can't translate routes through the
+      // ROW-LEVEL delta path (SupportsDelta) instead of failing — the
+      // earlier loud-refusal pin is obsolete since the row-level arc
+      spark.sql(s"DELETE FROM $cat.deltab WHERE length(text) > 3 AND doc_id >= 190")
+      val expect3 = expect2 - 10 // doc_id 190..199 all survive expect2's deletes
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.deltab").head.getLong(0) == expect3.toLong)
       // compact materializes the overlay; SQL keeps reading the same rows
       SnapshotTable.compact(spark, s"$wh/deltab", targetFileBytes = 1L << 20)
-      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.deltab").head.getLong(0) == expect2.toLong)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.deltab").head.getLong(0) == expect3.toLong)
     }
   }
 
