@@ -4059,38 +4059,12 @@ object SnapshotTable {
     val fault = posDeleteCommitFault
     posDeleteCommitFault = () => ()
     fault()
-    var parentV = cur
-    var parentM = m
-    var attempt = 0
-    while (true) {
-      try {
-        commit(spark, path, parentV + 1, parentM.copy(
-          posDeletes = parentM.posDeletes :+ name, kind = Some("posdelete")))
-        return PosDeleteStats(parentV + 1, nDeleted, nFiles, committed = true)
-      } catch {
-        case _: CommitConflictException =>
-          // rebase: valid iff every interleaved commit PRESERVED the
-          // files our ordinals reference — appends add dirs, posdeletes
-          // and merge-on-read add sidecars/delta dirs; none moves a row
-          val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
-            parentV, "positional delete", parentM.schema, parentM.partitionCols,
-            (v, k) => if (k != "append" && k != "posdelete" &&
-                k != "posupdate" && k != "merge-on-read" &&
-                k != "posdelete-compact")
-              throw new java.io.IOException(
-                s"positional delete at $path lost the commit race to version $v " +
-                  s"(kind '$k'); the rewrite may have moved the rows these " +
-                  "ordinals reference — re-run against the current snapshot"),
-            expectPhysmap = parentM.physmap)
-          attempt += 1
-          if (attempt >= retries) throw new java.io.IOException(
-            s"positional delete at $path lost $retries consecutive commit races; " +
-              "giving up — retry under lower commit contention")
-          parentV = winnerV
-          parentM = winnerM
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    // rebase rules live in the shared kernel: file-preserving
+    // interleavings rebase, rewrites refuse, overlapping positional
+    // racers (same rows) refuse as write-write conflicts
+    val v = commitPositionalDelta(spark, path, cur, None, Some(name),
+      "positional delete", retries)
+    PosDeleteStats(v, nDeleted, nFiles, committed = true)
   }
 
   /** Fold the outstanding positional-delete sidecars into ONE — the
@@ -4229,88 +4203,57 @@ object SnapshotTable {
         fs(spark, new Path(path)).delete(posDeletePath(path, name), true)
         return PosUpdateStats(cur, 0L, committed = false)
       }
-      var updDir = stageDir(cur + 1)
+      val updDir = stageDir(cur + 1)
       stagedWrite(gated.select(schema.fieldNames.map(col(_)).toSeq: _*),
         new Path(path, updDir), m.format, m.partitionCols, m.physmap)
-      val writtenReader = spark.read.format(m.format)
-      val written =
-        (if (m.partitionCols.isEmpty) writtenReader
-         else writtenReader.schema(physSchema(schema, m.physmap)))
-          .load(new Path(path, updDir).toString)
-      writeStatsSidecar(spark, path, updDir, written,
-        m.statsCols.map(c => m.physmap.getOrElse(c, c)))
       val fault = posUpdateCommitFault
       posUpdateCommitFault = () => ()
       fault()
-      val f = fs(spark, new Path(path))
-      var parentV = cur
-      var parentM = m
-      var attempt = 0
-      while (true) {
-        val v = parentV + 1
-        if (dirVersion(updDir) != v) {
-          val renamed = stageDir(v)
-          renameStaged(f, path, updDir, renamed)
-          updDir = renamed
-        }
-        try {
-          commit(spark, path, v, parentM.copy(
-            dirs = parentM.dirs :+ updDir, bloom = None,
-            posDeletes = parentM.posDeletes :+ name,
-            kind = Some("posupdate")))
-          return PosUpdateStats(v, nUpdated, committed = true)
-        } catch {
-          case _: CommitConflictException =>
-            val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
-              parentV, "positional update", parentM.schema, parentM.partitionCols,
-              (cv, k) => if (k != "append" && k != "posdelete" &&
-                  k != "posupdate" && k != "merge-on-read" &&
-                  k != "posdelete-compact")
-                throw new java.io.IOException(
-                  s"positional update at $path lost the commit race to version $cv " +
-                    s"(kind '$k'); the rewrite may have moved the rows these " +
-                    "ordinals reference — re-run against the current snapshot"),
-              expectPhysmap = parentM.physmap)
-            attempt += 1
-            if (attempt >= retries) throw new java.io.IOException(
-              s"positional update at $path lost $retries consecutive commit " +
-                "races; giving up — retry under lower commit contention")
-            parentV = winnerV
-            parentM = winnerM
-        }
-      }
-      throw new IllegalStateException("unreachable")
+      val v = commitPositionalDelta(spark, path, cur, Some(updDir), Some(name),
+        "positional update", retries)
+      PosUpdateStats(v, nUpdated, committed = true)
     } finally { gated.unpersist(); () }
   }
 
-  /** Commit the output of a DSv2 row-level DELTA write
-    * ([[graft.sources.v2.GraftDeltaWrite]] — SQL UPDATE / MERGE INTO /
-    * subquery DELETE): the executors have already staged `stagedDir`
-    * (the inserted/updated rows as ordinary data files, physical names,
-    * hive layout) and `sidecar` (the deleted rows' (file subpath,
-    * ordinal) identity under `_posdel/`); this resolves the commit
-    * version, writes the stats sidecar for the staged dir, and lands
-    * the manifest with the SAME optimistic-concurrency rebase as
-    * [[updateWherePositional]]. Kind by content: deletes+inserts →
-    * `posupdate`, deletes only → `posdelete`, inserts only → `append`.
-    * A staged dir of new content drops the bloom reference (the
-    * plain-append rule); a pure delete keeps it (over-coverage is
-    * safe).
+  /** SHARED commit kernel for POSITIONAL delta commits — the tail of
+    * [[deleteWherePositional]], [[updateWherePositional]], and the DSv2
+    * row-level writes ([[graft.sources.v2.GraftDeltaWrite]] — SQL
+    * UPDATE / MERGE INTO / subquery DELETE). The callers have already
+    * staged `stagedDir` (inserted/updated rows as ordinary data files,
+    * physical names, hive layout) and/or `sidecar` (deleted rows'
+    * (file subpath, ordinal) identity under `_posdel/`); this writes
+    * the staged dir's stats sidecar and lands the manifest. Kind by
+    * content: deletes+inserts → `posupdate`, deletes only →
+    * `posdelete`, inserts only → `append`. A staged dir of new content
+    * drops the bloom reference (the plain-append rule); a pure delete
+    * keeps it (over-coverage is safe).
+    *
+    * The commit anchors at `scannedV` — the snapshot the victims were
+    * RESOLVED against, NOT the version current at commit time — so
+    * every commit that interleaved during a long scan/write phase goes
+    * through the rebase validation: file-preserving kinds rebase,
+    * rewrites refuse loudly, and interleaved positional commits are
+    * additionally checked for ROW OVERLAP with this commit's sidecar —
+    * two commands deleting/updating the SAME physical row are a
+    * write-write conflict (silently stacking them would duplicate an
+    * updated row or resurrect a deleted one), so the loser refuses and
+    * the caller re-runs against the new snapshot. The overlap check is
+    * exact and cheap: our victims exclude rows the parent snapshot
+    * already masked, so intersecting against the racers' (delta-scale)
+    * sidecars — folded ones included — can only flag true racers.
     */
-  private[graft] def commitRowLevelDelta(spark: SparkSession, path: String,
-      stagedDir0: Option[String], sidecar: Option[String],
-      retries: Int = 5): Long = {
+  private[graft] def commitPositionalDelta(spark: SparkSession, path: String,
+      scannedV: Long, stagedDir0: Option[String], sidecar: Option[String],
+      opName: String, retries: Int = 5): Long = {
     require(stagedDir0.nonEmpty || sidecar.nonEmpty,
-      "row-level delta commit with neither staged data nor a delete sidecar")
-    val cur = currentVersion(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no committed snapshot at $path"))
-    val m = readManifestChecked(spark, path, cur)
+      s"$opName commit with neither staged data nor a delete sidecar")
+    val m = readManifestChecked(spark, path, scannedV)
     val kind =
       if (stagedDir0.isDefined && sidecar.isDefined) "posupdate"
       else if (sidecar.isDefined) "posdelete"
       else "append"
     stagedDir0.foreach { d =>
-      val schema = m.schema.getOrElse(nullableSchema(readAt(spark, path, cur).schema))
+      val schema = m.schema.getOrElse(nullableSchema(readAt(spark, path, scannedV).schema))
       val reader = spark.read.format(m.format)
       val written =
         (if (m.partitionCols.isEmpty) reader
@@ -4321,7 +4264,7 @@ object SnapshotTable {
     }
     val f = fs(spark, new Path(path))
     var stagedDir = stagedDir0
-    var parentV = cur
+    var parentV = scannedV
     var parentM = m
     var attempt = 0
     while (true) {
@@ -4340,18 +4283,36 @@ object SnapshotTable {
       } catch {
         case _: CommitConflictException =>
           val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
-            parentV, s"row-level $kind", parentM.schema, parentM.partitionCols,
+            parentV, opName, parentM.schema, parentM.partitionCols,
             (cv, k) => if (k != "append" && k != "posdelete" &&
                 k != "posupdate" && k != "merge-on-read" &&
                 k != "posdelete-compact")
               throw new java.io.IOException(
-                s"row-level $kind at $path lost the commit race to version $cv " +
+                s"$opName at $path lost the commit race to version $cv " +
                   s"(kind '$k'); the rewrite may have moved the rows these " +
                   "ordinals reference — re-run against the current snapshot"),
             expectPhysmap = parentM.physmap)
+          // write-write conflict gate: sidecars the racers ADDED since
+          // our parent must not touch our victims
+          val racerSidecars =
+            winnerM.posDeletes.filterNot(parentM.posDeletes.toSet)
+          sidecar.filter(_ => racerSidecars.nonEmpty).foreach { ours =>
+            val ourDf = spark.read.format(m.format)
+              .load(posDeletePath(path, ours).toString)
+            val theirs = racerSidecars.map(n => spark.read.format(m.format)
+                .load(posDeletePath(path, n).toString))
+              .reduce(_ unionByName _)
+            if (ourDf.join(theirs, Seq("file", "ord"), "left_semi")
+                .limit(1).count() > 0)
+              throw new java.io.IOException(
+                s"$opName at $path lost the commit race to a concurrent " +
+                  "positional delete/update touching the SAME rows — " +
+                  "stacking them would duplicate or resurrect rows; " +
+                  "re-run against the current snapshot")
+          }
           attempt += 1
           if (attempt >= retries) throw new java.io.IOException(
-            s"row-level $kind at $path lost $retries consecutive commit " +
+            s"$opName at $path lost $retries consecutive commit " +
               "races; giving up — retry under lower commit contention")
           parentV = winnerV
           parentM = winnerM
@@ -4361,7 +4322,7 @@ object SnapshotTable {
   }
 
   /** Fresh staging names for a row-level delta write (the V2 writers
-    * need them before the commit version is known; [[commitRowLevelDelta]]
+    * need them before the commit version is known; [[commitPositionalDelta]]
     * re-homes on version races).
     */
   private[graft] def rowLevelStagingNames(parentV: Long): (String, String) =

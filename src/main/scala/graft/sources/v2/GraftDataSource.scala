@@ -251,7 +251,7 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
     if (m.format != "parquet") throw new UnsupportedOperationException(
       s"row-level SQL operations need the parquet V2 scan; table at $path " +
         s"is committed as '${m.format}'")
-    () => new GraftRowLevelOperation(spark, path, m, logical, info.command)
+    () => new GraftRowLevelOperation(spark, path, m, logical, info.command, version)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // the V2 scan delegates to Spark's vectorized PARQUET reader; a
@@ -745,6 +745,20 @@ case class RowWrappedReaderFactory(
       .asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition].files
     val sh = spec.shape
     val keep = sh.fullSchema.fields.indices.filterNot(_ == sh.rowIdxPos)
+    // ONE codegen'd projection per reader (not per file — a per-file
+    // subpath literal would compile a fresh generated class for every
+    // data file): the subpath rides an extra input slot past the
+    // delegate's row, joined in per file
+    val subSlot = sh.fullSchema.fields.length
+    val metaExprs = sh.metaNames.map {
+      case GraftMeta.FileCol => BoundReference(subSlot,
+        org.apache.spark.sql.types.StringType, nullable = false)
+      case GraftMeta.PosCol => BoundReference(sh.rowIdxPos,
+        org.apache.spark.sql.types.LongType, nullable = true)
+    }
+    val proj = UnsafeProjection.create(
+      keep.map(k => BoundReference(k, sh.fullSchema.fields(k).dataType,
+        sh.fullSchema.fields(k).nullable)) ++ metaExprs)
     new PartitionReader[InternalRow] {
       // mask keys are snapshot-dir-relative subpaths (the engine's
       // canonical file identity — bare names repeat across partition
@@ -758,7 +772,10 @@ case class RowWrappedReaderFactory(
       private var i = -1
       private var cur: PartitionReader[InternalRow] = _
       private var curDeleted: Array[Long] = _
-      private var proj: UnsafeProjection = _
+      private val subRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow()
       private var row: InternalRow = _
       override def next(): Boolean = {
         while (true) {
@@ -768,16 +785,8 @@ case class RowWrappedReaderFactory(
             cur = delegate.buildReader(files(i))
             val sub = subpathOf(files(i))
             curDeleted = spec.mask.value.getOrElse(sub, null)
-            val metaExprs = sh.metaNames.map {
-              case GraftMeta.FileCol => Literal(
-                org.apache.spark.unsafe.types.UTF8String.fromString(sub),
-                org.apache.spark.sql.types.StringType)
-              case GraftMeta.PosCol => BoundReference(sh.rowIdxPos,
-                org.apache.spark.sql.types.LongType, nullable = true)
-            }
-            proj = UnsafeProjection.create(
-              keep.map(k => BoundReference(k, sh.fullSchema.fields(k).dataType,
-                sh.fullSchema.fields(k).nullable)) ++ metaExprs)
+            subRow.update(0,
+              org.apache.spark.unsafe.types.UTF8String.fromString(sub))
           }
           if (!cur.next()) { cur.close(); cur = null }
           else {
@@ -791,7 +800,7 @@ case class RowWrappedReaderFactory(
         }
         false // unreachable
       }
-      override def get(): InternalRow = proj(row)
+      override def get(): InternalRow = proj(joined(row, subRow))
       override def close(): Unit = if (cur != null) cur.close()
     }
   }

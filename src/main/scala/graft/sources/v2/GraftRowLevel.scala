@@ -37,7 +37,8 @@ import org.apache.spark.util.SerializableConfiguration
   */
 class GraftRowLevelOperation(spark: SparkSession, path: String,
                              m: SnapshotTable.Manifest, logical: StructType,
-                             cmd: RowLevelOperation.Command)
+                             cmd: RowLevelOperation.Command,
+                             scannedV: Long)
     extends RowLevelOperation with SupportsDelta {
   override def command(): RowLevelOperation.Command = cmd
   override def rowId(): Array[NamedReference] =
@@ -48,7 +49,7 @@ class GraftRowLevelOperation(spark: SparkSession, path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(spark, path, m, logical, cmd)
+        new GraftDeltaWrite(spark, path, m, logical, cmd, scannedV)
     }
   override def description(): String = s"graft positional $cmd"
 }
@@ -64,16 +65,16 @@ case class GraftDeltaMessage(taskDir: String, dataFiles: Seq[String],
 
 class GraftDeltaWrite(spark: SparkSession, path: String,
                       m: SnapshotTable.Manifest, logical: StructType,
-                      cmd: RowLevelOperation.Command)
+                      cmd: RowLevelOperation.Command, scannedV: Long)
     extends DeltaWrite {
   override def toBatch: DeltaBatchWrite = new GraftDeltaBatchWrite(
-    spark, path, m, logical, cmd)
+    spark, path, m, logical, cmd, scannedV)
   override def description(): String = s"GraftDeltaWrite($cmd, $path)"
 }
 
 class GraftDeltaBatchWrite(spark: SparkSession, path: String,
                            m: SnapshotTable.Manifest, logical: StructType,
-                           cmd: RowLevelOperation.Command)
+                           cmd: RowLevelOperation.Command, scannedV: Long)
     extends DeltaBatchWrite {
   import scala.jdk.CollectionConverters._
 
@@ -138,7 +139,8 @@ class GraftDeltaBatchWrite(spark: SparkSession, path: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     GraftDeltaWriterFactory(tmpRoot, logical, physPayload,
       m.partitionCols.map(c => (logical.fieldIndex(c), m.physOf(c))),
-      boundConstraints, writeConf)
+      boundConstraints, writeConf,
+      spark.sessionState.conf.sessionLocalTimeZone)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case g: GraftDeltaMessage => g }
@@ -147,8 +149,7 @@ class GraftDeltaBatchWrite(spark: SparkSession, path: String,
     val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       if (!anyDeletes && !anyInserts) return // a no-op command: no commit
-      val parentV = SnapshotTable.currentVersion(spark, path).getOrElse(0L)
-      val (stagedDir, sidecarName) = SnapshotTable.rowLevelStagingNames(parentV)
+      val (stagedDir, sidecarName) = SnapshotTable.rowLevelStagingNames(scannedV)
       // move ONLY the files the committed task attempts reported —
       // zombie/speculative attempts' leftovers die with tmpRoot below
       def move(taskDir: String, rel: String, destRoot: Path): Unit = {
@@ -163,9 +164,14 @@ class GraftDeltaBatchWrite(spark: SparkSession, path: String,
         msg.sidecarFiles.foreach(move(msg.taskDir, _,
           SnapshotTable.posDeletePath(path, sidecarName)))
       }
-      SnapshotTable.commitRowLevelDelta(spark, path,
+      // anchored at the snapshot the SCAN resolved: every commit that
+      // interleaved during the write goes through the kernel's rebase
+      // validation (rewrites refuse; overlapping positional racers are
+      // write-write conflicts)
+      SnapshotTable.commitPositionalDelta(spark, path, scannedV,
         if (anyInserts) Some(stagedDir) else None,
-        if (anyDeletes) Some(sidecarName) else None)
+        if (anyDeletes) Some(sidecarName) else None,
+        s"row-level $cmd")
       ()
     } finally { f.delete(new Path(tmpRoot), true); () }
   }
@@ -186,7 +192,8 @@ case class GraftDeltaWriterFactory(
     tmpRoot: String, logical: StructType, physPayload: StructType,
     partitionCols: Seq[(Int, String)], // (index in logical row, physical name)
     constraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    sessionTz: String)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(this, partitionId, taskId)
@@ -257,7 +264,9 @@ class GraftDeltaWriter(fa: GraftDeltaWriterFactory, partitionId: Int, taskId: Lo
         if (row.isNullAt(idx)) null
         else org.apache.spark.sql.catalyst.expressions.Cast(
           org.apache.spark.sql.catalyst.expressions.Literal(row.get(idx, dt), dt),
-          StringType, Some("UTC")).eval(null)
+          // SESSION timezone: the string must parse back identically to
+          // what Spark's own dynamic-partition writer would have named
+          StringType, Some(fa.sessionTz)).eval(null)
       val s =
         if (v == null) "__HIVE_DEFAULT_PARTITION__"
         else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils

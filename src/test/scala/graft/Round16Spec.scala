@@ -115,6 +115,37 @@ class Round16Spec extends SparkSpec {
     assert(e.getMessage.contains("kind 'compact'"))
   }
 
+  test("concurrent positional commands touching the SAME rows refuse as write-write conflicts") {
+    val path = table("graft-posupd-ww")
+    // racer updates doc 9 first; our update of the SAME row must refuse
+    SnapshotTable.posUpdateCommitFault = () => {
+      SnapshotTable.updateWherePositional(spark, path,
+        col("doc_id") === 9L, Map("n_chars" -> lit(111L)))
+      ()
+    }
+    val e = intercept[java.io.IOException] {
+      SnapshotTable.updateWherePositional(spark, path,
+        col("doc_id") === 9L, Map("n_chars" -> lit(222L)))
+    }
+    assert(e.getMessage.contains("SAME rows"))
+    // the racer's value won; no duplicate row appeared
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.filter(col("doc_id") === 9L).count() == 1L)
+    assert(cur.filter(col("doc_id") === 9L).select("n_chars").head.getLong(0) == 111L)
+    // a racer deleting the row our update targets also refuses (the
+    // update would resurrect the deleted row)
+    SnapshotTable.posUpdateCommitFault = () => {
+      SnapshotTable.deleteWherePositional(spark, path, col("doc_id") === 10L)
+      ()
+    }
+    val e2 = intercept[java.io.IOException] {
+      SnapshotTable.updateWherePositional(spark, path,
+        col("doc_id") === 10L, Map("n_chars" -> lit(333L)))
+    }
+    assert(e2.getMessage.contains("SAME rows"))
+    assert(SnapshotTable.read(spark, path).filter(col("doc_id") === 10L).count() == 0L)
+  }
+
   test("updateWherePositional relocates rows when SET touches a partition column") {
     import spark.implicits._
     val path = tmp("graft-posupd-part")
