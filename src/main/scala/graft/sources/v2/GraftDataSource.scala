@@ -36,9 +36,14 @@ import java.util
   * POSITIONALLY: the scan reports LOGICAL names while the delegated
   * parquet scan reads the PHYSICAL schema in the same field order —
   * rows are positional at this layer, so no rename projection is
-  * needed. Tables with an outstanding merge-on-read overlay refuse
-  * loudly (the overlay is an anti-join no bare file scan can express;
-  * compact first, or read through [[SnapshotTable.read]]).
+  * needed. Positional-delete overlays are APPLIED in-scan (per-file
+  * reader wrapping over a size-gated broadcast mask); KEY-tombstone
+  * overlays refuse loudly (their mask is a keyed anti-join no bare
+  * file scan can express — compact first, or read through
+  * [[SnapshotTable.read]]). Writes land through [[GraftWriteBuilder]]
+  * / [[GraftDataSource.createRelation]] (INSERT paths) and
+  * [[GraftRowLevelOperation]] (UPDATE / MERGE / subquery DELETE), all
+  * committing through the same operators as the Scala API.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.CreatableRelationProvider {
