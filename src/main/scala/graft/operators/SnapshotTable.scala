@@ -1167,10 +1167,37 @@ object SnapshotTable {
     * `keepPosCols` lets [[deleteWherePositional]]'s victim scan retain
     * the identity columns it is about to record.
     */
+  /** Refuse positional-delete sidecars written by a pre-subpath-keying
+    * revision against a PARTITIONED table: those keys are bare file
+    * names, the current readers match on partition-qualified subpaths,
+    * and a silent mismatch would RESURRECT deleted rows. On a
+    * partitioned table every data file lives under `k=v/` segments, so
+    * a key with no '/' is old-vintage exactly. Delta-scale check (one
+    * pass over sidecar metadata, only on partitioned tables with an
+    * outstanding overlay).
+    */
+  private def requireSubpathKeyedPosDeletes(spark: SparkSession, path: String,
+                                            m: Manifest): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (m.partitionCols.isEmpty || m.posDeletes.isEmpty) return
+    val bare = m.posDeletes.map(n =>
+        spark.read.format(m.format).load(posDeletePath(path, n).toString))
+      .reduce(_ unionByName _)
+      .filter(!col("file").contains("/")).limit(1).count()
+    if (bare > 0) throw new IllegalStateException(
+      s"graft table at $path is partitioned but carries positional-delete " +
+        "sidecar keys with no partition segment (bare file names) — written " +
+        "by an older revision whose keys the current subpath-keyed readers " +
+        "cannot match; applying them would silently resurrect deleted rows. " +
+        "Re-apply the deletes from a pre-overlay version (rollback + " +
+        "deleteWherePositional), or rewrite the table")
+  }
+
   private def applyPosDeletes(spark: SparkSession, path: String, m: Manifest,
                               base: DataFrame,
                               keepPosCols: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
+    requireSubpathKeyedPosDeletes(spark, path, m)
     val pd = m.posDeletes.map(n =>
         spark.read.format(m.format).load(posDeletePath(path, n).toString))
       .reduce(_ unionByName _)
@@ -1211,10 +1238,59 @@ object SnapshotTable {
       val pd = m.posDeletes.map(n =>
           spark.read.format(m.format).load(posDeletePath(path, n).toString))
         .reduce(_ unionByName _)
-      Some(pd.select("file", "ord").collect()
+      val mask = pd.select("file", "ord").collect()
         .groupBy(_.getString(0))
         .map { case (file, rows) => file -> rows.map(_.getLong(1)).sorted }
-        .toMap)
+        .toMap
+      // same old-vintage guard as the in-plan overlay, free here (the
+      // keys are already on the driver)
+      if (m.partitionCols.nonEmpty && mask.keys.exists(!_.contains("/")))
+        requireSubpathKeyedPosDeletes(spark, path, m)
+      Some(mask)
+    }
+  }
+
+  /** The merge-on-read KEY overlay as a DRIVER-side mask for readers
+    * that cannot run the keyed anti-join in-plan (the DataSource V2
+    * scan): MOR key (CATALYST representation — UTF8String for strings,
+    * so a per-row probe against InternalRow values needs no conversion)
+    * → the LATEST tombstone version naming it. A row is masked iff its
+    * key maps to a version STRICTLY LATER than its dir's commit version
+    * (the same-version exemption keeps a mergeOnRead commit's own
+    * upserts visible — identical algebra to [[applyTombstones]]).
+    * Same size gate as the broadcast overlay join; None above the bound
+    * (caller degrades loudly — compact first). NULL keys mask nothing
+    * and are never written to tombstones.
+    */
+  private[graft] def tombstoneKeyMask(spark: SparkSession, path: String,
+                                      m: Manifest): Option[Map[Any, Long]] = {
+    import org.apache.spark.sql.functions.col
+    if (m.tombstones.isEmpty) return Some(Map.empty)
+    val key = m.morKey.getOrElse(throw new IllegalStateException(
+      s"manifest at $path lists tombstones but no morkey — corrupt manifest"))
+    val f = fs(spark, new Path(path))
+    val bytes = m.tombstones.map { name =>
+      val p = tombstonePath(path, name)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }.sum
+    if (bytes > tombstoneBroadcastMaxBytes) None
+    else {
+      val perName = m.tombstones.map { name =>
+        val df = spark.read.format(m.format)
+          .load(tombstonePath(path, name).toString).select(col(key))
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(df.schema.head.dataType)
+        (dirVersion(name), df.collect().iterator
+          .map(_.get(0)).filter(_ != null).map(conv).toArray)
+      }
+      val out = scala.collection.mutable.HashMap.empty[Any, Long]
+      perName.foreach { case (v, keys) =>
+        keys.foreach { k =>
+          val prev = out.getOrElse(k, Long.MinValue)
+          if (v > prev) out.update(k, v)
+        }
+      }
+      Some(out.toMap)
     }
   }
 
@@ -3370,13 +3446,20 @@ object SnapshotTable {
           return v
         } catch {
           case _: CommitConflictException =>
+            // posupdate and merge-on-read racers are safe for a plain
+            // append: the staged delta references NO existing rows, and
+            // its dir re-homes to a version STRICTLY LATER than any
+            // racer tombstone, so the overlay can never mask it —
+            // matching commitPositionalDelta's insert-only whitelist
             val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
               parentV.getOrElse(0L), "append", Some(committedSchema), effParts,
               (cv, k) => if (k != "append" && k != "compact" && k != "binpack" &&
-                  k != "posdelete" && k != "posdelete-compact")
+                  k != "posdelete" && k != "posupdate" && k != "merge-on-read" &&
+                  k != "posdelete-compact")
                 throw new java.io.IOException(
                   s"append at $path lost the commit race to version $cv (kind '$k'); " +
-                    "only append/compact/binpack/posdelete interleavings rebase " +
+                    "only content-preserving interleavings (append/compact/binpack/" +
+                    "posdelete/posupdate/merge-on-read) rebase " +
                     "automatically — re-run the append against the current snapshot"),
               expectPhysmap = physmap)
             attempt += 1
@@ -4267,58 +4350,92 @@ object SnapshotTable {
     var parentV = scannedV
     var parentM = m
     var attempt = 0
-    while (true) {
-      val v = parentV + 1
-      stagedDir = stagedDir.map { d =>
-        if (dirVersion(d) == v) d
-        else { val r = stageDir(v); renameStaged(f, path, d, r); r }
+    try {
+      while (true) {
+        val v = parentV + 1
+        stagedDir = stagedDir.map { d =>
+          if (dirVersion(d) == v) d
+          else { val r = stageDir(v); renameStaged(f, path, d, r); r }
+        }
+        try {
+          commit(spark, path, v, parentM.copy(
+            dirs = parentM.dirs ++ stagedDir.toSeq,
+            bloom = if (stagedDir.isDefined) None else parentM.bloom,
+            posDeletes = parentM.posDeletes ++ sidecar.toSeq,
+            kind = Some(kind)))
+          return v
+        } catch {
+          case _: CommitConflictException =>
+            // a keyed MERGE-ON-READ racer is only safe to rebase over
+            // when we carry NO victims: its tombstone masks pre-racer
+            // versions only, so a keyed upsert of a row our sidecar also
+            // deletes/updates would leave BOTH the racer's new row and
+            // our updated row visible — a lost update materialized as a
+            // duplicate. The positional overlap gate below cannot see it
+            // (tombstones are keyed, not positional), so refuse loudly.
+            val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+              parentV, opName, parentM.schema, parentM.partitionCols,
+              (cv, k) => {
+                val ok = k == "append" || k == "posdelete" ||
+                  k == "posupdate" || k == "posdelete-compact" ||
+                  (k == "merge-on-read" && sidecar.isEmpty)
+                if (!ok) throw new java.io.IOException(
+                  if (k == "merge-on-read")
+                    s"$opName at $path lost the commit race to a keyed " +
+                      s"merge-on-read commit (version $cv) while carrying a " +
+                      "positional delete — the racer may have upserted the " +
+                      "same rows these ordinals mask, and stacking them " +
+                      "would duplicate or resurrect rows; re-run against " +
+                      "the current snapshot"
+                  else
+                    s"$opName at $path lost the commit race to version $cv " +
+                      s"(kind '$k'); the rewrite may have moved the rows these " +
+                      "ordinals reference — re-run against the current snapshot")
+              },
+              expectPhysmap = parentM.physmap)
+            // write-write conflict gate: sidecars the racers ADDED since
+            // our parent must not touch our victims
+            val racerSidecars =
+              winnerM.posDeletes.filterNot(parentM.posDeletes.toSet)
+            sidecar.filter(_ => racerSidecars.nonEmpty).foreach { ours =>
+              val ourDf = spark.read.format(m.format)
+                .load(posDeletePath(path, ours).toString)
+              val theirs = racerSidecars.map(n => spark.read.format(m.format)
+                  .load(posDeletePath(path, n).toString))
+                .reduce(_ unionByName _)
+              if (ourDf.join(theirs, Seq("file", "ord"), "left_semi")
+                  .limit(1).count() > 0)
+                throw new java.io.IOException(
+                  s"$opName at $path lost the commit race to a concurrent " +
+                    "positional delete/update touching the SAME rows — " +
+                    "stacking them would duplicate or resurrect rows; " +
+                    "re-run against the current snapshot")
+            }
+            attempt += 1
+            if (attempt >= retries) throw new java.io.IOException(
+              s"$opName at $path lost $retries consecutive commit " +
+                "races; giving up — retry under lower commit contention")
+            parentV = winnerV
+            parentM = winnerM
+        }
       }
-      try {
-        commit(spark, path, v, parentM.copy(
-          dirs = parentM.dirs ++ stagedDir.toSeq,
-          bloom = if (stagedDir.isDefined) None else parentM.bloom,
-          posDeletes = parentM.posDeletes ++ sidecar.toSeq,
-          kind = Some(kind)))
-        return v
-      } catch {
-        case _: CommitConflictException =>
-          val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
-            parentV, opName, parentM.schema, parentM.partitionCols,
-            (cv, k) => if (k != "append" && k != "posdelete" &&
-                k != "posupdate" && k != "merge-on-read" &&
-                k != "posdelete-compact")
-              throw new java.io.IOException(
-                s"$opName at $path lost the commit race to version $cv " +
-                  s"(kind '$k'); the rewrite may have moved the rows these " +
-                  "ordinals reference — re-run against the current snapshot"),
-            expectPhysmap = parentM.physmap)
-          // write-write conflict gate: sidecars the racers ADDED since
-          // our parent must not touch our victims
-          val racerSidecars =
-            winnerM.posDeletes.filterNot(parentM.posDeletes.toSet)
-          sidecar.filter(_ => racerSidecars.nonEmpty).foreach { ours =>
-            val ourDf = spark.read.format(m.format)
-              .load(posDeletePath(path, ours).toString)
-            val theirs = racerSidecars.map(n => spark.read.format(m.format)
-                .load(posDeletePath(path, n).toString))
-              .reduce(_ unionByName _)
-            if (ourDf.join(theirs, Seq("file", "ord"), "left_semi")
-                .limit(1).count() > 0)
-              throw new java.io.IOException(
-                s"$opName at $path lost the commit race to a concurrent " +
-                  "positional delete/update touching the SAME rows — " +
-                  "stacking them would duplicate or resurrect rows; " +
-                  "re-run against the current snapshot")
+      throw new IllegalStateException("unreachable")
+    } catch {
+      case e: Throwable =>
+        // terminal failure: the staged dir, its stats sidecar, and the
+        // delete sidecar are uniquely named and referenced by NO
+        // manifest — delete them instead of leaking storage with no GC
+        // (covers the V2 row-level writers and the positional operators
+        // alike; best-effort, the commit error is what surfaces)
+        try {
+          stagedDir.foreach { d =>
+            f.delete(new Path(path, d), true)
+            f.delete(statsDir(path, d), true)
           }
-          attempt += 1
-          if (attempt >= retries) throw new java.io.IOException(
-            s"$opName at $path lost $retries consecutive commit " +
-              "races; giving up — retry under lower commit contention")
-          parentV = winnerV
-          parentM = winnerM
-      }
+          sidecar.foreach(n => f.delete(posDeletePath(path, n), true))
+        } catch { case _: Throwable => () }
+        throw e
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Fresh staging names for a row-level delta write (the V2 writers

@@ -4581,6 +4581,38 @@ object TrainingData {
       FROM documents WHERE doc_id < 25
       ORDER BY doc_id"""))
 
+  // ---- d49_sql_read_mor: SQL read of an OUTSTANDING keyed-MOR overlay ---
+  // The last read-surface asymmetry between SQL and the Scala API: d27's
+  // two-merge-on-read chain (updates, deletes, inserts; two stacked
+  // tombstone generations over one key) read THROUGH the DSv2 scan
+  // (`format("graft")`) BEFORE any compaction — a table maintained by
+  // streaming upserts must be SELECTable between compactions. The scan
+  // applies the keyed mask in-scan: a broadcast (MOR key → latest
+  // tombstone version) probe per row against the row's dir version with
+  // the strictly-later rule, so the same-version upserts stay visible —
+  // identical algebra to the API's keyed anti-join, same oracle as d27.
+  // GraftV2SourceSpec pins V2 ↔ API row equality under the overlay.
+  private val d49 = Q(
+    (s, dir) => {
+      s.read.format("graft").load(d27Fixture(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id BETWEEN 120 AND 129 THEN upper(lang)
+                  WHEN doc_id BETWEEN 100 AND 199 THEN upper(lang)
+                  ELSE lang END AS lang,
+             CASE WHEN doc_id BETWEEN 120 AND 129 THEN n_chars + 10
+                  WHEN doc_id BETWEEN 0 AND 49 THEN n_chars + 2
+                  WHEN doc_id BETWEEN 100 AND 199 THEN n_chars + 1
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE (doc_id < 400 AND doc_id NOT BETWEEN 200 AND 249
+                          AND doc_id NOT BETWEEN 300 AND 319)
+         OR (doc_id BETWEEN 400 AND 449 AND doc_id NOT BETWEEN 410 AND 419)
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4633,6 +4665,7 @@ object TrainingData {
     "d46_positional_update" -> d46,
     "d47_sql_update" -> d47,
     "d48_sql_merge" -> d48,
+    "d49_sql_read_mor" -> d49,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -221,14 +221,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // validate EVERY change before applying ANY: each supported change
     // is its own metadata commit, so a mixed statement failing midway
     // would otherwise leave the table permanently half-altered while
-    // the statement reports failure
+    // the statement reports failure. The upfront pass rejects both
+    // unsupported change CLASSES and semantic failures (column missing,
+    // new name taken), simulated in statement order against the current
+    // committed schema.
+    val cur = SnapshotTable.currentVersion(spark, p.toString).getOrElse(
+      throw new NoSuchTableException(ident))
+    var names = GraftTable.forVersion(spark, p.toString, cur)
+      .schema().fieldNames.toSeq
+    def requireColumn(c: String, what: String): Unit =
+      if (!names.contains(c)) throw new IllegalArgumentException(
+        s"ALTER TABLE $ident: $what '$c' does not exist " +
+          s"(columns: ${names.mkString(", ")}); no change was applied")
     val planned: Seq[() => Unit] = changes.map {
       case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
-        () => { SnapshotTable.renameColumn(spark, p.toString,
-          r.fieldNames()(0), r.newName()); () }
+        val (from, to) = (r.fieldNames()(0), r.newName())
+        requireColumn(from, "RENAME COLUMN source")
+        if (names.contains(to)) throw new IllegalArgumentException(
+          s"ALTER TABLE $ident: RENAME COLUMN target '$to' already exists; " +
+            "no change was applied")
+        names = names.map(n => if (n == from) to else n)
+        () => { SnapshotTable.renameColumn(spark, p.toString, from, to); () }
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
-        () => { SnapshotTable.dropColumn(spark, p.toString,
-          d.fieldNames()(0)); () }
+        val from = d.fieldNames()(0)
+        requireColumn(from, "DROP COLUMN")
+        names = names.filterNot(_ == from)
+        () => { SnapshotTable.dropColumn(spark, p.toString, from); () }
       case c => unsupported(s"ALTER TABLE change $c",
         "supported changes: RENAME COLUMN, DROP COLUMN (top-level columns); " +
           "schema-widening happens through ingest(evolveSchema = true)")

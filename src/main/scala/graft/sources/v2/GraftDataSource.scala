@@ -36,11 +36,13 @@ import java.util
   * POSITIONALLY: the scan reports LOGICAL names while the delegated
   * parquet scan reads the PHYSICAL schema in the same field order —
   * rows are positional at this layer, so no rename projection is
-  * needed. Positional-delete overlays are APPLIED in-scan (per-file
-  * reader wrapping over a size-gated broadcast mask); KEY-tombstone
-  * overlays refuse loudly (their mask is a keyed anti-join no bare
-  * file scan can express — compact first, or read through
-  * [[SnapshotTable.read]]). Writes land through [[GraftWriteBuilder]]
+  * needed. BOTH read overlays are APPLIED in-scan by the per-file
+  * reader wrapper over size-gated broadcast masks: positional deletes
+  * by (file subpath, row ordinal), KEY tombstones (keyed merge-on-read
+  * — e.g. a table maintained by streaming upserts) by (MOR key, dir
+  * version) with the strictly-later rule, so SQL reads the same rows
+  * as [[SnapshotTable.read]] between compactions. Writes land through
+  * [[GraftWriteBuilder]]
   * / [[GraftDataSource.createRelation]] (INSERT paths) and
   * [[GraftRowLevelOperation]] (UPDATE / MERGE / subquery DELETE), all
   * committing through the same operators as the Scala API.
@@ -475,24 +477,42 @@ class GraftScanBuilder(spark: SparkSession, path: String,
     val partSet = m.partitionCols.toSet
     def phys(s: StructType) = StructType(s.fields.map(f =>
       f.copy(name = m.physOf(f.name))))
+    // an outstanding KEY-tombstone (keyed merge-on-read) overlay is
+    // applied IN-SCAN too: the per-file wrapper probes each row's MOR
+    // key against a broadcast (key → latest tombstone version) mask and
+    // drops it when that version is strictly later than the row's dir
+    // version — the same algebra as the API read's keyed anti-join, so
+    // a table maintained by streaming upserts stays SQL-readable
+    // between compactions. The key column joins the read set even when
+    // the query didn't select it (dropped from the output projection).
+    val keyed = m.tombstones.nonEmpty
+    val morKeyName = if (!keyed) null else m.morKey.getOrElse(
+      throw new IllegalStateException(
+        s"manifest at $path lists tombstones but no morkey — corrupt manifest"))
+    val keyInjected = keyed && !required.fieldNames.contains(morKeyName)
+    val readCols =
+      if (!keyInjected) required
+      else {
+        val want = required.fieldNames.toSet + morKeyName
+        StructType(logical.fields.filter(f => want.contains(f.name)))
+      }
     val dataPhys = phys(StructType(logical.fields.filterNot(f => partSet(f.name))))
-    val readDataPhys = phys(StructType(required.fields.filterNot(f => partSet(f.name))))
-    val readPartPhys = phys(StructType(required.fields.filter(f => partSet(f.name))))
+    val readDataPhys = phys(StructType(readCols.fields.filterNot(f => partSet(f.name))))
+    val readPartPhys = phys(StructType(readCols.fields.filter(f => partSet(f.name))))
     // logical output names in FileScan's row order: data, then partition
     val logicalRead = StructType(
       required.fields.filterNot(f => partSet(f.name)) ++
         required.fields.filter(f => partSet(f.name)))
-    // the per-file reader WRAPPER engages for two independent reasons:
+    // the per-file reader WRAPPER engages for three independent reasons:
     // a positional-delete overlay (rows masked by (file, ordinal) —
     // mask data materialized LAZILY at toBatch, size-gated, see
-    // [[SnapshotTable.posDeleteMask]]) and/or requested METADATA
-    // columns (the wrapper appends each row's file subpath and row
-    // index). Either way the parquet readers generate the row index
-    // via Spark's temp-column machinery. Key-tombstone overlays still
-    // refuse at toBatch: their mask is a keyed anti-join, not a
-    // positional one.
-    val maskable = m.posDeletes.nonEmpty && m.tombstones.isEmpty
-    val wrap = maskable || requiredMeta.nonEmpty
+    // [[SnapshotTable.posDeleteMask]]), a key-tombstone overlay (rows
+    // masked by (MOR key, dir version) — [[SnapshotTable.tombstoneKeyMask]]),
+    // and/or requested METADATA columns (the wrapper appends each row's
+    // file subpath and row index). The parquet readers generate the row
+    // index via Spark's temp-column machinery.
+    val maskable = m.posDeletes.nonEmpty
+    val wrap = maskable || keyed || requiredMeta.nonEmpty
     val readDataPhysEff =
       if (wrap) StructType(readDataPhys.fields :+
         org.apache.spark.sql.types.StructField(
@@ -500,6 +520,14 @@ class GraftScanBuilder(spark: SparkSession, path: String,
             .ROW_INDEX_TEMPORARY_COLUMN_NAME,
           org.apache.spark.sql.types.LongType, nullable = true))
       else readDataPhys
+    val keyPosInFull =
+      if (!keyed) -1
+      else if (!partSet(morKeyName))
+        readCols.fields.filterNot(f => partSet(f.name))
+          .indexWhere(_.name == morKeyName)
+      else readDataPhysEff.length +
+        readCols.fields.filter(f => partSet(f.name))
+          .indexWhere(_.name == morKeyName)
     val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val roots = m.dirs.map(d => new Path(path, d)).filter(f.exists)
     val index = new GraftPrunedFileIndex(spark, roots, keptPaths,
@@ -524,7 +552,11 @@ class GraftScanBuilder(spark: SparkSession, path: String,
         rowIdxPos = readDataPhys.length,
         fullSchema = StructType(readDataPhysEff.fields ++ readPartPhys.fields),
         metaNames = requiredMeta,
-        masked = maskable))
+        masked = maskable,
+        keyPos = keyPosInFull,
+        keyType = if (keyed) logical(logical.fieldIndex(morKeyName)).dataType
+                  else org.apache.spark.sql.types.NullType,
+        keyDrop = keyInjected))
       else None)
   }
 }
@@ -533,18 +565,27 @@ class GraftScanBuilder(spark: SparkSession, path: String,
   * build: the position of the synthetic row-index column in the
   * delegate's output rows, the delegate's FULL row schema (read data
   * fields incl. the row index, then partition fields), the metadata
-  * columns to append, and whether the positional-delete mask applies
-  * (its DATA materializes lazily at toBatch).
+  * columns to append, whether the positional-delete mask applies (its
+  * DATA materializes lazily at toBatch), and — for a key-tombstone
+  * (keyed merge-on-read) overlay — the MOR key's position/type in the
+  * full row plus whether the key was read ONLY for the mask (injected
+  * into the read set, dropped from the output projection).
   */
 case class RowWrapShape(rowIdxPos: Int, fullSchema: StructType,
-                        metaNames: Seq[String], masked: Boolean)
+                        metaNames: Seq[String], masked: Boolean,
+                        keyPos: Int = -1,
+                        keyType: org.apache.spark.sql.types.DataType =
+                          org.apache.spark.sql.types.NullType,
+                        keyDrop: Boolean = false)
 
-/** [[RowWrapShape]] plus the materialized broadcast (file subpath →
-  * sorted deleted ordinals) mask — empty when only metadata columns
-  * engaged the wrapper.
+/** [[RowWrapShape]] plus the materialized broadcast masks: (file
+  * subpath → sorted deleted ordinals) for the positional overlay and
+  * (MOR key → latest tombstone version) for the keyed overlay — each
+  * empty when its overlay didn't engage the wrapper.
   */
 case class RowWrapSpec(
     mask: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
+    keyMask: org.apache.spark.broadcast.Broadcast[Map[Any, Long]],
     shape: RowWrapShape)
 
 /** The schema slices a micro-batch stream needs per batch (captured at
@@ -642,28 +683,30 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
   private lazy val posMask: Option[Map[String, Array[Long]]] =
     if (wrapShape.exists(_.masked)) SnapshotTable.posDeleteMask(spark, path, m)
     else Some(Map.empty)
+  private lazy val keyMask: Option[Map[Any, Long]] =
+    if (wrapShape.exists(_.keyPos >= 0)) SnapshotTable.tombstoneKeyMask(spark, path, m)
+    else Some(Map.empty)
   override def toBatch: Batch = {
-    // key-tombstone refusal lives HERE, not at table load: a bare file
-    // scan cannot apply the keyed anti-join mask, but a STREAM over
-    // pre-overlay history is perfectly streamable (it fails loudly only
-    // when the cursor reaches the row-mutating commit itself)
-    if (m.tombstones.nonEmpty) throw new IllegalArgumentException(
-      s"graft table at $path has an outstanding merge-on-read overlay " +
-        s"(${m.tombstones.size} key tombstone(s)); the V2 file scan " +
-        "cannot apply a keyed mask — compact the table first, or read " +
-        "through the SnapshotTable API")
     wrapShape match {
       case None => delegate.toBatch
       case Some(sh) =>
-        // positional deletes ARE applied in-scan; the only refusal left
-        // is a compaction-starved overlay too big to materialize
+        // BOTH overlays are applied in-scan (positional deletes by
+        // (file, ordinal), key tombstones by (MOR key, dir version));
+        // the only refusal left is a compaction-starved overlay too
+        // big to materialize driver-side
         val mask = posMask.getOrElse(throw new IllegalArgumentException(
           s"graft table at $path carries a positional-delete overlay too " +
             "large for the in-scan mask (past the broadcast size bound); " +
             "compact the table to materialize it, or read through the " +
             "SnapshotTable API's distributed anti-join"))
+        val km = keyMask.getOrElse(throw new IllegalArgumentException(
+          s"graft table at $path carries a merge-on-read key overlay too " +
+            "large for the in-scan mask (past the broadcast size bound); " +
+            "compact the table to materialize it, or read through the " +
+            "SnapshotTable API's distributed anti-join"))
         new RowWrappedBatch(delegate.toBatch,
-          RowWrapSpec(spark.sparkContext.broadcast(mask), sh))
+          RowWrapSpec(spark.sparkContext.broadcast(mask),
+            spark.sparkContext.broadcast(km), sh))
     }
   }
   override def toMicroBatchStream(checkpointLocation: String)
@@ -707,6 +750,9 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
        else "") +
       (if (m.posDeletes.nonEmpty)
          s", posDeleteSidecars=${m.posDeletes.size}"
+       else "") +
+      (if (m.tombstones.nonEmpty)
+         s", keyTombstones=${m.tombstones.size}"
        else "") + ")"
 }
 
@@ -749,7 +795,8 @@ case class RowWrappedReaderFactory(
     val files = partition
       .asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition].files
     val sh = spec.shape
-    val keep = sh.fullSchema.fields.indices.filterNot(_ == sh.rowIdxPos)
+    val keep = sh.fullSchema.fields.indices.filterNot(i =>
+      i == sh.rowIdxPos || (sh.keyDrop && i == sh.keyPos))
     // ONE codegen'd projection per reader (not per file — a per-file
     // subpath literal would compile a fresh generated class for every
     // data file): the subpath rides an extra input slot past the
@@ -774,14 +821,33 @@ case class RowWrappedReaderFactory(
         if (i < 0) s.split('/').last
         else s.substring(s.indexOf('/', i + 1) + 1)
       }
+      // the file's COMMIT version, parsed from its `snap-<v>-...` dir
+      // segment — the keyed overlay masks a row only when some
+      // tombstone naming its key is STRICTLY later (the same-version
+      // exemption keeps a mergeOnRead commit's own upserts visible)
+      def dirVersionOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile): Long = {
+        val s = f.toPath.toString
+        val i = s.lastIndexOf("/snap-")
+        if (i < 0) Long.MaxValue // not snapshot-homed: nothing can mask it
+        else s.substring(i + 6).takeWhile(_.isDigit).toLong
+      }
       private var i = -1
       private var cur: PartitionReader[InternalRow] = _
       private var curDeleted: Array[Long] = _
+      private var curDirV: Long = Long.MaxValue
+      private val keyProbe = sh.keyPos >= 0
       private val subRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       private val joined =
         new org.apache.spark.sql.catalyst.expressions.JoinedRow()
       private var row: InternalRow = _
+      private def keyMasked(r: InternalRow): Boolean =
+        keyProbe && !r.isNullAt(sh.keyPos) && {
+          spec.keyMask.value.get(r.get(sh.keyPos, sh.keyType)) match {
+            case Some(tv) => tv > curDirV
+            case None => false
+          }
+        }
       override def next(): Boolean = {
         while (true) {
           if (cur == null) {
@@ -790,14 +856,15 @@ case class RowWrappedReaderFactory(
             cur = delegate.buildReader(files(i))
             val sub = subpathOf(files(i))
             curDeleted = spec.mask.value.getOrElse(sub, null)
+            curDirV = if (keyProbe) dirVersionOf(files(i)) else Long.MaxValue
             subRow.update(0,
               org.apache.spark.unsafe.types.UTF8String.fromString(sub))
           }
           if (!cur.next()) { cur.close(); cur = null }
           else {
             val r = cur.get()
-            if (curDeleted == null || java.util.Arrays.binarySearch(
-                curDeleted, r.getLong(sh.rowIdxPos)) < 0) {
+            if ((curDeleted == null || java.util.Arrays.binarySearch(
+                curDeleted, r.getLong(sh.rowIdxPos)) < 0) && !keyMasked(r)) {
               row = r
               return true
             }

@@ -159,19 +159,32 @@ class GraftDeltaBatchWrite(spark: SparkSession, path: String,
         if (!f.rename(from, to)) throw new java.io.IOException(
           s"row-level commit could not publish $from to $to")
       }
-      msgs.foreach { msg =>
-        msg.dataFiles.foreach(move(msg.taskDir, _, new Path(path, stagedDir)))
-        msg.sidecarFiles.foreach(move(msg.taskDir, _,
-          SnapshotTable.posDeletePath(path, sidecarName)))
+      try {
+        msgs.foreach { msg =>
+          msg.dataFiles.foreach(move(msg.taskDir, _, new Path(path, stagedDir)))
+          msg.sidecarFiles.foreach(move(msg.taskDir, _,
+            SnapshotTable.posDeletePath(path, sidecarName)))
+        }
+        // anchored at the snapshot the SCAN resolved: every commit that
+        // interleaved during the write goes through the kernel's rebase
+        // validation (rewrites refuse; overlapping positional racers are
+        // write-write conflicts)
+        SnapshotTable.commitPositionalDelta(spark, path, scannedV,
+          if (anyInserts) Some(stagedDir) else None,
+          if (anyDeletes) Some(sidecarName) else None,
+          s"row-level $cmd")
+      } catch {
+        case e: Throwable =>
+          // the published staged dir and sidecar are uniquely named and
+          // referenced by no manifest on failure — reclaim them instead
+          // of leaking (the kernel cleans its own post-rename names;
+          // this covers publish-phase failures and is idempotent)
+          try {
+            f.delete(new Path(path, stagedDir), true)
+            f.delete(SnapshotTable.posDeletePath(path, sidecarName), true)
+          } catch { case _: Throwable => () }
+          throw e
       }
-      // anchored at the snapshot the SCAN resolved: every commit that
-      // interleaved during the write goes through the kernel's rebase
-      // validation (rewrites refuse; overlapping positional racers are
-      // write-write conflicts)
-      SnapshotTable.commitPositionalDelta(spark, path, scannedV,
-        if (anyInserts) Some(stagedDir) else None,
-        if (anyDeletes) Some(sidecarName) else None,
-        s"row-level $cmd")
       ()
     } finally { f.delete(new Path(tmpRoot), true); () }
   }

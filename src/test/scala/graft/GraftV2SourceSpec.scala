@@ -334,24 +334,71 @@ class GraftV2SourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
   }
 
-  test("a table with an outstanding merge-on-read overlay refuses loudly") {
+  test("the V2 scan applies an outstanding merge-on-read key overlay in-scan") {
     import spark.implicits._
     val path = tmp("graft-v2-mor")
     SnapshotTable.ingest(spark, docs(0 until 100), path, "text",
-      expectedItems = 10000L)
+      expectedItems = 10000L, statsCols = Seq("doc_id"))
+    // delete key 5, update key 7, insert key 200 — then a SECOND MOR
+    // commit re-updates key 7 (max-version-per-key must win) and
+    // deletes key 200 (a row a PREVIOUS tombstone's commit inserted)
     SnapshotTable.mergeOnRead(spark,
-      Seq((5L, "gone", "lang2", true)).toDF("doc_id", "text", "lang", "__del"),
+      Seq((5L, "gone", "lang2", true), (7L, "seven-v2", "lang1", false),
+          (200L, "two-hundred", "lang0", false))
+        .toDF("doc_id", "text", "lang", "__del"),
       path, "doc_id", deleteCol = Some("__del"))
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(path).count()
-    }
-    assert(e.getMessage.contains("merge-on-read"))
-    // compaction materializes the overlay; V2 reads again
+    SnapshotTable.mergeOnRead(spark,
+      Seq((7L, "seven-v3", "lang1", false), (200L, "x", "lang0", true))
+        .toDF("doc_id", "text", "lang", "__del"),
+      path, "doc_id", deleteCol = Some("__del"))
+    val api = SnapshotTable.read(spark, path)
+    val v2 = spark.read.format("graft").load(path)
+    // exact row equality with the API read, BETWEEN compactions
+    assert(v2.count() == 99L)
+    assert(v2.except(api).isEmpty && api.except(v2).isEmpty)
+    assert(v2.filter(col("doc_id") === 5L).count() == 0L)
+    assert(v2.filter(col("doc_id") === 200L).count() == 0L)
+    assert(v2.filter(col("doc_id") === 7L).select("text").head.getString(0)
+      == "seven-v3")
+    // projection WITHOUT the key column: the key is injected into the
+    // read for the mask and dropped from the output
+    val langOnly = spark.read.format("graft").load(path).select("lang")
+    assert(langOnly.columns.toSeq == Seq("lang"))
+    assert(langOnly.count() == 99L)
+    // pushed filter + pruning still composes with the mask
+    val pruned = spark.read.format("graft").load(path)
+      .filter(col("doc_id").between(0L, 9L))
+    assert(pruned.count() == 9L)
+    // SQL through a catalog view of the same path works too
+    v2.createOrReplaceTempView("v2mor")
+    assert(spark.sql("SELECT count(*) FROM v2mor WHERE doc_id = 7").head.getLong(0) == 1L)
+    // compaction materializes the overlay; the plain path still reads
     SnapshotTable.compact(spark, path, textCol = Some("text"),
       expectedItems = 10000L)
+    val after = spark.read.format("graft").load(path)
+    assert(after.count() == 99L)
+    assert(after.filter(col("doc_id") === 5L).count() == 0L)
+  }
+
+  test("keyed overlay on a PARTITIONED table through V2: key column is a data column") {
+    import spark.implicits._
+    val path = tmp("graft-v2-mor-part")
+    SnapshotTable.ingest(spark, docs(0 until 90), path, "text",
+      expectedItems = 10000L, partitionCols = Seq("lang"))
+    SnapshotTable.mergeOnRead(spark,
+      Seq((3L, "gone", "lang0", true), (4L, "four-v2", "lang1", false))
+        .toDF("doc_id", "text", "lang", "__del"),
+      path, "doc_id", deleteCol = Some("__del"))
+    val api = SnapshotTable.read(spark, path)
     val v2 = spark.read.format("graft").load(path)
-    assert(v2.count() == 99L)
-    assert(v2.filter(col("doc_id") === 5L).count() == 0L)
+    assert(v2.count() == 89L)
+    assert(v2.select("doc_id", "text", "lang")
+      .except(api.select("doc_id", "text", "lang")).isEmpty)
+    assert(v2.filter(col("doc_id") === 4L).select("text").head.getString(0)
+      == "four-v2")
+    // partition-pruned read under the mask
+    assert(v2.filter(col("lang") === "lang0").count() ==
+      api.filter(col("lang") === "lang0").count())
   }
 
   test("readStream.format(\"graft\") streams appended rows; compactions roll past; row-mutating commits fail loudly") {

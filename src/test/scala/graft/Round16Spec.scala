@@ -186,4 +186,125 @@ class Round16Spec extends SparkSpec {
     assert(cur.filter(col("text") === "updated-five").count() == 1L)
     assert(cur.filter(col("text") === "brand-new").count() == 1L)
   }
+
+  // ---- round-16 concurrency / catalog / sidecar hardening -----------------
+
+  private def onDiskSnapDirs(path: String): Set[String] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+      .map(_.getName).toSet
+
+  test("positional update racing a keyed merge-on-read refuses: no lost update, no orphans") {
+    import spark.implicits._
+    val path = table("graft-posupd-mor-race")
+    SnapshotTable.posUpdateCommitFault = () => {
+      SnapshotTable.mergeOnRead(spark,
+        Seq((160L, "merged-160", "lang1", 1L)).toDF("doc_id", "text", "lang", "n_chars"),
+        path, "doc_id")
+      ()
+    }
+    val e = intercept[java.io.IOException] {
+      SnapshotTable.updateWherePositional(spark, path,
+        col("doc_id") === 160L, Map("n_chars" -> lit(9L)))
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    // the racer's upsert stands alone — a rebased stack would have shown
+    // BOTH the upserted and the positionally-updated row 160
+    val r160 = SnapshotTable.read(spark, path).filter(col("doc_id") === 160L)
+    assert(r160.count() == 1L)
+    assert(r160.select("text").head.getString(0) == "merged-160")
+    // terminal failure reclaimed the staged dir and delete sidecar: every
+    // on-disk snap dir is referenced by some retained manifest, and no
+    // posdelete sidecar exists (the racer wrote tombstones, not posdeletes)
+    val referenced = SnapshotTable.versions(spark, path)
+      .flatMap(v => SnapshotTable.readManifestChecked(spark, path, v).dirs).toSet
+    assert(onDiskSnapDirs(path) == referenced,
+      s"orphaned staging dirs: ${onDiskSnapDirs(path).diff(referenced)}")
+    val posdel = new java.io.File(path, "_posdel")
+    assert(!posdel.exists() || posdel.listFiles().isEmpty)
+  }
+
+  test("append rebases over posupdate and merge-on-read racers (insert-only is overlay-safe)") {
+    import spark.implicits._
+    val path = table("graft-append-over-mor")
+    SnapshotTable.appendCommitFault = () => {
+      SnapshotTable.updateWherePositional(spark, path,
+        col("doc_id") === 1L, Map("n_chars" -> lit(777777L)))
+      SnapshotTable.mergeOnRead(spark,
+        Seq((2L, "merged-2", "lang2", 1L)).toDF("doc_id", "text", "lang", "n_chars"),
+        path, "doc_id")
+      ()
+    }
+    val v = SnapshotTable.append(spark,
+      (400 until 410).map(i => (i.toLong, s"text-$i", s"lang${i % 3}", i * 10L))
+        .toDF("doc_id", "text", "lang", "n_chars"), path)
+    assert(v == 5L, "append must land after the two racers, not refuse")
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.count() == 410L)
+    // the appended rows are NOT masked by the racer tombstone (strictly-
+    // later dir version), and both racer commits apply
+    assert(cur.filter(col("doc_id") >= 400L).count() == 10L)
+    assert(cur.filter(col("doc_id") === 1L).select("n_chars").head.getLong(0) == 777777L)
+    assert(cur.filter(col("doc_id") === 2L).select("text").head.getString(0) == "merged-2")
+  }
+
+  test("multi-change ALTER TABLE pre-validates: a bad change applies nothing") {
+    val wh = tmp("graft-r16-wh")
+    val cat = s"g16${Integer.toHexString(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE TABLE $cat.at (a BIGINT, b STRING, c STRING)")
+      spark.sql(s"INSERT INTO $cat.at VALUES (1, 'x', 'y')")
+      // DROP COLUMNS (b, nosuch): the second change is semantically bad,
+      // so the FIRST must not commit either
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.at DROP COLUMNS (b, nosuch)")
+      }
+      assert(e.getMessage.contains("nosuch"))
+      assert(spark.sql(s"SELECT b FROM $cat.at").head.getString(0) == "x")
+      // rename onto a taken name refuses before committing
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.at RENAME COLUMN b TO c")
+      }
+      assert(e2.getMessage.contains("already exists"))
+      assert(spark.sql(s"SELECT b, c FROM $cat.at").head.getString(1) == "y")
+      // a valid multi-drop still works
+      spark.sql(s"ALTER TABLE $cat.at DROP COLUMNS (b, c)")
+      assert(spark.table(s"$cat.at").columns.toSeq == Seq("a"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("old-vintage bare-name posdelete sidecars on a partitioned table refuse loudly") {
+    import spark.implicits._
+    val path = tmp("graft-vintage-posdel")
+    SnapshotTable.ingest(spark,
+      (0 until 90).map(i => (i.toLong, s"t-$i", s"lang${i % 3}"))
+        .toDF("doc_id", "text", "lang"),
+      path, "text", expectedItems = 10000L,
+      partitionCols = Seq("lang"), statsCols = Seq("doc_id"))
+    val st = SnapshotTable.deleteWherePositional(spark, path, col("doc_id") < 10)
+    assert(st.committed)
+    assert(SnapshotTable.read(spark, path).count() == 80L)
+    // simulate the pre-subpath revision: strip the partition segments
+    // from the committed sidecar's keys, leaving bare file names
+    val sd = new java.io.File(path, "_posdel").listFiles().head.toString
+    val bare = spark.read.parquet(sd).collect()
+      .map(r => (r.getString(r.fieldIndex("file")).split('/').last,
+        r.getLong(r.fieldIndex("ord")))).toSeq
+    bare.toDF("file", "ord").write.mode("overwrite").parquet(sd)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.read(spark, path).count()
+    }
+    assert(e.getMessage.contains("bare file names"))
+    // the V2 scan refuses identically instead of resurrecting rows
+    val e2 = intercept[Exception] {
+      spark.read.format("graft").load(path).count()
+    }
+    assert(e2.getMessage.contains("bare file names") ||
+      Option(e2.getCause).exists(_.getMessage.contains("bare file names")))
+  }
 }
