@@ -123,7 +123,8 @@ object SnapshotTable {
                                            physmap: Map[String, String] = Map.empty,
                                            physRetired: Seq[String] = Nil,
                                            hashesValid: Boolean = true,
-                                           posDeletes: Seq[String] = Nil) {
+                                           posDeletes: Seq[String] = Nil,
+                                           streamEpoch: Option[(String, Long)] = None) {
     /** Physical (on-disk) name of a logical column under this manifest. */
     def physOf(logical: String): String = physmap.getOrElse(logical, logical)
     /** True when reads must mask rows (key tombstones or positional
@@ -167,6 +168,7 @@ object SnapshotTable {
     var physRetired: Seq[String] = Nil
     var hashesValid: Boolean = true
     var posDeletes: Seq[String] = Nil
+    var streamEpoch: Option[(String, Long)] = None
     val constraints = Seq.newBuilder[Constraint]
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
@@ -182,6 +184,12 @@ object SnapshotTable {
         hashesValid = false
       case l if l.startsWith("posdel:") =>
         posDeletes = l.stripPrefix("posdel:").split(",").toSeq.filter(_.nonEmpty)
+      case l if l.startsWith("streamepoch:") =>
+        val e = l.stripPrefix("streamepoch:")
+        val i = e.lastIndexOf('=')
+        require(i > 0 && i < e.length - 1,
+          s"malformed streamepoch manifest entry: '$e'")
+        streamEpoch = Some((e.substring(0, i), e.substring(i + 1).toLong))
       case l if l.startsWith("schema:") =>
         schema = Some(DataType.fromJson(l.stripPrefix("schema:")).asInstanceOf[StructType])
       case l if l.startsWith("stats:") =>
@@ -218,7 +226,7 @@ object SnapshotTable {
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
       tombstones, morKey, kind, partitionCols, ts, constraints.result(),
-      physmap, physRetired, hashesValid, posDeletes)
+      physmap, physRetired, hashesValid, posDeletes, streamEpoch)
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -277,6 +285,8 @@ object SnapshotTable {
       body.append("nohashes:1").append('\n')
     if (m.posDeletes.nonEmpty)
       body.append("posdel:").append(m.posDeletes.mkString(",")).append('\n')
+    m.streamEpoch.foreach { case (qid, e) =>
+      body.append("streamepoch:").append(qid).append('=').append(e).append('\n') }
     m.constraints.foreach(c => body.append("constraint:").append(c.name)
       .append(':').append(c.mode).append(':').append(c.expr).append('\n'))
     // the commit wall-clock instant — [[readAtTimestamp]]'s index.
@@ -3472,6 +3482,171 @@ object SnapshotTable {
       }
       throw new IllegalStateException("unreachable")
     } finally { if (weCached) { incoming.unpersist(); () } }
+  }
+
+  // ---- native streaming sink kernel ---------------------------------------
+
+  /** Everything a `writeStream.format("graft")` sink needs to stage an
+    * epoch's rows EXECUTOR-side, resolved once at query start: the
+    * committed schema contract (same additive-drift refusal as ingest,
+    * no evolution — streams must not widen schemas mid-query), the
+    * table's format/stats/partitioning/column-mapping config, and the
+    * CHECK constraints the writers gate every row with (fail
+    * semantics). When no snapshot exists yet, the FIRST epoch's commit
+    * creates the table from the stream's own schema.
+    */
+  private[graft] final case class StreamWritePlan(
+      committedSchema: StructType, format: String, statsCols: Seq[String],
+      partitionCols: Seq[String], physmap: Map[String, String],
+      physRetired: Seq[String], constraints: Seq[Constraint],
+      creates: Boolean)
+
+  private[graft] def streamWritePlan(spark: SparkSession, path: String,
+                                     incoming: StructType): StreamWritePlan =
+    currentVersion(spark, path) match {
+      case Some(v) =>
+        val m = readManifestChecked(spark, path, v)
+        val tableSchema = m.schema.getOrElse(
+          nullableSchema(readAt(spark, path, v).schema))
+        val committed = mergedIngestSchema(tableSchema, incoming,
+          evolveSchema = false)
+        StreamWritePlan(committed, m.format, m.statsCols, m.partitionCols,
+          m.physmap, m.physRetired, m.constraints, creates = false)
+      case None =>
+        val committed = nullableSchema(incoming)
+        StreamWritePlan(committed, "parquet", Nil, Nil,
+          assignPhysical(committed, Map.empty, Nil), Nil, Nil, creates = true)
+    }
+
+  /** True iff some RETAINED manifest witnesses a streaming-epoch marker
+    * for `queryId` at `epochId` OR LATER — the exactly-once redelivery
+    * gate for the native streaming sink (Delta's SetTransaction
+    * contract): after a crash, Spark re-delivers the last epoch; if its
+    * commit already landed, the redelivery must be a no-op. O(retained
+    * versions) manifest reads, driver metadata scale, bounded by the
+    * expire policy — which is also the documented retention caveat: an
+    * epoch marker expired while the stream was down can no longer
+    * deduplicate a very stale redelivery (Delta has the same bound).
+    * A marker carried forward by later commits' manifest copies still
+    * witnesses a truly committed epoch, so over-matching is impossible.
+    */
+  private[graft] def streamEpochCommitted(spark: SparkSession, path: String,
+                                          queryId: String, epochId: Long): Boolean =
+    versions(spark, path).reverseIterator.exists { v =>
+      scala.util.Try(readManifestChecked(spark, path, v)).toOption
+        .flatMap(_.streamEpoch)
+        .exists { case (q, e) => q == queryId && e >= epochId }
+    }
+
+  /** Staging dir name for the NEXT commit slot (the streaming sink's
+    * executors need it before the final version is known; the commit
+    * loop below re-homes it on lost races, exactly like the row-level
+    * staging).
+    */
+  private[graft] def streamStagingDir(spark: SparkSession, path: String): String =
+    stageDir(currentVersion(spark, path).getOrElse(0L) + 1)
+
+  /** Commit one streaming epoch's staged delta — the tail of the native
+    * `writeStream.format("graft")` sink: `stagedDir0` already holds the
+    * epoch's rows (physical names, hive layout, written executor-side);
+    * this writes its stats sidecar and lands an ordinary APPEND commit
+    * carrying the `(queryId, epochId)` marker [[streamEpochCommitted]]
+    * replays against. Concurrency mirrors [[append]]'s rebase (content-
+    * preserving interleavings re-home the dir), with one extra gate: a
+    * racer that turns out to be ANOTHER INCARNATION of this same query
+    * committing this same epoch (zombie driver) makes our staged delta
+    * a duplicate — it is dropped and the winner's version returned, so
+    * exactly-once holds even under concurrent drivers. Terminal failure
+    * reclaims the staged dir and its stats sidecar.
+    */
+  private[graft] def commitStreamAppend(spark: SparkSession, path: String,
+      stagedDir0: String, plan: StreamWritePlan,
+      queryId: String, epochId: Long, retries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, new Path(path))
+    val writtenReader = spark.read.format(plan.format)
+    val written =
+      (if (plan.partitionCols.isEmpty) writtenReader
+       else writtenReader.schema(physSchema(plan.committedSchema, plan.physmap)))
+        .load(new Path(path, stagedDir0).toString)
+    writeStatsSidecar(spark, path, stagedDir0, written,
+      plan.statsCols.map(c => plan.physmap.getOrElse(c, c)))
+    var stagedDir = stagedDir0
+    var parentV = currentVersion(spark, path)
+    var parentM = parentV.map(v => readManifestChecked(spark, path, v))
+    // zombie gate, upfront edition: another incarnation may have landed
+    // this epoch between the caller's check and this parent resolution —
+    // the conflict-path gate below only fires when the version SLOT
+    // collides, which it no longer would
+    if (streamEpochCommitted(spark, path, queryId, epochId)) {
+      f.delete(new Path(path, stagedDir), true)
+      f.delete(statsDir(path, stagedDir), true)
+      return parentV.getOrElse(throw new IllegalStateException(
+        s"epoch marker present but no current version at $path"))
+    }
+    if (plan.creates && parentM.isDefined)
+      throw new java.io.IOException(
+        s"streaming sink at $path resolved against an empty path but another " +
+          "writer created the table first — restart the query so the schema " +
+          "contract re-resolves against the committed table")
+    var attempt = 0
+    try {
+      while (true) {
+        val v = parentV.getOrElse(0L) + 1
+        if (dirVersion(stagedDir) != v) {
+          val r = stageDir(v); renameStaged(f, path, stagedDir, r); stagedDir = r
+        }
+        try {
+          commit(spark, path, v, Manifest(
+            parentM.map(_.dirs).getOrElse(Nil) :+ stagedDir, plan.format,
+            None, Some(plan.committedSchema), plan.statsCols,
+            parentM.map(_.tombstones).getOrElse(Nil),
+            parentM.flatMap(_.morKey), kind = Some("append"),
+            partitionCols = plan.partitionCols,
+            constraints = parentM.map(_.constraints).getOrElse(plan.constraints),
+            physmap = plan.physmap, physRetired = plan.physRetired,
+            hashesValid = parentM.forall(_.hashesValid),
+            posDeletes = parentM.map(_.posDeletes).getOrElse(Nil),
+            streamEpoch = Some((queryId, epochId))))
+          return v
+        } catch {
+          case _: CommitConflictException =>
+            if (streamEpochCommitted(spark, path, queryId, epochId)) {
+              f.delete(new Path(path, stagedDir), true)
+              f.delete(statsDir(path, stagedDir), true)
+              return currentVersion(spark, path).getOrElse(
+                throw new IllegalStateException(
+                  s"epoch marker present but no current version at $path"))
+            }
+            val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
+              parentV.getOrElse(0L), "streaming append",
+              Some(plan.committedSchema), plan.partitionCols,
+              (cv, k) => if (k != "append" && k != "compact" && k != "binpack" &&
+                  k != "posdelete" && k != "posupdate" && k != "merge-on-read" &&
+                  k != "posdelete-compact")
+                throw new java.io.IOException(
+                  s"streaming append at $path lost the commit race to version " +
+                    s"$cv (kind '$k'); only content-preserving interleavings " +
+                    "rebase automatically — restart the query against the " +
+                    "current snapshot"),
+              expectPhysmap = plan.physmap)
+            attempt += 1
+            if (attempt >= retries) throw new java.io.IOException(
+              s"streaming append at $path lost $retries consecutive commit " +
+                "races; giving up — retry under lower commit contention")
+            parentV = Some(winnerV)
+            parentM = Some(winnerM)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } catch {
+      case e: Throwable =>
+        try {
+          f.delete(new Path(path, stagedDir), true)
+          f.delete(statsDir(path, stagedDir), true)
+        } catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   // ---- fuzzy (near-dup) incremental ingest -------------------------------

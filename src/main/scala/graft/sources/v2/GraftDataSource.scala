@@ -152,9 +152,10 @@ class GraftNewTable(path: String, schema0: StructType)
   override def name(): String = s"graft.`$path` (uncommitted)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(SparkSession.active, path, "parquet")
+    new GraftWriteBuilder(SparkSession.active, path, "parquet", info)
 }
 
 object GraftTable {
@@ -238,7 +239,8 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
   override def schema(): StructType = logical
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     GraftMeta.columns
@@ -292,7 +294,7 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     refusePinned("writing")
-    new GraftWriteBuilder(spark, path, m.format)
+    new GraftWriteBuilder(spark, path, m.format, info)
   }
 
   /** SQL `DELETE FROM t WHERE ...` — routed to the positional-delete
@@ -338,7 +340,8 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
   * mode("overwrite") to the full-snapshot rewrite.
   */
 class GraftWriteBuilder(spark: SparkSession, path: String,
-                        format: String)
+                        format: String,
+                        info: org.apache.spark.sql.connector.write.LogicalWriteInfo = null)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -357,6 +360,20 @@ class GraftWriteBuilder(spark: SparkSession, path: String,
             ()
           }
         }
+      /** `writeStream.format("graft")` — the NATIVE streaming sink
+        * ([[GraftStreamingWrite]]): per-epoch append commits with
+        * (queryId, epochId) exactly-once markers. Append mode only —
+        * Complete/Update flow through truncate(), which has no
+        * per-epoch append representation.
+        */
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        if (overwrite) throw new UnsupportedOperationException(
+          s"the graft streaming sink at $path supports Append output mode " +
+            "only — Complete/Update would rewrite the table every epoch; " +
+            "use foreachBatch with SnapshotTable.write for that shape")
+        new GraftStreamingWrite(spark, path, info.schema(), info.queryId())
+      }
     }
 }
 

@@ -72,48 +72,17 @@ class GraftDeltaWrite(spark: SparkSession, path: String,
   override def description(): String = s"GraftDeltaWrite($cmd, $path)"
 }
 
-class GraftDeltaBatchWrite(spark: SparkSession, path: String,
-                           m: SnapshotTable.Manifest, logical: StructType,
-                           cmd: RowLevelOperation.Command, scannedV: Long)
-    extends DeltaBatchWrite {
-  import scala.jdk.CollectionConverters._
-
-  private val tmpRoot = new Path(new Path(path, "_staging_rl"),
-    java.util.UUID.randomUUID().toString).toString
-
-  /** The parquet payload schema: logical fields minus partition columns
-    * (hive layout carries them in the path), renamed to PHYSICAL names.
-    */
-  private val partSet = m.partitionCols.toSet
-  private val dataFieldsLogical = logical.fields.filterNot(f => partSet(f.name))
-  private val physPayload = StructType(dataFieldsLogical.map(f =>
-    f.copy(name = m.physOf(f.name))))
-
-  /** CHECK constraints as serializable BOUND expressions over the
-    * logical row (FAIL semantics — see class doc). Resolution runs on
-    * the driver through the analyzer exactly like the operators'
-    * constraint gate, then binds to the row layout the writers see.
-    */
-  private val boundConstraints: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
-    m.constraints.map { c =>
-      val parsed = spark.sessionState.sqlParser.parseExpression(c.expr)
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
-      val analyzed = empty.filter(org.apache.spark.sql.GraftSqlShim.column(parsed))
-        .queryExecution.analyzed
-      val (cond, childOut) = analyzed.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          (f.condition, f.child.output)
-      }.head
-      c.name -> org.apache.spark.sql.catalyst.expressions.BindReferences
-        .bindReference(cond, childOut)
-    }
-
+/** Driver-side pieces shared by every executor-staged graft write (the
+  * row-level delta writers and the native streaming sink): the hadoop
+  * conf snapshot parquet task writers need, and CHECK constraints bound
+  * to a concrete row layout.
+  */
+object GraftWriteUtil {
   /** Hadoop conf snapshot carrying the session's parquet write settings
     * (the keys ParquetWriteSupport.init asserts on — mirrored from the
     * session conf the way ParquetFileFormat.prepareWrite does).
     */
-  private val writeConf: SerializableConfiguration = {
+  def writeConf(spark: SparkSession): SerializableConfiguration = {
     val c = spark.sessionState.newHadoopConfWithOptions(Map.empty)
     val sql = spark.sessionState.conf
     c.set("spark.sql.parquet.writeLegacyFormat",
@@ -136,10 +105,51 @@ class GraftDeltaBatchWrite(spark: SparkSession, path: String,
     new SerializableConfiguration(c)
   }
 
+  /** CHECK constraints as serializable BOUND expressions over `rowSchema`
+    * (FAIL semantics). Resolution runs on the driver through the
+    * analyzer exactly like the operators' constraint gate, then binds to
+    * the row layout the writers see.
+    */
+  def boundConstraints(spark: SparkSession, rowSchema: StructType,
+                       constraints: Seq[SnapshotTable.Constraint])
+      : Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
+    constraints.map { c =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(c.expr)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+      val analyzed = empty.filter(org.apache.spark.sql.GraftSqlShim.column(parsed))
+        .queryExecution.analyzed
+      val (cond, childOut) = analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          (f.condition, f.child.output)
+      }.head
+      c.name -> org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(cond, childOut)
+    }
+}
+
+class GraftDeltaBatchWrite(spark: SparkSession, path: String,
+                           m: SnapshotTable.Manifest, logical: StructType,
+                           cmd: RowLevelOperation.Command, scannedV: Long)
+    extends DeltaBatchWrite {
+  import scala.jdk.CollectionConverters._
+
+  private val tmpRoot = new Path(new Path(path, "_staging_rl"),
+    java.util.UUID.randomUUID().toString).toString
+
+  /** The parquet payload schema: logical fields minus partition columns
+    * (hive layout carries them in the path), renamed to PHYSICAL names.
+    */
+  private val partSet = m.partitionCols.toSet
+  private val dataFieldsLogical = logical.fields.filterNot(f => partSet(f.name))
+  private val physPayload = StructType(dataFieldsLogical.map(f =>
+    f.copy(name = m.physOf(f.name))))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     GraftDeltaWriterFactory(tmpRoot, logical, physPayload,
       m.partitionCols.map(c => (logical.fieldIndex(c), m.physOf(c))),
-      boundConstraints, writeConf,
+      GraftWriteUtil.boundConstraints(spark, logical, m.constraints),
+      GraftWriteUtil.writeConf(spark),
       spark.sessionState.conf.sessionLocalTimeZone)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -302,8 +312,9 @@ class GraftDeltaWriter(fa: GraftDeltaWriterFactory, partitionId: Int, taskId: Lo
   override def insert(row: InternalRow): Unit = {
     fa.constraints.foreach { case (name, expr) =>
       if (expr.eval(row) == false) throw new IllegalArgumentException(
-        s"row-level write violates CHECK constraint '$name' — SQL " +
-          "UPDATE/MERGE enforce every table constraint with fail semantics")
+        s"write violates CHECK constraint '$name' — executor-staged writes " +
+          "(SQL UPDATE/MERGE, the streaming sink) enforce every table " +
+          "constraint with fail semantics")
     }
     val rel = {
       val p = partitionRel(row)

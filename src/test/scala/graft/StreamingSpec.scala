@@ -723,4 +723,139 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, path).contains(vAfterStop + 1),
       "the redelivered batch must still commit (audit trail, version advances)")
   }
+
+  // ---- native writeStream.format("graft") sink ---------------------------
+
+  test("native streaming sink: per-epoch append commits; the first epoch creates the table") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-natsink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-natsink-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = df.writeStream.format("graft")
+      .option("checkpointLocation", ckpt).start(path)
+    input.addData(Seq((1L, "a"), (2L, "b"))); q.processAllAvailable()
+    input.addData(Seq((3L, "c"))); q.processAllAvailable()
+    q.stop()
+    // two epochs = two append commits, no foreachBatch anywhere
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 2L))
+    val kinds = SnapshotTable.history(spark, path)
+      .select("kind").collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("append", "append"))
+    val rows = SnapshotTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the table is a first-class graft table: V2 batch read agrees
+    assert(spark.read.format("graft").load(path).count() == 3L)
+    // restart with NEW data continues appending under the same queryId
+    val q2 = df.writeStream.format("graft")
+      .option("checkpointLocation", ckpt).start(path)
+    input.addData(Seq((4L, "d"))); q2.processAllAvailable()
+    q2.stop()
+    assert(SnapshotTable.read(spark, path).count() == 4L)
+  }
+
+  test("native sink restart redelivery is exactly-once through the epoch marker") {
+    // The crash window: the epoch's table commit landed, the process
+    // died before the CHECKPOINT marker did. Spark re-delivers the
+    // epoch; the (queryId, epochId) manifest marker makes the redelivery
+    // a full no-op — no rows, and (unlike the foreachBatch ingest sink,
+    // which re-runs an empty ingest) NO new version either.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-natsink-r").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-natsink-rc").toString
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    def sink() = df.writeStream.format("graft")
+      .option("checkpointLocation", ckpt).start(path)
+    val q1 = sink()
+    input.addData(Seq((1L, "alpha"), (2L, "beta"))); q1.processAllAvailable()
+    input.addData(Seq((3L, "gamma"))); q1.processAllAvailable()
+    q1.stop()
+    assert(SnapshotTable.read(spark, path).count() == 3L)
+    val vAfterStop = SnapshotTable.currentVersion(spark, path).get
+    // crash simulation: drop the newest checkpoint commit marker so the
+    // last epoch reads as WAL-logged-but-uncommitted on restart
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length == 2, s"expected 2 commit markers, got ${commits.length}")
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc").delete()
+    val q2 = sink()
+    q2.processAllAvailable()
+    assert(SnapshotTable.read(spark, path).count() == 3L,
+      "redelivered epoch duplicated rows — the epoch marker failed")
+    assert(SnapshotTable.currentVersion(spark, path).contains(vAfterStop),
+      "a no-op redelivery must not commit a new version")
+    // the restarted incarnation keeps appending fresh epochs normally
+    input.addData(Seq((4L, "delta"))); q2.processAllAvailable()
+    q2.stop()
+    assert(SnapshotTable.read(spark, path).count() == 4L)
+    assert(SnapshotTable.currentVersion(spark, path).contains(vAfterStop + 1))
+  }
+
+  test("native sink to an existing partitioned table: hive layout, schema contract, constraints") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    val path = java.nio.file.Files.createTempDirectory("graft-natsink-p").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-natsink-pc").toString
+    SnapshotTable.write(spark,
+      Seq((1L, "seed", "en")).toDF("doc_id", "text", "lang"),
+      path, partitionCols = Seq("lang"), statsCols = Seq("doc_id"))
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "text", "lang")
+    val q = df.writeStream.format("graft")
+      .option("checkpointLocation", ckpt).start(path)
+    input.addData(Seq((2L, "two", "en"), (3L, "three", "fr")))
+    q.processAllAvailable()
+    q.stop()
+    val cur = SnapshotTable.read(spark, path)
+    assert(cur.count() == 3L)
+    assert(cur.filter(col("lang") === "fr").count() == 1L)
+    // the epoch's delta dir carries hive `lang=` segments
+    val snapDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-00000002"))
+    assert(snapDirs.nonEmpty)
+    val segs = snapDirs.flatMap(d => d.listFiles()).map(_.getName).toSet
+    assert(segs == Set("lang=en", "lang=fr"), s"unexpected layout: $segs")
+    // additive schema drift refuses at the first epoch (the ingest
+    // contract — the write plan resolves before any row lands)
+    val input2 = MemoryStream[(Long, String, String, Long)]
+    val drifted = input2.toDF().toDF("doc_id", "text", "lang", "extra")
+    val e = intercept[Exception] {
+      val qd = drifted.writeStream.format("graft")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-natsink-pc2").toString)
+        .start(path)
+      input2.addData(Seq((9L, "x", "en", 1L)))
+      try qd.processAllAvailable() finally qd.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("additive schema drift")),
+      s"wrong failure: ${messages(e)}")
+  }
+
+  test("native sink refuses Complete output mode loudly (append-only contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-natsink-cm").toString + "/t"
+    val input = MemoryStream[(Long, String)]
+    val agg = input.toDF().toDF("doc_id", "text")
+      .groupBy("text").count()
+    val e = intercept[Exception] {
+      val q = agg.writeStream.format("graft")
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-natsink-cmc").toString)
+        .start(path)
+      input.addData(Seq((1L, "a")))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("Append output mode") ||
+      m.contains("does not support Complete")), s"wrong failure: ${messages(e)}")
+  }
 }
