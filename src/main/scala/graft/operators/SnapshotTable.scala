@@ -2905,7 +2905,8 @@ object SnapshotTable {
       deltaBloom: org.apache.spark.util.sketch.BloomFilter,
       stagedDir0: String, parentV0: Option[Long], parentDirs0: Seq[String],
       retries: Int, physmap: Map[String, String] = Map.empty,
-      physRetired: Seq[String] = Nil): (Long, Long) = {
+      physRetired: Seq[String] = Nil,
+      regate: Option[(DataFrame, Seq[String], Long) => DataFrame] = None): (Long, Long) = {
     import org.apache.spark.sql.functions._
     val physText = physmap.getOrElse(textCol, textCol)
     val f = fs(spark, new Path(path))
@@ -2956,8 +2957,13 @@ object SnapshotTable {
             else rawScan(spark, path,
                 winnerM.copy(dirs = appendAdded, tombstones = Nil))
               .select(contentKey(col(textCol)).as("__h"))
-          val surv = stagedRead.join(theirs,
+          val survExact = stagedRead.join(theirs,
             contentKey(stagedRead(physText)) === col("__h"), "left_anti")
+          // caller-supplied extra admission gate against the racer-added
+          // dirs ([[ingestFuzzy]]'s near-dup re-check — what makes the
+          // fuzzy invariant hold under concurrent fuzzy ingests, not just
+          // the exact one)
+          val surv = regate.fold(survExact)(g => g(survExact, appendAdded, winnerV))
           val nSurv = surv.count()
           if (nSurv == nStaged) { renameStaged(f, path, stagedDir, newDir); nStaged }
           else {
@@ -3203,7 +3209,13 @@ object SnapshotTable {
              fpp: Double = 0.01, format: String = "parquet",
              statsCols: Seq[String] = Nil,
              evolveSchema: Boolean = false,
-             partitionCols: Seq[String] = Nil): IngestStats = {
+             partitionCols: Seq[String] = Nil,
+             // internal ([[ingestFuzzy]]): extra admission gate re-run
+             // against racer-added dirs inside a lost-race rebase —
+             // (staged delta (physical names), racer dirs, winner
+             // version) => surviving rows
+             rebaseRegate: Option[(DataFrame, Seq[String], Long) => DataFrame] = None)
+      : IngestStats = {
     import org.apache.spark.sql.functions._
     val cur = currentVersion(spark, path)
     val next = cur.getOrElse(0L) + 1
@@ -3341,7 +3353,8 @@ object SnapshotTable {
           val (v, n) = rebaseLostAppend(spark, path, textCol, format,
             committedSchema, effStats, effParts, deltaBloom,
             deltaDir, cur, parentDirs, retries = 5,
-            physmap = physmap, physRetired = parentRetired)
+            physmap = physmap, physRetired = parentRetired,
+            regate = rebaseRegate)
           IngestStats(v, nIncoming, n)
       }
     } finally { if (weCached) { incoming.unpersist(); () } }
@@ -3661,6 +3674,17 @@ object SnapshotTable {
     new Path(new Path(new Path(path, "_minhash"),
       s"k${k}s$shingleLen${if (portable) "p" else ""}"), dataDir)
 
+  /** A signature sidecar is trustworthy only once its write JOB finished
+    * — the `_SUCCESS` marker, not bare directory existence: sidecars are
+    * persisted POST-commit, so a concurrent reader (another fuzzy
+    * ingest's entry gate, a loser's rebase re-gate) can observe the dir
+    * mid-write and must fall back to the payload recompute instead of
+    * reading half a job's files.
+    */
+  private def minhashSidecarReady(f: org.apache.hadoop.fs.FileSystem,
+                                  sd: Path): Boolean =
+    f.exists(new Path(sd, "_SUCCESS"))
+
   final case class FuzzyIngestStats(version: Long, nIncoming: Long,
                                     nFuzzyDropped: Long, nNew: Long)
 
@@ -3693,16 +3717,18 @@ object SnapshotTable {
     * `shingleLen` should stay constant per table; a change just forfeits
     * the sidecar fast path for pre-change dirs. Set `portableHash` only
     * when an external SQL replay of admissions is required (the fast
-    * path hashes shingles with xxhash64). Concurrency: ONLY the exact
-    * tier is race-safe — the fuzzy gate runs against the snapshot
-    * resolved at entry, and the delegated [[ingest]] rebase re-verifies
-    * racer-added content for EXACT duplicates only, so a NEAR-dup
-    * committed by a concurrent fuzzy ingest between this gate and the
-    * commit is admitted (near-dup admission is best-effort under
-    * concurrent writers; serialize fuzzy ingests per table when the
-    * fuzzy invariant must be strict). The post-commit sidecar write is
-    * idempotent (signatures are deterministic) and a crash before it
-    * just re-pays the one-dir recompute later.
+    * path hashes shingles with xxhash64). Concurrency: BOTH tiers are
+    * race-safe — the fuzzy gate runs against the snapshot resolved at
+    * entry, and on a lost commit race the delegated [[ingest]] rebase
+    * re-runs it (via `rebaseRegate`) against exactly the racer-added
+    * dirs: their `_minhash` sidecars when present (a racer fuzzy ingest
+    * writes them post-commit), one self-healing payload recompute per
+    * sidecar-less dir otherwise. So a NEAR-dup committed by a
+    * concurrent fuzzy ingest between this gate and the commit is
+    * dropped by the loser's rebase, at O(racer delta signatures) cost.
+    * The post-commit sidecar write is idempotent (signatures are
+    * deterministic) and a crash before it just re-pays the one-dir
+    * recompute later.
     */
   def ingestFuzzy(spark: SparkSession, incoming: DataFrame, path: String,
                   idCol: String, textCol: String, tau: Double = 0.5,
@@ -3727,7 +3753,7 @@ object SnapshotTable {
           val m = readManifestChecked(spark, path, v)
           val exSigs = m.dirs.map { d =>
             val sd = minhashDir(path, d, k, shingleLen, portableHash)
-            if (f.exists(sd))
+            if (minhashSidecarReady(f, sd))
               spark.read.format(m.format).load(sd.toString).select(col("sig"))
             else {
               // self-healing: one payload pass for this dir, persisted so
@@ -3751,8 +3777,42 @@ object SnapshotTable {
           }
       }
       val nSurvivors = survivors.count()
+      // the near-dup gate, re-runnable inside the ingest rebase against
+      // racer-added dirs (staged rows carry PHYSICAL names there)
+      val physmapNow = cur
+        .map(v => readManifestChecked(spark, path, v).physmap)
+        .getOrElse(Map.empty[String, String])
+      val idPhys = physmapNow.getOrElse(idCol, idCol)
+      val textPhys = physmapNow.getOrElse(textCol, textCol)
+      val regate: (DataFrame, Seq[String], Long) => DataFrame =
+        (staged, racerDirs, winnerV) => {
+          val wFormat = readManifestChecked(spark, path, winnerV).format
+          val exSigs = racerDirs.map { d =>
+            val sd = minhashDir(path, d, k, shingleLen, portableHash)
+            if (minhashSidecarReady(f, sd))
+              spark.read.format(wFormat).load(sd.toString).select(col("sig"))
+            else
+              // the RACER is usually writing this sidecar right now
+              // (post-commit persist) — recompute in memory, never write
+              // a path another committer owns
+              graft.operators.Dedup.minhashSigs(
+                scanDirsAt(spark, path, winnerV, Seq(d)), idCol, textCol,
+                k, shingleLen, portableHash).select(col("sig"))
+          }
+          if (exSigs.isEmpty) staged
+          else {
+            val exBanded = graft.operators.Dedup.bandSigs(
+              exSigs.reduce(_ unionByName _), k, bands)
+            val inBanded = graft.operators.Dedup.minhashBanded(
+              staged, idPhys, textPhys, k, bands, shingleLen, portableHash)
+            staged.join(
+              graft.operators.Dedup.fuzzyDupIds(exBanded, inBanded, k, tau),
+              col(idPhys) === col("__dup"), "left_anti")
+          }
+        }
       val st = ingest(spark, survivors, path, textCol, expectedItems, fpp,
-        format, statsCols, evolveSchema, partitionCols)
+        format, statsCols, evolveSchema, partitionCols,
+        rebaseRegate = Some(regate))
       // persist the committed delta's signatures (post-commit: the dir
       // name is the manifest diff against the parent — exact under
       // rebase too, since our commit adds exactly one dir)

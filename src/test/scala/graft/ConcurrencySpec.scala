@@ -265,6 +265,73 @@ class ConcurrencySpec extends SparkSpec {
     assert(dups.isEmpty)
   }
 
+  test("fuzzy ingest racing a fuzzy ingest: the loser's rebase drops the winner's near-dups") {
+    import spark.implicits._
+    val path = tmp("graft-fuzzy-race")
+    SnapshotTable.ingestFuzzy(spark,
+      Seq((1L, "the quick brown fox jumps over the lazy dog near the river bank"))
+        .toDF("doc_id", "text"),
+      path, "doc_id", "text", expectedItems = 1000L)
+    val xText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    // winner commits xText in the loser's commit window — AFTER the
+    // loser's entry gate ran, so only the rebase re-gate can catch it
+    SnapshotTable.ingestCommitFault = () => {
+      SnapshotTable.ingestFuzzy(spark,
+        Seq((100L, xText)).toDF("doc_id", "text"),
+        path, "doc_id", "text", expectedItems = 1000L)
+      ()
+    }
+    val st = SnapshotTable.ingestFuzzy(spark,
+      Seq((200L, xText + " extra"), // near-dup of the winner's row
+          (201L, "completely different words entirely unrelated content here today"))
+        .toDF("doc_id", "text"),
+      path, "doc_id", "text", expectedItems = 1000L)
+    assert(st.nNew == 1L,
+      "the loser's rebase must drop the near-dup the winner admitted first")
+    assert(ids(path) == Set(1L, 100L, 201L))
+    // the dropped near-dup stays droppable: re-ingesting it gates at ENTRY
+    // now (the winner's signature sidecar is committed history)
+    val st2 = SnapshotTable.ingestFuzzy(spark,
+      Seq((300L, xText + " extra")).toDF("doc_id", "text"),
+      path, "doc_id", "text", expectedItems = 1000L)
+    assert(st2.nFuzzyDropped == 1L && st2.nNew == 0L)
+  }
+
+  test("two genuinely concurrent fuzzy ingests: exactly one of a cross-batch near-dup pair lands") {
+    import spark.implicits._
+    val path = tmp("graft-fuzzy-race2")
+    SnapshotTable.ingestFuzzy(spark,
+      Seq((1L, "seed document with completely independent wording throughout the body"))
+        .toDF("doc_id", "text"),
+      path, "doc_id", "text", expectedItems = 1000L)
+    val xText = "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee"
+    val a = Seq((100L, xText),
+      (101L, "first unrelated row aaa bbb ccc ddd eee fff ggg hhh")).toDF("doc_id", "text")
+    val b = Seq((200L, xText + " zulu"), // near-dup of a's 100
+      (201L, "second unrelated row iii jjj kkk lll mmm nnn ooo ppp")).toDF("doc_id", "text")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(a, b).map { batch =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          SnapshotTable.ingestFuzzy(spark, batch, path, "doc_id", "text",
+            expectedItems = 1000L)
+          ()
+        } catch { case t: Throwable => errors.add(t); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, errors)
+    val got = ids(path)
+    // whichever near-dup committed FIRST survives; the other must have
+    // been dropped — by the entry gate (serialized timing) or by the
+    // loser's rebase re-gate (true race). Both unrelated rows land.
+    assert(got.intersect(Set(100L, 200L)).size == 1, s"near-dup pair: $got")
+    assert(Set(1L, 101L, 201L).subsetOf(got), s"unrelated rows lost: $got")
+  }
+
   test("a lost binpack rebases onto interleaved appends: merged dir re-homes, appends kept") {
     val path = tmp("graft-race8")
     SnapshotTable.ingest(spark, docs(0 until 20), path, "text", expectedItems = 1000L)
