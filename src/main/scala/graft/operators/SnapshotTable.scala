@@ -1236,16 +1236,18 @@ object SnapshotTable {
     * overlay.
     */
   private[graft] def posDeleteMask(spark: SparkSession, path: String,
-                                   m: Manifest): Option[Map[String, Array[Long]]] = {
-    if (m.posDeletes.isEmpty) return Some(Map.empty)
+                                   m: Manifest,
+                                   names0: Seq[String] = null): Option[Map[String, Array[Long]]] = {
+    val names = Option(names0).getOrElse(m.posDeletes)
+    if (names.isEmpty) return Some(Map.empty)
     val f = fs(spark, new Path(path))
-    val bytes = m.posDeletes.map { n =>
+    val bytes = names.map { n =>
       val p = posDeletePath(path, n)
       if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
     }.sum
     if (bytes > tombstoneBroadcastMaxBytes) None
     else {
-      val pd = m.posDeletes.map(n =>
+      val pd = names.map(n =>
           spark.read.format(m.format).load(posDeletePath(path, n).toString))
         .reduce(_ unionByName _)
       val mask = pd.select("file", "ord").collect()
@@ -1258,6 +1260,34 @@ object SnapshotTable {
         requireSubpathKeyedPosDeletes(spark, path, m)
       Some(mask)
     }
+  }
+
+  /** The DISTINCT keys a specific set of tombstone sidecars names, in
+    * CATALYST representation (the per-row probe form, like
+    * [[tombstoneKeyMask]]) — the CDF stream's victim selector for one
+    * merge-on-read commit. Size-gated like every driver-side mask;
+    * None above the bound.
+    */
+  private[graft] def tombstoneKeySet(spark: SparkSession, path: String,
+                                     m: Manifest,
+                                     names: Seq[String]): Option[Set[Any]] = {
+    import org.apache.spark.sql.functions.col
+    if (names.isEmpty) return Some(Set.empty)
+    val key = m.morKey.getOrElse(throw new IllegalStateException(
+      s"manifest at $path lists tombstones but no morkey — corrupt manifest"))
+    val f = fs(spark, new Path(path))
+    val bytes = names.map { n =>
+      val p = tombstonePath(path, n)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }.sum
+    if (bytes > tombstoneBroadcastMaxBytes) None
+    else Some(names.flatMap { n =>
+      val df = spark.read.format(m.format)
+        .load(tombstonePath(path, n).toString).select(col(key))
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(df.schema.head.dataType)
+      df.collect().iterator.map(_.get(0)).filter(_ != null).map(conv)
+    }.toSet)
   }
 
   /** The merge-on-read KEY overlay as a DRIVER-side mask for readers
@@ -2530,6 +2560,149 @@ object SnapshotTable {
     // the same manifest machinery (physical names, partition discovery,
     // logical aliasing) as a full read — just with the dir list cut down
     else rawScan(spark, path, toM.copy(dirs = added))
+  }
+
+  /** The table's CHANGE DATA FEED over a version range — every
+    * row-level event the commits in `[fromVersion, toVersion]` applied,
+    * as a DataFrame of the table's columns (under `toVersion`'s logical
+    * names) plus `_change_type` ('insert' / 'delete'; an update is its
+    * delete+insert pair, Iceberg-changes style) and `_commit_version`.
+    * This is what [[addedBetween]] refuses to be: a range crossing
+    * row-mutating commits replayed EXACTLY, with the masked victims'
+    * full pre-images. Per commit kind:
+    *
+    *  - version 1 / `overwrite`-created baseline: its content as inserts;
+    *  - `append` (ingest / SQL INSERT / streaming epochs): the added
+    *    dirs' rows as inserts — O(delta) scan, never the table;
+    *  - `merge-on-read`: the newly-tombstoned keys' rows VISIBLE at v-1
+    *    as deletes (keyed semi-join of the pre-image read against the
+    *    delta-scale tombstone — an upsert's new-key tombstone matches
+    *    nothing, so pure inserts emit no phantom delete), plus the
+    *    added dirs' upserts as inserts;
+    *  - `posdelete` / `posupdate` (SQL DELETE / UPDATE / MERGE deltas):
+    *    the new sidecars' (file, ordinal) victims as deletes (positional
+    *    semi-join against the v-1 raw scan), plus any staged updates as
+    *    inserts;
+    *  - `compact` / `binpack` / `posdelete-compact` / constraint and
+    *    column-mapping metadata commits: content no-ops, no events;
+    *  - `overwrite` / `merge` / `rollback` (rewrite class): the honest
+    *    full diff — every v-1 row as delete, every v row as insert
+    *    (a rewrite IS a whole-table change; consumers that want cheaper
+    *    semantics should window their range around it).
+    *
+    * Column-mapping drift inside the range is handled by the physical
+    * names' immutability: every per-version frame re-aliases physical →
+    * `toVersion`-vintage logical names, so one schema serves the whole
+    * range (columns dropped by `toVersion` leave the feed; columns
+    * added later null-fill). Needs manifest `fromVersion - 1` retained
+    * (pre-images are read at v-1); fails with the retained range
+    * otherwise. Scale shape: per-commit event frames are delta-scale
+    * scans and delta-keyed semi-joins — only rewrite-class commits pay
+    * table-scale, which is what they cost by definition.
+    */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+              toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val to = toVersion.getOrElse(currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path")))
+    require(fromVersion >= 1L && fromVersion <= to,
+      s"changes: bad version range [$fromVersion, $to]")
+    val toM = readManifestChecked(spark, path, to)
+    val toSchema = toM.schema.getOrElse(nullableSchema(readAt(spark, path, to).schema))
+    // physical → toVersion-vintage logical name (physicals are immutable,
+    // so this re-names any version's frame into toVersion's schema)
+    val toLogicalOfPhys: Map[String, String] =
+      toSchema.fieldNames.map(n => toM.physOf(n) -> n).toMap
+    def remap(df: DataFrame, mv: Manifest, changeType: String, v: Long): DataFrame = {
+      val have = df.columns.toSet
+      val cols = toSchema.fields.map { fld =>
+        // this version's logical name for the field's physical identity
+        val vName = mv.physmap.find(_._2 == toM.physOf(fld.name))
+          .map(_._1).getOrElse(toM.physOf(fld.name))
+        if (have.contains(vName)) col(vName).cast(fld.dataType).as(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name) // added after v
+      }
+      df.select(cols.toIndexedSeq: _*)
+        .withColumn("_change_type", lit(changeType))
+        .withColumn("_commit_version", lit(v))
+    }
+    def kindOf(v: Long, mv: Manifest, mp: Option[Manifest]): String =
+      mv.kind.getOrElse {
+        if (v == 1L) "create"
+        else mp match {
+          case None => "baseline"
+          case Some(p) =>
+            if (p.dirs.exists(d => !mv.dirs.contains(d))) "overwrite"
+            else if (mv.tombstones.size > p.tombstones.size) "merge-on-read"
+            else if (mv.dirs.size > p.dirs.size) "append"
+            else "noop"
+        }
+      }
+    val frames = (fromVersion to to).flatMap { v =>
+      val mv = readManifestChecked(spark, path, v)
+      val mp = if (v == 1L) None
+        else Some(try readManifestChecked(spark, path, v - 1) catch {
+          case e: IllegalArgumentException => throw new IllegalArgumentException(
+            s"changes over [$fromVersion, $to] at $path needs version ${v - 1} " +
+              s"for the pre-image of version $v, but it expired: ${e.getMessage}")
+        })
+      def addedDirRows: Option[DataFrame] = {
+        val added = mv.dirs.filterNot(mp.map(_.dirs.toSet).getOrElse(Set.empty))
+        if (added.isEmpty) None
+        else Some(remap(rawScan(spark, path, mv.copy(dirs = added, tombstones = Nil)),
+          mv, "insert", v))
+      }
+      def posVictims: Option[DataFrame] = {
+        val newPd = mv.posDeletes.filterNot(mp.map(_.posDeletes.toSet).getOrElse(Set.empty))
+        if (newPd.isEmpty) None
+        else {
+          val pre = rawScanPos(spark, path, mp.get, withPos = true)
+          val sidecar = newPd.map(n => spark.read.format(mv.format)
+              .load(posDeletePath(path, n).toString))
+            .reduce(_ unionByName _)
+            .select(col("file").as("__graft_cf"), col("ord").as("__graft_co"))
+          Some(remap(pre.join(broadcast(sidecar),
+              pre(posFileCol) === col("__graft_cf") &&
+                pre(posOrdCol) === col("__graft_co"), "left_semi")
+            .drop(posFileCol, posOrdCol), mp.get, "delete", v))
+        }
+      }
+      val kind = kindOf(v, mv, mp)
+      kind match {
+        case _ if v == 1L => addedDirRows.toSeq // creation baseline: inserts
+        case "append" => addedDirRows.toSeq
+        case "compact" | "binpack" | "posdelete-compact" | "constraint" |
+             "drop-constraint" | "renamecol" | "dropcol" | "noop" => Nil
+        case "merge-on-read" =>
+          val newTs = mv.tombstones.filterNot(mp.map(_.tombstones.toSet).getOrElse(Set.empty))
+          val key = mv.morKey.getOrElse(throw new IllegalStateException(
+            s"merge-on-read commit $v at $path records no morkey — corrupt manifest"))
+          val deletes = if (newTs.isEmpty) None else {
+            val keys = newTs.map(n => spark.read.format(mv.format)
+                .load(tombstonePath(path, n).toString)
+                .select(col(key).as("__graft_ck")))
+              .reduce(_ unionByName _).distinct()
+            val pre = readAt(spark, path, v - 1)
+            Some(remap(pre.join(broadcast(keys),
+              pre(key) === col("__graft_ck"), "left_semi"), mp.get, "delete", v))
+          }
+          deletes.toSeq ++ addedDirRows.toSeq
+        case "posdelete" | "posupdate" =>
+          posVictims.toSeq ++ addedDirRows.toSeq
+        case _ => // overwrite / merge / rollback / baseline: full diff
+          Seq(remap(readAt(spark, path, v - 1), mp.get, "delete", v),
+            remap(readAt(spark, path, v), mv, "insert", v))
+      }
+    }
+    val metaSchema = StructType(toSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (frames.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        metaSchema)
+    else frames.reduce(_ unionByName _)
   }
 
   /** Scan a subset of `version`'s snapshot directories through the full

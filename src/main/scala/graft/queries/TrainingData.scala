@@ -4613,6 +4613,71 @@ object TrainingData {
          OR (doc_id BETWEEN 400 AND 449 AND doc_id NOT BETWEEN 410 AND 419)
       ORDER BY doc_id"""))
 
+  // ---- d50_cdc_changes: the change-data-feed over a mixed chain ---------
+  // What addedBetween refuses to be: a version range crossing
+  // row-mutating commits replayed EXACTLY as row events
+  // ([[SnapshotTable.changes]], served to SQL as `t$changes`). The
+  // fixture chain mixes every delta-commit class — v1/v2 ingests
+  // (inserts), v3 keyed merge-on-read (updates = delete+insert pairs,
+  // deletes with full pre-images via the keyed semi-join, fresh
+  // inserts), v4 positional delete (victims resolved by (file, ordinal)
+  // against the v3 pre-image — note they carry v3-updated values where
+  // the ranges overlap, which the oracle must replay too). DuckDB
+  // reconstructs the whole event stream relationally from the base
+  // table. Scale shape: per-commit frames are delta-scale scans and
+  // broadcast semi-joins; nothing rewrites or collects.
+  private def d50Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d50", expect = Seq(1L, 2L, 3L, 4L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 300), path, "text",
+        expectedItems = 100000L, statsCols = Seq("doc_id"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id").between(300, 399)), path,
+        "text", expectedItems = 100000L)
+      val upd = docs.filter(col("doc_id").between(100, 149))
+        .select(col("doc_id"), col("lang"), (col("n_chars") + 1000).as("n_chars"),
+          col("text"), lit(false).as("is_deleted"))
+      val del = docs.filter(col("doc_id").between(200, 219))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          lit(true).as("is_deleted"))
+      val ins = docs.filter(col("doc_id").between(400, 429))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          lit(false).as("is_deleted"))
+      SnapshotTable.mergeOnRead(s, upd.unionByName(del).unionByName(ins),
+        path, "doc_id", deleteCol = Some("is_deleted"), textCol = Some("text"),
+        expectedItems = 100000L)
+      SnapshotTable.deleteWherePositional(s, path, col("doc_id").between(50, 69))
+      ()
+    }
+
+  private val d50 = Q(
+    (s, dir) => {
+      SnapshotTable.changes(s, d50Fixture(s, dir), 1L)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars, 'insert' AS _change_type, 1 AS _commit_version
+      FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'insert', 2
+      FROM documents WHERE doc_id BETWEEN 300 AND 399
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'delete', 3
+      FROM documents
+      WHERE doc_id BETWEEN 100 AND 149 OR doc_id BETWEEN 200 AND 219
+      UNION ALL
+      SELECT doc_id, lang, n_chars + 1000, 'insert', 3
+      FROM documents WHERE doc_id BETWEEN 100 AND 149
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'insert', 3
+      FROM documents WHERE doc_id BETWEEN 400 AND 429
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'delete', 4
+      FROM documents WHERE doc_id BETWEEN 50 AND 69
+      ORDER BY _commit_version, _change_type, doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4666,6 +4731,7 @@ object TrainingData {
     "d47_sql_update" -> d47,
     "d48_sql_merge" -> d48,
     "d49_sql_read_mor" -> d49,
+    "d50_cdc_changes" -> d50,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -118,6 +118,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             if (fsys.exists(dir)) walk(dir).map(st =>
               (d, st.getPath.getName, st.getLen)) else Nil
           }.toDF("dir", "file", "bytes")
+        case "changes" =>
+          // row-scale (the table's full retained change feed) — served
+          // DISTRIBUTED through the V1Scan bridge, never collected;
+          // filter `_commit_version` to window the range
+          return new GraftDataFrameTable(ident.toString,
+            SnapshotTable.changes(s, p.toString, 1L, None))
         case other => throw new NoSuchTableException(ident)
       }
       return GraftMetadataTable(ident.toString, df)
@@ -341,6 +347,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "use DROP NAMESPACE ... CASCADE")
     f.delete(p, true)
   }
+}
+
+/** A row-scale derived relation (`t$changes` — the SQL face of
+  * [[SnapshotTable.changes]]) served through Spark's V1 read bridge:
+  * the Catalyst plan behind the DataFrame executes DISTRIBUTED when the
+  * scan runs (delta-scale scans and keyed semi-joins per commit), and
+  * nothing is materialized at load. The [[org.apache.spark.sql.connector.read.V1Scan]]
+  * seam is the same one file-source fallbacks ship on; column pruning
+  * is deliberately not plumbed (a change feed is consumed whole).
+  */
+class GraftDataFrameTable(tname: String, df: org.apache.spark.sql.DataFrame)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+  override def name(): String = tname
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = df.schema
+        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = df.schema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              df.rdd
+          }.asInstanceOf[T]
+        override def description(): String = s"GraftChangesScan($tname)"
+      }
+    }
 }
 
 /** A metadata table (`t$history` / `t$tags` / `t$files`): the frame is

@@ -1,0 +1,322 @@
+package graft.sources.v2
+
+import graft.operators.SnapshotTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.types.{DataType, LongType, NullType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Streaming CHANGE DATA FEED of a graft table —
+  * `spark.readStream.format("graft").option("readChangeFeed", "true")
+  * .load(path)` (the Delta CDF reader-option contract): each
+  * micro-batch delivers the ROW EVENTS of the commits in its version
+  * range, table columns plus `_change_type` ('insert' / 'delete'; an
+  * update is its pair) and `_commit_version` — so row-mutating commits
+  * that fail the plain data stream loudly become consumable events:
+  *
+  *  - append / create commits → added dirs' rows as inserts (identical
+  *    to the plain stream);
+  *  - merge-on-read commits → the newly-tombstoned keys' rows still
+  *    VISIBLE at v-1 as deletes, plus the upsert dirs as inserts;
+  *  - posdelete / posupdate commits → the new sidecars' (file, ordinal)
+  *    victims as deletes — the scan opens ONLY the files the sidecar
+  *    names — plus staged updates as inserts;
+  *  - compact / binpack / metadata commits → no events, cursor rolls on;
+  *  - rewrite-class commits (overwrite / COW merge / rollback) still
+  *    fail loudly: their honest event form is a whole-table diff, which
+  *    a stream must not silently deliver — replay them with
+  *    [[SnapshotTable.changes]] (batch) and restart past them.
+  *
+  * Everything executes as wrapped PER-FILE parquet scans — victim
+  * selection and prior-overlay visibility ride the same size-gated
+  * driver masks as the batch keyed/positional overlays (a row is a
+  * delete victim iff it was visible under v-1's full overlay AND the
+  * commit's new tombstone keys / delete ordinals select it), so event
+  * production is O(delta + touched files), never a join, never a
+  * collect of data rows. Offsets, admission control, and
+  * Trigger.AvailableNow are inherited from the plain data stream.
+  */
+class GraftCdfScan(spark: SparkSession, path: String,
+                   m: SnapshotTable.Manifest, logical: StructType,
+                   options: CaseInsensitiveStringMap) extends Scan {
+  private val partSet = m.partitionCols.toSet
+  private def phys(s: StructType) = StructType(s.fields.map(f =>
+    f.copy(name = m.physOf(f.name))))
+  private val dataFields = StructType(logical.fields.filterNot(f => partSet(f.name)))
+  private val partFields = StructType(logical.fields.filter(f => partSet(f.name)))
+
+  override def readSchema(): StructType =
+    StructType(dataFields.fields ++ partFields.fields ++ GraftCdf.metaFields)
+
+  override def toBatch: Batch = throw new UnsupportedOperationException(
+    s"batch change-feed reads of $path go through SnapshotTable.changes " +
+      "(API) or the catalog's `t$changes` relation; the readChangeFeed " +
+      "option is the STREAMING form")
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val maxPerBatch = Option(options.get("maxVersionsPerBatch")).map(_.trim.toLong)
+    new GraftCdfStream(path,
+      StreamSchemas(phys(dataFields), phys(dataFields), phys(partFields),
+        phys(logical), Array.empty),
+      m.format, m.partitionCols,
+      Option(options.get("startVersion")), maxPerBatch)
+  }
+
+  override def description(): String =
+    s"GraftCdfScan(path=$path, changeFeed)"
+}
+
+object GraftCdf {
+  val metaFields: Seq[StructField] = Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", LongType, nullable = false))
+
+  /** Subpath after the row's `snap-*` dir segment (the engine's file
+    * identity) and that dir's commit version, from a full file path.
+    */
+  def subpathOf(s: String): String = {
+    val i = s.lastIndexOf("/snap-")
+    if (i < 0) s.split('/').last else s.substring(s.indexOf('/', i + 1) + 1)
+  }
+  def dirVersionOf(s: String): Long = {
+    val i = s.lastIndexOf("/snap-")
+    if (i < 0) Long.MaxValue else s.substring(i + 6).takeWhile(_.isDigit).toLong
+  }
+}
+
+/** One event frame's executor contract: the delegate's row layout, the
+  * victim selectors (positional and/or keyed — None for insert frames),
+  * and the v-1 overlay masks a delete victim must still be VISIBLE
+  * under. All masks ride broadcasts (size-gated at plan time).
+  */
+case class CdfFrameSpec(changeType: String, version: Long,
+                        fullSchema: StructType, rowIdxPos: Int,
+                        keyPos: Int, keyType: DataType,
+                        victimPos: Option[Broadcast[Map[String, Array[Long]]]],
+                        victimKeys: Option[Broadcast[Set[Any]]],
+                        priorPos: Option[Broadcast[Map[String, Array[Long]]]],
+                        priorKey: Option[Broadcast[Map[Any, Long]]])
+
+case class CdfInputPartition(
+    inner: InputPartition,
+    innerFactory: org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory,
+    spec: CdfFrameSpec) extends InputPartition
+
+class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
+                     partitionCols: Seq[String],
+                     startVersion: Option[String], maxPerBatch: Option[Long])
+    extends GraftDataStream(path, schemas, format, partitionCols,
+      startVersion, maxPerBatch) {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val rowIdxField = StructField(
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true)
+
+  /** One delegated parquet batch over `dirs` (optionally restricted to
+    * the files whose subpaths a victim mask names — the posdelete event
+    * scan opens ONLY touched files) with its frame's full row schema.
+    */
+  private def frame(dirs: Seq[String], spec0: CdfFrameSpec,
+                    withRowIdx: Boolean,
+                    onlySubpaths: Option[Set[String]]): Seq[InputPartition] = {
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots = dirs.map(d => new Path(path, d)).filter(f.exists)
+    if (roots.isEmpty) return Nil
+    val index = new GraftPrunedFileIndex(spark, roots, kept0 = null,
+      Some(schemas.fullPhys), partitioned = partitionCols.nonEmpty)
+    onlySubpaths.foreach { subs =>
+      index.restrict(index.allFiles()
+        .map(_.getPath.toString)
+        .filter(p => subs.contains(GraftCdf.subpathOf(p))).toSet)
+    }
+    val readData =
+      if (withRowIdx) StructType(schemas.readDataPhys.fields :+ rowIdxField)
+      else schemas.readDataPhys
+    val batch = ParquetScan(
+      spark,
+      spark.sessionState.newHadoopConfWithOptions(Map.empty),
+      index,
+      schemas.dataPhys,
+      readData,
+      schemas.readPartPhys,
+      Array.empty,
+      CaseInsensitiveStringMap.empty()).toBatch
+    val spec = spec0.copy(
+      fullSchema = StructType(readData.fields ++ schemas.readPartPhys.fields),
+      rowIdxPos = if (withRowIdx) schemas.readDataPhys.length else -1)
+    val fac = batch.createReaderFactory()
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory]
+    batch.planInputPartitions().map(p => CdfInputPartition(p, fac, spec)).toSeq
+  }
+
+  /** Position of the MOR key within the frame's row (data fields first,
+    * then — after the optional row-index slot — partition fields).
+    */
+  private def keyPosOf(key: String, m: SnapshotTable.Manifest,
+                       withRowIdx: Boolean): Int = {
+    val dataNames = schemas.readDataPhys.fieldNames.toSeq
+    val partNames = schemas.readPartPhys.fieldNames.toSeq
+    val phys = m.physOf(key)
+    val inData = dataNames.indexOf(phys)
+    if (inData >= 0) inData
+    else dataNames.length + (if (withRowIdx) 1 else 0) + partNames.indexOf(phys)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val to = end.asInstanceOf[VersionOffset].v
+    val bc = spark.sparkContext
+    def gate[T](o: Option[T], what: String, v: Long): T = o.getOrElse(
+      throw new IllegalArgumentException(
+        s"change feed of $path at version $v: the $what is past the " +
+          "driver-mask size bound (compaction-starved overlay); compact " +
+          "the table, then restart the stream"))
+    val parts = Seq.newBuilder[InputPartition]
+    ((from + 1) to to).foreach { v =>
+      val mv = SnapshotTable.readManifestChecked(spark, path, v)
+      val kind = if (v == 1L) "create" else mv.kind.getOrElse("unknown")
+      lazy val mp = try SnapshotTable.readManifestChecked(spark, path, v - 1)
+        catch { case e: IllegalArgumentException => throw new IllegalStateException(
+          s"change feed of $path needs version ${v - 1} for the pre-images " +
+            s"of version $v, but it expired (${e.getMessage}); restart from " +
+            "startVersion=latest or re-baseline the consumer") }
+      def insertFrames(dirs: Seq[String]): Unit =
+        if (dirs.nonEmpty) parts ++= frame(dirs,
+          CdfFrameSpec("insert", v, null, -1, -1, NullType,
+            None, None, None, None),
+          withRowIdx = false, onlySubpaths = None)
+      def priorMasks = (
+        gate(SnapshotTable.posDeleteMask(spark, path, mp),
+          "v-1 positional overlay", v),
+        gate(SnapshotTable.tombstoneKeyMask(spark, path, mp),
+          "v-1 key overlay", v))
+      kind match {
+        case "create" => insertFrames(mv.dirs)
+        case "append" => insertFrames(mv.dirs.filterNot(mp.dirs.toSet))
+        case "compact" | "binpack" | "posdelete-compact" | "constraint" |
+             "drop-constraint" | "renamecol" | "dropcol" | "noop" => ()
+        case "merge-on-read" =>
+          val newTs = mv.tombstones.filterNot(mp.tombstones.toSet)
+          val keys = gate(SnapshotTable.tombstoneKeySet(spark, path, mv, newTs),
+            "commit's tombstone key set", v)
+          val (pp, pk) = priorMasks
+          val key = mv.morKey.getOrElse(throw new IllegalStateException(
+            s"merge-on-read commit $v at $path records no morkey"))
+          parts ++= frame(mp.dirs,
+            CdfFrameSpec("delete", v, null, -1,
+              keyPosOf(key, mv, withRowIdx = true),
+              schemas.fullPhys(schemas.fullPhys.fieldIndex(mv.physOf(key))).dataType,
+              None, Some(bc.broadcast(keys)),
+              Some(bc.broadcast(pp)), Some(bc.broadcast(pk))),
+            withRowIdx = true, onlySubpaths = None)
+          insertFrames(mv.dirs.filterNot(mp.dirs.toSet))
+        case "posdelete" | "posupdate" =>
+          val newPd = mv.posDeletes.filterNot(mp.posDeletes.toSet)
+          val vm = gate(SnapshotTable.posDeleteMask(spark, path, mv, newPd),
+            "commit's delete sidecar", v)
+          val (pp, pk) = priorMasks
+          val (keyPos, keyType) =
+            if (pk.isEmpty) (-1, NullType: DataType)
+            else {
+              val key = mp.morKey.getOrElse(throw new IllegalStateException(
+                s"version ${v - 1} at $path lists tombstones but no morkey"))
+              (keyPosOf(key, mp, withRowIdx = true),
+                schemas.fullPhys(schemas.fullPhys.fieldIndex(mp.physOf(key))).dataType)
+            }
+          parts ++= frame(mp.dirs,
+            CdfFrameSpec("delete", v, null, -1, keyPos, keyType,
+              Some(bc.broadcast(vm)), None,
+              Some(bc.broadcast(pp)), Some(bc.broadcast(pk))),
+            withRowIdx = true, onlySubpaths = Some(vm.keySet))
+          insertFrames(mv.dirs.filterNot(mp.dirs.toSet))
+        case other => throw new IllegalStateException(
+          s"version $v of $path is a '$other' commit — its honest event " +
+            "form is a whole-table diff, which a change-feed stream must " +
+            "not silently deliver; replay it with SnapshotTable.changes " +
+            "(batch) and restart this stream past it with startVersion")
+      }
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = CdfReaderFactory()
+}
+
+/** Per-file wrapping reader for one event frame: applies the victim /
+  * visibility masks row by row (binary search on ordinals, hash probe
+  * on keys) and appends the frame's constant event columns through one
+  * codegen'd projection.
+  */
+case class CdfReaderFactory() extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val cp = partition.asInstanceOf[CdfInputPartition]
+    val sp = cp.spec
+    val files = cp.inner
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition].files
+    val keep = sp.fullSchema.fields.indices.filterNot(_ == sp.rowIdxPos)
+    val metaBase = sp.fullSchema.fields.length
+    val proj = UnsafeProjection.create(
+      keep.map(k => BoundReference(k, sp.fullSchema.fields(k).dataType,
+        sp.fullSchema.fields(k).nullable)) ++ Seq(
+        BoundReference(metaBase, StringType, nullable = false),
+        BoundReference(metaBase + 1, LongType, nullable = false)))
+    val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    metaRow.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(sp.changeType))
+    metaRow.setLong(1, sp.version)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      private var cur: PartitionReader[InternalRow] = _
+      private var curVictimOrds: Array[Long] = _
+      private var curPriorOrds: Array[Long] = _
+      private var curDirV: Long = Long.MaxValue
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+      private var row: InternalRow = _
+
+      private def accept(r: InternalRow): Boolean = {
+        if (sp.victimPos.isEmpty && sp.victimKeys.isEmpty) return true // insert frame
+        // visible under the v-1 overlay?
+        if (curPriorOrds != null && java.util.Arrays.binarySearch(
+            curPriorOrds, r.getLong(sp.rowIdxPos)) >= 0) return false
+        val key = if (sp.keyPos >= 0 && !r.isNullAt(sp.keyPos))
+          r.get(sp.keyPos, sp.keyType) else null
+        if (key != null && sp.priorKey.exists(_.value.get(key).exists(_ > curDirV)))
+          return false
+        // selected by this commit's victim set?
+        (curVictimOrds != null && java.util.Arrays.binarySearch(
+          curVictimOrds, r.getLong(sp.rowIdxPos)) >= 0) ||
+          (key != null && sp.victimKeys.exists(_.value.contains(key)))
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            i += 1
+            if (i >= files.length) return false
+            cur = cp.innerFactory.buildReader(files(i))
+            val full = files(i).toPath.toString
+            val sub = GraftCdf.subpathOf(full)
+            curDirV = GraftCdf.dirVersionOf(full)
+            curVictimOrds = sp.victimPos.map(_.value.getOrElse(sub, null)).orNull
+            curPriorOrds = sp.priorPos.map(_.value.getOrElse(sub, null)).orNull
+          }
+          if (!cur.next()) { cur.close(); cur = null }
+          else {
+            val r = cur.get()
+            if (accept(r)) { row = r; return true }
+          }
+        }
+        false // unreachable
+      }
+      override def get(): InternalRow = proj(joined(row, metaRow))
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
+}

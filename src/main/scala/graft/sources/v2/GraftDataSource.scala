@@ -185,16 +185,17 @@ object GraftTable {
             s"no committed graft snapshot at $path"))
       }
     }
-    forVersion(spark, path, version, pinned = vOpt.isDefined || tsOpt.isDefined)
+    forVersion(spark, path, version, pinned = vOpt.isDefined || tsOpt.isDefined,
+      cdf = options.getBoolean("readChangeFeed", false))
   }
 
   def forVersion(spark: SparkSession, path: String, version: Long,
-                 pinned: Boolean = false): GraftTable = {
+                 pinned: Boolean = false, cdf: Boolean = false): GraftTable = {
     val m = SnapshotTable.readManifestChecked(spark, path, version)
     val logical = m.schema
       .map(s => StructType(s.fields.map(_.copy(nullable = true))))
       .getOrElse(SnapshotTable.readAt(spark, path, version).schema)
-    new GraftTable(spark, path, version, m, logical, pinned)
+    new GraftTable(spark, path, version, m, logical, pinned, cdf)
   }
 }
 
@@ -228,15 +229,25 @@ object GraftMeta {
 
 class GraftTable(spark: SparkSession, path: String, version: Long,
                  m: SnapshotTable.Manifest, logical: StructType,
-                 pinned: Boolean = false)
+                 pinned: Boolean = false, cdf: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-  override def name(): String = s"graft.`$path` @ v$version"
-  override def schema(): StructType = logical
+  override def name(): String = s"graft.`$path` @ v$version" +
+    (if (cdf) " (changeFeed)" else "")
+  // readChangeFeed mode serves ROW EVENTS, so the table's schema grows
+  // the event columns and the scan is the CDF stream (FileScan row
+  // order: data fields, partition fields, then the event columns)
+  override def schema(): StructType =
+    if (!cdf) logical
+    else {
+      val partSet = m.partitionCols.toSet
+      StructType(logical.fields.filterNot(f => partSet(f.name)) ++
+        logical.fields.filter(f => partSet(f.name)) ++ GraftCdf.metaFields)
+    }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -269,6 +280,7 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
     if (m.format != "parquet") throw new UnsupportedOperationException(
       s"the graft V2 scan reads parquet chains only; table at $path is " +
         s"committed as '${m.format}' — read it through the SnapshotTable API")
+    if (cdf) return () => new GraftCdfScan(spark, path, m, logical, options)
     new GraftScanBuilder(spark, path, m, logical, options)
   }
 
@@ -929,7 +941,7 @@ class GraftDataStream(path: String, schemas: StreamSchemas, format: String,
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadLimit, ReadMaxRows}
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
-  private def spark = SparkSession.active
+  protected def spark = SparkSession.active
 
   @volatile private var availableNowFence: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =

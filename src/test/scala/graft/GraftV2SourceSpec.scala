@@ -401,6 +401,62 @@ class GraftV2SourceSpec extends SparkSpec {
       api.filter(col("lang") === "lang0").count())
   }
 
+  test("readChangeFeed stream: row-mutating commits arrive as delete/insert events") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val path = tmp("graft-v2-cdf")
+    val ckpt = tmp("graft-v2-cdf-ckpt")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text",
+      expectedItems = 10000L, statsCols = Seq("doc_id"))            // v1
+    SnapshotTable.mergeOnRead(spark,
+      Seq((3L, "three-v2", "lang0", false), (4L, "x", "lang1", true))
+        .toDF("doc_id", "text", "lang", "__del"),
+      path, "doc_id", deleteCol = Some("__del"))                    // v2 MOR
+    SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id").between(10, 12))                                // v3 posdelete
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def start() = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startVersion", "earliest").load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id", "_change_type", "_commit_version").collect()
+          .foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    val expected =
+      (0L until 20L).map(i => (i, "insert", 1L)).toSet ++
+        Set((3L, "delete", 2L), (4L, "delete", 2L), (3L, "insert", 2L)) ++
+        (10L to 12L).map(i => (i, "delete", 3L))
+    assert(got.asScala.toSet == expected, s"events: ${got.asScala.toSet}")
+    // the stream agrees with the batch feed exactly
+    val batch = SnapshotTable.changes(spark, path, 1L)
+      .select("doc_id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.asScala.toSet == batch)
+    // live row-mutating commit arrives incrementally as events
+    SnapshotTable.updateWherePositional(spark, path,
+      col("doc_id") === 7L, Map("text" -> lit("seven-up")))         // v4 posupdate
+    q.processAllAvailable()
+    assert(got.asScala.toSet == expected ++
+      Set((7L, "delete", 4L), (7L, "insert", 4L)), s"after posupdate: ${got.asScala.toSet}")
+    q.stop()
+    // a rewrite still fails the feed loudly (its honest form is a diff)
+    SnapshotTable.compact(spark, path, textCol = Some("text"),
+      expectedItems = 10000L)                                       // v5 compact: no-op
+    SnapshotTable.write(spark, docs(0 until 3), path)               // v6 overwrite
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("whole-table diff")), s"wrong failure: ${msgs(e)}")
+  }
+
   test("readStream.format(\"graft\") streams appended rows; compactions roll past; row-mutating commits fail loudly") {
     import scala.jdk.CollectionConverters._
     val path = tmp("graft-v2-stream")

@@ -278,6 +278,74 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("changes(): CDF events across rename drift, rewrites, and rollbacks") {
+    import spark.implicits._
+    val path = tmp("graft-cdf")
+    def docs(r: Range) = r.map(i => (i.toLong, s"text-$i", i * 10L))
+      .toDF("doc_id", "text", "n")
+    SnapshotTable.ingest(spark, docs(0 until 10), path, "text",
+      expectedItems = 1000L, statsCols = Seq("doc_id"))      // v1 create
+    SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id") < 2)                                     // v2 posdelete
+    SnapshotTable.renameColumn(spark, path, "n", "nn")       // v3 metadata
+    SnapshotTable.append(spark, docs(10 until 12)
+      .withColumnRenamed("n", "nn"), path)                   // v4 append
+    val ev = SnapshotTable.changes(spark, path, 1L)
+      .select("doc_id", "nn", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val expected =
+      (0L until 10L).map(i => (i, i * 10, "insert", 1L)).toSet ++
+      (0L until 2L).map(i => (i, i * 10, "delete", 2L)) ++   // full pre-images
+      (10L until 12L).map(i => (i, i * 10, "insert", 4L))    // v3 emits nothing
+    assert(ev == expected, s"events: $ev")
+    // a rewrite (overwrite) is the honest full diff; a rollback too
+    SnapshotTable.write(spark, Seq((100L, "fresh", 1L))
+      .toDF("doc_id", "text", "nn"), path)                   // v5 overwrite
+    val ev5 = SnapshotTable.changes(spark, path, 5L, Some(5L))
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ev5 == ((2L until 12L).map(i => (i, "delete")).toSet + ((100L, "insert"))))
+    // replaying the feed reconstructs the table exactly
+    val replayed = SnapshotTable.changes(spark, path, 1L)
+      .groupBy("doc_id", "nn")
+      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("alive"))
+      .filter(col("alive") > 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed ==
+      SnapshotTable.read(spark, path).select("doc_id")
+        .collect().map(_.getLong(0)).toSet)
+  }
+
+  test("t$changes: the change feed from plain SQL, windowed by _commit_version") {
+    import spark.implicits._
+    val wh = tmp("graft-r16-chwh")
+    val cat = s"g16c${Integer.toHexString(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val path = new java.io.File(wh, "t").toString
+      SnapshotTable.ingest(spark,
+        (0 until 20).map(i => (i.toLong, s"t-$i")).toDF("doc_id", "text"),
+        path, "text", expectedItems = 1000L)
+      SnapshotTable.mergeOnRead(spark,
+        Seq((3L, "three-v2", false), (4L, "x", true))
+          .toDF("doc_id", "text", "__del"),
+        path, "doc_id", deleteCol = Some("__del"))
+      val rows = spark.sql(
+        s"SELECT doc_id, _change_type FROM $cat.`t$$changes` " +
+          "WHERE _commit_version = 2 ORDER BY _change_type, doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((3L, "delete"), (4L, "delete"), (3L, "insert")))
+      // whole-feed count: 20 creates + 2 deletes + 1 upsert insert
+      assert(spark.sql(s"SELECT count(*) FROM $cat.`t$$changes`")
+        .head.getLong(0) == 23L)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("old-vintage bare-name posdelete sidecars on a partitioned table refuse loudly") {
     import spark.implicits._
     val path = tmp("graft-vintage-posdel")
