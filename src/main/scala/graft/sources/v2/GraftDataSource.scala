@@ -605,7 +605,20 @@ case class RowWrapShape(rowIdxPos: Int, fullSchema: StructType,
                         keyPos: Int = -1,
                         keyType: org.apache.spark.sql.types.DataType =
                           org.apache.spark.sql.types.NullType,
-                        keyDrop: Boolean = false)
+                        keyDrop: Boolean = false) {
+  /** True when the wrapper can keep COLUMNAR batches flowing: the only
+    * engaged overlay is the positional mask (metadata columns and the
+    * keyed probe are row-shaped), and every output type has a direct
+    * vector-copy form. Masked batches are then filtered by a
+    * selection-vector copy instead of dropping the whole scan to
+    * row-based parquet decoding.
+    */
+  def columnarSafe: Boolean =
+    masked && metaNames.isEmpty && keyPos < 0 &&
+      fullSchema.fields.zipWithIndex.forall { case (f, i) =>
+        i == rowIdxPos || ColumnarMaskCopy.copyable(f.dataType)
+      }
+}
 
 /** [[RowWrapShape]] plus the materialized broadcast masks: (file
   * subpath → sorted deleted ordinals) for the positional overlay and
@@ -785,14 +798,68 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
        else "") + ")"
 }
 
+/** Selection-vector copy of a columnar batch's surviving rows — what
+  * keeps a positional-delete-masked scan COLUMNAR: Spark's OSS
+  * ColumnarBatch has no native selection vector, so surviving rows copy
+  * into fresh on-heap vectors (one tight per-type loop per column).
+  * Still far cheaper than the alternative, which is dropping the whole
+  * scan to row-based parquet DECODING; and batches with no deleted
+  * ordinal in range pass through untouched (zero copies — the common
+  * case when deletes cluster in a few row groups).
+  */
+object ColumnarMaskCopy {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.vectorized.ColumnVector
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  def copyable(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Copy `sel(0 until m)`'s rows of `cv` into a fresh vector. */
+  def copy(cv: ColumnVector, dt: DataType, sel: Array[Int], m: Int): ColumnVector = {
+    val out = new OnHeapColumnVector(m, dt)
+    var i = 0
+    dt match {
+      case BooleanType => while (i < m) { val r = sel(i)
+        if (cv.isNullAt(r)) out.appendNull() else out.appendBoolean(cv.getBoolean(r)); i += 1 }
+      case ByteType => while (i < m) { val r = sel(i)
+        if (cv.isNullAt(r)) out.appendNull() else out.appendByte(cv.getByte(r)); i += 1 }
+      case ShortType => while (i < m) { val r = sel(i)
+        if (cv.isNullAt(r)) out.appendNull() else out.appendShort(cv.getShort(r)); i += 1 }
+      case IntegerType | DateType => while (i < m) { val r = sel(i)
+        if (cv.isNullAt(r)) out.appendNull() else out.appendInt(cv.getInt(r)); i += 1 }
+      case LongType | TimestampType | TimestampNTZType => while (i < m) { val r = sel(i)
+        if (cv.isNullAt(r)) out.appendNull() else out.appendLong(cv.getLong(r)); i += 1 }
+      case FloatType => while (i < m) { val r = sel(i)
+        if (cv.isNullAt(r)) out.appendNull() else out.appendFloat(cv.getFloat(r)); i += 1 }
+      case DoubleType => while (i < m) { val r = sel(i)
+        if (cv.isNullAt(r)) out.appendNull() else out.appendDouble(cv.getDouble(r)); i += 1 }
+      case StringType | BinaryType => while (i < m) { val r = sel(i)
+        if (cv.isNullAt(r)) out.appendNull()
+        else { val b = if (dt == StringType) cv.getUTF8String(r).getBytes else cv.getBinary(r)
+          out.appendByteArray(b, 0, b.length); () }
+        i += 1 }
+      case other => throw new IllegalStateException(
+        s"unreachable: $other gated by copyable()")
+    }
+    out
+  }
+}
+
 /** The delegate batch wrapped per FILE: rows masked by the positional-
   * delete overlay are skipped (broadcast (file subpath → sorted
   * ordinals) mask, one binary search per row in masked files), and
   * requested metadata columns (_graft_file as a per-file constant,
-  * _graft_pos from the generated row index) are appended. Reads are
-  * row-based while the wrapper is engaged (a filtered columnar batch
-  * would need row-by-row rebuilds anyway); plain scans keep the
-  * vectorized path untouched.
+  * _graft_pos from the generated row index) are appended. When the
+  * positional mask is the ONLY engaged feature and every type is
+  * vector-copyable, reads stay COLUMNAR ([[ColumnarMaskCopy]] —
+  * untouched pass-through for batches with no deleted ordinal,
+  * selection-vector copy otherwise); metadata columns and the keyed
+  * overlay take the row-based path.
   */
 class RowWrappedBatch(inner: Batch, spec: RowWrapSpec) extends Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -818,7 +885,82 @@ case class RowWrappedReaderFactory(
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    spec.shape.columnarSafe && delegate.supportColumnarReads(partition)
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val files = partition
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition].files
+    val sh = spec.shape
+    val outIdx = sh.fullSchema.fields.indices.filterNot(_ == sh.rowIdxPos).toArray
+    val outTypes = outIdx.map(i => sh.fullSchema.fields(i).dataType)
+    new PartitionReader[ColumnarBatch] {
+      private var i = -1
+      private var cur: PartitionReader[ColumnarBatch] = _
+      private var curDeleted: Array[Long] = _
+      private var batch: ColumnarBatch = _
+
+      private def transform(b: ColumnarBatch): ColumnarBatch = {
+        val n = b.numRows()
+        if (n == 0) return null
+        def passthrough =
+          new ColumnarBatch(outIdx.map(b.column(_): ColumnVector), n)
+        if (curDeleted == null) return passthrough
+        val idxCol = b.column(sh.rowIdxPos)
+        // row indices are monotonically increasing within a file's
+        // batches: if no deleted ordinal falls in [first, last], the
+        // whole batch passes through with ZERO copies
+        val first = idxCol.getLong(0)
+        val last = idxCol.getLong(n - 1)
+        val lo = java.util.Arrays.binarySearch(curDeleted, first)
+        val lp = if (lo >= 0) lo else -lo - 1
+        if (lp >= curDeleted.length || curDeleted(lp) > last) return passthrough
+        val sel = new Array[Int](n)
+        var m = 0
+        var r = 0
+        while (r < n) {
+          if (java.util.Arrays.binarySearch(curDeleted, idxCol.getLong(r)) < 0) {
+            sel(m) = r; m += 1
+          }
+          r += 1
+        }
+        if (m == 0) return null
+        if (m == n) return passthrough
+        val cols = new Array[ColumnVector](outIdx.length)
+        var c = 0
+        while (c < outIdx.length) {
+          cols(c) = ColumnarMaskCopy.copy(b.column(outIdx(c)), outTypes(c), sel, m)
+          c += 1
+        }
+        new ColumnarBatch(cols, m)
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            i += 1
+            if (i >= files.length) return false
+            cur = delegate.buildColumnarReader(files(i))
+            val s = files(i).toPath.toString
+            val j = s.lastIndexOf("/snap-")
+            val sub = if (j < 0) s.split('/').last
+              else s.substring(s.indexOf('/', j + 1) + 1)
+            curDeleted = spec.mask.value.getOrElse(sub, null)
+          }
+          if (!cur.next()) { cur.close(); cur = null }
+          else {
+            val out = transform(cur.get())
+            if (out != null) { batch = out; return true }
+          }
+        }
+        false // unreachable
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition
