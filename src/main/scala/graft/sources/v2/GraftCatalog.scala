@@ -47,9 +47,35 @@ import java.util
   * merge) remain API operators: SQL INSERT is row-preserving by
   * definition and must not silently drop duplicates.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** SQL `CALL graft_cat.system.<proc>(...)` — the maintenance surface
+    * ([[GraftProcedures]]): compact / binpack / expire / vacuum /
+    * compact_pos_deletes / rollback, each routing to the same committed
+    * operator as the Scala API and returning its stats as a one-row
+    * relation. A table-name argument resolves against this catalog's
+    * warehouse like any identifier.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, table => {
+      val parts = table.split('.').toSeq
+      val p = dirOf(parts)
+      if (!isTable(p)) throw new NoSuchTableException(
+        Identifier.of(parts.init.toArray, parts.last))
+      p.toString
+    }).getOrElse(throw new RuntimeException(
+      s"graft catalog '$catalogName' has no procedure ${ident.namespace()
+        .mkString(".")}.${ident.name()} — available: " +
+        GraftProcedures.list().map(_.name()).mkString("system.{", ", ", "}")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      GraftProcedures.list()
+    else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

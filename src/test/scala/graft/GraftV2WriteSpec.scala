@@ -405,4 +405,61 @@ class GraftV2WriteSpec extends SparkSpec {
       assert(got.count() == 2L)
     }
   }
+
+  test("CALL procedures: a SQL-only session runs the full maintenance lifecycle") {
+    withCatalog { cat =>
+      spark.sql(s"CREATE TABLE $cat.mt (doc_id BIGINT, text STRING) " +
+        "TBLPROPERTIES ('stats' = 'doc_id')")
+      // a long small-dir chain: the binpack target
+      (0 until 4).foreach { i =>
+        spark.sql(s"INSERT INTO $cat.mt SELECT id + ${i * 10}, " +
+          s"concat('t-', id + ${i * 10}) FROM range(10)")
+      }
+      spark.sql(s"DELETE FROM $cat.mt WHERE doc_id = 5")
+      spark.sql(s"DELETE FROM $cat.mt WHERE doc_id = 6")
+      val path = s"${spark.conf.get(s"spark.sql.catalog.$cat.warehouse")}/mt"
+      assert(SnapshotTable.versions(spark, path) == (1L to 7L))
+      // fold the two delete sidecars into one
+      val folded = spark.sql(s"CALL $cat.system.compact_pos_deletes('mt')").collect()
+      assert(folded.head.getLong(0) == 8L)
+      // compact materializes the overlay (CALL returns its stats row)
+      val cst = spark.sql(s"CALL $cat.system.compact('mt', text_col => 'text')")
+      assert(cst.columns.toSeq == Seq("files_before", "files_after", "bytes"))
+      assert(cst.head.getInt(1) <= cst.head.getInt(0))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.mt").head.getLong(0) == 38L)
+      // binpack (named argument) then expire + vacuum
+      spark.sql(s"INSERT INTO $cat.mt VALUES (100, 'x'), (101, 'y')")
+      spark.sql(s"INSERT INTO $cat.mt VALUES (102, 'z')")
+      val bst = spark.sql(s"CALL $cat.system.binpack('mt', target_file_mb => 64)")
+        .collect().head
+      assert(bst.getInt(1) >= 2, s"binpack merged ${bst.getInt(1)} dirs")
+      // history records the maintenance kinds, SQL-visible (checked
+      // BEFORE expire trims the older rows away)
+      val kinds = spark.sql(
+        s"SELECT kind FROM $cat.`mt$$history` ORDER BY version")
+        .collect().map(_.getString(0)).toSeq
+      assert(kinds.contains("binpack") && kinds.contains("compact") &&
+        kinds.contains("posdelete-compact"), s"kinds: $kinds")
+      val nExpired = spark.sql(s"CALL $cat.system.expire('mt', keep => 2)")
+        .collect().head.getInt(0)
+      assert(nExpired > 0)
+      val vac = spark.sql(s"CALL $cat.system.vacuum('mt', grace_ms => 0)").collect().head
+      assert(vac.getInt(0) >= 0)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.mt").head.getLong(0) == 41L)
+      // rollback restores a retained version as a new commit
+      val cur = SnapshotTable.currentVersion(spark, path).get
+      spark.sql(s"INSERT INTO $cat.mt VALUES (999, 'oops')")
+      val rb = spark.sql(s"CALL $cat.system.rollback('mt', version => $cur)")
+        .collect().head
+      assert(rb.getLong(1) == cur)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.mt WHERE doc_id = 999")
+        .head.getLong(0) == 0L)
+      // unknown procedure refuses with the available list
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.nope('mt')")
+      }
+      assert(e.getMessage.contains("no procedure") ||
+        Option(e.getCause).exists(_.getMessage.contains("no procedure")))
+    }
+  }
 }
