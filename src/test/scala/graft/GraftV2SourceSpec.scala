@@ -457,6 +457,45 @@ class GraftV2SourceSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("whole-table diff")), s"wrong failure: ${msgs(e)}")
   }
 
+  test("change feed over a PARTITIONED chain: batch and stream agree, victim scans open only touched files") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val path = tmp("graft-v2-cdf-part")
+    val ckpt = tmp("graft-v2-cdf-part-ckpt")
+    SnapshotTable.ingest(spark, docs(0 until 60), path, "text",
+      expectedItems = 10000L, partitionCols = Seq("lang"),
+      statsCols = Seq("doc_id"))                                     // v1
+    SnapshotTable.mergeOnRead(spark,
+      Seq((9L, "nine-v2", "lang0", false), (10L, "x", "lang1", true))
+        .toDF("doc_id", "text", "lang", "__del"),
+      path, "doc_id", deleteCol = Some("__del"))                     // v2
+    SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id").between(20, 22))                                 // v3
+    val batch = SnapshotTable.changes(spark, path, 1L)
+      .select("doc_id", "lang", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val expected =
+      (0L until 60L).map(i => (i, s"lang${i % 3}", "insert", 1L)).toSet ++
+        Set((9L, "lang0", "delete", 2L), (10L, "lang1", "delete", 2L),
+          (9L, "lang0", "insert", 2L)) ++
+        (20L to 22L).map(i => (i, s"lang${i % 3}", "delete", 3L))
+    assert(batch == expected, s"batch feed: $batch")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startVersion", "earliest").load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id", "lang", "_change_type", "_commit_version").collect()
+          .foreach(r => got.add((r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3))))
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.asScala.toSet == expected, s"stream feed: ${got.asScala.toSet}")
+  }
+
   test("readStream.format(\"graft\") streams appended rows; compactions roll past; row-mutating commits fail loudly") {
     import scala.jdk.CollectionConverters._
     val path = tmp("graft-v2-stream")
