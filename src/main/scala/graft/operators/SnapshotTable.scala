@@ -2601,13 +2601,17 @@ object SnapshotTable {
     * table-scale, which is what they cost by definition.
     */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
-              toVersion: Option[Long] = None): DataFrame = {
+              toVersion: Option[Long] = None,
+              schemaVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val to = toVersion.getOrElse(currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path")))
     require(fromVersion >= 1L && fromVersion <= to,
       s"changes: bad version range [$fromVersion, $to]")
-    val toM = readManifestChecked(spark, path, to)
+    // the feed's column names/arity anchor at `schemaVersion` (>= to;
+    // default to) — a WINDOWED feed served under a fixed relation schema
+    // (the catalog's `t$changes`) must not shape-shift with the window
+    val toM = readManifestChecked(spark, path, schemaVersion.getOrElse(to))
     val toSchema = toM.schema.getOrElse(nullableSchema(readAt(spark, path, to).schema))
     // physical → toVersion-vintage logical name (physicals are immutable,
     // so this re-names any version's frame into toVersion's schema)
@@ -2675,9 +2679,13 @@ object SnapshotTable {
              "drop-constraint" | "renamecol" | "dropcol" | "noop" => Nil
         case "merge-on-read" =>
           val newTs = mv.tombstones.filterNot(mp.map(_.tombstones.toSet).getOrElse(Set.empty))
-          val key = mv.morKey.getOrElse(throw new IllegalStateException(
-            s"merge-on-read commit $v at $path records no morkey — corrupt manifest"))
+          // a MOR commit can add ZERO tombstones (an upsert batch whose
+          // rows all gated away, or NULL-keyed inserts) — then there are
+          // no delete events and no morkey requirement
           val deletes = if (newTs.isEmpty) None else {
+            val key = mv.morKey.getOrElse(throw new IllegalStateException(
+              s"merge-on-read commit $v at $path lists tombstones but no " +
+                "morkey — corrupt manifest"))
             val keys = newTs.map(n => spark.read.format(mv.format)
                 .load(tombstonePath(path, n).toString)
                 .select(col(key).as("__graft_ck")))

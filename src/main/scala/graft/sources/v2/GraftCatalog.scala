@@ -147,9 +147,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "changes" =>
           // row-scale (the table's full retained change feed) — served
           // DISTRIBUTED through the V1Scan bridge, never collected;
-          // filter `_commit_version` to window the range
-          return new GraftDataFrameTable(ident.toString,
-            SnapshotTable.changes(s, p.toString, 1L, None))
+          // `WHERE _commit_version ...` bounds PUSH DOWN so the feed
+          // only builds event frames for the windowed versions
+          return new GraftChangesTable(ident.toString, s, p.toString)
         case other => throw new NoSuchTableException(ident)
       }
       return GraftMetadataTable(ident.toString, df)
@@ -375,37 +375,97 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
-/** A row-scale derived relation (`t$changes` — the SQL face of
-  * [[SnapshotTable.changes]]) served through Spark's V1 read bridge:
-  * the Catalyst plan behind the DataFrame executes DISTRIBUTED when the
-  * scan runs (delta-scale scans and keyed semi-joins per commit), and
-  * nothing is materialized at load. The [[org.apache.spark.sql.connector.read.V1Scan]]
-  * seam is the same one file-source fallbacks ship on; column pruning
-  * is deliberately not plumbed (a change feed is consumed whole).
+/** The `t$changes` relation — the SQL face of [[SnapshotTable.changes]],
+  * served through Spark's V1 read bridge: the Catalyst plan behind the
+  * feed executes DISTRIBUTED when the scan runs (delta-scale scans and
+  * keyed semi-joins per commit), nothing materializes at load, and
+  * `_commit_version` comparison predicates PUSH DOWN into the feed's
+  * version window — a query over the last few commits of a
+  * long-retained chain builds event frames for THOSE versions only
+  * (every filter is also kept residual, so pruning never changes the
+  * answer). The [[org.apache.spark.sql.connector.read.V1Scan]] seam is
+  * the same one file-source fallbacks ship on; column pruning is
+  * deliberately not plumbed (a change feed is consumed whole).
   */
-class GraftDataFrameTable(tname: String, df: org.apache.spark.sql.DataFrame)
+class GraftChangesTable(tname: String, spark: SparkSession, path: String)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.connector.catalog.TableCapability
-  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, V1Scan}
+  import org.apache.spark.sql.sources._
+
+  // table logical schema + the event columns — computed from the
+  // manifest alone (never builds the feed's frames just for a schema)
+  private lazy val tschema: StructType = {
+    val v = SnapshotTable.currentVersion(spark, path).getOrElse(
+      throw new NoSuchTableException(Seq(tname)))
+    StructType(GraftTable.forVersion(spark, path, v).schema().fields ++
+      GraftCdf.metaFields)
+  }
+
   override def name(): String = tname
-  override def schema(): StructType = df.schema
+  override def schema(): StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters {
+      private val cur0 = SnapshotTable.currentVersion(spark, path).getOrElse(0L)
+      private var lo = 1L
+      private var hi = cur0
+      private var pushedList: Array[Filter] = Array.empty
+
+      private def asLong(v: Any): Option[Long] = v match {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case s: Short => Some(s.toLong)
+        case _ => None
+      }
+      private def tighten(f: Filter): Boolean = f match {
+        case EqualTo("_commit_version", v) => asLong(v).exists { l =>
+          lo = math.max(lo, l); hi = math.min(hi, l); true }
+        case GreaterThan("_commit_version", v) => asLong(v).exists { l =>
+          lo = math.max(lo, l + 1); true }
+        case GreaterThanOrEqual("_commit_version", v) => asLong(v).exists { l =>
+          lo = math.max(lo, l); true }
+        case LessThan("_commit_version", v) => asLong(v).exists { l =>
+          hi = math.min(hi, l - 1); true }
+        case LessThanOrEqual("_commit_version", v) => asLong(v).exists { l =>
+          hi = math.min(hi, l); true }
+        case In("_commit_version", vs)
+            if vs.nonEmpty && vs.forall(asLong(_).isDefined) =>
+          lo = math.max(lo, vs.flatMap(asLong).min)
+          hi = math.min(hi, vs.flatMap(asLong).max); true
+        case And(l, r) => tighten(l) | tighten(r)
+        case _ => false
+      }
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushedList = filters.filter(tighten)
+        filters // all residual: windowing is an optimization only
+      }
+      override def pushedFilters(): Array[Filter] = pushedList
+
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = df.schema
-        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
-            with org.apache.spark.sql.sources.TableScan](
+        private lazy val df =
+          if (hi < lo)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tschema)
+          // schema anchored at the RESOLVED current version, not the
+          // window's end — the relation's shape must not shift when a
+          // rename/drop landed after the windowed range
+          else SnapshotTable.changes(spark, path, lo, Some(hi),
+            schemaVersion = Some(cur0))
+        override def readSchema(): StructType = tschema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
             context: org.apache.spark.sql.SQLContext): T =
-          new org.apache.spark.sql.sources.BaseRelation
-              with org.apache.spark.sql.sources.TableScan {
+          new BaseRelation with TableScan {
             override def sqlContext: org.apache.spark.sql.SQLContext = context
-            override def schema: StructType = df.schema
+            override def schema: StructType = tschema
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
               df.rdd
           }.asInstanceOf[T]
-        override def description(): String = s"GraftChangesScan($tname)"
+        override def description(): String =
+          s"GraftChangesScan($tname, versions=[$lo, $hi])"
       }
     }
 }

@@ -203,18 +203,22 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
              "drop-constraint" | "renamecol" | "dropcol" | "noop" => ()
         case "merge-on-read" =>
           val newTs = mv.tombstones.filterNot(mp.tombstones.toSet)
-          val keys = gate(SnapshotTable.tombstoneKeySet(spark, path, mv, newTs),
-            "commit's tombstone key set", v)
-          val (pp, pk) = priorMasks
-          val key = mv.morKey.getOrElse(throw new IllegalStateException(
-            s"merge-on-read commit $v at $path records no morkey"))
-          parts ++= frame(mp.dirs,
-            CdfFrameSpec("delete", v, null, -1,
-              keyPosOf(key, mv, withRowIdx = true),
-              schemas.fullPhys(schemas.fullPhys.fieldIndex(mv.physOf(key))).dataType,
-              None, Some(bc.broadcast(keys)),
-              Some(bc.broadcast(pp)), Some(bc.broadcast(pk))),
-            withRowIdx = true, onlySubpaths = None)
+          // zero new tombstones (fully-gated upsert batch, NULL-keyed
+          // inserts): no delete events, no morkey requirement
+          if (newTs.nonEmpty) {
+            val keys = gate(SnapshotTable.tombstoneKeySet(spark, path, mv, newTs),
+              "commit's tombstone key set", v)
+            val (pp, pk) = priorMasks
+            val key = mv.morKey.getOrElse(throw new IllegalStateException(
+              s"merge-on-read commit $v at $path lists tombstones but no morkey"))
+            parts ++= frame(mp.dirs,
+              CdfFrameSpec("delete", v, null, -1,
+                keyPosOf(key, mv, withRowIdx = true),
+                schemas.fullPhys(schemas.fullPhys.fieldIndex(mv.physOf(key))).dataType,
+                None, Some(bc.broadcast(keys)),
+                Some(bc.broadcast(pp)), Some(bc.broadcast(pk))),
+              withRowIdx = true, onlySubpaths = None)
+          }
           insertFrames(mv.dirs.filterNot(mp.dirs.toSet))
         case "posdelete" | "posupdate" =>
           val newPd = mv.posDeletes.filterNot(mp.posDeletes.toSet)

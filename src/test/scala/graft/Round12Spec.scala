@@ -655,6 +655,25 @@ class Round12Spec extends SparkSpec {
                   s"resolved BACKWARD to $rv")
             }
         }
+        // the CHANGE FEED replays the table exactly: folding every
+        // commit's insert/delete events from the baseline reconstructs
+        // the current read under EVERY op mix — appends, MOR upserts/
+        // deletes, positional deletes/updates, rewrites (full diffs),
+        // rollbacks, renames (feed serves range-end names), expires.
+        // Only checkable while retention is CONTIGUOUS from version 1
+        // (pre-images need every v-1 manifest; a tag-pinned island left
+        // by expire gaps the chain and the feed fails loudly — correct,
+        // but not this invariant's subject); sampled to bound fuzz cost.
+        if (vs == (1L to vs.last) && r.nextInt(4) == 0) {
+          val folded = SnapshotTable.changes(spark, path, 1L)
+            .groupBy(col("doc_id"), col(textName))
+            .agg(sum(when(col("_change_type") === "insert", 1)
+              .otherwise(-1)).as("alive"))
+            .filter(col("alive") > 0)
+            .collect().map(row => (row.getLong(0), row.getString(1))).toSet
+          assert(folded == model.toSet,
+            s"$ctx: change-feed fold diverged from the model")
+        }
         // historical versions we still hold a model for replay exactly
         modelAt.filter { case (v, _) => vs.contains(v) }.foreach { case (v, m) =>
           val at = SnapshotTable.readAt(spark, path, v).collect()

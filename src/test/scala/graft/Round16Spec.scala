@@ -400,6 +400,48 @@ class Round16Spec extends SparkSpec {
     assert(withMeta.count() == (n - n / 100).toLong)
   }
 
+  test("t$changes pushes _commit_version bounds into the feed window") {
+    import spark.implicits._
+    val wh = tmp("graft-r16-cpwh")
+    val cat = s"g16p${Integer.toHexString(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val path = new java.io.File(wh, "t").toString
+      def docs(r: Range) = r.map(i => (i.toLong, s"t-$i")).toDF("doc_id", "text")
+      (0 until 5).foreach(i =>
+        SnapshotTable.ingest(spark, docs(i * 10 until (i + 1) * 10), path,
+          "text", expectedItems = 1000L))                   // v1..v5
+      // expire versions 1-2: a FULL feed can no longer be built (v3's
+      // pre-image needs the expired v2 manifest), so a windowed query
+      // succeeding is behavioral PROOF the bounds reached the feed
+      SnapshotTable.expire(spark, path, keep = 3)           // retain v3..v5
+      val windowed = spark.sql(
+        s"SELECT doc_id FROM $cat.`t$$changes` WHERE _commit_version >= 4 " +
+          "ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(windowed == (30L until 50L), s"windowed: $windowed")
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM $cat.`t$$changes`").head
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("expired")), s"wrong failure: ${msgs(e)}")
+      // a rename AFTER the windowed range must not shape-shift the
+      // relation: the feed serves CURRENT names for old windows
+      SnapshotTable.renameColumn(spark, path, "doc_id", "id")  // v6
+      val renamed = spark.sql(
+        s"SELECT id, _change_type FROM $cat.`t$$changes` " +
+          "WHERE _commit_version BETWEEN 4 AND 5 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(renamed.map(_._1).toSeq == (30L until 50L) &&
+        renamed.forall(_._2 == "insert"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("old-vintage bare-name posdelete sidecars on a partitioned table refuse loudly") {
     import spark.implicits._
     val path = tmp("graft-vintage-posdel")
