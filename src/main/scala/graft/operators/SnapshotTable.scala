@@ -2849,6 +2849,17 @@ object SnapshotTable {
       else f.listStatus(pd).filter(s => !refPd(s.getPath.getName) && deletable(s)).toSeq
     }
     sidecars.foreach(s => f.delete(s.getPath, true))
+    // executor-staging areas (the row-level delta writers' `_staging_rl`,
+    // the streaming sink's `_staging_stream`): a crashed driver leaves
+    // its per-writer UUID dir behind with no manifest reference ever —
+    // reclaim once past the grace window (a LIVE writer's staging is
+    // younger than any sane grace; the default is a day)
+    val stagingDirs = Seq("_staging_rl", "_staging_stream").flatMap { side =>
+      val sd = new Path(path, side)
+      if (!f.exists(sd)) Nil
+      else f.listStatus(sd).filter(deletable).toSeq
+    }
+    stagingDirs.foreach(s => f.delete(s.getPath, true))
     val vd = versionsDir(path)
     val versionFiles =
       if (!f.exists(vd)) Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -2860,7 +2871,8 @@ object SnapshotTable {
         s.isFile && !isManifest && n != "tsfloor" && !refBlooms(n) && deletable(s)
       }
     versionFiles.foreach(s => f.delete(s.getPath, false))
-    VacuumStats(dataDirs.length, sidecars.length, versionFiles.length)
+    VacuumStats(dataDirs.length + stagingDirs.length, sidecars.length,
+      versionFiles.length)
   }
 
   // ---- incremental content-dedup ingest (the d14 bloom path over

@@ -42,6 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCdfScan(spark: SparkSession, path: String,
                    m: SnapshotTable.Manifest, logical: StructType,
+                   version: Long,
                    options: CaseInsensitiveStringMap) extends Scan {
   private val partSet = m.partitionCols.toSet
   private def phys(s: StructType) = StructType(s.fields.map(f =>
@@ -52,19 +53,47 @@ class GraftCdfScan(spark: SparkSession, path: String,
   override def readSchema(): StructType =
     StructType(dataFields.fields ++ partFields.fields ++ GraftCdf.metaFields)
 
-  override def toBatch: Batch = throw new UnsupportedOperationException(
-    s"batch change-feed reads of $path go through SnapshotTable.changes " +
-      "(API) or the catalog's `t$changes` relation; the readChangeFeed " +
-      "option is the STREAMING form")
+  private def mkStream(startVersion: Option[String],
+                       maxPerBatch: Option[Long]): GraftCdfStream =
+    new GraftCdfStream(path,
+      StreamSchemas(phys(dataFields), phys(dataFields), phys(partFields),
+        phys(logical), Array.empty),
+      m.format, m.partitionCols, startVersion, maxPerBatch)
+
+  /** BATCH change-feed read of a path table —
+    * `spark.read.format("graft").option("readChangeFeed", "true")
+    * .option("startVersion", n).load(path)` (the Delta batch-CDF
+    * contract; `startVersion`/`endVersion` are INCLUSIVE commit bounds,
+    * defaulting to [1, loaded version]): the same per-file event frames
+    * as the stream, planned over the whole range at once. Catalog
+    * tables can also use the `t$changes` relation, whose
+    * `_commit_version` predicates push down to the same window.
+    */
+  override def toBatch: Batch = {
+    val to = Option(options.get("endVersion")).map(_.trim.toLong)
+      .getOrElse(version)
+    val from = Option(options.get("startVersion")).map(_.trim.toLowerCase) match {
+      case None => 1L
+      case Some("earliest") =>
+        SnapshotTable.versions(spark, path).headOption.getOrElse(1L)
+      case Some("latest") => version
+      case Some(n) => n.toLong
+    }
+    require(from >= 1L && from <= to,
+      s"readChangeFeed batch read of $path: bad version range [$from, $to]")
+    val planner = mkStream(None, None)
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        planner.planRange(from - 1, to)
+      override def createReaderFactory(): PartitionReaderFactory =
+        CdfReaderFactory()
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     val maxPerBatch = Option(options.get("maxVersionsPerBatch")).map(_.trim.toLong)
-    new GraftCdfStream(path,
-      StreamSchemas(phys(dataFields), phys(dataFields), phys(partFields),
-        phys(logical), Array.empty),
-      m.format, m.partitionCols,
-      Option(options.get("startVersion")), maxPerBatch)
+    mkStream(Option(options.get("startVersion")), maxPerBatch)
   }
 
   override def description(): String =
@@ -168,9 +197,15 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
     else dataNames.length + (if (withRowIdx) 1 else 0) + partNames.indexOf(phys)
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[VersionOffset].v
-    val to = end.asInstanceOf[VersionOffset].v
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    planRange(start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+
+  /** Event frames for the commits in `(fromExclusive, to]` — shared by
+    * the micro-batch stream (offset-to-offset) and the batch CDF read
+    * (whole range at once).
+    */
+  private[v2] def planRange(fromExclusive: Long, to: Long): Array[InputPartition] = {
+    val from = fromExclusive
     val bc = spark.sparkContext
     def gate[T](o: Option[T], what: String, v: Long): T = o.getOrElse(
       throw new IllegalArgumentException(

@@ -280,7 +280,7 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
     if (m.format != "parquet") throw new UnsupportedOperationException(
       s"the graft V2 scan reads parquet chains only; table at $path is " +
         s"committed as '${m.format}' — read it through the SnapshotTable API")
-    if (cdf) return () => new GraftCdfScan(spark, path, m, logical, options)
+    if (cdf) return () => new GraftCdfScan(spark, path, m, logical, version, options)
     new GraftScanBuilder(spark, path, m, logical, options)
   }
 

@@ -442,6 +442,56 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("batch readChangeFeed over a path table: inclusive version bounds") {
+    import spark.implicits._
+    val path = tmp("graft-cdf-batch")
+    SnapshotTable.ingest(spark,
+      (0 until 20).map(i => (i.toLong, s"t-$i")).toDF("doc_id", "text"),
+      path, "text", expectedItems = 1000L)                       // v1
+    SnapshotTable.mergeOnRead(spark,
+      Seq((3L, "three-v2", false), (4L, "x", true)).toDF("doc_id", "text", "__del"),
+      path, "doc_id", deleteCol = Some("__del"))                 // v2
+    SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id").between(10, 12))                             // v3
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val full = rows(spark.read.format("graft")
+      .option("readChangeFeed", "true").load(path))
+    assert(full == rows(SnapshotTable.changes(spark, path, 1L)),
+      "batch CDF read must equal the API feed")
+    val windowed = rows(spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startVersion", "2").option("endVersion", "2").load(path))
+    assert(windowed ==
+      Set((3L, "delete", 2L), (4L, "delete", 2L), (3L, "insert", 2L)))
+    // SQL over the batch CDF frame works too (it is an ordinary scan)
+    spark.read.format("graft").option("readChangeFeed", "true").load(path)
+      .createOrReplaceTempView("cdfb")
+    assert(spark.sql(
+      "SELECT count(*) FROM cdfb WHERE _change_type = 'delete'").head.getLong(0) == 5L)
+  }
+
+  test("vacuum reclaims crashed executor-staging areas past the grace window") {
+    import spark.implicits._
+    val path = tmp("graft-vac-staging")
+    SnapshotTable.ingest(spark,
+      Seq((1L, "a")).toDF("doc_id", "text"), path, "text", expectedItems = 100L)
+    // simulate crashed writers: orphaned per-writer UUID dirs
+    val rl = new java.io.File(path, "_staging_rl/dead-rl-uuid/task-00001-7")
+    val st = new java.io.File(path, "_staging_stream/dead-st-uuid/task-00002-9")
+    Seq(rl, st).foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "part-x.parquet").toPath,
+        Array[Byte](1, 2, 3))
+    }
+    val stats = SnapshotTable.vacuum(spark, path, graceMs = 0L)
+    assert(stats.nDataDirs >= 2, s"staging dirs not reclaimed: $stats")
+    assert(!new java.io.File(path, "_staging_rl/dead-rl-uuid").exists())
+    assert(!new java.io.File(path, "_staging_stream/dead-st-uuid").exists())
+    assert(SnapshotTable.read(spark, path).count() == 1L)
+  }
+
   test("old-vintage bare-name posdelete sidecars on a partitioned table refuse loudly") {
     import spark.implicits._
     val path = tmp("graft-vintage-posdel")
