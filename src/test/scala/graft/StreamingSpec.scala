@@ -724,6 +724,62 @@ class StreamingSpec extends SparkSpec {
       "the redelivered batch must still commit (audit trail, version advances)")
   }
 
+  test("end-to-end CDC: upsertSink applies a keyed feed; SQL reads and the change feed consume it between compactions") {
+    // The round-16 capstone: a streaming CDC APPLY maintains a keyed
+    // merge-on-read table, and BOTH consumption paths work with the
+    // overlay outstanding — a plain SQL SELECT (the in-scan keyed mask)
+    // and the change-feed stream (MOR commits as delete/insert events).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SnapshotTable
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc-e2e").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-e2e-ck").toString
+    val input = MemoryStream[(Long, String, Boolean)]
+    val q = EventStream.upsertSink(
+      input.toDF().toDF("k", "payload", "__del"), path, "k",
+      deleteCol = Some("__del"), checkpoint = Some(ckpt))
+    input.addData(Seq((1L, "one", false), (2L, "two", false), (3L, "three", false)))
+    q.processAllAvailable()
+    input.addData(Seq((2L, "two-v2", false), (3L, "x", true), (4L, "four", false)))
+    q.processAllAvailable()
+    q.stop()
+    // overlay outstanding (no compaction ran): plain SQL sees the
+    // merged state through the V2 scan's keyed mask
+    val sql = spark.read.format("graft").load(path)
+    sql.createOrReplaceTempView("cdc_e2e")
+    assert(spark.sql("SELECT k, payload FROM cdc_e2e ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "one"), (2L, "two-v2"), (4L, "four")))
+    // the change feed replays the apply history as events
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    val feedCkpt = java.nio.file.Files.createTempDirectory("graft-cdc-e2e-fc").toString
+    val feed = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startVersion", "earliest").load(path)
+      .writeStream.option("checkpointLocation", feedCkpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k", "payload", "_change_type").collect()
+          .foreach(r => got.add((r.getLong(0), r.getString(1), r.getString(2))))
+        ()
+      }.start()
+    feed.processAllAvailable()
+    feed.stop()
+    val events = got.asScala.toSet
+    // batch 1 upserts 3 keys into an empty table (inserts only); batch 2
+    // updates k=2 (delete+insert pair), deletes k=3, inserts k=4
+    assert(events == Set(
+      (1L, "one", "insert"), (2L, "two", "insert"), (3L, "three", "insert"),
+      (2L, "two", "delete"), (2L, "two-v2", "insert"),
+      (3L, "three", "delete"), (4L, "four", "insert")), s"events: $events")
+    // folding the feed reconstructs the SQL view exactly
+    val folded = SnapshotTable.changes(spark, path, 1L)
+      .groupBy("k", "payload")
+      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("n"))
+      .filter(col("n") > 0).select("k", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(folded == Set((1L, "one"), (2L, "two-v2"), (4L, "four")))
+  }
+
   // ---- native writeStream.format("graft") sink ---------------------------
 
   test("native streaming sink: per-epoch append commits; the first epoch creates the table") {
