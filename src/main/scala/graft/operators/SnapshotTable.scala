@@ -1186,21 +1186,36 @@ object SnapshotTable {
     * pass over sidecar metadata, only on partitioned tables with an
     * outstanding overlay).
     */
-  private def requireSubpathKeyedPosDeletes(spark: SparkSession, path: String,
-                                            m: Manifest): Unit = {
-    import org.apache.spark.sql.functions.col
-    if (m.partitionCols.isEmpty || m.posDeletes.isEmpty) return
-    val bare = m.posDeletes.map(n =>
-        spark.read.format(m.format).load(posDeletePath(path, n).toString))
-      .reduce(_ unionByName _)
-      .filter(!col("file").contains("/")).limit(1).count()
-    if (bare > 0) throw new IllegalStateException(
+  private def bareNamePosDeleteError(path: String): IllegalStateException =
+    new IllegalStateException(
       s"graft table at $path is partitioned but carries positional-delete " +
         "sidecar keys with no partition segment (bare file names) — written " +
         "by an older revision whose keys the current subpath-keyed readers " +
         "cannot match; applying them would silently resurrect deleted rows. " +
         "Re-apply the deletes from a pre-overlay version (rollback + " +
         "deleteWherePositional), or rewrite the table")
+
+  /** One validation per (table, sidecar set) per JVM — sidecars are
+    * immutable once committed, so a clean verdict never changes and the
+    * per-read job would otherwise re-scan the overlay on EVERY read of
+    * a partitioned masked table.
+    */
+  private val vintageCheckedPosDeletes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def requireSubpathKeyedPosDeletes(spark: SparkSession, path: String,
+                                            m: Manifest): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (m.partitionCols.isEmpty || m.posDeletes.isEmpty) return
+    val memoKey = path + "|" + m.posDeletes.sorted.mkString(",")
+    if (vintageCheckedPosDeletes.contains(memoKey)) return
+    val bare = m.posDeletes.map(n =>
+        spark.read.format(m.format).load(posDeletePath(path, n).toString))
+      .reduce(_ unionByName _)
+      .filter(!col("file").contains("/")).limit(1).count()
+    if (bare > 0) throw bareNamePosDeleteError(path)
+    vintageCheckedPosDeletes.add(memoKey)
+    ()
   }
 
   private def applyPosDeletes(spark: SparkSession, path: String, m: Manifest,
@@ -1255,9 +1270,9 @@ object SnapshotTable {
         .map { case (file, rows) => file -> rows.map(_.getLong(1)).sorted }
         .toMap
       // same old-vintage guard as the in-plan overlay, free here (the
-      // keys are already on the driver)
+      // keys are already on the driver — no re-read, throw directly)
       if (m.partitionCols.nonEmpty && mask.keys.exists(!_.contains("/")))
-        requireSubpathKeyedPosDeletes(spark, path, m)
+        throw bareNamePosDeleteError(path)
       Some(mask)
     }
   }
@@ -1332,6 +1347,19 @@ object SnapshotTable {
       }
       Some(out.toMap)
     }
+  }
+
+  /** The full file paths a predicate's stats/bloom/partition pruning
+    * keeps for `m`'s snapshot — the planning-only half of [[readWhere]],
+    * exposed for readers that assemble their own scans (the change
+    * feed's victim frames). Strictly conservative: a file is dropped
+    * only when its stats PROVE the predicate cannot match.
+    */
+  private[graft] def prunedFilePaths(spark: SparkSession, path: String,
+                                     m: Manifest,
+                                     predicate: Column): Set[String] = {
+    val (perDir, _) = planPrunedFiles(spark, path, m, Some(predicate))
+    perDir.flatMap(_._3).map(_.toString).toSet
   }
 
   private def tombstonesRoot(path: String) = new Path(path, "_tombstones")
@@ -2610,9 +2638,12 @@ object SnapshotTable {
       s"changes: bad version range [$fromVersion, $to]")
     // the feed's column names/arity anchor at `schemaVersion` (>= to;
     // default to) — a WINDOWED feed served under a fixed relation schema
-    // (the catalog's `t$changes`) must not shape-shift with the window
-    val toM = readManifestChecked(spark, path, schemaVersion.getOrElse(to))
-    val toSchema = toM.schema.getOrElse(nullableSchema(readAt(spark, path, to).schema))
+    // (the catalog's `t$changes`) must not shape-shift with the window.
+    // The legacy no-embedded-schema fallback must read at the SAME
+    // anchor, or a rename between `to` and the anchor would mix vintages
+    val anchorV = schemaVersion.getOrElse(to)
+    val toM = readManifestChecked(spark, path, anchorV)
+    val toSchema = toM.schema.getOrElse(nullableSchema(readAt(spark, path, anchorV).schema))
     // physical → toVersion-vintage logical name (physicals are immutable,
     // so this re-names any version's frame into toVersion's schema)
     val toLogicalOfPhys: Map[String, String] =
@@ -3735,14 +3766,40 @@ object SnapshotTable {
     * deduplicate a very stale redelivery (Delta has the same bound).
     * A marker carried forward by later commits' manifest copies still
     * witnesses a truly committed epoch, so over-matching is impossible.
+    * The scan stops at the NEWEST manifest carrying this query's marker
+    * (epochs commit in order and markers propagate forward, so it
+    * decides): O(commits since the last stream epoch) in steady state,
+    * and after a ROLLBACK across stream commits the restored (older)
+    * marker correctly lets the redelivered epoch re-land — the rollback
+    * erased its rows deliberately.
     */
   private[graft] def streamEpochCommitted(spark: SparkSession, path: String,
-                                          queryId: String, epochId: Long): Boolean =
-    versions(spark, path).reverseIterator.exists { v =>
-      scala.util.Try(readManifestChecked(spark, path, v)).toOption
-        .flatMap(_.streamEpoch)
-        .exists { case (q, e) => q == queryId && e >= epochId }
+                                          queryId: String, epochId: Long): Boolean = {
+    val it = versions(spark, path).reverseIterator
+    while (it.hasNext) {
+      val v = it.next()
+      // ONLY the concurrent-expire race (version vanishing between the
+      // listing and the read) may be skipped — any other failure must
+      // propagate, or a transient I/O error on the marker-carrying
+      // manifest would report "not committed" and a redelivered epoch
+      // would land twice
+      val marker =
+        try readManifestChecked(spark, path, v).streamEpoch
+        catch { case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("not committed") =>
+          None
+        }
+      marker match {
+        case Some((q, e)) if q == queryId =>
+          // epochs commit in order and markers propagate forward, so the
+          // NEWEST manifest carrying this query's marker decides — no
+          // need to scan deeper
+          return e >= epochId
+        case _ => ()
+      }
     }
+    false
+  }
 
   /** Staging dir name for the NEXT commit slot (the streaming sink's
     * executors need it before the final version is known; the commit
@@ -3790,13 +3847,31 @@ object SnapshotTable {
       return parentV.getOrElse(throw new IllegalStateException(
         s"epoch marker present but no current version at $path"))
     }
-    if (plan.creates && parentM.isDefined)
-      throw new java.io.IOException(
-        s"streaming sink at $path resolved against an empty path but another " +
-          "writer created the table first — restart the query so the schema " +
-          "contract re-resolves against the committed table")
     var attempt = 0
     try {
+      if (plan.creates && parentM.isDefined)
+        throw new java.io.IOException(
+          s"streaming sink at $path resolved against an empty path but another " +
+            "writer created the table first — restart the query so the schema " +
+            "contract re-resolves against the committed table")
+      // a long-running stream races table DDL WITHOUT ever colliding on
+      // a version slot: a constraint added, a schema evolved, a column
+      // renamed, or partitioning changed BETWEEN epochs would otherwise
+      // be silently REGRESSED by this epoch's manifest (which re-states
+      // the plan's query-start view) and un-enforced by its writers —
+      // refuse loudly; the query restart re-resolves the plan
+      parentM.foreach { pm =>
+        val drift =
+          pm.schema.exists(_ != plan.committedSchema) ||
+            pm.physmap != plan.physmap ||
+            pm.partitionCols != plan.partitionCols ||
+            pm.constraints != plan.constraints
+        if (drift) throw new java.io.IOException(
+          s"streaming sink at $path: the table's schema, column mapping, " +
+            "partitioning, or constraints changed since the query started " +
+            "(DDL mid-stream); restart the query so the write plan " +
+            "re-resolves against the current table")
+      }
       while (true) {
         val v = parentV.getOrElse(0L) + 1
         if (dirVersion(stagedDir) != v) {
@@ -3949,13 +4024,26 @@ object SnapshotTable {
             if (minhashSidecarReady(f, sd))
               spark.read.format(m.format).load(sd.toString).select(col("sig"))
             else {
-              // self-healing: one payload pass for this dir, persisted so
-              // the NEXT fuzzy ingest reads metadata only
+              // self-healing: one payload pass for this dir, PUBLISHED BY
+              // RENAME — never an overwrite of a path another committer
+              // may own (the dir's own fuzzy ingest can be persisting
+              // this very sidecar post-commit right now, and overwrite
+              // DELETES the destination first, failing its in-flight
+              // job). On a lost publish race the in-memory plan serves
+              // this ingest and the fast path resumes next time. A
+              // rename that lands INSIDE a concurrently-created dir
+              // nests under a dot-name Spark reads ignore, and the
+              // _SUCCESS re-check keeps half-published dirs untrusted.
               val sigs = graft.operators.Dedup.minhashSigs(
                 scanDirsAt(spark, path, v, Seq(d)), idCol, textCol,
                 k, shingleLen, portableHash).select(col("sig"))
-              sigs.write.mode("overwrite").format(m.format).save(sd.toString)
-              spark.read.format(m.format).load(sd.toString).select(col("sig"))
+              val tmp = new Path(sd.getParent,
+                s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+              sigs.write.mode("overwrite").format(m.format).save(tmp.toString)
+              if (!f.exists(sd) && f.rename(tmp, sd) &&
+                  minhashSidecarReady(f, sd))
+                spark.read.format(m.format).load(sd.toString).select(col("sig"))
+              else { f.delete(tmp, true); sigs }
             }
           }
           if (exSigs.isEmpty) incoming
@@ -4794,27 +4882,28 @@ object SnapshotTable {
           return v
         } catch {
           case _: CommitConflictException =>
-            // a keyed MERGE-ON-READ racer is only safe to rebase over
-            // when we carry NO victims: its tombstone masks pre-racer
-            // versions only, so a keyed upsert of a row our sidecar also
-            // deletes/updates would leave BOTH the racer's new row and
-            // our updated row visible — a lost update materialized as a
-            // duplicate. The positional overlap gate below cannot see it
-            // (tombstones are keyed, not positional), so refuse loudly.
+            // a keyed MERGE-ON-READ racer is NEVER safe to rebase over
+            // here: every positional-delta commit carries a READ SET
+            // evaluated at scannedV — victims for a sidecar-carrying
+            // command (the racer may have upserted the same rows these
+            // ordinals mask; stacking would duplicate an updated row),
+            // and the NOT-MATCHED decisions of an insert-only MERGE
+            // (the racer may have upserted the very key this commit
+            // inserts — two visible rows for one key). The positional
+            // overlap gate below cannot see either (tombstones are
+            // keyed, not positional), so refuse loudly in both shapes.
             val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
               parentV, opName, parentM.schema, parentM.partitionCols,
               (cv, k) => {
                 val ok = k == "append" || k == "posdelete" ||
-                  k == "posupdate" || k == "posdelete-compact" ||
-                  (k == "merge-on-read" && sidecar.isEmpty)
+                  k == "posupdate" || k == "posdelete-compact"
                 if (!ok) throw new java.io.IOException(
                   if (k == "merge-on-read")
                     s"$opName at $path lost the commit race to a keyed " +
-                      s"merge-on-read commit (version $cv) while carrying a " +
-                      "positional delete — the racer may have upserted the " +
-                      "same rows these ordinals mask, and stacking them " +
-                      "would duplicate or resurrect rows; re-run against " +
-                      "the current snapshot"
+                      s"merge-on-read commit (version $cv) — the racer's " +
+                      "upserts may invalidate this command's victim or " +
+                      "not-matched decisions (stacking could duplicate or " +
+                      "resurrect rows); re-run against the current snapshot"
                   else
                     s"$opName at $path lost the commit race to version $cv " +
                       s"(kind '$k'); the rewrite may have moved the rows these " +

@@ -246,13 +246,33 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
             val (pp, pk) = priorMasks
             val key = mv.morKey.getOrElse(throw new IllegalStateException(
               s"merge-on-read commit $v at $path lists tombstones but no morkey"))
+            // the victim scan opens only the files whose stats can hold
+            // a tombstoned key when the key is a stats column and the
+            // set fits an In list — the O(touched files) shape on
+            // streaming-upsert tables (one MOR commit per epoch over a
+            // long range would otherwise re-open the whole table per
+            // commit); conservative, falls back to all v-1 dirs
+            val onlySubs: Option[Set[String]] =
+              if (!mp.statsCols.contains(key)) None
+              else {
+                import org.apache.spark.sql.functions.col
+                val ext = newTs.map(n => spark.read.format(mv.format)
+                    .load(SnapshotTable.tombstonePath(path, n).toString)
+                    .select(col(key)))
+                  .reduce(_ unionByName _).distinct().limit(1001)
+                  .collect().map(_.get(0)).filter(_ != null)
+                if (ext.length > 1000) None
+                else Some(SnapshotTable.prunedFilePaths(spark, path,
+                    mp.copy(tombstones = Nil), col(key).isin(ext.toSeq: _*))
+                  .map(GraftCdf.subpathOf))
+              }
             parts ++= frame(mp.dirs,
               CdfFrameSpec("delete", v, null, -1,
                 keyPosOf(key, mv, withRowIdx = true),
                 schemas.fullPhys(schemas.fullPhys.fieldIndex(mv.physOf(key))).dataType,
                 None, Some(bc.broadcast(keys)),
                 Some(bc.broadcast(pp)), Some(bc.broadcast(pk))),
-              withRowIdx = true, onlySubpaths = None)
+              withRowIdx = true, onlySubpaths = onlySubs)
           }
           insertFrames(mv.dirs.filterNot(mp.dirs.toSet))
         case "posdelete" | "posupdate" =>

@@ -943,11 +943,8 @@ case class RowWrappedReaderFactory(
             i += 1
             if (i >= files.length) return false
             cur = delegate.buildColumnarReader(files(i))
-            val s = files(i).toPath.toString
-            val j = s.lastIndexOf("/snap-")
-            val sub = if (j < 0) s.split('/').last
-              else s.substring(s.indexOf('/', j + 1) + 1)
-            curDeleted = spec.mask.value.getOrElse(sub, null)
+            curDeleted = spec.mask.value
+              .getOrElse(GraftCdf.subpathOf(files(i).toPath.toString), null)
           }
           if (!cur.next()) { cur.close(); cur = null }
           else {
@@ -983,25 +980,6 @@ case class RowWrappedReaderFactory(
       keep.map(k => BoundReference(k, sh.fullSchema.fields(k).dataType,
         sh.fullSchema.fields(k).nullable)) ++ metaExprs)
     new PartitionReader[InternalRow] {
-      // mask keys are snapshot-dir-relative subpaths (the engine's
-      // canonical file identity — bare names repeat across partition
-      // sibling dirs): everything after the last `snap-*` path segment
-      def subpathOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile): String = {
-        val s = f.toPath.toString
-        val i = s.lastIndexOf("/snap-")
-        if (i < 0) s.split('/').last
-        else s.substring(s.indexOf('/', i + 1) + 1)
-      }
-      // the file's COMMIT version, parsed from its `snap-<v>-...` dir
-      // segment — the keyed overlay masks a row only when some
-      // tombstone naming its key is STRICTLY later (the same-version
-      // exemption keeps a mergeOnRead commit's own upserts visible)
-      def dirVersionOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile): Long = {
-        val s = f.toPath.toString
-        val i = s.lastIndexOf("/snap-")
-        if (i < 0) Long.MaxValue // not snapshot-homed: nothing can mask it
-        else s.substring(i + 6).takeWhile(_.isDigit).toLong
-      }
       private var i = -1
       private var cur: PartitionReader[InternalRow] = _
       private var curDeleted: Array[Long] = _
@@ -1025,9 +1003,15 @@ case class RowWrappedReaderFactory(
             i += 1
             if (i >= files.length) return false
             cur = delegate.buildReader(files(i))
-            val sub = subpathOf(files(i))
+            // mask keys are snapshot-dir-relative subpaths (the
+            // engine's canonical file identity); the dir's commit
+            // version orders rows against tombstones (strictly-later
+            // rule) — both parsed by the ONE shared helper the sidecar
+            // writers mirror ([[GraftCdf]])
+            val full = files(i).toPath.toString
+            val sub = GraftCdf.subpathOf(full)
             curDeleted = spec.mask.value.getOrElse(sub, null)
-            curDirV = if (keyProbe) dirVersionOf(files(i)) else Long.MaxValue
+            curDirV = if (keyProbe) GraftCdf.dirVersionOf(full) else Long.MaxValue
             subRow.update(0,
               org.apache.spark.unsafe.types.UTF8String.fromString(sub))
           }

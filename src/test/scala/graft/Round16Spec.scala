@@ -502,9 +502,11 @@ class Round16Spec extends SparkSpec {
       partitionCols = Seq("lang"), statsCols = Seq("doc_id"))
     val st = SnapshotTable.deleteWherePositional(spark, path, col("doc_id") < 10)
     assert(st.committed)
-    assert(SnapshotTable.read(spark, path).count() == 80L)
     // simulate the pre-subpath revision: strip the partition segments
-    // from the committed sidecar's keys, leaving bare file names
+    // from the committed sidecar's keys, leaving bare file names —
+    // BEFORE any read (a clean read would memoize the vintage verdict,
+    // which is sound for real sidecars: they are immutable once
+    // committed; only this simulation rewrites one in place)
     val sd = new java.io.File(path, "_posdel").listFiles().head.toString
     val bare = spark.read.parquet(sd).collect()
       .map(r => (r.getString(r.fieldIndex("file")).split('/').last,
