@@ -1195,25 +1195,40 @@ object SnapshotTable {
         "Re-apply the deletes from a pre-overlay version (rollback + " +
         "deleteWherePositional), or rewrite the table")
 
-  /** One validation per (table, sidecar set) per JVM — sidecars are
-    * immutable once committed, so a clean verdict never changes and the
-    * per-read job would otherwise re-scan the overlay on EVERY read of
-    * a partitioned masked table.
+  /** One validation per (table, sidecar set, sidecar bytes) per JVM —
+    * sidecars are immutable once committed, so a clean verdict never
+    * changes and the per-read job would otherwise re-scan the overlay
+    * on EVERY read of a partitioned masked table. The memo key carries
+    * a CONTENT fingerprint (total sidecar length) on top of the name
+    * set: a table dropped and re-created at the same path could reuse
+    * sidecar names, and a name-only memo would skip validating the new
+    * content. Bounded: a long-lived session scanning many tables must
+    * not leak verdict strings forever — past the cap the memo resets
+    * (the cost of a reset is one re-validation per table, metadata
+    * scale).
     */
   private val vintageCheckedPosDeletes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val vintageMemoMaxEntries = 4096
 
   private def requireSubpathKeyedPosDeletes(spark: SparkSession, path: String,
                                             m: Manifest): Unit = {
     import org.apache.spark.sql.functions.col
     if (m.partitionCols.isEmpty || m.posDeletes.isEmpty) return
-    val memoKey = path + "|" + m.posDeletes.sorted.mkString(",")
+    val f = fs(spark, new Path(path))
+    val bytes = m.posDeletes.map { n =>
+      val p = posDeletePath(path, n)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }.sum
+    val memoKey = path + "|" + m.posDeletes.sorted.mkString(",") + "|" + bytes
     if (vintageCheckedPosDeletes.contains(memoKey)) return
     val bare = m.posDeletes.map(n =>
         spark.read.format(m.format).load(posDeletePath(path, n).toString))
       .reduce(_ unionByName _)
       .filter(!col("file").contains("/")).limit(1).count()
     if (bare > 0) throw bareNamePosDeleteError(path)
+    if (vintageCheckedPosDeletes.size >= vintageMemoMaxEntries)
+      vintageCheckedPosDeletes.clear()
     vintageCheckedPosDeletes.add(memoKey)
     ()
   }
@@ -2847,6 +2862,16 @@ object SnapshotTable {
     * retention). Legacy per-version bloom files are always unreferenced
     * (manifests name their blooms) and age out with the rest.
     */
+  /** Minimum effective grace for the STAGING-area sweep (10 min): the
+    * worst-case gap between an executor's staging write and its
+    * driver-side commit is task/epoch-scale seconds-to-minutes, so ten
+    * minutes bounds it with margin while still letting a nightly
+    * vacuum reclaim yesterday's crashes. Only the `_staging_*` sweep
+    * floors — unreferenced `snap-*`/sidecar orphans can never be
+    * seconds-from-live (a commit references them atomically or never).
+    */
+  private[graft] val stagingGraceFloorMs: Long = 10L * 60 * 1000
+
   def vacuum(spark: SparkSession, path: String,
              graceMs: Long = 24L * 3600 * 1000): VacuumStats = {
     val root = new Path(path)
@@ -2883,12 +2908,19 @@ object SnapshotTable {
     // executor-staging areas (the row-level delta writers' `_staging_rl`,
     // the streaming sink's `_staging_stream`): a crashed driver leaves
     // its per-writer UUID dir behind with no manifest reference ever —
-    // reclaim once past the grace window (a LIVE writer's staging is
-    // younger than any sane grace; the default is a day)
+    // reclaim once past the grace window. UNLIKE the dir/sidecar sweep,
+    // this sweep enforces a FLOOR on the grace: a staging dir is live
+    // between the executor write and the driver's epoch/delta commit,
+    // so `graceMs = 0` (a legitimate way to reap known-dead snap-*
+    // orphans immediately) must never race a commit that is seconds
+    // from landing — below the floor the staging area is skipped, not
+    // swept early.
+    val stagingCutoff =
+      System.currentTimeMillis() - math.max(graceMs, stagingGraceFloorMs)
     val stagingDirs = Seq("_staging_rl", "_staging_stream").flatMap { side =>
       val sd = new Path(path, side)
       if (!f.exists(sd)) Nil
-      else f.listStatus(sd).filter(deletable).toSeq
+      else f.listStatus(sd).filter(_.getModificationTime < stagingCutoff).toSeq
     }
     stagingDirs.foreach(s => f.delete(s.getPath, true))
     val vd = versionsDir(path)

@@ -67,10 +67,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!isTable(p)) throw new NoSuchTableException(
         Identifier.of(parts.init.toArray, parts.last))
       p.toString
-    }).getOrElse(throw new RuntimeException(
-      s"graft catalog '$catalogName' has no procedure ${ident.namespace()
-        .mkString(".")}.${ident.name()} — available: " +
-        GraftProcedures.list().map(_.name()).mkString("system.{", ", ", "}")))
+    }).getOrElse {
+      // a typo'd CALL target is an ANALYSIS-class failure (Spark's own
+      // catalogs raise ROUTINE_NOT_FOUND / sqlstate 42883), not an
+      // internal error — surface it the way CALL resolution expects
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "ROUTINE_NOT_FOUND",
+        messageParameters = Map("routineName" ->
+          (s"`$catalogName`.${(ident.namespace() :+ ident.name()).mkString(".")}" +
+            s" (available: ${GraftProcedures.list().map(_.name())
+              .mkString("system.{", ", ", "}")})")))
+    }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))

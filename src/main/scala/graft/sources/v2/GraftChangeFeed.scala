@@ -72,19 +72,30 @@ class GraftCdfScan(spark: SparkSession, path: String,
   override def toBatch: Batch = {
     val to = Option(options.get("endVersion")).map(_.trim.toLong)
       .getOrElse(version)
-    val from = Option(options.get("startVersion")).map(_.trim.toLowerCase) match {
-      case None => 1L
-      case Some("earliest") =>
-        SnapshotTable.versions(spark, path).headOption.getOrElse(1L)
-      case Some("latest") => version
-      case Some(n) => n.toLong
-    }
-    require(from >= 1L && from <= to,
+    // 'earliest' means the first REPLAYABLE version, not the first
+    // retained one: every pre-image-bearing kind (append / MOR /
+    // posdelete) dereferences manifest v-1, so when the prefix expired
+    // (head > 1) the feed can only start at head+1 — head's own events
+    // are unprovable without the expired predecessor. head == 1 keeps
+    // itself (a create baseline needs no pre-image). An expired-prefix
+    // table whose head IS the loaded version therefore yields an EMPTY
+    // feed under 'earliest' (nothing is replayable) — empty, not an
+    // error, is the honest answer to "give me everything replayable".
+    val (from, fromEarliest) =
+      Option(options.get("startVersion")).map(_.trim.toLowerCase) match {
+        case None => (1L, false)
+        case Some("earliest") =>
+          val head = SnapshotTable.versions(spark, path).headOption.getOrElse(1L)
+          (if (head == 1L) 1L else head + 1, true)
+        case Some("latest") => (version, false)
+        case Some(n) => (n.toLong, false)
+      }
+    require(from >= 1L && (fromEarliest || from <= to),
       s"readChangeFeed batch read of $path: bad version range [$from, $to]")
     val planner = mkStream(None, None)
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        planner.planRange(from - 1, to)
+        if (from > to) Array.empty else planner.planRange(from - 1, to)
       override def createReaderFactory(): PartitionReaderFactory =
         CdfReaderFactory()
     }
@@ -142,6 +153,32 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
     extends GraftDataStream(path, schemas, format, partitionCols,
       startVersion, maxPerBatch) {
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** CDF seed offsets differ from the plain data stream's in two ways,
+    * both so `readChangeFeed` batch and stream agree on what a start
+    * bound MEANS: a NUMERIC startVersion is INCLUSIVE (the batch
+    * option is documented inclusive — a CDC consumer switching between
+    * `read` and `readStream` must neither skip nor double-read a
+    * commit), so the offset seeds at n-1; and 'earliest' seeds before
+    * the first REPLAYABLE version — head+1 when the retention prefix
+    * expired (head's own pre-images went with manifest head-1; only
+    * head == 1, the create baseline, needs none), matching the batch
+    * 'earliest' resolution. The plain data stream's numeric form
+    * predates this and stays EXCLUSIVE (documented there); existing
+    * checkpoints are unaffected (the seed only applies at first start).
+    */
+  override def initialOffset(): Offset = {
+    val vs = SnapshotTable.versions(spark, path)
+    val v = startVersion.map(_.trim.toLowerCase) match {
+      case None | Some("latest") => vs.lastOption.getOrElse(0L)
+      case Some("earliest") =>
+        vs.headOption.map(h => if (h == 1L) 0L else h).getOrElse(0L)
+      case Some(n) => scala.util.Try(n.toLong - 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"startVersion must be 'latest', 'earliest', or a version number; got '$n'"))
+    }
+    VersionOffset(v)
+  }
 
   private val rowIdxField = StructField(
     org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat

@@ -1054,7 +1054,11 @@ case class RowWrappedReaderFactory(
   * silently skipping would present an incomplete changelog as complete
   * (Delta's "data update detected" contract). A version expired while
   * the stream was down fails with the retained range, like the
-  * changelog source. `startVersion` = latest (default) / earliest / N;
+  * changelog source. `startVersion` = latest (default) / earliest / N —
+  * N is EXCLUSIVE here (the first delivered version is N+1; historical
+  * contract, kept for checkpoint compatibility), which DIVERGES from
+  * the change-feed reads where the same option is inclusive
+  * ([[GraftCdfStream.initialOffset]] documents the CDF side);
   * `maxVersionsPerBatch` caps a backfill's batch size;
   * `Trigger.AvailableNow` drains to a fence and stops.
   */

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft_cat.system.compact('docs')
   *   CALL graft_cat.system.binpack('docs', target_file_mb => 256)
   *   CALL graft_cat.system.expire('docs', keep => 5)
-  *   CALL graft_cat.system.vacuum('docs', grace_ms => 0)
+  *   CALL graft_cat.system.vacuum('docs', grace_ms => 86400000)
   *   CALL graft_cat.system.compact_pos_deletes('docs')
   *   CALL graft_cat.system.rollback('docs', version => 3)
   * }}}
@@ -114,7 +114,8 @@ object GraftProcedures {
       case "vacuum" => Some(new Proc("vacuum",
         params(tableParam,
           Param("grace_ms", LongType, Some("86400000"),
-            "age an unreferenced artifact must reach before reclaim")),
+            "age an unreferenced artifact must reach before reclaim " +
+              "(the executor-staging sweep floors this at 10 minutes)")),
         StructType(Seq(StructField("n_data_dirs", IntegerType, nullable = false),
           StructField("n_hash_sidecars", IntegerType, nullable = false),
           StructField("n_version_files", IntegerType, nullable = false))),

@@ -454,12 +454,14 @@ class GraftV2WriteSpec extends SparkSpec {
       assert(rb.getLong(1) == cur)
       assert(spark.sql(s"SELECT count(*) FROM $cat.mt WHERE doc_id = 999")
         .head.getLong(0) == 0L)
-      // unknown procedure refuses with the available list
-      val e = intercept[Exception] {
+      // unknown procedure refuses as an ANALYSIS error (ROUTINE_NOT_FOUND,
+      // sqlstate 42883 — what CALL resolution renders for Spark's own
+      // catalogs) and still names the available procedures
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"CALL $cat.system.nope('mt')")
       }
-      assert(e.getMessage.contains("no procedure") ||
-        Option(e.getCause).exists(_.getMessage.contains("no procedure")))
+      assert(e.getCondition == "ROUTINE_NOT_FOUND" &&
+        e.getMessage.contains("compact"), s"unexpected: ${e.getMessage}")
     }
   }
 }

@@ -485,6 +485,16 @@ class Round16Spec extends SparkSpec {
       java.nio.file.Files.write(new java.io.File(d, "part-x.parquet").toPath,
         Array[Byte](1, 2, 3))
     }
+    // the staging sweep FLOORS the grace (a grace below the floor must
+    // not race a commit seconds from landing) — a fresh orphan survives
+    // even graceMs = 0...
+    val s0 = SnapshotTable.vacuum(spark, path, graceMs = 0L)
+    assert(new java.io.File(path, "_staging_rl/dead-rl-uuid").exists(),
+      s"staging sweep ignored its grace floor: $s0")
+    // ...and is reclaimed once genuinely older than the floor
+    val aged = System.currentTimeMillis() - 2 * 3600 * 1000L
+    Seq("_staging_rl/dead-rl-uuid", "_staging_stream/dead-st-uuid").foreach(d =>
+      new java.io.File(path, d).setLastModified(aged))
     val stats = SnapshotTable.vacuum(spark, path, graceMs = 0L)
     assert(stats.nDataDirs >= 2, s"staging dirs not reclaimed: $stats")
     assert(!new java.io.File(path, "_staging_rl/dead-rl-uuid").exists())

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SnapshotTable
+
+/** Round-17 hardening: the change-feed start-bound contracts
+  * ('earliest' on an expired-prefix table, stream/batch inclusive
+  * agreement), analysis-class CALL resolution errors, and the vacuum
+  * staging-sweep grace floor (pinned in Round16Spec's staging test).
+  */
+class Round17Spec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docs(r: Range) = {
+    import spark.implicits._
+    r.map(i => (i.toLong, s"t-$i")).toDF("doc_id", "text")
+  }
+
+  test("batch CDF 'earliest' on an expired-prefix table starts at the first replayable version") {
+    val path = tmp("graft-cdf-earliest")
+    SnapshotTable.ingest(spark, docs(0 until 10), path, "text",
+      expectedItems = 1000L)                                  // v1
+    SnapshotTable.ingest(spark, docs(10 until 20), path, "text",
+      expectedItems = 1000L)                                  // v2
+    SnapshotTable.ingest(spark, docs(20 until 30), path, "text",
+      expectedItems = 1000L)                                  // v3
+    SnapshotTable.expire(spark, path, keep = 2)               // retain v2, v3
+    // v2's events need manifest v1 (expired) — 'earliest' must resolve
+    // to v3, the first version whose pre-image is still retained, not
+    // throw on the manifest the option exists to skip
+    val ev = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startVersion", "earliest").load(path)
+      .select("doc_id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ev == (20L until 30L).map(i => (i, "insert", 3L)).toSet, s"events: $ev")
+    // nothing replayable at all (head IS the loaded version): empty, not an error
+    SnapshotTable.expire(spark, path, keep = 1)               // retain v3 only
+    assert(spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startVersion", "earliest").load(path).count() == 0L)
+    // an un-expired table still replays from its create baseline
+    val full = tmp("graft-cdf-earliest-full")
+    SnapshotTable.ingest(spark, docs(0 until 5), full, "text",
+      expectedItems = 1000L)
+    assert(spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startVersion", "earliest").load(full).count() == 5L)
+  }
+
+  test("CDF stream numeric startVersion is INCLUSIVE, matching the batch bound") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("graft-cdf-incl")
+    SnapshotTable.ingest(spark, docs(0 until 3), path, "text",
+      expectedItems = 1000L)                                  // v1
+    SnapshotTable.ingest(spark, docs(3 until 6), path, "text",
+      expectedItems = 1000L)                                  // v2
+    SnapshotTable.ingest(spark, docs(6 until 9), path, "text",
+      expectedItems = 1000L)                                  // v3
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = tmp("graft-cdf-incl-ck")
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startVersion", "2").load(path)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id", "_commit_version").collect()
+          .foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val events = got.asScala.toSet
+    // startVersion=2 delivers commit 2's events too — the same rows the
+    // batch read returns for the same bound
+    val batch = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startVersion", "2").load(path)
+      .select("doc_id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(events == batch, s"stream $events != batch $batch")
+    assert(events == ((3L until 6L).map((_, 2L)) ++ (6L until 9L).map((_, 3L))).toSet)
+  }
+
+  test("CALL with an unknown procedure fails as an analysis error (ROUTINE_NOT_FOUND)") {
+    val wh = tmp("graft-r17-proc")
+    val cat = s"g17p${Integer.toHexString(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"CALL $cat.system.comapct('t')").collect()
+      }
+      assert(e.getCondition == "ROUTINE_NOT_FOUND", s"condition: ${e.getCondition}")
+      assert(e.getMessage.contains("compact"),
+        s"error should list the available procedures: ${e.getMessage}")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+}
