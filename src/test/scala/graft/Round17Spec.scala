@@ -84,6 +84,32 @@ class Round17Spec extends SparkSpec {
     assert(events == ((3L until 6L).map((_, 2L)) ++ (6L until 9L).map((_, 3L))).toSet)
   }
 
+  test("Bench cross-round guard: >3x-of-prior rows flag even when sweeps agree") {
+    // the r16 failure mode: a co-tenant outlasting BOTH sweeps inflates
+    // them equally, so cross-sweep arbitration (which fires on
+    // DISAGREEMENT) never triggers — only the prior round's committed
+    // value exposes the distortion
+    assert(Bench.crossRoundSuspect(warm = 10.7, prior = Some(0.38)))   // r16's q12
+    assert(!Bench.crossRoundSuspect(warm = 1.1, prior = Some(0.38)))   // within band
+    assert(!Bench.crossRoundSuspect(warm = 10.7, prior = None))        // new row: no prior
+    // millisecond rows ride the 0.05 s floor (scheduling noise alone
+    // can triple a 20 ms row)
+    assert(!Bench.crossRoundSuspect(warm = 0.12, prior = Some(0.02)))
+    assert(Bench.crossRoundSuspect(warm = 0.2, prior = Some(0.02)))
+    // prior map parsing: flat {"name": seconds} pairs, garbage-tolerant
+    val m = Bench.parsePriorMap("""{"q1_agg": 0.325,
+      "d50_cdc_changes":0.63, "weird": "skip-me", "n2": 2}""")
+    assert(m == Map("q1_agg" -> 0.325, "d50_cdc_changes" -> 0.63, "n2" -> 2.0))
+    assert(Bench.parsePriorMap("not json at all").isEmpty)
+    // the prior only arms at ITS OWN scale factor: an sf0.1 prior must
+    // not flag healthy sf1.0 (or sf0.001 smoke) timings
+    val tagged = """{"_sf": "/root/testdata/sf0.1", "q1_agg": 0.325}"""
+    assert(Bench.loadPriorMap(tagged, "/root/testdata/sf0.1") == Map("q1_agg" -> 0.325))
+    assert(Bench.loadPriorMap(tagged, "/root/testdata/sf0.001").isEmpty)
+    // an untagged (legacy) prior stays armed regardless of sf
+    assert(Bench.loadPriorMap("""{"q1_agg": 0.325}""", "anything").nonEmpty)
+  }
+
   test("CALL with an unknown procedure fails as an analysis error (ROUTINE_NOT_FOUND)") {
     val wh = tmp("graft-r17-proc")
     val cat = s"g17p${Integer.toHexString(wh.hashCode)}"
