@@ -118,6 +118,19 @@ object Sessions {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
     .config("spark.sql.adaptive.enabled", "true")
+    // storage-partitioned joins (SPARK-37375): let the planner USE a
+    // V2 scan's reported KeyGroupedPartitioning — co-partitioned graft
+    // tables then join with zero exchanges. Enabling the machinery is
+    // free for every other scan (nothing else reports key-grouped);
+    // whether a graft scan REPORTS its layout is a separate per-read
+    // opt-in (`preserveDataGrouping`, see GraftScanBuilder) because
+    // grouping caps scan parallelism at the partition-value count —
+    // right for a co-partitioned join, wrong for a plain full scan.
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    // tolerate partition-value sets that don't align exactly (one side
+    // missing a value): Spark pushes empty partitions instead of
+    // falling back to a shuffle
+    .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int, shufflePartitions: Int): SparkSession = {

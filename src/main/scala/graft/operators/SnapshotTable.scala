@@ -1320,6 +1320,20 @@ object SnapshotTable {
     }.toSet)
   }
 
+  /** The distinct non-null values of a ONE-column frame in CATALYST
+    * representation (UTF8String for strings — the per-row probe form
+    * the V2 readers need, like [[tombstoneKeyMask]]). Driver-side by
+    * contract: callers must pass a frame already bounded (the CDF
+    * pairing sets are semi-joins against the size-gated tombstone key
+    * set).
+    */
+  private[graft] def catalystKeySet(df: DataFrame): Set[Any] = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(df.schema.head.dataType)
+    df.distinct().collect().iterator
+      .map(_.get(0)).filter(_ != null).map(conv).toSet
+  }
+
   /** The merge-on-read KEY overlay as a DRIVER-side mask for readers
     * that cannot run the keyed anti-join in-plan (the DataSource V2
     * scan): MOR key (CATALYST representation — UTF8String for strings,
@@ -1410,7 +1424,26 @@ object SnapshotTable {
     * a hint. Well under Spark's broadcast comfort zone; key-only
     * parquet at this size is several million keys.
     */
-  private val tombstoneBroadcastMaxBytes = 64L * 1024 * 1024
+  private[graft] var tombstoneBroadcastMaxBytes: Long = 64L * 1024 * 1024
+
+  /** True when either read overlay — positional-delete sidecars or MOR
+    * tombstones — is past the driver-mask broadcast gate, i.e. the V2
+    * scan could not materialize its in-scan masks without risking the
+    * driver. Metadata-only (two content-summary sums); the V2 scan
+    * builder uses it to pick the distributed-anti-join fallback at PLAN
+    * time instead of failing at execution.
+    */
+  private[graft] def overlayOversized(spark: SparkSession, path: String,
+                                      m: Manifest): Boolean = {
+    val f = fs(spark, new Path(path))
+    def bytes(names: Seq[String], pathOf: String => Path): Long =
+      names.map { n =>
+        val p = pathOf(n)
+        if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+      }.sum
+    bytes(m.posDeletes, posDeletePath(path, _)) > tombstoneBroadcastMaxBytes ||
+      bytes(m.tombstones, tombstonePath(path, _)) > tombstoneBroadcastMaxBytes
+  }
 
   private def applyTombstones(spark: SparkSession, path: String, m: Manifest,
                               base: DataFrame): DataFrame = {
@@ -2618,10 +2651,15 @@ object SnapshotTable {
     *  - `append` (ingest / SQL INSERT / streaming epochs): the added
     *    dirs' rows as inserts — O(delta) scan, never the table;
     *  - `merge-on-read`: the newly-tombstoned keys' rows VISIBLE at v-1
-    *    as deletes (keyed semi-join of the pre-image read against the
-    *    delta-scale tombstone — an upsert's new-key tombstone matches
-    *    nothing, so pure inserts emit no phantom delete), plus the
-    *    added dirs' upserts as inserts;
+    *    as delete-side events (keyed semi-join of the pre-image read
+    *    against the delta-scale tombstone — an upsert's new-key
+    *    tombstone matches nothing, so pure inserts emit no phantom
+    *    delete), plus the added dirs' rows as insert-side events; keys
+    *    on BOTH sides (existed at v-1 AND re-added by this commit) are
+    *    UPDATES and emit as `update_preimage`/`update_postimage` pairs
+    *    (Delta's CDF typing — what lets a MERGE consumer apply updates
+    *    as updates), pure deletes stay `delete`, fresh keys stay
+    *    `insert`;
     *  - `posdelete` / `posupdate` (SQL DELETE / UPDATE / MERGE deltas):
     *    the new sidecars' (file, ordinal) victims as deletes (positional
     *    semi-join against the v-1 raw scan), plus any staged updates as
@@ -2663,7 +2701,10 @@ object SnapshotTable {
     // so this re-names any version's frame into toVersion's schema)
     val toLogicalOfPhys: Map[String, String] =
       toSchema.fieldNames.map(n => toM.physOf(n) -> n).toMap
-    def remap(df: DataFrame, mv: Manifest, changeType: String, v: Long): DataFrame = {
+    // `changeType` is a COLUMN evaluated against the pre-remap frame
+    // (so the merge-on-read pairing can classify per row); constant
+    // frames pass a literal
+    def remap(df: DataFrame, mv: Manifest, changeType: Column, v: Long): DataFrame = {
       val have = df.columns.toSet
       val cols = toSchema.fields.map { fld =>
         // this version's logical name for the field's physical identity
@@ -2672,9 +2713,8 @@ object SnapshotTable {
         if (have.contains(vName)) col(vName).cast(fld.dataType).as(fld.name)
         else lit(null).cast(fld.dataType).as(fld.name) // added after v
       }
-      df.select(cols.toIndexedSeq: _*)
-        .withColumn("_change_type", lit(changeType))
-        .withColumn("_commit_version", lit(v))
+      df.select((cols.toIndexedSeq :+ changeType.as("_change_type")
+        :+ lit(v).as("_commit_version")): _*)
     }
     def kindOf(v: Long, mv: Manifest, mp: Option[Manifest]): String =
       mv.kind.getOrElse {
@@ -2696,11 +2736,13 @@ object SnapshotTable {
             s"changes over [$fromVersion, $to] at $path needs version ${v - 1} " +
               s"for the pre-image of version $v, but it expired: ${e.getMessage}")
         })
+      def addedDirs: Seq[String] =
+        mv.dirs.filterNot(mp.map(_.dirs.toSet).getOrElse(Set.empty))
       def addedDirRows: Option[DataFrame] = {
-        val added = mv.dirs.filterNot(mp.map(_.dirs.toSet).getOrElse(Set.empty))
+        val added = addedDirs
         if (added.isEmpty) None
         else Some(remap(rawScan(spark, path, mv.copy(dirs = added, tombstones = Nil)),
-          mv, "insert", v))
+          mv, lit("insert"), v))
       }
       def posVictims: Option[DataFrame] = {
         val newPd = mv.posDeletes.filterNot(mp.map(_.posDeletes.toSet).getOrElse(Set.empty))
@@ -2714,7 +2756,7 @@ object SnapshotTable {
           Some(remap(pre.join(broadcast(sidecar),
               pre(posFileCol) === col("__graft_cf") &&
                 pre(posOrdCol) === col("__graft_co"), "left_semi")
-            .drop(posFileCol, posOrdCol), mp.get, "delete", v))
+            .drop(posFileCol, posOrdCol), mp.get, lit("delete"), v))
         }
       }
       val kind = kindOf(v, mv, mp)
@@ -2728,7 +2770,8 @@ object SnapshotTable {
           // a MOR commit can add ZERO tombstones (an upsert batch whose
           // rows all gated away, or NULL-keyed inserts) — then there are
           // no delete events and no morkey requirement
-          val deletes = if (newTs.isEmpty) None else {
+          if (newTs.isEmpty) addedDirRows.toSeq
+          else {
             val key = mv.morKey.getOrElse(throw new IllegalStateException(
               s"merge-on-read commit $v at $path lists tombstones but no " +
                 "morkey — corrupt manifest"))
@@ -2737,15 +2780,53 @@ object SnapshotTable {
                 .select(col(key).as("__graft_ck")))
               .reduce(_ unionByName _).distinct()
             val pre = readAt(spark, path, v - 1)
-            Some(remap(pre.join(broadcast(keys),
-              pre(key) === col("__graft_ck"), "left_semi"), mp.get, "delete", v))
+            // UPDATE PAIRING (Delta's CDF contract): a tombstoned key
+            // that BOTH existed at v-1 AND is re-added by this commit's
+            // delta dirs is an update — its pre-image emits as
+            // 'update_preimage' and its new row as 'update_postimage' —
+            // while keys only tombstoned (pure deletes) keep 'delete'
+            // and keys only added keep 'insert'. The tombstone lists
+            // EVERY winning key including brand-new ones, so membership
+            // in the tombstone set alone cannot classify: the victim
+            // side probes "re-added" and the insert side probes
+            // "existed" (the two sides of the same intersection), both
+            // as broadcast delta-scale key sets.
+            val added = addedDirs
+            val victims = pre.join(broadcast(keys),
+              pre(key) === col("__graft_ck"), "left_semi")
+            val addedScan = if (added.isEmpty) None
+              else Some(rawScan(spark, path, mv.copy(dirs = added, tombstones = Nil)))
+            val deletes = {
+              val readdedKeys = addedScan.map(_.select(col(key).as("__graft_rk"))
+                .distinct()
+                .join(broadcast(keys), col("__graft_rk") === col("__graft_ck"),
+                  "left_semi"))
+              val typed = readdedKeys match {
+                case None => remap(victims, mp.get, lit("delete"), v)
+                case Some(rk) =>
+                  val marked = victims.join(broadcast(rk),
+                    victims(key) === col("__graft_rk"), "left")
+                  remap(marked, mp.get,
+                    when(col("__graft_rk").isNotNull, lit("update_preimage"))
+                      .otherwise(lit("delete")), v)
+              }
+              typed
+            }
+            val inserts = addedScan.map { scan =>
+              val victimKeys = victims.select(col(key).as("__graft_vk")).distinct()
+              val marked = scan.join(broadcast(victimKeys),
+                scan(key) === col("__graft_vk"), "left")
+              remap(marked, mv,
+                when(col("__graft_vk").isNotNull, lit("update_postimage"))
+                  .otherwise(lit("insert")), v)
+            }
+            Seq(deletes) ++ inserts.toSeq
           }
-          deletes.toSeq ++ addedDirRows.toSeq
         case "posdelete" | "posupdate" =>
           posVictims.toSeq ++ addedDirRows.toSeq
         case _ => // overwrite / merge / rollback / baseline: full diff
-          Seq(remap(readAt(spark, path, v - 1), mp.get, "delete", v),
-            remap(readAt(spark, path, v), mv, "insert", v))
+          Seq(remap(readAt(spark, path, v - 1), mp.get, lit("delete"), v),
+            remap(readAt(spark, path, v), mv, lit("insert"), v))
       }
     }
     val metaSchema = StructType(toSchema.fields ++ Seq(

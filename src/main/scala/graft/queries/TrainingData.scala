@@ -4618,11 +4618,15 @@ object TrainingData {
   // row-mutating commits replayed EXACTLY as row events
   // ([[SnapshotTable.changes]], served to SQL as `t$changes`). The
   // fixture chain mixes every delta-commit class — v1/v2 ingests
-  // (inserts), v3 keyed merge-on-read (updates = delete+insert pairs,
-  // deletes with full pre-images via the keyed semi-join, fresh
-  // inserts), v4 positional delete (victims resolved by (file, ordinal)
-  // against the v3 pre-image — note they carry v3-updated values where
-  // the ranges overlap, which the oracle must replay too). DuckDB
+  // (inserts), v3 keyed merge-on-read with all three event classes
+  // (keys that existed AND are re-added emit Delta-typed
+  // `update_preimage`/`update_postimage` PAIRS; pure deletes emit
+  // `delete` with full pre-images via the keyed semi-join; fresh keys
+  // emit `insert` — tombstones name every winning key, so the pairing
+  // is the existed∩re-added intersection, not tombstone membership),
+  // v4 positional delete (victims resolved by (file, ordinal) against
+  // the v3 pre-image — note they carry v3-updated values where the
+  // ranges overlap, which the oracle must replay too). DuckDB
   // reconstructs the whole event stream relationally from the base
   // table. Scale shape: per-commit frames are delta-scale scans and
   // broadcast semi-joins; nothing rewrites or collects.
@@ -4664,11 +4668,13 @@ object TrainingData {
       SELECT doc_id, lang, n_chars, 'insert', 2
       FROM documents WHERE doc_id BETWEEN 300 AND 399
       UNION ALL
-      SELECT doc_id, lang, n_chars, 'delete', 3
-      FROM documents
-      WHERE doc_id BETWEEN 100 AND 149 OR doc_id BETWEEN 200 AND 219
+      SELECT doc_id, lang, n_chars, 'update_preimage', 3
+      FROM documents WHERE doc_id BETWEEN 100 AND 149
       UNION ALL
-      SELECT doc_id, lang, n_chars + 1000, 'insert', 3
+      SELECT doc_id, lang, n_chars, 'delete', 3
+      FROM documents WHERE doc_id BETWEEN 200 AND 219
+      UNION ALL
+      SELECT doc_id, lang, n_chars + 1000, 'update_postimage', 3
       FROM documents WHERE doc_id BETWEEN 100 AND 149
       UNION ALL
       SELECT doc_id, lang, n_chars, 'insert', 3
@@ -4677,6 +4683,56 @@ object TrainingData {
       SELECT doc_id, lang, n_chars, 'delete', 4
       FROM documents WHERE doc_id BETWEEN 50 AND 69
       ORDER BY _commit_version, _change_type, doc_id"""))
+
+  // ---- d51_spj_join: storage-partitioned join over co-partitioned ------
+  // tables (SPARK-37375, the Iceberg SPJ contract). Both fixture tables
+  // are identity-partitioned on `lang`; the scans opt in with
+  // `preserveDataGrouping`, report KeyGroupedPartitioning(lang), and the
+  // fact-to-dim merge join plus the lang aggregation plan with ZERO
+  // exchanges (PlanAuditSpec pins the plan; Round17Spec pins the
+  // multi-dir shape end-to-end). Scale shape: at 100 TB this is the
+  // daily co-partitioned fact join — the layout already did the
+  // shuffle's work once at write time, and the scan contract is what
+  // lets every later join reuse it.
+  private def d51Fixture(s: SparkSession, dir: String): (String, String) = {
+    val a = stagedSnapshotFixture(s, dir, "d51a", expect = Seq(1L)) { path =>
+      SnapshotTable.write(s,
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        path, "parquet", partitionCols = Seq("lang"))
+      ()
+    }
+    val b = stagedSnapshotFixture(s, dir, "d51b", expect = Seq(1L)) { path =>
+      SnapshotTable.write(s,
+        t(s, dir, "documents").groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars")),
+        path, "parquet", partitionCols = Seq("lang"))
+      ()
+    }
+    (a, b)
+  }
+
+  private val d51 = Q(
+    (s, dir) => {
+      val (a, b) = d51Fixture(s, dir)
+      def scan(p: String) = s.read.format("graft")
+        .option("preserveDataGrouping", "true").load(p)
+      // strictly-above-language-average docs, in exact integer math
+      // (n_chars * cnt > sum_chars) so both engines agree bit-for-bit
+      // no orderBy: the correctness gate sorts rows canonically, and a
+      // global sort would add the plan's ONLY exchange — the zero-
+      // exchange claim is the operator (PlanAuditSpec pins it)
+      scan(a).join(scan(b).hint("merge"), "lang")
+        .filter(col("n_chars") * col("cnt") > col("sum_chars"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_above"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars
+        FROM documents GROUP BY lang)
+      SELECT d.lang, count(*) AS n_above
+      FROM documents d JOIN b ON d.lang = b.lang
+      WHERE d.n_chars * b.cnt > b.sum_chars
+      GROUP BY d.lang"""))
 
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
@@ -4732,6 +4788,7 @@ object TrainingData {
     "d48_sql_merge" -> d48,
     "d49_sql_read_mor" -> d49,
     "d50_cdc_changes" -> d50,
+    "d51_spj_join" -> d51,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

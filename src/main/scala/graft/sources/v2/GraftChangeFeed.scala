@@ -14,14 +14,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.readStream.format("graft").option("readChangeFeed", "true")
   * .load(path)` (the Delta CDF reader-option contract): each
   * micro-batch delivers the ROW EVENTS of the commits in its version
-  * range, table columns plus `_change_type` ('insert' / 'delete'; an
-  * update is its pair) and `_commit_version` — so row-mutating commits
-  * that fail the plain data stream loudly become consumable events:
+  * range, table columns plus `_change_type` ('insert' / 'delete' /
+  * 'update_preimage' / 'update_postimage' — Delta's CDF typing) and
+  * `_commit_version` — so row-mutating commits that fail the plain
+  * data stream loudly become consumable events:
   *
   *  - append / create commits → added dirs' rows as inserts (identical
   *    to the plain stream);
   *  - merge-on-read commits → the newly-tombstoned keys' rows still
-  *    VISIBLE at v-1 as deletes, plus the upsert dirs as inserts;
+  *    VISIBLE at v-1 as delete-side events, plus the upsert dirs as
+  *    insert-side events; keys on BOTH sides (existed at v-1 AND
+  *    re-added) are UPDATES and emit as the
+  *    `update_preimage`/`update_postimage` pair, so a downstream MERGE
+  *    consumer can apply updates as updates;
   *  - posdelete / posupdate commits → the new sidecars' (file, ordinal)
   *    victims as deletes — the scan opens ONLY the files the sidecar
   *    names — plus staged updates as inserts;
@@ -133,6 +138,11 @@ object GraftCdf {
   * victim selectors (positional and/or keyed — None for insert frames),
   * and the v-1 overlay masks a delete victim must still be VISIBLE
   * under. All masks ride broadcasts (size-gated at plan time).
+  * `paired` is the UPDATE-pairing key set (Delta's CDF typing): on a
+  * delete-side frame it holds the commit's re-added keys and a hit
+  * re-types the event `update_preimage`; on an insert-side frame it
+  * holds the keys that existed at v-1 and a hit re-types
+  * `update_postimage`. Rows missing it keep the frame's base type.
   */
 case class CdfFrameSpec(changeType: String, version: Long,
                         fullSchema: StructType, rowIdxPos: Int,
@@ -140,7 +150,8 @@ case class CdfFrameSpec(changeType: String, version: Long,
                         victimPos: Option[Broadcast[Map[String, Array[Long]]]],
                         victimKeys: Option[Broadcast[Set[Any]]],
                         priorPos: Option[Broadcast[Map[String, Array[Long]]]],
-                        priorKey: Option[Broadcast[Map[Any, Long]]])
+                        priorKey: Option[Broadcast[Map[Any, Long]]],
+                        paired: Option[Broadcast[Set[Any]]] = None)
 
 case class CdfInputPartition(
     inner: InputPartition,
@@ -258,10 +269,12 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
           s"change feed of $path needs version ${v - 1} for the pre-images " +
             s"of version $v, but it expired (${e.getMessage}); restart from " +
             "startVersion=latest or re-baseline the consumer") }
-      def insertFrames(dirs: Seq[String]): Unit =
+      def insertFrames(dirs: Seq[String],
+                       paired: Option[Broadcast[Set[Any]]] = None,
+                       keyPos: Int = -1, keyType: DataType = NullType): Unit =
         if (dirs.nonEmpty) parts ++= frame(dirs,
-          CdfFrameSpec("insert", v, null, -1, -1, NullType,
-            None, None, None, None),
+          CdfFrameSpec("insert", v, null, -1, keyPos, keyType,
+            None, None, None, None, paired),
           withRowIdx = false, onlySubpaths = None)
       def priorMasks = (
         gate(SnapshotTable.posDeleteMask(spark, path, mp),
@@ -275,14 +288,28 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
              "drop-constraint" | "renamecol" | "dropcol" | "noop" => ()
         case "merge-on-read" =>
           val newTs = mv.tombstones.filterNot(mp.tombstones.toSet)
+          val added = mv.dirs.filterNot(mp.dirs.toSet)
           // zero new tombstones (fully-gated upsert batch, NULL-keyed
           // inserts): no delete events, no morkey requirement
-          if (newTs.nonEmpty) {
+          if (newTs.isEmpty) insertFrames(added)
+          else {
+            import org.apache.spark.sql.functions.{broadcast, col}
             val keys = gate(SnapshotTable.tombstoneKeySet(spark, path, mv, newTs),
               "commit's tombstone key set", v)
             val (pp, pk) = priorMasks
             val key = mv.morKey.getOrElse(throw new IllegalStateException(
               s"merge-on-read commit $v at $path lists tombstones but no morkey"))
+            // the ≤1000-key sample of this commit's tombstone: drives
+            // BOTH the victim-scan file restriction and the pushdown
+            // filter on the pairing's pre-image key scan
+            val ext: Option[Seq[Any]] = {
+              val sample = newTs.map(n => spark.read.format(mv.format)
+                  .load(SnapshotTable.tombstonePath(path, n).toString)
+                  .select(col(key)))
+                .reduce(_ unionByName _).distinct().limit(1001)
+                .collect().map(_.get(0)).filter(_ != null).toSeq
+              if (sample.length > 1000) None else Some(sample)
+            }
             // the victim scan opens only the files whose stats can hold
             // a tombstoned key when the key is a stats column and the
             // set fits an In list — the O(touched files) shape on
@@ -290,28 +317,50 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
             // long range would otherwise re-open the whole table per
             // commit); conservative, falls back to all v-1 dirs
             val onlySubs: Option[Set[String]] =
-              if (!mp.statsCols.contains(key)) None
-              else {
-                import org.apache.spark.sql.functions.col
-                val ext = newTs.map(n => spark.read.format(mv.format)
-                    .load(SnapshotTable.tombstonePath(path, n).toString)
-                    .select(col(key)))
-                  .reduce(_ unionByName _).distinct().limit(1001)
-                  .collect().map(_.get(0)).filter(_ != null)
-                if (ext.length > 1000) None
-                else Some(SnapshotTable.prunedFilePaths(spark, path,
-                    mp.copy(tombstones = Nil), col(key).isin(ext.toSeq: _*))
+              ext.filter(_ => mp.statsCols.contains(key)).map(e =>
+                SnapshotTable.prunedFilePaths(spark, path,
+                    mp.copy(tombstones = Nil), col(key).isin(e: _*))
                   .map(GraftCdf.subpathOf))
-              }
+            // UPDATE PAIRING (Delta's CDF typing): tombstoned keys both
+            // existed-at-v-1 and re-added emit as update pre/post-image
+            // pairs. Both probe sets are driver-side but BOUNDED by the
+            // gated tombstone key set (each is a semi-join against it);
+            // the pre-image key scan reads ONE column and pushes the
+            // ≤1000-key In filter down when available. The tombstone
+            // names every winning key incl. brand-new ones, so set
+            // membership alone cannot classify — each side probes its
+            // own half of the (existed ∩ re-added) intersection.
+            val tombDf = newTs.map(n => spark.read.format(mv.format)
+                .load(SnapshotTable.tombstonePath(path, n).toString)
+                .select(col(key).as("__graft_tk")))
+              .reduce(_ unionByName _).distinct()
+            val readded: Set[Any] =
+              if (added.isEmpty) Set.empty
+              else SnapshotTable.catalystKeySet(
+                SnapshotTable.scanDirsAt(spark, path, v, added).select(col(key))
+                  .join(broadcast(tombDf), col(key) === col("__graft_tk"),
+                    "left_semi"))
+            val existed: Set[Any] = {
+              val pre0 = SnapshotTable.readAt(spark, path, v - 1).select(col(key))
+              val pre = ext.fold(pre0)(e => pre0.filter(col(key).isin(e: _*)))
+              SnapshotTable.catalystKeySet(
+                pre.join(broadcast(tombDf), col(key) === col("__graft_tk"),
+                  "left_semi"))
+            }
             parts ++= frame(mp.dirs,
               CdfFrameSpec("delete", v, null, -1,
                 keyPosOf(key, mv, withRowIdx = true),
                 schemas.fullPhys(schemas.fullPhys.fieldIndex(mv.physOf(key))).dataType,
                 None, Some(bc.broadcast(keys)),
-                Some(bc.broadcast(pp)), Some(bc.broadcast(pk))),
+                Some(bc.broadcast(pp)), Some(bc.broadcast(pk)),
+                paired = Some(bc.broadcast(readded))),
               withRowIdx = true, onlySubpaths = onlySubs)
+            insertFrames(added,
+              paired = Some(bc.broadcast(existed)),
+              keyPos = keyPosOf(key, mv, withRowIdx = false),
+              keyType = schemas.fullPhys(
+                schemas.fullPhys.fieldIndex(mv.physOf(key))).dataType)
           }
-          insertFrames(mv.dirs.filterNot(mp.dirs.toSet))
         case "posdelete" | "posupdate" =>
           val newPd = mv.posDeletes.filterNot(mp.posDeletes.toSet)
           val vm = gate(SnapshotTable.posDeleteMask(spark, path, mv, newPd),
@@ -365,7 +414,14 @@ case class CdfReaderFactory() extends PartitionReaderFactory {
         BoundReference(metaBase, StringType, nullable = false),
         BoundReference(metaBase + 1, LongType, nullable = false)))
     val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-    metaRow.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(sp.changeType))
+    val baseType = org.apache.spark.unsafe.types.UTF8String.fromString(sp.changeType)
+    // a `paired` hit re-types the event to its update-pair form: the
+    // delete side (victim selectors present) becomes the pre-image,
+    // the insert side the post-image
+    val pairType = org.apache.spark.unsafe.types.UTF8String.fromString(
+      if (sp.victimPos.isDefined || sp.victimKeys.isDefined) "update_preimage"
+      else "update_postimage")
+    metaRow.update(0, baseType)
     metaRow.setLong(1, sp.version)
     new PartitionReader[InternalRow] {
       private var i = -1
@@ -406,7 +462,15 @@ case class CdfReaderFactory() extends PartitionReaderFactory {
           if (!cur.next()) { cur.close(); cur = null }
           else {
             val r = cur.get()
-            if (accept(r)) { row = r; return true }
+            if (accept(r)) {
+              row = r
+              if (sp.paired.isDefined) {
+                val hit = sp.keyPos >= 0 && !r.isNullAt(sp.keyPos) &&
+                  sp.paired.get.value.contains(r.get(sp.keyPos, sp.keyType))
+                metaRow.update(0, if (hit) pairType else baseType)
+              }
+              return true
+            }
           }
         }
         false // unreachable

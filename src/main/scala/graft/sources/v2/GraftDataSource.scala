@@ -281,7 +281,7 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
       s"the graft V2 scan reads parquet chains only; table at $path is " +
         s"committed as '${m.format}' — read it through the SnapshotTable API")
     if (cdf) return () => new GraftCdfScan(spark, path, m, logical, version, options)
-    new GraftScanBuilder(spark, path, m, logical, options)
+    new GraftScanBuilder(spark, path, m, logical, options, version)
   }
 
   private def refusePinned(op: String): Unit =
@@ -399,7 +399,8 @@ class GraftWriteBuilder(spark: SparkSession, path: String,
   */
 class GraftScanBuilder(spark: SparkSession, path: String,
                        m: SnapshotTable.Manifest, logical: StructType,
-                       options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+                       options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+                       version: Long = -1L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -499,6 +500,56 @@ class GraftScanBuilder(spark: SparkSession, path: String,
     // directly: its readSchema IS the aggregate row, partitions map to
     // files, and the reader factory materializes rows from footers
     if (aggPushed) return parquetAggBuilder.build()
+    // STORAGE-PARTITIONED JOIN opt-in (the Iceberg SPJ contract,
+    // SPARK-37375): when asked to, an identity-partitioned table
+    // reports its layout as KeyGroupedPartitioning and plans one scan
+    // task group per partition value, so two tables co-partitioned on
+    // the join key SMJ/hash-join with ZERO exchanges. Per-read opt-in
+    // (`.option("preserveDataGrouping", true)`) or session-wide
+    // (`spark.graft.spj.preserveDataGrouping=true`) — NOT the default,
+    // because key-grouping caps scan parallelism at the partition-value
+    // count, which is the right trade for a co-partitioned join and the
+    // wrong one for a plain scan (Iceberg's preserve-data-grouping knob
+    // makes the same call). Requires every partition column in the
+    // output (the reported keys must reference output attributes).
+    val spjWanted = options.getBoolean("preserveDataGrouping",
+      spark.sessionState.conf
+        .getConfString("spark.graft.spj.preserveDataGrouping", "false").toBoolean)
+    val spjKeys: Option[Seq[String]] =
+      if (spjWanted && m.partitionCols.nonEmpty &&
+          m.partitionCols.forall(required.fieldNames.contains))
+        Some(m.partitionCols)
+      else None
+    // OVERSIZE-OVERLAY fallback: the in-scan masks materialize the
+    // overlay on the DRIVER (they are the broadcast's build side), so
+    // past the size gate the masked path would OOM — instead of
+    // refusing ("compact the table first", the pre-r17 behavior), the
+    // scan degrades to the SnapshotTable API's DISTRIBUTED anti-join
+    // served through the V1Scan bridge: same rows, executed as a
+    // shuffled anti-join that scales with the overlay instead of the
+    // driver's heap. Decided at PLAN time from sidecar byte sums
+    // (metadata-only). The broadcast-mask path stays the fast path
+    // under the gate; only metadata-column requests (_graft_file /
+    // _graft_pos — the wrapper is the only thing that can serve them)
+    // still refuse loudly at execution.
+    if (requiredMeta.isEmpty &&
+        (m.posDeletes.nonEmpty || m.tombstones.nonEmpty) &&
+        SnapshotTable.overlayOversized(spark, path, m)) {
+      val partSet = m.partitionCols.toSet
+      def phys(s: StructType) = StructType(s.fields.map(f =>
+        f.copy(name = m.physOf(f.name))))
+      val v = if (version >= 0) version
+        else SnapshotTable.currentVersion(spark, path).getOrElse(
+          throw new IllegalStateException(s"no committed snapshot at $path"))
+      return new GraftOverlayFallbackScan(spark, path, v, m, required, pushed,
+        StreamSchemas(
+          phys(StructType(logical.fields.filterNot(f => partSet(f.name)))),
+          phys(StructType(required.fields.filterNot(f => partSet(f.name)))),
+          phys(StructType(required.fields.filter(f => partSet(f.name)))),
+          phys(logical),
+          pushed.flatMap(GraftFilters.rename(_, m.physOf))),
+        options)
+    }
     val predicate = pushed.flatMap(GraftFilters.toColumn)
       .reduceOption(_ && _)
     val (perDir, report) = SnapshotTable.planPrunedFiles(spark, path, m, predicate)
@@ -577,7 +628,8 @@ class GraftScanBuilder(spark: SparkSession, path: String,
       StreamSchemas(dataPhys, readDataPhys, readPartPhys, phys(logical),
         pushed.flatMap(GraftFilters.rename(_, m.physOf))),
       options,
-      if (wrap) Some(RowWrapShape(
+      spjKeys = spjKeys,
+      wrapShape = if (wrap) Some(RowWrapShape(
         rowIdxPos = readDataPhys.length,
         fullSchema = StructType(readDataPhysEff.fields ++ readPartPhys.fields),
         metaNames = requiredMeta,
@@ -588,6 +640,73 @@ class GraftScanBuilder(spark: SparkSession, path: String,
         keyDrop = keyInjected))
       else None)
   }
+}
+
+/** The V2 read of a table whose outstanding overlay is PAST the
+  * driver-mask size gate (compaction-starved): serves the SnapshotTable
+  * API's read — whose positional and keyed overlays execute as
+  * DISTRIBUTED anti-joins sized by AQE, never a driver materialization
+  * — through Spark's [[org.apache.spark.sql.connector.read.V1Scan]]
+  * bridge (`df.rdd`: fully distributed, no collect). Pushed filters
+  * re-apply on the DataFrame so stats/partition pruning still engages
+  * inside the API read; column pruning projects before the bridge.
+  * Trade-offs vs the masked path are honest and bounded: row-based
+  * (no columnar batches) and no parquet-level filter pushdown below
+  * the anti-join — the price of staying READABLE when maintenance is
+  * behind; compaction restores the fast path. The streaming read is
+  * unaffected by overlays (delta dirs only) and stays native.
+  */
+class GraftOverlayFallbackScan(spark: SparkSession, path: String, version: Long,
+                               m: SnapshotTable.Manifest, required: StructType,
+                               pushed: Array[org.apache.spark.sql.sources.Filter],
+                               streamSchemas: StreamSchemas,
+                               options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.V1Scan {
+  import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+
+  override def readSchema(): StructType = required
+
+  private lazy val df = {
+    val base = SnapshotTable.readAt(spark, path, version)
+    val filtered = pushed.flatMap(GraftFilters.toColumn)
+      .reduceOption(_ && _).map(base.filter).getOrElse(base)
+    filtered.select(required.fieldNames.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.rdd
+      override def toString: String = description()
+    }.asInstanceOf[T]
+
+  /** Same stream as the masked path's — a data stream reads delta dirs
+    * only and never consults the overlay, so the fallback must not
+    * regress `readStream` on an oversize-overlay table.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val maxPerBatch = Option(options.get("maxVersionsPerBatch")).map { s =>
+      val n = scala.util.Try(s.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxVersionsPerBatch must be a positive integer; got '$s'"))
+      require(n > 0, s"maxVersionsPerBatch must be a positive integer; got $n")
+      n
+    }
+    new GraftDataStream(path, streamSchemas, m.format, m.partitionCols,
+      Option(options.get("startVersion")), maxPerBatch)
+  }
+
+  override def description(): String =
+    s"GraftOverlayFallbackScan(path=$path @ v$version, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"posDeleteSidecars=${m.posDeletes.size}, " +
+      s"keyTombstones=${m.tombstones.size}, oversize overlay -> " +
+      "distributed anti-join)"
 }
 
 /** The row-layout half of the per-file reader wrapper, fixed at scan
@@ -715,11 +834,46 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
                 index: GraftPrunedFileIndex,
                 streamSchemas: StreamSchemas = null,
                 options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+                spjKeys: Option[Seq[String]] = None,
                 wrapShape: Option[RowWrapShape] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   override def readSchema(): StructType = logicalRead
+
+  /** Distinct partition VALUES in the (pruned) listing — the group
+    * count [[outputPartitioning]] reports. Metadata-scale: one pass
+    * over the already-materialized partition spec, only when SPJ
+    * reporting is on.
+    */
+  private lazy val nPartValues: Int = {
+    val spec = index.partitionSpec()
+    val types = spec.partitionColumns.fields.map(_.dataType).toSeq
+    spec.partitions.map(_.values.toSeq(types)).distinct.size
+  }
+
+  /** Storage-partitioned-join reporting ([[SupportsReportPartitioning]],
+    * the Iceberg SPJ contract): when the per-read `preserveDataGrouping`
+    * opt-in is set and every partition column is in the output, the
+    * scan reports identity KeyGroupedPartitioning over the table's
+    * partition columns and [[toBatch]] plans key-pure task groups
+    * ([[GraftKeyGroupedBatch]]) — Spark's EnsureRequirements then
+    * matches two co-partitioned graft sides with ZERO exchanges.
+    * Everything else reports unknown, keeping split-by-size planning
+    * and full scan parallelism.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some(cols) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          cols.map(c => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          nPartValues)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
   // materialized once, only when a BATCH actually executes (streams and
   // EXPLAIN never read the sidecars); None = overlay too big to mask
   private lazy val posMask: Option[Map[String, Array[Long]]] =
@@ -729,8 +883,13 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
     if (wrapShape.exists(_.keyPos >= 0)) SnapshotTable.tombstoneKeyMask(spark, path, m)
     else Some(Map.empty)
   override def toBatch: Batch = {
-    wrapShape match {
+    val base: Batch = spjKeys match {
+      case Some(cols) => new GraftKeyGroupedBatch(spark, delegate, index,
+        streamSchemas.readPartPhys, cols.map(m.physOf))
       case None => delegate.toBatch
+    }
+    wrapShape match {
+      case None => base
       case Some(sh) =>
         // BOTH overlays are applied in-scan (positional deletes by
         // (file, ordinal), key tombstones by (MOR key, dir version));
@@ -746,7 +905,7 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
             "large for the in-scan mask (past the broadcast size bound); " +
             "compact the table to materialize it, or read through the " +
             "SnapshotTable API's distributed anti-join"))
-        new RowWrappedBatch(delegate.toBatch,
+        new RowWrappedBatch(base,
           RowWrapSpec(spark.sparkContext.broadcast(mask),
             spark.sparkContext.broadcast(km), sh))
     }
@@ -778,7 +937,13 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
     * files out), and Spark re-applies the real join afterwards.
     */
   override def filterAttributes(): Array[NamedReference] =
-    (m.statsCols ++ m.partitionCols).distinct.map(Expressions.column).toArray
+    // only columns the scan OUTPUTS: Spark's runtime-filtering planners
+    // (PartitionPruning, RowLevelOperationRuntimeGroupFiltering) resolve
+    // these against the pruned output and fail on a projected-away
+    // column rather than skipping it
+    (m.statsCols ++ m.partitionCols).distinct
+      .filter(logicalRead.fieldNames.contains)
+      .map(Expressions.column).toArray
   override def filter(runtime: Array[org.apache.spark.sql.sources.Filter]): Unit =
     runtime.flatMap(GraftFilters.toColumn).reduceOption(_ && _).foreach { p =>
       val (perDir, _) = SnapshotTable.planPrunedFiles(spark, path, m, Some(p))
@@ -795,7 +960,76 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
        else "") +
       (if (m.tombstones.nonEmpty)
          s", keyTombstones=${m.tombstones.size}"
-       else "") + ")"
+       else "") +
+      spjKeys.fold("")(cols => s", keyGrouped=[${cols.mkString(", ")}]") + ")"
+}
+
+/** One scan-task group per hive partition VALUE — the Batch shape
+  * behind [[GraftScan.outputPartitioning]]'s KeyGroupedPartitioning
+  * claim. The pruned listing's PartitionDirectories are each split and
+  * bin-packed with Spark's own helpers (so in-value parallelism and
+  * split sizing stay stock), but never packed ACROSS values: every
+  * resulting [[KeyedFilePartition]] carries exactly one partition
+  * value, which Spark's `groupPartitions` then clusters (the same
+  * value may arrive from several snapshot dirs) and aligns across the
+  * join. Reading is untouched — the delegate [[ParquetScan]]'s own
+  * vectorized reader factory serves the partitions.
+  */
+class GraftKeyGroupedBatch(spark: SparkSession, delegate: ParquetScan,
+                           index: GraftPrunedFileIndex,
+                           readPartPhys: StructType,
+                           keyPhysNames: Seq[String]) extends Batch {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.execution.PartitionedFileUtil
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dirs = index.listFiles(Nil, Nil)
+    val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
+      .maxSplitBytes(spark, dirs)
+    val specFields = index.partitionSpec().partitionColumns
+    // the spec's column order is path-nesting order; both the reader's
+    // partition-values row and the reported key row need THEIR declared
+    // orders (readPartitionSchema / the reported key expressions)
+    val readIdx = readPartPhys.fields.map(f => specFields.fieldIndex(f.name)).toSeq
+    val keyIdx = keyPhysNames.map(specFields.fieldIndex)
+    val out = Array.newBuilder[InputPartition]
+    var i = 0
+    dirs.foreach { pd =>
+      def proj(ix: Seq[Int]): InternalRow = new GenericInternalRow(
+        ix.map(j => pd.values.get(j, specFields(j).dataType)).toArray)
+      val partVals = proj(readIdx)
+      val key = proj(keyIdx)
+      val split = pd.files.flatMap(f => PartitionedFileUtil.splitFiles(
+          f, f.getPath, isSplitable = true, maxSplit, partVals))
+        .sortBy(_.length)(implicitly[Ordering[Long]].reverse)
+      org.apache.spark.sql.execution.datasources.FilePartition
+        .getFilePartitions(spark, split, maxSplit).foreach { fp =>
+        out += new KeyedFilePartition(i, fp.files, key)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    delegate.toBatch.createReaderFactory()
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
+  * also declares its partition key ([[HasPartitionKey]]) — all its
+  * files share one hive partition value. Passing a FilePartition
+  * subtype keeps the delegate parquet reader factory and the row/
+  * columnar wrappers working unchanged (they cast to FilePartition).
+  */
+class KeyedFilePartition(
+    idx: Int,
+    files0: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(idx, files0)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
 }
 
 /** Selection-vector copy of a columnar batch's surviving rows — what

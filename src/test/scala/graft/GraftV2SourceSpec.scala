@@ -428,7 +428,9 @@ class GraftV2SourceSpec extends SparkSpec {
     q.processAllAvailable()
     val expected =
       (0L until 20L).map(i => (i, "insert", 1L)).toSet ++
-        Set((3L, "delete", 2L), (4L, "delete", 2L), (3L, "insert", 2L)) ++
+        // key 3 existed and is re-added → update pair; key 4 pure delete
+        Set((3L, "update_preimage", 2L), (4L, "delete", 2L),
+          (3L, "update_postimage", 2L)) ++
         (10L to 12L).map(i => (i, "delete", 3L))
     assert(got.asScala.toSet == expected, s"events: ${got.asScala.toSet}")
     // the stream agrees with the batch feed exactly
@@ -476,8 +478,9 @@ class GraftV2SourceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
     val expected =
       (0L until 60L).map(i => (i, s"lang${i % 3}", "insert", 1L)).toSet ++
-        Set((9L, "lang0", "delete", 2L), (10L, "lang1", "delete", 2L),
-          (9L, "lang0", "insert", 2L)) ++
+        // key 9 is an update pair; key 10 a pure delete
+        Set((9L, "lang0", "update_preimage", 2L), (10L, "lang1", "delete", 2L),
+          (9L, "lang0", "update_postimage", 2L)) ++
         (20L to 22L).map(i => (i, s"lang${i % 3}", "delete", 3L))
     assert(batch == expected, s"batch feed: $batch")
     val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
@@ -590,5 +593,60 @@ class GraftV2SourceSpec extends SparkSpec {
       "SELECT dir, file, bytes FROM gtest.`docs$files`").collect()
     assert(files.length >= 2 && files.forall(_.getLong(2) > 0L))
     assert(files.map(_.getString(0)).distinct.length == 2, "two snapshot dirs expected")
+  }
+
+  test("oversize overlay: V2 reads degrade to the distributed anti-join, not a refusal") {
+    import spark.implicits._
+    val path = tmp("graft-oversize")
+    SnapshotTable.ingest(spark, docs(0 until 300), path, "text",
+      expectedItems = 10000L, statsCols = Seq("doc_id"))
+    // BOTH overlay classes outstanding: a positional delete and a keyed
+    // merge-on-read upsert+delete
+    assert(SnapshotTable.deleteWherePositional(spark, path,
+      col("doc_id") < 20L).committed)
+    SnapshotTable.mergeOnRead(spark,
+      Seq((25L, "twentyfive-v2", "lang1", false), (30L, "x", "lang0", true))
+        .toDF("doc_id", "text", "lang", "__del"),
+      path, "doc_id", deleteCol = Some("__del"))
+    val apiRows = SnapshotTable.read(spark, path)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(apiRows.size == 279 && apiRows.contains((25L, "twentyfive-v2")))
+    def v2Rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // under the gate: the masked BatchScan path (columnar machinery)
+    val masked = spark.read.format("graft").load(path)
+    assert(v2Rows(masked) == apiRows)
+    assert(masked.queryExecution.executedPlan.toString.contains("BatchScan"))
+    val saved = SnapshotTable.tombstoneBroadcastMaxBytes
+    try {
+      // force the overlay past the gate: every masked read must now
+      // plan the V1-bridge fallback and STILL return the same rows
+      SnapshotTable.tombstoneBroadcastMaxBytes = 1L
+      val fb = spark.read.format("graft").load(path)
+      assert(v2Rows(fb) == apiRows, "fallback rows diverge from the API read")
+      val plan = fb.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftOverlayFallbackScan") && !plan.contains("BatchScan"),
+        s"expected the V1 fallback scan:\n${plan.take(1500)}")
+      // pushed filters still shrink the read inside the API plan
+      assert(fb.filter(col("doc_id") >= 100L).count() == 200L)
+      // SQL works over the fallback too
+      fb.createOrReplaceTempView("oversize_t")
+      assert(spark.sql(
+        "SELECT count(*) FROM oversize_t WHERE doc_id < 50").head.getLong(0) == 29L)
+      // time travel pins the pre-overlay content through the same seam
+      assert(spark.read.format("graft").option("versionAsOf", 1L).load(path)
+        .count() == 300L)
+      // metadata-column requests cannot be served without the wrapper:
+      // still a loud, actionable refusal
+      val e = intercept[Exception] {
+        spark.read.format("graft").load(path)
+          .select(col("doc_id"), col("_graft_pos")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("compact")), s"wrong failure: ${msgs(e)}")
+    } finally SnapshotTable.tombstoneBroadcastMaxBytes = saved
   }
 }

@@ -477,6 +477,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1200))
   }
 
+  test("d51: storage-partitioned graft-table join plans ZERO exchanges") {
+    val p = planOf("d51_spj_join")
+    // both V2 scans report KeyGroupedPartitioning(lang) under the
+    // preserveDataGrouping opt-in, so the merge join AND the lang
+    // aggregation ride the storage layout — no Exchange anywhere
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("Exchange"),
+      s"SPJ join planned an exchange — KeyGroupedPartitioning is not being consumed:\n${p.take(2000)}")
+    assert(p.contains("keyGrouped=[lang]"),
+      s"scan did not report key-grouped reading:\n${p.take(2000)}")
+  }
+
   test("q43: bucketed fact-fact join plans ZERO exchanges") {
     val p = planOf("q43_bucketed_join")
     // sort-merge on the bucket key, both scans pre-partitioned: no join

@@ -667,7 +667,8 @@ class Round12Spec extends SparkSpec {
         if (vs == (1L to vs.last) && r.nextInt(4) == 0) {
           val folded = SnapshotTable.changes(spark, path, 1L)
             .groupBy(col("doc_id"), col(textName))
-            .agg(sum(when(col("_change_type") === "insert", 1)
+            // update events fold like their delete/insert halves
+            .agg(sum(when(col("_change_type").isin("insert", "update_postimage"), 1)
               .otherwise(-1)).as("alive"))
             .filter(col("alive") > 0)
             .collect().map(row => (row.getLong(0), row.getString(1))).toSet

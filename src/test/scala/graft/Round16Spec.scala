@@ -336,7 +336,10 @@ class Round16Spec extends SparkSpec {
         s"SELECT doc_id, _change_type FROM $cat.`t$$changes` " +
           "WHERE _commit_version = 2 ORDER BY _change_type, doc_id")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      assert(rows == Seq((3L, "delete"), (4L, "delete"), (3L, "insert")))
+      // key 3 existed and was re-upserted → an update PAIR; key 4 was a
+      // pure delete ('update_postimage' < 'update_preimage' lexically)
+      assert(rows == Seq((4L, "delete"),
+        (3L, "update_postimage"), (3L, "update_preimage")))
       // whole-feed count: 20 creates + 2 deletes + 1 upsert insert
       assert(spark.sql(s"SELECT count(*) FROM $cat.`t$$changes`")
         .head.getLong(0) == 23L)
@@ -463,13 +466,18 @@ class Round16Spec extends SparkSpec {
     val windowed = rows(spark.read.format("graft")
       .option("readChangeFeed", "true")
       .option("startVersion", "2").option("endVersion", "2").load(path))
-    assert(windowed ==
-      Set((3L, "delete", 2L), (4L, "delete", 2L), (3L, "insert", 2L)))
+    // key 3's upsert is an update PAIR; key 4's delete stays a delete
+    assert(windowed == Set((3L, "update_preimage", 2L), (4L, "delete", 2L),
+      (3L, "update_postimage", 2L)))
     // SQL over the batch CDF frame works too (it is an ordinary scan)
     spark.read.format("graft").option("readChangeFeed", "true").load(path)
       .createOrReplaceTempView("cdfb")
+    // deletes: key 4 (v2) + the three positional victims (v3); the v2
+    // update rides its own pair types
     assert(spark.sql(
-      "SELECT count(*) FROM cdfb WHERE _change_type = 'delete'").head.getLong(0) == 5L)
+      "SELECT count(*) FROM cdfb WHERE _change_type = 'delete'").head.getLong(0) == 4L)
+    assert(spark.sql(
+      "SELECT count(*) FROM cdfb WHERE _change_type LIKE 'update_%'").head.getLong(0) == 2L)
   }
 
   test("vacuum reclaims crashed executor-staging areas past the grace window") {

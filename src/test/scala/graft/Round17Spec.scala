@@ -110,6 +110,76 @@ class Round17Spec extends SparkSpec {
     assert(Bench.loadPriorMap("""{"q1_agg": 0.325}""", "anything").nonEmpty)
   }
 
+  test("storage-partitioned join: co-partitioned graft tables join with ZERO exchanges") {
+    import spark.implicits._
+    val a = tmp("graft-spj-a")
+    val b = tmp("graft-spj-b")
+    def docs(r: Range) = r.map(i =>
+        (i.toLong, s"doc body $i", s"lang${i % 5}", (i * 13 % 997).toLong))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    SnapshotTable.ingest(spark, docs(0 until 300), a, "text",
+      expectedItems = 10000L, partitionCols = Seq("lang"), statsCols = Seq("doc_id"))
+    // second commit so the scan spans several snapshot dirs per value
+    SnapshotTable.ingest(spark, docs(300 until 400), a, "text",
+      expectedItems = 10000L)
+    SnapshotTable.ingest(spark,
+      (0 until 5).map(i => (s"lang$i", 400L + i, s"dim $i")).toDF("lang", "thresh", "text"),
+      b, "text", expectedItems = 100L, partitionCols = Seq("lang"))
+    def scan(p: String) = spark.read.format("graft")
+      .option("preserveDataGrouping", "true").load(p)
+    val joined = scan(a).join(scan(b).hint("merge"), "lang")
+      .filter(col("n_chars") > col("thresh"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val rows = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // oracle: the same join computed without the format
+    val expect = (0 until 400).map(i => (s"lang${i % 5}", (i * 13 % 997).toLong))
+      .filter { case (l, n) => n > 400L + l.last.asDigit }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(rows == expect, s"got $rows expected $expect")
+    // the whole plan — scan, join, aggregation — carries NO Exchange:
+    // both sides reported KeyGroupedPartitioning(lang) and Spark aligned
+    // the groups (collect() above finalized the AQE plan)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"SPJ plan still shuffles:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // without the opt-in the same join shuffles (and still answers right)
+    val plain = scan(a).drop("doc_id").join(
+      spark.read.format("graft").load(b).hint("merge"), "lang")
+      .filter(col("n_chars") > col("thresh"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(plain.collect().map(r => (r.getString(0), r.getLong(1))).toMap == expect)
+  }
+
+  test("CDF update pairing: only existed-and-re-added keys pair; tombstone membership alone does not") {
+    import spark.implicits._
+    val path = tmp("graft-cdf-pairing")
+    SnapshotTable.ingest(spark,
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), path, "text",
+      expectedItems = 1000L)                                        // v1
+    SnapshotTable.mergeOnRead(spark,
+      Seq((2L, "x", true)).toDF("doc_id", "text", "__del"),
+      path, "doc_id", deleteCol = Some("__del"))                    // v2: pure delete
+    // v3 re-upserts the DELETED key 2 (invisible at v2 → a fresh
+    // insert, not an update pair) and updates the LIVE key 1 (a pair)
+    SnapshotTable.mergeOnRead(spark,
+      Seq((2L, "two-again", false), (1L, "one-v2", false))
+        .toDF("doc_id", "text", "__del"),
+      path, "doc_id", deleteCol = Some("__del"))                    // v3
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, "one", "insert", 1L), (2L, "two", "insert", 1L),
+      (2L, "two", "delete", 2L),
+      (1L, "one", "update_preimage", 3L), (1L, "one-v2", "update_postimage", 3L),
+      (2L, "two-again", "insert", 3L))
+    val api = rows(SnapshotTable.changes(spark, path, 1L))
+    assert(api == expected, s"api feed: $api")
+    // the V2 batch CDF pairs identically (same classification driver)
+    assert(rows(spark.read.format("graft")
+      .option("readChangeFeed", "true").load(path)) == expected)
+  }
+
   test("CALL with an unknown procedure fails as an analysis error (ROUTINE_NOT_FOUND)") {
     val wh = tmp("graft-r17-proc")
     val cat = s"g17p${Integer.toHexString(wh.hashCode)}"

@@ -766,15 +766,18 @@ class StreamingSpec extends SparkSpec {
     feed.stop()
     val events = got.asScala.toSet
     // batch 1 upserts 3 keys into an empty table (inserts only); batch 2
-    // updates k=2 (delete+insert pair), deletes k=3, inserts k=4
+    // updates k=2 (an update_preimage/update_postimage PAIR — k=2
+    // existed and is re-added), deletes k=3, inserts k=4
     assert(events == Set(
       (1L, "one", "insert"), (2L, "two", "insert"), (3L, "three", "insert"),
-      (2L, "two", "delete"), (2L, "two-v2", "insert"),
+      (2L, "two", "update_preimage"), (2L, "two-v2", "update_postimage"),
       (3L, "three", "delete"), (4L, "four", "insert")), s"events: $events")
-    // folding the feed reconstructs the SQL view exactly
+    // folding the feed reconstructs the SQL view exactly (update events
+    // fold like their delete/insert halves)
     val folded = SnapshotTable.changes(spark, path, 1L)
       .groupBy("k", "payload")
-      .agg(sum(when(col("_change_type") === "insert", 1).otherwise(-1)).as("n"))
+      .agg(sum(when(col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(-1)).as("n"))
       .filter(col("n") > 0).select("k", "payload").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(folded == Set((1L, "one"), (2L, "two-v2"), (4L, "four")))
