@@ -124,7 +124,8 @@ object SnapshotTable {
                                            physRetired: Seq[String] = Nil,
                                            hashesValid: Boolean = true,
                                            posDeletes: Seq[String] = Nil,
-                                           streamEpoch: Option[(String, Long)] = None) {
+                                           streamEpoch: Option[(String, Long)] = None,
+                                           partEvolved: Boolean = false) {
     /** Physical (on-disk) name of a logical column under this manifest. */
     def physOf(logical: String): String = physmap.getOrElse(logical, logical)
     /** True when reads must mask rows (key tombstones or positional
@@ -169,6 +170,7 @@ object SnapshotTable {
     var hashesValid: Boolean = true
     var posDeletes: Seq[String] = Nil
     var streamEpoch: Option[(String, Long)] = None
+    var partEvolved: Boolean = false
     val constraints = Seq.newBuilder[Constraint]
     lines.drop(2).map(_.trim).filter(_.nonEmpty).foreach {
       case l if l.startsWith("bloom:") => bloom = Some(l.stripPrefix("bloom:"))
@@ -200,6 +202,8 @@ object SnapshotTable {
       case l if l.startsWith("kind:") => kind = Some(l.stripPrefix("kind:"))
       case l if l.startsWith("partition:") =>
         partitionCols = l.stripPrefix("partition:").split(",").toSeq.filter(_.nonEmpty)
+      case l if l.startsWith("partevolved:") =>
+        partEvolved = true
       case l if l.startsWith("ts:") => ts = Some(l.stripPrefix("ts:").toLong)
       case l if l.startsWith("constraint:") =>
         val rest = l.stripPrefix("constraint:")
@@ -226,7 +230,7 @@ object SnapshotTable {
     }
     Manifest(lines(0).split(",").toSeq, lines(1), bloom, schema, statsCols,
       tombstones, morKey, kind, partitionCols, ts, constraints.result(),
-      physmap, physRetired, hashesValid, posDeletes, streamEpoch)
+      physmap, physRetired, hashesValid, posDeletes, streamEpoch, partEvolved)
   }
 
   /** [[readManifestFull]] with the missing-manifest failure mapped to
@@ -275,6 +279,8 @@ object SnapshotTable {
     m.kind.foreach(k => body.append("kind:").append(k).append('\n'))
     if (m.partitionCols.nonEmpty)
       body.append("partition:").append(m.partitionCols.mkString(",")).append('\n')
+    if (m.partEvolved)
+      body.append("partevolved:1").append('\n')
     if (m.physmap.nonEmpty)
       body.append("physmap:").append(
         m.physmap.toSeq.sortBy(_._1).map { case (l, p) => s"$l=$p" }.mkString(","))
@@ -2764,7 +2770,8 @@ object SnapshotTable {
         case _ if v == 1L => addedDirRows.toSeq // creation baseline: inserts
         case "append" => addedDirRows.toSeq
         case "compact" | "binpack" | "posdelete-compact" | "constraint" |
-             "drop-constraint" | "renamecol" | "dropcol" | "noop" => Nil
+             "drop-constraint" | "renamecol" | "dropcol" | "repartition" |
+             "noop" => Nil
         case "merge-on-read" =>
           val newTs = mv.tombstones.filterNot(mp.map(_.tombstones.toSet).getOrElse(Set.empty))
           // a MOR commit can add ZERO tombstones (an upsert batch whose
@@ -2900,6 +2907,62 @@ object SnapshotTable {
     val target = readManifestChecked(spark, path, toVersion)
     commit(spark, path, cur + 1, target.copy(kind = Some("rollback")))
     RollbackStats(cur + 1, toVersion)
+  }
+
+  /** PARTITION SPEC EVOLUTION as a metadata commit (the Iceberg
+    * spec-evolution contract, re-expressed for hive layouts): commit
+    * cur+1 re-references the current content verbatim but declares a
+    * NEW identity-partitioning column list that applies to every
+    * FUTURE write — no data file is read, copied, or rewritten.
+    * Existing snapshot dirs keep the layout they were written under,
+    * and reads handle the mixed chain because every per-dir scan is
+    * already layout-agnostic: a dir's partition values restore from
+    * ITS OWN `k=v` path segments (per-dir discovery), columns absent
+    * from a vintage's paths read from its data files (an identity
+    * partition column is always materialized in one of the two), and
+    * partition-subtree pruning evaluates whatever segments each dir
+    * actually has — so predicates on BOTH the old and the new
+    * partition column keep pruning their own vintages. The manifest
+    * records the mixed state (`partevolved:`), which delta commits
+    * carry forward and any full rewrite (write / compact / COW merge)
+    * clears by re-staging everything under the current spec.
+    *
+    * Boundaries, all loud: the new column list must be non-empty
+    * (un-partitioning has no path-restoration story for the old
+    * vintage's values — rewrite via [[write]]/[[compact]] instead) and
+    * name existing columns; the SQL V2 scan serves evolved chains
+    * through the distributed-read fallback until a compact normalizes
+    * the layout (the single delegated parquet scan cannot mix
+    * partition discoveries); streams refuse ranges that cross the
+    * boundary (their physical schemas are captured at start) and
+    * resume on restart/compact. A same-spec restatement is an
+    * idempotent no-op and does not commit. A lost version-slot race
+    * surfaces [[CommitConflictException]]: silently re-homing a layout
+    * change over a concurrent commit could mislabel that commit's
+    * staged layout.
+    */
+  def repartitionTable(spark: SparkSession, path: String,
+                       cols: Seq[String]): Long = {
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val m = readManifestChecked(spark, path, cur)
+    require(cols.nonEmpty,
+      s"repartitionTable at $path: the new partition column list is empty — " +
+        "un-partitioning needs a rewrite (write/compact), not a metadata commit")
+    require(cols.distinct == cols,
+      s"repartitionTable at $path: duplicate columns in (${cols.mkString(", ")})")
+    if (cols == m.partitionCols) return cur // idempotent no-op
+    val schema = m.schema.getOrElse(nullableSchema(rawScan(spark, path, m).schema))
+    val unknown = cols.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"repartitionTable at $path: ${unknown.mkString(", ")} are not table " +
+        s"columns (schema: ${schema.fieldNames.mkString(", ")})")
+    commit(spark, path, cur + 1, m.copy(partitionCols = cols,
+      kind = Some("repartition"),
+      // only a chain that HAS old-layout dirs is mixed; a content-empty
+      // table re-specs cleanly
+      partEvolved = m.partEvolved || m.dirs.nonEmpty))
+    cur + 1
   }
 
   /** Cheap chain shape probe for maintenance policies: (number of
@@ -3340,7 +3403,7 @@ object SnapshotTable {
           constraints = winnerM.constraints,
           physmap = physmap, physRetired = physRetired,
           hashesValid = winnerM.hashesValid,
-          posDeletes = winnerM.posDeletes))
+          posDeletes = winnerM.posDeletes, partEvolved = winnerM.partEvolved))
         return (next, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -3680,7 +3743,8 @@ object SnapshotTable {
           // an append cannot heal pre-existing untrusted sidecars (its
           // own delta sidecar is fresh, but the parent dirs' are not)
           hashesValid = parent.forall(_.hashesValid),
-          posDeletes = parent.map(_.posDeletes).getOrElse(Nil)))
+          posDeletes = parent.map(_.posDeletes).getOrElse(Nil),
+          partEvolved = parent.exists(_.partEvolved)))
         IngestStats(next, nIncoming, nNew)
       } catch {
         case _: CommitConflictException =>
@@ -3802,7 +3866,8 @@ object SnapshotTable {
             constraints = parentM.map(_.constraints).getOrElse(Nil),
             physmap = physmap, physRetired = parentRetired,
             hashesValid = parentM.forall(_.hashesValid),
-            posDeletes = parentM.map(_.posDeletes).getOrElse(Nil)))
+            posDeletes = parentM.map(_.posDeletes).getOrElse(Nil),
+            partEvolved = parentM.exists(_.partEvolved)))
           return v
         } catch {
           case _: CommitConflictException =>
@@ -4001,7 +4066,8 @@ object SnapshotTable {
             physmap = plan.physmap, physRetired = plan.physRetired,
             hashesValid = parentM.forall(_.hashesValid),
             posDeletes = parentM.map(_.posDeletes).getOrElse(Nil),
-            streamEpoch = Some((queryId, epochId))))
+            streamEpoch = Some((queryId, epochId)),
+            partEvolved = parentM.exists(_.partEvolved)))
           return v
         } catch {
           case _: CommitConflictException =>
@@ -4556,7 +4622,8 @@ object SnapshotTable {
           m.tombstones :+ tName, Some(keyCol), kind = Some("merge-on-read"),
           partitionCols = m.partitionCols, constraints = m.constraints,
           physmap = m.physmap, physRetired = m.physRetired,
-          hashesValid = m.hashesValid, posDeletes = m.posDeletes))
+          hashesValid = m.hashesValid, posDeletes = m.posDeletes,
+          partEvolved = m.partEvolved))
         MergeOnReadStats(next, nChanges, nUpserts, nChanges - nUpserts,
           m.tombstones.size + 1)
       } catch {
@@ -4686,7 +4753,8 @@ object SnapshotTable {
             kind = Some("merge-on-read"), partitionCols = winnerM.partitionCols,
             constraints = winnerM.constraints,
             physmap = winnerM.physmap, physRetired = winnerM.physRetired,
-            hashesValid = winnerM.hashesValid, posDeletes = winnerM.posDeletes))
+            hashesValid = winnerM.hashesValid, posDeletes = winnerM.posDeletes,
+            partEvolved = winnerM.partEvolved))
           return (next, winnerM.tombstones.size + 1)
         } catch {
           case _: CommitConflictException =>

@@ -4734,6 +4734,49 @@ object TrainingData {
       WHERE d.n_chars * b.cnt > b.sum_chars
       GROUP BY d.lang"""))
 
+  // ---- d52_partition_evolution: spec evolution as a metadata commit ----
+  // The Iceberg partition-spec-evolution contract on hive layouts
+  // ([[SnapshotTable.repartitionTable]]): v1 ingests lang-partitioned,
+  // v2 re-declares the spec to `grp` WITHOUT touching a data file, v3
+  // ingests under the new layout. The read spans both vintages — each
+  // dir's partition values restore from its OWN k=v segments, and the
+  // predicate prunes BOTH vintages (lang= subtrees on the old dirs,
+  // grp= subtrees on the new; Round17Spec audits the per-vintage
+  // partition-dir counts). DuckDB replays the filter on the base
+  // table. At 100 TB this is the "yesterday we partitioned by crawl,
+  // today by language" migration without the petabyte rewrite.
+  private def d52Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d52", expect = Seq(1L, 2L, 3L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") % 4).cast("string").as("grp"),
+          col("n_chars"), col("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 300), path, "text",
+        expectedItems = 100000L, partitionCols = Seq("lang"),
+        statsCols = Seq("doc_id"))
+      SnapshotTable.repartitionTable(s, path, Seq("grp"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id").between(300, 499)),
+        path, "text", expectedItems = 100000L)
+      ()
+    }
+
+  private val d52 = Q(
+    (s, dir) => {
+      SnapshotTable.readWhere(s, d52Fixture(s, dir),
+          col("lang").isin("en", "zh") && col("grp") === "1")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          max(col("doc_id")).as("max_id"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             max(doc_id) AS max_id
+      FROM (SELECT *, CAST(doc_id % 4 AS VARCHAR) AS grp
+            FROM documents WHERE doc_id < 500) d
+      WHERE lang IN ('en', 'zh') AND grp = '1'
+      GROUP BY lang"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4789,6 +4832,7 @@ object TrainingData {
     "d49_sql_read_mor" -> d49,
     "d50_cdc_changes" -> d50,
     "d51_spj_join" -> d51,
+    "d52_partition_evolution" -> d52,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -281,18 +281,42 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
           "v-1 positional overlay", v),
         gate(SnapshotTable.tombstoneKeyMask(spark, path, mp),
           "v-1 key overlay", v))
+      // frames decode under the stream-start physical schemas: dirs
+      // staged under a different partition layout (a repartition inside
+      // the range) cannot be served — fail loudly; the BATCH
+      // [[SnapshotTable.changes]] handles mixed layouts (per-dir
+      // unions) and is the replay path for such ranges
+      // `strict` additionally refuses partEvolved manifests — the
+      // pre-image victim frames scan the WHOLE prior dir list, which
+      // mixes layouts on an evolved chain; insert frames scan only the
+      // commit's own (uniform, current-layout) added dirs and need just
+      // the capture-spec equality
+      def requireLayout(m0: SnapshotTable.Manifest, what: String,
+                        strict: Boolean = false): Unit =
+        if (m0.partitionCols != partitionCols || (strict && m0.partEvolved))
+          throw new IllegalStateException(
+            s"change feed of $path at version $v: the $what spans a partition " +
+              s"layout change (repartitionTable); replay the range with the " +
+              "batch SnapshotTable.changes, or compact the table and restart")
       kind match {
-        case "create" => insertFrames(mv.dirs)
-        case "append" => insertFrames(mv.dirs.filterNot(mp.dirs.toSet))
+        case "create" =>
+          requireLayout(mv, "create baseline")
+          insertFrames(mv.dirs)
+        case "append" =>
+          requireLayout(mv, "append delta")
+          insertFrames(mv.dirs.filterNot(mp.dirs.toSet))
         case "compact" | "binpack" | "posdelete-compact" | "constraint" |
-             "drop-constraint" | "renamecol" | "dropcol" | "noop" => ()
+             "drop-constraint" | "renamecol" | "dropcol" | "repartition" |
+             "noop" => ()
         case "merge-on-read" =>
           val newTs = mv.tombstones.filterNot(mp.tombstones.toSet)
           val added = mv.dirs.filterNot(mp.dirs.toSet)
           // zero new tombstones (fully-gated upsert batch, NULL-keyed
           // inserts): no delete events, no morkey requirement
+          requireLayout(mv, "merge-on-read commit")
           if (newTs.isEmpty) insertFrames(added)
           else {
+            requireLayout(mp, "merge-on-read pre-image scan", strict = true)
             import org.apache.spark.sql.functions.{broadcast, col}
             val keys = gate(SnapshotTable.tombstoneKeySet(spark, path, mv, newTs),
               "commit's tombstone key set", v)
@@ -362,6 +386,8 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
                 schemas.fullPhys.fieldIndex(mv.physOf(key))).dataType)
           }
         case "posdelete" | "posupdate" =>
+          requireLayout(mv, "positional-delete commit")
+          requireLayout(mp, "positional-delete pre-image scan", strict = true)
           val newPd = mv.posDeletes.filterNot(mp.posDeletes.toSet)
           val vm = gate(SnapshotTable.posDeleteMask(spark, path, mv, newPd),
             "commit's delete sidecar", v)

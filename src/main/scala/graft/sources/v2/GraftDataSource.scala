@@ -452,7 +452,8 @@ class GraftScanBuilder(spark: SparkSession, path: String,
   }
 
   private def aggEligible: Boolean =
-    !m.hasOverlay && m.physmap.isEmpty && m.format == "parquet" && pushed.isEmpty
+    !m.hasOverlay && m.physmap.isEmpty && m.format == "parquet" &&
+      pushed.isEmpty && !m.partEvolved
 
   /** Schema-evolved chains: a column added by `ingest(evolveSchema)`
     * is ABSENT from older dirs' parquet files (reads null-fill it), but
@@ -532,9 +533,22 @@ class GraftScanBuilder(spark: SparkSession, path: String,
     // under the gate; only metadata-column requests (_graft_file /
     // _graft_pos — the wrapper is the only thing that can serve them)
     // still refuse loudly at execution.
+    // the SAME V1-bridge fallback serves PARTITION-SPEC-EVOLVED chains:
+    // one delegated parquet scan cannot mix per-vintage partition
+    // discoveries, while the API read's per-dir unions are
+    // layout-agnostic by construction; a compact normalizes the layout
+    // and restores the native columnar path
+    if (m.partEvolved && requiredMeta.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft table at $path mixes partition layouts (repartitionTable " +
+          "without a compact since): the per-file V2 wrapper that serves " +
+          "_graft_file/_graft_pos (and SQL row-level commands) cannot span " +
+          "layouts — compact the table first, or use the SnapshotTable API's " +
+          "row-level operators (deleteWherePositional/updateWherePositional)")
     if (requiredMeta.isEmpty &&
-        (m.posDeletes.nonEmpty || m.tombstones.nonEmpty) &&
-        SnapshotTable.overlayOversized(spark, path, m)) {
+        (m.partEvolved ||
+          ((m.posDeletes.nonEmpty || m.tombstones.nonEmpty) &&
+            SnapshotTable.overlayOversized(spark, path, m)))) {
       val partSet = m.partitionCols.toSet
       def phys(s: StructType) = StructType(s.fields.map(f =>
         f.copy(name = m.physOf(f.name))))
@@ -548,7 +562,9 @@ class GraftScanBuilder(spark: SparkSession, path: String,
           phys(StructType(required.fields.filter(f => partSet(f.name)))),
           phys(logical),
           pushed.flatMap(GraftFilters.rename(_, m.physOf))),
-        options)
+        options,
+        reason = if (m.partEvolved) "mixed partition layouts"
+                 else "oversize overlay")
     }
     val predicate = pushed.flatMap(GraftFilters.toColumn)
       .reduceOption(_ && _)
@@ -660,7 +676,8 @@ class GraftOverlayFallbackScan(spark: SparkSession, path: String, version: Long,
                                m: SnapshotTable.Manifest, required: StructType,
                                pushed: Array[org.apache.spark.sql.sources.Filter],
                                streamSchemas: StreamSchemas,
-                               options: CaseInsensitiveStringMap)
+                               options: CaseInsensitiveStringMap,
+                               reason: String = "oversize overlay")
     extends org.apache.spark.sql.connector.read.V1Scan {
   import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 
@@ -705,8 +722,7 @@ class GraftOverlayFallbackScan(spark: SparkSession, path: String, version: Long,
     s"GraftOverlayFallbackScan(path=$path @ v$version, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"posDeleteSidecars=${m.posDeletes.size}, " +
-      s"keyTombstones=${m.tombstones.size}, oversize overlay -> " +
-      "distributed anti-join)"
+      s"keyTombstones=${m.tombstones.size}, $reason -> distributed API read)"
 }
 
 /** The row-layout half of the per-file reader wrapper, fixed at scan
@@ -1315,7 +1331,13 @@ class GraftDataStream(path: String, schemas: StreamSchemas, format: String,
     val vs = SnapshotTable.versions(spark, path)
     val v = startVersion.map(_.trim.toLowerCase) match {
       case None | Some("latest") => vs.lastOption.getOrElse(0L)
-      case Some("earliest") => vs.headOption.map(_ - 1).getOrElse(0L)
+      // 'earliest' = before the first REPLAYABLE version: when the
+      // retention prefix expired (head > 1), head's own delta is
+      // unprovable (its dirs diff against the expired head-1 manifest),
+      // so the stream starts at head+1 — seeding at head-1 would fail
+      // the very first batch on the manifest the option exists to skip
+      case Some("earliest") =>
+        vs.headOption.map(h => if (h == 1L) 0L else h).getOrElse(0L)
       case Some(n) => scala.util.Try(n.toLong).getOrElse(
         throw new IllegalArgumentException(
           s"startVersion must be 'latest', 'earliest', or a version number; got '$n'"))
@@ -1358,10 +1380,20 @@ class GraftDataStream(path: String, schemas: StreamSchemas, format: String,
             s"version ${v - 1} of $path expired while the stream was down — " +
               s"the delta of version $v is unprovable by directory; restart " +
               "from startVersion=latest or re-baseline the consumer")
+          // the stream's physical read schemas were captured at START
+          // under the then-current partition layout; an append staged
+          // under a DIFFERENT spec ([[SnapshotTable.repartitionTable]])
+          // cannot be decoded by them — fail loudly, a restart
+          // re-captures the current layout
+          if (mv.partitionCols != partitionCols) throw new IllegalStateException(
+            s"version $v of $path was written under partition layout " +
+              s"(${mv.partitionCols.mkString(", ")}) but this stream started " +
+              s"under (${partitionCols.mkString(", ")}) — the table was " +
+              "repartitioned mid-stream; restart the stream to adopt the new layout")
           mv.dirs.filterNot(
             SnapshotTable.readManifestChecked(spark, path, v - 1).dirs.toSet)
         case "compact" | "binpack" | "constraint" | "drop-constraint" |
-             "renamecol" | "posdelete-compact" =>
+             "renamecol" | "posdelete-compact" | "repartition" =>
           Nil // logical content no-ops for an append stream
         case other => throw new IllegalStateException(
           s"version $v of $path is a '$other' commit — it changes or removes " +

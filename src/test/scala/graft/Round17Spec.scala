@@ -50,6 +50,31 @@ class Round17Spec extends SparkSpec {
       .option("startVersion", "earliest").load(full).count() == 5L)
   }
 
+  test("plain data stream 'earliest' on an expired-prefix table starts at the first replayable version") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp("graft-data-earliest")
+    SnapshotTable.ingest(spark, docs(0 until 5), path, "text",
+      expectedItems = 1000L)                                  // v1
+    SnapshotTable.ingest(spark, docs(5 until 10), path, "text",
+      expectedItems = 1000L)                                  // v2
+    SnapshotTable.ingest(spark, docs(10 until 15), path, "text",
+      expectedItems = 1000L)                                  // v3
+    SnapshotTable.expire(spark, path, keep = 2)               // retain v2, v3
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      .option("startVersion", "earliest").load(path)
+      .writeStream.option("checkpointLocation", tmp("graft-data-earliest-ck"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => got.add(r.getLong(0)))
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    // v2's delta is unprovable (v1's manifest expired with the prefix);
+    // the first replayable version is v3 — delivered, not thrown
+    assert(got.asScala.toSet == (10L until 15L).toSet, s"got: ${got.asScala.toSet}")
+  }
+
   test("CDF stream numeric startVersion is INCLUSIVE, matching the batch bound") {
     import scala.jdk.CollectionConverters._
     val path = tmp("graft-cdf-incl")
@@ -178,6 +203,75 @@ class Round17Spec extends SparkSpec {
     // the V2 batch CDF pairs identically (same classification driver)
     assert(rows(spark.read.format("graft")
       .option("readChangeFeed", "true").load(path)) == expected)
+  }
+
+  test("partition spec evolution: metadata commit, mixed-vintage reads, pruning on both layouts") {
+    import spark.implicits._
+    val path = tmp("graft-partevo")
+    def rows(r: Range) = r.map(i =>
+        (i.toLong, s"lang${i % 3}", s"g${i % 4}", s"body $i"))
+      .toDF("doc_id", "lang", "grp", "text")
+    SnapshotTable.ingest(spark, rows(0 until 120), path, "text",
+      expectedItems = 10000L, partitionCols = Seq("lang"),
+      statsCols = Seq("doc_id"))                                   // v1: lang layout
+    val v2 = SnapshotTable.repartitionTable(spark, path, Seq("grp"))
+    assert(v2 == 2L)
+    // METADATA-ONLY: the old dir is untouched, still lang= layout
+    assert(new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("snap-")).forall(d =>
+        d.listFiles().exists(_.getName.startsWith("lang="))))
+    SnapshotTable.ingest(spark, rows(120 until 200), path, "text",
+      expectedItems = 10000L)                                      // v3: grp layout
+    val newDirHasGrp = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("snap-00000003"))
+      .forall(_.listFiles().exists(_.getName.startsWith("grp=")))
+    assert(newDirHasGrp, "v3 delta not staged under the NEW spec")
+    // the mixed chain reads whole: both vintages' partition values
+    // restore from their own layouts
+    val all = SnapshotTable.read(spark, path)
+      .select("doc_id", "lang", "grp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(all == (0 until 200).map(i =>
+      (i.toLong, s"lang${i % 3}", s"g${i % 4}")).toSet)
+    // pruning engages on BOTH vintages: a lang predicate prunes the
+    // old dir's subtrees, a grp predicate the new dir's
+    val (langDf, langRep) = SnapshotTable.readWhereReport(spark, path,
+      col("lang") === "lang1")
+    assert(langDf.count() == (0 until 200).count(_ % 3 == 1).toLong)
+    assert(langRep.nPartDirsKept < langRep.nPartDirsTotal,
+      s"lang predicate pruned nothing: $langRep")
+    val (grpDf, grpRep) = SnapshotTable.readWhereReport(spark, path,
+      col("grp") === "g2")
+    assert(grpDf.count() == (0 until 200).count(_ % 4 == 2).toLong)
+    assert(grpRep.nPartDirsKept < grpRep.nPartDirsTotal,
+      s"grp predicate pruned nothing: $grpRep")
+    // SQL/V2 serves the evolved chain through the distributed fallback
+    val v2df = spark.read.format("graft").load(path)
+    assert(v2df.count() == 200L)
+    assert(v2df.queryExecution.executedPlan.toString
+      .contains("GraftOverlayFallbackScan"), "expected the V1-bridge fallback")
+    // the batch change feed crosses the boundary (per-dir unions)
+    assert(SnapshotTable.changes(spark, path, 1L)
+      .filter(col("_change_type") === "insert").count() == 200L)
+    // boundaries are loud
+    intercept[IllegalArgumentException] {
+      SnapshotTable.repartitionTable(spark, path, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.repartitionTable(spark, path, Seq("nope"))
+    }
+    assert(SnapshotTable.repartitionTable(spark, path, Seq("grp")) == 3L,
+      "same-spec restatement must be an idempotent no-op")
+    // compact NORMALIZES: everything rewrites under the current spec,
+    // the evolved marker clears, and the V2 native path returns
+    SnapshotTable.compact(spark, path)
+    val compacted = spark.read.format("graft").load(path)
+    assert(compacted.count() == 200L)
+    assert(compacted.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "compacted table should read through the native columnar scan again")
+    assert(spark.read.format("graft").load(path)
+      .filter(col("grp") === "g2").count() ==
+      (0 until 200).count(_ % 4 == 2).toLong)
   }
 
   test("CALL with an unknown procedure fails as an analysis error (ROUTINE_NOT_FOUND)") {
