@@ -34,7 +34,7 @@ object Bench {
 
   private final case class R(name: String, cold: Double, warm: Double, err: Option[String],
                              sweeps: Seq[Double], arbitrated: Boolean = false,
-                             suspect: Boolean = false)
+                             suspect: Boolean = false, guarded: Boolean = false)
 
   /** CROSS-ROUND guard threshold (round-17): cross-SWEEP arbitration
     * only fires when the two sweeps DISAGREE, so a co-tenant whose
@@ -234,6 +234,11 @@ object Bench {
       val prior = priorMap.get(r.name)
       if (r.err.isDefined || !crossRoundSuspect(r.warm, prior)) r
       else {
+        // `guarded`, NOT `arbitrated`: the "arbitrated" map's meaning
+        // (sweeps disagreed >20% — the host-noise signal calibrated in
+        // r11/r12) must not dilute with guard retimes, whose trigger is
+        // cross-round drift on AGREEING sweeps; the two mechanisms
+        // publish separately
         var rr = r
         var extra = 0
         while (extra < 2 && rr.err.isEmpty && crossRoundSuspect(rr.warm, prior)) {
@@ -241,7 +246,7 @@ object Bench {
           e.foreach(m => arbErrs(r.name) = m)
           rr = rr.copy(
             warm = if (e.isDefined) rr.warm else math.min(rr.warm, t),
-            sweeps = rr.sweeps :+ t, arbitrated = true)
+            sweeps = rr.sweeps :+ t, guarded = true)
           extra += (if (e.isDefined) 2 else 1)
         }
         rr.copy(suspect = crossRoundSuspect(rr.warm, prior))
@@ -305,6 +310,13 @@ object Bench {
       else sus.map(r => jstr(r.name) + ":{\"warm\":" + fmt(r.warm) +
           ",\"prior\":" + fmt(priorMap(r.name)) + "}")
         .mkString(",\"suspect\":{", ",", "}")
+    // guard retimes publish their own map (full line), keeping the
+    // cross-sweep "arbitrated" signal undiluted
+    val guarded = results.filter(_.guarded)
+    val guardJson =
+      if (guarded.isEmpty) ""
+      else guarded.map(r => jstr(r.name) + ":[" + r.sweeps.map(fmt).mkString(",") + "]")
+        .mkString(",\"guard_retimed\":{", ",", "}")
     def jline(rs: Seq[R], extra: String = ""): String = {
       val qs = rs.map(r => "\"" + r.name + "\":" + fmt(r.warm)).mkString("{", ",", "}")
       val total = results.map(_.warm).sum
@@ -314,7 +326,7 @@ object Bench {
       // arbitrate it away but cold/cold_total retain it by design (cold
       // IS first-run cost).
       val coldTotal = results.map(_.cold).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_err":${errs.size}$errJson$loadJson,"n_arbitrated":${arb.size},"n_suspect":${sus.size}$extra,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"n_err":${errs.size}$errJson$loadJson,"n_arbitrated":${arb.size},"n_guard_retimed":${guarded.size},"n_suspect":${sus.size}$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query line first (humans reading the raw log), then a
     // compact line with only the slowest 40 — the driver's log capture
@@ -324,7 +336,7 @@ object Bench {
     // truncation ("queries_note") so tooling that sums `queries` knows
     // it will not reach `value` (ADVICE r10: BENCH_sf1_r10.json carried
     // the truncated map with no marker).
-    println(jline(results, extra = arbJson + arbErrJson + susJson))
+    println(jline(results, extra = arbJson + arbErrJson + susJson + guardJson))
     println(jline(results.sortBy(-_.warm).take(40),
       extra = s""","n_queries":${results.size},"queries_note":"top-40 by warm time; value/cold_total cover all n_queries""""))
     spark.stop()

@@ -1221,11 +1221,7 @@ object SnapshotTable {
                                             m: Manifest): Unit = {
     import org.apache.spark.sql.functions.col
     if (m.partitionCols.isEmpty || m.posDeletes.isEmpty) return
-    val f = fs(spark, new Path(path))
-    val bytes = m.posDeletes.map { n =>
-      val p = posDeletePath(path, n)
-      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
-    }.sum
+    val bytes = posDeleteBytes(spark, path, m.posDeletes)
     val memoKey = path + "|" + m.posDeletes.sorted.mkString(",") + "|" + bytes
     if (vintageCheckedPosDeletes.contains(memoKey)) return
     val bare = m.posDeletes.map(n =>
@@ -1248,11 +1244,7 @@ object SnapshotTable {
         spark.read.format(m.format).load(posDeletePath(path, n).toString))
       .reduce(_ unionByName _)
       .select(col("file").as("__graft_delf"), col("ord").as("__graft_delo"))
-    val f = fs(spark, new Path(path))
-    val bytes = m.posDeletes.map { n =>
-      val p = posDeletePath(path, n)
-      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
-    }.sum
+    val bytes = posDeleteBytes(spark, path, m.posDeletes)
     val build = if (bytes <= tombstoneBroadcastMaxBytes) broadcast(pd) else pd
     val masked = base.join(build,
       base(posFileCol) === col("__graft_delf") &&
@@ -1276,12 +1268,7 @@ object SnapshotTable {
                                    names0: Seq[String] = null): Option[Map[String, Array[Long]]] = {
     val names = Option(names0).getOrElse(m.posDeletes)
     if (names.isEmpty) return Some(Map.empty)
-    val f = fs(spark, new Path(path))
-    val bytes = names.map { n =>
-      val p = posDeletePath(path, n)
-      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
-    }.sum
-    if (bytes > tombstoneBroadcastMaxBytes) None
+    if (posDeleteBytes(spark, path, names) > tombstoneBroadcastMaxBytes) None
     else {
       val pd = names.map(n =>
           spark.read.format(m.format).load(posDeletePath(path, n).toString))
@@ -1296,34 +1283,6 @@ object SnapshotTable {
         throw bareNamePosDeleteError(path)
       Some(mask)
     }
-  }
-
-  /** The DISTINCT keys a specific set of tombstone sidecars names, in
-    * CATALYST representation (the per-row probe form, like
-    * [[tombstoneKeyMask]]) — the CDF stream's victim selector for one
-    * merge-on-read commit. Size-gated like every driver-side mask;
-    * None above the bound.
-    */
-  private[graft] def tombstoneKeySet(spark: SparkSession, path: String,
-                                     m: Manifest,
-                                     names: Seq[String]): Option[Set[Any]] = {
-    import org.apache.spark.sql.functions.col
-    if (names.isEmpty) return Some(Set.empty)
-    val key = m.morKey.getOrElse(throw new IllegalStateException(
-      s"manifest at $path lists tombstones but no morkey — corrupt manifest"))
-    val f = fs(spark, new Path(path))
-    val bytes = names.map { n =>
-      val p = tombstonePath(path, n)
-      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
-    }.sum
-    if (bytes > tombstoneBroadcastMaxBytes) None
-    else Some(names.flatMap { n =>
-      val df = spark.read.format(m.format)
-        .load(tombstonePath(path, n).toString).select(col(key))
-      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToCatalystConverter(df.schema.head.dataType)
-      df.collect().iterator.map(_.get(0)).filter(_ != null).map(conv)
-    }.toSet)
   }
 
   /** The distinct non-null values of a ONE-column frame in CATALYST
@@ -1358,12 +1317,7 @@ object SnapshotTable {
     if (m.tombstones.isEmpty) return Some(Map.empty)
     val key = m.morKey.getOrElse(throw new IllegalStateException(
       s"manifest at $path lists tombstones but no morkey — corrupt manifest"))
-    val f = fs(spark, new Path(path))
-    val bytes = m.tombstones.map { name =>
-      val p = tombstonePath(path, name)
-      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
-    }.sum
-    if (bytes > tombstoneBroadcastMaxBytes) None
+    if (tombstoneBytes(spark, path, m.tombstones) > tombstoneBroadcastMaxBytes) None
     else {
       val perName = m.tombstones.map { name =>
         val df = spark.read.format(m.format)
@@ -1432,24 +1386,55 @@ object SnapshotTable {
     */
   private[graft] var tombstoneBroadcastMaxBytes: Long = 64L * 1024 * 1024
 
+  /** Total bytes of a committed sidecar NAME SET, memoized per (table,
+    * kind, names): sidecars are immutable once committed (UUID-named,
+    * never rewritten in place), so their sizes never change and one
+    * read of a masked table would otherwise pay the same
+    * exists+contentSummary RPC loop up to three times (vintage-memo
+    * key, broadcast gate, V2 plan-time oversize check) — on object
+    * stores that is per-sidecar round-trip latency, not arithmetic.
+    * Bounded like the vintage memo: past the cap the map resets (cost
+    * of a reset = one re-listing per table).
+    */
+  private val sidecarBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def overlaySidecarBytes(spark: SparkSession, path: String,
+                                         kind: String, names: Seq[String],
+                                         pathOf: String => Path): Long = {
+    if (names.isEmpty) return 0L
+    val key = path + "|" + kind + "|" + names.sorted.mkString(",")
+    val hit = sidecarBytesMemo.get(key)
+    if (hit != null) return hit
+    val f = fs(spark, new Path(path))
+    val bytes = names.map { n =>
+      val p = pathOf(n)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }.sum
+    if (sidecarBytesMemo.size >= vintageMemoMaxEntries) sidecarBytesMemo.clear()
+    sidecarBytesMemo.put(key, bytes)
+    bytes
+  }
+
+  private[graft] def posDeleteBytes(spark: SparkSession, path: String,
+                                    names: Seq[String]): Long =
+    overlaySidecarBytes(spark, path, "posdel", names, posDeletePath(path, _))
+
+  private[graft] def tombstoneBytes(spark: SparkSession, path: String,
+                                    names: Seq[String]): Long =
+    overlaySidecarBytes(spark, path, "tomb", names, tombstonePath(path, _))
+
   /** True when either read overlay — positional-delete sidecars or MOR
     * tombstones — is past the driver-mask broadcast gate, i.e. the V2
     * scan could not materialize its in-scan masks without risking the
-    * driver. Metadata-only (two content-summary sums); the V2 scan
-    * builder uses it to pick the distributed-anti-join fallback at PLAN
-    * time instead of failing at execution.
+    * driver. Metadata-only (two memoized content-summary sums); the V2
+    * scan builder uses it to pick the distributed-anti-join fallback at
+    * PLAN time instead of failing at execution.
     */
   private[graft] def overlayOversized(spark: SparkSession, path: String,
-                                      m: Manifest): Boolean = {
-    val f = fs(spark, new Path(path))
-    def bytes(names: Seq[String], pathOf: String => Path): Long =
-      names.map { n =>
-        val p = pathOf(n)
-        if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
-      }.sum
-    bytes(m.posDeletes, posDeletePath(path, _)) > tombstoneBroadcastMaxBytes ||
-      bytes(m.tombstones, tombstonePath(path, _)) > tombstoneBroadcastMaxBytes
-  }
+                                      m: Manifest): Boolean =
+    posDeleteBytes(spark, path, m.posDeletes) > tombstoneBroadcastMaxBytes ||
+      tombstoneBytes(spark, path, m.tombstones) > tombstoneBroadcastMaxBytes
 
   private def applyTombstones(spark: SparkSession, path: String, m: Manifest,
                               base: DataFrame): DataFrame = {

@@ -184,9 +184,16 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
       case None | Some("latest") => vs.lastOption.getOrElse(0L)
       case Some("earliest") =>
         vs.headOption.map(h => if (h == 1L) 0L else h).getOrElse(0L)
-      case Some(n) => scala.util.Try(n.toLong - 1).getOrElse(
-        throw new IllegalArgumentException(
-          s"startVersion must be 'latest', 'earliest', or a version number; got '$n'"))
+      case Some(n) =>
+        val sv = scala.util.Try(n.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"startVersion must be 'latest', 'earliest', or a version number; got '$n'"))
+        // same lower bound the batch reader's `require` enforces — a
+        // seed at -1 would plan nonexistent version 0 and surface a
+        // confusing missing-manifest error instead of this one
+        require(sv >= 1L,
+          s"startVersion must be >= 1 (versions are 1-based); got $sv")
+        sv - 1
     }
     VersionOffset(v)
   }
@@ -318,22 +325,34 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
           else {
             requireLayout(mp, "merge-on-read pre-image scan", strict = true)
             import org.apache.spark.sql.functions.{broadcast, col}
-            val keys = gate(SnapshotTable.tombstoneKeySet(spark, path, mv, newTs),
-              "commit's tombstone key set", v)
-            val (pp, pk) = priorMasks
             val key = mv.morKey.getOrElse(throw new IllegalStateException(
               s"merge-on-read commit $v at $path lists tombstones but no morkey"))
-            // the ≤1000-key sample of this commit's tombstone: drives
-            // BOTH the victim-scan file restriction and the pushdown
-            // filter on the pairing's pre-image key scan
-            val ext: Option[Seq[Any]] = {
-              val sample = newTs.map(n => spark.read.format(mv.format)
-                  .load(SnapshotTable.tombstonePath(path, n).toString)
-                  .select(col(key)))
-                .reduce(_ unionByName _).distinct().limit(1001)
-                .collect().map(_.get(0)).filter(_ != null).toSeq
-              if (sample.length > 1000) None else Some(sample)
-            }
+            // the commit's tombstone keys are read ONCE (one job over
+            // the delta-scale sidecar files, size-gated by bytes like
+            // every driver mask) and serve every consumer: the victim
+            // selector (catalyst set), the ≤1000-key In sample for
+            // file restriction and pre-image pushdown, and — as a
+            // LOCAL relation, no file re-read — the pairing semi-joins
+            val keyDf = newTs.map(n => spark.read.format(mv.format)
+                .load(SnapshotTable.tombstonePath(path, n).toString)
+                .select(col(key)))
+              .reduce(_ unionByName _).distinct()
+            val keyRows = gate(
+              if (SnapshotTable.tombstoneBytes(spark, path, newTs) >
+                  SnapshotTable.tombstoneBroadcastMaxBytes) None
+              else Some(keyDf.collect()),
+              "commit's tombstone key set", v)
+            val keyDt = keyDf.schema.head.dataType
+            val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToCatalystConverter(keyDt)
+            val external = keyRows.iterator.map(_.get(0)).filter(_ != null).toArray
+            val keys: Set[Any] = external.iterator.map(conv).toSet
+            val ext: Option[Seq[Any]] =
+              if (external.length <= 1000) Some(external.toSeq) else None
+            val tombDf = spark.createDataFrame(
+              java.util.Arrays.asList(keyRows: _*),
+              StructType(Seq(StructField("__graft_tk", keyDt))))
+            val (pp, pk) = priorMasks
             // the victim scan opens only the files whose stats can hold
             // a tombstoned key when the key is a stats column and the
             // set fits an In list — the O(touched files) shape on
@@ -354,10 +373,6 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
             // names every winning key incl. brand-new ones, so set
             // membership alone cannot classify — each side probes its
             // own half of the (existed ∩ re-added) intersection.
-            val tombDf = newTs.map(n => spark.read.format(mv.format)
-                .load(SnapshotTable.tombstonePath(path, n).toString)
-                .select(col(key).as("__graft_tk")))
-              .reduce(_ unionByName _).distinct()
             val readded: Set[Any] =
               if (added.isEmpty) Set.empty
               else SnapshotTable.catalystKeySet(

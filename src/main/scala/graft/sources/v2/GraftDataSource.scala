@@ -1331,13 +1331,28 @@ class GraftDataStream(path: String, schemas: StreamSchemas, format: String,
     val vs = SnapshotTable.versions(spark, path)
     val v = startVersion.map(_.trim.toLowerCase) match {
       case None | Some("latest") => vs.lastOption.getOrElse(0L)
-      // 'earliest' = before the first REPLAYABLE version: when the
-      // retention prefix expired (head > 1), head's own delta is
-      // unprovable (its dirs diff against the expired head-1 manifest),
-      // so the stream starts at head+1 — seeding at head-1 would fail
-      // the very first batch on the manifest the option exists to skip
+      // 'earliest' on a ROW stream means "replay everything" — which is
+      // only possible while version 1 is retained. Past an expired
+      // prefix, versions <= head survive only as a whole-table STATE
+      // (head's cumulative dirs), not as append deltas; skipping to
+      // head+1 would SILENTLY omit the bulk of the table from a
+      // backfill consumer, and delivering head's dirs as a baseline
+      // cannot compose with a possible outstanding overlay. Refuse
+      // loudly with the remediations (unlike the CDF stream, whose
+      // 'earliest' legitimately means "first replayable EVENTS").
       case Some("earliest") =>
-        vs.headOption.map(h => if (h == 1L) 0L else h).getOrElse(0L)
+        vs.headOption match {
+          case None => 0L
+          case Some(1L) => 0L
+          case Some(h) => throw new IllegalStateException(
+            s"startVersion=earliest on the $path data stream: the retention " +
+              s"prefix expired (earliest retained version is $h) — a row " +
+              "stream cannot losslessly replay from 'earliest' (versions " +
+              s"<= $h survive only as whole-table state, not appends). " +
+              s"Baseline with a batch read at version $h and continue with " +
+              s"startVersion=$h, or consume the 'graft-snapshot-log' " +
+              "changelog source (flagged-baseline replay)")
+        }
       case Some(n) => scala.util.Try(n.toLong).getOrElse(
         throw new IllegalArgumentException(
           s"startVersion must be 'latest', 'earliest', or a version number; got '$n'"))

@@ -50,8 +50,7 @@ class Round17Spec extends SparkSpec {
       .option("startVersion", "earliest").load(full).count() == 5L)
   }
 
-  test("plain data stream 'earliest' on an expired-prefix table starts at the first replayable version") {
-    import scala.jdk.CollectionConverters._
+  test("plain data stream 'earliest' on an expired-prefix table refuses loudly (no silent skip)") {
     val path = tmp("graft-data-earliest")
     SnapshotTable.ingest(spark, docs(0 until 5), path, "text",
       expectedItems = 1000L)                                  // v1
@@ -60,19 +59,37 @@ class Round17Spec extends SparkSpec {
     SnapshotTable.ingest(spark, docs(10 until 15), path, "text",
       expectedItems = 1000L)                                  // v3
     SnapshotTable.expire(spark, path, keep = 2)               // retain v2, v3
+    // versions <= 2 survive only as whole-table state: silently
+    // starting at v3 would omit two thirds of the table from a
+    // backfill consumer — the stream must refuse with the remediation,
+    // unlike the CDF stream whose 'earliest' means replayable EVENTS
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft")
+        .option("startVersion", "earliest").load(path)
+        .writeStream.option("checkpointLocation", tmp("graft-data-earliest-ck"))
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("cannot losslessly replay") &&
+      m.contains("graft-snapshot-log")), s"wrong failure: ${msgs(e)}")
+    // a fully-retained table still replays everything under 'earliest'
+    val full = tmp("graft-data-earliest-full")
+    SnapshotTable.ingest(spark, docs(0 until 5), full, "text",
+      expectedItems = 1000L)
+    import scala.jdk.CollectionConverters._
     val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-    val q = spark.readStream.format("graft")
-      .option("startVersion", "earliest").load(path)
-      .writeStream.option("checkpointLocation", tmp("graft-data-earliest-ck"))
+    val q2 = spark.readStream.format("graft")
+      .option("startVersion", "earliest").load(full)
+      .writeStream.option("checkpointLocation", tmp("graft-data-earliest-fck"))
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         b.select("doc_id").collect().foreach(r => got.add(r.getLong(0)))
         ()
       }.start()
-    q.processAllAvailable()
-    q.stop()
-    // v2's delta is unprovable (v1's manifest expired with the prefix);
-    // the first replayable version is v3 — delivered, not thrown
-    assert(got.asScala.toSet == (10L until 15L).toSet, s"got: ${got.asScala.toSet}")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.asScala.toSet == (0L until 5L).toSet)
   }
 
   test("CDF stream numeric startVersion is INCLUSIVE, matching the batch bound") {

@@ -23,6 +23,14 @@ src = json.load(open(sys.argv[1]))
 if src.get("load_contended"):
     sys.exit(f"refusing: {sys.argv[1]} is marked load_contended — "
              "the prior must come from a clean capture")
+if src.get("n_err", 0) > 0:
+    sys.exit(f"refusing: {sys.argv[1]} carries {src['n_err']} errored row(s) "
+             "whose slots hold elapsed-time-to-failure — a poisoned prior "
+             "would mask a real regression on those queries")
+if src.get("n_suspect", 0) > 0:
+    sys.exit(f"refusing: {sys.argv[1]} carries {src['n_suspect']} suspect "
+             "row(s) (>3x their own prior after retiming) — adopting them "
+             "would teach the guard the contamination it exists to catch")
 queries = src["queries"]
 if "queries_note" in src:
     sys.exit(f"refusing: {sys.argv[1]} carries a truncated top-40 map — "
