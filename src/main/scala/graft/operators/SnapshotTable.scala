@@ -873,6 +873,25 @@ object SnapshotTable {
     * names" holds by construction. Partition columns are translated
     * too, though rename/drop refuse on them (identity in practice).
     */
+  /** Stage one commit's data files. On a PARTITIONED table the write
+    * distribution matters at scale: a naive `partitionBy` makes every
+    * task open a file per partition value it happens to hold — at
+    * thousands of tasks × hundreds of values that is the small-files
+    * explosion (millions of files per commit). The session conf
+    * `spark.graft.write.distribution` picks the Iceberg
+    * write.distribution-mode answer:
+    *   - `none` (default): no extra exchange — callers that already
+    *     cluster (compact's range-exchange, sorted ingests) pay nothing
+    *   - `hash`: one exchange on the partition columns — each value
+    *     lands in exactly one task ⇒ ONE file per partition dir
+    *   - `rebalance`: hash clustering through AQE's RebalancePartitions
+    *     — same co-location, but runtime-split when one value's data
+    *     is skewed past a single healthy file (the 100 TB default)
+    *   - `range`: range-exchange on the partition columns — adjacent
+    *     values co-locate, for value-correlated downstream reads
+    * Unpartitioned writes never re-shuffle here (their file count is
+    * the caller's repartition decision).
+    */
   private def stagedWrite(df: DataFrame, dest: Path, format: String,
                           partitionCols: Seq[String],
                           physmap: Map[String, String] = Map.empty): Unit = {
@@ -882,7 +901,19 @@ object SnapshotTable {
       else df.select(df.columns.map(c =>
         col(c).as(physmap.getOrElse(c, c))).toSeq: _*)
     val parts = partitionCols.map(c => physmap.getOrElse(c, c))
-    val w = out.write.mode("overwrite").format(format)
+    val clustered =
+      if (parts.isEmpty) out
+      else df.sparkSession.conf
+        .get("spark.graft.write.distribution", "none") match {
+        case "none" => out
+        case "hash" => out.repartition(parts.map(col): _*)
+        case "rebalance" => out.hint("rebalance", parts: _*)
+        case "range" => out.repartitionByRange(parts.map(col): _*)
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.write.distribution must be one of " +
+            s"none|hash|rebalance|range; got '$other'")
+      }
+    val w = clustered.write.mode("overwrite").format(format)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .save(dest.toString)
   }

@@ -4777,6 +4777,49 @@ object TrainingData {
       WHERE lang IN ('en', 'zh') AND grp = '1'
       GROUP BY lang"""))
 
+  // ---- d53_zorder: multi-dimensional clustering as a rewrite commit ----
+  // `compact(zorderCols)` re-lays the table along the Morton interleave
+  // of two filter columns ([[graft.operators.ZOrder.zValue]]), so the
+  // rebuilt per-file min/max stats are COMPACT in BOTH dimensions and
+  // [[SnapshotTable.readWhere]] prunes files for predicates on either —
+  // the lakehouse answer to "we filter by time AND by language" without
+  // two copies of the corpus (Round13Spec pins the both-axes prune
+  // audit on a controlled grid; Round17Spec pins the SQL CALL). The
+  // registry row prices the full lifecycle: overwrite → z-order rewrite
+  // commit → 2-D box read. DuckDB replays the box on the base parquet —
+  // the answer is layout-independent by construction, which is exactly
+  // the property that makes a clustering rewrite SAFE to run online.
+  // Scale shape: the rewrite is one range-exchange over the table (the
+  // same cost class as any compaction), bought once at maintenance
+  // time; every later multi-dim slice reads O(matching files).
+  private def d53Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d53") { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("doc_id") % 512).as("slot"), col("text"))
+      SnapshotTable.write(s, docs, path, "parquet",
+        statsCols = Seq("n_chars", "slot"))
+      SnapshotTable.compact(s, path, targetFileBytes = 64L * 1024,
+        zorderCols = Seq("n_chars", "slot"), zorderBits = 16)
+      ()
+    }
+
+  private val d53 = Q(
+    (s, dir) => {
+      SnapshotTable.readWhere(s, d53Fixture(s, dir),
+          col("n_chars").between(100, 400) && col("slot") < 128)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("doc_id")).as("max_id"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             max(doc_id) AS max_id
+      FROM (SELECT *, doc_id % 512 AS slot FROM documents)
+      WHERE n_chars BETWEEN 100 AND 400 AND slot < 128
+      GROUP BY lang"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4833,6 +4876,7 @@ object TrainingData {
     "d50_cdc_changes" -> d50,
     "d51_spj_join" -> d51,
     "d52_partition_evolution" -> d52,
+    "d53_zorder" -> d53,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

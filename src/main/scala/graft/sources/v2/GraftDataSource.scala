@@ -854,7 +854,8 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
                 wrapShape: Option[RowWrapShape] = None)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   override def readSchema(): StructType = logicalRead
 
@@ -889,6 +890,26 @@ class GraftScan(delegate: ParquetScan, logicalRead: StructType,
           nPartValues)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  /** Per-partition ordering report ([[SupportsReportOrdering]],
+    * SPARK-38647) — the second half of the SPJ contract: under
+    * `preserveDataGrouping` every task group is KEY-PURE (one partition
+    * value per task, see [[GraftKeyGroupedBatch]]), so within any task
+    * all rows compare EQUAL on the grouping columns — trivially
+    * non-decreasing in them, whatever order the files arrive. Reporting
+    * that ordering lets EnsureRequirements drop BOTH per-task sorts
+    * under a storage-partitioned sort-merge join: co-partitioned
+    * graft⋈graft plans with zero exchanges AND zero sorts. Without the
+    * opt-in, tasks mix values and no ordering claim is valid.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    spjKeys match {
+      case Some(cols) =>
+        cols.map(c => Expressions.sort(Expressions.identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+      case None => Array.empty
     }
   // materialized once, only when a BATCH actually executes (streams and
   // EXPLAIN never read the sidecars); None = overlay too big to mask
@@ -1010,23 +1031,37 @@ class GraftKeyGroupedBatch(spark: SparkSession, delegate: ParquetScan,
     // orders (readPartitionSchema / the reported key expressions)
     val readIdx = readPartPhys.fields.map(f => specFields.fieldIndex(f.name)).toSeq
     val keyIdx = keyPhysNames.map(specFields.fieldIndex)
-    val out = Array.newBuilder[InputPartition]
-    var i = 0
+    // ONE InputPartition per partition VALUE, holding every split of
+    // every dir that carries it (the same value can arrive from several
+    // snapshot dirs). Spark executes a key group's partitions serially
+    // inside one task regardless, so collapsing to a single partition
+    // per value costs no parallelism — and a single-part group is
+    // exactly the condition under which BatchScanExec trusts the scan's
+    // reported per-partition ordering (DataSourceV2ScanExecBase
+    // .outputOrdering requires parts.length <= 1), which is what drops
+    // the SMJ input sorts on a storage-partitioned join.
+    val byKey = scala.collection.mutable.LinkedHashMap.empty[Seq[Any],
+      (InternalRow, scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.execution.datasources.PartitionedFile])]
     dirs.foreach { pd =>
       def proj(ix: Seq[Int]): InternalRow = new GenericInternalRow(
         ix.map(j => pd.values.get(j, specFields(j).dataType)).toArray)
       val partVals = proj(readIdx)
       val key = proj(keyIdx)
-      val split = pd.files.flatMap(f => PartitionedFileUtil.splitFiles(
-          f, f.getPath, isSplitable = true, maxSplit, partVals))
-        .sortBy(_.length)(implicitly[Ordering[Long]].reverse)
-      org.apache.spark.sql.execution.datasources.FilePartition
-        .getFilePartitions(spark, split, maxSplit).foreach { fp =>
-        out += new KeyedFilePartition(i, fp.files, key)
-        i += 1
-      }
+      // UTF8String/primitive boxed values have value equality — a Seq
+      // of them is a sound grouping key for identity transforms
+      val normKey = keyIdx.map(j => pd.values.get(j, specFields(j).dataType))
+      val slot = byKey.getOrElseUpdate(normKey,
+        (key, scala.collection.mutable.ArrayBuffer.empty))
+      slot._2 ++= pd.files.flatMap(f => PartitionedFileUtil.splitFiles(
+        f, f.getPath, isSplitable = true, maxSplit, partVals))
     }
-    out.result()
+    byKey.values.iterator.filter(_._2.nonEmpty).zipWithIndex.map {
+      case ((key, files), i) =>
+        new KeyedFilePartition(i,
+          files.sortBy(_.length)(implicitly[Ordering[Long]].reverse).toArray,
+          key): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

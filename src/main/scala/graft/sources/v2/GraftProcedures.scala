@@ -16,6 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * {{{
   *   CALL graft_cat.system.compact('docs')
+  *   CALL graft_cat.system.zorder('docs', cols => 'n_chars,slot')
   *   CALL graft_cat.system.binpack('docs', target_file_mb => 256)
   *   CALL graft_cat.system.expire('docs', keep => 5)
   *   CALL graft_cat.system.vacuum('docs', grace_ms => 86400000)
@@ -68,8 +69,8 @@ object GraftProcedures {
     Param("table", StringType, None, "table name within this catalog's warehouse")
 
   def list(): Array[Identifier] =
-    Array("compact", "binpack", "expire", "vacuum", "compact_pos_deletes",
-      "rollback").map(Identifier.of(Array("system"), _))
+    Array("compact", "zorder", "binpack", "expire", "vacuum",
+      "compact_pos_deletes", "rollback").map(Identifier.of(Array("system"), _))
 
   /** Resolve a procedure by identifier; `pathOf` maps a table-name
     * argument to its warehouse directory (supplied by the catalog).
@@ -90,6 +91,29 @@ object GraftProcedures {
           val st = SnapshotTable.compact(s, path,
             targetFileBytes = in.getInt(1).toLong * 1024 * 1024,
             textCol = if (in.isNullAt(2)) None else Some(in.getUTF8String(2).toString))
+          row(st.filesBefore, st.filesAfter, st.bytes)
+        })(pathOf))
+      case "zorder" => Some(new Proc("zorder",
+        params(tableParam,
+          Param("cols", StringType, None,
+            "comma-separated z-order columns (non-negative integral " +
+              "domains; 2..3 selective filter columns is the sweet spot)"),
+          Param("target_file_mb", IntegerType, Some("128"), "output file size target"),
+          Param("bits", IntegerType, Some("16"),
+            "interleaved bits per column (bits * n_cols must fit 63)"),
+          Param("text_col", StringType, Some("CAST(NULL AS STRING)"),
+            "content column; set it to rebuild the dedup bloom/hash sidecars")),
+        StructType(Seq(StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false),
+          StructField("bytes", LongType, nullable = false))),
+        (s, path, in) => {
+          val cols = in.getUTF8String(1).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          require(cols.nonEmpty, "zorder needs at least one column in `cols`")
+          val st = SnapshotTable.compact(s, path,
+            targetFileBytes = in.getInt(2).toLong * 1024 * 1024,
+            textCol = if (in.isNullAt(4)) None else Some(in.getUTF8String(4).toString),
+            zorderCols = cols, zorderBits = in.getInt(3))
           row(st.filesBefore, st.filesAfter, st.bytes)
         })(pathOf))
       case "binpack" => Some(new Proc("binpack",

@@ -485,6 +485,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p.take(1200))
     assert(!p.contains("Exchange"),
       s"SPJ join planned an exchange — KeyGroupedPartitioning is not being consumed:\n${p.take(2000)}")
+    // key-pure task groups are trivially ordered on the grouping key,
+    // and the scan SAYS so (SupportsReportOrdering) — no input sorts
+    assert(!p.contains("Sort ("),
+      s"SPJ join planned input sorts — reported ordering is not being consumed:\n${p.take(2000)}")
     assert(p.contains("keyGrouped=[lang]"),
       s"scan did not report key-grouped reading:\n${p.take(2000)}")
   }

@@ -308,8 +308,13 @@ class Round12Spec extends SparkSpec {
             model = docs
             record()
           case 3 =>
-            opsRun += "compact"
-            SnapshotTable.compact(spark, path, textCol = Some(textName), expectedItems = 1000L)
+            // half the compacts take the z-order rewrite path: a pure
+            // LAYOUT choice — every invariant below must hold unchanged
+            val z = r.nextBoolean()
+            opsRun += (if (z) "compact-z" else "compact")
+            SnapshotTable.compact(spark, path, textCol = Some(textName),
+              expectedItems = 1000L,
+              zorderCols = if (z) Seq("doc_id") else Nil)
             record()
           case 4 =>
             val keep = 1 + r.nextInt(2)

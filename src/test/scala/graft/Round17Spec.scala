@@ -184,6 +184,10 @@ class Round17Spec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"SPJ plan still shuffles:\n$plan")
     assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // ...and ZERO sorts: the scans report per-partition ordering on the
+    // grouping key (trivially true — each task group is key-pure), so
+    // EnsureRequirements drops both SMJ input sorts too
+    assert(!plan.contains("Sort ["), s"SPJ join still sorts its inputs:\n$plan")
     // without the opt-in the same join shuffles (and still answers right)
     val plain = scan(a).drop("doc_id").join(
       spark.read.format("graft").load(b).hint("merge"), "lang")
@@ -303,6 +307,107 @@ class Round17Spec extends SparkSpec {
       assert(e.getCondition == "ROUTINE_NOT_FOUND", s"condition: ${e.getCondition}")
       assert(e.getMessage.contains("compact"),
         s"error should list the available procedures: ${e.getMessage}")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  test("partitioned-write distribution: 'hash' clusters each partition value into one file") {
+    import spark.implicits._
+    def wide(n: Int) = (0 until n).map(i => (i.toLong, s"t-$i", s"lang${i % 4}"))
+      .toDF("doc_id", "text", "lang").repartition(8)
+    def filesPerDir(path: String): Map[String, Int] = {
+      val f = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dataDir = f.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+        .head.getPath
+      f.listStatus(dataDir).filter(_.isDirectory).map { d =>
+        d.getPath.getName ->
+          f.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    // default (none): an 8-task input writes up to 8 files into EVERY
+    // value dir — the layout the conf exists to fix
+    val plain = tmp("graft-wdist-none")
+    SnapshotTable.write(spark, wide(400), plain, "parquet",
+      partitionCols = Seq("lang"))
+    assert(filesPerDir(plain).values.max > 1,
+      "expected the unclustered write to fan out per-dir (test premise)")
+    // hash: one exchange on the partition column ⇒ one file per value
+    val clustered = tmp("graft-wdist-hash")
+    spark.conf.set("spark.graft.write.distribution", "hash")
+    try {
+      SnapshotTable.write(spark, wide(400), clustered, "parquet",
+        partitionCols = Seq("lang"))
+      val per = filesPerDir(clustered)
+      assert(per.size == 4 && per.values.forall(_ == 1),
+        s"hash distribution should write one file per partition dir: $per")
+      // content identical either way
+      assert(SnapshotTable.read(spark, clustered).orderBy("doc_id")
+        .collect().toSeq ==
+        SnapshotTable.read(spark, plain).orderBy("doc_id").collect().toSeq)
+      // rebalance clusters too (AQE may split a skewed value; every
+      // dir still collapses far below the 8-task fan-out here)
+      spark.conf.set("spark.graft.write.distribution", "rebalance")
+      val reb = tmp("graft-wdist-reb")
+      SnapshotTable.write(spark, wide(400), reb, "parquet",
+        partitionCols = Seq("lang"))
+      assert(filesPerDir(reb).values.forall(_ <= 2),
+        s"rebalance should coalesce the fan-out: ${filesPerDir(reb)}")
+      // an unknown mode refuses loudly before any I/O
+      spark.conf.set("spark.graft.write.distribution", "zigzag")
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.write(spark, wide(40), tmp("graft-wdist-bad"),
+          "parquet", partitionCols = Seq("lang"))
+      }
+      assert(e.getMessage.contains("write.distribution"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.write.distribution")
+  }
+
+  test("CALL zorder: SQL-only multi-dim clustering; both interleaved axes prune after") {
+    val wh = tmp("graft-r17-zorder")
+    val cat = s"g17z${Integer.toHexString(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      // a SQUARE 256x256 grid (z-order prunes both axes only when the
+      // interleaved domains are comparable) with pseudo-random padding
+      // so the rewrite fans out over several files at the 1 MB target
+      spark.sql(s"CREATE TABLE $cat.zt (doc_id BIGINT, x BIGINT, y BIGINT, " +
+        "text STRING) TBLPROPERTIES ('stats' = 'x,y')")
+      spark.sql(s"INSERT INTO $cat.zt SELECT id, id % 256, id DIV 256, " +
+        "repeat(md5(CAST(id AS STRING)), 4) FROM range(65536)")
+      val pre = spark.sql(
+        s"SELECT count(*), sum(doc_id), sum(x * y) FROM $cat.zt").head
+      val st = spark.sql(s"CALL $cat.system.zorder('zt', cols => 'x,y', " +
+        "target_file_mb => 1, bits => 8)").collect().head
+      assert(st.schema.fieldNames.toSeq ==
+        Seq("files_before", "files_after", "bytes"))
+      assert(st.getInt(1) > 1, s"zorder produced ${st.getInt(1)} file(s); " +
+        "the prune audit below needs a fan-out")
+      // content is layout-independent: the rewrite moved rows, not data
+      assert(spark.sql(
+        s"SELECT count(*), sum(doc_id), sum(x * y) FROM $cat.zt").head == pre)
+      // the rewrite commits through the same chain (a compact-class
+      // commit), so history/time-travel see it like any maintenance
+      assert(spark.sql(s"SELECT kind FROM $cat.`zt$$history` " +
+        "ORDER BY version DESC LIMIT 1").head.getString(0) == "compact")
+      // and the Morton layout makes BOTH dimensions prunable — a slice
+      // on either axis drops files (a plain x-sort would leave y
+      // uniform across every file)
+      val path = s"$wh/zt"
+      for (c <- Seq("x", "y")) {
+        val (df, rep) = SnapshotTable.readWhereReport(spark, path, col(c) < 8L)
+        assert(rep.nFilesKept < rep.nFilesTotal, s"$c-slice did not prune: $rep")
+        assert(df.count() == 8L * 256)
+      }
+      // arity contract: an empty column list refuses loudly
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.zorder('zt', cols => ' , ')").collect()
+      }
+      assert(e.getMessage.contains("at least one column"), e.getMessage)
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
