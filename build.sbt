@@ -32,3 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forward graft.* CLI props (`sbt -Dgraft.model.seeds=…`) into the
+// FORKED test JVM — sbt -D args land in sbt's own JVM only, so without
+// this the extended model-check fuzz knobs silently fall back to the
+// CI defaults.
+Test / javaOptions ++= sys.props.toSeq.collect {
+  case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+}

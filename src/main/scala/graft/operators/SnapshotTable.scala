@@ -152,9 +152,15 @@ object SnapshotTable {
     * line 3 is a pre-r13 manifest's bloom name — still parsed, never
     * written.
     */
-  private def readManifestFull(spark: SparkSession, path: String, v: Long): Manifest = {
-    val f = fs(spark, manifest(path, v))
-    val in = f.open(manifest(path, v))
+  private def readManifestFull(spark: SparkSession, path: String, v: Long): Manifest =
+    parseManifestAt(spark, manifest(path, v))
+
+  /** Parse one manifest FILE (main chain or a branch chain — the body
+    * format is identical; see [[commit]]).
+    */
+  private def parseManifestAt(spark: SparkSession, file: Path): Manifest = {
+    val f = fs(spark, file)
+    val in = f.open(file)
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = content.trim.split("\n")
     var bloom: Option[String] = None
@@ -260,8 +266,12 @@ object SnapshotTable {
     * named blooms), so a lost race leaves only unreferenced orphans.
     */
   private def commit(spark: SparkSession, path: String, expectedNext: Long,
-                     m: Manifest): Long = {
-    val vd = versionsDir(path)
+                     m: Manifest, ref: Option[String] = None): Long = {
+    // `ref` routes the publish into a BRANCH chain (`_versions/refs/<name>/`)
+    // instead of the main chain — same body format, same atomic
+    // create-if-absent slot race, so branch committers get exactly the
+    // optimistic-concurrency guarantees main committers do.
+    val vd = ref.fold(versionsDir(path))(r => branchDir(path, r))
     val f = fs(spark, vd)
     f.mkdirs(vd)
     val tmp = new Path(vd, s".tmp-${java.util.UUID.randomUUID()}")
@@ -309,13 +319,19 @@ object SnapshotTable {
     val parentTs: Long =
       if (expectedNext <= 1L) Long.MinValue
       else try {
-        readManifestFull(spark, path, expectedNext - 1).ts.getOrElse(
-          f.getFileStatus(manifest(path, expectedNext - 1)).getModificationTime)
+        // a branch commit's parent may live on the branch chain (later
+        // branch commits) or on the main chain (the fork point)
+        val parentFile = ref.map(r => branchManifestFile(path, r, expectedNext - 1))
+          .filter(f.exists)
+          .getOrElse(manifest(path, expectedNext - 1))
+        parseManifestAt(spark, parentFile).ts.getOrElse(
+          f.getFileStatus(parentFile).getModificationTime)
       } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
     body.append("ts:")
       .append(math.max(System.currentTimeMillis(), parentTs + 1)).append('\n')
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
-    val target = manifest(path, expectedNext)
+    val target = ref.fold(manifest(path, expectedNext))(r =>
+      branchManifestFile(path, r, expectedNext))
     // Publish = atomic create-if-absent of the target name. POSIX
     // rename(2) silently REPLACES an existing file, making
     // exists-then-rename a TOCTOU on file:// (two racers could both
@@ -583,6 +599,284 @@ object SnapshotTable {
       s"no tag named '$name' on $path (have: ${tags(spark, path).keys.toSeq.sorted.mkString(", ")})"))
     readAt(spark, path, v)
   }
+
+  // ---- named branches (writable refs) ------------------------------------
+
+  private def refsDir(path: String) = new Path(versionsDir(path), "refs")
+  private[graft] def branchDir(path: String, name: String) =
+    new Path(refsDir(path), name)
+  private def branchBaseFile(path: String, name: String) =
+    new Path(branchDir(path, name), "base")
+  private[graft] def branchManifestFile(path: String, name: String, v: Long) =
+    new Path(branchDir(path, name), f"v$v%08d.txt")
+
+  /** Create a writable ref — the Iceberg branch contract, and the
+    * write-audit-publish (WAP) primitive a 100 TB ingestion fleet
+    * gates with: stage candidate batches onto an `audit` branch
+    * ([[appendBranch]]), validate them THERE (the main table never
+    * sees unaudited rows), then [[fastForward]] main to the audited
+    * state in ONE atomic commit. A branch forks from a committed main
+    * version (`version`, default current): its chain lives under
+    * `_versions/refs/<name>/` as ordinary manifests numbered from the
+    * fork point, while its DATA shares the table root — manifests are
+    * self-contained full dir lists, so a branch read never consults
+    * the main chain past the fork and branch deltas are refcounted by
+    * [[expire]]/[[vacuum]] exactly like main-referenced dirs. The
+    * branch name is published create-if-absent (its `base` pointer),
+    * so two racing creators cannot silently share a ref.
+    */
+  def createBranch(spark: SparkSession, path: String, name: String,
+                   version: Option[Long] = None): Long = {
+    require(constraintName.pattern.matcher(name).matches(),
+      s"branch name must match ${constraintName.regex}; got '$name'")
+    require(name != "base", "'base' is reserved inside a branch directory")
+    val vs = versions(spark, path)
+    val v = version.orElse(vs.lastOption).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot at $path to branch from"))
+    if (!vs.contains(v)) throw new IllegalArgumentException(
+      s"cannot branch from version $v of $path: retained versions are " +
+        s"${vs.headOption.getOrElse(0L)}..${vs.lastOption.getOrElse(0L)}")
+    val d = branchDir(path, name)
+    val f = fs(spark, d)
+    f.mkdirs(d)
+    val out =
+      try f.create(branchBaseFile(path, name), false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"branch '$name' already exists on $path; dropBranch it first")
+      }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** The branch's fork-point version on the main chain. */
+  private def branchBase(spark: SparkSession, path: String, name: String): Long = {
+    val bf = branchBaseFile(path, name)
+    val f = fs(spark, bf)
+    if (!f.exists(bf)) throw new IllegalArgumentException(
+      s"no branch named '$name' on $path " +
+        s"(have: ${branches(spark, path).keys.toSeq.sorted.mkString(", ")})")
+    val in = f.open(bf)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+    finally in.close()
+  }
+
+  /** Branch-chain versions STRICTLY past the base pointer, ascending.
+    * Manifests at or below the base are consumed leftovers of a
+    * [[fastForward]] whose cleanup crashed — their content is already
+    * published on main, so they are invisible here (and reclaimed by
+    * the next fast-forward reset or [[dropBranch]]).
+    */
+  private[graft] def branchChainVersions(spark: SparkSession, path: String,
+                                         name: String): Seq[Long] = {
+    val base = branchBase(spark, path, name)
+    val d = branchDir(path, name)
+    val f = fs(spark, d)
+    f.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("v").stripSuffix(".txt").toLong).toOption)
+      .filter(_ > base).toSeq.sorted
+  }
+
+  /** All branches as name → (base version, head version). head == base
+    * for a branch with no commits yet. One listing per branch.
+    */
+  def branches(spark: SparkSession, path: String): Map[String, (Long, Long)] = {
+    val rd = refsDir(path)
+    val f = fs(spark, rd)
+    if (!f.exists(rd)) Map.empty
+    else f.listStatus(rd).filter(_.isDirectory).flatMap { s =>
+      val n = s.getPath.getName
+      scala.util.Try {
+        val b = branchBase(spark, path, n)
+        n -> (b, branchChainVersions(spark, path, n).lastOption.getOrElse(b))
+      }.toOption // a concurrently-dropped or half-created branch lists as absent
+    }.toMap
+  }
+
+  /** The branch head's (version, manifest): the latest branch-chain
+    * manifest, or the fork-point main manifest when the branch has no
+    * commits (that main version is expire-pinned by the branch's
+    * existence — see [[expire]]).
+    */
+  private[graft] def branchHeadManifest(spark: SparkSession, path: String,
+                                        name: String): (Long, Manifest) = {
+    val base = branchBase(spark, path, name)
+    branchChainVersions(spark, path, name).lastOption match {
+      case Some(v) => v -> parseManifestAt(spark, branchManifestFile(path, name, v))
+      case None => base -> readManifestChecked(spark, path, base)
+    }
+  }
+
+  /** Read the branch head — same overlay machinery as [[read]], same
+    * isolation guarantees (the head manifest is immutable once
+    * committed; later branch or main commits never touch its files).
+    */
+  def readBranch(spark: SparkSession, path: String, name: String): DataFrame = {
+    val (_, m) = branchHeadManifest(spark, path, name)
+    readFromManifest(spark, path, m)
+  }
+
+  /** Append a batch to a BRANCH head — [[append]]'s contract (schema
+    * additive-drift refusal, CHECK-constraint gate, stats sidecars,
+    * O(delta) commit, optimistic-concurrency retry against racing
+    * branch appenders) with the commit routed into the branch chain.
+    * Main is never touched: the staged delta dir lands under the table
+    * root (shared data namespace, caller-unique name) but only the
+    * branch manifest references it until [[fastForward]] publishes.
+    * Branch chains are append-only by construction — the rebase after
+    * a lost slot race therefore only ever sees sibling appends, and
+    * re-parents by dir-list union exactly like [[append]]'s whitelist
+    * rebase.
+    */
+  def appendBranch(spark: SparkSession, incoming: DataFrame, path: String,
+                   name: String, retries: Int = 5): Long = {
+    import org.apache.spark.sql.functions._
+    val (headV0, parent0) = branchHeadManifest(spark, path, name)
+    // the chain's committed format governs the staged delta — same
+    // contract as every main-chain incremental commit
+    val format = parent0.format
+    val tableSchema = parent0.schema.getOrElse(
+      nullableSchema(readFromManifest(spark, path, parent0).schema))
+    val committedSchema = mergedIngestSchema(tableSchema, incoming.schema,
+      evolveSchema = false)
+    val effStats = parent0.statsCols
+    val effParts = parent0.partitionCols
+    requirePartitionable(effParts, committedSchema, "appendBranch")
+    val physmap = assignPhysical(committedSchema, parent0.physmap,
+      parent0.physRetired)
+    val weCached = incoming.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gated = enforceConstraints(incoming, parent0.constraints, "appendBranch")
+      val deltaDir = stageDir(headV0 + 1)
+      stagedWrite(gated.select(committedSchema.fieldNames.map(col(_)).toSeq: _*),
+        new Path(path, deltaDir), format, effParts, physmap)
+      val writtenReader = spark.read.format(format)
+      val written =
+        (if (effParts.isEmpty) writtenReader
+         else writtenReader.schema(physSchema(committedSchema, physmap)))
+          .load(new Path(path, deltaDir).toString)
+      writeStatsSidecar(spark, path, deltaDir, written,
+        effStats.map(c => physmap.getOrElse(c, c)))
+      val f = fs(spark, new Path(path))
+      var stagedDir = deltaDir
+      var parentV = headV0
+      var parentM = parent0
+      var attempt = 0
+      while (true) {
+        val v = parentV + 1
+        val dirAtV = if (dirVersion(stagedDir) == v) stagedDir else {
+          val renamed = stageDir(v)
+          renameStaged(f, path, stagedDir, renamed)
+          renamed
+        }
+        stagedDir = dirAtV
+        try {
+          commit(spark, path, v, Manifest(
+            parentM.dirs :+ dirAtV, format, None, Some(committedSchema),
+            effStats, parentM.tombstones, parentM.morKey,
+            kind = Some("append"), partitionCols = effParts,
+            constraints = parentM.constraints, physmap = physmap,
+            physRetired = parentM.physRetired,
+            hashesValid = parentM.hashesValid,
+            posDeletes = parentM.posDeletes,
+            partEvolved = parentM.partEvolved), ref = Some(name))
+          return v
+        } catch {
+          case _: CommitConflictException =>
+            attempt += 1
+            if (attempt >= retries) throw new java.io.IOException(
+              s"appendBranch('$name') at $path lost $retries consecutive " +
+                "commit races; giving up — retry under lower contention")
+            val (wv, wm) = branchHeadManifest(spark, path, name)
+            if (!wm.schema.forall(_ == committedSchema) ||
+                wm.partitionCols != effParts || wm.physmap != physmap)
+              throw new java.io.IOException(
+                s"appendBranch('$name') at $path lost the commit race and the " +
+                  "winner committed a different schema/partitioning/mapping; " +
+                  "re-run against the current branch head")
+            parentV = wv
+            parentM = wm
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally { if (weCached) { incoming.unpersist(); () } }
+  }
+
+  /** Publish a branch onto main — Iceberg's fast-forward merge. Legal
+    * exactly when main has NOT advanced past the branch's fork point
+    * (main head == branch base): the branch head manifest (a
+    * self-contained superset of the fork state, since branch chains
+    * are append-only) commits onto main as ONE atomic slot-race
+    * publish of kind `fast-forward` — a squash merge, so the multi-
+    * file chain can never publish torn. The branch then resets for
+    * the next WAP cycle: its base re-points at the published version
+    * and the consumed chain manifests are dropped. Every crash window
+    * in the reset is self-healing: leftovers at or below the new base
+    * are invisible ([[branchChainVersions]]); leftovers above it
+    * describe exactly the published content, so the worst outcome is
+    * a redundant re-publish of identical dirs (a no-op delta).
+    * Divergence (main advanced past the base) refuses loudly — graft
+    * has no merge-commit machinery, and silently rebasing audited
+    * data under the auditor would defeat the WAP gate.
+    */
+  def fastForward(spark: SparkSession, path: String, name: String): Long = {
+    val base = branchBase(spark, path, name)
+    val chain = branchChainVersions(spark, path, name)
+    val mainHead = currentVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot at $path — branch metadata inconsistent"))
+    if (chain.isEmpty) return mainHead // nothing staged; main is the branch
+    if (mainHead != base) throw new IllegalStateException(
+      s"cannot fast-forward branch '$name' onto $path: main advanced to " +
+        s"version $mainHead past the fork point $base — re-create the branch " +
+        "from the current head and re-stage (graft refuses non-fast-forward merges)")
+    val headM = parseManifestAt(spark, branchManifestFile(path, name, chain.last))
+    val published =
+      try commit(spark, path, base + 1, headM.copy(kind = Some("fast-forward")))
+      catch { case _: CommitConflictException =>
+        throw new IllegalStateException(
+          s"fast-forward of branch '$name' at $path lost the publish race: " +
+            "a concurrent main commit advanced the table — re-validate and retry")
+      }
+    // reset: re-point base FIRST (makes the consumed chain invisible),
+    // then reclaim its files; see the crash-window note above
+    val f = fs(spark, branchBaseFile(path, name))
+    val out = f.create(branchBaseFile(path, name), true)
+    try out.write(published.toString.getBytes("UTF-8")) finally out.close()
+    chain.foreach(v => f.delete(branchManifestFile(path, name, v), false))
+    published
+  }
+
+  /** Remove a branch ref. Its un-published delta dirs become
+    * unreferenced and age out via [[vacuum]]'s grace window.
+    */
+  def dropBranch(spark: SparkSession, path: String, name: String): Unit = {
+    val d = branchDir(path, name)
+    val f = fs(spark, d)
+    if (!f.exists(branchBaseFile(path, name))) throw new IllegalArgumentException(
+      s"no branch named '$name' on $path " +
+        s"(have: ${branches(spark, path).keys.toSeq.sorted.mkString(", ")})")
+    f.delete(d, true)
+    ()
+  }
+
+  /** Every live branch-chain manifest — the extra liveness ROOTS
+    * [[expire]] and [[vacuum]] refcount against, so branch-only delta
+    * dirs (and inherited overlay sidecars) survive main-chain
+    * retention while the branch lives.
+    */
+  private[graft] def allBranchManifests(spark: SparkSession,
+                                        path: String): Seq[Manifest] =
+    branches(spark, path).keys.toSeq.flatMap { n =>
+      branchChainVersions(spark, path, n).map(v =>
+        parseManifestAt(spark, branchManifestFile(path, n, v)))
+    }
 
   /** Remove a CHECK constraint by name as a metadata commit. */
   def dropConstraint(spark: SparkSession, path: String, name: String): Long = {
@@ -971,8 +1265,17 @@ object SnapshotTable {
     * (A concurrent expire racing this call hits the same loud error via
     * [[readManifestChecked]]; there is no exists-then-read window.)
     */
-  def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val m = readManifestChecked(spark, path, version)
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
+    readFromManifest(spark, path, readManifestChecked(spark, path, version))
+
+  /** Read the snapshot an ALREADY-RESOLVED manifest describes — the
+    * shared kernel behind [[readAt]], [[readBranch]], and the V2
+    * oversize-overlay fallback (which must serve the EXACT manifest its
+    * table pinned, not whatever the version number resolves to on the
+    * main chain — branch manifests share the main chain's numbering).
+    */
+  private[graft] def readFromManifest(spark: SparkSession, path: String,
+                                      m: Manifest): DataFrame = {
     if (!m.hasOverlay) rawScan(spark, path, m)
     else {
       val base = m.dirs.map { d =>
@@ -2507,10 +2810,11 @@ object SnapshotTable {
     while (true) {
       val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
         parentV, "binpack", parentM.schema, parentM.partitionCols,
-        (cv, k) => if (k != "append") throw new java.io.IOException(
-          s"binpack at $path lost the commit race to version $cv (kind '$k'); " +
-            "only append interleavings rebase automatically — re-run binpack " +
-            "against the current snapshot"),
+        (cv, k) => if (k != "append" && k != "fast-forward")
+          throw new java.io.IOException(
+            s"binpack at $path lost the commit race to version $cv (kind '$k'); " +
+              "only append interleavings rebase automatically — re-run binpack " +
+              "against the current snapshot"),
         expectPhysmap = parentM.physmap)
       val next = winnerV + 1
       val newDir = stageDir(next)
@@ -2542,12 +2846,18 @@ object SnapshotTable {
     val f = fs(spark, versionsDir(path))
     val vs = versions(spark, path)
     if (vs.isEmpty) return 0
-    // TAGGED versions are pinned: they survive any retention window
-    // (the Iceberg ref contract — see [[tag]]), refcounted below like
-    // every retained manifest so their dirs/blooms/tombstones stay
-    val tagged = tags(spark, path).values.toSet
+    // TAGGED versions are pinned, and so is every branch's FORK POINT:
+    // a commit-less branch reads (and its first append parents) through
+    // the base manifest, so the base must outlive the retention window
+    // for as long as the ref does — the Iceberg ref-retention contract.
+    val tagged = tags(spark, path).values.toSet ++
+      branches(spark, path).values.map(_._1)
     val drop = vs.dropRight(keep).filterNot(tagged)
-    val retained = vs.filterNot(drop.toSet).map(v => readManifestFull(spark, path, v))
+    // branch-chain manifests are liveness roots exactly like retained
+    // main manifests: a branch delta dir (or an overlay sidecar the
+    // branch inherited at its fork) must survive main-chain expiry
+    val retained = vs.filterNot(drop.toSet).map(v => readManifestFull(spark, path, v)) ++
+      allBranchManifests(spark, path)
     val retainedDirs = retained.flatMap(_.dirs).toSet
     // bloom files are shared by reference across compactions — refcount
     // their names exactly like dirs; tombstone sidecars are shared by
@@ -2784,7 +3094,10 @@ object SnapshotTable {
       val kind = kindOf(v, mv, mp)
       kind match {
         case _ if v == 1L => addedDirRows.toSeq // creation baseline: inserts
-        case "append" => addedDirRows.toSeq
+        // a fast-forward publish is append-shaped: the branch head's dir
+        // list is a superset of the fork state's, so the feed is exactly
+        // the branch-staged dirs as inserts
+        case "append" | "fast-forward" => addedDirRows.toSeq
         case "compact" | "binpack" | "posdelete-compact" | "constraint" |
              "drop-constraint" | "renamecol" | "dropcol" | "repartition" |
              "noop" => Nil
@@ -3037,7 +3350,10 @@ object SnapshotTable {
     val root = new Path(path)
     val f = fs(spark, root)
     if (!f.exists(root)) return VacuumStats(0, 0, 0)
-    val retained = versions(spark, path).map(v => readManifestFull(spark, path, v))
+    // branch-chain manifests are liveness roots alongside the main
+    // chain's: a branch-only delta dir is live data, not an orphan
+    val retained = versions(spark, path).map(v => readManifestFull(spark, path, v)) ++
+      allBranchManifests(spark, path)
     val refDirs = retained.flatMap(_.dirs).toSet
     val refBlooms = retained.flatMap(_.bloom).toSet
     val refTs = retained.flatMap(_.tombstones).toSet
@@ -3337,8 +3653,8 @@ object SnapshotTable {
       // snapshot is retained), so the dedup re-check below still reads
       val (winnerV, winnerM, chain) = rebaseWinnerChain(spark, path,
         parentV.getOrElse(0L), "ingest", Some(committedSchema), effParts,
-        (v, k) => if (k != "append" && k != "compact" && k != "binpack" &&
-            k != "posdelete" && k != "posdelete-compact")
+        (v, k) => if (k != "append" && k != "fast-forward" && k != "compact" &&
+            k != "binpack" && k != "posdelete" && k != "posdelete-compact")
           throw new java.io.IOException(
             s"ingest at $path lost the commit race to version $v (kind '$k'); " +
               "only append/compact/binpack/posdelete interleavings rebase " +
@@ -3350,7 +3666,10 @@ object SnapshotTable {
         var prev = parentDirs
         val out = Seq.newBuilder[String]
         chain.foreach { case (_, mm) =>
-          if (mm.kind.contains("append")) out ++= mm.dirs.diff(prev)
+          // a fast-forward publish adds dirs exactly like an append —
+          // its content enters the dedup universe the same way
+          if (mm.kind.exists(k => k == "append" || k == "fast-forward"))
+            out ++= mm.dirs.diff(prev)
           prev = mm.dirs
         }
         out.result()
@@ -3500,7 +3819,7 @@ object SnapshotTable {
             s"compaction at $path lost the commit race to a concurrent compaction " +
               s"(version $cv); this rewrite is obsolete — the chain it replaced " +
               "no longer exists and the winner already compacted it")
-          if (k != "append") throw new java.io.IOException(
+          if (k != "append" && k != "fast-forward") throw new java.io.IOException(
             s"compaction at $path lost the commit race to version $cv (kind '$k'); " +
               "only append interleavings rebase automatically — re-run the " +
               "compaction against the current snapshot")
@@ -3894,7 +4213,8 @@ object SnapshotTable {
             // matching commitPositionalDelta's insert-only whitelist
             val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
               parentV.getOrElse(0L), "append", Some(committedSchema), effParts,
-              (cv, k) => if (k != "append" && k != "compact" && k != "binpack" &&
+              (cv, k) => if (k != "append" && k != "fast-forward" &&
+                  k != "compact" && k != "binpack" &&
                   k != "posdelete" && k != "posupdate" && k != "merge-on-read" &&
                   k != "posdelete-compact")
                 throw new java.io.IOException(
@@ -4097,7 +4417,8 @@ object SnapshotTable {
             val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
               parentV.getOrElse(0L), "streaming append",
               Some(plan.committedSchema), plan.partitionCols,
-              (cv, k) => if (k != "append" && k != "compact" && k != "binpack" &&
+              (cv, k) => if (k != "append" && k != "fast-forward" &&
+                  k != "compact" && k != "binpack" &&
                   k != "posdelete" && k != "posupdate" && k != "merge-on-read" &&
                   k != "posdelete-compact")
                 throw new java.io.IOException(
@@ -4700,7 +5021,8 @@ object SnapshotTable {
       // merged dir like any earlier dir)
       val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
         parentV, "merge-on-read", Some(tableSchema), parentM.partitionCols,
-        (cv, k) => if (k != "append" && k != "merge-on-read" && k != "binpack")
+        (cv, k) => if (k != "append" && k != "fast-forward" &&
+            k != "merge-on-read" && k != "binpack")
           throw new java.io.IOException(
             s"merge-on-read at $path lost the commit race to version $cv (kind '$k'); " +
               "only append/merge-on-read/binpack interleavings rebase automatically — " +
@@ -4904,8 +5226,8 @@ object SnapshotTable {
         case _: CommitConflictException =>
           val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
             cur, "posdelete compaction", m.schema, m.partitionCols,
-            (v, k) => if (k != "append" && k != "posdelete" &&
-                k != "posupdate" && k != "merge-on-read" &&
+            (v, k) => if (k != "append" && k != "fast-forward" &&
+                k != "posdelete" && k != "posupdate" && k != "merge-on-read" &&
                 k != "posdelete-compact")
               throw new java.io.IOException(
                 s"posdelete compaction at $path lost the commit race to " +
@@ -5092,8 +5414,8 @@ object SnapshotTable {
             val (winnerV, winnerM, _) = rebaseWinnerChain(spark, path,
               parentV, opName, parentM.schema, parentM.partitionCols,
               (cv, k) => {
-                val ok = k == "append" || k == "posdelete" ||
-                  k == "posupdate" || k == "posdelete-compact"
+                val ok = k == "append" || k == "fast-forward" ||
+                  k == "posdelete" || k == "posupdate" || k == "posdelete-compact"
                 if (!ok) throw new java.io.IOException(
                   if (k == "merge-on-read")
                     s"$opName at $path lost the commit race to a keyed " +

@@ -4820,6 +4820,61 @@ object TrainingData {
       WHERE n_chars BETWEEN 100 AND 400 AND slot < 128
       GROUP BY lang"""))
 
+  // ---- d54_branch_wap: writable refs + fast-forward publish ------------
+  // The write-audit-publish gate every production ingestion fleet runs:
+  // candidate batches stage onto an `audit` BRANCH
+  // ([[SnapshotTable.appendBranch]] — manifests under
+  // `_versions/refs/audit/`, data shared under the table root), the
+  // main table stays pinned at the fork point while validation reads
+  // the branch head, and one atomic [[SnapshotTable.fastForward]]
+  // commit publishes the audited state (a squash of the branch head's
+  // self-contained manifest — multi-file chains can never publish
+  // torn). The fixture REQUIRES the isolation invariants in the middle
+  // (main unchanged while two branch appends land; branch head = fork
+  // + both deltas) and the registry row reads the POST-PUBLISH branch
+  // head (the reset ref re-points at the published version, so this
+  // exercises the base-manifest read path too) — DuckDB replays the
+  // published corpus as the plain full projection. Divergence refusal,
+  // racing branch appenders, retention interplay (expire pins the fork
+  // point; vacuum refcounts branch-only dirs), `t$refs`/
+  // `VERSION AS OF 'branch'`/CALL surfaces are Round17Spec-pinned.
+  // Scale shape: a branch append is the SAME O(delta) commit as a main
+  // append; fast-forward is one manifest publish — zero data I/O, the
+  // property that makes auditing 100 TB of daily intake affordable.
+  private def d54Fixture(s: SparkSession, dir: String): String =
+    stagedSnapshotFixture(s, dir, "d54", expect = Seq(1L, 2L)) { path =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(coalesce(col("text"), lit("")), lit("|"), col("doc_id")).as("text"))
+      SnapshotTable.ingest(s, docs.filter(col("doc_id") < 300), path, "text",
+        expectedItems = 100000L)
+      SnapshotTable.createBranch(s, path, "audit")
+      SnapshotTable.appendBranch(s, docs.filter(col("doc_id").between(300, 399)),
+        path, "audit")
+      SnapshotTable.appendBranch(s, docs.filter(col("doc_id") >= 400),
+        path, "audit")
+      val nMain = SnapshotTable.read(s, path).count()
+      val nBranch = SnapshotTable.readBranch(s, path, "audit").count()
+      val nAll = docs.count()
+      require(SnapshotTable.currentVersion(s, path).contains(1L) &&
+        nBranch == nAll && nMain < nAll,
+        s"WAP isolation broken: main=$nMain branch=$nBranch corpus=$nAll")
+      val published = SnapshotTable.fastForward(s, path, "audit")
+      require(published == 2L, s"fast-forward published v$published, expected v2")
+      ()
+    }
+
+  private val d54 = Q(
+    (s, dir) => {
+      SnapshotTable.readBranch(s, d54Fixture(s, dir), "audit")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang
+      FROM documents
+      ORDER BY doc_id"""))
+
   val entries: Seq[(String, Q)] = Seq(
     "p1_corpus_pipeline" -> p1,
     "p3_curation_pipeline" -> p3,
@@ -4877,6 +4932,7 @@ object TrainingData {
     "d51_spj_join" -> d51,
     "d52_partition_evolution" -> d52,
     "d53_zorder" -> d53,
+    "d54_branch_wap" -> d54,
     "t1_token_count" -> t1,
     "t2_lang_id" -> t2,
     "t3_quality_score" -> t3,

@@ -134,6 +134,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "tags" =>
           SnapshotTable.tags(s, p.toString).toSeq.sortBy(_._1)
             .toDF("tag", "version")
+        case "refs" =>
+          // every named ref: tags (read-only pins) and branches
+          // (writable chains) with their base/head positions
+          (SnapshotTable.tags(s, p.toString).toSeq.sortBy(_._1)
+            .map { case (n, v) => (n, "tag", v, v) } ++
+           SnapshotTable.branches(s, p.toString).toSeq.sortBy(_._1)
+            .map { case (n, (b, h)) => (n, "branch", b, h) })
+            .toDF("name", "type", "base_version", "head_version")
         case "files" =>
           val v = SnapshotTable.currentVersion(s, p.toString).getOrElse(
             throw new NoSuchTableException(base))
@@ -157,6 +165,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // `WHERE _commit_version ...` bounds PUSH DOWN so the feed
           // only builds event frames for the windowed versions
           return new GraftChangesTable(ident.toString, s, p.toString)
+        case b if b.startsWith("branch_") && b.length > "branch_".length =>
+          // `t$branch_<name>`: the ref's head as a relation —
+          // batch-read-only (see [[GraftTable.forBranch]])
+          return GraftTable.forBranch(s, p.toString, b.stripPrefix("branch_"))
         case other => throw new NoSuchTableException(ident)
       }
       return GraftMetadataTable(ident.toString, df)
@@ -168,17 +180,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTable.forVersion(spark, p.toString, v)
   }
 
-  /** SQL `VERSION AS OF <n>` (also accepts a snapshot TAG name). */
+  /** SQL `VERSION AS OF <n>` (also accepts a snapshot TAG name or a
+    * BRANCH name — the Iceberg ref-resolution order: tag first).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    val v =
-      if (version.matches("\\d+")) version.toLong
-      else SnapshotTable.tags(spark, p.toString).getOrElse(version,
-        throw new IllegalArgumentException(
-          s"'$version' is neither a version number nor a tag on " +
-            s"graft table $p"))
-    GraftTable.forVersion(spark, p.toString, v, pinned = true)
+    if (!version.matches("\\d+")) {
+      val tagged = SnapshotTable.tags(spark, p.toString).get(version)
+      tagged match {
+        case Some(v) => return GraftTable.forVersion(spark, p.toString, v, pinned = true)
+        case None =>
+          if (SnapshotTable.branches(spark, p.toString).contains(version))
+            return GraftTable.forBranch(spark, p.toString, version)
+          throw new IllegalArgumentException(
+            s"'$version' is neither a version number, a tag, nor a branch on " +
+              s"graft table $p")
+      }
+    }
+    GraftTable.forVersion(spark, p.toString, version.toLong, pinned = true)
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark delivers epoch MICROseconds. */

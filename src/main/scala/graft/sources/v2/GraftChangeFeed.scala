@@ -309,7 +309,10 @@ class GraftCdfStream(path: String, schemas: StreamSchemas, format: String,
         case "create" =>
           requireLayout(mv, "create baseline")
           insertFrames(mv.dirs)
-        case "append" =>
+        // a fast-forward publish (branch merge) is append-shaped: its
+        // dir list supersets the fork state's, so the feed is the
+        // branch-staged dirs as inserts
+        case "append" | "fast-forward" =>
           requireLayout(mv, "append delta")
           insertFrames(mv.dirs.filterNot(mp.dirs.toSet))
         case "compact" | "binpack" | "posdelete-compact" | "constraint" |

@@ -101,6 +101,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         s"writing through a time-travel-pinned load of $path is not allowed: " +
           "writes always commit against the CURRENT snapshot — drop the " +
           "versionAsOf/timestampAsOf option to modify the table")
+    // branch writes: `.option("branch", name).mode("append")` stages onto
+    // the ref's chain ([[SnapshotTable.appendBranch]] — the WAP staging
+    // write); branch chains are append-only, so every other mode refuses
+    parameters.get("branch").filter(_.nonEmpty) match {
+      case Some(b) =>
+        if (mode != SaveMode.Append) throw new UnsupportedOperationException(
+          s"branch '$b' of $path accepts mode(\"append\") only: branch chains " +
+            "are append-only staging refs — publish with fastForward, or " +
+            "drop the branch option to rewrite the main table")
+        SnapshotTable.appendBranch(spark, data, path, b)
+        return new org.apache.spark.sql.sources.BaseRelation {
+          override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+          override def schema: StructType = data.schema
+        }
+      case None => ()
+    }
     val cur = SnapshotTable.currentVersion(spark, path)
     val exists = cur.isDefined
     // an existing table's committed format governs every later commit —
@@ -173,6 +189,14 @@ object GraftTable {
     val tsOpt = Option(options.get("timestampAsOf")).map(_.trim)
     if (vOpt.isDefined && tsOpt.isDefined) throw new IllegalArgumentException(
       "pass versionAsOf OR timestampAsOf, not both")
+    Option(options.get("branch")).filter(_.nonEmpty).foreach { b =>
+      if (vOpt.isDefined || tsOpt.isDefined ||
+          options.getBoolean("readChangeFeed", false))
+        throw new IllegalArgumentException(
+          "the branch option reads the ref's HEAD; it does not combine with " +
+            "versionAsOf/timestampAsOf/readChangeFeed")
+      return forBranch(spark, path, b)
+    }
     val version = vOpt.getOrElse {
       tsOpt match {
         case Some(ts) =>
@@ -196,6 +220,23 @@ object GraftTable {
       .map(s => StructType(s.fields.map(_.copy(nullable = true))))
       .getOrElse(SnapshotTable.readAt(spark, path, version).schema)
     new GraftTable(spark, path, version, m, logical, pinned, cdf)
+  }
+
+  /** A BRANCH head as a V2 table: the ref's head manifest pinned
+    * exactly (branch chains share the main chain's version numbers, so
+    * resolution must carry the manifest, never re-derive it from the
+    * version). Batch-read only — V2 writes land on main by contract
+    * (branch staging writes go through the V1 bridge's branch option
+    * or [[SnapshotTable.appendBranch]]), and the streaming source
+    * follows the MAIN chain, which would silently serve the wrong ref.
+    */
+  def forBranch(spark: SparkSession, path: String, name: String): GraftTable = {
+    val (v, m) = SnapshotTable.branchHeadManifest(spark, path, name)
+    val logical = m.schema
+      .map(s => StructType(s.fields.map(_.copy(nullable = true))))
+      .getOrElse(SnapshotTable.readFromManifest(spark, path, m).schema)
+    new GraftTable(spark, path, v, m, logical, pinned = true,
+      branch = Some(name))
   }
 }
 
@@ -229,14 +270,16 @@ object GraftMeta {
 
 class GraftTable(spark: SparkSession, path: String, version: Long,
                  m: SnapshotTable.Manifest, logical: StructType,
-                 pinned: Boolean = false, cdf: Boolean = false)
+                 pinned: Boolean = false, cdf: Boolean = false,
+                 branch: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-  override def name(): String = s"graft.`$path` @ v$version" +
+  override def name(): String = s"graft.`$path` @ " +
+    branch.fold(s"v$version")(b => s"branch '$b' (v$version)") +
     (if (cdf) " (changeFeed)" else "")
   // readChangeFeed mode serves ROW EVENTS, so the table's schema grows
   // the event columns and the scan is the CDF stream (FileScan row
@@ -249,7 +292,12 @@ class GraftTable(spark: SparkSession, path: String, version: Long,
         logical.fields.filter(f => partSet(f.name)) ++ GraftCdf.metaFields)
     }
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+    // a branch table is BATCH_READ only: the streaming source follows
+    // the MAIN chain (a "branch stream" would silently serve the wrong
+    // ref), and V2 writes commit against main — Spark then refuses
+    // stream/write at analysis instead of this table mis-serving them
+    if (branch.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
@@ -684,7 +732,9 @@ class GraftOverlayFallbackScan(spark: SparkSession, path: String, version: Long,
   override def readSchema(): StructType = required
 
   private lazy val df = {
-    val base = SnapshotTable.readAt(spark, path, version)
+    // read the EXACT pinned manifest, not whatever `version` resolves to
+    // on the main chain — a branch-backed table shares main's numbering
+    val base = SnapshotTable.readFromManifest(spark, path, m)
     val filtered = pushed.flatMap(GraftFilters.toColumn)
       .reduceOption(_ && _).map(base.filter).getOrElse(base)
     filtered.select(required.fieldNames.toIndexedSeq

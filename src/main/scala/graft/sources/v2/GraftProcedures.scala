@@ -22,6 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft_cat.system.vacuum('docs', grace_ms => 86400000)
   *   CALL graft_cat.system.compact_pos_deletes('docs')
   *   CALL graft_cat.system.rollback('docs', version => 3)
+  *   CALL graft_cat.system.create_branch('docs', branch => 'audit')
+  *   CALL graft_cat.system.fast_forward('docs', branch => 'audit')
+  *   CALL graft_cat.system.drop_branch('docs', branch => 'audit')
   * }}}
   *
   * so a SQL-only session can run the full table lifecycle — no Scala
@@ -70,7 +73,9 @@ object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array("compact", "zorder", "binpack", "expire", "vacuum",
-      "compact_pos_deletes", "rollback").map(Identifier.of(Array("system"), _))
+      "compact_pos_deletes", "rollback",
+      "create_branch", "fast_forward", "drop_branch")
+      .map(Identifier.of(Array("system"), _))
 
   /** Resolve a procedure by identifier; `pathOf` maps a table-name
     * argument to its warehouse directory (supplied by the catalog).
@@ -151,6 +156,29 @@ object GraftProcedures {
         params(tableParam),
         StructType(Seq(StructField("version", LongType, nullable = false))),
         (s, path, _) => row(SnapshotTable.compactPosDeletes(s, path)))(pathOf))
+      case "create_branch" => Some(new Proc("create_branch",
+        params(tableParam,
+          Param("branch", StringType, None, "branch name to create"),
+          Param("version", LongType, Some("CAST(NULL AS BIGINT)"),
+            "fork-point version (default: current head)")),
+        StructType(Seq(StructField("base_version", LongType, nullable = false))),
+        (s, path, in) => row(SnapshotTable.createBranch(s, path,
+          in.getUTF8String(1).toString,
+          if (in.isNullAt(2)) None else Some(in.getLong(2)))))(pathOf))
+      case "fast_forward" => Some(new Proc("fast_forward",
+        params(tableParam,
+          Param("branch", StringType, None, "branch to publish onto main")),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        (s, path, in) => row(SnapshotTable.fastForward(s, path,
+          in.getUTF8String(1).toString)))(pathOf))
+      case "drop_branch" => Some(new Proc("drop_branch",
+        params(tableParam,
+          Param("branch", StringType, None, "branch name to remove")),
+        StructType(Seq(StructField("dropped", IntegerType, nullable = false))),
+        (s, path, in) => {
+          SnapshotTable.dropBranch(s, path, in.getUTF8String(1).toString)
+          row(1)
+        })(pathOf))
       case "rollback" => Some(new Proc("rollback",
         params(tableParam,
           Param("version", LongType, None, "retained version to restore")),

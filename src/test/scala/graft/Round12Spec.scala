@@ -279,12 +279,19 @@ class Round12Spec extends SparkSpec {
       // speaks this name, so a live column mapping crosses every other
       // op in the fuzz (ingest/merge/MOR/compact/rollback/time travel)
       var textName = "text"
+      // live branch state (ops 23-25): the ref's expected content, its
+      // fork version on main, and the column name the branch speaks
+      // (frozen at fork time — the branch chain carries the FORK
+      // schema, whatever main renames afterwards)
+      var branchModel: Option[Vector[(Long, String)]] = None
+      var branchForkV = 0L
+      var branchTextName = "text"
       def freshDoc(): (Long, String) = { nextId += 1; (nextId, s"doc $seed-$nextId") }
       def record(): Unit =
         modelAt += SnapshotTable.currentVersion(spark, path).get -> model
       val opsRun = scala.collection.mutable.ArrayBuffer.empty[String]
       (0 until steps).foreach { i =>
-        val op = if (i == 0) 0 else r.nextInt(23)
+        val op = if (i == 0) 0 else r.nextInt(26)
         op match {
           case 0 | 1 => // ingest a batch: mix of new docs and dups of existing content
             val batch = (0 until 1 + r.nextInt(3)).map { _ =>
@@ -619,6 +626,63 @@ class Round12Spec extends SparkSpec {
             model = model.map(p =>
               if (p._1 >= ulo && p._1 <= uhi) (p._1, s"upd$i ${p._2}") else p)
             record()
+          case 23 => // branch create / staged append: fork the "fuzz"
+            // ref from the current head (its content snapshot = the
+            // model), or stage a fresh batch onto the live ref —
+            // appendBranch is a plain append (no dedup), so the branch
+            // model grows unconditionally while MAIN must not move
+            if (branchModel.isEmpty) {
+              opsRun += "createBranch"
+              branchForkV = SnapshotTable.createBranch(spark, path, "fuzz")
+              branchModel = Some(model)
+              branchTextName = textName
+            } else {
+              val batch = (0 until 1 + r.nextInt(2)).map(_ => freshDoc())
+              opsRun += s"appendBranch(${batch.size})"
+              val mainBefore = SnapshotTable.currentVersion(spark, path)
+              SnapshotTable.appendBranch(spark,
+                batch.toDF("doc_id", branchTextName), path, "fuzz")
+              assert(SnapshotTable.currentVersion(spark, path) == mainBefore,
+                s"seed=$seed step=$i: a branch append moved MAIN")
+              branchModel = branchModel.map(_ ++ batch)
+            }
+          case 24 => // fast-forward attempt: publishes exactly when main
+            // never advanced past the fork (then main BECOMES the branch
+            // content and the ref resets); any main commit since the
+            // fork must refuse loudly and change nothing
+            branchModel match {
+              case None => opsRun += "ffSkip"
+              case Some(bm) =>
+                val mainV = SnapshotTable.currentVersion(spark, path).get
+                if (mainV == branchForkV) {
+                  opsRun += "fastForward"
+                  val pub = SnapshotTable.fastForward(spark, path, "fuzz")
+                  model = bm
+                  branchForkV = pub
+                  record()
+                } else {
+                  // main advanced past the fork: refuses when something
+                  // is staged; an EMPTY branch fast-forward is a no-op
+                  // at any head (nothing to publish, nothing to lose)
+                  val (b, h) = SnapshotTable.branches(spark, path)("fuzz")
+                  if (b == h) {
+                    opsRun += "ffNoop"
+                    assert(SnapshotTable.fastForward(spark, path, "fuzz") == mainV,
+                      s"seed=$seed step=$i: empty-branch ff must no-op at the head")
+                  } else {
+                    opsRun += "ffDiverged"
+                    assertThrows[IllegalStateException](
+                      SnapshotTable.fastForward(spark, path, "fuzz"))
+                  }
+                }
+            }
+          case 25 => // drop the ref: its staged dirs become vacuum food;
+            // main and the model are untouched
+            if (branchModel.isDefined) {
+              opsRun += "dropBranch"
+              SnapshotTable.dropBranch(spark, path, "fuzz")
+              branchModel = None
+            } else opsRun += "dropSkip"
           case 7 => // drifted batch: rejected loudly, no commit, no state change
             opsRun += "drift-reject"
             val bad = Seq((nextId + 500000L, s"drift $seed-$i", 1.0))
@@ -633,6 +697,14 @@ class Round12Spec extends SparkSpec {
         val got = SnapshotTable.read(spark, path).collect()
           .map(row => (row.getLong(0), row.getString(1))).toSet
         assert(got == model.toSet, s"$ctx: current read diverged from model")
+        // a live branch replays ITS model after every op — main-side
+        // compact/expire/vacuum/rollback/rename must never leak into
+        // (or reclaim from under) the ref
+        branchModel.foreach { bm =>
+          val bGot = SnapshotTable.readBranch(spark, path, "fuzz").collect()
+            .map(row => (row.getLong(0), row.getString(1))).toSet
+          assert(bGot == bm.toSet, s"$ctx: branch read diverged from its model")
+        }
         // pruned read replays the model's filter EXACTLY — stats
         // sidecars must stay correct through every compact/merge/
         // vacuum/expire composition or pruning silently loses rows

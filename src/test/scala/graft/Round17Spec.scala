@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.SnapshotTable
+import graft.sources.v2.GraftTable
 
 /** Round-17 hardening: the change-feed start-bound contracts
   * ('earliest' on an expired-prefix table, stream/batch inclusive
@@ -408,6 +409,216 @@ class Round17Spec extends SparkSpec {
         spark.sql(s"CALL $cat.system.zorder('zt', cols => ' , ')").collect()
       }
       assert(e.getMessage.contains("at least one column"), e.getMessage)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
+  // ---- named branches (writable refs) -----------------------------------
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("branch WAP lifecycle: staged appends isolate from main; fast-forward publishes atomically and resets the ref") {
+    val path = tmp("graft-branch-wap")
+    SnapshotTable.ingest(spark, docs(0 until 100), path, "text",
+      expectedItems = 1000L)                                   // main v1
+    assert(SnapshotTable.createBranch(spark, path, "audit") == 1L)
+    SnapshotTable.appendBranch(spark, docs(100 until 150), path, "audit")
+    SnapshotTable.appendBranch(spark, docs(150 until 200), path, "audit")
+    // isolation: main pinned at the fork while the branch carries both deltas
+    assert(SnapshotTable.currentVersion(spark, path).contains(1L))
+    assert(ids(SnapshotTable.read(spark, path)) == (0L until 100L).toSet)
+    assert(ids(SnapshotTable.readBranch(spark, path, "audit")) ==
+      (0L until 200L).toSet)
+    assert(SnapshotTable.branches(spark, path) == Map("audit" -> ((1L, 3L))))
+    // publish: ONE main commit of kind fast-forward, content = branch head
+    assert(SnapshotTable.fastForward(spark, path, "audit") == 2L)
+    assert(ids(SnapshotTable.read(spark, path)) == (0L until 200L).toSet)
+    assert(SnapshotTable.history(spark, path)
+      .filter(col("version") === 2L).select("kind").head.getString(0) ==
+      "fast-forward")
+    // the change feed sees the publish as delta inserts, never a rewrite
+    val feed = SnapshotTable.changes(spark, path, 2L)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet == Set("insert"))
+    assert(feed.count() == 100L &&
+      feed.select("_commit_version").distinct().head.getLong(0) == 2L)
+    // the ref reset for the next WAP cycle: base re-pointed at the publish
+    assert(SnapshotTable.branches(spark, path) == Map("audit" -> ((2L, 2L))))
+    // a reset branch reads as main (base-manifest path), and an empty
+    // branch fast-forward is a no-op at the current head
+    assert(ids(SnapshotTable.readBranch(spark, path, "audit")) ==
+      (0L until 200L).toSet)
+    assert(SnapshotTable.fastForward(spark, path, "audit") == 2L)
+    // second cycle on the SAME ref
+    SnapshotTable.appendBranch(spark, docs(200 until 220), path, "audit")
+    assert(SnapshotTable.currentVersion(spark, path).contains(2L))
+    assert(SnapshotTable.fastForward(spark, path, "audit") == 3L)
+    assert(ids(SnapshotTable.read(spark, path)) == (0L until 220L).toSet)
+  }
+
+  test("branch divergence: main advancing past the fork refuses fast-forward loudly") {
+    val path = tmp("graft-branch-div")
+    SnapshotTable.ingest(spark, docs(0 until 50), path, "text",
+      expectedItems = 1000L)                                   // v1
+    SnapshotTable.createBranch(spark, path, "audit")
+    SnapshotTable.appendBranch(spark, docs(50 until 80), path, "audit")
+    SnapshotTable.ingest(spark, docs(200 until 210), path, "text",
+      expectedItems = 1000L)                                   // main diverges: v2
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.fastForward(spark, path, "audit")
+    }
+    assert(e.getMessage.contains("fast-forward") &&
+      e.getMessage.contains("fork point"), e.getMessage)
+    // the stale branch still reads its own lineage (fork + delta, no v2 rows)
+    assert(ids(SnapshotTable.readBranch(spark, path, "audit")) ==
+      (0L until 80L).toSet)
+    // recovery: drop and re-fork from the current head
+    SnapshotTable.dropBranch(spark, path, "audit")
+    assert(SnapshotTable.createBranch(spark, path, "audit") == 2L)
+    assert(ids(SnapshotTable.readBranch(spark, path, "audit")) ==
+      ((0L until 50L) ++ (200L until 210L)).toSet)
+    // duplicate create refuses; unknown-branch ops refuse
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createBranch(spark, path, "audit")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readBranch(spark, path, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropBranch(spark, path, "nope")
+    }
+  }
+
+  test("two genuinely concurrent branch appenders both land via the slot-race retry") {
+    val path = tmp("graft-branch-race")
+    SnapshotTable.ingest(spark, docs(0 until 20), path, "text",
+      expectedItems = 1000L)
+    SnapshotTable.createBranch(spark, path, "audit")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val threads = Seq(docs(20 until 40), docs(40 until 60)).map { batch =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          versions.add(SnapshotTable.appendBranch(spark, batch, path, "audit"))
+          ()
+        } catch { case t: Throwable => errors.add(t); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, errors)
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.map(_.toLong).toSet == Set(2L, 3L), versions)
+    assert(ids(SnapshotTable.readBranch(spark, path, "audit")) ==
+      (0L until 60L).toSet)
+    assert(SnapshotTable.currentVersion(spark, path).contains(1L),
+      "branch racers must never touch main")
+  }
+
+  test("branch retention: expire pins the fork point; vacuum refcounts branch-only dirs until the ref drops") {
+    val path = tmp("graft-branch-ret")
+    SnapshotTable.ingest(spark, docs(0 until 30), path, "text",
+      expectedItems = 1000L)                                   // v1
+    SnapshotTable.createBranch(spark, path, "audit", Some(1L))
+    SnapshotTable.appendBranch(spark, docs(100 until 120), path, "audit")
+    SnapshotTable.ingest(spark, docs(30 until 60), path, "text",
+      expectedItems = 1000L)                                   // v2
+    SnapshotTable.ingest(spark, docs(60 until 90), path, "text",
+      expectedItems = 1000L)                                   // v3
+    // keep=1 would drop v1 and v2 — but v1 is the live fork point
+    assert(SnapshotTable.expire(spark, path, keep = 1) == 1)
+    assert(SnapshotTable.versions(spark, path) == Seq(1L, 3L))
+    assert(ids(SnapshotTable.readBranch(spark, path, "audit")) ==
+      ((0L until 30L) ++ (100L until 120L)).toSet)
+    // vacuum must treat the branch-only delta dir as live
+    Thread.sleep(50)
+    SnapshotTable.vacuum(spark, path, graceMs = 0L)
+    assert(ids(SnapshotTable.readBranch(spark, path, "audit")) ==
+      ((0L until 30L) ++ (100L until 120L)).toSet)
+    // dropping the ref releases both pins: the delta dir reclaims and
+    // the fork point ages out on the next expire
+    SnapshotTable.dropBranch(spark, path, "audit")
+    Thread.sleep(50)
+    val st = SnapshotTable.vacuum(spark, path, graceMs = 0L)
+    assert(st.nDataDirs >= 1, s"expected the branch delta dir to reclaim: $st")
+    assert(SnapshotTable.expire(spark, path, keep = 1) == 1)
+    assert(SnapshotTable.versions(spark, path) == Seq(3L))
+    assert(ids(SnapshotTable.read(spark, path)) == (0L until 90L).toSet)
+  }
+
+  test("branch appends inherit the table contract: constraints gate, schema drift refuses") {
+    import spark.implicits._
+    val path = tmp("graft-branch-contract")
+    SnapshotTable.ingest(spark, docs(0 until 10), path, "text",
+      expectedItems = 1000L)
+    SnapshotTable.addConstraint(spark, path, "pos_id", "doc_id >= 0",
+      mode = "fail")
+    SnapshotTable.createBranch(spark, path, "audit")
+    val bad = Seq((-5L, "negative")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.appendBranch(spark, bad, path, "audit")
+    }
+    assert(e.getMessage.contains("pos_id"), e.getMessage)
+    val drift = Seq((10L, "t-10", "extra")).toDF("doc_id", "text", "surprise")
+    val e2 = intercept[Exception] {
+      SnapshotTable.appendBranch(spark, drift, path, "audit")
+    }
+    assert(e2.getMessage.contains("surprise") ||
+      e2.getMessage.toLowerCase.contains("schema"), e2.getMessage)
+    // the refusals left nothing staged on the ref
+    assert(SnapshotTable.branches(spark, path) == Map("audit" -> ((2L, 2L))))
+  }
+
+  test("branch SQL faces: option read/write, VERSION AS OF, t$refs, t$branch_, CALL lifecycle") {
+    val wh = tmp("graft-r17-branch-sql")
+    val cat = s"g17b${Integer.toHexString(wh.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE TABLE $cat.bt (doc_id BIGINT, text STRING)")
+      spark.sql(s"INSERT INTO $cat.bt SELECT id, concat('t-', id) FROM range(100)")
+      assert(spark.sql(s"CALL $cat.system.create_branch('bt', branch => 'audit')")
+        .head.getLong(0) == 2L)
+      val path = s"$wh/bt"
+      // the DataFrameWriter branch option stages onto the ref
+      import spark.implicits._
+      (100L until 150L).map(i => (i, s"t-$i")).toDF("doc_id", "text")
+        .write.format("graft").option("branch", "audit").mode("append").save(path)
+      // reader option and catalog faces agree: main 100, branch 150
+      assert(spark.sql(s"SELECT count(*) FROM $cat.bt").head.getLong(0) == 100L)
+      assert(spark.read.format("graft").option("branch", "audit").load(path)
+        .count() == 150L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.bt VERSION AS OF 'audit'")
+        .head.getLong(0) == 150L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.`bt$$branch_audit`")
+        .head.getLong(0) == 150L)
+      assert(spark.sql(s"SELECT * FROM $cat.`bt$$refs`").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq == Seq(("audit", "branch", 2L, 3L)))
+      // branch chains are append-only through every face
+      val e = intercept[UnsupportedOperationException] {
+        (0L until 5L).map(i => (i, s"x-$i")).toDF("doc_id", "text")
+          .write.format("graft").option("branch", "audit").mode("overwrite").save(path)
+      }
+      assert(e.getMessage.contains("append-only"), e.getMessage)
+      // a branch table is batch-read only — no streaming, no V2 writes
+      val cap = GraftTable.forBranch(spark, path, "audit").capabilities()
+      assert(cap.size() == 1 && cap.contains(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ), cap)
+      // publish + drop through CALL; main serves the audited rows
+      assert(spark.sql(s"CALL $cat.system.fast_forward('bt', branch => 'audit')")
+        .head.getLong(0) == 3L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.bt").head.getLong(0) == 150L)
+      spark.sql(s"CALL $cat.system.drop_branch('bt', branch => 'audit')").collect()
+      assert(spark.sql(s"SELECT * FROM $cat.`bt$$refs`").count() == 0L)
+      intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM $cat.bt VERSION AS OF 'audit'").collect()
+      }
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
