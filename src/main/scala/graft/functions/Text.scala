@@ -17,7 +17,11 @@ object Text {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** "BPE-ish" token pieces: letter runs, digit runs, single symbols. */
+  /** "BPE-ish" token pieces: letter runs, digit runs, single symbols.
+    * (round-17 note: `regexp_count` was tried here and reverted — it is
+    * RuntimeReplaceable to Size(RegExpExtractAll(...)), i.e. the exact
+    * same execution, not a materialization saving.)
+    */
   val bpePattern = "[A-Za-z]+|[0-9]+|\\S"
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePattern), lit(0)))
@@ -171,7 +175,19 @@ object Text {
   def langScore(text: Column, pattern: String): Column =
     size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
 
-  /** argmax over marker scores, ties broken by catalog order. */
+  /** argmax over marker scores, ties broken by catalog order.
+    *
+    * Shape note (round-17 A/B, kept declarative): a fused single-scan
+    * combined-alternation kernel (one regex pass + int[5] counts instead
+    * of five regexp_extract_all scans) was built, parity-pinned, and
+    * measured at sf0.1 — p4 (which plans this subtree ~6×) was flat
+    * (+2%) and p1/t2 regressed 25-107%: the combined alternation tries
+    * every branch per position (≈ the same total regex work as five
+    * separate scans), the CodegenFallback eval splits the surrounding
+    * whole-stage-codegen'd projection, and in t2 the declarative form's
+    * five scans are CSE-shared with the emitted s_<lang> columns, which
+    * the kernel cannot reuse. Measured, reverted.
+    */
   def langPredict(text: Column): Column = {
     val scored = langMarkers.map { case (l, p) => (l, langScore(text, p)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))

@@ -150,15 +150,22 @@ object Dedup {
   private[graft] def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
                                  k: Int, shingleLen: Int,
                                  portableHash: Boolean): DataFrame = {
+    // Portable path: the fused [[graft.plans.ShingleMd5Expr]] kernel
+    // replaces shingle-string build + md5→hex→conv per shingle (guide
+    // §1.2 per-task work; same tier as the winnowing kernel). The
+    // distinct moves AFTER hashing (array_distinct over longs, not
+    // strings) — the signature is identical either way: permutation
+    // minima are unaffected by duplicate shingle hashes, and a (never
+    // observed) 60-bit collision collapses two rows whose minima
+    // already coincided.
     val hashed = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"),
         if (portableHash)
-          explode(Text.shingles(Text.tokens(col(textCol)), shingleLen)).as("sh")
+          explode(array_distinct(
+            graft.plans.ShingleMd5Expr(col(textCol), shingleLen, skipEmpty = false))).as("sh")
         else
           explode(Text.shingleHashes(Text.tokens(col(textCol)), shingleLen)).as("sh"))
-      .select(col("id"), pmod(
-        if (portableHash) Text.md5Long(col("sh")) else col("sh"),
-        lit(Text.minhashPrime)).as("h"))
+      .select(col("id"), pmod(col("sh"), lit(Text.minhashPrime)).as("h"))
     // custom one-pass TypedImperativeAggregate (graft.plans.MinHashSigAgg):
     // one long[k] buffer per group instead of k separate min() aggregates
     hashed.groupBy(col("id")).agg(expr(s"graft_minhash_sig(h, $k)").as("sig"))
@@ -637,20 +644,20 @@ object Dedup {
     // Same materialization reasoning as minhash: per-bit ±1 sums as a
     // real aggregation (map-side combinable), simhash assembled from the
     // aggregated attributes. `portableHash` swaps the token hash for the
-    // oracle-replayable [[Text.md5Long]].
+    // oracle-replayable [[Text.md5Long]], fused per row by
+    // [[graft.plans.ShingleMd5Expr]] with k = 1 (per-token hashes, no
+    // per-token string explode + hex round trip).
     val tok = graft.Tables.spread(docs, col(idCol))
-      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
-      .select(col("id"),
-        (if (portableHash) Text.md5Long(col("t")) else xxhash64(col("t"))).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$b")
-    }
-    val agged = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val simBits = (0 until 64).map { b =>
-      // b = 63 is Long.MinValue — still a plain bit under OR/XOR.
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val sh = agged.select(col("id"), simBits.as("sim"))
+      .select(col(idCol).as("id"),
+        if (portableHash)
+          explode(graft.plans.ShingleMd5Expr(col(textCol), 1, skipEmpty = false)).as("h")
+        else
+          explode(transform(Text.tokens(col(textCol)), t => xxhash64(t))).as("h"))
+    // Round-17: the 64 per-bit ±1 sums + 64-way bit assembly fused into
+    // one TypedImperativeAggregate ([[graft.plans.SimHashSigAgg]]) — a
+    // single long[64] buffer pass per row instead of 64 aggregate
+    // expressions, identical sim long out (same sums, same >0 cut).
+    val sh = tok.groupBy(col("id")).agg(expr("graft_simhash_sig(h)").as("sim"))
     val banded = sh.select(col("id"), col("sim"), explode(array(
       (0 until 4).map(b => concat(lit(s"$b:"),
         shiftright(col("sim"), b * 16).bitwiseAND(0xffffL).cast("string"))): _*)).as("band"))
@@ -710,6 +717,14 @@ object Dedup {
   def winnowingPairs(fps: DataFrame, maxFpDf: Int = 100,
                      minSharedFps: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Shape note (round-17 A/B, REVERTED): splitting `sz` out of the
+    // join sides and joining it back after the pair aggregation looked
+    // like two exchanges saved per side, but AQE broadcasts the (small
+    // post-cap) build side, which breaks ReuseExchange — the fingerprint
+    // kernel subtree then computes FOUR times (probe, broadcast build,
+    // and twice more for the split-out sz branches) and d17 measured
+    // +24% at sf0.1. Carrying sz through a second window keeps the
+    // whole thing ONE subtree that both join sides reuse.
     val capped = fps
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("df") <= maxFpDf).drop("df")
@@ -748,12 +763,21 @@ object Dedup {
   def repeatedRuns(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, portableHash: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = docs
-      .select(col(idCol),
-        posexplode(Text.shinglesAt(Text.tokens(col(textCol)), k)))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        (if (portableHash) Text.md5Long(col("col"))
-         else xxhash64(col("col"))).as("h"))
+    // Portable path: positioned shingle hashes from the fused
+    // [[graft.plans.ShingleMd5Expr]] kernel — identical (pos, h) pairs
+    // to posexplode(shinglesAt)+md5Long at a fraction of the per-row
+    // cost (this subtree is planned TWICE: occurrence-count side and
+    // probe side), so halving its unit cost pays double.
+    val pos =
+      if (portableHash) docs
+        .select(col(idCol),
+          posexplode(graft.plans.ShingleMd5Expr(col(textCol), k, skipEmpty = false)))
+        .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("h"))
+      else docs
+        .select(col(idCol),
+          posexplode(Text.shinglesAt(Text.tokens(col(textCol)), k)))
+        .select(col(idCol), col("pos").cast("long").as("pos"),
+          xxhash64(col("col")).as("h"))
     val rep = pos.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("h")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSigAgg(children(0), k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSigAgg].getName, "graft_simhash_sig"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"graft_simhash_sig(hash) takes 1 argument, got ${children.length}")
+        SimHashSigAgg(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_theta_sketch"),
       new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_sketch"),
       (children: Seq[Expression]) => {

@@ -353,32 +353,43 @@ object TrainingData {
   // text intact.
   private val d20 = Q(
     (s, dir) => {
+      // Round-17 shape (guide §2.4 remove shuffles outright): runs are
+      // MAXIMAL DISJOINT intervals (island detection merges overlapping
+      // spans, consecutive runs are separated by ≥ 2 positions), so
+      //   n_removed = Σ (p1 − p0 + 1)  — no covered-position explode —
+      // and the cleaned text is a ROW-LOCAL positional filter of the
+      // token array against the doc's (tiny) interval list, instead of
+      // the r16 form's corpus-sized covered explode + token posexplode
+      // + (doc, pos)-keyed anti-join + collect_list/array_sort rebuild.
+      // Exchanges drop from 4 token-level (covered, toksP, anti-join,
+      // rebuild agg) to 1 doc-level (the runs rollup); the token corpus
+      // never leaves its row. Output is bit-identical: kept tokens stay
+      // in position order, untouched docs pass through with their
+      // whitespace normalized to single spaces exactly as the
+      // collect_list rebuild produced, and fully-excised docs were
+      // already dropped by the 80%-coverage gate in both forms.
       val docs = t(s, dir, "documents")
       val spreadDocs = Tables.spread(docs, col("doc_id"))
       val runs = Dedup.repeatedRuns(spreadDocs, "doc_id", "text", d19k,
         portableHash = true)
-      val covered = runs.select(col("doc_id"),
-        explode(sequence(col("p0"), col("p1"))).as("pos"))
-      val toksP = spreadDocs
-        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          col("col").as("tok"))
-      val totals = docs.select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("n_toks"))
-      val removed = covered.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_removed"))
-      val cleaned = toksP.join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " ").as("cleaned_text"))
-      totals
-        .join(removed, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_removed"))
+      val runList = runs.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("p0"), col("p1"))).as("rs"),
+          sum(col("p1") - col("p0") + 1).as("n_removed"))
+      spreadDocs
+        .join(runList, Seq("doc_id"), "left")
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
         .filter(col("n_removed") * 5 < col("n_toks") * 4)
-        .join(cleaned, Seq("doc_id"))
-        .select("doc_id", "n_toks", "n_kept", "n_removed", "cleaned_text")
+        .withColumn("kept",
+          when(col("rs").isNull, col("toks")).otherwise(
+            filter(col("toks"), (_, i) =>
+              !exists(col("rs"), r =>
+                i.cast("long") >= r.getField("p0") && i.cast("long") <= r.getField("p1")))))
+        .select(col("doc_id"), col("n_toks"),
+          size(col("kept")).cast("long").as("n_kept"),
+          col("n_removed"),
+          array_join(col("kept"), " ").as("cleaned_text"))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -2984,24 +2995,34 @@ object TrainingData {
   private val t34 = Q(
     (s, dir) => {
       val B = 64L
-      val toks = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
-        .select(col("doc_id"), col("source"),
-          explode(filter(split(trim(lower(col("text"))), "\\s+"),
-            x => x =!= "")).as("w"))
-        .withColumn("b", Text.md5Long(col("w")) % B)
-      val cnt = toks.groupBy(col("b").as("cb")).agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
-        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
+      // Round-17 single-pass shape: tokens hash through the fused
+      // per-token kernel (skipEmpty = the x <> '' filter; identical
+      // buckets to md5Long(w) % B) and collapse IMMEDIATELY to
+      // (doc_id, source, bucket) counts — one tokenize+hash pass over
+      // the corpus instead of the r16 form's two (bucket-count pass +
+      // scoring pass), and both downstream aggregations re-aggregate
+      // the compressed ≤64-buckets-per-doc table. The per-doc weight
+      // Σ llr is decimal-exact either way: summing cast(llr)·c equals
+      // summing cast(llr) over c token rows (decimal × integral is
+      // exact, no rounding until the final double cast).
+      val byBucket = graft.Tables.spread(t(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"), (col("source") === "src0").as("is_t"),
+          explode(graft.plans.ShingleMd5Expr(lower(col("text")), 1, skipEmpty = true)).as("hw"))
+        .groupBy(col("doc_id"), col("is_t"), (col("hw") % B).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val cnt = byBucket.groupBy(col("b").as("cb")).agg(
+        sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), col("c")).otherwise(0L)).as("cr"))
       val tot = cnt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
       val llr = cnt.crossJoin(broadcast(tot))
         .select(col("cb"),
           Det.qz(log((col("ct") + lit(1.0)) / (col("nt") + lit(B.toDouble))) -
             log((col("cr") + lit(1.0)) / (col("nr") + lit(B.toDouble))), 6).as("llr"))
-      toks.filter(col("source") =!= "src0")
+      byBucket.filter(!col("is_t"))
         .join(broadcast(llr), col("b") === col("cb"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"),
-          Det.qz(Det.dsum(col("llr"))).as("weight"))
+        .agg(sum(col("c")).as("n_toks"),
+          Det.qz(sum(col("llr").cast(Det.D) * col("c")).cast("double")).as("weight"))
         .orderBy(col("weight").desc, col("doc_id")).limit(100)
     },
     Some(s"""
