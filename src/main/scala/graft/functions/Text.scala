@@ -18,13 +18,17 @@ object Text {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** "BPE-ish" token pieces: letter runs, digit runs, single symbols.
-    * (round-17 note: `regexp_count` was tried here and reverted — it is
-    * RuntimeReplaceable to Size(RegExpExtractAll(...)), i.e. the exact
-    * same execution, not a materialization saving.)
+    * Counted by the [[graft.plans.MatchCountExpr]] kernel — the same
+    * compiled Pattern and find() loop as size(regexp_extract_all(...)),
+    * minus materializing every matched piece into an array first (for
+    * this pattern the match array IS the document, re-allocated).
+    * Spark's own `regexp_count` was tried and is NOT this: it is
+    * RuntimeReplaceable to Size(RegExpExtractAll(...)) — the identical
+    * execution.
     */
   val bpePattern = "[A-Za-z]+|[0-9]+|\\S"
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+    graft.plans.MatchCountExpr(text, bpePattern)
 
   /** Distinct k-word shingles. Empty array when the doc is shorter than k
     * (Spark's `sequence(0, n)` counts *down* for negative n, so the guard

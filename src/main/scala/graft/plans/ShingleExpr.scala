@@ -43,11 +43,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * `filter(split(trim(text), "\\s+"), t => t =!= "")` feeding per-token
   * (k = 1) hashes (the t34 shape).
   *
+  * `full` emits the COMPLETE 16-byte digest per shingle (array<binary>)
+  * instead of the 60-bit prefix long — the fused form of
+  * `md5(shingle-string)` used as a JOIN IDENTITY (t11/t35/t30): binary
+  * equality of the raw digest is exactly hex-string equality of `md5()`
+  * (hex encoding is injective), so join/distinct results are unchanged
+  * while keys shrink from 32-char strings to 16 bytes.
+  *
   * Docs shorter than k tokens yield an empty array. Null text yields
   * null (nullSafeEval), which every consumer explodes to zero rows —
   * the same rows the declarative form produces.
   */
-case class ShingleMd5Expr(child: Expression, k: Int, skipEmpty: Boolean = false)
+case class ShingleMd5Expr(child: Expression, k: Int, skipEmpty: Boolean = false,
+                          full: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 1, s"degenerate shingle length k=$k")
@@ -58,7 +66,9 @@ case class ShingleMd5Expr(child: Expression, k: Int, skipEmpty: Boolean = false)
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"graft_shingle_md5 expects string, got $other")
     }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (full) ArrayType(BinaryType, containsNull = false)
+    else ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_shingle_md5"
 
@@ -98,9 +108,13 @@ case class ShingleMd5Expr(child: Expression, k: Int, skipEmpty: Boolean = false)
     }
     // the final segment: possibly empty (trailing separator run, or "")
     if (!(skipEmpty && tokStart == hi)) add(tokStart, hi)
-    if (n < k) return new GenericArrayData(Array.empty[Long])
+    if (n < k)
+      return new GenericArrayData(
+        if (full) Array.empty[Array[Byte]] else Array.empty[Long])
     val md = ShingleMd5Expr.digest.get()
-    val out = new Array[Long](n - k + 1)
+    val nOut = n - k + 1
+    val outL = if (full) null else new Array[Long](nOut)
+    val outB = if (full) new Array[Array[Byte]](nOut) else null
     var p = 0
     while (p <= n - k) {
       md.reset()
@@ -111,14 +125,17 @@ case class ShingleMd5Expr(child: Expression, k: Int, skipEmpty: Boolean = false)
         j += 1
       }
       val d = md.digest()
-      // first 15 hex chars of md5 parsed base-16 = first 60 bits BE
-      var acc = 0L
-      var b = 0
-      while (b < 7) { acc = (acc << 8) | (d(b) & 0xffL); b += 1 }
-      out(p) = (acc << 4) | ((d(7) & 0xffL) >>> 4)
+      if (full) outB(p) = d
+      else {
+        // first 15 hex chars of md5 parsed base-16 = first 60 bits BE
+        var acc = 0L
+        var b = 0
+        while (b < 7) { acc = (acc << 8) | (d(b) & 0xffL); b += 1 }
+        outL(p) = (acc << 4) | ((d(7) & 0xffL) >>> 4)
+      }
       p += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (full) outB else outL)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -129,9 +146,16 @@ object ShingleMd5Expr {
   private val digest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** Column-facing constructor. */
+  /** Column-facing constructor (60-bit prefix longs). */
   def apply(text: org.apache.spark.sql.Column, k: Int, skipEmpty: Boolean)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftSqlShim.column(
       new ShingleMd5Expr(org.apache.spark.sql.GraftSqlShim.expression(text), k, skipEmpty))
+
+  /** Column-facing constructor, full 16-byte digests (join-identity mode). */
+  def full(text: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      new ShingleMd5Expr(org.apache.spark.sql.GraftSqlShim.expression(text), k,
+        skipEmpty = false, full = true))
 }

@@ -1206,13 +1206,17 @@ object TrainingData {
   private val t11s = 13
   private val t11 = Q(
     (s, dir) => {
+      // Round-17: both sides hash shingles through the fused kernel's
+      // full-digest mode — the 16-byte binary join identity is exactly
+      // md5-hex-string equality (hex is injective), with no per-shingle
+      // string build and half the broadcast key bytes.
       val docs = t(s, dir, "documents")
       val bsh = docs.filter(col("doc_id") % 50 === 0)
-        .select(explode(Text.shingles(Text.tokens(col("text")), t11s)).as("sh"))
-        .select(md5(col("sh")).as("bh")).distinct()
+        .select(explode(array_distinct(
+          graft.plans.ShingleMd5Expr.full(col("text"), t11s))).as("bh")).distinct()
       val csh = graft.Tables.spread(docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"))
-        .select(col("doc_id"), explode(Text.shingles(Text.tokens(col("text")), t11s)).as("sh"))
-        .select(col("doc_id"), md5(col("sh")).as("h"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.plans.ShingleMd5Expr.full(col("text"), t11s))).as("h"))
       csh.join(broadcast(bsh), col("h") === col("bh"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
@@ -1750,19 +1754,28 @@ object TrainingData {
   // quantization absorbs libm log2 ulp skew.
   private val t15 = Q(
     (s, dir) => {
-      val lt = lower(col("text"))
-      def cnt(ch: Char) = length(lt) - length(replace(lt, lit(ch.toString), lit("")))
-      val letters = ('a' to 'z').map(cnt)
-      val nL = letters.reduce(_ + _).cast("long")
-      val nl = col("n_letters").cast("double")
-      val ent = ('a' to 'z').map { ch =>
-        val c = cnt(ch).cast("double")
-        when(c > 0, -(c / nl) * log2(c / nl)).otherwise(lit(0.0))
-      }.reduce(_ + _)
+      // Round-17: the 26 length-after-replace counts (each a full copy
+      // of the lowered document) fuse into ONE byte scan —
+      // [[graft.plans.LetterCountsExpr]] — bound as a lambda variable so
+      // the kernel evaluates once per row; the sum chain and the
+      // -(c/n)·log2(c/n) terms keep the exact a→z left association, so
+      // the doubles (and the quantized cut) are bit-identical.
+      val lc = graft.plans.LetterCountsExpr(lower(col("text")))
+      val packed = element_at(transform(array(lc), a => {
+        def cnt(i: Int) = element_at(a, i + 1)
+        val nL = (0 until 26).map(cnt).reduce(_ + _).cast("long")
+        val nl = nL.cast("double")
+        val ent = (0 until 26).map { i =>
+          val c = cnt(i).cast("double")
+          when(c > 0, -(c / nl) * log2(c / nl)).otherwise(lit(0.0))
+        }.reduce(_ + _)
+        struct(nL.as("n_letters"), ent.as("ent"))
+      }), 1)
       t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), nL.as("n_letters"))
+        .select(col("doc_id"), packed.as("p"))
+        .select(col("doc_id"), col("p.n_letters").as("n_letters"), col("p.ent").as("ent"))
         .filter(col("n_letters") > 0)
-        .withColumn("entropy", Det.qz(ent))
+        .withColumn("entropy", Det.qz(col("ent")))
         .withColumn("keep", (col("entropy") >= 2.0) && (col("entropy") <= 4.5))
         .select("doc_id", "n_letters", "entropy", "keep")
         .orderBy("doc_id")
@@ -2769,8 +2782,13 @@ object TrainingData {
   private val t30 = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // Round-17: shingle identity is the fused kernel's full 16-byte
+      // digest (== md5-hex equality, the d1/d22 identity convention) —
+      // the corpus-wide distinct and the self-join exchange carry fixed
+      // 16-byte keys instead of built shingle strings.
       val sh = docs
-        .select(col("source"), explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+        .select(col("source"), explode(array_distinct(
+          graft.plans.ShingleMd5Expr.full(col("text"), 3))).as("sh"))
         .distinct()
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
@@ -3068,19 +3086,21 @@ object TrainingData {
   private val t35k = 3
   private val t35 = Q(
     (s, dir) => {
+      // Round-17: distinct shingle sets as fused full digests (16-byte
+      // binary join identity == md5-hex equality; set sizes identical —
+      // distinct-of-digests vs digest-of-distinct-strings agree short of
+      // an md5 collision, the same identity d1/d22 already stand on).
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("bid"),
-          Text.shingles(Text.tokens(col("text")), t35k).as("barr"))
+          array_distinct(graft.plans.ShingleMd5Expr.full(col("text"), t35k)).as("barr"))
         .select(col("bid"), size(col("barr")).as("nb"),
-          explode(col("barr")).as("bsh"))
-        .select(col("bid"), col("nb"), md5(col("bsh")).as("bh"))
+          explode(col("barr")).as("bh"))
       val corp = graft.Tables.spread(docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"))
         .select(col("doc_id"),
-          Text.shingles(Text.tokens(col("text")), t35k).as("arr"))
+          array_distinct(graft.plans.ShingleMd5Expr.full(col("text"), t35k)).as("arr"))
         .select(col("doc_id"), size(col("arr")).as("na"),
-          explode(col("arr")).as("sh"))
-        .select(col("doc_id"), col("na"), md5(col("sh")).as("h"))
+          explode(col("arr")).as("h"))
       val ov = corp.join(broadcast(bench), col("h") === col("bh"))
         .groupBy(col("doc_id"), col("na"), col("bid"), col("nb"))
         .agg(count(lit(1)).as("inter"))

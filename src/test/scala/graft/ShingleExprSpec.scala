@@ -87,6 +87,21 @@ class ShingleExprSpec extends SparkSpec {
     assert(bad.isEmpty, s"mismatches on ids ${bad.map(_.getLong(0)).toSeq}")
   }
 
+  test("full-digest mode matches md5(shingle-string) hex for hex (join identity)") {
+    val df = edgeCases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (k <- Seq(1, 3, 13)) {
+      val got = df.select(col("id"),
+          transform(graft.plans.ShingleMd5Expr.full(col("text"), k),
+            b => lower(hex(b))).as("a"),
+          transform(Text.shinglesAt(Text.tokens(col("text")), k), s => md5(s)).as("b"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"k=$k id=${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
   test("null text yields null, short docs yield empty") {
     val df = Seq((1L, null: String), (2L, "one two")).toDF("id", "text")
     val got = df.select(col("id"), ShingleMd5Expr(col("text"), 5, skipEmpty = false).as("a"))
