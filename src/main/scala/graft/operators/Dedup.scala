@@ -356,6 +356,14 @@ object Dedup {
   def dbscan(points: DataFrame, idCol: String, vecCol: String,
              minCosine: Double, minPts: Int,
              blockBits: Int = 0): DataFrame = {
+    // Shape note (round-17 A/B, REVERTED): eagerly localCheckpoint-ing
+    // the pair list — it feeds sym twice, the core-core filter, the
+    // border attachment, plus connectedComponents' own collect action —
+    // measured d16 1.5→2.5 s: the eager materialization serializes the
+    // pipeline where the scheduler was already overlapping the
+    // duplicate branches within each action (the p4 lesson, not the
+    // hdbscan-mr one — mr's checkpoint pays off because the per-level
+    // CC loop crosses MANY actions over the SAME filtered edges).
     val pairs = embeddingCosinePairs(points, idCol, vecCol, minCosine, blockBits)
       .select("id1", "id2")
     val sym = pairs.union(pairs.select(col("id2"), col("id1"))).toDF("id", "nb")
@@ -435,6 +443,13 @@ object Dedup {
         "(edges below the floor were never generated)")
     val mcs = if (minClusterSize > 0) minClusterSize else minPts
     val lvls = levels.sorted(Ordering[Double].reverse)
+    // Shape note (round-17 A/B, REVERTED): an additional eager
+    // localCheckpoint of the raw pair list (cnt/core/mr/final joins all
+    // replan the cosine tier) measured d18 2.4→4.0 s — within one
+    // action the scheduler overlaps the duplicate branches and the
+    // eager materialization only serializes them. The mr checkpoint
+    // below is the one that pays: the per-level CC loop crosses many
+    // ACTIONS over the same filtered edge set.
     val pairs = embeddingCosinePairs(points, idCol, vecCol, simFloor, blockBits)
     val sym = pairs.select(col("id1").as("id"), col("id2").as("nb"), col("cos"))
       .unionByName(pairs.select(col("id2").as("id"), col("id1").as("nb"), col("cos")))

@@ -14,7 +14,7 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADDOPENS \
+exec java $ADDOPENS ${JVM_EXTRA:-} \
   -Xmx"${JVM_MEM:-8g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
