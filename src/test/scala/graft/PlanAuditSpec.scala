@@ -405,12 +405,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(1200))
   }
 
-  test("d20: excision anti-join is equi-keyed and the rebuild is doc-local") {
+  test("d20: the excision is row-local — no token-level joins or explodes remain") {
     val p = planOf("d20_substr_excise")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"pairwise join shape in d20:\n${p.take(1200)}")
-    assert(p.contains("LeftAnti"), "kept-positions anti-join missing")
+    // round-17 shape: the r16 covered-position explode + (doc,pos) anti-
+    // join + collect_list rebuild collapsed into a per-doc interval list
+    // joined back to the doc scan, with the cleaned text rebuilt by a
+    // row-local positional filter — the token corpus never leaves its
+    // row, so NO anti-join and no token-keyed exchange may reappear
+    assert(!p.contains("LeftAnti"),
+      s"token-level anti-join reappeared in d20:\n${p.take(1200)}")
+    assert(p.contains("collect_list"), "per-doc run-interval rollup missing")
   }
 
   test("t34: the DSIR LLR table broadcasts — the corpus never shuffles for it") {
