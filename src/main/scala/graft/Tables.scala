@@ -91,6 +91,31 @@ object Tables {
     if (df.queryExecution.toRdd.getNumPartitions >= target) df
     else df.repartition(by)
   }
+
+  /** Within-query staged materialization (guide §2.4/§8: compute a
+    * decision tier ONCE, fan consumers out from the materialized copy):
+    * writes `df` to a per-application temp dir and reads it back, so a
+    * subtree Catalyst would otherwise re-plan once per consumer executes
+    * exactly once per query run.
+    *
+    * NOT a cross-run cache: the write runs UNCONDITIONALLY on every call
+    * (mode=overwrite, no freshness check), inside the caller's own
+    * invocation — the bench times it, and two bench sweeps pay it twice.
+    * The dir is keyed on the Spark applicationId so concurrent processes
+    * (Bench vs Verify) never read each other's staging, and repeated
+    * calls within one application reuse the same path rather than
+    * accreting files.
+    */
+  def stageOnce(df: DataFrame, tag: String): DataFrame = {
+    val s = df.sparkSession
+    val user = Integer.toHexString(
+      System.getProperty("user.name", "anon").hashCode)
+    val path = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-$user"),
+      s"stage-$tag-${s.sparkContext.applicationId}").toString
+    df.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
 }
 
 /** One place for SparkSession construction so Verify / Bench / tests all

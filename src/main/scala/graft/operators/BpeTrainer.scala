@@ -62,13 +62,33 @@ object BpeTrainer {
   private def symbols(seg: Column): Column =
     split(regexp_replace(seg, s"^$O|$C$$", ""), s"$C$O")
 
-  /** Train `merges` rounds over a (w, cnt) word table. Driver work per
-    * round: exactly one 1-row collect (the argmax); all pair counting
-    * and re-segmentation stays distributed. Stops early when no
-    * adjacent pair remains (every word fused to one symbol).
+  /** Train `merges` rounds over a (w, cnt) word table. Stops early when
+    * no adjacent pair remains (every word fused to one symbol).
+    *
+    * Bounded fast path (r18, the [[Dedup.connectedComponents]] pattern —
+    * guide §1.2 step 1, fewer actions): the word table is VOCABULARY-
+    * scale, so when it fits under `driverWordLimit` one bounded collect
+    * replaces the whole per-round action ladder (a localCheckpoint job
+    * plus a pair-count aggregation + 1-row argmax collect PER ROUND —
+    * ~2·merges+1 Spark jobs) with a single job and an in-memory BPE loop
+    * that replays the identical greedy semantics: exact pair counts,
+    * argmax tie-broken on (count DESC, left ASC, right ASC) in UTF-8
+    * BYTE order (Spark string ordering is unsigned byte comparison, NOT
+    * Java's UTF-16 compareTo), merges applied left-to-right
+    * non-overlapping exactly like the segmentation-string `replace`.
+    * Round15Spec pins the two paths merge-for-merge.
+    *
+    * Overflowing word tables (a 100 TB corpus' open vocabulary) run the
+    * distributed loop unchanged: per round one vocab-scale aggregation +
+    * a 1-row argmax collect, no driver-side word data ever.
     */
-  def train(words: DataFrame, merges: Int): Seq[Merge] = {
+  def train(words: DataFrame, merges: Int,
+            driverWordLimit: Int = 1 << 20): Seq[Merge] = {
     require(merges >= 0, s"merges must be >= 0, got $merges")
+    val bounded = words.select(col("w").cast("string"), col("cnt").cast("long"))
+      .limit(driverWordLimit + 1).collect()
+    if (bounded.length <= driverWordLimit)
+      return trainLocal(bounded.map(r => (r.getString(0), r.getLong(1))), merges)
     var segs = words.select(col("cnt"), initialSeg(col("w")).as("seg"))
       .localCheckpoint(true)
     val out = Seq.newBuilder[Merge]
@@ -97,6 +117,104 @@ object BpeTrainer {
     val res = out.result()
     segs.unpersist()
     res
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's binary string ordering
+    * (UTF8String.compareTo), which differs from Java String.compareTo
+    * on supplementary characters (UTF-16 surrogates sort differently).
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** In-memory replay of the distributed training loop over a bounded
+    * (word, count) table — same pair counts, same argmax total order,
+    * same greedy left-to-right non-overlapping merge application (the
+    * string `replace` never re-matches INTO its own replacement: the
+    * merged symbol `lr` cannot equal the single symbol `l`, so scanning
+    * resumes after the consumed pair exactly like the symbol-array walk
+    * here).
+    */
+  private def trainLocal(words: Array[(String, Long)], merges: Int): Seq[Merge] = {
+    // each word as its character-symbol array (codepoint-safe: the
+    // initialSeg regex "(.)"-wraps CHARACTERS, and Java's "." matches a
+    // full codepoint, so surrogate pairs stay one symbol)
+    var segs: Array[Array[String]] = words.map { case (w, _) =>
+      val out = new Array[String](w.codePointCount(0, w.length))
+      var i = 0
+      var o = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        out(o) = w.substring(i, i + n)
+        i += n
+        o += 1
+      }
+      out
+    }
+    val cnts = words.map(_._2)
+    val out = Seq.newBuilder[Merge]
+    var r = 0
+    var exhausted = false
+    while (r < merges && !exhausted) {
+      val pairCnt = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < segs.length) {
+        val s = segs(wi)
+        val c = cnts(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          pairCnt.merge((s(i), s(i + 1)), c, _ + _)
+          i += 1
+        }
+        wi += 1
+      }
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        var bl: String = null
+        var br: String = null
+        var bn = Long.MinValue
+        val it = pairCnt.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val (l, rr) = e.getKey
+          val n = e.getValue
+          val better = n > bn || (n == bn && {
+            val dl = utf8Cmp(l, bl)
+            dl < 0 || (dl == 0 && utf8Cmp(rr, br) < 0)
+          })
+          if (better) { bl = l; br = rr; bn = n }
+        }
+        out += Merge(r + 1, bl, br, bn)
+        segs = segs.map { s =>
+          if (s.length < 2) s
+          else {
+            val nb = Array.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == bl && s(i + 1) == br) {
+                nb += bl + br
+                i += 2
+              } else {
+                nb += s(i)
+                i += 1
+              }
+            }
+            nb.result()
+          }
+        }
+        r += 1
+      }
+    }
+    out.result()
   }
 
   /** Re-segment a word table under an already-learned merge list (the

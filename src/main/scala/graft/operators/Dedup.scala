@@ -465,26 +465,12 @@ object Dedup {
       .select(col("id"), col("nn").as("n_neighbors"))
     val core = ranked.filter(col("rn") === minPts)
       .select(col("id"), col("cos").as("core_sim"))
-    val mr = pairs
+    val mrEdges = pairs
       .join(core.select(col("id").as("id1"), col("core_sim").as("cs1")), "id1")
       .join(core.select(col("id").as("id2"), col("core_sim").as("cs2")), "id2")
       .select(col("id1"), col("id2"),
         least(col("cos"), col("cs1"), col("cs2")).as("mr"))
-      // Materialize the mutual-reachability edges ONCE: every λ level
-      // below re-filters this pair list, and without the checkpoint each
-      // level's connectedComponents call (whose bounded fast path is an
-      // action) re-derives embeddingCosinePairs + the core-sim window +
-      // both joins from scratch — L full passes over the pair machinery.
-      .localCheckpoint(true)
-    // One CC per level over the λ-filtered mr-edges; label carries the
-    // level so clusters selected at different cut heights can't collide.
-    val perLevel = lvls.zipWithIndex.map { case (lambda, l) =>
-      val cc = connectedComponents(mr.filter(col("mr") >= lambda), "id1", "id2")
-      val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
-      cc.join(sizes, "cluster")
-        .select(col("id"), lit(l).as("lvl"), col("cluster"), col("sz"))
-    }
-    val labs = perLevel.reduce(_ unionByName _)
+    val labs = connectedComponentsAtLevels(mrEdges, "id1", "id2", "mr", lvls)
     val birth = labs.groupBy(col("id")).agg(min(col("lvl")).as("birth_level"))
     // stability-lite: smallest level index (highest λ) whose component
     // already has >= mcs members
@@ -616,6 +602,98 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still moving) — raise maxIter (components deeper than it exist)")
     labels.withColumnRenamed("lbl", "cluster")
+  }
+
+  /** Multi-threshold connected components in ONE pass over the edge
+    * list: rows (id, lvl, cluster, sz) for every threshold level, where
+    * level l's graph is {edges | `wCol` >= thresholds(l)}. Thresholds
+    * are DESCENDING, so the per-level edge sets are NESTED and one
+    * min-root union-find can grow incrementally — each level adds only
+    * the edges its predecessor lacked, then snapshots labels and
+    * component sizes.
+    *
+    * Why (r18, guide §1.2 step 1 — fewer actions over the same data):
+    * the previous shape ran one [[connectedComponents]] call per level,
+    * each a separate collect ACTION over the λ-filtered edge list, plus
+    * an eager localCheckpoint of the edges to keep those L actions from
+    * re-deriving the pair machinery. One bounded collect now replaces
+    * the checkpoint job AND all L per-level collects. The fixpoint is
+    * identical: min-root union-find and min-label propagation both
+    * converge to the per-component minimum id, and sizes count the same
+    * per-level membership (ids incident to a surviving edge).
+    *
+    * Scale path: when the edge list overflows `driverEdgeLimit`, the
+    * distributed per-level loop runs exactly as before (checkpoint once,
+    * one distributed CC per level) — billions of mr edges at 100 TB
+    * never collect.
+    */
+  private[graft] def connectedComponentsAtLevels(
+      edgesW: DataFrame, id1: String, id2: String, wCol: String,
+      thresholds: Seq[Double],
+      driverEdgeLimit: Int = 4 << 20): DataFrame = {
+    require(thresholds.nonEmpty &&
+      thresholds == thresholds.sorted(Ordering[Double].reverse),
+      s"thresholds must be descending, got $thresholds")
+    val spark = edgesW.sparkSession
+    val integralIds = edgesW.schema(id1).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val bounded: Array[(Long, Long, Double)] = if (!integralIds) null else {
+      import spark.implicits._
+      edgesW.select(col(id1).cast("long"), col(id2).cast("long"),
+        col(wCol).cast("double"))
+        .limit(driverEdgeLimit + 1).as[(Long, Long, Double)].collect()
+    }
+    if (bounded != null && bounded.length <= driverEdgeLimit) {
+      import spark.implicits._
+      // heaviest first: level l consumes the prefix with w >= thresholds(l)
+      val sorted = bounded.sortBy(-_._3)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      val rows = Seq.newBuilder[(Long, Int, Long, Long)]
+      var ei = 0
+      thresholds.zipWithIndex.foreach { case (lambda, l) =>
+        while (ei < sorted.length && sorted(ei)._3 >= lambda) {
+          val (a, b, _) = sorted(ei)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+          ei += 1
+        }
+        // snapshot this level: every id incident to a consumed edge
+        val sz = new java.util.HashMap[Long, Long]()
+        val it0 = parent.keySet().iterator()
+        while (it0.hasNext) { val r = find(it0.next()); sz.merge(r, 1L, _ + _) }
+        val it = parent.keySet().iterator()
+        while (it.hasNext) {
+          val id = it.next(); val r = find(id)
+          rows += ((id, l, r, sz.get(r)))
+        }
+      }
+      val idType = edgesW.schema(id1).dataType
+      rows.result().toDF("id", "lvl", "cluster", "sz")
+        .select(col("id").cast(idType).as("id"), col("lvl"),
+          col("cluster").cast(idType).as("cluster"), col("sz"))
+    } else {
+      // Materialize the edges ONCE: every λ level below re-filters this
+      // list, and without the checkpoint each level's CC would re-derive
+      // the whole upstream pair machinery.
+      val mr = edgesW.localCheckpoint(true)
+      thresholds.zipWithIndex.map { case (lambda, l) =>
+        val cc = connectedComponents(mr.filter(col(wCol) >= lambda), id1, id2)
+        val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        cc.join(sizes, "cluster")
+          .select(col("id"), lit(l).as("lvl"), col("cluster"), col("sz"))
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Cluster roll-up of [[connectedComponents]]: one row per cluster

@@ -556,13 +556,17 @@ object SimilaritySearch {
             lshBucket(col(vecCol), dims, bits, planeOffset = t * bits))): _*)).as("bucket"))
     val q = bucketed(queries, "qid", "qvec")
     val c = bucketed(candidates, "cid", "cvec")
+    // Score BEFORE the (qid, cid) dedup exchange (r18, guide §2.3
+    // shuffle fewer bytes): cosineFast is deterministic, so duplicate
+    // collisions (same pair in several tables) carry identical cos and
+    // dropDuplicates keeps the same value whichever row survives — but
+    // the exchange now moves 3 scalars per pair instead of two full
+    // vectors. (The fast path compiles to the native DotProductF via
+    // the injected optimizer rule; non-oracle scoring, so the
+    // decimal-exact form isn't required here.)
     val scored = q.join(c, "bucket")
-      .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
-      .dropDuplicates("qid", "cid")
-      // fast path: cosineFast compiles to the native DotProductF via the
-      // injected optimizer rule (non-oracle scoring, so the decimal-exact
-      // form isn't required here)
       .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
+      .dropDuplicates("qid", "cid")
     rankTopK(scored, k)
   }
 
@@ -608,10 +612,14 @@ object SimilaritySearch {
       }
     }: _*)
     val q = q0.withColumn("bucket", explode(probes)).drop("hb", "fo")
+    // Score BEFORE the (qid, cid) dedup exchange (r18, guide §2.3): a
+    // pair colliding in several probes scores identically each time
+    // (cosineFast is deterministic), so dropDuplicates keeps the same
+    // cos whichever row survives — and the exchange carries 3 scalars
+    // per pair instead of two 64-float vectors.
     val scored = q.join(c, "bucket")
-      .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
-      .dropDuplicates("qid", "cid")
       .select(col("qid"), col("cid"), Text.cosineFast(col("qvec"), col("cvec")).as("cos"))
+      .dropDuplicates("qid", "cid")
     rankTopK(scored, k)
   }
 

@@ -3,8 +3,8 @@ package graft.plans
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical — and only a counter survives.
   */
 case class MatchCountExpr(child: Expression, pattern: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -36,12 +36,26 @@ case class MatchCountExpr(child: Expression, pattern: String)
     ThreadLocal.withInitial(() => p.matcher(""))
   }
 
-  override def nullSafeEval(v: Any): Any = {
+  override def nullSafeEval(v: Any): Any =
+    countMatches(v.asInstanceOf[UTF8String])
+
+  /** Shared by the interpreted eval and the generated code (one body,
+    * two entry points — the paths cannot diverge). The final reset("")
+    * releases the document reference the ThreadLocal matcher would
+    * otherwise pin until the thread's next row (ADVICE r17).
+    */
+  def countMatches(v: UTF8String): Int = {
     val m = matcher.get()
-    m.reset(v.asInstanceOf[UTF8String].toString)
+    m.reset(v.toString)
     var n = 0
     while (m.find()) n += 1
+    m.reset("")
     n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matchCount", this, classOf[MatchCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countMatches($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -64,7 +78,7 @@ object MatchCountExpr {
   * the byte scan counts exactly what the per-char replace-diff counted.
   */
 case class LetterCountsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -76,8 +90,12 @@ case class LetterCountsExpr(child: Expression)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_letter_counts"
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(v: Any): Any =
+    letterCounts(v.asInstanceOf[UTF8String])
+
+  /** Shared by the interpreted eval and the generated code. */
+  def letterCounts(v: UTF8String): ArrayData = {
+    val bytes = v.getBytes
     val counts = new Array[Int](26)
     var i = 0
     while (i < bytes.length) {
@@ -86,6 +104,11 @@ case class LetterCountsExpr(child: Expression)
       i += 1
     }
     new GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("letterCounts", this, classOf[LetterCountsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.letterCounts($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -4,8 +4,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Fingerprints keep first-occurrence order, matching `array_distinct`.
   */
 case class WinnowingFpExpr(child: Expression, k: Int, w: Int, portable: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 2 && w >= 1, s"degenerate winnowing params k=$k w=$w")
 
@@ -48,8 +48,15 @@ case class WinnowingFpExpr(child: Expression, k: Int, w: Int, portable: Boolean)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_winnow_fp"
 
-  override def nullSafeEval(v: Any): Any = {
-    val u = v.asInstanceOf[UTF8String]
+  override def nullSafeEval(v: Any): Any =
+    fingerprints(v.asInstanceOf[UTF8String])
+
+  /** Shared by the interpreted eval and the generated code (one body,
+    * two entry points). Generated projections call this directly so the
+    * enclosing WholeStageCodegen span stays whole (the CodegenFallback
+    * form split it and re-entered the interpreted evaluator per row).
+    */
+  def fingerprints(u: UTF8String): ArrayData = {
     val bytes = u.getBytes // one copy per row, shared by every gram
     // char → byte boundary walk (UTF-8 aware; for ASCII offs(i) == i)
     val nChars = u.numChars()
@@ -100,6 +107,11 @@ case class WinnowingFpExpr(child: Expression, k: Int, w: Int, portable: Boolean)
     var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowFp", this, classOf[WinnowingFpExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.fingerprints($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -3380,20 +3380,31 @@ object TrainingData {
       val wH = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("j"))
       // The kept-block subplan feeds four differently-pruned consumers
       // (vocab, totals, both scoring-join sides), so Catalyst plans four
-      // subtrees and ReusedExchange never fires. A localCheckpoint here
-      // was A/B-measured at sf1.0 and REVERTED: within one action the
-      // scheduler overlaps the duplicate branches, and the serialized
-      // materialize-then-reuse form was no faster (~6.8-8.5 s vs
-      // ~6.7-7.1 s) — unlike d18, where the recompute crossed ACTION
-      // boundaries (per-level collects) and the checkpoint genuinely
-      // removed serial re-execution. Duplication within a plan is wall-
-      // clock-free here; recompute across actions is not.
+      // subtrees and ReusedExchange never fires — 12 documents scans /
+      // 56 exchanges in the r17 plan, 4x the scan I/O at corpus scale.
+      // A raw localCheckpoint of the KEPT tier was A/B-measured at sf1.0
+      // and REVERTED twice (r16, r17): within one action the scheduler
+      // overlaps the duplicate branches, so materializing the still-
+      // token-sized tier bought nothing. What does pay (r18, guide
+      // §2.4/§8) is collapsing first: aggregate kept tokens to per-doc
+      // (doc_id, lang, tk, c) counts — the SMALLEST tier every consumer
+      // can re-derive its input from — and stage THAT once per run
+      // (Tables.stageOnce, overwrite-on-every-call). The expensive
+      // langPredict+block-hash+window subtree now executes exactly once,
+      // and all four consumers re-read a vocabulary-scale parquet.
+      // Decimal exactness of the count-weighted NLL sum: dsum casts each
+      // addend to DECIMAL(28,6) first, and c identical decimal addends
+      // sum to exactly addend*c, so sum(cast(-log p)*c) == dsum over the
+      // exploded per-token rows (the t34 argument; oracle-confirmed).
       val kept = blocks.withColumn("rn", row_number().over(wH))
         .filter(col("rn") === 1)
-      val ktok = kept.select(col("doc_id"), col("lang"),
-        explode(col("btoks")).as("tk"))
+      val ktok = graft.Tables.stageOnce(
+        kept.select(col("doc_id"), col("lang"), explode(col("btoks")).as("tk"))
+          .groupBy(col("doc_id"), col("lang"), col("tk"))
+          .agg(count(lit(1)).as("c")),
+        "p4ktok")
       val vocab = ktok.groupBy(col("lang").as("vlang"), col("tk").as("vtk"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("c")).as("cnt"))
       val totals = vocab.groupBy(col("vlang"))
         .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_vocab"))
       val probs = vocab.join(broadcast(totals), "vlang")
@@ -3402,8 +3413,9 @@ object TrainingData {
       val scored = ktok
         .join(probs, col("lang") === col("vlang") && col("tk") === col("vtk"))
         .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("kept_toks"),
-          Det.qz(Det.dsum(-log(col("p"))) / count(lit(1))).as("avg_nll"))
+        .agg(sum(col("c")).as("kept_toks"),
+          Det.qz(sum((-log(col("p"))).cast(Det.D) * col("c")).cast("double") /
+            sum(col("c"))).as("avg_nll"))
       val cuts = scored.groupBy(col("lang").as("plang"))
         .agg(Det.qz(expr("percentile(avg_nll, 0.3333333333333333)")).as("c1"),
           Det.qz(expr("percentile(avg_nll, 0.6666666666666666)")).as("c2"))
