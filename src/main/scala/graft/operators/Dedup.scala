@@ -161,8 +161,8 @@ object Dedup {
     val hashed = graft.Tables.spread(docs, col(idCol))
       .select(col(idCol).as("id"),
         if (portableHash)
-          explode(array_distinct(
-            graft.plans.ShingleMd5Expr(col(textCol), shingleLen, skipEmpty = false))).as("sh")
+          explode(
+            graft.plans.ShingleMd5Expr(col(textCol), shingleLen, skipEmpty = false, distinct = true)).as("sh")
         else
           explode(Text.shingleHashes(Text.tokens(col(textCol)), shingleLen)).as("sh"))
       .select(col("id"), pmod(col("sh"), lit(Text.minhashPrime)).as("h"))

@@ -138,43 +138,41 @@ object DynHeight {
       .withColumn("fastpath",
         col("gapmax") <= maxDp && (col("p0") > pRef || col("hasref") === 1))
 
-    // Every grid row is generated from the stats subtree in ONE pass
-    // (r18, guide §2.4 remove shuffles outright): each original row
-    // explodes to ITSELF, and the designated (shallowest, rn = 1) row
-    // of each valid profile additionally emits every auxiliary grid row
-    // (its own sa/ct ARE the surface-extension fill). The r17 shape
-    // union-ed `orig` with aux branches built from a FILTERED copy of
-    // `stat`, and per-branch column pruning made the scan+exchange
-    // subtrees unequal, so ReusedExchange never fired — 3 scans and 3
-    // pid exchanges for pchip (2 for linear) where one suffices.
-    // Generate preserves the child's hash(pid) partitioning, so every
-    // downstream window re-sorts WITHIN the one exchange instead of
-    // re-shuffling. Row multiset, values, and all window frames are
-    // IDENTICAL to the union form (the pchip knot window still sees
-    // exactly originals + surface extension: candidates/p_ref rows are
-    // exploded in a SECOND pass after the derivative windows).
-    import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, StructField, StructType}
-    val gridStruct = ArrayType(StructType(Seq(
-      StructField("lvl", lvlType), StructField("pg", DoubleType),
-      StructField("sa", DoubleType), StructField("ct", DoubleType),
-      StructField("known", BooleanType), StructField("is_orig", BooleanType))))
-    val nullLvl = lit(null).cast(lvlType)
-    val designated = col("rn") === 1 && col("valid")
+    val orig = stat.select(col("pid"), col("lvl"), col("p").as("pg"),
+      col("sa"), col("ct"), lit(true).as("known"), lit(true).as("is_orig"),
+      col("valid"))
+
+    // Shape note (round-18 A/B, REVERTED): generating the WHOLE grid
+    // from one stats subtree — every row explodes to itself plus, on the
+    // designated row, all aux rows (pchip: two Generate passes
+    // bracketing the derivative windows, pending unknowns riding the
+    // designated knot row) — collapses the plan to ONE pid exchange and
+    // one scan (committed as plans/r18/*_attempt_single_subtree.txt) but
+    // measured WORSE where it matters: isolated 3-round alternating A/B
+    // at sf1.0 gave r39 4.2-5.8 s → 6.2-11.2 s (+50-90%) and r38
+    // 2.9-3.6 → 3.4-5.1 s (+15-55%) (sf0.1 was flat-to-better, masking
+    // it). The per-row cost of array(struct(...))+concat+explode over
+    // EVERY input row — paid twice for pchip — scales with the corpus,
+    // while the exchanges it removes are cheap local shuffles; the
+    // union shape only builds aux arrays on the ~1/nlev designated
+    // rows. Guide §1.1's gotcha clause in action: the "ideal" plan
+    // lost to the one that keeps the hot path projection-only.
+    //
+    // one designated (shallowest) row per valid profile generates ALL
+    // auxiliary grid rows as one exploded array (its own sa/ct ARE the
+    // surface-extension fill) — a single extra branch over the stats
+    // subtree instead of three, so the input is scanned twice total
+    val shal = stat.filter(col("rn") === 1 && col("valid"))
+    val gridType = "array<struct<pg:double,sa:double,ct:double,known:boolean>>"
     def guarded(cond: org.apache.spark.sql.Column,
         arr: org.apache.spark.sql.Column) =
-      coalesce(when(designated && cond, arr.cast(gridStruct)),
-        array().cast(gridStruct))
-    val selfArr = array(struct(col("lvl").as("lvl"), col("p").as("pg"),
-      col("sa").as("sa"), col("ct").as("ct"),
-      lit(true).as("known"), lit(true).as("is_orig"))).cast(gridStruct)
+      coalesce(when(cond, arr), array().cast(gridType))
     // arange(p_ref, p[0], max_dp) — stop exclusive, count = ceil(span/dp)
     val extArr = guarded(col("p0") > pRef,
       transform(sequence(lit(0),
         ceil((col("p0") - pRef) / maxDp).cast("int") - 1),
-        i => struct(nullLvl.as("lvl"),
-          (lit(pRef) + i.cast("double") * maxDp).as("pg"),
-          col("sa").as("sa"), col("ct").as("ct"),
-          lit(true).as("known"), lit(false).as("is_orig"))))
+        i => struct((lit(pRef) + i.cast("double") * maxDp).as("pg"),
+          col("sa").as("sa"), col("ct").as("ct"), lit(true).as("known"))))
     // uniform refinement candidates anchor + i·max_dp with anchor the
     // post-extension p[0] = min(p0, p_ref); interior only. pg ≤ p0
     // duplicates the extension lattice (same anchor, same spacing) and
@@ -188,62 +186,33 @@ object DynHeight {
             ceil((col("pmax") - anchor) / maxDp).cast("int")),
             i => anchor + i.cast("double") * maxDp),
           pg => pg > col("p0") && pg < col("pmax") && pg =!= pRef),
-        pg => struct(nullLvl.as("lvl"), pg.as("pg"),
-          lit(null).cast("double").as("sa"), lit(null).cast("double").as("ct"),
-          lit(false).as("known"), lit(false).as("is_orig"))))
+        pg => struct(pg.as("pg"), lit(null).cast("double").as("sa"),
+          lit(null).cast("double").as("ct"), lit(false).as("known"))))
     // p_ref itself when it falls strictly inside the profile
     val prefArr = guarded(col("p0") < pRef,
-      array(struct(nullLvl.as("lvl"), lit(pRef).as("pg"),
-        lit(null).cast("double").as("sa"), lit(null).cast("double").as("ct"),
-        lit(false).as("known"), lit(false).as("is_orig"))))
-    def fromStruct(df: DataFrame, extra: Seq[org.apache.spark.sql.Column]) =
-      df.select(Seq(col("pid"), col("g.lvl").as("lvl"), col("g.pg").as("pg"),
-        col("g.sa").as("sa"), col("g.ct").as("ct"), col("g.known").as("known"),
-        col("g.is_orig").as("is_orig"), col("valid")) ++ extra: _*)
+      array(struct(lit(pRef).as("pg"), lit(null).cast("double").as("sa"),
+        lit(null).cast("double").as("ct"), lit(false).as("known"))))
+    def auxRows(arr: org.apache.spark.sql.Column) = shal
+      .select(col("pid"), explode(arr).as("g"))
+      .select(col("pid"), lit(null).cast(lvlType).as("lvl"),
+        col("g.pg").as("pg"), col("g.sa").as("sa"), col("g.ct").as("ct"),
+        col("g.known").as("known"), lit(false).as("is_orig"),
+        lit(true).as("valid"))
     val grid = if (!pchip) {
-      fromStruct(stat.select(col("pid"), col("valid"),
-        explode(concat(selfArr, extArr, candArr, prefArr)).as("g")), Nil)
+      orig.unionByName(auxRows(concat(extArr, candArr, prefArr)))
     } else {
       // pchip derivatives live on the KNOTS (originals + surface
       // extension — exactly the array the C differentiates after the
       // wrapper prepends the mixed layer); one extra lag/lead window
-      // pass over known rows, still keyed on pid. The unknown grid
-      // points (candidates + p_ref) ride along as a PENDING array on
-      // the designated row and explode in a second pass AFTER the
-      // derivative windows, so the knot window's frame never sees them.
+      // pass over known rows, still keyed on pid, before the unknown
+      // grid points union in for the carry/Hermite pass.
       val wK = Window.partitionBy("pid").orderBy("pg")
-      val knotRows = fromStruct(
-        stat.select(col("pid"), col("valid"),
-          concat(candArr, prefArr).as("pend0"),
-          explode(concat(selfArr, extArr)).as("g")),
-        Seq(when(col("g.is_orig"), col("pend0"))
-          .otherwise(array().cast(gridStruct)).as("pend")))
-      val knots = knotRows
+      val knots = orig.unionByName(auxRows(extArr))
         .withColumn("d_sa", when(col("valid"), pchipD(col("pg"), col("sa"), wK)))
         .withColumn("d_ct", when(col("valid"), pchipD(col("pg"), col("ct"), wK)))
-      // second explode: self (derivatives kept) + pending unknowns
-      // (derivatives null) — Generate again preserves hash(pid)
-      val dStruct = ArrayType(StructType(Seq(
-        StructField("lvl", lvlType), StructField("pg", DoubleType),
-        StructField("sa", DoubleType), StructField("ct", DoubleType),
-        StructField("known", BooleanType), StructField("is_orig", BooleanType),
-        StructField("d_sa", DoubleType), StructField("d_ct", DoubleType))))
-      val self2 = array(struct(col("lvl").as("lvl"), col("pg").as("pg"),
-        col("sa").as("sa"), col("ct").as("ct"), col("known").as("known"),
-        col("is_orig").as("is_orig"),
-        col("d_sa").as("d_sa"), col("d_ct").as("d_ct"))).cast(dStruct)
-      val pend2 = transform(col("pend"), a =>
-        struct(a.getField("lvl").as("lvl"), a.getField("pg").as("pg"),
-          a.getField("sa").as("sa"), a.getField("ct").as("ct"),
-          a.getField("known").as("known"), a.getField("is_orig").as("is_orig"),
-          lit(null).cast("double").as("d_sa"), lit(null).cast("double").as("d_ct")))
-        .cast(dStruct)
-      knots.select(col("pid"), col("valid"),
-        explode(concat(self2, pend2)).as("g"))
-        .select(col("pid"), col("g.lvl").as("lvl"), col("g.pg").as("pg"),
-          col("g.sa").as("sa"), col("g.ct").as("ct"),
-          col("g.known").as("known"), col("g.is_orig").as("is_orig"),
-          col("valid"), col("g.d_sa").as("d_sa"), col("g.d_ct").as("d_ct"))
+      knots.unionByName(auxRows(concat(candArr, prefArr))
+        .withColumn("d_sa", lit(null).cast("double"))
+        .withColumn("d_ct", lit(null).cast("double")))
     }
 
     // linear SA/CT interpolation between the bracketing known points —

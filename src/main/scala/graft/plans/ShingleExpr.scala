@@ -54,8 +54,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * null (nullSafeEval), which every consumer explodes to zero rows —
   * the same rows the declarative form produces.
   */
-case class ShingleMd5Expr(child: Expression, k: Int, skipEmpty: Boolean = false,
-                          full: Boolean = false)
+case class ShingleMd5Expr(child: Expression, k: Int, skipEmpty: Boolean,
+                          full: Boolean, distinct: Boolean)
     extends UnaryExpression {
 
   require(k >= 1, s"degenerate shingle length k=$k")
@@ -125,6 +125,16 @@ case class ShingleMd5Expr(child: Expression, k: Int, skipEmpty: Boolean = false,
     val nOut = n - k + 1
     val outL = if (full) null else new Array[Long](nOut)
     val outB = if (full) new Array[Array[Byte]](nOut) else null
+    // `distinct` dedups IN the hashing pass, first occurrence kept —
+    // exactly array_distinct's contract, minus the extra array walk.
+    // For the binary (full) mode this matters beyond the saved pass:
+    // Spark's array_distinct over array<binary> hits the
+    // non-proper-equals fallback that compares elements PAIRWISE —
+    // O(shingles²) per document (r17 ADVICE) — where the ByteBuffer
+    // hash set here stays O(shingles).
+    val seenL = if (distinct && !full) new java.util.HashSet[java.lang.Long]() else null
+    val seenB = if (distinct && full) new java.util.HashSet[java.nio.ByteBuffer]() else null
+    var o = 0
     var p = 0
     while (p <= n - k) {
       md.reset()
@@ -135,17 +145,21 @@ case class ShingleMd5Expr(child: Expression, k: Int, skipEmpty: Boolean = false,
         j += 1
       }
       val d = md.digest()
-      if (full) outB(p) = d
-      else {
+      if (full) {
+        if (seenB == null || seenB.add(java.nio.ByteBuffer.wrap(d))) { outB(o) = d; o += 1 }
+      } else {
         // first 15 hex chars of md5 parsed base-16 = first 60 bits BE
         var acc = 0L
         var b = 0
         while (b < 7) { acc = (acc << 8) | (d(b) & 0xffL); b += 1 }
-        outL(p) = (acc << 4) | ((d(7) & 0xffL) >>> 4)
+        val h = (acc << 4) | ((d(7) & 0xffL) >>> 4)
+        if (seenL == null || seenL.add(h)) { outL(o) = h; o += 1 }
       }
       p += 1
     }
-    new GenericArrayData(if (full) outB else outL)
+    new GenericArrayData(
+      if (full) { if (o == nOut) outB else java.util.Arrays.copyOf(outB, o) }
+      else { if (o == nOut) outL else java.util.Arrays.copyOf(outL, o) })
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -162,15 +176,16 @@ object ShingleMd5Expr {
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** Column-facing constructor (60-bit prefix longs). */
-  def apply(text: org.apache.spark.sql.Column, k: Int, skipEmpty: Boolean)
-      : org.apache.spark.sql.Column =
+  def apply(text: org.apache.spark.sql.Column, k: Int, skipEmpty: Boolean,
+            distinct: Boolean = false): org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftSqlShim.column(
-      new ShingleMd5Expr(org.apache.spark.sql.GraftSqlShim.expression(text), k, skipEmpty))
+      new ShingleMd5Expr(org.apache.spark.sql.GraftSqlShim.expression(text), k, skipEmpty,
+        full = false, distinct = distinct))
 
   /** Column-facing constructor, full 16-byte digests (join-identity mode). */
-  def full(text: org.apache.spark.sql.Column, k: Int)
+  def full(text: org.apache.spark.sql.Column, k: Int, distinct: Boolean = false)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftSqlShim.column(
       new ShingleMd5Expr(org.apache.spark.sql.GraftSqlShim.expression(text), k,
-        skipEmpty = false, full = true))
+        skipEmpty = false, full = true, distinct = distinct))
 }

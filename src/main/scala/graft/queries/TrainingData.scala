@@ -1212,11 +1212,11 @@ object TrainingData {
       // string build and half the broadcast key bytes.
       val docs = t(s, dir, "documents")
       val bsh = docs.filter(col("doc_id") % 50 === 0)
-        .select(explode(array_distinct(
-          graft.plans.ShingleMd5Expr.full(col("text"), t11s))).as("bh")).distinct()
+        .select(explode(
+          graft.plans.ShingleMd5Expr.full(col("text"), t11s, distinct = true)).as("bh")).distinct()
       val csh = graft.Tables.spread(docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"))
-        .select(col("doc_id"), explode(array_distinct(
-          graft.plans.ShingleMd5Expr.full(col("text"), t11s))).as("h"))
+        .select(col("doc_id"), explode(
+          graft.plans.ShingleMd5Expr.full(col("text"), t11s, distinct = true)).as("h"))
       csh.join(broadcast(bsh), col("h") === col("bh"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
@@ -2787,8 +2787,8 @@ object TrainingData {
       // the corpus-wide distinct and the self-join exchange carry fixed
       // 16-byte keys instead of built shingle strings.
       val sh = docs
-        .select(col("source"), explode(array_distinct(
-          graft.plans.ShingleMd5Expr.full(col("text"), 3))).as("sh"))
+        .select(col("source"), explode(
+          graft.plans.ShingleMd5Expr.full(col("text"), 3, distinct = true)).as("sh"))
         .distinct()
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val pairs = sh.as("a").join(sh.as("b"),
@@ -3093,12 +3093,12 @@ object TrainingData {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("bid"),
-          array_distinct(graft.plans.ShingleMd5Expr.full(col("text"), t35k)).as("barr"))
+          graft.plans.ShingleMd5Expr.full(col("text"), t35k, distinct = true).as("barr"))
         .select(col("bid"), size(col("barr")).as("nb"),
           explode(col("barr")).as("bh"))
       val corp = graft.Tables.spread(docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"))
         .select(col("doc_id"),
-          array_distinct(graft.plans.ShingleMd5Expr.full(col("text"), t35k)).as("arr"))
+          graft.plans.ShingleMd5Expr.full(col("text"), t35k, distinct = true).as("arr"))
         .select(col("doc_id"), size(col("arr")).as("na"),
           explode(col("arr")).as("h"))
       val ov = corp.join(broadcast(bench), col("h") === col("bh"))

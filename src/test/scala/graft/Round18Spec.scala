@@ -92,6 +92,24 @@ class Round18Spec extends SparkSpec {
     assert(on.map(_.toString).toSeq == off.map(_.toString).toSeq)
   }
 
+  // ---- fused distinct: one hash-set pass ≡ array_distinct --------------
+
+  test("kernel distinct mode matches array_distinct over the plain output") {
+    val docs = Seq("", "a", "a a a a", "x y x y x z", "a b a b a b a b c",
+      "the the the quick quick fox", ("w1 w2 w3 " * 30) + "w1 w2",
+      "héllo héllo wörld").toDF("text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    val viaArrayDistinct = docs.select(
+      array_distinct(graft.plans.ShingleMd5Expr(col("text"), 2, skipEmpty = false)).as("l"),
+      transform(array_distinct(graft.plans.ShingleMd5Expr.full(col("text"), 2)),
+        b => hex(b)).as("f"))
+    val fused = docs.select(
+      graft.plans.ShingleMd5Expr(col("text"), 2, skipEmpty = false, distinct = true).as("l"),
+      transform(graft.plans.ShingleMd5Expr.full(col("text"), 2, distinct = true),
+        b => hex(b)).as("f"))
+    assert(canon(fused) == canon(viaArrayDistinct))
+  }
+
   // ---- stageOnce: unconditional overwrite, never a cross-run cache -----
 
   test("stageOnce recomputes on every call (overwrite, no freshness check)") {
